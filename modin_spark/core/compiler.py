@@ -1,0 +1,405 @@
+"""SparkQueryCompiler layer — one function per logical operator, operating on
+SparkFrame and returning SparkFrame.
+
+Mirrors the role of the reference's PandasQueryCompiler
+(/root/reference/modin/core/storage_formats/pandas/query_compiler.py:279): the
+pandas-API layer normalizes arguments and calls exactly one operator here;
+this layer picks the Spark plan shape. Unlike the reference there is no
+partition-manager below — Catalyst handles partial aggregation, broadcast
+selection, range partitioning and AQE re-planning.
+
+Order contracts are stated per operator. ORDER_COL may be any Spark-sortable
+value (int64 from reads; a struct of parent orders after joins/concats) — all
+order machinery only requires a total order, not contiguity.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from modin_spark.core.frame import ORDER_COL, SparkFrame, fresh_names
+
+_MAXLONG = (1 << 62)
+
+
+# ---------------------------------------------------------------------------
+# aggregation expression table (pandas name -> Spark expression builder)
+# ---------------------------------------------------------------------------
+
+def _sem(c: Column) -> Column:
+    return F.stddev_samp(c) / F.sqrt(F.count(c))
+
+
+def _skew(c: Column) -> Column:
+    # pandas uses the bias-corrected sample skewness G1 = g1*sqrt(n(n-1))/(n-2);
+    # Spark's F.skewness returns population g1.
+    n = F.count(c)
+    return F.skewness(c) * F.sqrt(n * (n - 1)) / (n - 2)
+
+
+def _kurt(c: Column) -> Column:
+    # pandas: bias-corrected sample excess kurtosis G2; Spark kurtosis = g2 (population).
+    n = F.count(c)
+    g2 = F.kurtosis(c)
+    return ((n - 1) / ((n - 2) * (n - 3))) * ((n + 1) * g2 + 6)
+
+
+AGG_EXPRS: dict[str, callable] = {
+    "sum": lambda c: F.sum(c),
+    "mean": lambda c: F.avg(c),
+    "avg": lambda c: F.avg(c),
+    "count": lambda c: F.count(c),
+    "size": lambda c: F.count(F.lit(1)),
+    "min": lambda c: F.min(c),
+    "max": lambda c: F.max(c),
+    "std": lambda c: F.stddev_samp(c),
+    "var": lambda c: F.var_samp(c),
+    "sem": _sem,
+    "median": lambda c: F.median(c),
+    "nunique": lambda c: F.countDistinct(c),
+    "any": lambda c: F.coalesce(F.bool_or(c.cast("boolean")), F.lit(False)),
+    "all": lambda c: F.coalesce(F.bool_and(c.cast("boolean")), F.lit(True)),
+    "prod": lambda c: F.product(c),
+    "product": lambda c: F.product(c),
+    "skew": _skew,
+    "kurt": _kurt,
+    "kurtosis": _kurt,
+    "first": lambda c: F.min_by(c, F.when(c.isNotNull(), F.col(ORDER_COL))),
+    "last": lambda c: F.max_by(c, F.when(c.isNotNull(), F.col(ORDER_COL))),
+}
+
+# sums over all-NaN groups are 0 in pandas (min_count=0); Spark returns NULL
+_NULL_FILL_ZERO = {"sum"}
+
+
+def agg_expr(name: str, c: Column, q: float | None = None) -> Column:
+    if name == "quantile":
+        return F.percentile(c, F.lit(q if q is not None else 0.5))
+    fn = AGG_EXPRS.get(name)
+    if fn is None:
+        raise NotImplementedError(f"aggregation {name!r}")
+    e = fn(c)
+    if name in _NULL_FILL_ZERO:
+        e = F.coalesce(e, F.lit(0))
+    return e
+
+
+# ---------------------------------------------------------------------------
+# groupby
+# ---------------------------------------------------------------------------
+
+def groupby_agg(
+    frame: SparkFrame,
+    by_positions: Sequence[int],
+    agg_spec: list[tuple[object, int | None, str, dict]],
+    *,
+    as_index: bool = True,
+    dropna: bool = True,
+    sort: bool = True,
+) -> SparkFrame:
+    """``df.groupby(keys).agg(...)``.
+
+    agg_spec: list of (output_label, input_position or None, agg_name, kwargs).
+
+    Plan shape: single hash aggregate — Catalyst inserts the map-side partial
+    aggregate automatically (the reference builds this by hand as
+    GroupByReduce, /root/reference/modin/core/dataframe/algebra/groupby.py:33).
+    Order contract: pandas sorts by group key when sort=True; else first
+    appearance. Implemented by making the key struct / min(ORDER) the new
+    ORDER_COL — no extra sort pass needed until someone actually consumes
+    order.
+    """
+    key_phys = [frame.data_cols[i] for i in by_positions]
+    key_labels = [frame.columns[i] for i in by_positions]
+    sdf = frame.sdf
+    if dropna:
+        for k in key_phys:
+            sdf = sdf.where(F.col(k).isNotNull())
+
+    out_phys = fresh_names(len(agg_spec))
+    aggs = []
+    for (lbl, pos, name, kw), op in zip(agg_spec, out_phys):
+        c = F.col(frame.data_cols[pos]) if pos is not None else F.lit(1)
+        aggs.append(agg_expr(name, c, kw.get("q")).alias(op))
+    if sort:
+        agged = sdf.groupBy(*key_phys).agg(*aggs).withColumn(ORDER_COL, F.struct(*[F.col(k) for k in key_phys]))
+    else:
+        agged = sdf.groupBy(*key_phys).agg(F.min(ORDER_COL).alias(ORDER_COL), *aggs)
+
+    labels = [s[0] for s in agg_spec]
+    if as_index:
+        return SparkFrame(agged, pd.Index(labels), out_phys, key_phys, list(key_labels))
+    return SparkFrame(agged, pd.Index(list(key_labels) + labels), key_phys + out_phys, [], [None])
+
+
+def groupby_apply(frame: SparkFrame, by_positions: Sequence[int], func, schema_sample_rows: int = 100) -> SparkFrame:
+    """``groupby.apply(func)`` — arbitrary pandas-DataFrame-in/out per group via
+    ``applyInPandas``. Output schema is inferred by running ``func`` on one
+    sampled group on the driver (the reference instead runs everywhere and
+    re-aligns columns after the fact,
+    /root/reference/modin/core/dataframe/pandas/dataframe/dataframe.py:4386).
+    """
+    key_phys = [frame.data_cols[i] for i in by_positions]
+    key_labels = [frame.columns[i] for i in by_positions]
+    data_phys = frame.data_cols
+    labels = list(frame.columns)
+
+    # sample one group to infer the output schema
+    one_key = frame.sdf.select(*key_phys).where(
+        F.struct(*key_phys).isNotNull()
+    ).limit(1).collect()
+    if not one_key:
+        raise ValueError("empty frame in groupby.apply")
+    row = one_key[0]
+    cond = None
+    for k in key_phys:
+        c = F.col(k) == F.lit(row[k])
+        cond = c if cond is None else (cond & c)
+    sample_pdf = frame.sdf.where(cond).limit(schema_sample_rows).toPandas()
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        named = pdf[data_phys].copy()
+        named.columns = labels
+        res = func(named)
+        if isinstance(res, pd.Series):
+            res = res.to_frame().T
+        return res
+
+    sample_out = run(sample_pdf)
+    out_labels = list(sample_out.columns)
+    out_phys = fresh_names(len(out_labels))
+
+    from modin_spark.core.frame import pandas_dtype_to_spark
+    from pyspark.sql import types as T
+
+    fields = [T.StructField(k, frame.schema_map[k]) for k in key_phys]
+    for lbl, p in zip(out_labels, out_phys):
+        fields.append(T.StructField(p, pandas_dtype_to_spark(sample_out[lbl].dtype)))
+    out_schema = T.StructType(fields)
+
+    def apply_fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        res = run(pdf).reset_index(drop=True)
+        res.columns = out_phys
+        for k, v in zip(key_phys, key):
+            res[k] = v
+        return res[[*key_phys, *out_phys]]
+
+    agged = frame.sdf.groupBy(*key_phys).applyInPandas(apply_fn, out_schema)
+    agged = agged.withColumn(ORDER_COL, F.struct(*[F.col(k) for k in key_phys]))
+    return SparkFrame(agged, pd.Index(out_labels), out_phys, key_phys, list(key_labels))
+
+
+# ---------------------------------------------------------------------------
+# joins
+# ---------------------------------------------------------------------------
+
+def merge(
+    left: SparkFrame,
+    right: SparkFrame,
+    how: str = "inner",
+    left_on: Sequence[int] | None = None,
+    right_on: Sequence[int] | None = None,
+    left_index: bool = False,
+    right_index: bool = False,
+    suffixes: tuple[str, str] = ("_x", "_y"),
+    broadcast_right: bool | None = None,
+    sort: bool = False,
+) -> SparkFrame:
+    """pandas ``merge`` (equi-join).
+
+    Plan shape: plain Catalyst join — broadcast vs shuffle chosen by the
+    optimizer/AQE (the reference hard-codes a broadcast of the combined right
+    frame, /root/reference/modin/core/storage_formats/pandas/merge.py:178, or
+    an explicit range-partitioned shuffle, merge.py:39; both are subsumed).
+    ``broadcast_right=True`` forces the hint for known-small dimensions.
+
+    Order contract: pandas returns left-frame order (then right order for
+    ties); encoded as a struct ORDER, no sort executed.
+    """
+    lkeys = [left.index_cols[i] for i in range(len(left.index_cols))] if left_index else [
+        left.data_cols[i] for i in (left_on or [])
+    ]
+    rkeys = [right.index_cols[i] for i in range(len(right.index_cols))] if right_index else [
+        right.data_cols[i] for i in (right_on or [])
+    ]
+    if len(lkeys) != len(rkeys):
+        raise ValueError("merge key arity mismatch")
+
+    lsdf = left.sdf.withColumnRenamed(ORDER_COL, "__lorder__")
+    rsdf = right.sdf.withColumnRenamed(ORDER_COL, "__rorder__")
+    rsdf = rsdf.select("__rorder__", *list(dict.fromkeys(right.index_cols + right.data_cols)))
+    if broadcast_right:
+        rsdf = F.broadcast(rsdf)
+
+    cond = None
+    for lk, rk in zip(lkeys, rkeys):
+        c = lsdf[lk] == rsdf[rk]
+        cond = c if cond is None else (cond & c)
+    joined = lsdf.join(rsdf, cond, how)
+
+    # output columns: left data cols, then right data cols minus right key
+    # columns when joining key-to-key with identical labels (pandas `on=`)
+    out_labels: list = []
+    out_phys: list[str] = []
+    l_labels = list(left.columns)
+    r_labels = [right.columns[i] for i in range(len(right.columns))]
+
+    on_pairs = {}
+    if left_on is not None and right_on is not None:
+        for li, ri in zip(left_on, right_on):
+            if left.columns[li] == right.columns[ri]:
+                on_pairs[ri] = li
+
+    for i, lbl in enumerate(l_labels):
+        name = lbl
+        if lbl in {right.columns[j] for j in range(len(right.columns)) if j not in on_pairs}:
+            name = f"{lbl}{suffixes[0]}"
+        out_labels.append(name)
+        out_phys.append(left.data_cols[i])
+    for j, lbl in enumerate(r_labels):
+        if j in on_pairs:
+            continue  # single copy of the shared key column (from left)
+        name = lbl
+        if lbl in set(l_labels):
+            name = f"{lbl}{suffixes[1]}"
+        out_labels.append(name)
+        out_phys.append(right.data_cols[j])
+
+    # struct order: unmatched side sorts last (pandas appends right-only rows);
+    # the null flag leads so struct comparison never hits a NULL field
+    lo, ro = F.col("__lorder__"), F.col("__rorder__")
+    order = F.struct(
+        lo.isNull().cast("int").alias("ln"),
+        lo.alias("l"),
+        ro.isNull().cast("int").alias("rn"),
+        ro.alias("r"),
+    )
+    joined = joined.withColumn(ORDER_COL, order).drop("__lorder__", "__rorder__")
+    out = SparkFrame(joined, pd.Index(out_labels), out_phys, [], [None])
+    if sort and lkeys:
+        out_keys = [F.col(k) for k in lkeys]
+        out = out.sort_by(out_keys, [True] * len(out_keys))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# concat / set ops
+# ---------------------------------------------------------------------------
+
+def concat_rows(frames: list[SparkFrame], join: str = "outer", ignore_index: bool = False) -> SparkFrame:
+    """``pd.concat(axis=0)``. Order contract: frames in sequence."""
+    if join == "outer":
+        out_labels: list = []
+        for fr in frames:
+            for lbl in fr.columns:
+                if lbl not in out_labels:
+                    out_labels.append(lbl)
+    else:
+        out_labels = [lbl for lbl in frames[0].columns if all(lbl in set(fr.columns) for fr in frames)]
+
+    out_phys = fresh_names(len(out_labels))
+    idx_arity = max((len(fr.index_cols) for fr in frames), default=0)
+    idx_phys = fresh_names(idx_arity)
+
+    parts = []
+    for fi, fr in enumerate(frames):
+        sel = [F.struct(F.lit(fi).alias("f"), F.col(ORDER_COL).cast("double").alias("o")).alias(ORDER_COL)]
+        for k in range(idx_arity):
+            src = fr.index_cols[k] if k < len(fr.index_cols) else None
+            sel.append((F.col(src) if src else F.lit(None)).alias(idx_phys[k]))
+        label_map = {}
+        for lbl, p in zip(fr.columns, fr.data_cols):
+            label_map.setdefault(lbl, p)
+        for lbl, p in zip(out_labels, out_phys):
+            src = label_map.get(lbl)
+            sel.append((F.col(src) if src is not None else F.lit(None)).alias(p))
+        parts.append(fr.sdf.select(*sel))
+
+    sdf = parts[0]
+    for p in parts[1:]:
+        sdf = sdf.unionByName(p)
+    index_names = frames[0].index_names if idx_arity else [None]
+    out = SparkFrame(sdf, pd.Index(out_labels), out_phys, idx_phys, index_names)
+    if ignore_index:
+        out = SparkFrame(sdf, pd.Index(out_labels), out_phys, [], [None])
+    return out
+
+
+def drop_duplicates(frame: SparkFrame, subset_positions: Sequence[int] | None, keep: str = "first") -> SparkFrame:
+    """Order contract: keeps first (or last) occurrence, original order.
+
+    Plan: min/max(ORDER) per key group + semi-join back — one shuffle, no
+    global window (scale-safe vs a rank-over-everything approach).
+    """
+    phys = [frame.data_cols[i] for i in (subset_positions if subset_positions is not None else range(len(frame.columns)))]
+    pick = F.min(ORDER_COL) if keep == "first" else F.max(ORDER_COL)
+    keepers = frame.sdf.groupBy(*[F.col(p) for p in phys]).agg(pick.alias("__keep_order__"))
+    joined = frame.sdf.join(
+        keepers,
+        on=[frame.sdf[p].eqNullSafe(keepers[p]) for p in phys] + [frame.sdf[ORDER_COL] == keepers["__keep_order__"]],
+        how="left_semi",
+    )
+    return frame._subset_rows(joined)
+
+
+def duplicated(frame: SparkFrame, subset_positions: Sequence[int] | None, keep: str = "first") -> SparkFrame:
+    """Boolean column frame marking duplicates (pandas ``duplicated``)."""
+    phys = [frame.data_cols[i] for i in (subset_positions if subset_positions is not None else range(len(frame.columns)))]
+    w = Window.partitionBy(*[F.col(p) for p in phys])
+    if keep == "first":
+        flag = F.col(ORDER_COL) > F.min(ORDER_COL).over(w)
+    elif keep == "last":
+        flag = F.col(ORDER_COL) < F.max(ORDER_COL).over(w)
+    else:  # keep=False -> all members of any dup group
+        flag = F.count(F.lit(1)).over(w) > 1
+    return frame.project(["duplicated"], [flag])
+
+
+# ---------------------------------------------------------------------------
+# missing data
+# ---------------------------------------------------------------------------
+
+def dropna(frame: SparkFrame, how: str = "any", thresh: int | None = None, subset_positions: Sequence[int] | None = None) -> SparkFrame:
+    positions = subset_positions if subset_positions is not None else range(len(frame.columns))
+    cols = [frame.scol(i) for i in positions]
+    checks = [c.isNull() | (F.isnan(c) if isinstance(frame.spark_type_of(i), _FLOATING) else F.lit(False))
+              for i, c in zip(positions, cols)]
+    nonnull = sum((F.when(~chk, 1).otherwise(0) for chk in checks), F.lit(0))
+    if thresh is not None:
+        cond = nonnull >= thresh
+    elif how == "any":
+        cond = nonnull == len(checks)
+    else:
+        cond = nonnull > 0
+    return frame.filter(cond)
+
+
+from pyspark.sql import types as _T
+
+_FLOATING = (_T.FloatType, _T.DoubleType)
+
+
+def _null_or_nan(c: Column, spark_type) -> Column:
+    if isinstance(spark_type, _FLOATING):
+        return c.isNull() | F.isnan(c)
+    return c.isNull()
+
+
+def fillna_value(frame: SparkFrame, value, positions: Sequence[int] | None = None) -> SparkFrame:
+    positions = positions if positions is not None else range(len(frame.columns))
+    labels, exprs = [], []
+    for i in positions:
+        c = frame.scol(i)
+        v = value.get(frame.columns[i], None) if isinstance(value, dict) else value
+        if v is None:
+            e = c
+        else:
+            e = F.when(_null_or_nan(c, frame.spark_type_of(i)), F.lit(v)).otherwise(c)
+        labels.append(frame.columns[i])
+        exprs.append(e)
+    return frame.project(labels, exprs)

@@ -1,0 +1,451 @@
+"""SparkFrame — the core distributed frame: a pyspark DataFrame plus the
+metadata Spark lacks for pandas semantics (row order, index columns, label
+table, row lineage).
+
+Design notes (vs the reference, modin):
+
+* The reference keeps a 2-D grid of pandas partitions
+  (/root/reference/modin/core/dataframe/pandas/dataframe/dataframe.py:92) and
+  hand-rolls shuffles/copartitioning. Here the physical layer is a single
+  ``pyspark.sql.DataFrame``; Catalyst/Tungsten do partitioning, so SparkFrame
+  is *metadata only*:
+
+  - ``ORDER_COL`` (``__row_order__``): a monotonically increasing int64 that
+    encodes pandas row order. It is NOT required to be contiguous — only
+    strictly increasing in frame order. Produced by
+    ``monotonically_increasing_id()`` (partition-major, so it respects read
+    order / sort order) — never by a global single-partition window.
+  - ``index_cols``: physical names of index-level columns. Empty list means
+    the default positional RangeIndex (materialized only at ``to_pandas``).
+  - ``columns`` / ``data_cols``: pandas labels for the *visible* data columns
+    and the physical column names backing them. Physical names are globally
+    unique (``c0, c1, ...`` from a process-wide counter), which makes
+    duplicate labels, non-string labels, and cross-frame expression rebasing
+    safe: a physical name seen anywhere always refers to the same computed
+    content. Retired/hidden physical columns may remain in ``sdf`` — Catalyst
+    column-prunes them, and egress always selects explicitly.
+
+* Row lineage (``_lid`` / ``_chain``): column-level ops keep the same lineage
+  id; row-subset ops (filter/head/slice/sort) derive a child id whose chain
+  still contains the parent. A pure column expression anchored at frame A can
+  be evaluated directly on frame B iff ``A._lid in B._chain`` and all
+  referenced physical columns are present in B — this is what lets
+  ``df[df.a > 0]`` and ``df["x"] = df.a + df.b`` run as narrow JVM-side
+  expressions with no alignment join, while genuinely unrelated frames fall
+  back to an index-alignment join (pandas semantics).
+
+* Ordered-frame semantics: every operator documents its order contract.
+  Narrow ops preserve ORDER_COL; sorts re-derive it *after* the range-shuffle
+  (``orderBy`` then ``monotonically_increasing_id``); positional access uses a
+  range-repartition + per-partition rank + partition-offset join — fully
+  parallel (no single-task global window), the same TeraSort-style scheme the
+  reference implements by hand in
+  /root/reference/modin/core/dataframe/pandas/dataframe/utils.py:111.
+"""
+
+from __future__ import annotations
+
+import itertools
+from typing import Iterable, Sequence
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame as SDF, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+ORDER_COL = "__row_order__"
+
+_uid_counter = itertools.count()
+_lid_counter = itertools.count()
+
+
+def _fresh_name() -> str:
+    return f"c{next(_uid_counter)}"
+
+
+def fresh_names(n: int) -> list[str]:
+    return [_fresh_name() for _ in range(n)]
+
+
+# ---------------------------------------------------------------------------
+# dtype mapping
+# ---------------------------------------------------------------------------
+
+_SPARK_TO_PANDAS = {
+    T.ByteType: "int8",
+    T.ShortType: "int16",
+    T.IntegerType: "int32",
+    T.LongType: "int64",
+    T.FloatType: "float32",
+    T.DoubleType: "float64",
+    T.BooleanType: "bool",
+    T.StringType: "object",
+    T.BinaryType: "object",
+    T.DateType: "object",
+    T.TimestampType: "datetime64[ns]",
+    T.TimestampNTZType: "datetime64[ns]",
+    T.DayTimeIntervalType: "timedelta64[ns]",
+}
+
+
+def spark_to_pandas_dtype(dt: T.DataType) -> str:
+    for klass, name in _SPARK_TO_PANDAS.items():
+        if isinstance(dt, klass):
+            return name
+    return "object"
+
+
+_PANDAS_TO_SPARK_CAST = {
+    "int8": T.ByteType(),
+    "int16": T.ShortType(),
+    "int32": T.IntegerType(),
+    "int64": T.LongType(),
+    "int": T.LongType(),
+    "uint8": T.IntegerType(),
+    "uint16": T.IntegerType(),
+    "uint32": T.LongType(),
+    "uint64": T.LongType(),
+    "float32": T.FloatType(),
+    "float64": T.DoubleType(),
+    "float": T.DoubleType(),
+    "bool": T.BooleanType(),
+    "boolean": T.BooleanType(),
+    "str": T.StringType(),
+    "string": T.StringType(),
+    "object": T.StringType(),
+    "datetime64[ns]": T.TimestampType(),
+    "timedelta64[ns]": T.DayTimeIntervalType(),
+    "category": T.StringType(),
+}
+
+
+def pandas_dtype_to_spark(dtype) -> T.DataType:
+    if isinstance(dtype, T.DataType):
+        return dtype
+    name = dtype if isinstance(dtype, str) else str(dtype)
+    if name in _PANDAS_TO_SPARK_CAST:
+        return _PANDAS_TO_SPARK_CAST[name]
+    raise TypeError(f"cannot map dtype {name!r} to a Spark type")
+
+
+class SparkFrame:
+    """Immutable distributed frame: pyspark DataFrame + order/index/label metadata."""
+
+    def __init__(
+        self,
+        sdf: SDF,
+        columns,
+        data_cols: list[str],
+        index_cols: list[str] | None = None,
+        index_names: list | None = None,
+        _lid: int | None = None,
+        _chain: frozenset | None = None,
+    ):
+        self.sdf = sdf
+        self.columns = columns if isinstance(columns, pd.Index) else pd.Index(columns)
+        self.data_cols = list(data_cols)
+        self.index_cols = list(index_cols or [])
+        self.index_names = list(
+            index_names if index_names is not None else [None] * max(1, len(self.index_cols))
+        )
+        self._lid = _lid if _lid is not None else next(_lid_counter)
+        self._chain = _chain if _chain is not None else frozenset([self._lid])
+        assert len(self.columns) == len(self.data_cols)
+
+    # lineage helpers -------------------------------------------------------
+    def _same_rows(self, sdf, columns=None, data_cols=None, index_cols=None, index_names=None):
+        """Derive a frame with identical rows/order (column-level op)."""
+        return SparkFrame(
+            sdf,
+            self.columns if columns is None else columns,
+            self.data_cols if data_cols is None else data_cols,
+            self.index_cols if index_cols is None else index_cols,
+            self.index_names if index_names is None else index_names,
+            _lid=self._lid,
+            _chain=self._chain,
+        )
+
+    def _subset_rows(self, sdf, columns=None, data_cols=None, index_cols=None, index_names=None):
+        """Derive a frame whose rows are a subset/reorder of this frame's."""
+        lid = next(_lid_counter)
+        return SparkFrame(
+            sdf,
+            self.columns if columns is None else columns,
+            self.data_cols if data_cols is None else data_cols,
+            self.index_cols if index_cols is None else index_cols,
+            self.index_names if index_names is None else index_names,
+            _lid=lid,
+            _chain=self._chain | {lid},
+        )
+
+    def can_rebase(self, anchor: "SparkFrame", refs: set[str]) -> bool:
+        """True if a pure column expression anchored at ``anchor`` with
+        physical references ``refs`` can be evaluated directly on ``self``."""
+        return anchor._lid in self._chain and refs.issubset(set(self.sdf.columns))
+
+    # ------------------------------------------------------------------ ctor
+    @classmethod
+    def from_spark(cls, sdf: SDF) -> "SparkFrame":
+        """Wrap an external Spark DataFrame. Order contract: read order."""
+        labels = pd.Index(sdf.columns)
+        phys = fresh_names(len(labels))
+        projected = sdf.select(
+            F.monotonically_increasing_id().alias(ORDER_COL),
+            *[F.col(c).alias(p) for c, p in zip(sdf.columns, phys)],
+        )
+        return cls(projected, labels, phys)
+
+    @classmethod
+    def from_pandas(cls, pdf: pd.DataFrame, spark: SparkSession | None = None) -> "SparkFrame":
+        from modin_spark.session import get_spark
+
+        spark = spark or get_spark()
+        index_names = list(pdf.index.names)
+        n_levels = pdf.index.nlevels
+        default_range = (
+            n_levels == 1
+            and index_names == [None]
+            and isinstance(pdf.index, pd.RangeIndex)
+            and pdf.index.equals(pd.RangeIndex(len(pdf)))
+        )
+        idx_phys = [] if default_range else fresh_names(n_levels)
+        data_labels = pd.Index(pdf.columns)
+        data_phys = fresh_names(len(data_labels))
+
+        flat = pd.DataFrame()
+        flat[ORDER_COL] = range(len(pdf))
+        for i, p in enumerate(idx_phys):
+            flat[p] = pdf.index.get_level_values(i).to_numpy()
+        for j, p in enumerate(data_phys):
+            flat[p] = pdf.iloc[:, j].to_numpy()
+        sdf = spark.createDataFrame(flat)
+        return cls(sdf, data_labels, data_phys, idx_phys, index_names if idx_phys else [None])
+
+    # ------------------------------------------------------------- metadata
+    @property
+    def spark(self) -> SparkSession:
+        return self.sdf.sparkSession
+
+    @property
+    def schema_map(self) -> dict[str, T.DataType]:
+        return {f.name: f.dataType for f in self.sdf.schema.fields}
+
+    def spark_type_of(self, pos: int) -> T.DataType:
+        return self.schema_map[self.data_cols[pos]]
+
+    def dtype_of(self, pos: int) -> str:
+        return spark_to_pandas_dtype(self.spark_type_of(pos))
+
+    @property
+    def dtypes(self) -> pd.Series:
+        return pd.Series(
+            [self.dtype_of(i) for i in range(len(self.columns))], index=self.columns, dtype=object
+        )
+
+    def positions_of(self, labels) -> list[int]:
+        """Resolve label(s) -> positions (supports duplicates, preserves request order)."""
+        out: list[int] = []
+        for lbl in labels:
+            hits = [i for i, c in enumerate(self.columns) if c == lbl]
+            if not hits:
+                raise KeyError(lbl)
+            out.extend(hits)
+        return out
+
+    def phys_of_label(self, label) -> str:
+        hits = [i for i, c in enumerate(self.columns) if c == label]
+        if not hits:
+            raise KeyError(label)
+        return self.data_cols[hits[0]]
+
+    def scol(self, pos: int) -> Column:
+        return F.col(self.data_cols[pos])
+
+    # --------------------------------------------------------- column ops
+    def project(self, labels: Iterable, exprs: Sequence[Column]) -> "SparkFrame":
+        """Make ``exprs`` the visible data columns. Order contract: narrow.
+
+        Existing physical columns stay in ``sdf`` (hidden) so sibling
+        expressions can still rebase; Catalyst prunes unused ones.
+        """
+        labels = pd.Index(list(labels))
+        phys = fresh_names(len(labels))
+        sdf = self.sdf.select("*", *[e.alias(p) for e, p in zip(exprs, phys)])
+        return self._same_rows(sdf, columns=labels, data_cols=phys)
+
+    def select_positions(self, positions: Sequence[int]) -> "SparkFrame":
+        labels = pd.Index([self.columns[i] for i in positions])
+        phys = [self.data_cols[i] for i in positions]
+        return self._same_rows(self.sdf, columns=labels, data_cols=phys)
+
+    def with_columns(self, labels: Sequence, exprs: Sequence[Column]) -> "SparkFrame":
+        """Set/append columns (pandas ``__setitem__``): existing label ->
+        replaced (fresh physical name); new label -> appended at the end."""
+        new_labels = list(self.columns)
+        new_phys = list(self.data_cols)
+        aliased = []
+        for lbl, e in zip(labels, exprs):
+            p = _fresh_name()
+            aliased.append(e.alias(p))
+            hits = [i for i, c in enumerate(new_labels) if c == lbl]
+            if hits:
+                for i in hits:
+                    new_phys[i] = p
+            else:
+                new_labels.append(lbl)
+                new_phys.append(p)
+        sdf = self.sdf.select("*", *aliased)
+        return self._same_rows(sdf, columns=pd.Index(new_labels), data_cols=new_phys)
+
+    def rename(self, mapping: dict) -> "SparkFrame":
+        labels = pd.Index([mapping.get(c, c) for c in self.columns])
+        return self._same_rows(self.sdf, columns=labels)
+
+    def set_labels(self, labels) -> "SparkFrame":
+        return self._same_rows(self.sdf, columns=pd.Index(list(labels)))
+
+    # -------------------------------------------------------------- row ops
+    def filter(self, cond: Column) -> "SparkFrame":
+        """Order contract: preserves relative order (narrow)."""
+        return self._subset_rows(self.sdf.where(cond))
+
+    def sort_by(
+        self,
+        exprs: Sequence[Column],
+        ascending: Sequence[bool],
+        na_position: str = "last",
+    ) -> "SparkFrame":
+        """Global stable sort; re-derives ORDER_COL after the range shuffle.
+
+        Spark's ``orderBy`` does sampled range partitioning (the TeraSort
+        scheme the reference hand-rolls in
+        /root/reference/modin/core/dataframe/pandas/dataframe/utils.py:111),
+        so this is shuffle-parallel, never single-task. The old ORDER_COL is
+        the final tiebreak (stability); pandas puts NaN last by default.
+        """
+        keys = []
+        for e, asc in zip(exprs, ascending):
+            if asc:
+                keys.append(e.asc_nulls_last() if na_position == "last" else e.asc_nulls_first())
+            else:
+                keys.append(e.desc_nulls_last() if na_position == "last" else e.desc_nulls_first())
+        keys.append(F.col(ORDER_COL).asc())
+        sorted_sdf = self.sdf.orderBy(*keys).withColumn(ORDER_COL, F.monotonically_increasing_id())
+        return self._subset_rows(sorted_sdf)
+
+    # ------------------------------------------------------------ positional
+    def with_global_position(self, pos_col: str) -> "SparkFrame":
+        """Attach a contiguous 0-based global position column.
+
+        Scale-safe: range-repartition by ORDER_COL, rank within each
+        partition, then add per-partition offsets computed from a tiny
+        (#partitions)-row aggregate — no single-task global window.
+        """
+        sdf = self.sdf.repartitionByRange(F.col(ORDER_COL))
+        sdf = sdf.withColumn("__pid__", F.spark_partition_id())
+        w = Window.partitionBy("__pid__").orderBy(ORDER_COL)
+        sdf = sdf.withColumn("__local_rank__", F.row_number().over(w) - F.lit(1))
+        counts = sdf.groupBy("__pid__").count()
+        woff = Window.orderBy("__pid__").rowsBetween(Window.unboundedPreceding, -1)
+        offsets = counts.select(
+            F.col("__pid__").alias("__pid2__"),
+            F.coalesce(F.sum("count").over(woff), F.lit(0)).alias("__offset__"),
+        )
+        sdf = sdf.join(F.broadcast(offsets), sdf["__pid__"] == offsets["__pid2__"], "inner")
+        sdf = sdf.withColumn(pos_col, (F.col("__local_rank__") + F.col("__offset__")).cast("long"))
+        sdf = sdf.drop("__pid__", "__pid2__", "__local_rank__", "__offset__")
+        return self._same_rows(sdf)
+
+    def head(self, n: int) -> "SparkFrame":
+        if n < 0:
+            n = max(0, self.sdf.count() + n)
+        return self._subset_rows(self.sdf.orderBy(ORDER_COL).limit(n))
+
+    def tail(self, n: int) -> "SparkFrame":
+        cnt = self.sdf.count()
+        lo = -n if n < 0 else max(0, cnt - n)
+        fr = self.with_global_position("__pos__")
+        return self._subset_rows(fr.sdf.where(F.col("__pos__") >= lo).drop("__pos__"))
+
+    def slice_positions(self, start: int, stop: int, step: int = 1) -> "SparkFrame":
+        fr = self.with_global_position("__pos__")
+        c = F.col("__pos__")
+        cond = (c >= start) & (c < stop)
+        if step != 1:
+            cond = cond & (((c - start) % step) == 0)
+        return self._subset_rows(fr.sdf.where(cond).drop("__pos__"))
+
+    # ---------------------------------------------------------------- index
+    def set_index_from_columns(self, labels: list, drop: bool = True) -> "SparkFrame":
+        positions = self.positions_of(labels)
+        idx_phys = [self.data_cols[i] for i in positions]
+        names = [self.columns[i] for i in positions]
+        if drop:
+            keep_pos = [i for i in range(len(self.columns)) if i not in set(positions)]
+        else:
+            keep_pos = list(range(len(self.columns)))
+        return self._same_rows(
+            self.sdf,
+            columns=pd.Index([self.columns[i] for i in keep_pos]),
+            data_cols=[self.data_cols[i] for i in keep_pos],
+            index_cols=idx_phys,
+            index_names=names,
+        )
+
+    def reset_index(self, drop: bool = False) -> "SparkFrame":
+        if not self.index_cols:
+            return self
+        if drop:
+            return self._same_rows(self.sdf, index_cols=[], index_names=[None])
+        labels = [
+            n if n is not None else ("index" if len(self.index_cols) == 1 else f"level_{i}")
+            for i, n in enumerate(self.index_names)
+        ]
+        return self._same_rows(
+            self.sdf,
+            columns=pd.Index(labels + list(self.columns)),
+            data_cols=self.index_cols + self.data_cols,
+            index_cols=[],
+            index_names=[None],
+        )
+
+    # ------------------------------------------------------------ materialize
+    def count_rows(self) -> int:
+        return self.sdf.count()
+
+    def to_pandas(self) -> pd.DataFrame:
+        cols = [ORDER_COL] + list(dict.fromkeys(self.index_cols + self.data_cols))
+        pdf = self.sdf.select(*cols).orderBy(ORDER_COL).toPandas()
+        out = pd.DataFrame({i: pdf[p] for i, p in enumerate(self.data_cols)})
+        if len(self.data_cols) == 0:
+            out = pd.DataFrame(index=pdf.index)
+        out.columns = self.columns
+        if self.index_cols:
+            if len(self.index_cols) == 1:
+                out.index = pd.Index(pdf[self.index_cols[0]].values, name=self.index_names[0])
+            else:
+                out.index = pd.MultiIndex.from_arrays(
+                    [pdf[p].values for p in self.index_cols], names=self.index_names
+                )
+        else:
+            out.index = pd.RangeIndex(len(out))
+        return out
+
+    def to_spark(self, include_index: bool = False, ordered: bool = True) -> SDF:
+        """Egress with user-facing column names (labels stringified, deduped)."""
+        sel = []
+        if include_index:
+            for i, (p, n) in enumerate(zip(self.index_cols, self.index_names)):
+                sel.append(F.col(p).alias(str(n) if n is not None else ("index" if len(self.index_cols) == 1 else f"level_{i}")))
+        seen: dict[str, int] = {}
+        for lbl, p in zip(self.columns, self.data_cols):
+            name = str(lbl)
+            if name in seen:
+                seen[name] += 1
+                name = f"{name}_{seen[name]}"
+            else:
+                seen[name] = 0
+            sel.append(F.col(p).alias(name))
+        base = self.sdf.orderBy(ORDER_COL) if ordered else self.sdf
+        return base.select(*sel)

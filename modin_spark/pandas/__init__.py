@@ -1,0 +1,79 @@
+"""modin_spark.pandas — the user-facing pandas-style namespace.
+
+    import modin_spark.pandas as mpd
+    df = mpd.read_parquet(".../lineitem.parquet")
+    out = df[df.l_quantity > 24].groupby("l_returnflag").agg({"l_extendedprice": "sum"})
+"""
+
+from modin_spark.pandas.dataframe import DataFrame
+from modin_spark.pandas.series import Series
+from modin_spark.pandas.general import (
+    concat,
+    crosstab,
+    cut,
+    get_dummies,
+    isna,
+    melt,
+    merge,
+    merge_asof,
+    notna,
+    pivot_table,
+    qcut,
+    to_datetime,
+    to_numeric,
+    unique,
+    value_counts,
+)
+from modin_spark.pandas.io import (
+    from_pandas,
+    from_spark,
+    read_csv,
+    read_excel,
+    read_feather,
+    read_fwf,
+    read_html,
+    read_json,
+    read_orc,
+    read_parquet,
+    read_pickle,
+    read_sql,
+    read_table,
+)
+
+isnull = isna
+notnull = notna
+
+__all__ = [
+    "DataFrame",
+    "Series",
+    "concat",
+    "crosstab",
+    "cut",
+    "get_dummies",
+    "isna",
+    "isnull",
+    "melt",
+    "merge",
+    "merge_asof",
+    "notna",
+    "notnull",
+    "pivot_table",
+    "qcut",
+    "to_datetime",
+    "to_numeric",
+    "unique",
+    "value_counts",
+    "from_pandas",
+    "from_spark",
+    "read_csv",
+    "read_excel",
+    "read_feather",
+    "read_fwf",
+    "read_html",
+    "read_json",
+    "read_orc",
+    "read_parquet",
+    "read_pickle",
+    "read_sql",
+    "read_table",
+]

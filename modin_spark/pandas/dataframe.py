@@ -1,0 +1,726 @@
+"""DataFrame — the pandas-faithful API over SparkFrame.
+
+Role-equivalent of the reference's modin/pandas/dataframe.py: argument
+normalization + dispatch to exactly one compiler operator. All heavy lifting
+is in modin_spark.core.{compiler,windows}; this layer never touches rows.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from modin_spark.core import compiler as qc
+from modin_spark.core import windows as win
+from modin_spark.core.frame import ORDER_COL, SparkFrame, pandas_dtype_to_spark
+from modin_spark.pandas.series import Series, _lit
+
+
+class DataFrame:
+    def __init__(self, data=None, columns=None, index=None, _frame: SparkFrame | None = None):
+        if _frame is not None:
+            self._frame = _frame
+            return
+        if isinstance(data, pd.DataFrame):
+            pdf = data
+        else:
+            pdf = pd.DataFrame(data, columns=columns, index=index)
+        self._frame = SparkFrame.from_pandas(pdf)
+
+    # ------------------------------------------------------------- metadata
+    @property
+    def columns(self) -> pd.Index:
+        return self._frame.columns
+
+    @columns.setter
+    def columns(self, new):
+        self._frame = self._frame.set_labels(new)
+
+    @property
+    def dtypes(self) -> pd.Series:
+        return self._frame.dtypes
+
+    @property
+    def shape(self) -> tuple[int, int]:
+        return (self._frame.count_rows(), len(self._frame.columns))
+
+    @property
+    def empty(self) -> bool:
+        return len(self._frame.columns) == 0 or self._frame.sdf.limit(1).count() == 0
+
+    @property
+    def index(self):
+        return self.to_pandas().index
+
+    def __len__(self) -> int:
+        return self._frame.count_rows()
+
+    def __repr__(self) -> str:
+        pdf = DataFrame(_frame=self._frame.head(10)).to_pandas()
+        return repr(pdf)
+
+    # ------------------------------------------------------------ execution
+    def to_pandas(self) -> pd.DataFrame:
+        return self._frame.to_pandas()
+
+    def to_spark(self, include_index: bool = False, ordered: bool = True):
+        return self._frame.to_spark(include_index=include_index, ordered=ordered)
+
+    def spark_explain(self, mode: str = "formatted") -> None:
+        self._frame.sdf.explain(mode)
+
+    # -------------------------------------------------------------- selection
+    def _series_at(self, pos: int) -> Series:
+        return Series(
+            self._frame, self._frame.scol(pos), {self._frame.data_cols[pos]}, name=self._frame.columns[pos]
+        )
+
+    def __getitem__(self, key):
+        fr = self._frame
+        if isinstance(key, Series):  # boolean mask
+            if fr.can_rebase(key._frame, key._refs):
+                return DataFrame(_frame=fr.filter(key._expr))
+            # alignment fallback: join mask by index/order
+            mask_fr = key._to_frame("__m__")
+            lkey = fr.index_cols or [ORDER_COL]
+            rkey = mask_fr.index_cols or [ORDER_COL]
+            msdf = mask_fr.sdf.select(
+                *[F.col(k).alias(f"__mk{i}__") for i, k in enumerate(rkey)], mask_fr.data_cols[0]
+            )
+            cond = None
+            for i, k in enumerate(lkey):
+                c = fr.sdf[k] == msdf[f"__mk{i}__"]
+                cond = c if cond is None else (cond & c)
+            joined = fr.sdf.join(msdf, cond, "inner").where(F.col(mask_fr.data_cols[0]))
+            joined = joined.drop(*[f"__mk{i}__" for i in range(len(rkey))], mask_fr.data_cols[0])
+            return DataFrame(_frame=fr._subset_rows(joined))
+        if isinstance(key, list):
+            return DataFrame(_frame=fr.select_positions(fr.positions_of(key)))
+        if isinstance(key, slice):
+            return self.iloc[key]
+        positions = [i for i, c in enumerate(fr.columns) if c == key]
+        if not positions:
+            raise KeyError(key)
+        if len(positions) > 1:
+            return DataFrame(_frame=fr.select_positions(positions))
+        return self._series_at(positions[0])
+
+    def __setitem__(self, key, value):
+        fr = self._frame
+        if isinstance(value, Series):
+            if fr.can_rebase(value._frame, value._refs):
+                self._frame = fr.with_columns([key], [value._expr])
+                return
+            # align by join then set
+            vf = value._to_frame("__v__")
+            lkey = fr.index_cols or [ORDER_COL]
+            rkey = vf.index_cols or [ORDER_COL]
+            vsdf = vf.sdf.select(*[F.col(k).alias(f"__vk{i}__") for i, k in enumerate(rkey)], vf.data_cols[0])
+            cond = None
+            for i, k in enumerate(lkey):
+                c = fr.sdf[k] == vsdf[f"__vk{i}__"]
+                cond = c if cond is None else (cond & c)
+            joined = fr.sdf.join(vsdf, cond, "left").drop(*[f"__vk{i}__" for i in range(len(rkey))])
+            nf = SparkFrame(joined, fr.columns, fr.data_cols, fr.index_cols, fr.index_names,
+                            _lid=fr._lid, _chain=fr._chain)
+            self._frame = nf.with_columns([key], [F.col(vf.data_cols[0])])
+            return
+        if isinstance(value, DataFrame):
+            raise NotImplementedError("setitem with DataFrame value")
+        if isinstance(value, (list, tuple, pd.Series)):
+            import numpy as np
+
+            vals = pd.Series(value).reset_index(drop=True)
+            self[key] = Series._from_pandas(vals)
+            return
+        self._frame = fr.with_columns([key], [_lit(value)])
+
+    def __getattr__(self, name):
+        if name.startswith("_"):
+            raise AttributeError(name)
+        try:
+            cols = object.__getattribute__(self, "_frame").columns
+        except AttributeError:
+            raise AttributeError(name)
+        if name in set(cols):
+            return self[name]
+        raise AttributeError(name)
+
+    def get(self, key, default=None):
+        try:
+            return self[key]
+        except KeyError:
+            return default
+
+    @property
+    def loc(self):
+        from modin_spark.pandas.indexing import LocIndexer
+
+        return LocIndexer(self)
+
+    @property
+    def iloc(self):
+        from modin_spark.pandas.indexing import ILocIndexer
+
+        return ILocIndexer(self)
+
+    # ------------------------------------------------------------ column ops
+    def assign(self, **kwargs) -> "DataFrame":
+        out = DataFrame(_frame=self._frame)
+        for k, v in kwargs.items():
+            if callable(v):
+                v = v(out)
+            out[k] = v
+        return out
+
+    def drop(self, labels=None, columns=None, index=None, axis=0, errors="raise") -> "DataFrame":
+        if columns is None and axis in (1, "columns"):
+            columns = labels
+        if columns is not None:
+            cols = columns if isinstance(columns, (list, tuple)) else [columns]
+            dropset = set()
+            for c in cols:
+                hits = [i for i, lbl in enumerate(self._frame.columns) if lbl == c]
+                if not hits and errors == "raise":
+                    raise KeyError(c)
+                dropset.update(hits)
+            keep = [i for i in range(len(self._frame.columns)) if i not in dropset]
+            return DataFrame(_frame=self._frame.select_positions(keep))
+        raise NotImplementedError("drop by index labels")
+
+    def rename(self, columns=None, **kw) -> "DataFrame":
+        if columns is None:
+            raise NotImplementedError("rename supports columns= only")
+        return DataFrame(_frame=self._frame.rename(columns))
+
+    def insert(self, loc: int, column, value) -> None:
+        tmp = DataFrame(_frame=self._frame)
+        tmp[column] = value
+        fr = tmp._frame
+        n = len(fr.columns)
+        order = list(range(n - 1))
+        order.insert(loc, n - 1)
+        self._frame = fr.select_positions(order)
+
+    def astype(self, dtype) -> "DataFrame":
+        fr = self._frame
+        if not isinstance(dtype, dict):
+            dtype = {c: dtype for c in fr.columns}
+        labels, exprs = [], []
+        for i, lbl in enumerate(fr.columns):
+            e = fr.scol(i)
+            if lbl in dtype:
+                e = e.cast(pandas_dtype_to_spark(dtype[lbl]))
+            labels.append(lbl)
+            exprs.append(e)
+        return DataFrame(_frame=fr.project(labels, exprs))
+
+    def select_dtypes(self, include=None, exclude=None) -> "DataFrame":
+        inc = [include] if isinstance(include, str) else (include or [])
+        exc = [exclude] if isinstance(exclude, str) else (exclude or [])
+
+        def matches(dt: str, pats) -> bool:
+            for p in pats:
+                if p in ("number", "numeric") and (dt.startswith(("int", "float")) or dt == "bool"):
+                    return True
+                if dt.startswith(p):
+                    return True
+            return False
+
+        keep = []
+        for i in range(len(self._frame.columns)):
+            dt = self._frame.dtype_of(i)
+            if inc and not matches(dt, inc):
+                continue
+            if exc and matches(dt, exc):
+                continue
+            keep.append(i)
+        return DataFrame(_frame=self._frame.select_positions(keep))
+
+    def _numeric_positions(self) -> list[int]:
+        return [
+            i
+            for i in range(len(self._frame.columns))
+            if self._frame.dtype_of(i).startswith(("int", "float")) or self._frame.dtype_of(i) == "bool"
+        ]
+
+    # ----------------------------------------------------------- missing data
+    def fillna(self, value) -> "DataFrame":
+        return DataFrame(_frame=qc.fillna_value(self._frame, value))
+
+    def dropna(self, how="any", thresh=None, subset=None) -> "DataFrame":
+        pos = self._frame.positions_of(subset) if subset is not None else None
+        return DataFrame(_frame=qc.dropna(self._frame, how, thresh, pos))
+
+    def isna(self) -> "DataFrame":
+        fr = self._frame
+        from pyspark.sql import types as T
+
+        exprs = []
+        for i in range(len(fr.columns)):
+            c = fr.scol(i)
+            t = fr.spark_type_of(i)
+            exprs.append(c.isNull() | F.isnan(c) if isinstance(t, (T.FloatType, T.DoubleType)) else c.isNull())
+        return DataFrame(_frame=fr.project(fr.columns, exprs))
+
+    isnull = isna
+
+    def notna(self) -> "DataFrame":
+        na = self.isna()
+        fr = na._frame
+        return DataFrame(_frame=fr.project(fr.columns, [~fr.scol(i) for i in range(len(fr.columns))]))
+
+    notnull = notna
+
+    def ffill(self) -> "DataFrame":
+        return DataFrame(_frame=win.ffill(self._frame, list(range(len(self._frame.columns)))))
+
+    def bfill(self) -> "DataFrame":
+        return DataFrame(_frame=win.bfill(self._frame, list(range(len(self._frame.columns)))))
+
+    def replace(self, to_replace, value=None) -> "DataFrame":
+        out = DataFrame(_frame=self._frame)
+        for i, lbl in enumerate(self._frame.columns):
+            out[lbl] = self._series_at(i).replace(to_replace, value)
+        return out
+
+    def where(self, cond: "DataFrame | Series", other=None) -> "DataFrame":
+        if isinstance(cond, Series):
+            fr = self._frame
+            exprs = [F.when(cond._expr, fr.scol(i)).otherwise(_lit(other)) for i in range(len(fr.columns))]
+            return DataFrame(_frame=fr.project(fr.columns, exprs))
+        raise NotImplementedError("where with DataFrame cond")
+
+    def mask(self, cond: "Series", other=None) -> "DataFrame":
+        inv = Series(cond._frame, ~F.coalesce(cond._expr, F.lit(False)), cond._refs, cond._name)
+        return self.where(inv, other)
+
+    def clip(self, lower=None, upper=None) -> "DataFrame":
+        fr = self._frame
+        exprs = []
+        for i in range(len(fr.columns)):
+            e = fr.scol(i)
+            if lower is not None:
+                e = F.greatest(e, _lit(lower))
+            if upper is not None:
+                e = F.least(e, _lit(upper))
+            exprs.append(e)
+        return DataFrame(_frame=fr.project(fr.columns, exprs))
+
+    def abs(self) -> "DataFrame":
+        fr = self._frame
+        return DataFrame(_frame=fr.project(fr.columns, [F.abs(fr.scol(i)) for i in range(len(fr.columns))]))
+
+    def round(self, decimals: int = 0) -> "DataFrame":
+        fr = self._frame
+        exprs = [
+            F.bround(fr.scol(i), decimals) if fr.dtype_of(i).startswith("float") else fr.scol(i)
+            for i in range(len(fr.columns))
+        ]
+        return DataFrame(_frame=fr.project(fr.columns, exprs))
+
+    def isin(self, values) -> "DataFrame":
+        fr = self._frame
+        exprs = [F.coalesce(fr.scol(i).isin(list(values)), F.lit(False)) for i in range(len(fr.columns))]
+        return DataFrame(_frame=fr.project(fr.columns, exprs))
+
+    # ----------------------------------------------------------------- rows
+    def head(self, n: int = 5) -> "DataFrame":
+        return DataFrame(_frame=self._frame.head(n))
+
+    def tail(self, n: int = 5) -> "DataFrame":
+        return DataFrame(_frame=self._frame.tail(n))
+
+    def limit(self, n: int) -> "DataFrame":
+        return self.head(n)
+
+    def sample(self, frac=None, n=None, random_state=None) -> "DataFrame":
+        if frac is None:
+            total = len(self)
+            frac = min(1.0, (n or 1) * 1.2 / max(total, 1))
+        sdf = self._frame.sdf.sample(fraction=frac, seed=random_state or 42)
+        fr = self._frame._subset_rows(sdf)
+        out = DataFrame(_frame=fr)
+        return out.head(n) if n is not None else out
+
+    def query(self, expr: str) -> "DataFrame":
+        """pandas.query via Spark SQL — labels resolved to physical columns,
+        pandas operators translated (Spark SQL already accepts and/or/==)."""
+        fr = self._frame
+        translated = expr
+        import re as _re
+
+        for lbl, phys in sorted(zip(fr.columns, fr.data_cols), key=lambda t: -len(str(t[0]))):
+            translated = _re.sub(rf"(?<![\w`]){_re.escape(str(lbl))}(?![\w`])", phys, translated)
+        return DataFrame(_frame=fr.filter(F.expr(translated)))
+
+    def sort_values(self, by, ascending=True, na_position="last") -> "DataFrame":
+        by = by if isinstance(by, list) else [by]
+        asc = ascending if isinstance(ascending, list) else [ascending] * len(by)
+        fr = self._frame
+        exprs = [fr.scol(i) for i in fr.positions_of(by)]
+        return DataFrame(_frame=fr.sort_by(exprs, asc, na_position))
+
+    def sort_index(self, ascending=True) -> "DataFrame":
+        fr = self._frame
+        keys = [F.col(c) for c in (fr.index_cols or [ORDER_COL])]
+        return DataFrame(_frame=fr.sort_by(keys, [ascending] * len(keys)))
+
+    def nlargest(self, n: int, columns) -> "DataFrame":
+        cols = columns if isinstance(columns, list) else [columns]
+        fr = self._frame
+        exprs = [fr.scol(i) for i in fr.positions_of(cols)]
+        # orderBy+limit compiles to TakeOrderedAndProject — scale-safe top-k
+        return DataFrame(_frame=fr.sort_by(exprs, [False] * len(exprs)).head(n))
+
+    def nsmallest(self, n: int, columns) -> "DataFrame":
+        cols = columns if isinstance(columns, list) else [columns]
+        fr = self._frame
+        exprs = [fr.scol(i) for i in fr.positions_of(cols)]
+        return DataFrame(_frame=fr.sort_by(exprs, [True] * len(exprs)).head(n))
+
+    def drop_duplicates(self, subset=None, keep="first") -> "DataFrame":
+        pos = self._frame.positions_of(subset if isinstance(subset, list) else [subset]) if subset is not None else None
+        return DataFrame(_frame=qc.drop_duplicates(self._frame, pos, keep))
+
+    def duplicated(self, subset=None, keep="first") -> Series:
+        pos = self._frame.positions_of(subset if isinstance(subset, list) else [subset]) if subset is not None else None
+        return Series._from_frame(qc.duplicated(self._frame, pos, keep))
+
+    # ---------------------------------------------------------------- index
+    def set_index(self, keys, drop=True) -> "DataFrame":
+        keys = keys if isinstance(keys, list) else [keys]
+        return DataFrame(_frame=self._frame.set_index_from_columns(keys, drop))
+
+    def reset_index(self, drop=False) -> "DataFrame":
+        return DataFrame(_frame=self._frame.reset_index(drop))
+
+    # ------------------------------------------------------------- groupby
+    def groupby(self, by, as_index: bool = True, dropna: bool = True, sort: bool = True):
+        from modin_spark.pandas.groupby import DataFrameGroupBy
+
+        return DataFrameGroupBy(self, by, as_index=as_index, dropna=dropna, sort=sort)
+
+    # ---------------------------------------------------------------- joins
+    def merge(
+        self,
+        right: "DataFrame",
+        how="inner",
+        on=None,
+        left_on=None,
+        right_on=None,
+        left_index=False,
+        right_index=False,
+        suffixes=("_x", "_y"),
+        sort=False,
+        broadcast: bool | None = None,
+    ) -> "DataFrame":
+        lf, rf = self._frame, right._frame
+        if on is not None:
+            on = on if isinstance(on, list) else [on]
+            left_on, right_on = on, on
+        if left_on is not None:
+            left_on = left_on if isinstance(left_on, list) else [left_on]
+            right_on = right_on if isinstance(right_on, list) else [right_on]
+            lpos = lf.positions_of(left_on)
+            rpos = rf.positions_of(right_on)
+        else:
+            lpos = rpos = None
+        out = qc.merge(
+            lf,
+            rf,
+            how=how,
+            left_on=lpos,
+            right_on=rpos,
+            left_index=left_index,
+            right_index=right_index,
+            suffixes=suffixes,
+            broadcast_right=broadcast,
+            sort=sort,
+        )
+        return DataFrame(_frame=out)
+
+    def join(self, other: "DataFrame", how="left", lsuffix="", rsuffix="") -> "DataFrame":
+        return self.merge(other, how=how, left_index=True, right_index=True, suffixes=(lsuffix or "_x", rsuffix or "_y"))
+
+    # ------------------------------------------------------------ reductions
+    def _reduce_frame(self, name: str, numeric_only: bool = True, **kw) -> pd.Series:
+        fr = self._frame
+        positions = self._numeric_positions() if numeric_only else list(range(len(fr.columns)))
+        if not positions:
+            return pd.Series(dtype="float64")
+        exprs = [qc.agg_expr(name, fr.scol(i), kw.get("q")).alias(f"x{i}") for i in positions]
+        row = fr.sdf.agg(*exprs).collect()[0]
+        return pd.Series([row[f"x{i}"] for i in positions], index=[fr.columns[i] for i in positions])
+
+    def sum(self, numeric_only=True, axis=0, **kw):
+        if axis in (1, "columns"):
+            return self._row_wise("sum")
+        return self._reduce_frame("sum", numeric_only)
+
+    def mean(self, numeric_only=True, axis=0, **kw):
+        if axis in (1, "columns"):
+            return self._row_wise("mean")
+        return self._reduce_frame("mean", numeric_only)
+
+    def min(self, numeric_only=False, axis=0, **kw):
+        if axis in (1, "columns"):
+            return self._row_wise("min")
+        return self._reduce_frame("min", numeric_only)
+
+    def max(self, numeric_only=False, axis=0, **kw):
+        if axis in (1, "columns"):
+            return self._row_wise("max")
+        return self._reduce_frame("max", numeric_only)
+
+    def count(self, numeric_only=False) -> pd.Series:
+        return self._reduce_frame("count", numeric_only)
+
+    def std(self, numeric_only=True, ddof=1):
+        return self._reduce_frame("std", numeric_only)
+
+    def var(self, numeric_only=True, ddof=1):
+        return self._reduce_frame("var", numeric_only)
+
+    def median(self, numeric_only=True):
+        return self._reduce_frame("median", numeric_only)
+
+    def nunique(self) -> pd.Series:
+        return self._reduce_frame("nunique", numeric_only=False)
+
+    def quantile(self, q=0.5, numeric_only=True):
+        return self._reduce_frame("quantile", numeric_only, q=q)
+
+    def _row_wise(self, op: str) -> Series:
+        fr = self._frame
+        positions = self._numeric_positions()
+        cols = [fr.scol(i) for i in positions]
+        if op == "sum":
+            e = sum((F.coalesce(c, F.lit(0)) for c in cols), F.lit(0))
+        elif op == "min":
+            e = F.least(*cols)
+        elif op == "max":
+            e = F.greatest(*cols)
+        elif op == "mean":
+            total = sum((F.coalesce(c, F.lit(0)) for c in cols), F.lit(0))
+            nonnull = sum((F.when(c.isNotNull(), 1).otherwise(0) for c in cols), F.lit(0))
+            e = total / nonnull
+        else:
+            raise NotImplementedError(op)
+        return Series(fr, e, {fr.data_cols[i] for i in positions}, None)
+
+    def agg(self, spec) -> Any:
+        """df.agg("sum") / df.agg(["sum","mean"]) / df.agg({col: [fns]})."""
+        fr = self._frame
+        if isinstance(spec, str):
+            return self._reduce_frame(spec)
+        if isinstance(spec, dict):
+            out = {}
+            for lbl, fns in spec.items():
+                fns = fns if isinstance(fns, list) else [fns]
+                s = self[lbl]
+                for fn in fns:
+                    out.setdefault(fn, {})[lbl] = s._reduce(fn)
+            return pd.DataFrame(out).T
+        if isinstance(spec, list):
+            rows = {}
+            for fn in spec:
+                rows[fn] = self._reduce_frame(fn)
+            return pd.DataFrame(rows).T
+        raise NotImplementedError("agg spec")
+
+    aggregate = agg
+
+    def describe(self) -> pd.DataFrame:
+        fr = self._frame
+        positions = self._numeric_positions()
+        cols = {}
+        for i in positions:
+            cols[fr.columns[i]] = self._series_at(i).describe()
+        return pd.DataFrame(cols)
+
+    def idxmax(self) -> pd.Series:
+        return pd.Series({self._frame.columns[i]: self._series_at(i).idxmax() for i in self._numeric_positions()})
+
+    def idxmin(self) -> pd.Series:
+        return pd.Series({self._frame.columns[i]: self._series_at(i).idxmin() for i in self._numeric_positions()})
+
+    def corr(self, numeric_only=True) -> pd.DataFrame:
+        fr = self._frame
+        pos = self._numeric_positions()
+        labels = [fr.columns[i] for i in pos]
+        exprs = []
+        for i in pos:
+            for j in pos:
+                exprs.append(F.corr(fr.scol(i).cast("double"), fr.scol(j).cast("double")).alias(f"c_{i}_{j}"))
+        row = fr.sdf.agg(*exprs).collect()[0]
+        data = [[row[f"c_{i}_{j}"] for j in pos] for i in pos]
+        return pd.DataFrame(data, index=labels, columns=labels)
+
+    def cov(self, numeric_only=True) -> pd.DataFrame:
+        fr = self._frame
+        pos = self._numeric_positions()
+        labels = [fr.columns[i] for i in pos]
+        exprs = []
+        for i in pos:
+            for j in pos:
+                exprs.append(F.covar_samp(fr.scol(i).cast("double"), fr.scol(j).cast("double")).alias(f"c_{i}_{j}"))
+        row = fr.sdf.agg(*exprs).collect()[0]
+        data = [[row[f"c_{i}_{j}"] for j in pos] for i in pos]
+        return pd.DataFrame(data, index=labels, columns=labels)
+
+    # -------------------------------------------------------- order-dependent
+    def cumsum(self) -> "DataFrame":
+        return DataFrame(_frame=win.cum_op(self._frame, self._numeric_positions(), "cumsum"))
+
+    def cummax(self) -> "DataFrame":
+        return DataFrame(_frame=win.cum_op(self._frame, self._numeric_positions(), "cummax"))
+
+    def cummin(self) -> "DataFrame":
+        return DataFrame(_frame=win.cum_op(self._frame, self._numeric_positions(), "cummin"))
+
+    def cumprod(self) -> "DataFrame":
+        return DataFrame(_frame=win.cum_op(self._frame, self._numeric_positions(), "cumprod"))
+
+    def shift(self, periods=1, fill_value=None) -> "DataFrame":
+        return DataFrame(_frame=win.shift(self._frame, list(range(len(self._frame.columns))), periods, fill_value))
+
+    def diff(self, periods=1) -> "DataFrame":
+        return DataFrame(_frame=win.diff(self._frame, self._numeric_positions(), periods))
+
+    def rank(self, method="average", ascending=True, pct=False) -> "DataFrame":
+        return DataFrame(_frame=win.rank(self._frame, self._numeric_positions(), method, ascending, pct))
+
+    def rolling(self, window: int, min_periods=None):
+        from modin_spark.pandas.window import Rolling
+
+        return Rolling(self, window, min_periods)
+
+    def expanding(self, min_periods: int = 1):
+        from modin_spark.pandas.window import Expanding
+
+        return Expanding(self, min_periods)
+
+    def resample(self, rule: str, on=None):
+        from modin_spark.pandas.resample import Resampler
+
+        return Resampler(self, rule, on)
+
+    # -------------------------------------------------------------- reshape
+    def melt(self, id_vars=None, value_vars=None, var_name="variable", value_name="value") -> "DataFrame":
+        fr = self._frame
+        id_vars = id_vars if isinstance(id_vars, list) else ([id_vars] if id_vars else [])
+        if value_vars is None:
+            value_vars = [c for c in fr.columns if c not in set(id_vars)]
+        id_phys = [fr.data_cols[i] for i in fr.positions_of(id_vars)] if id_vars else []
+        val_phys = [fr.data_cols[i] for i in fr.positions_of(value_vars)]
+        unpivoted = fr.sdf.unpivot(
+            [ORDER_COL] + id_phys, val_phys, "__var__", "__val__"
+        )
+        # map physical names back to labels in the variable column
+        mapping = None
+        for lbl, p in zip(value_vars, val_phys):
+            w = (mapping.when if mapping is not None else F.when)(F.col("__var__") == p, F.lit(str(lbl)))
+            mapping = w
+        var_order = F.array_position(F.array(*[F.lit(p) for p in val_phys]), F.col("__var__"))
+        sdf = unpivoted.withColumn("__var2__", mapping).withColumn(
+            ORDER_COL, F.struct(var_order.alias("v"), F.col(ORDER_COL).alias("o"))
+        )
+        from modin_spark.core.frame import fresh_names as _fn
+
+        out_phys = _fn(len(id_phys) + 2)
+        sel = [F.col(ORDER_COL)]
+        for p, np_ in zip(id_phys + ["__var2__", "__val__"], out_phys):
+            sel.append(F.col(p).alias(np_))
+        out = SparkFrame(sdf.select(*sel), pd.Index(id_vars + [var_name, value_name]), out_phys)
+        return DataFrame(_frame=out)
+
+    def explode(self, column) -> "DataFrame":
+        fr = self._frame
+        pos = fr.positions_of([column])[0]
+        phys = fr.data_cols[pos]
+        sdf = fr.sdf.withColumn("__exp__", F.explode_outer(F.col(phys)))
+        sdf = sdf.withColumn(ORDER_COL, F.struct(F.col(ORDER_COL).alias("o"), F.monotonically_increasing_id().alias("e")))
+        new_cols = list(fr.data_cols)
+        from modin_spark.core.frame import fresh_names as _fn
+
+        np_ = _fn(1)[0]
+        sdf = sdf.withColumn(np_, F.col("__exp__")).drop("__exp__")
+        new_cols[pos] = np_
+        out = SparkFrame(sdf, fr.columns, new_cols, fr.index_cols, fr.index_names)
+        return DataFrame(_frame=out)
+
+    def pivot_table(self, values=None, index=None, columns=None, aggfunc="mean") -> "DataFrame":
+        fr = self._frame
+        index = index if isinstance(index, list) else [index]
+        idx_phys = [fr.data_cols[i] for i in fr.positions_of(index)]
+        col_phys = fr.data_cols[fr.positions_of([columns])[0]]
+        val_phys = fr.data_cols[fr.positions_of([values])[0]]
+        agg_fn = qc.AGG_EXPRS[aggfunc]
+        pivoted = fr.sdf.groupBy(*idx_phys).pivot(col_phys).agg(agg_fn(F.col(val_phys)))
+        value_cols = [c for c in pivoted.columns if c not in set(idx_phys)]
+        from modin_spark.core.frame import fresh_names as _fn
+
+        out_phys = _fn(len(value_cols))
+        sel = [F.struct(*[F.col(p) for p in idx_phys]).alias(ORDER_COL)]
+        sel += [F.col(p) for p in idx_phys]
+        sel += [F.col(v).alias(np_) for v, np_ in zip(value_cols, out_phys)]
+        out = SparkFrame(pivoted.select(*sel), pd.Index(value_cols), out_phys, idx_phys, list(index))
+        return DataFrame(_frame=out)
+
+    # ------------------------------------------------------------------ UDF
+    def apply(self, func, axis=0):
+        if axis in (1, "columns"):
+            # row-wise UDF via applyInPandas-free pandas_udf over struct
+            sample = self.head(100).to_pandas()
+            out_sample = sample.apply(func, axis=1)
+            out_t = pandas_dtype_to_spark(out_sample.dtype)
+            fr = self._frame
+            labels = list(fr.columns)
+            phys = list(fr.data_cols)
+
+            from pyspark.sql import types as T
+
+            @F.pandas_udf(out_t)
+            def _udf(batch: pd.DataFrame) -> pd.Series:
+                batch.columns = labels
+                return batch.apply(func, axis=1)
+
+            struct = F.struct(*[F.col(p) for p in phys])
+            return Series(fr, _udf(struct), set(phys), None)
+        # column-wise: default to driver pandas (documented escape hatch)
+        return self._default_to_pandas(lambda pdf: pdf.apply(func, axis=0))
+
+    def _default_to_pandas(self, fn):
+        """Escape hatch mirroring the reference's default_to_pandas
+        (/root/reference/modin/core/storage_formats/base/query_compiler.py):
+        driver-side pandas for the long tail. Guarded by size."""
+        import warnings
+
+        warnings.warn("modin_spark: falling back to driver-side pandas", stacklevel=3)
+        pdf = self.to_pandas()
+        res = fn(pdf)
+        if isinstance(res, pd.DataFrame):
+            return DataFrame(res)
+        if isinstance(res, pd.Series):
+            return Series._from_pandas(res)
+        return res
+
+    # ---------------------------------------------------------------- writers
+    def to_parquet(self, path: str, mode: str = "overwrite", partition_cols=None) -> None:
+        w = self.to_spark(ordered=False).write.mode(mode)
+        if partition_cols:
+            w = w.partitionBy(*(partition_cols if isinstance(partition_cols, list) else [partition_cols]))
+        w.parquet(path)
+
+    def to_csv(self, path: str, mode: str = "overwrite", header: bool = True) -> None:
+        self.to_spark(ordered=False).write.mode(mode).option("header", header).csv(path)
+
+    def to_json(self, path: str, mode: str = "overwrite") -> None:
+        self.to_spark(ordered=False).write.mode(mode).json(path)
+
+    def to_orc(self, path: str, mode: str = "overwrite") -> None:
+        self.to_spark(ordered=False).write.mode(mode).orc(path)

@@ -1,0 +1,163 @@
+"""Module-level pandas functions (reference: /root/reference/modin/pandas/general.py)."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from modin_spark.core import compiler as qc
+from modin_spark.core.frame import SparkFrame
+from modin_spark.pandas.dataframe import DataFrame
+from modin_spark.pandas.series import Series
+
+
+def concat(objs, axis=0, join="outer", ignore_index=False) -> DataFrame:
+    frames = []
+    for o in objs:
+        if isinstance(o, DataFrame):
+            frames.append(o._frame)
+        elif isinstance(o, Series):
+            frames.append(o._to_frame())
+        else:
+            frames.append(SparkFrame.from_pandas(pd.DataFrame(o)))
+    if axis in (1, "columns"):
+        raise NotImplementedError("concat axis=1 (use merge on index)")
+    return DataFrame(_frame=qc.concat_rows(frames, join=join, ignore_index=ignore_index))
+
+
+def merge(left: DataFrame, right: DataFrame, **kw) -> DataFrame:
+    return left.merge(right, **kw)
+
+
+def to_datetime(arg, format=None, errors="raise"):
+    if isinstance(arg, Series):
+        if format is not None:
+            from modin_spark.functions.datetimes import _strftime_to_java
+
+            java_fmt = _strftime_to_java(format)
+            return arg._map1(lambda c: F.to_timestamp(c, java_fmt))
+        return arg._map1(lambda c: F.to_timestamp(c))
+    return pd.to_datetime(arg, format=format, errors=errors)
+
+
+def to_numeric(arg, errors="raise"):
+    if isinstance(arg, Series):
+        if errors == "coerce":
+            return arg._map1(lambda c: F.try_cast(c, "double") if hasattr(F, "try_cast") else c.try_cast("double"))
+        return arg._map1(lambda c: c.cast("double"))
+    return pd.to_numeric(arg, errors=errors)
+
+
+def isna(obj):
+    if isinstance(obj, (Series, DataFrame)):
+        return obj.isna()
+    return pd.isna(obj)
+
+
+def notna(obj):
+    if isinstance(obj, (Series, DataFrame)):
+        return obj.notna()
+    return pd.notna(obj)
+
+
+def get_dummies(data, columns=None, prefix=None, prefix_sep="_", dtype="int64") -> DataFrame:
+    """One-hot encode: distinct category scan + one 0/1 expression per value
+    (reference: qc get_dummies via column-axis pivot, qc:4643)."""
+    if isinstance(data, Series):
+        data = data.to_frame()
+    fr = data._frame
+    if columns is None:
+        columns = [fr.columns[i] for i in range(len(fr.columns)) if fr.dtype_of(i) == "object"]
+    out = data
+    for col in columns:
+        pos = fr.positions_of([col])[0]
+        phys = fr.data_cols[pos]
+        cats = [r[0] for r in fr.sdf.select(phys).where(F.col(phys).isNotNull()).distinct().orderBy(phys).collect()]
+        pre = (prefix or str(col)) + prefix_sep
+        for cat in cats:
+            out = out.assign(**{f"{pre}{cat}": None})
+            s = Series(out._frame, (F.col(phys) == F.lit(cat)).cast("long"), {phys}, None)
+            out[f"{pre}{cat}"] = s
+        out = out.drop(columns=[col])
+    return out
+
+
+def cut(x: Series, bins, labels=None, right: bool = True) -> Series:
+    """Fixed-width binning as a when-chain (JVM-side; no UDF)."""
+    if isinstance(bins, int):
+        mn, mx = x.min(), x.max()
+        step = (mx - mn) / bins
+        edges = [mn + i * step for i in range(bins + 1)]
+        edges[0] = mn - (mx - mn) * 0.001
+    else:
+        edges = list(bins)
+    names = labels if labels is not None else [
+        f"({edges[i]}, {edges[i+1]}]" for i in range(len(edges) - 1)
+    ]
+
+    def f(c):
+        e = None
+        for i in range(len(edges) - 1):
+            if right:
+                cond = (c > edges[i]) & (c <= edges[i + 1])
+            else:
+                cond = (c >= edges[i]) & (c < edges[i + 1])
+            w = (e.when if e is not None else F.when)(cond, F.lit(str(names[i])))
+            e = w
+        return e.otherwise(F.lit(None))
+
+    return x._map1(f)
+
+
+def qcut(x: Series, q, labels=None) -> Series:
+    """Quantile binning: exact percentile edges (one agg) + cut."""
+    if isinstance(q, int):
+        probs = [i / q for i in range(q + 1)]
+    else:
+        probs = list(q)
+    exprs = [F.percentile(x._expr, F.lit(p)).alias(f"p{i}") for i, p in enumerate(probs)]
+    row = x._frame.sdf.agg(*exprs).collect()[0]
+    edges = [row[f"p{i}"] for i in range(len(probs))]
+    edges[0] = edges[0] - abs(edges[0]) * 0.001 - 0.001
+    return cut(x, edges, labels=labels)
+
+
+def crosstab(index: Series, columns: Series) -> pd.DataFrame:
+    """Contingency table (reference: general.py:713) — groupBy().pivot().count()."""
+    target, ie, ce, refs = index._combine(columns)
+    sdf = target.sdf.select(ie.alias("__i__"), ce.alias("__c__"))
+    pivoted = sdf.groupBy("__i__").pivot("__c__").count().na.fill(0).orderBy("__i__")
+    pdf = pivoted.toPandas().set_index("__i__")
+    pdf.index.name = index._name
+    pdf.columns.name = columns._name
+    return pdf
+
+
+def value_counts(s: Series, **kw) -> Series:
+    return s.value_counts(**kw)
+
+
+def unique(s: Series):
+    return s.unique()
+
+
+def pivot_table(data: DataFrame, values=None, index=None, columns=None, aggfunc="mean") -> DataFrame:
+    return data.pivot_table(values=values, index=index, columns=columns, aggfunc=aggfunc)
+
+
+def melt(frame: DataFrame, **kw) -> DataFrame:
+    return frame.melt(**kw)
+
+
+def merge_asof(
+    left: DataFrame,
+    right: DataFrame,
+    on=None,
+    by=None,
+    direction: str = "backward",
+    suffixes=("_x", "_y"),
+    tolerance=None,
+) -> DataFrame:
+    from modin_spark.operators.joins import merge_asof as _asof
+
+    return _asof(left, right, on=on, by=by, direction=direction, suffixes=suffixes, tolerance=tolerance)

@@ -1,0 +1,387 @@
+"""GroupBy — API equivalent of the reference's DataFrameGroupBy
+(/root/reference/modin/pandas/groupby.py:112).
+
+Aggregations compile to a single Catalyst hash aggregate (partial+final agg
+is automatic — the reference builds this by hand as GroupByReduce).
+Transforms (cum*/shift/rank/fillna) compile to key-partitioned windows —
+naturally parallel, skew handled by AQE. ``apply`` uses applyInPandas.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from modin_spark.core import compiler as qc
+from modin_spark.core import windows as win
+from modin_spark.core.frame import ORDER_COL, SparkFrame
+from modin_spark.pandas.series import Series
+
+_AGG_NAMES = (
+    "sum mean min max count std var sem median nunique any all prod first last size skew".split()
+)
+
+
+class DataFrameGroupBy:
+    def __init__(self, df, by, as_index=True, dropna=True, sort=True):
+        from modin_spark.pandas.dataframe import DataFrame
+
+        self._df: DataFrame = df
+        self._as_index = as_index
+        self._dropna = dropna
+        self._sort = sort
+        fr = df._frame
+        if isinstance(by, Series):
+            # external/derived key: attach as a hidden key column
+            if not fr.can_rebase(by._frame, by._refs):
+                raise NotImplementedError("groupby by unaligned Series")
+            key_label = by._name if by._name is not None else "__key__"
+            fr2 = fr.with_columns([key_label], [by._expr])
+            self._df = DataFrame(_frame=fr2)
+            by = [key_label]
+        by = by if isinstance(by, list) else [by]
+        self._by_labels = by
+        self._by_pos = self._df._frame.positions_of(by)
+
+    # ---------------------------------------------------------------- select
+    def __getitem__(self, key):
+        if isinstance(key, list):
+            sub = self._df[list(dict.fromkeys(self._by_labels + key))]
+            g = DataFrameGroupBy(sub, self._by_labels, self._as_index, self._dropna, self._sort)
+            g._value_labels = key
+            return g
+        g = SeriesGroupBy._from_frame_groupby(self, key)
+        return g
+
+    def _value_positions(self, numeric_only=False) -> list[tuple[Any, int]]:
+        fr = self._df._frame
+        labels = getattr(self, "_value_labels", None)
+        out = []
+        byset = set(self._by_pos)
+        for i, lbl in enumerate(fr.columns):
+            if i in byset:
+                continue
+            if labels is not None and lbl not in set(labels):
+                continue
+            if numeric_only and not (fr.dtype_of(i).startswith(("int", "float")) or fr.dtype_of(i) == "bool"):
+                continue
+            out.append((lbl, i))
+        return out
+
+    # ------------------------------------------------------------------ aggs
+    def _agg_all(self, name: str, numeric_only=False, **kw):
+        from modin_spark.pandas.dataframe import DataFrame
+
+        spec = [(lbl, i, name, kw) for lbl, i in self._value_positions(numeric_only)]
+        out = qc.groupby_agg(
+            self._df._frame, self._by_pos, spec, as_index=self._as_index, dropna=self._dropna, sort=self._sort
+        )
+        return DataFrame(_frame=out)
+
+    def sum(self, numeric_only=True):
+        return self._agg_all("sum", numeric_only)
+
+    def mean(self, numeric_only=True):
+        return self._agg_all("mean", numeric_only)
+
+    def min(self, numeric_only=False):
+        return self._agg_all("min", numeric_only)
+
+    def max(self, numeric_only=False):
+        return self._agg_all("max", numeric_only)
+
+    def count(self):
+        return self._agg_all("count")
+
+    def std(self, ddof=1, numeric_only=True):
+        return self._agg_all("std", numeric_only)
+
+    def var(self, ddof=1, numeric_only=True):
+        return self._agg_all("var", numeric_only)
+
+    def sem(self, ddof=1, numeric_only=True):
+        return self._agg_all("sem", numeric_only)
+
+    def median(self, numeric_only=True):
+        return self._agg_all("median", numeric_only)
+
+    def nunique(self):
+        return self._agg_all("nunique")
+
+    def prod(self, numeric_only=True):
+        return self._agg_all("prod", numeric_only)
+
+    def first(self):
+        return self._agg_all("first")
+
+    def last(self):
+        return self._agg_all("last")
+
+    def any(self):
+        return self._agg_all("any")
+
+    def all(self):
+        return self._agg_all("all")
+
+    def skew(self, numeric_only=True):
+        return self._agg_all("skew", numeric_only)
+
+    def quantile(self, q=0.5, numeric_only=True):
+        return self._agg_all("quantile", numeric_only, q=q)
+
+    def size(self) -> Series:
+        spec = [("size", None, "size", {})]
+        out = qc.groupby_agg(
+            self._df._frame, self._by_pos, spec, as_index=True, dropna=self._dropna, sort=self._sort
+        )
+        return Series._from_frame(out)
+
+    def ohlc(self):
+        from modin_spark.pandas.dataframe import DataFrame
+
+        vals = self._value_positions(numeric_only=True)
+        spec = []
+        for lbl, i in vals:
+            spec += [
+                ((lbl, "open") if len(vals) > 1 else "open", i, "first", {}),
+                ((lbl, "high") if len(vals) > 1 else "high", i, "max", {}),
+                ((lbl, "low") if len(vals) > 1 else "low", i, "min", {}),
+                ((lbl, "close") if len(vals) > 1 else "close", i, "last", {}),
+            ]
+        out = qc.groupby_agg(
+            self._df._frame, self._by_pos, spec, as_index=self._as_index, dropna=self._dropna, sort=self._sort
+        )
+        return DataFrame(_frame=out)
+
+    def agg(self, spec=None, **named):
+        """dict / list / str / named-tuple aggregation specs."""
+        from modin_spark.pandas.dataframe import DataFrame
+
+        entries: list[tuple[Any, int | None, str, dict]] = []
+        fr = self._df._frame
+        if named and spec is None:
+            for out_lbl, na in named.items():
+                col, fn = (na.column, na.aggfunc) if hasattr(na, "column") else na
+                i = fr.positions_of([col])[0]
+                entries.append((out_lbl, i, fn, {}))
+        elif isinstance(spec, str):
+            return self._agg_all(spec)
+        elif isinstance(spec, dict):
+            for col, fns in spec.items():
+                i = fr.positions_of([col])[0]
+                fns_list = fns if isinstance(fns, list) else [fns]
+                for fn in fns_list:
+                    out_lbl = (col, fn) if isinstance(fns, list) else col
+                    entries.append((out_lbl, i, fn, {}))
+        elif isinstance(spec, list):
+            for lbl, i in self._value_positions():
+                for fn in spec:
+                    entries.append(((lbl, fn), i, fn, {}))
+        else:
+            raise NotImplementedError("agg spec")
+        out = qc.groupby_agg(
+            fr, self._by_pos, entries, as_index=self._as_index, dropna=self._dropna, sort=self._sort
+        )
+        return DataFrame(_frame=out)
+
+    aggregate = agg
+
+    # ------------------------------------------------------------ transforms
+    def _window_transform(self, builder) -> "SparkFrame":
+        fr = self._df._frame
+        keys = [fr.data_cols[i] for i in self._by_pos]
+        vals = self._value_positions(numeric_only=True)
+        labels = [lbl for lbl, _ in vals]
+        exprs = [builder(fr.scol(i), keys) for _, i in vals]
+        return fr.project(labels, exprs)
+
+    def cumsum(self):
+        from modin_spark.pandas.dataframe import DataFrame
+
+        def b(c, keys):
+            w = Window.partitionBy(*keys).orderBy(ORDER_COL).rowsBetween(Window.unboundedPreceding, 0)
+            return F.when(c.isNull(), F.lit(None)).otherwise(F.sum(c).over(w))
+
+        return DataFrame(_frame=self._window_transform(b))
+
+    def cumcount(self) -> Series:
+        fr = self._df._frame
+        keys = [fr.data_cols[i] for i in self._by_pos]
+        w = Window.partitionBy(*keys).orderBy(ORDER_COL)
+        return Series._from_frame(fr.project(["cumcount"], [F.row_number().over(w) - 1]))
+
+    def cummax(self):
+        from modin_spark.pandas.dataframe import DataFrame
+
+        def b(c, keys):
+            w = Window.partitionBy(*keys).orderBy(ORDER_COL).rowsBetween(Window.unboundedPreceding, 0)
+            return F.when(c.isNull(), F.lit(None)).otherwise(F.max(c).over(w))
+
+        return DataFrame(_frame=self._window_transform(b))
+
+    def cummin(self):
+        from modin_spark.pandas.dataframe import DataFrame
+
+        def b(c, keys):
+            w = Window.partitionBy(*keys).orderBy(ORDER_COL).rowsBetween(Window.unboundedPreceding, 0)
+            return F.when(c.isNull(), F.lit(None)).otherwise(F.min(c).over(w))
+
+        return DataFrame(_frame=self._window_transform(b))
+
+    def shift(self, periods=1):
+        from modin_spark.pandas.dataframe import DataFrame
+
+        def b(c, keys):
+            w = Window.partitionBy(*keys).orderBy(ORDER_COL)
+            return F.lag(c, periods).over(w)
+
+        return DataFrame(_frame=self._window_transform(b))
+
+    def diff(self, periods=1):
+        from modin_spark.pandas.dataframe import DataFrame
+
+        def b(c, keys):
+            w = Window.partitionBy(*keys).orderBy(ORDER_COL)
+            return c.cast("double") - F.lag(c, periods).over(w).cast("double")
+
+        return DataFrame(_frame=self._window_transform(b))
+
+    def rank(self, method="average", ascending=True):
+        from modin_spark.pandas.dataframe import DataFrame
+
+        def b(c, keys):
+            order = c.asc() if ascending else c.desc()
+            w = Window.partitionBy(*keys).orderBy(order)
+            if method == "min":
+                r = F.rank().over(w).cast("double")
+            elif method == "first":
+                r = F.row_number().over(w).cast("double")
+            elif method == "dense":
+                r = F.dense_rank().over(w).cast("double")
+            else:  # average
+                w2 = Window.partitionBy(*keys, c)
+                r = (F.min(F.rank().over(w)).over(w2) + F.max(F.rank().over(w)).over(w2)) / 2
+            return F.when(c.isNull(), F.lit(None)).otherwise(r)
+
+        return DataFrame(_frame=self._window_transform(b))
+
+    def ffill(self):
+        from modin_spark.pandas.dataframe import DataFrame
+
+        def b(c, keys):
+            w = Window.partitionBy(*keys).orderBy(ORDER_COL).rowsBetween(Window.unboundedPreceding, 0)
+            return F.last(c, ignorenulls=True).over(w)
+
+        return DataFrame(_frame=self._window_transform(b))
+
+    def bfill(self):
+        from modin_spark.pandas.dataframe import DataFrame
+
+        def b(c, keys):
+            w = Window.partitionBy(*keys).orderBy(ORDER_COL).rowsBetween(0, Window.unboundedFollowing)
+            return F.first(c, ignorenulls=True).over(w)
+
+        return DataFrame(_frame=self._window_transform(b))
+
+    def ngroup(self) -> Series:
+        fr = self._df._frame
+        keys = [fr.data_cols[i] for i in self._by_pos]
+        w = Window.orderBy(*[F.col(k) for k in keys])
+        # dense_rank over distinct keys only (small), joined back — avoids a
+        # global window over the full data
+        distinct = fr.sdf.select(*keys).distinct().withColumn("__ng__", F.dense_rank().over(w) - 1)
+        joined = fr.sdf.join(F.broadcast(distinct), on=keys, how="left")
+        nf = SparkFrame(joined, fr.columns, fr.data_cols, fr.index_cols, fr.index_names,
+                        _lid=fr._lid, _chain=fr._chain)
+        return Series._from_frame(nf.project(["ngroup"], [F.col("__ng__")]))
+
+    def head(self, n=5):
+        from modin_spark.pandas.dataframe import DataFrame
+
+        fr = self._df._frame
+        keys = [fr.data_cols[i] for i in self._by_pos]
+        w = Window.partitionBy(*keys).orderBy(ORDER_COL)
+        sdf = fr.sdf.withColumn("__rn__", F.row_number().over(w))
+        sdf = sdf.where(F.col("__rn__") <= n).drop("__rn__")
+        return DataFrame(_frame=fr._subset_rows(sdf))
+
+    def nth(self, n: int):
+        from modin_spark.pandas.dataframe import DataFrame
+
+        fr = self._df._frame
+        keys = [fr.data_cols[i] for i in self._by_pos]
+        w = Window.partitionBy(*keys).orderBy(ORDER_COL)
+        sdf = fr.sdf.withColumn("__rn__", F.row_number().over(w))
+        sdf = sdf.where(F.col("__rn__") == n + 1).drop("__rn__")
+        return DataFrame(_frame=fr._subset_rows(sdf))
+
+    def apply(self, func):
+        from modin_spark.pandas.dataframe import DataFrame
+
+        out = qc.groupby_apply(self._df._frame, self._by_pos, func)
+        return DataFrame(_frame=out)
+
+    def rolling(self, window: int, min_periods=None):
+        from modin_spark.pandas.window import GroupRolling
+
+        return GroupRolling(self, window, min_periods)
+
+    def pivot(self, *a, **kw):
+        raise NotImplementedError
+
+
+class SeriesGroupBy:
+    """s.groupby(key) and df.groupby(k)[col]."""
+
+    def __init__(self, series: Series, by):
+        self._series = series
+        self._by = by
+
+    @classmethod
+    def _from_frame_groupby(cls, g: DataFrameGroupBy, col_label) -> "SeriesGroupBy":
+        obj = cls.__new__(cls)
+        obj._g = g
+        obj._col = col_label
+        return obj
+
+    def _fg(self) -> DataFrameGroupBy:
+        if hasattr(self, "_g"):
+            g2 = DataFrameGroupBy(self._g._df, self._g._by_labels, self._g._as_index, self._g._dropna, self._g._sort)
+            g2._value_labels = [self._col]
+            return g2
+        # standalone series groupby: build a 2-col frame
+        from modin_spark.pandas.dataframe import DataFrame
+
+        s, by = self._series, self._by
+        if not isinstance(by, Series):
+            raise NotImplementedError("series.groupby by label requires index")
+        fr = s._frame
+        if not fr.can_rebase(by._frame, by._refs):
+            raise NotImplementedError("groupby by unaligned Series")
+        key_lbl = by._name if by._name is not None else "__key__"
+        val_lbl = s._name if s._name is not None else "__val__"
+        fr2 = fr.project([key_lbl, val_lbl], [by._expr, s._expr])
+        g = DataFrameGroupBy(DataFrame(_frame=fr2), [key_lbl])
+        g._value_labels = [val_lbl]
+        return g
+
+    def __getattr__(self, name):
+        if name.startswith("_"):
+            raise AttributeError(name)
+        g = self._fg()
+        attr = getattr(g, name)
+        if not callable(attr):
+            return attr
+
+        def call(*args, **kwargs):
+            res = attr(*args, **kwargs)
+            from modin_spark.pandas.dataframe import DataFrame
+
+            if isinstance(res, DataFrame) and len(res._frame.columns) == 1:
+                return Series._from_frame(res._frame)
+            return res
+
+        return call

@@ -1,0 +1,91 @@
+"""loc / iloc indexers (reference: /root/reference/modin/pandas/indexing.py).
+
+iloc positional semantics use the scale-safe global-position machinery in
+SparkFrame (range repartition + partition offsets), never a collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from modin_spark.pandas.series import Series
+
+
+class ILocIndexer:
+    def __init__(self, df):
+        self._df = df
+
+    def __getitem__(self, key):
+        from modin_spark.pandas.dataframe import DataFrame
+
+        row_key, col_key = key if isinstance(key, tuple) else (key, slice(None))
+        fr = self._df._frame
+
+        if isinstance(col_key, slice):
+            col_pos = list(range(len(fr.columns)))[col_key]
+        elif isinstance(col_key, int):
+            col_pos = [col_key]
+        else:
+            col_pos = list(col_key)
+
+        if isinstance(row_key, slice):
+            start, stop, step = row_key.indices(1 << 62)
+            out = fr.slice_positions(start, stop, step) if (start, stop, step) != (0, 1 << 62, 1) else fr
+        elif isinstance(row_key, int):
+            n = fr.count_rows()
+            i = row_key if row_key >= 0 else n + row_key
+            out = fr.slice_positions(i, i + 1)
+            row = out.select_positions(col_pos).to_pandas()
+            if isinstance(col_key, int):
+                return row.iloc[0, 0]
+            return row.iloc[0]
+        elif isinstance(row_key, list):
+            pos_fr = fr.with_global_position("__pos__")
+            out = fr._subset_rows(pos_fr.sdf.where(F.col("__pos__").isin(row_key)).drop("__pos__"))
+        else:
+            raise NotImplementedError(type(row_key))
+
+        out = out.select_positions(col_pos)
+        if isinstance(col_key, int):
+            return Series._from_frame(out)
+        return DataFrame(_frame=out)
+
+
+class LocIndexer:
+    def __init__(self, df):
+        self._df = df
+
+    def __getitem__(self, key):
+        from modin_spark.pandas.dataframe import DataFrame
+
+        row_key, col_key = key if isinstance(key, tuple) else (key, slice(None))
+        fr = self._df._frame
+
+        if isinstance(col_key, slice) and col_key == slice(None):
+            col_pos = list(range(len(fr.columns)))
+        elif isinstance(col_key, list):
+            col_pos = fr.positions_of(col_key)
+        elif not isinstance(col_key, slice):
+            col_pos = fr.positions_of([col_key])
+        else:
+            raise NotImplementedError("loc column slices")
+
+        if isinstance(row_key, Series):  # boolean mask
+            filtered = self._df[row_key]
+            out = filtered._frame.select_positions(col_pos)
+        elif isinstance(row_key, slice) and row_key == slice(None):
+            out = fr.select_positions(col_pos)
+        elif isinstance(row_key, list):
+            if not fr.index_cols:
+                raise NotImplementedError("loc by label needs an index")
+            cond = F.col(fr.index_cols[0]).isin(row_key)
+            out = fr.filter(cond).select_positions(col_pos)
+        else:
+            if not fr.index_cols:
+                raise NotImplementedError("loc by label needs an index")
+            cond = F.col(fr.index_cols[0]) == F.lit(row_key)
+            out = fr.filter(cond).select_positions(col_pos)
+
+        if not isinstance(col_key, (slice, list)):
+            return Series._from_frame(out)
+        return DataFrame(_frame=out)

@@ -1,0 +1,87 @@
+"""Readers/writers (reference: /root/reference/modin/core/io/ — there a
+hand-rolled byte-splitting parallel reader per format; here each maps to the
+corresponding parallel Spark source, which already does split planning,
+predicate pushdown and schema pruning)."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from modin_spark.core.frame import SparkFrame
+from modin_spark.pandas.dataframe import DataFrame
+from modin_spark.pandas.series import Series
+from modin_spark.session import get_spark
+
+
+def read_parquet(path: str, columns=None) -> DataFrame:
+    sdf = get_spark().read.parquet(path)
+    if columns is not None:
+        sdf = sdf.select(*columns)  # column pruning reaches the scan
+    return DataFrame(_frame=SparkFrame.from_spark(sdf))
+
+
+def read_csv(path: str, sep: str = ",", header: int | str = 0, names=None, dtype=None, **kw) -> DataFrame:
+    reader = get_spark().read.option("sep", sep).option("header", header is not None and header != None)
+    if names is not None:
+        reader = reader.option("header", False)
+    sdf = reader.option("inferSchema", True).csv(path)
+    if names is not None:
+        sdf = sdf.toDF(*names)
+    return DataFrame(_frame=SparkFrame.from_spark(sdf))
+
+
+def read_json(path: str, lines: bool = True, **kw) -> DataFrame:
+    reader = get_spark().read
+    if not lines:
+        reader = reader.option("multiLine", True)
+    return DataFrame(_frame=SparkFrame.from_spark(reader.json(path)))
+
+
+def read_orc(path: str) -> DataFrame:
+    return DataFrame(_frame=SparkFrame.from_spark(get_spark().read.orc(path)))
+
+
+def read_table(path: str, sep: str = "\t", **kw) -> DataFrame:
+    return read_csv(path, sep=sep, **kw)
+
+
+def read_sql(query_or_table: str, con: str, partition_column=None, num_partitions=None, **kw) -> DataFrame:
+    """JDBC reader; partitioned when a numeric partition column is given
+    (≙ the reference's OFFSET/LIMIT splitting,
+    /root/reference/modin/experimental/core/io/sql/sql_dispatcher.py)."""
+    reader = get_spark().read.format("jdbc").option("url", con).option("dbtable", query_or_table)
+    if partition_column is not None:
+        bounds = kw.get("bounds")
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("numPartitions", num_partitions or 8)
+            .option("lowerBound", bounds[0])
+            .option("upperBound", bounds[1])
+        )
+    return DataFrame(_frame=SparkFrame.from_spark(reader.load()))
+
+
+def from_pandas(pdf: pd.DataFrame) -> DataFrame:
+    return DataFrame(_frame=SparkFrame.from_pandas(pdf))
+
+
+def from_spark(sdf) -> DataFrame:
+    return DataFrame(_frame=SparkFrame.from_spark(sdf))
+
+
+# formats Spark has no distributed reader for: driver-side pandas, exactly
+# like the reference (modin/core/io/io.py:218-677 default-to-pandas readers)
+def _pandas_reader(name):
+    def reader(*args, **kwargs):
+        fn = getattr(pd, name)
+        return from_pandas(pd.DataFrame(fn(*args, **kwargs)))
+
+    reader.__name__ = name
+    return reader
+
+
+read_excel = _pandas_reader("read_excel")
+read_html = _pandas_reader("read_html")
+read_pickle = _pandas_reader("read_pickle")
+read_feather = _pandas_reader("read_feather")
+read_fwf = _pandas_reader("read_fwf")

@@ -1,0 +1,628 @@
+"""Series — a lazy column expression anchored to a SparkFrame.
+
+Unlike the reference (modin Series = 1-column frame,
+/root/reference/modin/pandas/series.py:87), a modin_spark Series is a pure
+Spark ``Column`` expression plus the frame it is anchored to. Ops between
+series of the same row lineage compose expressions JVM-side (narrow, zero
+shuffles, full whole-stage codegen); only genuinely unrelated frames fall
+back to an index-alignment join. ``df["x"] = df.a + df.b`` therefore compiles
+to a single ``select`` — the same plan a hand-written Spark query would get.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from modin_spark.core import compiler as qc
+from modin_spark.core import windows as win
+from modin_spark.core.frame import ORDER_COL, SparkFrame, pandas_dtype_to_spark, spark_to_pandas_dtype
+from modin_spark.functions import DT_FUNCS, STR_FUNCS
+
+
+def _lit(v) -> Column:
+    if isinstance(v, pd.Timestamp):
+        return F.lit(v.to_pydatetime())
+    return F.lit(v)
+
+
+def _pmod(a: Column, b: Column) -> Column:
+    return ((a % b) + b) % b
+
+
+class Series:
+    def __init__(self, frame: SparkFrame, expr: Column, refs: set[str], name=None):
+        self._frame = frame
+        self._expr = expr
+        self._refs = set(refs)
+        self._name = name
+
+    # ------------------------------------------------------------- plumbing
+    @classmethod
+    def _from_frame(cls, frame: SparkFrame) -> "Series":
+        assert len(frame.data_cols) == 1
+        return cls(frame, frame.scol(0), {frame.data_cols[0]}, name=frame.columns[0])
+
+    @classmethod
+    def _from_pandas(cls, ps: pd.Series) -> "Series":
+        fr = SparkFrame.from_pandas(ps.to_frame("__ser__" if ps.name is None else ps.name))
+        s = cls._from_frame(fr)
+        s._name = ps.name
+        return s
+
+    def __init_from_data__(self):  # pragma: no cover
+        raise NotImplementedError
+
+    @property
+    def name(self):
+        return self._name
+
+    def rename(self, name) -> "Series":
+        return Series(self._frame, self._expr, self._refs, name=name)
+
+    def _to_frame(self, label=None) -> SparkFrame:
+        lbl = label if label is not None else (self._name if self._name is not None else 0)
+        return self._frame.project([lbl], [self._expr])
+
+    def to_frame(self, name=None):
+        from modin_spark.pandas.dataframe import DataFrame
+
+        return DataFrame(_frame=self._to_frame(name))
+
+    # ------------------------------------------------------------ execution
+    def to_pandas(self) -> pd.Series:
+        pdf = self._to_frame("__v__").to_pandas()
+        out = pdf["__v__"]
+        out.name = self._name
+        return out
+
+    def to_spark(self):
+        return self._to_frame().to_spark()
+
+    def __len__(self) -> int:
+        return self._frame.count_rows()
+
+    def __repr__(self) -> str:
+        head = Series._from_frame(self._to_frame().head(30)).to_pandas()
+        return repr(head)
+
+    @property
+    def dtype(self):
+        sdf = self._frame.sdf.select(self._expr.alias("__t__"))
+        return spark_to_pandas_dtype(sdf.schema.fields[0].dataType)
+
+    @property
+    def spark_type(self) -> T.DataType:
+        return self._frame.sdf.select(self._expr.alias("__t__")).schema.fields[0].dataType
+
+    @property
+    def index(self):
+        return self.to_pandas().index
+
+    @property
+    def values(self):
+        return self.to_pandas().values
+
+    def tolist(self) -> list:
+        return self.to_pandas().tolist()
+
+    to_list = tolist
+
+    def __iter__(self):
+        return iter(self.to_pandas())
+
+    # --------------------------------------------------------------- binary
+    def _combine(self, other: "Series"):
+        """Pick the frame both expressions can evaluate on; else align-join."""
+        if self._frame.can_rebase(other._frame, other._refs):
+            return self._frame, self._expr, other._expr, self._refs | other._refs
+        if other._frame.can_rebase(self._frame, self._refs):
+            return other._frame, self._expr, other._expr, self._refs | other._refs
+        # alignment join (pandas semantics: align on index; default index -> order)
+        lf = self._to_frame("__l__")
+        rf = other._to_frame("__r__")
+        lkey = lf.index_cols if lf.index_cols else [ORDER_COL]
+        rkey = rf.index_cols if rf.index_cols else [ORDER_COL]
+        rsdf = rf.sdf.select(*[F.col(k).alias(f"__rk{i}__") for i, k in enumerate(rkey)], rf.data_cols[0])
+        cond = None
+        for i, k in enumerate(lkey):
+            c = lf.sdf[k] == rsdf[f"__rk{i}__"]
+            cond = c if cond is None else (cond & c)
+        joined = lf.sdf.join(rsdf, cond, "inner").drop(*[f"__rk{i}__" for i in range(len(rkey))])
+        fr = SparkFrame(joined, lf.columns, lf.data_cols, lf.index_cols, lf.index_names)
+        return fr, F.col(lf.data_cols[0]), F.col(rf.data_cols[0]), {lf.data_cols[0], rf.data_cols[0]}
+
+    def _binary(self, other, fn: Callable[[Column, Column], Column], reverse=False, comparison=False) -> "Series":
+        if isinstance(other, Series):
+            target, le, re_, refs = self._combine(other)
+        else:
+            target, le, re_, refs = self._frame, self._expr, _lit(other), set(self._refs)
+        a, b = (re_, le) if reverse else (le, re_)
+        e = fn(a, b)
+        if comparison:
+            e = F.coalesce(e, F.lit(False))
+        name = self._name if not isinstance(other, Series) or other._name == self._name else None
+        return Series(target, e, refs, name=name)
+
+    def __add__(self, o):
+        return self._binary(o, lambda a, b: a + b)
+
+    def __radd__(self, o):
+        return self._binary(o, lambda a, b: a + b, reverse=True)
+
+    def __sub__(self, o):
+        return self._binary(o, lambda a, b: a - b)
+
+    def __rsub__(self, o):
+        return self._binary(o, lambda a, b: a - b, reverse=True)
+
+    def __mul__(self, o):
+        return self._binary(o, lambda a, b: a * b)
+
+    def __rmul__(self, o):
+        return self._binary(o, lambda a, b: a * b, reverse=True)
+
+    def __truediv__(self, o):
+        return self._binary(o, lambda a, b: a.cast("double") / b.cast("double"))
+
+    def __rtruediv__(self, o):
+        return self._binary(o, lambda a, b: a.cast("double") / b.cast("double"), reverse=True)
+
+    def __floordiv__(self, o):
+        return self._binary(o, lambda a, b: F.floor(a.cast("double") / b.cast("double")))
+
+    def __mod__(self, o):
+        return self._binary(o, _pmod)
+
+    def __rmod__(self, o):
+        return self._binary(o, _pmod, reverse=True)
+
+    def __pow__(self, o):
+        return self._binary(o, lambda a, b: F.pow(a, b))
+
+    def __rpow__(self, o):
+        return self._binary(o, lambda a, b: F.pow(a, b), reverse=True)
+
+    add = __add__
+    sub = __sub__
+    mul = __mul__
+    div = __truediv__
+    truediv = __truediv__
+    floordiv = __floordiv__
+    mod = __mod__
+    pow = __pow__
+
+    def radd(self, o):
+        return self.__radd__(o)
+
+    def rsub(self, o):
+        return self.__rsub__(o)
+
+    def __eq__(self, o):  # type: ignore[override]
+        return self._binary(o, lambda a, b: a == b, comparison=True)
+
+    def __ne__(self, o):  # type: ignore[override]
+        return self._binary(o, lambda a, b: ~F.coalesce(a == b, F.lit(False)), comparison=True)
+
+    def __lt__(self, o):
+        return self._binary(o, lambda a, b: a < b, comparison=True)
+
+    def __le__(self, o):
+        return self._binary(o, lambda a, b: a <= b, comparison=True)
+
+    def __gt__(self, o):
+        return self._binary(o, lambda a, b: a > b, comparison=True)
+
+    def __ge__(self, o):
+        return self._binary(o, lambda a, b: a >= b, comparison=True)
+
+    eq = __eq__
+    ne = __ne__
+    lt = __lt__
+    le = __le__
+    gt = __gt__
+    ge = __ge__
+
+    def __and__(self, o):
+        return self._binary(o, lambda a, b: F.coalesce(a, F.lit(False)) & F.coalesce(b, F.lit(False)))
+
+    def __or__(self, o):
+        return self._binary(o, lambda a, b: F.coalesce(a, F.lit(False)) | F.coalesce(b, F.lit(False)))
+
+    def __xor__(self, o):
+        return self._binary(o, lambda a, b: F.coalesce(a, F.lit(False)) != F.coalesce(b, F.lit(False)))
+
+    def __invert__(self):
+        return Series(self._frame, ~self._expr.cast("boolean"), self._refs, self._name)
+
+    def __neg__(self):
+        return Series(self._frame, -self._expr, self._refs, self._name)
+
+    def __abs__(self):
+        return Series(self._frame, F.abs(self._expr), self._refs, self._name)
+
+    abs = __abs__
+
+    # ---------------------------------------------------------------- unary
+    def _map1(self, fn: Callable[[Column], Column], name=None) -> "Series":
+        return Series(self._frame, fn(self._expr), self._refs, name if name is not None else self._name)
+
+    def isna(self) -> "Series":
+        st = self.spark_type
+        if isinstance(st, (T.FloatType, T.DoubleType)):
+            return self._map1(lambda c: c.isNull() | F.isnan(c))
+        return self._map1(lambda c: c.isNull())
+
+    isnull = isna
+
+    def notna(self) -> "Series":
+        inv = self.isna()
+        return Series(inv._frame, ~inv._expr, inv._refs, inv._name)
+
+    notnull = notna
+
+    def fillna(self, value) -> "Series":
+        st = self.spark_type
+        nullchk = (lambda c: c.isNull() | F.isnan(c)) if isinstance(st, (T.FloatType, T.DoubleType)) else (lambda c: c.isNull())
+        return self._map1(lambda c: F.when(nullchk(c), _lit(value)).otherwise(c))
+
+    def dropna(self) -> "Series":
+        cond = self.notna()
+        return Series._from_frame(self._frame.filter(cond._expr).project([self._name if self._name is not None else 0], [self._expr]))
+
+    def astype(self, dtype) -> "Series":
+        spark_t = pandas_dtype_to_spark(dtype)
+        return self._map1(lambda c: c.cast(spark_t))
+
+    def round(self, decimals: int = 0) -> "Series":
+        # pandas rounds half-to-even (numpy); F.bround matches
+        return self._map1(lambda c: F.bround(c, decimals))
+
+    def clip(self, lower=None, upper=None) -> "Series":
+        def f(c):
+            e = c
+            if lower is not None:
+                e = F.greatest(e, _lit(lower))
+            if upper is not None:
+                e = F.least(e, _lit(upper))
+            return e
+
+        return self._map1(f)
+
+    def isin(self, values) -> "Series":
+        return self._map1(lambda c: F.coalesce(c.isin(list(values)), F.lit(False)))
+
+    def between(self, left, right, inclusive="both") -> "Series":
+        ops = {
+            "both": lambda c: (c >= _lit(left)) & (c <= _lit(right)),
+            "neither": lambda c: (c > _lit(left)) & (c < _lit(right)),
+            "left": lambda c: (c >= _lit(left)) & (c < _lit(right)),
+            "right": lambda c: (c > _lit(left)) & (c <= _lit(right)),
+        }
+        return self._map1(lambda c: F.coalesce(ops[inclusive](c), F.lit(False)))
+
+    def where(self, cond: "Series", other=None) -> "Series":
+        target, le, ce, refs = self._combine(cond)
+        oe = other._expr if isinstance(other, Series) else _lit(other)
+        if isinstance(other, Series):
+            refs = refs | other._refs
+        return Series(target, F.when(ce, le).otherwise(oe), refs, self._name)
+
+    def mask(self, cond: "Series", other=None) -> "Series":
+        inv = Series(cond._frame, ~F.coalesce(cond._expr, F.lit(False)), cond._refs, cond._name)
+        return self.where(inv, other)
+
+    def replace(self, to_replace, value=None) -> "Series":
+        if isinstance(to_replace, dict):
+            items = list(to_replace.items())
+        else:
+            tr = to_replace if isinstance(to_replace, list) else [to_replace]
+            items = [(t, value) for t in tr]
+
+        def f(c):
+            e = None
+            for k, v in items:
+                w = F.when(c == _lit(k), _lit(v))
+                e = w if e is None else e.when(c == _lit(k), _lit(v))
+            return e.otherwise(c)
+
+        return self._map1(f)
+
+    def notin(self, values) -> "Series":
+        return self._map1(lambda c: ~F.coalesce(c.isin(list(values)), F.lit(False)))
+
+    # ------------------------------------------------------------ accessors
+    @property
+    def str(self) -> "StringMethods":
+        return StringMethods(self)
+
+    @property
+    def dt(self) -> "DatetimeMethods":
+        return DatetimeMethods(self)
+
+    # ----------------------------------------------------------- reductions
+    def _reduce(self, name: str, **kw) -> Any:
+        e = qc.agg_expr(name, self._expr, kw.get("q"))
+        row = self._frame.sdf.agg(e.alias("__r__")).collect()[0]
+        return row["__r__"]
+
+    def sum(self, skipna=True, **kw):
+        return self._reduce("sum")
+
+    def mean(self, **kw):
+        return self._reduce("mean")
+
+    def min(self, **kw):
+        return self._reduce("min")
+
+    def max(self, **kw):
+        return self._reduce("max")
+
+    def count(self) -> int:
+        return self._reduce("count")
+
+    def std(self, ddof=1):
+        return self._reduce("std")
+
+    def var(self, ddof=1):
+        return self._reduce("var")
+
+    def sem(self, ddof=1):
+        return self._reduce("sem")
+
+    def median(self):
+        return self._reduce("median")
+
+    def prod(self, **kw):
+        return self._reduce("prod")
+
+    product = prod
+
+    def skew(self):
+        return self._reduce("skew")
+
+    def kurt(self):
+        return self._reduce("kurt")
+
+    kurtosis = kurt
+
+    def nunique(self, dropna=True) -> int:
+        return self._reduce("nunique")
+
+    def any(self, **kw) -> bool:
+        return bool(self._reduce("any"))
+
+    def all(self, **kw) -> bool:
+        return bool(self._reduce("all"))
+
+    def quantile(self, q=0.5):
+        if isinstance(q, (list, tuple)):
+            exprs = [qc.agg_expr("quantile", self._expr, qq).alias(f"q{i}") for i, qq in enumerate(q)]
+            row = self._frame.sdf.agg(*exprs).collect()[0]
+            return pd.Series([row[f"q{i}"] for i in range(len(q))], index=list(q), name=self._name)
+        return self._reduce("quantile", q=q)
+
+    def agg(self, func):
+        if isinstance(func, str):
+            return self._reduce(func)
+        if isinstance(func, (list, tuple)):
+            return pd.Series({f: self._reduce(f) for f in func}, name=self._name)
+        raise NotImplementedError("Series.agg with callables")
+
+    aggregate = agg
+
+    def describe(self) -> pd.Series:
+        names = ["count", "mean", "std", "min", "25%", "50%", "75%", "max"]
+        exprs = [
+            F.count(self._expr),
+            F.avg(self._expr),
+            F.stddev_samp(self._expr),
+            F.min(self._expr),
+            F.percentile(self._expr, F.lit(0.25)),
+            F.percentile(self._expr, F.lit(0.5)),
+            F.percentile(self._expr, F.lit(0.75)),
+            F.max(self._expr),
+        ]
+        row = self._frame.sdf.agg(*[e.alias(f"x{i}") for i, e in enumerate(exprs)]).collect()[0]
+        return pd.Series([row[f"x{i}"] for i in range(8)], index=names, name=self._name)
+
+    def idxmax(self):
+        e = F.max_by(self._index_expr(), self._expr)
+        return self._frame.sdf.agg(e.alias("__r__")).collect()[0]["__r__"]
+
+    def idxmin(self):
+        e = F.min_by(self._index_expr(), self._expr)
+        return self._frame.sdf.agg(e.alias("__r__")).collect()[0]["__r__"]
+
+    def _index_expr(self) -> Column:
+        if self._frame.index_cols:
+            if len(self._frame.index_cols) == 1:
+                return F.col(self._frame.index_cols[0])
+            return F.struct(*[F.col(c) for c in self._frame.index_cols])
+        # default positional index: global position
+        fr = self._frame.with_global_position("__posx__")
+        self._frame = fr
+        return F.col("__posx__")
+
+    # --------------------------------------------------- frame-level结果 ops
+    def sort_values(self, ascending: bool = True, na_position: str = "last") -> "Series":
+        fr = self._to_frame()
+        return Series._from_frame(fr.sort_by([fr.scol(0)], [ascending], na_position))
+
+    def head(self, n: int = 5) -> "Series":
+        return Series._from_frame(self._to_frame().head(n))
+
+    def tail(self, n: int = 5) -> "Series":
+        return Series._from_frame(self._to_frame().tail(n))
+
+    def unique(self):
+        sdf = self._frame.sdf.select(self._expr.alias("__v__")).distinct()
+        return pd.Series([r["__v__"] for r in sdf.collect()]).values
+
+    def drop_duplicates(self, keep="first") -> "Series":
+        return Series._from_frame(qc.drop_duplicates(self._to_frame(), None, keep))
+
+    def value_counts(self, normalize=False, sort=True, ascending=False, dropna=True) -> "Series":
+        fr = self._to_frame("__v__")
+        spec = [("count", None, "size", {})]
+        out = qc.groupby_agg(fr, [0], spec, as_index=True, dropna=dropna, sort=False)
+        if normalize:
+            total = self._frame.sdf.where(self._expr.isNotNull()).count() if dropna else self._frame.count_rows()
+            out = out.project(["proportion"], [F.col(out.data_cols[0]) / F.lit(total)])
+        if sort:
+            out = out.sort_by([F.col(out.data_cols[0])], [ascending])
+        s = Series._from_frame(out)
+        s._name = self._name
+        return s
+
+    def mode(self) -> "Series":
+        vc = self.value_counts(sort=False)
+        fr = vc._frame
+        mx = fr.sdf.agg(F.max(F.col(fr.data_cols[0])).alias("__m__")).collect()[0]["__m__"]
+        keep = fr.sdf.where(F.col(fr.data_cols[0]) == mx)
+        out = SparkFrame(keep, fr.columns, fr.data_cols, fr.index_cols, fr.index_names).reset_index()
+        out = out.select_positions([0]).sort_by([out.scol(0)], [True])
+        return Series._from_frame(out)
+
+    def nlargest(self, n: int = 5) -> "Series":
+        return Series._from_frame(self._to_frame().sort_by([self._expr], [False]).head(n))
+
+    def nsmallest(self, n: int = 5) -> "Series":
+        return Series._from_frame(self._to_frame().sort_by([self._expr], [True]).head(n))
+
+    # ------------------------------------------------------- order-dependent
+    def cumsum(self) -> "Series":
+        return Series._from_frame(win.cum_op(self._to_frame(), [0], "cumsum"))
+
+    def cumprod(self) -> "Series":
+        return Series._from_frame(win.cum_op(self._to_frame(), [0], "cumprod"))
+
+    def cummax(self) -> "Series":
+        return Series._from_frame(win.cum_op(self._to_frame(), [0], "cummax"))
+
+    def cummin(self) -> "Series":
+        return Series._from_frame(win.cum_op(self._to_frame(), [0], "cummin"))
+
+    def shift(self, periods: int = 1, fill_value=None) -> "Series":
+        return Series._from_frame(win.shift(self._to_frame(), [0], periods, fill_value))
+
+    def diff(self, periods: int = 1) -> "Series":
+        return Series._from_frame(win.diff(self._to_frame(), [0], periods))
+
+    def pct_change(self, periods: int = 1) -> "Series":
+        fr = self._to_frame()
+        shifted_fr = win.shift(fr, [0], periods)  # row-preserving; fr's column stays visible in sdf
+        cur = F.col(fr.data_cols[0]).cast("double")
+        prev = F.col(shifted_fr.data_cols[0]).cast("double")
+        return Series(shifted_fr, (cur - prev) / prev, {fr.data_cols[0], shifted_fr.data_cols[0]}, self._name)
+
+    def rank(self, method="average", ascending=True, pct=False) -> "Series":
+        return Series._from_frame(win.rank(self._to_frame(), [0], method, ascending, pct))
+
+    def rolling(self, window: int, min_periods=None):
+        from modin_spark.pandas.window import Rolling
+
+        return Rolling(self, window, min_periods)
+
+    def expanding(self, min_periods: int = 1):
+        from modin_spark.pandas.window import Expanding
+
+        return Expanding(self, min_periods)
+
+    def ffill(self) -> "Series":
+        """Forward fill along frame order: last non-null via ordered window
+        partitioned by blocks with carry (scale-safe two-pass)."""
+        fr = self._to_frame()
+        return Series._from_frame(win.ffill(fr, [0]))
+
+    def bfill(self) -> "Series":
+        fr = self._to_frame()
+        return Series._from_frame(win.bfill(fr, [0]))
+
+    # ------------------------------------------------------------------ UDF
+    def map(self, arg) -> "Series":
+        if isinstance(arg, dict):
+            def f(c):
+                e = None
+                for k, v in arg.items():
+                    w = (e.when if e is not None else F.when)(c == _lit(k), _lit(v))
+                    e = w
+                return e.otherwise(F.lit(None)) if e is not None else F.lit(None)
+
+            return self._map1(f)
+        return self.apply(arg)
+
+    def apply(self, func) -> "Series":
+        """Arbitrary elementwise UDF — Arrow-vectorized pandas_udf (the slow
+        path; return dtype inferred from a driver-side sample)."""
+        sample = self._frame.sdf.select(self._expr.alias("__v__")).limit(100).toPandas()["__v__"]
+        try:
+            out_dtype = pandas_dtype_to_spark(sample.map(func).infer_objects().dtype)
+        except Exception:
+            out_dtype = T.StringType()
+
+        @F.pandas_udf(out_dtype)
+        def _udf(s: pd.Series) -> pd.Series:
+            return s.map(func)
+
+        return self._map1(lambda c: _udf(c))
+
+    # ------------------------------------------------------------- groupby
+    def groupby(self, by=None):
+        from modin_spark.pandas.groupby import SeriesGroupBy
+
+        return SeriesGroupBy(self, by)
+
+
+class StringMethods:
+    def __init__(self, s: Series):
+        self._s = s
+
+    def __getattr__(self, name):
+        if name.startswith("_"):
+            raise AttributeError(name)
+        if name not in STR_FUNCS:
+            raise NotImplementedError(f"str.{name}")
+
+        def call(*args, **kwargs):
+            return self._s._map1(lambda c: STR_FUNCS[name](c, *args, **kwargs))
+
+        return call
+
+    def __getitem__(self, i):
+        if isinstance(i, slice):
+            return self._s._map1(lambda c: STR_FUNCS["slice"](c, i.start, i.stop, i.step))
+        return self._s._map1(lambda c: STR_FUNCS["__getitem__"](c, i))
+
+    @property
+    def len_(self):
+        return self._s._map1(STR_FUNCS["len"])
+
+
+class DatetimeMethods:
+    def __init__(self, s: Series):
+        self._s = s
+
+    _PROPS = set(DT_FUNCS)
+
+    def __getattr__(self, name):
+        if name.startswith("_"):
+            raise AttributeError(name)
+        if name not in DT_FUNCS:
+            raise NotImplementedError(f"dt.{name}")
+        fn = DT_FUNCS[name]
+        # properties (no-arg) are exposed as attributes like pandas
+        import inspect
+
+        params = [p for p in inspect.signature(fn).parameters.values()][1:]
+        if not params:
+            return self._s._map1(fn)
+
+        def call(*args, **kwargs):
+            return self._s._map1(lambda c: fn(c, *args, **kwargs))
+
+        return call

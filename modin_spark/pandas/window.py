@@ -1,0 +1,83 @@
+"""Rolling / Expanding — the reference's window surface
+(/root/reference/modin/pandas/window.py:99,352) over the scale-safe block
+window machinery in core.windows."""
+
+from __future__ import annotations
+
+from modin_spark.core import windows as win
+from modin_spark.pandas.series import Series
+
+_ROLL = ["sum", "mean", "min", "max", "count", "std", "var", "median"]
+_EXP = ["sum", "mean", "min", "max", "count", "std", "var"]
+
+
+class Rolling:
+    def __init__(self, obj, window: int, min_periods=None):
+        self._obj = obj
+        self._window = window
+        self._min_periods = min_periods
+
+    def _run(self, agg: str):
+        from modin_spark.pandas.dataframe import DataFrame
+
+        if isinstance(self._obj, Series):
+            fr = self._obj._to_frame()
+            out = win.rolling_agg(fr, [0], self._window, agg, self._min_periods)
+            return Series._from_frame(out)
+        df = self._obj
+        pos = df._numeric_positions()
+        out = win.rolling_agg(df._frame, pos, self._window, agg, self._min_periods)
+        return DataFrame(_frame=out)
+
+
+class Expanding:
+    def __init__(self, obj, min_periods: int = 1):
+        self._obj = obj
+        self._min_periods = min_periods
+
+    def _run(self, agg: str):
+        from modin_spark.pandas.dataframe import DataFrame
+
+        if isinstance(self._obj, Series):
+            fr = self._obj._to_frame()
+            out = win.expanding_agg(fr, [0], agg, self._min_periods)
+            return Series._from_frame(out)
+        df = self._obj
+        pos = df._numeric_positions()
+        out = win.expanding_agg(df._frame, pos, agg, self._min_periods)
+        return DataFrame(_frame=out)
+
+
+class GroupRolling:
+    """groupby(...).rolling(w) — plain key-partitioned ordered window."""
+
+    def __init__(self, g, window: int, min_periods=None):
+        self._g = g
+        self._window = window
+        self._min_periods = min_periods
+
+    def _run(self, agg: str):
+        from modin_spark.pandas.dataframe import DataFrame
+
+        fr = self._g._df._frame
+        keys = [fr.data_cols[i] for i in self._g._by_pos]
+        vals = self._g._value_positions(numeric_only=True)
+        out = win.rolling_agg(fr, [i for _, i in vals], self._window, agg, self._min_periods, group_phys=keys)
+        return DataFrame(_frame=out)
+
+
+def _mk(cls, names):
+    for n in names:
+        def make(n=n):
+            def run(self):
+                return self._run(n)
+
+            run.__name__ = n
+            return run
+
+        setattr(cls, n, make())
+
+
+_mk(Rolling, _ROLL)
+_mk(Expanding, _EXP)
+_mk(GroupRolling, _ROLL)
