@@ -114,6 +114,9 @@ def groupby_agg(
     ORDER_COL — no extra sort pass needed until someone actually consumes
     order.
     """
+    # ORDER is only consumed for first/last aggs or first-appearance order
+    if (not sort) or any(s[2] in ("first", "last") for s in agg_spec):
+        frame = frame.ensure_order()
     key_phys = [frame.data_cols[i] for i in by_positions]
     key_labels = [frame.columns[i] for i in by_positions]
     sdf = frame.sdf
@@ -230,6 +233,7 @@ def merge(
     if len(lkeys) != len(rkeys):
         raise ValueError("merge key arity mismatch")
 
+    left, right = left.ensure_order(), right.ensure_order()
     lsdf = left.sdf.withColumnRenamed(ORDER_COL, "__lorder__")
     rsdf = right.sdf.withColumnRenamed(ORDER_COL, "__rorder__")
     rsdf = rsdf.select("__rorder__", *list(dict.fromkeys(right.index_cols + right.data_cols)))
@@ -308,6 +312,7 @@ def concat_rows(frames: list[SparkFrame], join: str = "outer", ignore_index: boo
 
     parts = []
     for fi, fr in enumerate(frames):
+        fr = fr.ensure_order()
         sel = [F.struct(F.lit(fi).alias("f"), F.col(ORDER_COL).cast("double").alias("o")).alias(ORDER_COL)]
         for k in range(idx_arity):
             src = fr.index_cols[k] if k < len(fr.index_cols) else None
@@ -336,6 +341,7 @@ def drop_duplicates(frame: SparkFrame, subset_positions: Sequence[int] | None, k
     Plan: min/max(ORDER) per key group + semi-join back — one shuffle, no
     global window (scale-safe vs a rank-over-everything approach).
     """
+    frame = frame.ensure_order()
     phys = [frame.data_cols[i] for i in (subset_positions if subset_positions is not None else range(len(frame.columns)))]
     pick = F.min(ORDER_COL) if keep == "first" else F.max(ORDER_COL)
     keepers = frame.sdf.groupBy(*[F.col(p) for p in phys]).agg(pick.alias("__keep_order__"))
@@ -349,6 +355,7 @@ def drop_duplicates(frame: SparkFrame, subset_positions: Sequence[int] | None, k
 
 def duplicated(frame: SparkFrame, subset_positions: Sequence[int] | None, keep: str = "first") -> SparkFrame:
     """Boolean column frame marking duplicates (pandas ``duplicated``)."""
+    frame = frame.ensure_order()
     phys = [frame.data_cols[i] for i in (subset_positions if subset_positions is not None else range(len(frame.columns)))]
     w = Window.partitionBy(*[F.col(p) for p in phys])
     if keep == "first":

@@ -141,6 +141,7 @@ class SparkFrame:
         index_names: list | None = None,
         _lid: int | None = None,
         _chain: frozenset | None = None,
+        has_order: bool = True,
     ):
         self.sdf = sdf
         self.columns = columns if isinstance(columns, pd.Index) else pd.Index(columns)
@@ -151,10 +152,31 @@ class SparkFrame:
         )
         self._lid = _lid if _lid is not None else next(_lid_counter)
         self._chain = _chain if _chain is not None else frozenset([self._lid])
+        # has_order=False: frame order is the natural (read) order and no
+        # ORDER_COL exists in sdf yet. It is materialized lazily by
+        # ensure_order() — keeping scans free of the nondeterministic
+        # monotonically_increasing_id projection, which would otherwise block
+        # predicate pushdown into the file source.
+        self.has_order = has_order
         assert len(self.columns) == len(self.data_cols)
 
+    def ensure_order(self) -> "SparkFrame":
+        """Materialize ORDER_COL if this frame still rides on natural order.
+
+        Called at the top of every order-consuming operator. User filters
+        issued before this point already sit *below* the nondeterministic
+        projection in the plan, so they keep pushing down to the scan.
+        """
+        if self.has_order:
+            return self
+        sdf = self.sdf.withColumn(ORDER_COL, F.monotonically_increasing_id())
+        return SparkFrame(
+            sdf, self.columns, self.data_cols, self.index_cols, self.index_names,
+            _lid=self._lid, _chain=self._chain, has_order=True,
+        )
+
     # lineage helpers -------------------------------------------------------
-    def _same_rows(self, sdf, columns=None, data_cols=None, index_cols=None, index_names=None):
+    def _same_rows(self, sdf, columns=None, data_cols=None, index_cols=None, index_names=None, has_order=None):
         """Derive a frame with identical rows/order (column-level op)."""
         return SparkFrame(
             sdf,
@@ -164,9 +186,10 @@ class SparkFrame:
             self.index_names if index_names is None else index_names,
             _lid=self._lid,
             _chain=self._chain,
+            has_order=self.has_order if has_order is None else has_order,
         )
 
-    def _subset_rows(self, sdf, columns=None, data_cols=None, index_cols=None, index_names=None):
+    def _subset_rows(self, sdf, columns=None, data_cols=None, index_cols=None, index_names=None, has_order=None):
         """Derive a frame whose rows are a subset/reorder of this frame's."""
         lid = next(_lid_counter)
         return SparkFrame(
@@ -177,6 +200,7 @@ class SparkFrame:
             self.index_names if index_names is None else index_names,
             _lid=lid,
             _chain=self._chain | {lid},
+            has_order=self.has_order if has_order is None else has_order,
         )
 
     def can_rebase(self, anchor: "SparkFrame", refs: set[str]) -> bool:
@@ -187,14 +211,15 @@ class SparkFrame:
     # ------------------------------------------------------------------ ctor
     @classmethod
     def from_spark(cls, sdf: SDF) -> "SparkFrame":
-        """Wrap an external Spark DataFrame. Order contract: read order."""
+        """Wrap an external Spark DataFrame. Order contract: read order.
+
+        No ORDER_COL is attached here (has_order=False): scans stay pure so
+        later filters push down into the source; order materializes lazily.
+        """
         labels = pd.Index(sdf.columns)
         phys = fresh_names(len(labels))
-        projected = sdf.select(
-            F.monotonically_increasing_id().alias(ORDER_COL),
-            *[F.col(c).alias(p) for c, p in zip(sdf.columns, phys)],
-        )
-        return cls(projected, labels, phys)
+        projected = sdf.select(*[F.col(c).alias(p) for c, p in zip(sdf.columns, phys)])
+        return cls(projected, labels, phys, has_order=False)
 
     @classmethod
     def from_pandas(cls, pdf: pd.DataFrame, spark: SparkSession | None = None) -> "SparkFrame":
@@ -324,6 +349,7 @@ class SparkFrame:
         so this is shuffle-parallel, never single-task. The old ORDER_COL is
         the final tiebreak (stability); pandas puts NaN last by default.
         """
+        base = self.ensure_order()  # stable: old order is the final tiebreak
         keys = []
         for e, asc in zip(exprs, ascending):
             if asc:
@@ -331,8 +357,8 @@ class SparkFrame:
             else:
                 keys.append(e.desc_nulls_last() if na_position == "last" else e.desc_nulls_first())
         keys.append(F.col(ORDER_COL).asc())
-        sorted_sdf = self.sdf.orderBy(*keys).withColumn(ORDER_COL, F.monotonically_increasing_id())
-        return self._subset_rows(sorted_sdf)
+        sorted_sdf = base.sdf.orderBy(*keys).withColumn(ORDER_COL, F.monotonically_increasing_id())
+        return base._subset_rows(sorted_sdf, has_order=True)
 
     # ------------------------------------------------------------ positional
     def with_global_position(self, pos_col: str) -> "SparkFrame":
@@ -342,6 +368,8 @@ class SparkFrame:
         partition, then add per-partition offsets computed from a tiny
         (#partitions)-row aggregate — no single-task global window.
         """
+        if not self.has_order:
+            return self.ensure_order().with_global_position(pos_col)
         sdf = self.sdf.repartitionByRange(F.col(ORDER_COL))
         sdf = sdf.withColumn("__pid__", F.spark_partition_id())
         w = Window.partitionBy("__pid__").orderBy(ORDER_COL)
@@ -360,6 +388,10 @@ class SparkFrame:
     def head(self, n: int) -> "SparkFrame":
         if n < 0:
             n = max(0, self.sdf.count() + n)
+        if not self.has_order:
+            # natural order: plain limit short-circuits the scan (GlobalLimit
+            # consumes partitions in order for file sources) — no sort
+            return self._subset_rows(self.sdf.limit(n))
         return self._subset_rows(self.sdf.orderBy(ORDER_COL).limit(n))
 
     def tail(self, n: int) -> "SparkFrame":
@@ -415,8 +447,13 @@ class SparkFrame:
         return self.sdf.count()
 
     def to_pandas(self) -> pd.DataFrame:
-        cols = [ORDER_COL] + list(dict.fromkeys(self.index_cols + self.data_cols))
-        pdf = self.sdf.select(*cols).orderBy(ORDER_COL).toPandas()
+        if not self.has_order:
+            # natural order: toPandas collects partitions in order already
+            cols = list(dict.fromkeys(self.index_cols + self.data_cols))
+            pdf = self.sdf.select(*cols).toPandas()
+        else:
+            cols = [ORDER_COL] + list(dict.fromkeys(self.index_cols + self.data_cols))
+            pdf = self.sdf.select(*cols).orderBy(ORDER_COL).toPandas()
         out = pd.DataFrame({i: pdf[p] for i, p in enumerate(self.data_cols)})
         if len(self.data_cols) == 0:
             out = pd.DataFrame(index=pdf.index)
@@ -447,5 +484,5 @@ class SparkFrame:
             else:
                 seen[name] = 0
             sel.append(F.col(p).alias(name))
-        base = self.sdf.orderBy(ORDER_COL) if ordered else self.sdf
+        base = self.sdf.orderBy(ORDER_COL) if (ordered and self.has_order) else self.sdf
         return base.select(*sel)

@@ -34,7 +34,7 @@ _BLK = "__blk__"
 
 
 def _with_blocks(frame: SparkFrame) -> SparkFrame:
-    fr = frame.with_global_position(_POS)
+    fr = frame.ensure_order().with_global_position(_POS)
     return fr._same_rows(fr.sdf.withColumn(_BLK, (F.col(_POS) / F.lit(BLOCK)).cast("long")))
 
 
@@ -100,6 +100,7 @@ def shift(frame: SparkFrame, positions: Sequence[int], periods: int = 1, fill_va
     Plan: global-position self-equijoin on pos == pos + k — two range
     shuffles, no global window; correct for any |k|.
     """
+    frame = frame.ensure_order()
     fr = frame.with_global_position(_POS)
     phys = [frame.data_cols[i] for i in positions]
     right = fr.sdf.select(
@@ -163,6 +164,7 @@ def rolling_agg(
     if min_periods is None:
         min_periods = window
     fn = _ROLL_AGGS[agg]
+    frame = frame.ensure_order()
     phys = [frame.data_cols[i] for i in positions]
     labels = [frame.columns[i] for i in positions]
 
@@ -335,6 +337,7 @@ def rank(
     """pandas ``rank``. Scale-safe: sort by value (range shuffle) -> global
     position -> per-value group stats joined back; no global window.
     """
+    frame = frame.ensure_order()
     out_labels = [frame.columns[i] for i in positions]
     out_cols = []
     for i in positions:

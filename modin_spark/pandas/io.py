@@ -14,10 +14,44 @@ from modin_spark.session import get_spark
 
 
 def read_parquet(path: str, columns=None) -> DataFrame:
-    sdf = get_spark().read.parquet(path)
+    spark = get_spark()
+    try:
+        sdf = spark.read.parquet(path)
+    except Exception as e:  # TIMESTAMP(NANOS) parquet: unsupported by Spark
+        if "PARQUET_TYPE_ILLEGAL" not in str(e):
+            raise
+        sdf = _read_parquet_nanos(spark, path)
     if columns is not None:
         sdf = sdf.select(*columns)  # column pruning reaches the scan
     return DataFrame(_frame=SparkFrame.from_spark(sdf))
+
+
+def _read_parquet_nanos(spark, path: str):
+    """Read parquet with nanosecond timestamps: nanos come in as int64
+    (legacy conf), then cast back to (microsecond) timestamps — columns
+    identified from the pyarrow file schema."""
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+    import glob as _glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    candidates = sorted(_glob.glob(os.path.join(path, "*.parquet"))) if os.path.isdir(path) else [path]
+    schema = pq.read_schema(candidates[0])
+    nano_cols = [
+        f.name for f in schema
+        if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+    ]
+    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        sdf = spark.read.parquet(path)
+        for c in nano_cols:
+            sdf = sdf.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+    finally:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+    return sdf
 
 
 def read_csv(path: str, sep: str = ",", header: int | str = 0, names=None, dtype=None, **kw) -> DataFrame:

@@ -46,6 +46,8 @@ class Resampler:
         from modin_spark.pandas.dataframe import DataFrame
 
         fr = self._df._frame
+        if name in ("first", "last"):
+            fr = fr.ensure_order()
         if self._on is not None:
             ts_phys = fr.data_cols[fr.positions_of([self._on])[0]]
         elif fr.index_cols:
@@ -120,7 +122,7 @@ class Resampler:
     def ohlc(self):
         from modin_spark.pandas.dataframe import DataFrame
 
-        fr = self._df._frame
+        fr = self._df._frame.ensure_order()
         ts_phys = fr.data_cols[fr.positions_of([self._on])[0]] if self._on else fr.index_cols[0]
         dur = rule_to_duration(self._rule)
         bucket = F.window(F.col(ts_phys), dur)["start"]

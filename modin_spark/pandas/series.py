@@ -35,11 +35,15 @@ def _pmod(a: Column, b: Column) -> Column:
 
 
 class Series:
-    def __init__(self, frame: SparkFrame, expr: Column, refs: set[str], name=None):
+    def __init__(self, frame: SparkFrame, expr: Column, refs: set[str], name=None, filter_expr: Column | None = None):
         self._frame = frame
         self._expr = expr
         self._refs = set(refs)
         self._name = name
+        # comparisons wrap NULL->False for pandas value semantics, but that
+        # coalesce blocks parquet predicate pushdown; _filter_expr keeps the
+        # raw 3VL predicate (identical rows kept when used as a WHERE mask)
+        self._filter_expr = filter_expr
 
     # ------------------------------------------------------------- plumbing
     @classmethod
@@ -123,8 +127,8 @@ class Series:
         if other._frame.can_rebase(self._frame, self._refs):
             return other._frame, self._expr, other._expr, self._refs | other._refs
         # alignment join (pandas semantics: align on index; default index -> order)
-        lf = self._to_frame("__l__")
-        rf = other._to_frame("__r__")
+        lf = self._to_frame("__l__").ensure_order()
+        rf = other._to_frame("__r__").ensure_order()
         lkey = lf.index_cols if lf.index_cols else [ORDER_COL]
         rkey = rf.index_cols if rf.index_cols else [ORDER_COL]
         rsdf = rf.sdf.select(*[F.col(k).alias(f"__rk{i}__") for i, k in enumerate(rkey)], rf.data_cols[0])
@@ -143,10 +147,12 @@ class Series:
             target, le, re_, refs = self._frame, self._expr, _lit(other), set(self._refs)
         a, b = (re_, le) if reverse else (le, re_)
         e = fn(a, b)
+        filter_expr = None
         if comparison:
+            filter_expr = e  # raw pushdown-friendly predicate
             e = F.coalesce(e, F.lit(False))
         name = self._name if not isinstance(other, Series) or other._name == self._name else None
-        return Series(target, e, refs, name=name)
+        return Series(target, e, refs, name=name, filter_expr=filter_expr)
 
     def __add__(self, o):
         return self._binary(o, lambda a, b: a + b)
@@ -228,10 +234,17 @@ class Series:
     ge = __ge__
 
     def __and__(self, o):
-        return self._binary(o, lambda a, b: F.coalesce(a, F.lit(False)) & F.coalesce(b, F.lit(False)))
+        out = self._binary(o, lambda a, b: F.coalesce(a, F.lit(False)) & F.coalesce(b, F.lit(False)))
+        if isinstance(o, Series) and self._filter_expr is not None and o._filter_expr is not None:
+            # 3VL AND filters identically to the coalesced version
+            out._filter_expr = self._filter_expr & o._filter_expr
+        return out
 
     def __or__(self, o):
-        return self._binary(o, lambda a, b: F.coalesce(a, F.lit(False)) | F.coalesce(b, F.lit(False)))
+        out = self._binary(o, lambda a, b: F.coalesce(a, F.lit(False)) | F.coalesce(b, F.lit(False)))
+        if isinstance(o, Series) and self._filter_expr is not None and o._filter_expr is not None:
+            out._filter_expr = self._filter_expr | o._filter_expr
+        return out
 
     def __xor__(self, o):
         return self._binary(o, lambda a, b: F.coalesce(a, F.lit(False)) != F.coalesce(b, F.lit(False)))

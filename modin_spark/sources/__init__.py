@@ -1,0 +1,56 @@
+"""Source/sink registry — thin veneer over Spark's parallel readers.
+
+The reference implements per-format parallel readers by hand
+(/root/reference/modin/core/io/: byte-range CSV splitting, parquet row-group
+splitting, JDBC OFFSET/LIMIT partitioning). Spark's DataSource V2 already
+does all of that (split planning, pushdown, pruning), so this module only
+maps names to readers and records capability notes per format.
+"""
+
+from modin_spark.pandas.io import (
+    from_pandas,
+    from_spark,
+    read_csv,
+    read_excel,
+    read_feather,
+    read_fwf,
+    read_html,
+    read_json,
+    read_orc,
+    read_parquet,
+    read_pickle,
+    read_sql,
+    read_table,
+)
+
+# format -> (distributed?, notes)
+CAPABILITIES = {
+    "parquet": (True, "native; pushdown + pruning + row-group splits"),
+    "orc": (True, "native"),
+    "csv": (True, "native; byte-range splits (≙ reference text_file_dispatcher)"),
+    "json": (True, "native (lines=True); multiLine is single-task per file"),
+    "jdbc": (True, "partitionColumn/bounds partitioned reads"),
+    "excel": (False, "driver-side pandas (reference does the same for non-xlsx)"),
+    "pickle": (False, "driver-side pandas"),
+    "feather": (False, "driver-side pandas/arrow"),
+    "html": (False, "driver-side pandas"),
+    "fwf": (False, "driver-side pandas; TODO substring post-processing on csv reader"),
+    "delta/iceberg/hudi": (False, "jars not in this image; stubbed behind import-try"),
+}
+
+__all__ = [
+    "CAPABILITIES",
+    "from_pandas",
+    "from_spark",
+    "read_csv",
+    "read_excel",
+    "read_feather",
+    "read_fwf",
+    "read_html",
+    "read_json",
+    "read_orc",
+    "read_parquet",
+    "read_pickle",
+    "read_sql",
+    "read_table",
+]
