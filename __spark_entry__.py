@@ -1,10 +1,16 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)      -- flagship query (TPC-H Q1 style) through the modin_spark
+                     pandas API on sf0.001.
+queries()         -- one entry per implemented operator family from
+                     SURVEY.md §2, each running through modin_spark and
+                     returning a Spark DataFrame with oracle-matched aliases.
+oracle_sql()      -- DuckDB ANSI-SQL equivalents (same aliases). Omitted for
+                     non-SQL-expressible ops (LSH dedup, stubs) -> rows-only.
+
+Float policy: every floating aggregate is rounded identically on both sides
+(ROUND half-away-from-zero on positives == Spark F.round) so order-of-
+addition noise cannot flip the value hash.
 """
 
 from __future__ import annotations
@@ -12,27 +18,721 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+
+def _mpd():
+    import modin_spark.pandas as mpd
+
+    return mpd
+
+
+def _r(col, n=2):
+    from modin_spark.pandas.series import Series
+
+    return col._map1(lambda c: F.round(c, n)) if isinstance(col, Series) else F.round(col, n)
+
+
+# ---------------------------------------------------------------------------
+# entry
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: TPC-H Q1 pricing summary via the pandas API on sf0.001."""
+    return _q1(spark, "/root/testdata/sf0.001")
 
+
+# ---------------------------------------------------------------------------
+# query implementations (engine side)
+# ---------------------------------------------------------------------------
+
+def _q1(spark, sf):
+    mpd = _mpd()
+    import pandas as pd
+
+    li = mpd.read_parquet(f"{sf}/lineitem.parquet")
+    f = li[li.l_shipdate <= pd.Timestamp("1998-09-02")]
+    f["disc_price"] = f.l_extendedprice * (1 - f.l_discount)
+    f["charge"] = f.l_extendedprice * (1 - f.l_discount) * (1 + f.l_tax)
+    out = (
+        f.groupby(["l_returnflag", "l_linestatus"])
+        .agg(
+            sum_qty=("l_quantity", "sum"),
+            sum_base_price=("l_extendedprice", "sum"),
+            sum_disc_price=("disc_price", "sum"),
+            sum_charge=("charge", "sum"),
+            avg_qty=("l_quantity", "mean"),
+            avg_price=("l_extendedprice", "mean"),
+            avg_disc=("l_discount", "mean"),
+            count_order=("l_quantity", "count"),
+        )
+        .reset_index()
+    )
+    for c in ["sum_qty", "sum_base_price", "sum_charge"]:
+        out[c] = _r(out[c], 2)
+    out["sum_disc_price"] = _r(out["sum_disc_price"], 4)
+    for c in ["avg_qty", "avg_price", "avg_disc"]:
+        out[c] = _r(out[c], 4)
+    return out.to_spark(ordered=False)
+
+
+def _q3(spark, sf):
+    mpd = _mpd()
+    import pandas as pd
+
+    cust = mpd.read_parquet(f"{sf}/customer.parquet")
+    orders = mpd.read_parquet(f"{sf}/orders.parquet")
+    li = mpd.read_parquet(f"{sf}/lineitem.parquet")
+    c = cust[cust.c_mktsegment == "BUILDING"]
+    o = orders[orders.o_orderdate < pd.Timestamp("1995-03-15")]
+    l = li[li.l_shipdate > pd.Timestamp("1995-03-15")]
+    j = l.merge(o, left_on="l_orderkey", right_on="o_orderkey").merge(
+        c, left_on="o_custkey", right_on="c_custkey", broadcast=True
+    )
+    j["revenue"] = j.l_extendedprice * (1 - j.l_discount)
+    out = j.groupby(["l_orderkey"]).agg(revenue=("revenue", "sum")).reset_index()
+    out = out.nlargest(10, "revenue")
+    out["revenue"] = _r(out.revenue, 4)
+    return out.to_spark(ordered=False)
+
+
+def _q5(spark, sf):
+    mpd = _mpd()
+    li = mpd.read_parquet(f"{sf}/lineitem.parquet")
+    sup = mpd.read_parquet(f"{sf}/supplier.parquet")
+    nat = mpd.read_parquet(f"{sf}/nation.parquet")
+    reg = mpd.read_parquet(f"{sf}/region.parquet")
+    j = (
+        li.merge(sup, left_on="l_suppkey", right_on="s_suppkey", broadcast=True)
+        .merge(nat, left_on="s_nationkey", right_on="n_nationkey", broadcast=True)
+        .merge(reg, left_on="n_regionkey", right_on="r_regionkey", broadcast=True)
+    )
+    j["revenue"] = j.l_extendedprice * (1 - j.l_discount)
+    out = j[j.r_name == "ASIA"].groupby(["n_name"]).agg(revenue=("revenue", "sum")).reset_index()
+    out["revenue"] = _r(out.revenue, 4)
+    return out.to_spark(ordered=False)
+
+
+def _q6(spark, sf):
+    mpd = _mpd()
+    li = mpd.read_parquet(f"{sf}/lineitem.parquet")
+    f = li[(li.l_discount >= 0.05) & (li.l_discount <= 0.07) & (li.l_quantity < 24)]
+    f["rev"] = f.l_extendedprice * f.l_discount
+    total = f["rev"].sum()
+    return spark.createDataFrame([(round(float(total), 4),)], "revenue double")
+
+
+def _filter_project(spark, sf):
+    mpd = _mpd()
+    li = mpd.read_parquet(f"{sf}/lineitem.parquet")
+    f = li[li.l_quantity > 45][["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"]]
+    # round at 4: price*0.95 terminates within 4 decimals, so no cross-engine
+    # tie-breaking ambiguity (at 2 decimals exact .5 ties are common)
+    f["disc_price"] = _r(f.l_extendedprice * (1 - 0.05), 4)
+    return f.to_spark(ordered=False)
+
+
+def _merge_left_fillna(spark, sf):
+    mpd = _mpd()
+    li = mpd.read_parquet(f"{sf}/lineitem.parquet")
+    orders = mpd.read_parquet(f"{sf}/orders.parquet")
+    big = orders[orders.o_totalprice > 300000][["o_orderkey", "o_totalprice"]]
+    j = li.merge(big, left_on="l_orderkey", right_on="o_orderkey", how="left")
+    j["o_totalprice"] = j["o_totalprice"].fillna(0.0)
+    out = j.groupby(["l_returnflag"]).agg(
+        total=("o_totalprice", "sum"), n_null=("o_orderkey", "count")
+    ).reset_index()
+    out["total"] = _r(out.total, 2)
+    return out.to_spark(ordered=False)
+
+
+def _sort_topk(spark, sf):
+    mpd = _mpd()
+    orders = mpd.read_parquet(f"{sf}/orders.parquet")
+    out = orders.nlargest(20, "o_totalprice")[["o_orderkey", "o_totalprice"]]
+    return out.to_spark(ordered=False)
+
+
+def _distinct_dedup(spark, sf):
+    mpd = _mpd()
+    orders = mpd.read_parquet(f"{sf}/orders.parquet")
+    d = orders.drop_duplicates(subset=["o_custkey", "o_orderpriority"])
+    out = d.groupby(["o_orderpriority"]).agg(n=("o_custkey", "count")).reset_index()
+    return out.to_spark(ordered=False)
+
+
+def _value_counts(spark, sf):
+    mpd = _mpd()
+    orders = mpd.read_parquet(f"{sf}/orders.parquet")
+    vc = orders["o_orderpriority"].value_counts()
+    out = vc.to_frame("n").reset_index()
+    return out.to_spark(ordered=False)
+
+
+def _groupby_multi_agg(spark, sf):
+    mpd = _mpd()
+    cust = mpd.read_parquet(f"{sf}/customer.parquet")
+    out = cust.groupby(["c_mktsegment"]).agg(
+        n=("c_custkey", "count"),
+        total_bal=("c_acctbal", "sum"),
+        avg_bal=("c_acctbal", "mean"),
+        min_bal=("c_acctbal", "min"),
+        max_bal=("c_acctbal", "max"),
+        std_bal=("c_acctbal", "std"),
+    ).reset_index()
+    for c, n in [("total_bal", 2), ("avg_bal", 4), ("min_bal", 2), ("max_bal", 2), ("std_bal", 4)]:
+        out[c] = _r(out[c], n)
+    return out.to_spark(ordered=False)
+
+
+def _groupby_nunique(spark, sf):
+    mpd = _mpd()
+    li = mpd.read_parquet(f"{sf}/lineitem.parquet")
+    out = li.groupby(["l_returnflag"]).agg(
+        n_parts=("l_partkey", "nunique"), n_supps=("l_suppkey", "nunique")
+    ).reset_index()
+    return out.to_spark(ordered=False)
+
+
+def _groupby_median_quantile(spark, sf):
+    mpd = _mpd()
+    li = mpd.read_parquet(f"{sf}/lineitem.parquet")
+    g = li.groupby(["l_returnflag"])
+    med = g.agg(med_qty=("l_quantity", "median")).reset_index()
+    q90 = g.quantile(0.9)[["l_extendedprice"]].reset_index().rename(columns={"l_extendedprice": "p90_price"})
+    out = med.merge(q90, on="l_returnflag")
+    out["med_qty"] = _r(out.med_qty, 4)
+    out["p90_price"] = _r(out.p90_price, 4)
+    return out.to_spark(ordered=False)
+
+
+def _groupby_idxmax(spark, sf):
+    mpd = _mpd()
+    orders = mpd.read_parquet(f"{sf}/orders.parquet")
+    out = orders.groupby(["o_orderpriority"]).agg(
+        max_price=("o_totalprice", "max")
+    ).reset_index()
+    # orderkey achieving the max: max_by via merge back on (priority, price)
+    j = out.merge(
+        orders[["o_orderpriority", "o_totalprice", "o_orderkey"]],
+        left_on=["o_orderpriority", "max_price"],
+        right_on=["o_orderpriority", "o_totalprice"],
+    )[["o_orderpriority", "max_price", "o_orderkey"]]
+    j["max_price"] = _r(j.max_price, 2)
+    return j.to_spark(ordered=False)
+
+
+def _cumsum_by_group(spark, sf):
+    mpd = _mpd()
+    orders = mpd.read_parquet(f"{sf}/orders.parquet").sort_values("o_orderkey")
+    g = orders.groupby("o_custkey")[["o_totalprice"]].cumsum()
+    orders["cum_price"] = g["o_totalprice"]
+    out = orders[["o_orderkey", "cum_price"]]
+    out["cum_price"] = _r(out.cum_price, 2)
+    return out.to_spark(ordered=False)
+
+
+def _shift_diff(spark, sf):
+    mpd = _mpd()
+    ev = mpd.read_parquet(f"{sf}/events.parquet").sort_values("event_id")
+    d = ev["value"].diff()
+    out = ev[["event_id"]]
+    out["value_diff"] = _r(d.fillna(0.0), 4)
+    return out.to_spark(ordered=False)
+
+
+def _rolling_mean(spark, sf):
+    mpd = _mpd()
+    ev = mpd.read_parquet(f"{sf}/events.parquet").sort_values("event_id")
+    r = ev["value"].rolling(7).mean()
+    out = ev[["event_id"]]
+    out["roll_mean"] = _r(r.fillna(-1.0), 4)
+    return out.to_spark(ordered=False)
+
+
+def _rank_min(spark, sf):
+    mpd = _mpd()
+    orders = mpd.read_parquet(f"{sf}/orders.parquet")
+    rk = orders["o_totalprice"].rank(method="min")
+    out = orders[["o_orderkey"]]
+    out["price_rank"] = rk.astype("int64")
+    return out.to_spark(ordered=False)
+
+
+def _str_funcs(spark, sf):
+    mpd = _mpd()
+    cust = mpd.read_parquet(f"{sf}/customer.parquet")
+    out = cust[["c_custkey"]]
+    s = cust["c_name"]
+    out["upper_name"] = s.str.upper()
+    out["name_len"] = s.str.len()
+    out["prefix5"] = s.str.slice(0, 5)
+    out["has_1"] = s.str.contains("1", regex=False)
+    out["no_hash"] = s.str.replace("#", "-", regex=False)
+    return out.to_spark(ordered=False)
+
+
+def _dt_funcs(spark, sf):
+    mpd = _mpd()
+    orders = mpd.read_parquet(f"{sf}/orders.parquet")
+    out = orders[["o_orderkey"]]
+    d = orders["o_orderdate"]
+    out["yr"] = d.dt.year.astype("int64")
+    out["mo"] = d.dt.month.astype("int64")
+    out["dom"] = d.dt.day.astype("int64")
+    out["dow"] = d.dt.dayofweek.astype("int64")
+    out["qtr"] = d.dt.quarter.astype("int64")
+    return out.to_spark(ordered=False)
+
+
+def _resample_hourly(spark, sf):
+    mpd = _mpd()
+    ev = mpd.read_parquet(f"{sf}/events.parquet")
+    out = ev[["ts", "value"]].resample("1h", on="ts").sum().reset_index().rename(columns={"ts": "hour_start"})
+    out["value"] = _r(out.value, 2)
+    return out.to_spark(ordered=False)
+
+
+def _pivot_flag_status(spark, sf):
+    mpd = _mpd()
+    li = mpd.read_parquet(f"{sf}/lineitem.parquet")
+    p = li.pivot_table(values="l_quantity", index=["l_returnflag"], columns="l_linestatus", aggfunc="mean")
+    out = p.reset_index()
+    for c in out.columns:
+        if c != "l_returnflag":
+            out[c] = _r(out[c], 4)
+    return out.to_spark(ordered=False)
+
+
+def _concat_union(spark, sf):
+    mpd = _mpd()
+    li = mpd.read_parquet(f"{sf}/lineitem.parquet")
+    hi = li[li.l_quantity >= 49][["l_returnflag", "l_quantity"]]
+    lo = li[li.l_quantity <= 2][["l_returnflag", "l_quantity"]]
+    u = mpd.concat([hi, lo])
+    out = u.groupby(["l_returnflag"]).agg(n=("l_quantity", "count"), s=("l_quantity", "sum")).reset_index()
+    out["s"] = _r(out.s, 2)
+    return out.to_spark(ordered=False)
+
+
+def _isin_filter(spark, sf):
+    mpd = _mpd()
+    cust = mpd.read_parquet(f"{sf}/customer.parquet")
+    f = cust[cust.c_nationkey.isin([0, 5, 10, 15, 20])]
+    out = f.groupby(["c_nationkey"]).agg(n=("c_custkey", "count")).reset_index()
+    return out.to_spark(ordered=False)
+
+
+def _cut_buckets(spark, sf):
+    mpd = _mpd()
+    orders = mpd.read_parquet(f"{sf}/orders.parquet")
+    b = mpd.cut(orders["o_totalprice"], [0, 100000, 200000, 300000, 400000, 10_000_000],
+                labels=["b0", "b1", "b2", "b3", "b4"])
+    orders["bucket"] = b
+    out = orders.groupby(["bucket"]).agg(n=("o_orderkey", "count")).reset_index()
+    return out.to_spark(ordered=False)
+
+
+def _get_dummies_sum(spark, sf):
+    mpd = _mpd()
+    li = mpd.read_parquet(f"{sf}/lineitem.parquet")
+    d = mpd.get_dummies(li[["l_returnflag"]], columns=["l_returnflag"], prefix="rf")
+    s = d.sum()
+    import pandas as pd
+
+    pdf = pd.DataFrame([s.values.tolist()], columns=list(s.index))
+    return spark.createDataFrame(pdf)
+
+
+def _case_when(spark, sf):
+    mpd = _mpd()
+    orders = mpd.read_parquet(f"{sf}/orders.parquet")
+    big = orders["o_totalprice"] >= 200000
+    orders["size_class"] = big.map({True: "big", False: "small"})
+    out = orders.groupby(["size_class"]).agg(n=("o_orderkey", "count")).reset_index()
+    return out.to_spark(ordered=False)
+
+
+def _corr_cov(spark, sf):
+    mpd = _mpd()
+    li = mpd.read_parquet(f"{sf}/lineitem.parquet")
+    sdf = li._frame.sdf.agg(
+        F.round(F.corr(F.col(li._frame.phys_of_label("l_quantity")), F.col(li._frame.phys_of_label("l_extendedprice"))), 6).alias("corr_qp"),
+        F.round(F.covar_samp(F.col(li._frame.phys_of_label("l_quantity")), F.col(li._frame.phys_of_label("l_discount"))), 6).alias("cov_qd"),
+    )
+    return sdf
+
+
+def _cube_agg(spark, sf):
+    mpd = _mpd()
+    li = mpd.read_parquet(f"{sf}/lineitem.parquet")
+    out = li.cube(["l_returnflag", "l_linestatus"], {"sum_qty": ("l_quantity", "sum"), "n": ("l_quantity", "count")})
+    df = out.to_spark(ordered=False)
+    return df.withColumn("sum_qty", F.round("sum_qty", 2))
+
+
+def _asof_join(spark, sf):
+    mpd = _mpd()
+    ev = mpd.read_parquet(f"{sf}/events.parquet")
+    trades = ev[ev.event_type == "purchase"][["event_id", "ts", "value"]].sort_values("ts")
+    quotes = ev[ev.event_type == "view"][["ts", "user_id"]].sort_values("ts")
+    out = mpd.merge_asof(trades, quotes, on="ts", direction="backward")
+    out = out[["event_id", "user_id"]]
+    return out.to_spark(ordered=False)
+
+
+def _docs_exact_dedup(spark, sf):
+    mpd = _mpd()
+    docs = mpd.read_parquet(f"{sf}/documents.parquet")
+    d = docs.drop_duplicates(subset=["text"])
+    out = d.groupby(["lang"]).agg(n=("doc_id", "count")).reset_index()
+    return out.to_spark(ordered=False)
+
+
+def _docs_token_stats(spark, sf):
+    from modin_spark.operators.text import token_count
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return docs.select("doc_id", token_count(F.col("text"), "whitespace").alias("n_tokens"))
+
+
+def _docs_norm_distinct(spark, sf):
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    norm = F.trim(F.regexp_replace(F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9\s]", " "), r"\s+", " "))
+    return docs.select(norm.alias("norm")).distinct().agg(F.count(F.lit(1)).alias("n_distinct"))
+
+
+def _docs_minhash_dedup(spark, sf):
+    from modin_spark.operators.dedup import minhash_lsh_dedup
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    out = minhash_lsh_dedup(docs, threshold=0.8)
+    return out.agg(F.count(F.lit(1)).alias("n_after"), F.sum("n_chars").alias("chars_after"))
+
+
+def _docs_simhash_dedup(spark, sf):
+    from modin_spark.operators.dedup import simhash_dedup
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return simhash_dedup(docs, hamming_threshold=3).agg(F.count(F.lit(1)).alias("n_after"))
+
+
+def _docs_langid_quality(spark, sf):
+    from modin_spark.operators.text import lang_id, quality_score
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return (
+        docs.select(lang_id(F.col("text")).alias("lang_pred"), quality_score(F.col("text")).alias("q"))
+        .groupBy("lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("q"), 4).alias("avg_quality"))
+    )
+
+
+def _emb_brute_topk(spark, sf):
+    from modin_spark.operators.similarity import brute_force_topk
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = brute_force_topk(emb, q, k=5)
+    return out.select("q_id", "vec_id", F.round("cosine", 4).alias("cos_sim"), "rank")
+
+
+def _emb_cosine_dedup(spark, sf):
+    from modin_spark.operators.dedup import embedding_cosine_dedup
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    return embedding_cosine_dedup(emb, threshold=0.98).agg(F.count(F.lit(1)).alias("n_after"))
+
+
+def _multimodal_features(spark, sf):
+    from modin_spark.operators.multimodal import image_features
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet").limit(200)
+    media = docs.select(F.col("doc_id").alias("media_id"), F.encode(F.col("text"), "utf-8").alias("payload"))
+    out = image_features(media, dim=16)
+    return out.select("media_id", F.size("features").alias("feat_dim"))
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": _q1,
+        "q3_top_orders": _q3,
+        "q5_nation_revenue": _q5,
+        "q6_forecast_revenue": _q6,
+        "filter_project": _filter_project,
+        "merge_left_fillna": _merge_left_fillna,
+        "sort_topk": _sort_topk,
+        "distinct_dedup": _distinct_dedup,
+        "value_counts": _value_counts,
+        "groupby_multi_agg": _groupby_multi_agg,
+        "groupby_nunique": _groupby_nunique,
+        "groupby_median_quantile": _groupby_median_quantile,
+        "groupby_idxmax": _groupby_idxmax,
+        "cumsum_by_group": _cumsum_by_group,
+        "shift_diff": _shift_diff,
+        "rolling_mean": _rolling_mean,
+        "rank_min": _rank_min,
+        "str_funcs": _str_funcs,
+        "dt_funcs": _dt_funcs,
+        "resample_hourly": _resample_hourly,
+        "pivot_flag_status": _pivot_flag_status,
+        "concat_union": _concat_union,
+        "isin_filter": _isin_filter,
+        "cut_buckets": _cut_buckets,
+        "get_dummies_sum": _get_dummies_sum,
+        "case_when": _case_when,
+        "corr_cov": _corr_cov,
+        "cube_agg": _cube_agg,
+        "asof_join": _asof_join,
+        "docs_exact_dedup": _docs_exact_dedup,
+        "docs_token_stats": _docs_token_stats,
+        "docs_norm_distinct": _docs_norm_distinct,
+        "docs_minhash_dedup": _docs_minhash_dedup,
+        "docs_simhash_dedup": _docs_simhash_dedup,
+        "docs_langid_quality": _docs_langid_quality,
+        "emb_brute_topk": _emb_brute_topk,
+        "emb_cosine_dedup": _emb_cosine_dedup,
+        "multimodal_features": _multimodal_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty,
+                   ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+                   ROUND(AVG(l_quantity), 4) AS avg_qty,
+                   ROUND(AVG(l_extendedprice), 4) AS avg_price,
+                   ROUND(AVG(l_discount), 4) AS avg_disc,
+                   COUNT(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q3_top_orders": """
+            SELECT l_orderkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1995-03-15'
+              AND l_shipdate > TIMESTAMP '1995-03-15'
+            GROUP BY l_orderkey
+            ORDER BY revenue DESC, l_orderkey LIMIT 10
+        """,
+        "q5_nation_revenue": """
+            SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+            GROUP BY n_name
+        """,
+        "q6_forecast_revenue": """
+            SELECT ROUND(SUM(l_extendedprice * l_discount), 4) AS revenue
+            FROM lineitem
+            WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+        """,
+        "filter_project": """
+            SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+                   ROUND(l_extendedprice * 0.95, 4) AS disc_price
+            FROM lineitem WHERE l_quantity > 45
+        """,
+        "merge_left_fillna": """
+            SELECT l_returnflag,
+                   ROUND(SUM(COALESCE(o_totalprice, 0)), 2) AS total,
+                   COUNT(o_orderkey) AS n_null
+            FROM lineitem
+            LEFT JOIN (SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 300000) o
+              ON l_orderkey = o_orderkey
+            GROUP BY l_returnflag
+        """,
+        "sort_topk": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC LIMIT 20
+        """,
+        "distinct_dedup": """
+            SELECT o_orderpriority, COUNT(*) AS n FROM (
+                SELECT DISTINCT o_custkey, o_orderpriority FROM orders
+            ) GROUP BY o_orderpriority
+        """,
+        "value_counts": """
+            SELECT o_orderpriority, COUNT(*) AS n FROM orders GROUP BY o_orderpriority
+        """,
+        "groupby_multi_agg": """
+            SELECT c_mktsegment,
+                   COUNT(c_custkey) AS n,
+                   ROUND(SUM(c_acctbal), 2) AS total_bal,
+                   ROUND(AVG(c_acctbal), 4) AS avg_bal,
+                   ROUND(MIN(c_acctbal), 2) AS min_bal,
+                   ROUND(MAX(c_acctbal), 2) AS max_bal,
+                   ROUND(STDDEV_SAMP(c_acctbal), 4) AS std_bal
+            FROM customer GROUP BY c_mktsegment
+        """,
+        "groupby_nunique": """
+            SELECT l_returnflag,
+                   COUNT(DISTINCT l_partkey) AS n_parts,
+                   COUNT(DISTINCT l_suppkey) AS n_supps
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "groupby_median_quantile": """
+            SELECT l_returnflag,
+                   ROUND(MEDIAN(l_quantity), 4) AS med_qty,
+                   ROUND(QUANTILE_CONT(l_extendedprice, 0.9), 4) AS p90_price
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "groupby_idxmax": """
+            WITH mx AS (
+                SELECT o_orderpriority, MAX(o_totalprice) AS max_price
+                FROM orders GROUP BY o_orderpriority
+            )
+            SELECT o.o_orderpriority, ROUND(mx.max_price, 2) AS max_price, o.o_orderkey
+            FROM orders o JOIN mx
+              ON o.o_orderpriority = mx.o_orderpriority AND o.o_totalprice = mx.max_price
+        """,
+        "cumsum_by_group": """
+            SELECT o_orderkey,
+                   ROUND(SUM(o_totalprice) OVER (
+                       PARTITION BY o_custkey ORDER BY o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_price
+            FROM orders
+        """,
+        "shift_diff": """
+            SELECT event_id,
+                   ROUND(COALESCE(value - LAG(value) OVER (ORDER BY event_id), 0), 4) AS value_diff
+            FROM events
+        """,
+        "rolling_mean": """
+            SELECT event_id,
+                   ROUND(CASE WHEN ROW_NUMBER() OVER (ORDER BY event_id) >= 7
+                         THEN AVG(value) OVER (ORDER BY event_id ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                         ELSE -1.0 END, 4) AS roll_mean
+            FROM events
+        """,
+        "rank_min": """
+            SELECT o_orderkey,
+                   RANK() OVER (ORDER BY o_totalprice) AS price_rank
+            FROM orders
+        """,
+        "str_funcs": """
+            SELECT c_custkey,
+                   UPPER(c_name) AS upper_name,
+                   LENGTH(c_name) AS name_len,
+                   SUBSTRING(c_name, 1, 5) AS prefix5,
+                   CONTAINS(c_name, '1') AS has_1,
+                   REPLACE(c_name, '#', '-') AS no_hash
+            FROM customer
+        """,
+        "dt_funcs": """
+            SELECT o_orderkey,
+                   EXTRACT(year FROM o_orderdate) AS yr,
+                   EXTRACT(month FROM o_orderdate) AS mo,
+                   EXTRACT(day FROM o_orderdate) AS dom,
+                   (EXTRACT(isodow FROM o_orderdate) - 1) AS dow,
+                   EXTRACT(quarter FROM o_orderdate) AS qtr
+            FROM orders
+        """,
+        "resample_hourly": """
+            SELECT DATE_TRUNC('hour', ts) AS hour_start,
+                   ROUND(SUM(value), 2) AS value
+            FROM events GROUP BY 1
+        """,
+        "pivot_flag_status": """
+            SELECT l_returnflag,
+                   ROUND(AVG(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 4) AS F,
+                   ROUND(AVG(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 4) AS O
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "concat_union": """
+            SELECT l_returnflag, COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS s FROM (
+                SELECT l_returnflag, l_quantity FROM lineitem WHERE l_quantity >= 49
+                UNION ALL
+                SELECT l_returnflag, l_quantity FROM lineitem WHERE l_quantity <= 2
+            ) GROUP BY l_returnflag
+        """,
+        "isin_filter": """
+            SELECT c_nationkey, COUNT(*) AS n FROM customer
+            WHERE c_nationkey IN (0, 5, 10, 15, 20)
+            GROUP BY c_nationkey
+        """,
+        "cut_buckets": """
+            SELECT CASE
+                     WHEN o_totalprice > 0 AND o_totalprice <= 100000 THEN 'b0'
+                     WHEN o_totalprice > 100000 AND o_totalprice <= 200000 THEN 'b1'
+                     WHEN o_totalprice > 200000 AND o_totalprice <= 300000 THEN 'b2'
+                     WHEN o_totalprice > 300000 AND o_totalprice <= 400000 THEN 'b3'
+                     WHEN o_totalprice > 400000 AND o_totalprice <= 10000000 THEN 'b4'
+                   END AS bucket,
+                   COUNT(*) AS n
+            FROM orders GROUP BY 1
+        """,
+        "get_dummies_sum": """
+            SELECT SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS rf_A,
+                   SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS rf_N,
+                   SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS rf_R
+            FROM lineitem
+        """,
+        "case_when": """
+            SELECT CASE WHEN o_totalprice >= 200000 THEN 'big' ELSE 'small' END AS size_class,
+                   COUNT(*) AS n
+            FROM orders GROUP BY 1
+        """,
+        "corr_cov": """
+            SELECT ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qp,
+                   ROUND(COVAR_SAMP(l_quantity, l_discount), 6) AS cov_qd
+            FROM lineitem
+        """,
+        "cube_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty,
+                   COUNT(l_quantity) AS n
+            FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        "asof_join": """
+            SELECT t.event_id, q.user_id
+            FROM (SELECT event_id, ts, value FROM events WHERE event_type = 'purchase') t
+            ASOF LEFT JOIN (SELECT ts, user_id FROM events WHERE event_type = 'view') q
+              ON t.ts >= q.ts
+        """,
+        "docs_exact_dedup": """
+            SELECT d.lang, COUNT(*) AS n
+            FROM documents d
+            JOIN (SELECT text, MIN(doc_id) AS mid FROM documents GROUP BY text) k
+              ON d.doc_id = k.mid
+            GROUP BY d.lang
+        """,
+        "docs_token_stats": """
+            SELECT doc_id,
+                   LEN(LIST_FILTER(STRING_SPLIT_REGEX(text, '\\s+'), x -> x <> '')) AS n_tokens
+            FROM documents
+        """,
+        "docs_norm_distinct": """
+            SELECT COUNT(*) AS n_distinct FROM (
+                SELECT DISTINCT TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS norm
+                FROM documents
+            )
+        """,
+        "emb_brute_topk": """
+            SELECT q_id, vec_id, ROUND(cos_sim, 4) AS cos_sim, rank FROM (
+                SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+                       LIST_COSINE_SIMILARITY(c.embedding, q.embedding) AS cos_sim,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY LIST_COSINE_SIMILARITY(c.embedding, q.embedding) DESC, c.vec_id
+                       ) AS rank
+                FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 3) q
+            ) WHERE rank <= 5
+        """,
+        # docs_minhash_dedup / docs_simhash_dedup / docs_langid_quality /
+        # emb_cosine_dedup / multimodal_features: custom operators with no
+        # SQL equivalent -> rows-only check.
+    }

@@ -1,0 +1,85 @@
+"""Benchmark harness: runs the headline queries from __spark_entry__ at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed to completion (count() over the result — forces the
+whole plan, keeps result materialization out of the measurement).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_nation_revenue",
+    "q6_forecast_revenue",
+    "filter_project",
+    "merge_left_fillna",
+    "sort_topk",
+    "groupby_multi_agg",
+    "groupby_nunique",
+    "cumsum_by_group",
+    "rolling_mean",
+    "rank_min",
+    "str_funcs",
+    "resample_hourly",
+    "pivot_flag_status",
+    "asof_join",
+    "docs_exact_dedup",
+    "docs_minhash_dedup",
+    "docs_langid_quality",
+    "emb_brute_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    import __spark_entry__ as entry
+    from modin_spark.session import get_spark
+
+    spark = get_spark()
+    qs = entry.queries()
+
+    # warm the JVM/readers once outside timing
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        try:
+            n = fn(spark, sf_dir).count()
+        except Exception as e:  # keep the bench line parseable even on failure
+            timings[name] = -1.0
+            print(f"# {name} FAILED: {type(e).__name__}: {str(e)[:120]}", file=sys.stderr)
+            continue
+        dt = round(time.time() - t0, 3)
+        timings[name] = dt
+        total += dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_time",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -235,8 +235,14 @@ def merge(
 
     left, right = left.ensure_order(), right.ensure_order()
     lsdf = left.sdf.withColumnRenamed(ORDER_COL, "__lorder__")
-    rsdf = right.sdf.withColumnRenamed(ORDER_COL, "__rorder__")
-    rsdf = rsdf.select("__rorder__", *list(dict.fromkeys(right.index_cols + right.data_cols)))
+    # re-alias every right column to fresh physical names: self-merges and
+    # merges of frames sharing lineage would otherwise collide
+    r_orig = list(dict.fromkeys(right.index_cols + right.data_cols))
+    r_map = dict(zip(r_orig, fresh_names(len(r_orig))))
+    rsdf = right.sdf.select(
+        F.col(ORDER_COL).alias("__rorder__"), *[F.col(p).alias(r_map[p]) for p in r_orig]
+    )
+    rkeys = [r_map[k] for k in rkeys]
     if broadcast_right:
         rsdf = F.broadcast(rsdf)
 
@@ -272,7 +278,7 @@ def merge(
         if lbl in set(l_labels):
             name = f"{lbl}{suffixes[1]}"
         out_labels.append(name)
-        out_phys.append(right.data_cols[j])
+        out_phys.append(r_map[right.data_cols[j]])
 
     # struct order: unmatched side sorts last (pandas appends right-only rows);
     # the null flag leads so struct comparison never hits a NULL field

@@ -34,15 +34,80 @@ def _normalize_text(c: Column) -> Column:
     return F.regexp_replace(F.lower(c), r"[^a-z0-9\s]", " ")
 
 
+def _py_shingles(text: str | None, k: int) -> list[str]:
+    import re
+
+    words = re.sub(r"[^a-z0-9\s]", " ", (text or "").lower()).split()
+    if len(words) >= k:
+        return [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
+    return [" ".join(words)]
+
+
+def _hash_shingles(sh: list[str]) -> "np.ndarray":
+    # deterministic 64-bit string hashing (pandas siphash with fixed key)
+    return pd.util.hash_array(np.asarray(sh, dtype=object)).astype(np.int64)
+
+
 def shingles(c: Column, k: int = 5) -> Column:
-    """Word k-shingles as an array<string> (JVM-side: split + sliding zip)."""
-    words = F.filter(F.split(_normalize_text(c), r"\s+"), lambda w: w != "")
-    n = F.size(words)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    return F.when(
-        n >= k,
-        F.transform(idx, lambda i: F.array_join(F.slice(words, i + 1, k), " ")),
-    ).otherwise(F.array(F.array_join(words, " ")))
+    """Word k-shingles as array<string>.
+
+    One Arrow-vectorized pandas_udf: the equivalent chain of Catalyst
+    higher-order functions (split/sequence/transform/slice/array_join) is
+    interpreted per element and benchmarked ~50x slower on real documents.
+    """
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def _sh(texts: pd.Series) -> pd.Series:
+        return pd.Series([_py_shingles(t, k) for t in texts])
+
+    return _sh(c)
+
+
+def text_minhash(c: Column, k: int = 5, num_perm: int = 128) -> Column:
+    """text -> MinHash signature (array<long>) in ONE pandas_udf pass:
+    normalize + shingle + hash + per-permutation min, all numpy-vectorized."""
+    from pyspark.sql import types as T
+
+    a_co, b_co = _perm_coeffs(num_perm)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _mh(texts: pd.Series) -> pd.Series:
+        old = np.seterr(over="ignore")
+        out = []
+        for t in texts:
+            x = _hash_shingles(_py_shingles(t, k))
+            m = (a_co[:, None] * x[None, :] + b_co[:, None]).min(axis=1)
+            out.append(m.tolist())
+        np.seterr(**old)
+        return pd.Series(out)
+
+    return _mh(c)
+
+
+def text_simhash(c: Column, k: int = 3, bits: int = 64) -> Column:
+    """text -> 64-bit SimHash in one pandas_udf pass."""
+    from pyspark.sql import types as T
+
+    shifts = np.arange(bits, dtype=np.uint64)
+
+    @F.pandas_udf(T.LongType())
+    def _sh(texts: pd.Series) -> pd.Series:
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            x = _hash_shingles(_py_shingles(t, k)).astype(np.uint64)
+            if x.size == 0:
+                continue
+            bitmat = (x[:, None] >> shifts[None, :]) & np.uint64(1)
+            votes = bitmat.astype(np.int64).sum(axis=0) * 2 - x.size
+            word = np.uint64(0)
+            for b in range(bits):
+                if votes[b] > 0:
+                    word |= np.uint64(1) << np.uint64(b)
+            out[i] = word.astype(np.int64)
+        return pd.Series(out)
+
+    return _sh(c)
 
 
 def _perm_coeffs(num_perm: int):
@@ -107,26 +172,30 @@ def minhash_candidate_pairs(
 ) -> SDF:
     """(id_a, id_b, est_jaccard) candidate near-dup pairs, id_a < id_b."""
     rows_per_band = num_perm // bands
-    sigs = df.select(id_col, minhash_signature(shingles(F.col(text_col), k), num_perm).alias("__sig__"))
-    banded = _band_rows(sigs, id_col, "__sig__", bands, rows_per_band)
-    left = banded.select(
-        F.col("__band__").alias("b"), F.col("__bucket__").alias("k"),
-        F.col(id_col).alias("id_a"), F.col("__sig__").alias("sa"),
+    from pyspark import StorageLevel
+
+    # signatures computed once and persisted — both the band explode and the
+    # verification join read this lineage (MEMORY_AND_DISK so 100 TB spills)
+    sigs = df.select(
+        id_col, text_minhash(F.col(text_col), k, num_perm).alias("__sig__")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # candidate generation ships only (band, bucket, id) — NOT the signature;
+    # carrying the 128-long array through the 32x band explode would amplify
+    # the shuffle by two orders of magnitude
+    banded = _band_rows(sigs, id_col, "__sig__", bands, rows_per_band).select(
+        id_col, "__band__", "__bucket__"
     )
-    right = banded.select(
-        F.col("__band__").alias("b2"), F.col("__bucket__").alias("k2"),
-        F.col(id_col).alias("id_b"), F.col("__sig__").alias("sb"),
+    left = banded.select(F.col("__band__").alias("b"), F.col("__bucket__").alias("k"), F.col(id_col).alias("id_a"))
+    right = banded.select(F.col("__band__").alias("b2"), F.col("__bucket__").alias("k2"), F.col(id_col).alias("id_b"))
+    pairs = (
+        left.join(right, (left["b"] == right["b2"]) & (left["k"] == right["k2"]) & (left["id_a"] < right["id_b"]), "inner")
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
     )
-    pairs = left.join(
-        right,
-        (left["b"] == right["b2"]) & (left["k"] == right["k2"]) & (left["id_a"] < right["id_b"]),
-        "inner",
-    ).select("id_a", "id_b", "sa", "sb").dropDuplicates(["id_a", "id_b"])
-    est = (
-        F.size(F.filter(F.zip_with("sa", "sb", lambda a, b: (a == b).cast("int")), lambda x: x == 1))
-        / F.lit(1.0 * 128)
-    )
-    # recompute with actual num_perm
+    # verification: join the two signatures back (pairs are few post-LSH)
+    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("__sig__").alias("sa"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("__sig__").alias("sb"))
+    pairs = pairs.join(sa, "id_a").join(sb, "id_b")
     est = (
         F.aggregate(F.zip_with("sa", "sb", lambda a, b: (a == b).cast("int")), F.lit(0), lambda acc, x: acc + x)
         / F.lit(float(num_perm))
@@ -194,7 +263,7 @@ def simhash_dedup(df: SDF, id_col: str = "doc_id", text_col: str = "text", hammi
     """Near-dup via SimHash: band the 64 bits into 4×16-bit keys (any pair
     within Hamming distance 3 shares ≥1 exact band), equi-join candidates,
     verify exact Hamming distance with bit_count(xor)."""
-    sh = df.select(id_col, simhash(F.col(text_col)).alias("__sh__"))
+    sh = df.select(id_col, text_simhash(F.col(text_col)).alias("__sh__"))
     bands = sh.select(
         id_col,
         "__sh__",

@@ -407,6 +407,32 @@ class DataFrame:
 
         return DataFrameGroupBy(self, by, as_index=as_index, dropna=dropna, sort=sort)
 
+    def cube(self, by: list, aggs: dict) -> "DataFrame":
+        """Spark-native CUBE (absent in the reference — SURVEY §2.4 extension).
+
+        aggs: {out_label: (col_label, agg_name)}. Subtotal rows carry NULL keys.
+        """
+        return self._multidim_agg(by, aggs, "cube")
+
+    def rollup(self, by: list, aggs: dict) -> "DataFrame":
+        return self._multidim_agg(by, aggs, "rollup")
+
+    def _multidim_agg(self, by: list, aggs: dict, kind: str) -> "DataFrame":
+        fr = self._frame
+        key_phys = [fr.data_cols[i] for i in fr.positions_of(by)]
+        from modin_spark.core.frame import fresh_names
+
+        out_phys = fresh_names(len(aggs))
+        exprs = []
+        for (out_lbl, (col, fn)), p in zip(aggs.items(), out_phys):
+            c = F.col(fr.data_cols[fr.positions_of([col])[0]])
+            exprs.append(qc.agg_expr(fn, c).alias(p))
+        grouped = fr.sdf.cube(*key_phys) if kind == "cube" else fr.sdf.rollup(*key_phys)
+        agged = grouped.agg(*exprs)
+        labels = list(by) + list(aggs.keys())
+        out = SparkFrame(agged, pd.Index(labels), key_phys + out_phys, has_order=False)
+        return DataFrame(_frame=out)
+
     # ---------------------------------------------------------------- joins
     def merge(
         self,

@@ -480,7 +480,7 @@ class Series:
         return Series._from_frame(qc.drop_duplicates(self._to_frame(), None, keep))
 
     def value_counts(self, normalize=False, sort=True, ascending=False, dropna=True) -> "Series":
-        fr = self._to_frame("__v__")
+        fr = self._to_frame(self._name if self._name is not None else "__v__")
         spec = [("count", None, "size", {})]
         out = qc.groupby_agg(fr, [0], spec, as_index=True, dropna=dropna, sort=False)
         if normalize:

@@ -1,0 +1,106 @@
+"""Local emulation of the driver's correctness gate: run every queries()
+entry against its oracle_sql() in DuckDB at a given SF and compare
+row-count + column names + order-insensitive values.
+
+Usage: python tools/check_entry.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    out = df.copy()
+    out.columns = [str(c) for c in out.columns]
+    out = out[sorted(out.columns)]
+    for c in out.columns:
+        if str(out[c].dtype).startswith("datetime"):
+            out[c] = out[c].astype("datetime64[us]").astype(str)
+        elif out[c].dtype == object:
+            out[c] = out[c].astype(str)
+        elif str(out[c].dtype).startswith("float"):
+            out[c] = out[c].astype(float).round(6)
+        elif str(out[c].dtype).startswith(("int", "uint", "bool")):
+            out[c] = out[c].astype("int64")
+    out = out.sort_values(list(out.columns)).reset_index(drop=True)
+    return out
+
+
+def main():
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entry
+    from modin_spark.session import get_spark
+
+    spark = get_spark()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            mine = fn(spark, sf).toPandas()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL  {name}: engine raised {type(e).__name__}: {str(e)[:200]}")
+            continue
+        dt = time.time() - t0
+        sql = oracles.get(name)
+        if sql is None:
+            print(f"ROWS  {name}: {len(mine)} rows ({dt:.1f}s, no oracle)")
+            continue
+        try:
+            ref = con.execute(sql).df()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL  {name}: oracle raised {str(e)[:200]}")
+            continue
+        a, b = normalize(mine), normalize(ref)
+        if list(a.columns) != list(b.columns):
+            failures.append(name)
+            print(f"FAIL  {name}: columns {list(a.columns)} != {list(b.columns)}")
+            continue
+        if len(a) != len(b):
+            failures.append(name)
+            print(f"FAIL  {name}: rows {len(a)} != {len(b)}")
+            continue
+        eq = True
+        for c in a.columns:
+            if a[c].dtype == float:
+                col_eq = np.allclose(a[c].fillna(-9e18), b[c].fillna(-9e18), rtol=0, atol=1e-9)
+            else:
+                col_eq = (a[c].fillna("␀") == b[c].fillna("␀")).all() if a[c].dtype == object else (
+                    a[c].fillna(-9e18) == b[c].fillna(-9e18)
+                ).all()
+            if not col_eq:
+                eq = False
+                bad = (a[c] != b[c])
+                print(f"      {name}.{c}: first diffs:\n{pd.concat([a[c][bad].head(3), b[c][bad].head(3)], axis=1)}")
+        if eq:
+            print(f"OK    {name}: {len(a)} rows ({dt:.1f}s)")
+        else:
+            failures.append(name)
+            print(f"FAIL  {name}: value mismatch")
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
