@@ -251,6 +251,15 @@ def merge(
         c = lsdf[lk] == rsdf[rk]
         cond = c if cond is None else (cond & c)
     joined = lsdf.join(rsdf, cond, how)
+    if how in ("right", "outer", "full", "full_outer"):
+        # pandas coalesces shared `on` keys (and index keys): right-only rows
+        # carry the right key value instead of NULL
+        shared = list(range(len(lkeys))) if (left_index and right_index) else [
+            idx for idx, (li, ri) in enumerate(zip(left_on or [], right_on or []))
+            if left.columns[li] == right.columns[ri]
+        ]
+        for idx in shared:
+            joined = joined.withColumn(lkeys[idx], F.coalesce(F.col(lkeys[idx]), F.col(rkeys[idx])))
 
     # output columns: left data cols, then right data cols minus right key
     # columns when joining key-to-key with identical labels (pandas `on=`)
@@ -290,7 +299,11 @@ def merge(
         ro.alias("r"),
     )
     joined = joined.withColumn(ORDER_COL, order).drop("__lorder__", "__rorder__")
-    out = SparkFrame(joined, pd.Index(out_labels), out_phys, [], [None])
+    if left_index and right_index:
+        # index-aligned join keeps the (coalesced) index
+        out = SparkFrame(joined, pd.Index(out_labels), out_phys, lkeys, list(left.index_names))
+    else:
+        out = SparkFrame(joined, pd.Index(out_labels), out_phys, [], [None])
     if sort and lkeys:
         out_keys = [F.col(k) for k in lkeys]
         out = out.sort_by(out_keys, [True] * len(out_keys))

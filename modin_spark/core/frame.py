@@ -123,10 +123,18 @@ _PANDAS_TO_SPARK_CAST = {
 def pandas_dtype_to_spark(dtype) -> T.DataType:
     if isinstance(dtype, T.DataType):
         return dtype
-    name = dtype if isinstance(dtype, str) else str(dtype)
+    if isinstance(dtype, type):  # builtins: str/int/float/bool
+        name = dtype.__name__
+    else:
+        name = dtype if isinstance(dtype, str) else str(dtype)
     if name in _PANDAS_TO_SPARK_CAST:
         return _PANDAS_TO_SPARK_CAST[name]
-    raise TypeError(f"cannot map dtype {name!r} to a Spark type")
+    try:
+        import numpy as np
+
+        return _PANDAS_TO_SPARK_CAST[np.dtype(dtype).name]
+    except (TypeError, KeyError):
+        raise TypeError(f"cannot map dtype {name!r} to a Spark type")
 
 
 class SparkFrame:

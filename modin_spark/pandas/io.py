@@ -13,45 +13,43 @@ from modin_spark.pandas.series import Series
 from modin_spark.session import get_spark
 
 
-def read_parquet(path: str, columns=None) -> DataFrame:
-    spark = get_spark()
-    try:
-        sdf = spark.read.parquet(path)
-    except Exception as e:  # TIMESTAMP(NANOS) parquet: unsupported by Spark
-        if "PARQUET_TYPE_ILLEGAL" not in str(e):
-            raise
-        sdf = _read_parquet_nanos(spark, path)
-    if columns is not None:
-        sdf = sdf.select(*columns)  # column pruning reaches the scan
-    return DataFrame(_frame=SparkFrame.from_spark(sdf))
-
-
-def _read_parquet_nanos(spark, path: str):
-    """Read parquet with nanosecond timestamps: nanos come in as int64
-    (legacy conf), then cast back to (microsecond) timestamps — columns
-    identified from the pyarrow file schema."""
-    import pyarrow.parquet as pq
-    import pyarrow as pa
+def _nano_ts_cols(path: str) -> list[str]:
+    """Columns stored as TIMESTAMP(NANOS) — cheap driver-side footer read of
+    one file; Spark rejects the type unless ``nanosAsLong`` is set."""
     import glob as _glob
     import os
 
-    from pyspark.sql import functions as F
+    import pyarrow as pa
+    import pyarrow.parquet as pq
 
     candidates = sorted(_glob.glob(os.path.join(path, "*.parquet"))) if os.path.isdir(path) else [path]
+    if not candidates:
+        return []
     schema = pq.read_schema(candidates[0])
-    nano_cols = [
-        f.name for f in schema
-        if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
-    ]
-    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    try:
+    return [f.name for f in schema if pa.types.is_timestamp(f.type) and f.type.unit == "ns"]
+
+
+def read_parquet(path: str, columns=None) -> DataFrame:
+    spark = get_spark()
+    nano_cols = _nano_ts_cols(path)
+    if nano_cols:
+        # nanos come in as int64 (legacy conf), cast back to µs timestamps;
+        # the scan itself stays fully distributed
+        from pyspark.sql import functions as F
+
+        prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        try:
+            sdf = spark.read.parquet(path)
+            for c in nano_cols:
+                sdf = sdf.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+        finally:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+    else:
         sdf = spark.read.parquet(path)
-        for c in nano_cols:
-            sdf = sdf.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
-    finally:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
-    return sdf
+    if columns is not None:
+        sdf = sdf.select(*columns)  # column pruning reaches the scan
+    return DataFrame(_frame=SparkFrame.from_spark(sdf))
 
 
 def read_csv(path: str, sep: str = ",", header: int | str = 0, names=None, dtype=None, **kw) -> DataFrame:

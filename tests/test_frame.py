@@ -1,0 +1,157 @@
+"""Frame basics: roundtrip, selection, mutation, order, index."""
+
+import pandas as pd
+import pytest
+
+from tests.conftest import assert_df_equal, assert_series_equal
+
+
+def test_roundtrip(mdf, pdf):
+    assert_df_equal(mdf, pdf)
+
+
+def test_dtypes(mdf, pdf):
+    assert mdf.dtypes["a"] == "int64"
+    assert mdf.dtypes["b"] == "float64"
+    assert mdf.dtypes["k"] == "object"
+    assert str(mdf.dtypes["t"]).startswith("datetime64")
+
+
+def test_shape_len(mdf, pdf):
+    assert mdf.shape == pdf.shape
+    assert len(mdf) == len(pdf)
+
+
+def test_getitem_column(mdf, pdf):
+    assert_series_equal(mdf["a"], pdf["a"])
+    assert_series_equal(mdf.b, pdf.b)
+
+
+def test_getitem_list(mdf, pdf):
+    assert_df_equal(mdf[["k", "a"]], pdf[["k", "a"]])
+
+
+def test_mask_filter(mdf, pdf):
+    assert_df_equal(mdf[mdf.a > 50], pdf[pdf.a > 50])
+
+
+def test_compound_mask(mdf, pdf):
+    assert_df_equal(mdf[(mdf.a > 20) & (mdf.b < 80)], pdf[(pdf.a > 20) & (pdf.b < 80)])
+    assert_df_equal(mdf[(mdf.a > 90) | (mdf.b < 5)], pdf[(pdf.a > 90) | (pdf.b < 5)])
+
+
+def test_mask_on_nan_col(mdf, pdf):
+    # NaN comparisons are False in pandas; NULL-dropped in Spark — same rows
+    assert_df_equal(mdf[mdf.c > 5], pdf[pdf.c > 5])
+    assert_df_equal(mdf[~(mdf.c > 5)], pdf[~(pdf.c > 5)])
+
+
+def test_setitem_expression(mdf, pdf):
+    pdf = pdf.copy()
+    mdf["d"] = mdf.a * 2 + mdf.b
+    pdf["d"] = pdf.a * 2 + pdf.b
+    assert_df_equal(mdf, pdf)
+
+
+def test_setitem_scalar(mdf, pdf):
+    pdf = pdf.copy()
+    mdf["z"] = 7
+    pdf["z"] = 7
+    assert_df_equal(mdf, pdf)
+
+
+def test_setitem_replace_existing(mdf, pdf):
+    pdf = pdf.copy()
+    mdf["a"] = mdf.a + 1
+    pdf["a"] = pdf.a + 1
+    assert_df_equal(mdf, pdf)
+
+
+def test_stale_mask_rebase(mdf, pdf):
+    mask_m = mdf.a > 50
+    mask_p = pdf.a > 50
+    mdf["extra"] = 1
+    pdf = pdf.copy()
+    pdf["extra"] = 1
+    assert_df_equal(mdf[mask_m], pdf[mask_p])
+
+
+def test_head_tail(mdf, pdf):
+    assert_df_equal(mdf.head(7), pdf.head(7))
+    assert_df_equal(mdf.tail(7), pdf.tail(7))
+    assert_df_equal(mdf.head(-190), pdf.head(-190))
+
+
+def test_iloc_slice(mdf, pdf):
+    assert_df_equal(mdf.iloc[10:20], pdf.iloc[10:20])
+    assert_df_equal(mdf.iloc[5:50:5], pdf.iloc[5:50:5])
+
+
+def test_iloc_row(mdf, pdf):
+    assert mdf.iloc[3]["a"] == pdf.iloc[3]["a"]
+
+
+def test_sort_values(mdf, pdf):
+    # include unique tiebreak column for determinism
+    m = mdf.sort_values(["k", "a", "b"]).to_pandas()
+    p = pdf.sort_values(["k", "a", "b"], kind="stable").reset_index(drop=True)
+    assert_df_equal(m, p)
+
+
+def test_sort_desc_nulls(mdf, pdf):
+    m = mdf.sort_values(["c", "b"], ascending=False).to_pandas()
+    p = pdf.sort_values(["c", "b"], ascending=False, kind="stable").reset_index(drop=True)
+    assert_df_equal(m, p)
+
+
+def test_rename_drop(mdf, pdf):
+    assert_df_equal(mdf.rename(columns={"a": "A"}), pdf.rename(columns={"a": "A"}))
+    assert_df_equal(mdf.drop(columns=["s", "t"]), pdf.drop(columns=["s", "t"]))
+
+
+def test_astype(mdf, pdf):
+    assert_df_equal(mdf.astype({"a": "float64"})[["a"]], pdf.astype({"a": "float64"})[["a"]])
+
+
+def test_set_reset_index(mdf, pdf):
+    m = mdf.set_index("k").reset_index()
+    p = pdf.set_index("k").reset_index()
+    assert_df_equal(m, p)
+
+
+def test_assign(mdf, pdf):
+    assert_df_equal(
+        mdf.assign(d=lambda d: d.a + 1)[["a", "d"]], pdf.assign(d=lambda d: d.a + 1)[["a", "d"]]
+    )
+
+
+def test_insert(mdf, pdf):
+    pdf = pdf.copy()
+    mdf.insert(1, "ins", 5)
+    pdf.insert(1, "ins", 5)
+    assert_df_equal(mdf, pdf)
+
+
+def test_query(mdf, pdf):
+    assert_df_equal(mdf.query("a > 50 and b < 50"), pdf.query("a > 50 and b < 50"))
+
+
+def test_nlargest_nsmallest(mdf, pdf):
+    assert_df_equal(mdf.nlargest(5, "b"), pdf.nlargest(5, "b"))
+    assert_df_equal(mdf.nsmallest(5, "b"), pdf.nsmallest(5, "b"))
+
+
+def test_sample_deterministic(mdf):
+    a = mdf.sample(frac=0.2, random_state=7).to_pandas()
+    b = mdf.sample(frac=0.2, random_state=7).to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_duplicate_labels(spark):
+    import modin_spark.pandas as mpd
+
+    p = pd.DataFrame([[1, 2], [3, 4]], columns=["x", "x"])
+    m = mpd.from_pandas(p)
+    assert list(m.columns) == ["x", "x"]
+    out = m.to_pandas()
+    assert out.shape == (2, 2)

@@ -1,0 +1,144 @@
+"""GroupBy: aggregations (vs pandas), transforms, apply."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tests.conftest import assert_df_equal, assert_series_equal
+
+AGGS = ["sum", "mean", "min", "max", "count", "std", "var", "median", "nunique"]
+
+
+@pytest.mark.parametrize("agg", AGGS)
+def test_groupby_agg(mdf, pdf, agg):
+    got = getattr(mdf.groupby("k")[["a", "b"]], agg)().to_pandas()
+    ref = getattr(pdf.groupby("k")[["a", "b"]], agg)()
+    np.testing.assert_allclose(got.values.astype(float), ref.values.astype(float), rtol=1e-9)
+    assert list(got.index) == list(ref.index)
+
+
+def test_groupby_size(mdf, pdf):
+    got = mdf.groupby("k").size().to_pandas()
+    ref = pdf.groupby("k").size()
+    assert (got.values == ref.values).all()
+
+
+def test_groupby_agg_dict(mdf, pdf):
+    got = mdf.groupby("k").agg({"a": "sum", "b": "mean"}).to_pandas()
+    ref = pdf.groupby("k").agg({"a": "sum", "b": "mean"})
+    np.testing.assert_allclose(got.values, ref.values, rtol=1e-9)
+
+
+def test_groupby_named_agg(mdf, pdf):
+    got = mdf.groupby("k").agg(total=("a", "sum"), avg_b=("b", "mean")).to_pandas()
+    ref = pdf.groupby("k").agg(total=("a", "sum"), avg_b=("b", "mean"))
+    np.testing.assert_allclose(got.values, ref.values, rtol=1e-9)
+    assert list(got.columns) == list(ref.columns)
+
+
+def test_groupby_multi_key(mdf, pdf):
+    mdf2 = mdf.assign(k2=mdf.a % 3)
+    pdf2 = pdf.assign(k2=pdf.a % 3)
+    got = mdf2.groupby(["k", "k2"]).agg(s=("b", "sum")).reset_index().to_pandas()
+    ref = pdf2.groupby(["k", "k2"]).agg(s=("b", "sum")).reset_index()
+    assert_df_equal(got, ref, sort_by=["k", "k2"])
+
+
+def test_groupby_first_last(mdf, pdf):
+    got = mdf.groupby("k")[["a"]].first().to_pandas()
+    ref = pdf.groupby("k")[["a"]].first()
+    assert (got["a"].values == ref["a"].values).all()
+    got = mdf.groupby("k")[["a"]].last().to_pandas()
+    ref = pdf.groupby("k")[["a"]].last()
+    assert (got["a"].values == ref["a"].values).all()
+
+
+def test_groupby_skew(mdf, pdf):
+    got = mdf.groupby("k")[["b"]].skew().to_pandas()
+    ref = pdf.groupby("k")[["b"]].skew()
+    np.testing.assert_allclose(got.values, ref.values, rtol=1e-8)
+
+
+def test_groupby_cumsum(mdf, pdf):
+    got = mdf.groupby("k")[["a"]].cumsum().to_pandas()
+    ref = pdf.groupby("k")[["a"]].cumsum()
+    assert (got["a"].values == ref["a"].values).all()
+
+
+def test_groupby_shift_diff(mdf, pdf):
+    got = mdf.groupby("k")[["a"]].shift(1).to_pandas()
+    ref = pdf.groupby("k")[["a"]].shift(1)
+    assert_series_equal(got["a"].astype("float64"), ref["a"].astype("float64"))
+    got = mdf.groupby("k")[["a"]].diff(1).to_pandas()
+    ref = pdf.groupby("k")[["a"]].diff(1)
+    assert_series_equal(got["a"], ref["a"].astype("float64"))
+
+
+def test_groupby_cumcount(mdf, pdf):
+    got = mdf.groupby("k").cumcount().to_pandas()
+    ref = pdf.groupby("k").cumcount()
+    assert (got.values == ref.values).all()
+
+
+def test_groupby_rank(mdf, pdf):
+    got = mdf.groupby("k")[["b"]].rank("min").to_pandas()
+    ref = pdf.groupby("k")[["b"]].rank("min")
+    np.testing.assert_allclose(got["b"].values, ref["b"].values)
+
+
+def test_groupby_head_nth(mdf, pdf):
+    got = mdf.groupby("k").head(2).to_pandas()
+    ref = pdf.groupby("k").head(2)
+    assert_df_equal(got, ref.reset_index(drop=True))
+
+
+def test_groupby_apply(mdf, pdf):
+    def top2(g):
+        return g.nlargest(2, "b")[["a", "b"]]
+
+    got = mdf.groupby("k").apply(top2).reset_index().to_pandas()
+    ref = pdf.groupby("k").apply(top2, include_groups=False).reset_index(level=0).reset_index(drop=True)
+    assert_df_equal(got[["k", "a", "b"]], ref[["k", "a", "b"]], sort_by=["k", "b"])
+
+
+def test_groupby_by_series(mdf, pdf):
+    got = mdf.groupby(mdf.a % 5).agg(s=("b", "sum")).reset_index().to_pandas()
+    ref = pdf.groupby(pdf.a % 5).agg(s=("b", "sum")).reset_index().rename(columns={"a": "a"})
+    np.testing.assert_allclose(
+        got.sort_values("a")["s"].values, ref.sort_values("a")["s"].values, rtol=1e-9
+    )
+
+
+def test_groupby_ohlc(mdf, pdf):
+    got = mdf.groupby("k")[["b"]].ohlc().to_pandas()
+    ref = pdf.groupby("k")[["b"]].ohlc()["b"]
+    np.testing.assert_allclose(got.values, ref.values, rtol=1e-9)
+
+
+def test_value_counts(mdf, pdf):
+    got = mdf.k.value_counts().to_pandas()
+    ref = pdf.k.value_counts()
+    assert (got.values == ref.values).all()
+
+
+def test_pivot_table(mdf, pdf):
+    mdf2 = mdf.assign(k2=mdf.a % 2)
+    pdf2 = pdf.assign(k2=pdf.a % 2)
+    got = mdf2.pivot_table(values="b", index=["k"], columns="k2", aggfunc="mean").to_pandas()
+    ref = pdf2.pivot_table(values="b", index=["k"], columns="k2", aggfunc="mean")
+    np.testing.assert_allclose(got.values, ref.values, rtol=1e-9)
+
+
+def test_resample(spark):
+    import modin_spark.pandas as mpd
+
+    p = pd.DataFrame(
+        {
+            "ts": pd.date_range("2024-01-01", periods=100, freq="13min"),
+            "v": np.arange(100, dtype="float64"),
+        }
+    )
+    m = mpd.from_pandas(p)
+    got = m.resample("1h", on="ts").sum().to_pandas().sort_index()
+    ref = p.resample("1h", on="ts").sum()
+    np.testing.assert_allclose(got["v"].values, ref["v"].values)

