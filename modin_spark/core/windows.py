@@ -130,6 +130,70 @@ def diff(frame: SparkFrame, positions: Sequence[int], periods: int = 1) -> Spark
     return shifted._same_rows(shifted.sdf).project(labels, exprs)
 
 
+def pct_change(frame: SparkFrame, positions: Sequence[int], periods: int = 1) -> SparkFrame:
+    """pandas ``pct_change`` — cur/prev - 1 along frame order (same
+    position-equijoin plan as shift; no global window)."""
+    shifted = shift(frame, positions, periods)
+    labels, exprs = [], []
+    for out_pos, orig_pos in enumerate(positions):
+        cur = F.col(frame.data_cols[orig_pos])
+        prev = F.col(shifted.data_cols[out_pos])
+        labels.append(frame.columns[orig_pos])
+        exprs.append(cur.cast("double") / prev.cast("double") - 1)
+    return shifted._same_rows(shifted.sdf).project(labels, exprs)
+
+
+def interpolate_linear(frame: SparkFrame, positions: Sequence[int]) -> SparkFrame:
+    """pandas ``interpolate(method="linear")`` along frame order.
+
+    Needs, per null cell, the nearest non-null (value, position) before and
+    after. Both are ffill/bfill of a (value, pos) struct — computed with the
+    same two-pass block scheme as ffill: within-block window + per-block
+    carry joined broadcast-side. Leading NaNs stay NaN; trailing NaNs extend
+    the last value (pandas limit_direction='forward' default).
+    """
+    fr = _with_blocks(frame)
+    phys = [frame.data_cols[i] for i in positions]
+    labels = [frame.columns[i] for i in positions]
+    w_f = Window.partitionBy(_BLK).orderBy(_POS).rowsBetween(Window.unboundedPreceding, 0)
+    w_b = Window.partitionBy(_BLK).orderBy(_POS).rowsBetween(0, Window.unboundedFollowing)
+    w_cf = Window.orderBy(_BLK).rowsBetween(Window.unboundedPreceding, -1)
+    w_cb = Window.orderBy(_BLK).rowsBetween(1, Window.unboundedFollowing)
+
+    sdf = fr.sdf
+    prev_c, next_c = fresh_names(len(phys)), fresh_names(len(phys))
+    for p, pc, nc in zip(phys, prev_c, next_c):
+        sv = F.when(F.col(p).isNotNull(), F.struct(F.col(_POS).alias("p"), F.col(p).cast("double").alias("v")))
+        sdf = sdf.withColumn(pc, F.last(sv, ignorenulls=True).over(w_f))
+        sdf = sdf.withColumn(nc, F.first(sv, ignorenulls=True).over(w_b))
+    blk = sdf.groupBy(_BLK).agg(
+        *[F.max_by(F.col(pc), F.when(F.col(pc).isNotNull(), F.col(_POS))).alias(f"__l_{pc}") for pc in prev_c],
+        *[F.min_by(F.col(nc), F.when(F.col(nc).isNotNull(), F.col(_POS))).alias(f"__f_{nc}") for nc in next_c],
+    )
+    carries = blk.select(
+        F.col(_BLK).alias("__blk2__"),
+        *[F.last(F.col(f"__l_{pc}"), ignorenulls=True).over(w_cf).alias(f"__cp_{pc}") for pc in prev_c],
+        *[F.first(F.col(f"__f_{nc}"), ignorenulls=True).over(w_cb).alias(f"__cn_{nc}") for nc in next_c],
+    )
+    sdf = sdf.join(F.broadcast(carries), sdf[_BLK] == carries["__blk2__"], "left").drop("__blk2__")
+
+    exprs = []
+    for p, pc, nc in zip(phys, prev_c, next_c):
+        prev = F.coalesce(F.col(pc), F.col(f"__cp_{pc}"))
+        nxt = F.coalesce(F.col(nc), F.col(f"__cn_{nc}"))
+        frac = (F.col(_POS) - prev["p"]).cast("double") / (nxt["p"] - prev["p"]).cast("double")
+        interp = prev["v"] + (nxt["v"] - prev["v"]) * frac
+        e = (
+            F.when(F.col(p).isNotNull(), F.col(p).cast("double"))
+            .when(prev.isNull(), F.lit(None))          # leading NaNs
+            .when(nxt.isNull(), prev["v"])             # trailing: extend last
+            .otherwise(interp)
+        )
+        exprs.append(e)
+    out = fr._same_rows(sdf).project(labels, exprs)
+    return _drop_aux(out)
+
+
 # ---------------------------------------------------------------------------
 # rolling / expanding
 # ---------------------------------------------------------------------------

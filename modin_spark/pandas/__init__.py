@@ -16,6 +16,7 @@ from modin_spark.pandas.general import (
     melt,
     merge,
     merge_asof,
+    merge_ordered,
     notna,
     pivot_table,
     qcut,
@@ -23,6 +24,7 @@ from modin_spark.pandas.general import (
     to_numeric,
     unique,
     value_counts,
+    wide_to_long,
 )
 from modin_spark.pandas.io import (
     from_pandas,
@@ -55,6 +57,7 @@ __all__ = [
     "melt",
     "merge",
     "merge_asof",
+    "merge_ordered",
     "notna",
     "notnull",
     "pivot_table",
@@ -63,6 +66,7 @@ __all__ = [
     "to_numeric",
     "unique",
     "value_counts",
+    "wide_to_long",
     "from_pandas",
     "from_spark",
     "read_csv",

@@ -520,6 +520,59 @@ class DataFrame:
     def nunique(self) -> pd.Series:
         return self._reduce_frame("nunique", numeric_only=False)
 
+    def prod(self, numeric_only=True):
+        return self._reduce_frame("prod", numeric_only)
+
+    product = prod
+
+    def sem(self, numeric_only=True, ddof=1):
+        return self._reduce_frame("sem", numeric_only)
+
+    def skew(self, numeric_only=True):
+        return self._reduce_frame("skew", numeric_only)
+
+    def kurt(self, numeric_only=True):
+        return self._reduce_frame("kurt", numeric_only)
+
+    kurtosis = kurt
+
+    def any(self) -> pd.Series:
+        return self._reduce_frame("any", numeric_only=False)
+
+    def all(self) -> pd.Series:
+        return self._reduce_frame("all", numeric_only=False)
+
+    def mode(self, numeric_only=False) -> pd.DataFrame:
+        """Per-column modal values — one unpivot + count + rank pass (single
+        job for all columns, not one job per column)."""
+        fr = self._frame
+        positions = self._numeric_positions() if numeric_only else list(range(len(fr.columns)))
+        from pyspark.sql.window import Window as W
+
+        melted = fr.sdf.unpivot(
+            [], [fr.data_cols[i] for i in positions], "__var__", "__val__"
+        ) if len({str(fr.spark_type_of(i)) for i in positions}) == 1 else None
+        cols = {}
+        if melted is not None:
+            counts = melted.where(F.col("__val__").isNotNull()).groupBy("__var__", "__val__").count()
+            w = W.partitionBy("__var__").orderBy(F.col("count").desc(), F.col("__val__").asc())
+            top = counts.withColumn("__rk__", F.row_number().over(w)).where(F.col("__rk__") == 1).collect()
+            by_var = {r["__var__"]: r["__val__"] for r in top}
+            for i in positions:
+                cols[fr.columns[i]] = [by_var.get(fr.data_cols[i])]
+        else:
+            for i in positions:
+                r = (
+                    fr.sdf.where(fr.scol(i).isNotNull())
+                    .groupBy(fr.scol(i).alias("v"))
+                    .count()
+                    .orderBy(F.col("count").desc(), F.col("v").asc())
+                    .limit(1)
+                    .collect()
+                )
+                cols[fr.columns[i]] = [r[0]["v"] if r else None]
+        return pd.DataFrame(cols)
+
     def quantile(self, q=0.5, numeric_only=True):
         return self._reduce_frame("quantile", numeric_only, q=q)
 
@@ -623,6 +676,14 @@ class DataFrame:
     def rank(self, method="average", ascending=True, pct=False) -> "DataFrame":
         return DataFrame(_frame=win.rank(self._frame, self._numeric_positions(), method, ascending, pct))
 
+    def pct_change(self, periods=1) -> "DataFrame":
+        return DataFrame(_frame=win.pct_change(self._frame, self._numeric_positions(), periods))
+
+    def interpolate(self, method="linear", **kw) -> "DataFrame":
+        if method != "linear":
+            raise NotImplementedError(f"interpolate(method={method!r})")
+        return DataFrame(_frame=win.interpolate_linear(self._frame, self._numeric_positions()))
+
     def rolling(self, window: int, min_periods=None):
         from modin_spark.pandas.window import Rolling
 
@@ -699,6 +760,110 @@ class DataFrame:
         sel += [F.col(v).alias(np_) for v, np_ in zip(value_cols, out_phys)]
         out = SparkFrame(pivoted.select(*sel), pd.Index(value_cols), out_phys, idx_phys, list(index))
         return DataFrame(_frame=out)
+
+    def pivot(self, index=None, columns=None, values=None) -> "DataFrame":
+        """Reshape without aggregation (errors on duplicates in pandas; here
+        first-wins) — groupBy(index).pivot(columns).first(values)."""
+        return self.pivot_table(values=values, index=[index] if isinstance(index, str) else index,
+                                columns=columns, aggfunc="first")
+
+    def stack(self) -> "DataFrame":
+        """Columns → rows (pandas returns a MultiIndex Series; here the frame
+        equivalent: index cols + 'level_1' + 'value')."""
+        fr = self._frame
+        id_vars = []
+        if fr.index_cols:
+            out = DataFrame(_frame=fr.reset_index())
+            id_vars = [n if n is not None else "index" for n in fr.index_names]
+        else:
+            out = self
+        return out.melt(id_vars=id_vars or None, var_name="level_1", value_name="value")
+
+    def unstack(self, level=-1) -> "DataFrame":
+        """Inverse of stack for the 2-level-index frame shape stack emits:
+        pivot the last index column into columns."""
+        fr = self._frame
+        if len(fr.index_cols) < 2:
+            raise NotImplementedError("unstack needs a 2-level index")
+        names = [n if n is not None else f"level_{i}" for i, n in enumerate(fr.index_names)]
+        flat = DataFrame(_frame=fr.reset_index())
+        value_col = [c for c in flat.columns if c not in names][0]
+        return flat.pivot_table(values=value_col, index=names[:-1], columns=names[-1], aggfunc="first")
+
+    def transpose(self) -> "DataFrame":
+        """Swap axes. Inherently a full materialization (same cost class as
+        the reference's partition-grid transpose,
+        /root/reference/modin/core/dataframe/pandas/dataframe/dataframe.py:4747);
+        executed driver-side with a size guard."""
+        n = self._frame.count_rows()
+        if n > 100_000:
+            raise ValueError(f"transpose of {n} rows would materialize driver-side; refusing")
+        return DataFrame(self.to_pandas().T)
+
+    @property
+    def T(self) -> "DataFrame":
+        return self.transpose()
+
+    def combine_first(self, other: "DataFrame") -> "DataFrame":
+        """Patch NULL cells from ``other``, aligned on the index — one outer
+        join + per-column coalesce."""
+        a, b = self, other
+        af, bf = a._frame, b._frame
+        if not af.index_cols or not bf.index_cols:
+            raise NotImplementedError("combine_first requires set_index on both frames")
+        merged = qc.merge(af, bf, how="outer", left_index=True, right_index=True, suffixes=("__a", "__b"))
+        out_labels, exprs = [], []
+        b_labels = set(bf.columns)
+        for lbl in af.columns:
+            if lbl in b_labels:
+                pa = merged.phys_of_label(f"{lbl}__a")
+                pb = merged.phys_of_label(f"{lbl}__b")
+                exprs.append(F.coalesce(F.col(pa), F.col(pb)))
+            else:
+                exprs.append(F.col(merged.phys_of_label(lbl)))
+            out_labels.append(lbl)
+        for lbl in bf.columns:
+            if lbl not in set(af.columns):
+                out_labels.append(lbl)
+                exprs.append(F.col(merged.phys_of_label(lbl)))
+        return DataFrame(_frame=merged.project(out_labels, exprs))
+
+    def equals(self, other: "DataFrame") -> bool:
+        """Exact content equality in frame order — join on global position and
+        bool_and over null-safe comparisons."""
+        a, b = self._frame.with_global_position("__pa__"), other._frame.with_global_position("__pb__")
+        if list(a.columns) != list(b.columns):
+            return False
+        bsel = b.sdf.select(F.col("__pb__"), *[F.col(p).alias(f"__r_{i}") for i, p in enumerate(b.data_cols)])
+        j = a.sdf.join(bsel, a.sdf["__pa__"] == bsel["__pb__"], "full_outer")
+        conds = [a.sdf[p].eqNullSafe(F.col(f"__r_{i}")) for i, p in enumerate(a.data_cols)]
+        both = F.col("__pa__").isNotNull() & F.col("__pb__").isNotNull()
+        allc = conds[0]
+        for c in conds[1:]:
+            allc = allc & c
+        row = j.agg(F.coalesce(F.bool_and(both & allc), F.lit(True)).alias("eq")).collect()[0]
+        return bool(row["eq"])
+
+    def compare(self, other: "DataFrame") -> "DataFrame":
+        """Cell differences — position-join, keep rows with any difference,
+        emit (col_self, col_other) pairs like pandas ``compare``."""
+        a, b = self._frame.with_global_position("__pa__"), other._frame.with_global_position("__pb__")
+        bsel = b.sdf.select(F.col("__pb__"), *[F.col(p).alias(f"__r_{i}") for i, p in enumerate(b.data_cols)])
+        j = a.sdf.join(bsel, a.sdf["__pa__"] == bsel["__pb__"], "inner")
+        diffs = [~a.sdf[p].eqNullSafe(F.col(f"__r_{i}")) for i, p in enumerate(a.data_cols)]
+        any_diff = diffs[0]
+        for d in diffs[1:]:
+            any_diff = any_diff | d
+        j = j.where(any_diff)
+        out_labels, exprs = [], []
+        for i, (lbl, p) in enumerate(zip(a.columns, a.data_cols)):
+            out_labels += [(lbl, "self"), (lbl, "other")]
+            exprs += [
+                F.when(diffs[i], a.sdf[p]),
+                F.when(diffs[i], F.col(f"__r_{i}")),
+            ]
+        fr = SparkFrame(j.withColumn(ORDER_COL, F.col("__pa__")), pd.Index(["dummy"]), [a.data_cols[0]], [], [None])
+        return DataFrame(_frame=fr.project(out_labels, exprs))
 
     # ------------------------------------------------------------------ UDF
     def apply(self, func, axis=0):

@@ -161,3 +161,37 @@ def merge_asof(
     from modin_spark.operators.joins import merge_asof as _asof
 
     return _asof(left, right, on=on, by=by, direction=direction, suffixes=suffixes, tolerance=tolerance)
+
+
+def merge_ordered(left: DataFrame, right: DataFrame, on=None, how="outer", suffixes=("_x", "_y")) -> DataFrame:
+    from modin_spark.operators.joins import merge_ordered as _mo
+
+    return _mo(left, right, on=on, how=how, suffixes=suffixes)
+
+
+def wide_to_long(df: DataFrame, stubnames, i, j, sep: str = "", suffix: str = r"\d+") -> DataFrame:
+    """pandas.wide_to_long — unpivot stub-prefixed columns, parse the suffix
+    into the ``j`` column (one unpivot, no UDF)."""
+    stubnames = stubnames if isinstance(stubnames, list) else [stubnames]
+    i = i if isinstance(i, list) else [i]
+    import re
+
+    value_cols: dict[str, list[tuple[str, str]]] = {s: [] for s in stubnames}
+    for c in df.columns:
+        for s in stubnames:
+            m = re.fullmatch(re.escape(s) + re.escape(sep) + f"({suffix})", str(c))
+            if m:
+                value_cols[s].append((str(c), m.group(1)))
+    melted = {}
+    for s, cols in value_cols.items():
+        part = df.melt(id_vars=i, value_vars=[c for c, _ in cols], var_name="__stubcol__", value_name=s)
+        mapping = None
+        for c, suf in cols:
+            w = (mapping.when if mapping is not None else F.when)(F.col(part._frame.phys_of_label("__stubcol__")) == c, F.lit(suf))
+            mapping = w
+        part._frame = part._frame.with_columns([j], [mapping])
+        melted[s] = part.drop(columns=["__stubcol__"])
+    out = None
+    for s, part in melted.items():
+        out = part if out is None else out.merge(part, on=i + [j], how="outer")
+    return out

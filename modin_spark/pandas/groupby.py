@@ -318,6 +318,164 @@ class DataFrameGroupBy:
         sdf = sdf.where(F.col("__rn__") == n + 1).drop("__rn__")
         return DataFrame(_frame=fr._subset_rows(sdf))
 
+    def tail(self, n=5):
+        from modin_spark.pandas.dataframe import DataFrame
+
+        fr = self._df._frame.ensure_order()
+        keys = [fr.data_cols[i] for i in self._by_pos]
+        w = Window.partitionBy(*keys).orderBy(F.col(ORDER_COL).desc())
+        sdf = fr.sdf.withColumn("__rn__", F.row_number().over(w))
+        sdf = sdf.where(F.col("__rn__") <= n).drop("__rn__")
+        return DataFrame(_frame=fr._subset_rows(sdf))
+
+    def get_group(self, key):
+        """Rows of one group — a plain pushdown-able filter on the keys."""
+        from modin_spark.pandas.dataframe import DataFrame
+
+        fr = self._df._frame
+        key = key if isinstance(key, tuple) else (key,)
+        cond = None
+        for i, v in zip(self._by_pos, key):
+            c = fr.scol(i) == F.lit(v)
+            cond = c if cond is None else (cond & c)
+        return DataFrame(_frame=fr.filter(cond))
+
+    def cumprod(self):
+        from modin_spark.pandas.dataframe import DataFrame
+
+        def b(c, keys):
+            w = Window.partitionBy(*keys).orderBy(ORDER_COL).rowsBetween(Window.unboundedPreceding, 0)
+            return F.when(c.isNull(), F.lit(None)).otherwise(F.product(c).over(w))
+
+        return DataFrame(_frame=self._window_transform(b))
+
+    def pct_change(self, periods=1):
+        from modin_spark.pandas.dataframe import DataFrame
+
+        def b(c, keys):
+            w = Window.partitionBy(*keys).orderBy(ORDER_COL)
+            prev = F.lag(c, periods).over(w).cast("double")
+            return c.cast("double") / prev - 1
+
+        return DataFrame(_frame=self._window_transform(b))
+
+    def idxmax(self, numeric_only=True):
+        return self._idx_extreme("max", numeric_only)
+
+    def idxmin(self, numeric_only=True):
+        return self._idx_extreme("min", numeric_only)
+
+    def _idx_extreme(self, which: str, numeric_only=True):
+        """Index label of the per-group max/min — ``max_by/min_by(index, value)``
+        in one hash aggregate (the reference reduces per-column,
+        /root/reference/modin/core/storage_formats/pandas/query_compiler.py:1101)."""
+        from modin_spark.pandas.dataframe import DataFrame
+        from modin_spark.core.frame import fresh_names
+
+        fr = self._df._frame
+        if fr.index_cols:
+            idx = F.col(fr.index_cols[0]) if len(fr.index_cols) == 1 else F.struct(
+                *[F.col(c) for c in fr.index_cols]
+            )
+        else:
+            pos_col = fresh_names(1)[0]
+            fr = fr.with_global_position(pos_col)
+            idx = F.col(pos_col)
+        key_phys = [fr.data_cols[i] for i in self._by_pos]
+        picker = F.max_by if which == "max" else F.min_by
+
+        vals = [(lbl, i) for lbl, i in self._value_positions(numeric_only)]
+        out_phys = fresh_names(len(vals))
+        aggs = [picker(idx, fr.scol(i)).alias(p) for (_, i), p in zip(vals, out_phys)]
+        agged = fr.sdf.groupBy(*key_phys).agg(*aggs)
+        agged = agged.withColumn(ORDER_COL, F.struct(*[F.col(k) for k in key_phys]))
+        out = SparkFrame(agged, pd.Index([lbl for lbl, _ in vals]), out_phys, key_phys, list(self._by_labels))
+        return DataFrame(_frame=out)
+
+    _TRANSFORM_AGGS = {
+        "sum", "mean", "min", "max", "count", "std", "var", "median",
+        "nunique", "first", "last", "size", "prod", "any", "all",
+    }
+
+    def transform(self, func, *args, **kwargs):
+        """Group aggregate broadcast back to every row.
+
+        String aggs compile to an unordered key-window (one shuffle, no sort);
+        callables fall back to applyInPandas with the input schema.
+        """
+        from modin_spark.pandas.dataframe import DataFrame
+
+        if isinstance(func, str):
+            if func not in self._TRANSFORM_AGGS:
+                raise NotImplementedError(f"transform({func!r})")
+
+            def b(c, keys):
+                w = Window.partitionBy(*keys)
+                if func == "size":
+                    return F.count(F.lit(1)).over(w)
+                if func == "nunique":  # DISTINCT aggs can't run over a window
+                    return F.size(F.collect_set(c).over(w))
+                if func == "sum":  # agg_expr's NULL->0 coalesce isn't window-able
+                    return F.coalesce(F.sum(c).over(w), F.lit(0))
+                if func in ("first", "last"):
+                    wo = Window.partitionBy(*keys).orderBy(
+                        ORDER_COL if func == "first" else F.col(ORDER_COL).desc()
+                    ).rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+                    return F.first(c, ignorenulls=True).over(wo)
+                if func == "any":
+                    return F.coalesce(F.bool_or(c.cast("boolean")).over(w), F.lit(False))
+                if func == "all":
+                    return F.coalesce(F.bool_and(c.cast("boolean")).over(w), F.lit(True))
+                return qc.AGG_EXPRS[func](c).over(w)
+
+            return DataFrame(_frame=self._window_transform(b))
+
+        # callable: shape-preserving applyInPandas, output schema = value schema
+        fr = self._df._frame.ensure_order()
+        keys = [fr.data_cols[i] for i in self._by_pos]
+        vals = self._value_positions()
+        val_phys = [fr.data_cols[i] for _, i in vals]
+        labels = [lbl for lbl, _ in vals]
+        from pyspark.sql import types as T
+
+        out_schema = T.StructType(
+            [fr.sdf.schema[ORDER_COL]] + [T.StructField(p, T.DoubleType()) for p in val_phys]
+        )
+
+        def apply_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+            named = pdf[val_phys].copy()
+            named.columns = labels
+            res = func(named, *args, **kwargs)
+            res = res.astype("float64")
+            res.columns = val_phys
+            res.insert(0, ORDER_COL, pdf[ORDER_COL].values)
+            return res
+
+        sdf = fr.sdf.groupBy(*keys).applyInPandas(apply_fn, out_schema)
+        out = SparkFrame(sdf, pd.Index(labels), val_phys, [], [None])
+        return DataFrame(_frame=out)
+
+    def filter(self, func):
+        """Keep rows of groups where ``func(group_df)`` is truthy.
+
+        Plan: applyInPandas keeping/dropping whole groups — schema is the
+        input schema, so no inference pass is needed.
+        """
+        from modin_spark.pandas.dataframe import DataFrame
+
+        fr = self._df._frame.ensure_order()
+        keys = [fr.data_cols[i] for i in self._by_pos]
+        labels = list(fr.columns)
+        data_phys = list(fr.data_cols)
+
+        def apply_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+            named = pdf[data_phys].copy()
+            named.columns = labels
+            return pdf if bool(func(named)) else pdf.iloc[0:0]
+
+        sdf = fr.sdf.groupBy(*keys).applyInPandas(apply_fn, fr.sdf.schema)
+        return DataFrame(_frame=fr._subset_rows(sdf))
+
     def apply(self, func):
         from modin_spark.pandas.dataframe import DataFrame
 

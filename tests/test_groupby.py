@@ -142,3 +142,62 @@ def test_resample(spark):
     got = m.resample("1h", on="ts").sum().to_pandas().sort_index()
     ref = p.resample("1h", on="ts").sum()
     np.testing.assert_allclose(got["v"].values, ref["v"].values)
+
+
+def test_groupby_transform_str(mdf, pdf):
+    for fn in ["sum", "mean", "max", "size", "nunique"]:
+        got = mdf.groupby("k")[["a", "b"]].transform(fn).to_pandas()
+        ref = pdf.groupby("k")[["a", "b"]].transform(fn)
+        if isinstance(ref, pd.Series):  # pandas returns a Series for "size"
+            ref = pd.DataFrame({"a": ref, "b": ref})
+        np.testing.assert_allclose(got.values.astype(float), ref.values.astype(float), rtol=1e-9)
+
+
+def test_groupby_transform_callable(mdf, pdf):
+    got = mdf.groupby("k")[["a", "b"]].transform(lambda g: g - g.mean()).to_pandas()
+    ref = pdf.groupby("k")[["a", "b"]].transform(lambda g: g - g.mean())
+    np.testing.assert_allclose(got.values.astype(float), ref.values.astype(float), rtol=1e-9)
+
+
+def test_groupby_filter(mdf, pdf):
+    got = mdf.groupby("k").filter(lambda g: g["a"].mean() > 45).to_pandas()
+    ref = pdf.groupby("k").filter(lambda g: g["a"].mean() > 45)
+    assert_df_equal(got, ref.reset_index(drop=True))
+
+
+def test_groupby_get_group(mdf, pdf):
+    got = mdf.groupby("k").get_group("x").to_pandas()
+    ref = pdf.groupby("k").get_group("x")
+    assert_df_equal(got, ref.reset_index(drop=True))
+
+
+def test_groupby_idxmax_idxmin(mdf, pdf):
+    got = mdf.groupby("k")[["a", "b"]].idxmax().to_pandas().sort_index()
+    ref = pdf.groupby("k")[["a", "b"]].idxmax().sort_index()
+    # when ties exist pandas picks first occurrence; our max_by ties are
+    # arbitrary -> compare the *values at* the returned positions for 'a'
+    for k in ref.index:
+        assert pdf["a"].iloc[int(got.loc[k, "a"])] == pdf["a"].iloc[int(ref.loc[k, "a"])]
+    np.testing.assert_array_equal(got["b"].values, ref["b"].values)
+    gotn = mdf.groupby("k")[["b"]].idxmin().to_pandas().sort_index()
+    refn = pdf.groupby("k")[["b"]].idxmin().sort_index()
+    np.testing.assert_array_equal(gotn["b"].values, refn["b"].values)
+
+
+def test_groupby_cumprod_pct_change(mdf, pdf):
+    small = pdf.assign(b=pdf.b / 50)
+    import modin_spark.pandas as mpd
+
+    msmall = mpd.from_pandas(small)
+    got = msmall.groupby("k")[["b"]].cumprod().to_pandas()
+    ref = small.groupby("k")[["b"]].cumprod()
+    np.testing.assert_allclose(got["b"].values, ref["b"].values, rtol=1e-6)
+    got = msmall.groupby("k")[["b"]].pct_change().to_pandas()
+    ref = small.groupby("k")[["b"]].pct_change()
+    np.testing.assert_allclose(got["b"].values, ref["b"].values, rtol=1e-9, equal_nan=True)
+
+
+def test_groupby_tail(mdf, pdf):
+    got = mdf.groupby("k").tail(3).to_pandas()
+    ref = pdf.groupby("k").tail(3)
+    assert_df_equal(got, ref.reset_index(drop=True))
