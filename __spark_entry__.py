@@ -455,6 +455,268 @@ def _multimodal_features(spark, sf):
     return out.select("media_id", F.size("features").alias("feat_dim"))
 
 
+def _q4_priority_returned(spark, sf):
+    """Semi-join: orders having >=1 returned lineitem, counted by priority."""
+    mpd = _mpd()
+    orders = mpd.read_parquet(f"{sf}/orders.parquet")
+    li = mpd.read_parquet(f"{sf}/lineitem.parquet")
+    returned = li[li.l_returnflag == "R"]["l_orderkey"]
+    f = orders[orders.o_orderkey.isin(returned)]
+    out = f.groupby(["o_orderpriority"]).agg(n=("o_orderkey", "count")).reset_index()
+    return out.to_spark(ordered=False)
+
+
+def _q10_returned_revenue(spark, sf):
+    mpd = _mpd()
+    cust = mpd.read_parquet(f"{sf}/customer.parquet")
+    orders = mpd.read_parquet(f"{sf}/orders.parquet")
+    li = mpd.read_parquet(f"{sf}/lineitem.parquet")
+    l = li[li.l_returnflag == "R"]
+    j = l.merge(orders, left_on="l_orderkey", right_on="o_orderkey").merge(
+        cust, left_on="o_custkey", right_on="c_custkey"
+    )
+    j["revenue"] = j.l_extendedprice * (1 - j.l_discount)
+    out = j.groupby(["c_custkey", "c_name"]).agg(revenue=("revenue", "sum")).reset_index()
+    out = out.nlargest(20, "revenue")
+    out["revenue"] = _r(out.revenue, 4)
+    return out.to_spark(ordered=False)
+
+
+def _q14_promo_revenue(spark, sf):
+    mpd = _mpd()
+    li = mpd.read_parquet(f"{sf}/lineitem.parquet")
+    part = mpd.read_parquet(f"{sf}/part.parquet")
+    j = li.merge(part, left_on="l_partkey", right_on="p_partkey", broadcast=True)
+    j["rev"] = j.l_extendedprice * (1 - j.l_discount)
+    j["promo_rev"] = j["rev"].where(j.p_type == "PROMO", 0.0)
+    promo, total = j["promo_rev"].sum(), j["rev"].sum()
+    return spark.createDataFrame([(round(100.0 * float(promo) / float(total), 6),)], "promo_pct double")
+
+
+def _q19_brand_filter(spark, sf):
+    mpd = _mpd()
+    li = mpd.read_parquet(f"{sf}/lineitem.parquet")
+    part = mpd.read_parquet(f"{sf}/part.parquet")
+    j = li.merge(part, left_on="l_partkey", right_on="p_partkey", broadcast=True)
+    cond = ((j.p_brand == "Brand#1") & (j.l_quantity >= 1) & (j.l_quantity <= 20)) | (
+        (j.p_brand == "Brand#3") & (j.l_quantity >= 20) & (j.l_quantity <= 40)
+    )
+    f = j[cond]
+    f["rev"] = f.l_extendedprice * (1 - f.l_discount)
+    out = f.groupby(["p_brand"]).agg(revenue=("rev", "sum"), n=("rev", "count")).reset_index()
+    out["revenue"] = _r(out.revenue, 4)
+    return out.to_spark(ordered=False)
+
+
+def _anti_join_customers(spark, sf):
+    """Customers with no orders — left_anti via ~isin."""
+    mpd = _mpd()
+    cust = mpd.read_parquet(f"{sf}/customer.parquet")
+    orders = mpd.read_parquet(f"{sf}/orders.parquet")
+    big = orders[orders.o_totalprice > 300000]
+    f = cust[~cust.c_custkey.isin(big["o_custkey"])]
+    out = f.groupby(["c_mktsegment"]).agg(n=("c_custkey", "count")).reset_index()
+    return out.to_spark(ordered=False)
+
+
+def _melt_unpivot(spark, sf):
+    mpd = _mpd()
+    li = mpd.read_parquet(f"{sf}/lineitem.parquet")
+    m = li[["l_returnflag", "l_quantity", "l_extendedprice"]].melt(
+        id_vars=["l_returnflag"], var_name="measure", value_name="val"
+    )
+    out = m.groupby(["l_returnflag", "measure"]).agg(total=("val", "sum"), n=("val", "count")).reset_index()
+    out["total"] = _r(out.total, 2)
+    return out.to_spark(ordered=False)
+
+
+def _explode_words(spark, sf):
+    """split + explode + count: top-20 words in documents."""
+    mpd = _mpd()
+    docs = mpd.read_parquet(f"{sf}/documents.parquet")
+    docs["words"] = docs["text"].str.lower().str.findall(r"[a-z0-9]+")
+    w = docs[["doc_id", "words"]].explode("words").rename(columns={"words": "word"})
+    w = w[w.word.notna()]
+    out = w.groupby(["word"]).agg(n=("doc_id", "count")).reset_index()
+    out = out.sort_values(["n", "word"], ascending=[False, True]).head(20)
+    return out.to_spark(ordered=False)
+
+
+def _crosstab_counts(spark, sf):
+    mpd = _mpd()
+    li = mpd.read_parquet(f"{sf}/lineitem.parquet")
+    ct = mpd.crosstab(li["l_returnflag"], li["l_linestatus"]).reset_index()
+    return ct.to_spark(ordered=False)
+
+
+def _qcut_quartiles(spark, sf):
+    mpd = _mpd()
+    orders = mpd.read_parquet(f"{sf}/orders.parquet")
+    orders["q4"] = mpd.qcut(orders["o_totalprice"], 4, labels=["q1", "q2", "q3", "q4"])
+    out = orders.groupby(["q4"]).agg(
+        n=("o_orderkey", "count"), total=("o_totalprice", "sum")
+    ).reset_index()
+    out["total"] = _r(out.total, 2)
+    return out.to_spark(ordered=False)
+
+
+def _expanding_stats(spark, sf):
+    mpd = _mpd()
+    ev = mpd.read_parquet(f"{sf}/events.parquet")
+    ev = ev.sort_values("event_id")
+    e2 = ev[["value"]].expanding(min_periods=1).sum()
+    e3 = ev[["value"]].expanding(min_periods=1).count()
+    out = ev[["event_id"]]
+    # mean from the ROUNDED sum: both engines then divide identical doubles,
+    # so the final round can't disagree on summation-order noise
+    out["exp_sum"] = _r(e2["value"], 2)
+    out["exp_mean"] = _r(out["exp_sum"] / e3["value"], 6)
+    out = out[["event_id", "exp_mean", "exp_sum"]]
+    return out.head(10000).to_spark(ordered=False)
+
+
+def _pct_change_value(spark, sf):
+    mpd = _mpd()
+    ev = mpd.read_parquet(f"{sf}/events.parquet")
+    ev = ev.sort_values("event_id").head(10000)
+    pc = ev[["value"]].pct_change()
+    out = ev[["event_id"]]
+    out["pct"] = _r(pc["value"].fillna(0.0), 6)
+    return out.to_spark(ordered=False)
+
+
+def _groupby_transform_demean(spark, sf):
+    """transform('sum') broadcast back, then re-grouped: (group_sum, n rows)."""
+    mpd = _mpd()
+    orders = mpd.read_parquet(f"{sf}/orders.parquet")
+    t = orders.groupby("o_orderpriority")[["o_totalprice"]].transform("sum")
+    t["grp_sum"] = _r(t["o_totalprice"], 2)
+    out = t.groupby(["grp_sum"]).agg(n=("o_totalprice", "count")).reset_index()
+    return out.to_spark(ordered=False)
+
+
+def _groupby_filter_large(spark, sf):
+    mpd = _mpd()
+    orders = mpd.read_parquet(f"{sf}/orders.parquet")
+    f = orders.groupby("o_orderstatus").filter(lambda g: g["o_totalprice"].mean() > 150000)
+    out = f.groupby(["o_orderstatus"]).agg(n=("o_orderkey", "count")).reset_index()
+    return out.to_spark(ordered=False)
+
+
+def _groupby_head2(spark, sf):
+    mpd = _mpd()
+    orders = mpd.read_parquet(f"{sf}/orders.parquet")
+    f = orders.sort_values("o_orderkey").groupby("o_orderpriority").head(2)
+    out = f[["o_orderpriority", "o_orderkey"]]
+    return out.to_spark(ordered=False)
+
+
+def _groupby_first_last(spark, sf):
+    mpd = _mpd()
+    orders = mpd.read_parquet(f"{sf}/orders.parquet")
+    g = orders.sort_values("o_orderkey").groupby("o_orderpriority")[["o_totalprice"]]
+    first = g.first().reset_index().rename(columns={"o_totalprice": "first_price"})
+    last = g.last().reset_index().rename(columns={"o_totalprice": "last_price"})
+    out = first.merge(last, on="o_orderpriority")
+    out["first_price"] = _r(out.first_price, 2)
+    out["last_price"] = _r(out.last_price, 2)
+    return out.to_spark(ordered=False)
+
+
+def _describe_stats(spark, sf):
+    mpd = _mpd()
+    li = mpd.read_parquet(f"{sf}/lineitem.parquet")
+    d = li[["l_quantity"]].describe()["l_quantity"]
+    vals = [
+        float(d["count"]), round(float(d["mean"]), 6), round(float(d["std"]), 6),
+        float(d["min"]), round(float(d["25%"]), 4), round(float(d["50%"]), 4),
+        round(float(d["75%"]), 4), float(d["max"]),
+    ]
+    return spark.createDataFrame(
+        [tuple(vals)],
+        "cnt double, mean double, std double, mn double, p25 double, p50 double, p75 double, mx double",
+    )
+
+
+def _mode_quantity(spark, sf):
+    mpd = _mpd()
+    li = mpd.read_parquet(f"{sf}/lineitem.parquet")
+    m = li[["l_quantity"]].mode()
+    return spark.createDataFrame([(int(m["l_quantity"].iloc[0]),)], "mode_qty bigint")
+
+
+def _rollup_agg(spark, sf):
+    mpd = _mpd()
+    li = mpd.read_parquet(f"{sf}/lineitem.parquet")
+    out = li.rollup(["l_returnflag", "l_linestatus"], {"sum_qty": ("l_quantity", "sum"), "n": ("l_quantity", "count")})
+    df = out.to_spark(ordered=False)
+    return df.withColumn("sum_qty", F.round("sum_qty", 2))
+
+
+def _range_join_buckets(spark, sf):
+    """Interval join: quantity BETWEEN bucket lo/hi."""
+    import pandas as pd
+
+    from modin_spark.operators.joins import range_join
+
+    mpd = _mpd()
+    li = mpd.read_parquet(f"{sf}/lineitem.parquet")[["l_orderkey", "l_quantity"]]
+    ranges = mpd.from_pandas(pd.DataFrame({
+        "lo": [1, 11, 21, 31, 41], "hi": [10, 20, 30, 40, 50],
+        "bucket": ["b1", "b2", "b3", "b4", "b5"],
+    }))
+    j = range_join(li, ranges, "l_quantity", "lo", "hi")
+    out = j.groupby(["bucket"]).agg(n=("l_orderkey", "count")).reset_index()
+    return out.to_spark(ordered=False)
+
+
+def _where_clip(spark, sf):
+    mpd = _mpd()
+    orders = mpd.read_parquet(f"{sf}/orders.parquet")
+    clipped = orders["o_totalprice"].clip(50000, 400000)
+    orders["clipped"] = _r(clipped, 2)
+    orders["masked"] = _r(orders["o_totalprice"].where(orders["o_orderstatus"] == "F", 0.0), 2)
+    out = orders[["o_orderkey", "clipped", "masked"]]
+    return out.to_spark(ordered=False)
+
+
+def _docs_fingerprint(spark, sf):
+    """Rolling-hash fingerprint over the normalized word sequence; distinct
+    fingerprints == distinct normalized word sequences (oracle-checkable)."""
+    from modin_spark.operators.text import fingerprint
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    norm = F.trim(F.regexp_replace(F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9\s]", " "), r"\s+", " "))
+    return docs.select(fingerprint(norm).alias("fp")).agg(
+        F.count_distinct(F.col("fp")).alias("n_distinct_fp")
+    )
+
+
+def _docs_ngram_dedup(spark, sf):
+    from modin_spark.operators.dedup import ngram_jaccard_dedup
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return ngram_jaccard_dedup(docs, threshold=0.8).agg(F.count(F.lit(1)).alias("n_after"))
+
+
+def _emb_lsh_topk(spark, sf):
+    from modin_spark.operators.similarity import lsh_topk
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 3).select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    out = lsh_topk(emb, q, k=5, planes=8)
+    return out.select("q_id", "vec_id", F.round("cosine", 4).alias("cos_sim"), "rank")
+
+
+def _emb_ivf_topk(spark, sf):
+    from modin_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 3).select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    out = ivf_topk(emb, q, k=5, n_centroids=16, nprobe=4)
+    return out.select("q_id", "vec_id", F.round("cosine", 4).alias("cos_sim"), "rank")
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -499,6 +761,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_brute_topk": _emb_brute_topk,
         "emb_cosine_dedup": _emb_cosine_dedup,
         "multimodal_features": _multimodal_features,
+        "q4_priority_returned": _q4_priority_returned,
+        "q10_returned_revenue": _q10_returned_revenue,
+        "q14_promo_revenue": _q14_promo_revenue,
+        "q19_brand_filter": _q19_brand_filter,
+        "anti_join_customers": _anti_join_customers,
+        "melt_unpivot": _melt_unpivot,
+        "explode_words": _explode_words,
+        "crosstab_counts": _crosstab_counts,
+        "qcut_quartiles": _qcut_quartiles,
+        "expanding_stats": _expanding_stats,
+        "pct_change_value": _pct_change_value,
+        "groupby_transform_demean": _groupby_transform_demean,
+        "groupby_filter_large": _groupby_filter_large,
+        "groupby_head2": _groupby_head2,
+        "groupby_first_last": _groupby_first_last,
+        "describe_stats": _describe_stats,
+        "mode_quantity": _mode_quantity,
+        "rollup_agg": _rollup_agg,
+        "range_join_buckets": _range_join_buckets,
+        "where_clip": _where_clip,
+        "docs_fingerprint": _docs_fingerprint,
+        "docs_ngram_dedup": _docs_ngram_dedup,
+        "emb_lsh_topk": _emb_lsh_topk,
+        "emb_ivf_topk": _emb_ivf_topk,
     }
 
 
@@ -732,7 +1018,159 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 3) q
             ) WHERE rank <= 5
         """,
-        # docs_minhash_dedup / docs_simhash_dedup / docs_langid_quality /
-        # emb_cosine_dedup / multimodal_features: custom operators with no
-        # SQL equivalent -> rows-only check.
+        "q4_priority_returned": """
+            SELECT o_orderpriority, COUNT(*) AS n
+            FROM orders
+            WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R')
+            GROUP BY o_orderpriority
+        """,
+        "q10_returned_revenue": """
+            SELECT c_custkey, c_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE l_returnflag = 'R'
+            GROUP BY c_custkey, c_name
+            ORDER BY revenue DESC, c_custkey LIMIT 20
+        """,
+        "q14_promo_revenue": """
+            SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                                     THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+                   / SUM(l_extendedprice * (1 - l_discount)), 6) AS promo_pct
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+        """,
+        "q19_brand_filter": """
+            SELECT p_brand,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+                   COUNT(*) AS n
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 20)
+               OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 40)
+            GROUP BY p_brand
+        """,
+        "anti_join_customers": """
+            SELECT c_mktsegment, COUNT(*) AS n
+            FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+            GROUP BY c_mktsegment
+        """,
+        "melt_unpivot": """
+            SELECT l_returnflag, measure, ROUND(SUM(val), 2) AS total, COUNT(val) AS n FROM (
+                SELECT l_returnflag, 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+                UNION ALL
+                SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem
+            ) GROUP BY l_returnflag, measure
+        """,
+        "explode_words": """
+            SELECT word, COUNT(*) AS n FROM (
+                SELECT UNNEST(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z0-9]+')) AS word
+                FROM documents
+            ) GROUP BY word ORDER BY n DESC, word LIMIT 20
+        """,
+        "crosstab_counts": """
+            SELECT l_returnflag,
+                   SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS F,
+                   SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS O
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "qcut_quartiles": """
+            WITH b AS (
+                SELECT QUANTILE_CONT(o_totalprice, 0.25) AS q1,
+                       QUANTILE_CONT(o_totalprice, 0.50) AS q2,
+                       QUANTILE_CONT(o_totalprice, 0.75) AS q3
+                FROM orders
+            )
+            SELECT CASE WHEN o_totalprice <= q1 THEN 'q1'
+                        WHEN o_totalprice <= q2 THEN 'q2'
+                        WHEN o_totalprice <= q3 THEN 'q3'
+                        ELSE 'q4' END AS q4,
+                   COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+            FROM orders, b GROUP BY 1
+        """,
+        "expanding_stats": """
+            SELECT event_id,
+                   ROUND(ROUND(SUM(value) OVER w, 2) / COUNT(value) OVER w, 6) AS exp_mean,
+                   ROUND(SUM(value) OVER w, 2) AS exp_sum
+            FROM events
+            WINDOW w AS (ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            ORDER BY event_id LIMIT 10000
+        """,
+        "pct_change_value": """
+            SELECT event_id,
+                   ROUND(COALESCE(value / LAG(value) OVER (ORDER BY event_id) - 1, 0), 6) AS pct
+            FROM events ORDER BY event_id LIMIT 10000
+        """,
+        "groupby_transform_demean": """
+            SELECT grp_sum, COUNT(*) AS n FROM (
+                SELECT ROUND(SUM(o_totalprice) OVER (PARTITION BY o_orderpriority), 2) AS grp_sum
+                FROM orders
+            ) GROUP BY grp_sum
+        """,
+        "groupby_filter_large": """
+            SELECT o_orderstatus, COUNT(*) AS n
+            FROM orders
+            WHERE o_orderstatus IN (
+                SELECT o_orderstatus FROM orders GROUP BY o_orderstatus
+                HAVING AVG(o_totalprice) > 150000
+            )
+            GROUP BY o_orderstatus
+        """,
+        "groupby_head2": """
+            SELECT o_orderpriority, o_orderkey FROM (
+                SELECT o_orderpriority, o_orderkey,
+                       ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey) AS rn
+                FROM orders
+            ) WHERE rn <= 2
+        """,
+        "groupby_first_last": """
+            SELECT o_orderpriority,
+                   ROUND(ARG_MIN(o_totalprice, o_orderkey), 2) AS first_price,
+                   ROUND(ARG_MAX(o_totalprice, o_orderkey), 2) AS last_price
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "describe_stats": """
+            SELECT CAST(COUNT(l_quantity) AS DOUBLE) AS cnt,
+                   ROUND(AVG(l_quantity), 6) AS mean,
+                   ROUND(STDDEV_SAMP(l_quantity), 6) AS std,
+                   CAST(MIN(l_quantity) AS DOUBLE) AS mn,
+                   ROUND(QUANTILE_CONT(l_quantity, 0.25), 4) AS p25,
+                   ROUND(QUANTILE_CONT(l_quantity, 0.50), 4) AS p50,
+                   ROUND(QUANTILE_CONT(l_quantity, 0.75), 4) AS p75,
+                   CAST(MAX(l_quantity) AS DOUBLE) AS mx
+            FROM lineitem
+        """,
+        "mode_quantity": """
+            SELECT CAST(l_quantity AS BIGINT) AS mode_qty FROM lineitem
+            GROUP BY l_quantity ORDER BY COUNT(*) DESC, l_quantity ASC LIMIT 1
+        """,
+        "rollup_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty,
+                   COUNT(l_quantity) AS n
+            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "range_join_buckets": """
+            SELECT bucket, COUNT(*) AS n
+            FROM lineitem
+            JOIN (VALUES (1, 10, 'b1'), (11, 20, 'b2'), (21, 30, 'b3'),
+                         (31, 40, 'b4'), (41, 50, 'b5')) AS r(lo, hi, bucket)
+              ON l_quantity BETWEEN lo AND hi
+            GROUP BY bucket
+        """,
+        "where_clip": """
+            SELECT o_orderkey,
+                   ROUND(LEAST(GREATEST(o_totalprice, 50000), 400000), 2) AS clipped,
+                   ROUND(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0.0 END, 2) AS masked
+            FROM orders
+        """,
+        "docs_fingerprint": """
+            SELECT COUNT(*) AS n_distinct_fp FROM (
+                SELECT DISTINCT TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS norm
+                FROM documents
+            )
+        """,
+        # docs_minhash_dedup / docs_simhash_dedup / docs_ngram_dedup /
+        # docs_langid_quality / emb_cosine_dedup / emb_lsh_topk / emb_ivf_topk
+        # / multimodal_features: custom/approximate operators with no SQL
+        # equivalent -> rows-only check.
     }

@@ -37,6 +37,13 @@ HEADLINE = [
     "docs_minhash_dedup",
     "docs_langid_quality",
     "emb_brute_topk",
+    "q10_returned_revenue",
+    "q19_brand_filter",
+    "anti_join_customers",
+    "explode_words",
+    "expanding_stats",
+    "docs_fingerprint",
+    "emb_ivf_topk",
 ]
 
 

@@ -134,7 +134,11 @@ STR_FUNCS = {
     "match": lambda c, pat, case=True, na=None: c.rlike(f"^(?:{pat})" if case else f"(?i)^(?:{pat})"),
     "fullmatch": lambda c, pat, case=True, na=None: c.rlike(f"^(?:{pat})$" if case else f"(?i)^(?:{pat})$"),
     "extract": lambda c, pat, group=1: F.when(c.rlike(pat), F.regexp_extract(c, pat, group)),
-    "findall": lambda c, pat: F.regexp_extract_all(c, F.lit(pat)),
+    # idx=1 when the pattern has exactly one group (pandas returns the group),
+    # else 0 (full match) — Spark's default idx=1 errors on group-free patterns
+    "findall": lambda c, pat: F.regexp_extract_all(
+        c, F.lit(pat), 1 if __import__("re").compile(pat).groups == 1 else 0
+    ),
     "partition": _partition,
     "isalpha": lambda c: c.rlike(r"^[\p{L}]+$"),
     "isdigit": lambda c: c.rlike(r"^[\p{Nd}]+$"),

@@ -81,6 +81,13 @@ class DataFrame:
     def __getitem__(self, key):
         fr = self._frame
         if isinstance(key, Series):  # boolean mask
+            sj = getattr(key, "_semijoin", None)
+            if sj is not None:  # isin(Series) mask -> left_semi / left_anti join
+                other, base_expr, negate = sj
+                vals = other._frame.sdf.select(other._expr.alias("__sjv__")).distinct()
+                how = "left_anti" if negate else "left_semi"
+                joined = fr.sdf.join(vals, base_expr == F.col("__sjv__"), how)
+                return DataFrame(_frame=fr._subset_rows(joined))
             if fr.can_rebase(key._frame, key._refs):
                 cond = key._filter_expr if key._filter_expr is not None else key._expr
                 return DataFrame(_frame=fr.filter(cond))

@@ -122,15 +122,23 @@ def qcut(x: Series, q, labels=None) -> Series:
     return cut(x, edges, labels=labels)
 
 
-def crosstab(index: Series, columns: Series) -> pd.DataFrame:
-    """Contingency table (reference: general.py:713) — groupBy().pivot().count()."""
+def crosstab(index: Series, columns: Series) -> DataFrame:
+    """Contingency table (reference: general.py:713) — groupBy().pivot().count(),
+    fully distributed; the pivoted result stays a lazy frame."""
+    from modin_spark.core.frame import ORDER_COL, fresh_names
+
     target, ie, ce, refs = index._combine(columns)
     sdf = target.sdf.select(ie.alias("__i__"), ce.alias("__c__"))
-    pivoted = sdf.groupBy("__i__").pivot("__c__").count().na.fill(0).orderBy("__i__")
-    pdf = pivoted.toPandas().set_index("__i__")
-    pdf.index.name = index._name
-    pdf.columns.name = columns._name
-    return pdf
+    pivoted = sdf.groupBy("__i__").pivot("__c__").count().na.fill(0)
+    val_cols = [c for c in pivoted.columns if c != "__i__"]
+    phys = fresh_names(len(val_cols) + 1)
+    sel = [F.col("__i__").alias(ORDER_COL), F.col("__i__").alias(phys[0])]
+    sel += [F.col(c).alias(p) for c, p in zip(val_cols, phys[1:])]
+    fr = SparkFrame(
+        pivoted.select(*sel), pd.Index(val_cols), phys[1:], [phys[0]],
+        [index._name if index._name is not None else "index"],
+    )
+    return DataFrame(_frame=fr)
 
 
 def value_counts(s: Series, **kw) -> Series:

@@ -250,7 +250,11 @@ class Series:
         return self._binary(o, lambda a, b: F.coalesce(a, F.lit(False)) != F.coalesce(b, F.lit(False)))
 
     def __invert__(self):
-        return Series(self._frame, ~self._expr.cast("boolean"), self._refs, self._name)
+        sj = getattr(self, "_semijoin", None)
+        s = Series(self._frame, ~self._expr.cast("boolean"), self._refs, self._name)
+        if sj is not None:  # ~isin(Series) flips to an anti-join
+            s._semijoin = (sj[0], sj[1], not sj[2])
+        return s
 
     def __neg__(self):
         return Series(self._frame, -self._expr, self._refs, self._name)
@@ -307,6 +311,14 @@ class Series:
         return self._map1(f)
 
     def isin(self, values) -> "Series":
+        if isinstance(values, Series):
+            # mark for the filter path: executed as a left_semi join against
+            # the other column's distinct values (never collected to the
+            # driver — the reference's isin handles this per-partition,
+            # /root/reference/modin/core/storage_formats/pandas/query_compiler.py:2009)
+            s = Series(self._frame, F.lit(False), self._refs, self._name)
+            s._semijoin = (values, self._expr, False)
+            return s
         return self._map1(lambda c: F.coalesce(c.isin(list(values)), F.lit(False)))
 
     def between(self, left, right, inclusive="both") -> "Series":
