@@ -82,6 +82,16 @@ def _pad(c: Column, width: int, side: str = "left", fillchar: str = " ") -> Colu
     )
 
 
+def _rpartition(c: Column, sep: str = " ") -> Column:
+    """Split on the LAST occurrence: (head, sep, tail) struct."""
+    pos = F.length(c) - F.instr(F.reverse(c), F.reverse(F.lit(sep))) - len(sep) + 1
+    found = F.instr(F.reverse(c), F.reverse(F.lit(sep))) > 0
+    head = F.when(found, F.substring(c, 1, pos)).otherwise(F.lit(""))
+    tail = F.when(found, F.substring(c, pos + len(sep) + 1, 2**31 - 1)).otherwise(c)
+    mid = F.when(found, F.lit(sep)).otherwise(F.lit(""))
+    return F.array(head, mid, tail)
+
+
 def _partition(c: Column, sep: str = " ") -> Column:
     idx = F.instr(c, sep)
     return F.when(
@@ -140,6 +150,8 @@ STR_FUNCS = {
         c, F.lit(pat), 1 if __import__("re").compile(pat).groups == 1 else 0
     ),
     "partition": _partition,
+    "rpartition": lambda c, sep=" ": _rpartition(c, sep),
+    "rindex": lambda c, sub: F.length(c) - F.instr(F.reverse(c), F.reverse(F.lit(sub))) - len(sub) + 1,
     "isalpha": lambda c: c.rlike(r"^[\p{L}]+$"),
     "isdigit": lambda c: c.rlike(r"^[\p{Nd}]+$"),
     "isdecimal": lambda c: c.rlike(r"^[\p{Nd}]+$"),

@@ -75,15 +75,12 @@ def token_count(text: Column, mode: str = "whitespace") -> Column:
 
 
 def fingerprint(text: Column, bits: int = 64) -> Column:
-    """Document fingerprint: order-sensitive rolling hash of the normalized
-    word sequence (xxhash64 chained fold) — equal fingerprints <=> equal
-    normalized content, for cheap exact-dup detection."""
+    """Document fingerprint: order-sensitive 64-bit hash of the normalized
+    word sequence — equal fingerprints <=> equal normalized content, for
+    cheap exact-dup detection. One xxhash64 over the canonical space-joined
+    form (whole-stage codegen; a per-word fold is ~10x slower interpreted)."""
     words = F.filter(F.split(F.regexp_replace(F.lower(text), r"[^\p{L}\p{N}\s]", " "), r"\s+"), lambda w: w != "")
-    return F.aggregate(
-        words,
-        F.lit(0x811C9DC5).cast("long"),
-        lambda acc, w: F.xxhash64(acc.cast("string"), w),
-    )
+    return F.xxhash64(F.concat_ws(" ", words))
 
 
 def text_stats(df: SDF, text_col: str = "text") -> SDF:

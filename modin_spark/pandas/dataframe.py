@@ -367,6 +367,22 @@ class DataFrame:
             translated = _re.sub(rf"(?<![\w`]){_re.escape(str(lbl))}(?![\w`])", phys, translated)
         return DataFrame(_frame=fr.filter(F.expr(translated)))
 
+    def eval(self, expr: str) -> "DataFrame | Series":
+        """pandas.eval — 'new = expression' adds a column; a bare expression
+        returns a Series. Same label->physical translation as query; the
+        expression itself runs as a Catalyst expression (F.expr)."""
+        fr = self._frame
+        import re as _re
+
+        m = _re.match(r"^\s*([A-Za-z_]\w*)\s*=(?!=)\s*(.+)$", expr, _re.S)
+        rhs = m.group(2) if m else expr
+        for lbl, phys in sorted(zip(fr.columns, fr.data_cols), key=lambda t: -len(str(t[0]))):
+            rhs = _re.sub(rf"(?<![\w`]){_re.escape(str(lbl))}(?![\w`])", phys, rhs)
+        col = F.expr(rhs)
+        if m:
+            return DataFrame(_frame=fr.with_columns([m.group(1)], [col]))
+        return Series(fr, col, set(fr.data_cols), None)
+
     def sort_values(self, by, ascending=True, na_position="last") -> "DataFrame":
         by = by if isinstance(by, list) else [by]
         asc = ascending if isinstance(ascending, list) else [ascending] * len(by)

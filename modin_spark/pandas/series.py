@@ -519,6 +519,38 @@ class Series:
     def nsmallest(self, n: int = 5) -> "Series":
         return Series._from_frame(self._to_frame().sort_by([self._expr], [True]).head(n))
 
+    def explode(self) -> "Series":
+        """Array column -> one row per element (order: parent order, then
+        element position — same contract as frame explode)."""
+        from modin_spark.pandas.dataframe import DataFrame
+
+        df = DataFrame(_frame=self._to_frame(self._name if self._name is not None else "__v__"))
+        return df.explode(df.columns[0])[df.columns[0]]
+
+    def repeat(self, repeats: int) -> "Series":
+        rep = self._map1(lambda c: F.array_repeat(c, repeats))
+        return rep.explode()
+
+    def autocorr(self, lag: int = 1) -> float:
+        """Pearson correlation with the lag-shifted self (pandas autocorr) —
+        one position-equijoin + F.corr, no collect of the column."""
+        shifted = win.shift(self._to_frame("__v__"), [0], lag)
+        cur = self._to_frame("__v__").with_global_position("__p__")
+        prev = shifted.with_global_position("__p2__")
+        j = cur.sdf.join(
+            prev.sdf.select(F.col("__p2__"), F.col(prev.data_cols[0]).alias("__lagv__")),
+            cur.sdf["__p__"] == F.col("__p2__"),
+        )
+        r = j.agg(F.corr(F.col(cur.data_cols[0]).cast("double"), F.col("__lagv__").cast("double")).alias("r")).collect()
+        return float(r[0]["r"])
+
+    def searchsorted(self, value, side: str = "left") -> int:
+        """Insertion position in the sorted column — a count aggregate, not a
+        driver-side binary search."""
+        cmp = (self._expr < _lit(value)) if side == "left" else (self._expr <= _lit(value))
+        row = self._frame.sdf.agg(F.sum(F.when(cmp, 1).otherwise(0)).alias("n")).collect()[0]
+        return int(row["n"] or 0)
+
     # ------------------------------------------------------- order-dependent
     def cumsum(self) -> "Series":
         return Series._from_frame(win.cum_op(self._to_frame(), [0], "cumsum"))

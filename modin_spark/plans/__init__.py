@@ -42,3 +42,21 @@ def uses_broadcast_join(sdf: SDF) -> bool:
 def single_partition_exchanges(sdf: SDF) -> int:
     """Count SinglePartition exchanges — the scale smell for global windows."""
     return physical_plan(sdf).count("Exchange SinglePartition")
+
+
+def unsafe_single_partition_exchanges(sdf: SDF) -> int:
+    """SinglePartition exchanges whose child is NOT an aggregate.
+
+    The block/carry two-pass scheme deliberately funnels per-block aggregates
+    (#blocks rows) through one partition — bounded and safe. A SinglePartition
+    exchange over non-aggregated data is the real scale hazard (a global
+    window over every row)."""
+    lines = physical_plan(sdf).splitlines()
+    unsafe = 0
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        child = lines[i + 1] if i + 1 < len(lines) else ""
+        if "HashAggregate" not in child and "SortAggregate" not in child and "ObjectHashAggregate" not in child:
+            unsafe += 1
+    return unsafe

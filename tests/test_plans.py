@@ -1,0 +1,77 @@
+"""Physical-plan quality gates: pushdown, pruning, broadcast, no
+single-partition exchanges in the order machinery. These are the properties
+that make the engine survive 100x data — asserted, not assumed."""
+
+import pandas as pd
+import pytest
+
+from modin_spark import plans
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def li(spark):
+    import modin_spark.pandas as mpd
+
+    return mpd.read_parquet(f"{SF}/lineitem.parquet")
+
+
+def test_filter_pushdown_reaches_scan(li):
+    f = li[li.l_quantity > 45]
+    assert plans.has_pushed_filters(f._frame.sdf), plans.physical_plan(f._frame.sdf)
+
+
+def test_column_pruning(li):
+    sub = li[["l_orderkey", "l_quantity"]]
+    cols = plans.scan_columns(sub.to_spark(ordered=False))
+    assert set(cols) <= {"l_orderkey", "l_quantity"}, cols
+
+
+def test_small_dim_join_is_broadcast(spark):
+    """Without an explicit hint, Catalyst should still broadcast a tiny dim."""
+    import modin_spark.pandas as mpd
+
+    li = mpd.read_parquet(f"{SF}/lineitem.parquet")
+    nat = mpd.read_parquet(f"{SF}/nation.parquet")
+    sup = mpd.read_parquet(f"{SF}/supplier.parquet")
+    j = li.merge(sup, left_on="l_suppkey", right_on="s_suppkey").merge(
+        nat, left_on="s_nationkey", right_on="n_nationkey"
+    )
+    assert plans.uses_broadcast_join(j._frame.sdf)
+
+
+def test_groupby_agg_has_partial_agg(li):
+    g = li.groupby("l_returnflag").agg(s=("l_quantity", "sum"))
+    plan = plans.physical_plan(g._frame.sdf)
+    assert plan.count("HashAggregate") >= 2, plan  # partial + final
+
+
+def test_cumsum_no_unsafe_single_partition(li):
+    # carry passes may funnel #blocks-row aggregates through one partition;
+    # what must never happen is full data through a single partition
+    c = li[["l_quantity"]].cumsum()
+    assert plans.unsafe_single_partition_exchanges(c._frame.sdf) == 0, plans.physical_plan(c._frame.sdf)
+
+
+def test_rolling_no_unsafe_single_partition(li):
+    r = li[["l_quantity"]].rolling(5).mean()
+    assert plans.unsafe_single_partition_exchanges(r._frame.sdf) == 0, plans.physical_plan(r._frame.sdf)
+
+
+def test_shift_no_unsafe_single_partition(li):
+    s = li[["l_quantity"]].shift(1)
+    assert plans.unsafe_single_partition_exchanges(s._frame.sdf) == 0
+    # and the data path is range-partitioned (parallel)
+    assert "rangepartitioning" in plans.physical_plan(s._frame.sdf).lower()
+
+
+def test_rank_no_unsafe_single_partition(li):
+    r = li[["l_quantity"]].rank(method="min")
+    assert plans.unsafe_single_partition_exchanges(r._frame.sdf) == 0
+
+
+def test_sort_uses_range_partitioning(li):
+    s = li.sort_values("l_quantity")
+    plan = plans.physical_plan(s._frame.sdf)
+    assert "rangepartitioning" in plan.lower(), plan

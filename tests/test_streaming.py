@@ -1,0 +1,76 @@
+"""Structured Streaming resample/session windows over the events table
+(net-new vs the batch-only reference)."""
+
+import time
+
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _schema(spark):
+    from modin_spark.pandas.io import _nano_ts_cols
+
+    # events.parquet has ns timestamps; stream as the Spark-readable schema
+    df = spark.read.option("mergeSchema", "false").parquet(f"{SF}/events.parquet") if not _nano_ts_cols(
+        f"{SF}/events.parquet"
+    ) else None
+    return df
+
+
+def test_stream_resample_matches_batch(spark, tmp_path):
+    """Tumbling-window streaming agg == batch groupBy(window) on same data."""
+    import modin_spark.pandas as mpd
+    from modin_spark.streaming.resample import stream_resample
+    from pyspark.sql import functions as F
+
+    # write a Spark-readable (µs-timestamp) copy to stream from
+    ev = mpd.read_parquet(f"{SF}/events.parquet").to_spark(ordered=False)
+    src_dir = str(tmp_path / "events_us")
+    ev.select("ts", "value").write.mode("overwrite").parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+
+    q = stream_resample(
+        spark, schema, src_dir, ts_col="ts", rule="1h", aggs={"value": "sum"},
+        watermark="1 minute", query_name="t_resample", output_mode="complete",
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("select * from t_resample").toPandas().sort_values("window_start").reset_index(drop=True)
+    finally:
+        q.stop()
+
+    batch = (
+        spark.read.parquet(src_dir)
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.sum("value").alias("value_sum"))
+        .select(F.col("window.start").alias("window_start"), "value_sum")
+        .toPandas().sort_values("window_start").reset_index(drop=True)
+    )
+    assert len(got) == len(batch)
+    import numpy as np
+
+    np.testing.assert_allclose(got["value_sum"].values, batch["value_sum"].values, rtol=1e-9)
+
+
+def test_stream_session_windows(spark, tmp_path):
+    import modin_spark.pandas as mpd
+    from modin_spark.streaming.resample import stream_session_windows
+
+    ev = mpd.read_parquet(f"{SF}/events.parquet").to_spark(ordered=False)
+    src_dir = str(tmp_path / "events_sess")
+    ev.select("ts", "user_id").write.mode("overwrite").parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+
+    q = stream_session_windows(
+        spark, schema, src_dir, ts_col="ts", key_col="user_id",
+        gap="30 minutes", watermark="0 seconds", query_name="t_sess",
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("select * from t_sess").toPandas()
+    finally:
+        q.stop()
+    # sessions exist and end >= start
+    assert (got["session_end"] >= got["session_start"]).all()
