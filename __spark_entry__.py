@@ -717,6 +717,17 @@ def _emb_ivf_topk(spark, sf):
     return out.select("q_id", "vec_id", F.round("cosine", 4).alias("cos_sim"), "rank")
 
 
+def _resample_ffill(spark, sf):
+    """Timeline completion: hourly max over sparse error events, gaps
+    forward-filled (the asfreq/ffill surface, SURVEY §2.3 resample)."""
+    mpd = _mpd()
+    ev = mpd.read_parquet(f"{sf}/events.parquet")
+    errs = ev[ev.event_type == "error"][["ts", "value"]]
+    out = errs.resample("1h", on="ts").ffill(how="max").reset_index().rename(columns={"ts": "hour_start"})
+    out["value"] = _r(out["value"], 4)
+    return out.to_spark(ordered=False)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -785,6 +796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_ngram_dedup": _docs_ngram_dedup,
         "emb_lsh_topk": _emb_lsh_topk,
         "emb_ivf_topk": _emb_ivf_topk,
+        "resample_ffill": _resample_ffill,
     }
 
 
@@ -1168,6 +1180,19 @@ def oracle_sql() -> dict[str, str]:
                 SELECT DISTINCT TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS norm
                 FROM documents
             )
+        """,
+        "resample_ffill": """
+            WITH b AS (
+                SELECT DATE_TRUNC('hour', ts) AS h, MAX(value) AS v
+                FROM events WHERE event_type = 'error' GROUP BY 1
+            ), bounds AS (SELECT MIN(h) AS mn, MAX(h) AS mx FROM b),
+            tl AS (
+                SELECT UNNEST(GENERATE_SERIES(mn, mx, INTERVAL 1 HOUR)) AS h FROM bounds
+            )
+            SELECT tl.h AS hour_start,
+                   ROUND(LAST_VALUE(b.v IGNORE NULLS) OVER (
+                       ORDER BY tl.h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS value
+            FROM tl LEFT JOIN b ON tl.h = b.h
         """,
         # docs_minhash_dedup / docs_simhash_dedup / docs_ngram_dedup /
         # docs_langid_quality / emb_cosine_dedup / emb_lsh_topk / emb_ivf_topk

@@ -84,6 +84,22 @@ def image_features(df: SDF, bin_col: str = "payload", dim: int = 64, decode_stub
     return df.mapInPandas(extract, out_schema)
 
 
+def audio_features(df: SDF, bin_col: str = "payload", dim: int = 32, decode_stub: bool = True) -> SDF:
+    """Audio decode + feature extraction (MFCC-shaped) via mapInPandas.
+    Same batch contract as image_features; real impl would use torchaudio."""
+    out_schema = T.StructType(df.schema.fields + [T.StructField("audio_features", T.ArrayType(T.FloatType()))])
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decode_stub:
+                feats = [_fake_embedding(b, dim).tolist() for b in pdf[bin_col]]
+            else:
+                raise NotImplementedError("real audio decode requires torchaudio/librosa (not in this environment)")
+            yield pdf.assign(audio_features=feats)
+
+    return df.mapInPandas(extract, out_schema)
+
+
 def resize_images(df: SDF, bin_col: str = "payload", size: tuple[int, int] = (224, 224), decode_stub: bool = True) -> SDF:
     """Resize stub: passes payload through, rewrites meta dims (real impl
     would re-encode); keeps the operator signature and plan shape honest."""

@@ -119,6 +119,49 @@ class Resampler:
             return self._agg(spec)
         raise NotImplementedError
 
+    def asfreq(self):
+        """Value at each period boundary, with gaps as NULL rows — a
+        generated timeline (F.sequence over the observed min/max, driver sees
+        only 2 scalars) left-joined to the per-bucket last values."""
+        return self._timeline_fill(fill=None)
+
+    def ffill(self, how: str = "last"):
+        """asfreq + forward-fill over the gap rows (blocked two-pass ffill —
+        no global window)."""
+        return self._timeline_fill(fill="ffill", how=how)
+
+    def bfill(self, how: str = "last"):
+        return self._timeline_fill(fill="bfill", how=how)
+
+    def _timeline_fill(self, fill, how: str = "last"):
+        from modin_spark.core import windows as win
+        from modin_spark.pandas.dataframe import DataFrame
+
+        base = self._agg(how)  # one row per observed bucket
+        fr = base._frame
+        key = fr.index_cols[0]
+        dur = rule_to_duration(self._rule)
+        bounds = fr.sdf.agg(F.min(key).alias("mn"), F.max(key).alias("mx")).collect()[0]
+        timeline = fr.spark.range(1).select(
+            F.explode(
+                F.sequence(F.lit(bounds["mn"]), F.lit(bounds["mx"]), F.expr(f"interval {dur}"))
+            ).alias("__ts__")
+        )
+        joined = timeline.join(fr.sdf, timeline["__ts__"] == fr.sdf[key], "left").drop(key, ORDER_COL)
+        joined = joined.withColumn(key, F.col("__ts__")).withColumn(ORDER_COL, F.col("__ts__")).drop("__ts__")
+        out = SparkFrame(joined, fr.columns, fr.data_cols, [key], list(fr.index_names))
+        if fill == "ffill":
+            filled = win.ffill(out, list(range(len(out.columns))))
+            out = SparkFrame(
+                filled.sdf, out.columns, filled.data_cols, [key], list(out.index_names)
+            )
+        elif fill == "bfill":
+            filled = win.bfill(out, list(range(len(out.columns))))
+            out = SparkFrame(
+                filled.sdf, out.columns, filled.data_cols, [key], list(out.index_names)
+            )
+        return DataFrame(_frame=out)
+
     def ohlc(self):
         from modin_spark.pandas.dataframe import DataFrame
 

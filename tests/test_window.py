@@ -91,3 +91,23 @@ def test_block_boundary_correctness(spark):
         assert_series_equal(m.v.ffill(), p.v.ffill())
     finally:
         windows.BLOCK = old
+
+
+def test_resample_ffill_asfreq(spark):
+    import modin_spark.pandas as mpd
+
+    p = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:05", "2024-01-01 00:10", "2024-01-01 02:30", "2024-01-01 03:10"]
+            ),
+            "v": [1.0, 2.0, 3.0, 4.0],
+        }
+    )
+    m = mpd.from_pandas(p)
+    got = m.resample("1h", on="ts").ffill().reset_index().to_pandas().sort_values("ts").reset_index(drop=True)
+    ref = p.set_index("ts").resample("1h").last().ffill().reset_index()
+    assert got["v"].tolist() == ref["v"].tolist()
+    af = m.resample("1h", on="ts").asfreq().reset_index().to_pandas().sort_values("ts").reset_index(drop=True)
+    refa = p.set_index("ts").resample("1h").last().reset_index()  # last-per-bucket with NaN gaps
+    np.testing.assert_allclose(af["v"].values, refa["v"].values, equal_nan=True)
