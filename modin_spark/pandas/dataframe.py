@@ -784,6 +784,156 @@ class DataFrame:
         out = SparkFrame(pivoted.select(*sel), pd.Index(value_cols), out_phys, idx_phys, list(index))
         return DataFrame(_frame=out)
 
+    # ------------------------------------------------------- frame binaries
+    def _binary_frame(self, other, op, fill_value=None):
+        """Element-wise frame op/frame (the reference's Binary template,
+        /root/reference/modin/core/dataframe/algebra/binary.py): align columns
+        by label, rows by lineage (same frame) or by global position."""
+        if not isinstance(other, DataFrame):
+            # scalar: apply to every numeric column
+            labels, exprs = [], []
+            fr = self._frame
+            for i in range(len(fr.columns)):
+                labels.append(fr.columns[i])
+                exprs.append(op(fr.scol(i), F.lit(other)))
+            return DataFrame(_frame=fr.project(labels, exprs))
+        a, b = self._frame, other._frame
+        if a.can_rebase(b, set(b.data_cols)):
+            pairs = {}
+            for j, lbl in enumerate(b.columns):
+                pairs.setdefault(lbl, j)
+            labels, exprs = [], []
+            for i, lbl in enumerate(a.columns):
+                labels.append(lbl)
+                j = pairs.get(lbl)
+                if j is None:
+                    exprs.append(F.lit(None))
+                else:
+                    la, lb = a.scol(i), b.scol(j)
+                    if fill_value is not None:
+                        la, lb = F.coalesce(la, F.lit(fill_value)), F.coalesce(lb, F.lit(fill_value))
+                    exprs.append(op(la, lb))
+            return DataFrame(_frame=a.project(labels, exprs))
+        # unaligned lineage: join on global position (both sides range-
+        # partitioned on order — one co-located shuffle each)
+        ap = a.with_global_position("__ba__")
+        bp = b.with_global_position("__bb__")
+        bsel = bp.sdf.select(F.col("__bb__"), *[F.col(p).alias(f"__r_{j}") for j, p in enumerate(bp.data_cols)])
+        j = ap.sdf.join(bsel, ap.sdf["__ba__"] == bsel["__bb__"], "full_outer")
+        pairs = {}
+        for jj, lbl in enumerate(b.columns):
+            pairs.setdefault(lbl, jj)
+        labels, exprs = [], []
+        for i, lbl in enumerate(a.columns):
+            labels.append(lbl)
+            jj = pairs.get(lbl)
+            if jj is None:
+                exprs.append(F.lit(None))
+            else:
+                la, lb = F.col(ap.data_cols[i]), F.col(f"__r_{jj}")
+                if fill_value is not None:
+                    la, lb = F.coalesce(la, F.lit(fill_value)), F.coalesce(lb, F.lit(fill_value))
+                exprs.append(op(la, lb))
+        fr = SparkFrame(j.withColumn(ORDER_COL, F.col("__ba__")), a.columns, ap.data_cols, [], [None])
+        return DataFrame(_frame=fr.project(labels, exprs))
+
+    def add(self, other, fill_value=None):
+        return self._binary_frame(other, lambda a, b: a + b, fill_value)
+
+    def sub(self, other, fill_value=None):
+        return self._binary_frame(other, lambda a, b: a - b, fill_value)
+
+    def mul(self, other, fill_value=None):
+        return self._binary_frame(other, lambda a, b: a * b, fill_value)
+
+    def div(self, other, fill_value=None):
+        return self._binary_frame(other, lambda a, b: a.cast("double") / b, fill_value)
+
+    truediv = div
+
+    def floordiv(self, other, fill_value=None):
+        return self._binary_frame(other, lambda a, b: F.floor(a.cast("double") / b), fill_value)
+
+    def mod(self, other, fill_value=None):
+        return self._binary_frame(other, lambda a, b: F.pmod(a, b), fill_value)
+
+    def pow(self, other, fill_value=None):
+        return self._binary_frame(other, lambda a, b: F.pow(a, b), fill_value)
+
+    __add__ = add
+    __sub__ = sub
+    __mul__ = mul
+    __truediv__ = div
+
+    # --------------------------------------------------------- conveniences
+    def pipe(self, func, *args, **kwargs):
+        return func(self, *args, **kwargs)
+
+    def take(self, indices) -> "DataFrame":
+        return self.iloc[list(indices)]
+
+    def add_prefix(self, prefix: str) -> "DataFrame":
+        return self.rename(columns={c: f"{prefix}{c}" for c in self.columns})
+
+    def add_suffix(self, suffix: str) -> "DataFrame":
+        return self.rename(columns={c: f"{c}{suffix}" for c in self.columns})
+
+    def squeeze(self):
+        if len(self._frame.columns) == 1:
+            return self._series_at(0)
+        return self
+
+    def items(self):
+        for i, lbl in enumerate(self._frame.columns):
+            yield lbl, self._series_at(i)
+
+    def iterrows(self):
+        """Driver-side iteration (documented escape hatch — same contract as
+        the reference's default-to-pandas iteration)."""
+        for idx, row in self.to_pandas().iterrows():
+            yield idx, row
+
+    def itertuples(self, index=True, name="Pandas"):
+        yield from self.to_pandas().itertuples(index=index, name=name)
+
+    def update(self, other: "DataFrame") -> None:
+        """In-place patch of non-null cells from ``other`` (index-aligned)."""
+        patched = other.combine_first(self)
+        # combine_first prefers `other`'s non-null cells; restrict to self's columns
+        self._frame = patched[[c for c in self.columns]]._frame
+
+    def memory_usage(self, index=False, deep=False) -> pd.Series:
+        """Estimated bytes per column: fixed-width from the Spark type; strings
+        sampled. Driver sees one aggregate row."""
+        fr = self._frame
+        from pyspark.sql import types as T
+
+        fixed = {
+            T.LongType: 8, T.DoubleType: 8, T.IntegerType: 4, T.FloatType: 4,
+            T.ShortType: 2, T.ByteType: 1, T.BooleanType: 1, T.TimestampType: 8, T.DateType: 4,
+        }
+        aggs, kinds = [], []
+        for i in range(len(fr.columns)):
+            t = type(fr.spark_type_of(i))
+            if t in fixed:
+                aggs.append(F.count(F.lit(1)) * fixed[t])
+            else:
+                aggs.append(F.sum(F.coalesce(F.length(fr.scol(i).cast("string")), F.lit(0))))
+            kinds.append(fr.columns[i])
+        row = fr.sdf.agg(*[a.alias(f"m{i}") for i, a in enumerate(aggs)]).collect()[0]
+        return pd.Series({k: int(row[f"m{i}"] or 0) for i, k in enumerate(kinds)})
+
+    def dot(self, other):
+        """Matrix product with a Series (weights vector): one narrow
+        expression — sum(col_i * w_i) per row (reference qc:2546)."""
+        w = other.to_pandas() if hasattr(other, "to_pandas") else other
+        fr = self._frame
+        expr = None
+        for i, lbl in enumerate(fr.columns):
+            term = fr.scol(i) * F.lit(float(w[lbl]))
+            expr = term if expr is None else (expr + term)
+        return Series(fr, expr, set(fr.data_cols), None)
+
     def pivot(self, index=None, columns=None, values=None) -> "DataFrame":
         """Reshape without aggregation (errors on duplicates in pandas; here
         first-wins) — groupBy(index).pivot(columns).first(values)."""

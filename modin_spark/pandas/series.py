@@ -519,6 +519,41 @@ class Series:
     def nsmallest(self, n: int = 5) -> "Series":
         return Series._from_frame(self._to_frame().sort_by([self._expr], [True]).head(n))
 
+    def pipe(self, func, *args, **kwargs):
+        return func(self, *args, **kwargs)
+
+    def duplicated(self, keep="first") -> "Series":
+        return Series._from_frame(qc.duplicated(self._to_frame(), None, keep))
+
+    def dot(self, other: "Series") -> float:
+        """Vector dot product — one aggregate (reference qc:2546)."""
+        target, ae, be, _ = self._combine(other)
+        row = target.sdf.agg(F.sum(ae * be).alias("d")).collect()[0]
+        return float(row["d"])
+
+    def first_valid_index(self):
+        """Index/position of the first non-null — min(order) where non-null,
+        one aggregate, no scan to the driver."""
+        fr = self._to_frame("__v__").ensure_order()
+        idx = F.col(fr.index_cols[0]) if fr.index_cols else None
+        pick = F.min_by(idx, F.col(ORDER_COL)) if idx is not None else None
+        if pick is None:
+            fr2 = fr.with_global_position("__p__")
+            row = fr2.sdf.where(F.col(fr2.data_cols[0]).isNotNull()).agg(F.min("__p__").alias("i")).collect()[0]
+            return None if row["i"] is None else int(row["i"])
+        row = fr.sdf.where(F.col(fr.data_cols[0]).isNotNull()).agg(pick.alias("i")).collect()[0]
+        return row["i"]
+
+    def last_valid_index(self):
+        fr = self._to_frame("__v__").ensure_order()
+        if fr.index_cols:
+            pick = F.max_by(F.col(fr.index_cols[0]), F.col(ORDER_COL))
+            row = fr.sdf.where(F.col(fr.data_cols[0]).isNotNull()).agg(pick.alias("i")).collect()[0]
+            return row["i"]
+        fr2 = fr.with_global_position("__p__")
+        row = fr2.sdf.where(F.col(fr2.data_cols[0]).isNotNull()).agg(F.max("__p__").alias("i")).collect()[0]
+        return None if row["i"] is None else int(row["i"])
+
     def explode(self) -> "Series":
         """Array column -> one row per element (order: parent order, then
         element position — same contract as frame explode)."""

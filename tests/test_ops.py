@@ -130,3 +130,76 @@ def test_cut_qcut(mdf, pdf):
     got = mpd.cut(mdf.b, [0, 25, 50, 75, 100], labels=["q1", "q2", "q3", "q4"])
     ref = pd.cut(pdf.b, [0, 25, 50, 75, 100], labels=["q1", "q2", "q3", "q4"]).astype(str)
     assert_series_equal(got, ref)
+
+
+def test_frame_binary_aligned(mdf, pdf):
+    got = (mdf[["a", "b"]] + mdf[["a", "b"]]).to_pandas()
+    ref = pdf[["a", "b"]] + pdf[["a", "b"]]
+    np.testing.assert_allclose(got.values.astype(float), ref.values.astype(float), rtol=1e-9)
+    got = mdf[["a", "b"]].mul(mdf[["a", "b"]]).to_pandas()
+    ref = pdf[["a", "b"]].mul(pdf[["a", "b"]])
+    np.testing.assert_allclose(got.values.astype(float), ref.values.astype(float), rtol=1e-9)
+
+
+def test_frame_binary_unaligned(spark):
+    import modin_spark.pandas as mpd
+
+    a = pd.DataFrame({"x": [1.0, 2.0, 3.0]})
+    b = pd.DataFrame({"x": [10.0, 20.0, 30.0]})
+    got = (mpd.from_pandas(a) + mpd.from_pandas(b)).to_pandas()
+    np.testing.assert_allclose(got["x"].values, (a + b)["x"].values)
+
+
+def test_frame_binary_scalar(mdf, pdf):
+    got = (mdf[["a", "b"]] + 5).to_pandas()
+    ref = pdf[["a", "b"]] + 5
+    np.testing.assert_allclose(got.values.astype(float), ref.values.astype(float), rtol=1e-9)
+
+
+def test_pipe_take_prefix_squeeze(mdf, pdf):
+    assert mdf.pipe(lambda d: len(d)) == len(pdf)
+    got = mdf.take([0, 2, 4]).to_pandas()
+    assert len(got) == 3
+    assert list(mdf.add_prefix("p_").columns) == [f"p_{c}" for c in pdf.columns]
+    s = mdf[["a"]].squeeze()
+    from modin_spark.pandas.series import Series as MS
+
+    assert isinstance(s, MS)
+
+
+def test_series_duplicated_valid_index(mdf, pdf):
+    got = mdf["k"].duplicated().to_pandas()
+    ref = pdf["k"].duplicated()
+    assert (got.values == ref.values).all()
+    p = pd.DataFrame({"v": [np.nan, np.nan, 1.0, 2.0, np.nan]})
+    import modin_spark.pandas as mpd
+
+    m = mpd.from_pandas(p)
+    assert m["v"].first_valid_index() == p["v"].first_valid_index()
+    assert m["v"].last_valid_index() == p["v"].last_valid_index()
+
+
+def test_series_dot_frame_dot(mdf, pdf):
+    got = mdf["a"].dot(mdf["a"])
+    ref = float((pdf["a"] * pdf["a"]).sum())
+    np.testing.assert_allclose(got, ref, rtol=1e-9)
+    w = pd.Series({"a": 2.0, "b": 0.5})
+    gotf = mdf[["a", "b"]].dot(w).to_pandas()
+    reff = pdf[["a", "b"]].dot(w)
+    np.testing.assert_allclose(gotf.values, reff.values, rtol=1e-9)
+
+
+def test_memory_usage(mdf):
+    mu = mdf.memory_usage()
+    assert (mu > 0).all()
+
+
+def test_update(spark):
+    import modin_spark.pandas as mpd
+
+    a = pd.DataFrame({"k": [1, 2, 3], "v": [1.0, np.nan, 3.0]})
+    b = pd.DataFrame({"k": [2], "v": [99.0]})
+    ma = mpd.from_pandas(a).set_index("k")
+    ma.update(mpd.from_pandas(b).set_index("k"))
+    got = ma.reset_index().to_pandas().sort_values("k").reset_index(drop=True)
+    assert got["v"].tolist() == [1.0, 99.0, 3.0]
