@@ -354,6 +354,46 @@ def concat_rows(frames: list[SparkFrame], join: str = "outer", ignore_index: boo
     return out
 
 
+def concat_cols(frames: list[SparkFrame], join: str = "outer") -> SparkFrame:
+    """``pd.concat(axis=1)`` — horizontal stack aligned on index columns when
+    all frames have them, else on global position (each side range-partitions
+    on its order; the joins co-locate). Reference: frame concat axis=1 via
+    copartition, /root/reference/modin/core/dataframe/pandas/dataframe/dataframe.py:3953."""
+    how = "full_outer" if join == "outer" else "inner"
+    use_index = all(fr.index_cols for fr in frames)
+    base = frames[0]
+    if use_index:
+        acc = base.sdf
+        key = base.index_cols[0]
+        out_labels = list(base.columns)
+        out_phys = list(base.data_cols)
+        for fr in frames[1:]:
+            r_orig = list(dict.fromkeys(fr.index_cols + fr.data_cols))
+            r_map = dict(zip(r_orig, fresh_names(len(r_orig))))
+            rsdf = fr.sdf.select(*[F.col(p).alias(r_map[p]) for p in r_orig])
+            rk = r_map[fr.index_cols[0]]
+            acc = acc.join(rsdf, acc[key] == rsdf[rk], how)
+            acc = acc.withColumn(key, F.coalesce(F.col(key), F.col(rk)))
+            out_labels += list(fr.columns)
+            out_phys += [r_map[p] for p in fr.data_cols]
+        acc = acc.withColumn(ORDER_COL, F.col(key))
+        return SparkFrame(acc, pd.Index(out_labels), out_phys, [key], list(base.index_names))
+    pos = fresh_names(len(frames))
+    acc = frames[0].with_global_position(pos[0]).sdf
+    out_labels = list(base.columns)
+    out_phys = list(base.data_cols)
+    for k, fr in enumerate(frames[1:], start=1):
+        fp = fr.with_global_position(pos[k])
+        r_orig = list(fp.data_cols)
+        r_map = dict(zip(r_orig, fresh_names(len(r_orig))))
+        rsdf = fp.sdf.select(F.col(pos[k]), *[F.col(p).alias(r_map[p]) for p in r_orig])
+        acc = acc.join(rsdf, acc[pos[0]] == rsdf[pos[k]], how)
+        out_labels += list(fr.columns)
+        out_phys += [r_map[p] for p in fr.data_cols]
+    acc = acc.withColumn(ORDER_COL, F.col(pos[0]))
+    return SparkFrame(acc, pd.Index(out_labels), out_phys, [], [None])
+
+
 def drop_duplicates(frame: SparkFrame, subset_positions: Sequence[int] | None, keep: str = "first") -> SparkFrame:
     """Order contract: keeps first (or last) occurrence, original order.
 

@@ -207,7 +207,55 @@ _ROLL_AGGS = {
     "std": F.stddev_samp,
     "var": F.var_samp,
     "median": F.median,
+    "sem": lambda c: F.stddev_samp(c) / F.sqrt(F.count(c)),
+    "skew": F.skewness,
+    "kurt": F.kurtosis,
 }
+
+
+def rolling_quantile(frame, positions, window, q, min_periods=None, group_phys=None):
+    """rolling(w).quantile(q) — F.percentile over the row window."""
+    return rolling_agg(frame, positions, window, "quantile", min_periods, group_phys, q=q)
+
+
+def rolling_apply(frame, positions, window, func, min_periods=None):
+    """rolling(w).apply(func) — collect_list over the block-halo window, then
+    one Arrow-vectorized pandas_udf over the window arrays (the documented
+    slow path; every built-in agg should use rolling_agg instead)."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    if min_periods is None:
+        min_periods = window
+
+    @F.pandas_udf(T.DoubleType())
+    def _apply(arrs: pd.Series) -> pd.Series:
+        out = []
+        for a in arrs:
+            v = np.asarray([x for x in a if x is not None], dtype="float64")
+            out.append(float(func(v)) if v.size >= min_periods else float("nan"))
+        return pd.Series(out, dtype="float64")
+
+    frame2 = frame.ensure_order()
+    phys = [frame2.data_cols[i] for i in positions]
+    labels = [frame2.columns[i] for i in positions]
+    fr = _with_blocks(frame2)
+    base = fr.sdf.withColumn("__halo__", F.lit(0))
+    halo = (
+        fr.sdf.where((F.col(_POS) % BLOCK) >= (BLOCK - (window - 1)))
+        .withColumn(_BLK, F.col(_BLK) + 1)
+        .withColumn("__halo__", F.lit(1))
+    )
+    sdf = base.unionByName(halo)
+    w = Window.partitionBy(_BLK).orderBy(_POS).rowsBetween(-(window - 1), 0)
+    out_phys = fresh_names(len(phys))
+    for p, op_ in zip(phys, out_phys):
+        arr = F.collect_list(F.col(p)).over(w)
+        pos_cnt = F.count(F.lit(1)).over(w)
+        sdf = sdf.withColumn(op_, F.when(pos_cnt >= 1, _apply(arr)))
+    sdf = sdf.where(F.col("__halo__") == 0).drop("__halo__")
+    out = fr._same_rows(sdf).project(labels, [F.col(op_) for op_ in out_phys])
+    return _drop_aux(out)
 
 
 def rolling_agg(
@@ -217,6 +265,7 @@ def rolling_agg(
     agg: str,
     min_periods: int | None = None,
     group_phys: list[str] | None = None,
+    q: float | None = None,
 ) -> SparkFrame:
     """Fixed-size rolling window along frame order (pandas ``rolling(w).agg()``).
 
@@ -227,7 +276,7 @@ def rolling_agg(
     """
     if min_periods is None:
         min_periods = window
-    fn = _ROLL_AGGS[agg]
+    fn = (lambda c: F.percentile(c, F.lit(q))) if agg == "quantile" else _ROLL_AGGS[agg]
     frame = frame.ensure_order()
     phys = [frame.data_cols[i] for i in positions]
     labels = [frame.columns[i] for i in positions]

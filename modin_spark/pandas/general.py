@@ -21,7 +21,7 @@ def concat(objs, axis=0, join="outer", ignore_index=False) -> DataFrame:
         else:
             frames.append(SparkFrame.from_pandas(pd.DataFrame(o)))
     if axis in (1, "columns"):
-        raise NotImplementedError("concat axis=1 (use merge on index)")
+        return DataFrame(_frame=qc.concat_cols(frames, join=join))
     return DataFrame(_frame=qc.concat_rows(frames, join=join, ignore_index=ignore_index))
 
 

@@ -7,7 +7,7 @@ from __future__ import annotations
 from modin_spark.core import windows as win
 from modin_spark.pandas.series import Series
 
-_ROLL = ["sum", "mean", "min", "max", "count", "std", "var", "median"]
+_ROLL = ["sum", "mean", "min", "max", "count", "std", "var", "median", "sem", "skew", "kurt"]
 _EXP = ["sum", "mean", "min", "max", "count", "std", "var"]
 
 
@@ -27,6 +27,26 @@ class Rolling:
         df = self._obj
         pos = df._numeric_positions()
         out = win.rolling_agg(df._frame, pos, self._window, agg, self._min_periods)
+        return DataFrame(_frame=out)
+
+    def quantile(self, q=0.5):
+        from modin_spark.pandas.dataframe import DataFrame
+
+        if isinstance(self._obj, Series):
+            out = win.rolling_quantile(self._obj._to_frame(), [0], self._window, q, self._min_periods)
+            return Series._from_frame(out)
+        df = self._obj
+        out = win.rolling_quantile(df._frame, df._numeric_positions(), self._window, q, self._min_periods)
+        return DataFrame(_frame=out)
+
+    def apply(self, func, raw=True):
+        from modin_spark.pandas.dataframe import DataFrame
+
+        if isinstance(self._obj, Series):
+            out = win.rolling_apply(self._obj._to_frame(), [0], self._window, func, self._min_periods)
+            return Series._from_frame(out)
+        df = self._obj
+        out = win.rolling_apply(df._frame, df._numeric_positions(), self._window, func, self._min_periods)
         return DataFrame(_frame=out)
 
 

@@ -111,3 +111,39 @@ def test_resample_ffill_asfreq(spark):
     af = m.resample("1h", on="ts").asfreq().reset_index().to_pandas().sort_values("ts").reset_index(drop=True)
     refa = p.set_index("ts").resample("1h").last().reset_index()  # last-per-bucket with NaN gaps
     np.testing.assert_allclose(af["v"].values, refa["v"].values, equal_nan=True)
+
+
+def test_rolling_quantile_apply(mdf, pdf):
+    gq = mdf["b"].rolling(5).quantile(0.25).to_pandas()
+    rq = pdf["b"].rolling(5).quantile(0.25)
+    np.testing.assert_allclose(gq.values, rq.values, rtol=1e-9, equal_nan=True)
+    ga = mdf["b"].rolling(4).apply(np.median).to_pandas()
+    ra = pdf["b"].rolling(4).apply(np.median)
+    np.testing.assert_allclose(ga.values, ra.values, rtol=1e-9, equal_nan=True)
+
+
+def test_concat_axis1(spark):
+    import modin_spark.pandas as mpd
+
+    a = pd.DataFrame({"x": [1.0, 2.0, 3.0]})
+    b = pd.DataFrame({"y": [9.0, 8.0, 7.0], "z": ["u", "v", "w"]})
+    got = mpd.concat([mpd.from_pandas(a), mpd.from_pandas(b)], axis=1).to_pandas()
+    ref = pd.concat([a, b], axis=1)
+    assert list(got.columns) == list(ref.columns)
+    np.testing.assert_allclose(got["x"].values, ref["x"].values)
+    assert got["z"].tolist() == ref["z"].tolist()
+
+
+def test_concat_axis1_on_index(spark):
+    import modin_spark.pandas as mpd
+
+    a = pd.DataFrame({"k": [1, 2, 3], "x": [1.0, 2.0, 3.0]})
+    b = pd.DataFrame({"k": [2, 3, 4], "y": [9.0, 8.0, 7.0]})
+    got = (
+        mpd.concat([mpd.from_pandas(a).set_index("k"), mpd.from_pandas(b).set_index("k")], axis=1)
+        .reset_index().to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    ref = pd.concat([a.set_index("k"), b.set_index("k")], axis=1).reset_index()
+    assert list(got.columns) == list(ref.columns)
+    np.testing.assert_allclose(got["x"].values, ref["x"].values, equal_nan=True)
+    np.testing.assert_allclose(got["y"].values, ref["y"].values, equal_nan=True)
