@@ -27,6 +27,7 @@ from modin_spark.pandas.general import (
     wide_to_long,
 )
 from modin_spark.pandas.io import (
+    from_arrow,
     from_pandas,
     from_spark,
     read_csv,
@@ -67,6 +68,7 @@ __all__ = [
     "unique",
     "value_counts",
     "wide_to_long",
+    "from_arrow",
     "from_pandas",
     "from_spark",
     "read_csv",

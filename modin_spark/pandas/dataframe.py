@@ -215,6 +215,26 @@ class DataFrame:
         order.insert(loc, n - 1)
         self._frame = fr.select_positions(order)
 
+    def to_arrow(self):
+        """Arrow table egress (Spark 4 ``toArrow``; reference interchange
+        protocol, dataframe.py:4803)."""
+        sdf = self.to_spark(ordered=False)
+        try:
+            return sdf.toArrow()
+        except Exception:
+            import pyarrow as pa
+
+            return pa.Table.from_pandas(self.to_pandas())
+
+    def to_pickle(self, path: str) -> None:
+        self.to_pandas().to_pickle(path)
+
+    def infer_objects(self) -> "DataFrame":
+        return self  # schema is always concrete in Spark (SURVEY §1.2)
+
+    def convert_dtypes(self) -> "DataFrame":
+        return self  # Spark types are already nullable-native
+
     def astype(self, dtype) -> "DataFrame":
         fr = self._frame
         if not isinstance(dtype, dict):
@@ -471,6 +491,30 @@ class DataFrame:
         broadcast: bool | None = None,
     ) -> "DataFrame":
         lf, rf = self._frame, right._frame
+        if how == "cross":
+            # cartesian product (reference passes merge(how="cross") through
+            # to the pandas kernel; here a native crossJoin)
+            r_orig = list(rf.data_cols)
+            from modin_spark.core.frame import fresh_names as _fn
+
+            r_map = dict(zip(r_orig, _fn(len(r_orig))))
+            lsdf = lf.ensure_order().sdf.withColumnRenamed(ORDER_COL, "__lo__")
+            rsdf = rf.ensure_order().sdf.select(
+                F.col(ORDER_COL).alias("__ro__"), *[F.col(p).alias(r_map[p]) for p in r_orig]
+            )
+            joined = lsdf.crossJoin(rsdf).withColumn(
+                ORDER_COL, F.struct(F.col("__lo__").alias("l"), F.col("__ro__").alias("r"))
+            ).drop("__lo__", "__ro__")
+            out_labels, out_phys = [], []
+            rset = set(rf.columns)
+            for lbl, p in zip(lf.columns, lf.data_cols):
+                out_labels.append(f"{lbl}{suffixes[0]}" if lbl in rset else lbl)
+                out_phys.append(p)
+            lset = set(lf.columns)
+            for lbl, p in zip(rf.columns, rf.data_cols):
+                out_labels.append(f"{lbl}{suffixes[1]}" if lbl in lset else lbl)
+                out_phys.append(r_map[p])
+            return DataFrame(_frame=SparkFrame(joined, pd.Index(out_labels), out_phys, [], [None]))
         if on is not None:
             on = on if isinstance(on, list) else [on]
             left_on, right_on = on, on

@@ -117,3 +117,19 @@ read_html = _pandas_reader("read_html")
 read_pickle = _pandas_reader("read_pickle")
 read_feather = _pandas_reader("read_feather")
 read_fwf = _pandas_reader("read_fwf")
+
+
+def from_arrow(table) -> DataFrame:
+    """Arrow table -> frame (reference: from_arrow at
+    /root/reference/modin/core/dataframe/pandas/dataframe/dataframe.py:4623)."""
+    spark = get_spark()
+    try:
+        sdf = spark.createDataFrame(table)  # Spark 4 accepts pyarrow Tables
+    except Exception:
+        sdf = spark.createDataFrame(table.to_pandas())
+    return DataFrame(_frame=SparkFrame.from_spark(sdf))
+
+
+def to_pickle(df: DataFrame, path: str) -> None:
+    """Driver-side (like the reference's to_pickle, modin/core/io/io.py:713+)."""
+    df.to_pandas().to_pickle(path)

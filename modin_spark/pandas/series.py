@@ -366,6 +366,18 @@ class Series:
         return StringMethods(self)
 
     @property
+    def list(self) -> "ListMethods":
+        return ListMethods(self)
+
+    @property
+    def struct(self) -> "StructMethods":
+        return StructMethods(self)
+
+    @property
+    def cat(self) -> "CategoricalMethods":
+        return CategoricalMethods(self)
+
+    @property
     def dt(self) -> "DatetimeMethods":
         return DatetimeMethods(self)
 
@@ -718,3 +730,78 @@ class DatetimeMethods:
             return self._s._map1(lambda c: fn(c, *args, **kwargs))
 
         return call
+
+
+class ListMethods:
+    """Nested array-column accessor (reference: list_* at
+    /root/reference/modin/core/storage_formats/base/query_compiler.py:7354-7390)
+    — all native ArrayType expressions."""
+
+    def __init__(self, s: Series):
+        self._s = s
+
+    def flatten(self) -> Series:
+        return self._s._map1(F.flatten)
+
+    def len(self) -> Series:
+        return self._s._map1(lambda c: F.when(c.isNotNull(), F.size(c)))
+
+    def __getitem__(self, i: int) -> Series:
+        # pandas list[i] is 0-based; element_at is 1-based (negatives from end)
+        return self._s._map1(lambda c: F.element_at(c, i + 1 if i >= 0 else i))
+
+    def get(self, i: int) -> Series:
+        return self[i]
+
+
+class StructMethods:
+    """Struct-column accessor (reference: struct_* at base qc:7394-7430)."""
+
+    def __init__(self, s: Series):
+        self._s = s
+
+    def field(self, name: str) -> Series:
+        return self._s._map1(lambda c: c.getField(name), name=name)
+
+    def dtypes(self) -> pd.Series:
+        st = self._s.spark_type
+        return pd.Series({f.name: spark_to_pandas_dtype(f.dataType) for f in st.fields})
+
+    def explode(self):
+        """struct -> one column per field (pandas struct.explode)."""
+        from modin_spark.pandas.dataframe import DataFrame
+
+        st = self._s.spark_type
+        labels = [f.name for f in st.fields]
+        exprs = [self._s._expr.getField(f.name) for f in st.fields]
+        return DataFrame(_frame=self._s._frame.project(labels, exprs))
+
+
+class CategoricalMethods:
+    """Categorical accessor: dictionary-encode via a broadcast join against
+    the sorted distinct values (reference: cat_codes qc:4797 with
+    LazyProxyCategoricalDtype — here the dictionary is computed on demand)."""
+
+    def __init__(self, s: Series):
+        self._s = s
+
+    @property
+    def categories(self) -> pd.Index:
+        vals = self._s._frame.sdf.select(self._s._expr.alias("__c__")).where(
+            F.col("__c__").isNotNull()
+        ).distinct().orderBy("__c__").collect()
+        return pd.Index([r["__c__"] for r in vals])
+
+    @property
+    def codes(self) -> Series:
+        s = self._s
+        distinct = s._frame.sdf.select(s._expr.alias("__cv__")).where(F.col("__cv__").isNotNull()).distinct()
+        from pyspark.sql.window import Window as W
+
+        coded = distinct.withColumn("__code__", (F.dense_rank().over(W.orderBy("__cv__")) - 1).cast("short"))
+        joined = s._frame.sdf.join(F.broadcast(coded), s._expr == F.col("__cv__"), "left")
+        nf = SparkFrame(
+            joined, s._frame.columns, s._frame.data_cols, s._frame.index_cols, s._frame.index_names,
+            _lid=s._frame._lid, _chain=s._frame._chain,
+        )
+        return Series(nf, F.coalesce(F.col("__code__"), F.lit(-1).cast("short")), {"__code__"}, s._name)

@@ -203,3 +203,49 @@ def test_update(spark):
     ma.update(mpd.from_pandas(b).set_index("k"))
     got = ma.reset_index().to_pandas().sort_values("k").reset_index(drop=True)
     assert got["v"].tolist() == [1.0, 99.0, 3.0]
+
+
+def test_list_struct_accessors(spark):
+    import modin_spark.pandas as mpd
+
+    p = pd.DataFrame({"a": [[1, 2, 3], [4], None]})
+    m = mpd.from_pandas(p)
+    assert m["a"].list.len().to_pandas().fillna(-1).tolist() == [3.0, 1.0, -1.0]
+    assert m["a"].list[0].to_pandas().fillna(-1).tolist() == [1.0, 4.0, -1.0]
+    s = mpd.from_pandas(pd.DataFrame({"x": [1, 2]}))
+    s["st"] = None
+    # struct built via Spark expr
+    from pyspark.sql import functions as F
+
+    fr = s._frame.with_columns(["st"], [F.struct(F.lit(1).alias("u"), F.lit("a").alias("v"))])
+    import modin_spark.pandas as mpd2
+
+    df = mpd2.DataFrame(_frame=fr)
+    ex = df["st"].struct.explode().to_pandas()
+    assert list(ex.columns) == ["u", "v"]
+    assert df["st"].struct.field("u").to_pandas().tolist() == [1, 1]
+
+
+def test_cat_codes(mdf, pdf):
+    got = mdf["k"].cat.codes.to_pandas()
+    ref = pdf["k"].astype("category").cat.codes
+    assert (got.values == ref.values).all()
+    assert list(mdf["k"].cat.categories) == list(pdf["k"].astype("category").cat.categories)
+
+
+def test_cross_merge(spark):
+    import modin_spark.pandas as mpd
+
+    a = pd.DataFrame({"x": [1, 2]})
+    b = pd.DataFrame({"y": ["p", "q", "r"]})
+    got = mpd.from_pandas(a).merge(mpd.from_pandas(b), how="cross").to_pandas()
+    ref = a.merge(b, how="cross")
+    assert sorted(map(tuple, got.values.tolist())) == sorted(map(tuple, ref.values.tolist()))
+
+
+def test_arrow_roundtrip(mdf, pdf):
+    import modin_spark.pandas as mpd
+
+    t = mdf[["a", "b"]].to_arrow()
+    back = mpd.from_arrow(t).to_pandas()
+    np.testing.assert_allclose(back["a"].values, pdf["a"].values)
