@@ -65,24 +65,43 @@ def shingles(c: Column, k: int = 5) -> Column:
 
 
 def text_minhash(c: Column, k: int = 5, num_perm: int = 128) -> Column:
-    """text -> MinHash signature (array<long>) in ONE pandas_udf pass:
-    normalize + shingle + hash + per-permutation min, all numpy-vectorized."""
+    """text -> MinHash signature packed as ``binary`` (num_perm little-endian
+    int64 lanes) in ONE pandas_udf pass: normalize + shingle + hash +
+    per-permutation min, numpy-vectorized. Binary beats array<long> both in
+    cache build time (~10x: no per-element boxing) and in shuffle width."""
     from pyspark.sql import types as T
 
     a_co, b_co = _perm_coeffs(num_perm)
 
-    @F.pandas_udf(T.ArrayType(T.LongType()))
+    @F.pandas_udf(T.BinaryType())
     def _mh(texts: pd.Series) -> pd.Series:
         old = np.seterr(over="ignore")
         out = []
         for t in texts:
             x = _hash_shingles(_py_shingles(t, k))
             m = (a_co[:, None] * x[None, :] + b_co[:, None]).min(axis=1)
-            out.append(m.tolist())
+            out.append(m.astype("<i8").tobytes())
         np.seterr(**old)
         return pd.Series(out)
 
     return _mh(c)
+
+
+def sig_match_fraction(a: Column, b: Column, num_perm: int) -> Column:
+    """Fraction of equal int64 lanes between two packed signatures — one
+    Arrow-vectorized numpy pass over the (few, post-LSH) candidate pairs."""
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.DoubleType())
+    def _frac(sa: pd.Series, sb: pd.Series) -> pd.Series:
+        out = np.empty(len(sa), dtype="float64")
+        for i, (x, y) in enumerate(zip(sa, sb)):
+            xa = np.frombuffer(x, dtype="<i8")
+            ya = np.frombuffer(y, dtype="<i8")
+            out[i] = float((xa == ya).mean()) if xa.size else 0.0
+        return pd.Series(out)
+
+    return _frac(a, b)
 
 
 def text_simhash(c: Column, k: int = 3, bits: int = 64) -> Column:
@@ -153,11 +172,11 @@ def minhash_signature(sh: Column, num_perm: int = 128) -> Column:
 
 
 def _band_rows(df: SDF, id_col: str, sig_col: str, bands: int, rows_per_band: int) -> SDF:
-    """Explode a signature into (band, bucket_hash, id) rows."""
+    """Explode a packed-binary signature into (band, bucket_hash, id) rows —
+    bucket = xxhash64 of the band's byte slice, all JVM-side."""
     band_arr = F.array(
         *[
-            F.xxhash64(F.concat_ws(",", *[F.element_at(F.col(sig_col), b * rows_per_band + r + 1).cast("string")
-                                          for r in range(rows_per_band)]))
+            F.xxhash64(F.expr(f"substring({sig_col}, {b * rows_per_band * 8 + 1}, {rows_per_band * 8})"))
             for b in range(bands)
         ]
     )
@@ -196,10 +215,7 @@ def minhash_candidate_pairs(
     sa = sigs.select(F.col(id_col).alias("id_a"), F.col("__sig__").alias("sa"))
     sb = sigs.select(F.col(id_col).alias("id_b"), F.col("__sig__").alias("sb"))
     pairs = pairs.join(sa, "id_a").join(sb, "id_b")
-    est = (
-        F.aggregate(F.zip_with("sa", "sb", lambda a, b: (a == b).cast("int")), F.lit(0), lambda acc, x: acc + x)
-        / F.lit(float(num_perm))
-    )
+    est = sig_match_fraction(F.col("sa"), F.col("sb"), num_perm)
     return pairs.withColumn("est_jaccard", est).where(F.col("est_jaccard") >= threshold).select(
         "id_a", "id_b", "est_jaccard"
     )
