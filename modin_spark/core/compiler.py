@@ -71,6 +71,9 @@ AGG_EXPRS: dict[str, callable] = {
     "kurtosis": _kurt,
     "first": lambda c: F.min_by(c, F.when(c.isNotNull(), F.col(ORDER_COL))),
     "last": lambda c: F.max_by(c, F.when(c.isNotNull(), F.col(ORDER_COL))),
+    # approximate variants (net-new vs the exact-only reference, SURVEY §2.4)
+    "approx_nunique": lambda c: F.approx_count_distinct(c),
+    "approx_median": lambda c: F.approx_percentile(c, F.lit(0.5), F.lit(10000)),
 }
 
 # sums over all-NaN groups are 0 in pandas (min_count=0); Spark returns NULL

@@ -112,16 +112,28 @@ def ivf_topk(corpus: SDF, queries: SDF, k: int = 10, n_centroids: int = 16, npro
     (one broadcast pass), probe the nprobe nearest cells per query, exact
     re-rank inside the probed cells."""
     cents = [r[vec_col] for r in corpus.select(vec_col).sample(False, 1.0, seed).limit(n_centroids).collect()]
-    cent_arr = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cents])
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
 
-    def nearest(vec: Column, n: int) -> Column:
-        dists = F.transform(cent_arr, lambda cv: -cosine_expr(vec, cv))
-        idx = F.sequence(F.lit(0), F.lit(len(cents) - 1))
-        pairs = F.arrays_zip(dists.alias("d"), idx.alias("i"))
-        return F.transform(F.slice(F.array_sort(pairs), 1, n), lambda s: s["i"])
+    C = np.asarray([np.asarray(c, dtype="float64") for c in cents])  # (k, dim)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
 
-    c = corpus.select(id_col, vec_col, F.element_at(nearest(F.col(vec_col), 1), 1).alias("__cell__"))
-    q = queries.select(q_id_col, q_vec_col, F.explode(nearest(F.col(q_vec_col), nprobe)).alias("__qcell__"))
+    def nearest_udf(n: int):
+        # one (batch × dim) @ (dim × k) matmul per Arrow batch — the
+        # per-centroid Catalyst-expression variant is interpreted per row
+        @F.pandas_udf(T.ArrayType(T.IntegerType()))
+        def _cells(vs: pd.Series) -> pd.Series:
+            M = np.stack([np.asarray(v, dtype="float64") for v in vs])
+            Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+            sims = Mn @ Cn.T  # (batch, k)
+            top = np.argsort(-sims, axis=1)[:, :n]
+            return pd.Series([row.astype("int32").tolist() for row in top])
+
+        return _cells
+
+    c = corpus.select(id_col, vec_col, F.element_at(nearest_udf(1)(F.col(vec_col)), 1).alias("__cell__"))
+    q = queries.select(q_id_col, q_vec_col, F.explode(nearest_udf(nprobe)(F.col(q_vec_col))).alias("__qcell__"))
     joined = c.join(F.broadcast(q), c["__cell__"] == q["__qcell__"], "inner").withColumn(
         "cosine", cosine_expr(F.col(vec_col), F.col(q_vec_col))
     )

@@ -20,6 +20,7 @@ from modin_spark.pandas.general import (
     notna,
     pivot_table,
     qcut,
+    sql,
     to_datetime,
     to_numeric,
     unique,
@@ -63,6 +64,7 @@ __all__ = [
     "notnull",
     "pivot_table",
     "qcut",
+    "sql",
     "to_datetime",
     "to_numeric",
     "unique",

@@ -203,3 +203,16 @@ def wide_to_long(df: DataFrame, stubnames, i, j, sep: str = "", suffix: str = r"
     for s, part in melted.items():
         out = part if out is None else out.merge(part, on=i + [j], how="outer")
     return out
+
+
+def sql(query: str, **frames) -> DataFrame:
+    """SQL interface (net-new vs the reference, SURVEY §2.4): registers the
+    given frames as temp views and runs Spark SQL.
+
+        mpd.sql("select k, sum(v) s from t group by k", t=df)
+    """
+    from modin_spark.session import get_spark
+
+    for name, df in frames.items():
+        df.to_spark(ordered=False).createOrReplaceTempView(name)
+    return DataFrame(_frame=SparkFrame.from_spark(get_spark().sql(query)))
