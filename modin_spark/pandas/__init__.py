@@ -30,6 +30,7 @@ from modin_spark.pandas.general import (
 from modin_spark.pandas.io import (
     from_arrow,
     from_pandas,
+    json_normalize,
     from_spark,
     read_csv,
     read_excel,
@@ -42,6 +43,7 @@ from modin_spark.pandas.io import (
     read_pickle,
     read_sql,
     read_table,
+    read_xml,
 )
 
 isnull = isna
@@ -84,4 +86,6 @@ __all__ = [
     "read_pickle",
     "read_sql",
     "read_table",
+    "read_xml",
+    "json_normalize",
 ]

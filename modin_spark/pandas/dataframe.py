@@ -978,6 +978,33 @@ class DataFrame:
             expr = term if expr is None else (expr + term)
         return Series(fr, expr, set(fr.data_cols), None)
 
+    def value_counts(self, subset=None, normalize=False, sort=True, ascending=False) -> "pd.Series":
+        """Frame-level value_counts: groupBy all (or subset) columns + count."""
+        fr = self._frame
+        cols = subset if subset is not None else list(fr.columns)
+        phys = [fr.data_cols[i] for i in fr.positions_of(cols)]
+        agged = fr.sdf.groupBy(*phys).count()
+        if sort:
+            agged = agged.orderBy(F.col("count").asc() if ascending else F.col("count").desc(), *phys)
+        pdf = agged.toPandas()
+        pdf.columns = list(cols) + ["count"]
+        out = pdf.set_index(list(cols))["count"]
+        if out.index.nlevels == 1:
+            out.index = pd.MultiIndex.from_arrays([out.index])
+        if normalize:
+            out = out / out.sum()
+        return out
+
+    def isin(self, values) -> "DataFrame":
+        """Boolean frame: membership per cell (list) or per column (dict)."""
+        fr = self._frame
+        labels, exprs = [], []
+        for i, lbl in enumerate(fr.columns):
+            vals = values.get(lbl, []) if isinstance(values, dict) else list(values)
+            labels.append(lbl)
+            exprs.append(F.coalesce(fr.scol(i).isin(vals), F.lit(False)) if vals else F.lit(False))
+        return DataFrame(_frame=fr.project(labels, exprs))
+
     def pivot(self, index=None, columns=None, values=None) -> "DataFrame":
         """Reshape without aggregation (errors on duplicates in pandas; here
         first-wins) — groupBy(index).pivot(columns).first(values)."""

@@ -117,6 +117,11 @@ read_html = _pandas_reader("read_html")
 read_pickle = _pandas_reader("read_pickle")
 read_feather = _pandas_reader("read_feather")
 read_fwf = _pandas_reader("read_fwf")
+read_xml = _pandas_reader("read_xml")
+
+
+def json_normalize(data, **kw) -> DataFrame:
+    return from_pandas(pd.json_normalize(data, **kw))
 
 
 def from_arrow(table) -> DataFrame:

@@ -155,3 +155,33 @@ def test_duplicate_labels(spark):
     assert list(m.columns) == ["x", "x"]
     out = m.to_pandas()
     assert out.shape == (2, 2)
+
+
+def test_frame_value_counts(mdf, pdf):
+    m = mdf.value_counts(subset=["k"])
+    p = pdf.value_counts(subset=["k"])
+    pd.testing.assert_series_equal(
+        m.astype("int64"), p.astype("int64"), check_names=False
+    )
+
+
+def test_frame_isin(mdf, pdf):
+    cols = ["a", "k"]
+    m = mdf[cols].isin([1, 2, "x"]).to_pandas()
+    p = pdf[cols].isin([1, 2, "x"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(m, p)
+    m2 = mdf[cols].isin({"k": ["x", "y"]}).to_pandas()
+    p2 = pdf[cols].isin({"k": ["x", "y"]}).reset_index(drop=True)
+    pd.testing.assert_frame_equal(m2, p2)
+
+
+def test_json_normalize(spark):
+    import modin_spark.pandas as mpd
+
+    data = [
+        {"id": 1, "info": {"x": 10, "y": "a"}},
+        {"id": 2, "info": {"x": 20, "y": "b"}},
+    ]
+    m = mpd.json_normalize(data).to_pandas()
+    p = pd.json_normalize(data)
+    pd.testing.assert_frame_equal(m, p)
