@@ -48,6 +48,63 @@ def _hash_shingles(sh: list[str]) -> "np.ndarray":
     return pd.util.hash_array(np.asarray(sh, dtype=object)).astype(np.int64)
 
 
+# positional combine multiplier for turning k consecutive word hashes into one
+# shingle hash (odd => bijective mod 2^64)
+_SHINGLE_COEF = np.uint64(0x100000001B3)
+
+
+def _batch_shingle_hashes(texts: "pd.Series", k: int):
+    """Shingle hashes for a whole Arrow batch in one vectorized pass.
+
+    Words are hashed ONCE for the entire batch (one siphash call over the
+    flattened word array); a k-word shingle's hash is the wrapping polynomial
+    sum(coef^(k-1-j) * wordhash[j]) — so no shingle strings are ever built.
+    Returns (shv, offsets, nz, fallback) where ``shv`` is the flat uint64
+    array of full-k shingle hashes grouped by doc, ``offsets[d]`` the start of
+    doc d's segment, ``nz`` the docs with >=1 full shingle, and ``fallback``
+    a per-doc scalar hash (polynomial over ALL its words) used when a doc has
+    fewer than k words.
+    """
+    import re
+
+    pat = re.compile(r"[^a-z0-9\s]")
+    word_lists = [pat.sub(" ", (t or "").lower()).split() for t in texts]
+    ndocs = len(word_lists)
+    counts = np.fromiter((len(w) for w in word_lists), dtype=np.int64, count=ndocs)
+    n = int(counts.sum())
+    flat = np.empty(n, dtype=object)
+    pos = 0
+    for w in word_lists:
+        flat[pos : pos + len(w)] = w
+        pos += len(w)
+    wh = pd.util.hash_array(flat).astype(np.uint64) if n else np.zeros(0, dtype=np.uint64)
+
+    ends = np.cumsum(counts)
+    starts = ends - counts
+    # hash of every length-k window over the flat array (some cross docs)
+    if n >= k:
+        win = np.zeros(n - k + 1, dtype=np.uint64)
+        for j in range(k):
+            win = win * _SHINGLE_COEF + wh[j : n - k + 1 + j]
+    else:
+        win = np.zeros(0, dtype=np.uint64)
+    # keep only windows fully inside one doc
+    doc_of = np.repeat(np.arange(ndocs), counts)[: len(win)] if len(win) else np.zeros(0, np.int64)
+    valid = (np.arange(len(win)) + k) <= ends[doc_of] if len(win) else np.zeros(0, bool)
+    shv = win[valid]
+    new_counts = np.bincount(doc_of[valid], minlength=ndocs) if len(win) else np.zeros(ndocs, np.int64)
+    offsets = np.concatenate([[0], np.cumsum(new_counts)]).astype(np.int64)
+    nz = np.flatnonzero(new_counts)
+    # short docs (< k words): one shingle = polynomial over all their words
+    fallback = np.zeros(ndocs, dtype=np.uint64)
+    for d in np.flatnonzero(new_counts == 0):
+        h = np.uint64(0)
+        for j in range(starts[d], ends[d]):
+            h = h * _SHINGLE_COEF + wh[j]
+        fallback[d] = h
+    return shv, offsets, nz, fallback
+
+
 def shingles(c: Column, k: int = 5) -> Column:
     """Word k-shingles as array<string>.
 
@@ -66,23 +123,35 @@ def shingles(c: Column, k: int = 5) -> Column:
 
 def text_minhash(c: Column, k: int = 5, num_perm: int = 128) -> Column:
     """text -> MinHash signature packed as ``binary`` (num_perm little-endian
-    int64 lanes) in ONE pandas_udf pass: normalize + shingle + hash +
-    per-permutation min, numpy-vectorized. Binary beats array<long> both in
-    cache build time (~10x: no per-element boxing) and in shuffle width."""
+    64-bit lanes) in ONE pandas_udf pass, vectorized across the WHOLE Arrow
+    batch: one siphash call over every word in the batch, shingle hashes via
+    a wrapping polynomial over word hashes (no shingle strings built), and
+    per-permutation segment-min via ``np.minimum.reduceat``. Binary beats
+    array<long> both in cache build time (~10x: no per-element boxing) and in
+    shuffle width. Permutations run in chunks of 32 to bound the (perm x
+    n_shingles) intermediate at a few tens of MB per batch."""
     from pyspark.sql import types as T
 
     a_co, b_co = _perm_coeffs(num_perm)
+    a_u, b_u = a_co.astype(np.uint64), b_co.astype(np.uint64)
 
     @F.pandas_udf(T.BinaryType())
     def _mh(texts: pd.Series) -> pd.Series:
-        old = np.seterr(over="ignore")
-        out = []
-        for t in texts:
-            x = _hash_shingles(_py_shingles(t, k))
-            m = (a_co[:, None] * x[None, :] + b_co[:, None]).min(axis=1)
-            out.append(m.astype("<i8").tobytes())
-        np.seterr(**old)
-        return pd.Series(out)
+        with np.errstate(over="ignore"):
+            shv, offsets, nz, fallback = _batch_shingle_hashes(texts, k)
+            ndocs = len(texts)
+            sig = np.empty((num_perm, ndocs), dtype=np.uint64)
+            # docs with no full shingle: permute their single fallback hash
+            sig[:] = a_u[:, None] * fallback[None, :] + b_u[:, None]
+            if len(nz):
+                red_idx = offsets[nz]
+                for lo in range(0, num_perm, 32):
+                    hi = min(lo + 32, num_perm)
+                    m = a_u[lo:hi, None] * shv[None, :] + b_u[lo:hi, None]
+                    sig[lo:hi, nz] = np.minimum.reduceat(m, red_idx, axis=1)
+            packed = sig.T.astype("<u8").tobytes()
+            row = num_perm * 8
+            return pd.Series([packed[i * row : (i + 1) * row] for i in range(ndocs)])
 
     return _mh(c)
 
@@ -105,26 +174,30 @@ def sig_match_fraction(a: Column, b: Column, num_perm: int) -> Column:
 
 
 def text_simhash(c: Column, k: int = 3, bits: int = 64) -> Column:
-    """text -> 64-bit SimHash in one pandas_udf pass."""
+    """text -> 64-bit SimHash in one pandas_udf pass, vectorized across the
+    whole Arrow batch: shingle hashes from the shared batched helper, per-doc
+    bit votes via ``np.add.reduceat`` over the (n_shingles x 64) bit matrix,
+    sign -> bit packed with one matmul."""
     from pyspark.sql import types as T
 
     shifts = np.arange(bits, dtype=np.uint64)
+    powers = (np.uint64(1) << shifts).astype(np.uint64)
 
     @F.pandas_udf(T.LongType())
     def _sh(texts: pd.Series) -> pd.Series:
-        out = np.zeros(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts):
-            x = _hash_shingles(_py_shingles(t, k)).astype(np.uint64)
-            if x.size == 0:
-                continue
-            bitmat = (x[:, None] >> shifts[None, :]) & np.uint64(1)
-            votes = bitmat.astype(np.int64).sum(axis=0) * 2 - x.size
-            word = np.uint64(0)
-            for b in range(bits):
-                if votes[b] > 0:
-                    word |= np.uint64(1) << np.uint64(b)
-            out[i] = word.astype(np.int64)
-        return pd.Series(out)
+        with np.errstate(over="ignore"):
+            shv, offsets, nz, fallback = _batch_shingle_hashes(texts, k)
+            ndocs = len(texts)
+            # zero-full-shingle docs vote with their single fallback hash
+            src = fallback
+            votes = ((src[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64) * 2 - 1
+            if len(nz):
+                bitmat = ((shv[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+                sums = np.add.reduceat(bitmat, offsets[nz], axis=0)  # (nnz, bits)
+                seg_n = np.diff(np.append(offsets[nz], len(shv)))
+                votes[nz] = sums * 2 - seg_n[:, None]
+            word = ((votes > 0).astype(np.uint64) * powers[None, :]).sum(axis=1, dtype=np.uint64)
+            return pd.Series(word.astype(np.int64))
 
     return _sh(c)
 
@@ -186,12 +259,25 @@ def _band_rows(df: SDF, id_col: str, sig_col: str, bands: int, rows_per_band: in
     )
 
 
+def _spread_for_udf(df: SDF) -> SDF:
+    """Repartition up to the session's parallelism before an expensive
+    pandas_udf stage. A small file (or a single parquet row group — Spark
+    can't split those) otherwise funnels the whole Python-side computation
+    through one core; at real scale inputs already have >= cores partitions
+    and this is a no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def minhash_candidate_pairs(
     df: SDF, id_col: str, text_col: str, *, k: int = 5, num_perm: int = 128, bands: int = 32, threshold: float = 0.8
 ) -> SDF:
     """(id_a, id_b, est_jaccard) candidate near-dup pairs, id_a < id_b."""
     rows_per_band = num_perm // bands
     from pyspark import StorageLevel
+    df = _spread_for_udf(df)
 
     # signatures computed once and persisted — both the band explode and the
     # verification join read this lineage (MEMORY_AND_DISK so 100 TB spills)
@@ -279,7 +365,7 @@ def simhash_dedup(df: SDF, id_col: str = "doc_id", text_col: str = "text", hammi
     """Near-dup via SimHash: band the 64 bits into 4×16-bit keys (any pair
     within Hamming distance 3 shares ≥1 exact band), equi-join candidates,
     verify exact Hamming distance with bit_count(xor)."""
-    sh = df.select(id_col, text_simhash(F.col(text_col)).alias("__sh__"))
+    sh = _spread_for_udf(df).select(id_col, text_simhash(F.col(text_col)).alias("__sh__"))
     bands = sh.select(
         id_col,
         "__sh__",
@@ -307,7 +393,7 @@ def ngram_jaccard_pairs(df: SDF, id_col: str = "doc_id", text_col: str = "text",
     """Exact Jaccard over word k-shingles for LSH candidate pairs:
     |A∩B| / |A∪B| via array_intersect/array_union on deduped shingle arrays."""
     cands = minhash_candidate_pairs(df, id_col, text_col, k=k, threshold=threshold * 0.7)
-    sh = df.select(F.col(id_col), F.array_distinct(shingles(F.col(text_col), k)).alias("__sh__"))
+    sh = _spread_for_udf(df).select(F.col(id_col), F.array_distinct(shingles(F.col(text_col), k)).alias("__sh__"))
     a = sh.select(F.col(id_col).alias("id_a"), F.col("__sh__").alias("sha"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("__sh__").alias("shb"))
     joined = cands.join(a, "id_a").join(b, "id_b")

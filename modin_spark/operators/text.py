@@ -20,37 +20,36 @@ _LANG_MARKERS = {
 
 
 def lang_id(text: Column) -> Column:
-    """Heuristic language ID: stopword-hit counts per language, argmax.
-    Returns 'und' when nothing matches."""
-    words = F.split(F.lower(text), r"[^\p{L}]+")
-    scores = []
+    """Heuristic language ID: stopword-occurrence counts per language, argmax.
+    Returns 'und' when nothing matches.
+
+    One compiled ``regexp_count`` pass per language (4 regex scans of the raw
+    string) — an order of magnitude faster than the equivalent per-word
+    higher-order array fold, which Catalyst interprets per element."""
+    lower = F.lower(text)
+    structs = []
     for lang, markers in _LANG_MARKERS.items():
-        marker_arr = F.array(*[F.lit(m) for m in markers])
-        score = F.size(F.array_intersect(F.array_distinct(words), marker_arr)) + F.aggregate(
-            F.transform(words, lambda w: F.when(F.array_contains(marker_arr, w), 1).otherwise(0)),
-            F.lit(0),
-            lambda a, x: a + x,
-        )
-        scores.append((lang, score))
-    best = None
-    best_score = None
-    # fold into a struct-max: struct(score, lang) is max'd lexicographically
-    packed = F.greatest(*[F.struct(s.alias("s"), F.lit(lang).alias("l")) for lang, s in scores])
-    return F.when(packed["s"] > 0, packed["l"]).otherwise(F.lit("und"))
+        pat = r"\b(?:" + "|".join(markers) + r")\b"
+        structs.append(F.struct(F.regexp_count(lower, F.lit(pat)).alias("s"), F.lit(lang).alias("l")))
+    # struct-max: (score, lang) compared lexicographically. The (0, 'und')
+    # sentinel wins exactly when every language scores 0 ('und' > any ISO
+    # code), which keeps the whole thing ONE greatest() — a when(packed.s > 0)
+    # wrapper would inline-duplicate all four regexp scans.
+    structs.append(F.struct(F.lit(0).alias("s"), F.lit("und").alias("l")))
+    return F.greatest(*structs)["l"]
 
 
 def quality_score(text: Column) -> Column:
     """Composite quality score in [0,1] from cheap signals: length band,
     alpha ratio, stopword presence, punctuation-run penalty, mean word len."""
     n_chars = F.length(text)
-    words = F.filter(F.split(text, r"\s+"), lambda w: w != "")
-    n_words = F.size(words)
-    alpha_chars = F.length(F.regexp_replace(text, r"[^\p{L}]", ""))
+    n_words = F.regexp_count(text, F.lit(r"\S+"))
+    alpha_chars = F.regexp_count(text, F.lit(r"\p{L}"))
     alpha_ratio = alpha_chars / F.greatest(n_chars, F.lit(1))
     mean_word_len = n_chars / F.greatest(n_words, F.lit(1))
-    punct_runs = F.size(F.split(text, r"[!?.]{3,}")) - 1
-    stop_arr = F.array(*[F.lit(m) for m in _LANG_MARKERS["en"]])
-    has_stop = (F.size(F.array_intersect(F.transform(words, F.lower), stop_arr)) > 0).cast("double")
+    punct_runs = F.regexp_count(text, F.lit(r"[!?.]{3,}"))
+    en_pat = r"\b(?:" + "|".join(_LANG_MARKERS["en"]) + r")\b"
+    has_stop = (F.regexp_count(F.lower(text), F.lit(en_pat)) > 0).cast("double")
 
     len_band = (
         F.when((n_words >= 10) & (n_words <= 10000), F.lit(1.0))
@@ -68,7 +67,7 @@ def token_count(text: Column, mode: str = "whitespace") -> Column:
     letter-runs, digit-runs, punctuation singles — the GPT-2 pretokenizer
     shape, counted without a vocab)."""
     if mode == "whitespace":
-        return F.size(F.filter(F.split(text, r"\s+"), lambda w: w != ""))
+        return F.regexp_count(text, F.lit(r"\S+"))
     if mode == "bpe":
         return F.size(F.regexp_extract_all(text, F.lit(r"[\p{L}]+|[\p{N}]+|[^\s\p{L}\p{N}]"), 0))
     raise ValueError(mode)

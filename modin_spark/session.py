@@ -23,6 +23,11 @@ _DEFAULTS = {
     # hashing relies on it), casts coerce instead of throwing
     "spark.sql.ansi.enabled": "false",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # split even tiny files into >= #cores scan partitions: a small dimension
+    # table read as ONE split would otherwise serialize every downstream
+    # pandas_udf/regex stage onto a single core (at real scale files exceed
+    # maxPartitionBytes and this floor is a no-op)
+    "spark.sql.files.minPartitionNum": os.environ.get("SPARK_GRAFT_CPUS", "32"),
     "spark.ui.enabled": "false",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
 }
