@@ -563,15 +563,15 @@ def _qcut_quartiles(spark, sf):
 def _expanding_stats(spark, sf):
     mpd = _mpd()
     ev = mpd.read_parquet(f"{sf}/events.parquet")
-    ev = ev.sort_values("event_id")
-    e2 = ev[["value"]].expanding(min_periods=1).sum()
-    e3 = ev[["value"]].expanding(min_periods=1).count()
-    out = ev[["event_id"]]
+    ev = ev.sort_values("event_id").set_index("event_id")
+    # one expanding pass for both aggs (single block sort + carry broadcast),
+    # then pure same-lineage projections — one parquet scan in the plan
+    e = ev["value"].expanding(min_periods=1).agg(["sum", "count"]).reset_index()
     # mean from the ROUNDED sum: both engines then divide identical doubles,
     # so the final round can't disagree on summation-order noise
-    out["exp_sum"] = _r(e2["value"], 2)
-    out["exp_mean"] = _r(out["exp_sum"] / e3["value"], 6)
-    out = out[["event_id", "exp_mean", "exp_sum"]]
+    e["exp_sum"] = _r(e["sum"], 2)
+    e["exp_mean"] = _r(e["exp_sum"] / e["count"], 6)
+    out = e[["event_id", "exp_mean", "exp_sum"]]
     return out.head(10000).to_spark(ordered=False)
 
 

@@ -310,12 +310,18 @@ def rolling_agg(
     return _drop_aux(out)
 
 
-def expanding_agg(frame: SparkFrame, positions: Sequence[int], agg: str, min_periods: int = 1) -> SparkFrame:
+def expanding_agg(frame: SparkFrame, positions: Sequence[int], agg, min_periods: int = 1) -> SparkFrame:
     """pandas ``expanding().agg()`` — cumulative aggregate with min_periods.
 
     sum/min/max/mean/count/var/std decompose into the cum_op two-pass scheme;
     built here from cumsum-style primitives to stay shuffle-parallel.
+
+    ``agg`` may be a single name or a list of names; a list is computed in ONE
+    block pass (one sort, one carry broadcast) — output columns are
+    ``{label}_{agg}`` per (column, agg) pair.
     """
+    aggs = [agg] if isinstance(agg, str) else list(agg)
+    multi = not isinstance(agg, str)
     fr = _with_blocks(frame)
     phys = [frame.data_cols[i] for i in positions]
     labels = [frame.columns[i] for i in positions]
@@ -352,7 +358,8 @@ def expanding_agg(frame: SparkFrame, positions: Sequence[int], agg: str, min_per
     sdf = sdf.join(F.broadcast(carry), sdf[_BLK] == carry["__blk2__"], "left").drop("__blk2__")
 
     exprs = []
-    for p in phys:
+    out_labels = []
+    for p, lbl in zip(phys, labels):
         a = aux[p]
         n = a["n"] + F.coalesce(F.col(f"__cn_{p}"), F.lit(0))
         s = F.coalesce(a["s"], F.lit(0)) + F.coalesce(F.col(f"__cs_{p}"), F.lit(0))
@@ -361,23 +368,25 @@ def expanding_agg(frame: SparkFrame, positions: Sequence[int], agg: str, min_per
         mn = F.coalesce(mn, a["mn"], F.col(f"__cmn_{p}"))
         mx = F.greatest(a["mx"], F.col(f"__cmx_{p}"))
         mx = F.coalesce(mx, a["mx"], F.col(f"__cmx_{p}"))
-        if agg == "sum":
-            e = s
-        elif agg == "count":
-            e = n
-        elif agg == "mean":
-            e = s / n
-        elif agg == "min":
-            e = mn
-        elif agg == "max":
-            e = mx
-        elif agg in ("var", "std"):
-            var = (s2 - (s * s) / n) / (n - 1)
-            e = F.sqrt(var) if agg == "std" else var
-        else:
-            raise NotImplementedError(f"expanding {agg}")
-        exprs.append(F.when(n >= min_periods, e).otherwise(F.lit(None)))
-    out = fr._same_rows(sdf).project(labels, exprs)
+        for a_name in aggs:
+            if a_name == "sum":
+                e = s
+            elif a_name == "count":
+                e = n
+            elif a_name == "mean":
+                e = s / n
+            elif a_name == "min":
+                e = mn
+            elif a_name == "max":
+                e = mx
+            elif a_name in ("var", "std"):
+                var = (s2 - (s * s) / n) / (n - 1)
+                e = F.sqrt(var) if a_name == "std" else var
+            else:
+                raise NotImplementedError(f"expanding {a_name}")
+            exprs.append(F.when(n >= min_periods, e).otherwise(F.lit(None)))
+            out_labels.append(f"{lbl}_{a_name}" if multi else lbl)
+    out = fr._same_rows(sdf).project(out_labels, exprs)
     return _drop_aux(out)
 
 

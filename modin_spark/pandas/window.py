@@ -67,6 +67,29 @@ class Expanding:
         out = win.expanding_agg(df._frame, pos, agg, self._min_periods)
         return DataFrame(_frame=out)
 
+    def agg(self, funcs):
+        """Single pass for a list of aggs (one block sort + one carry
+        broadcast instead of one pipeline per agg). Series input → columns
+        named by agg (pandas semantics); frame input → ``{col}_{agg}``."""
+        from modin_spark.pandas.dataframe import DataFrame
+
+        if isinstance(funcs, str):
+            return self._run(funcs)
+        funcs = list(funcs)
+        if isinstance(self._obj, Series):
+            fr = self._obj._to_frame()
+            out = win.expanding_agg(fr, [0], funcs, self._min_periods)
+            import pandas as _pd
+
+            out = out._same_rows(out.sdf, columns=_pd.Index(funcs))
+            return DataFrame(_frame=out)
+        df = self._obj
+        pos = df._numeric_positions()
+        out = win.expanding_agg(df._frame, pos, funcs, self._min_periods)
+        return DataFrame(_frame=out)
+
+    aggregate = agg
+
 
 class GroupRolling:
     """groupby(...).rolling(w) — plain key-partitioned ordered window."""

@@ -48,6 +48,15 @@ def test_expanding(mdf, pdf, agg):
     assert_series_equal(got, ref)
 
 
+def test_expanding_agg_list(mdf, pdf):
+    """Series.expanding().agg([...]) — one block pass, pandas column names."""
+    got = mdf.b.expanding().agg(["sum", "count"]).to_pandas()
+    ref = pdf.b.expanding().agg(["sum", "count"])
+    assert list(got.columns) == ["sum", "count"]
+    np.testing.assert_allclose(got["sum"].to_numpy(), ref["sum"].to_numpy())
+    np.testing.assert_allclose(got["count"].to_numpy(), ref["count"].to_numpy())
+
+
 @pytest.mark.parametrize("method", ["average", "min", "max", "first"])
 def test_rank(mdf, pdf, method):
     assert_series_equal(mdf.a.rank(method=method), pdf.a.rank(method=method))
