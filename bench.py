@@ -61,11 +61,15 @@ def main() -> None:
     # (worker spinup is a ~3-4s one-time cost that would otherwise land on
     # whichever query happens to hit a pandas_udf first)
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     from pyspark.sql import functions as F
 
+    ncpu = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     _warm = F.pandas_udf(lambda s: s, "long")
-    spark.range(100_000, numPartitions=int(os.environ.get("SPARK_GRAFT_CPUS", "32"))).select(
-        _warm("id")
+    spark.range(100_000, numPartitions=ncpu).select(_warm("id")).count()
+    # the Arrow mapInPandas path spins its workers separately from pandas_udf
+    spark.range(100_000, numPartitions=ncpu).mapInPandas(
+        lambda it: it, "id long"
     ).count()
 
     # ASV-style measurement (the reference's own benchmark methodology):

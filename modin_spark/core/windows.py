@@ -473,21 +473,18 @@ def rank(
         if method == "first":
             ranked = sorted_fr.sdf.withColumn("__rank__", (F.col(_POS) + 1).cast("double"))
         else:
-            grp = sorted_fr.sdf.groupBy(F.col(p).alias("__v__")).agg(
-                F.min(_POS).alias("__minp__"),
-                F.max(_POS).alias("__maxp__"),
-            )
+            # per-value min/max position via a value-partitioned window (one
+            # hash shuffle on the value) instead of groupBy + join-back
+            w_v = Window.partitionBy(F.col(p))
             if method == "average":
-                r = (F.col("__minp__") + F.col("__maxp__")) / 2 + 1
+                r = (F.min(_POS).over(w_v) + F.max(_POS).over(w_v)) / 2 + 1
             elif method == "min":
-                r = F.col("__minp__") + 1
+                r = F.min(_POS).over(w_v) + 1
             elif method == "max":
-                r = F.col("__maxp__") + 1
+                r = F.max(_POS).over(w_v) + 1
             else:
                 raise NotImplementedError(f"rank method {method!r}")
-            ranked = sorted_fr.sdf.join(grp, sorted_fr.sdf[p] == grp["__v__"], "left").withColumn(
-                "__rank__", r.cast("double")
-            )
+            ranked = sorted_fr.sdf.withColumn("__rank__", r.cast("double"))
         if pct:
             nn = tmp.sdf.count()
             ranked = ranked.withColumn("__rank__", F.col("__rank__") / F.lit(nn))
