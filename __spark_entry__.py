@@ -974,9 +974,9 @@ def oracle_sql() -> dict[str, str]:
             FROM orders GROUP BY 1
         """,
         "get_dummies_sum": """
-            SELECT SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS rf_A,
-                   SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS rf_N,
-                   SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS rf_R
+            SELECT CAST(SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS rf_A,
+                   CAST(SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS rf_N,
+                   CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS rf_R
             FROM lineitem
         """,
         "case_when": """
@@ -1081,8 +1081,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "crosstab_counts": """
             SELECT l_returnflag,
-                   SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS F,
-                   SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS O
+                   CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F,
+                   CAST(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O
             FROM lineitem GROUP BY l_returnflag
         """,
         "qcut_quartiles": """

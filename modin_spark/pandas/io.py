@@ -42,7 +42,9 @@ def read_parquet(path: str, columns=None) -> DataFrame:
         try:
             sdf = spark.read.parquet(path)
             for c in nano_cols:
-                sdf = sdf.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+                # integer `div`, not `/`: epoch-nanos exceed double's 2^53
+                # exact range, so float division can truncate off-by-1µs
+                sdf = sdf.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
         finally:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
     else:

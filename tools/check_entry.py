@@ -19,6 +19,18 @@ sys.path.insert(0, "/root/repo")
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
+def dtype_kinds(df: pd.DataFrame) -> dict:
+    """Coarse dtype kind per column ('i' int/bool, 'f' float, 'M' datetime,
+    'O' other). The driver's value hash is dtype-sensitive (an int64 1 and a
+    float64 1.0 hash differently), so a kind mismatch between engine and
+    oracle is a hash failure even when values compare equal."""
+    kinds = {}
+    for c in df.columns:
+        k = df[c].dtype.kind
+        kinds[str(c)] = "i" if k in "iub" else ("f" if k == "f" else ("M" if k == "M" else "O"))
+    return kinds
+
+
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     out = df.copy()
     out.columns = [str(c) for c in out.columns]
@@ -72,6 +84,8 @@ def main():
             failures.append(name)
             print(f"FAIL  {name}: oracle raised {str(e)[:200]}")
             continue
+        ka, kb = dtype_kinds(mine), dtype_kinds(ref)
+        kind_mismatch = {c: (ka[c], kb[c]) for c in ka if c in kb and ka[c] != kb[c]}
         a, b = normalize(mine), normalize(ref)
         if list(a.columns) != list(b.columns):
             failures.append(name)
@@ -93,7 +107,10 @@ def main():
                 eq = False
                 bad = (a[c] != b[c])
                 print(f"      {name}.{c}: first diffs:\n{pd.concat([a[c][bad].head(3), b[c][bad].head(3)], axis=1)}")
-        if eq:
+        if eq and kind_mismatch:
+            failures.append(name)
+            print(f"FAIL  {name}: values equal but dtype kinds differ (driver hash would fail): {kind_mismatch}")
+        elif eq:
             print(f"OK    {name}: {len(a)} rows ({dt:.1f}s)")
         else:
             failures.append(name)
