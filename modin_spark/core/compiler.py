@@ -335,7 +335,16 @@ def concat_rows(frames: list[SparkFrame], join: str = "outer", ignore_index: boo
     parts = []
     for fi, fr in enumerate(frames):
         fr = fr.ensure_order()
-        sel = [F.struct(F.lit(fi).alias("f"), F.col(ORDER_COL).cast("double").alias("o")).alias(ORDER_COL)]
+        # frames out of merge/melt/groupby(sort=True) carry an opaque (struct)
+        # ORDER_COL that cannot cast to double — flatten to a contiguous long
+        # position first so every branch unions a common sortable order repr
+        odt = dict(fr.sdf.dtypes).get(ORDER_COL, "bigint")
+        if not odt.startswith(("bigint", "int", "smallint", "tinyint", "double", "float", "decimal")):
+            fr = fr.with_global_position("__cpos__")
+            o_expr = F.col("__cpos__").cast("double")
+        else:
+            o_expr = F.col(ORDER_COL).cast("double")
+        sel = [F.struct(F.lit(fi).alias("f"), o_expr.alias("o")).alias(ORDER_COL)]
         for k in range(idx_arity):
             src = fr.index_cols[k] if k < len(fr.index_cols) else None
             sel.append((F.col(src) if src else F.lit(None)).alias(idx_phys[k]))

@@ -368,6 +368,21 @@ class SparkFrame:
         sorted_sdf = base.sdf.orderBy(*keys).withColumn(ORDER_COL, F.monotonically_increasing_id())
         return base._subset_rows(sorted_sdf, has_order=True)
 
+    def align_keyed(self, pos_col: str) -> tuple["SparkFrame", list[str]]:
+        """Frame + key columns for cross-frame index alignment joins.
+
+        Indexed frames align on their index columns. Default-index frames
+        align on a contiguous 0-based global position — NOT on raw ORDER_COL:
+        unrelated frames have incomparable ORDER_COL values (from_pandas is
+        contiguous 0..n-1, parquet reads are partition-major ids where
+        partition p starts at p<<33), so equating them across frames silently
+        misaligns rows.
+        """
+        if self.index_cols:
+            return self, list(self.index_cols)
+        fr = self.with_global_position(pos_col)
+        return fr, [pos_col]
+
     # ------------------------------------------------------------ positional
     def with_global_position(self, pos_col: str) -> "SparkFrame":
         """Attach a contiguous 0-based global position column.

@@ -107,16 +107,19 @@ def shift(frame: SparkFrame, positions: Sequence[int], periods: int = 1, fill_va
         (F.col(_POS) + F.lit(periods)).alias("__pos_r__"),
         *[F.col(p).alias(f"__sh_{p}") for p in phys],
     )
-    joined = fr.sdf.join(right, fr.sdf[_POS] == right["__pos_r__"], "left").drop("__pos_r__")
+    joined = fr.sdf.join(right, fr.sdf[_POS] == right["__pos_r__"], "left")
     labels, exprs = [], []
     for i, p in zip(positions, phys):
         e = F.col(f"__sh_{p}")
         if fill_value is not None:
-            e = F.coalesce(e, F.lit(fill_value))
+            # fill only the positions the shift vacated (no matching row),
+            # not pre-existing NaNs that were shifted into range — pandas
+            # preserves those
+            e = F.when(F.col("__pos_r__").isNull(), F.lit(fill_value)).otherwise(e)
         labels.append(frame.columns[i])
         exprs.append(e)
     out = fr._same_rows(joined).project(labels, exprs)
-    return out._same_rows(out.sdf.drop(_POS))
+    return out._same_rows(out.sdf.drop(_POS, "__pos_r__"))
 
 
 def diff(frame: SparkFrame, positions: Sequence[int], periods: int = 1) -> SparkFrame:

@@ -91,11 +91,10 @@ class DataFrame:
             if fr.can_rebase(key._frame, key._refs):
                 cond = key._filter_expr if key._filter_expr is not None else key._expr
                 return DataFrame(_frame=fr.filter(cond))
-            # alignment fallback: join mask by index/order
-            fr = fr.ensure_order()
-            mask_fr = key._to_frame("__m__").ensure_order()
-            lkey = fr.index_cols or [ORDER_COL]
-            rkey = mask_fr.index_cols or [ORDER_COL]
+            # alignment fallback: join mask by index (or global position for
+            # default-index frames — raw ORDER_COL is not cross-frame comparable)
+            fr, lkey = fr.ensure_order().align_keyed("__alp__")
+            mask_fr, rkey = key._to_frame("__m__").ensure_order().align_keyed("__arp__")
             msdf = mask_fr.sdf.select(
                 *[F.col(k).alias(f"__mk{i}__") for i, k in enumerate(rkey)], mask_fr.data_cols[0]
             )
@@ -105,6 +104,8 @@ class DataFrame:
                 cond = c if cond is None else (cond & c)
             joined = fr.sdf.join(msdf, cond, "inner").where(F.col(mask_fr.data_cols[0]))
             joined = joined.drop(*[f"__mk{i}__" for i in range(len(rkey))], mask_fr.data_cols[0])
+            if "__alp__" in joined.columns:
+                joined = joined.drop("__alp__")
             return DataFrame(_frame=fr._subset_rows(joined))
         if isinstance(key, list):
             return DataFrame(_frame=fr.select_positions(fr.positions_of(key)))
@@ -123,17 +124,18 @@ class DataFrame:
             if fr.can_rebase(value._frame, value._refs):
                 self._frame = fr.with_columns([key], [value._expr])
                 return
-            # align by join then set
-            fr = fr.ensure_order()
-            vf = value._to_frame("__v__").ensure_order()
-            lkey = fr.index_cols or [ORDER_COL]
-            rkey = vf.index_cols or [ORDER_COL]
+            # align by join then set (index cols, or global position for
+            # default-index frames — raw ORDER_COL is not cross-frame comparable)
+            fr, lkey = fr.ensure_order().align_keyed("__alp__")
+            vf, rkey = value._to_frame("__v__").ensure_order().align_keyed("__arp__")
             vsdf = vf.sdf.select(*[F.col(k).alias(f"__vk{i}__") for i, k in enumerate(rkey)], vf.data_cols[0])
             cond = None
             for i, k in enumerate(lkey):
                 c = fr.sdf[k] == vsdf[f"__vk{i}__"]
                 cond = c if cond is None else (cond & c)
             joined = fr.sdf.join(vsdf, cond, "left").drop(*[f"__vk{i}__" for i in range(len(rkey))])
+            if "__alp__" in joined.columns:
+                joined = joined.drop("__alp__")
             nf = SparkFrame(joined, fr.columns, fr.data_cols, fr.index_cols, fr.index_names,
                             _lid=fr._lid, _chain=fr._chain)
             self._frame = nf.with_columns([key], [F.col(vf.data_cols[0])])

@@ -262,8 +262,11 @@ class DataFrameGroupBy:
             elif method == "dense":
                 r = F.dense_rank().over(w).cast("double")
             else:  # average
+                # row_number extremes, not rank: F.rank() gives every tied row
+                # the same min value, so min/max of it collapse to min
+                rn = F.row_number().over(w)
                 w2 = Window.partitionBy(*keys, c)
-                r = (F.min(F.rank().over(w)).over(w2) + F.max(F.rank().over(w)).over(w2)) / 2
+                r = (F.min(rn).over(w2) + F.max(rn).over(w2)) / 2
             return F.when(c.isNull(), F.lit(None)).otherwise(r)
 
         return DataFrame(_frame=self._window_transform(b))

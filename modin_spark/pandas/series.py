@@ -126,17 +126,18 @@ class Series:
             return self._frame, self._expr, other._expr, self._refs | other._refs
         if other._frame.can_rebase(self._frame, self._refs):
             return other._frame, self._expr, other._expr, self._refs | other._refs
-        # alignment join (pandas semantics: align on index; default index -> order)
-        lf = self._to_frame("__l__").ensure_order()
-        rf = other._to_frame("__r__").ensure_order()
-        lkey = lf.index_cols if lf.index_cols else [ORDER_COL]
-        rkey = rf.index_cols if rf.index_cols else [ORDER_COL]
+        # alignment join (pandas semantics: align on index; default index ->
+        # contiguous global position — raw ORDER_COL is not cross-frame comparable)
+        lf, lkey = self._to_frame("__l__").ensure_order().align_keyed("__alp__")
+        rf, rkey = other._to_frame("__r__").ensure_order().align_keyed("__arp__")
         rsdf = rf.sdf.select(*[F.col(k).alias(f"__rk{i}__") for i, k in enumerate(rkey)], rf.data_cols[0])
         cond = None
         for i, k in enumerate(lkey):
             c = lf.sdf[k] == rsdf[f"__rk{i}__"]
             cond = c if cond is None else (cond & c)
         joined = lf.sdf.join(rsdf, cond, "inner").drop(*[f"__rk{i}__" for i in range(len(rkey))])
+        if "__alp__" in joined.columns:
+            joined = joined.drop("__alp__")
         fr = SparkFrame(joined, lf.columns, lf.data_cols, lf.index_cols, lf.index_names)
         return fr, F.col(lf.data_cols[0]), F.col(rf.data_cols[0]), {lf.data_cols[0], rf.data_cols[0]}
 

@@ -201,3 +201,10 @@ def test_groupby_tail(mdf, pdf):
     got = mdf.groupby("k").tail(3).to_pandas()
     ref = pdf.groupby("k").tail(3)
     assert_df_equal(got, ref.reset_index(drop=True))
+
+
+def test_groupby_rank_average(mdf, pdf):
+    # ties must get the average rank (pandas default), not the min
+    got = mdf.groupby("k")[["a"]].rank("average").to_pandas()
+    ref = pdf.groupby("k")[["a"]].rank("average")
+    np.testing.assert_allclose(got["a"].values, ref["a"].values)

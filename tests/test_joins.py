@@ -117,3 +117,17 @@ def test_isin_semi(mdf, pdf):
     got = mdf[mdf.k.isin(["x", "y"])].to_pandas()
     ref = pdf[pdf.k.isin(["x", "y"])]
     assert_df_equal(got, ref.reset_index(drop=True))
+
+
+def test_concat_post_merge_frame(joins):
+    """pd.concat of a frame produced by merge: its ORDER_COL is an opaque
+    struct — concat must flatten it to a position, not cast it to double."""
+    ml, mr = joins
+    import modin_spark.pandas as mpd
+
+    merged = ml.merge(mr, on="k", how="inner")
+    got = mpd.concat([merged, merged]).to_pandas()
+    pref = LEFT.merge(RIGHT, on="k", how="inner")
+    ref = pd.concat([pref, pref], ignore_index=True)
+    assert len(got) == len(ref)
+    assert sorted(got["lv"].tolist()) == sorted(ref["lv"].tolist())

@@ -156,3 +156,11 @@ def test_concat_axis1_on_index(spark):
     assert list(got.columns) == list(ref.columns)
     np.testing.assert_allclose(got["x"].values, ref["x"].values, equal_nan=True)
     np.testing.assert_allclose(got["y"].values, ref["y"].values, equal_nan=True)
+
+
+def test_shift_fill_value_preserves_nans(mdf, pdf):
+    # fill_value fills only the vacated head positions; NaNs already in the
+    # column stay NaN after shifting into range
+    got = mdf.c.shift(2, fill_value=-1.0).to_pandas()
+    ref = pdf.c.shift(2, fill_value=-1.0)
+    np.testing.assert_allclose(got.values, ref.values, equal_nan=True)
