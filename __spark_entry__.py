@@ -381,6 +381,16 @@ def _asof_join(spark, sf):
     return out.to_spark(ordered=False)
 
 
+def _asof_nearest(spark, sf):
+    mpd = _mpd()
+    ev = mpd.read_parquet(f"{sf}/events.parquet")
+    trades = ev[ev.event_type == "purchase"][["event_id", "ts"]].sort_values("ts")
+    quotes = ev[ev.event_type == "view"][["ts", "user_id"]].sort_values("ts")
+    out = mpd.merge_asof(trades, quotes, on="ts", direction="nearest")
+    out = out[["event_id", "user_id"]]
+    return out.to_spark(ordered=False)
+
+
 def _docs_exact_dedup(spark, sf):
     mpd = _mpd()
     docs = mpd.read_parquet(f"{sf}/documents.parquet")
@@ -665,7 +675,7 @@ def _range_join_buckets(spark, sf):
         "lo": [1, 11, 21, 31, 41], "hi": [10, 20, 30, 40, 50],
         "bucket": ["b1", "b2", "b3", "b4", "b5"],
     }))
-    j = range_join(li, ranges, "l_quantity", "lo", "hi")
+    j = range_join(li, ranges, "l_quantity", "lo", "hi", bucket_width=10.0)
     out = j.groupby(["bucket"]).agg(n=("l_orderkey", "count")).reset_index()
     return out.to_spark(ordered=False)
 
@@ -763,6 +773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corr_cov": _corr_cov,
         "cube_agg": _cube_agg,
         "asof_join": _asof_join,
+        "asof_nearest": _asof_nearest,
         "docs_exact_dedup": _docs_exact_dedup,
         "docs_token_stats": _docs_token_stats,
         "docs_norm_distinct": _docs_norm_distinct,
@@ -1000,6 +1011,20 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT event_id, ts, value FROM events WHERE event_type = 'purchase') t
             ASOF LEFT JOIN (SELECT ts, user_id FROM events WHERE event_type = 'view') q
               ON t.ts >= q.ts
+        """,
+        "asof_nearest": """
+            WITH t AS (SELECT event_id, ts FROM events WHERE event_type = 'purchase'),
+                 q AS (SELECT ts, user_id FROM events WHERE event_type = 'view'),
+                 b AS (SELECT t.event_id, t.ts, q.ts AS qts, q.user_id AS u
+                       FROM t ASOF LEFT JOIN q ON t.ts >= q.ts),
+                 f AS (SELECT t.event_id, q.ts AS qts, q.user_id AS u
+                       FROM t ASOF LEFT JOIN q ON t.ts < q.ts)
+            SELECT b.event_id,
+                   CASE WHEN b.qts IS NULL THEN f.u
+                        WHEN f.qts IS NULL THEN b.u
+                        WHEN (f.qts - b.ts) < (b.ts - b.qts) THEN f.u
+                        ELSE b.u END AS user_id
+            FROM b JOIN f ON b.event_id = f.event_id
         """,
         "docs_exact_dedup": """
             SELECT d.lang, COUNT(*) AS n

@@ -1,12 +1,21 @@
-"""As-of and ordered joins.
+"""As-of, ordered, and range joins.
 
 The reference only has default-to-pandas merge_asof
 (/root/reference/modin/core/storage_formats/base/query_compiler.py:1713).
-Distributed strategy here: union both sides tagged, sort-shuffle once on
-(by, key), then a key-partitioned `last(right_value, ignorenulls=True)`
-window carries the most recent right row to each left row. One range/hash
-shuffle, no driver collect — works at any scale; with `by` the window is
-hash-partitioned per group (AQE handles skew).
+Distributed strategy here: union both sides tagged, then carry the nearest
+right row to each left row with *partitioned* windows only:
+
+- with ``by``: windows hash-partitioned on the by-keys (one shuffle; AQE
+  handles skew).
+- without ``by``: the same block+halo decomposition as core/windows.py —
+  range-partition the union on the full sort key, pick within each block
+  with a block-partitioned window, then join per-block carries computed
+  from a (#blocks)-row prefix/suffix pass. No single-task global window
+  at any scale.
+
+Supports direction backward/forward/nearest, allow_exact_matches, and
+numeric or datetime tolerance (datetime keys are normalized to epoch
+micros so distance math stays in long arithmetic).
 """
 
 from __future__ import annotations
@@ -17,6 +26,58 @@ from pyspark.sql.window import Window
 
 from modin_spark.core.frame import ORDER_COL, SparkFrame, fresh_names
 
+_BLK = "__ablk__"
+
+
+def _pick_direction(u, direction: str, allow_exact: bool, by_cols: list[str], out_col: str):
+    """Attach ``out_col``: the matched right-row struct for each row of the
+    tagged union ``u`` (columns __k__ numeric key, __il__ 0=right/1=left,
+    __ro__ right tiebreak, __rs__ right struct or null, *by_cols).
+
+    Exactness is encoded in the sort tiebreak: rights sort before lefts at
+    equal keys when equal keys should be visible to the backward frame /
+    hidden from the forward frame, and after lefts otherwise.
+    """
+    rights_first = (direction == "backward") == allow_exact
+    tb = F.col("__il__") if rights_first else (F.lit(1) - F.col("__il__"))
+    sort_cols = [F.col("__k__"), tb.alias("__tb__"), F.col("__ro__")]
+
+    if by_cols:
+        w = Window.partitionBy(*by_cols).orderBy(*[c.asc() for c in sort_cols])
+        if direction == "backward":
+            pick = F.last("__rs__", ignorenulls=True).over(w.rowsBetween(Window.unboundedPreceding, 0))
+        else:
+            pick = F.first("__rs__", ignorenulls=True).over(w.rowsBetween(0, Window.unboundedFollowing))
+        return u.withColumn(out_col, pick)
+
+    # no by: block + halo. Range-partition on the FULL sort key so block
+    # order is consistent with the global sort (equal keys that straddle a
+    # block boundary are covered by the carry join).
+    u2 = u.repartitionByRange(*sort_cols).withColumn(_BLK, F.spark_partition_id())
+    w_in = Window.partitionBy(_BLK).orderBy(*[c.asc() for c in sort_cols])
+    is_r = F.col("__il__") == 0
+    r_ord = F.when(is_r, F.struct(F.col("__k__"), F.col("__ro__")))
+    if direction == "backward":
+        within = F.last("__rs__", ignorenulls=True).over(w_in.rowsBetween(Window.unboundedPreceding, 0))
+        cand = F.max_by(F.when(is_r, F.col("__rs__")), r_ord)
+        w_carry = Window.orderBy(_BLK).rowsBetween(Window.unboundedPreceding, -1)
+        carry = F.last("__cand__", ignorenulls=True).over(w_carry)
+    else:
+        within = F.first("__rs__", ignorenulls=True).over(w_in.rowsBetween(0, Window.unboundedFollowing))
+        cand = F.min_by(F.when(is_r, F.col("__rs__")), r_ord)
+        w_carry = Window.orderBy(_BLK).rowsBetween(1, Window.unboundedFollowing)
+        carry = F.first("__cand__", ignorenulls=True).over(w_carry)
+    u2 = u2.withColumn("__win__", within)
+    # per-block candidates -> cross-block carry (tiny: #blocks rows)
+    carries = (
+        u2.groupBy(_BLK).agg(cand.alias("__cand__"))
+        .select(F.col(_BLK).alias("__blk2__"), carry.alias("__carry__"))
+    )
+    u2 = u2.join(F.broadcast(carries), u2[_BLK] == carries["__blk2__"], "left")
+    return u2.withColumn(out_col, F.coalesce(F.col("__win__"), F.col("__carry__"))).drop(
+        "__win__", "__carry__", "__blk2__", _BLK
+    )
+
 
 def merge_asof(
     left,
@@ -26,77 +87,108 @@ def merge_asof(
     direction: str = "backward",
     suffixes=("_x", "_y"),
     tolerance=None,
+    allow_exact_matches: bool = True,
 ):
     from modin_spark.pandas.dataframe import DataFrame
 
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward/forward/nearest, got {direction!r}")
     lf: SparkFrame = left._frame.ensure_order()
-    rf: SparkFrame = right._frame
+    rf: SparkFrame = right._frame.ensure_order()
     on_l = lf.data_cols[lf.positions_of([on])[0]]
     on_r = rf.data_cols[rf.positions_of([on])[0]]
     by = ([by] if isinstance(by, str) else by) or []
     by_l = [lf.data_cols[i] for i in lf.positions_of(by)] if by else []
     by_r = [rf.data_cols[i] for i in rf.positions_of(by)] if by else []
 
-    # right payload columns (non-key, non-by)
     r_payload = [
         (rf.columns[j], rf.data_cols[j])
         for j in range(len(rf.columns))
         if rf.data_cols[j] != on_r and rf.data_cols[j] not in set(by_r)
     ]
 
-    l_sel = [F.col(ORDER_COL).alias("__lorder__"), F.col(on_l).alias("__key__"), F.lit(1).alias("__is_left__")]
+    key_t = lf.schema_map[on_l].simpleString()
+    is_ts = key_t.startswith("timestamp")
+    knum = (lambda c: F.unix_micros(c)) if is_ts else (lambda c: c)
+    mk_t = "bigint" if is_ts else key_t
+    tol = None
+    if tolerance is not None:
+        tol = int(pd.Timedelta(tolerance).value // 1000) if is_ts else tolerance
+
+    # right-row struct: numeric key + payload fields
+    rs_fields = ",".join(
+        [f"__mk__:{mk_t}"] + [f"__f{i}__:{rf.schema_map[p].simpleString()}" for i, (_, p) in enumerate(r_payload)]
+    )
+    rs_type = f"struct<{rs_fields}>"
+
+    # right's order tiebreak must be a plain long (post-merge rights carry a
+    # struct ORDER_COL; use a contiguous position instead)
+    if rf.schema_map[ORDER_COL].simpleString() != "bigint":
+        rf = rf.with_global_position("__aro__")
+        r_ord_col = "__aro__"
+    else:
+        r_ord_col = ORDER_COL
+
+    l_sel = [
+        F.col(ORDER_COL).alias("__lorder__"),
+        knum(F.col(on_l)).alias("__k__"),
+        F.lit(1).alias("__il__"),
+        F.lit(None).cast("long").alias("__ro__"),
+        F.lit(None).cast(rs_type).alias("__rs__"),
+    ]
     l_sel += [F.col(b).alias(f"__by{i}__") for i, b in enumerate(by_l)]
     l_sel += [F.col(c) for c in lf.data_cols]
-    l_sel += [F.lit(None).cast(rf.schema_map[p].simpleString()).alias(f"__rv_{p}") for _, p in r_payload]
     lu = lf.sdf.select(*l_sel)
 
     r_sel = [
         F.lit(None).cast(lf.schema_map[ORDER_COL]).alias("__lorder__"),
-        F.col(on_r).alias("__key__"),
-        F.lit(0).alias("__is_left__"),
+        knum(F.col(on_r)).alias("__k__"),
+        F.lit(0).alias("__il__"),
+        F.col(r_ord_col).cast("long").alias("__ro__"),
+        F.struct(
+            knum(F.col(on_r)).alias("__mk__"),
+            *[F.col(p).alias(f"__f{i}__") for i, (_, p) in enumerate(r_payload)],
+        ).alias("__rs__"),
     ]
     r_sel += [F.col(b).alias(f"__by{i}__") for i, b in enumerate(by_r)]
     r_sel += [F.lit(None).cast(lf.schema_map[c].simpleString()).alias(c) for c in lf.data_cols]
-    r_sel += [F.col(p).alias(f"__rv_{p}") for _, p in r_payload]
     ru = rf.sdf.select(*r_sel)
 
     u = lu.unionByName(ru)
-    by_cols = [F.col(f"__by{i}__") for i in range(len(by_l))]
-    if direction == "backward":
-        # right rows sort before left rows at equal keys (<= semantics)
-        order = [F.col("__key__").asc(), F.col("__is_left__").asc()]
-        w = Window.partitionBy(*by_cols).orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
-        pick = lambda c: F.last(c, ignorenulls=True).over(w)
-        key_pick = F.last(F.when(F.col("__is_left__") == 0, F.col("__key__")), ignorenulls=True).over(w)
-    elif direction == "forward":
-        order = [F.col("__key__").asc(), F.col("__is_left__").desc()]
-        w = Window.partitionBy(*by_cols).orderBy(*order).rowsBetween(0, Window.unboundedFollowing)
-        pick = lambda c: F.first(c, ignorenulls=True).over(w)
-        key_pick = F.first(F.when(F.col("__is_left__") == 0, F.col("__key__")), ignorenulls=True).over(w)
-    else:
-        raise NotImplementedError(f"direction {direction!r}")
+    by_cols = [f"__by{i}__" for i in range(len(by_l))]
 
-    picked = u
-    for _, p in r_payload:
-        picked = picked.withColumn(f"__pk_{p}", pick(F.col(f"__rv_{p}")))
-    picked = picked.withColumn("__matched_key__", key_pick)
-    out_rows = picked.where(F.col("__is_left__") == 1)
-    if tolerance is not None:
-        tol = tolerance
-        within = F.abs(F.col("__key__") - F.col("__matched_key__")) <= F.lit(tol)
-        for _, p in r_payload:
-            out_rows = out_rows.withColumn(f"__pk_{p}", F.when(within, F.col(f"__pk_{p}")))
+    if direction in ("backward", "forward"):
+        picked = _pick_direction(u, direction, allow_exact_matches, by_cols, "__pick__")
+    else:  # nearest: backward + forward passes, choose smaller distance.
+        # Forward is always strict: exact matches are distance-0 hits of the
+        # backward pass (or forbidden entirely when allow_exact_matches=False).
+        picked = _pick_direction(u, "backward", allow_exact_matches, by_cols, "__pb__")
+        picked = _pick_direction(picked, "forward", False, by_cols, "__pf__")
+        d_b = F.col("__k__") - F.col("__pb__.__mk__")
+        d_f = F.col("__pf__.__mk__") - F.col("__k__")
+        picked = picked.withColumn(
+            "__pick__",
+            F.when(F.col("__pb__").isNull(), F.col("__pf__"))
+            .when(F.col("__pf__").isNull(), F.col("__pb__"))
+            .when(d_f < d_b, F.col("__pf__"))
+            .otherwise(F.col("__pb__")),
+        ).drop("__pb__", "__pf__")
+
+    out_rows = picked.where(F.col("__il__") == 1)
+    if tol is not None:
+        dist = F.abs(F.col("__k__") - F.col("__pick__.__mk__"))
+        out_rows = out_rows.withColumn("__pick__", F.when(dist <= F.lit(tol), F.col("__pick__")))
 
     out_labels = list(left.columns)
     out_phys = list(lf.data_cols)
     new_phys = fresh_names(len(r_payload))
     sel = [F.col("__lorder__").alias(ORDER_COL)] + [F.col(c) for c in out_phys]
     lset = set(out_labels)
-    for (lbl, p), np_ in zip(r_payload, new_phys):
+    for i, ((lbl, _p), np_) in enumerate(zip(r_payload, new_phys)):
         name = f"{lbl}{suffixes[1]}" if lbl in lset else lbl
         out_labels.append(name)
         out_phys.append(np_)
-        sel.append(F.col(f"__pk_{p}").alias(np_))
+        sel.append(F.col(f"__pick__.__f{i}__").alias(np_))
     out = SparkFrame(out_rows.select(*sel), pd.Index(out_labels), out_phys)
     return DataFrame(_frame=out)
 
@@ -106,11 +198,14 @@ def merge_ordered(left, right, on=None, how="outer", suffixes=("_x", "_y")):
     return left.merge(right, on=on, how=how, suffixes=suffixes, sort=True)
 
 
-def range_join(left, right, left_on, right_lo, right_hi, how="inner"):
+def range_join(left, right, left_on, right_lo, right_hi, how="inner", bucket_width=None):
     """Interval join: left.key BETWEEN right.lo AND right.hi.
 
-    Plan: plain theta-join; for scale, callers should bucketize the range key
-    (equi-join on bucket + residual filter) — provided via `bucketize=`.
+    With ``bucket_width`` (the scale path): each right interval explodes over
+    the integer buckets it covers, the join becomes an equi-join on bucket id
+    plus a residual BETWEEN filter — shuffle-parallel, never a nested-loop /
+    cartesian. Without it: plain theta-join (Catalyst picks
+    BroadcastNestedLoopJoin; only sane when one side is tiny).
     """
     from modin_spark.pandas.dataframe import DataFrame
 
@@ -118,10 +213,29 @@ def range_join(left, right, left_on, right_lo, right_hi, how="inner"):
     lk = lf.data_cols[lf.positions_of([left_on])[0]]
     lo = rf.data_cols[rf.positions_of([right_lo])[0]]
     hi = rf.data_cols[rf.positions_of([right_hi])[0]]
-    lsdf = lf.sdf.withColumnRenamed(ORDER_COL, "__lo__")
+    lsdf = lf.sdf.withColumnRenamed(ORDER_COL, "__lo__") if ORDER_COL in lf.sdf.columns else lf.sdf
     rsdf = rf.sdf.select(*rf.data_cols)
-    joined = lsdf.join(rsdf, (lsdf[lk] >= rsdf[lo]) & (lsdf[lk] <= rsdf[hi]), how)
-    joined = joined.withColumnRenamed("__lo__", ORDER_COL)
+    if bucket_width is not None:
+        w = float(bucket_width)
+        # right side: one row per covered bucket (sequence is tiny for
+        # well-chosen width ~ median interval length)
+        rsdf = rsdf.withColumn(
+            "__bkt__",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(lo) / F.lit(w)).cast("long"),
+                    F.floor(F.col(hi) / F.lit(w)).cast("long"),
+                )
+            ),
+        )
+        lb = lsdf.withColumn("__bkt__", F.floor(F.col(lk) / F.lit(w)).cast("long"))
+        joined = lb.join(rsdf, "__bkt__", how).where(
+            (F.col(lk) >= F.col(lo)) & (F.col(lk) <= F.col(hi))
+        ).drop("__bkt__")
+    else:
+        joined = lsdf.join(rsdf, (lsdf[lk] >= rsdf[lo]) & (lsdf[lk] <= rsdf[hi]), how)
+    if "__lo__" in joined.columns:
+        joined = joined.withColumnRenamed("__lo__", ORDER_COL)
     labels = list(lf.columns) + list(rf.columns)
     phys = list(lf.data_cols) + list(rf.data_cols)
     return DataFrame(_frame=SparkFrame(joined, pd.Index(labels), phys))

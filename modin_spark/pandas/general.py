@@ -165,10 +165,12 @@ def merge_asof(
     direction: str = "backward",
     suffixes=("_x", "_y"),
     tolerance=None,
+    allow_exact_matches: bool = True,
 ) -> DataFrame:
     from modin_spark.operators.joins import merge_asof as _asof
 
-    return _asof(left, right, on=on, by=by, direction=direction, suffixes=suffixes, tolerance=tolerance)
+    return _asof(left, right, on=on, by=by, direction=direction, suffixes=suffixes,
+                 tolerance=tolerance, allow_exact_matches=allow_exact_matches)
 
 
 def merge_ordered(left: DataFrame, right: DataFrame, on=None, how="outer", suffixes=("_x", "_y")) -> DataFrame:

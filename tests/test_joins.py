@@ -131,3 +131,80 @@ def test_concat_post_merge_frame(joins):
     ref = pd.concat([pref, pref], ignore_index=True)
     assert len(got) == len(ref)
     assert sorted(got["lv"].tolist()) == sorted(ref["lv"].tolist())
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+@pytest.mark.parametrize("exact", [True, False])
+def test_merge_asof_directions(spark, direction, exact):
+    import modin_spark.pandas as mpd
+
+    rng = np.random.default_rng(3)
+    t = pd.DataFrame({"ts": np.sort(rng.integers(0, 500, 120)), "tv": np.arange(120)})
+    q = pd.DataFrame({"ts": np.sort(rng.integers(0, 500, 80)), "qv": rng.random(80)})
+    got = mpd.merge_asof(
+        mpd.from_pandas(t), mpd.from_pandas(q), on="ts",
+        direction=direction, allow_exact_matches=exact,
+    ).to_pandas()
+    ref = pd.merge_asof(t, q, on="ts", direction=direction, allow_exact_matches=exact)
+    g = got.sort_values(["ts", "tv"]).reset_index(drop=True)
+    r = ref.sort_values(["ts", "tv"]).reset_index(drop=True)
+    np.testing.assert_allclose(g["qv"].values, r["qv"].values, equal_nan=True)
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+def test_merge_asof_by_directions(spark, direction):
+    import modin_spark.pandas as mpd
+
+    rng = np.random.default_rng(4)
+    t = pd.DataFrame({
+        "g": rng.choice(list("xyz"), 90), "ts": np.sort(rng.integers(0, 300, 90)), "tv": np.arange(90)
+    })
+    q = pd.DataFrame({
+        "g": rng.choice(list("xyz"), 60), "ts": np.sort(rng.integers(0, 300, 60)), "qv": rng.random(60)
+    })
+    got = mpd.merge_asof(
+        mpd.from_pandas(t), mpd.from_pandas(q), on="ts", by="g", direction=direction
+    ).to_pandas()
+    ref = pd.merge_asof(t, q, on="ts", by="g", direction=direction)
+    g = got.sort_values(["g", "ts", "tv"]).reset_index(drop=True)
+    r = ref.sort_values(["g", "ts", "tv"]).reset_index(drop=True)
+    np.testing.assert_allclose(g["qv"].values, r["qv"].values, equal_nan=True)
+
+
+def test_merge_asof_tolerance_datetime(spark):
+    import modin_spark.pandas as mpd
+
+    t = pd.DataFrame({"ts": pd.to_datetime(["2024-01-01 00:00", "2024-01-01 01:00", "2024-01-01 05:00"]), "tv": [1, 2, 3]})
+    q = pd.DataFrame({"ts": pd.to_datetime(["2023-12-31 23:30", "2024-01-01 00:55", "2024-01-01 02:00"]), "qv": [10.0, 20.0, 30.0]})
+    got = mpd.merge_asof(
+        mpd.from_pandas(t), mpd.from_pandas(q), on="ts", tolerance=pd.Timedelta("45min")
+    ).to_pandas()
+    ref = pd.merge_asof(t, q, on="ts", tolerance=pd.Timedelta("45min"))
+    g = got.sort_values("ts").reset_index(drop=True)
+    np.testing.assert_allclose(g["qv"].values, ref["qv"].values, equal_nan=True)
+
+
+def test_merge_asof_duplicate_right_keys(spark):
+    # among equal right keys the LAST right row (original order) must win
+    import modin_spark.pandas as mpd
+
+    t = pd.DataFrame({"ts": [5, 10], "tv": [1, 2]})
+    q = pd.DataFrame({"ts": [5, 5, 5], "qv": [1.0, 2.0, 3.0]})
+    got = mpd.merge_asof(mpd.from_pandas(t), mpd.from_pandas(q), on="ts").to_pandas()
+    ref = pd.merge_asof(t, q, on="ts")
+    g = got.sort_values("ts").reset_index(drop=True)
+    np.testing.assert_allclose(g["qv"].values, ref["qv"].values)
+
+
+def test_range_join_bucketized_matches_theta(spark):
+    import modin_spark.pandas as mpd
+    from modin_spark.operators.joins import range_join
+
+    rng = np.random.default_rng(5)
+    left = mpd.from_pandas(pd.DataFrame({"v": rng.random(300) * 100}))
+    rr = pd.DataFrame({"lo": [0.0, 15.0, 40.0, 90.0], "hi": [20.0, 35.0, 80.0, 95.0], "tag": list("abcd")})
+    right = mpd.from_pandas(rr)
+    theta = range_join(left, right, "v", "lo", "hi").to_pandas()
+    bucketed = range_join(left, right, "v", "lo", "hi", bucket_width=7.0).to_pandas()
+    key = lambda d: sorted(zip(d["v"].round(9), d["tag"]))
+    assert key(theta) == key(bucketed)

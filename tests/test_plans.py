@@ -75,3 +75,29 @@ def test_sort_uses_range_partitioning(li):
     s = li.sort_values("l_quantity")
     plan = plans.physical_plan(s._frame.sdf)
     assert "rangepartitioning" in plan.lower(), plan
+
+
+def test_asof_no_unsafe_single_partition(spark):
+    """merge_asof without `by` must use the block+halo scheme, not a global
+    single-partition window over the whole union."""
+    import modin_spark.pandas as mpd
+
+    ev = mpd.read_parquet(f"{SF}/events.parquet")
+    t = ev[ev.event_type == "purchase"][["ts", "value"]]
+    q = ev[ev.event_type == "click"][["ts", "user_id"]]
+    out = mpd.merge_asof(t, q, on="ts", direction="backward")
+    assert plans.unsafe_single_partition_exchanges(out._frame.sdf) == 0, plans.physical_plan(out._frame.sdf)
+    assert "rangepartitioning" in plans.physical_plan(out._frame.sdf).lower()
+
+
+def test_range_join_bucketized_no_nested_loop(spark):
+    import modin_spark.pandas as mpd
+    from modin_spark.operators.joins import range_join
+
+    ev = mpd.read_parquet(f"{SF}/events.parquet")
+    left = ev[["value"]]
+    right = mpd.from_pandas(pd.DataFrame({"lo": [0.0, 10.0, 20.0], "hi": [10.0, 20.0, 30.0], "tag": list("abc")}))
+    out = range_join(left, right, "value", "lo", "hi", bucket_width=10.0)
+    plan = plans.physical_plan(out._frame.sdf)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
