@@ -259,6 +259,18 @@ def _rank_min(spark, sf):
     return out.to_spark(ordered=False)
 
 
+def _rank_frame(spark, sf):
+    """Multi-column df.rank(): all columns batched through one sort per dtype."""
+    mpd = _mpd()
+    orders = mpd.read_parquet(f"{sf}/orders.parquet")
+    rk = orders[["o_totalprice", "o_custkey", "o_orderkey"]].rank(method="min")
+    out = orders[["o_orderkey"]]
+    out["r_price"] = rk["o_totalprice"]
+    out["r_cust"] = rk["o_custkey"]
+    out["r_key"] = rk["o_orderkey"]
+    return out.to_spark(ordered=False)
+
+
 def _str_funcs(spark, sf):
     mpd = _mpd()
     cust = mpd.read_parquet(f"{sf}/customer.parquet")
@@ -585,6 +597,28 @@ def _expanding_stats(spark, sf):
     return out.head(10000).to_spark(ordered=False)
 
 
+def _expanding_median_p90(spark, sf):
+    mpd = _mpd()
+    ev = mpd.read_parquet(f"{sf}/events.parquet")
+    ev2 = ev.sort_values("event_id").head(4000).set_index("event_id")
+    m = ev2[["value"]].expanding(min_periods=1).median().reset_index().rename(columns={"value": "exp_med"})
+    q = ev2[["value"]].expanding(min_periods=1).quantile(0.9).reset_index().rename(columns={"value": "exp_p90"})
+    out = m.merge(q, on="event_id")
+    out["exp_med"] = _r(out["exp_med"], 6)
+    out["exp_p90"] = _r(out["exp_p90"], 6)
+    return out.to_spark(ordered=False)
+
+
+def _rolling_corr_pair(spark, sf):
+    mpd = _mpd()
+    ev = mpd.read_parquet(f"{sf}/events.parquet")
+    ev2 = ev.sort_values("event_id").head(10000).set_index("event_id")
+    c = ev2["value"].rolling(24).corr(ev2["user_id"])
+    out = ev2[["value"]]
+    out["rcorr"] = _r(c.fillna(0.0), 4)
+    return out.reset_index()[["event_id", "rcorr"]].to_spark(ordered=False)
+
+
 def _pct_change_value(spark, sf):
     mpd = _mpd()
     ev = mpd.read_parquet(f"{sf}/events.parquet")
@@ -774,6 +808,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_agg": _cube_agg,
         "asof_join": _asof_join,
         "asof_nearest": _asof_nearest,
+        "expanding_median_p90": _expanding_median_p90,
+        "rank_frame": _rank_frame,
+        "rolling_corr_pair": _rolling_corr_pair,
         "docs_exact_dedup": _docs_exact_dedup,
         "docs_token_stats": _docs_token_stats,
         "docs_norm_distinct": _docs_norm_distinct,
@@ -1025,6 +1062,30 @@ def oracle_sql() -> dict[str, str]:
                         WHEN (f.qts - b.ts) < (b.ts - b.qts) THEN f.u
                         ELSE b.u END AS user_id
             FROM b JOIN f ON b.event_id = f.event_id
+        """,
+        "rank_frame": """
+            SELECT o_orderkey,
+                   CAST(RANK() OVER (ORDER BY o_totalprice) AS DOUBLE) AS r_price,
+                   CAST(RANK() OVER (ORDER BY o_custkey) AS DOUBLE) AS r_cust,
+                   CAST(RANK() OVER (ORDER BY o_orderkey) AS DOUBLE) AS r_key
+            FROM orders
+        """,
+        "expanding_median_p90": """
+            WITH e AS (SELECT event_id, value FROM events ORDER BY event_id LIMIT 4000)
+            SELECT event_id,
+                   ROUND(MEDIAN(value) OVER w, 6) AS exp_med,
+                   ROUND(QUANTILE_CONT(value, 0.9) OVER w, 6) AS exp_p90
+            FROM e
+            WINDOW w AS (ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """,
+        "rolling_corr_pair": """
+            WITH e AS (SELECT event_id, value, user_id FROM events ORDER BY event_id LIMIT 10000)
+            SELECT event_id,
+                   CASE WHEN COUNT(CASE WHEN value IS NOT NULL AND user_id IS NOT NULL THEN 1 END)
+                             OVER w >= 24
+                        THEN ROUND(CORR(value, user_id) OVER w, 4) ELSE 0 END AS rcorr
+            FROM e
+            WINDOW w AS (ORDER BY event_id ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
         """,
         "docs_exact_dedup": """
             SELECT d.lang, COUNT(*) AS n

@@ -29,6 +29,7 @@ HEADLINE = [
     "cumsum_by_group",
     "rolling_mean",
     "rank_min",
+    "rank_frame",
     "str_funcs",
     "resample_hourly",
     "pivot_flag_status",

@@ -166,6 +166,11 @@ class SparkFrame:
         # monotonically_increasing_id projection, which would otherwise block
         # predicate pushdown into the file source.
         self.has_order = has_order
+        # order_epoch: identity of the derivation that produced the current
+        # ORDER_COL *values*. Two frames' ORDER values are directly
+        # join-comparable iff their epochs are equal and non-None; otherwise
+        # cross-frame alignment must go through contiguous global positions.
+        self.order_epoch: tuple | None = None
         assert len(self.columns) == len(self.data_cols)
 
     def ensure_order(self) -> "SparkFrame":
@@ -178,15 +183,19 @@ class SparkFrame:
         if self.has_order:
             return self
         sdf = self.sdf.withColumn(ORDER_COL, F.monotonically_increasing_id())
-        return SparkFrame(
+        nf = SparkFrame(
             sdf, self.columns, self.data_cols, self.index_cols, self.index_names,
             _lid=self._lid, _chain=self._chain, has_order=True,
         )
+        # monotonically_increasing_id over the same base plan is deterministic,
+        # so every ensure_order() of this frame yields the same values
+        nf.order_epoch = ("mid", self._lid)
+        return nf
 
     # lineage helpers -------------------------------------------------------
     def _same_rows(self, sdf, columns=None, data_cols=None, index_cols=None, index_names=None, has_order=None):
         """Derive a frame with identical rows/order (column-level op)."""
-        return SparkFrame(
+        nf = SparkFrame(
             sdf,
             self.columns if columns is None else columns,
             self.data_cols if data_cols is None else data_cols,
@@ -196,11 +205,13 @@ class SparkFrame:
             _chain=self._chain,
             has_order=self.has_order if has_order is None else has_order,
         )
+        nf.order_epoch = self.order_epoch
+        return nf
 
     def _subset_rows(self, sdf, columns=None, data_cols=None, index_cols=None, index_names=None, has_order=None):
         """Derive a frame whose rows are a subset/reorder of this frame's."""
         lid = next(_lid_counter)
-        return SparkFrame(
+        nf = SparkFrame(
             sdf,
             self.columns if columns is None else columns,
             self.data_cols if data_cols is None else data_cols,
@@ -210,6 +221,8 @@ class SparkFrame:
             _chain=self._chain | {lid},
             has_order=self.has_order if has_order is None else has_order,
         )
+        nf.order_epoch = self.order_epoch  # subset keeps the parent's values
+        return nf
 
     def can_rebase(self, anchor: "SparkFrame", refs: set[str]) -> bool:
         """True if a pure column expression anchored at ``anchor`` with
@@ -253,7 +266,9 @@ class SparkFrame:
         for j, p in enumerate(data_phys):
             flat[p] = pdf.iloc[:, j].to_numpy()
         sdf = spark.createDataFrame(flat)
-        return cls(sdf, data_labels, data_phys, idx_phys, index_names if idx_phys else [None])
+        nf = cls(sdf, data_labels, data_phys, idx_phys, index_names if idx_phys else [None])
+        nf.order_epoch = ("pd", nf._lid)  # contiguous 0..n-1, unique to this ingest
+        return nf
 
     # ------------------------------------------------------------- metadata
     @property
@@ -366,7 +381,9 @@ class SparkFrame:
                 keys.append(e.desc_nulls_last() if na_position == "last" else e.desc_nulls_first())
         keys.append(F.col(ORDER_COL).asc())
         sorted_sdf = base.sdf.orderBy(*keys).withColumn(ORDER_COL, F.monotonically_increasing_id())
-        return base._subset_rows(sorted_sdf, has_order=True)
+        nf = base._subset_rows(sorted_sdf, has_order=True)
+        nf.order_epoch = ("sort", nf._lid)  # ORDER re-derived: new epoch
+        return nf
 
     def align_keyed(self, pos_col: str) -> tuple["SparkFrame", list[str]]:
         """Frame + key columns for cross-frame index alignment joins.
@@ -382,6 +399,22 @@ class SparkFrame:
             return self, list(self.index_cols)
         fr = self.with_global_position(pos_col)
         return fr, [pos_col]
+
+    def align_keyed_with(self, other: "SparkFrame", pos_col: str) -> tuple["SparkFrame", list[str]]:
+        """Like align_keyed, but when both sides are default-index frames
+        whose ORDER values come from the SAME derivation (equal non-None
+        ``order_epoch``), the raw ORDER_COL is directly comparable — skip the
+        global-position passes and join on it (the common
+        ``df[c] = derived_series`` same-lineage case)."""
+        if self.index_cols:
+            return self, list(self.index_cols)
+        if (
+            not other.index_cols
+            and self.order_epoch is not None
+            and self.order_epoch == other.order_epoch
+        ):
+            return self.ensure_order(), [ORDER_COL]
+        return self.align_keyed(pos_col)
 
     # ------------------------------------------------------------ positional
     def with_global_position(self, pos_col: str) -> "SparkFrame":

@@ -210,7 +210,6 @@ _ROLL_AGGS = {
     "std": F.stddev_samp,
     "var": F.var_samp,
     "median": F.median,
-    "sem": lambda c: F.stddev_samp(c) / F.sqrt(F.count(c)),
     "skew": F.skewness,
     "kurt": F.kurtosis,
 }
@@ -279,7 +278,29 @@ def rolling_agg(
     """
     if min_periods is None:
         min_periods = window
-    fn = (lambda c: F.percentile(c, F.lit(q))) if agg == "quantile" else _ROLL_AGGS[agg]
+    # sem is a composite (std/sqrt(n-1)) — each aggregate needs its own .over,
+    # so the builder takes the window; simple aggs get .over on the result
+    if agg == "quantile":
+        over_fn = lambda c, w: F.percentile(c, F.lit(q)).over(w)
+    elif agg == "median":
+        # F.median is not frame-window capable; percentile(0.5) is
+        over_fn = lambda c, w: F.percentile(c, F.lit(0.5)).over(w)
+    elif agg == "sem":
+        # window sem: std/sqrt(n - ddof), ddof=1 (pandas window semantics)
+        over_fn = lambda c, w: F.stddev_samp(c).over(w) / F.sqrt(F.count(c).over(w) - 1)
+    elif agg == "skew":
+        # pandas bias-corrected G1 over the window (Spark skewness = population g1)
+        def over_fn(c, w):
+            n = F.count(c).over(w)
+            return F.skewness(c).over(w) * F.sqrt(n * (n - 1)) / (n - 2)
+    elif agg == "kurt":
+        # pandas bias-corrected excess kurtosis G2 over the window
+        def over_fn(c, w):
+            n = F.count(c).over(w)
+            return ((n - 1) / ((n - 2) * (n - 3))) * ((n + 1) * F.kurtosis(c).over(w) + 6)
+    else:
+        _fn = _ROLL_AGGS[agg]
+        over_fn = lambda c, w: _fn(c).over(w)
     frame = frame.ensure_order()
     phys = [frame.data_cols[i] for i in positions]
     labels = [frame.columns[i] for i in positions]
@@ -287,7 +308,7 @@ def rolling_agg(
     if group_phys:
         w = Window.partitionBy(*group_phys).orderBy(ORDER_COL).rowsBetween(-(window - 1), 0)
         exprs = [
-            F.when(F.count(F.col(p)).over(w) >= min_periods, fn(F.col(p)).over(w)).otherwise(F.lit(None))
+            F.when(F.count(F.col(p)).over(w) >= min_periods, over_fn(F.col(p), w)).otherwise(F.lit(None))
             for p in phys
         ]
         return frame.project(labels, exprs)
@@ -303,8 +324,7 @@ def rolling_agg(
     w = Window.partitionBy(_BLK).orderBy(_POS).rowsBetween(-(window - 1), 0)
     out_phys = fresh_names(len(phys))
     for p, op_ in zip(phys, out_phys):
-        val = fn(F.col(p)).over(w)
-        cnt_window = F.count(F.lit(1)).over(w)  # positions available (for head-of-frame)
+        val = over_fn(F.col(p), w)
         nonnull = F.count(F.col(p)).over(w)
         # pandas: need min_periods non-null observations inside the window
         sdf = sdf.withColumn(op_, F.when(nonnull >= min_periods, val).otherwise(F.lit(None)))
@@ -325,6 +345,7 @@ def expanding_agg(frame: SparkFrame, positions: Sequence[int], agg, min_periods:
     """
     aggs = [agg] if isinstance(agg, str) else list(agg)
     multi = not isinstance(agg, str)
+    need_mom = bool({"skew", "kurt"} & set(aggs))  # third/fourth raw moments
     fr = _with_blocks(frame)
     phys = [frame.data_cols[i] for i in positions]
     labels = [frame.columns[i] for i in positions]
@@ -332,7 +353,7 @@ def expanding_agg(frame: SparkFrame, positions: Sequence[int], agg, min_periods:
     w_carry = Window.orderBy(_BLK).rowsBetween(Window.unboundedPreceding, -1)
 
     sdf = fr.sdf
-    # per-row within-block partials for count/sum/sumsq/min/max
+    # per-row within-block partials for count/sum/sumsq(/cube/quad)/min/max
     aux = {}
     for p in phys:
         c = F.col(p)
@@ -343,21 +364,32 @@ def expanding_agg(frame: SparkFrame, positions: Sequence[int], agg, min_periods:
             "mn": F.min(c).over(w_in),
             "mx": F.max(c).over(w_in),
         }
-    tot = sdf.groupBy(_BLK).agg(
+        if need_mom:
+            aux[p]["s3"] = F.sum(c * c * c).over(w_in)
+            aux[p]["s4"] = F.sum(c * c * c * c).over(w_in)
+    tot_aggs = [
         *[F.count(F.col(p)).alias(f"__n_{p}") for p in phys],
         *[F.sum(F.col(p)).alias(f"__s_{p}") for p in phys],
         *[F.sum(F.col(p) * F.col(p)).alias(f"__s2_{p}") for p in phys],
         *[F.min(F.col(p)).alias(f"__mn_{p}") for p in phys],
         *[F.max(F.col(p)).alias(f"__mx_{p}") for p in phys],
-    )
-    carry = tot.select(
+    ]
+    if need_mom:
+        tot_aggs += [F.sum(F.col(p) * F.col(p) * F.col(p)).alias(f"__s3_{p}") for p in phys]
+        tot_aggs += [F.sum(F.col(p) * F.col(p) * F.col(p) * F.col(p)).alias(f"__s4_{p}") for p in phys]
+    tot = sdf.groupBy(_BLK).agg(*tot_aggs)
+    carry_sel = [
         F.col(_BLK).alias("__blk2__"),
         *[F.coalesce(F.sum(F.col(f"__n_{p}")).over(w_carry), F.lit(0)).alias(f"__cn_{p}") for p in phys],
         *[F.coalesce(F.sum(F.col(f"__s_{p}")).over(w_carry), F.lit(0)).alias(f"__cs_{p}") for p in phys],
         *[F.coalesce(F.sum(F.col(f"__s2_{p}")).over(w_carry), F.lit(0)).alias(f"__cs2_{p}") for p in phys],
         *[F.min(F.col(f"__mn_{p}")).over(w_carry).alias(f"__cmn_{p}") for p in phys],
         *[F.max(F.col(f"__mx_{p}")).over(w_carry).alias(f"__cmx_{p}") for p in phys],
-    )
+    ]
+    if need_mom:
+        carry_sel += [F.coalesce(F.sum(F.col(f"__s3_{p}")).over(w_carry), F.lit(0)).alias(f"__cs3_{p}") for p in phys]
+        carry_sel += [F.coalesce(F.sum(F.col(f"__s4_{p}")).over(w_carry), F.lit(0)).alias(f"__cs4_{p}") for p in phys]
+    carry = tot.select(*carry_sel)
     sdf = sdf.join(F.broadcast(carry), sdf[_BLK] == carry["__blk2__"], "left").drop("__blk2__")
 
     exprs = []
@@ -371,7 +403,15 @@ def expanding_agg(frame: SparkFrame, positions: Sequence[int], agg, min_periods:
         mn = F.coalesce(mn, a["mn"], F.col(f"__cmn_{p}"))
         mx = F.greatest(a["mx"], F.col(f"__cmx_{p}"))
         mx = F.coalesce(mx, a["mx"], F.col(f"__cmx_{p}"))
+        if need_mom:
+            s3 = F.coalesce(a["s3"], F.lit(0)) + F.coalesce(F.col(f"__cs3_{p}"), F.lit(0))
+            s4 = F.coalesce(a["s4"], F.lit(0)) + F.coalesce(F.col(f"__cs4_{p}"), F.lit(0))
+            mu = s / n
+            m2 = s2 / n - mu * mu
+            m3 = s3 / n - 3 * mu * (s2 / n) + 2 * mu * mu * mu
+            m4 = s4 / n - 4 * mu * (s3 / n) + 6 * mu * mu * (s2 / n) - 3 * mu * mu * mu * mu
         for a_name in aggs:
+            min_n = min_periods
             if a_name == "sum":
                 e = s
             elif a_name == "count":
@@ -382,14 +422,140 @@ def expanding_agg(frame: SparkFrame, positions: Sequence[int], agg, min_periods:
                 e = mn
             elif a_name == "max":
                 e = mx
-            elif a_name in ("var", "std"):
+            elif a_name in ("var", "std", "sem"):
                 var = (s2 - (s * s) / n) / (n - 1)
-                e = F.sqrt(var) if a_name == "std" else var
+                e = var if a_name == "var" else F.sqrt(var)
+                if a_name == "sem":
+                    # window sem: std/sqrt(n - ddof), ddof=1 (pandas window semantics)
+                    e = e / F.sqrt(n - 1)
+                min_n = max(min_periods, 2)
+            elif a_name == "skew":
+                # pandas bias-corrected G1 (matches compiler._skew)
+                g1 = m3 / F.pow(m2, 1.5)
+                e = g1 * F.sqrt(n * (n - 1)) / (n - 2)
+                min_n = max(min_periods, 3)
+            elif a_name == "kurt":
+                # pandas bias-corrected excess kurtosis G2 (matches compiler._kurt)
+                g2 = m4 / (m2 * m2) - 3
+                e = ((n - 1) / ((n - 2) * (n - 3))) * ((n + 1) * g2 + 6)
+                min_n = max(min_periods, 4)
             else:
                 raise NotImplementedError(f"expanding {a_name}")
-            exprs.append(F.when(n >= min_periods, e).otherwise(F.lit(None)))
+            exprs.append(F.when(n >= min_n, e).otherwise(F.lit(None)))
             out_labels.append(f"{lbl}_{a_name}" if multi else lbl)
     out = fr._same_rows(sdf).project(out_labels, exprs)
+    return _drop_aux(out)
+
+
+def expanding_pair(frame: SparkFrame, px: str, py: str, stat: str, min_periods: int = 1, out_label="0") -> SparkFrame:
+    """Expanding corr/cov between two physical columns — algebraic carries
+    over pairwise-complete rows (n, Σx, Σy, Σxy, Σx², Σy²), same two-pass
+    block scheme as expanding_agg. Shuffle-parallel at any scale."""
+    fr = _with_blocks(frame)
+    w_in = Window.partitionBy(_BLK).orderBy(_POS).rowsBetween(Window.unboundedPreceding, 0)
+    w_carry = Window.orderBy(_BLK).rowsBetween(Window.unboundedPreceding, -1)
+    x, y = F.col(px), F.col(py)
+    both = x.isNotNull() & y.isNotNull()
+    terms = {
+        "n": F.when(both, F.lit(1)).cast("long"),
+        "sx": F.when(both, x), "sy": F.when(both, y),
+        "sxy": F.when(both, x * y), "sxx": F.when(both, x * x), "syy": F.when(both, y * y),
+    }
+    sdf = fr.sdf
+    within = {k: F.sum(v).over(w_in) for k, v in terms.items()}
+    tot = sdf.groupBy(_BLK).agg(*[F.sum(v).alias(f"__t_{k}") for k, v in terms.items()])
+    carry = tot.select(
+        F.col(_BLK).alias("__blk2__"),
+        *[F.coalesce(F.sum(F.col(f"__t_{k}")).over(w_carry), F.lit(0)).alias(f"__c_{k}") for k in terms],
+    )
+    sdf = sdf.join(F.broadcast(carry), sdf[_BLK] == carry["__blk2__"], "left").drop("__blk2__")
+    g = {k: F.coalesce(within[k], F.lit(0)) + F.coalesce(F.col(f"__c_{k}"), F.lit(0)) for k in terms}
+    n = g["n"]
+    cov = (g["sxy"] - g["sx"] * g["sy"] / n) / (n - 1)
+    if stat == "cov":
+        e = cov
+    else:
+        sdx = F.sqrt((g["sxx"] - g["sx"] * g["sx"] / n) / (n - 1))
+        sdy = F.sqrt((g["syy"] - g["sy"] * g["sy"] / n) / (n - 1))
+        e = cov / (sdx * sdy)
+    e = F.when(n >= F.greatest(F.lit(min_periods), F.lit(2)), e).otherwise(F.lit(None))
+    out = fr._same_rows(sdf).project([out_label], [e])
+    return _drop_aux(out)
+
+
+def rolling_pair(
+    frame: SparkFrame, px: str, py: str, window: int, stat: str, min_periods=None, out_label="0"
+) -> SparkFrame:
+    """Rolling corr/cov between two physical columns — F.corr/F.covar_samp
+    over the block+halo row window (pairwise-complete, pandas semantics)."""
+    if min_periods is None:
+        min_periods = window
+    fr = _with_blocks(frame)
+    base = fr.sdf.withColumn("__halo__", F.lit(0))
+    halo = (
+        fr.sdf.where((F.col(_POS) % BLOCK) >= (BLOCK - (window - 1)))
+        .withColumn(_BLK, F.col(_BLK) + 1)
+        .withColumn("__halo__", F.lit(1))
+    )
+    sdf = base.unionByName(halo)
+    w = Window.partitionBy(_BLK).orderBy(_POS).rowsBetween(-(window - 1), 0)
+    x, y = F.col(px), F.col(py)
+    both = x.isNotNull() & y.isNotNull()
+    n_pair = F.sum(F.when(both, F.lit(1)).otherwise(F.lit(0))).over(w)
+    fn = F.covar_samp if stat == "cov" else F.corr
+    val = fn(F.when(both, x), F.when(both, y)).over(w)
+    sdf = sdf.withColumn("__pv__", F.when(n_pair >= min_periods, val))
+    sdf = sdf.where(F.col("__halo__") == 0).drop("__halo__")
+    out = fr._same_rows(sdf).project([out_label], [F.col("__pv__")])
+    return _drop_aux(out)
+
+
+def blocked_pandas(frame: SparkFrame, positions: Sequence[int], pd_fn, halo_rows: int | None):
+    """Run a pandas Series->Series positional function per block with enough
+    preceding context, via one applyInPandas pass.
+
+    ``halo_rows=k``: each block sees the k preceding rows (rolling-style).
+    ``halo_rows=None``: each block sees the ENTIRE prefix (expanding order
+    statistics: median/quantile/rank/apply are not algebraically
+    decomposable, so the exact answer needs all prior values — cost is
+    O(n·#blocks) rows shipped and the last block holds the full column;
+    use the algebraic expanding aggs wherever possible, this is the
+    documented exact-order-statistic slow path).
+    """
+    from pyspark.sql import types as T
+
+    frame2 = frame.ensure_order()
+    phys = [frame2.data_cols[i] for i in positions]
+    labels = [frame2.columns[i] for i in positions]
+    fr = _with_blocks(frame2)
+    narrow = fr.sdf.select(_POS, _BLK, *phys)
+    if halo_rows is None:
+        maxblk = narrow.agg(F.max(F.col(_BLK)).alias("m")).collect()[0].m or 0
+        halo = narrow.where(F.col(_BLK) < maxblk).withColumn(
+            _BLK, F.explode(F.sequence(F.col(_BLK) + 1, F.lit(maxblk)))
+        )
+    else:
+        halo = narrow.where((F.col(_POS) % BLOCK) >= (BLOCK - halo_rows)).withColumn(_BLK, F.col(_BLK) + 1)
+    u = narrow.withColumn("__halo__", F.lit(0)).unionByName(halo.withColumn("__halo__", F.lit(1)))
+
+    out_names = fresh_names(len(phys))
+    schema = T.StructType(
+        [T.StructField(_POS, T.LongType())] + [T.StructField(o, T.DoubleType()) for o in out_names]
+    )
+
+    def apply_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(_POS)
+        keep = (pdf["__halo__"] == 0).to_numpy()
+        res = {_POS: pdf[_POS].to_numpy()[keep]}
+        for p, o in zip(phys, out_names):
+            r = pd_fn(pdf[p].astype("float64"))
+            res[o] = r.to_numpy(dtype="float64")[keep]
+        return pd.DataFrame(res)
+
+    res = u.groupBy(_BLK).applyInPandas(apply_fn, schema)
+    res = res.select(F.col(_POS).alias("__pos_r__"), *[F.col(o) for o in out_names])
+    joined = fr.sdf.join(res, fr.sdf[_POS] == res["__pos_r__"], "left").drop("__pos_r__")
+    out = fr._same_rows(joined).project(labels, [F.col(o) for o in out_names])
     return _drop_aux(out)
 
 
@@ -459,43 +625,78 @@ def rank(
     ascending: bool = True,
     pct: bool = False,
 ) -> SparkFrame:
-    """pandas ``rank``. Scale-safe: sort by value (range shuffle) -> global
-    position -> per-value group stats joined back; no global window.
+    """pandas ``rank``. Scale-safe and batched: all columns of one dtype melt
+    into (column-id, value) rows and go through ONE value sort (range
+    shuffle) + one (cid, value)-window + one pivot join-back — k columns cost
+    one sort, not k sorts. ``pct`` denominators come from a per-cid aggregate
+    joined broadcast-side, never a driver ``count()`` action. No global
+    window anywhere.
     """
-    frame = frame.ensure_order()
+    fr = frame.ensure_order()
     out_labels = [frame.columns[i] for i in positions]
-    out_cols = []
+
+    # group ranked columns by exact Spark dtype: each group melts without any
+    # lossy cast (a double cast would collapse distinct int64 > 2^53)
+    by_dtype: dict[str, list[int]] = {}
     for i in positions:
-        p = frame.data_cols[i]
-        # single-column frame carrying the original ORDER as a payload column
-        tmp = frame.select_positions([i])
-        tmp = tmp._same_rows(tmp.sdf.withColumn("__orig__", F.col(ORDER_COL)))
-        # rows with null values get no rank (pandas NaN), excluded up front
-        tmp = tmp.filter(F.col(p).isNotNull())
-        sorted_fr = tmp.sort_by([F.col(p)], [ascending]).with_global_position(_POS)
+        by_dtype.setdefault(frame.schema_map[frame.data_cols[i]].simpleString(), []).append(i)
+
+    rank_for_pos: dict[int, str] = {}
+    sdf = fr.sdf
+    for dt, pos_group in by_dtype.items():
+        k = len(pos_group)
+        melted = sdf.select(
+            F.col(ORDER_COL).alias("__gp__"),  # the frame's own order key: join-back target
+            F.explode(
+                F.array(*[
+                    F.struct(F.lit(ci).alias("__cid__"), F.col(frame.data_cols[i]).alias("__v__"))
+                    for ci, i in enumerate(pos_group)
+                ])
+            ).alias("__e__"),
+        ).select("__gp__", F.col("__e__.__cid__").alias("__cid__"), F.col("__e__.__v__").alias("__v__"))
+        melted = melted.where(F.col("__v__").isNotNull())  # NaN keeps NaN rank
+
+        vord = F.col("__v__").asc() if ascending else F.col("__v__").desc()
+        sort_keys = [F.col("__cid__").asc(), vord, F.col("__gp__").asc()]
+        s = melted.repartitionByRange(*sort_keys).withColumn("__pid__", F.spark_partition_id())
+        w_loc = Window.partitionBy("__pid__").orderBy(*sort_keys)
+        s = s.withColumn("__lr__", F.row_number().over(w_loc) - F.lit(1))
+        counts = s.groupBy("__pid__").count()
+        w_off = Window.orderBy("__pid__").rowsBetween(Window.unboundedPreceding, -1)
+        offsets = counts.select(
+            F.col("__pid__").alias("__pid2__"),
+            F.coalesce(F.sum("count").over(w_off), F.lit(0)).alias("__off__"),
+        )
+        s = s.join(F.broadcast(offsets), s["__pid__"] == offsets["__pid2__"], "inner")
+        s = s.withColumn(_POS, (F.col("__lr__") + F.col("__off__")).cast("long"))
+        # per-cid base position and non-null count (pct denominator) — k-row agg
+        cid_agg = s.groupBy("__cid__").agg(
+            F.min(_POS).alias("__cbase__"), F.count(F.lit(1)).alias("__cn__")
+        )
+        s = s.join(F.broadcast(cid_agg), "__cid__")
+        local = F.col(_POS) - F.col("__cbase__") + 1
         if method == "first":
-            ranked = sorted_fr.sdf.withColumn("__rank__", (F.col(_POS) + 1).cast("double"))
+            r = local
         else:
-            # per-value min/max position via a value-partitioned window (one
-            # hash shuffle on the value) instead of groupBy + join-back
-            w_v = Window.partitionBy(F.col(p))
-            if method == "average":
-                r = (F.min(_POS).over(w_v) + F.max(_POS).over(w_v)) / 2 + 1
-            elif method == "min":
-                r = F.min(_POS).over(w_v) + 1
-            elif method == "max":
-                r = F.max(_POS).over(w_v) + 1
-            else:
+            w_v = Window.partitionBy("__cid__", "__v__")
+            lo = F.min(_POS).over(w_v) - F.col("__cbase__") + 1
+            hi = F.max(_POS).over(w_v) - F.col("__cbase__") + 1
+            r = {"average": (lo + hi) / 2, "min": lo, "max": hi}.get(method)
+            if r is None:
                 raise NotImplementedError(f"rank method {method!r}")
-            ranked = sorted_fr.sdf.withColumn("__rank__", r.cast("double"))
+        r = r.cast("double")
         if pct:
-            nn = tmp.sdf.count()
-            ranked = ranked.withColumn("__rank__", F.col("__rank__") / F.lit(nn))
-        out_cols.append(ranked.select(F.col("__orig__"), F.col("__rank__")))
-    # join rank columns back on the original ORDER values
-    sdf = frame.sdf
-    rank_phys = fresh_names(len(out_cols))
-    for rp, kc in zip(rank_phys, out_cols):
-        kc2 = kc.withColumnRenamed("__orig__", "__ro__").withColumnRenamed("__rank__", rp)
-        sdf = sdf.join(kc2, sdf[ORDER_COL] == kc2["__ro__"], "left").drop("__ro__")
-    return frame._same_rows(sdf).project(out_labels, [F.col(rp) for rp in rank_phys])
+            r = r / F.col("__cn__")
+        res = s.select(F.col("__gp__").alias("__gpr__"), F.col("__cid__"), r.alias("__rank__"))
+        rp = fresh_names(k)
+        if k == 1:
+            # one ranked column: rows are already unique per __gp__ — no pivot
+            piv = res.select(F.col("__gpr__"), F.col("__rank__").alias(rp[0]))
+        else:
+            piv = res.groupBy("__gpr__").pivot("__cid__", list(range(k))).agg(F.first("__rank__"))
+            piv = piv.select(F.col("__gpr__"), *[F.col(str(ci)).alias(rp[ci]) for ci in range(k)])
+        sdf = sdf.join(piv, sdf[ORDER_COL] == piv["__gpr__"], "left").drop("__gpr__")
+        for ci, i in enumerate(pos_group):
+            rank_for_pos[i] = rp[ci]
+
+    return fr._same_rows(sdf).project(out_labels, [F.col(rank_for_pos[i]) for i in positions])

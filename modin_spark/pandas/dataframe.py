@@ -93,8 +93,10 @@ class DataFrame:
                 return DataFrame(_frame=fr.filter(cond))
             # alignment fallback: join mask by index (or global position for
             # default-index frames — raw ORDER_COL is not cross-frame comparable)
-            fr, lkey = fr.ensure_order().align_keyed("__alp__")
-            mask_fr, rkey = key._to_frame("__m__").ensure_order().align_keyed("__arp__")
+            mfr = key._to_frame("__m__").ensure_order()
+            fr = fr.ensure_order()
+            fr, lkey = fr.align_keyed_with(mfr, "__alp__")
+            mask_fr, rkey = mfr.align_keyed_with(fr, "__arp__")
             msdf = mask_fr.sdf.select(
                 *[F.col(k).alias(f"__mk{i}__") for i, k in enumerate(rkey)], mask_fr.data_cols[0]
             )
@@ -124,10 +126,27 @@ class DataFrame:
             if fr.can_rebase(value._frame, value._refs):
                 self._frame = fr.with_columns([key], [value._expr])
                 return
+            # adopt path: value's frame is a same-rows sibling (same _lid ⇒
+            # identical rows/order) whose sdf carries everything this frame
+            # needs — evaluate there instead of join-aligning, so a chain of
+            # ``df[c] = derived[c2]`` setitems stays ONE plan (later setitems
+            # rebase onto the adopted sdf directly)
+            vf0 = value._frame
+            if (
+                vf0._lid == fr._lid
+                and set(fr.data_cols) <= set(vf0.sdf.columns)
+                and value._refs <= set(vf0.sdf.columns)
+            ):
+                nf = vf0._same_rows(vf0.sdf, columns=fr.columns, data_cols=fr.data_cols,
+                                    index_cols=fr.index_cols, index_names=fr.index_names)
+                self._frame = nf.with_columns([key], [value._expr])
+                return
             # align by join then set (index cols, or global position for
             # default-index frames — raw ORDER_COL is not cross-frame comparable)
-            fr, lkey = fr.ensure_order().align_keyed("__alp__")
-            vf, rkey = value._to_frame("__v__").ensure_order().align_keyed("__arp__")
+            vfr = value._to_frame("__v__").ensure_order()
+            fr = fr.ensure_order()
+            fr, lkey = fr.align_keyed_with(vfr, "__alp__")
+            vf, rkey = vfr.align_keyed_with(fr, "__arp__")
             vsdf = vf.sdf.select(*[F.col(k).alias(f"__vk{i}__") for i, k in enumerate(rkey)], vf.data_cols[0])
             cond = None
             for i, k in enumerate(lkey):

@@ -128,8 +128,10 @@ class Series:
             return other._frame, self._expr, other._expr, self._refs | other._refs
         # alignment join (pandas semantics: align on index; default index ->
         # contiguous global position — raw ORDER_COL is not cross-frame comparable)
-        lf, lkey = self._to_frame("__l__").ensure_order().align_keyed("__alp__")
-        rf, rkey = other._to_frame("__r__").ensure_order().align_keyed("__arp__")
+        lf0 = self._to_frame("__l__").ensure_order()
+        rf0 = other._to_frame("__r__").ensure_order()
+        lf, lkey = lf0.align_keyed_with(rf0, "__alp__")
+        rf, rkey = rf0.align_keyed_with(lf0, "__arp__")
         rsdf = rf.sdf.select(*[F.col(k).alias(f"__rk{i}__") for i, k in enumerate(rkey)], rf.data_cols[0])
         cond = None
         for i, k in enumerate(lkey):

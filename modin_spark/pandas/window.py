@@ -8,7 +8,18 @@ from modin_spark.core import windows as win
 from modin_spark.pandas.series import Series
 
 _ROLL = ["sum", "mean", "min", "max", "count", "std", "var", "median", "sem", "skew", "kurt"]
-_EXP = ["sum", "mean", "min", "max", "count", "std", "var"]
+_EXP = ["sum", "mean", "min", "max", "count", "std", "var", "sem", "skew", "kurt"]
+
+
+def _pair_frame(left, other):
+    """(SparkFrame with both series materialized, phys_x, phys_y) for
+    corr/cov window pairs — same-lineage fast path, else alignment join."""
+    from modin_spark.core.frame import fresh_names
+
+    target, le, re_, _refs = left._combine(other)
+    px, py = fresh_names(2)
+    sdf = target.sdf.withColumn(px, le.cast("double")).withColumn(py, re_.cast("double"))
+    return target._same_rows(sdf), px, py
 
 
 class Rolling:
@@ -48,6 +59,34 @@ class Rolling:
         df = self._obj
         out = win.rolling_apply(df._frame, df._numeric_positions(), self._window, func, self._min_periods)
         return DataFrame(_frame=out)
+
+    def rank(self, method="average", ascending=True, pct=False):
+        from modin_spark.pandas.dataframe import DataFrame
+
+        w, mp = self._window, self._min_periods
+
+        def pd_fn(s):
+            return s.rolling(w, min_periods=mp).rank(method=method, ascending=ascending, pct=pct)
+
+        if isinstance(self._obj, Series):
+            out = win.blocked_pandas(self._obj._to_frame(), [0], pd_fn, halo_rows=w - 1)
+            return Series._from_frame(out)
+        df = self._obj
+        out = win.blocked_pandas(df._frame, df._numeric_positions(), pd_fn, halo_rows=w - 1)
+        return DataFrame(_frame=out)
+
+    def corr(self, other):
+        return self._pair(other, "corr")
+
+    def cov(self, other):
+        return self._pair(other, "cov")
+
+    def _pair(self, other, stat):
+        assert isinstance(self._obj, Series), f"rolling.{stat} is Series-to-Series"
+        fr, px, py = _pair_frame(self._obj, other)
+        out = win.rolling_pair(fr, px, py, self._window, stat, self._min_periods,
+                               out_label=self._obj._name or "0")
+        return Series._from_frame(out)
 
 
 class Expanding:
@@ -89,6 +128,44 @@ class Expanding:
         return DataFrame(_frame=out)
 
     aggregate = agg
+
+    def quantile(self, q=0.5):
+        return self._order_exact(lambda s, mp=self._min_periods: s.expanding(mp).quantile(q))
+
+    def median(self):
+        return self._order_exact(lambda s, mp=self._min_periods: s.expanding(mp).median())
+
+    def rank(self, method="average", ascending=True, pct=False):
+        return self._order_exact(
+            lambda s, mp=self._min_periods: s.expanding(mp).rank(method=method, ascending=ascending, pct=pct)
+        )
+
+    def apply(self, func, raw=True):
+        return self._order_exact(
+            lambda s, mp=self._min_periods, f=func: s.expanding(mp).apply(f, raw=raw)
+        )
+
+    def _order_exact(self, pd_fn):
+        from modin_spark.pandas.dataframe import DataFrame
+
+        if isinstance(self._obj, Series):
+            out = win.blocked_pandas(self._obj._to_frame(), [0], pd_fn, halo_rows=None)
+            return Series._from_frame(out)
+        df = self._obj
+        out = win.blocked_pandas(df._frame, df._numeric_positions(), pd_fn, halo_rows=None)
+        return DataFrame(_frame=out)
+
+    def corr(self, other):
+        return self._pair(other, "corr")
+
+    def cov(self, other):
+        return self._pair(other, "cov")
+
+    def _pair(self, other, stat):
+        assert isinstance(self._obj, Series), f"expanding.{stat} is Series-to-Series"
+        fr, px, py = _pair_frame(self._obj, other)
+        out = win.expanding_pair(fr, px, py, stat, self._min_periods, out_label=self._obj._name or "0")
+        return Series._from_frame(out)
 
 
 class GroupRolling:

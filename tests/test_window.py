@@ -164,3 +164,68 @@ def test_shift_fill_value_preserves_nans(mdf, pdf):
     got = mdf.c.shift(2, fill_value=-1.0).to_pandas()
     ref = pdf.c.shift(2, fill_value=-1.0)
     np.testing.assert_allclose(got.values, ref.values, equal_nan=True)
+
+
+@pytest.mark.parametrize("agg", ["sem", "skew", "kurt"])
+def test_expanding_algebraic_tail(mdf, pdf, agg):
+    got = getattr(mdf.b.expanding(min_periods=1), agg)()
+    ref = getattr(pdf.b.expanding(min_periods=1), agg)()
+    assert_series_equal(got, ref)
+
+
+@pytest.mark.parametrize("agg", ["median", "rank"])
+def test_expanding_order_tail(mdf, pdf, agg):
+    got = getattr(mdf.b.expanding(min_periods=1), agg)()
+    ref = getattr(pdf.b.expanding(min_periods=1), agg)()
+    assert_series_equal(got, ref)
+
+
+def test_expanding_quantile_apply(mdf, pdf):
+    got = mdf.b.expanding(min_periods=2).quantile(0.9)
+    ref = pdf.b.expanding(min_periods=2).quantile(0.9)
+    assert_series_equal(got, ref)
+    got = mdf.b.expanding(min_periods=2).apply(np.nanmean)
+    ref = pdf.b.expanding(min_periods=2).apply(np.nanmean, raw=True)
+    assert_series_equal(got, ref)
+
+
+@pytest.mark.parametrize("stat", ["corr", "cov"])
+def test_expanding_pair(mdf, pdf, stat):
+    got = getattr(mdf.b.expanding(min_periods=2), stat)(mdf.a)
+    ref = getattr(pdf.b.expanding(min_periods=2), stat)(pdf.a.astype("float64"))
+    assert_series_equal(got, ref)
+
+
+@pytest.mark.parametrize("stat", ["corr", "cov"])
+def test_rolling_pair(mdf, pdf, stat):
+    got = getattr(mdf.b.rolling(7), stat)(mdf.a)
+    ref = getattr(pdf.b.rolling(7), stat)(pdf.a.astype("float64"))
+    assert_series_equal(got, ref)
+
+
+def test_rolling_rank(mdf, pdf):
+    got = mdf.b.rolling(5).rank()
+    ref = pdf.b.rolling(5).rank()
+    assert_series_equal(got, ref)
+
+
+@pytest.mark.parametrize("agg", ["sem", "skew", "kurt", "median"])
+def test_rolling_stat_tail(mdf, pdf, agg):
+    got = getattr(mdf.b.rolling(6, min_periods=4), agg)()
+    ref = getattr(pdf.b.rolling(6, min_periods=4), agg)()
+    assert_series_equal(got, ref)
+
+
+def test_rank_multicolumn_frame(mdf, pdf):
+    # whole-frame rank: all numeric columns batched through one sort per dtype
+    got = mdf[["a", "b", "c"]].rank().to_pandas()
+    ref = pdf[["a", "b", "c"]].rank()
+    for c in ["a", "b", "c"]:
+        np.testing.assert_allclose(got[c].values, ref[c].values, equal_nan=True)
+
+
+def test_rank_multicolumn_pct(mdf, pdf):
+    got = mdf[["a", "b"]].rank(method="max", pct=True).to_pandas()
+    ref = pdf[["a", "b"]].rank(method="max", pct=True)
+    for c in ["a", "b"]:
+        np.testing.assert_allclose(got[c].values, ref[c].values, equal_nan=True)
