@@ -259,6 +259,17 @@ def _rank_min(spark, sf):
     return out.to_spark(ordered=False)
 
 
+def _multiindex_regroup(spark, sf):
+    """2-level groupby kept as a MultiIndex through a second op
+    (groupby(level=0) re-aggregation) before reset_index."""
+    mpd = _mpd()
+    li = mpd.read_parquet(f"{sf}/lineitem.parquet")
+    g = li.groupby(["l_returnflag", "l_linestatus"]).agg(sum_qty=("l_quantity", "sum"))
+    l0 = g.groupby(level=0).agg(total=("sum_qty", "sum"), parts=("sum_qty", "count")).reset_index()
+    l0["total"] = _r(l0["total"], 2)
+    return l0.to_spark(ordered=False)
+
+
 def _rank_frame(spark, sf):
     """Multi-column df.rank(): all columns batched through one sort per dtype."""
     mpd = _mpd()
@@ -810,6 +821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_nearest": _asof_nearest,
         "expanding_median_p90": _expanding_median_p90,
         "rank_frame": _rank_frame,
+        "multiindex_regroup": _multiindex_regroup,
         "rolling_corr_pair": _rolling_corr_pair,
         "docs_exact_dedup": _docs_exact_dedup,
         "docs_token_stats": _docs_token_stats,
@@ -1062,6 +1074,15 @@ def oracle_sql() -> dict[str, str]:
                         WHEN (f.qts - b.ts) < (b.ts - b.qts) THEN f.u
                         ELSE b.u END AS user_id
             FROM b JOIN f ON b.event_id = f.event_id
+        """,
+        "multiindex_regroup": """
+            WITH g AS (
+                SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sq
+                FROM lineitem GROUP BY 1, 2
+            )
+            SELECT l_returnflag, ROUND(SUM(sq), 2) AS total,
+                   CAST(COUNT(sq) AS BIGINT) AS parts
+            FROM g GROUP BY 1
         """,
         "rank_frame": """
             SELECT o_orderkey,

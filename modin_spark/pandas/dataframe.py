@@ -466,9 +466,23 @@ class DataFrame:
         return DataFrame(_frame=self._frame.reset_index(drop))
 
     # ------------------------------------------------------------- groupby
-    def groupby(self, by, as_index: bool = True, dropna: bool = True, sort: bool = True):
+    def groupby(self, by=None, level=None, as_index: bool = True, dropna: bool = True, sort: bool = True):
         from modin_spark.pandas.groupby import DataFrameGroupBy
 
+        if by is None:
+            if level is None:
+                raise TypeError("groupby requires by or level")
+            # group on index level(s): surface the level columns, group by
+            # their labels (reference qc groupby takes the index as a frame)
+            fr = self._frame
+            levels = level if isinstance(level, (list, tuple)) else [level]
+            labels = []
+            for lv in levels:
+                i = lv if isinstance(lv, int) else list(fr.index_names).index(lv)
+                n = fr.index_names[i]
+                labels.append(n if n is not None else ("index" if len(fr.index_cols) == 1 else f"level_{i}"))
+            reset = DataFrame(_frame=fr.reset_index(drop=False))
+            return DataFrameGroupBy(reset, labels, as_index=as_index, dropna=dropna, sort=sort)
         return DataFrameGroupBy(self, by, as_index=as_index, dropna=dropna, sort=sort)
 
     def cube(self, by: list, aggs: dict) -> "DataFrame":

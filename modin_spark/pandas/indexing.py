@@ -58,8 +58,25 @@ class LocIndexer:
     def __getitem__(self, key):
         from modin_spark.pandas.dataframe import DataFrame
 
-        row_key, col_key = key if isinstance(key, tuple) else (key, slice(None))
         fr = self._df._frame
+        # full-depth MultiIndex row label: loc[(k1, k2)] on a 2-level index
+        # (reference keeps the whole MultiIndex in pandas partitions; here the
+        # levels are ordinary key columns, so the lookup is a conjunctive
+        # filter that pushes down to the scan)
+        if (
+            isinstance(key, tuple)
+            and len(fr.index_cols) > 1
+            and len(key) == len(fr.index_cols)
+            and all(not isinstance(k, (slice, list, Series)) for k in key)
+        ):
+            cond = None
+            for c, v in zip(fr.index_cols, key):
+                e = F.col(c) == F.lit(v)
+                cond = e if cond is None else (cond & e)
+            out = fr.filter(cond)
+            out = out._same_rows(out.sdf, index_cols=[], index_names=[None])
+            return DataFrame(_frame=out)
+        row_key, col_key = key if isinstance(key, tuple) else (key, slice(None))
 
         if isinstance(col_key, slice) and col_key == slice(None):
             col_pos = list(range(len(fr.columns)))
@@ -84,7 +101,12 @@ class LocIndexer:
             if not fr.index_cols:
                 raise NotImplementedError("loc by label needs an index")
             cond = F.col(fr.index_cols[0]) == F.lit(row_key)
-            out = fr.filter(cond).select_positions(col_pos)
+            out = fr.filter(cond)
+            if len(fr.index_cols) > 1:
+                # partial key on a MultiIndex: matched level drops (pandas)
+                out = out._same_rows(out.sdf, index_cols=fr.index_cols[1:],
+                                     index_names=fr.index_names[1:])
+            out = out.select_positions(col_pos)
 
         if not isinstance(col_key, (slice, list)):
             return Series._from_frame(out)

@@ -1,0 +1,79 @@
+"""2-level MultiIndex minimum viable surface (VERDICT round-1 item 4):
+set_index([a,b]) / groupby([a,b]) round-trips, sort_index, loc[(k1,k2)],
+groupby(level=...), unstack. Differential vs pandas."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+@pytest.fixture()
+def mi(spark):
+    import modin_spark.pandas as mpd
+
+    rng = np.random.default_rng(11)
+    pdf = pd.DataFrame({
+        "a": rng.choice(list("pqr"), 60),
+        "b": rng.integers(0, 4, 60),
+        "v": rng.random(60) * 10,
+        "w": rng.integers(0, 100, 60),
+    })
+    return mpd.from_pandas(pdf), pdf
+
+
+def test_groupby_two_keys_roundtrip(mi):
+    m, pdf = mi
+    got = m.groupby(["a", "b"]).agg(s=("v", "sum"), n=("w", "count")).to_pandas()
+    ref = pdf.groupby(["a", "b"]).agg(s=("v", "sum"), n=("w", "count"))
+    assert isinstance(got.index, pd.MultiIndex)
+    got = got.sort_index()
+    ref = ref.sort_index()
+    assert list(got.index) == list(ref.index)
+    np.testing.assert_allclose(got["s"].values, ref["s"].values)
+    # reset_index restores both keys as columns
+    r = m.groupby(["a", "b"]).agg(s=("v", "sum")).reset_index().to_pandas()
+    assert list(r.columns) == ["a", "b", "s"]
+
+
+def test_set_index_sort_index(mi):
+    m, pdf = mi
+    got = m.set_index(["a", "b"]).sort_index().to_pandas()
+    ref = pdf.set_index(["a", "b"]).sort_index()
+    assert list(got.index) == list(ref.index)
+    np.testing.assert_allclose(got["v"].values, ref["v"].values)
+
+
+def test_loc_full_tuple(mi):
+    m, pdf = mi
+    si = m.set_index(["a", "b"])
+    got = si.loc[("p", 2)].to_pandas()
+    ref = pdf.set_index(["a", "b"]).loc[[("p", 2)]]
+    assert len(got) == len(ref)
+    np.testing.assert_allclose(np.sort(got["v"].values), np.sort(ref["v"].values))
+
+
+def test_loc_partial_scalar(mi):
+    m, pdf = mi
+    si = m.set_index(["a", "b"])
+    got = si.loc["q"].to_pandas()
+    ref = pdf.set_index(["a", "b"]).loc["q"]
+    assert got.index.name == "b"
+    np.testing.assert_allclose(np.sort(got["v"].values), np.sort(ref["v"].values))
+
+
+def test_groupby_level(mi):
+    m, pdf = mi
+    si = m.set_index(["a", "b"])
+    got = si.groupby(level=0).agg(s=("v", "sum")).to_pandas().sort_index()
+    ref = pdf.set_index(["a", "b"]).groupby(level=0).agg(s=("v", "sum")).sort_index()
+    np.testing.assert_allclose(got["s"].values, ref["s"].values)
+    got2 = si.groupby(level="b").agg(s=("v", "sum")).to_pandas().sort_index()
+    ref2 = pdf.set_index(["a", "b"]).groupby(level="b").agg(s=("v", "sum")).sort_index()
+    np.testing.assert_allclose(got2["s"].values, ref2["s"].values)
+
+
+def test_unstack_two_level(mi):
+    m, pdf = mi
+    got = m.groupby(["a", "b"]).agg(s=("v", "sum")).unstack().to_pandas().sort_index()
+    ref = pdf.groupby(["a", "b"]).agg(s=("v", "sum")).unstack().sort_index()
+    assert got.shape == ref.shape
