@@ -259,6 +259,73 @@ def _rank_min(spark, sf):
     return out.to_spark(ordered=False)
 
 
+def _docs_jaccard_pairs(spark, sf):
+    """Near-dup PAIRS with exact word-5-shingle Jaccard >= 0.9 on a 500-doc
+    slice, found via MinHash-LSH candidates + exact verify. The oracle
+    computes ALL-pairs exact Jaccard in DuckDB — equality therefore PROVES
+    LSH recall = 1.0 and precision = 1.0 on this slice (the planted
+    near-dups sit at J ~ 0.96-0.99 where banded-LSH miss probability is
+    ~1e-26 with 32 bands x 4 rows)."""
+    from modin_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet").where(F.col("doc_id") < 500)
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", k=5, threshold=0.9)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jac"))
+
+
+def _clustered_corpus(spark, sf):
+    """Embeddings + deterministic jittered near-copies of the first 20
+    vectors (8 copies each, cosine ~0.997 to their source). The raw
+    embeddings table is pure noise (no pair above cosine 0.6), so recall@k
+    against it measures nothing; the planted clusters give ANN a real
+    retrieval task while keeping everything derived from the sf data."""
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").select("vec_id", "embedding")
+    base = emb.where(F.col("vec_id") < 20)
+    copies = base.join(spark.range(1, 9).select(F.col("id").alias("__c__")), how="cross")
+    jit = copies.select(
+        (F.col("vec_id") + F.col("__c__") * 1000000).alias("vec_id"),
+        F.expr(
+            "transform(embedding, (x, i) -> x + float(0.05 * sin(vec_id * 31 + __c__ * 7 + i)))"
+        ).alias("embedding"),
+    )
+    return emb.unionByName(jit)
+
+
+def _emb_lsh_recall(spark, sf):
+    """recall@5 of multi-probe hyperplane-LSH vs exact brute force over the
+    planted clustered corpus — one metric row (pytest gates >= 0.9). With
+    planes=8, radius=2 each query scans ~14% of buckets."""
+    from modin_spark.operators.similarity import brute_force_topk, lsh_topk
+
+    corpus = _clustered_corpus(spark, sf)
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 20).select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    brute = brute_force_topk(corpus, q, k=5).select("q_id", "vec_id")
+    lsh = lsh_topk(corpus, q, k=5, planes=8, probe_radius=2).select("q_id", "vec_id")
+    hits = brute.join(lsh, ["q_id", "vec_id"], "left_semi")
+    return hits.agg(F.count(F.lit(1)).alias("hits")).select(
+        F.lit(20).alias("n_queries"),
+        F.round(F.col("hits") / F.lit(100.0), 3).alias("recall_at_5"),
+    )
+
+
+def _emb_ivf_recall(spark, sf):
+    """recall@5 of IVF (sampled centroids, nprobe=4 of 16 cells => 25%
+    scanned) vs brute force over the planted clustered corpus."""
+    from modin_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    corpus = _clustered_corpus(spark, sf)
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 20).select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    brute = brute_force_topk(corpus, q, k=5).select("q_id", "vec_id")
+    ivf = ivf_topk(corpus, q, k=5, n_centroids=16, nprobe=4).select("q_id", "vec_id")
+    hits = brute.join(ivf, ["q_id", "vec_id"], "left_semi")
+    return hits.agg(F.count(F.lit(1)).alias("hits")).select(
+        F.lit(20).alias("n_queries"),
+        F.round(F.col("hits") / F.lit(100.0), 3).alias("recall_at_5"),
+    )
+
+
 def _multiindex_regroup(spark, sf):
     """2-level groupby kept as a MultiIndex through a second op
     (groupby(level=0) re-aggregation) before reset_index."""
@@ -759,7 +826,7 @@ def _emb_lsh_topk(spark, sf):
 
     emb = spark.read.parquet(f"{sf}/embeddings.parquet")
     q = emb.where(F.col("vec_id") < 3).select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
-    out = lsh_topk(emb, q, k=5, planes=8)
+    out = lsh_topk(emb, q, k=5, planes=8, probe_radius=2)
     return out.select("q_id", "vec_id", F.round("cosine", 4).alias("cos_sim"), "rank")
 
 
@@ -822,6 +889,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "expanding_median_p90": _expanding_median_p90,
         "rank_frame": _rank_frame,
         "multiindex_regroup": _multiindex_regroup,
+        "docs_jaccard_pairs": _docs_jaccard_pairs,
+        "emb_lsh_recall": _emb_lsh_recall,
+        "emb_ivf_recall": _emb_ivf_recall,
         "rolling_corr_pair": _rolling_corr_pair,
         "docs_exact_dedup": _docs_exact_dedup,
         "docs_token_stats": _docs_token_stats,
@@ -1074,6 +1144,40 @@ def oracle_sql() -> dict[str, str]:
                         WHEN (f.qts - b.ts) < (b.ts - b.qts) THEN f.u
                         ELSE b.u END AS user_id
             FROM b JOIN f ON b.event_id = f.event_id
+        """,
+        "docs_jaccard_pairs": """
+            WITH d AS (
+              SELECT doc_id,
+                     regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g') AS t
+              FROM documents WHERE doc_id < 500
+            ),
+            w AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(t, '\\s+'), x -> x <> '') AS words
+              FROM d
+            ),
+            sh AS (
+              SELECT doc_id,
+                     list_distinct(
+                       CASE WHEN len(words) >= 5
+                            THEN [array_to_string(words[i:i+4], ' ') for i in range(1, len(words) - 3)]
+                            ELSE [array_to_string(words, ' ')] END
+                     ) AS s
+              FROM w
+            ),
+            e AS (SELECT doc_id, unnest(s) AS g FROM sh),
+            pair AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+              FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ),
+            sz AS (SELECT doc_id, len(s) AS n FROM sh)
+            SELECT id_a, id_b,
+                   ROUND(inter * 1.0 / (sa.n + sb.n - inter), 6) AS jac
+            FROM pair
+            JOIN sz sa ON sa.doc_id = id_a
+            JOIN sz sb ON sb.doc_id = id_b
+            WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.9
         """,
         "multiindex_regroup": """
             WITH g AS (

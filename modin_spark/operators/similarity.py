@@ -87,12 +87,32 @@ def hyperplane_bucket(vec: Column, planes: int = 16) -> Column:
 
 
 def lsh_topk(corpus: SDF, queries: SDF, k: int = 10, planes: int = 12, id_col: str = "vec_id",
-             vec_col: str = "embedding", q_id_col: str = "q_id", q_vec_col: str = "q_vec") -> SDF:
+             vec_col: str = "embedding", q_id_col: str = "q_id", q_vec_col: str = "q_vec",
+             probe_radius: int = 0) -> SDF:
     """Approximate top-k: bucket equi-join then exact re-rank within bucket.
     At scale the corpus is hashed once (can be persisted); each query touches
-    only its bucket's partitions."""
+    only its probed buckets' partitions.
+
+    ``probe_radius``: multi-probe LSH — each query also probes every bucket
+    within that Hamming distance of its own (query-side explode over
+    C(planes, <=r) XOR masks; the corpus is never re-hashed or re-shuffled).
+    Radius 2 at 8 planes scans ~14% of buckets and recovers near-neighbors
+    (cosine >= ~0.9) with probability ~0.96."""
+    from itertools import combinations
+
     c = corpus.select(id_col, vec_col, hyperplane_bucket(F.col(vec_col), planes).alias("__bk__"))
-    q = queries.select(q_id_col, q_vec_col, hyperplane_bucket(F.col(q_vec_col), planes).alias("__qbk__"))
+    q = queries.select(q_id_col, q_vec_col, hyperplane_bucket(F.col(q_vec_col), planes).alias("__qbk0__"))
+    masks = [0]
+    for r in range(1, probe_radius + 1):
+        for bits in combinations(range(planes), r):
+            m = 0
+            for b in bits:
+                m |= 1 << b
+            masks.append(m)
+    q = q.select(
+        q_id_col, q_vec_col,
+        F.explode(F.array(*[F.col("__qbk0__").bitwiseXOR(F.lit(m)) for m in masks])).alias("__qbk__"),
+    )
     joined = c.join(F.broadcast(q), c["__bk__"] == q["__qbk__"], "inner").withColumn(
         "cosine", cosine_expr(F.col(vec_col), F.col(q_vec_col))
     )
@@ -142,5 +162,4 @@ def ivf_topk(corpus: SDF, queries: SDF, k: int = 10, n_centroids: int = 16, npro
         joined.withColumn("__rk__", F.row_number().over(w))
         .where(F.col("__rk__") <= k)
         .select(q_id_col, id_col, "cosine", F.col("__rk__").alias("rank"))
-        .dropDuplicates([q_id_col, id_col])
     )
