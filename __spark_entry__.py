@@ -840,13 +840,28 @@ def _emb_ivf_topk(spark, sf):
 
 
 def _resample_ffill(spark, sf):
-    """Timeline completion: hourly max over sparse error events, gaps
-    forward-filled (the asfreq/ffill surface, SURVEY §2.3 resample)."""
+    """Timeline completion: at each hourly boundary, the last error sample
+    at-or-before it (pandas Resampler.ffill reindex semantics, via the
+    block+halo merge_asof machinery)."""
     mpd = _mpd()
     ev = mpd.read_parquet(f"{sf}/events.parquet")
     errs = ev[ev.event_type == "error"][["ts", "value"]]
-    out = errs.resample("1h", on="ts").ffill(how="max").reset_index().rename(columns={"ts": "hour_start"})
+    out = errs.resample("1h", on="ts").ffill().reset_index().rename(columns={"ts": "hour_start"})
     out["value"] = _r(out["value"], 4)
+    return out.to_spark(ordered=False)
+
+
+def _resample_interp(spark, sf):
+    """Hourly mean of sparse error events, timeline-completed and linearly
+    interpolated across the gap hours (resample -> asfreq -> interpolate)."""
+    mpd = _mpd()
+    ev = mpd.read_parquet(f"{sf}/events.parquet")
+    errs = ev[ev.event_type == "error"][["ts", "value"]]
+    m = errs.resample("1h", on="ts").mean()
+    full = m.resample("1h").asfreq()
+    interp = full.interpolate()
+    out = interp.reset_index().rename(columns={"ts": "hour_start"})
+    out["value"] = _r(out["value"].fillna(-1.0), 4)
     return out.to_spark(ordered=False)
 
 
@@ -927,6 +942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_lsh_topk": _emb_lsh_topk,
         "emb_ivf_topk": _emb_ivf_topk,
         "resample_ffill": _resample_ffill,
+        "resample_interp": _resample_interp,
     }
 
 
@@ -1393,17 +1409,40 @@ def oracle_sql() -> dict[str, str]:
             )
         """,
         "resample_ffill": """
-            WITH b AS (
-                SELECT DATE_TRUNC('hour', ts) AS h, MAX(value) AS v
-                FROM events WHERE event_type = 'error' GROUP BY 1
-            ), bounds AS (SELECT MIN(h) AS mn, MAX(h) AS mx FROM b),
+            WITH e AS (SELECT ts, value FROM events WHERE event_type = 'error'),
+            bounds AS (
+                SELECT DATE_TRUNC('hour', MIN(ts)) AS mn, DATE_TRUNC('hour', MAX(ts)) AS mx FROM e
+            ),
             tl AS (
                 SELECT UNNEST(GENERATE_SERIES(mn, mx, INTERVAL 1 HOUR)) AS h FROM bounds
             )
-            SELECT tl.h AS hour_start,
-                   ROUND(LAST_VALUE(b.v IGNORE NULLS) OVER (
-                       ORDER BY tl.h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS value
-            FROM tl LEFT JOIN b ON tl.h = b.h
+            SELECT tl.h AS hour_start, ROUND(e.value, 4) AS value
+            FROM tl ASOF LEFT JOIN e ON tl.h >= e.ts
+        """,
+        "resample_interp": """
+            WITH b AS (
+                SELECT DATE_TRUNC('hour', ts) AS h, AVG(value) AS v
+                FROM events WHERE event_type = 'error' GROUP BY 1
+            ),
+            bounds AS (SELECT MIN(h) AS mn, MAX(h) AS mx FROM b),
+            tl AS (SELECT UNNEST(GENERATE_SERIES(mn, mx, INTERVAL 1 HOUR)) AS h FROM bounds),
+            j AS (SELECT tl.h, b.v FROM tl LEFT JOIN b ON tl.h = b.h),
+            w AS (
+                SELECT h, v,
+                       LAST_VALUE(CASE WHEN v IS NOT NULL THEN STRUCT_PACK(h := h, v := v) END IGNORE NULLS)
+                           OVER (ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p,
+                       FIRST_VALUE(CASE WHEN v IS NOT NULL THEN STRUCT_PACK(h := h, v := v) END IGNORE NULLS)
+                           OVER (ORDER BY h ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n
+                FROM j
+            )
+            SELECT h AS hour_start,
+                   ROUND(COALESCE(CASE
+                       WHEN v IS NOT NULL THEN v
+                       WHEN p IS NULL THEN NULL
+                       WHEN n IS NULL THEN p.v
+                       ELSE p.v + (n.v - p.v) * (EPOCH(h) - EPOCH(p.h)) / (EPOCH(n.h) - EPOCH(p.h))
+                   END, -1.0), 4) AS value
+            FROM w
         """,
         # docs_minhash_dedup / docs_simhash_dedup / docs_ngram_dedup /
         # docs_langid_quality / emb_cosine_dedup / emb_lsh_topk / emb_ivf_topk

@@ -54,7 +54,35 @@ DT_FUNCS = {
     "days": lambda c: F.floor(c.cast("double") / 86400).cast("int"),
     "seconds": lambda c: (c.cast("long") % 86400).cast("int"),
     "epoch_seconds": lambda c: F.unix_timestamp(c),
+    # tz surface (Spark timestamps are instants rendered in the session tz;
+    # pandas' tz-aware dtype is represented by its instant):
+    #   tz_localize(tz): reinterpret the wall-clock value as being in `tz`
+    #   tz_convert(tz):  render the UTC instant as wall-clock time in `tz`
+    "tz_localize": lambda c, tz: c if tz is None else F.to_utc_timestamp(c, tz),
+    "tz_convert": lambda c, tz: F.from_utc_timestamp(c, tz),
+    # periods as canonical strings (pandas Period repr) — the reference
+    # default-to-pandas's Period objects have no Spark type; the string form
+    # is groupable/joinable, which is what period conversion is used for
+    "to_period": lambda c, freq="M": _to_period(c, freq),
+    "qyear": lambda c: F.year(c),
+    "start_time": lambda c: F.date_trunc("day", c),
+    "end_time": lambda c: F.date_trunc("day", c) + F.expr("INTERVAL 1 DAY") - F.expr("INTERVAL 1 MICROSECOND"),
 }
+
+
+def _to_period(c: Column, freq: str) -> Column:
+    f = freq.upper()
+    if f in ("M", "MS"):
+        return F.date_format(c, "yyyy-MM")
+    if f in ("Y", "A", "YS"):
+        return F.date_format(c, "yyyy")
+    if f == "Q":
+        return F.concat(F.date_format(c, "yyyy"), F.lit("Q"), F.quarter(c).cast("string"))
+    if f == "D":
+        return F.date_format(c, "yyyy-MM-dd")
+    if f in ("H", "h"):
+        return F.date_format(c, "yyyy-MM-dd HH:00")
+    raise NotImplementedError(f"to_period freq {freq!r}")
 
 
 _STRFTIME_MAP = [

@@ -236,6 +236,20 @@ class DataFrame:
         order.insert(loc, n - 1)
         self._frame = fr.select_positions(order)
 
+    def __dataframe__(self, nan_as_null: bool = False, allow_copy: bool = True):
+        """DataFrame interchange protocol (reference: modin
+        dataframe.py:4803) — ecosystem libs (plotly, seaborn) sniff this.
+        Delegates to the Arrow table's implementation after egress."""
+        return self.to_arrow().__dataframe__(nan_as_null=nan_as_null, allow_copy=allow_copy)
+
+    def to_sql(self, name: str, con: str, if_exists: str = "fail", **kw) -> None:
+        """JDBC writer (reference: modin/core/io/sql/sql_dispatcher.py) —
+        distributed parallel INSERTs, one connection per partition."""
+        mode = {"fail": "errorifexists", "replace": "overwrite", "append": "append"}[if_exists]
+        self.to_spark(ordered=False).write.format("jdbc").option("url", con).option(
+            "dbtable", name
+        ).mode(mode).save()
+
     def to_arrow(self):
         """Arrow table egress (Spark 4 ``toArrow``; reference interchange
         protocol, dataframe.py:4803)."""

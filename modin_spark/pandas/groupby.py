@@ -331,6 +331,56 @@ class DataFrameGroupBy:
         sdf = sdf.where(F.col("__rn__") <= n).drop("__rn__")
         return DataFrame(_frame=fr._subset_rows(sdf))
 
+    def nlargest(self, n=5):
+        """Per-group top-n rows by value (SeriesGroupBy.nlargest surface) —
+        key-partitioned window + row_number, one hash shuffle."""
+        return self._topn(n, desc=True)
+
+    def nsmallest(self, n=5):
+        return self._topn(n, desc=False)
+
+    def _topn(self, n: int, desc: bool):
+        from modin_spark.pandas.dataframe import DataFrame
+
+        fr = self._df._frame.ensure_order()
+        keys = [fr.data_cols[i] for i in self._by_pos]
+        vals = self._value_positions(numeric_only=True)
+        _, i = vals[0]
+        p = fr.data_cols[i]
+        order = F.col(p).desc() if desc else F.col(p).asc()
+        w = Window.partitionBy(*keys).orderBy(order, F.col(ORDER_COL))
+        sdf = fr.sdf.withColumn("__rn__", F.row_number().over(w))
+        sdf = sdf.where(F.col("__rn__") <= n).drop("__rn__")
+        lbl = vals[0][0]
+        key_labels = [self._df._frame.columns[j] for j in self._by_pos]
+        out = fr._subset_rows(sdf, columns=pd.Index([lbl]), data_cols=[p],
+                              index_cols=list(keys), index_names=list(key_labels))
+        return DataFrame(_frame=out)
+
+    def unique(self):
+        """Per-group distinct values in first-appearance order: (key, value)
+        pre-aggregation carrying min(ORDER), then array_sort over the small
+        per-group distinct sets — two hash shuffles, map-side combined."""
+        from modin_spark.pandas.dataframe import DataFrame
+
+        fr = self._df._frame.ensure_order()
+        keys = [fr.data_cols[i] for i in self._by_pos]
+        key_labels = [self._df._frame.columns[i] for i in self._by_pos]
+        lbl, i = self._value_positions()[0]
+        p = fr.data_cols[i]
+        per = fr.sdf.groupBy(*keys, F.col(p)).agg(F.min(ORDER_COL).alias("__o__"))
+        lists = per.groupBy(*keys).agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("__o__"), F.col(p).alias("__v__")))),
+                lambda x: x["__v__"],
+            ).alias("__u__")
+        )
+        out = SparkFrame(
+            lists.withColumn(ORDER_COL, F.monotonically_increasing_id()),
+            pd.Index([lbl]), ["__u__"], list(keys), list(key_labels),
+        )
+        return DataFrame(_frame=out)
+
     def get_group(self, key):
         """Rows of one group — a plain pushdown-able filter on the keys."""
         from modin_spark.pandas.dataframe import DataFrame

@@ -115,52 +115,163 @@ class Resampler:
         return Series._from_frame(one.set_labels(["size"])) if fr.columns.size else None
 
     def agg(self, spec):
+        from modin_spark.pandas.dataframe import DataFrame
+
         if isinstance(spec, str):
             return self._agg(spec)
-        raise NotImplementedError
+        if isinstance(spec, dict):
+            # {col_label: agg_name} — one groupBy with per-column expressions
+            fr = self._df._frame
+            if self._on is not None:
+                ts_phys = fr.data_cols[fr.positions_of([self._on])[0]]
+            else:
+                ts_phys = fr.index_cols[0]
+            dur = rule_to_duration(self._rule)
+            bucket = F.window(F.col(ts_phys), dur)["start"]
+            labels = list(spec.keys())
+            positions = fr.positions_of(labels)
+            out_phys = fresh_names(len(positions) + 1)
+            key_p, val_ps = out_phys[0], out_phys[1:]
+            aggs = [
+                qc.agg_expr(spec[lbl], F.col(fr.data_cols[i])).alias(p)
+                for lbl, i, p in zip(labels, positions, val_ps)
+            ]
+            agged = fr.sdf.groupBy(bucket.alias(key_p)).agg(*aggs)
+            agged = agged.withColumn(ORDER_COL, F.col(key_p))
+            on_name = self._on if self._on is not None else fr.index_names[0]
+            out = SparkFrame(agged, pd.Index(labels), val_ps, [key_p], [on_name])
+            return DataFrame(_frame=out)
+        raise NotImplementedError(type(spec))
 
-    def asfreq(self):
-        """Value at each period boundary, with gaps as NULL rows — a
-        generated timeline (F.sequence over the observed min/max, driver sees
-        only 2 scalars) left-joined to the per-bucket last values."""
-        return self._timeline_fill(fill=None)
+    aggregate = agg
 
-    def ffill(self, how: str = "last"):
-        """asfreq + forward-fill over the gap rows (blocked two-pass ffill —
-        no global window)."""
-        return self._timeline_fill(fill="ffill", how=how)
+    def apply(self, func):
+        """pandas Resampler.apply == agg for named/dict specs."""
+        return self.agg(func)
 
-    def bfill(self, how: str = "last"):
-        return self._timeline_fill(fill="bfill", how=how)
+    def pipe(self, func, *args, **kwargs):
+        return func(self, *args, **kwargs)
 
-    def _timeline_fill(self, fill, how: str = "last"):
+    def get_group(self, ts):
+        """Rows of one resample bucket — a bucket-equality filter on the
+        original frame (pushes down; no aggregation)."""
+        from modin_spark.pandas.dataframe import DataFrame
+
+        fr = self._df._frame
+        ts_phys = (
+            fr.data_cols[fr.positions_of([self._on])[0]] if self._on is not None else fr.index_cols[0]
+        )
+        dur = rule_to_duration(self._rule)
+        bucket = F.window(F.col(ts_phys), dur)["start"]
+        return DataFrame(_frame=fr.filter(bucket == F.lit(pd.Timestamp(ts).to_pydatetime())))
+
+    def transform(self, func: str):
+        """Per-row broadcast of the bucket aggregate (pandas semantics:
+        same shape as the input). One bucket-partitioned window — hash
+        shuffle on the bucket key, scale-safe (many buckets)."""
+        from pyspark.sql.window import Window
+
+        from modin_spark.pandas.dataframe import DataFrame
+
+        fr = self._df._frame
+        ts_phys = (
+            fr.data_cols[fr.positions_of([self._on])[0]] if self._on is not None else fr.index_cols[0]
+        )
+        dur = rule_to_duration(self._rule)
+        bucket = F.window(F.col(ts_phys), dur)["start"]
+        w = Window.partitionBy(bucket)
+        positions = [
+            i for i in range(len(fr.columns))
+            if fr.data_cols[i] != ts_phys and fr.dtype_of(i).startswith(("int", "float"))
+        ]
+        if func == "median":
+            over = lambda c: F.percentile(c, F.lit(0.5)).over(w)
+        else:
+            over = lambda c: qc.agg_expr(func, c).over(w)
+        labels = [fr.columns[i] for i in positions]
+        exprs = [over(F.col(fr.data_cols[i])) for i in positions]
+        return DataFrame(_frame=fr.project(labels, exprs))
+
+    def interpolate(self, method: str = "linear"):
+        """asfreq + linear interpolation over the gap rows (the blocked
+        two-pass scheme in core.windows — positions are proportional to time
+        on the equally-spaced generated timeline, so positional-linear ==
+        time-linear)."""
         from modin_spark.core import windows as win
         from modin_spark.pandas.dataframe import DataFrame
 
-        base = self._agg(how)  # one row per observed bucket
-        fr = base._frame
-        key = fr.index_cols[0]
+        if method != "linear":
+            raise NotImplementedError(f"interpolate method {method!r}")
+        base = self.asfreq()._frame
+        filled = win.interpolate_linear(base, list(range(len(base.columns))))
+        out = SparkFrame(filled.sdf, base.columns, filled.data_cols,
+                         list(base.index_cols), list(base.index_names))
+        return DataFrame(_frame=out)
+
+
+    def asfreq(self):
+        """Value at each period boundary (pandas reindex semantics: the
+        sample EXACTLY at the boundary, else NULL) — merge_asof of the
+        generated boundary timeline against the samples with tolerance 0."""
+        return self._boundary_reindex("backward", exact_only=True)
+
+    def ffill(self):
+        """Last sample at-or-before each boundary — merge_asof backward of
+        the boundary timeline (block+halo, no global window)."""
+        return self._boundary_reindex("backward")
+
+    def bfill(self):
+        return self._boundary_reindex("forward")
+
+    def nearest(self):
+        """Sample nearest to each boundary — merge_asof nearest."""
+        return self._boundary_reindex("nearest")
+
+    def _boundary_reindex(self, direction: str, exact_only: bool = False):
+        """pandas Resampler.{asfreq,ffill,bfill,nearest}: reindex the samples
+        at the bucket-boundary timestamps. The boundary timeline is generated
+        (F.sequence over two driver scalars); the lookup is merge_asof — the
+        same block+halo carry machinery as operators.joins, so no global
+        window at any scale."""
+        from modin_spark.operators.joins import merge_asof
+        from modin_spark.pandas.dataframe import DataFrame
+
+        fr = self._df._frame
+        if self._on is not None:
+            ts_phys = fr.data_cols[fr.positions_of([self._on])[0]]
+        elif fr.index_cols:
+            ts_phys = fr.index_cols[0]
+        else:
+            raise ValueError("resample needs on= or a datetime index")
         dur = rule_to_duration(self._rule)
-        bounds = fr.sdf.agg(F.min(key).alias("mn"), F.max(key).alias("mx")).collect()[0]
+        bucket = F.window(F.col(ts_phys), dur)["start"]
+        bounds = fr.sdf.agg(F.min(bucket).alias("mn"), F.max(bucket).alias("mx")).collect()[0]
         timeline = fr.spark.range(1).select(
             F.explode(
                 F.sequence(F.lit(bounds["mn"]), F.lit(bounds["mx"]), F.expr(f"interval {dur}"))
-            ).alias("__ts__")
+            ).alias("__t__")
         )
-        joined = timeline.join(fr.sdf, timeline["__ts__"] == fr.sdf[key], "left").drop(key, ORDER_COL)
-        joined = joined.withColumn(key, F.col("__ts__")).withColumn(ORDER_COL, F.col("__ts__")).drop("__ts__")
-        out = SparkFrame(joined, fr.columns, fr.data_cols, [key], list(fr.index_names))
-        if fill == "ffill":
-            filled = win.ffill(out, list(range(len(out.columns))))
-            out = SparkFrame(
-                filled.sdf, out.columns, filled.data_cols, [key], list(out.index_names)
-            )
-        elif fill == "bfill":
-            filled = win.bfill(out, list(range(len(out.columns))))
-            out = SparkFrame(
-                filled.sdf, out.columns, filled.data_cols, [key], list(out.index_names)
-            )
-        return DataFrame(_frame=out)
+        left = DataFrame(_frame=SparkFrame.from_spark(timeline))
+        val_pos = [i for i in range(len(fr.columns)) if fr.data_cols[i] != ts_phys]
+        labels = [str(fr.columns[i]) for i in val_pos]
+        right_sdf = fr.sdf.select(
+            F.col(ts_phys).alias("__t__"), *[F.col(fr.data_cols[i]).alias(l) for i, l in zip(val_pos, labels)]
+        )
+        right = DataFrame(_frame=SparkFrame.from_spark(right_sdf))
+        tol = pd.Timedelta(0) if exact_only else None
+        out = merge_asof(left, right, on="__t__", direction=direction, tolerance=tol)
+        ofr = out._frame
+        on_name = self._on if self._on is not None else fr.index_names[0]
+        t_phys = ofr.data_cols[ofr.positions_of(["__t__"])[0]]
+        keep = [i for i, lbl in enumerate(ofr.columns) if lbl != "__t__"]
+        out_fr = ofr._same_rows(
+            ofr.sdf,
+            columns=pd.Index([ofr.columns[i] for i in keep]),
+            data_cols=[ofr.data_cols[i] for i in keep],
+            index_cols=[t_phys],
+            index_names=[on_name],
+        )
+        return DataFrame(_frame=out_fr)
 
     def ohlc(self):
         from modin_spark.pandas.dataframe import DataFrame

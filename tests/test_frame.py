@@ -1,5 +1,6 @@
 """Frame basics: roundtrip, selection, mutation, order, index."""
 
+import numpy as np
 import pandas as pd
 import pytest
 
@@ -185,3 +186,26 @@ def test_json_normalize(spark):
     m = mpd.json_normalize(data).to_pandas()
     p = pd.json_normalize(data)
     pd.testing.assert_frame_equal(m, p)
+
+
+def test_interchange_protocol(mdf, pdf):
+    # pd.api.interchange.from_dataframe round-trips via __dataframe__
+    sub = mdf[["a", "b", "s"]]
+    out = pd.api.interchange.from_dataframe(sub)
+    assert list(out.columns) == ["a", "b", "s"]
+    assert len(out) == len(pdf)
+    np.testing.assert_allclose(np.sort(out["b"].values), np.sort(pdf["b"].values))
+
+
+def test_dt_tail_accessors(mdf, pdf):
+    got = mdf.t.dt.to_period("M").to_pandas()
+    ref = pdf.t.dt.to_period("M").astype(str)
+    assert got.tolist() == ref.tolist()
+    gq = mdf.t.dt.to_period("Q").to_pandas()
+    rq = pdf.t.dt.to_period("Q").astype(str)
+    assert gq.tolist() == rq.tolist()
+    # tz ops execute and preserve instants (Spark renders in session tz)
+    loc = mdf.t.dt.tz_localize("UTC").to_pandas()
+    assert len(loc) == len(pdf)
+    conv = mdf.t.dt.tz_convert("America/New_York").to_pandas()
+    assert len(conv) == len(pdf)

@@ -208,3 +208,75 @@ def test_groupby_rank_average(mdf, pdf):
     got = mdf.groupby("k")[["a"]].rank("average").to_pandas()
     ref = pdf.groupby("k")[["a"]].rank("average")
     np.testing.assert_allclose(got["a"].values, ref["a"].values)
+
+
+@pytest.fixture()
+def rs(spark):
+    import modin_spark.pandas as mpd
+
+    rng = np.random.default_rng(13)
+    p = pd.DataFrame(
+        {
+            # irregular spacing with gaps so asfreq/interpolate/nearest matter
+            "ts": pd.to_datetime("2024-01-01") + pd.to_timedelta(np.sort(rng.choice(3000, 80, replace=False)), "min"),
+            "v": rng.random(80) * 50,
+        }
+    )
+    return mpd.from_pandas(p), p
+
+
+def test_resample_agg_dict_apply(rs):
+    m, p = rs
+    got = m.resample("2h", on="ts").agg({"v": "mean"}).to_pandas().sort_index()
+    ref = p.resample("2h", on="ts").agg({"v": "mean"}).dropna()
+    np.testing.assert_allclose(got["v"].values, ref["v"].values)
+    got2 = m.resample("2h", on="ts").apply({"v": "max"}).to_pandas().sort_index()
+    ref2 = p.resample("2h", on="ts").apply({"v": "max"}).dropna()
+    np.testing.assert_allclose(got2["v"].values, ref2["v"].values)
+
+
+def test_resample_transform(rs):
+    m, p = rs
+    got = m.set_index("ts").resample("2h").transform("mean").to_pandas()
+    ref = p.set_index("ts").resample("2h").transform("mean")
+    np.testing.assert_allclose(np.sort(got["v"].values), np.sort(ref["v"].values))
+
+
+def test_resample_interpolate(rs):
+    m, p = rs
+    got = m.resample("1h", on="ts").interpolate().to_pandas().sort_index()
+    ref = p.set_index("ts").resample("1h").asfreq().interpolate(method="linear")
+    np.testing.assert_allclose(got["v"].values, ref["v"].values, equal_nan=True)
+
+
+def test_resample_nearest(rs):
+    m, p = rs
+    got = m.resample("1h", on="ts").nearest().to_pandas().sort_index()
+    ref = p.set_index("ts").resample("1h").nearest()
+    np.testing.assert_allclose(got["v"].values, ref["v"].values, equal_nan=True)
+
+
+def test_resample_pipe_get_group(rs):
+    m, p = rs
+    n = m.resample("2h", on="ts").pipe(lambda r: r.count()).to_pandas()
+    assert n["v"].sum() == 80
+    first_bucket = p.set_index("ts").resample("2h").count().index[0]
+    g = m.resample("2h", on="ts").get_group(first_bucket).to_pandas()
+    ref_g = p[(p.ts >= first_bucket) & (p.ts < first_bucket + pd.Timedelta("2h"))]
+    assert len(g) == len(ref_g)
+
+
+def test_groupby_nlargest_nsmallest(mdf, pdf):
+    got = mdf.groupby("k")["b"].nlargest(3).to_pandas()
+    ref = pdf.groupby("k")["b"].nlargest(3)
+    np.testing.assert_allclose(np.sort(got.values), np.sort(ref.values))
+    got2 = mdf.groupby("k")["b"].nsmallest(2).to_pandas()
+    ref2 = pdf.groupby("k")["b"].nsmallest(2)
+    np.testing.assert_allclose(np.sort(got2.values), np.sort(ref2.values))
+
+
+def test_groupby_unique(mdf, pdf):
+    got = mdf.groupby("k")["a"].unique().to_pandas()
+    ref = pdf.groupby("k")["a"].unique()
+    for k in ref.index:
+        assert list(got.loc[k]) == list(ref.loc[k]), k

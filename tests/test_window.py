@@ -115,10 +115,10 @@ def test_resample_ffill_asfreq(spark):
     )
     m = mpd.from_pandas(p)
     got = m.resample("1h", on="ts").ffill().reset_index().to_pandas().sort_values("ts").reset_index(drop=True)
-    ref = p.set_index("ts").resample("1h").last().ffill().reset_index()
-    assert got["v"].tolist() == ref["v"].tolist()
+    ref = p.set_index("ts").resample("1h").ffill().reset_index()
+    np.testing.assert_allclose(got["v"].values, ref["v"].values, equal_nan=True)
     af = m.resample("1h", on="ts").asfreq().reset_index().to_pandas().sort_values("ts").reset_index(drop=True)
-    refa = p.set_index("ts").resample("1h").last().reset_index()  # last-per-bucket with NaN gaps
+    refa = p.set_index("ts").resample("1h").asfreq().reset_index()
     np.testing.assert_allclose(af["v"].values, refa["v"].values, equal_nan=True)
 
 
