@@ -333,6 +333,69 @@ def rolling_agg(
     return _drop_aux(out)
 
 
+def window_weights(win_type: str, M: int, **kw):
+    """Closed-form symmetric window weights (scipy.signal conventions —
+    scipy itself is not a dependency)."""
+    import numpy as np
+
+    n = np.arange(M, dtype="float64")
+    if win_type in ("boxcar", None):
+        return np.ones(M)
+    if win_type == "triang":
+        return 1 - np.abs(2 * n - M + 1) / ((M + 1) if M % 2 else M)
+    if win_type == "hamming":
+        return 0.54 - 0.46 * np.cos(2 * np.pi * n / (M - 1))
+    if win_type == "hann":
+        return 0.5 - 0.5 * np.cos(2 * np.pi * n / (M - 1))
+    if win_type == "blackman":
+        return 0.42 - 0.5 * np.cos(2 * np.pi * n / (M - 1)) + 0.08 * np.cos(4 * np.pi * n / (M - 1))
+    if win_type == "gaussian":
+        std = kw.get("std")
+        if std is None:
+            raise ValueError("gaussian window requires std=")
+        return np.exp(-0.5 * ((n - (M - 1) / 2) / std) ** 2)
+    raise NotImplementedError(f"win_type {win_type!r}")
+
+
+def rolling_weighted(
+    frame: SparkFrame, positions: Sequence[int], window: int, win_type: str, agg: str, **win_kwargs
+) -> SparkFrame:
+    """pandas ``rolling(w, win_type=...).sum()/mean()`` — weighted windows.
+
+    Plan: the weighted sum unrolls into ``window`` lag terms over ONE
+    block-partitioned ordered window (halo rows supply cross-block context),
+    so the whole thing stays in whole-stage codegen — no UDF, no shuffle
+    beyond the block pass. Incomplete or NaN-containing windows yield NULL
+    (pandas min_periods=window default for weighted windows)."""
+    import numpy as np
+
+    weights = window_weights(win_type, window, **win_kwargs)
+    frame = frame.ensure_order()
+    phys = [frame.data_cols[i] for i in positions]
+    labels = [frame.columns[i] for i in positions]
+    fr = _with_blocks(frame)
+    base = fr.sdf.withColumn("__halo__", F.lit(0))
+    halo = (
+        fr.sdf.where((F.col(_POS) % BLOCK) >= (BLOCK - (window - 1)))
+        .withColumn(_BLK, F.col(_BLK) + 1)
+        .withColumn("__halo__", F.lit(1))
+    )
+    sdf = base.unionByName(halo)
+    w_ord = Window.partitionBy(_BLK).orderBy(_POS)
+    out_phys = fresh_names(len(phys))
+    wsum = float(np.sum(weights))
+    for p, op_ in zip(phys, out_phys):
+        # oldest row in the window gets weights[0]: x_{t-(w-1)+j} = lag(x, w-1-j)
+        acc = None
+        for j in range(window):
+            term = F.lag(F.col(p).cast("double"), window - 1 - j).over(w_ord) * F.lit(float(weights[j]))
+            acc = term if acc is None else acc + term  # null-propagating: any missing lag -> NULL
+        sdf = sdf.withColumn(op_, acc / F.lit(wsum) if agg == "mean" else acc)
+    sdf = sdf.where(F.col("__halo__") == 0).drop("__halo__")
+    out = fr._same_rows(sdf).project(labels, [F.col(op_) for op_ in out_phys])
+    return _drop_aux(out)
+
+
 def expanding_agg(frame: SparkFrame, positions: Sequence[int], agg, min_periods: int = 1) -> SparkFrame:
     """pandas ``expanding().agg()`` — cumulative aggregate with min_periods.
 

@@ -800,10 +800,10 @@ class DataFrame:
             raise NotImplementedError(f"interpolate(method={method!r})")
         return DataFrame(_frame=win.interpolate_linear(self._frame, self._numeric_positions()))
 
-    def rolling(self, window: int, min_periods=None):
+    def rolling(self, window: int, min_periods=None, win_type=None, **win_kwargs):
         from modin_spark.pandas.window import Rolling
 
-        return Rolling(self, window, min_periods)
+        return Rolling(self, window, min_periods, win_type=win_type, **win_kwargs)
 
     def expanding(self, min_periods: int = 1):
         from modin_spark.pandas.window import Expanding

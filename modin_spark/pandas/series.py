@@ -630,10 +630,10 @@ class Series:
     def rank(self, method="average", ascending=True, pct=False) -> "Series":
         return Series._from_frame(win.rank(self._to_frame(), [0], method, ascending, pct))
 
-    def rolling(self, window: int, min_periods=None):
+    def rolling(self, window: int, min_periods=None, win_type=None, **win_kwargs):
         from modin_spark.pandas.window import Rolling
 
-        return Rolling(self, window, min_periods)
+        return Rolling(self, window, min_periods, win_type=win_type, **win_kwargs)
 
     def expanding(self, min_periods: int = 1):
         from modin_spark.pandas.window import Expanding

@@ -23,14 +23,29 @@ def _pair_frame(left, other):
 
 
 class Rolling:
-    def __init__(self, obj, window: int, min_periods=None):
+    def __init__(self, obj, window: int, min_periods=None, win_type=None, **win_kwargs):
         self._obj = obj
         self._window = window
         self._min_periods = min_periods
+        self._win_type = win_type
+        self._win_kwargs = win_kwargs
 
     def _run(self, agg: str):
         from modin_spark.pandas.dataframe import DataFrame
 
+        if self._win_type is not None:
+            if agg not in ("sum", "mean"):
+                raise NotImplementedError(f"win_type rolling supports sum/mean, not {agg}")
+            if isinstance(self._obj, Series):
+                out = win.rolling_weighted(
+                    self._obj._to_frame(), [0], self._window, self._win_type, agg, **self._win_kwargs
+                )
+                return Series._from_frame(out)
+            df = self._obj
+            out = win.rolling_weighted(
+                df._frame, df._numeric_positions(), self._window, self._win_type, agg, **self._win_kwargs
+            )
+            return DataFrame(_frame=out)
         if isinstance(self._obj, Series):
             fr = self._obj._to_frame()
             out = win.rolling_agg(fr, [0], self._window, agg, self._min_periods)

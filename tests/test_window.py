@@ -229,3 +229,20 @@ def test_rank_multicolumn_pct(mdf, pdf):
     ref = pdf[["a", "b"]].rank(method="max", pct=True)
     for c in ["a", "b"]:
         np.testing.assert_allclose(got[c].values, ref[c].values, equal_nan=True)
+
+
+@pytest.mark.parametrize("wt,kw", [("triang", {}), ("hamming", {}), ("gaussian", {"std": 2.0})])
+def test_rolling_win_type(mdf, pdf, wt, kw):
+    from modin_spark.core.windows import window_weights
+
+    w = 5
+    weights = window_weights(wt, w, **kw)
+    got = mdf.b.rolling(w, win_type=wt, **kw).mean().to_pandas()
+    x = pdf.b.to_numpy()
+    ref = np.full(len(x), np.nan)
+    for t in range(w - 1, len(x)):
+        ref[t] = np.dot(weights, x[t - w + 1:t + 1]) / weights.sum()
+    np.testing.assert_allclose(got.values, ref, equal_nan=True, rtol=1e-9)
+    got_s = mdf.b.rolling(w, win_type=wt, **kw).sum().to_pandas()
+    refs = ref * weights.sum()
+    np.testing.assert_allclose(got_s.values, refs, equal_nan=True, rtol=1e-9)
