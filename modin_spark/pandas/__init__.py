@@ -29,6 +29,7 @@ from modin_spark.pandas.general import (
 )
 from modin_spark.pandas.io import (
     from_arrow,
+    from_map,
     from_pandas,
     json_normalize,
     from_spark,
@@ -73,6 +74,7 @@ __all__ = [
     "value_counts",
     "wide_to_long",
     "from_arrow",
+    "from_map",
     "from_pandas",
     "from_spark",
     "read_csv",

@@ -160,7 +160,17 @@ class DataFrame:
             self._frame = nf.with_columns([key], [F.col(vf.data_cols[0])])
             return
         if isinstance(value, DataFrame):
-            raise NotImplementedError("setitem with DataFrame value")
+            # df[["a","b"]] = other — column-wise series setitems (same-lineage
+            # frames stay one plan via the adopt path; unrelated frames align
+            # once per column on index/position)
+            if isinstance(key, list):
+                for k, c in zip(key, value.columns):
+                    self[k] = value[c]
+                return
+            if len(value.columns) == 1:
+                self[key] = value._series_at(0)
+                return
+            raise ValueError("setitem: column count mismatch")
         if isinstance(value, (list, tuple, pd.Series)):
             import numpy as np
 
@@ -220,7 +230,18 @@ class DataFrame:
                 dropset.update(hits)
             keep = [i for i in range(len(self._frame.columns)) if i not in dropset]
             return DataFrame(_frame=self._frame.select_positions(keep))
-        raise NotImplementedError("drop by index labels")
+        # drop rows by index label (pandas axis=0 default) — an anti-filter
+        # on the index column, pushes down to the scan
+        if index is None and axis in (0, "index"):
+            index = labels
+        if index is not None:
+            fr = self._frame
+            if not fr.index_cols:
+                raise NotImplementedError("drop by index labels needs an index")
+            idx_vals = index if isinstance(index, (list, tuple)) else [index]
+            cond = ~F.col(fr.index_cols[0]).isin(list(idx_vals))
+            return DataFrame(_frame=fr.filter(cond))
+        raise NotImplementedError("drop: nothing to drop")
 
     def rename(self, columns=None, **kw) -> "DataFrame":
         if columns is None:

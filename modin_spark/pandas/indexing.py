@@ -85,7 +85,11 @@ class LocIndexer:
         elif not isinstance(col_key, slice):
             col_pos = fr.positions_of([col_key])
         else:
-            raise NotImplementedError("loc column slices")
+            # label slice over columns: loc[:, "a":"c"] — inclusive bounds
+            cols = list(fr.columns)
+            lo = cols.index(col_key.start) if col_key.start is not None else 0
+            hi = cols.index(col_key.stop) + 1 if col_key.stop is not None else len(cols)
+            col_pos = list(range(lo, hi))
 
         if isinstance(row_key, Series):  # boolean mask
             filtered = self._df[row_key]

@@ -79,6 +79,28 @@ def read_table(path: str, sep: str = "\t", **kw) -> DataFrame:
     return read_csv(path, sep=sep, **kw)
 
 
+def from_map(func, iterable, *args) -> DataFrame:
+    """Build a DataFrame by applying ``func`` (-> pandas.DataFrame) to each
+    element of ``iterable`` IN PARALLEL — one task per element (reference:
+    modin from_map, experimental/pandas/io.py). The first element is
+    evaluated on the driver only to infer the schema."""
+    spark = get_spark()
+    items = list(iterable)
+    if not items:
+        raise ValueError("from_map: empty iterable")
+    sample = func(items[0], *args)
+    schema = spark.createDataFrame(sample.head(1)).schema
+
+    def gen(x, _func=func, _args=args):
+        pdf = _func(x, *_args)
+        return [tuple(r) for r in pdf.itertuples(index=False)]
+
+    n_slices = min(len(items), spark.sparkContext.defaultParallelism)
+    rdd = spark.sparkContext.parallelize(items, n_slices).flatMap(gen)
+    sdf = spark.createDataFrame(rdd, schema=schema)
+    return DataFrame(_frame=SparkFrame.from_spark(sdf))
+
+
 def read_sql(query_or_table: str, con: str, partition_column=None, num_partitions=None, **kw) -> DataFrame:
     """JDBC reader; partitioned when a numeric partition column is given
     (≙ the reference's OFFSET/LIMIT splitting,

@@ -808,3 +808,29 @@ class CategoricalMethods:
             _lid=s._frame._lid, _chain=s._frame._chain,
         )
         return Series(nf, F.coalesce(F.col("__code__"), F.lit(-1).cast("short")), {"__code__"}, s._name)
+
+    @property
+    def ordered(self) -> bool:
+        # category dictionaries here are always the sorted distinct values
+        return False
+
+    def rename_categories(self, mapping) -> Series:
+        """Relabel category values (a plain value map over the column)."""
+        s = self._s
+        if not isinstance(mapping, dict):
+            cats = list(self.categories)
+            mapping = dict(zip(cats, mapping))
+        expr = None
+        for old, new in mapping.items():
+            expr = F.when(s._expr == F.lit(old), F.lit(new)) if expr is None else expr.when(
+                s._expr == F.lit(old), F.lit(new)
+            )
+        expr = expr.otherwise(s._expr)
+        return Series(s._frame, expr, set(s._refs), s._name)
+
+    def add_categories(self, new_categories) -> Series:
+        # dictionary is derived from the data; unused categories are a no-op
+        return self._s
+
+    def remove_unused_categories(self) -> Series:
+        return self._s

@@ -209,3 +209,45 @@ def test_dt_tail_accessors(mdf, pdf):
     assert len(loc) == len(pdf)
     conv = mdf.t.dt.tz_convert("America/New_York").to_pandas()
     assert len(conv) == len(pdf)
+
+
+def test_drop_by_index_label(mdf, pdf):
+    si = mdf.set_index("k")
+    got = si.drop(index=["x"]).to_pandas()
+    ref = pdf.set_index("k").drop(index=["x"])
+    assert len(got) == len(ref)
+    assert set(got.index) == set(ref.index)
+
+
+def test_loc_column_slice(mdf, pdf):
+    got = mdf.loc[:, "a":"c"].to_pandas()
+    ref = pdf.loc[:, "a":"c"]
+    assert list(got.columns) == list(ref.columns)
+
+
+def test_setitem_dataframe_value(mdf, pdf):
+    m = mdf[["a", "b"]]
+    p = pdf[["a", "b"]].copy()
+    m[["a2", "b2"]] = m[["a", "b"]]
+    p[["a2", "b2"]] = p[["a", "b"]]
+    got = m.to_pandas()
+    assert list(got.columns) == list(p.columns)
+    np.testing.assert_allclose(got["a2"].values, p["a2"].values)
+
+
+def test_from_map(spark):
+    import modin_spark.pandas as mpd
+
+    def make(i):
+        return pd.DataFrame({"part": [i] * 3, "v": [i * 10.0, i * 10 + 1, i * 10 + 2]})
+
+    got = mpd.from_map(make, range(4)).to_pandas()
+    ref = pd.concat([make(i) for i in range(4)], ignore_index=True)
+    assert len(got) == len(ref)
+    assert sorted(got["v"].tolist()) == sorted(ref["v"].tolist())
+
+
+def test_cat_rename_categories(mdf, pdf):
+    got = mdf.k.cat.rename_categories({"x": "ex", "y": "why", "z": "zed"}).to_pandas()
+    ref = pdf.k.astype("category").cat.rename_categories({"x": "ex", "y": "why", "z": "zed"}).astype(str)
+    assert sorted(set(got)) == sorted(set(ref))
