@@ -26,7 +26,18 @@ def _nano_ts_cols(path: str) -> list[str]:
     if not candidates:
         return []
     schema = pq.read_schema(candidates[0])
-    return [f.name for f in schema if pa.types.is_timestamp(f.type) and f.type.unit == "ns"]
+    ns_names = {f.name for f in schema if pa.types.is_timestamp(f.type) and f.type.unit == "ns"}
+    if not ns_names:
+        return []
+    # pyarrow also reports Spark-written INT96 timestamps as ns — those Spark
+    # reads natively; only true INT64 TIMESTAMP(NANOS) needs the legacy path
+    pf_schema = pq.ParquetFile(candidates[0]).schema
+    int64_ns = set()
+    for i in range(len(pf_schema)):
+        col = pf_schema.column(i)
+        if col.name in ns_names and col.physical_type == "INT64":
+            int64_ns.add(col.name)
+    return [f.name for f in schema if f.name in int64_ns]
 
 
 def read_parquet(path: str, columns=None) -> DataFrame:

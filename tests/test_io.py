@@ -1,0 +1,84 @@
+"""IO roundtrips: writers feed the matching reader, results compared to the
+source frame (reference io surface: modin/core/io — here each maps to the
+native parallel Spark source/sink)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+@pytest.fixture()
+def iodf(pdf):
+    # drop tz/object edge cases irrelevant to io-path checks, keep mixed types
+    return pdf[["a", "b", "k", "t"]].copy()
+
+
+def _sorted(df):
+    return df.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def test_parquet_roundtrip(iodf, tmp_path, spark):
+    import modin_spark.pandas as mpd
+
+    path = str(tmp_path / "rt.parquet")
+    mpd.from_pandas(iodf).to_parquet(path)
+    back = mpd.read_parquet(path).to_pandas()
+    pd.testing.assert_frame_equal(_sorted(back), _sorted(iodf), check_dtype=False)
+
+
+def test_csv_roundtrip(iodf, tmp_path, spark):
+    import modin_spark.pandas as mpd
+
+    path = str(tmp_path / "rt_csv")
+    sub = iodf[["a", "b", "k"]]
+    mpd.from_pandas(sub).to_csv(path)
+    back = mpd.read_csv(path).to_pandas()
+    pd.testing.assert_frame_equal(_sorted(back), _sorted(sub), check_dtype=False)
+
+
+def test_json_roundtrip(iodf, tmp_path, spark):
+    import modin_spark.pandas as mpd
+
+    path = str(tmp_path / "rt_json")
+    sub = iodf[["a", "b", "k"]]
+    mpd.from_pandas(sub).to_json(path)
+    back = mpd.read_json(path).to_pandas()
+    pd.testing.assert_frame_equal(
+        _sorted(back)[["a", "b", "k"]], _sorted(sub), check_dtype=False
+    )
+
+
+def test_orc_roundtrip(iodf, tmp_path, spark):
+    import modin_spark.pandas as mpd
+
+    path = str(tmp_path / "rt_orc")
+    sub = iodf[["a", "b", "k"]]
+    mpd.from_pandas(sub).to_orc(path)
+    back = mpd.DataFrame(_frame=__import__("modin_spark.core.frame", fromlist=["SparkFrame"]).SparkFrame.from_spark(
+        spark.read.orc(path)
+    )).to_pandas()
+    pd.testing.assert_frame_equal(_sorted(back), _sorted(sub), check_dtype=False)
+
+
+def test_from_arrow_from_spark(iodf, spark):
+    import pyarrow as pa
+
+    import modin_spark.pandas as mpd
+
+    tbl = pa.Table.from_pandas(iodf[["a", "b", "k"]])
+    m = mpd.from_arrow(tbl).to_pandas()
+    pd.testing.assert_frame_equal(_sorted(m), _sorted(iodf[["a", "b", "k"]]), check_dtype=False)
+
+    sdf = spark.createDataFrame(iodf[["a", "b", "k"]])
+    m2 = mpd.from_spark(sdf).to_pandas()
+    pd.testing.assert_frame_equal(_sorted(m2), _sorted(iodf[["a", "b", "k"]]), check_dtype=False)
+
+
+def test_read_csv_names_sep(tmp_path, spark):
+    import modin_spark.pandas as mpd
+
+    p = tmp_path / "x.csv"
+    p.write_text("1|a\n2|b\n3|c\n")
+    m = mpd.read_csv(str(p), sep="|", names=["n", "s"]).to_pandas()
+    assert m["n"].tolist() == [1, 2, 3]
+    assert m["s"].tolist() == ["a", "b", "c"]
