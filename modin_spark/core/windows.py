@@ -223,7 +223,9 @@ def rolling_quantile(frame, positions, window, q, min_periods=None, group_phys=N
 def rolling_apply(frame, positions, window, func, min_periods=None):
     """rolling(w).apply(func) — collect_list over the block-halo window, then
     one Arrow-vectorized pandas_udf over the window arrays (the documented
-    slow path; every built-in agg should use rolling_agg instead)."""
+    slow path; every built-in agg should use rolling_agg instead). Inside the
+    udf the batch's windows are stacked into ONE (n, w) matrix so a
+    numpy-reducible ``func`` runs once per batch, not once per row."""
     import numpy as np
     from pyspark.sql import types as T
 
@@ -232,10 +234,30 @@ def rolling_apply(frame, positions, window, func, min_periods=None):
 
     @F.pandas_udf(T.DoubleType())
     def _apply(arrs: pd.Series) -> pd.Series:
-        out = []
-        for a in arrs:
-            v = np.asarray([x for x in a if x is not None], dtype="float64")
-            out.append(float(func(v)) if v.size >= min_periods else float("nan"))
+        n = len(arrs)
+        if n == 0:
+            return pd.Series([], dtype="float64")
+        lens = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=n)
+        full = lens == window
+        out = np.full(n, np.nan)
+        # full windows: one (m, w) matrix; func applied along axis=1 when it
+        # supports it (numpy reducers), else a tight per-row loop
+        if full.any():
+            M = np.asarray(
+                [np.asarray(arrs.iloc[i], dtype="float64") for i in np.nonzero(full)[0]]
+            )
+            nn = (~np.isnan(M)).sum(axis=1)
+            try:
+                vals = np.asarray(func(M, axis=1), dtype="float64")
+                if vals.shape != (M.shape[0],):
+                    raise TypeError
+            except Exception:
+                vals = np.asarray([float(func(row[~np.isnan(row)])) if (~np.isnan(row)).any() else np.nan for row in M])
+            vals = np.where(nn >= min_periods, vals, np.nan)
+            out[np.nonzero(full)[0]] = vals
+        for i in np.nonzero(~full)[0]:
+            v = np.asarray([x for x in arrs.iloc[i] if x is not None], dtype="float64")
+            out[i] = float(func(v)) if v.size >= min_periods else float("nan")
         return pd.Series(out, dtype="float64")
 
     frame2 = frame.ensure_order()
