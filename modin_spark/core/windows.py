@@ -727,10 +727,11 @@ def rank(
         by_dtype.setdefault(frame.schema_map[frame.data_cols[i]].simpleString(), []).append(i)
 
     rank_for_pos: dict[int, str] = {}
-    sdf = fr.sdf
+    base_sdf = fr.sdf  # melt every dtype group from the ORIGINAL plan — melting
+    sdf = fr.sdf       # from the accumulated join tree would replay prior groups
     for dt, pos_group in by_dtype.items():
         k = len(pos_group)
-        melted = sdf.select(
+        melted = base_sdf.select(
             F.col(ORDER_COL).alias("__gp__"),  # the frame's own order key: join-back target
             F.explode(
                 F.array(*[
