@@ -259,6 +259,21 @@ def _rank_min(spark, sf):
     return out.to_spark(ordered=False)
 
 
+def _sql_interface(spark, sf):
+    """mpd.sql: frames registered as temp views + Spark SQL (net-new)."""
+    mpd = _mpd()
+    li = mpd.read_parquet(f"{sf}/lineitem.parquet")
+    out = mpd.sql(
+        """
+        SELECT l_returnflag, ROUND(SUM(l_quantity), 2) AS sum_qty,
+               COUNT(*) AS n
+        FROM li GROUP BY l_returnflag
+        """,
+        li=li,
+    )
+    return out.to_spark(ordered=False)
+
+
 def _docs_jaccard_pairs(spark, sf):
     """Near-dup PAIRS with exact word-5-shingle Jaccard >= 0.9 on a 500-doc
     slice, found via MinHash-LSH candidates + exact verify. The oracle
@@ -905,6 +920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_frame": _rank_frame,
         "multiindex_regroup": _multiindex_regroup,
         "docs_jaccard_pairs": _docs_jaccard_pairs,
+        "sql_interface": _sql_interface,
         "emb_lsh_recall": _emb_lsh_recall,
         "emb_ivf_recall": _emb_ivf_recall,
         "rolling_corr_pair": _rolling_corr_pair,
@@ -1160,6 +1176,11 @@ def oracle_sql() -> dict[str, str]:
                         WHEN (f.qts - b.ts) < (b.ts - b.qts) THEN f.u
                         ELSE b.u END AS user_id
             FROM b JOIN f ON b.event_id = f.event_id
+        """,
+        "sql_interface": """
+            SELECT l_returnflag, ROUND(SUM(l_quantity), 2) AS sum_qty,
+                   COUNT(*) AS n
+            FROM lineitem GROUP BY l_returnflag
         """,
         "docs_jaccard_pairs": """
             WITH d AS (

@@ -74,3 +74,41 @@ def test_stream_session_windows(spark, tmp_path):
         q.stop()
     # sessions exist and end >= start
     assert (got["session_end"] >= got["session_start"]).all()
+
+
+def test_stream_stateful_running_totals(spark, tmp_path):
+    """applyInPandasWithState per-key running totals == batch groupBy agg
+    after all micro-batches are processed."""
+    import modin_spark.pandas as mpd
+    from pyspark.sql import functions as F
+
+    from modin_spark.streaming.stateful import stream_running_totals
+
+    ev = mpd.read_parquet(f"{SF}/events.parquet").to_spark(ordered=False)
+    src_dir = str(tmp_path / "events_state")
+    ev.select("event_type", "value").write.parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+
+    q = stream_running_totals(
+        spark, schema, src_dir, key_col="event_type", value_col="value",
+        query_name="t_stateful",
+    )
+    try:
+        q.processAllAvailable()
+        got = (
+            spark.sql("select * from t_stateful").toPandas()
+            .sort_values("running_count", ascending=False)
+            .drop_duplicates("key")  # last update per key wins
+            .set_index("key")
+        )
+        ref = (
+            spark.read.parquet(src_dir)
+            .groupBy("event_type")
+            .agg(F.count("value").alias("cnt"), F.sum("value").alias("s"))
+            .toPandas().set_index("event_type")
+        )
+        for k in ref.index:
+            assert got.loc[k, "running_count"] == ref.loc[k, "cnt"], k
+            assert abs(got.loc[k, "running_sum"] - ref.loc[k, "s"]) < 1e-6, k
+    finally:
+        q.stop()
