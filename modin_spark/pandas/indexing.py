@@ -98,12 +98,26 @@ class LocIndexer:
             out = fr.select_positions(col_pos)
         elif isinstance(row_key, list):
             if not fr.index_cols:
-                raise NotImplementedError("loc by label needs an index")
-            cond = F.col(fr.index_cols[0]).isin(row_key)
-            out = fr.filter(cond).select_positions(col_pos)
+                # default RangeIndex: labels ARE positions
+                pos_fr = fr.with_global_position("__pos__")
+                out = fr._subset_rows(
+                    pos_fr.sdf.where(F.col("__pos__").isin(row_key)).drop("__pos__")
+                ).select_positions(col_pos)
+            else:
+                cond = F.col(fr.index_cols[0]).isin(row_key)
+                out = fr.filter(cond).select_positions(col_pos)
         else:
             if not fr.index_cols:
-                raise NotImplementedError("loc by label needs an index")
+                # default RangeIndex: scalar label == position
+                pos_fr = fr.with_global_position("__pos__")
+                out = fr._subset_rows(
+                    pos_fr.sdf.where(F.col("__pos__") == int(row_key)).drop("__pos__")
+                ).select_positions(col_pos)
+                if not isinstance(col_key, (slice, list)):
+                    return Series._from_frame(out)
+                from modin_spark.pandas.dataframe import DataFrame as _DF
+
+                return _DF(_frame=out)
             cond = F.col(fr.index_cols[0]) == F.lit(row_key)
             out = fr.filter(cond)
             if len(fr.index_cols) > 1:

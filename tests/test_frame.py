@@ -251,3 +251,13 @@ def test_cat_rename_categories(mdf, pdf):
     got = mdf.k.cat.rename_categories({"x": "ex", "y": "why", "z": "zed"}).to_pandas()
     ref = pdf.k.astype("category").cat.rename_categories({"x": "ex", "y": "why", "z": "zed"}).astype(str)
     assert sorted(set(got)) == sorted(set(ref))
+
+
+def test_loc_default_index_labels(mdf, pdf):
+    # default RangeIndex: loc labels are positions
+    got = mdf.loc[[2, 5, 7], ["a", "k"]].to_pandas()
+    ref = pdf.loc[[2, 5, 7], ["a", "k"]].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got.sort_values("a").reset_index(drop=True),
+                                  ref.sort_values("a").reset_index(drop=True), check_dtype=False)
+    s = mdf.loc[3, "a"].to_pandas()
+    assert s.iloc[0] == pdf.loc[3, "a"]

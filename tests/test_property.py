@@ -1,0 +1,90 @@
+"""Property-based differential testing vs pandas (SURVEY §5: the reference's
+test strategy is massive parametrized differential comparison; hypothesis
+generates the frames here). Bounded examples + fixed seed: deterministic and
+fast enough for CI — the goal is hitting odd shapes (empty groups, all-NaN
+columns, single rows, duplicate keys), not volume."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+@st.composite
+def frames(draw, min_rows=1, max_rows=40):
+    n = draw(st.integers(min_rows, max_rows))
+    ints = draw(st.lists(st.integers(-50, 50), min_size=n, max_size=n))
+    floats = draw(
+        st.lists(
+            st.one_of(st.floats(-100, 100, allow_nan=False), st.just(float("nan"))),
+            min_size=n, max_size=n,
+        )
+    )
+    keys = draw(st.lists(st.sampled_from(["p", "q", "r"]), min_size=n, max_size=n))
+    return pd.DataFrame({"i": ints, "f": floats, "k": keys})
+
+
+def _mpd(pdf):
+    import modin_spark.pandas as mpd
+
+    return mpd.from_pandas(pdf)
+
+
+@given(pdf=frames())
+@settings(**SETTINGS)
+def test_prop_filter_project(spark, pdf):
+    m = _mpd(pdf)
+    got = m[m.i > 0][["i", "k"]].to_pandas()
+    ref = pdf[pdf.i > 0][["i", "k"]].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, ref, check_dtype=False)
+
+
+@given(pdf=frames())
+@settings(**SETTINGS)
+def test_prop_groupby_sum_count(spark, pdf):
+    m = _mpd(pdf)
+    got = m.groupby("k").agg(s=("i", "sum"), c=("f", "count")).to_pandas().sort_index()
+    ref = pdf.groupby("k").agg(s=("i", "sum"), c=("f", "count")).sort_index()
+    pd.testing.assert_frame_equal(got, ref, check_dtype=False)
+
+
+@given(pdf=frames())
+@settings(**SETTINGS)
+def test_prop_sort_head(spark, pdf):
+    m = _mpd(pdf)
+    got = m.sort_values(["i", "k"]).head(7).to_pandas()[["i", "k"]]
+    ref = pdf.sort_values(["i", "k"], kind="stable").head(7).reset_index(drop=True)[["i", "k"]]
+    pd.testing.assert_frame_equal(got, ref, check_dtype=False)
+
+
+@given(pdf=frames(min_rows=2))
+@settings(**SETTINGS)
+def test_prop_cumsum_shift(spark, pdf):
+    m = _mpd(pdf)
+    np.testing.assert_allclose(
+        m.f.cumsum().to_pandas().to_numpy(), pdf.f.cumsum().to_numpy(), equal_nan=True
+    )
+    np.testing.assert_allclose(
+        m.i.shift(1).to_pandas().to_numpy(),
+        pdf.i.shift(1).to_numpy(),
+        equal_nan=True,
+    )
+
+
+@given(pdf=frames())
+@settings(**SETTINGS)
+def test_prop_fillna_dropna(spark, pdf):
+    m = _mpd(pdf)
+    got = m[["f"]].fillna(0.0).to_pandas()
+    ref = pdf[["f"]].fillna(0.0).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, ref, check_dtype=False)
+    gd = m.dropna(subset=["f"]).to_pandas()[["i", "k"]]
+    rd = pdf.dropna(subset=["f"]).reset_index(drop=True)[["i", "k"]]
+    pd.testing.assert_frame_equal(gd, rd, check_dtype=False)
