@@ -95,6 +95,17 @@ def main() -> None:
         timings[name] = round(best, 3)
         total += timings[name]
 
+    # regression-gate subtotal over the round-1 query set (BASELINE_LOCAL_r01
+    # froze those numbers; the headline set has since grown, so the raw total
+    # is not comparable across rounds — this one is)
+    r1_comparable = None
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_LOCAL_r01.json")) as f:
+            base = json.load(f)["queries"]
+        r1_comparable = round(sum(v for q, v in timings.items() if q in base and v > 0), 3)
+    except Exception:
+        pass
+
     print(
         json.dumps(
             {
@@ -102,6 +113,7 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "r1_comparable_total": r1_comparable,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
