@@ -83,7 +83,11 @@ def merge_asof(
     left,
     right,
     on=None,
+    left_on=None,
+    right_on=None,
     by=None,
+    left_by=None,
+    right_by=None,
     direction: str = "backward",
     suffixes=("_x", "_y"),
     tolerance=None,
@@ -95,16 +99,24 @@ def merge_asof(
         raise ValueError(f"direction must be backward/forward/nearest, got {direction!r}")
     lf: SparkFrame = left._frame.ensure_order()
     rf: SparkFrame = right._frame.ensure_order()
-    on_l = lf.data_cols[lf.positions_of([on])[0]]
-    on_r = rf.data_cols[rf.positions_of([on])[0]]
-    by = ([by] if isinstance(by, str) else by) or []
-    by_l = [lf.data_cols[i] for i in lf.positions_of(by)] if by else []
-    by_r = [rf.data_cols[i] for i in rf.positions_of(by)] if by else []
+    lo, ro = (on, on) if on is not None else (left_on, right_on)
+    if lo is None or ro is None:
+        raise ValueError("merge_asof needs on= or left_on=/right_on=")
+    on_l = lf.data_cols[lf.positions_of([lo])[0]]
+    on_r = rf.data_cols[rf.positions_of([ro])[0]]
+    lby, rby = (by, by) if by is not None else (left_by, right_by)
+    lby = [lby] if isinstance(lby, str) else (lby or [])
+    rby = [rby] if isinstance(rby, str) else (rby or [])
+    by_l = [lf.data_cols[i] for i in lf.positions_of(lby)] if lby else []
+    by_r = [rf.data_cols[i] for i in rf.positions_of(rby)] if rby else []
 
+    # with on= the shared key appears once (pandas); with left_on/right_on the
+    # right key column is kept as payload (pandas keeps both)
+    drop_key = {on_r} if on is not None else set()
     r_payload = [
         (rf.columns[j], rf.data_cols[j])
         for j in range(len(rf.columns))
-        if rf.data_cols[j] != on_r and rf.data_cols[j] not in set(by_r)
+        if rf.data_cols[j] not in drop_key and rf.data_cols[j] not in set(by_r)
     ]
 
     key_t = lf.schema_map[on_l].simpleString()

@@ -161,7 +161,11 @@ def merge_asof(
     left: DataFrame,
     right: DataFrame,
     on=None,
+    left_on=None,
+    right_on=None,
     by=None,
+    left_by=None,
+    right_by=None,
     direction: str = "backward",
     suffixes=("_x", "_y"),
     tolerance=None,
@@ -169,8 +173,9 @@ def merge_asof(
 ) -> DataFrame:
     from modin_spark.operators.joins import merge_asof as _asof
 
-    return _asof(left, right, on=on, by=by, direction=direction, suffixes=suffixes,
-                 tolerance=tolerance, allow_exact_matches=allow_exact_matches)
+    return _asof(left, right, on=on, left_on=left_on, right_on=right_on,
+                 by=by, left_by=left_by, right_by=right_by, direction=direction,
+                 suffixes=suffixes, tolerance=tolerance, allow_exact_matches=allow_exact_matches)
 
 
 def merge_ordered(left: DataFrame, right: DataFrame, on=None, how="outer", suffixes=("_x", "_y")) -> DataFrame:

@@ -208,3 +208,16 @@ def test_range_join_bucketized_matches_theta(spark):
     bucketed = range_join(left, right, "v", "lo", "hi", bucket_width=7.0).to_pandas()
     key = lambda d: sorted(zip(d["v"].round(9), d["tag"]))
     assert key(theta) == key(bucketed)
+
+
+def test_merge_asof_left_on_right_on(spark):
+    import modin_spark.pandas as mpd
+
+    t = pd.DataFrame({"lt": [1, 5, 10, 15], "tv": list("abcd")})
+    q = pd.DataFrame({"rt": [0, 4, 11], "qv": [1.0, 2.0, 3.0]})
+    got = mpd.merge_asof(mpd.from_pandas(t), mpd.from_pandas(q), left_on="lt", right_on="rt").to_pandas()
+    ref = pd.merge_asof(t, q, left_on="lt", right_on="rt")
+    g = got.sort_values("lt").reset_index(drop=True)
+    assert set(["lt", "tv", "rt", "qv"]) <= set(g.columns)
+    np.testing.assert_allclose(g["qv"].values, ref["qv"].values, equal_nan=True)
+    np.testing.assert_allclose(g["rt"].values.astype(float), ref["rt"].values.astype(float), equal_nan=True)
