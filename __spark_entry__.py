@@ -259,6 +259,52 @@ def _rank_min(spark, sf):
     return out.to_spark(ordered=False)
 
 
+def _concat_cols_aligned(spark, sf):
+    """pd.concat(axis=1) of two index-aligned per-nation aggregates."""
+    mpd = _mpd()
+    cust = mpd.read_parquet(f"{sf}/customer.parquet")
+    sup = mpd.read_parquet(f"{sf}/supplier.parquet")
+    a = cust.groupby(["c_nationkey"]).agg(n_cust=("c_custkey", "count")).reset_index().set_index("c_nationkey")
+    b = sup.groupby(["s_nationkey"]).agg(n_supp=("s_suppkey", "count")).reset_index().set_index("s_nationkey")
+    out = mpd.concat([a, b], axis=1).reset_index()
+    out = out.rename(columns={out.columns[0]: "nationkey"})
+    out["n_cust"] = out["n_cust"].fillna(0).astype("int64")
+    out["n_supp"] = out["n_supp"].fillna(0).astype("int64")
+    return out.to_spark(ordered=False)
+
+
+def _query_eval(spark, sf):
+    """df.query + df.eval string expressions."""
+    mpd = _mpd()
+    orders = mpd.read_parquet(f"{sf}/orders.parquet")
+    f = orders.query("o_totalprice > 250000 and o_orderstatus == 'O'")
+    # *2 keeps 2-decimal values (a /2 would mint exact .xx5 halves, where
+    # Spark's BigDecimal HALF_UP and DuckDB's raw-double rounding disagree)
+    f = f.eval("dbl = o_totalprice * 2")
+    out = f[["o_orderkey"]]
+    out["dbl"] = _r(f["dbl"], 2)
+    return out.to_spark(ordered=False)
+
+
+def _dot_product(spark, sf):
+    """Series dot product — one distributed SUM(a*b)."""
+    mpd = _mpd()
+    li = mpd.read_parquet(f"{sf}/lineitem.parquet")
+    d = li.l_quantity.dot(li.l_discount)
+    import pandas as pd
+
+    return spark.createDataFrame(pd.DataFrame({"dotp": [round(float(d), 4)]}))
+
+
+def _iloc_slice(spark, sf):
+    """Positional slice through the global-position machinery."""
+    mpd = _mpd()
+    orders = mpd.read_parquet(f"{sf}/orders.parquet").sort_values("o_orderkey")
+    out = orders.iloc[1000:1010][["o_orderkey", "o_totalprice"]]
+    out["o_totalprice"] = _r(out["o_totalprice"], 2)
+    return out.to_spark(ordered=False)
+
+
 def _sql_interface(spark, sf):
     """mpd.sql: frames registered as temp views + Spark SQL (net-new)."""
     mpd = _mpd()
@@ -924,6 +970,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multiindex_regroup": _multiindex_regroup,
         "docs_jaccard_pairs": _docs_jaccard_pairs,
         "sql_interface": _sql_interface,
+        "concat_cols_aligned": _concat_cols_aligned,
+        "query_eval": _query_eval,
+        "dot_product": _dot_product,
+        "iloc_slice": _iloc_slice,
         "emb_lsh_recall": _emb_lsh_recall,
         "emb_ivf_recall": _emb_ivf_recall,
         "rolling_corr_pair": _rolling_corr_pair,
@@ -1179,6 +1229,25 @@ def oracle_sql() -> dict[str, str]:
                         WHEN (f.qts - b.ts) < (b.ts - b.qts) THEN f.u
                         ELSE b.u END AS user_id
             FROM b JOIN f ON b.event_id = f.event_id
+        """,
+        "concat_cols_aligned": """
+            WITH a AS (SELECT c_nationkey AS k, COUNT(*) AS n_cust FROM customer GROUP BY 1),
+                 b AS (SELECT s_nationkey AS k, COUNT(*) AS n_supp FROM supplier GROUP BY 1)
+            SELECT COALESCE(a.k, b.k) AS nationkey,
+                   CAST(COALESCE(n_cust, 0) AS BIGINT) AS n_cust,
+                   CAST(COALESCE(n_supp, 0) AS BIGINT) AS n_supp
+            FROM a FULL OUTER JOIN b ON a.k = b.k
+        """,
+        "query_eval": """
+            SELECT o_orderkey, ROUND(o_totalprice * 2, 2) AS dbl
+            FROM orders WHERE o_totalprice > 250000 AND o_orderstatus = 'O'
+        """,
+        "dot_product": """
+            SELECT ROUND(SUM(l_quantity * l_discount), 4) AS dotp FROM lineitem
+        """,
+        "iloc_slice": """
+            SELECT o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice
+            FROM orders ORDER BY o_orderkey LIMIT 10 OFFSET 1000
         """,
         "sql_interface": """
             SELECT l_returnflag, ROUND(SUM(l_quantity), 2) AS sum_qty,
