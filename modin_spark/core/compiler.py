@@ -215,6 +215,7 @@ def merge(
     suffixes: tuple[str, str] = ("_x", "_y"),
     broadcast_right: bool | None = None,
     sort: bool = False,
+    indicator: bool | str = False,
 ) -> SparkFrame:
     """pandas ``merge`` (equi-join).
 
@@ -291,6 +292,19 @@ def merge(
             name = f"{lbl}{suffixes[1]}"
         out_labels.append(name)
         out_phys.append(r_map[right.data_cols[j]])
+
+    if indicator:
+        # side presence read off the order markers before they drop
+        ind_name = "_merge" if indicator is True else str(indicator)
+        ind_phys = fresh_names(1)[0]
+        joined = joined.withColumn(
+            ind_phys,
+            F.when(F.col("__rorder__").isNull(), F.lit("left_only"))
+            .when(F.col("__lorder__").isNull(), F.lit("right_only"))
+            .otherwise(F.lit("both")),
+        )
+        out_labels.append(ind_name)
+        out_phys.append(ind_phys)
 
     # struct order: unmatched side sorts last (pandas appends right-only rows);
     # the null flag leads so struct comparison never hits a NULL field

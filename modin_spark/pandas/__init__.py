@@ -30,6 +30,8 @@ from modin_spark.pandas.general import (
 from modin_spark.pandas.io import (
     from_arrow,
     from_map,
+    from_partitions,
+    unwrap_partitions,
     from_pandas,
     json_normalize,
     from_spark,
@@ -75,6 +77,8 @@ __all__ = [
     "wide_to_long",
     "from_arrow",
     "from_map",
+    "from_partitions",
+    "unwrap_partitions",
     "from_pandas",
     "from_spark",
     "read_csv",

@@ -559,6 +559,7 @@ class DataFrame:
         suffixes=("_x", "_y"),
         sort=False,
         broadcast: bool | None = None,
+        indicator: bool | str = False,
     ) -> "DataFrame":
         lf, rf = self._frame, right._frame
         if how == "cross":
@@ -606,6 +607,7 @@ class DataFrame:
             suffixes=suffixes,
             broadcast_right=broadcast,
             sort=sort,
+            indicator=indicator,
         )
         return DataFrame(_frame=out)
 

@@ -90,6 +90,23 @@ def read_table(path: str, sep: str = "\t", **kw) -> DataFrame:
     return read_csv(path, sep=sep, **kw)
 
 
+def from_partitions(parts, axis: int = 0) -> DataFrame:
+    """Assemble a DataFrame from a list of pandas partitions (reference:
+    modin.distributed.dataframe.pandas.from_partitions). Row partitions
+    union; column partitions align on position."""
+    from modin_spark.pandas.general import concat
+
+    frames = [DataFrame(data=p) if not isinstance(p, DataFrame) else p for p in parts]
+    return concat(frames, axis=axis, ignore_index=(axis == 0))
+
+
+def unwrap_partitions(df: DataFrame, axis: int = 0) -> list:
+    """Materialize the frame as a list of pandas partitions (reference:
+    modin unwrap_partitions). Arrow egress, one pandas chunk per record
+    batch — a driver-side API-parity helper, not a distributed operator."""
+    return [b.to_pandas() for b in df.to_arrow().to_batches()]
+
+
 def from_map(func, iterable, *args) -> DataFrame:
     """Build a DataFrame by applying ``func`` (-> pandas.DataFrame) to each
     element of ``iterable`` IN PARALLEL — one task per element (reference:

@@ -82,3 +82,16 @@ def test_read_csv_names_sep(tmp_path, spark):
     m = mpd.read_csv(str(p), sep="|", names=["n", "s"]).to_pandas()
     assert m["n"].tolist() == [1, 2, 3]
     assert m["s"].tolist() == ["a", "b", "c"]
+
+
+def test_partition_roundtrip(spark, pdf):
+    import modin_spark.pandas as mpd
+
+    parts = [pdf.iloc[:100][["a", "b"]], pdf.iloc[100:][["a", "b"]]]
+    m = mpd.from_partitions(parts, axis=0)
+    assert len(m) == len(pdf)
+    back = mpd.unwrap_partitions(m)
+    total = sum(len(p) for p in back)
+    assert total == len(pdf)
+    joined = pd.concat(back, ignore_index=True)
+    assert sorted(joined["a"].tolist()) == sorted(pdf["a"].tolist())

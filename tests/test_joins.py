@@ -221,3 +221,12 @@ def test_merge_asof_left_on_right_on(spark):
     assert set(["lt", "tv", "rt", "qv"]) <= set(g.columns)
     np.testing.assert_allclose(g["qv"].values, ref["qv"].values, equal_nan=True)
     np.testing.assert_allclose(g["rt"].values.astype(float), ref["rt"].values.astype(float), equal_nan=True)
+
+
+def test_merge_indicator(joins):
+    ml, mr = joins
+    got = ml.merge(mr, on="k", how="outer", indicator=True).to_pandas()
+    ref = LEFT.merge(RIGHT, on="k", how="outer", indicator=True)
+    g = got.groupby("_merge").size().to_dict()
+    r = ref.groupby("_merge", observed=True).size().to_dict()
+    assert {k: v for k, v in g.items() if v} == {str(k): v for k, v in r.items() if v}
