@@ -30,6 +30,7 @@ from modin_spark.pandas.general import (
 from modin_spark.pandas.io import (
     from_arrow,
     from_map,
+    read_table,
     from_partitions,
     unwrap_partitions,
     from_pandas,
@@ -77,6 +78,7 @@ __all__ = [
     "wide_to_long",
     "from_arrow",
     "from_map",
+    "read_table",
     "from_partitions",
     "unwrap_partitions",
     "from_pandas",

@@ -271,6 +271,20 @@ class DataFrame:
             "dbtable", name
         ).mode(mode).save()
 
+    def to_table(self, name: str, bucket_by=None, num_buckets: int = 8, sort_by=None,
+                 mode: str = "overwrite") -> None:
+        """Save as a (optionally bucketed) managed table. Bucketing is the
+        scale path for repeated co-located joins: two tables bucketed on the
+        join key with the same bucket count join WITHOUT a shuffle on either
+        side (brief: 'bucketing for co-located joins')."""
+        w = self.to_spark(ordered=False).write.mode(mode)
+        if bucket_by is not None:
+            cols = bucket_by if isinstance(bucket_by, list) else [bucket_by]
+            w = w.bucketBy(num_buckets, *cols)
+            if sort_by is not None:
+                w = w.sortBy(*(sort_by if isinstance(sort_by, list) else [sort_by]))
+        w.format("parquet").saveAsTable(name)
+
     def to_arrow(self):
         """Arrow table egress (Spark 4 ``toArrow``; reference interchange
         protocol, dataframe.py:4803)."""

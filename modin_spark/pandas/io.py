@@ -90,6 +90,12 @@ def read_table(path: str, sep: str = "\t", **kw) -> DataFrame:
     return read_csv(path, sep=sep, **kw)
 
 
+def read_table(name: str) -> DataFrame:
+    """Read a saved (possibly bucketed) managed table; bucketed reads carry
+    the bucket distribution into joins/aggregations (no re-shuffle)."""
+    return DataFrame(_frame=SparkFrame.from_spark(get_spark().table(name)))
+
+
 def from_partitions(parts, axis: int = 0) -> DataFrame:
     """Assemble a DataFrame from a list of pandas partitions (reference:
     modin.distributed.dataframe.pandas.from_partitions). Row partitions

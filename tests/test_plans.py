@@ -101,3 +101,28 @@ def test_range_join_bucketized_no_nested_loop(spark):
     plan = plans.physical_plan(out._frame.sdf)
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_bucketed_join_no_shuffle(spark, tmp_path):
+    """Two tables bucketed on the join key with equal bucket counts must join
+    with NO Exchange on either side (co-located bucketed join)."""
+    import modin_spark.pandas as mpd
+
+    orders = mpd.read_parquet(f"{SF}/orders.parquet")[["o_custkey", "o_totalprice"]]
+    cust = mpd.read_parquet(f"{SF}/customer.parquet")[["c_custkey", "c_acctbal"]]
+    orders.to_table("t_orders_b", bucket_by="o_custkey", num_buckets=8)
+    cust.to_table("t_cust_b", bucket_by="c_custkey", num_buckets=8)
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        a = mpd.read_table("t_orders_b")
+        b = mpd.read_table("t_cust_b")
+        j = a.merge(b, left_on="o_custkey", right_on="c_custkey")
+        plan = plans.physical_plan(j._frame.sdf)
+        import re
+
+        n_exchange = len(re.findall(r"Exchange hashpartitioning", plan))
+        assert n_exchange == 0, plan
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_cust_b")
