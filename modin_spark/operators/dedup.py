@@ -272,9 +272,17 @@ def _spread_for_udf(df: SDF) -> SDF:
 
 
 def minhash_candidate_pairs(
-    df: SDF, id_col: str, text_col: str, *, k: int = 5, num_perm: int = 128, bands: int = 32, threshold: float = 0.8
+    df: SDF, id_col: str, text_col: str, *, k: int = 5, num_perm: int = 128, bands: int = 32,
+    threshold: float = 0.8, max_bucket_size: int | None = 5000
 ) -> SDF:
-    """(id_a, id_b, est_jaccard) candidate near-dup pairs, id_a < id_b."""
+    """(id_a, id_b, est_jaccard) candidate near-dup pairs, id_a < id_b.
+
+    ``max_bucket_size`` is the hot-bucket skew guard for boilerplate-heavy
+    corpora: an LSH bucket of m ids yields m²/2 self-join pairs, so one
+    mega-bucket (empty docs, shared boilerplate) can dominate the whole
+    shuffle. Buckets larger than the cap are dropped from candidate
+    generation (their members still pair through their other bands — a
+    standard LSH-dedup mitigation; set None to disable)."""
     rows_per_band = num_perm // bands
     from pyspark import StorageLevel
     df = _spread_for_udf(df)
@@ -290,6 +298,16 @@ def minhash_candidate_pairs(
     banded = _band_rows(sigs, id_col, "__sig__", bands, rows_per_band).select(
         id_col, "__band__", "__bucket__"
     )
+    if max_bucket_size is not None:
+        # one windowless agg over the (band,bucket) keys; the overflow set is
+        # tiny and joins back as a broadcast anti-filter
+        big = (
+            banded.groupBy("__band__", "__bucket__")
+            .agg(F.count(F.lit(1)).alias("__n__"))
+            .where(F.col("__n__") > max_bucket_size)
+            .select("__band__", "__bucket__")
+        )
+        banded = banded.join(F.broadcast(big), ["__band__", "__bucket__"], "left_anti")
     left = banded.select(F.col("__band__").alias("b"), F.col("__bucket__").alias("k"), F.col(id_col).alias("id_a"))
     right = banded.select(F.col("__band__").alias("b2"), F.col("__bucket__").alias("k2"), F.col(id_col).alias("id_b"))
     pairs = (

@@ -227,3 +227,22 @@ def test_ann_recall_at_5(spark):
     assert lsh.recall_at_5 >= 0.9, f"LSH recall@5 {lsh.recall_at_5}"
     ivf = qs["emb_ivf_recall"](spark, sf).collect()[0]
     assert ivf.recall_at_5 >= 0.9, f"IVF recall@5 {ivf.recall_at_5}"
+
+
+def test_minhash_bucket_cap(spark):
+    """Hot-bucket skew guard: a mega-bucket (many identical docs) is dropped
+    from candidate generation when over the cap, kept when under."""
+    from modin_spark.operators.dedup import minhash_candidate_pairs
+
+    rows = [(i, "exact same boilerplate text repeated many times over") for i in range(30)]
+    rows += [(100, "something completely different about spark plans"),
+             (101, "something completely different about spark plans")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # cap below the 30-dup clique: its buckets drop, the small pair survives
+    capped = minhash_candidate_pairs(df, "doc_id", "text", threshold=0.8, max_bucket_size=10)
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert (100, 101) in got
+    assert not any(a < 100 and b < 100 for a, b in got)
+    # uncapped finds the clique pairs
+    full = minhash_candidate_pairs(df, "doc_id", "text", threshold=0.8, max_bucket_size=None)
+    assert full.where("id_a < 100").count() > 0
