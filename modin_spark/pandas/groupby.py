@@ -569,12 +569,15 @@ class SeriesGroupBy:
         s, by = self._series, self._by
         if not isinstance(by, Series):
             raise NotImplementedError("series.groupby by label requires index")
-        fr = s._frame
-        if not fr.can_rebase(by._frame, by._refs):
-            raise NotImplementedError("groupby by unaligned Series")
         key_lbl = by._name if by._name is not None else "__key__"
         val_lbl = s._name if s._name is not None else "__val__"
-        fr2 = fr.project([key_lbl, val_lbl], [by._expr, s._expr])
+        fr = s._frame
+        if fr.can_rebase(by._frame, by._refs):
+            fr2 = fr.project([key_lbl, val_lbl], [by._expr, s._expr])
+        else:
+            # unaligned key series: index/position alignment join (_combine)
+            target, se, be, _refs = s._combine(by)
+            fr2 = target.project([key_lbl, val_lbl], [be, se])
         g = DataFrameGroupBy(DataFrame(_frame=fr2), [key_lbl])
         g._value_labels = [val_lbl]
         return g

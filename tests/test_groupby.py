@@ -280,3 +280,14 @@ def test_groupby_unique(mdf, pdf):
     ref = pdf.groupby("k")["a"].unique()
     for k in ref.index:
         assert list(got.loc[k]) == list(ref.loc[k]), k
+
+
+def test_series_groupby_unaligned_key(spark):
+    import modin_spark.pandas as mpd
+
+    s = mpd.from_pandas(pd.DataFrame({"v": [1.0, 2.0, 3.0, 4.0]}))["v"]
+    key = mpd.from_pandas(pd.DataFrame({"k": ["a", "b", "a", "b"]}))["k"]
+    got = s.groupby(key).sum().to_pandas().sort_index()
+    ref = pd.Series([1.0, 2.0, 3.0, 4.0], name="v").groupby(
+        pd.Series(["a", "b", "a", "b"])).sum().sort_index()
+    np.testing.assert_allclose(got.values, ref.values)
