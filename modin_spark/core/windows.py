@@ -620,7 +620,16 @@ def blocked_pandas(frame: SparkFrame, positions: Sequence[int], pd_fn, halo_rows
             _BLK, F.explode(F.sequence(F.col(_BLK) + 1, F.lit(maxblk)))
         )
     else:
-        halo = narrow.where((F.col(_POS) % BLOCK) >= (BLOCK - halo_rows)).withColumn(_BLK, F.col(_BLK) + 1)
+        # a row at position p serves as halo for every block b with
+        # b*BLOCK - halo_rows <= p < b*BLOCK — one block when halo < BLOCK,
+        # several when the context exceeds a block (e.g. EWM decay halos with
+        # small test BLOCK). Blocks past the end produce halo-only groups
+        # that emit nothing (all rows filtered) — harmless.
+        lo_blk = F.col(_BLK) + 1
+        hi_blk = ((F.col(_POS) + F.lit(halo_rows)) / F.lit(BLOCK)).cast("long")
+        halo = narrow.where(hi_blk >= lo_blk).withColumn(
+            _BLK, F.explode(F.sequence(lo_blk, hi_blk))
+        )
     u = narrow.withColumn("__halo__", F.lit(0)).unionByName(halo.withColumn("__halo__", F.lit(1)))
 
     out_names = fresh_names(len(phys))

@@ -635,6 +635,12 @@ class Series:
 
         return Rolling(self, window, min_periods, win_type=win_type, **win_kwargs)
 
+    def ewm(self, com=None, span=None, halflife=None, alpha=None, adjust=True, min_periods=0):
+        from modin_spark.pandas.window import EWM
+
+        return EWM(self, com=com, span=span, halflife=halflife, alpha=alpha,
+                   adjust=adjust, min_periods=min_periods)
+
     def expanding(self, min_periods: int = 1):
         from modin_spark.pandas.window import Expanding
 

@@ -183,6 +183,63 @@ class Expanding:
         return Series._from_frame(out)
 
 
+class EWM:
+    """Exponentially weighted windows (pandas ``ewm``).
+
+    The recurrence looks sequential, but the weight (1-α)^k underflows
+    double precision past k ≈ ln(1e-18)/ln(1-α) rows — so a block window
+    with that FIXED halo is exact to double precision, and the whole family
+    runs on the same scale-safe blocked machinery as rolling (pandas
+    computes inside each block; no global scan)."""
+
+    def __init__(self, obj, com=None, span=None, halflife=None, alpha=None,
+                 adjust: bool = True, min_periods: int = 0):
+        import math
+
+        if alpha is None:
+            if span is not None:
+                alpha = 2.0 / (span + 1.0)
+            elif com is not None:
+                alpha = 1.0 / (1.0 + com)
+            elif halflife is not None:
+                alpha = 1.0 - math.exp(-math.log(2.0) / halflife)
+            else:
+                raise ValueError("ewm needs com/span/halflife/alpha")
+        self._alpha = alpha
+        self._adjust = adjust
+        self._min_periods = min_periods
+        self._obj = obj
+        # halo: enough history that truncated weights are < 1e-18 relative
+        self._halo = max(8, int(math.ceil(math.log(1e-18) / math.log(1.0 - alpha))))
+
+    def _run(self, method: str):
+        from modin_spark.pandas.dataframe import DataFrame
+
+        a, adj, mp = self._alpha, self._adjust, self._min_periods
+
+        def pd_fn(s):
+            return getattr(s.ewm(alpha=a, adjust=adj, min_periods=mp), method)()
+
+        if isinstance(self._obj, Series):
+            out = win.blocked_pandas(self._obj._to_frame(), [0], pd_fn, halo_rows=self._halo)
+            return Series._from_frame(out)
+        df = self._obj
+        out = win.blocked_pandas(df._frame, df._numeric_positions(), pd_fn, halo_rows=self._halo)
+        return DataFrame(_frame=out)
+
+    def mean(self):
+        return self._run("mean")
+
+    def std(self):
+        return self._run("std")
+
+    def var(self):
+        return self._run("var")
+
+    def sum(self):
+        return self._run("sum")
+
+
 class GroupRolling:
     """groupby(...).rolling(w) — plain key-partitioned ordered window."""
 

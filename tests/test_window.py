@@ -246,3 +246,33 @@ def test_rolling_win_type(mdf, pdf, wt, kw):
     got_s = mdf.b.rolling(w, win_type=wt, **kw).sum().to_pandas()
     refs = ref * weights.sum()
     np.testing.assert_allclose(got_s.values, refs, equal_nan=True, rtol=1e-9)
+
+
+@pytest.mark.parametrize("method", ["mean", "std", "var"])
+def test_ewm(mdf, pdf, method):
+    got = getattr(mdf.b.ewm(span=5), method)()
+    ref = getattr(pdf.b.ewm(span=5), method)()
+    assert_series_equal(got, ref)
+
+
+def test_ewm_alpha_nan(mdf, pdf):
+    got = mdf.c.ewm(alpha=0.3, min_periods=2).mean()
+    ref = pdf.c.ewm(alpha=0.3, min_periods=2).mean()
+    assert_series_equal(got, ref)
+
+
+def test_ewm_block_boundary(spark):
+    """EWM across block boundaries: the decay-halo must carry enough history."""
+    import modin_spark.pandas as mpd
+    from modin_spark.core import windows
+
+    old = windows.BLOCK
+    windows.BLOCK = 64
+    try:
+        p = pd.DataFrame({"v": np.sin(np.arange(500) * 0.37) * 10})
+        m = mpd.from_pandas(p)
+        got = m.v.ewm(span=9).mean().to_pandas()
+        ref = p.v.ewm(span=9).mean()
+        np.testing.assert_allclose(got.values, ref.values, rtol=1e-9)
+    finally:
+        windows.BLOCK = old
