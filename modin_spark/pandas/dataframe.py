@@ -1134,7 +1134,15 @@ class DataFrame:
         n = self._frame.count_rows()
         if n > 100_000:
             raise ValueError(f"transpose of {n} rows would materialize driver-side; refusing")
-        return DataFrame(self.to_pandas().T)
+        t = self.to_pandas().T
+        # mixed source dtypes make every transposed column object-typed, which
+        # Spark can't infer — coerce each to numeric where possible else string
+        for c in t.columns:
+            if t[c].dtype == object:
+                coerced = pd.to_numeric(t[c], errors="coerce")
+                t[c] = coerced if coerced.notna().sum() == t[c].notna().sum() else t[c].astype(str)
+        t.columns = [str(c) for c in t.columns]
+        return DataFrame(t)
 
     @property
     def T(self) -> "DataFrame":
@@ -1146,7 +1154,12 @@ class DataFrame:
         a, b = self, other
         af, bf = a._frame, b._frame
         if not af.index_cols or not bf.index_cols:
-            raise NotImplementedError("combine_first requires set_index on both frames")
+            # default-index frames: pandas aligns positionally — promote the
+            # contiguous global position to an index on both sides
+            af = af.with_global_position("__cfp__")
+            af = af._same_rows(af.sdf, index_cols=["__cfp__"], index_names=[None])
+            bf = bf.with_global_position("__cfp2__")
+            bf = bf._same_rows(bf.sdf, index_cols=["__cfp2__"], index_names=[None])
         merged = qc.merge(af, bf, how="outer", left_index=True, right_index=True, suffixes=("__a", "__b"))
         out_labels, exprs = [], []
         b_labels = set(bf.columns)

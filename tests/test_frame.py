@@ -261,3 +261,24 @@ def test_loc_default_index_labels(mdf, pdf):
                                   ref.sort_values("a").reset_index(drop=True), check_dtype=False)
     s = mdf.loc[3, "a"].to_pandas()
     assert s.iloc[0] == pdf.loc[3, "a"]
+
+
+def test_transpose_mixed_dtypes(spark):
+    import modin_spark.pandas as mpd
+
+    p = pd.DataFrame({"a": [5, 1], "b": [1.5, 2.5], "k": ["x", "y"]})
+    t = mpd.from_pandas(p).T.to_pandas()
+    assert t.shape == (3, 2)
+    p2 = pd.DataFrame({"a": [5.0, 1.0], "b": [1.5, 2.5]})
+    t2 = mpd.from_pandas(p2).T.to_pandas()
+    np.testing.assert_allclose(t2.values.astype(float), p2.T.values)
+
+
+def test_combine_first_default_index(spark):
+    import modin_spark.pandas as mpd
+
+    p1 = pd.DataFrame({"a": [1.0, np.nan, 3.0], "b": [np.nan, 5.0, np.nan]})
+    p2 = pd.DataFrame({"a": [10.0, 20.0, 30.0], "b": [40.0, 50.0, 60.0]})
+    got = mpd.from_pandas(p1).combine_first(mpd.from_pandas(p2)).to_pandas().sort_index()
+    ref = p1.combine_first(p2)
+    np.testing.assert_allclose(got.values.astype(float), ref.values)
