@@ -751,6 +751,17 @@ def _expanding_median_p90(spark, sf):
     return out.to_spark(ordered=False)
 
 
+def _ewm_mean(spark, sf):
+    """Exponentially weighted mean (span=9) over the event stream — decay-
+    truncation halo blocks, no sequential scan."""
+    mpd = _mpd()
+    ev = mpd.read_parquet(f"{sf}/events.parquet")
+    ev2 = ev.sort_values("event_id").head(4000).set_index("event_id")
+    m = ev2[["value"]].ewm(span=9).mean().reset_index().rename(columns={"value": "ewm_v"})
+    m["ewm_v"] = _r(m["ewm_v"], 6)
+    return m.to_spark(ordered=False)
+
+
 def _rolling_corr_pair(spark, sf):
     mpd = _mpd()
     ev = mpd.read_parquet(f"{sf}/events.parquet")
@@ -977,6 +988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_lsh_recall": _emb_lsh_recall,
         "emb_ivf_recall": _emb_ivf_recall,
         "rolling_corr_pair": _rolling_corr_pair,
+        "ewm_mean": _ewm_mean,
         "docs_exact_dedup": _docs_exact_dedup,
         "docs_token_stats": _docs_token_stats,
         "docs_norm_distinct": _docs_norm_distinct,
@@ -1311,6 +1323,18 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(QUANTILE_CONT(value, 0.9) OVER w, 6) AS exp_p90
             FROM e
             WINDOW w AS (ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """,
+        "ewm_mean": """
+            WITH e AS (
+                SELECT event_id, value, ROW_NUMBER() OVER (ORDER BY event_id) AS rn
+                FROM (SELECT event_id, value FROM events ORDER BY event_id LIMIT 4000)
+            )
+            SELECT t.event_id,
+                   ROUND(SUM(s.value * POW(0.8, t.rn - s.rn))
+                         / SUM(CASE WHEN s.value IS NOT NULL THEN POW(0.8, t.rn - s.rn) END), 6)
+                       AS ewm_v
+            FROM e t JOIN e s ON s.rn BETWEEN t.rn - 200 AND t.rn
+            GROUP BY t.event_id
         """,
         "rolling_corr_pair": """
             WITH e AS (SELECT event_id, value, user_id FROM events ORDER BY event_id LIMIT 10000)
