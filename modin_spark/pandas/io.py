@@ -6,6 +6,7 @@ predicate pushdown and schema pruning)."""
 from __future__ import annotations
 
 import pandas as pd
+from pyspark.sql import functions as F
 
 from modin_spark.core.frame import SparkFrame
 from modin_spark.pandas.dataframe import DataFrame
@@ -40,14 +41,12 @@ def _nano_ts_cols(path: str) -> list[str]:
     return [f.name for f in schema if f.name in int64_ns]
 
 
-def read_parquet(path: str, columns=None) -> DataFrame:
+def read_parquet(path: str, columns=None, filters=None) -> DataFrame:
     spark = get_spark()
     nano_cols = _nano_ts_cols(path)
     if nano_cols:
         # nanos come in as int64 (legacy conf), cast back to µs timestamps;
         # the scan itself stays fully distributed
-        from pyspark.sql import functions as F
-
         prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         try:
@@ -62,6 +61,28 @@ def read_parquet(path: str, columns=None) -> DataFrame:
         sdf = spark.read.parquet(path)
     if columns is not None:
         sdf = sdf.select(*columns)  # column pruning reaches the scan
+    if filters is not None:
+        # pandas read_parquet filters: [(col, op, val), ...] conjunction (or a
+        # list of such lists = disjunction of conjunctions). Expressed as
+        # WHERE clauses below the order projection — Catalyst pushes them
+        # into the parquet scan (PushedFilters / row-group pruning).
+        ops = {
+            "==": lambda c, v: c == v, "=": lambda c, v: c == v,
+            "!=": lambda c, v: c != v, "<": lambda c, v: c < v,
+            "<=": lambda c, v: c <= v, ">": lambda c, v: c > v,
+            ">=": lambda c, v: c >= v,
+            "in": lambda c, v: c.isin(list(v)),
+            "not in": lambda c, v: ~c.isin(list(v)),
+        }
+        groups = filters if filters and isinstance(filters[0], list) else [filters]
+        disj = None
+        for grp in groups:
+            conj = None
+            for col, op, val in grp:
+                e = ops[op](F.col(col), val)
+                conj = e if conj is None else (conj & e)
+            disj = conj if disj is None else (disj | conj)
+        sdf = sdf.where(disj)
     return DataFrame(_frame=SparkFrame.from_spark(sdf))
 
 

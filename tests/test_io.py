@@ -95,3 +95,25 @@ def test_partition_roundtrip(spark, pdf):
     assert total == len(pdf)
     joined = pd.concat(back, ignore_index=True)
     assert sorted(joined["a"].tolist()) == sorted(pdf["a"].tolist())
+
+
+def test_read_parquet_filters_pushdown(spark):
+    import modin_spark.pandas as mpd
+    from modin_spark import plans
+
+    m = mpd.read_parquet(
+        "/root/testdata/sf0.001/orders.parquet",
+        columns=["o_orderkey", "o_totalprice", "o_orderstatus"],
+        filters=[("o_orderstatus", "==", "F"), ("o_totalprice", ">", 100000.0)],
+    )
+    assert plans.has_pushed_filters(m._frame.sdf), plans.physical_plan(m._frame.sdf)
+    got = m.to_pandas()
+    assert (got["o_orderstatus"] == "F").all()
+    assert (got["o_totalprice"] > 100000.0).all()
+    # disjunction-of-conjunctions form
+    m2 = mpd.read_parquet(
+        "/root/testdata/sf0.001/orders.parquet",
+        filters=[[("o_orderstatus", "==", "F")], [("o_orderstatus", "==", "O")]],
+    )
+    s = set(m2.to_pandas()["o_orderstatus"])
+    assert s <= {"F", "O"}
