@@ -941,6 +941,315 @@ def _resample_interp(spark, sf):
 
 
 # ---------------------------------------------------------------------------
+# TPC-H tail (adapted to the available schema: lineitem's distinct
+# (l_partkey, l_suppkey) pairs stand in for partsupp; date/priority columns
+# replace the missing commitdate/shipmode/phone fields). Every query runs
+# through the modin_spark pandas API; reference semantics per TPC-H spec.
+# ---------------------------------------------------------------------------
+
+def _q2_min_cost_supplier(spark, sf):
+    """TPC-H Q2 adapted: for size-15 parts, the EUROPE supplier with the
+    minimum account balance among suppliers that have shipped that part
+    (correlated-min via groupby + equality join-back)."""
+    mpd = _mpd()
+    li = mpd.read_parquet(f"{sf}/lineitem.parquet")
+    sup = mpd.read_parquet(f"{sf}/supplier.parquet")
+    nat = mpd.read_parquet(f"{sf}/nation.parquet")
+    reg = mpd.read_parquet(f"{sf}/region.parquet")
+    part = mpd.read_parquet(f"{sf}/part.parquet")
+    ps = li[["l_partkey", "l_suppkey"]].drop_duplicates()
+    j = (
+        ps.merge(sup, left_on="l_suppkey", right_on="s_suppkey", broadcast=True)
+        .merge(nat, left_on="s_nationkey", right_on="n_nationkey", broadcast=True)
+        .merge(reg, left_on="n_regionkey", right_on="r_regionkey", broadcast=True)
+    )
+    j = j[j.r_name == "EUROPE"]
+    p15 = part[part.p_size == 15][["p_partkey", "p_name"]]
+    j = j.merge(p15, left_on="l_partkey", right_on="p_partkey", broadcast=True)
+    mn = j.groupby(["p_partkey"]).agg(min_bal=("s_acctbal", "min")).reset_index()
+    out = j.merge(mn, on="p_partkey")
+    out = out[out.s_acctbal == out.min_bal][
+        ["p_partkey", "p_name", "s_name", "s_acctbal", "n_name"]
+    ]
+    return out.sort_values(["s_acctbal", "p_partkey", "s_name"]).head(20).to_spark(ordered=False)
+
+
+def _q7_volume_shipping(spark, sf):
+    """TPC-H Q7: bilateral shipping volume between two nations by year."""
+    mpd = _mpd()
+    import pandas as pd
+
+    li = mpd.read_parquet(f"{sf}/lineitem.parquet")
+    orders = mpd.read_parquet(f"{sf}/orders.parquet")
+    cust = mpd.read_parquet(f"{sf}/customer.parquet")
+    sup = mpd.read_parquet(f"{sf}/supplier.parquet")
+    nat = mpd.read_parquet(f"{sf}/nation.parquet")
+    sn = nat.rename(columns={"n_nationkey": "sn_key", "n_name": "supp_nation"})[["sn_key", "supp_nation"]]
+    cn = nat.rename(columns={"n_nationkey": "cn_key", "n_name": "cust_nation"})[["cn_key", "cust_nation"]]
+    j = (
+        li.merge(orders[["o_orderkey", "o_custkey"]], left_on="l_orderkey", right_on="o_orderkey")
+        .merge(cust[["c_custkey", "c_nationkey"]], left_on="o_custkey", right_on="c_custkey", broadcast=True)
+        .merge(sup[["s_suppkey", "s_nationkey"]], left_on="l_suppkey", right_on="s_suppkey", broadcast=True)
+        .merge(sn, left_on="s_nationkey", right_on="sn_key", broadcast=True)
+        .merge(cn, left_on="c_nationkey", right_on="cn_key", broadcast=True)
+    )
+    f = j[
+        ((j.supp_nation == "NATION_1") & (j.cust_nation == "NATION_2"))
+        | ((j.supp_nation == "NATION_2") & (j.cust_nation == "NATION_1"))
+    ]
+    f = f[(f.l_shipdate >= pd.Timestamp("1995-01-01")) & (f.l_shipdate <= pd.Timestamp("1996-12-31"))]
+    f["l_year"] = f.l_shipdate.dt.year
+    f["volume"] = f.l_extendedprice * (1 - f.l_discount)
+    out = f.groupby(["supp_nation", "cust_nation", "l_year"]).agg(revenue=("volume", "sum")).reset_index()
+    out["revenue"] = _r(out.revenue, 2)
+    return out.to_spark(ordered=False)
+
+
+def _q8_market_share(spark, sf):
+    """TPC-H Q8: NATION_5's share of PROMO-part volume sold into ASIA, by
+    order year. Ratio derived from identically-rounded numerator/denominator
+    so both engines divide the same doubles."""
+    mpd = _mpd()
+    li = mpd.read_parquet(f"{sf}/lineitem.parquet")
+    orders = mpd.read_parquet(f"{sf}/orders.parquet")
+    cust = mpd.read_parquet(f"{sf}/customer.parquet")
+    sup = mpd.read_parquet(f"{sf}/supplier.parquet")
+    nat = mpd.read_parquet(f"{sf}/nation.parquet")
+    reg = mpd.read_parquet(f"{sf}/region.parquet")
+    part = mpd.read_parquet(f"{sf}/part.parquet")
+    promo = part[part.p_type == "PROMO"][["p_partkey"]]
+    sn = nat.rename(columns={"n_nationkey": "sn_key", "n_name": "supp_nation"})[["sn_key", "supp_nation"]]
+    j = (
+        li.merge(promo, left_on="l_partkey", right_on="p_partkey", broadcast=True)
+        .merge(orders[["o_orderkey", "o_custkey", "o_orderdate"]], left_on="l_orderkey", right_on="o_orderkey")
+        .merge(cust[["c_custkey", "c_nationkey"]], left_on="o_custkey", right_on="c_custkey", broadcast=True)
+        .merge(nat[["n_nationkey", "n_regionkey"]], left_on="c_nationkey", right_on="n_nationkey", broadcast=True)
+        .merge(reg, left_on="n_regionkey", right_on="r_regionkey", broadcast=True)
+        .merge(sup[["s_suppkey", "s_nationkey"]], left_on="l_suppkey", right_on="s_suppkey", broadcast=True)
+        .merge(sn, left_on="s_nationkey", right_on="sn_key", broadcast=True)
+    )
+    f = j[j.r_name == "ASIA"]
+    f["o_year"] = f.o_orderdate.dt.year
+    f["volume"] = f.l_extendedprice * (1 - f.l_discount)
+    f["nation_volume"] = f.volume.where(f.supp_nation == "NATION_5", 0.0)
+    out = f.groupby(["o_year"]).agg(num=("nation_volume", "sum"), den=("volume", "sum")).reset_index()
+    out["mkt_share"] = _r(_r(out.num, 2) / _r(out.den, 2), 6)
+    return out[["o_year", "mkt_share"]].to_spark(ordered=False)
+
+
+def _q9_profit_by_nation(spark, sf):
+    """TPC-H Q9 adapted: profit on red parts by supplier nation and ship
+    year; p_retailprice*qty*0.1 stands in for ps_supplycost."""
+    mpd = _mpd()
+    li = mpd.read_parquet(f"{sf}/lineitem.parquet")
+    sup = mpd.read_parquet(f"{sf}/supplier.parquet")
+    nat = mpd.read_parquet(f"{sf}/nation.parquet")
+    part = mpd.read_parquet(f"{sf}/part.parquet")
+    red = part[part.p_name.str.contains("red")][["p_partkey", "p_retailprice"]]
+    j = (
+        li.merge(red, left_on="l_partkey", right_on="p_partkey", broadcast=True)
+        .merge(sup[["s_suppkey", "s_nationkey"]], left_on="l_suppkey", right_on="s_suppkey", broadcast=True)
+        .merge(nat[["n_nationkey", "n_name"]], left_on="s_nationkey", right_on="n_nationkey", broadcast=True)
+    )
+    j["amount"] = j.l_extendedprice * (1 - j.l_discount) - j.p_retailprice * j.l_quantity * 0.1
+    j["o_year"] = j.l_shipdate.dt.year
+    out = j.groupby(["n_name", "o_year"]).agg(sum_profit=("amount", "sum")).reset_index()
+    out["sum_profit"] = _r(out.sum_profit, 2)
+    return out.to_spark(ordered=False)
+
+
+def _q11_important_parts(spark, sf):
+    """TPC-H Q11 adapted: parts whose NATION_3-supplied lineitem value
+    exceeds 2x the mean per-part value (scalar threshold from a driver
+    reduction, scale-free unlike the spec's fixed fraction)."""
+    mpd = _mpd()
+    li = mpd.read_parquet(f"{sf}/lineitem.parquet")
+    sup = mpd.read_parquet(f"{sf}/supplier.parquet")
+    s3 = sup[sup.s_nationkey == 3][["s_suppkey"]]
+    j = li.merge(s3, left_on="l_suppkey", right_on="s_suppkey", broadcast=True)
+    v = j.groupby(["l_partkey"]).agg(val=("l_extendedprice", "sum")).reset_index()
+    v["val"] = _r(v.val, 2)
+    total = float(v.val.sum())
+    n = int(v.val.count())
+    out = v[v.val > 2.0 * (total / n)]
+    return out.sort_values(["val", "l_partkey"], ascending=[False, True]).head(50).to_spark(ordered=False)
+
+
+def _q12_priority_lines(spark, sf):
+    """TPC-H Q12 adapted: high/low-priority line counts by line status for
+    1997 shipments (o_orderpriority stands in for shipmode+commitdate)."""
+    mpd = _mpd()
+    import pandas as pd
+
+    li = mpd.read_parquet(f"{sf}/lineitem.parquet")
+    orders = mpd.read_parquet(f"{sf}/orders.parquet")
+    f = li[(li.l_shipdate >= pd.Timestamp("1997-01-01")) & (li.l_shipdate <= pd.Timestamp("1997-12-31"))]
+    j = f.merge(orders[["o_orderkey", "o_orderpriority"]], left_on="l_orderkey", right_on="o_orderkey")
+    j["is_high"] = j.o_orderpriority.isin(["1-URGENT", "2-HIGH"]).astype("int64")
+    j["is_low"] = 1 - j.is_high
+    out = (
+        j.groupby(["l_linestatus"])
+        .agg(high_line_count=("is_high", "sum"), low_line_count=("is_low", "sum"))
+        .reset_index()
+    )
+    return out.to_spark(ordered=False)
+
+
+def _q13_order_distribution(spark, sf):
+    """TPC-H Q13: distribution of per-customer order counts (left join keeps
+    zero-order customers; non-null count semantics)."""
+    mpd = _mpd()
+    cust = mpd.read_parquet(f"{sf}/customer.parquet")
+    orders = mpd.read_parquet(f"{sf}/orders.parquet")
+    o = orders[orders.o_orderpriority != "5-LOW"][["o_orderkey", "o_custkey"]]
+    j = cust[["c_custkey"]].merge(o, left_on="c_custkey", right_on="o_custkey", how="left")
+    cnt = j.groupby(["c_custkey"]).agg(c_count=("o_orderkey", "count")).reset_index()
+    dist = cnt.groupby(["c_count"]).agg(custdist=("c_custkey", "count")).reset_index()
+    return dist.to_spark(ordered=False)
+
+
+def _q15_top_supplier(spark, sf):
+    """TPC-H Q15: supplier(s) with max revenue in 1996Q1 (scalar max over an
+    identically-rounded per-supplier revenue view)."""
+    mpd = _mpd()
+    import pandas as pd
+
+    li = mpd.read_parquet(f"{sf}/lineitem.parquet")
+    sup = mpd.read_parquet(f"{sf}/supplier.parquet")
+    f = li[(li.l_shipdate >= pd.Timestamp("1996-01-01")) & (li.l_shipdate < pd.Timestamp("1996-04-01"))]
+    f["volume"] = f.l_extendedprice * (1 - f.l_discount)
+    rev = f.groupby(["l_suppkey"]).agg(total_revenue=("volume", "sum")).reset_index()
+    rev["total_revenue"] = _r(rev.total_revenue, 2)
+    mx = float(rev.total_revenue.max())
+    out = rev[rev.total_revenue == mx].merge(
+        sup[["s_suppkey", "s_name"]], left_on="l_suppkey", right_on="s_suppkey", broadcast=True
+    )[["s_suppkey", "s_name", "total_revenue"]]
+    return out.to_spark(ordered=False)
+
+
+def _q16_supplier_count(spark, sf):
+    """TPC-H Q16 adapted: distinct positive-balance suppliers per
+    (brand, type, size) over lineitem's part-supplier pairs."""
+    mpd = _mpd()
+    li = mpd.read_parquet(f"{sf}/lineitem.parquet")
+    sup = mpd.read_parquet(f"{sf}/supplier.parquet")
+    part = mpd.read_parquet(f"{sf}/part.parquet")
+    ps = li[["l_partkey", "l_suppkey"]].drop_duplicates()
+    p = part[(part.p_brand != "Brand#2") & (part.p_type != "PROMO") & part.p_size.isin([3, 9, 14, 19, 23, 36, 45, 49])]
+    good = sup[sup.s_acctbal > 0][["s_suppkey"]]
+    j = ps.merge(p[["p_partkey", "p_brand", "p_type", "p_size"]], left_on="l_partkey", right_on="p_partkey", broadcast=True)
+    j = j.merge(good, left_on="l_suppkey", right_on="s_suppkey", broadcast=True)
+    out = j.groupby(["p_brand", "p_type", "p_size"]).agg(supplier_cnt=("l_suppkey", "nunique")).reset_index()
+    return (
+        out.sort_values(["supplier_cnt", "p_brand", "p_type", "p_size"], ascending=[False, True, True, True])
+        .head(40)
+        .to_spark(ordered=False)
+    )
+
+
+def _q17_small_quantity(spark, sf):
+    """TPC-H Q17: revenue from Brand#23 small-part orders below half the
+    per-part average quantity. Integer quantities keep the correlated mean
+    exact in both engines, so the < comparison cannot tie-break differently."""
+    mpd = _mpd()
+    li = mpd.read_parquet(f"{sf}/lineitem.parquet")
+    part = mpd.read_parquet(f"{sf}/part.parquet")
+    p = part[(part.p_brand == "Brand#23") & (part.p_size < 15)][["p_partkey"]]
+    j = li.merge(p, left_on="l_partkey", right_on="p_partkey", broadcast=True)
+    avg = j.groupby(["p_partkey"]).agg(avg_qty=("l_quantity", "mean")).reset_index()
+    j2 = j.merge(avg, on="p_partkey")
+    f = j2[j2.l_quantity < 0.5 * j2.avg_qty]
+    total = float(f.l_extendedprice.sum())
+    avg_yearly = round(round(total, 2) / 7.0, 6)
+    return spark.createDataFrame([(avg_yearly,)], "avg_yearly double")
+
+
+def _q18_large_volume(spark, sf):
+    """TPC-H Q18: customers with orders totalling > 300 units."""
+    mpd = _mpd()
+    li = mpd.read_parquet(f"{sf}/lineitem.parquet")
+    orders = mpd.read_parquet(f"{sf}/orders.parquet")
+    cust = mpd.read_parquet(f"{sf}/customer.parquet")
+    big = li.groupby(["l_orderkey"]).agg(sum_qty=("l_quantity", "sum")).reset_index()
+    big = big[big.sum_qty > 300]
+    j = big.merge(orders, left_on="l_orderkey", right_on="o_orderkey").merge(
+        cust[["c_custkey", "c_name"]], left_on="o_custkey", right_on="c_custkey", broadcast=True
+    )
+    out = j[["c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty"]]
+    return out.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True]).head(20).to_spark(ordered=False)
+
+
+def _q20_part_promotion(spark, sf):
+    """TPC-H Q20 adapted: EUROPE suppliers that shipped > 400 units of
+    small-named parts during 1996."""
+    mpd = _mpd()
+    import pandas as pd
+
+    li = mpd.read_parquet(f"{sf}/lineitem.parquet")
+    sup = mpd.read_parquet(f"{sf}/supplier.parquet")
+    nat = mpd.read_parquet(f"{sf}/nation.parquet")
+    reg = mpd.read_parquet(f"{sf}/region.parquet")
+    part = mpd.read_parquet(f"{sf}/part.parquet")
+    p = part[part.p_name.str.startswith("small")][["p_partkey"]]
+    f = li[(li.l_shipdate >= pd.Timestamp("1996-01-01")) & (li.l_shipdate < pd.Timestamp("1997-01-01"))]
+    f = f.merge(p, left_on="l_partkey", right_on="p_partkey", broadcast=True)
+    qty = f.groupby(["l_suppkey"]).agg(total_qty=("l_quantity", "sum")).reset_index()
+    qty = qty[qty.total_qty > 400]
+    j = (
+        qty.merge(sup, left_on="l_suppkey", right_on="s_suppkey", broadcast=True)
+        .merge(nat, left_on="s_nationkey", right_on="n_nationkey", broadcast=True)
+        .merge(reg, left_on="n_regionkey", right_on="r_regionkey", broadcast=True)
+    )
+    out = j[j.r_name == "EUROPE"][["s_name", "s_acctbal", "total_qty"]]
+    out["s_acctbal"] = _r(out.s_acctbal, 2)
+    return out.sort_values(["s_name"]).to_spark(ordered=False)
+
+
+def _q21_waiting_supplier(spark, sf):
+    """TPC-H Q21 adapted: in finished multi-supplier orders, suppliers that
+    were the sole returner (l_returnflag='R' stands in for late receipt);
+    exists/not-exists expressed as per-order distinct-supplier counts."""
+    mpd = _mpd()
+    li = mpd.read_parquet(f"{sf}/lineitem.parquet")
+    orders = mpd.read_parquet(f"{sf}/orders.parquet")
+    sup = mpd.read_parquet(f"{sf}/supplier.parquet")
+    li2 = li[["l_orderkey", "l_suppkey", "l_returnflag"]]
+    li2["fail_supp"] = li2.l_suppkey.where(li2.l_returnflag == "R")
+    st = li2.groupby(["l_orderkey"]).agg(ns=("l_suppkey", "nunique"), nf=("fail_supp", "nunique")).reset_index()
+    fl = li[li.l_returnflag == "R"][["l_orderkey", "l_suppkey"]].drop_duplicates()
+    j = fl.merge(
+        orders[orders.o_orderstatus == "F"][["o_orderkey"]], left_on="l_orderkey", right_on="o_orderkey"
+    ).merge(st, on="l_orderkey")
+    j = j[(j.ns > 1) & (j.nf == 1)]
+    w = j.groupby(["l_suppkey"]).agg(numwait=("l_orderkey", "count")).reset_index()
+    out = w.merge(sup[["s_suppkey", "s_name"]], left_on="l_suppkey", right_on="s_suppkey", broadcast=True)[
+        ["s_name", "numwait"]
+    ]
+    return out.sort_values(["numwait", "s_name"], ascending=[False, True]).head(20).to_spark(ordered=False)
+
+
+def _q22_global_sales(spark, sf):
+    """TPC-H Q22 adapted: rich customers (balance above the positive-balance
+    mean, threshold rounded identically on both engines) with no URGENT
+    orders, grouped by nationkey%5 (phone country code stand-in); anti-join
+    via ~isin semi-join machinery."""
+    mpd = _mpd()
+    cust = mpd.read_parquet(f"{sf}/customer.parquet")
+    orders = mpd.read_parquet(f"{sf}/orders.parquet")
+    pos = cust[cust.c_acctbal > 0]
+    total = float(pos.c_acctbal.sum())
+    n = int(pos.c_acctbal.count())
+    thr = round(round(total, 2) / n, 6)
+    rich = cust[cust.c_acctbal > thr]
+    urgent = orders[orders.o_orderpriority == "1-URGENT"]
+    noord = rich[~rich.c_custkey.isin(urgent["o_custkey"])]
+    noord["cntrycode"] = noord.c_nationkey % 5
+    out = noord.groupby(["cntrycode"]).agg(numcust=("c_custkey", "count"), totacctbal=("c_acctbal", "sum")).reset_index()
+    out["totacctbal"] = _r(out.totacctbal, 2)
+    return out.to_spark(ordered=False)
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -998,7 +1307,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_brute_topk": _emb_brute_topk,
         "emb_cosine_dedup": _emb_cosine_dedup,
         "multimodal_features": _multimodal_features,
+        "q2_min_cost_supplier": _q2_min_cost_supplier,
         "q4_priority_returned": _q4_priority_returned,
+        "q7_volume_shipping": _q7_volume_shipping,
+        "q8_market_share": _q8_market_share,
+        "q9_profit_by_nation": _q9_profit_by_nation,
+        "q11_important_parts": _q11_important_parts,
+        "q12_priority_lines": _q12_priority_lines,
+        "q13_order_distribution": _q13_order_distribution,
+        "q15_top_supplier": _q15_top_supplier,
+        "q16_supplier_count": _q16_supplier_count,
+        "q17_small_quantity": _q17_small_quantity,
+        "q18_large_volume": _q18_large_volume,
+        "q20_part_promotion": _q20_part_promotion,
+        "q21_waiting_supplier": _q21_waiting_supplier,
+        "q22_global_sales": _q22_global_sales,
         "q10_returned_revenue": _q10_returned_revenue,
         "q14_promo_revenue": _q14_promo_revenue,
         "q19_brand_filter": _q19_brand_filter,
@@ -1379,6 +1702,199 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R')
             GROUP BY o_orderpriority
+        """,
+        "q2_min_cost_supplier": """
+            WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+            eur AS (
+                SELECT ps.l_partkey, s_name, s_acctbal, n_name
+                FROM ps
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation ON s_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+                WHERE r_name = 'EUROPE'
+            ),
+            j AS (
+                SELECT p_partkey, p_name, s_name, s_acctbal, n_name
+                FROM eur JOIN part ON l_partkey = p_partkey
+                WHERE p_size = 15
+            )
+            SELECT p_partkey, p_name, s_name, s_acctbal, n_name
+            FROM j
+            WHERE s_acctbal = (SELECT MIN(s_acctbal) FROM j j2 WHERE j2.p_partkey = j.p_partkey)
+            ORDER BY s_acctbal, p_partkey, s_name LIMIT 20
+        """,
+        "q7_volume_shipping": """
+            SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+                   YEAR(l_shipdate) AS l_year,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation sn ON s_nationkey = sn.n_nationkey
+            JOIN nation cn ON c_nationkey = cn.n_nationkey
+            WHERE ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+                OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+              AND l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
+            GROUP BY supp_nation, cust_nation, l_year
+        """,
+        "q8_market_share": """
+            WITH vol AS (
+                SELECT YEAR(o_orderdate) AS o_year,
+                       l_extendedprice * (1 - l_discount) AS volume,
+                       sn.n_name AS supp_nation
+                FROM lineitem
+                JOIN part ON l_partkey = p_partkey
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation cn ON c_nationkey = cn.n_nationkey
+                JOIN region ON cn.n_regionkey = r_regionkey
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation sn ON s_nationkey = sn.n_nationkey
+                WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+            )
+            SELECT o_year,
+                   ROUND(ROUND(SUM(CASE WHEN supp_nation = 'NATION_5' THEN volume ELSE 0 END), 2)
+                         / ROUND(SUM(volume), 2), 6) AS mkt_share
+            FROM vol GROUP BY o_year
+        """,
+        "q9_profit_by_nation": """
+            SELECT n_name, YEAR(l_shipdate) AS o_year,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)
+                             - p_retailprice * l_quantity * 0.1), 2) AS sum_profit
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE p_name LIKE '%red%'
+            GROUP BY n_name, o_year
+        """,
+        "q11_important_parts": """
+            WITH v AS (
+                SELECT l_partkey, ROUND(SUM(l_extendedprice), 2) AS val
+                FROM lineitem
+                JOIN supplier ON l_suppkey = s_suppkey
+                WHERE s_nationkey = 3
+                GROUP BY l_partkey
+            )
+            SELECT l_partkey, val FROM v
+            WHERE val > 2.0 * (SELECT SUM(val) / COUNT(*) FROM v)
+            ORDER BY val DESC, l_partkey LIMIT 50
+        """,
+        "q12_priority_lines": """
+            SELECT l_linestatus,
+                   CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+                       AS high_line_count,
+                   CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT)
+                       AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate BETWEEN TIMESTAMP '1997-01-01' AND TIMESTAMP '1997-12-31'
+            GROUP BY l_linestatus
+        """,
+        "q13_order_distribution": """
+            WITH cnt AS (
+                SELECT c_custkey, COUNT(o_orderkey) AS c_count
+                FROM customer
+                LEFT JOIN (SELECT o_orderkey, o_custkey FROM orders
+                           WHERE o_orderpriority <> '5-LOW') o
+                  ON c_custkey = o_custkey
+                GROUP BY c_custkey
+            )
+            SELECT c_count, COUNT(c_custkey) AS custdist FROM cnt GROUP BY c_count
+        """,
+        "q15_top_supplier": """
+            WITH rev AS (
+                SELECT l_suppkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+                GROUP BY l_suppkey
+            )
+            SELECT s_suppkey, s_name, total_revenue
+            FROM rev JOIN supplier ON l_suppkey = s_suppkey
+            WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+        """,
+        "q16_supplier_count": """
+            WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+            SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+            FROM ps
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            WHERE p_brand <> 'Brand#2' AND p_type <> 'PROMO'
+              AND p_size IN (3, 9, 14, 19, 23, 36, 45, 49)
+              AND s_acctbal > 0
+            GROUP BY p_brand, p_type, p_size
+            ORDER BY supplier_cnt DESC, p_brand, p_type, p_size LIMIT 40
+        """,
+        "q17_small_quantity": """
+            WITH j AS (
+                SELECT l_partkey, l_quantity, l_extendedprice
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE p_brand = 'Brand#23' AND p_size < 15
+            )
+            SELECT ROUND(ROUND(SUM(l_extendedprice), 2) / 7.0, 6) AS avg_yearly
+            FROM j
+            WHERE l_quantity < 0.5 * (SELECT AVG(l_quantity) FROM j j2 WHERE j2.l_partkey = j.l_partkey)
+        """,
+        "q18_large_volume": """
+            WITH big AS (
+                SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+                FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 300
+            )
+            SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+            FROM big
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+        """,
+        "q20_part_promotion": """
+            WITH qty AS (
+                SELECT l_suppkey, SUM(l_quantity) AS total_qty
+                FROM lineitem
+                JOIN part ON l_partkey = p_partkey
+                WHERE p_name LIKE 'small%'
+                  AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+                GROUP BY l_suppkey
+                HAVING SUM(l_quantity) > 400
+            )
+            SELECT s_name, ROUND(s_acctbal, 2) AS s_acctbal, total_qty
+            FROM qty
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'EUROPE'
+            ORDER BY s_name
+        """,
+        "q21_waiting_supplier": """
+            WITH st AS (
+                SELECT l_orderkey,
+                       COUNT(DISTINCT l_suppkey) AS ns,
+                       COUNT(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS nf
+                FROM lineitem GROUP BY l_orderkey
+            ),
+            fl AS (
+                SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+            )
+            SELECT s_name, COUNT(*) AS numwait
+            FROM fl
+            JOIN orders ON fl.l_orderkey = o_orderkey AND o_orderstatus = 'F'
+            JOIN st ON st.l_orderkey = fl.l_orderkey
+            JOIN supplier ON fl.l_suppkey = s_suppkey
+            WHERE st.ns > 1 AND st.nf = 1
+            GROUP BY s_name
+            ORDER BY numwait DESC, s_name LIMIT 20
+        """,
+        "q22_global_sales": """
+            WITH thr AS (
+                SELECT ROUND(ROUND(SUM(c_acctbal), 2) / COUNT(*), 6) AS t
+                FROM customer WHERE c_acctbal > 0
+            )
+            SELECT c_nationkey % 5 AS cntrycode,
+                   COUNT(c_custkey) AS numcust,
+                   ROUND(SUM(c_acctbal), 2) AS totacctbal
+            FROM customer, thr
+            WHERE c_acctbal > thr.t
+              AND c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+            GROUP BY cntrycode
         """,
         "q10_returned_revenue": """
             SELECT c_custkey, c_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
