@@ -298,21 +298,27 @@ def minhash_candidate_pairs(
     banded = _band_rows(sigs, id_col, "__sig__", bands, rows_per_band).select(
         id_col, "__band__", "__bucket__"
     )
+    # ONE shuffle does candidate generation: group each (band, bucket) to a
+    # sorted id list, enforce the size cap inline on the aggregated row (no
+    # separate count job / broadcast anti-join), and expand the m*(m-1)/2
+    # pairs JVM-side from the sorted list (sortedness gives id_a < id_b for
+    # free). Pair expansion happens where a self-join would have put the
+    # bucket anyway (same hash key -> same task), so skew is identical but
+    # the second shuffle and the blocking pre-count pass are gone.
+    grouped = (
+        banded.groupBy("__band__", "__bucket__")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("__ids__"))
+        .where(F.size("__ids__") >= 2)
+    )
     if max_bucket_size is not None:
-        # one windowless agg over the (band,bucket) keys; the overflow set is
-        # tiny and joins back as a broadcast anti-filter
-        big = (
-            banded.groupBy("__band__", "__bucket__")
-            .agg(F.count(F.lit(1)).alias("__n__"))
-            .where(F.col("__n__") > max_bucket_size)
-            .select("__band__", "__bucket__")
-        )
-        banded = banded.join(F.broadcast(big), ["__band__", "__bucket__"], "left_anti")
-    left = banded.select(F.col("__band__").alias("b"), F.col("__bucket__").alias("k"), F.col(id_col).alias("id_a"))
-    right = banded.select(F.col("__band__").alias("b2"), F.col("__bucket__").alias("k2"), F.col(id_col).alias("id_b"))
+        grouped = grouped.where(F.size("__ids__") <= max_bucket_size)
+    pair_struct = (
+        "flatten(transform(__ids__, (x, i) -> "
+        "transform(slice(__ids__, i + 2, size(__ids__)), y -> struct(x AS id_a, y AS id_b))))"
+    )
     pairs = (
-        left.join(right, (left["b"] == right["b2"]) & (left["k"] == right["k2"]) & (left["id_a"] < right["id_b"]), "inner")
-        .select("id_a", "id_b")
+        grouped.select(F.explode(F.expr(pair_struct)).alias("__p__"))
+        .select("__p__.id_a", "__p__.id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
     # verification: join the two signatures back (pairs are few post-LSH)
