@@ -966,9 +966,11 @@ def _q2_min_cost_supplier(spark, sf):
     j = j[j.r_name == "EUROPE"]
     p15 = part[part.p_size == 15][["p_partkey", "p_name"]]
     j = j.merge(p15, left_on="l_partkey", right_on="p_partkey", broadcast=True)
-    mn = j.groupby(["p_partkey"]).agg(min_bal=("s_acctbal", "min")).reset_index()
-    out = j.merge(mn, on="p_partkey")
-    out = out[out.s_acctbal == out.min_bal][
+    # correlated min as a key-window transform: one shuffle, and j's lineage
+    # is planned once (a groupby+merge-back would replay the whole join tree
+    # on both sides of the self-merge)
+    j["min_bal"] = j.groupby("p_partkey")["s_acctbal"].transform("min")
+    out = j[j.s_acctbal == j.min_bal][
         ["p_partkey", "p_name", "s_name", "s_acctbal", "n_name"]
     ]
     return out.sort_values(["s_acctbal", "p_partkey", "s_name"]).head(20).to_spark(ordered=False)
@@ -1213,16 +1215,22 @@ def _q21_waiting_supplier(spark, sf):
     li = mpd.read_parquet(f"{sf}/lineitem.parquet")
     orders = mpd.read_parquet(f"{sf}/orders.parquet")
     sup = mpd.read_parquet(f"{sf}/supplier.parquet")
+    # single-pass conditional aggregation: when an order has exactly one
+    # distinct returning supplier (nf == 1), that supplier IS max(fail_supp),
+    # so one groupby over lineitem replaces the distinct-pairs frame and two
+    # of the three l_orderkey shuffles
     li2 = li[["l_orderkey", "l_suppkey", "l_returnflag"]]
     li2["fail_supp"] = li2.l_suppkey.where(li2.l_returnflag == "R")
-    st = li2.groupby(["l_orderkey"]).agg(ns=("l_suppkey", "nunique"), nf=("fail_supp", "nunique")).reset_index()
-    fl = li[li.l_returnflag == "R"][["l_orderkey", "l_suppkey"]].drop_duplicates()
-    j = fl.merge(
+    st = (
+        li2.groupby(["l_orderkey"])
+        .agg(ns=("l_suppkey", "nunique"), nf=("fail_supp", "nunique"), fs=("fail_supp", "max"))
+        .reset_index()
+    )
+    j = st[(st.ns > 1) & (st.nf == 1)].merge(
         orders[orders.o_orderstatus == "F"][["o_orderkey"]], left_on="l_orderkey", right_on="o_orderkey"
-    ).merge(st, on="l_orderkey")
-    j = j[(j.ns > 1) & (j.nf == 1)]
-    w = j.groupby(["l_suppkey"]).agg(numwait=("l_orderkey", "count")).reset_index()
-    out = w.merge(sup[["s_suppkey", "s_name"]], left_on="l_suppkey", right_on="s_suppkey", broadcast=True)[
+    )
+    w = j.groupby(["fs"]).agg(numwait=("l_orderkey", "count")).reset_index()
+    out = w.merge(sup[["s_suppkey", "s_name"]], left_on="fs", right_on="s_suppkey", broadcast=True)[
         ["s_name", "numwait"]
     ]
     return out.sort_values(["numwait", "s_name"], ascending=[False, True]).head(20).to_spark(ordered=False)

@@ -40,6 +40,10 @@ HEADLINE = [
     "emb_brute_topk",
     "q10_returned_revenue",
     "q19_brand_filter",
+    "q2_min_cost_supplier",
+    "q9_profit_by_nation",
+    "q18_large_volume",
+    "q21_waiting_supplier",
     "anti_join_customers",
     "explode_words",
     "expanding_stats",

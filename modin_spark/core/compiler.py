@@ -429,6 +429,12 @@ def drop_duplicates(frame: SparkFrame, subset_positions: Sequence[int] | None, k
     frame = frame.ensure_order()
     phys = [frame.data_cols[i] for i in (subset_positions if subset_positions is not None else range(len(frame.columns)))]
     pick = F.min(ORDER_COL) if keep == "first" else F.max(ORDER_COL)
+    if not frame.index_cols and set(phys) >= set(frame.data_cols):
+        # subset covers the whole row: duplicates are bytewise identical, so
+        # ONE groupBy (keys -> kept ORDER) replaces the agg + semi-join-back
+        # (which scans the frame twice and builds a keys-sized build side)
+        agg = frame.sdf.groupBy(*[F.col(p) for p in phys]).agg(pick.alias(ORDER_COL))
+        return frame._subset_rows(agg.select(*frame.data_cols, ORDER_COL))
     keepers = frame.sdf.groupBy(*[F.col(p) for p in phys]).agg(pick.alias("__keep_order__"))
     joined = frame.sdf.join(
         keepers,

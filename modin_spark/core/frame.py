@@ -383,6 +383,11 @@ class SparkFrame:
         sorted_sdf = base.sdf.orderBy(*keys).withColumn(ORDER_COL, F.monotonically_increasing_id())
         nf = base._subset_rows(sorted_sdf, has_order=True)
         nf.order_epoch = ("sort", nf._lid)  # ORDER re-derived: new epoch
+        # sort().head(n) fusion: head() on THIS frame (and only this frame —
+        # _presort never propagates to derived frames) can re-plan as
+        # orderBy+limit, which compiles to TakeOrderedAndProject instead of a
+        # full range-partitioned sort followed by a limit
+        nf._presort = (base.sdf, keys)
         return nf
 
     def align_keyed(self, pos_col: str) -> tuple["SparkFrame", list[str]]:
@@ -444,6 +449,14 @@ class SparkFrame:
     def head(self, n: int) -> "SparkFrame":
         if n < 0:
             n = max(0, self.sdf.count() + n)
+        if getattr(self, "_presort", None) is not None:
+            presdf, keys = self._presort
+            limited = presdf.orderBy(*keys).limit(n).withColumn(
+                ORDER_COL, F.monotonically_increasing_id()
+            )
+            nf = self._subset_rows(limited, has_order=True)
+            nf.order_epoch = self.order_epoch
+            return nf
         if not self.has_order:
             # natural order: plain limit short-circuits the scan (GlobalLimit
             # consumes partitions in order for file sources) — no sort

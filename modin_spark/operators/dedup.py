@@ -397,11 +397,20 @@ def simhash_dedup(df: SDF, id_col: str = "doc_id", text_col: str = "text", hammi
             F.array(*[F.shiftright(F.col("__sh__"), 16 * i).bitwiseAND(F.lit(0xFFFF)) for i in range(4)])
         ).alias("__band__", "__key__"),
     )
-    l = bands.select(F.col("__band__").alias("b"), F.col("__key__").alias("k"), F.col(id_col).alias("id_a"), F.col("__sh__").alias("ha"))
-    r = bands.select(F.col("__band__").alias("b2"), F.col("__key__").alias("k2"), F.col(id_col).alias("id_b"), F.col("__sh__").alias("hb"))
+    # single-shuffle candidate generation (same scheme as minhash): group
+    # each band key to a sorted (id, hash) list and expand pairs JVM-side
+    grouped = (
+        bands.groupBy("__band__", "__key__")
+        .agg(F.sort_array(F.collect_list(F.struct(F.col(id_col).alias("i"), F.col("__sh__").alias("h")))).alias("__m__"))
+        .where(F.size("__m__") >= 2)
+    )
+    pair_expr = (
+        "flatten(transform(__m__, (x, i) -> transform(slice(__m__, i + 2, size(__m__)), "
+        "y -> struct(x.i AS id_a, y.i AS id_b, x.h AS ha, y.h AS hb))))"
+    )
     pairs = (
-        l.join(r, (l["b"] == r["b2"]) & (l["k"] == r["k2"]) & (l["id_a"] < r["id_b"]))
-        .select("id_a", "id_b", "ha", "hb")
+        grouped.select(F.explode(F.expr(pair_expr)).alias("__p__"))
+        .select("__p__.id_a", "__p__.id_b", "__p__.ha", "__p__.hb")
         .dropDuplicates(["id_a", "id_b"])
         .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
         .where(F.col("hamming") <= hamming_threshold)
@@ -439,10 +448,21 @@ def embedding_cosine_dedup(df: SDF, id_col: str = "vec_id", vec_col: str = "embe
     from modin_spark.operators.similarity import cosine_expr, hyperplane_bucket
 
     b = df.select(F.col(id_col), F.col(vec_col), hyperplane_bucket(F.col(vec_col), planes).alias("__bk__"))
-    l = b.select(F.col("__bk__").alias("k"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    r = b.select(F.col("__bk__").alias("k2"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    # one groupBy ships each vector through the shuffle once (the self-join
+    # shipped every vector twice); pairs expand from the sorted per-bucket
+    # list, then exact-cosine verify
+    grouped = (
+        b.groupBy("__bk__")
+        .agg(F.sort_array(F.collect_list(F.struct(F.col(id_col).alias("i"), F.col(vec_col).alias("v")))).alias("__m__"))
+        .where(F.size("__m__") >= 2)
+    )
+    pair_expr = (
+        "flatten(transform(__m__, (x, i) -> transform(slice(__m__, i + 2, size(__m__)), "
+        "y -> struct(x.i AS id_a, y.i AS id_b, x.v AS va, y.v AS vb))))"
+    )
     pairs = (
-        l.join(r, (l["k"] == r["k2"]) & (l["id_a"] < r["id_b"]))
+        grouped.select(F.explode(F.expr(pair_expr)).alias("__p__"))
+        .select("__p__.id_a", "__p__.id_b", "__p__.va", "__p__.vb")
         .withColumn("cosine", cosine_expr(F.col("va"), F.col("vb")))
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")

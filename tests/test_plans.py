@@ -126,3 +126,42 @@ def test_bucketed_join_no_shuffle(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_cust_b")
+
+
+def test_lsh_candidates_single_banded_pass(spark):
+    """Candidate generation must expand pairs from one grouped pass over the
+    banded rows — a self-join would scan the band explode twice (and shuffle
+    it twice). Guard: exactly one posexplode in the physical plan."""
+    from modin_spark.operators.dedup import minhash_candidate_pairs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    pairs = minhash_candidate_pairs(docs, "doc_id", "text")
+    plan = plans.physical_plan(pairs)
+    assert plan.lower().count("posexplode") == 1, plan
+
+
+def test_tpch_q9_broadcasts_dimensions(spark):
+    import __spark_entry__ as entry
+
+    out = entry.queries()["q9_profit_by_nation"](spark, SF)
+    plan = plans.physical_plan(out)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_tpch_q21_scales(spark):
+    """q21's exists/not-exists must stay as shuffled aggregates + joins —
+    no single-partition exchange, no nested-loop join."""
+    import __spark_entry__ as entry
+
+    out = entry.queries()["q21_waiting_supplier"](spark, SF)
+    plan = plans.physical_plan(out)
+    assert plans.unsafe_single_partition_exchanges(out) == 0, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_sort_head_fuses_to_take_ordered(li):
+    out = li.sort_values(["l_extendedprice", "l_orderkey"], ascending=[False, True]).head(10)
+    plan = plans.physical_plan(out._frame.sdf)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "rangepartitioning" not in plan.lower(), plan
