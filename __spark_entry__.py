@@ -768,7 +768,10 @@ def _rolling_corr_pair(spark, sf):
     ev2 = ev.sort_values("event_id").head(10000).set_index("event_id")
     c = ev2["value"].rolling(24).corr(ev2["user_id"])
     out = ev2[["value"]]
-    out["rcorr"] = _r(c.fillna(0.0), 4)
+    # + 0.0 collapses IEEE -0.0 (tiny-negative corr rounded to 4dp) to +0.0 so
+    # the driver's value hash agrees with the oracle's identically-normalized
+    # ROUND(...) + 0 -- values already compare equal, only the sign bit differed.
+    out["rcorr"] = _r(c.fillna(0.0), 4) + 0.0
     return out.reset_index()[["event_id", "rcorr"]].to_spark(ordered=False)
 
 
@@ -1672,7 +1675,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id,
                    CASE WHEN COUNT(CASE WHEN value IS NOT NULL AND user_id IS NOT NULL THEN 1 END)
                              OVER w >= 24
-                        THEN ROUND(CORR(value, user_id) OVER w, 4) ELSE 0 END AS rcorr
+                        THEN ROUND(CORR(value, user_id) OVER w, 4) + 0 ELSE 0 END AS rcorr
             FROM e
             WINDOW w AS (ORDER BY event_id ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
         """,
