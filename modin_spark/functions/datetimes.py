@@ -12,7 +12,10 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-_SECONDS = lambda c: F.unix_timestamp(c)
+# _TS: no-op for TIMESTAMP; exact epoch mapping for TIMESTAMP_NTZ under the
+# session's fixed UTC timezone (unix_micros/unix_timestamp reject NTZ inputs)
+_TS = lambda c: c.cast("timestamp")
+_SECONDS = lambda c: F.unix_timestamp(_TS(c))
 
 DT_FUNCS = {
     "year": lambda c: F.year(c),
@@ -21,8 +24,8 @@ DT_FUNCS = {
     "hour": lambda c: F.hour(c),
     "minute": lambda c: F.minute(c),
     "second": lambda c: F.second(c).cast("int"),
-    "microsecond": lambda c: (F.unix_micros(c) % 1_000_000).cast("int"),
-    "nanosecond": lambda c: ((F.unix_micros(c) % 1_000_000) % 1000 * 0).cast("int"),
+    "microsecond": lambda c: (F.unix_micros(_TS(c)) % 1_000_000).cast("int"),
+    "nanosecond": lambda c: ((F.unix_micros(_TS(c)) % 1_000_000) % 1000 * 0).cast("int"),
     "date": lambda c: F.to_date(c),
     "time": lambda c: F.date_format(c, "HH:mm:ss"),
     "dayofweek": lambda c: ((F.dayofweek(c) + 5) % 7).cast("int"),
@@ -53,13 +56,13 @@ DT_FUNCS = {
     "total_seconds": lambda c: c.cast("double") if True else None,  # interval -> seconds
     "days": lambda c: F.floor(c.cast("double") / 86400).cast("int"),
     "seconds": lambda c: (c.cast("long") % 86400).cast("int"),
-    "epoch_seconds": lambda c: F.unix_timestamp(c),
+    "epoch_seconds": lambda c: F.unix_timestamp(_TS(c)),
     # tz surface (Spark timestamps are instants rendered in the session tz;
     # pandas' tz-aware dtype is represented by its instant):
     #   tz_localize(tz): reinterpret the wall-clock value as being in `tz`
     #   tz_convert(tz):  render the UTC instant as wall-clock time in `tz`
-    "tz_localize": lambda c, tz: c if tz is None else F.to_utc_timestamp(c, tz),
-    "tz_convert": lambda c, tz: F.from_utc_timestamp(c, tz),
+    "tz_localize": lambda c, tz: c if tz is None else F.to_utc_timestamp(_TS(c), tz),
+    "tz_convert": lambda c, tz: F.from_utc_timestamp(_TS(c), tz),
     # periods as canonical strings (pandas Period repr) — the reference
     # default-to-pandas's Period objects have no Spark type; the string form
     # is groupable/joinable, which is what period conversion is used for
@@ -130,7 +133,7 @@ _FREQ_SECONDS = {"D": 86400, "H": 3600, "h": 3600, "T": 60, "min": 60, "S": 1, "
 
 def _dt_round(c: Column, freq: str) -> Column:
     step = _FREQ_SECONDS[freq]
-    secs = F.unix_timestamp(c)
+    secs = F.unix_timestamp(_TS(c))
     rounded = F.round(secs / step) * step
     return F.timestamp_seconds(rounded.cast("long"))
 

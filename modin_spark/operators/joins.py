@@ -121,7 +121,10 @@ def merge_asof(
 
     key_t = lf.schema_map[on_l].simpleString()
     is_ts = key_t.startswith("timestamp")
-    knum = (lambda c: F.unix_micros(c)) if is_ts else (lambda c: c)
+    # .cast("timestamp") is a no-op for TIMESTAMP and, under the session's
+    # fixed UTC timezone, an exact wall-clock->epoch mapping for TIMESTAMP_NTZ
+    # (unix_micros only accepts TIMESTAMP).
+    knum = (lambda c: F.unix_micros(c.cast("timestamp"))) if is_ts else (lambda c: c)
     mk_t = "bigint" if is_ts else key_t
     tol = None
     if tolerance is not None:

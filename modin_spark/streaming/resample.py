@@ -19,6 +19,15 @@ from modin_spark.core.compiler import agg_expr
 from modin_spark.pandas.resample import rule_to_duration
 
 
+def _ltz_event_time(df, ts_col: str):
+    """Watermarks require TIMESTAMP (LTZ). Sources whose event-time column is
+    TIMESTAMP_NTZ are cast in place — exact under the session's fixed UTC
+    timezone."""
+    if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+        return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
+
+
 def stream_resample(
     spark: SparkSession,
     schema,
@@ -38,7 +47,7 @@ def stream_resample(
     operator runnable indefinitely at scale (state is O(open windows), not
     O(stream))."""
     dur = rule_to_duration(rule)
-    src = spark.readStream.schema(schema).parquet(path)
+    src = _ltz_event_time(spark.readStream.schema(schema).parquet(path), ts_col)
     keys = [F.window(F.col(ts_col), dur).alias("__win__")] + [F.col(k) for k in (extra_keys or [])]
     exprs = [agg_expr(fn, F.col(col)).alias(f"{col}_{fn}") for col, fn in aggs.items()]
     agged = (
@@ -67,7 +76,7 @@ def stream_session_windows(
     query_name: str = "session_out",
 ):
     """Sessionization via F.session_window — state-bounded by watermark."""
-    src = spark.readStream.schema(schema).parquet(path)
+    src = _ltz_event_time(spark.readStream.schema(schema).parquet(path), ts_col)
     agged = (
         src.withWatermark(ts_col, watermark)
         .groupBy(F.session_window(F.col(ts_col), gap).alias("__sess__"), F.col(key_col))
