@@ -21,6 +21,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+
+def _rp(spark, path):
+    """Cached parquet scan (modin_spark.pandas.io._parquet_scan): repeated
+    reads of the same table skip re-listing + footer/schema jobs."""
+    from modin_spark.pandas.io import _parquet_scan
+    return _parquet_scan(path)
+
+
 def _mpd():
     import modin_spark.pandas as mpd
 
@@ -329,7 +337,7 @@ def _docs_jaccard_pairs(spark, sf):
     ~1e-26 with 32 bands x 4 rows)."""
     from modin_spark.operators.dedup import ngram_jaccard_pairs
 
-    docs = spark.read.parquet(f"{sf}/documents.parquet").where(F.col("doc_id") < 500)
+    docs = _rp(spark, f"{sf}/documents.parquet").where(F.col("doc_id") < 500)
     pairs = ngram_jaccard_pairs(docs, "doc_id", "text", k=5, threshold=0.9)
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jac"))
 
@@ -340,7 +348,7 @@ def _clustered_corpus(spark, sf):
     embeddings table is pure noise (no pair above cosine 0.6), so recall@k
     against it measures nothing; the planted clusters give ANN a real
     retrieval task while keeping everything derived from the sf data."""
-    emb = spark.read.parquet(f"{sf}/embeddings.parquet").select("vec_id", "embedding")
+    emb = _rp(spark, f"{sf}/embeddings.parquet").select("vec_id", "embedding")
     base = emb.where(F.col("vec_id") < 20)
     copies = base.join(spark.range(1, 9).select(F.col("id").alias("__c__")), how="cross")
     jit = copies.select(
@@ -359,7 +367,7 @@ def _emb_lsh_recall(spark, sf):
     from modin_spark.operators.similarity import brute_force_topk, lsh_topk
 
     corpus = _clustered_corpus(spark, sf)
-    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    emb = _rp(spark, f"{sf}/embeddings.parquet")
     q = emb.where(F.col("vec_id") < 20).select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
     brute = brute_force_topk(corpus, q, k=5).select("q_id", "vec_id")
     lsh = lsh_topk(corpus, q, k=5, planes=8, probe_radius=2).select("q_id", "vec_id")
@@ -376,7 +384,7 @@ def _emb_ivf_recall(spark, sf):
     from modin_spark.operators.similarity import brute_force_topk, ivf_topk
 
     corpus = _clustered_corpus(spark, sf)
-    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    emb = _rp(spark, f"{sf}/embeddings.parquet")
     q = emb.where(F.col("vec_id") < 20).select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
     brute = brute_force_topk(corpus, q, k=5).select("q_id", "vec_id")
     ivf = ivf_topk(corpus, q, k=5, n_centroids=16, nprobe=4).select("q_id", "vec_id")
@@ -553,12 +561,12 @@ def _docs_exact_dedup(spark, sf):
 def _docs_token_stats(spark, sf):
     from modin_spark.operators.text import token_count
 
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs = _rp(spark, f"{sf}/documents.parquet")
     return docs.select("doc_id", token_count(F.col("text"), "whitespace").alias("n_tokens"))
 
 
 def _docs_norm_distinct(spark, sf):
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs = _rp(spark, f"{sf}/documents.parquet")
     norm = F.trim(F.regexp_replace(F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9\s]", " "), r"\s+", " "))
     return docs.select(norm.alias("norm")).distinct().agg(F.count(F.lit(1)).alias("n_distinct"))
 
@@ -566,7 +574,7 @@ def _docs_norm_distinct(spark, sf):
 def _docs_minhash_dedup(spark, sf):
     from modin_spark.operators.dedup import minhash_lsh_dedup
 
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs = _rp(spark, f"{sf}/documents.parquet")
     out = minhash_lsh_dedup(docs, threshold=0.8)
     return out.agg(F.count(F.lit(1)).alias("n_after"), F.sum("n_chars").alias("chars_after"))
 
@@ -574,14 +582,14 @@ def _docs_minhash_dedup(spark, sf):
 def _docs_simhash_dedup(spark, sf):
     from modin_spark.operators.dedup import simhash_dedup
 
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs = _rp(spark, f"{sf}/documents.parquet")
     return simhash_dedup(docs, hamming_threshold=3).agg(F.count(F.lit(1)).alias("n_after"))
 
 
 def _docs_langid_quality(spark, sf):
     from modin_spark.operators.text import lang_id, quality_score
 
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs = _rp(spark, f"{sf}/documents.parquet")
     return (
         docs.select(lang_id(F.col("text")).alias("lang_pred"), quality_score(F.col("text")).alias("q"))
         .groupBy("lang_pred")
@@ -592,7 +600,7 @@ def _docs_langid_quality(spark, sf):
 def _emb_brute_topk(spark, sf):
     from modin_spark.operators.similarity import brute_force_topk
 
-    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    emb = _rp(spark, f"{sf}/embeddings.parquet")
     q = emb.where(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
@@ -603,14 +611,14 @@ def _emb_brute_topk(spark, sf):
 def _emb_cosine_dedup(spark, sf):
     from modin_spark.operators.dedup import embedding_cosine_dedup
 
-    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    emb = _rp(spark, f"{sf}/embeddings.parquet")
     return embedding_cosine_dedup(emb, threshold=0.98).agg(F.count(F.lit(1)).alias("n_after"))
 
 
 def _multimodal_features(spark, sf):
     from modin_spark.operators.multimodal import image_features
 
-    docs = spark.read.parquet(f"{sf}/documents.parquet").limit(200)
+    docs = _rp(spark, f"{sf}/documents.parquet").limit(200)
     media = docs.select(F.col("doc_id").alias("media_id"), F.encode(F.col("text"), "utf-8").alias("payload"))
     out = image_features(media, dim=16)
     return out.select("media_id", F.size("features").alias("feat_dim"))
@@ -885,7 +893,7 @@ def _docs_fingerprint(spark, sf):
     fingerprints == distinct normalized word sequences (oracle-checkable)."""
     from modin_spark.operators.text import fingerprint
 
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs = _rp(spark, f"{sf}/documents.parquet")
     norm = F.trim(F.regexp_replace(F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9\s]", " "), r"\s+", " "))
     return docs.select(fingerprint(norm).alias("fp")).agg(
         F.count_distinct(F.col("fp")).alias("n_distinct_fp")
@@ -895,14 +903,14 @@ def _docs_fingerprint(spark, sf):
 def _docs_ngram_dedup(spark, sf):
     from modin_spark.operators.dedup import ngram_jaccard_dedup
 
-    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    docs = _rp(spark, f"{sf}/documents.parquet")
     return ngram_jaccard_dedup(docs, threshold=0.8).agg(F.count(F.lit(1)).alias("n_after"))
 
 
 def _emb_lsh_topk(spark, sf):
     from modin_spark.operators.similarity import lsh_topk
 
-    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    emb = _rp(spark, f"{sf}/embeddings.parquet")
     q = emb.where(F.col("vec_id") < 3).select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
     out = lsh_topk(emb, q, k=5, planes=8, probe_radius=2)
     return out.select("q_id", "vec_id", F.round("cosine", 4).alias("cos_sim"), "rank")
@@ -911,7 +919,7 @@ def _emb_lsh_topk(spark, sf):
 def _emb_ivf_topk(spark, sf):
     from modin_spark.operators.similarity import ivf_topk
 
-    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    emb = _rp(spark, f"{sf}/embeddings.parquet")
     q = emb.where(F.col("vec_id") < 3).select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
     out = ivf_topk(emb, q, k=5, n_centroids=16, nprobe=4)
     return out.select("q_id", "vec_id", F.round("cosine", 4).alias("cos_sim"), "rank")

@@ -41,8 +41,32 @@ def _nano_ts_cols(path: str) -> list[str]:
     return [f.name for f in schema if f.name in int64_ns]
 
 
-def read_parquet(path: str, columns=None, filters=None) -> DataFrame:
+# (path, mtime) -> analyzed base scan. Spark DataFrames are immutable plan
+# handles, so sharing one across calls is safe; re-reading the same path
+# otherwise pays file listing + footer/schema jobs on every query. Keyed by
+# mtime so an overwritten file invalidates naturally. Wrappers (SparkFrame /
+# DataFrame) are still built fresh per call — only the scan plan is shared.
+_SCAN_CACHE: dict = {}
+
+
+def _parquet_scan(path: str):
+    import os
+
     spark = get_spark()
+    try:
+        st = os.stat(path)
+        key = (path, st.st_mtime_ns, id(spark))
+    except OSError:
+        key = None
+    if key in _SCAN_CACHE:
+        return _SCAN_CACHE[key]
+    sdf = _parquet_scan_uncached(spark, path)
+    if key is not None:
+        _SCAN_CACHE[key] = sdf
+    return sdf
+
+
+def _parquet_scan_uncached(spark, path: str):
     nano_cols = _nano_ts_cols(path)
     if nano_cols:
         # nanos come in as int64 (legacy conf), cast back to µs timestamps;
@@ -59,6 +83,11 @@ def read_parquet(path: str, columns=None, filters=None) -> DataFrame:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
     else:
         sdf = spark.read.parquet(path)
+    return sdf
+
+
+def read_parquet(path: str, columns=None, filters=None) -> DataFrame:
+    sdf = _parquet_scan(path)
     if columns is not None:
         sdf = sdf.select(*columns)  # column pruning reaches the scan
     if filters is not None:
