@@ -87,11 +87,19 @@ def main() -> None:
         fn = qs[name]
         best = None
         try:
+            runs = []
             for _ in range(2):
                 t0 = time.time()
                 fn(spark, sf_dir).count()
-                dt = time.time() - t0
-                best = dt if best is None else min(best, dt)
+                runs.append(time.time() - t0)
+            # the host is shared: a co-tenant burst can inflate both runs.
+            # If the two disagree by >40% the measurement is noise-dominated —
+            # take one more and keep the min.
+            if min(runs) > 0 and (max(runs) - min(runs)) / min(runs) > 0.4:
+                t0 = time.time()
+                fn(spark, sf_dir).count()
+                runs.append(time.time() - t0)
+            best = min(runs)
         except Exception as e:  # keep the bench line parseable even on failure
             timings[name] = -1.0
             print(f"# {name} FAILED: {type(e).__name__}: {str(e)[:120]}", file=sys.stderr)
