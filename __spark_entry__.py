@@ -1327,7 +1327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_lsh_topk": _emb_lsh_topk,
         "emb_ivf_topk": _emb_ivf_topk,
         "q1_pricing_summary": _q1,
-        "q3_top_orders": _q3,
+        "docs_langid_quality": _docs_langid_quality,
         "rolling_mean": _rolling_mean,
         "docs_jaccard_pairs": _docs_jaccard_pairs,
         "emb_brute_topk": _emb_brute_topk,
@@ -1372,12 +1372,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_norm_distinct": _docs_norm_distinct,
         "docs_minhash_dedup": _docs_minhash_dedup,
         "docs_simhash_dedup": _docs_simhash_dedup,
-        "docs_langid_quality": _docs_langid_quality,
+        "q3_top_orders": _q3,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "docs_langid_quality": """
+            WITH t AS (
+              SELECT
+                len(regexp_extract_all(lower(text), '\\b(?:the|and|of|to|in|is|that|for|with|was)\\b')) AS c_en,
+                len(regexp_extract_all(lower(text), '\\b(?:der|die|und|das|ist|nicht|ein|mit|auf|f\u00fcr)\\b')) AS c_de,
+                len(regexp_extract_all(lower(text), '\\b(?:le|la|les|et|des|est|dans|que|une|pour)\\b')) AS c_fr,
+                len(regexp_extract_all(lower(text), '\\b(?:el|la|los|que|de|en|es|una|por|con)\\b')) AS c_es,
+                length(text) AS n_chars,
+                len(regexp_extract_all(text, '\\S+')) AS n_words,
+                len(regexp_extract_all(text, '\\p{L}')) AS alpha_chars,
+                len(regexp_extract_all(text, '[!?.]{3,}')) AS punct_runs
+              FROM documents
+            ), s AS (
+              SELECT
+                -- same argmax tie-break as Spark's greatest(struct(s,l)):
+                -- max score, then lexicographically greatest language code
+                (list_sort([
+                  {'s': c_en, 'l': 'en'}, {'s': c_de, 'l': 'de'},
+                  {'s': c_fr, 'l': 'fr'}, {'s': c_es, 'l': 'es'},
+                  {'s': 0,    'l': 'und'}])[5]).l AS lang_pred,
+                least(greatest(
+                  (0.3 * (CASE WHEN n_words BETWEEN 10 AND 10000 THEN 1.0 WHEN n_words >= 5 THEN 0.5 ELSE 0.0 END)
+                   + 0.25 * (alpha_chars / greatest(n_chars, 1))
+                   + 0.2 * (CASE WHEN c_en > 0 THEN 1.0 ELSE 0.0 END)
+                   + 0.15 * (CASE WHEN (n_chars / greatest(n_words, 1)) BETWEEN 3 AND 12 THEN 1.0 ELSE 0.3 END))
+                  * (CASE WHEN punct_runs > 0 THEN 0.5 ELSE 1.0 END) + 0.1,
+                  0.0), 1.0) AS q
+              FROM t
+            )
+            SELECT lang_pred, COUNT(*) AS n, ROUND(AVG(q), 4) AS avg_quality
+            FROM s GROUP BY lang_pred
+        """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    ROUND(SUM(l_quantity), 2) AS sum_qty,
