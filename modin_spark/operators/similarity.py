@@ -124,20 +124,69 @@ def lsh_topk(corpus: SDF, queries: SDF, k: int = 10, planes: int = 12, id_col: s
     )
 
 
-def ivf_topk(corpus: SDF, queries: SDF, k: int = 10, n_centroids: int = 16, nprobe: int = 4,
-             id_col: str = "vec_id", vec_col: str = "embedding",
-             q_id_col: str = "q_id", q_vec_col: str = "q_vec", seed: int = 42) -> SDF:
-    """IVF-flat: sample n_centroids corpus vectors as coarse centroids
-    (driver-side, tiny), assign every corpus vector to its nearest centroid
-    (one broadcast pass), probe the nprobe nearest cells per query, exact
-    re-rank inside the probed cells."""
-    cents = [r[vec_col] for r in corpus.select(vec_col).sample(False, 1.0, seed).limit(n_centroids).collect()]
-    import numpy as np
+def kmeans_centroids(corpus: SDF, vec_col: str, n_centroids: int, iters: int = 2,
+                     seed: int = 42) -> "np.ndarray":
+    """Distributed spherical k-means for the IVF coarse quantizer.
+
+    Init = deterministic sample of n_centroids corpus vectors; each Lloyd
+    iteration is ONE pass over the corpus: a mapInPandas stage emits per-batch
+    partial (cell, count, vector-sum) rows — at most n_centroids rows per
+    Arrow batch, so the driver-side final reduce combines O(batches x k) tiny
+    rows regardless of corpus size (classic map-side-combine k-means; at 100TB
+    the shuffle is the k-row partials, never the vectors)."""
     import pandas as pd
     from pyspark.sql import types as T
 
-    C = np.asarray([np.asarray(c, dtype="float64") for c in cents])  # (k, dim)
+    cents = [r[vec_col] for r in corpus.select(vec_col).sample(False, 1.0, seed).limit(n_centroids).collect()]
+    C = np.asarray([np.asarray(c, dtype="float64") for c in cents])
     Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    dim = Cn.shape[1]
+
+    out_schema = T.StructType([
+        T.StructField("cell", T.IntegerType()),
+        T.StructField("cnt", T.LongType()),
+        T.StructField("vsum", T.ArrayType(T.DoubleType())),
+    ])
+
+    for _ in range(iters):
+        Ct = Cn  # capture current centroids in the closure
+
+        def _partials(batches, _Ct=Ct):
+            for pdf in batches:
+                M = np.stack([np.asarray(v, dtype="float64") for v in pdf.iloc[:, 0]])
+                Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+                cell = np.argmax(Mn @ _Ct.T, axis=1)
+                rows = []
+                for c in np.unique(cell):
+                    sel = Mn[cell == c]
+                    rows.append((int(c), int(sel.shape[0]), sel.sum(axis=0).tolist()))
+                yield pd.DataFrame(rows, columns=["cell", "cnt", "vsum"])
+
+        parts = corpus.select(vec_col).mapInPandas(_partials, out_schema).collect()
+        cnt = np.zeros(len(Cn), dtype=np.int64)
+        vsum = np.zeros_like(Cn)
+        for r in parts:
+            cnt[r["cell"]] += r["cnt"]
+            vsum[r["cell"]] += np.asarray(r["vsum"])
+        nonempty = cnt > 0
+        Cn = Cn.copy()
+        Cn[nonempty] = vsum[nonempty] / cnt[nonempty, None]
+        Cn = Cn / np.maximum(np.linalg.norm(Cn, axis=1, keepdims=True), 1e-12)
+    return Cn
+
+
+def ivf_topk(corpus: SDF, queries: SDF, k: int = 10, n_centroids: int = 16, nprobe: int = 4,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             q_id_col: str = "q_id", q_vec_col: str = "q_vec", seed: int = 42,
+             kmeans_iters: int = 2) -> SDF:
+    """IVF-flat: k-means coarse centroids (distributed Lloyd iterations, see
+    kmeans_centroids), assign every corpus vector to its nearest centroid
+    (one broadcast pass), probe the nprobe nearest cells per query, exact
+    re-rank inside the probed cells."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    Cn = kmeans_centroids(corpus, vec_col, n_centroids, iters=kmeans_iters, seed=seed)
 
     def nearest_udf(n: int):
         # one (batch × dim) @ (dim × k) matmul per Arrow batch — the

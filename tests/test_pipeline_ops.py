@@ -246,3 +246,30 @@ def test_minhash_bucket_cap(spark):
     # uncapped finds the clique pairs
     full = minhash_candidate_pairs(df, "doc_id", "text", threshold=0.8, max_bucket_size=None)
     assert full.where("id_a < 100").count() > 0
+
+
+def test_kmeans_centroids_improve_quantization(spark):
+    """Distributed Lloyd iterations must (a) be deterministic and (b) not
+    worsen the spherical quantization objective vs the sampled init."""
+    import numpy as np
+
+    from modin_spark.operators.similarity import kmeans_centroids
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(4, 16))
+    rows = []
+    for i in range(400):
+        c = centers[i % 4]
+        v = c + 0.15 * rng.normal(size=16)
+        rows.append((i, (v / np.linalg.norm(v)).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def objective(C):
+        M = np.stack([np.asarray(r.embedding) for r in df.collect()])
+        return float(np.max(M @ C.T, axis=1).mean())
+
+    C0 = kmeans_centroids(df, "embedding", 4, iters=0)
+    C2 = kmeans_centroids(df, "embedding", 4, iters=2)
+    C2b = kmeans_centroids(df, "embedding", 4, iters=2)
+    assert np.allclose(C2, C2b), "k-means must be deterministic for a fixed seed"
+    assert objective(C2) >= objective(C0) - 1e-9, (objective(C0), objective(C2))

@@ -165,3 +165,30 @@ def test_sort_head_fuses_to_take_ordered(li):
     plan = plans.physical_plan(out._frame.sdf)
     assert "TakeOrderedAndProject" in plan, plan
     assert "rangepartitioning" not in plan.lower(), plan
+
+
+TPCH_QUERIES = [
+    "q1_pricing_summary", "q2_min_cost_supplier", "q3_top_orders",
+    "q4_priority_returned", "q5_nation_revenue", "q6_forecast_revenue",
+    "q7_volume_shipping", "q8_market_share", "q9_profit_by_nation",
+    "q10_returned_revenue", "q11_important_parts", "q12_priority_lines",
+    "q13_order_distribution", "q14_promo_revenue", "q15_top_supplier",
+    "q16_supplier_count", "q17_small_quantity", "q18_large_volume",
+    "q19_brand_filter", "q20_part_promotion", "q21_waiting_supplier",
+    "q22_global_sales",
+]
+
+
+@pytest.mark.parametrize("name", TPCH_QUERIES)
+def test_tpch_plan_has_no_scale_antipatterns(spark, name):
+    """Every TPC-H query's physical plan must be shuffle/broadcast joins and
+    hash aggregates only: no cartesian product, no nested-loop join, no
+    full-data single-partition exchange — the three shapes that stop scaling
+    at 100x data."""
+    import __spark_entry__ as entry
+
+    out = entry.queries()[name](spark, SF)
+    plan = plans.physical_plan(out)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert plans.unsafe_single_partition_exchanges(out) == 0, plan
