@@ -89,3 +89,25 @@ def stream_session_windows(
         )
     )
     return agged.writeStream.outputMode("append").format("memory").queryName(query_name).start()
+
+
+def stream_dedup(
+    spark: SparkSession,
+    schema,
+    path: str,
+    key_cols: list[str],
+    ts_col: str,
+    watermark: str = "10 minutes",
+    query_name: str = "dedup_out",
+):
+    """Streaming exact dedup — the streaming face of operators.dedup.exact_dedup.
+
+    ``dropDuplicatesWithinWatermark`` keys state by ``key_cols`` and expires
+    entries once the watermark passes them, so state is O(keys seen within the
+    watermark horizon), not O(stream) — the property that lets a dedup stage
+    run forever over a 100 TB/day feed. Exactly-once within the horizon;
+    duplicates farther apart than the watermark are deliberately out of
+    contract (batch exact_dedup covers reprocessing)."""
+    src = _ltz_event_time(spark.readStream.schema(schema).parquet(path), ts_col)
+    deduped = src.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(key_cols)
+    return deduped.writeStream.outputMode("append").format("memory").queryName(query_name).start()

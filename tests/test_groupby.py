@@ -291,3 +291,20 @@ def test_series_groupby_unaligned_key(spark):
     ref = pd.Series([1.0, 2.0, 3.0, 4.0], name="v").groupby(
         pd.Series(["a", "b", "a", "b"])).sum().sort_index()
     np.testing.assert_allclose(got.values, ref.values)
+
+
+def test_approx_aggregates(spark):
+    """Net-new approx variants (SURVEY §2.4): sketch-based, within tolerance
+    of the exact values — the 100 TB path for nunique/median."""
+    import modin_spark.pandas as mpd
+
+    li = mpd.read_parquet("/root/testdata/sf0.001/lineitem.parquet")
+    g = (
+        li.groupby(["l_returnflag"])
+        .agg(ap=("l_partkey", "approx_nunique"), ex=("l_partkey", "nunique"),
+             am=("l_quantity", "approx_median"), em=("l_quantity", "median"))
+        .reset_index()
+        .to_pandas()
+    )
+    assert ((g.ap - g.ex).abs() / g.ex <= 0.05).all(), g
+    assert ((g.am - g.em).abs() <= 1.0).all(), g

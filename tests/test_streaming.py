@@ -112,3 +112,29 @@ def test_stream_stateful_running_totals(spark, tmp_path):
             assert abs(got.loc[k, "running_sum"] - ref.loc[k, "s"]) < 1e-6, k
     finally:
         q.stop()
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark keeps one row per key; duplicates inside
+    the watermark horizon are suppressed."""
+    import modin_spark.pandas as mpd
+    from modin_spark.streaming.resample import stream_dedup
+
+    ev = mpd.read_parquet(f"{SF}/events.parquet").to_spark(ordered=False)
+    base = ev.select("event_id", "ts", "value").limit(500)
+    dup = base.limit(120)  # re-deliver 120 events (same event_id, same ts)
+    src_dir = str(tmp_path / "events_dup")
+    base.unionAll(dup).write.mode("overwrite").parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+
+    q = stream_dedup(
+        spark, schema, src_dir, key_cols=["event_id"], ts_col="ts",
+        watermark="365 days", query_name="t_dedup",
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("select * from t_dedup").toPandas()
+    finally:
+        q.stop()
+    assert len(got) == 500, len(got)
+    assert got["event_id"].is_unique
