@@ -331,18 +331,69 @@ def minhash_candidate_pairs(
     )
 
 
-def _dedup_keep_min(df: SDF, id_col: str, pairs: SDF) -> SDF:
-    """Keep one doc per duplicate cluster: drop any id that has a smaller
-    near-duplicate (min-id representative; one pass, no iterative connected
-    components — adequate for near-dup sets which are cliques-ish; exact CC
-    would iterate the same join)."""
-    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+def duplicate_components(pairs: SDF, max_iter: int = 10) -> SDF:
+    """(v, l) labels over the near-dup pair graph: l = min id reachable from
+    v — exact connected components via iterative min-label propagation.
+
+    Each round is one shuffle join (labels onto the symmetrized edge list) +
+    one min-groupBy; rounds needed = component diameter, and near-dup
+    clusters are shallow (clique-ish), so 2-3 rounds in practice. Edges are
+    persisted once; convergence is checked with a count() of still-shrinking
+    labels (one small action per round). At 100 TB the state shuffled per
+    round is O(edges), never the documents."""
+    from pyspark import StorageLevel
+
+    e = pairs.select("id_a", "id_b")
+    sym = e.union(e.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    labels = (
+        sym.groupBy(F.col("id_a").alias("v"))
+        .agg(F.min("id_b").alias("l"))
+        .select("v", F.least("v", "l").alias("l"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels.count()
+    for _ in range(max_iter):
+        prop = (
+            sym.join(labels.withColumnRenamed("v", "id_b"), "id_b")
+            .select(F.col("id_a").alias("v"), "l")
+        )
+        new = (
+            labels.union(prop).groupBy("v").agg(F.min("l").alias("l"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        changed = new.join(labels.withColumnRenamed("l", "__old__"), "v").where("l < __old__").count()
+        labels.unpersist()
+        labels = new
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels
+
+
+def _dedup_keep_min(df: SDF, id_col: str, pairs: SDF, connected_components: bool = False) -> SDF:
+    """Keep one doc per duplicate cluster.
+
+    Default: drop any id that has a smaller near-duplicate (min-id
+    representative; one pass — adequate for near-dup sets, which are
+    cliques-ish). With ``connected_components=True``, exact CC labels via
+    duplicate_components: keeps exactly ONE doc per connected component even
+    when two survivors are linked only through a common larger node (e.g.
+    pairs (1,3),(2,3): min-id keeps {1,2}, CC keeps {1})."""
+    if connected_components:
+        losers = duplicate_components(pairs).where(F.col("v") != F.col("l")).select(
+            F.col("v").alias(id_col)
+        )
+    else:
+        losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, on=id_col, how="left_anti")
 
 
-def minhash_lsh_dedup(df: SDF, id_col: str = "doc_id", text_col: str = "text", threshold: float = 0.8, **kw) -> SDF:
+def minhash_lsh_dedup(df: SDF, id_col: str = "doc_id", text_col: str = "text", threshold: float = 0.8,
+                      connected_components: bool = False, **kw) -> SDF:
     pairs = minhash_candidate_pairs(df, id_col, text_col, threshold=threshold, **kw)
-    return _dedup_keep_min(df, id_col, pairs)
+    return _dedup_keep_min(df, id_col, pairs, connected_components=connected_components)
 
 
 def exact_dedup(df: SDF, subset: list[str]) -> SDF:

@@ -273,3 +273,30 @@ def test_kmeans_centroids_improve_quantization(spark):
     C2b = kmeans_centroids(df, "embedding", 4, iters=2)
     assert np.allclose(C2, C2b), "k-means must be deterministic for a fixed seed"
     assert objective(C2) >= objective(C0) - 1e-9, (objective(C0), objective(C2))
+
+
+def test_duplicate_components_vs_min_id(spark):
+    """CC keeps exactly one doc per component; min-id keeps extra survivors
+    that are linked only through a common larger node."""
+    from modin_spark.operators.dedup import _dedup_keep_min, duplicate_components
+
+    docs = spark.createDataFrame([(i, f"d{i}") for i in range(1, 8)], "doc_id long, text string")
+    # components: {1,2,3} (via common node 3), {4,5}, {6}, {7}
+    pairs = spark.createDataFrame([(1, 3), (2, 3), (4, 5)], "id_a long, id_b long")
+
+    labels = {r.v: r.l for r in duplicate_components(pairs).collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4}
+
+    kept_min = sorted(r.doc_id for r in _dedup_keep_min(docs, "doc_id", pairs).collect())
+    assert kept_min == [1, 2, 4, 6, 7]  # 2 survives: only paired with larger 3
+    kept_cc = sorted(r.doc_id for r in _dedup_keep_min(docs, "doc_id", pairs, connected_components=True).collect())
+    assert kept_cc == [1, 4, 6, 7]
+
+
+def test_duplicate_components_path_graph(spark):
+    """A diameter-4 path converges to a single min label."""
+    from modin_spark.operators.dedup import duplicate_components
+
+    pairs = spark.createDataFrame([(10, 20), (20, 30), (30, 40), (40, 50)], "id_a long, id_b long")
+    labels = {r.v: r.l for r in duplicate_components(pairs).collect()}
+    assert set(labels.values()) == {10}
