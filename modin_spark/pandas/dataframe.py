@@ -982,8 +982,17 @@ class DataFrame:
     def mul(self, other, fill_value=None):
         return self._binary_frame(other, lambda a, b: a * b, fill_value)
 
+    @staticmethod
+    def _true_div(a, b):
+        # pandas semantics: x/0 -> signed inf, 0/0 -> NaN (Spark yields NULL)
+        q = a.cast("double") / b
+        return F.when(
+            b.cast("double") == 0,
+            F.when(a.cast("double") == 0, F.lit(float("nan"))).otherwise(F.lit(float("inf")) * F.signum(a)),
+        ).otherwise(q)
+
     def div(self, other, fill_value=None):
-        return self._binary_frame(other, lambda a, b: a.cast("double") / b, fill_value)
+        return self._binary_frame(other, lambda a, b: DataFrame._true_div(a, b), fill_value)
 
     truediv = div
 
@@ -1252,6 +1261,419 @@ class DataFrame:
             return Series._from_pandas(res)
         return res
 
+    # ----------------------------------------------------------- API tail
+    # Comparison methods (reference qc binary family, query_compiler.py:535-619)
+    def eq(self, other, fill_value=None):
+        return self._binary_frame(other, lambda a, b: a == b, fill_value)
+
+    def ne(self, other, fill_value=None):
+        return self._binary_frame(other, lambda a, b: a != b, fill_value)
+
+    def gt(self, other, fill_value=None):
+        return self._binary_frame(other, lambda a, b: a > b, fill_value)
+
+    def ge(self, other, fill_value=None):
+        return self._binary_frame(other, lambda a, b: a >= b, fill_value)
+
+    def lt(self, other, fill_value=None):
+        return self._binary_frame(other, lambda a, b: a < b, fill_value)
+
+    def le(self, other, fill_value=None):
+        return self._binary_frame(other, lambda a, b: a <= b, fill_value)
+
+    # reversed arithmetic (r-variants)
+    def radd(self, other, fill_value=None):
+        return self._binary_frame(other, lambda a, b: b + a, fill_value)
+
+    def rsub(self, other, fill_value=None):
+        return self._binary_frame(other, lambda a, b: b - a, fill_value)
+
+    def rmul(self, other, fill_value=None):
+        return self._binary_frame(other, lambda a, b: b * a, fill_value)
+
+    def rtruediv(self, other, fill_value=None):
+        return self._binary_frame(other, lambda a, b: DataFrame._true_div(b, a), fill_value)
+
+    rdiv = rtruediv
+
+    def rfloordiv(self, other, fill_value=None):
+        # pandas: x // 0 -> signed inf (float result), like truediv
+        return self._binary_frame(
+            other,
+            lambda a, b: F.when(a.cast("double") == 0, DataFrame._true_div(b, a))
+            .otherwise(F.floor(b.cast("double") / a).cast("double")),
+            fill_value,
+        )
+
+    def rmod(self, other, fill_value=None):
+        return self._binary_frame(other, lambda a, b: F.pmod(b, a), fill_value)
+
+    def rpow(self, other, fill_value=None):
+        return self._binary_frame(other, lambda a, b: F.pow(b, a), fill_value)
+
+    def pad(self):
+        return self.ffill()
+
+    def backfill(self):
+        return self.bfill()
+
+    def copy(self, deep: bool = True) -> "DataFrame":
+        # frames are immutable lineages; copy = new wrapper over the same plan
+        return DataFrame(_frame=self._frame)
+
+    @property
+    def ndim(self) -> int:
+        return 2
+
+    @property
+    def size(self) -> int:
+        return len(self) * len(self._frame.columns)
+
+    def keys(self):
+        return self.columns
+
+    def bool(self) -> bool:
+        vals = self.to_pandas()
+        if vals.shape != (1, 1):
+            raise ValueError("bool() requires a 1x1 DataFrame")
+        return bool(vals.iloc[0, 0])
+
+    def pop(self, col):
+        s = self[col]
+        self._frame = self.drop(columns=[col])._frame
+        return s
+
+    def isetitem(self, loc: int, value) -> None:
+        self[self._frame.columns[loc]] = value
+
+    def sample(self, n: int | None = None, frac: float | None = None, replace: bool = False,
+               random_state: int | None = None, axis=0) -> "DataFrame":
+        """Distributed sampling. ``frac`` is a per-partition Bernoulli/Poisson
+        sample (no shuffle, exact at scale in expectation); exact-``n`` orders
+        by a seeded rand() — a TakeOrdered top-n, never a full materialize."""
+        fr = self._frame
+        seed = random_state if random_state is not None else 42
+        if frac is not None and n is None:
+            return DataFrame(_frame=fr._subset_rows(
+                fr.sdf.sample(withReplacement=replace, fraction=float(frac), seed=seed)
+            ))
+        if n is None:
+            raise ValueError("must provide n or frac")
+        base = fr.ensure_order()
+        sdf = base.sdf.orderBy(F.rand(seed)).limit(int(n))
+        nf = type(fr)(sdf, fr.columns, fr.data_cols, fr.index_cols, fr.index_names, has_order=True)
+        return DataFrame(_frame=nf)
+
+    def filter(self, items=None, like: str | None = None, regex: str | None = None, axis=1) -> "DataFrame":
+        """Label-based column selection (pandas filter; axis=1 only — row
+        filtering by label goes through loc)."""
+        import re as _re
+
+        cols = list(self._frame.columns)
+        if items is not None:
+            keep = [i for i, c in enumerate(cols) if c in set(items)]
+        elif like is not None:
+            keep = [i for i, c in enumerate(cols) if like in str(c)]
+        elif regex is not None:
+            pat = _re.compile(regex)
+            keep = [i for i, c in enumerate(cols) if pat.search(str(c))]
+        else:
+            raise TypeError("must pass items, like, or regex")
+        return DataFrame(_frame=self._frame.select_positions(keep))
+
+    def reindex(self, index=None, columns=None, fill_value=None) -> "DataFrame":
+        """Column reindex = projection (missing -> NULL/fill). Row reindex =
+        left join of the target label list against the frame on the index
+        column — the labels frame is small (driver-provided) and broadcast."""
+        out = self
+        if columns is not None:
+            fr = out._frame
+            have = {c: i for i, c in enumerate(fr.columns)}
+            labels, exprs = [], []
+            for c in columns:
+                labels.append(c)
+                if c in have:
+                    exprs.append(fr.scol(have[c]))
+                elif fill_value is None:
+                    exprs.append(F.lit(None).cast("double"))  # pandas: missing -> float64 NaN
+                else:
+                    exprs.append(F.lit(fill_value))
+            out = DataFrame(_frame=fr.project(labels, exprs))
+        if index is not None:
+            fr = out._frame
+            if not fr.index_cols:
+                raise NotImplementedError("reindex(index=) requires a set index")
+            from modin_spark.pandas.io import from_pandas
+
+            tgt = from_pandas(pd.DataFrame({"__tgt__": list(index)}))._frame
+            icol = fr.index_cols[0]
+            j = F.broadcast(tgt.sdf.select(F.col(tgt.data_cols[0]).alias("__tgt__"),
+                                           F.col(ORDER_COL).alias("__torder__"))).join(
+                fr.sdf, F.col("__tgt__") == F.col(icol), "left"
+            )
+            sdf = j.withColumn(ORDER_COL, F.col("__torder__")).withColumn(icol, F.col("__tgt__"))
+            nf = type(fr)(sdf, fr.columns, fr.data_cols, fr.index_cols, fr.index_names, has_order=True)
+            out = DataFrame(_frame=nf)
+        return out
+
+    def reindex_like(self, other: "DataFrame") -> "DataFrame":
+        return self.reindex(columns=list(other.columns))
+
+    def rename_axis(self, mapper=None, axis=0) -> "DataFrame":
+        fr = self._frame
+        names = list(fr.index_names)
+        if axis in (0, "index") and names:
+            if isinstance(mapper, (list, tuple)):
+                names = list(mapper)
+            else:
+                names = [mapper] + names[1:]
+        nf = type(fr)(fr.sdf, fr.columns, fr.data_cols, fr.index_cols, names, has_order=fr.has_order)
+        nf.order_epoch = fr.order_epoch
+        return DataFrame(_frame=nf)
+
+    def set_axis(self, labels, axis=0) -> "DataFrame":
+        if axis in (1, "columns"):
+            return DataFrame(_frame=self._frame.set_labels(labels))
+        # axis=0: replace row labels positionally (labels are driver-side by
+        # construction, joined on global position)
+        from modin_spark.pandas.io import from_pandas
+
+        fr = self._frame.with_global_position("__sa__")
+        lab = from_pandas(pd.DataFrame({"__lab__": list(labels)}))._frame.with_global_position("__sb__")
+        j = fr.sdf.join(
+            F.broadcast(lab.sdf.select("__sb__", F.col(lab.data_cols[0]).alias("__lab__"))),
+            F.col("__sa__") == F.col("__sb__"), "left",
+        )
+        icol = "__idx_set_axis__"
+        sdf = j.withColumn(icol, F.col("__lab__"))
+        nf = type(fr)(sdf, fr.columns, fr.data_cols, [icol], [None], has_order=True)
+        return DataFrame(_frame=nf)
+
+    def droplevel(self, level, axis=0) -> "DataFrame":
+        fr = self._frame
+        lv = self._level_pos(level)
+        keep = [i for i in range(len(fr.index_cols)) if i != lv]
+        nf = type(fr)(fr.sdf, fr.columns, fr.data_cols,
+                      [fr.index_cols[i] for i in keep], [fr.index_names[i] for i in keep],
+                      has_order=fr.has_order)
+        nf.order_epoch = fr.order_epoch
+        return DataFrame(_frame=nf)
+
+    def swaplevel(self, i=-2, j=-1) -> "DataFrame":
+        fr = self._frame
+        order = list(range(len(fr.index_cols)))
+        order[i], order[j] = order[j], order[i]
+        return self.reorder_levels(order)
+
+    def reorder_levels(self, order) -> "DataFrame":
+        fr = self._frame
+        pos = [self._level_pos(l) for l in order]
+        nf = type(fr)(fr.sdf, fr.columns, fr.data_cols,
+                      [fr.index_cols[p] for p in pos], [fr.index_names[p] for p in pos],
+                      has_order=fr.has_order)
+        nf.order_epoch = fr.order_epoch
+        return DataFrame(_frame=nf)
+
+    def _level_pos(self, level) -> int:
+        fr = self._frame
+        if isinstance(level, int):
+            return level if level >= 0 else len(fr.index_cols) + level
+        return fr.index_names.index(level)
+
+    def xs(self, key, level=0, drop_level: bool = True) -> "DataFrame":
+        """MultiIndex cross-section: filter one level to ``key``, optionally
+        dropping it — a pushdown-friendly WHERE, no shuffle."""
+        fr = self._frame
+        lv = self._level_pos(level)
+        out = DataFrame(_frame=fr.filter(F.col(fr.index_cols[lv]) == F.lit(key)))
+        return out.droplevel(lv) if drop_level and len(fr.index_cols) > 1 else out
+
+    @property
+    def at(self):
+        return _ScalarIndexer(self, positional=False)
+
+    @property
+    def iat(self):
+        return _ScalarIndexer(self, positional=True)
+
+    def _dt_index_col(self) -> str:
+        fr = self._frame
+        if not fr.index_cols:
+            raise TypeError("requires a DatetimeIndex (set_index first)")
+        return fr.index_cols[0]
+
+    def at_time(self, time_str: str) -> "DataFrame":
+        c = self._dt_index_col()
+        t = str(time_str) if len(str(time_str)) > 5 else f"{time_str}:00"
+        return DataFrame(_frame=self._frame.filter(F.date_format(F.col(c), "HH:mm:ss") == t))
+
+    def between_time(self, start: str, end: str, inclusive: str = "both") -> "DataFrame":
+        c = self._dt_index_col()
+        tod = F.date_format(F.col(c), "HH:mm:ss")
+        s = str(start) if len(str(start)) > 5 else f"{start}:00"
+        e = str(end) if len(str(end)) > 5 else f"{end}:00"
+        lo = tod >= s if inclusive in ("both", "left") else tod > s
+        hi = tod <= e if inclusive in ("both", "right") else tod < e
+        return DataFrame(_frame=self._frame.filter(lo & hi))
+
+    def truncate(self, before=None, after=None) -> "DataFrame":
+        fr = self._frame
+        c = fr.index_cols[0] if fr.index_cols else None
+        if c is None:
+            raise NotImplementedError("truncate requires a set index")
+        cond = F.lit(True)
+        if before is not None:
+            cond = cond & (F.col(c) >= F.lit(before))
+        if after is not None:
+            cond = cond & (F.col(c) <= F.lit(after))
+        return DataFrame(_frame=fr.filter(cond))
+
+    def first(self, offset) -> "DataFrame":
+        """First rows within ``offset`` of the min index timestamp. One tiny
+        scalar agg (min) then a pushdown filter."""
+        c = self._dt_index_col()
+        lo = self._frame.sdf.agg(F.min(c)).collect()[0][0]
+        hi = (pd.Timestamp(lo) + pd.tseries.frequencies.to_offset(offset)).to_pydatetime()
+        return DataFrame(_frame=self._frame.filter(F.col(c) < F.lit(hi)))
+
+    def last(self, offset) -> "DataFrame":
+        c = self._dt_index_col()
+        hi = self._frame.sdf.agg(F.max(c)).collect()[0][0]
+        lo = (pd.Timestamp(hi) - pd.tseries.frequencies.to_offset(offset)).to_pydatetime()
+        return DataFrame(_frame=self._frame.filter(F.col(c) > F.lit(lo)))
+
+    def align(self, other: "DataFrame", join: str = "outer", axis=None, fill_value=None):
+        """Column alignment (axis=1/None): both frames projected to the union
+        (or intersection) of labels. Row alignment rides the same
+        position/lineage machinery binary ops use."""
+        if axis in (0, "index"):
+            raise NotImplementedError("align(axis=0): use merge on index")
+        a_cols, b_cols = list(self.columns), list(other.columns)
+        if join == "inner":
+            cols = [c for c in a_cols if c in set(b_cols)]
+        elif join == "left":
+            cols = a_cols
+        elif join == "right":
+            cols = b_cols
+        else:
+            cols = a_cols + [c for c in b_cols if c not in set(a_cols)]
+        return self.reindex(columns=cols, fill_value=fill_value), other.reindex(columns=cols, fill_value=fill_value)
+
+    def corrwith(self, other: "DataFrame") -> "Series":
+        """Pairwise Pearson r per shared column — ONE aggregate pass after a
+        position/lineage align (reference: DataFrame.corrwith)."""
+        shared = [c for c in self.columns if c in set(other.columns)]
+        prod = self[shared]._binary_frame(other[shared], lambda a, b: F.struct(a.alias("a"), b.alias("b")))
+        fr = prod._frame
+        aggs = [F.corr(fr.scol(i)["a"].cast("double"), fr.scol(i)["b"].cast("double")).alias(f"c{i}")
+                for i in range(len(shared))]
+        row = fr.sdf.agg(*aggs).collect()[0]
+        return Series._from_pandas(pd.Series([row[f"c{i}"] for i in range(len(shared))], index=shared))
+
+    def applymap(self, func):
+        return self.map(func)
+
+    def transform(self, func):
+        """Shape-preserving transform: named/elementwise funcs stay JVM-side
+        via map; arbitrary callables use the apply path."""
+        if callable(func):
+            return self.map(func)
+        raise NotImplementedError("transform(str): call the method directly")
+
+    def combine(self, other: "DataFrame", func, fill_value=None) -> "DataFrame":
+        # arbitrary python column-merge function — declared driver fallback
+        # (the reference routes uncommon binaries the same way)
+        other_pdf = other.to_pandas()
+        return self._default_to_pandas(lambda pdf: pdf.combine(other_pdf, func, fill_value=fill_value))
+
+    def info(self, verbose=None, buf=None, **kw) -> None:
+        import io as _io
+
+        fr = self._frame
+        out = buf or _io.StringIO()
+        n = len(self)
+        out.write(f"<class 'modin_spark.pandas.DataFrame'>\n{n} entries, {len(fr.columns)} columns\n")
+        for c, t in zip(fr.columns, [dict(fr.sdf.dtypes)[p] for p in fr.data_cols]):
+            out.write(f"  {c}  {t}\n")
+        if buf is None:
+            print(out.getvalue(), end="")
+
+    # driver-side representations (documented escape hatches, mirroring the
+    # reference's default-to-pandas for the same methods)
+    def to_dict(self, orient="dict"):
+        return self.to_pandas().to_dict(orient)
+
+    def to_records(self, index=True):
+        return self.to_pandas().to_records(index=index)
+
+    def to_numpy(self):
+        return self.to_pandas().to_numpy()
+
+    def to_string(self, **kw) -> str:
+        return self.to_pandas().to_string(**kw)
+
+    def to_markdown(self, **kw) -> str:
+        return self.to_pandas().to_markdown(**kw)
+
+    def to_latex(self, **kw) -> str:
+        return self.to_pandas().to_latex(**kw)
+
+    def to_html(self, **kw) -> str:
+        return self.to_pandas().to_html(**kw)
+
+    def to_excel(self, path, **kw) -> None:
+        self.to_pandas().to_excel(path, **kw)
+
+    def to_feather(self, path, **kw) -> None:
+        self.to_pandas().to_feather(path, **kw)
+
+    def to_hdf(self, path, key, **kw) -> None:
+        self.to_pandas().to_hdf(path, key=key, **kw)
+
+    @classmethod
+    def from_dict(cls, data, orient="columns") -> "DataFrame":
+        return cls(pd.DataFrame.from_dict(data, orient=orient))
+
+    @classmethod
+    def from_records(cls, data, **kw) -> "DataFrame":
+        return cls(pd.DataFrame.from_records(data, **kw))
+
+    def tz_localize(self, tz) -> "DataFrame":
+        from modin_spark.functions.datetimes import dt_func
+
+        return self._map_index(lambda c: dt_func("tz_localize", c, tz))
+
+    def tz_convert(self, tz) -> "DataFrame":
+        from modin_spark.functions.datetimes import dt_func
+
+        return self._map_index(lambda c: dt_func("tz_convert", c, tz))
+
+    def to_period(self, freq="M") -> "DataFrame":
+        from modin_spark.functions.datetimes import dt_func
+
+        return self._map_index(lambda c: dt_func("to_period", c, freq))
+
+    def to_timestamp(self) -> "DataFrame":
+        return self._map_index(lambda c: F.to_timestamp(c))
+
+    def _map_index(self, fn) -> "DataFrame":
+        fr = self._frame
+        if not fr.index_cols:
+            raise TypeError("requires a set index")
+        c = fr.index_cols[0]
+        sdf = fr.sdf.withColumn(c, fn(F.col(c)))
+        nf = type(fr)(sdf, fr.columns, fr.data_cols, fr.index_cols, fr.index_names, has_order=fr.has_order)
+        nf.order_epoch = fr.order_epoch
+        return DataFrame(_frame=nf)
+
+    def asfreq(self, freq: str, method=None) -> "DataFrame":
+        r = self.resample(freq)
+        if method in ("ffill", "pad"):
+            return r.ffill()
+        if method in ("bfill", "backfill"):
+            return r.bfill()
+        return r.asfreq()
+
     # ---------------------------------------------------------------- writers
     def to_parquet(self, path: str, mode: str = "overwrite", partition_cols=None) -> None:
         w = self.to_spark(ordered=False).write.mode(mode)
@@ -1267,3 +1689,22 @@ class DataFrame:
 
     def to_orc(self, path: str, mode: str = "overwrite") -> None:
         self.to_spark(ordered=False).write.mode(mode).orc(path)
+
+
+class _ScalarIndexer:
+    """at/iat: single-cell access — a loc/iloc slice collected to one scalar."""
+
+    def __init__(self, df: DataFrame, positional: bool):
+        self._df = df
+        self._positional = positional
+
+    def __getitem__(self, key):
+        row, col = key
+        if self._positional:
+            sub = self._df.iloc[[row]]
+            return sub.to_pandas().iloc[0, col]
+        sub = self._df.loc[[row]]
+        return sub.to_pandas().iloc[0][col]
+
+    def __setitem__(self, key, value):
+        raise NotImplementedError("at/iat assignment: use loc/setitem")

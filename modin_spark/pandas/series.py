@@ -840,3 +840,47 @@ class CategoricalMethods:
 
     def remove_unused_categories(self) -> Series:
         return self._s
+
+
+def _series_api_tail():
+    """Registered below — keeps the additions in one visually grouped block."""
+
+
+def _ser_sample(self, n=None, frac=None, replace=False, random_state=None):
+    return self.to_frame("__s__").sample(n=n, frac=frac, replace=replace, random_state=random_state)["__s__"].rename(self._name)
+
+
+def _ser_argmax(self):
+    """Position of the max value (ties -> first) — one max_by aggregate over
+    the global position, no sort."""
+    fr = self._to_frame("__v__").with_global_position("__p__")
+    return fr.sdf.agg(F.max_by(F.col("__p__"), F.col(fr.data_cols[0])).alias("r")).collect()[0]["r"]
+
+
+def _ser_argmin(self):
+    fr = self._to_frame("__v__").with_global_position("__p__")
+    return fr.sdf.agg(F.min_by(F.col("__p__"), F.col(fr.data_cols[0])).alias("r")).collect()[0]["r"]
+
+
+def _ser_items(self):
+    for idx, v in self.to_pandas().items():
+        yield idx, v
+
+
+def _ser_ravel(self):
+    return self.to_pandas().to_numpy()
+
+
+def _ser_factorize(self, sort: bool = False):
+    """pandas factorize contract returns driver-side arrays; the codes are
+    computed here distributed-first (dictionary join) only when materialized
+    via .cat.codes — this method is the documented driver-side variant."""
+    return self.to_pandas().factorize(sort=sort)
+
+
+Series.sample = _ser_sample
+Series.argmax = _ser_argmax
+Series.argmin = _ser_argmin
+Series.items = _ser_items
+Series.ravel = _ser_ravel
+Series.factorize = _ser_factorize

@@ -1,0 +1,148 @@
+"""Differential tests for the long-tail pandas API surface (reference:
+modin/pandas/{base,dataframe}.py method inventory) — each op runs on both
+modin_spark and pandas over the same parquet and must agree."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def both(spark):
+    import modin_spark.pandas as mpd
+
+    return mpd.read_parquet(f"{SF}/nation.parquet"), pd.read_parquet(f"{SF}/nation.parquet")
+
+
+def test_comparison_methods(both):
+    m, p = both
+    for meth in ["eq", "ne", "gt", "ge", "lt", "le"]:
+        got = getattr(m[["n_nationkey", "n_regionkey"]], meth)(3).to_pandas()
+        exp = getattr(p[["n_nationkey", "n_regionkey"]], meth)(3)
+        pd.testing.assert_frame_equal(got.reset_index(drop=True), exp.reset_index(drop=True))
+
+
+def test_reversed_arithmetic(both):
+    m, p = both
+    # head(8) keeps rpow inside int64: pandas wraps on integer overflow
+    # (platform artifact), Spark computes in double — not semantics we chase
+    for meth in ["radd", "rsub", "rmul", "rtruediv", "rfloordiv", "rmod", "rpow"]:
+        got = getattr(m[["n_nationkey"]].head(8), meth)(7).to_pandas()
+        exp = getattr(p[["n_nationkey"]].head(8), meth)(7)
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
+        )
+
+
+def test_sample_frac_and_n(both):
+    m, p = both
+    a = m.sample(frac=0.5, random_state=3).to_pandas()
+    b = m.sample(frac=0.5, random_state=3).to_pandas()
+    pd.testing.assert_frame_equal(a, b)  # deterministic for a fixed seed
+    assert 0 < len(a) < len(p)
+    assert len(m.sample(n=6, random_state=1)) == 6
+
+
+def test_filter_items_like_regex(both):
+    m, p = both
+    for kw in [{"items": ["n_name", "n_regionkey"]}, {"like": "region"}, {"regex": "^n_n"}]:
+        assert list(m.filter(**kw).columns) == list(p.filter(**kw).columns)
+
+
+def test_reindex_columns_and_rows(both):
+    m, p = both
+    got = m.reindex(columns=["n_name", "nope"]).to_pandas()
+    exp = p.reindex(columns=["n_name", "nope"])
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), exp.reset_index(drop=True))
+    got = (
+        m.set_index("n_nationkey").reindex(index=[2, 0, 99]).to_pandas()["n_name"]
+    )
+    exp = p.set_index("n_nationkey").reindex(index=[2, 0, 99])["n_name"]
+    assert sorted(got.fillna("NA")) == sorted(exp.fillna("NA"))
+
+
+def test_xs_and_droplevel(both):
+    m, p = both
+    mi = m.set_index(["n_regionkey", "n_nationkey"])
+    pi = p.set_index(["n_regionkey", "n_nationkey"])
+    got = mi.xs(2).to_pandas().sort_index()
+    exp = pi.xs(2).sort_index()
+    pd.testing.assert_frame_equal(got, exp)
+    assert m.set_index(["n_regionkey", "n_nationkey"]).droplevel(0).to_pandas().index.name == "n_nationkey"
+
+
+def test_at_iat(both):
+    m, p = both
+    assert m.iat[3, 1] == p.iat[3, 1]
+    assert m.at[3, "n_name"] == p.at[3, "n_name"]
+
+
+def test_time_filters(spark):
+    import modin_spark.pandas as mpd
+
+    ev = mpd.read_parquet(f"{SF}/events.parquet").sort_values("ts").set_index("ts")
+    pev = pd.read_parquet(f"{SF}/events.parquet").sort_values("ts").set_index("ts")
+    got = ev.between_time("01:00", "02:00").to_pandas()
+    exp = pev.between_time("01:00", "02:00")
+    assert len(got) == len(exp)
+    got_f = ev.first("2h").to_pandas()
+    exp_f = pev.first("2h")
+    assert len(got_f) == len(exp_f)
+    got_l = ev.last("2h").to_pandas()
+    exp_l = pev.last("2h")
+    assert len(got_l) == len(exp_l)
+    t0, t1 = pev.index[100], pev.index[200]
+    assert len(ev.truncate(t0, t1)) == len(pev.truncate(t0, t1))
+
+
+def test_corrwith_align(both):
+    m, p = both
+    num_m, num_p = m[["n_nationkey", "n_regionkey"]], p[["n_nationkey", "n_regionkey"]]
+    got = num_m.corrwith(num_m * 2).to_pandas()
+    exp = num_p.corrwith(num_p * 2)
+    np.testing.assert_allclose(got.values, exp.values)
+    am, bm = m[["n_name"]].align(m[["n_name", "n_regionkey"]])
+    ap, bp = p[["n_name"]].align(p[["n_name", "n_regionkey"]])
+    assert list(am.columns) == list(ap.columns) and list(bm.columns) == list(bp.columns)
+
+
+def test_driver_side_representations(both):
+    m, p = both
+    h = m.head(3)
+    hp = p.head(3)
+    assert h.to_dict() == hp.to_dict()
+    assert (h.to_numpy() == hp.to_numpy()).all()
+    assert h.to_string() == hp.to_string()
+    assert m.size == p.size and m.ndim == 2
+    assert list(m.keys()) == list(p.keys())
+
+
+def test_set_axis_and_rename_axis(both):
+    m, p = both
+    labels = [f"c{i}" for i in range(len(p.columns))]
+    got = m.set_axis(labels, axis=1)
+    assert list(got.columns) == labels
+    r = m.set_index("n_nationkey").rename_axis("key")
+    assert r.to_pandas().index.name == "key"
+
+
+def test_series_tail(both):
+    m, p = both
+    s, sp = m["n_nationkey"], p["n_nationkey"]
+    assert s.argmax() == sp.argmax() and s.argmin() == sp.argmin()
+    assert list(s.items())[:3] == list(sp.items())[:3]
+    assert (s.ravel() == sp.ravel()).all()
+    codes, _ = s.factorize()
+    codes_p, _ = sp.factorize()
+    assert (codes == codes_p).all()
+
+
+def test_pop_isetitem(both):
+    m, p = both
+    mc, pc = m.copy(), p.copy()
+    sm = mc.pop("n_name")
+    sp2 = pc.pop("n_name")
+    assert list(mc.columns) == list(pc.columns)
+    assert sorted(sm.to_pandas().fillna("")) == sorted(sp2.fillna(""))
