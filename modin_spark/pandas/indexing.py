@@ -129,3 +129,45 @@ class LocIndexer:
         if not isinstance(col_key, (slice, list)):
             return Series._from_frame(out)
         return DataFrame(_frame=out)
+
+
+class _SeriesLocWrapper:
+    """Series.loc / Series.iloc: route through the frame indexers on the
+    1-column projection, unwrap 1-column results back to Series/scalar."""
+
+    def __init__(self, s, positional: bool):
+        self._s = s
+        self._positional = positional
+
+    def __getitem__(self, key):
+        from modin_spark.pandas.dataframe import DataFrame
+
+        df = self._s.to_frame("__s__")
+        idx = df.iloc if self._positional else df.loc
+        if isinstance(key, tuple):
+            res = idx[key]
+        elif self._positional:
+            # scalar position -> scalar cell; everything else -> frame route
+            res = idx[key, 0] if isinstance(key, int) else idx[key]
+        else:
+            res = idx[key, :]
+        if isinstance(res, DataFrame):
+            if len(res._frame.columns) == 1:
+                out = res["__s__"]
+                # scalar label lookup -> scalar (pandas); missing -> KeyError
+                if not self._positional and not isinstance(key, (slice, list, Series)):
+                    vals = out.head(2).to_pandas()
+                    if len(vals) == 1:
+                        return vals.iloc[0]
+                    if len(vals) == 0:
+                        raise KeyError(key)
+                return out.rename(self._s._name)
+            return res
+        if isinstance(res, Series):
+            scalar_key = not isinstance(key, (slice, list, tuple))
+            if scalar_key:
+                vals = res.to_pandas()
+                if len(vals) == 1:
+                    return vals.iloc[0]
+            return res.rename(self._s._name)
+        return res

@@ -884,3 +884,187 @@ Series.argmin = _ser_argmin
 Series.items = _ser_items
 Series.ravel = _ser_ravel
 Series.factorize = _ser_factorize
+
+
+# ------------------------------------------------------------ Series API tail
+# Frame-routed methods: run the (already distributed) DataFrame implementation
+# on the 1-column projection and re-wrap the result as a Series. The
+# projection keeps index columns, so index semantics survive the round trip.
+def _route_frame(name):
+    def fn(self, *a, **k):
+        from modin_spark.pandas.dataframe import DataFrame
+
+        res = getattr(self.to_frame("__s__"), name)(*a, **k)
+        if isinstance(res, DataFrame):
+            if list(res.columns) == ["__s__"]:
+                return res["__s__"].rename(self._name)
+            return res
+        return res
+
+    fn.__name__ = name
+    return fn
+
+
+for _m in [
+    "sort_index", "reset_index", "reindex", "take", "truncate", "at_time",
+    "between_time", "first", "last", "set_axis", "rename_axis", "droplevel",
+    "swaplevel", "reorder_levels", "xs", "resample", "interpolate",
+    "tz_localize", "tz_convert", "to_period", "to_timestamp", "asfreq",
+    "to_sql", "to_csv", "to_json", "to_pickle",
+]:
+    if not hasattr(Series, _m):
+        setattr(Series, _m, _route_frame(_m))
+
+
+def _ser_loc(self):
+    from modin_spark.pandas.indexing import _SeriesLocWrapper
+
+    return _SeriesLocWrapper(self, positional=False)
+
+
+def _ser_iloc(self):
+    from modin_spark.pandas.indexing import _SeriesLocWrapper
+
+    return _SeriesLocWrapper(self, positional=True)
+
+
+Series.loc = property(_ser_loc)
+Series.iloc = property(_ser_iloc)
+
+
+def _ser_drop(self, labels=None, index=None):
+    out = self.to_frame("__s__").drop(index=index if index is not None else labels)
+    return out["__s__"].rename(self._name)
+
+
+def _ser_copy(self, deep=True):
+    return Series(self._frame, self._expr, self._refs, name=self._name, filter_expr=self._filter_expr)
+
+
+def _ser_corr(self, other, method="pearson"):
+    """Pairwise Pearson r — ONE aggregate after lineage/position align."""
+    fr, ea, eb, _ = self._combine(other)
+    return fr.sdf.agg(F.corr(ea.cast("double"), eb.cast("double")).alias("r")).collect()[0]["r"]
+
+
+def _ser_cov(self, other, ddof=1):
+    fr, ea, eb, _ = self._combine(other)
+    f = F.covar_samp if ddof == 1 else F.covar_pop
+    return fr.sdf.agg(f(ea.cast("double"), eb.cast("double")).alias("r")).collect()[0]["r"]
+
+
+def _ser_is_monotonic_increasing(self):
+    """Adjacent-pair compare via the block+halo shift machinery (scale-safe:
+    no global window), then one tiny bool reduce."""
+    prev = self.shift(1)
+    ok = (self >= prev) | prev.isna()
+    return bool(ok.all())
+
+
+def _ser_is_monotonic_decreasing(self):
+    prev = self.shift(1)
+    ok = (self <= prev) | prev.isna()
+    return bool(ok.all())
+
+
+def _ser_is_unique(self):
+    r = self._frame.sdf.agg(
+        F.count(self._expr).alias("n"), F.count_distinct(self._expr).alias("d")
+    ).collect()[0]
+    return r["n"] == r["d"]
+
+
+def _ser_hasnans(self):
+    e = self._expr
+    cond = e.isNull()
+    r = self._frame.sdf.agg(F.max(F.when(cond, 1).otherwise(0)).alias("h")).collect()[0]["h"]
+    return bool(r)
+
+
+def _ser_item(self):
+    vals = self.head(2).to_pandas()
+    if len(vals) != 1:
+        raise ValueError("can only convert an array of size 1 to a Python scalar")
+    return vals.iloc[0]
+
+
+def _ser_get(self, key, default=None):
+    try:
+        out = self.loc[key]
+        return out
+    except (KeyError, IndexError):
+        return default
+
+
+def _ser_equals(self, other):
+    a = self.to_pandas().reset_index(drop=True)
+    b = other.to_pandas().reset_index(drop=True)
+    return a.equals(b)
+
+
+def _ser_combine_first(self, other):
+    fr, ea, eb, refs = self._combine(other)
+    return Series(fr, F.coalesce(ea, eb), refs, name=self._name)
+
+
+def _ser_divmod(self, other):
+    return self.floordiv(other), self.mod(other)
+
+
+def _ser_rdivmod(self, other):
+    return self.rfloordiv(other), self.rmod(other)
+
+
+def _ser_add_prefix(self, prefix):
+    return self.rename(f"{prefix}{self._name}" if self._name is not None else prefix)
+
+
+def _ser_add_suffix(self, suffix):
+    return self.rename(f"{self._name}{suffix}" if self._name is not None else suffix)
+
+
+def _ser_argsort(self):
+    return Series._from_pandas(self.to_pandas().reset_index(drop=True).argsort())
+
+
+Series.drop = _ser_drop
+Series.copy = _ser_copy
+Series.corr = _ser_corr
+Series.cov = _ser_cov
+Series.is_monotonic_increasing = property(_ser_is_monotonic_increasing)
+Series.is_monotonic_decreasing = property(_ser_is_monotonic_decreasing)
+Series.is_unique = property(_ser_is_unique)
+Series.hasnans = property(_ser_hasnans)
+Series.item = _ser_item
+Series.get = _ser_get
+Series.equals = _ser_equals
+Series.combine_first = _ser_combine_first
+Series.divmod = _ser_divmod
+Series.rdivmod = _ser_rdivmod
+Series.add_prefix = _ser_add_prefix
+Series.add_suffix = _ser_add_suffix
+Series.argsort = _ser_argsort
+Series.ndim = 1
+Series.pad = lambda self: self.ffill()
+Series.backfill = lambda self: self.bfill()
+Series.keys = lambda self: self.index
+Series.bool = lambda self: bool(self.item())
+Series.transform = lambda self, func: self.apply(func)
+Series.view = lambda self, dtype=None: self
+Series.infer_objects = lambda self: self
+Series.convert_dtypes = lambda self: self
+Series.to_dict = lambda self: self.to_pandas().to_dict()
+Series.to_string = lambda self, **k: self.to_pandas().to_string(**k)
+Series.to_markdown = lambda self, **k: self.to_pandas().to_markdown(**k)
+Series.to_latex = lambda self, **k: self.to_pandas().to_latex(**k)
+Series.to_numpy = lambda self: self.to_pandas().to_numpy()
+Series.to_excel = lambda self, path, **k: self.to_pandas().to_excel(path, **k)
+Series.to_hdf = lambda self, path, key, **k: self.to_pandas().to_hdf(path, key=key, **k)
+Series.memory_usage = lambda self, index=True, deep=False: int(self.to_frame("__s__").memory_usage().sum())
+Series.nbytes = property(lambda self: int(self.to_frame("__s__").memory_usage().sum()))
+Series.size = property(lambda self: len(self))
+Series.shape = property(lambda self: (len(self),))
+Series.empty = property(lambda self: len(self) == 0)
+Series.T = property(lambda self: self)
+Series.transpose = lambda self: self
+Series.squeeze = lambda self: self.item() if len(self) == 1 else self

@@ -146,3 +146,46 @@ def test_pop_isetitem(both):
     sp2 = pc.pop("n_name")
     assert list(mc.columns) == list(pc.columns)
     assert sorted(sm.to_pandas().fillna("")) == sorted(sp2.fillna(""))
+
+
+def test_series_loc_iloc(both):
+    m, p = both
+    s, sp = m["n_regionkey"], p["n_regionkey"]
+    assert s.iloc[3] == sp.iloc[3]
+    assert s.iloc[1:4].to_pandas().tolist() == sp.iloc[1:4].tolist()
+    assert s.loc[2] == sp.loc[2]
+    lab, labp = m.set_index("n_nationkey")["n_name"], p.set_index("n_nationkey")["n_name"]
+    assert lab.loc[4] == labp.loc[4]
+    assert lab.get(999, "dflt") == labp.get(999, "dflt") == "dflt"
+
+
+def test_series_stats_tail(both):
+    m, p = both
+    s, sp = m["n_regionkey"], p["n_regionkey"]
+    k, kp = m["n_nationkey"], p["n_nationkey"]
+    assert abs(s.corr(k) - sp.corr(kp)) < 1e-9
+    assert abs(s.cov(k) - sp.cov(kp)) < 1e-9
+    assert s.is_monotonic_increasing == sp.is_monotonic_increasing
+    assert k.is_monotonic_increasing == kp.is_monotonic_increasing
+    assert k.is_monotonic_decreasing == kp.is_monotonic_decreasing
+    assert s.is_unique == sp.is_unique and k.is_unique == kp.is_unique
+    assert s.hasnans == sp.hasnans
+
+
+def test_series_routed_methods(both):
+    m, p = both
+    lab = m.set_index("n_nationkey")["n_name"]
+    labp = p.set_index("n_nationkey")["n_name"]
+    assert lab.sort_index().to_pandas().tolist() == labp.sort_index().tolist()
+    assert len(lab.drop([0, 1])) == len(labp.drop([0, 1]))
+    assert lab.reset_index().to_pandas().shape == labp.reset_index().shape
+    got = m["n_nationkey"].divmod(3)
+    exp = p["n_nationkey"].divmod(3)
+    assert got[0].to_pandas().tolist() == list(exp[0])
+    assert got[1].to_pandas().tolist() == list(exp[1])
+    assert m["n_nationkey"].combine_first(m["n_regionkey"]).to_pandas().tolist() == \
+        p["n_nationkey"].combine_first(p["n_regionkey"]).tolist()
+    assert m["n_name"].head(1).item() == p["n_name"].head(1).item()
+    assert m["n_regionkey"].equals(m["n_regionkey"]) and not m["n_regionkey"].equals(m["n_nationkey"])
+    assert m["n_regionkey"].size == p["n_regionkey"].size
+    assert m["n_regionkey"].shape == p["n_regionkey"].shape
