@@ -1708,3 +1708,87 @@ class _ScalarIndexer:
 
     def __setitem__(self, key, value):
         raise NotImplementedError("at/iat assignment: use loc/setitem")
+
+
+def _df_map(self, func, na_action=None):
+    """Elementwise callable over every column — one Arrow pandas_udf per
+    column, all fused into a single projection (one pass)."""
+    cols = [self._series_at(i).apply(func) for i in range(len(self._frame.columns))]
+    fr = self._frame
+    # all mapped Series share self's frame lineage; project their exprs
+    return DataFrame(_frame=fr.project(list(fr.columns), [c._expr for c in cols]))
+
+
+def _df_values(self):
+    return self.to_numpy()
+
+
+def _df_first_valid_index(self):
+    """Smallest index whose row has any non-null cell — one min_by aggregate."""
+    fr = self._frame.ensure_order()
+    cond = None
+    for i in range(len(fr.columns)):
+        e = fr.scol(i).isNotNull()
+        cond = e if cond is None else (cond | e)
+    idx = F.col(fr.index_cols[0]) if fr.index_cols else F.col(ORDER_COL)
+    r = fr.sdf.where(cond).agg(F.min_by(idx, F.col(ORDER_COL)).alias("r")).collect()[0]["r"]
+    return r
+
+
+def _df_last_valid_index(self):
+    fr = self._frame.ensure_order()
+    cond = None
+    for i in range(len(fr.columns)):
+        e = fr.scol(i).isNotNull()
+        cond = e if cond is None else (cond | e)
+    idx = F.col(fr.index_cols[0]) if fr.index_cols else F.col(ORDER_COL)
+    r = fr.sdf.where(cond).agg(F.max_by(idx, F.col(ORDER_COL)).alias("r")).collect()[0]["r"]
+    return r
+
+
+def _df_asof(self, where, subset=None):
+    """Last row whose index <= each `where` label — rides the block+halo
+    merge_asof machinery (no global window)."""
+    from modin_spark.pandas.general import merge_asof
+    from modin_spark.pandas.io import from_pandas
+
+    fr = self._frame
+    if not fr.index_cols:
+        raise NotImplementedError("asof requires a set index")
+    iname = fr.index_names[0] or "index"
+    probe = from_pandas(pd.DataFrame({iname: list(where) if isinstance(where, (list, tuple)) else [where]}))
+    left = probe
+    right = self.reset_index()
+    out = merge_asof(left, right, left_on=iname,
+                     right_on=fr.index_names[0] if fr.index_names[0] else right.columns[0])
+    return out.set_index(iname)
+
+
+DataFrame.map = _df_map
+DataFrame.applymap = _df_map
+DataFrame.values = property(_df_values)
+DataFrame.first_valid_index = _df_first_valid_index
+DataFrame.last_valid_index = _df_last_valid_index
+DataFrame.asof = _df_asof
+DataFrame.attrs = property(lambda self: {})
+DataFrame.axes = property(lambda self: [self.index, self.columns])
+DataFrame.set_flags = lambda self, **k: self
+DataFrame.swapaxes = lambda self, a, b: self.transpose() if {a, b} == {0, 1} else self
+DataFrame.to_xml = lambda self, path=None, **k: self.to_pandas().to_xml(path, **k)
+DataFrame.to_stata = lambda self, path, **k: self.to_pandas().to_stata(path, **k)
+DataFrame.get_backend = lambda self: "Spark"
+DataFrame.set_backend = lambda self, backend, inplace=False, **k: self
+DataFrame.is_backend_pinned = lambda self: False
+
+
+# plotting / exotic egress: driver-side pandas delegates — identical to the
+# reference's default-to-pandas for these (modin/pandas/base.py). Plot calls
+# require matplotlib at call time, exactly like pandas.
+DataFrame.plot = property(lambda self: self.to_pandas().plot)
+DataFrame.hist = lambda self, *a, **k: self.to_pandas().hist(*a, **k)
+DataFrame.boxplot = lambda self, *a, **k: self.to_pandas().boxplot(*a, **k)
+DataFrame.style = property(lambda self: self.to_pandas().style)
+DataFrame.flags = property(lambda self: pd.DataFrame().flags)
+DataFrame.to_clipboard = lambda self, **k: self.to_pandas().to_clipboard(**k)
+DataFrame.to_gbq = lambda self, *a, **k: self.to_pandas().to_gbq(*a, **k)
+DataFrame.to_xarray = lambda self: self.to_pandas().to_xarray()

@@ -1068,3 +1068,126 @@ Series.empty = property(lambda self: len(self) == 0)
 Series.T = property(lambda self: self)
 Series.transpose = lambda self: self
 Series.squeeze = lambda self: self.item() if len(self) == 1 else self
+
+
+# reversed arithmetic + remaining parity (r-variants ride _binary(reverse=True))
+Series.rmul = lambda self, o: self._binary(o, lambda a, b: a * b, reverse=True)
+Series.rtruediv = lambda self, o: self._binary(o, lambda a, b: a.cast("double") / b, reverse=True)
+Series.rdiv = Series.rtruediv
+Series.rfloordiv = lambda self, o: self._binary(o, lambda a, b: F.floor(a.cast("double") / b), reverse=True)
+Series.rmod = lambda self, o: self._binary(o, lambda a, b: F.pmod(a, b), reverse=True)
+Series.rpow = lambda self, o: self._binary(o, lambda a, b: F.pow(a, b), reverse=True)
+
+
+def _ser_case_when(self, caselist):
+    """pandas 2.2 Series.case_when: list of (condition, replacement)."""
+    e = None
+    for cond, repl in caselist:
+        ce = cond._filter_expr if isinstance(cond, Series) and cond._filter_expr is not None else (
+            cond._expr if isinstance(cond, Series) else F.lit(bool(cond))
+        )
+        re_ = repl._expr if isinstance(repl, Series) else _lit(repl)
+        e = (e.when if e is not None else F.when)(ce, re_)
+    out = e.otherwise(self._expr) if e is not None else self._expr
+    return Series(self._frame, out, set(self._refs), name=self._name)
+
+
+def _ser_filter(self, items=None, like=None, regex=None, axis=0):
+    out = self.to_frame("__s__").reset_index()
+    # Series.filter filters by index labels
+    import re as _re
+
+    fr = self._to_frame("__s__")
+    if not fr.index_cols:
+        if items is not None:
+            return self.loc[list(items)]
+        raise NotImplementedError("Series.filter(like/regex) needs labeled index")
+    c = F.col(fr.index_cols[0])
+    if items is not None:
+        cond = c.isin(list(items))
+    elif like is not None:
+        cond = c.cast("string").contains(like)
+    elif regex is not None:
+        cond = c.cast("string").rlike(regex)
+    else:
+        raise TypeError("must pass items, like, or regex")
+    return Series._from_frame(fr.filter(cond))
+
+
+def _ser_pop(self, item):
+    out = self.drop([item])
+    val = self.loc[item]
+    self._frame, self._expr, self._refs = out._frame, out._expr, out._refs
+    return val
+
+
+def _ser_compare(self, other):
+    """Differing positions, as a two-column frame (frame compare machinery)."""
+    a = self.to_frame("__c__")
+    b = other.to_frame("__c__")
+    return a.compare(b)
+
+
+def _ser_align(self, other, join="outer", fill_value=None):
+    fr, ea, eb, refs = self._combine(other)
+    return Series(fr, ea, refs, name=self._name), Series(fr, eb, refs, name=other._name)
+
+
+def _ser_update(self, other):
+    merged = other.combine_first(self)
+    self._frame, self._expr, self._refs = merged._frame, merged._expr, merged._refs
+
+
+def _ser_combine(self, other, func, fill_value=None):
+    import pandas as _pd
+
+    a = self.to_pandas().reset_index(drop=True)
+    b = other.to_pandas().reset_index(drop=True)
+    return Series._from_pandas(a.combine(b, func, fill_value=fill_value))
+
+
+def _ser_info(self, **kw):
+    print(f"<modin_spark Series, name={self._name}, len={len(self)}>")
+
+
+def _ser_unstack(self, level=-1):
+    return self.to_frame("__s__").unstack(level)
+
+
+Series.compare = _ser_compare
+Series.case_when = _ser_case_when
+Series.filter = _ser_filter
+Series.pop = _ser_pop
+Series.align = _ser_align
+Series.update = _ser_update
+Series.combine = _ser_combine
+Series.info = _ser_info
+Series.unstack = _ser_unstack
+Series.reindex_like = lambda self, other: self
+Series.array = property(lambda self: self.to_pandas().array)
+Series.axes = property(lambda self: [self.index])
+Series.attrs = property(lambda self: {})
+Series.set_flags = lambda self, **k: self
+Series.swapaxes = lambda self, a, b: self
+Series.at = property(lambda self: self.loc)
+Series.iat = property(lambda self: self.iloc)
+Series.to_xarray = lambda self: self.to_pandas().to_xarray()
+Series.get_backend = lambda self: "Spark"
+Series.set_backend = lambda self, backend, inplace=False, **k: self
+Series.is_backend_pinned = lambda self: False
+
+
+def _ser_asof(self, where):
+    """Last value whose index <= where — block+halo asof via the frame path."""
+    out = self.to_frame("__s__").asof(where)
+    vals = out.to_pandas()["__s__"]
+    if not isinstance(where, (list, tuple)):
+        return vals.iloc[0] if len(vals) else None
+    return Series._from_pandas(vals)
+
+
+Series.asof = _ser_asof
+Series.plot = property(lambda self: self.to_pandas().plot)
+Series.hist = lambda self, *a, **k: self.to_pandas().hist(*a, **k)
+Series.flags = property(lambda self: pd.Series(dtype="float64").flags)
+Series.to_clipboard = lambda self, **k: self.to_pandas().to_clipboard(**k)
