@@ -16,6 +16,8 @@ from pyspark.sql import functions as F
 # session's fixed UTC timezone (unix_micros/unix_timestamp reject NTZ inputs)
 _TS = lambda c: c.cast("timestamp")
 _SECONDS = lambda c: F.unix_timestamp(_TS(c))
+# day-time interval -> fractional seconds (double)
+_TD_SECONDS = lambda c: c.cast("interval second").cast("decimal(30,6)").cast("double")
 
 DT_FUNCS = {
     "year": lambda c: F.year(c),
@@ -53,10 +55,17 @@ DT_FUNCS = {
         F.date_trunc(_freq_to_trunc(freq), c) == c, c
     ).otherwise(F.date_trunc(_freq_to_trunc(freq), c) + F.expr(_freq_to_interval(freq))),
     "round": lambda c, freq: _dt_round(c, freq),
-    "total_seconds": lambda c: c.cast("double") if True else None,  # interval -> seconds
-    "days": lambda c: F.floor(c.cast("double") / 86400).cast("int"),
+    # timedelta accessors: DayTimeIntervalType -> fractional seconds via the
+    # decimal cast (interval cannot cast to double directly)
+    "total_seconds": lambda c: _TD_SECONDS(c),
+    "days": lambda c: F.floor(_TD_SECONDS(c) / 86400).cast("int"),
     "seconds": lambda c: (c.cast("long") % 86400).cast("int"),
     "epoch_seconds": lambda c: F.unix_timestamp(_TS(c)),
+    "timetz": lambda c: F.date_format(c, "HH:mm:ss"),
+    # timedelta component accessors (values are seconds-as-double)
+    "microseconds": lambda c: (F.round(_TD_SECONDS(c) * 1e6) % 1_000_000).cast("int"),
+    "nanoseconds": lambda c: (F.lit(0)).cast("int"),  # µs storage precision
+    "to_timestamp": lambda c: F.to_timestamp(c),
     # tz surface (Spark timestamps are instants rendered in the session tz;
     # pandas' tz-aware dtype is represented by its instant):
     #   tz_localize(tz): reinterpret the wall-clock value as being in `tz`

@@ -691,9 +691,52 @@ class Series:
         return SeriesGroupBy(self, by)
 
 
+def _re_escape(sep: str) -> str:
+    import re as _re
+
+    return _re.escape(sep)
+
+
 class StringMethods:
     def __init__(self, s: Series):
         self._s = s
+
+    def extractall(self, pat: str):
+        """All regex matches, one row per match: (index, match#, group...).
+        regexp_extract_all + posexplode — stays JVM-side; the (doc, match)
+        MultiIndex surfaces as ordinary index columns."""
+        import re as _re
+
+        from modin_spark.pandas.dataframe import DataFrame
+
+        ngroups = _re.compile(pat).groups or 1
+        fr = self._s._to_frame("__t__").ensure_order()
+        arr = F.regexp_extract_all(fr.scol(0), F.lit(pat), 0)
+        sdf = fr.sdf.select(F.col(ORDER_COL), F.posexplode(arr).alias("__match__", "__m0__"))
+        cols, exprs = [], []
+        for g in range(1, ngroups + 1):
+            cols.append(g - 1)
+            exprs.append(F.regexp_extract(F.col("__m0__"), pat, g if _re.compile(pat).groups else 0).alias(f"__g{g}__"))
+        sdf = sdf.select(ORDER_COL, "__match__", *exprs)
+        nf = SparkFrame(sdf, pd.Index(cols), [f"__g{g}__" for g in range(1, ngroups + 1)],
+                        index_cols=["__match__"], index_names=["match"], has_order=True)
+        return DataFrame(_frame=nf)
+
+    def get_dummies(self, sep: str = "|"):
+        """One 0/1 column per distinct token. Two passes: a distinct-token
+        aggregate (small) then a contains() projection per token."""
+        from modin_spark.pandas.dataframe import DataFrame
+
+        fr = self._s._to_frame("__t__")
+        toks = [
+            r[0]
+            for r in fr.sdf.select(F.explode(F.split(fr.scol(0), _re_escape(sep))).alias("t"))
+            .where("t <> ''").distinct().orderBy("t").collect()
+        ]
+        exprs = [
+            F.array_contains(F.split(fr.scol(0), _re_escape(sep)), t).cast("int") for t in toks
+        ]
+        return DataFrame(_frame=fr.project(toks, exprs))
 
     def __getattr__(self, name):
         if name.startswith("_"):

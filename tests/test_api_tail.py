@@ -189,3 +189,28 @@ def test_series_routed_methods(both):
     assert m["n_regionkey"].equals(m["n_regionkey"]) and not m["n_regionkey"].equals(m["n_nationkey"])
     assert m["n_regionkey"].size == p["n_regionkey"].size
     assert m["n_regionkey"].shape == p["n_regionkey"].shape
+
+
+def test_str_extractall_get_dummies(both):
+    m, p = both
+    e = m["n_name"].str.extractall(r"(\d+)").to_pandas()
+    ep = p["n_name"].str.extractall(r"(\d+)")
+    assert e[0].tolist() == ep[0].tolist()
+    d = m["n_name"].str.get_dummies("_").to_pandas()
+    dp = p["n_name"].str.get_dummies("_")
+    assert sorted(d.columns) == sorted(dp.columns)
+    assert (d[sorted(d.columns)].values == dp[sorted(dp.columns)].values).all()
+
+
+def test_timedelta_accessors(spark):
+    import modin_spark.pandas as mpd
+
+    ev = mpd.read_parquet(f"{SF}/events.parquet")
+    pv = pd.read_parquet(f"{SF}/events.parquet")
+    td, tdp = ev["ts"] - ev["ts"].shift(1), pv["ts"] - pv["ts"].shift(1)
+    assert td.dt.microseconds.to_pandas().tolist()[1:50] == tdp.dt.microseconds.tolist()[1:50]
+    assert td.dt.days.to_pandas().tolist()[1:50] == tdp.dt.days.tolist()[1:50]
+    assert td.dt.seconds.to_pandas().tolist()[1:50] == tdp.dt.seconds.tolist()[1:50]
+    np.testing.assert_allclose(
+        td.dt.total_seconds().to_pandas().values[1:50], tdp.dt.total_seconds().values[1:50]
+    )
