@@ -771,11 +771,13 @@ class DatetimeMethods:
         if name not in DT_FUNCS:
             raise NotImplementedError(f"dt.{name}")
         fn = DT_FUNCS[name]
-        # properties (no-arg) are exposed as attributes like pandas
+        # properties (no-arg) are exposed as attributes like pandas, except
+        # the names pandas defines as methods
         import inspect
 
+        _METHODS = {"total_seconds", "normalize", "to_pydatetime", "to_pytimedelta", "to_timestamp"}
         params = [p for p in inspect.signature(fn).parameters.values()][1:]
-        if not params:
+        if not params and name not in _METHODS:
             return self._s._map1(fn)
 
         def call(*args, **kwargs):
