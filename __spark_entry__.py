@@ -558,6 +558,38 @@ def _docs_exact_dedup(spark, sf):
     return out.to_spark(ordered=False)
 
 
+
+def _docs_clean_corpus(spark, sf):
+    """Capstone training-data pipeline: language filter + quality filter +
+    token-length band + exact near-dup removal (normalized-content
+    fingerprint, min-id representative), then corpus stats — the standard
+    pretraining-corpus cleaning recipe as ONE declarative plan (single scan,
+    one groupBy-fingerprint shuffle, one tiny aggregate)."""
+    from modin_spark.operators.text import fingerprint, lang_id, quality_score, token_count
+
+    docs = _rp(spark, f"{sf}/documents.parquet")
+    t = F.col("text")
+    stats = docs.select(
+        F.col("doc_id"),
+        lang_id(t).alias("lang_pred"),
+        quality_score(t).alias("q"),
+        token_count(t, "whitespace").alias("n_tokens"),
+        fingerprint(t).alias("fp"),
+    )
+    rep = (
+        stats.groupBy("fp")
+        .agg(F.min_by(F.struct("doc_id", "lang_pred", "q", "n_tokens"), F.col("doc_id")).alias("r"))
+        .select("r.*")
+    )
+    clean = rep.where((F.col("lang_pred") == "en") & (F.col("q") >= 0.5)
+                      & F.col("n_tokens").between(10, 10000))
+    return clean.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("q"), 4).alias("avg_quality"),
+    )
+
+
 def _docs_token_stats(spark, sf):
     from modin_spark.operators.text import token_count
 
@@ -1328,7 +1360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ivf_topk": _emb_ivf_topk,
         "q1_pricing_summary": _q1,
         "docs_langid_quality": _docs_langid_quality,
-        "rolling_mean": _rolling_mean,
+        "docs_clean_corpus": _docs_clean_corpus,
         "docs_jaccard_pairs": _docs_jaccard_pairs,
         "emb_brute_topk": _emb_brute_topk,
         "q5_nation_revenue": _q5,
@@ -1373,11 +1405,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_minhash_dedup": _docs_minhash_dedup,
         "docs_simhash_dedup": _docs_simhash_dedup,
         "q3_top_orders": _q3,
+        "rolling_mean": _rolling_mean,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "docs_clean_corpus": """
+            WITH t AS (
+              SELECT doc_id,
+                (list_sort([
+                  {'s': len(regexp_extract_all(lower(text), '\\b(?:the|and|of|to|in|is|that|for|with|was)\\b')), 'l': 'en'},
+                  {'s': len(regexp_extract_all(lower(text), '\\b(?:der|die|und|das|ist|nicht|ein|mit|auf|f\u00fcr)\\b')), 'l': 'de'},
+                  {'s': len(regexp_extract_all(lower(text), '\\b(?:le|la|les|et|des|est|dans|que|une|pour)\\b')), 'l': 'fr'},
+                  {'s': len(regexp_extract_all(lower(text), '\\b(?:el|la|los|que|de|en|es|una|por|con)\\b')), 'l': 'es'},
+                  {'s': 0, 'l': 'und'}])[5]).l AS lang_pred,
+                least(greatest(
+                  (0.3 * (CASE WHEN len(regexp_extract_all(text, '\\S+')) BETWEEN 10 AND 10000 THEN 1.0
+                               WHEN len(regexp_extract_all(text, '\\S+')) >= 5 THEN 0.5 ELSE 0.0 END)
+                   + 0.25 * (len(regexp_extract_all(text, '\\p{L}')) / greatest(length(text), 1))
+                   + 0.2 * (CASE WHEN len(regexp_extract_all(lower(text), '\\b(?:the|and|of|to|in|is|that|for|with|was)\\b')) > 0 THEN 1.0 ELSE 0.0 END)
+                   + 0.15 * (CASE WHEN (length(text) / greatest(len(regexp_extract_all(text, '\\S+')), 1)) BETWEEN 3 AND 12 THEN 1.0 ELSE 0.3 END))
+                  * (CASE WHEN len(regexp_extract_all(text, '[!?.]{3,}')) > 0 THEN 0.5 ELSE 1.0 END) + 0.1,
+                  0.0), 1.0) AS q,
+                len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS n_tokens,
+                array_to_string(list_filter(string_split_regex(
+                  regexp_replace(lower(text), '[^a-z0-9 \\t\\n\\r]', ' ', 'g'), '\\s+'), x -> x <> ''), ' ') AS norm
+              FROM documents
+            ), rep AS (
+              SELECT arg_min(lang_pred, doc_id) AS lang_pred, arg_min(q, doc_id) AS q,
+                     arg_min(n_tokens, doc_id) AS n_tokens
+              FROM t GROUP BY norm
+            )
+            SELECT COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+                   ROUND(AVG(q), 4) AS avg_quality
+            FROM rep
+            WHERE lang_pred = 'en' AND q >= 0.5 AND n_tokens BETWEEN 10 AND 10000
+        """,
         "docs_langid_quality": """
             WITH t AS (
               SELECT

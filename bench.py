@@ -48,6 +48,7 @@ HEADLINE = [
     "explode_words",
     "expanding_stats",
     "docs_fingerprint",
+    "docs_clean_corpus",
     "emb_ivf_topk",
 ]
 
