@@ -118,6 +118,13 @@ def main() -> None:
         r1_comparable = round(sum(v for q, v in timings.items() if q in base and v > 0), 3)
     except Exception:
         pass
+    r3_comparable = None
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_LOCAL_r03.json")) as f:
+            base3 = json.load(f)["queries"]
+        r3_comparable = round(sum(v for q, v in timings.items() if q in base3 and v > 0), 3)
+    except Exception:
+        pass
 
     print(
         json.dumps(
@@ -127,6 +134,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "r1_comparable_total": r1_comparable,
+                "r3_comparable_total": r3_comparable,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
