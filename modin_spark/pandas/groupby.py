@@ -599,3 +599,151 @@ class SeriesGroupBy:
             return res
 
         return call
+
+
+# ------------------------------------------------------- GroupBy API tail
+def _g_ngroups(self) -> int:
+    fr = self._df._frame
+    keys = [F.col(fr.data_cols[i]) for i in self._by_pos]
+    return fr.sdf.select(*keys).distinct().count()
+
+
+def _g_groups(self):
+    """Driver-side {key: index labels} map — pandas' own contract is a
+    materialized dict, so this is inherently a collect (documented)."""
+    return self._df.to_pandas().groupby(self._by_labels).groups
+
+
+def _g_indices(self):
+    return self._df.to_pandas().groupby(self._by_labels).indices
+
+
+def _g_describe(self):
+    """Per-group describe: one groupBy computing all 8 stats per numeric
+    column (single shuffle, partial+final agg)."""
+    from modin_spark.pandas.dataframe import DataFrame
+
+    entries = []
+    for lbl, i in self._value_positions(numeric_only=True):
+        for stat, fn, kw in [
+            ("count", "count", {}), ("mean", "mean", {}), ("std", "std", {}),
+            ("min", "min", {}), ("25%", "quantile", {"q": 0.25}),
+            ("50%", "quantile", {"q": 0.5}), ("75%", "quantile", {"q": 0.75}),
+            ("max", "max", {}),
+        ]:
+            entries.append(((lbl, stat), i, fn, kw))
+    out = qc.groupby_agg(
+        self._df._frame, self._by_pos, entries, as_index=self._as_index,
+        dropna=self._dropna, sort=self._sort,
+    )
+    return DataFrame(_frame=out)
+
+
+def _g_value_counts(self, sort: bool = True, ascending: bool = False, normalize: bool = False):
+    """Counts of unique rows per group: ONE groupBy on keys+values."""
+    sub = DataFrameGroupBy(
+        self._df,
+        self._by_labels + [lbl for lbl, _ in self._value_positions()],
+        self._as_index, self._dropna, self._sort,
+    )
+    s = sub.size()
+    if normalize:
+        raise NotImplementedError("value_counts(normalize=True) on groupby")
+    if sort:
+        s = s.sort_values(ascending=ascending)
+    return s
+
+
+def _g_fillna(self, value):
+    from modin_spark.pandas.dataframe import DataFrame
+
+    fr = self._df._frame
+    vals = self._value_positions()
+    return DataFrame(_frame=fr.project(
+        [lbl for lbl, _ in vals], [F.coalesce(fr.scol(i), F.lit(value)) for _, i in vals]
+    ))
+
+
+def _g_sample(self, n=None, frac=None, random_state=None):
+    """Per-group sampling. frac -> seeded Bernoulli (group-independent, no
+    shuffle); n -> row_number over rand() per key-window, <= n."""
+    from modin_spark.pandas.dataframe import DataFrame
+    from pyspark.sql.window import Window
+
+    fr = self._df._frame
+    seed = random_state if random_state is not None else 42
+    if frac is not None and n is None:
+        return DataFrame(_frame=fr.filter(F.rand(seed) < float(frac)))
+    keys = [F.col(fr.data_cols[i]) for i in self._by_pos]
+    w = Window.partitionBy(*keys).orderBy(F.rand(seed))
+    sdf = fr.sdf.withColumn("__rn__", F.row_number().over(w)).where(F.col("__rn__") <= int(n)).drop("__rn__")
+    return DataFrame(_frame=fr._subset_rows(sdf))
+
+
+def _g_take(self, indices):
+    """Positional selection within each group (negative positions excluded,
+    like pandas .take on groupby) — one key-window row_number."""
+    from modin_spark.pandas.dataframe import DataFrame
+    from pyspark.sql.window import Window
+
+    fr = self._df._frame.ensure_order()
+    keys = [F.col(fr.data_cols[i]) for i in self._by_pos]
+    w = Window.partitionBy(*keys).orderBy(F.col(ORDER_COL))
+    pos = [i for i in indices if i >= 0]
+    sdf = fr.sdf.withColumn("__rn__", F.row_number().over(w) - 1).where(F.col("__rn__").isin(pos)).drop("__rn__")
+    return DataFrame(_frame=fr._subset_rows(sdf))
+
+
+def _g_expanding(self, min_periods: int = 1):
+    from modin_spark.pandas.window import GroupExpanding
+
+    return GroupExpanding(self, min_periods)
+
+
+def _g_resample(self, rule: str):
+    """Grouped time resample: groupBy(keys + date_trunc(rule, index)) —
+    one hash aggregate, no per-group loop."""
+    from modin_spark.pandas.dataframe import DataFrame
+    from modin_spark.pandas.resample import rule_to_duration
+
+    fr = self._df._frame
+    if not fr.index_cols:
+        raise TypeError("groupby.resample requires a DatetimeIndex")
+    ts = fr.index_cols[0]
+    tname = fr.index_names[0] or "ts"
+    fr2 = fr.with_columns([tname], [F.window(F.col(ts), rule_to_duration(rule))["start"]])
+    g = DataFrameGroupBy(DataFrame(_frame=fr2), self._by_labels + [tname],
+                         self._as_index, self._dropna, self._sort)
+    return g
+
+
+def _g_corr(self, method="pearson"):
+    return self.apply(lambda pdf: pdf.corr(numeric_only=True))
+
+
+def _g_cov(self):
+    return self.apply(lambda pdf: pdf.cov(numeric_only=True))
+
+
+def _g_pipe(self, func, *a, **k):
+    return func(self, *a, **k)
+
+
+DataFrameGroupBy.ngroups = property(_g_ngroups)
+DataFrameGroupBy.groups = property(_g_groups)
+DataFrameGroupBy.indices = property(_g_indices)
+DataFrameGroupBy.describe = _g_describe
+DataFrameGroupBy.value_counts = _g_value_counts
+DataFrameGroupBy.fillna = _g_fillna
+DataFrameGroupBy.sample = _g_sample
+DataFrameGroupBy.take = _g_take
+DataFrameGroupBy.expanding = _g_expanding
+DataFrameGroupBy.resample = _g_resample
+DataFrameGroupBy.corr = _g_corr
+DataFrameGroupBy.cov = _g_cov
+DataFrameGroupBy.pipe = _g_pipe
+DataFrameGroupBy.ndim = 2
+DataFrameGroupBy.dtypes = property(lambda self: self._df[[l for l, _ in self._value_positions()]].dtypes)
+DataFrameGroupBy.get_backend = lambda self: "Spark"
+DataFrameGroupBy.set_backend = lambda self, backend, **k: self
+DataFrameGroupBy.is_backend_pinned = lambda self: False

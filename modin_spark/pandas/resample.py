@@ -295,3 +295,62 @@ class Resampler:
         on_name = self._on if self._on is not None else fr.index_names[0]
         out = SparkFrame(agged, pd.Index(labels), out_phys[1:], [key_p], [on_name])
         return DataFrame(_frame=out)
+
+
+def _rs_prod(self):
+    return self._agg("prod")
+
+
+def _rs_sem(self):
+    return self._agg("sem")
+
+
+def _rs_quantile(self, q=0.5):
+    return self._agg_quantile(q)
+
+
+def _rs_agg_quantile(self, q):
+    from modin_spark.pandas.dataframe import DataFrame
+
+    fr = self._df._frame
+    ts_phys = fr.index_cols[0] if self._on is None else fr.data_cols[fr.positions_of([self._on])[0]]
+    dur = rule_to_duration(self._rule)
+    bucket = F.window(F.col(ts_phys), dur)["start"]
+    positions = [i for i in range(len(fr.columns))
+                 if fr.data_cols[i] != ts_phys and fr.dtype_of(i).startswith(("int", "float"))]
+    out_phys = fresh_names(len(positions) + 1)
+    key_p, val_ps = out_phys[0], out_phys[1:]
+    aggs = [F.percentile(F.col(fr.data_cols[i]), F.lit(q)).alias(p) for i, p in zip(positions, val_ps)]
+    agged = fr.sdf.groupBy(bucket.alias(key_p)).agg(*aggs).withColumn(ORDER_COL, F.col(key_p))
+    labels = [fr.columns[i] for i in positions]
+    on_name = self._on if self._on is not None else fr.index_names[0]
+    import pandas as pd
+
+    return DataFrame(_frame=SparkFrame(agged, pd.Index(labels), val_ps, [key_p], [on_name]))
+
+
+def _rs_fillna(self, method):
+    if method in ("ffill", "pad"):
+        return self.ffill()
+    if method in ("bfill", "backfill"):
+        return self.bfill()
+    if method == "nearest":
+        return self.nearest()
+    raise ValueError(method)
+
+
+def _rs_groups(self):
+    return self._df.to_pandas().resample(self._rule).groups
+
+
+def _rs_indices(self):
+    return self._df.to_pandas().resample(self._rule).indices
+
+
+Resampler.prod = _rs_prod
+Resampler.sem = _rs_sem
+Resampler.quantile = _rs_quantile
+Resampler._agg_quantile = _rs_agg_quantile
+Resampler.fillna = _rs_fillna
+Resampler.groups = property(_rs_groups)
+Resampler.indices = property(_rs_indices)

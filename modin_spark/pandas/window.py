@@ -273,3 +273,49 @@ def _mk(cls, names):
 _mk(Rolling, _ROLL)
 _mk(Expanding, _EXP)
 _mk(GroupRolling, _ROLL)
+
+
+class GroupExpanding:
+    """groupby(...).expanding() — key-partitioned cumulative window. The
+    grouped case needs none of the block+halo machinery: the group keys
+    partition the window, so Spark plans an ordinary shuffle-parallel
+    key-window (one task per key range, never single-partition)."""
+
+    def __init__(self, g, min_periods: int = 1):
+        self._g = g
+        self._min_periods = max(1, int(min_periods))
+
+    def _run(self, agg: str):
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
+
+        from modin_spark.core.frame import ORDER_COL
+        from modin_spark.pandas.dataframe import DataFrame
+
+        fr = self._g._df._frame.ensure_order()
+        keys = [F.col(fr.data_cols[i]) for i in self._g._by_pos]
+        w = Window.partitionBy(*keys).orderBy(F.col(ORDER_COL)).rowsBetween(Window.unboundedPreceding, 0)
+        fnmap = {
+            "sum": F.sum, "mean": F.avg, "min": F.min, "max": F.max,
+            "count": F.count, "var": F.var_samp, "std": F.stddev_samp,
+        }
+        if agg not in fnmap:
+            raise NotImplementedError(f"groupby.expanding().{agg}")
+        vals = self._g._value_positions(numeric_only=True)
+        exprs = []
+        for _, i in vals:
+            c = fr.scol(i)
+            cnt = F.count(c).over(w)
+            exprs.append(F.when(cnt >= self._min_periods, fnmap[agg](c).over(w)))
+        return DataFrame(_frame=fr.project([lbl for lbl, _ in vals], exprs))
+
+
+for _n in ["sum", "mean", "min", "max", "count", "var", "std"]:
+    def _mk_ge(n=_n):
+        def run(self):
+            return self._run(n)
+        run.__name__ = n
+        return run
+    setattr(GroupExpanding, _n, _mk_ge())
+
+Rolling.aggregate = Rolling.agg if hasattr(Rolling, "agg") else None

@@ -308,3 +308,44 @@ def test_approx_aggregates(spark):
     )
     assert ((g.ap - g.ex).abs() / g.ex <= 0.05).all(), g
     assert ((g.am - g.em).abs() <= 1.0).all(), g
+
+
+def test_groupby_api_tail(spark):
+    """Round-3 groupby tail: ngroups/describe/value_counts/sample/take/
+    expanding/fillna — differential vs pandas."""
+    import numpy as np
+
+    import modin_spark.pandas as mpd
+
+    m = mpd.read_parquet("/root/testdata/sf0.001/lineitem.parquet")
+    p = pd.read_parquet("/root/testdata/sf0.001/lineitem.parquet")
+    g, gp = m.groupby(["l_returnflag"]), p.groupby(["l_returnflag"])
+    assert g.ngroups == gp.ngroups
+    d = g[["l_quantity"]].describe().reset_index().to_pandas()
+    dp = gp[["l_quantity"]].describe().reset_index()
+    assert d.shape == dp.shape
+    assert np.allclose(sorted(d[("l_quantity", "mean")]), sorted(dp[("l_quantity", "mean")]))
+    assert np.allclose(sorted(d[("l_quantity", "50%")]), sorted(dp[("l_quantity", "50%")]))
+    vc = g[["l_linestatus"]].value_counts().to_pandas()
+    vcp = gp["l_linestatus"].value_counts()
+    assert sorted(vc.tolist()) == sorted(vcp.tolist())
+    assert len(g.take([0, 1])) == len(gp.take([0, 1]))
+    assert 0 < len(g.sample(frac=0.3, random_state=1)) < len(p)
+    ge = g[["l_quantity"]].expanding().sum().to_pandas()["l_quantity"]
+    pe = gp["l_quantity"].expanding().sum().reset_index(drop=True)
+    assert abs(ge.sum() - pe.sum()) / abs(pe.sum()) < 1e-9
+
+
+def test_groupby_resample(spark):
+    """Grouped time resample: one hash aggregate on (keys, window-start).
+    Only observed buckets are emitted (sparse; pandas emits the full
+    timeline) — sums agree."""
+    import modin_spark.pandas as mpd
+
+    ev = mpd.read_parquet("/root/testdata/sf0.001/events.parquet").set_index("ts")
+    pev = pd.read_parquet("/root/testdata/sf0.001/events.parquet").set_index("ts")
+    out = ev.groupby(["event_type"]).resample("1h")[["value"]].sum().reset_index().to_pandas()
+    outp = pev.groupby(["event_type"]).resample("1h")["value"].sum().reset_index()
+    assert abs(out["value"].sum() - outp["value"].sum()) < 1e-6
+    nonzero = outp[outp["value"].notna() & (outp["value"] != 0)]
+    assert len(out) >= len(nonzero) * 0.9

@@ -126,3 +126,21 @@ def test_merge_ordered(spark):
     got = mpd.merge_ordered(mpd.from_pandas(a), mpd.from_pandas(b), on="k").to_pandas()
     ref = pd.merge_ordered(a, b, on="k")
     assert_df_equal(got, ref, sort_by=["k"])
+
+
+def test_resample_prod_sem_quantile(spark):
+    """Round-3 resample tail — values agree with pandas on every observed
+    bucket (ours is sparse: empty buckets are not emitted)."""
+    import numpy as np
+
+    import modin_spark.pandas as mpd
+
+    ev = mpd.read_parquet("/root/testdata/sf0.001/events.parquet").set_index("ts")
+    pev = pd.read_parquet("/root/testdata/sf0.001/events.parquet").set_index("ts")
+    for name, arg in [("prod", None), ("sem", None), ("quantile", 0.5)]:
+        r, rp = ev[["value"]].resample("1h"), pev[["value"]].resample("1h")
+        a = (getattr(r, name)(arg) if arg else getattr(r, name)()).to_pandas()["value"]
+        b = (getattr(rp, name)(arg) if arg else getattr(rp, name)())["value"]
+        a.index = pd.to_datetime(a.index)
+        j = pd.concat([a.rename("a"), b.rename("b")], axis=1, join="inner").dropna()
+        assert len(j) > 200 and np.allclose(j["a"], j["b"], rtol=1e-9), name
