@@ -273,7 +273,7 @@ def _spread_for_udf(df: SDF) -> SDF:
 
 def minhash_candidate_pairs(
     df: SDF, id_col: str, text_col: str, *, k: int = 5, num_perm: int = 128, bands: int = 32,
-    threshold: float = 0.8, max_bucket_size: int | None = 5000
+    threshold: float = 0.8, max_bucket_size: int | None = 5000, distinct_pairs: bool = True
 ) -> SDF:
     """(id_a, id_b, est_jaccard) candidate near-dup pairs, id_a < id_b.
 
@@ -319,8 +319,13 @@ def minhash_candidate_pairs(
     pairs = (
         grouped.select(F.explode(F.expr(pair_struct)).alias("__p__"))
         .select("__p__.id_a", "__p__.id_b")
-        .dropDuplicates(["id_a", "id_b"])
     )
+    if distinct_pairs:
+        # a pair found through several bands appears once per band; public
+        # callers get distinct pairs. The dedup path skips this shuffle —
+        # its keep-min/CC step re-distincts anyway, and the (vectorized)
+        # verify of a few duplicate pairs is cheaper than an exchange.
+        pairs = pairs.dropDuplicates(["id_a", "id_b"])
     # verification: join the two signatures back (pairs are few post-LSH)
     sa = sigs.select(F.col(id_col).alias("id_a"), F.col("__sig__").alias("sa"))
     sb = sigs.select(F.col(id_col).alias("id_b"), F.col("__sig__").alias("sb"))
@@ -392,6 +397,7 @@ def _dedup_keep_min(df: SDF, id_col: str, pairs: SDF, connected_components: bool
 
 def minhash_lsh_dedup(df: SDF, id_col: str = "doc_id", text_col: str = "text", threshold: float = 0.8,
                       connected_components: bool = False, **kw) -> SDF:
+    kw.setdefault("distinct_pairs", connected_components)  # CC wants clean edges
     pairs = minhash_candidate_pairs(df, id_col, text_col, threshold=threshold, **kw)
     return _dedup_keep_min(df, id_col, pairs, connected_components=connected_components)
 
