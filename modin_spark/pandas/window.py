@@ -23,12 +23,21 @@ def _pair_frame(left, other):
 
 
 class Rolling:
-    def __init__(self, obj, window: int, min_periods=None, win_type=None, **win_kwargs):
+    def __init__(self, obj, window: int, min_periods=None, win_type=None, center=False, **win_kwargs):
         self._obj = obj
         self._window = window
         self._min_periods = min_periods
         self._win_type = win_type
+        self._center = center
         self._win_kwargs = win_kwargs
+
+    def _recenter(self, res):
+        """center=True: a centered window at i equals the trailing window at
+        i + (w-1)//2, so recentering is ONE shift of the result — which rides
+        the existing block+halo machinery (no new window shape needed)."""
+        if not self._center:
+            return res
+        return res.shift(-((self._window - 1) // 2))
 
     def _run(self, agg: str):
         from modin_spark.pandas.dataframe import DataFrame
@@ -49,11 +58,11 @@ class Rolling:
         if isinstance(self._obj, Series):
             fr = self._obj._to_frame()
             out = win.rolling_agg(fr, [0], self._window, agg, self._min_periods)
-            return Series._from_frame(out)
+            return self._recenter(Series._from_frame(out))
         df = self._obj
         pos = df._numeric_positions()
         out = win.rolling_agg(df._frame, pos, self._window, agg, self._min_periods)
-        return DataFrame(_frame=out)
+        return self._recenter(DataFrame(_frame=out))
 
     def quantile(self, q=0.5):
         from modin_spark.pandas.dataframe import DataFrame

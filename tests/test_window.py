@@ -276,3 +276,21 @@ def test_ewm_block_boundary(spark):
         np.testing.assert_allclose(got.values, ref.values, rtol=1e-9)
     finally:
         windows.BLOCK = old
+
+
+def test_rolling_center(spark):
+    """center=True == trailing window shifted by (w-1)//2 — one extra shift
+    on the block+halo machinery, no new window shape."""
+    import numpy as np
+
+    import modin_spark.pandas as mpd
+
+    ev = mpd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    pv = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    for w in [3, 4, 7]:
+        a = ev["value"].rolling(w, center=True).mean().to_pandas()
+        b = pv["value"].rolling(w, center=True).mean()
+        assert np.allclose(a.fillna(-1).values, b.fillna(-1).values, rtol=1e-9)
+    af = ev[["value", "user_id"]].rolling(5, center=True).sum().to_pandas()
+    bf = pv[["value", "user_id"]].rolling(5, center=True).sum()
+    assert np.allclose(af.fillna(-1).values, bf.fillna(-1).values, rtol=1e-9)
