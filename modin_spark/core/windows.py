@@ -795,3 +795,66 @@ def rank(
             rank_for_pos[i] = rp[ci]
 
     return fr._same_rows(sdf).project(out_labels, [F.col(rank_for_pos[i]) for i in positions])
+
+
+def rolling_time_agg(
+    frame: SparkFrame,
+    positions: Sequence[int],
+    duration_us: int,
+    agg: str,
+    min_periods: int = 1,
+    closed: str = "right",
+) -> SparkFrame:
+    """Offset-window rolling (pandas ``rolling("2s")``) over a datetime index.
+
+    Scale shape: a BUCKETIZED self-join, never a global range window. Each
+    row is assigned bucket = floor(epoch/duration); as a window contributor
+    it is emitted into its own bucket and the next one (a trailing window of
+    length d can only reach back into the previous bucket). The join is a
+    plain equi-join on bucket (shuffle-parallel, ~2x row duplication), the
+    residual time predicate filters inside the bucket pair, and one hash
+    aggregate per anchor row produces the result — the same plan family as
+    operators.joins.range_join.
+    """
+    fr = frame.ensure_order()
+    if not fr.index_cols:
+        raise TypeError("time-based rolling requires a DatetimeIndex")
+    ts = fr.index_cols[0]
+    epoch = F.unix_micros(F.col(ts).cast("timestamp"))
+    d = int(duration_us)
+    phys = [fr.data_cols[i] for i in positions]
+
+    anchors = fr.sdf.select(
+        F.col(ORDER_COL).alias("__ao__"), epoch.alias("__at__"),
+        F.floor(epoch / d).alias("__ab__"),
+    )
+    contrib = fr.sdf.select(
+        epoch.alias("__ct__"),
+        F.explode(F.array(F.floor(epoch / d), F.floor(epoch / d) + 1)).alias("__cb__"),
+        *[F.col(p) for p in phys],
+    )
+    lo = F.col("__ct__") >= F.col("__at__") - F.lit(d) if closed in ("both", "left") \
+        else F.col("__ct__") > F.col("__at__") - F.lit(d)
+    hi = F.col("__ct__") <= F.col("__at__") if closed in ("both", "right") \
+        else F.col("__ct__") < F.col("__at__")
+    j = anchors.join(contrib, anchors["__ab__"] == contrib["__cb__"], "inner").where(lo & hi)
+
+    fnmap = {"sum": F.sum, "mean": F.avg, "min": F.min, "max": F.max,
+             "count": F.count, "std": F.stddev_samp, "var": F.var_samp,
+             "median": F.median}
+    if agg not in fnmap:
+        raise NotImplementedError(f"rolling(time).{agg}")
+    out_phys = fresh_names(len(phys))
+    aggs = []
+    for p, op in zip(phys, out_phys):
+        cnt = F.count(F.col(p))
+        aggs.append(
+            F.when(cnt >= int(min_periods), fnmap[agg](F.col(p))).alias(op)
+        )
+    agged = j.groupBy("__ao__").agg(*aggs).withColumnRenamed("__ao__", ORDER_COL)
+    # rows whose window had no contributor at all (possible with closed=
+    # 'left'/'neither') fall out of the inner join: restore them with NULLs
+    base = fr.sdf.select(F.col(ORDER_COL), F.col(ts))
+    sdf = base.join(agged, ORDER_COL, "left")
+    labels = [fr.columns[i] for i in positions]
+    return SparkFrame(sdf, pd.Index(labels), out_phys, [ts], [fr.index_names[0]])

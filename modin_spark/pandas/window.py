@@ -55,6 +55,18 @@ class Rolling:
                 df._frame, df._numeric_positions(), self._window, self._win_type, agg, **self._win_kwargs
             )
             return DataFrame(_frame=out)
+        if isinstance(self._window, str):
+            import pandas as _pd
+
+            dur_us = int(_pd.Timedelta(self._window).value // 1000)
+            mp = self._min_periods if self._min_periods is not None else 1
+            if isinstance(self._obj, Series):
+                fr = self._obj._to_frame()
+                out = win.rolling_time_agg(fr, [0], dur_us, agg, mp)
+                return Series._from_frame(out)
+            df = self._obj
+            out = win.rolling_time_agg(df._frame, df._numeric_positions(), dur_us, agg, mp)
+            return DataFrame(_frame=out)
         if isinstance(self._obj, Series):
             fr = self._obj._to_frame()
             out = win.rolling_agg(fr, [0], self._window, agg, self._min_periods)

@@ -294,3 +294,29 @@ def test_rolling_center(spark):
     af = ev[["value", "user_id"]].rolling(5, center=True).sum().to_pandas()
     bf = pv[["value", "user_id"]].rolling(5, center=True).sum()
     assert np.allclose(af.fillna(-1).values, bf.fillna(-1).values, rtol=1e-9)
+
+
+def test_rolling_time_offset_windows(spark):
+    """rolling("10min") on a DatetimeIndex — bucketized self-join plan,
+    values match pandas exactly, row-aligned."""
+    import numpy as np
+
+    import modin_spark.pandas as mpd
+
+    ev = mpd.read_parquet("/root/testdata/sf0.001/events.parquet").sort_values("ts").set_index("ts")
+    pv = pd.read_parquet("/root/testdata/sf0.001/events.parquet").sort_values("ts").set_index("ts")
+    for agg in ["sum", "mean", "count", "max", "std"]:
+        a = getattr(ev["value"].rolling("10min"), agg)().to_pandas()
+        b = getattr(pv["value"].rolling("10min"), agg)()
+        assert np.allclose(a.fillna(-9).values, b.fillna(-9).values, rtol=1e-9), agg
+
+
+def test_rolling_time_no_single_partition(spark):
+    from modin_spark import plans
+
+    import modin_spark.pandas as mpd
+
+    ev = mpd.read_parquet("/root/testdata/sf0.001/events.parquet").sort_values("ts").set_index("ts")
+    out = ev["value"].rolling("10min").sum()
+    fr = out._to_frame("__v__")
+    assert plans.unsafe_single_partition_exchanges(fr.sdf) == 0, plans.physical_plan(fr.sdf)
