@@ -590,6 +590,20 @@ def _docs_clean_corpus(spark, sf):
     )
 
 
+
+def _rolling_time_sum(spark, sf):
+    """Time-offset rolling sum over the event stream — bucketized self-join
+    plan (see core/windows.py:rolling_time_agg), oracled by DuckDB's RANGE
+    window. closed='both' matches RANGE ... PRECEDING inclusive bounds."""
+    mpd = _mpd()
+    ev = mpd.read_parquet(f"{sf}/events.parquet")
+    ev = ev.sort_values("ts").set_index("ts")
+    r = ev["value"].rolling("10min", closed="both").sum()
+    out = r.to_frame("r_sum").reset_index()
+    df = out.to_spark(ordered=False)
+    return df.select("ts", F.round("r_sum", 2).alias("r_sum"))
+
+
 def _docs_token_stats(spark, sf):
     from modin_spark.operators.text import token_count
 
@@ -1358,7 +1372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_ngram_dedup": _docs_ngram_dedup,
         "emb_lsh_topk": _emb_lsh_topk,
         "emb_ivf_topk": _emb_ivf_topk,
-        "q1_pricing_summary": _q1,
+        "rolling_time_sum": _rolling_time_sum,
         "docs_langid_quality": _docs_langid_quality,
         "docs_clean_corpus": _docs_clean_corpus,
         "docs_jaccard_pairs": _docs_jaccard_pairs,
@@ -1406,11 +1420,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_simhash_dedup": _docs_simhash_dedup,
         "q3_top_orders": _q3,
         "rolling_mean": _rolling_mean,
+        "q1_pricing_summary": _q1,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "rolling_time_sum": """
+            SELECT ts,
+                   ROUND(SUM(value) OVER (ORDER BY ts
+                     RANGE BETWEEN INTERVAL 10 MINUTES PRECEDING AND CURRENT ROW), 2) AS r_sum
+            FROM events
+        """,
         "docs_clean_corpus": """
             WITH t AS (
               SELECT doc_id,

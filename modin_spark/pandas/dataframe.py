@@ -837,10 +837,10 @@ class DataFrame:
             raise NotImplementedError(f"interpolate(method={method!r})")
         return DataFrame(_frame=win.interpolate_linear(self._frame, self._numeric_positions()))
 
-    def rolling(self, window: int, min_periods=None, win_type=None, center=False, **win_kwargs):
+    def rolling(self, window: int, min_periods=None, win_type=None, center=False, closed=None, **win_kwargs):
         from modin_spark.pandas.window import Rolling
 
-        return Rolling(self, window, min_periods, win_type=win_type, center=center, **win_kwargs)
+        return Rolling(self, window, min_periods, win_type=win_type, center=center, closed=closed, **win_kwargs)
 
     def ewm(self, com=None, span=None, halflife=None, alpha=None, adjust=True, min_periods=0):
         from modin_spark.pandas.window import EWM

@@ -23,12 +23,13 @@ def _pair_frame(left, other):
 
 
 class Rolling:
-    def __init__(self, obj, window: int, min_periods=None, win_type=None, center=False, **win_kwargs):
+    def __init__(self, obj, window: int, min_periods=None, win_type=None, center=False, closed=None, **win_kwargs):
         self._obj = obj
         self._window = window
         self._min_periods = min_periods
         self._win_type = win_type
         self._center = center
+        self._closed = closed
         self._win_kwargs = win_kwargs
 
     def _recenter(self, res):
@@ -60,12 +61,13 @@ class Rolling:
 
             dur_us = int(_pd.Timedelta(self._window).value // 1000)
             mp = self._min_periods if self._min_periods is not None else 1
+            closed = self._closed or "right"
             if isinstance(self._obj, Series):
                 fr = self._obj._to_frame()
-                out = win.rolling_time_agg(fr, [0], dur_us, agg, mp)
+                out = win.rolling_time_agg(fr, [0], dur_us, agg, mp, closed=closed)
                 return Series._from_frame(out)
             df = self._obj
-            out = win.rolling_time_agg(df._frame, df._numeric_positions(), dur_us, agg, mp)
+            out = win.rolling_time_agg(df._frame, df._numeric_positions(), dur_us, agg, mp, closed=closed)
             return DataFrame(_frame=out)
         if isinstance(self._obj, Series):
             fr = self._obj._to_frame()
