@@ -42,6 +42,38 @@ def _drop_aux(fr: SparkFrame) -> SparkFrame:
     return fr._same_rows(fr.sdf.drop(_POS, _BLK))
 
 
+def _halo_union(fr_sdf, back: int, fwd: int = 0):
+    """Base rows (__halo__=0) plus halo copies: the last ``back`` rows of each
+    block copied into the NEXT block (backward-looking context) and the first
+    ``fwd`` rows copied into the PREVIOUS block (forward-looking context, used
+    by centered windows). Every genuine row then sees its full window inside
+    one bounded partition."""
+    sdf = fr_sdf.withColumn("__halo__", F.lit(0))
+    if back > 0:
+        h = (
+            fr_sdf.where((F.col(_POS) % BLOCK) >= (BLOCK - back))
+            .withColumn(_BLK, F.col(_BLK) + 1)
+            .withColumn("__halo__", F.lit(1))
+        )
+        sdf = sdf.unionByName(h)
+    if fwd > 0:
+        h = (
+            fr_sdf.where(((F.col(_POS) % BLOCK) < fwd) & (F.col(_BLK) > 0))
+            .withColumn(_BLK, F.col(_BLK) - 1)
+            .withColumn("__halo__", F.lit(1))
+        )
+        sdf = sdf.unionByName(h)
+    return sdf
+
+
+def _center_extents(window: int, center: bool) -> tuple[int, int]:
+    """(rows back, rows forward) covered by the window at each anchor row.
+    pandas center=True puts the extra row of an even window BEHIND the
+    anchor: w=4 covers [i-2, i+1]."""
+    fwd = (window - 1) // 2 if center else 0
+    return window - 1 - fwd, fwd
+
+
 # ---------------------------------------------------------------------------
 # cumulative ops
 # ---------------------------------------------------------------------------
@@ -215,12 +247,12 @@ _ROLL_AGGS = {
 }
 
 
-def rolling_quantile(frame, positions, window, q, min_periods=None, group_phys=None):
+def rolling_quantile(frame, positions, window, q, min_periods=None, group_phys=None, center=False):
     """rolling(w).quantile(q) — F.percentile over the row window."""
-    return rolling_agg(frame, positions, window, "quantile", min_periods, group_phys, q=q)
+    return rolling_agg(frame, positions, window, "quantile", min_periods, group_phys, q=q, center=center)
 
 
-def rolling_apply(frame, positions, window, func, min_periods=None):
+def rolling_apply(frame, positions, window, func, min_periods=None, center=False):
     """rolling(w).apply(func) — collect_list over the block-halo window, then
     one Arrow-vectorized pandas_udf over the window arrays (the documented
     slow path; every built-in agg should use rolling_agg instead). Inside the
@@ -264,14 +296,9 @@ def rolling_apply(frame, positions, window, func, min_periods=None):
     phys = [frame2.data_cols[i] for i in positions]
     labels = [frame2.columns[i] for i in positions]
     fr = _with_blocks(frame2)
-    base = fr.sdf.withColumn("__halo__", F.lit(0))
-    halo = (
-        fr.sdf.where((F.col(_POS) % BLOCK) >= (BLOCK - (window - 1)))
-        .withColumn(_BLK, F.col(_BLK) + 1)
-        .withColumn("__halo__", F.lit(1))
-    )
-    sdf = base.unionByName(halo)
-    w = Window.partitionBy(_BLK).orderBy(_POS).rowsBetween(-(window - 1), 0)
+    back, fwd = _center_extents(window, center)
+    sdf = _halo_union(fr.sdf, back, fwd)
+    w = Window.partitionBy(_BLK).orderBy(_POS).rowsBetween(-back, fwd)
     out_phys = fresh_names(len(phys))
     for p, op_ in zip(phys, out_phys):
         arr = F.collect_list(F.col(p)).over(w)
@@ -290,12 +317,16 @@ def rolling_agg(
     min_periods: int | None = None,
     group_phys: list[str] | None = None,
     q: float | None = None,
+    center: bool = False,
 ) -> SparkFrame:
     """Fixed-size rolling window along frame order (pandas ``rolling(w).agg()``).
 
-    Without groups: block windows with a (w-1)-row halo copied into the next
-    block, so every window is computed locally within a bounded partition —
-    the scale-safe alternative to one global ordered window.
+    Without groups: block windows with a halo copied into the adjacent
+    block(s), so every window is computed locally within a bounded partition —
+    the scale-safe alternative to one global ordered window. ``center=True``
+    shifts the frame to ``[-back, +fwd]`` around the anchor (with a forward
+    halo), which is exact for every ``min_periods`` including the partial
+    windows pandas produces at both edges.
     With groups (``groupby().rolling()``): a plain key-partitioned window.
     """
     if min_periods is None:
@@ -326,9 +357,10 @@ def rolling_agg(
     frame = frame.ensure_order()
     phys = [frame.data_cols[i] for i in positions]
     labels = [frame.columns[i] for i in positions]
+    back, fwd = _center_extents(window, center)
 
     if group_phys:
-        w = Window.partitionBy(*group_phys).orderBy(ORDER_COL).rowsBetween(-(window - 1), 0)
+        w = Window.partitionBy(*group_phys).orderBy(ORDER_COL).rowsBetween(-back, fwd)
         exprs = [
             F.when(F.count(F.col(p)).over(w) >= min_periods, over_fn(F.col(p), w)).otherwise(F.lit(None))
             for p in phys
@@ -336,14 +368,8 @@ def rolling_agg(
         return frame.project(labels, exprs)
 
     fr = _with_blocks(frame)
-    base = fr.sdf.withColumn("__halo__", F.lit(0))
-    halo = (
-        fr.sdf.where((F.col(_POS) % BLOCK) >= (BLOCK - (window - 1)))
-        .withColumn(_BLK, F.col(_BLK) + 1)
-        .withColumn("__halo__", F.lit(1))
-    )
-    sdf = base.unionByName(halo)
-    w = Window.partitionBy(_BLK).orderBy(_POS).rowsBetween(-(window - 1), 0)
+    sdf = _halo_union(fr.sdf, back, fwd)
+    w = Window.partitionBy(_BLK).orderBy(_POS).rowsBetween(-back, fwd)
     out_phys = fresh_names(len(phys))
     for p, op_ in zip(phys, out_phys):
         val = over_fn(F.col(p), w)
@@ -380,7 +406,8 @@ def window_weights(win_type: str, M: int, **kw):
 
 
 def rolling_weighted(
-    frame: SparkFrame, positions: Sequence[int], window: int, win_type: str, agg: str, **win_kwargs
+    frame: SparkFrame, positions: Sequence[int], window: int, win_type: str, agg: str,
+    center: bool = False, **win_kwargs
 ) -> SparkFrame:
     """pandas ``rolling(w, win_type=...).sum()/mean()`` — weighted windows.
 
@@ -396,21 +423,18 @@ def rolling_weighted(
     phys = [frame.data_cols[i] for i in positions]
     labels = [frame.columns[i] for i in positions]
     fr = _with_blocks(frame)
-    base = fr.sdf.withColumn("__halo__", F.lit(0))
-    halo = (
-        fr.sdf.where((F.col(_POS) % BLOCK) >= (BLOCK - (window - 1)))
-        .withColumn(_BLK, F.col(_BLK) + 1)
-        .withColumn("__halo__", F.lit(1))
-    )
-    sdf = base.unionByName(halo)
+    back, fwd = _center_extents(window, center)
+    sdf = _halo_union(fr.sdf, back, fwd)
     w_ord = Window.partitionBy(_BLK).orderBy(_POS)
     out_phys = fresh_names(len(phys))
     wsum = float(np.sum(weights))
     for p, op_ in zip(phys, out_phys):
-        # oldest row in the window gets weights[0]: x_{t-(w-1)+j} = lag(x, w-1-j)
+        # oldest row in the window gets weights[0]: x_{t-back+j} = lag(x, back-j)
+        # (center=True shifts the whole unroll forward by fwd; lag with a
+        # negative offset is a lead, which Spark's Lag expression accepts)
         acc = None
         for j in range(window):
-            term = F.lag(F.col(p).cast("double"), window - 1 - j).over(w_ord) * F.lit(float(weights[j]))
+            term = F.lag(F.col(p).cast("double"), back - j).over(w_ord) * F.lit(float(weights[j]))
             acc = term if acc is None else acc + term  # null-propagating: any missing lag -> NULL
         sdf = sdf.withColumn(op_, acc / F.lit(wsum) if agg == "mean" else acc)
     sdf = sdf.where(F.col("__halo__") == 0).drop("__halo__")
@@ -569,21 +593,17 @@ def expanding_pair(frame: SparkFrame, px: str, py: str, stat: str, min_periods: 
 
 
 def rolling_pair(
-    frame: SparkFrame, px: str, py: str, window: int, stat: str, min_periods=None, out_label="0"
+    frame: SparkFrame, px: str, py: str, window: int, stat: str, min_periods=None, out_label="0",
+    center: bool = False,
 ) -> SparkFrame:
     """Rolling corr/cov between two physical columns — F.corr/F.covar_samp
     over the block+halo row window (pairwise-complete, pandas semantics)."""
     if min_periods is None:
         min_periods = window
     fr = _with_blocks(frame)
-    base = fr.sdf.withColumn("__halo__", F.lit(0))
-    halo = (
-        fr.sdf.where((F.col(_POS) % BLOCK) >= (BLOCK - (window - 1)))
-        .withColumn(_BLK, F.col(_BLK) + 1)
-        .withColumn("__halo__", F.lit(1))
-    )
-    sdf = base.unionByName(halo)
-    w = Window.partitionBy(_BLK).orderBy(_POS).rowsBetween(-(window - 1), 0)
+    back, fwd = _center_extents(window, center)
+    sdf = _halo_union(fr.sdf, back, fwd)
+    w = Window.partitionBy(_BLK).orderBy(_POS).rowsBetween(-back, fwd)
     x, y = F.col(px), F.col(py)
     both = x.isNotNull() & y.isNotNull()
     n_pair = F.sum(F.when(both, F.lit(1)).otherwise(F.lit(0))).over(w)
@@ -595,7 +615,8 @@ def rolling_pair(
     return _drop_aux(out)
 
 
-def blocked_pandas(frame: SparkFrame, positions: Sequence[int], pd_fn, halo_rows: int | None):
+def blocked_pandas(frame: SparkFrame, positions: Sequence[int], pd_fn, halo_rows: int | None,
+                   fwd_halo_rows: int = 0):
     """Run a pandas Series->Series positional function per block with enough
     preceding context, via one applyInPandas pass.
 
@@ -606,6 +627,8 @@ def blocked_pandas(frame: SparkFrame, positions: Sequence[int], pd_fn, halo_rows
     O(n·#blocks) rows shipped and the last block holds the full column;
     use the algebraic expanding aggs wherever possible, this is the
     documented exact-order-statistic slow path).
+    ``fwd_halo_rows=k``: each block additionally sees the k FOLLOWING rows
+    (centered windows; must be < BLOCK).
     """
     from pyspark.sql import types as T
 
@@ -631,6 +654,13 @@ def blocked_pandas(frame: SparkFrame, positions: Sequence[int], pd_fn, halo_rows
             _BLK, F.explode(F.sequence(lo_blk, hi_blk))
         )
     u = narrow.withColumn("__halo__", F.lit(0)).unionByName(halo.withColumn("__halo__", F.lit(1)))
+    if fwd_halo_rows:
+        fhalo = (
+            narrow.where(((F.col(_POS) % BLOCK) < fwd_halo_rows) & (F.col(_BLK) > 0))
+            .withColumn(_BLK, F.col(_BLK) - 1)
+            .withColumn("__halo__", F.lit(1))
+        )
+        u = u.unionByName(fhalo)
 
     out_names = fresh_names(len(phys))
     schema = T.StructType(
@@ -824,13 +854,20 @@ def rolling_time_agg(
     d = int(duration_us)
     phys = [fr.data_cols[i] for i in positions]
 
+    # exact integer floor division: epoch/d as doubles rounds for |epoch|
+    # near 2^53 µs and can assign a row to the wrong bucket. pmod is always
+    # in [0, d), so (epoch - pmod) is an exact multiple of d; dividing as
+    # decimals keeps the quotient exact at any bigint magnitude.
+    def _bucket(e):
+        return ((e - F.pmod(e, F.lit(d))).cast("decimal(38,0)") / F.lit(d)).cast("long")
+
     anchors = fr.sdf.select(
         F.col(ORDER_COL).alias("__ao__"), epoch.alias("__at__"),
-        F.floor(epoch / d).alias("__ab__"),
+        _bucket(epoch).alias("__ab__"),
     )
     contrib = fr.sdf.select(
         epoch.alias("__ct__"),
-        F.explode(F.array(F.floor(epoch / d), F.floor(epoch / d) + 1)).alias("__cb__"),
+        F.explode(F.array(_bucket(epoch), _bucket(epoch) + 1)).alias("__cb__"),
         *[F.col(p) for p in phys],
     )
     lo = F.col("__ct__") >= F.col("__at__") - F.lit(d) if closed in ("both", "left") \

@@ -997,7 +997,13 @@ class DataFrame:
     truediv = div
 
     def floordiv(self, other, fill_value=None):
-        return self._binary_frame(other, lambda a, b: F.floor(a.cast("double") / b), fill_value)
+        # pandas: x // 0 -> signed inf (float result), like truediv
+        return self._binary_frame(
+            other,
+            lambda a, b: F.when(b.cast("double") == 0, DataFrame._true_div(a, b))
+            .otherwise(F.floor(a.cast("double") / b).cast("double")),
+            fill_value,
+        )
 
     def mod(self, other, fill_value=None):
         return self._binary_frame(other, lambda a, b: F.pmod(a, b), fill_value)

@@ -681,16 +681,32 @@ def _g_sample(self, n=None, frac=None, random_state=None):
 
 
 def _g_take(self, indices):
-    """Positional selection within each group (negative positions excluded,
-    like pandas .take on groupby) — one key-window row_number."""
+    """Positional selection within each group — one key-window row_number
+    (plus a descending one when negative positions are present, so
+    ``take([-1])`` = last row per group resolves without a per-group count).
+    Set semantics: rows come back in frame order, a row matched by both a
+    positive and a negative position appears once."""
     from modin_spark.pandas.dataframe import DataFrame
     from pyspark.sql.window import Window
 
     fr = self._df._frame.ensure_order()
     keys = [F.col(fr.data_cols[i]) for i in self._by_pos]
     w = Window.partitionBy(*keys).orderBy(F.col(ORDER_COL))
-    pos = [i for i in indices if i >= 0]
-    sdf = fr.sdf.withColumn("__rn__", F.row_number().over(w) - 1).where(F.col("__rn__").isin(pos)).drop("__rn__")
+    pos = [int(i) for i in indices if i >= 0]
+    neg = [-int(i) for i in indices if i < 0]  # 1-based offsets from the end
+    cond = None
+    sdf = fr.sdf
+    if pos:
+        sdf = sdf.withColumn("__rn__", F.row_number().over(w) - 1)
+        cond = F.col("__rn__").isin(pos)
+    if neg:
+        w_desc = Window.partitionBy(*keys).orderBy(F.col(ORDER_COL).desc())
+        sdf = sdf.withColumn("__rnd__", F.row_number().over(w_desc))
+        c2 = F.col("__rnd__").isin(neg)
+        cond = c2 if cond is None else (cond | c2)
+    if cond is None:
+        cond = F.lit(False)
+    sdf = sdf.where(cond).drop("__rn__", "__rnd__")
     return DataFrame(_frame=fr._subset_rows(sdf))
 
 

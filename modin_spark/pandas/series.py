@@ -34,6 +34,22 @@ def _pmod(a: Column, b: Column) -> Column:
     return ((a % b) + b) % b
 
 
+def _true_div(a: Column, b: Column) -> Column:
+    # pandas semantics: x/0 -> signed inf, 0/0 -> NaN (Spark yields NULL)
+    q = a.cast("double") / b.cast("double")
+    return F.when(
+        b.cast("double") == 0,
+        F.when(a.cast("double") == 0, F.lit(float("nan"))).otherwise(F.lit(float("inf")) * F.signum(a)),
+    ).otherwise(q)
+
+
+def _floor_div(a: Column, b: Column) -> Column:
+    # pandas: x // 0 -> signed inf (float result), 0 // 0 -> NaN
+    return F.when(b.cast("double") == 0, _true_div(a, b)).otherwise(
+        F.floor(a.cast("double") / b.cast("double")).cast("double")
+    )
+
+
 class Series:
     def __init__(self, frame: SparkFrame, expr: Column, refs: set[str], name=None, filter_expr: Column | None = None):
         self._frame = frame
@@ -176,13 +192,13 @@ class Series:
         return self._binary(o, lambda a, b: a * b, reverse=True)
 
     def __truediv__(self, o):
-        return self._binary(o, lambda a, b: a.cast("double") / b.cast("double"))
+        return self._binary(o, _true_div)
 
     def __rtruediv__(self, o):
-        return self._binary(o, lambda a, b: a.cast("double") / b.cast("double"), reverse=True)
+        return self._binary(o, _true_div, reverse=True)
 
     def __floordiv__(self, o):
-        return self._binary(o, lambda a, b: F.floor(a.cast("double") / b.cast("double")))
+        return self._binary(o, _floor_div)
 
     def __mod__(self, o):
         return self._binary(o, _pmod)
@@ -704,22 +720,39 @@ class StringMethods:
     def extractall(self, pat: str):
         """All regex matches, one row per match: (index, match#, group...).
         regexp_extract_all + posexplode — stays JVM-side; the (doc, match)
-        MultiIndex surfaces as ordinary index columns."""
+        MultiIndex surfaces as ordinary index columns, doc level first
+        (the original index, or the 0-based position for a default index).
+
+        Each output row gets a FRESH unique order key doc_pos * 2^20 + match
+        — sorts as (doc, match) and preserves the unique-order invariant
+        downstream alignment relies on. Contract: < 2^20 matches per string
+        (a longer match list would not fit one row's string anyway)."""
         import re as _re
 
         from modin_spark.pandas.dataframe import DataFrame
 
         ngroups = _re.compile(pat).groups or 1
-        fr = self._s._to_frame("__t__").ensure_order()
+        fr = self._s._to_frame("__t__").ensure_order().with_global_position("__doc__")
         arr = F.regexp_extract_all(fr.scol(0), F.lit(pat), 0)
-        sdf = fr.sdf.select(F.col(ORDER_COL), F.posexplode(arr).alias("__match__", "__m0__"))
+        idx_phys = list(fr.index_cols)
+        sdf = fr.sdf.select(
+            F.col("__doc__"), *[F.col(c) for c in idx_phys],
+            F.posexplode(arr).alias("__match__", "__m0__"),
+        )
+        sdf = sdf.withColumn("__match__", F.col("__match__").cast("long"))
+        sdf = sdf.withColumn(
+            ORDER_COL, (F.col("__doc__") * F.lit(1 << 20) + F.col("__match__")).cast("long")
+        )
         cols, exprs = [], []
         for g in range(1, ngroups + 1):
             cols.append(g - 1)
             exprs.append(F.regexp_extract(F.col("__m0__"), pat, g if _re.compile(pat).groups else 0).alias(f"__g{g}__"))
-        sdf = sdf.select(ORDER_COL, "__match__", *exprs)
+        doc_idx = idx_phys if idx_phys else ["__doc__"]
+        doc_names = list(fr.index_names) if idx_phys else [None]
+        sdf = sdf.select(ORDER_COL, *doc_idx, "__match__", *exprs)
         nf = SparkFrame(sdf, pd.Index(cols), [f"__g{g}__" for g in range(1, ngroups + 1)],
-                        index_cols=["__match__"], index_names=["match"], has_order=True)
+                        index_cols=doc_idx + ["__match__"], index_names=doc_names + ["match"],
+                        has_order=True)
         return DataFrame(_frame=nf)
 
     def get_dummies(self, sep: str = "|"):
@@ -1115,11 +1148,12 @@ Series.transpose = lambda self: self
 Series.squeeze = lambda self: self.item() if len(self) == 1 else self
 
 
-# reversed arithmetic + remaining parity (r-variants ride _binary(reverse=True))
+# reversed arithmetic + remaining parity (r-variants ride _binary(reverse=True);
+# division routes through the same pandas div-by-zero expressions as forward)
 Series.rmul = lambda self, o: self._binary(o, lambda a, b: a * b, reverse=True)
-Series.rtruediv = lambda self, o: self._binary(o, lambda a, b: a.cast("double") / b, reverse=True)
+Series.rtruediv = lambda self, o: self._binary(o, _true_div, reverse=True)
 Series.rdiv = Series.rtruediv
-Series.rfloordiv = lambda self, o: self._binary(o, lambda a, b: F.floor(a.cast("double") / b), reverse=True)
+Series.rfloordiv = lambda self, o: self._binary(o, _floor_div, reverse=True)
 Series.rmod = lambda self, o: self._binary(o, lambda a, b: F.pmod(a, b), reverse=True)
 Series.rpow = lambda self, o: self._binary(o, lambda a, b: F.pow(a, b), reverse=True)
 

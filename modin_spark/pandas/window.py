@@ -32,33 +32,29 @@ class Rolling:
         self._closed = closed
         self._win_kwargs = win_kwargs
 
-    def _recenter(self, res):
-        """center=True: a centered window at i equals the trailing window at
-        i + (w-1)//2, so recentering is ONE shift of the result — which rides
-        the existing block+halo machinery (no new window shape needed)."""
-        if not self._center:
-            return res
-        return res.shift(-((self._window - 1) // 2))
-
     def _run(self, agg: str):
         from modin_spark.pandas.dataframe import DataFrame
 
         if self._win_type is not None:
-            if agg not in ("sum", "mean"):
-                raise NotImplementedError(f"win_type rolling supports sum/mean, not {agg}")
+            if agg not in ("sum", "mean", "var", "std"):
+                raise NotImplementedError(f"win_type rolling supports sum/mean/var/std, not {agg}")
             if isinstance(self._obj, Series):
                 out = win.rolling_weighted(
-                    self._obj._to_frame(), [0], self._window, self._win_type, agg, **self._win_kwargs
+                    self._obj._to_frame(), [0], self._window, self._win_type, agg,
+                    center=self._center, **self._win_kwargs
                 )
                 return Series._from_frame(out)
             df = self._obj
             out = win.rolling_weighted(
-                df._frame, df._numeric_positions(), self._window, self._win_type, agg, **self._win_kwargs
+                df._frame, df._numeric_positions(), self._window, self._win_type, agg,
+                center=self._center, **self._win_kwargs
             )
             return DataFrame(_frame=out)
         if isinstance(self._window, str):
             import pandas as _pd
 
+            if self._center:
+                raise NotImplementedError("center=True with an offset window")
             dur_us = int(_pd.Timedelta(self._window).value // 1000)
             mp = self._min_periods if self._min_periods is not None else 1
             closed = self._closed or "right"
@@ -71,46 +67,54 @@ class Rolling:
             return DataFrame(_frame=out)
         if isinstance(self._obj, Series):
             fr = self._obj._to_frame()
-            out = win.rolling_agg(fr, [0], self._window, agg, self._min_periods)
-            return self._recenter(Series._from_frame(out))
+            out = win.rolling_agg(fr, [0], self._window, agg, self._min_periods, center=self._center)
+            return Series._from_frame(out)
         df = self._obj
         pos = df._numeric_positions()
-        out = win.rolling_agg(df._frame, pos, self._window, agg, self._min_periods)
-        return self._recenter(DataFrame(_frame=out))
+        out = win.rolling_agg(df._frame, pos, self._window, agg, self._min_periods, center=self._center)
+        return DataFrame(_frame=out)
 
     def quantile(self, q=0.5):
         from modin_spark.pandas.dataframe import DataFrame
 
         if isinstance(self._obj, Series):
-            out = win.rolling_quantile(self._obj._to_frame(), [0], self._window, q, self._min_periods)
+            out = win.rolling_quantile(self._obj._to_frame(), [0], self._window, q, self._min_periods,
+                                       center=self._center)
             return Series._from_frame(out)
         df = self._obj
-        out = win.rolling_quantile(df._frame, df._numeric_positions(), self._window, q, self._min_periods)
+        out = win.rolling_quantile(df._frame, df._numeric_positions(), self._window, q, self._min_periods,
+                                   center=self._center)
         return DataFrame(_frame=out)
 
     def apply(self, func, raw=True):
         from modin_spark.pandas.dataframe import DataFrame
 
         if isinstance(self._obj, Series):
-            out = win.rolling_apply(self._obj._to_frame(), [0], self._window, func, self._min_periods)
+            out = win.rolling_apply(self._obj._to_frame(), [0], self._window, func, self._min_periods,
+                                    center=self._center)
             return Series._from_frame(out)
         df = self._obj
-        out = win.rolling_apply(df._frame, df._numeric_positions(), self._window, func, self._min_periods)
+        out = win.rolling_apply(df._frame, df._numeric_positions(), self._window, func, self._min_periods,
+                                center=self._center)
         return DataFrame(_frame=out)
 
     def rank(self, method="average", ascending=True, pct=False):
         from modin_spark.pandas.dataframe import DataFrame
 
-        w, mp = self._window, self._min_periods
+        w, mp, center = self._window, self._min_periods, self._center
+        back = w - 1 - ((w - 1) // 2) if center else w - 1
+        fwd = (w - 1) // 2 if center else 0
 
         def pd_fn(s):
-            return s.rolling(w, min_periods=mp).rank(method=method, ascending=ascending, pct=pct)
+            return s.rolling(w, min_periods=mp, center=center).rank(
+                method=method, ascending=ascending, pct=pct
+            )
 
         if isinstance(self._obj, Series):
-            out = win.blocked_pandas(self._obj._to_frame(), [0], pd_fn, halo_rows=w - 1)
+            out = win.blocked_pandas(self._obj._to_frame(), [0], pd_fn, halo_rows=back, fwd_halo_rows=fwd)
             return Series._from_frame(out)
         df = self._obj
-        out = win.blocked_pandas(df._frame, df._numeric_positions(), pd_fn, halo_rows=w - 1)
+        out = win.blocked_pandas(df._frame, df._numeric_positions(), pd_fn, halo_rows=back, fwd_halo_rows=fwd)
         return DataFrame(_frame=out)
 
     def corr(self, other):
@@ -123,7 +127,7 @@ class Rolling:
         assert isinstance(self._obj, Series), f"rolling.{stat} is Series-to-Series"
         fr, px, py = _pair_frame(self._obj, other)
         out = win.rolling_pair(fr, px, py, self._window, stat, self._min_periods,
-                               out_label=self._obj._name or "0")
+                               out_label=self._obj._name or "0", center=self._center)
         return Series._from_frame(out)
 
 
@@ -341,4 +345,37 @@ for _n in ["sum", "mean", "min", "max", "count", "var", "std"]:
         return run
     setattr(GroupExpanding, _n, _mk_ge())
 
-Rolling.aggregate = Rolling.agg if hasattr(Rolling, "agg") else None
+def _rolling_agg_method(self, funcs):
+    """rolling.agg — a single name, or a list computed one pipeline per agg
+    (frame output columns named by agg for Series input, pandas-style)."""
+    if isinstance(funcs, str):
+        return self._run(funcs)
+    import pandas as _pd
+
+    from modin_spark.pandas.dataframe import DataFrame
+
+    outs = [self._run(f) for f in funcs]
+    if isinstance(self._obj, Series):
+        base = outs[0]._to_frame(funcs[0]) if isinstance(outs[0], Series) else outs[0]._frame
+        sdf = base.sdf
+        phys, labels = [base.data_cols[0]], [funcs[0]]
+        for f, o in zip(funcs[1:], outs[1:]):
+            ofr = o._to_frame(f)
+            # same-lineage column ops: every _run rides the same block pass
+            sdf = sdf.join(
+                ofr.sdf.select(F.col(ORDER_COL).alias("__ro__"), *[F.col(c) for c in ofr.data_cols]),
+                sdf[ORDER_COL] == F.col("__ro__"), "inner",
+            ).drop("__ro__")
+            phys.append(ofr.data_cols[0])
+            labels.append(f)
+        fr = base._same_rows(sdf, columns=_pd.Index(labels), data_cols=phys)
+        return DataFrame(_frame=fr)
+    raise NotImplementedError("rolling.agg(list) on DataFrame")
+
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from modin_spark.core.frame import ORDER_COL  # noqa: E402
+
+Rolling.agg = _rolling_agg_method
+Rolling.aggregate = _rolling_agg_method

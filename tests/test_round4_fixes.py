@@ -1,0 +1,123 @@
+"""Round-4 advisor fixes, differential vs pandas.
+
+Covers: centered rolling windows with min_periods < window (all agg paths),
+centered weighted windows, str.extractall (doc, match) MultiIndex, pandas
+div-by-zero semantics on Series division (forward + reversed), groupby.take
+with negative positions, and exact integer time-bucketing for offset rolling
+windows at extreme epochs.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import modin_spark.pandas as mpd
+
+
+def S(ps: pd.Series):
+    return mpd.from_pandas(ps.to_frame("v")).v
+
+
+def eq_series(mine, ref):
+    pd.testing.assert_series_equal(mine.to_pandas(), ref, check_dtype=False, check_names=False)
+
+
+def eq_frame(mine, ref):
+    pd.testing.assert_frame_equal(mine.to_pandas(), ref, check_dtype=False, check_names=False)
+
+
+_S = pd.Series([1.0, 2, 3, 4, 5, 6, 7])
+
+
+@pytest.mark.parametrize(
+    "w,mp,agg",
+    [(3, 1, "sum"), (3, None, "sum"), (4, 2, "mean"), (5, 3, "max"), (4, 2, "std")],
+)
+def test_rolling_center_aggs(spark, w, mp, agg):
+    got = getattr(S(_S).rolling(w, center=True, min_periods=mp), agg)()
+    ref = getattr(_S.rolling(w, center=True, min_periods=mp), agg)()
+    eq_series(got, ref)
+
+
+def test_rolling_center_quantile_rank_apply(spark):
+    eq_series(
+        S(_S).rolling(3, center=True, min_periods=1).quantile(0.5),
+        _S.rolling(3, center=True, min_periods=1).quantile(0.5),
+    )
+    eq_series(
+        S(_S).rolling(3, center=True, min_periods=1).rank(),
+        _S.rolling(3, center=True, min_periods=1).rank(),
+    )
+    eq_series(
+        S(_S).rolling(3, center=True, min_periods=1).apply(np.nansum),
+        _S.rolling(3, center=True, min_periods=1).apply(np.nansum),
+    )
+
+
+def test_rolling_center_corr(spark):
+    s2 = pd.Series([2.0, 1, 4, 3, 6, 5, 8])
+    eq_series(
+        S(_S).rolling(4, center=True, min_periods=2).corr(S(s2)),
+        _S.rolling(4, center=True, min_periods=2).corr(s2),
+    )
+
+
+def test_rolling_center_weighted_manual(spark):
+    # pandas needs scipy for win_type (absent here): expected computed from
+    # the closed-form triang weights [0.5, 1, 0.5]
+    w = np.array([0.5, 1.0, 0.5])
+    x = _S.to_numpy()
+    exp = pd.Series([np.nan] + [w @ x[i - 1 : i + 2] for i in range(1, 6)] + [np.nan])
+    eq_series(S(_S).rolling(3, win_type="triang", center=True).sum(), exp)
+
+
+def test_rolling_center_offset_window_raises(spark):
+    with pytest.raises(NotImplementedError):
+        S(_S).rolling("10min", center=True).sum()
+
+
+def test_rolling_agg_list(spark):
+    eq_frame(S(_S).rolling(3).agg(["sum", "mean"]), _S.rolling(3).agg(["sum", "mean"]))
+
+
+def test_extractall_multiindex(spark):
+    ps = pd.Series(["a1b2", "c3", "no", "d4e5f6"])
+    eq_frame(S(ps).str.extractall(r"([a-z])(\d)"), ps.str.extractall(r"([a-z])(\d)"))
+
+
+def test_extractall_custom_index(spark):
+    ps = pd.Series(["x1", "y2z3"], index=pd.Index(["p", "q"]))
+    eq_frame(S(ps).str.extractall(r"(\d)"), ps.str.extractall(r"(\d)"))
+
+
+def test_series_div_by_zero_semantics(spark):
+    a = pd.Series([1.0, -2.0, 0.0, 5.0])
+    b = pd.Series([0.0, 0.0, 0.0, 2.0])
+    ma, mb = S(a), S(b)
+    eq_series(ma / mb, a / b)
+    eq_series(ma // mb, a // b)
+    eq_series(ma.rtruediv(mb), a.rtruediv(b))
+    eq_series(ma.rfloordiv(mb), a.rfloordiv(b))
+    eq_series(ma.rdiv(2), a.rdiv(2))
+    eq_series(S(pd.Series([1.0, 2.0])).rdiv(0), pd.Series([1.0, 2.0]).rdiv(0))
+
+
+def test_groupby_take_negative(spark):
+    pdf = pd.DataFrame({"k": ["a", "a", "a", "b", "b", "c"], "v": [1, 2, 3, 4, 5, 6]})
+    mdf = mpd.from_pandas(pdf)
+    got = sorted(mdf.groupby("k").take([-1]).to_pandas()["v"].tolist())
+    exp = sorted(pdf.groupby("k").take([-1])["v"].tolist())
+    assert got == exp
+    got = sorted(mdf.groupby("k").take([0, -1]).to_pandas()["v"].tolist())
+    assert got == [1, 3, 4, 5, 6]  # set semantics: 1-row group 'c' appears once
+
+
+def test_rolling_time_bucket_extreme_epoch(spark):
+    # epochs straddling 2^53 µs (~year 2255): double division would round the
+    # bucket quotient; exact integer bucketing must keep every contributor
+    base = (1 << 53) - 2
+    ts = pd.to_datetime([base + i * 60_000_000 for i in range(40)], unit="us")
+    ps = pd.Series(np.arange(40, dtype="float64"), index=ts)
+    got = S(ps).rolling("5min").sum()
+    ref = ps.rolling("5min").sum()
+    np.testing.assert_allclose(got.to_pandas().to_numpy(), ref.to_numpy())
