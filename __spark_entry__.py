@@ -655,19 +655,44 @@ def _emb_brute_topk(spark, sf):
 
 
 def _emb_cosine_dedup(spark, sf):
+    """Cosine near-dup dedup with EXACT duplicate copies planted under new
+    ids. Identical vectors produce identical hyperplane-LSH bucket keys, so
+    LSH recall on the planted pairs is exactly 1.0 — the DuckDB all-pairs
+    exact-cosine oracle must therefore agree on BOTH the survivor count and
+    the survivor id-sum (no false positives from bucket collisions, every
+    planted duplicate dropped). Approximate near-dup recall is measured
+    separately by the pytest-gated emb_lsh_recall metric."""
     from modin_spark.operators.dedup import embedding_cosine_dedup
 
-    emb = _rp(spark, f"{sf}/embeddings.parquet")
-    return embedding_cosine_dedup(emb, threshold=0.98).agg(F.count(F.lit(1)).alias("n_after"))
+    emb = _rp(spark, f"{sf}/embeddings.parquet").where(F.col("vec_id") < 500).select(
+        "vec_id", "embedding"
+    )
+    copies = emb.where(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(copies)
+    out = embedding_cosine_dedup(corpus, threshold=0.98)
+    return out.agg(
+        F.count(F.lit(1)).alias("n_after"), F.sum("vec_id").alias("id_sum")
+    )
 
 
 def _multimodal_features(spark, sf):
+    """mapInPandas media plumbing: every input column (payload bytes) carried
+    through the Arrow batches, a 16-dim stub feature vector appended per row.
+    The oracle checks the SQL-computable invariants — id set, UTF-8 payload
+    byte length round-tripped through the binary column, feature dimension —
+    while the feature VALUES remain the declared deterministic stub."""
     from modin_spark.operators.multimodal import image_features
 
-    docs = _rp(spark, f"{sf}/documents.parquet").limit(200)
+    docs = _rp(spark, f"{sf}/documents.parquet").where(F.col("doc_id") < 200)
     media = docs.select(F.col("doc_id").alias("media_id"), F.encode(F.col("text"), "utf-8").alias("payload"))
     out = image_features(media, dim=16)
-    return out.select("media_id", F.size("features").alias("feat_dim"))
+    return out.select(
+        "media_id",
+        F.length(F.col("payload")).alias("payload_len"),
+        F.size("features").alias("feat_dim"),
+    )
 
 
 def _q4_priority_returned(spark, sf):
@@ -947,10 +972,17 @@ def _docs_fingerprint(spark, sf):
 
 
 def _docs_ngram_dedup(spark, sf):
+    """Exact word-5-shingle Jaccard dedup (keep-min-id) on a 500-doc slice.
+    Oracle = DuckDB ALL-pairs exact Jaccard: agreement proves LSH candidate
+    recall 1.0 on every pair at J >= 0.8 (banded-minhash miss probability
+    ~5e-8 there) plus exact verify + keep-min correctness."""
     from modin_spark.operators.dedup import ngram_jaccard_dedup
 
-    docs = _rp(spark, f"{sf}/documents.parquet")
-    return ngram_jaccard_dedup(docs, threshold=0.8).agg(F.count(F.lit(1)).alias("n_after"))
+    docs = _rp(spark, f"{sf}/documents.parquet").where(F.col("doc_id") < 500)
+    out = ngram_jaccard_dedup(docs, threshold=0.8)
+    return out.agg(
+        F.count(F.lit(1)).alias("n_after"), F.sum("doc_id").alias("id_sum")
+    )
 
 
 def _emb_lsh_topk(spark, sf):
@@ -2220,8 +2252,69 @@ def oracle_sql() -> dict[str, str]:
                    END, -1.0), 4) AS value
             FROM w
         """,
-        # docs_minhash_dedup / docs_simhash_dedup / docs_ngram_dedup /
-        # docs_langid_quality / emb_cosine_dedup / emb_lsh_topk / emb_ivf_topk
-        # / multimodal_features: custom/approximate operators with no SQL
-        # equivalent -> rows-only check.
+        "emb_cosine_dedup": """
+            WITH corpus AS (
+                SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500
+                UNION ALL
+                SELECT vec_id + 10000000 AS vec_id, embedding
+                FROM embeddings WHERE vec_id < 50
+            ),
+            surv AS (
+                SELECT c.vec_id FROM corpus c
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM corpus o
+                    WHERE o.vec_id < c.vec_id
+                      AND list_cosine_similarity(o.embedding, c.embedding) >= 0.98
+                )
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_after,
+                   CAST(SUM(vec_id) AS BIGINT) AS id_sum
+            FROM surv
+        """,
+        "docs_ngram_dedup": """
+            WITH d AS (
+              SELECT doc_id,
+                     regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g') AS t
+              FROM documents WHERE doc_id < 500
+            ),
+            w AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(t, '\\s+'), x -> x <> '') AS words
+              FROM d
+            ),
+            sh AS (
+              SELECT doc_id,
+                     list_distinct(
+                       CASE WHEN len(words) >= 5
+                            THEN [array_to_string(words[i:i+4], ' ') for i in range(1, len(words) - 3)]
+                            ELSE [array_to_string(words, ' ')] END
+                     ) AS s
+              FROM w
+            ),
+            e AS (SELECT doc_id, unnest(s) AS g FROM sh),
+            pair AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+              FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ),
+            sz AS (SELECT doc_id, len(s) AS n FROM sh),
+            losers AS (
+              SELECT DISTINCT id_b FROM pair
+              JOIN sz sa ON sa.doc_id = id_a
+              JOIN sz sb ON sb.doc_id = id_b
+              WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_after,
+                   CAST(SUM(doc_id) AS BIGINT) AS id_sum
+            FROM d WHERE doc_id NOT IN (SELECT id_b FROM losers)
+        """,
+        "multimodal_features": """
+            SELECT doc_id AS media_id,
+                   CAST(octet_length(encode(text)) AS INT) AS payload_len,
+                   16 AS feat_dim
+            FROM documents WHERE doc_id < 200
+        """,
+        # docs_minhash_dedup / docs_simhash_dedup / emb_lsh_topk /
+        # emb_ivf_topk / emb_lsh_recall / emb_ivf_recall: approximate
+        # operators with no SQL equivalent -> rows-only check.
     }
