@@ -985,6 +985,37 @@ def _docs_ngram_dedup(spark, sf):
     )
 
 
+def _apply_axis0_zscore(spark, sf):
+    """Distributed df.apply(func, axis=0): every column is handed WHOLE to
+    the UDF in its own applyInPandas task (melt -> column-group -> pivot
+    back; no driver materialization of the data — see
+    DataFrame._apply_axis0, plan-asserted in tests/test_plans.py)."""
+    mpd = _mpd()
+    orders = mpd.read_parquet(f"{sf}/orders.parquet")
+    df = orders[["o_orderkey", "o_custkey", "o_totalprice"]]
+    z = df.apply(lambda s: (s - s.mean()) / s.std())
+    for c in ["o_orderkey", "o_custkey", "o_totalprice"]:
+        z[c] = _r(z[c], 4)
+    out = z.rename(columns={"o_orderkey": "z_key", "o_custkey": "z_cust", "o_totalprice": "z_price"})
+    return out.to_spark(ordered=False)
+
+
+def _transpose_agg(spark, sf):
+    """Distributed transpose (melt + one pivot shuffle, no driver data
+    materialization — DataFrame._transpose_distributed) of a grouped
+    aggregate: stat names become rows, return-flag groups become columns."""
+    mpd = _mpd()
+    li = mpd.read_parquet(f"{sf}/lineitem.parquet")
+    g = li.groupby("l_returnflag").agg(
+        sq=("l_quantity", "sum"), sp=("l_extendedprice", "sum"), n=("l_orderkey", "count")
+    )
+    t = g.T.reset_index()
+    for c in ["A", "N", "R"]:
+        t[c] = _r(t[c], 2)
+    out = t.rename(columns={"index": "stat"})
+    return out.to_spark(ordered=False)
+
+
 def _emb_lsh_topk(spark, sf):
     from modin_spark.operators.similarity import lsh_topk
 
@@ -1402,6 +1433,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cosine_dedup": _emb_cosine_dedup,
         "multimodal_features": _multimodal_features,
         "docs_ngram_dedup": _docs_ngram_dedup,
+        "apply_axis0_zscore": _apply_axis0_zscore,
+        "transpose_agg": _transpose_agg,
         "emb_lsh_topk": _emb_lsh_topk,
         "emb_ivf_topk": _emb_ivf_topk,
         "rolling_time_sum": _rolling_time_sum,
@@ -2307,6 +2340,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(COUNT(*) AS BIGINT) AS n_after,
                    CAST(SUM(doc_id) AS BIGINT) AS id_sum
             FROM d WHERE doc_id NOT IN (SELECT id_b FROM losers)
+        """,
+        "apply_axis0_zscore": """
+            SELECT ROUND((o_orderkey - AVG(o_orderkey) OVER ()) / STDDEV_SAMP(o_orderkey) OVER (), 4) AS z_key,
+                   ROUND((o_custkey - AVG(o_custkey) OVER ()) / STDDEV_SAMP(o_custkey) OVER (), 4) AS z_cust,
+                   ROUND((o_totalprice - AVG(o_totalprice) OVER ()) / STDDEV_SAMP(o_totalprice) OVER (), 4) AS z_price
+            FROM orders
+        """,
+        "transpose_agg": """
+            WITH g AS (
+              SELECT l_returnflag AS f, SUM(l_quantity) AS sq,
+                     SUM(l_extendedprice) AS sp, CAST(COUNT(*) AS DOUBLE) AS n
+              FROM lineitem GROUP BY 1
+            )
+            SELECT 'sq' AS stat,
+                   ROUND(SUM(CASE WHEN f='A' THEN sq END), 2) AS A,
+                   ROUND(SUM(CASE WHEN f='N' THEN sq END), 2) AS N,
+                   ROUND(SUM(CASE WHEN f='R' THEN sq END), 2) AS R
+            FROM g
+            UNION ALL
+            SELECT 'sp',
+                   ROUND(SUM(CASE WHEN f='A' THEN sp END), 2),
+                   ROUND(SUM(CASE WHEN f='N' THEN sp END), 2),
+                   ROUND(SUM(CASE WHEN f='R' THEN sp END), 2)
+            FROM g
+            UNION ALL
+            SELECT 'n',
+                   ROUND(SUM(CASE WHEN f='A' THEN n END), 2),
+                   ROUND(SUM(CASE WHEN f='N' THEN n END), 2),
+                   ROUND(SUM(CASE WHEN f='R' THEN n END), 2)
+            FROM g
         """,
         "multimodal_features": """
             SELECT doc_id AS media_id,

@@ -1142,11 +1142,29 @@ class DataFrame:
         return flat.pivot_table(values=value_col, index=names[:-1], columns=names[-1], aggfunc="first")
 
     def transpose(self) -> "DataFrame":
-        """Swap axes. Inherently a full materialization (same cost class as
-        the reference's partition-grid transpose,
-        /root/reference/modin/core/dataframe/pandas/dataframe/dataframe.py:4747);
-        executed driver-side with a size guard."""
-        n = self._frame.count_rows()
+        """Swap axes (same cost class as the reference's partition-grid
+        transpose, /root/reference/modin/core/dataframe/pandas/dataframe/dataframe.py:4747).
+
+        Numeric frames whose row count fits Spark's practical column budget
+        (<= 10k transposed columns) run DISTRIBUTED: melt to (header, cid,
+        value) rows — one explode, no driver data — then one pivot shuffle
+        groups each original column into a transposed row. Only the header
+        strings (the transposed frame's column names, driver-side metadata by
+        definition) are collected. Everything else (mixed dtypes, multi-level
+        index, duplicate index values) uses the driver path under a size
+        guard."""
+        fr = self._frame
+        n = fr.count_rows()
+        numeric = self._numeric_positions()
+        if (
+            0 < n <= 10_000
+            and len(fr.columns) > 0
+            and len(numeric) == len(fr.columns)
+            and len(fr.index_cols) <= 1
+        ):
+            out = self._transpose_distributed()
+            if out is not None:
+                return out
         if n > 100_000:
             raise ValueError(f"transpose of {n} rows would materialize driver-side; refusing")
         t = self.to_pandas().T
@@ -1158,6 +1176,46 @@ class DataFrame:
                 t[c] = coerced if coerced.notna().sum() == t[c].notna().sum() else t[c].astype(str)
         t.columns = [str(c) for c in t.columns]
         return DataFrame(t)
+
+    def _transpose_distributed(self) -> "DataFrame | None":
+        """melt+pivot transpose for tall-narrow numeric frames. Returns None
+        when the header values collide (duplicate index labels need pandas'
+        duplicate-column semantics — driver path)."""
+        from modin_spark.core.frame import fresh_names
+
+        fr = self._frame.ensure_order().with_global_position("__pos__")
+        if fr.index_cols:
+            hdr_expr = F.col(fr.index_cols[0]).cast("string")
+        else:
+            hdr_expr = F.col("__pos__").cast("string")
+        sdf = fr.sdf.withColumn("__hdr__", hdr_expr)
+        hdr_rows = sdf.select("__pos__", "__hdr__").orderBy("__pos__").collect()
+        headers = [r["__hdr__"] for r in hdr_rows]
+        if len(set(headers)) != len(headers):
+            return None
+        melted = sdf.select(
+            "__hdr__",
+            F.explode(
+                F.array(*[
+                    F.struct(F.lit(ci).alias("__cid__"), F.col(p).cast("double").alias("__v__"))
+                    for ci, p in enumerate(fr.data_cols)
+                ])
+            ).alias("__e__"),
+        ).select("__hdr__", F.col("__e__.__cid__").alias("__cid__"), F.col("__e__.__v__").alias("__v__"))
+        piv = melted.groupBy("__cid__").pivot("__hdr__", headers).agg(F.first("__v__"))
+        phys = fresh_names(len(headers))
+        piv = piv.toDF("__cid__", *phys)  # positional rename: header strings never parsed as columns
+        lbl_arr = F.array(*[F.lit(str(l)) for l in fr.columns])
+        out_sdf = piv.select(
+            F.col("__cid__").cast("long").alias(ORDER_COL),
+            F.element_at(lbl_arr, F.col("__cid__") + 1).alias("__lbl__"),
+            *[F.col(p) for p in phys],
+        )
+        nf = SparkFrame(
+            out_sdf, pd.Index(headers), phys, index_cols=["__lbl__"], index_names=[None],
+            has_order=True,
+        )
+        return DataFrame(_frame=nf)
 
     @property
     def T(self) -> "DataFrame":
@@ -1249,8 +1307,90 @@ class DataFrame:
 
             struct = F.struct(*[F.col(p) for p in phys])
             return Series(fr, _udf(struct), set(phys), None)
-        # column-wise: default to driver pandas (documented escape hatch)
-        return self._default_to_pandas(lambda pdf: pdf.apply(func, axis=0))
+        return self._apply_axis0(func)
+
+    def _apply_axis0(self, func):
+        """Column-wise UDF, distributed (reference runs these through
+        apply_full_axis over column partitions,
+        /root/reference/modin/core/dataframe/pandas/dataframe/dataframe.py:2956).
+
+        Plan: melt all numeric columns into (pos, cid, value) rows — ONE
+        shuffle — then groupBy(cid).applyInPandas hands each column WHOLE to
+        ``func`` in its own task (parallelism = #columns; one task holds one
+        full column, the same cost class as a reference axis partition).
+        Transform-shaped results (len-preserving) pivot back onto the frame
+        by position; reduction-shaped results (scalar per column) come back
+        as a k-row aggregate -> pandas Series, matching the house reduction
+        style. Non-numeric columns (or unrecognized result shapes) use the
+        declared driver fallback."""
+        import numpy as np
+        from pyspark.sql import types as T
+
+        fr = self._frame
+        numeric = set(self._numeric_positions())
+        if len(numeric) != len(fr.columns) or not numeric:
+            return self._default_to_pandas(lambda pdf: pdf.apply(func, axis=0))
+        # shape probe on a driver sample (same technique as the axis=1 path)
+        sample = self.head(100).to_pandas()
+        out_sample = sample.apply(func, axis=0)
+        reduction = isinstance(out_sample, pd.Series)
+        if not reduction and (
+            not isinstance(out_sample, pd.DataFrame)
+            or len(out_sample) != len(sample)
+            or list(out_sample.columns) != list(sample.columns)
+        ):
+            return self._default_to_pandas(lambda pdf: pdf.apply(func, axis=0))
+
+        fr2 = fr.ensure_order().with_global_position("__pos__")
+        k = len(fr.data_cols)
+        melted = fr2.sdf.select(
+            F.col("__pos__"),
+            F.explode(
+                F.array(*[
+                    F.struct(F.lit(ci).alias("__cid__"), F.col(p).cast("double").alias("__v__"))
+                    for ci, p in enumerate(fr.data_cols)
+                ])
+            ).alias("__e__"),
+        ).select("__pos__", F.col("__e__.__cid__").alias("__cid__"), F.col("__e__.__v__").alias("__v__"))
+
+        if reduction:
+            schema = T.StructType([
+                T.StructField("__cid__", T.IntegerType()), T.StructField("__o__", T.DoubleType())
+            ])
+
+            def apply_red(pdf: pd.DataFrame) -> pd.DataFrame:
+                pdf = pdf.sort_values("__pos__")
+                r = func(pd.Series(pdf["__v__"].to_numpy()))
+                return pd.DataFrame({"__cid__": [int(pdf["__cid__"].iloc[0])], "__o__": [float(r)]})
+
+            rows = melted.groupBy("__cid__").applyInPandas(apply_red, schema).collect()
+            vals = {r["__cid__"]: r["__o__"] for r in rows}
+            return pd.Series([vals.get(ci) for ci in range(k)], index=list(fr.columns))
+
+        schema = T.StructType([
+            T.StructField("__pos__", T.LongType()),
+            T.StructField("__cid__", T.IntegerType()),
+            T.StructField("__o__", T.DoubleType()),
+        ])
+
+        def apply_col(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("__pos__")
+            r = func(pd.Series(pdf["__v__"].to_numpy()))
+            return pd.DataFrame({
+                "__pos__": pdf["__pos__"].to_numpy(),
+                "__cid__": pdf["__cid__"].to_numpy(),
+                "__o__": np.asarray(r, dtype="float64"),
+            })
+
+        res = melted.groupBy("__cid__").applyInPandas(apply_col, schema)
+        from modin_spark.core.frame import fresh_names
+
+        rp = fresh_names(k)
+        piv = res.groupBy("__pos__").pivot("__cid__", list(range(k))).agg(F.first("__o__"))
+        piv = piv.select(F.col("__pos__").alias("__pp__"), *[F.col(str(ci)).alias(rp[ci]) for ci in range(k)])
+        sdf = fr2.sdf.join(piv, fr2.sdf["__pos__"] == piv["__pp__"], "left").drop("__pp__")
+        out = fr2._same_rows(sdf).project(list(fr.columns), [F.col(c) for c in rp])
+        return DataFrame(_frame=out._same_rows(out.sdf.drop("__pos__")))
 
     def _default_to_pandas(self, fn):
         """Escape hatch mirroring the reference's default_to_pandas

@@ -121,3 +121,72 @@ def test_rolling_time_bucket_extreme_epoch(spark):
     got = S(ps).rolling("5min").sum()
     ref = ps.rolling("5min").sum()
     np.testing.assert_allclose(got.to_pandas().to_numpy(), ref.to_numpy())
+
+
+# ---------------------------------------------------------------------------
+# distributed apply(axis=0) and transpose
+# ---------------------------------------------------------------------------
+
+def test_apply_axis0_distributed_plan(spark):
+    """A 10-col frame must run column UDFs via applyInPandas (FlatMapGroupsInPandas
+    in the plan) with NO driver-side pandas fallback warning."""
+    import warnings
+
+    import modin_spark.pandas as mpd
+    from modin_spark import plans
+
+    rng = np.random.default_rng(1)
+    pdf = pd.DataFrame({f"c{i}": rng.random(500) for i in range(10)})
+    mdf = mpd.from_pandas(pdf)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # driver fallback warns -> fail
+        z = mdf.apply(lambda s: (s - s.mean()) / s.std())
+        plan = plans.physical_plan(z._frame.sdf)
+    assert "FlatMapGroupsInPandas" in plan, plan
+    pd.testing.assert_frame_equal(
+        z.to_pandas(), pdf.apply(lambda s: (s - s.mean()) / s.std()), check_dtype=False
+    )
+
+
+def test_apply_axis0_reduction(spark):
+    import modin_spark.pandas as mpd
+
+    pdf = pd.DataFrame({"a": [1.0, 2, 3, 4], "b": [10.0, 20, 30, 40]})
+    got = mpd.from_pandas(pdf).apply(lambda s: s.max() - s.min())
+    pd.testing.assert_series_equal(got, pdf.apply(lambda s: s.max() - s.min()), check_dtype=False)
+
+
+def test_apply_axis0_nonnumeric_falls_back(spark):
+    import modin_spark.pandas as mpd
+
+    pdf = pd.DataFrame({"a": [1, 2], "s": ["u", "v"]})
+    got = mpd.from_pandas(pdf).apply(lambda s: s.astype(str).str.len() if s.dtype == object else s)
+    assert len(got.to_pandas()) == 2
+
+
+def test_transpose_distributed(spark):
+    import modin_spark.pandas as mpd
+
+    pdf = pd.DataFrame({"a": [1.0, 2, 3, 4], "b": [10.0, 20, 30, 40], "c": [5, 6, 7, 8]})
+    got = mpd.from_pandas(pdf).T.to_pandas()
+    exp = pdf.T
+    exp.columns = [str(c) for c in exp.columns]
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False, check_names=False)
+
+
+def test_transpose_distributed_labeled(spark):
+    import modin_spark.pandas as mpd
+
+    pdf = pd.DataFrame(
+        {"x": [1.0, 2, 3], "y": [4.0, 5, 6]}, index=pd.Index(["p", "q", "r"])
+    )
+    got = mpd.from_pandas(pdf).T.to_pandas()
+    pd.testing.assert_frame_equal(got, pdf.T, check_dtype=False, check_names=False)
+
+
+def test_transpose_mixed_dtype_driver_path(spark):
+    import modin_spark.pandas as mpd
+
+    pdf = pd.DataFrame({"a": [1, 2], "s": ["u", "v"]})
+    got = mpd.from_pandas(pdf).T.to_pandas()
+    assert list(got.index) == ["a", "s"]
