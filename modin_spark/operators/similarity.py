@@ -128,7 +128,10 @@ def kmeans_centroids(corpus: SDF, vec_col: str, n_centroids: int, iters: int = 2
                      seed: int = 42) -> "np.ndarray":
     """Distributed spherical k-means for the IVF coarse quantizer.
 
-    Init = deterministic sample of n_centroids corpus vectors; each Lloyd
+    Init = hash-ordered top-k of the corpus (orderBy(xxhash64(vec, seed))
+    .limit(k) compiles to TakeOrderedAndProject): one distributed pass,
+    deterministic, and uniform across the whole corpus — a plain
+    sample+limit would take the first file region's rows; each Lloyd
     iteration is ONE pass over the corpus: a mapInPandas stage emits per-batch
     partial (cell, count, vector-sum) rows — at most n_centroids rows per
     Arrow batch, so the driver-side final reduce combines O(batches x k) tiny
@@ -137,7 +140,13 @@ def kmeans_centroids(corpus: SDF, vec_col: str, n_centroids: int, iters: int = 2
     import pandas as pd
     from pyspark.sql import types as T
 
-    cents = [r[vec_col] for r in corpus.select(vec_col).sample(False, 1.0, seed).limit(n_centroids).collect()]
+    cents = [
+        r[vec_col]
+        for r in corpus.select(vec_col)
+        .orderBy(F.xxhash64(F.col(vec_col), F.lit(seed)))
+        .limit(n_centroids)
+        .collect()
+    ]
     C = np.asarray([np.asarray(c, dtype="float64") for c in cents])
     Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
     dim = Cn.shape[1]
