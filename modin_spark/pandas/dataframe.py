@@ -982,6 +982,9 @@ class DataFrame:
     def mul(self, other, fill_value=None):
         return self._binary_frame(other, lambda a, b: a * b, fill_value)
 
+    multiply = mul
+    subtract = sub
+
     @staticmethod
     def _true_div(a, b):
         # pandas semantics: x/0 -> signed inf, 0/0 -> NaN (Spark yields NULL)
@@ -995,6 +998,7 @@ class DataFrame:
         return self._binary_frame(other, lambda a, b: DataFrame._true_div(a, b), fill_value)
 
     truediv = div
+    divide = div
 
     def floordiv(self, other, fill_value=None):
         # pandas: x // 0 -> signed inf (float result), like truediv

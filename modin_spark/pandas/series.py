@@ -214,9 +214,12 @@ class Series:
 
     add = __add__
     sub = __sub__
+    subtract = __sub__
     mul = __mul__
+    multiply = __mul__
     div = __truediv__
     truediv = __truediv__
+    divide = __truediv__
     floordiv = __floordiv__
     mod = __mod__
     pow = __pow__
@@ -1123,6 +1126,7 @@ Series.add_prefix = _ser_add_prefix
 Series.add_suffix = _ser_add_suffix
 Series.argsort = _ser_argsort
 Series.ndim = 1
+Series.dtypes = property(lambda self: self.dtype)
 Series.pad = lambda self: self.ffill()
 Series.backfill = lambda self: self.bfill()
 Series.keys = lambda self: self.index
