@@ -841,6 +841,19 @@ def _ewm_mean(spark, sf):
     return m.to_spark(ordered=False)
 
 
+def _win_weighted_var(spark, sf):
+    """Weighted-window variance (win_type='triang', w=4, exact binary-fraction
+    weights [.25,.75,.75,.25]): two lag-unrolled accumulations in whole-stage
+    codegen (core.windows.rolling_weighted; ref window_var qc:1668-1691)."""
+    mpd = _mpd()
+    ev = mpd.read_parquet(f"{sf}/events.parquet")
+    ev2 = ev.sort_values("event_id").head(4000).set_index("event_id")
+    v = ev2["value"].rolling(4, win_type="triang").var()
+    out = ev2[["value"]]
+    out["wvar"] = _r(v.fillna(-1.0), 6) + 0.0  # collapse IEEE -0.0
+    return out.reset_index()[["event_id", "wvar"]].to_spark(ordered=False)
+
+
 def _rolling_corr_pair(spark, sf):
     mpd = _mpd()
     ev = mpd.read_parquet(f"{sf}/events.parquet")
@@ -1435,6 +1448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_ngram_dedup": _docs_ngram_dedup,
         "apply_axis0_zscore": _apply_axis0_zscore,
         "transpose_agg": _transpose_agg,
+        "win_weighted_var": _win_weighted_var,
         "emb_lsh_topk": _emb_lsh_topk,
         "emb_ivf_topk": _emb_ivf_topk,
         "rolling_time_sum": _rolling_time_sum,
@@ -2340,6 +2354,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(COUNT(*) AS BIGINT) AS n_after,
                    CAST(SUM(doc_id) AS BIGINT) AS id_sum
             FROM d WHERE doc_id NOT IN (SELECT id_b FROM losers)
+        """,
+        "win_weighted_var": """
+            WITH e AS (
+                SELECT event_id, value FROM events ORDER BY event_id LIMIT 4000
+            ),
+            t AS (
+                SELECT event_id,
+                       LAG(value,3) OVER w * 0.25 + LAG(value,2) OVER w * 0.75
+                         + LAG(value,1) OVER w * 0.75 + value * 0.25 AS sxw,
+                       LAG(value*value,3) OVER w * 0.25 + LAG(value*value,2) OVER w * 0.75
+                         + LAG(value*value,1) OVER w * 0.75 + value*value * 0.25 AS sx2w
+                FROM e
+                WINDOW w AS (ORDER BY event_id)
+            )
+            SELECT event_id,
+                   ROUND(COALESCE((sx2w - sxw*sxw/2.0) * 4 / 6.0, -1.0), 6) + 0 AS wvar
+            FROM t
         """,
         "apply_axis0_zscore": """
             SELECT ROUND((o_orderkey - AVG(o_orderkey) OVER ()) / STDDEV_SAMP(o_orderkey) OVER (), 4) AS z_key,

@@ -409,13 +409,18 @@ def rolling_weighted(
     frame: SparkFrame, positions: Sequence[int], window: int, win_type: str, agg: str,
     center: bool = False, **win_kwargs
 ) -> SparkFrame:
-    """pandas ``rolling(w, win_type=...).sum()/mean()`` — weighted windows.
+    """pandas ``rolling(w, win_type=...).sum()/mean()/var()/std()`` — weighted
+    windows.
 
-    Plan: the weighted sum unrolls into ``window`` lag terms over ONE
+    Plan: the weighted sums unroll into ``window`` lag terms over ONE
     block-partitioned ordered window (halo rows supply cross-block context),
     so the whole thing stays in whole-stage codegen — no UDF, no shuffle
-    beyond the block pass. Incomplete or NaN-containing windows yield NULL
-    (pandas min_periods=window default for weighted windows)."""
+    beyond the block pass. var/std use the pandas weighted-variance formula
+    (reference window_var/window_std, ref qc:1668-1691; pandas
+    roll_weighted_var): var = Σw(x-μ)² · n / ((n-ddof)·Σw) with μ = Σwx/Σw,
+    which needs just a second unrolled accumulation Σw·x². Incomplete or
+    NaN-containing windows yield NULL (pandas min_periods=window default for
+    weighted windows)."""
     import numpy as np
 
     weights = window_weights(win_type, window, **win_kwargs)
@@ -432,11 +437,24 @@ def rolling_weighted(
         # oldest row in the window gets weights[0]: x_{t-back+j} = lag(x, back-j)
         # (center=True shifts the whole unroll forward by fwd; lag with a
         # negative offset is a lead, which Spark's Lag expression accepts)
-        acc = None
+        acc = acc2 = None
         for j in range(window):
-            term = F.lag(F.col(p).cast("double"), back - j).over(w_ord) * F.lit(float(weights[j]))
+            x = F.lag(F.col(p).cast("double"), back - j).over(w_ord)
+            term = x * F.lit(float(weights[j]))
             acc = term if acc is None else acc + term  # null-propagating: any missing lag -> NULL
-        sdf = sdf.withColumn(op_, acc / F.lit(wsum) if agg == "mean" else acc)
+            if agg in ("var", "std"):
+                term2 = x * x * F.lit(float(weights[j]))
+                acc2 = term2 if acc2 is None else acc2 + term2
+        if agg == "mean":
+            e = acc / F.lit(wsum)
+        elif agg in ("var", "std"):
+            t = acc2 - acc * acc / F.lit(wsum)  # Σw(x-μ)² via the shortcut form
+            e = t * F.lit(float(window)) / F.lit(float((window - 1) * wsum))  # ddof=1
+            if agg == "std":
+                e = F.sqrt(e)
+        else:
+            e = acc
+        sdf = sdf.withColumn(op_, e)
     sdf = sdf.where(F.col("__halo__") == 0).drop("__halo__")
     out = fr._same_rows(sdf).project(labels, [F.col(op_) for op_ in out_phys])
     return _drop_aux(out)

@@ -190,3 +190,20 @@ def test_transpose_mixed_dtype_driver_path(spark):
     pdf = pd.DataFrame({"a": [1, 2], "s": ["u", "v"]})
     got = mpd.from_pandas(pdf).T.to_pandas()
     assert list(got.index) == ["a", "s"]
+
+
+def test_rolling_weighted_var_std_manual(spark):
+    """pandas roll_weighted_var formula: var = Σw(x-μ)²·n/((n-1)·Σw),
+    μ = Σwx/Σw (pandas needs scipy for win_type, absent here — expected
+    computed directly from the closed-form triang weights)."""
+    w = np.array([0.25, 0.75, 0.75, 0.25])
+    sw = w.sum()
+    x = _S.to_numpy()
+    exp_var = [np.nan] * 3
+    for i in range(3, len(x)):
+        win = x[i - 3 : i + 1]
+        mu = (w * win).sum() / sw
+        t = (w * (win - mu) ** 2).sum()
+        exp_var.append(t * 4 / (3 * sw))
+    eq_series(S(_S).rolling(4, win_type="triang").var(), pd.Series(exp_var))
+    eq_series(S(_S).rolling(4, win_type="triang").std(), pd.Series(np.sqrt(exp_var)))
