@@ -841,6 +841,21 @@ def _ewm_mean(spark, sf):
     return m.to_spark(ordered=False)
 
 
+def _multiindex_cols_agg(spark, sf):
+    """2-level COLUMN MultiIndex: groupby().agg([...]) emits (col, agg)
+    columns; values selected via column tuples then flattened for the
+    oracle compare."""
+    mpd = _mpd()
+    li = mpd.read_parquet(f"{sf}/lineitem.parquet")
+    g = li[["l_returnflag", "l_quantity", "l_extendedprice"]].groupby("l_returnflag").agg(["sum", "mean"])
+    sel = g[[("l_quantity", "sum"), ("l_extendedprice", "mean")]]
+    flat = sel.rename(columns={("l_quantity", "sum"): "sum_qty", ("l_extendedprice", "mean"): "avg_price"})
+    out = flat.reset_index()
+    out["sum_qty"] = _r(out["sum_qty"], 2)
+    out["avg_price"] = _r(out["avg_price"], 4)
+    return out.to_spark(ordered=False)
+
+
 def _win_weighted_var(spark, sf):
     """Weighted-window variance (win_type='triang', w=4, exact binary-fraction
     weights [.25,.75,.75,.25]): two lag-unrolled accumulations in whole-stage
@@ -1449,6 +1464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "apply_axis0_zscore": _apply_axis0_zscore,
         "transpose_agg": _transpose_agg,
         "win_weighted_var": _win_weighted_var,
+        "multiindex_cols_agg": _multiindex_cols_agg,
         "emb_lsh_topk": _emb_lsh_topk,
         "emb_ivf_topk": _emb_ivf_topk,
         "rolling_time_sum": _rolling_time_sum,
@@ -2354,6 +2370,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(COUNT(*) AS BIGINT) AS n_after,
                    CAST(SUM(doc_id) AS BIGINT) AS id_sum
             FROM d WHERE doc_id NOT IN (SELECT id_b FROM losers)
+        """,
+        "multiindex_cols_agg": """
+            SELECT l_returnflag, ROUND(SUM(l_quantity), 2) AS sum_qty,
+                   ROUND(AVG(l_extendedprice), 4) AS avg_price
+            FROM lineitem GROUP BY 1
         """,
         "win_weighted_var": """
             WITH e AS (

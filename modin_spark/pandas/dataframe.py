@@ -903,21 +903,49 @@ class DataFrame:
         return DataFrame(_frame=out)
 
     def pivot_table(self, values=None, index=None, columns=None, aggfunc="mean") -> "DataFrame":
+        """Single shuffle: groupBy(index).pivot(columns). A LIST of values
+        pivots every value column in the same pass and labels the output with
+        2-level (value, column-value) MultiIndex columns, pandas-style (ref
+        carries column MultiIndexes natively, ref dataframe.py:161-189)."""
+        from modin_spark.core.frame import fresh_names as _fn
+
         fr = self._frame
         index = index if isinstance(index, list) else [index]
         idx_phys = [fr.data_cols[i] for i in fr.positions_of(index)]
         col_phys = fr.data_cols[fr.positions_of([columns])[0]]
-        val_phys = fr.data_cols[fr.positions_of([values])[0]]
         agg_fn = qc.AGG_EXPRS[aggfunc]
-        pivoted = fr.sdf.groupBy(*idx_phys).pivot(col_phys).agg(agg_fn(F.col(val_phys)))
-        value_cols = [c for c in pivoted.columns if c not in set(idx_phys)]
-        from modin_spark.core.frame import fresh_names as _fn
-
-        out_phys = _fn(len(value_cols))
+        if not isinstance(values, list):
+            val_phys = fr.data_cols[fr.positions_of([values])[0]]
+            pivoted = fr.sdf.groupBy(*idx_phys).pivot(col_phys).agg(agg_fn(F.col(val_phys)))
+            value_cols = [c for c in pivoted.columns if c not in set(idx_phys)]
+            out_phys = _fn(len(value_cols))
+            sel = [F.struct(*[F.col(p) for p in idx_phys]).alias(ORDER_COL)]
+            sel += [F.col(p) for p in idx_phys]
+            sel += [F.col(v).alias(np_) for v, np_ in zip(value_cols, out_phys)]
+            out = SparkFrame(pivoted.select(*sel), pd.Index(value_cols), out_phys, idx_phys, list(index))
+            return DataFrame(_frame=out)
+        # multi-value: one pivot over all value aggregates; the distinct
+        # pivot values (column METADATA, driver-side by definition) fix both
+        # Spark's output column order and the pandas label order
+        val_phys = [fr.data_cols[fr.positions_of([v])[0]] for v in values]
+        pvals = [r[0] for r in fr.sdf.select(col_phys).distinct().orderBy(col_phys).collect()]
+        aggs = [agg_fn(F.col(p)).alias(f"__v{i}__") for i, p in enumerate(val_phys)]
+        pivoted = fr.sdf.groupBy(*idx_phys).pivot(col_phys, pvals).agg(*aggs)
+        tmp = _fn(len(pvals) * len(values))
+        pivoted = pivoted.toDF(*idx_phys, *tmp)  # positional: pivot names never parsed
+        # Spark emits (pivot value outer, agg inner); pandas wants (value
+        # outer, pivot value inner)
+        name_of = {
+            (values[j % len(values)], pvals[j // len(values)]): tmp[j] for j in range(len(tmp))
+        }
+        labels = [(v, pv) for v in values for pv in pvals]
+        out_phys = _fn(len(labels))
         sel = [F.struct(*[F.col(p) for p in idx_phys]).alias(ORDER_COL)]
         sel += [F.col(p) for p in idx_phys]
-        sel += [F.col(v).alias(np_) for v, np_ in zip(value_cols, out_phys)]
-        out = SparkFrame(pivoted.select(*sel), pd.Index(value_cols), out_phys, idx_phys, list(index))
+        sel += [F.col(name_of[t]).alias(np_) for t, np_ in zip(labels, out_phys)]
+        out = SparkFrame(
+            pivoted.select(*sel), pd.MultiIndex.from_tuples(labels), out_phys, idx_phys, list(index)
+        )
         return DataFrame(_frame=out)
 
     # ------------------------------------------------------- frame binaries
@@ -1123,9 +1151,14 @@ class DataFrame:
                                 columns=columns, aggfunc="first")
 
     def stack(self) -> "DataFrame":
-        """Columns → rows (pandas returns a MultiIndex Series; here the frame
-        equivalent: index cols + 'level_1' + 'value')."""
+        """Columns → rows. Flat columns: pandas returns a MultiIndex Series —
+        here the frame equivalent: index cols + 'level_1' + 'value'.
+        2-level columns: the LAST column level moves into the index and the
+        output columns are the level-0 labels (pandas ``future_stack``
+        order-of-appearance semantics) — ONE posexplode, no shuffle."""
         fr = self._frame
+        if isinstance(fr.columns, pd.MultiIndex) and fr.columns.nlevels == 2:
+            return self._stack_two_level()
         id_vars = []
         if fr.index_cols:
             out = DataFrame(_frame=fr.reset_index())
@@ -1133,6 +1166,57 @@ class DataFrame:
         else:
             out = self
         return out.melt(id_vars=id_vars or None, var_name="level_1", value_name="value")
+
+    def _stack_two_level(self) -> "DataFrame":
+        from modin_spark.core.frame import fresh_names
+
+        fr = self._frame.ensure_order()
+        cols = list(fr.columns)
+        lvl0 = list(dict.fromkeys(t[0] for t in cols))
+        lvl1 = list(dict.fromkeys(t[1] for t in cols))
+        phys_map = dict(zip(cols, fr.data_cols))
+        # per level-0 group: single consistent dtype -> keep it; mixed but
+        # numeric -> widen to double; else unsupported
+        casts = {}
+        for g in lvl0:
+            kinds = {
+                fr.schema_map[phys_map[(g, l1)]].simpleString()
+                for l1 in lvl1 if (g, l1) in phys_map
+            }
+            if len(kinds) == 1 and len([1 for l1 in lvl1 if (g, l1) in phys_map]) == len(lvl1):
+                casts[g] = None
+            else:
+                casts[g] = "double"
+        structs = []
+        for l1 in lvl1:
+            fields = [F.lit(l1).alias("__lv__")]
+            for gi, g in enumerate(lvl0):
+                p = phys_map.get((g, l1))
+                e = F.col(p) if p is not None else F.lit(None)
+                if casts[g] is not None:
+                    e = e.cast(casts[g])
+                fields.append(e.alias(f"__s{gi}__"))
+            structs.append(F.struct(*fields))
+        out_phys = fresh_names(len(lvl0))
+        sdf = fr.sdf.select(
+            F.col(ORDER_COL), *[F.col(c) for c in fr.index_cols],
+            F.posexplode(F.array(*structs)).alias("__pos__", "__e__"),
+        ).select(
+            # unique order sorting as (row, level-1 position); a struct keeps
+            # this valid whatever the parent ORDER type (sorted groupbys use
+            # a key-struct ORDER)
+            F.struct(F.col(ORDER_COL).alias("o"), F.col("__pos__").alias("p")).alias(ORDER_COL),
+            *[F.col(c) for c in fr.index_cols],
+            F.col("__e__.__lv__").alias("__lv2__"),
+            *[F.col(f"__e__.__s{gi}__").alias(op) for gi, op in enumerate(out_phys)],
+        )
+        nf = SparkFrame(
+            sdf, pd.Index(lvl0), out_phys,
+            fr.index_cols + ["__lv2__"],
+            list(fr.index_names) + [fr.columns.names[-1]],
+            has_order=True,
+        )
+        return DataFrame(_frame=nf)
 
     def unstack(self, level=-1) -> "DataFrame":
         """Inverse of stack for the 2-level-index frame shape stack emits:

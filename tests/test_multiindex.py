@@ -77,3 +77,46 @@ def test_unstack_two_level(mi):
     got = m.groupby(["a", "b"]).agg(s=("v", "sum")).unstack().to_pandas().sort_index()
     ref = pdf.groupby(["a", "b"]).agg(s=("v", "sum")).unstack().sort_index()
     assert got.shape == ref.shape
+
+
+# ---------------------------------------------------------------------------
+# MultiIndex on the COLUMNS axis (round 4 MVP)
+# ---------------------------------------------------------------------------
+
+def test_groupby_agg_list_multiindex_columns(spark):
+    import modin_spark.pandas as mpd
+
+    pdf = pd.DataFrame({"k": ["a", "a", "b"], "x": [1.0, 2, 3], "y": [4.0, 5, 6]})
+    g = mpd.from_pandas(pdf).groupby("k").agg(["sum", "mean"])
+    exp = pdf.groupby("k").agg(["sum", "mean"])
+    assert isinstance(g._frame.columns, pd.MultiIndex)
+    pd.testing.assert_frame_equal(g.to_pandas(), exp, check_dtype=False, check_names=False)
+    # column-tuple selection
+    assert g[("x", "sum")].to_pandas().tolist() == exp[("x", "sum")].tolist()
+
+
+def test_two_level_columns_stack(spark):
+    import modin_spark.pandas as mpd
+
+    pdf = pd.DataFrame({"k": ["a", "a", "b"], "x": [1.0, 2, 3], "y": [4.0, 5, 6]})
+    g = mpd.from_pandas(pdf).groupby("k").agg(["sum", "mean"])
+    got = g.stack().to_pandas()
+    exp = pdf.groupby("k").agg(["sum", "mean"]).stack(future_stack=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False, check_names=False)
+
+
+def test_pivot_table_multi_values(spark):
+    import modin_spark.pandas as mpd
+
+    pdf = pd.DataFrame(
+        {"k": ["a", "a", "b", "b"], "c": ["u", "v", "u", "v"],
+         "x": [1.0, 2, 3, 4], "y": [10.0, 20, 30, 40]}
+    )
+    pt = mpd.from_pandas(pdf).pivot_table(values=["x", "y"], index="k", columns="c", aggfunc="sum")
+    exp = pdf.pivot_table(values=["x", "y"], index="k", columns="c", aggfunc="sum")
+    pd.testing.assert_frame_equal(pt.to_pandas(), exp, check_dtype=False, check_names=False)
+    # round-trip: stack moves the pivoted level back into the index
+    pd.testing.assert_frame_equal(
+        pt.stack().to_pandas(), exp.stack(future_stack=True),
+        check_dtype=False, check_names=False,
+    )
