@@ -1411,26 +1411,88 @@ def _q22_global_sales(spark, sf):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-    # The driver scores a PREFIX of this dict (45 entries in r1, 50 in r2).
-    # Ordering is therefore a rotation schedule: entries the driver has not
-    # yet scored (plus any whose implementation changed since their last
-    # green row) come first; cross-round sentinels close the prefix; queries
-    # already driver-green in CORRECTNESS_r01/r02.json follow. Every entry is
-    # checked locally every round via tools/check_entry.py regardless of
-    # position. See COVERAGE.md 'Driver-gate rotation'.
+    # The driver scores a PREFIX of this dict (45 entries in r1, 50 in r2/r3).
+    # Ordering is therefore a rotation schedule. Round-4 prefix: (a) the four
+    # never-scored new queries, (b) the three whose query+oracle changed this
+    # round, (c) queries riding machinery touched this round (centered-window
+    # halo refactor, time-bucket integer division, Series division
+    # semantics), (d) the stalest green rows (last scored in r2). Rows-only
+    # ops sit past the prefix so scored slots stay oracle-dense (contract
+    # test: <= 5 no-oracle in the first 50). Every entry is still checked
+    # locally every round via tools/check_entry.py regardless of position.
+    # See COVERAGE.md 'Driver-gate rotation'.
+        # (a) never scored
+        "apply_axis0_zscore": _apply_axis0_zscore,
+        "transpose_agg": _transpose_agg,
+        "win_weighted_var": _win_weighted_var,
+        "multiindex_cols_agg": _multiindex_cols_agg,
+        # (b) newly oracled this round
+        "emb_cosine_dedup": _emb_cosine_dedup,
+        "docs_ngram_dedup": _docs_ngram_dedup,
+        "multimodal_features": _multimodal_features,
+        # (c) machinery touched this round
+        "rolling_mean": _rolling_mean,
         "rolling_corr_pair": _rolling_corr_pair,
+        "rolling_time_sum": _rolling_time_sum,
+        "ewm_mean": _ewm_mean,
+        "expanding_median_p90": _expanding_median_p90,
+        "q8_market_share": _q8_market_share,
+        "q14_promo_revenue": _q14_promo_revenue,
+        # (d) stalest green rows (last scored r2), current relative order
+        "asof_nearest": _asof_nearest,
+        "case_when": _case_when,
+        "concat_cols_aligned": _concat_cols_aligned,
+        "concat_union": _concat_union,
+        "corr_cov": _corr_cov,
+        "cube_agg": _cube_agg,
+        "cumsum_by_group": _cumsum_by_group,
+        "cut_buckets": _cut_buckets,
+        "distinct_dedup": _distinct_dedup,
+        "docs_exact_dedup": _docs_exact_dedup,
+        "docs_token_stats": _docs_token_stats,
+        "dot_product": _dot_product,
+        "filter_project": _filter_project,
+        "get_dummies_sum": _get_dummies_sum,
+        "groupby_idxmax": _groupby_idxmax,
+        "groupby_median_quantile": _groupby_median_quantile,
+        "groupby_multi_agg": _groupby_multi_agg,
+        "groupby_nunique": _groupby_nunique,
+        "iloc_slice": _iloc_slice,
+        "isin_filter": _isin_filter,
+        "merge_left_fillna": _merge_left_fillna,
+        "multiindex_regroup": _multiindex_regroup,
+        "pivot_flag_status": _pivot_flag_status,
+        "q1_pricing_summary": _q1,
+        "q3_top_orders": _q3,
+        "q5_nation_revenue": _q5,
+        "q6_forecast_revenue": _q6,
+        "query_eval": _query_eval,
+        "rank_frame": _rank_frame,
+        "rank_min": _rank_min,
+        "resample_hourly": _resample_hourly,
+        "shift_diff": _shift_diff,
+        "sort_topk": _sort_topk,
+        "sql_interface": _sql_interface,
+        "str_funcs": _str_funcs,
+        "value_counts": _value_counts,
+        # ---- past the scored prefix: r3-green rows + rows-only ops ----
+        "docs_norm_distinct": _docs_norm_distinct,
+        "docs_minhash_dedup": _docs_minhash_dedup,
+        "docs_simhash_dedup": _docs_simhash_dedup,
+        "emb_lsh_topk": _emb_lsh_topk,
+        "emb_ivf_topk": _emb_ivf_topk,
+        "emb_lsh_recall": _emb_lsh_recall,
+        "emb_ivf_recall": _emb_ivf_recall,
         "asof_join": _asof_join,
         "dt_funcs": _dt_funcs,
         "q2_min_cost_supplier": _q2_min_cost_supplier,
         "q4_priority_returned": _q4_priority_returned,
         "q7_volume_shipping": _q7_volume_shipping,
-        "q8_market_share": _q8_market_share,
         "q9_profit_by_nation": _q9_profit_by_nation,
         "q10_returned_revenue": _q10_returned_revenue,
         "q11_important_parts": _q11_important_parts,
         "q12_priority_lines": _q12_priority_lines,
         "q13_order_distribution": _q13_order_distribution,
-        "q14_promo_revenue": _q14_promo_revenue,
         "q15_top_supplier": _q15_top_supplier,
         "q16_supplier_count": _q16_supplier_count,
         "q17_small_quantity": _q17_small_quantity,
@@ -1458,64 +1520,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_fingerprint": _docs_fingerprint,
         "resample_ffill": _resample_ffill,
         "resample_interp": _resample_interp,
-        "emb_cosine_dedup": _emb_cosine_dedup,
-        "multimodal_features": _multimodal_features,
-        "docs_ngram_dedup": _docs_ngram_dedup,
-        "apply_axis0_zscore": _apply_axis0_zscore,
-        "transpose_agg": _transpose_agg,
-        "win_weighted_var": _win_weighted_var,
-        "multiindex_cols_agg": _multiindex_cols_agg,
-        "emb_lsh_topk": _emb_lsh_topk,
-        "emb_ivf_topk": _emb_ivf_topk,
-        "rolling_time_sum": _rolling_time_sum,
         "docs_langid_quality": _docs_langid_quality,
         "docs_clean_corpus": _docs_clean_corpus,
         "docs_jaccard_pairs": _docs_jaccard_pairs,
         "emb_brute_topk": _emb_brute_topk,
-        "q5_nation_revenue": _q5,
-        "q6_forecast_revenue": _q6,
-        "filter_project": _filter_project,
-        "merge_left_fillna": _merge_left_fillna,
-        "sort_topk": _sort_topk,
-        "distinct_dedup": _distinct_dedup,
-        "value_counts": _value_counts,
-        "groupby_multi_agg": _groupby_multi_agg,
-        "groupby_nunique": _groupby_nunique,
-        "groupby_median_quantile": _groupby_median_quantile,
-        "groupby_idxmax": _groupby_idxmax,
-        "cumsum_by_group": _cumsum_by_group,
-        "shift_diff": _shift_diff,
-        "rank_min": _rank_min,
-        "str_funcs": _str_funcs,
-        "resample_hourly": _resample_hourly,
-        "pivot_flag_status": _pivot_flag_status,
-        "concat_union": _concat_union,
-        "isin_filter": _isin_filter,
-        "cut_buckets": _cut_buckets,
-        "get_dummies_sum": _get_dummies_sum,
-        "case_when": _case_when,
-        "corr_cov": _corr_cov,
-        "cube_agg": _cube_agg,
-        "asof_nearest": _asof_nearest,
-        "expanding_median_p90": _expanding_median_p90,
-        "rank_frame": _rank_frame,
-        "multiindex_regroup": _multiindex_regroup,
-        "sql_interface": _sql_interface,
-        "concat_cols_aligned": _concat_cols_aligned,
-        "query_eval": _query_eval,
-        "dot_product": _dot_product,
-        "iloc_slice": _iloc_slice,
-        "emb_lsh_recall": _emb_lsh_recall,
-        "emb_ivf_recall": _emb_ivf_recall,
-        "ewm_mean": _ewm_mean,
-        "docs_exact_dedup": _docs_exact_dedup,
-        "docs_token_stats": _docs_token_stats,
-        "docs_norm_distinct": _docs_norm_distinct,
-        "docs_minhash_dedup": _docs_minhash_dedup,
-        "docs_simhash_dedup": _docs_simhash_dedup,
-        "q3_top_orders": _q3,
-        "rolling_mean": _rolling_mean,
-        "q1_pricing_summary": _q1,
     }
 
 
