@@ -50,6 +50,12 @@ HEADLINE = [
     "docs_fingerprint",
     "docs_clean_corpus",
     "emb_ivf_topk",
+    # round 4: distributed column-UDF / transpose / weighted-var / 2-level-
+    # column machinery
+    "apply_axis0_zscore",
+    "transpose_agg",
+    "win_weighted_var",
+    "multiindex_cols_agg",
 ]
 
 

@@ -1242,17 +1242,18 @@ class DataFrame:
         index, duplicate index values) uses the driver path under a size
         guard."""
         fr = self._frame
-        n = fr.count_rows()
         numeric = self._numeric_positions()
         if (
-            0 < n <= 10_000
-            and len(fr.columns) > 0
+            len(fr.columns) > 0
             and len(numeric) == len(fr.columns)
             and len(fr.index_cols) <= 1
         ):
+            # the distributed path's header collect doubles as the size
+            # probe (limit 10k+1) — no separate count action
             out = self._transpose_distributed()
             if out is not None:
                 return out
+        n = fr.count_rows()
         if n > 100_000:
             raise ValueError(f"transpose of {n} rows would materialize driver-side; refusing")
         t = self.to_pandas().T
@@ -1267,8 +1268,9 @@ class DataFrame:
 
     def _transpose_distributed(self) -> "DataFrame | None":
         """melt+pivot transpose for tall-narrow numeric frames. Returns None
-        when the header values collide (duplicate index labels need pandas'
-        duplicate-column semantics — driver path)."""
+        when the frame exceeds Spark's practical column budget (>10k
+        transposed columns) or the header values collide (duplicate index
+        labels need pandas' duplicate-column semantics) — driver path."""
         from modin_spark.core.frame import fresh_names
 
         fr = self._frame.ensure_order().with_global_position("__pos__")
@@ -1277,8 +1279,10 @@ class DataFrame:
         else:
             hdr_expr = F.col("__pos__").cast("string")
         sdf = fr.sdf.withColumn("__hdr__", hdr_expr)
-        hdr_rows = sdf.select("__pos__", "__hdr__").orderBy("__pos__").collect()
+        hdr_rows = sdf.select("__pos__", "__hdr__").orderBy("__pos__").limit(10_001).collect()
         headers = [r["__hdr__"] for r in hdr_rows]
+        if len(headers) > 10_000 or len(headers) == 0:
+            return None
         if len(set(headers)) != len(headers):
             return None
         melted = sdf.select(

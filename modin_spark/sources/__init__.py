@@ -32,7 +32,7 @@ CAPABILITIES = {
     "jdbc": (True, "partitionColumn/bounds partitioned reads"),
     "excel": (False, "driver-side pandas (reference does the same for non-xlsx)"),
     "pickle": (False, "driver-side pandas"),
-    "feather": (False, "driver-side pandas/arrow"),
+    "feather": (True, "parallel Arrow IPC reader, one task per record batch; legacy v1 falls back driver-side"),
     "html": (False, "driver-side pandas"),
     "fwf": (False, "driver-side pandas; TODO substring post-processing on csv reader"),
     "delta/iceberg/hudi": (False, "jars not in this image; stubbed behind import-try"),

@@ -117,3 +117,32 @@ def test_read_parquet_filters_pushdown(spark):
     )
     s = set(m2.to_pandas()["o_orderstatus"])
     assert s <= {"F", "O"}
+
+
+def test_read_feather_parallel(spark, tmp_path):
+    """Distributed feather: one task per IPC record batch, schema from the
+    footer only; values match pandas."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.ipc as ipc
+
+    import modin_spark.pandas as mpd
+
+    rng = np.random.default_rng(7)
+    pdf = pd.DataFrame({"a": rng.integers(0, 1000, 20000), "b": rng.random(20000)})
+    fp = str(tmp_path / "t.feather")
+    tbl = pa.Table.from_pandas(pdf)
+    with ipc.new_file(fp, tbl.schema) as w:
+        for b in tbl.to_batches(max_chunksize=4000):
+            w.write_batch(b)
+    m = mpd.read_feather(fp)
+    assert m._frame.sdf.rdd.getNumPartitions() == 5  # one per batch
+    got = m.to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got, pdf.sort_values(["a", "b"]).reset_index(drop=True), check_dtype=False
+    )
+    # column pruning + pandas-written (compressed) file
+    pdf.to_feather(str(tmp_path / "t2.feather"))
+    m2 = mpd.read_feather(str(tmp_path / "t2.feather"), columns=["b"])
+    assert list(m2.to_pandas().columns) == ["b"]
+    assert len(m2.to_pandas()) == 20000
