@@ -1220,14 +1220,16 @@ class DataFrame:
 
     def unstack(self, level=-1) -> "DataFrame":
         """Inverse of stack for the 2-level-index frame shape stack emits:
-        pivot the last index column into columns."""
+        pivot the last index column into columns. Multiple value columns
+        produce 2-level (value, key) MultiIndex columns, pandas-style."""
         fr = self._frame
         if len(fr.index_cols) < 2:
             raise NotImplementedError("unstack needs a 2-level index")
         names = [n if n is not None else f"level_{i}" for i, n in enumerate(fr.index_names)]
         flat = DataFrame(_frame=fr.reset_index())
-        value_col = [c for c in flat.columns if c not in names][0]
-        return flat.pivot_table(values=value_col, index=names[:-1], columns=names[-1], aggfunc="first")
+        value_cols = [c for c in flat.columns if c not in names]
+        values = value_cols[0] if len(value_cols) == 1 else value_cols
+        return flat.pivot_table(values=values, index=names[:-1], columns=names[-1], aggfunc="first")
 
     def transpose(self) -> "DataFrame":
         """Swap axes (same cost class as the reference's partition-grid

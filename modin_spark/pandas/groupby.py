@@ -535,10 +535,10 @@ class DataFrameGroupBy:
         out = qc.groupby_apply(self._df._frame, self._by_pos, func)
         return DataFrame(_frame=out)
 
-    def rolling(self, window: int, min_periods=None):
+    def rolling(self, window: int, min_periods=None, center: bool = False):
         from modin_spark.pandas.window import GroupRolling
 
-        return GroupRolling(self, window, min_periods)
+        return GroupRolling(self, window, min_periods, center=center)
 
     def pivot(self, *a, **kw):
         raise NotImplementedError

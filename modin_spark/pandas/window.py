@@ -268,12 +268,16 @@ class EWM:
 
 
 class GroupRolling:
-    """groupby(...).rolling(w) — plain key-partitioned ordered window."""
+    """groupby(...).rolling(w) — plain key-partitioned ordered window
+    (``center=True`` widens the frame to [-back, +fwd] like ungrouped
+    rolling; the group keys already partition the window, so no halo is
+    needed)."""
 
-    def __init__(self, g, window: int, min_periods=None):
+    def __init__(self, g, window: int, min_periods=None, center: bool = False):
         self._g = g
         self._window = window
         self._min_periods = min_periods
+        self._center = center
 
     def _run(self, agg: str):
         from modin_spark.pandas.dataframe import DataFrame
@@ -281,7 +285,8 @@ class GroupRolling:
         fr = self._g._df._frame
         keys = [fr.data_cols[i] for i in self._g._by_pos]
         vals = self._g._value_positions(numeric_only=True)
-        out = win.rolling_agg(fr, [i for _, i in vals], self._window, agg, self._min_periods, group_phys=keys)
+        out = win.rolling_agg(fr, [i for _, i in vals], self._window, agg, self._min_periods,
+                              group_phys=keys, center=self._center)
         return DataFrame(_frame=out)
 
 

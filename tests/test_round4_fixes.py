@@ -207,3 +207,20 @@ def test_rolling_weighted_var_std_manual(spark):
         exp_var.append(t * 4 / (3 * sw))
     eq_series(S(_S).rolling(4, win_type="triang").var(), pd.Series(exp_var))
     eq_series(S(_S).rolling(4, win_type="triang").std(), pd.Series(np.sqrt(exp_var)))
+
+
+def test_unstack_multi_value_columns(spark):
+    pdf = pd.DataFrame(
+        {"k": ["a", "a", "b", "b"], "c": ["u", "v", "u", "v"],
+         "x": [1.0, 2, 3, 4], "y": [10.0, 20, 30, 40]}
+    ).set_index(["k", "c"])
+    got = mpd.from_pandas(pdf.reset_index()).set_index(["k", "c"]).unstack().to_pandas()
+    exp = pdf.unstack()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False, check_names=False)
+
+
+def test_groupby_rolling_center(spark):
+    pdf = pd.DataFrame({"k": ["a"] * 5 + ["b"] * 4, "v": [1.0, 2, 3, 4, 5, 10, 20, 30, 40]})
+    got = mpd.from_pandas(pdf).groupby("k").rolling(3, center=True, min_periods=1).mean().to_pandas()
+    exp = pdf.groupby("k").rolling(3, center=True, min_periods=1).mean().reset_index(drop=True)
+    np.testing.assert_allclose(got["v"].to_numpy(), exp["v"].to_numpy())
