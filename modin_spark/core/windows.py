@@ -47,7 +47,13 @@ def _halo_union(fr_sdf, back: int, fwd: int = 0):
     block copied into the NEXT block (backward-looking context) and the first
     ``fwd`` rows copied into the PREVIOUS block (forward-looking context, used
     by centered windows). Every genuine row then sees its full window inside
-    one bounded partition."""
+    one bounded partition. Halo extents must fit one block — callers guard
+    window <= BLOCK (use blocked_pandas, whose explode-sequence halo spans
+    multiple blocks, for wider context)."""
+    if back >= BLOCK or fwd >= BLOCK:
+        raise NotImplementedError(
+            f"rolling window wider than one {BLOCK}-row block (back={back}, fwd={fwd})"
+        )
     sdf = fr_sdf.withColumn("__halo__", F.lit(0))
     if back > 0:
         h = (

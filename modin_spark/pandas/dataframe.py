@@ -928,7 +928,11 @@ class DataFrame:
         # pivot values (column METADATA, driver-side by definition) fix both
         # Spark's output column order and the pandas label order
         val_phys = [fr.data_cols[fr.positions_of([v])[0]] for v in values]
-        pvals = [r[0] for r in fr.sdf.select(col_phys).distinct().orderBy(col_phys).collect()]
+        pvals = [
+            r[0]
+            for r in fr.sdf.select(col_phys).where(F.col(col_phys).isNotNull())
+            .distinct().orderBy(col_phys).collect()
+        ]  # pandas pivot_table dropna=True: NaN column keys are dropped
         aggs = [agg_fn(F.col(p)).alias(f"__v{i}__") for i, p in enumerate(val_phys)]
         pivoted = fr.sdf.groupBy(*idx_phys).pivot(col_phys, pvals).agg(*aggs)
         tmp = _fn(len(pvals) * len(values))
