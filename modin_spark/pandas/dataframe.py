@@ -783,7 +783,16 @@ class DataFrame:
     def idxmin(self) -> pd.Series:
         return pd.Series({self._frame.columns[i]: self._series_at(i).idxmin() for i in self._numeric_positions()})
 
-    def corr(self, numeric_only=True) -> pd.DataFrame:
+    def corr(self, method="pearson", numeric_only=True) -> pd.DataFrame:
+        """Correlation matrix — ONE aggregate over all pairs. ``spearman``
+        rides the distributed rank machinery (pearson over whole-column
+        ranks; exact pandas parity when columns are NaN-free — pandas
+        re-ranks per pairwise-complete pair under NaNs)."""
+        if method == "spearman":
+            ranked = self.rank(method="average")
+            return ranked.corr(method="pearson", numeric_only=numeric_only)
+        if method != "pearson":
+            raise NotImplementedError(f"corr method {method!r}")
         fr = self._frame
         pos = self._numeric_positions()
         labels = [fr.columns[i] for i in pos]

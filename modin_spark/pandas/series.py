@@ -1023,7 +1023,12 @@ def _ser_copy(self, deep=True):
 
 
 def _ser_corr(self, other, method="pearson"):
-    """Pairwise Pearson r — ONE aggregate after lineage/position align."""
+    """Pairwise Pearson r — ONE aggregate after lineage/position align.
+    ``spearman`` = pearson over distributed ranks (exact when NaN-free)."""
+    if method == "spearman":
+        return self.rank(method="average").corr(other.rank(method="average"), method="pearson")
+    if method != "pearson":
+        raise NotImplementedError(f"corr method {method!r}")
     fr, ea, eb, _ = self._combine(other)
     return fr.sdf.agg(F.corr(ea.cast("double"), eb.cast("double")).alias("r")).collect()[0]["r"]
 

@@ -224,3 +224,17 @@ def test_groupby_rolling_center(spark):
     got = mpd.from_pandas(pdf).groupby("k").rolling(3, center=True, min_periods=1).mean().to_pandas()
     exp = pdf.groupby("k").rolling(3, center=True, min_periods=1).mean().reset_index(drop=True)
     np.testing.assert_allclose(got["v"].to_numpy(), exp["v"].to_numpy())
+
+
+def test_corr_spearman(spark):
+    rng = np.random.default_rng(3)
+    pdf = pd.DataFrame({"a": rng.random(300), "b": rng.random(300)})
+    pdf["c"] = pdf.a * 2 + rng.random(300) * 0.1
+    mdf = mpd.from_pandas(pdf)
+    got = mdf.corr(method="spearman")
+    exp = pdf.corr(method="spearman")
+    np.testing.assert_allclose(got.to_numpy(), exp.to_numpy(), rtol=1e-9)
+    # pandas Series.corr(spearman) imports scipy (absent here): reference =
+    # rank-then-pearson, the identical definition
+    s = mdf.a.corr(mdf.c, method="spearman")
+    assert abs(s - pdf.a.rank().corr(pdf.c.rank())) < 1e-9
