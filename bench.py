@@ -131,6 +131,13 @@ def main() -> None:
         r3_comparable = round(sum(v for q, v in timings.items() if q in base3 and v > 0), 3)
     except Exception:
         pass
+    r4_comparable = None
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_LOCAL_r04.json")) as f:
+            base4 = json.load(f)["queries"]
+        r4_comparable = round(sum(v for q, v in timings.items() if q in base4 and v > 0), 3)
+    except Exception:
+        pass
 
     print(
         json.dumps(
@@ -141,6 +148,7 @@ def main() -> None:
                 "queries": timings,
                 "r1_comparable_total": r1_comparable,
                 "r3_comparable_total": r3_comparable,
+                "r4_comparable_total": r4_comparable,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

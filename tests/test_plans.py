@@ -192,3 +192,16 @@ def test_tpch_plan_has_no_scale_antipatterns(spark, name):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert plans.unsafe_single_partition_exchanges(out) == 0, plan
+
+
+def test_apply_axis0_no_unsafe_single_partition(spark):
+    """Distributed column UDFs: the melt->column-group->pivot-back plan must
+    never funnel the data through one partition."""
+    import numpy as np
+
+    import modin_spark.pandas as mpd
+
+    rng = np.random.default_rng(2)
+    mdf = mpd.from_pandas(pd.DataFrame({f"c{i}": rng.random(2000) for i in range(4)}))
+    z = mdf.apply(lambda s: (s - s.mean()) / s.std())
+    assert plans.unsafe_single_partition_exchanges(z._frame.sdf) == 0, plans.physical_plan(z._frame.sdf)
