@@ -88,3 +88,40 @@ def test_prop_fillna_dropna(spark, pdf):
     gd = m.dropna(subset=["f"]).to_pandas()[["i", "k"]]
     rd = pdf.dropna(subset=["f"]).reset_index(drop=True)[["i", "k"]]
     pd.testing.assert_frame_equal(gd, rd, check_dtype=False)
+
+
+@given(pdf=frames(min_rows=3), w=st.integers(2, 6), mp=st.integers(1, 3))
+@settings(**SETTINGS)
+def test_prop_rolling_center(spark, pdf, w, mp):
+    m = _mpd(pdf)
+    got = m.f.rolling(w, center=True, min_periods=min(mp, w)).sum().to_pandas()
+    ref = pdf.f.rolling(w, center=True, min_periods=min(mp, w)).sum().reset_index(drop=True)
+    pd.testing.assert_series_equal(got, ref, check_dtype=False, check_names=False)
+
+
+@given(pdf=frames(min_rows=2))
+@settings(**SETTINGS)
+def test_prop_apply_axis0_transform(spark, pdf):
+    num = pdf[["i", "f"]]
+    got = _mpd(num).apply(lambda s: s - s.mean()).to_pandas()
+    ref = num.apply(lambda s: s - s.mean())
+    pd.testing.assert_frame_equal(got, ref, check_dtype=False)
+
+
+@given(pdf=frames(min_rows=1, max_rows=12))
+@settings(**SETTINGS)
+def test_prop_transpose_roundtrip(spark, pdf):
+    num = pdf[["i", "f"]]
+    got = _mpd(num).T.to_pandas()
+    ref = num.T
+    ref.columns = [str(c) for c in ref.columns]
+    pd.testing.assert_frame_equal(got, ref, check_dtype=False, check_names=False)
+
+
+@given(pdf=frames(min_rows=2))
+@settings(**SETTINGS)
+def test_prop_series_division(spark, pdf):
+    m = _mpd(pdf)
+    got = (m.f / m.i).to_pandas()
+    ref = (pdf.f / pdf.i).reset_index(drop=True)
+    pd.testing.assert_series_equal(got, ref, check_dtype=False, check_names=False)
