@@ -670,7 +670,16 @@ class DataFrame:
     def median(self, numeric_only=True):
         return self._reduce_frame("median", numeric_only)
 
-    def nunique(self) -> pd.Series:
+    def nunique(self, axis=0, dropna=True) -> "pd.Series | Series":
+        if axis in (1, "columns"):
+            # row-wise distinct count: one array expression, no shuffle
+            fr = self._frame
+            cols = [fr.scol(i) for i in range(len(fr.columns))]
+            arr = F.array(*[c.cast("string") for c in cols])
+            if dropna:
+                arr = F.filter(arr, lambda x: x.isNotNull())
+            e = F.size(F.array_distinct(arr)).cast("long")
+            return Series(fr, e, set(fr.data_cols), None)
         return self._reduce_frame("nunique", numeric_only=False)
 
     def prod(self, numeric_only=True):
@@ -727,6 +736,12 @@ class DataFrame:
         return pd.DataFrame(cols)
 
     def quantile(self, q=0.5, numeric_only=True):
+        if isinstance(q, (list, tuple)):
+            # one aggregate per q, assembled driver-side (k×cols scalars)
+            rows = {qq: self._reduce_frame("quantile", numeric_only, q=float(qq)) for qq in q}
+            out = pd.DataFrame(rows).T
+            out.index.name = None
+            return out
         return self._reduce_frame("quantile", numeric_only, q=q)
 
     def _row_wise(self, op: str) -> Series:
@@ -753,6 +768,9 @@ class DataFrame:
         if isinstance(spec, str):
             return self._reduce_frame(spec)
         if isinstance(spec, dict):
+            if not any(isinstance(v, list) for v in spec.values()):
+                # all-scalar spec: pandas returns a Series
+                return pd.Series({lbl: self[lbl]._reduce(fn) for lbl, fn in spec.items()})
             out = {}
             for lbl, fns in spec.items():
                 fns = fns if isinstance(fns, list) else [fns]
@@ -1395,7 +1413,10 @@ class DataFrame:
         return DataFrame(_frame=fr.project(out_labels, exprs))
 
     # ------------------------------------------------------------------ UDF
-    def apply(self, func, axis=0):
+    def apply(self, func, axis=0, raw=False, result_type=None, args=(), **kwds):
+        if args or kwds:
+            inner = func
+            func = lambda s, _f=inner, _a=tuple(args), _k=dict(kwds): _f(s, *_a, **_k)
         if axis in (1, "columns"):
             # row-wise UDF via applyInPandas-free pandas_udf over struct
             sample = self.head(100).to_pandas()

@@ -688,9 +688,12 @@ class Series:
             return self._map1(f)
         return self.apply(arg)
 
-    def apply(self, func) -> "Series":
+    def apply(self, func, convert_dtype=True, args=(), **kwds) -> "Series":
         """Arbitrary elementwise UDF — Arrow-vectorized pandas_udf (the slow
         path; return dtype inferred from a driver-side sample)."""
+        if args or kwds:
+            inner = func
+            func = lambda x, _f=inner, _a=tuple(args), _k=dict(kwds): _f(x, *_a, **_k)
         sample = self._frame.sdf.select(self._expr.alias("__v__")).limit(100).toPandas()["__v__"]
         try:
             out_dtype = pandas_dtype_to_spark(sample.map(func).infer_objects().dtype)

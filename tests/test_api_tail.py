@@ -214,3 +214,43 @@ def test_timedelta_accessors(spark):
     np.testing.assert_allclose(
         td.dt.total_seconds().to_pandas().values[1:50], tdp.dt.total_seconds().values[1:50]
     )
+
+
+def test_agg_dict_scalar_returns_series(spark, mdf, pdf):
+    import pandas as pd
+
+    got = mdf.agg({"a": "sum", "b": "mean"})
+    ref = pdf.agg({"a": "sum", "b": "mean"})
+    pd.testing.assert_series_equal(got, ref, check_dtype=False, check_names=False)
+
+
+def test_apply_args_kwds(spark, mdf, pdf):
+    import pandas as pd
+
+    sub_m, sub_p = mdf[["a", "b"]], pdf[["a", "b"]]
+    pd.testing.assert_frame_equal(
+        sub_m.apply(lambda s, k: s * k, args=(2,)).to_pandas(),
+        sub_p.apply(lambda s, k: s * k, args=(2,)), check_dtype=False,
+    )
+    pd.testing.assert_series_equal(
+        mdf.a.apply(lambda x, k: x + k, args=(3,)).to_pandas(),
+        pdf.a.apply(lambda x, k: x + k, args=(3,)), check_dtype=False, check_names=False,
+    )
+
+
+def test_nunique_axis1(spark, mdf, pdf):
+    import pandas as pd
+
+    sub_m, sub_p = mdf[["a", "b"]], pdf[["a", "b"]]
+    pd.testing.assert_series_equal(
+        sub_m.nunique(axis=1).to_pandas(), sub_p.nunique(axis=1),
+        check_dtype=False, check_names=False,
+    )
+
+
+def test_quantile_list(spark, mdf, pdf):
+    import pandas as pd
+
+    got = mdf[["a", "b"]].quantile([0.25, 0.75])
+    ref = pdf[["a", "b"]].quantile([0.25, 0.75])
+    pd.testing.assert_frame_equal(got, ref, check_dtype=False, check_names=False)
