@@ -143,6 +143,54 @@ def groupby_agg(
     return SparkFrame(agged, pd.Index(list(key_labels) + labels), key_phys + out_phys, [], [None])
 
 
+def groupby_agg_udf(
+    frame: SparkFrame,
+    by_positions: Sequence[int],
+    agg_spec: list,
+    *,
+    as_index: bool = True,
+    dropna: bool = True,
+) -> SparkFrame:
+    """``groupby().agg`` specs containing arbitrary CALLABLE aggfuncs — ONE
+    ``groupBy().applyInPandas`` pass computes every (column, func) entry per
+    group. Built-in names in the same spec run through their pandas
+    equivalents inside the group, so a mixed spec still costs one shuffle
+    instead of joining a Catalyst plan to a UDF plan. Documented slow path:
+    outputs are double, groups come back key-sorted (the struct ORDER)."""
+    from pyspark.sql import types as T
+
+    key_phys = [frame.data_cols[i] for i in by_positions]
+    key_labels = [frame.columns[i] for i in by_positions]
+    sdf = frame.sdf
+    if dropna:
+        for k in key_phys:
+            sdf = sdf.where(F.col(k).isNotNull())
+    out_phys = fresh_names(len(agg_spec))
+    fields = [T.StructField(k, frame.schema_map[k]) for k in key_phys]
+    fields += [T.StructField(op, T.DoubleType()) for op in out_phys]
+    schema = T.StructType(fields)
+    specs = [(frame.data_cols[pos], fn, kw) for (_, pos, fn, kw) in agg_spec]
+
+    def apply_fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        row = {k: [v] for k, v in zip(key_phys, key)}
+        for op, (vp, fn, kw) in zip(out_phys, specs):
+            s = pdf[vp]
+            v = fn(s) if callable(fn) else getattr(s, fn)(**(kw or {}))
+            try:
+                row[op] = [float(v)]
+            except (TypeError, ValueError):
+                row[op] = [float("nan")]
+        return pd.DataFrame(row)
+
+    cols = list(dict.fromkeys(key_phys + [s[0] for s in specs]))
+    agged = sdf.select(*cols).groupBy(*key_phys).applyInPandas(apply_fn, schema)
+    agged = agged.withColumn(ORDER_COL, F.struct(*[F.col(k) for k in key_phys]))
+    labels = [s[0] for s in agg_spec]
+    if as_index:
+        return SparkFrame(agged, pd.Index(labels), out_phys, key_phys, list(key_labels))
+    return SparkFrame(agged, pd.Index(list(key_labels) + labels), key_phys + out_phys, [], [None])
+
+
 def groupby_apply(frame: SparkFrame, by_positions: Sequence[int], func, schema_sample_rows: int = 100) -> SparkFrame:
     """``groupby.apply(func)`` — arbitrary pandas-DataFrame-in/out per group via
     ``applyInPandas``. Output schema is inferred by running ``func`` on one

@@ -388,14 +388,37 @@ class DataFrame:
         return out
 
     def where(self, cond: "DataFrame | Series", other=None) -> "DataFrame":
+        fr = self._frame
         if isinstance(cond, Series):
-            fr = self._frame
             exprs = [F.when(cond._expr, fr.scol(i)).otherwise(_lit(other)) for i in range(len(fr.columns))]
             return DataFrame(_frame=fr.project(fr.columns, exprs))
-        raise NotImplementedError("where with DataFrame cond")
+        if isinstance(cond, DataFrame):
+            # per-column condition frame, aligned by label; the cond frame is
+            # typically derived from self (``df.where(df > 0)``), so its sdf
+            # still carries self's physical columns — evaluate there
+            cf = cond._frame
+            if not cf.can_rebase(fr, set(fr.data_cols)):
+                raise NotImplementedError("where with a condition frame from an unrelated lineage")
+            cpos = {lbl: j for j, lbl in enumerate(cf.columns)}
+            exprs = []
+            for i, lbl in enumerate(fr.columns):
+                if lbl in cpos:
+                    c = F.coalesce(cf.scol(cpos[lbl]), F.lit(False))
+                    exprs.append(F.when(c, F.col(fr.data_cols[i])).otherwise(_lit(other)))
+                else:
+                    exprs.append(F.lit(None))  # pandas: missing cond column -> all-NaN
+            return DataFrame(_frame=cf.project(list(fr.columns), exprs))
+        raise NotImplementedError("where cond must be Series or DataFrame")
 
-    def mask(self, cond: "Series", other=None) -> "DataFrame":
-        inv = Series(cond._frame, ~F.coalesce(cond._expr, F.lit(False)), cond._refs, cond._name)
+    def mask(self, cond: "DataFrame | Series", other=None) -> "DataFrame":
+        if isinstance(cond, Series):
+            inv = Series(cond._frame, ~F.coalesce(cond._expr, F.lit(False)), cond._refs, cond._name)
+            return self.where(inv, other)
+        cf = cond._frame
+        inv = DataFrame(_frame=cf.project(
+            list(cf.columns),
+            [~F.coalesce(cf.scol(i), F.lit(False)) for i in range(len(cf.columns))],
+        ))
         return self.where(inv, other)
 
     def clip(self, lower=None, upper=None) -> "DataFrame":
@@ -1554,6 +1577,15 @@ class DataFrame:
 
     def le(self, other, fill_value=None):
         return self._binary_frame(other, lambda a, b: a <= b, fill_value)
+
+    # comparison dunders (pandas: frames are unhashable, same here)
+    __eq__ = eq  # type: ignore[assignment]
+    __ne__ = ne  # type: ignore[assignment]
+    __gt__ = gt
+    __ge__ = ge
+    __lt__ = lt
+    __le__ = le
+    __hash__ = None  # type: ignore[assignment]
 
     # reversed arithmetic (r-variants)
     def radd(self, other, fill_value=None):

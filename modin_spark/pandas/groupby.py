@@ -182,6 +182,11 @@ class DataFrameGroupBy:
                     entries.append(((lbl, fn), i, fn, {}))
         else:
             raise NotImplementedError("agg spec")
+        if any(callable(e[2]) for e in entries):
+            out = qc.groupby_agg_udf(
+                fr, self._by_pos, entries, as_index=self._as_index, dropna=self._dropna
+            )
+            return DataFrame(_frame=out)
         out = qc.groupby_agg(
             fr, self._by_pos, entries, as_index=self._as_index, dropna=self._dropna, sort=self._sort
         )
@@ -581,6 +586,27 @@ class SeriesGroupBy:
         g = DataFrameGroupBy(DataFrame(_frame=fr2), [key_lbl])
         g._value_labels = [val_lbl]
         return g
+
+    def agg(self, spec=None, **named):
+        """pandas SeriesGroupBy.agg: a LIST spec yields FLAT columns named
+        by each agg fn (the frame path would label them (col, fn))."""
+        import pandas as pd
+
+        from modin_spark.pandas.dataframe import DataFrame
+
+        res = self._fg().agg(spec, **named)
+        if isinstance(spec, list) and isinstance(res, DataFrame):
+            fr = res._frame
+            flat = [
+                (getattr(t[1], "__name__", t[1]) if isinstance(t, tuple) else t)
+                for t in fr.columns
+            ]
+            return DataFrame(_frame=fr._same_rows(fr.sdf, columns=pd.Index(flat)))
+        if isinstance(res, DataFrame) and len(res._frame.columns) == 1:
+            return Series._from_frame(res._frame)
+        return res
+
+    aggregate = agg
 
     def __getattr__(self, name):
         if name.startswith("_"):

@@ -761,6 +761,22 @@ class StringMethods:
                         has_order=True)
         return DataFrame(_frame=nf)
 
+    def cat(self, others=None, sep: str = ""):
+        """pandas ``str.cat``. With ``others``: elementwise ``concat_ws``.
+        Without: reduce the whole series to ONE string in frame order (the
+        output is a single scalar, so the ordered collect is bounded by the
+        result string itself; NaN elements are skipped, pandas-style)."""
+        if others is not None:
+            if isinstance(others, Series):
+                return self._s._binary(others, lambda a, b: F.concat_ws(sep, a, b))
+            raise NotImplementedError("str.cat others must be a Series")
+        fr = self._s._to_frame("__t__").ensure_order()
+        v = fr.scol(0)
+        item = F.when(v.isNotNull(), F.struct(F.col(ORDER_COL).alias("o"), v.alias("v")))
+        arr = F.array_sort(F.collect_list(item))
+        e = F.array_join(F.transform(arr, lambda s: s["v"]), sep)
+        return fr.sdf.agg(e.alias("r")).collect()[0]["r"]
+
     def get_dummies(self, sep: str = "|"):
         """One 0/1 column per distinct token. Two passes: a distinct-token
         aggregate (small) then a contains() projection per token."""

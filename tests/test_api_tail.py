@@ -254,3 +254,41 @@ def test_quantile_list(spark, mdf, pdf):
     got = mdf[["a", "b"]].quantile([0.25, 0.75])
     ref = pdf[["a", "b"]].quantile([0.25, 0.75])
     pd.testing.assert_frame_equal(got, ref, check_dtype=False, check_names=False)
+
+
+def test_seriesgroupby_agg_list_flat(spark, mdf, pdf):
+    import pandas as pd
+
+    got = mdf.groupby("k")["b"].agg(["sum", "max"]).to_pandas()
+    ref = pdf.groupby("k")["b"].agg(["sum", "max"])
+    pd.testing.assert_frame_equal(got, ref, check_dtype=False, check_names=False)
+
+
+def test_groupby_agg_callable(spark, mdf, pdf):
+    import pandas as pd
+
+    got = mdf.groupby("k").agg(rng=("b", lambda s: s.max() - s.min()), tot=("a", "sum")).to_pandas()
+    ref = pdf.groupby("k").agg(rng=("b", lambda s: s.max() - s.min()), tot=("a", "sum"))
+    pd.testing.assert_frame_equal(got, ref, check_dtype=False, check_names=False)
+
+
+def test_str_cat(spark, mdf, pdf):
+    import pandas as pd
+
+    assert mdf.k.str.cat(sep="-") == pdf.k.str.cat(sep="-")
+    pd.testing.assert_series_equal(
+        mdf.k.str.cat(mdf.s, sep="_").to_pandas(), pdf.k.str.cat(pdf.s, sep="_"),
+        check_dtype=False, check_names=False,
+    )
+
+
+def test_mask_where_frame_cond(spark, mdf, pdf):
+    import pandas as pd
+
+    sub_m, sub_p = mdf[["a", "b"]], pdf[["a", "b"]]
+    pd.testing.assert_frame_equal(
+        sub_m.mask(sub_m > 50, 0).to_pandas(), sub_p.mask(sub_p > 50, 0), check_dtype=False
+    )
+    pd.testing.assert_frame_equal(
+        sub_m.where(sub_m > 50, -1).to_pandas(), sub_p.where(sub_p > 50, -1), check_dtype=False
+    )
