@@ -1003,10 +1003,30 @@ class DataFrame:
         return DataFrame(_frame=out)
 
     # ------------------------------------------------------- frame binaries
-    def _binary_frame(self, other, op, fill_value=None):
+    def _binary_frame(self, other, op, fill_value=None, axis=None):
         """Element-wise frame op/frame (the reference's Binary template,
         /root/reference/modin/core/dataframe/algebra/binary.py): align columns
-        by label, rows by lineage (same frame) or by global position."""
+        by label, rows by lineage (same frame) or by global position.
+        A Series operand broadcasts along ``axis``: 0/'index' row-aligns it
+        against every column (same-lineage rebase); the default
+        'columns' matches its index against the column labels (the series'
+        k values are column metadata — collected driver-side)."""
+        if isinstance(other, Series):
+            fr = self._frame
+            if axis in (0, "index"):
+                if not fr.can_rebase(other._frame, other._refs):
+                    raise NotImplementedError("axis=0 binary with a Series from an unrelated lineage")
+                exprs = [op(fr.scol(i), other._expr) for i in range(len(fr.columns))]
+                return DataFrame(_frame=fr.project(list(fr.columns), exprs))
+            vals = other.to_pandas()
+            by_label = dict(zip(vals.index, vals.values))
+            exprs = []
+            for i, lbl in enumerate(fr.columns):
+                if lbl in by_label:
+                    exprs.append(op(fr.scol(i), F.lit(by_label[lbl])))
+                else:
+                    exprs.append(F.lit(None))  # pandas: unmatched label -> NaN
+            return DataFrame(_frame=fr.project(list(fr.columns), exprs))
         if not isinstance(other, DataFrame):
             # scalar: apply to every numeric column
             labels, exprs = [], []
@@ -1055,14 +1075,14 @@ class DataFrame:
         fr = SparkFrame(j.withColumn(ORDER_COL, F.col("__ba__")), a.columns, ap.data_cols, [], [None])
         return DataFrame(_frame=fr.project(labels, exprs))
 
-    def add(self, other, fill_value=None):
-        return self._binary_frame(other, lambda a, b: a + b, fill_value)
+    def add(self, other, axis="columns", fill_value=None):
+        return self._binary_frame(other, lambda a, b: a + b, fill_value, axis=axis)
 
-    def sub(self, other, fill_value=None):
-        return self._binary_frame(other, lambda a, b: a - b, fill_value)
+    def sub(self, other, axis="columns", fill_value=None):
+        return self._binary_frame(other, lambda a, b: a - b, fill_value, axis=axis)
 
-    def mul(self, other, fill_value=None):
-        return self._binary_frame(other, lambda a, b: a * b, fill_value)
+    def mul(self, other, axis="columns", fill_value=None):
+        return self._binary_frame(other, lambda a, b: a * b, fill_value, axis=axis)
 
     multiply = mul
     subtract = sub
@@ -1076,26 +1096,27 @@ class DataFrame:
             F.when(a.cast("double") == 0, F.lit(float("nan"))).otherwise(F.lit(float("inf")) * F.signum(a)),
         ).otherwise(q)
 
-    def div(self, other, fill_value=None):
-        return self._binary_frame(other, lambda a, b: DataFrame._true_div(a, b), fill_value)
+    def div(self, other, axis="columns", fill_value=None):
+        return self._binary_frame(other, lambda a, b: DataFrame._true_div(a, b), fill_value, axis=axis)
 
     truediv = div
     divide = div
 
-    def floordiv(self, other, fill_value=None):
+    def floordiv(self, other, axis="columns", fill_value=None):
         # pandas: x // 0 -> signed inf (float result), like truediv
         return self._binary_frame(
             other,
             lambda a, b: F.when(b.cast("double") == 0, DataFrame._true_div(a, b))
             .otherwise(F.floor(a.cast("double") / b).cast("double")),
             fill_value,
+            axis=axis,
         )
 
-    def mod(self, other, fill_value=None):
-        return self._binary_frame(other, lambda a, b: F.pmod(a, b), fill_value)
+    def mod(self, other, axis="columns", fill_value=None):
+        return self._binary_frame(other, lambda a, b: F.pmod(a, b), fill_value, axis=axis)
 
-    def pow(self, other, fill_value=None):
-        return self._binary_frame(other, lambda a, b: F.pow(a, b), fill_value)
+    def pow(self, other, axis="columns", fill_value=None):
+        return self._binary_frame(other, lambda a, b: F.pow(a, b), fill_value, axis=axis)
 
     __add__ = add
     __sub__ = sub

@@ -106,6 +106,35 @@ class LocIndexer:
             else:
                 cond = F.col(fr.index_cols[0]).isin(row_key)
                 out = fr.filter(cond).select_positions(col_pos)
+        elif isinstance(row_key, slice):
+            # label slice: inclusive both ends; datetime indexes accept
+            # pandas partial-string bounds ("2024-01" spans the whole month)
+            import pandas as pd
+            from pyspark.sql import types as T
+
+            if not fr.index_cols:
+                start = int(row_key.start) if row_key.start is not None else 0
+                stop = int(row_key.stop) + 1 if row_key.stop is not None else (1 << 62)
+                out = fr.slice_positions(start, stop, row_key.step or 1).select_positions(col_pos)
+            else:
+                c = F.col(fr.index_cols[0])
+                is_ts = isinstance(
+                    fr.schema_map[fr.index_cols[0]],
+                    (T.TimestampType, T.TimestampNTZType, T.DateType),
+                )
+
+                def bound(v, end):
+                    if is_ts and isinstance(v, str):
+                        p = pd.Period(v)
+                        return (p.end_time if end else p.start_time).to_pydatetime()
+                    return v
+
+                cond = F.lit(True)
+                if row_key.start is not None:
+                    cond = cond & (c >= F.lit(bound(row_key.start, False)))
+                if row_key.stop is not None:
+                    cond = cond & (c <= F.lit(bound(row_key.stop, True)))
+                out = fr.filter(cond).select_positions(col_pos)
         else:
             if not fr.index_cols:
                 # default RangeIndex: scalar label == position

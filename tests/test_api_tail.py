@@ -292,3 +292,37 @@ def test_mask_where_frame_cond(spark, mdf, pdf):
     pd.testing.assert_frame_equal(
         sub_m.where(sub_m > 50, -1).to_pandas(), sub_p.where(sub_p > 50, -1), check_dtype=False
     )
+
+
+def test_loc_datetime_string_slice(spark):
+    import numpy as np
+    import pandas as pd
+
+    import modin_spark.pandas as mpd
+
+    idx = pd.date_range("2024-01-01", periods=20, freq="7h")
+    pdf2 = pd.DataFrame({"v": np.arange(20.0)}, index=idx)
+    mdf2 = mpd.from_pandas(pdf2)
+    pd.testing.assert_frame_equal(
+        mdf2.loc["2024-01-02":"2024-01-04"].to_pandas(),
+        pdf2.loc["2024-01-02":"2024-01-04"], check_dtype=False, check_freq=False,
+    )
+    pd.testing.assert_frame_equal(
+        mdf2.loc["2024-01-03":].to_pandas(), pdf2.loc["2024-01-03":],
+        check_dtype=False, check_freq=False,
+    )
+
+
+def test_binary_series_axis(spark):
+    import pandas as pd
+
+    import modin_spark.pandas as mpd
+
+    p2 = pd.DataFrame({"v": [1.0, 2, 3], "w": [4.0, 5, 6]})
+    m2 = mpd.from_pandas(p2)
+    pd.testing.assert_frame_equal(
+        m2.add(m2.v, axis=0).to_pandas(), p2.add(p2.v, axis=0), check_dtype=False
+    )
+    pd.testing.assert_frame_equal(
+        m2.sub(m2.w, axis="index").to_pandas(), p2.sub(p2.w, axis="index"), check_dtype=False
+    )
