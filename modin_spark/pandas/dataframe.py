@@ -1533,7 +1533,8 @@ class DataFrame:
             def apply_red(pdf: pd.DataFrame) -> pd.DataFrame:
                 pdf = pdf.sort_values("__pos__")
                 r = func(pd.Series(pdf["__v__"].to_numpy()))
-                return pd.DataFrame({"__cid__": [int(pdf["__cid__"].iloc[0])], "__o__": [float(r)]})
+                v = float(r) if r is not None else float("nan")
+                return pd.DataFrame({"__cid__": [int(pdf["__cid__"].iloc[0])], "__o__": [v]})
 
             rows = melted.groupBy("__cid__").applyInPandas(apply_red, schema).collect()
             vals = {r["__cid__"]: r["__o__"] for r in rows}
