@@ -841,6 +841,66 @@ def _ewm_mean(spark, sf):
     return m.to_spark(ordered=False)
 
 
+def _docs_pii_scrub(spark, sf):
+    """PII scrubbing at scan speed (chained regexp_replace, no UDF). The
+    corpus plants deterministic PII by doc_id (replicated identically in the
+    oracle SQL), so hit counts AND the scrubbed-text checksum are exact."""
+    from modin_spark.operators.text import pii_scrub
+
+    docs = _rp(spark, f"{sf}/documents.parquet")
+    t = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(" contact agent007@example.com now")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 11 == 0, F.lit(" or call 555-123-4567")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 13 == 0, F.lit(" from host 192.168.10.42")).otherwise(F.lit("")),
+    )
+    corpus = docs.select("doc_id", t.alias("text"))
+    out = pii_scrub(corpus)
+    return out.agg(
+        F.sum("email_hits").cast("long").alias("emails"),
+        F.sum("phone_hits").cast("long").alias("phones"),
+        F.sum("ipv4_hits").cast("long").alias("ips"),
+        F.sum("ssn_hits").cast("long").alias("ssns"),
+        F.sum((F.col("text_scrubbed") != F.col("text")).cast("long")).alias("docs_scrubbed"),
+        F.sum(F.length("text_scrubbed")).cast("long").alias("scrubbed_chars"),
+    )
+
+
+def _docs_repetition(spark, sf):
+    """Per-doc repetition signals (unique-word ratio) — corpus filtering
+    staple, pure array expressions."""
+    from modin_spark.operators.text import repetition_stats
+
+    docs = _rp(spark, f"{sf}/documents.parquet")
+    out = repetition_stats(docs)
+    return out.select(
+        "doc_id", F.col("n_words").cast("int").alias("n_words"),
+        F.round("unique_word_ratio", 6).alias("uniq_ratio"),
+    )
+
+
+def _docs_paragraph_dedup(spark, sf):
+    """Corpus-wide paragraph dedup (shared-boilerplate removal): every doc
+    gets a common footer paragraph plus a duplicate of its own body; the
+    operator must keep each distinct paragraph exactly once corpus-wide.
+    Checked via the reassembled output's normalized-paragraph count and
+    char sum (first-occurrence raw text normalizes to the same string)."""
+    from modin_spark.operators.dedup import paragraph_dedup
+
+    docs = _rp(spark, f"{sf}/documents.parquet")
+    corpus = docs.select(
+        "doc_id",
+        F.concat_ws("\n\n", F.col("text"), F.lit("COMMON FOOTER BOILERPLATE"), F.col("text")).alias("text"),
+    )
+    res = paragraph_dedup(corpus, "doc_id", "text")
+    ex = res.select(F.explode(F.split(F.col("text"), r"\n\n")).alias("para"))
+    norm = F.trim(F.regexp_replace(F.lower(F.col("para")), r"\s+", " "))
+    return ex.agg(
+        F.count(F.lit(1)).cast("long").alias("n_paras"),
+        F.sum(F.length(norm)).cast("long").alias("norm_chars"),
+    )
+
+
 def _multiindex_cols_agg(spark, sf):
     """2-level COLUMN MultiIndex: groupby().agg([...]) emits (col, agg)
     columns; values selected via column tuples then flattened for the
@@ -1426,6 +1486,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transpose_agg": _transpose_agg,
         "win_weighted_var": _win_weighted_var,
         "multiindex_cols_agg": _multiindex_cols_agg,
+        "docs_pii_scrub": _docs_pii_scrub,
+        "docs_repetition": _docs_repetition,
+        "docs_paragraph_dedup": _docs_paragraph_dedup,
         # (b) newly oracled this round
         "emb_cosine_dedup": _emb_cosine_dedup,
         "docs_ngram_dedup": _docs_ngram_dedup,
@@ -2383,6 +2446,65 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, ROUND(SUM(l_quantity), 2) AS sum_qty,
                    ROUND(AVG(l_extendedprice), 4) AS avg_price
             FROM lineitem GROUP BY 1
+        """,
+        "docs_pii_scrub": """
+            WITH c AS (
+              SELECT doc_id,
+                     text
+                     || CASE WHEN doc_id % 7 = 0 THEN ' contact agent007@example.com now' ELSE '' END
+                     || CASE WHEN doc_id % 11 = 0 THEN ' or call 555-123-4567' ELSE '' END
+                     || CASE WHEN doc_id % 13 = 0 THEN ' from host 192.168.10.42' ELSE '' END AS text
+              FROM documents
+            ),
+            s AS (
+              SELECT text,
+                     len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS e,
+                     len(regexp_extract_all(text, '\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b')) AS p,
+                     len(regexp_extract_all(text, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS i,
+                     len(regexp_extract_all(text, '\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS n,
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(
+                           regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[PII]', 'g'),
+                           '\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b', '[PII]', 'g'),
+                         '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '[PII]', 'g'),
+                       '\\b\\d{3}-\\d{2}-\\d{4}\\b', '[PII]', 'g') AS scrub
+              FROM c
+            )
+            SELECT CAST(SUM(e) AS BIGINT) AS emails,
+                   CAST(SUM(p) AS BIGINT) AS phones,
+                   CAST(SUM(i) AS BIGINT) AS ips,
+                   CAST(SUM(n) AS BIGINT) AS ssns,
+                   CAST(SUM(CASE WHEN scrub <> text THEN 1 ELSE 0 END) AS BIGINT) AS docs_scrubbed,
+                   CAST(SUM(LENGTH(scrub)) AS BIGINT) AS scrubbed_chars
+            FROM s
+        """,
+        "docs_repetition": """
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS words
+              FROM documents
+            )
+            SELECT doc_id, CAST(len(words) AS INT) AS n_words,
+                   ROUND(len(list_distinct(words)) * 1.0 / GREATEST(len(words), 1), 6) AS uniq_ratio
+            FROM w
+        """,
+        "docs_paragraph_dedup": """
+            WITH c AS (
+              SELECT doc_id,
+                     text || chr(10) || chr(10) || 'COMMON FOOTER BOILERPLATE'
+                          || chr(10) || chr(10) || text AS text
+              FROM documents
+            ),
+            p AS (
+              SELECT unnest(string_split_regex(text, '\\n\\s*\\n')) AS para FROM c
+            ),
+            n AS (
+              SELECT DISTINCT trim(regexp_replace(lower(para), '\\s+', ' ', 'g')) AS norm FROM p
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_paras,
+                   CAST(SUM(LENGTH(norm)) AS BIGINT) AS norm_chars
+            FROM n WHERE LENGTH(norm) >= 1
         """,
         "win_weighted_var": """
             WITH e AS (

@@ -402,6 +402,36 @@ def minhash_lsh_dedup(df: SDF, id_col: str = "doc_id", text_col: str = "text", t
     return _dedup_keep_min(df, id_col, pairs, connected_components=connected_components)
 
 
+def paragraph_dedup(df: SDF, id_col: str = "doc_id", text_col: str = "text") -> SDF:
+    """Corpus-wide PARAGRAPH-level exact dedup (keep first occurrence by
+    (doc, position)): explode paragraphs, pick the min-(doc,pos) copy per
+    normalized paragraph, reassemble each doc's surviving paragraphs in
+    order. Two hash shuffles (norm groupBy + doc reassemble) — both keyed,
+    both shuffle-parallel; per-key state is one paragraph, so 100 TB-safe.
+    Common-boilerplate removal (shared headers/footers) is exactly this
+    operator."""
+    parts = df.select(
+        F.col(id_col), F.posexplode(F.split(F.col(text_col), r"\n\s*\n")).alias("__p__", "__para__")
+    )
+    norm = F.trim(F.regexp_replace(F.lower(F.col("__para__")), r"\s+", " "))
+    parts = parts.withColumn("__norm__", norm).where(F.length("__norm__") >= 1)
+    winners = parts.groupBy("__norm__").agg(
+        F.min(F.struct(F.col(id_col).alias("i"), F.col("__p__").alias("p"))).alias("__w__")
+    )
+    kept = parts.join(winners, "__norm__").where(
+        (F.col(id_col) == F.col("__w__.i")) & (F.col("__p__") == F.col("__w__.p"))
+    )
+    return kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("__p__").alias("p"), F.col("__para__").alias("v")))),
+                lambda s: s["v"],
+            ),
+            "\n\n",
+        ).alias(text_col)
+    )
+
+
 def exact_dedup(df: SDF, subset: list[str]) -> SDF:
     """Exact dedup keep-first by content hash — groupBy + min(id) semi-join
     (single shuffle on the hash, no window over everything)."""

@@ -82,6 +82,51 @@ def fingerprint(text: Column, bits: int = 64) -> Column:
     return F.xxhash64(F.concat_ws(" ", words))
 
 
+# PII patterns — portable between Java regex (Spark) and RE2 (DuckDB oracle):
+# no lookaround, no possessive quantifiers. Replacement order is part of the
+# contract (phone before SSN would change SSN-shaped matches).
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+}
+
+
+def pii_scrub(df: SDF, text_col: str = "text", replacement: str = "[PII]") -> SDF:
+    """Redact common PII shapes (emails, NANP phones, IPv4s, SSN-shaped ids)
+    with chained ``regexp_replace`` — whole-stage codegen, scan speed at
+    100 TB. Adds per-category pre-redaction ``{cat}_hits`` counts and the
+    scrubbed text as ``{text_col}_scrubbed``."""
+    t = F.col(text_col)
+    out = df
+    cleaned = t
+    for cat, pat in PII_PATTERNS.items():
+        out = out.withColumn(f"{cat}_hits", F.regexp_count(t, F.lit(pat)))
+        cleaned = F.regexp_replace(cleaned, pat, replacement)
+    return out.withColumn(f"{text_col}_scrubbed", cleaned)
+
+
+def repetition_stats(df: SDF, text_col: str = "text") -> SDF:
+    """Per-document repetition signals for corpus filtering: word count,
+    unique-word ratio (low => boilerplate/spam), duplicate-line fraction.
+    Pure array expressions — no UDF, no shuffle."""
+    t = F.col(text_col)
+    words = F.filter(F.split(F.lower(t), r"\s+"), lambda w: w != "")
+    n = F.size(words)
+    uniq = F.size(F.array_distinct(words))
+    lines = F.filter(F.split(t, r"\n"), lambda l: F.trim(l) != F.lit(""))
+    nl = F.size(lines)
+    unl = F.size(F.array_distinct(lines))
+    return df.withColumns(
+        {
+            "n_words": n,
+            "unique_word_ratio": uniq / F.greatest(n, F.lit(1)),
+            "dup_line_frac": (nl - unl) / F.greatest(nl, F.lit(1)),
+        }
+    )
+
+
 def text_stats(df: SDF, text_col: str = "text") -> SDF:
     """All text metrics in one narrow pass."""
     t = F.col(text_col)

@@ -300,3 +300,51 @@ def test_duplicate_components_path_graph(spark):
     pairs = spark.createDataFrame([(10, 20), (20, 30), (30, 40), (40, 50)], "id_a long, id_b long")
     labels = {r.v: r.l for r in duplicate_components(pairs).collect()}
     assert set(labels.values()) == {10}
+
+
+def test_pii_scrub(spark):
+    from modin_spark.operators.text import pii_scrub
+
+    df = spark.createDataFrame(
+        [
+            (1, "reach me at bob@example.org or 555-123-4567"),
+            (2, "server 10.0.0.1 holds ssn 123-45-6789"),
+            (3, "nothing sensitive here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    assert out[1]["email_hits"] == 1 and out[1]["phone_hits"] == 1
+    assert out[2]["ipv4_hits"] == 1 and out[2]["ssn_hits"] == 1
+    assert "[PII]" in out[1]["text_scrubbed"] and "bob@" not in out[1]["text_scrubbed"]
+    assert out[3]["text_scrubbed"] == "nothing sensitive here"
+
+
+def test_repetition_stats(spark):
+    from modin_spark.operators.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [(1, "spam spam spam spam"), (2, "all words here differ"), (3, "a\nb\na\nb")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert out[1]["unique_word_ratio"] == 0.25
+    assert out[2]["unique_word_ratio"] == 1.0
+    assert abs(out[3]["dup_line_frac"] - 0.5) < 1e-12
+
+
+def test_paragraph_dedup(spark):
+    from modin_spark.operators.dedup import paragraph_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta\n\nCOMMON FOOTER\n\nalpha beta"),
+            (2, "gamma delta\n\nCOMMON FOOTER"),
+            (3, "COMMON  footer"),  # normalizes to the footer -> dropped
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["text"] for r in paragraph_dedup(df).collect()}
+    assert out[1] == "alpha beta\n\nCOMMON FOOTER"  # within-doc dup + footer kept at first site
+    assert out[2] == "gamma delta"
+    assert 3 not in out  # everything it had was seen earlier
