@@ -133,7 +133,13 @@ def groupby_agg(
         c = F.col(frame.data_cols[pos]) if pos is not None else F.lit(1)
         aggs.append(agg_expr(name, c, kw.get("q")).alias(op))
     if sort:
-        agged = sdf.groupBy(*key_phys).agg(*aggs).withColumn(ORDER_COL, F.struct(*[F.col(k) for k in key_phys]))
+        # pandas sorts group keys with NaN LAST; Spark struct ordering puts
+        # nulls first — prefix each key with its null flag (false < true)
+        order_fields = []
+        for i, k in enumerate(key_phys):
+            order_fields.append(F.col(k).isNull().alias(f"__n{i}__"))
+            order_fields.append(F.col(k).alias(f"__k{i}__"))
+        agged = sdf.groupBy(*key_phys).agg(*aggs).withColumn(ORDER_COL, F.struct(*order_fields))
     else:
         agged = sdf.groupBy(*key_phys).agg(F.min(ORDER_COL).alias(ORDER_COL), *aggs)
 
@@ -184,7 +190,11 @@ def groupby_agg_udf(
 
     cols = list(dict.fromkeys(key_phys + [s[0] for s in specs]))
     agged = sdf.select(*cols).groupBy(*key_phys).applyInPandas(apply_fn, schema)
-    agged = agged.withColumn(ORDER_COL, F.struct(*[F.col(k) for k in key_phys]))
+    order_fields = []
+    for i, k in enumerate(key_phys):
+        order_fields.append(F.col(k).isNull().alias(f"__n{i}__"))
+        order_fields.append(F.col(k).alias(f"__k{i}__"))
+    agged = agged.withColumn(ORDER_COL, F.struct(*order_fields))
     labels = [s[0] for s in agg_spec]
     if as_index:
         return SparkFrame(agged, pd.Index(labels), out_phys, key_phys, list(key_labels))

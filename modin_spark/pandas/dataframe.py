@@ -496,7 +496,9 @@ class DataFrame:
             return DataFrame(_frame=fr.with_columns([m.group(1)], [col]))
         return Series(fr, col, set(fr.data_cols), None)
 
-    def sort_values(self, by, ascending=True, na_position="last") -> "DataFrame":
+    def sort_values(self, by, ascending=True, na_position="last", kind=None, ignore_index=False) -> "DataFrame":
+        # kind is a pandas stable-sort selector — meaningless for a shuffle
+        # sort (Spark's range sort is what it is); accepted for parity
         by = by if isinstance(by, list) else [by]
         asc = ascending if isinstance(ascending, list) else [ascending] * len(by)
         fr = self._frame
