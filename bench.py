@@ -56,6 +56,8 @@ HEADLINE = [
     "transpose_agg",
     "win_weighted_var",
     "multiindex_cols_agg",
+    "docs_pii_scrub",
+    "docs_paragraph_dedup",
 ]
 
 
