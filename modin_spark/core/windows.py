@@ -324,6 +324,7 @@ def rolling_agg(
     group_phys: list[str] | None = None,
     q: float | None = None,
     center: bool = False,
+    closed: str | None = None,
 ) -> SparkFrame:
     """Fixed-size rolling window along frame order (pandas ``rolling(w).agg()``).
 
@@ -364,6 +365,16 @@ def rolling_agg(
     phys = [frame.data_cols[i] for i in positions]
     labels = [frame.columns[i] for i in positions]
     back, fwd = _center_extents(window, center)
+    if closed not in (None, "right"):
+        # pandas fixed-window closed=: shift/widen the frame ends
+        # ('left' drops the anchor row, 'both' keeps w+1 rows, 'neither' w-1)
+        if center:
+            raise NotImplementedError("closed= with center=True")
+        back, fwd = {
+            "left": (window, -1),
+            "both": (window, 0),
+            "neither": (window - 1, -1),
+        }[closed]
 
     if group_phys:
         w = Window.partitionBy(*group_phys).orderBy(ORDER_COL).rowsBetween(-back, fwd)

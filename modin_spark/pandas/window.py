@@ -67,11 +67,13 @@ class Rolling:
             return DataFrame(_frame=out)
         if isinstance(self._obj, Series):
             fr = self._obj._to_frame()
-            out = win.rolling_agg(fr, [0], self._window, agg, self._min_periods, center=self._center)
+            out = win.rolling_agg(fr, [0], self._window, agg, self._min_periods,
+                                  center=self._center, closed=self._closed)
             return Series._from_frame(out)
         df = self._obj
         pos = df._numeric_positions()
-        out = win.rolling_agg(df._frame, pos, self._window, agg, self._min_periods, center=self._center)
+        out = win.rolling_agg(df._frame, pos, self._window, agg, self._min_periods,
+                              center=self._center, closed=self._closed)
         return DataFrame(_frame=out)
 
     def quantile(self, q=0.5):

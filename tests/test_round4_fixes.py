@@ -238,3 +238,10 @@ def test_corr_spearman(spark):
     # rank-then-pearson, the identical definition
     s = mdf.a.corr(mdf.c, method="spearman")
     assert abs(s - pdf.a.rank().corr(pdf.c.rank())) < 1e-9
+
+
+@pytest.mark.parametrize("closed", ["left", "both", "neither"])
+def test_rolling_fixed_window_closed(spark, closed):
+    got = S(_S).rolling(3, closed=closed, min_periods=1).sum()
+    ref = _S.rolling(3, closed=closed, min_periods=1).sum()
+    eq_series(got, ref)
