@@ -901,6 +901,108 @@ def _docs_paragraph_dedup(spark, sf):
     )
 
 
+_DECON_SENTINEL = "zebra quantum falcon mirror anchor velvet"
+
+
+def _docs_decontaminate(spark, sf):
+    """Eval-set decontamination (GPT-3 appendix-C style n-gram overlap):
+    docs with doc_id%10==0 form the eval split; a sentinel 6-gram is planted
+    in every eval doc and in train docs with doc_id%17==0, so those train
+    docs (plus any natural 6-gram collisions) must be removed. Plan: eval
+    n-grams distinct+broadcast, train side explodes and semi-joins — the
+    train text never shuffles."""
+    from modin_spark.operators.corpus import decontaminate
+
+    docs = _rp(spark, f"{sf}/documents.parquet")
+    is_eval = F.col("doc_id") % 10 == 0
+    planted = is_eval | (F.col("doc_id") % 17 == 0)
+    corpus = docs.select(
+        "doc_id",
+        F.concat(F.col("text"), F.when(planted, F.lit(" " + _DECON_SENTINEL)).otherwise(F.lit(""))).alias("text"),
+    )
+    train = corpus.where(~is_eval)
+    ev = corpus.where(is_eval)
+    clean = decontaminate(train, ev, "doc_id", "text", n=6)
+    n_train = train.agg(F.count(F.lit(1)).cast("long").alias("n_train"))
+    stats = clean.agg(
+        F.count(F.lit(1)).cast("long").alias("n_clean"),
+        F.sum("doc_id").cast("long").alias("id_sum_clean"),
+        F.sum(F.length("text")).cast("long").alias("chars_clean"),
+    )
+    return n_train.crossJoin(stats)
+
+
+def _docs_pack_sequences(spark, sf):
+    """Concatenate-and-split sequence packing into 2048-token bins; checks
+    the full global token layout via an order-sensitive bin*id checksum.
+    The running sum is a two-phase blocked cumsum (range shuffle + broadcast
+    offsets) — no single-task global window."""
+    from modin_spark.operators.corpus import pack_sequences
+
+    docs = _rp(spark, f"{sf}/documents.parquet")
+    toks = F.size(F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda w: w != ""))
+    t = docs.select("doc_id", toks.cast("long").alias("tokens")).where(F.col("tokens") > 0)
+    packed = pack_sequences(t, "doc_id", "tokens", 2048)
+    return packed.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("tokens").cast("long").alias("total_tokens"),
+        (F.max("last_bin") + 1).cast("long").alias("n_bins"),
+        F.sum(F.col("straddles").cast("long")).cast("long").alias("n_straddle"),
+        F.sum(F.col("first_bin") * F.col("doc_id")).cast("long").alias("bin_id_checksum"),
+    )
+
+
+def _docs_stratified_sample(spark, sf):
+    """Deterministic language-stratified downsampling (md5-hash fraction per
+    stratum — the corpus-mixing primitive). Pure per-row filter, no RNG, no
+    shuffle before the reporting agg; bit-identical in any md5-capable
+    engine."""
+    from modin_spark.operators.corpus import stratified_sample
+
+    docs = _rp(spark, f"{sf}/documents.parquet")
+    samp = stratified_sample(docs, "lang", {"en": 0.75, "de": 0.5, "zh": 0.25}, "doc_id", default_frac=0.125)
+    return samp.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+    )
+
+
+def _docs_domain_cap(spark, sf):
+    """Per-domain document cap (keep <=15 per source by deterministic md5
+    order): bounds any one domain's share of the corpus. One shuffle on the
+    domain key; survivors are a rerun-stable unbiased sample."""
+    from modin_spark.operators.corpus import domain_cap
+
+    docs = _rp(spark, f"{sf}/documents.parquet")
+    capped = domain_cap(docs, "source", 15, "doc_id")
+    return capped.agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+        F.sum(F.length("text")).cast("long").alias("chars_kept"),
+    )
+
+
+def _docs_topk_ngrams(spark, sf):
+    """Corpus-wide top-20 bigrams (vocabulary/boilerplate discovery).
+    Map-side partial counts make the shuffle one row per distinct bigram
+    per task; deterministic (count desc, ngram asc) tie-break."""
+    from modin_spark.operators.corpus import topk_ngrams
+
+    docs = _rp(spark, f"{sf}/documents.parquet")
+    return topk_ngrams(docs, "text", n=2, k=20).select("ngram", F.col("cnt").cast("long").alias("cnt"))
+
+
+def _emb_label_centroids(spark, sf):
+    """Per-label embedding centroids as (label, pos, c) rows: posexplode +
+    groupBy(label,pos) — partial aggregation keeps the shuffle at
+    n_labels*dim rows regardless of corpus size."""
+    from modin_spark.operators.corpus import label_centroids
+
+    emb = _rp(spark, f"{sf}/embeddings.parquet")
+    out = label_centroids(emb, "label", "embedding")
+    return out.select("label", "pos", F.round("c", 5).alias("c"))
+
+
 def _multiindex_cols_agg(spark, sf):
     """2-level COLUMN MultiIndex: groupby().agg([...]) emits (col, agg)
     columns; values selected via column tuples then flattened for the
@@ -1482,6 +1584,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # locally every round via tools/check_entry.py regardless of position.
     # See COVERAGE.md 'Driver-gate rotation'.
         # (a) never scored
+        "docs_decontaminate": _docs_decontaminate,
+        "docs_pack_sequences": _docs_pack_sequences,
+        "docs_stratified_sample": _docs_stratified_sample,
+        "docs_domain_cap": _docs_domain_cap,
+        "docs_topk_ngrams": _docs_topk_ngrams,
+        "emb_label_centroids": _emb_label_centroids,
         "apply_axis0_zscore": _apply_axis0_zscore,
         "transpose_agg": _transpose_agg,
         "win_weighted_var": _win_weighted_var,
@@ -2446,6 +2554,103 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, ROUND(SUM(l_quantity), 2) AS sum_qty,
                    ROUND(AVG(l_extendedprice), 4) AS avg_price
             FROM lineitem GROUP BY 1
+        """,
+        "docs_decontaminate": """
+            WITH c AS (
+              SELECT doc_id,
+                     text || CASE WHEN doc_id % 10 = 0 OR doc_id % 17 = 0
+                                  THEN ' zebra quantum falcon mirror anchor velvet' ELSE '' END AS text
+              FROM documents
+            ),
+            w AS (
+              SELECT doc_id,
+                     list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+                                 x -> x <> '') AS words
+              FROM c
+            ),
+            g AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, GREATEST(len(words) - 5, 0) + 1),
+                                           i -> array_to_string(words[i:i+5], ' '))) AS ng
+              FROM w
+            ),
+            evg AS (SELECT DISTINCT ng FROM g WHERE doc_id % 10 = 0),
+            bad AS (
+              SELECT DISTINCT doc_id FROM g
+              WHERE doc_id % 10 <> 0 AND ng IN (SELECT ng FROM evg)
+            ),
+            tr AS (SELECT * FROM c WHERE doc_id % 10 <> 0)
+            SELECT CAST((SELECT COUNT(*) FROM tr) AS BIGINT) AS n_train,
+                   CAST(COUNT(*) AS BIGINT) AS n_clean,
+                   CAST(SUM(doc_id) AS BIGINT) AS id_sum_clean,
+                   CAST(SUM(LENGTH(text)) AS BIGINT) AS chars_clean
+            FROM tr WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+        """,
+        "docs_pack_sequences": """
+            WITH t AS (
+              SELECT doc_id,
+                     len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS tokens
+              FROM documents
+            ),
+            f AS (SELECT * FROM t WHERE tokens > 0),
+            r AS (
+              SELECT doc_id, tokens,
+                     SUM(tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - tokens AS off
+              FROM f
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(tokens) AS BIGINT) AS total_tokens,
+                   CAST(MAX((off + tokens - 1) // 2048) + 1 AS BIGINT) AS n_bins,
+                   CAST(SUM(CASE WHEN off // 2048 <> (off + tokens - 1) // 2048 THEN 1 ELSE 0 END) AS BIGINT) AS n_straddle,
+                   CAST(SUM((off // 2048) * doc_id) AS BIGINT) AS bin_id_checksum
+            FROM r
+        """,
+        "docs_stratified_sample": """
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept,
+                   CAST(SUM(doc_id) AS BIGINT) AS id_sum
+            FROM documents
+            WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+                  CASE lang WHEN 'en' THEN 'c000' WHEN 'de' THEN '8000'
+                            WHEN 'zh' THEN '4000' ELSE '2000' END
+            GROUP BY lang
+        """,
+        "docs_domain_cap": """
+            WITH r AS (
+              SELECT doc_id, text,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY substring(md5(CAST(doc_id AS VARCHAR)), 1, 4), doc_id) AS rn
+              FROM documents
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_kept,
+                   CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+                   CAST(SUM(LENGTH(text)) AS BIGINT) AS chars_kept
+            FROM r WHERE rn <= 15
+        """,
+        "docs_topk_ngrams": """
+            WITH w AS (
+              SELECT list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+                                 x -> x <> '') AS words
+              FROM documents
+            ),
+            g AS (
+              SELECT unnest(list_transform(range(1, GREATEST(len(words) - 1, 0) + 1),
+                                           i -> array_to_string(words[i:i+1], ' '))) AS ngram
+              FROM w
+            )
+            SELECT ngram, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM g GROUP BY ngram
+            ORDER BY cnt DESC, ngram ASC LIMIT 20
+        """,
+        "emb_label_centroids": """
+            WITH e AS (
+              SELECT label,
+                     unnest(range(len(embedding))) AS pos,
+                     unnest(embedding) AS v
+              FROM embeddings
+            )
+            SELECT label, CAST(pos AS INT) AS pos, ROUND(AVG(CAST(v AS DOUBLE)), 5) AS c
+            FROM e GROUP BY label, pos
         """,
         "docs_pii_scrub": """
             WITH c AS (

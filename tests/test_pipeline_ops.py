@@ -348,3 +348,95 @@ def test_paragraph_dedup(spark):
     assert out[1] == "alpha beta\n\nCOMMON FOOTER"  # within-doc dup + footer kept at first site
     assert out[2] == "gamma delta"
     assert 3 not in out  # everything it had was seen earlier
+
+
+# ---------------------------------------------------------------------------
+# corpus-construction operators
+# ---------------------------------------------------------------------------
+
+def test_word_ngrams_matches_python(spark):
+    from modin_spark.operators.corpus import word_ngrams
+
+    texts = ["the quick Brown  fox", "a b", "single", "", "x y z w v"]
+    d = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, text string")
+    got = {r["i"]: r["ng"] for r in d.select("i", word_ngrams(F.col("text"), 3).alias("ng")).collect()}
+    for i, t in enumerate(texts):
+        words = t.lower().split()
+        want = [" ".join(words[j:j + 3]) for j in range(len(words) - 2)]
+        assert got[i] == want, (t, got[i], want)
+
+
+def test_decontaminate_removes_overlap(spark):
+    from modin_spark.operators.corpus import decontaminate
+
+    train = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta"),
+         (2, "one two three four five six seven"),
+         (3, "unrelated words entirely here today now yes")],
+        "doc_id long, text string")
+    ev = spark.createDataFrame(
+        [(100, "prefix alpha beta gamma delta epsilon zeta suffix")],
+        "doc_id long, text string")
+    kept = sorted(r.doc_id for r in decontaminate(train, ev, n=6).collect())
+    assert kept == [2, 3]
+
+
+def test_pack_sequences_layout(spark):
+    from modin_spark.operators.corpus import pack_sequences
+
+    rows = [(i, 100 + (i % 7) * 50) for i in range(200)]
+    d = spark.createDataFrame(rows, "doc_id long, tokens long")
+    out = pack_sequences(d, "doc_id", "tokens", 512).orderBy("doc_id").collect()
+    off = 0
+    for r, (i, tk) in zip(out, rows):
+        assert r.offset == off, (i, r.offset, off)
+        assert r.first_bin == off // 512
+        assert r.last_bin == (off + tk - 1) // 512
+        assert r.straddles == (r.first_bin != r.last_bin)
+        off += tk
+
+
+def test_hash_frac_filter_fraction_and_determinism(spark):
+    from modin_spark.operators.corpus import hash_frac_filter
+
+    d = spark.range(20000)
+    kept = d.where(hash_frac_filter(F.col("id"), 0.25)).count()
+    assert abs(kept / 20000 - 0.25) < 0.02
+    kept2 = d.repartition(7).where(hash_frac_filter(F.col("id"), 0.25)).count()
+    assert kept == kept2  # pure per-row function: partitioning-independent
+
+
+def test_domain_cap(spark):
+    from modin_spark.operators.corpus import domain_cap
+
+    d = spark.createDataFrame(
+        [(i, "dom%d" % (i % 3)) for i in range(100)], "k long, dom string")
+    out = domain_cap(d, "dom", 5, "k")
+    counts = {r["dom"]: r["n"] for r in out.groupBy("dom").agg(F.count("*").alias("n")).collect()}
+    assert all(v == 5 for v in counts.values()) and len(counts) == 3
+    # deterministic survivors
+    a = sorted(r.k for r in out.collect())
+    b = sorted(r.k for r in domain_cap(d.repartition(11), "dom", 5, "k").collect())
+    assert a == b
+
+
+def test_topk_ngrams_counts(spark):
+    from modin_spark.operators.corpus import topk_ngrams
+
+    d = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "a b x y")], "doc_id long, text string")
+    top = [(r.ngram, r.cnt) for r in topk_ngrams(d, "text", n=2, k=3).collect()]
+    assert top[0] == ("a b", 3)  # "a b" appears twice in doc1 ("a b","b a","a b","b c") + once doc2
+    assert top == sorted(top, key=lambda t: (-t[1], t[0]))
+
+
+def test_label_centroids_match_numpy(spark):
+    from modin_spark.operators.corpus import label_centroids
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got = label_centroids(emb).toPandas()
+    pdf = emb.toPandas()
+    for lbl, grp in pdf.groupby("label"):
+        want = np.mean(np.stack(grp["embedding"].to_numpy()), axis=0)
+        sub = got[got["label"] == lbl].sort_values("pos")["c"].to_numpy()
+        assert np.allclose(sub, want, atol=1e-9)
