@@ -58,6 +58,12 @@ HEADLINE = [
     "multiindex_cols_agg",
     "docs_pii_scrub",
     "docs_paragraph_dedup",
+    # round 4b: corpus-construction ops (decontamination / packing / vocab /
+    # centroids)
+    "docs_decontaminate",
+    "docs_pack_sequences",
+    "docs_topk_ngrams",
+    "emb_label_centroids",
 ]
 
 

@@ -205,3 +205,63 @@ def test_apply_axis0_no_unsafe_single_partition(spark):
     mdf = mpd.from_pandas(pd.DataFrame({f"c{i}": rng.random(2000) for i in range(4)}))
     z = mdf.apply(lambda s: (s - s.mean()) / s.std())
     assert plans.unsafe_single_partition_exchanges(z._frame.sdf) == 0, plans.physical_plan(z._frame.sdf)
+
+
+# ---------------------------------------------------------------------------
+# corpus-construction op plan shapes
+# ---------------------------------------------------------------------------
+
+def test_decontaminate_broadcasts_eval_grams(spark):
+    """The eval n-gram set must be the broadcast side of a semi-join; the
+    train corpus must never be shuffled by text/ngram."""
+    from modin_spark.operators.corpus import decontaminate
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    train = docs.where("doc_id % 10 != 0")
+    ev = docs.where("doc_id % 10 = 0")
+    clean = decontaminate(train, ev, "doc_id", "text", n=6)
+    plan = plans.physical_plan(clean)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_pack_sequences_no_global_window(spark):
+    """The running token sum must never funnel the data through one task:
+    only the (#partitions)-row offset aggregate may be single-partition."""
+    from modin_spark.operators.corpus import pack_sequences
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    t = docs.select("doc_id", F.size(F.split("text", r"\s+")).cast("long").alias("tokens"))
+    packed = pack_sequences(t, "doc_id", "tokens", 2048)
+    assert plans.unsafe_single_partition_exchanges(packed) == 0, plans.physical_plan(packed)
+
+
+def test_stratified_sample_is_narrow(spark):
+    """Hash-fraction sampling is a pure filter: no exchange at all."""
+    from modin_spark.operators.corpus import stratified_sample
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    s = stratified_sample(docs, "lang", {"en": 0.5}, "doc_id", default_frac=0.25)
+    assert "Exchange" not in plans.physical_plan(s), plans.physical_plan(s)
+
+
+def test_topk_ngrams_partial_agg_and_take_ordered(spark):
+    """Counting must partial-aggregate map-side; the top-k must be a
+    TakeOrdered, not a global sort."""
+    from modin_spark.operators.corpus import topk_ngrams
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    top = topk_ngrams(docs, "text", n=2, k=10)
+    plan = plans.physical_plan(top)
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "TakeOrdered" in plan, plan
+
+
+def test_label_centroids_partial_agg(spark):
+    from modin_spark.operators.corpus import label_centroids
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = plans.physical_plan(label_centroids(emb))
+    assert plan.count("HashAggregate") >= 2, plan
