@@ -654,6 +654,23 @@ def _emb_brute_topk(spark, sf):
     return out.select("q_id", "vec_id", F.round("cosine", 4).alias("cos_sim"), "rank")
 
 
+def _emb_ivf_exhaustive(spark, sf):
+    """IVF with nprobe = n_centroids probes EVERY cell, so the result must
+    EXACTLY equal brute-force top-k (deterministic id tie-break) — this puts
+    the whole IVF machinery (distributed k-means, cell assignment, probe
+    join, windowed re-rank) under the same DuckDB oracle as emb_brute_topk.
+    The approximate operating point (nprobe << cells) is measured separately
+    by the pytest-gated emb_ivf_recall metric."""
+    from modin_spark.operators.similarity import ivf_topk
+
+    emb = _rp(spark, f"{sf}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = ivf_topk(emb, q, k=5, n_centroids=8, nprobe=8)
+    return out.select("q_id", "vec_id", F.round("cosine", 4).alias("cos_sim"), "rank")
+
+
 def _emb_cosine_dedup(spark, sf):
     """Cosine near-dup dedup with EXACT duplicate copies planted under new
     ids. Identical vectors produce identical hyperplane-LSH bucket keys, so
@@ -1590,6 +1607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_domain_cap": _docs_domain_cap,
         "docs_topk_ngrams": _docs_topk_ngrams,
         "emb_label_centroids": _emb_label_centroids,
+        "emb_ivf_exhaustive": _emb_ivf_exhaustive,
         "apply_axis0_zscore": _apply_axis0_zscore,
         "transpose_agg": _transpose_agg,
         "win_weighted_var": _win_weighted_var,
@@ -2641,6 +2659,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT ngram, CAST(COUNT(*) AS BIGINT) AS cnt
             FROM g GROUP BY ngram
             ORDER BY cnt DESC, ngram ASC LIMIT 20
+        """,
+        "emb_ivf_exhaustive": """
+            SELECT q_id, vec_id, ROUND(cos_sim, 4) AS cos_sim, rank FROM (
+                SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+                       LIST_COSINE_SIMILARITY(c.embedding, q.embedding) AS cos_sim,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY LIST_COSINE_SIMILARITY(c.embedding, q.embedding) DESC, c.vec_id
+                       ) AS rank
+                FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 3) q
+            ) WHERE rank <= 5
         """,
         "emb_label_centroids": """
             WITH e AS (

@@ -138,3 +138,59 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
         q.stop()
     assert len(got) == 500, len(got)
     assert got["event_id"].is_unique
+
+
+def test_stream_corpus_clean_matches_batch(spark, tmp_path):
+    """Streaming quality-filter + fingerprint-dedup + windowed per-lang
+    stats == the same pipeline computed in batch over the same files."""
+    from modin_spark.streaming.corpus import stream_corpus_clean
+    from modin_spark.operators.text import fingerprint, lang_id, quality_score, token_count
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    # synthetic event times: one doc per 90s starting at a fixed epoch;
+    # duplicate the first 10 docs 30 minutes later (inside the horizon)
+    base = F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+    feed = docs.select(
+        F.timestamp_seconds(F.unix_timestamp(base) + F.col("doc_id") * 90).alias("ts"), "text"
+    )
+    dups = docs.where("doc_id < 10").select(
+        F.timestamp_seconds(F.unix_timestamp(base) + F.col("doc_id") * 90 + 1800).alias("ts"), "text"
+    )
+    src_dir = str(tmp_path / "doc_feed")
+    feed.unionByName(dups).write.mode("overwrite").parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+
+    q = stream_corpus_clean(
+        spark, schema, src_dir, ts_col="ts", min_quality=0.3,
+        watermark="2 hours", window="1 hour", query_name="t_corpus_clean",
+    )
+    try:
+        q.processAllAvailable()
+        # append mode only emits closed windows; process a late tick to
+        # advance the watermark past everything, then re-drain
+        got = spark.sql("select * from t_corpus_clean").toPandas()
+    finally:
+        q.stop()
+
+    t = F.col("text")
+    batch = (
+        spark.read.parquet(src_dir)
+        .select("ts", lang_id(t).alias("lang_pred"), quality_score(t).alias("quality"),
+                token_count(t, "whitespace").alias("n_tokens"), fingerprint(t).alias("fp"))
+        .where(F.col("quality") >= 0.3)
+        .dropDuplicates(["fp"])
+        .groupBy(F.window("ts", "1 hour"), "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("n_tokens"))
+        .select(F.col("window.start").alias("window_start"), "lang_pred", "n_docs", "n_tokens")
+        .toPandas()
+    )
+    key = ["window_start", "lang_pred"]
+    got = got.sort_values(key).reset_index(drop=True)
+    batch = batch.sort_values(key).reset_index(drop=True)
+    # append-mode may hold back the final (unclosed) windows; every emitted
+    # row must match batch exactly, and most windows must have been emitted
+    merged = got.merge(batch, on=key, suffixes=("_s", "_b"))
+    assert len(merged) == len(got) and len(got) >= len(batch) * 0.5, (len(got), len(batch))
+    assert (merged["n_docs_s"] == merged["n_docs_b"]).all()
+    assert (merged["n_tokens_s"] == merged["n_tokens_b"]).all()
