@@ -223,3 +223,134 @@ def sql(query: str, **frames) -> DataFrame:
     for name, df in frames.items():
         df.to_spark(ordered=False).createOrReplaceTempView(name)
     return DataFrame(_frame=SparkFrame.from_spark(get_spark().sql(query)))
+
+
+def pivot(data: DataFrame, *, index=None, columns=None, values=None) -> DataFrame:
+    """Module-level pivot (ref modin/pandas/general.py:278) — delegates to
+    DataFrame.pivot."""
+    if not isinstance(data, DataFrame):
+        raise ValueError("can not pivot with instance of type {}".format(type(data)))
+    return data.pivot(index=index, columns=columns, values=values)
+
+
+def lreshape(data: DataFrame, groups: dict, dropna: bool = True) -> DataFrame:
+    """Long-reshape (ref general.py:747). The reference defaults to pandas
+    for this; same driver-side contract here (declared fallback), then the
+    result is re-distributed."""
+    from modin_spark.pandas.io import from_pandas
+
+    if not isinstance(data, DataFrame):
+        raise ValueError("can not lreshape with instance of type {}".format(type(data)))
+    return from_pandas(pd.lreshape(data.to_pandas(), groups, dropna=dropna))
+
+
+def from_dummies(data: DataFrame, sep=None, default_category=None) -> DataFrame:
+    """Inverse of get_dummies (ref general.py via pandas). Distributed: each
+    output column is one coalesced when-chain over its dummy columns —
+    narrow, scan-speed, no shuffle. Malformed rows (several 1s, or none
+    without a default_category) raise on materialization via a plan-side
+    raise_error guard, mirroring pandas' ValueError."""
+    cols = list(data.columns)
+    if sep is None:
+        groups = {"": cols}
+    else:
+        groups = {}
+        for c in cols:
+            if sep not in str(c):
+                raise ValueError(f"Separator not specified for column: {c}")
+            prefix, cat = str(c).split(sep, 1)
+            groups.setdefault(prefix, []).append(c)
+
+    def build(prefix, members):
+        rowsum = None
+        expr = None
+        for m in members:
+            cat = str(m) if sep is None else str(m).split(sep, 1)[1]
+            col = data[m]._expr
+            cond = col.cast("int") == 1
+            expr = F.when(cond, F.lit(cat)) if expr is None else expr.when(cond, F.lit(cat))
+            s = col.cast("int")
+            rowsum = s if rowsum is None else rowsum + s
+        bad = rowsum > 1
+        if default_category is None:
+            bad = bad | (rowsum == 0)
+            filled = expr
+        else:
+            dc = default_category.get(prefix) if isinstance(default_category, dict) else default_category
+            filled = expr.otherwise(F.lit(dc))
+        return F.when(bad, F.raise_error(F.lit(
+            f"Dummy DataFrame contains malformed assignment for prefix {prefix!r}"
+        )).cast("string")).otherwise(filled)
+
+    names = [p or "categories" for p in groups]
+    exprs = [build(p, ms) for p, ms in groups.items()]
+    return DataFrame(_frame=data._frame.project(names, exprs))
+
+
+def factorize(values, sort: bool = False, use_na_sentinel: bool = True):
+    """Module-level factorize (ref general.py via base). Codes are a
+    positional ndarray — an inherently driver-side object — so this
+    materializes, like the reference's default_to_pandas for it."""
+    if isinstance(values, Series):
+        values = values.to_pandas()
+    return pd.factorize(values, sort=sort, use_na_sentinel=use_na_sentinel)
+
+
+def eval(expr, **kwargs):  # noqa: A001 — pandas-compatible name
+    """Module-level eval (pandas semantics; frames passed via local_dict
+    etc. are materialized — the reference defaults to pandas here too)."""
+    return pd.eval(expr, **kwargs)
+
+
+def to_timedelta(arg, unit=None, errors="raise"):
+    """to_timedelta (ref general.py:834). Numeric Series × unit stays
+    distributed (make_dt_interval on the scaled seconds — no UDF); string
+    Series and scalars/lists go through pandas (driver-side, declared)."""
+    import numpy as np
+
+    if isinstance(arg, Series):
+        try:
+            kind = np.dtype(str(arg.dtype)).kind
+        except TypeError:
+            kind = "O"
+        if kind in "iuf":
+            u = (unit or "ns").lower()
+            per = {
+                "w": 604800.0, "d": 86400.0, "day": 86400.0, "days": 86400.0,
+                "h": 3600.0, "hr": 3600.0, "hours": 3600.0, "hour": 3600.0,
+                "m": 60.0, "min": 60.0, "minutes": 60.0, "t": 60.0,
+                "s": 1.0, "sec": 1.0, "seconds": 1.0,
+                "ms": 1e-3, "milliseconds": 1e-3, "l": 1e-3,
+                "us": 1e-6, "microseconds": 1e-6, "u": 1e-6,
+                "ns": 1e-9, "nanoseconds": 1e-9, "n": 1e-9,
+            }.get(u)
+            if per is None:
+                raise ValueError(f"invalid unit abbreviation: {unit}")
+            return arg._map1(lambda c: F.make_dt_interval(F.lit(0), F.lit(0), F.lit(0), c.cast("double") * per))
+        from modin_spark.pandas.io import from_pandas
+
+        res = (pd.to_timedelta(arg.to_pandas(), unit=unit, errors=errors)
+               if unit else pd.to_timedelta(arg.to_pandas(), errors=errors))
+        return from_pandas(res.to_frame("0"))["0"].rename(arg.name)
+    return pd.to_timedelta(arg, unit=unit, errors=errors) if unit else pd.to_timedelta(arg, errors=errors)
+
+
+def to_pickle(obj, filepath_or_buffer, **kwargs) -> None:
+    """Module-level to_pickle — materializes mpd objects (pickle is a
+    single-file driver format by definition), plain pandas otherwise."""
+    if isinstance(obj, (DataFrame, Series)):
+        obj = obj.to_pandas()
+    pd.to_pickle(obj, filepath_or_buffer, **kwargs)
+
+
+def test(extra_args=None) -> None:
+    """Run this package's pytest suite (parity with the reference's
+    module-level test() entry point)."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    cmd = [sys.executable, "-m", "pytest", str(Path(__file__).resolve().parents[2] / "tests")]
+    if extra_args:
+        cmd.extend(extra_args)
+    subprocess.run(cmd, check=False)

@@ -189,6 +189,12 @@ def read_sql(query_or_table: str, con: str, partition_column=None, num_partition
     """JDBC reader; partitioned when a numeric partition column is given
     (≙ the reference's OFFSET/LIMIT splitting,
     /root/reference/modin/experimental/core/io/sql/sql_dispatcher.py)."""
+    if not (isinstance(con, str) and con.startswith("jdbc:")):
+        # non-JDBC connections (DBAPI objects, SQLAlchemy URLs/engines) go
+        # through pandas on the driver — the reference's non-experimental
+        # read_sql does the same (modin/core/io/io.py default-to-pandas);
+        # executor-parallel reads require a JDBC url + driver jar.
+        return from_pandas(pd.DataFrame(pd.read_sql(query_or_table, con, **kw)))
     reader = get_spark().read.format("jdbc").option("url", con).option("dbtable", query_or_table)
     if partition_column is not None:
         bounds = kw.get("bounds")
@@ -295,3 +301,37 @@ def from_arrow(table) -> DataFrame:
 def to_pickle(df: DataFrame, path: str) -> None:
     """Driver-side (like the reference's to_pickle, modin/core/io/io.py:713+)."""
     df.to_pandas().to_pickle(path)
+
+
+def read_sql_table(table_name, con, schema=None, columns=None, **kw) -> DataFrame:
+    """read_sql_table (ref modin/pandas/io.py) — routes through the
+    partitioned read_sql path."""
+    q = f'SELECT * FROM {schema + "." if schema else ""}{table_name}'
+    if columns:
+        q = f'SELECT {", ".join(columns)} FROM {schema + "." if schema else ""}{table_name}'
+    return read_sql(q, con, **kw)
+
+
+def read_sql_query(sql, con, **kw) -> DataFrame:
+    """read_sql_query (ref modin/pandas/io.py) — alias of read_sql for
+    query strings."""
+    return read_sql(sql, con, **kw)
+
+
+read_stata = _pandas_reader("read_stata")
+read_spss = _pandas_reader("read_spss")
+read_sas = _pandas_reader("read_sas")
+
+
+read_hdf = _pandas_reader("read_hdf")  # requires pytables at call time
+read_clipboard = _pandas_reader("read_clipboard")  # requires a display/clipboard at call time
+
+
+def read_gbq(query, project_id=None, **kw) -> DataFrame:
+    """read_gbq parity shim: upstream pandas removed it (use
+    pandas-gbq); delegated the same way if that package is present."""
+    try:
+        import pandas_gbq  # noqa: F401
+    except ImportError as e:
+        raise ImportError("read_gbq requires the pandas-gbq package") from e
+    return from_pandas(pd.DataFrame(pandas_gbq.read_gbq(query, project_id=project_id, **kw)))

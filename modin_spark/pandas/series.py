@@ -112,8 +112,12 @@ class Series:
 
     @property
     def dtype(self):
+        import numpy as np
+
         sdf = self._frame.sdf.select(self._expr.alias("__t__"))
-        return spark_to_pandas_dtype(sdf.schema.fields[0].dataType)
+        # a real np.dtype (pandas contract: `.kind`, comparisons with both
+        # np.dtype and strings); every name in _SPARK_TO_PANDAS parses
+        return np.dtype(spark_to_pandas_dtype(sdf.schema.fields[0].dataType))
 
     @property
     def spark_type(self) -> T.DataType:

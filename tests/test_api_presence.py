@@ -62,3 +62,18 @@ def test_series_presence(spark, inventories):
     s = mpd.from_pandas(pd.DataFrame({"a": [1]})).a
     missing = sorted(n for n in ser_names if not hasattr(s, n))
     assert not missing, f"Series missing {len(missing)}: {missing}"
+
+
+def test_module_namespace_presence():
+    """Every name in the reference's modin.pandas.__all__ exists on
+    modin_spark.pandas (pandas scalars/dtypes/options re-exported; engine
+    functions implemented or delegated)."""
+    import re
+
+    import modin_spark.pandas as mpd
+
+    src = open(f"{REF}/__init__.py").read()
+    seg = src[src.find("__all__"):]
+    names = re.findall(r'"([A-Za-z_][A-Za-z0-9_]*)"', seg[:seg.find("]")])
+    missing = [n for n in names if not hasattr(mpd, n)]
+    assert not missing, missing

@@ -326,3 +326,88 @@ def test_binary_series_axis(spark):
     pd.testing.assert_frame_equal(
         m2.sub(m2.w, axis="index").to_pandas(), p2.sub(p2.w, axis="index"), check_dtype=False
     )
+
+
+# ---------------------------------------------------------------------------
+# module-level namespace completion (round 4b)
+# ---------------------------------------------------------------------------
+
+def test_from_dummies_roundtrip(spark):
+    import modin_spark.pandas as mpd
+
+    pdf = pd.DataFrame({"k": [1, 2, 3, 4], "col": ["a", "b", "a", "c"]})
+    d = mpd.from_pandas(pdf)
+    dm = mpd.get_dummies(d[["col"]])
+    back = mpd.from_dummies(dm, sep="_")
+    assert back.to_pandas()["col"].tolist() == ["a", "b", "a", "c"]
+
+
+def test_from_dummies_default_category(spark):
+    import modin_spark.pandas as mpd
+
+    pdf = pd.DataFrame({"x_a": [1, 0, 0], "x_b": [0, 1, 0]})
+    out = mpd.from_dummies(mpd.from_pandas(pdf), sep="_", default_category="z")
+    want = pd.from_dummies(pdf, sep="_", default_category="z")
+    assert out.to_pandas()["x"].tolist() == want["x"].tolist()
+
+
+def test_module_pivot_matches_pandas(spark):
+    import modin_spark.pandas as mpd
+
+    pdf = pd.DataFrame({"i": [1, 1, 2, 2], "c": ["x", "y", "x", "y"], "v": [1.0, 2.0, 3.0, 4.0]})
+    got = mpd.pivot(mpd.from_pandas(pdf), index="i", columns="c", values="v").to_pandas()
+    want = pd.pivot(pdf, index="i", columns="c", values="v")
+    pd.testing.assert_frame_equal(
+        got.sort_index(), want.sort_index(), check_names=False, check_column_type=False
+    )
+
+
+def test_to_timedelta_numeric_series(spark):
+    import modin_spark.pandas as mpd
+
+    pdf = pd.DataFrame({"s": [1.5, 90.0, 0.0]})
+    got = mpd.to_timedelta(mpd.from_pandas(pdf)["s"], unit="s").to_pandas()
+    want = pd.to_timedelta(pdf["s"], unit="s")
+    assert list(got) == list(want)
+
+
+def test_lreshape_matches_pandas(spark):
+    import modin_spark.pandas as mpd
+
+    pdf = pd.DataFrame({"hr1": [514, 573], "hr2": [545, 526], "team": ["Red", "Blue"]})
+    got = mpd.lreshape(mpd.from_pandas(pdf), {"hr": ["hr1", "hr2"]}).to_pandas()
+    want = pd.lreshape(pdf, {"hr": ["hr1", "hr2"]})
+    assert sorted(got["hr"].tolist()) == sorted(want["hr"].tolist())
+    assert set(got.columns) == set(want.columns)
+
+
+def test_factorize_and_scalars(spark):
+    import numpy as np
+
+    import modin_spark.pandas as mpd
+
+    pdf = pd.DataFrame({"c": ["b", "a", "b", "c"]})
+    codes, uniq = mpd.factorize(mpd.from_pandas(pdf)["c"], sort=True)
+    w_codes, w_uniq = pd.factorize(pdf["c"], sort=True)
+    assert np.array_equal(codes, w_codes) and list(uniq) == list(w_uniq)
+    # pandas scalar/dtype re-exports behave identically
+    assert mpd.Timestamp("2024-01-01") == pd.Timestamp("2024-01-01")
+    assert mpd.isna(mpd.NaT) and mpd.Timedelta("1h") == pd.Timedelta("1h")
+    assert list(mpd.date_range("2024-01-01", periods=3)) == list(pd.date_range("2024-01-01", periods=3))
+
+
+def test_read_sql_table_and_query(spark, tmp_path):
+    import sqlite3
+
+    import modin_spark.pandas as mpd
+
+    db = str(tmp_path / "t.db")
+    con = sqlite3.connect(db)
+    try:
+        pd.DataFrame({"a": [1, 2, 3], "b": ["x", "y", "z"]}).to_sql("t1", con, index=False)
+        got = mpd.read_sql_table("t1", con).to_pandas()
+        assert got["a"].tolist() == [1, 2, 3]
+        got2 = mpd.read_sql_query("SELECT a FROM t1 WHERE a > 1", con).to_pandas()
+        assert got2["a"].tolist() == [2, 3]
+    finally:
+        con.close()
