@@ -543,6 +543,33 @@ class DataFrame:
     def groupby(self, by=None, level=None, as_index: bool = True, dropna: bool = True, sort: bool = True):
         from modin_spark.pandas.groupby import DataFrameGroupBy
 
+        # pd.Grouper keys: a freq-Grouper becomes a derived time-bucket
+        # column (same F.window binning as resample — one hash-agg shuffle,
+        # streaming-compatible); a plain Grouper is just its key/level.
+        groupers = [g for g in (by if isinstance(by, (list, tuple)) else [by]) if isinstance(g, pd.Grouper)]
+        if groupers:
+            from modin_spark.pandas.resample import rule_to_duration
+
+            target = self
+            keys = []
+            for g in (by if isinstance(by, (list, tuple)) else [by]):
+                if not isinstance(g, pd.Grouper):
+                    keys.append(g)
+                    continue
+                if g.key is None:
+                    if g.freq is None and g.level is not None:
+                        return self.groupby(level=g.level, as_index=as_index, dropna=dropna, sort=sort)
+                    raise NotImplementedError("Grouper(freq=...) requires key= here")
+                if g.freq is None:
+                    keys.append(g.key)
+                    continue
+                fr = target._frame
+                phys = fr.data_cols[fr.positions_of([g.key])[0]]
+                bucket = F.window(F.col(phys), rule_to_duration(str(g.freq.freqstr if hasattr(g.freq, "freqstr") else g.freq)))["start"]
+                target = DataFrame(_frame=fr.with_columns([g.key], [bucket]))
+                keys.append(g.key)
+            return DataFrameGroupBy(target, keys if isinstance(by, (list, tuple)) else keys[0],
+                                    as_index=as_index, dropna=dropna, sort=sort)
         if by is None:
             if level is None:
                 raise TypeError("groupby requires by or level")

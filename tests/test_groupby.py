@@ -349,3 +349,36 @@ def test_groupby_resample(spark):
     assert abs(out["value"].sum() - outp["value"].sum()) < 1e-6
     nonzero = outp[outp["value"].notna() & (outp["value"] != 0)]
     assert len(out) >= len(nonzero) * 0.9
+
+
+def test_groupby_grouper_freq(spark):
+    """pd.Grouper(key, freq) groups on resample-style time buckets; plain
+    Grouper(key) degrades to the key; both match pandas."""
+    import modin_spark.pandas as mpd
+
+    pdf = pd.DataFrame({
+        "ts": pd.date_range("2024-01-01", periods=12, freq="25min"),
+        "k": ["a", "b"] * 6,
+        "v": list(range(12)),
+    })
+    d = mpd.from_pandas(pdf)
+    got = d.groupby(mpd.Grouper(key="ts", freq="1h")).agg(total=("v", "sum")).to_pandas()
+    want = pdf.groupby(pd.Grouper(key="ts", freq="1h")).agg(total=("v", "sum"))
+    assert got["total"].tolist() == want["total"].tolist()
+    assert list(got.index) == list(want.index)
+
+    got2 = d.groupby([mpd.Grouper(key="ts", freq="1h"), "k"]).agg(total=("v", "sum")).to_pandas().sort_index()
+    want2 = pdf.groupby([pd.Grouper(key="ts", freq="1h"), "k"]).agg(total=("v", "sum")).sort_index()
+    assert got2["total"].tolist() == want2["total"].tolist()
+
+    got3 = d.groupby(mpd.Grouper(key="k")).agg(total=("v", "sum")).to_pandas()
+    assert got3["total"].tolist() == pdf.groupby("k").agg(total=("v", "sum"))["total"].tolist()
+
+
+def test_groupby_namedagg_kwarg(spark):
+    import modin_spark.pandas as mpd
+
+    pdf = pd.DataFrame({"k": ["a", "b", "a"], "v": [1, 2, 3]})
+    got = mpd.from_pandas(pdf).groupby("k").agg(total=mpd.NamedAgg("v", "sum")).to_pandas()
+    want = pdf.groupby("k").agg(total=pd.NamedAgg("v", "sum"))
+    assert got["total"].tolist() == want["total"].tolist()
