@@ -287,8 +287,11 @@ class SparkFrame:
 
     @property
     def dtypes(self) -> pd.Series:
+        import numpy as np
+
+        # real np.dtype values (pandas contract); every mapped name parses
         return pd.Series(
-            [self.dtype_of(i) for i in range(len(self.columns))], index=self.columns, dtype=object
+            [np.dtype(self.dtype_of(i)) for i in range(len(self.columns))], index=self.columns, dtype=object
         )
 
     def positions_of(self, labels) -> list[int]:

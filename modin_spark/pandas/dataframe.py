@@ -586,6 +586,43 @@ class DataFrame:
             return DataFrameGroupBy(reset, labels, as_index=as_index, dropna=dropna, sort=sort)
         return DataFrameGroupBy(self, by, as_index=as_index, dropna=dropna, sort=sort)
 
+    def _validate_merge(self, right, validate, on, left_on, right_on, left_index, right_index):
+        """pandas merge(validate=): check key uniqueness per side. Two tiny
+        count/count-distinct aggregates (one per checked side) — the keys
+        shuffle as partial aggregates, the data never moves. Eager like
+        pandas (the check IS the point of the call)."""
+        lk = on if on is not None else left_on
+        rk = on if on is not None else right_on
+        lk = [lk] if isinstance(lk, str) else (list(lk) if lk is not None else None)
+        rk = [rk] if isinstance(rk, str) else (list(rk) if rk is not None else None)
+
+        def dup_side(df, keys, use_index):
+            fr = df._frame
+            if use_index:
+                cols = list(fr.index_cols)
+                sdf = fr.ensure_order().sdf
+            else:
+                cols = [fr.data_cols[i] for i in fr.positions_of(keys)]
+                sdf = fr.sdf
+            r = sdf.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count_distinct(*[F.col(c) for c in cols]).alias("d"),
+            ).collect()[0]
+            return r["n"] != r["d"]
+
+        mode = {"1:1": "one_to_one", "1:m": "one_to_many", "m:1": "many_to_one", "m:m": "many_to_many"}.get(validate, validate)
+        if mode == "many_to_many":
+            return
+        if mode not in ("one_to_one", "one_to_many", "many_to_one"):
+            raise ValueError(f'Not a valid argument for validate: "{validate}"')
+        check_left = mode in ("one_to_one", "one_to_many")
+        check_right = mode in ("one_to_one", "many_to_one")
+        err = pd.errors.MergeError
+        if check_left and dup_side(self, lk, left_index):
+            raise err("Merge keys are not unique in left dataset; not a one-to-" + ("one" if mode == "one_to_one" else "many") + " merge")
+        if check_right and dup_side(right, rk, right_index):
+            raise err("Merge keys are not unique in right dataset; not a " + ("one-to-one" if mode == "one_to_one" else "many-to-one") + " merge")
+
     def cube(self, by: list, aggs: dict) -> "DataFrame":
         """Spark-native CUBE (absent in the reference — SURVEY §2.4 extension).
 
@@ -626,7 +663,10 @@ class DataFrame:
         sort=False,
         broadcast: bool | None = None,
         indicator: bool | str = False,
+        validate: str | None = None,
     ) -> "DataFrame":
+        if validate is not None:
+            self._validate_merge(right, validate, on, left_on, right_on, left_index, right_index)
         lf, rf = self._frame, right._frame
         if how == "cross":
             # cartesian product (reference passes merge(how="cross") through

@@ -11,7 +11,7 @@ from modin_spark.pandas.dataframe import DataFrame
 from modin_spark.pandas.series import Series
 
 
-def concat(objs, axis=0, join="outer", ignore_index=False) -> DataFrame:
+def concat(objs, axis=0, join="outer", ignore_index=False, keys=None, names=None) -> DataFrame:
     frames = []
     for o in objs:
         if isinstance(o, DataFrame):
@@ -20,6 +20,25 @@ def concat(objs, axis=0, join="outer", ignore_index=False) -> DataFrame:
             frames.append(o._to_frame())
         else:
             frames.append(SparkFrame.from_pandas(pd.DataFrame(o)))
+    if keys is not None and axis in (0, "index"):
+        # pandas hierarchical concat: each frame gets its key as a new
+        # OUTER index level (a literal column — no shuffle, no data copy);
+        # a default RangeIndex inner level is materialized from the order.
+        from modin_spark.core.frame import fresh_names
+
+        keyed = []
+        for key, fr in zip(keys, frames):
+            if not fr.index_cols:
+                fr = fr.with_global_position("__pos__")
+                fr = SparkFrame(fr.sdf, fr.columns, fr.data_cols, ["__pos__"], [None])
+            fr = fr.ensure_order()
+            phys = fresh_names(1)[0]
+            sdf = fr.sdf.withColumn(phys, F.lit(key))
+            base_names = [None] + list(fr.index_names)
+            lvl_names = (list(names) + base_names[len(names):]) if names else base_names
+            keyed.append(SparkFrame(sdf, fr.columns, fr.data_cols, [phys] + list(fr.index_cols),
+                                    lvl_names[:1 + len(fr.index_cols)]))
+        return DataFrame(_frame=qc.concat_rows(keyed, join=join, ignore_index=False))
     if axis in (1, "columns"):
         return DataFrame(_frame=qc.concat_cols(frames, join=join))
     return DataFrame(_frame=qc.concat_rows(frames, join=join, ignore_index=ignore_index))

@@ -32,24 +32,29 @@ class Rolling:
         self._closed = closed
         self._win_kwargs = win_kwargs
 
-    def _run(self, agg: str):
+    def _run(self, agg: str, **agg_kwargs):
         from modin_spark.pandas.dataframe import DataFrame
 
         if self._win_type is not None:
+            # pandas accepts the window parameter at either site:
+            # rolling(win_type='gaussian', std=3).mean() or .mean(std=3)
+            wkw = {**self._win_kwargs, **agg_kwargs}
             if agg not in ("sum", "mean", "var", "std"):
                 raise NotImplementedError(f"win_type rolling supports sum/mean/var/std, not {agg}")
             if isinstance(self._obj, Series):
                 out = win.rolling_weighted(
                     self._obj._to_frame(), [0], self._window, self._win_type, agg,
-                    center=self._center, **self._win_kwargs
+                    center=self._center, **wkw
                 )
                 return Series._from_frame(out)
             df = self._obj
             out = win.rolling_weighted(
                 df._frame, df._numeric_positions(), self._window, self._win_type, agg,
-                center=self._center, **self._win_kwargs
+                center=self._center, **wkw
             )
             return DataFrame(_frame=out)
+        if agg_kwargs:
+            raise TypeError(f"{agg}() got unexpected keyword arguments {sorted(agg_kwargs)} (only win_type windows take window parameters here)")
         if isinstance(self._window, str):
             import pandas as _pd
 
@@ -295,8 +300,8 @@ class GroupRolling:
 def _mk(cls, names):
     for n in names:
         def make(n=n):
-            def run(self):
-                return self._run(n)
+            def run(self, **kw):
+                return self._run(n, **kw)
 
             run.__name__ = n
             return run

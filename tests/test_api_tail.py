@@ -411,3 +411,57 @@ def test_read_sql_table_and_query(spark, tmp_path):
         assert got2["a"].tolist() == [2, 3]
     finally:
         con.close()
+
+
+def test_concat_keys_hierarchical(spark):
+    import modin_spark.pandas as mpd
+
+    pdf = pd.DataFrame({"a": [1, 2], "b": [3.0, 4.0]})
+    d = mpd.from_pandas(pdf)
+    got = mpd.concat([d, d], keys=["x", "y"]).to_pandas()
+    want = pd.concat([pdf, pdf], keys=["x", "y"])
+    assert list(got.index) == list(want.index) and (got.values == want.values).all()
+    pdf2 = pdf.set_index("a")
+    got2 = mpd.concat([mpd.from_pandas(pdf2)] * 2, keys=["x", "y"], names=["grp"]).to_pandas()
+    want2 = pd.concat([pdf2] * 2, keys=["x", "y"], names=["grp"])
+    assert list(got2.index) == list(want2.index)
+    assert list(got2.index.names) == list(want2.index.names)
+
+
+def test_merge_validate(spark):
+    import modin_spark.pandas as mpd
+
+    d = mpd.from_pandas(pd.DataFrame({"a": [1, 2], "b": [3.0, 4.0]}))
+    dup = mpd.from_pandas(pd.DataFrame({"a": [1, 1], "c": [5, 6]}))
+    assert len(mpd.merge(d, d, on="a", validate="1:1").to_pandas()) == 2
+    assert len(mpd.merge(d, dup, on="a", validate="1:m").to_pandas()) == 2
+    for v in ("1:1", "m:1"):
+        with pytest.raises(pd.errors.MergeError):
+            mpd.merge(d, dup, on="a", validate=v)
+    with pytest.raises(ValueError):
+        mpd.merge(d, d, on="a", validate="bogus")
+
+
+def test_gaussian_win_type_closed_form(spark):
+    """rolling(win_type='gaussian').mean(std=1): scipy-free closed-form
+    weights exp(-0.5((n-c)/std)^2), parameter accepted at the agg call."""
+    import numpy as np
+
+    import modin_spark.pandas as mpd
+
+    vals = [1.0, 2.0, 4.0, 8.0, 16.0, 5.0]
+    d = mpd.from_pandas(pd.DataFrame({"b": vals}))
+    got = d["b"].rolling(3, win_type="gaussian").mean(std=1.0).to_pandas().to_numpy()
+    w = np.exp(-0.5 * ((np.arange(3) - 1.0)) ** 2)
+    want = [np.nan, np.nan] + [float(np.dot(vals[i-2:i+1], w) / w.sum()) for i in range(2, 6)]
+    assert np.allclose(got[2:], want[2:]) and np.isnan(got[:2]).all()
+
+
+def test_dtypes_are_numpy_dtypes(spark):
+    import numpy as np
+
+    import modin_spark.pandas as mpd
+
+    d = mpd.from_pandas(pd.DataFrame({"a": [1], "b": [1.5], "c": ["x"]}))
+    assert all(isinstance(v, np.dtype) for v in d.dtypes.values)
+    assert d["a"].dtype.kind == "i" and d.dtypes["b"] == "float64"
