@@ -671,6 +671,26 @@ def _emb_ivf_exhaustive(spark, sf):
     return out.select("q_id", "vec_id", F.round("cosine", 4).alias("cos_sim"), "rank")
 
 
+_QF_WEIGHTS = [((i * 37) % 13 - 6) / 10.0 for i in range(64)]
+
+
+def _emb_quality_filter(spark, sf):
+    """Model-based quality filtering: linear classifier inference
+    (sigmoid(w.x + b)) over the embedding column as a pure scan-stage
+    fold — the fasttext-style quality-filter pass of a training pipeline.
+    Deterministic weights are replicated in the DuckDB oracle."""
+    from modin_spark.operators.corpus import classifier_score
+
+    emb = _rp(spark, f"{sf}/embeddings.parquet")
+    scored = classifier_score(emb, _QF_WEIGHTS, bias=0.1)
+    kept = scored.where(F.col("score") >= 0.5)
+    return kept.agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.sum("vec_id").cast("long").alias("id_sum"),
+        F.round(F.avg("score"), 6).alias("avg_score"),
+    )
+
+
 def _emb_cosine_dedup(spark, sf):
     """Cosine near-dup dedup with EXACT duplicate copies planted under new
     ids. Identical vectors produce identical hyperplane-LSH bucket keys, so
@@ -1608,6 +1628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_topk_ngrams": _docs_topk_ngrams,
         "emb_label_centroids": _emb_label_centroids,
         "emb_ivf_exhaustive": _emb_ivf_exhaustive,
+        "emb_quality_filter": _emb_quality_filter,
         "apply_axis0_zscore": _apply_axis0_zscore,
         "transpose_agg": _transpose_agg,
         "win_weighted_var": _win_weighted_var,
@@ -2659,6 +2680,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT ngram, CAST(COUNT(*) AS BIGINT) AS cnt
             FROM g GROUP BY ngram
             ORDER BY cnt DESC, ngram ASC LIMIT 20
+        """,
+        "emb_quality_filter": """
+            WITH z AS (
+              SELECT vec_id,
+                     unnest(embedding) AS v,
+                     unnest([-0.6, 0.5, 0.3, 0.1, -0.1, -0.3, -0.5, 0.6, 0.4, 0.2, 0.0, -0.2, -0.4, -0.6, 0.5, 0.3, 0.1, -0.1, -0.3, -0.5, 0.6, 0.4, 0.2, 0.0, -0.2, -0.4, -0.6, 0.5, 0.3, 0.1, -0.1, -0.3, -0.5, 0.6, 0.4, 0.2, 0.0, -0.2, -0.4, -0.6, 0.5, 0.3, 0.1, -0.1, -0.3, -0.5, 0.6, 0.4, 0.2, 0.0, -0.2, -0.4, -0.6, 0.5, 0.3, 0.1, -0.1, -0.3, -0.5, 0.6, 0.4, 0.2, 0.0, -0.2]) AS w
+              FROM embeddings
+            ),
+            s AS (
+              SELECT vec_id, 1.0 / (1.0 + exp(-(SUM(CAST(v AS DOUBLE) * w) + 0.1))) AS score
+              FROM z GROUP BY vec_id
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_kept,
+                   CAST(SUM(vec_id) AS BIGINT) AS id_sum,
+                   ROUND(AVG(score), 6) AS avg_score
+            FROM s WHERE score >= 0.5
         """,
         "emb_ivf_exhaustive": """
             SELECT q_id, vec_id, ROUND(cos_sim, 4) AS cos_sim, rank FROM (

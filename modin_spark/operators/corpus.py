@@ -165,3 +165,20 @@ def label_centroids(df: SDF, label_col: str = "label", vec_col: str = "embedding
     never shuffle."""
     ex = df.select(F.col(label_col), F.posexplode(F.col(vec_col)).alias("pos", "v"))
     return ex.groupBy(label_col, "pos").agg(F.avg(F.col("v").cast("double")).alias("c"))
+
+
+def classifier_score(df: SDF, weights: list[float], bias: float = 0.0,
+                     vec_col: str = "embedding", out_col: str = "score") -> SDF:
+    """Linear-classifier inference over an embedding column (the standard
+    model-based quality-filter pass: score = sigmoid(w·x + b), keep above
+    threshold). The weight vector rides into the plan as a literal array —
+    broadcast by construction — and the dot product is a zip_with/aggregate
+    fold in the scan stage: no UDF, no shuffle, 100 TB = a map-only pass."""
+    w = F.array(*[F.lit(float(x)) for x in weights])
+    dot = F.aggregate(
+        F.zip_with(F.col(vec_col), w, lambda a, b: a.cast("double") * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    z = dot + F.lit(float(bias))
+    return df.withColumn(out_col, F.lit(1.0) / (F.lit(1.0) + F.exp(-z)))

@@ -440,3 +440,23 @@ def test_label_centroids_match_numpy(spark):
         want = np.mean(np.stack(grp["embedding"].to_numpy()), axis=0)
         sub = got[got["label"] == lbl].sort_values("pos")["c"].to_numpy()
         assert np.allclose(sub, want, atol=1e-9)
+
+
+def test_classifier_score_matches_numpy(spark):
+    from modin_spark.operators.corpus import classifier_score
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    w = [((i * 37) % 13 - 6) / 10.0 for i in range(64)]
+    got = classifier_score(emb, w, bias=0.1).select("vec_id", "score").toPandas().set_index("vec_id")
+    pdf = emb.toPandas().set_index("vec_id")
+    want = 1 / (1 + np.exp(-(np.stack(pdf["embedding"].map(np.asarray)) @ np.array(w) + 0.1)))
+    assert np.allclose(got.loc[pdf.index, "score"].to_numpy(), want, atol=1e-12)
+
+
+def test_classifier_score_no_shuffle(spark):
+    from modin_spark import plans
+    from modin_spark.operators.corpus import classifier_score
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = classifier_score(emb, [0.1] * 64)
+    assert "Exchange" not in plans.physical_plan(out)  # map-only pass
