@@ -113,6 +113,15 @@ class DataFrame:
             return DataFrame(_frame=fr.select_positions(fr.positions_of(key)))
         if isinstance(key, slice):
             return self.iloc[key]
+        if isinstance(fr.columns, pd.MultiIndex) and not isinstance(key, tuple):
+            # partial (top-level) selection on 2-level columns: the result
+            # keeps the remaining level as flat columns (pandas semantics)
+            positions = [i for i, c in enumerate(fr.columns) if c[0] == key]
+            if positions:
+                sub = fr.select_positions(positions)
+                rest = [fr.columns[i][1] if len(fr.columns[i]) == 2 else tuple(fr.columns[i][1:])
+                        for i in positions]
+                return DataFrame(_frame=sub._same_rows(sub.sdf, columns=pd.Index(rest), data_cols=sub.data_cols))
         positions = [i for i, c in enumerate(fr.columns) if c == key]
         if not positions:
             raise KeyError(key)
@@ -1008,13 +1017,30 @@ class DataFrame:
 
     def explode(self, column) -> "DataFrame":
         fr = self._frame.ensure_order()
+        from modin_spark.core.frame import fresh_names as _fn
+
+        if isinstance(column, (list, tuple)):
+            # pandas multi-column explode: columns zip positionally
+            # (arrays_zip + one explode — rows with mismatched lengths get
+            # nulls from the zip padding, which pandas raises on; padding is
+            # the documented relaxation here)
+            positions = fr.positions_of(list(column))
+            phys = [fr.data_cols[p] for p in positions]
+            zipped = F.arrays_zip(*[F.col(p) for p in phys])
+            sdf = fr.sdf.withColumn("__exp__", F.explode_outer(zipped))
+            sdf = sdf.withColumn(ORDER_COL, F.struct(F.col(ORDER_COL).alias("o"), F.monotonically_increasing_id().alias("e")))
+            new_cols = list(fr.data_cols)
+            for p, pos in zip(phys, positions):
+                np_ = _fn(1)[0]
+                sdf = sdf.withColumn(np_, F.col("__exp__").getField(p))
+                new_cols[pos] = np_
+            sdf = sdf.drop("__exp__")
+            return DataFrame(_frame=SparkFrame(sdf, fr.columns, new_cols, fr.index_cols, fr.index_names))
         pos = fr.positions_of([column])[0]
         phys = fr.data_cols[pos]
         sdf = fr.sdf.withColumn("__exp__", F.explode_outer(F.col(phys)))
         sdf = sdf.withColumn(ORDER_COL, F.struct(F.col(ORDER_COL).alias("o"), F.monotonically_increasing_id().alias("e")))
         new_cols = list(fr.data_cols)
-        from modin_spark.core.frame import fresh_names as _fn
-
         np_ = _fn(1)[0]
         sdf = sdf.withColumn(np_, F.col("__exp__")).drop("__exp__")
         new_cols[pos] = np_

@@ -120,3 +120,32 @@ def test_pivot_table_multi_values(spark):
         pt.stack().to_pandas(), exp.stack(future_stack=True),
         check_dtype=False, check_names=False,
     )
+
+
+def test_multiindex_columns_top_level_selection(spark):
+    """df[toplevel] on 2-level columns returns the sub-frame with the
+    remaining level (pandas partial selection)."""
+    import numpy as np
+
+    import modin_spark.pandas as mpd
+
+    li = mpd.read_parquet("/root/testdata/sf0.001/lineitem.parquet")
+    pli = pd.read_parquet("/root/testdata/sf0.001/lineitem.parquet")
+    cols = ["l_returnflag", "l_quantity", "l_extendedprice"]
+    g = li[cols].groupby("l_returnflag").agg(["sum", "mean"])
+    pg = pli[cols].groupby("l_returnflag").agg(["sum", "mean"])
+    got = g["l_quantity"].to_pandas().sort_index()
+    want = pg["l_quantity"].sort_index()
+    assert list(got.columns) == list(want.columns)
+    assert np.allclose(got.values, want.values)
+
+
+def test_explode_multiple_columns(spark):
+    import modin_spark.pandas as mpd
+
+    pdf = pd.DataFrame({"a": [[1, 2], [3]], "b": [["x", "y"], ["z"]], "k": [1, 2]})
+    got = mpd.from_pandas(pdf).explode(["a", "b"]).to_pandas()
+    want = pdf.explode(["a", "b"])
+    assert got["a"].tolist() == want["a"].tolist()
+    assert got["b"].tolist() == want["b"].tolist()
+    assert got["k"].tolist() == want["k"].tolist()
