@@ -896,11 +896,43 @@ class DataFrame:
             cols[fr.columns[i]] = self._series_at(i).describe()
         return pd.DataFrame(cols)
 
-    def idxmax(self) -> pd.Series:
+    def idxmax(self, axis=0) -> pd.Series:
+        if axis in (1, "columns"):
+            return self._row_arg_extreme(max_=True)
         return pd.Series({self._frame.columns[i]: self._series_at(i).idxmax() for i in self._numeric_positions()})
 
-    def idxmin(self) -> pd.Series:
+    def idxmin(self, axis=0) -> pd.Series:
+        if axis in (1, "columns"):
+            return self._row_arg_extreme(max_=False)
         return pd.Series({self._frame.columns[i]: self._series_at(i).idxmin() for i in self._numeric_positions()})
+
+    def _row_arg_extreme(self, max_: bool):
+        """idxmax/idxmin(axis=1): rowwise arg-extreme as ONE greatest()/
+        least() over (value, -position) structs — whole-stage codegen, no
+        UDF; ties resolve to the first column (pandas). All-NaN rows yield
+        null."""
+        fr = self._frame
+        pos = self._numeric_positions()
+        sent = float("-inf") if max_ else float("inf")
+        structs = [
+            F.struct(
+                F.coalesce(fr.scol(i).cast("double"), F.lit(sent)).alias("v"),
+                F.lit(-k).alias("p"),
+            )
+            for k, i in enumerate(pos)
+        ]
+        pick = (F.greatest if max_ else F.least)(*structs) if len(structs) > 1 else structs[0]
+        any_valid = None
+        for i in pos:
+            e = fr.scol(i).isNotNull()
+            any_valid = e if any_valid is None else (any_valid | e)
+        label = None
+        for k, i in enumerate(pos):
+            cond = pick["p"] == -k
+            label = F.when(cond, F.lit(str(fr.columns[i]))) if label is None else label.when(cond, F.lit(str(fr.columns[i])))
+        expr = F.when(any_valid, label)
+        s = Series(fr, expr, set(fr.data_cols), name=None)
+        return s
 
     def corr(self, method="pearson", numeric_only=True) -> pd.DataFrame:
         """Correlation matrix — ONE aggregate over all pairs. ``spearman``

@@ -110,7 +110,8 @@ def cut(x: Series, bins, labels=None, right: bool = True) -> Series:
         edges[0] = mn - (mx - mn) * 0.001
     else:
         edges = list(bins)
-    names = labels if labels is not None else [
+    codes = labels is False
+    names = labels if (labels is not None and labels is not False) else [
         f"({edges[i]}, {edges[i+1]}]" for i in range(len(edges) - 1)
     ]
 
@@ -121,9 +122,10 @@ def cut(x: Series, bins, labels=None, right: bool = True) -> Series:
                 cond = (c > edges[i]) & (c <= edges[i + 1])
             else:
                 cond = (c >= edges[i]) & (c < edges[i + 1])
-            w = (e.when if e is not None else F.when)(cond, F.lit(str(names[i])))
+            lab = F.lit(i) if codes else F.lit(str(names[i]))
+            w = (e.when if e is not None else F.when)(cond, lab)
             e = w
-        return e.otherwise(F.lit(None))
+        return e.otherwise(F.lit(None).cast("int") if codes else F.lit(None))
 
     return x._map1(f)
 

@@ -797,6 +797,21 @@ class StringMethods:
         ]
         return DataFrame(_frame=fr.project(toks, exprs))
 
+    def split(self, pat=None, n=-1, expand: bool = False, regex=None):
+        """str.split; ``expand=True`` widens to one column per part (the
+        width is a single tiny max-size aggregate over the split arrays,
+        then a pure getItem projection — no second pass over the data)."""
+        if not expand:
+            return self._s._map1(lambda c: STR_FUNCS["split"](c, pat, n, regex))
+        from modin_spark.pandas.dataframe import DataFrame
+
+        fr = self._s._to_frame("__t__")
+        arr = STR_FUNCS["split"](fr.scol(0), pat, n, regex)
+        width = fr.sdf.agg(F.max(F.size(arr))).collect()[0][0] or 1
+        labels = list(range(width))
+        exprs = [arr.getItem(i) for i in range(width)]
+        return DataFrame(_frame=fr.project(labels, exprs))
+
     def __getattr__(self, name):
         if name.startswith("_"):
             raise AttributeError(name)

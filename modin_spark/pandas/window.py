@@ -23,14 +23,27 @@ def _pair_frame(left, other):
 
 
 class Rolling:
-    def __init__(self, obj, window: int, min_periods=None, win_type=None, center=False, closed=None, **win_kwargs):
+    def __init__(self, obj, window: int, min_periods=None, win_type=None, center=False, closed=None,
+                 on=None, **win_kwargs):
         self._obj = obj
         self._window = window
         self._min_periods = min_periods
         self._win_type = win_type
         self._center = center
         self._closed = closed
+        self._on = on
         self._win_kwargs = win_kwargs
+        if on is not None and not isinstance(obj, Series):
+            # rolling(on=col): the window rides the named column instead of
+            # the index (time-offset windows need it ordered); the result is
+            # indexed by that column.
+            self._obj = obj.set_index(on)
+
+    def __getitem__(self, key):
+        # column narrowing: df.rolling(...)[col], the common frame idiom
+        sub = self._obj[key]
+        return Rolling(sub, self._window, self._min_periods, win_type=self._win_type,
+                       center=self._center, closed=self._closed, **self._win_kwargs)
 
     def _run(self, agg: str, **agg_kwargs):
         from modin_spark.pandas.dataframe import DataFrame

@@ -465,3 +465,46 @@ def test_dtypes_are_numpy_dtypes(spark):
     d = mpd.from_pandas(pd.DataFrame({"a": [1], "b": [1.5], "c": ["x"]}))
     assert all(isinstance(v, np.dtype) for v in d.dtypes.values)
     assert d["a"].dtype.kind == "i" and d.dtypes["b"] == "float64"
+
+
+def test_rolling_on_and_getitem(spark):
+    import modin_spark.pandas as mpd
+
+    pdf = pd.DataFrame({"ts": pd.date_range("2024-01-01", periods=8, freq="12h"),
+                        "b": [1.0, 2, 3, 4, 5, 6, 7, 8]})
+    d = mpd.from_pandas(pdf)
+    got = d.rolling("2D", on="ts")["b"].sum().to_pandas()
+    want = pdf.rolling("2D", on="ts")["b"].sum()
+    assert np.allclose(got.to_numpy(), want.to_numpy())
+    got2 = d.rolling(3)["b"].mean().to_pandas()
+    want2 = pdf.rolling(3)["b"].mean()
+    assert np.allclose(got2.fillna(-1).to_numpy(), want2.fillna(-1).to_numpy())
+
+
+def test_idxmax_idxmin_axis1(spark):
+    import modin_spark.pandas as mpd
+
+    pdf = pd.DataFrame({"a": [3.0, 1, 2, np.nan], "b": [1.0, 2, 3, np.nan], "c": [2.0, 5, 1, np.nan]})
+    d = mpd.from_pandas(pdf)
+    assert d.idxmax(axis=1).to_pandas().tolist()[:3] == pdf.idxmax(axis=1).tolist()[:3]
+    assert d.idxmin(axis=1).to_pandas().tolist()[:3] == pdf.idxmin(axis=1).tolist()[:3]
+    assert d.idxmax(axis=1).to_pandas().tolist()[3] is None  # all-NaN row
+
+
+def test_cut_labels_false(spark):
+    import modin_spark.pandas as mpd
+
+    pdf = pd.DataFrame({"a": [3.0, 1, 2, np.nan]})
+    got = mpd.cut(mpd.from_pandas(pdf)["a"], 2, labels=False).to_pandas()
+    want = pd.cut(pdf["a"], 2, labels=False)
+    assert got.fillna(-1).tolist() == want.fillna(-1).tolist()
+
+
+def test_str_split_expand(spark):
+    import modin_spark.pandas as mpd
+
+    pdf = pd.DataFrame({"s": ["x,y", "z", "p,q,r"]})
+    got = mpd.from_pandas(pdf)["s"].str.split(",", expand=True).to_pandas()
+    want = pdf["s"].str.split(",", expand=True)
+    assert got.fillna("0").values.tolist() == want.fillna("0").values.tolist()
+    assert list(got.columns) == list(want.columns)
