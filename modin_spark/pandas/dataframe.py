@@ -446,12 +446,20 @@ class DataFrame:
         fr = self._frame
         return DataFrame(_frame=fr.project(fr.columns, [F.abs(fr.scol(i)) for i in range(len(fr.columns))]))
 
-    def round(self, decimals: int = 0) -> "DataFrame":
+    def round(self, decimals=0) -> "DataFrame":
         fr = self._frame
-        exprs = [
-            F.bround(fr.scol(i), decimals) if fr.dtype_of(i).startswith("float") else fr.scol(i)
-            for i in range(len(fr.columns))
-        ]
+        if isinstance(decimals, dict):
+            dec = {k: int(v) for k, v in decimals.items()}
+            exprs = [
+                F.bround(fr.scol(i), dec[fr.columns[i]])
+                if fr.columns[i] in dec and fr.dtype_of(i).startswith("float") else fr.scol(i)
+                for i in range(len(fr.columns))
+            ]
+        else:
+            exprs = [
+                F.bround(fr.scol(i), decimals) if fr.dtype_of(i).startswith("float") else fr.scol(i)
+                for i in range(len(fr.columns))
+            ]
         return DataFrame(_frame=fr.project(fr.columns, exprs))
 
     def isin(self, values) -> "DataFrame":
@@ -468,15 +476,6 @@ class DataFrame:
 
     def limit(self, n: int) -> "DataFrame":
         return self.head(n)
-
-    def sample(self, frac=None, n=None, random_state=None) -> "DataFrame":
-        if frac is None:
-            total = len(self)
-            frac = min(1.0, (n or 1) * 1.2 / max(total, 1))
-        sdf = self._frame.sdf.sample(fraction=frac, seed=random_state or 42)
-        fr = self._frame._subset_rows(sdf)
-        out = DataFrame(_frame=fr)
-        return out.head(n) if n is not None else out
 
     def query(self, expr: str) -> "DataFrame":
         """pandas.query via Spark SQL — labels resolved to physical columns,
@@ -505,13 +504,19 @@ class DataFrame:
             return DataFrame(_frame=fr.with_columns([m.group(1)], [col]))
         return Series(fr, col, set(fr.data_cols), None)
 
-    def sort_values(self, by, ascending=True, na_position="last", kind=None, ignore_index=False) -> "DataFrame":
+    def sort_values(self, by, ascending=True, na_position="last", kind=None, ignore_index=False,
+                    key=None) -> "DataFrame":
         # kind is a pandas stable-sort selector — meaningless for a shuffle
         # sort (Spark's range sort is what it is); accepted for parity
         by = by if isinstance(by, list) else [by]
         asc = ascending if isinstance(ascending, list) else [ascending] * len(by)
         fr = self._frame
-        exprs = [fr.scol(i) for i in fr.positions_of(by)]
+        if key is not None:
+            # pandas key=: the callable maps each sort column (as a Series)
+            # to the actual sort key — stays an expression, no extra pass
+            exprs = [key(self._series_at(i))._expr for i in fr.positions_of(by)]
+        else:
+            exprs = [fr.scol(i) for i in fr.positions_of(by)]
         return DataFrame(_frame=fr.sort_by(exprs, asc, na_position))
 
     def sort_index(self, ascending=True) -> "DataFrame":
@@ -762,13 +767,19 @@ class DataFrame:
     def count(self, numeric_only=False) -> pd.Series:
         return self._reduce_frame("count", numeric_only)
 
-    def std(self, numeric_only=True, ddof=1):
+    def std(self, numeric_only=True, ddof=1, axis=0):
+        if axis in (1, "columns"):
+            return self._row_wise("std", ddof=ddof)
         return self._reduce_frame("std", numeric_only)
 
-    def var(self, numeric_only=True, ddof=1):
+    def var(self, numeric_only=True, ddof=1, axis=0):
+        if axis in (1, "columns"):
+            return self._row_wise("var", ddof=ddof)
         return self._reduce_frame("var", numeric_only)
 
-    def median(self, numeric_only=True):
+    def median(self, numeric_only=True, axis=0):
+        if axis in (1, "columns"):
+            return self._row_wise("median")
         return self._reduce_frame("median", numeric_only)
 
     def nunique(self, axis=0, dropna=True) -> "pd.Series | Series":
@@ -836,7 +847,9 @@ class DataFrame:
                 cols[fr.columns[i]] = [r[0]["v"] if r else None]
         return pd.DataFrame(cols)
 
-    def quantile(self, q=0.5, numeric_only=True):
+    def quantile(self, q=0.5, numeric_only=True, axis=0):
+        if axis in (1, "columns"):
+            return self._row_wise("quantile", q=q)
         if isinstance(q, (list, tuple)):
             # one aggregate per q, assembled driver-side (k×cols scalars)
             rows = {qq: self._reduce_frame("quantile", numeric_only, q=float(qq)) for qq in q}
@@ -845,26 +858,97 @@ class DataFrame:
             return out
         return self._reduce_frame("quantile", numeric_only, q=q)
 
-    def _row_wise(self, op: str) -> Series:
+    def _row_wise(self, op: str, q: float | None = None, ddof: int = 1) -> Series:
+        """Row-axis reductions as pure array expressions — projections in
+        whole-stage codegen, no shuffle (k = #columns is plan-time small)."""
         fr = self._frame
         positions = self._numeric_positions()
         cols = [fr.scol(i) for i in positions]
         if op == "sum":
             e = sum((F.coalesce(c, F.lit(0)) for c in cols), F.lit(0))
         elif op == "min":
-            e = F.least(*cols)
+            e = F.least(*cols) if len(cols) > 1 else cols[0]
         elif op == "max":
-            e = F.greatest(*cols)
+            e = F.greatest(*cols) if len(cols) > 1 else cols[0]
         elif op == "mean":
             total = sum((F.coalesce(c, F.lit(0)) for c in cols), F.lit(0))
             nonnull = sum((F.when(c.isNotNull(), 1).otherwise(0) for c in cols), F.lit(0))
             e = total / nonnull
+        elif op in ("std", "var"):
+            vals = F.array_compact(F.array(*[c.cast("double") for c in cols]))
+            n = F.size(vals).cast("double")
+            sx = F.aggregate(vals, F.lit(0.0), lambda a, x: a + x)
+            sx2 = F.aggregate(vals, F.lit(0.0), lambda a, x: a + x * x)
+            var = (sx2 - sx * sx / n) / (n - ddof)
+            var = F.when(n > ddof, var)
+            e = F.sqrt(var) if op == "std" else var
+        elif op in ("median", "quantile"):
+            qq = 0.5 if q is None else float(q)
+            vals = F.array_sort(F.array_compact(F.array(*[c.cast("double") for c in cols])))
+            n = F.size(vals)
+            pos = (n.cast("double") - 1) * qq
+            lo = F.floor(pos).cast("int")
+            frac = pos - lo.cast("double")
+            vlo = F.element_at(vals, lo + 1)
+            vhi = F.element_at(vals, F.least(lo + 2, n))
+            e = F.when(n > 0, vlo + (vhi - vlo) * frac)
         else:
             raise NotImplementedError(op)
         return Series(fr, e, {fr.data_cols[i] for i in positions}, None)
 
-    def agg(self, spec) -> Any:
-        """df.agg("sum") / df.agg(["sum","mean"]) / df.agg({col: [fns]})."""
+    def _row_rank(self, method: str = "average", ascending: bool = True) -> "DataFrame":
+        """rank(axis=1): O(k^2) comparison expressions per row — still one
+        projection, no shuffle."""
+        fr = self._frame
+        positions = self._numeric_positions()
+        cols = [fr.scol(i).cast("double") for i in positions]
+        out_exprs, out_labels = [], []
+        for i, ci in enumerate(cols):
+            less = sum(
+                (F.when((cj < ci) if ascending else (cj > ci), 1).otherwise(0)
+                 for j, cj in enumerate(cols)), F.lit(0))
+            eq = sum((F.when(cj == ci, 1).otherwise(0) for cj in cols), F.lit(0))
+            if method == "average":
+                r = (less.cast("double") * 2 + eq.cast("double") + 1) / 2
+            elif method == "min":
+                r = (less + 1).cast("double")
+            elif method == "max":
+                r = (less + eq).cast("double")
+            else:
+                raise NotImplementedError(f"rank(axis=1) method {method!r}")
+            out_exprs.append(F.when(ci.isNotNull(), r))
+            out_labels.append(fr.columns[positions[i]])
+        return DataFrame(_frame=fr.project(out_labels, out_exprs))
+
+    def _row_cum(self, op: str) -> "DataFrame":
+        """cum*(axis=1): a running expression across columns (pandas skipna:
+        a NaN cell stays NaN but does not reset the accumulator)."""
+        fr = self._frame
+        positions = self._numeric_positions()
+        cols = [fr.scol(i).cast("double") for i in positions]
+        acc = None
+        exprs = []
+        for c in cols:
+            if op == "cumsum":
+                acc = F.coalesce(c, F.lit(0.0)) if acc is None else acc + F.coalesce(c, F.lit(0.0))
+            elif op == "cumprod":
+                acc = F.coalesce(c, F.lit(1.0)) if acc is None else acc * F.coalesce(c, F.lit(1.0))
+            elif op == "cummax":
+                acc = c if acc is None else F.greatest(acc, c)
+            elif op == "cummin":
+                acc = c if acc is None else F.least(acc, c)
+            else:
+                raise NotImplementedError(op)
+            exprs.append(F.when(c.isNotNull(), acc))
+        return DataFrame(_frame=fr.project([fr.columns[i] for i in positions], exprs))
+
+    def agg(self, spec, axis=0) -> Any:
+        """df.agg("sum") / df.agg(["sum","mean"]) / df.agg({col: [fns]});
+        axis=1 routes string specs to the row-wise expression reductions."""
+        if axis in (1, "columns"):
+            if isinstance(spec, str):
+                return self._row_wise(spec)
+            raise NotImplementedError("agg(axis=1) takes a single function name")
         fr = self._frame
         if isinstance(spec, str):
             return self._reduce_frame(spec)
@@ -968,16 +1052,24 @@ class DataFrame:
         return pd.DataFrame(data, index=labels, columns=labels)
 
     # -------------------------------------------------------- order-dependent
-    def cumsum(self) -> "DataFrame":
+    def cumsum(self, axis=0) -> "DataFrame":
+        if axis in (1, "columns"):
+            return self._row_cum("cumsum")
         return DataFrame(_frame=win.cum_op(self._frame, self._numeric_positions(), "cumsum"))
 
-    def cummax(self) -> "DataFrame":
+    def cummax(self, axis=0) -> "DataFrame":
+        if axis in (1, "columns"):
+            return self._row_cum("cummax")
         return DataFrame(_frame=win.cum_op(self._frame, self._numeric_positions(), "cummax"))
 
-    def cummin(self) -> "DataFrame":
+    def cummin(self, axis=0) -> "DataFrame":
+        if axis in (1, "columns"):
+            return self._row_cum("cummin")
         return DataFrame(_frame=win.cum_op(self._frame, self._numeric_positions(), "cummin"))
 
-    def cumprod(self) -> "DataFrame":
+    def cumprod(self, axis=0) -> "DataFrame":
+        if axis in (1, "columns"):
+            return self._row_cum("cumprod")
         return DataFrame(_frame=win.cum_op(self._frame, self._numeric_positions(), "cumprod"))
 
     def shift(self, periods=1, fill_value=None) -> "DataFrame":
@@ -986,7 +1078,11 @@ class DataFrame:
     def diff(self, periods=1) -> "DataFrame":
         return DataFrame(_frame=win.diff(self._frame, self._numeric_positions(), periods))
 
-    def rank(self, method="average", ascending=True, pct=False) -> "DataFrame":
+    def rank(self, method="average", ascending=True, pct=False, axis=0) -> "DataFrame":
+        if axis in (1, "columns"):
+            if pct:
+                raise NotImplementedError("rank(axis=1, pct=True)")
+            return self._row_rank(method, ascending)
         return DataFrame(_frame=win.rank(self._frame, self._numeric_positions(), method, ascending, pct))
 
     def pct_change(self, periods=1) -> "DataFrame":
@@ -1309,10 +1405,23 @@ class DataFrame:
         return pd.Series({k: int(row[f"m{i}"] or 0) for i, k in enumerate(kinds)})
 
     def dot(self, other):
-        """Matrix product with a Series (weights vector): one narrow
-        expression — sum(col_i * w_i) per row (reference qc:2546)."""
+        """Matrix product with a Series (weights vector) or a small matrix
+        (pandas DataFrame keyed by this frame's columns): each output column
+        is one linear-combination expression — narrow, no shuffle; the
+        matrix rides into the plan as literals (broadcast by construction,
+        ref qc:2546)."""
         w = other.to_pandas() if hasattr(other, "to_pandas") else other
         fr = self._frame
+        if isinstance(w, pd.DataFrame):
+            out_labels = list(w.columns)
+            exprs = []
+            for out_c in out_labels:
+                e = None
+                for i, lbl in enumerate(fr.columns):
+                    term = fr.scol(i) * F.lit(float(w.loc[lbl, out_c]))
+                    e = term if e is None else (e + term)
+                exprs.append(e)
+            return DataFrame(_frame=fr.project(out_labels, exprs))
         expr = None
         for i, lbl in enumerate(fr.columns):
             term = fr.scol(i) * F.lit(float(w[lbl]))
@@ -1802,12 +1911,24 @@ class DataFrame:
         self[self._frame.columns[loc]] = value
 
     def sample(self, n: int | None = None, frac: float | None = None, replace: bool = False,
-               random_state: int | None = None, axis=0) -> "DataFrame":
+               random_state: int | None = None, axis=0, weights=None) -> "DataFrame":
         """Distributed sampling. ``frac`` is a per-partition Bernoulli/Poisson
         sample (no shuffle, exact at scale in expectation); exact-``n`` orders
-        by a seeded rand() — a TakeOrdered top-n, never a full materialize."""
+        by a seeded rand() — a TakeOrdered top-n, never a full materialize.
+        ``weights=`` draws n without replacement via the Efraimidis–Spirakis
+        exponential-key trick (key = ln(U)/w, top-n) — also a TakeOrdered."""
         fr = self._frame
         seed = random_state if random_state is not None else 42
+        if weights is not None:
+            if n is None:
+                raise ValueError("weights= requires n=")
+            w = (F.col(fr.data_cols[fr.positions_of([weights])[0]]).cast("double")
+                 if isinstance(weights, str) else weights._expr.cast("double"))
+            key = F.log(F.rand(seed)) / w
+            sdf = fr.sdf.withColumn("__wk__", F.when(w > 0, key))
+            sdf = (sdf.where(F.col("__wk__").isNotNull())
+                   .orderBy(F.col("__wk__").desc()).limit(int(n)).drop("__wk__"))
+            return DataFrame(_frame=fr._subset_rows(sdf))
         if frac is not None and n is None:
             return DataFrame(_frame=fr._subset_rows(
                 fr.sdf.sample(withReplacement=replace, fraction=float(frac), seed=seed)

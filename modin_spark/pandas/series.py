@@ -326,6 +326,22 @@ class Series:
         return self._map1(lambda c: F.bround(c, decimals))
 
     def clip(self, lower=None, upper=None) -> "Series":
+        if isinstance(lower, Series) or isinstance(upper, Series):
+            # element-wise bounds: combine on shared lineage (or alignment
+            # join) — stays one projection
+            out = self
+            if isinstance(lower, Series):
+                target, a, b, refs = out._combine(lower)
+                out = Series(target, F.greatest(a, b), refs, out._name)
+            elif lower is not None:
+                out = out._map1(lambda c: F.greatest(c, _lit(lower)))
+            if isinstance(upper, Series):
+                target, a, b, refs = out._combine(upper)
+                out = Series(target, F.least(a, b), refs, out._name)
+            elif upper is not None:
+                out = out._map1(lambda c: F.least(c, _lit(upper)))
+            return out
+
         def f(c):
             e = c
             if lower is not None:

@@ -508,3 +508,42 @@ def test_str_split_expand(spark):
     want = pdf["s"].str.split(",", expand=True)
     assert got.fillna("0").values.tolist() == want.fillna("0").values.tolist()
     assert list(got.columns) == list(want.columns)
+
+
+def test_axis1_reductions_and_transforms(spark):
+    import modin_spark.pandas as mpd
+
+    pdf = pd.DataFrame({"a": [1.0, 2, np.nan], "b": [3.0, 1, 5], "c": [2.0, 2, 1]})
+    d = mpd.from_pandas(pdf)
+    for g, w in [
+        (d.std(axis=1), pdf.std(axis=1)),
+        (d.var(axis=1), pdf.var(axis=1)),
+        (d.median(axis=1), pdf.median(axis=1)),
+        (d.quantile(0.25, axis=1), pdf.quantile(0.25, axis=1)),
+        (d.agg("sum", axis=1), pdf.agg("sum", axis=1)),
+    ]:
+        assert np.allclose(
+            np.nan_to_num(g.to_pandas().to_numpy(dtype=float), nan=-9),
+            np.nan_to_num(np.asarray(w, dtype=float), nan=-9),
+        )
+    assert np.allclose(d.rank(axis=1).to_pandas().fillna(-9).values, pdf.rank(axis=1).fillna(-9).values)
+    assert np.allclose(d.cumsum(axis=1).to_pandas().fillna(-9).values, pdf.cumsum(axis=1).fillna(-9).values)
+    assert np.allclose(d.cummax(axis=1).to_pandas().fillna(-9).values, pdf.cummax(axis=1).fillna(-9).values)
+
+
+def test_sort_key_sample_weights_clip_round_dot(spark):
+    import modin_spark.pandas as mpd
+
+    pdf = pd.DataFrame({"k": ["x", "y", "x", "y"], "a": [1.0, 2, 3, 4], "b": [4.0, 3, 2, 1]})
+    d = mpd.from_pandas(pdf)
+    assert (d.sort_values("k", key=lambda s: s.str.upper()).to_pandas()["k"].tolist()
+            == pdf.sort_values("k", key=lambda s: s.str.upper())["k"].tolist())
+    pdf2 = pd.DataFrame({"v": range(100), "w": [0.0] * 50 + [1.0] * 50})
+    got = mpd.from_pandas(pdf2).sample(n=20, weights="w", random_state=7).to_pandas()
+    assert len(got) == 20 and (got["v"] >= 50).all()  # zero-weight rows excluded
+    assert d["a"].clip(lower=d["b"]).to_pandas().tolist() == pdf["a"].clip(lower=pdf["b"]).tolist()
+    r = mpd.from_pandas(pd.DataFrame({"a": [1.234], "b": [5.678]})).round({"a": 1}).to_pandas()
+    assert r.values.tolist() == [[1.2, 5.678]]
+    m = pd.DataFrame([[1.0, 2.0], [3.0, 4.0]], index=["a", "b"], columns=["p", "q"])
+    got_d = d[["a", "b"]].dot(m).to_pandas()
+    assert np.allclose(got_d.values, pdf[["a", "b"]].dot(m).values) and list(got_d.columns) == ["p", "q"]
