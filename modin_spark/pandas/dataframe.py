@@ -524,18 +524,43 @@ class DataFrame:
         keys = [F.col(c) for c in (fr.index_cols or [ORDER_COL])]
         return DataFrame(_frame=fr.sort_by(keys, [ascending] * len(keys)))
 
-    def nlargest(self, n: int, columns) -> "DataFrame":
+    def _top_k(self, n: int, columns, largest: bool, keep: str) -> "DataFrame":
         cols = columns if isinstance(columns, list) else [columns]
         fr = self._frame
         exprs = [fr.scol(i) for i in fr.positions_of(cols)]
-        # orderBy+limit compiles to TakeOrderedAndProject — scale-safe top-k
-        return DataFrame(_frame=fr.sort_by(exprs, [False] * len(exprs)).head(n))
+        asc = [not largest] * len(exprs)
+        if keep == "all":
+            # include ties with the n-th row: fetch the boundary key from the
+            # TakeOrdered top-n (n scalars to the driver), then filter — the
+            # data itself is never globally sorted or materialized
+            top = DataFrame(_frame=fr.sort_by(exprs, asc).head(n))
+            kpdf = top.to_pandas()[cols]
+            if len(kpdf) < n:
+                return top
+            bound = kpdf.iloc[-1]
+            cond = None
+            prev_eq = None
+            for c, e in zip(cols, exprs):
+                better = (e > F.lit(bound[c])) if largest else (e < F.lit(bound[c]))
+                this = better if prev_eq is None else (prev_eq & better)
+                cond = this if cond is None else (cond | this)
+                eq = e == F.lit(bound[c])
+                prev_eq = eq if prev_eq is None else (prev_eq & eq)
+            cond = cond | prev_eq  # strictly-better on some prefix, or ties the boundary
+            return DataFrame(_frame=fr.filter(cond))
+        if keep == "last":
+            fr = fr.ensure_order()
+            exprs = exprs + [F.col(ORDER_COL)]
+            asc = asc + [False]
+            return DataFrame(_frame=fr.sort_by(exprs, asc).head(n))
+        # keep='first': orderBy+limit compiles to TakeOrderedAndProject
+        return DataFrame(_frame=fr.sort_by(exprs, asc).head(n))
 
-    def nsmallest(self, n: int, columns) -> "DataFrame":
-        cols = columns if isinstance(columns, list) else [columns]
-        fr = self._frame
-        exprs = [fr.scol(i) for i in fr.positions_of(cols)]
-        return DataFrame(_frame=fr.sort_by(exprs, [True] * len(exprs)).head(n))
+    def nlargest(self, n: int, columns, keep: str = "first") -> "DataFrame":
+        return self._top_k(n, columns, largest=True, keep=keep)
+
+    def nsmallest(self, n: int, columns, keep: str = "first") -> "DataFrame":
+        return self._top_k(n, columns, largest=False, keep=keep)
 
     def drop_duplicates(self, subset=None, keep="first") -> "DataFrame":
         pos = self._frame.positions_of(subset if isinstance(subset, list) else [subset]) if subset is not None else None
@@ -1072,7 +1097,17 @@ class DataFrame:
             return self._row_cum("cumprod")
         return DataFrame(_frame=win.cum_op(self._frame, self._numeric_positions(), "cumprod"))
 
-    def shift(self, periods=1, fill_value=None) -> "DataFrame":
+    def shift(self, periods=1, fill_value=None, axis=0) -> "DataFrame":
+        if axis in (1, "columns"):
+            # column-axis shift: a pure relabeling projection
+            fr = self._frame
+            k = len(fr.columns)
+            fill = F.lit(fill_value) if fill_value is not None else F.lit(None)
+            exprs = [
+                fr.scol(i - periods) if 0 <= i - periods < k else fill.cast(fr.sdf.schema[fr.data_cols[i]].dataType)
+                for i in range(k)
+            ]
+            return DataFrame(_frame=fr.project(fr.columns, exprs))
         return DataFrame(_frame=win.shift(self._frame, list(range(len(self._frame.columns))), periods, fill_value))
 
     def diff(self, periods=1) -> "DataFrame":

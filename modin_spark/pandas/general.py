@@ -79,9 +79,12 @@ def notna(obj):
     return pd.notna(obj)
 
 
-def get_dummies(data, columns=None, prefix=None, prefix_sep="_", dtype="int64") -> DataFrame:
+def get_dummies(data, columns=None, prefix=None, prefix_sep="_", dtype="int64",
+                drop_first: bool = False, dummy_na: bool = False) -> DataFrame:
     """One-hot encode: distinct category scan + one 0/1 expression per value
-    (reference: qc get_dummies via column-axis pivot, qc:4643)."""
+    (reference: qc get_dummies via column-axis pivot, qc:4643).
+    ``drop_first`` drops the first (sorted) category per column;
+    ``dummy_na`` appends an is-null indicator column."""
     if isinstance(data, Series):
         data = data.to_frame()
     fr = data._frame
@@ -92,11 +95,17 @@ def get_dummies(data, columns=None, prefix=None, prefix_sep="_", dtype="int64") 
         pos = fr.positions_of([col])[0]
         phys = fr.data_cols[pos]
         cats = [r[0] for r in fr.sdf.select(phys).where(F.col(phys).isNotNull()).distinct().orderBy(phys).collect()]
+        if drop_first:
+            cats = cats[1:]
         pre = (prefix or str(col)) + prefix_sep
         for cat in cats:
             out = out.assign(**{f"{pre}{cat}": None})
-            s = Series(out._frame, (F.col(phys) == F.lit(cat)).cast("long"), {phys}, None)
+            s = Series(out._frame, F.coalesce((F.col(phys) == F.lit(cat)).cast("long"), F.lit(0)), {phys}, None)
             out[f"{pre}{cat}"] = s
+        if dummy_na:
+            out = out.assign(**{f"{pre}nan": None})
+            s = Series(out._frame, F.col(phys).isNull().cast("long"), {phys}, None)
+            out[f"{pre}nan"] = s
         out = out.drop(columns=[col])
     return out
 

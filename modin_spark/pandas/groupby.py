@@ -254,7 +254,7 @@ class DataFrameGroupBy:
 
         return DataFrame(_frame=self._window_transform(b))
 
-    def rank(self, method="average", ascending=True):
+    def rank(self, method="average", ascending=True, pct=False):
         from modin_spark.pandas.dataframe import DataFrame
 
         def b(c, keys):
@@ -272,6 +272,10 @@ class DataFrameGroupBy:
                 rn = F.row_number().over(w)
                 w2 = Window.partitionBy(*keys, c)
                 r = (F.min(rn).over(w2) + F.max(rn).over(w2)) / 2
+            if pct:
+                # pandas pct denominator: non-null count within the group
+                wg = Window.partitionBy(*keys)
+                r = r / F.sum(F.when(c.isNotNull(), 1).otherwise(0)).over(wg)
             return F.when(c.isNull(), F.lit(None)).otherwise(r)
 
         return DataFrame(_frame=self._window_transform(b))

@@ -547,3 +547,29 @@ def test_sort_key_sample_weights_clip_round_dot(spark):
     m = pd.DataFrame([[1.0, 2.0], [3.0, 4.0]], index=["a", "b"], columns=["p", "q"])
     got_d = d[["a", "b"]].dot(m).to_pandas()
     assert np.allclose(got_d.values, pdf[["a", "b"]].dot(m).values) and list(got_d.columns) == ["p", "q"]
+
+
+def test_rank_pct_topk_keep_shift_axis1_dummies(spark):
+    import modin_spark.pandas as mpd
+
+    pdf = pd.DataFrame({"k": ["x", "y", "x", "y", "x"], "a": [1.0, 2, 3, 3, 5]})
+    d = mpd.from_pandas(pdf)
+    assert (d.groupby("k")["a"].rank(pct=True).to_pandas().tolist()
+            == pdf.groupby("k")["a"].rank(pct=True).tolist())
+    pdf2 = pd.DataFrame({"v": [5.0, 4, 4, 3, 1]})
+    d2 = mpd.from_pandas(pdf2)
+    assert sorted(d2.nlargest(2, "v", keep="all").to_pandas()["v"]) == sorted(
+        pdf2.nlargest(2, "v", keep="all")["v"])
+    assert sorted(d2.nsmallest(2, "v", keep="all").to_pandas()["v"]) == sorted(
+        pdf2.nsmallest(2, "v", keep="all")["v"])
+    two = d[["a"]].assign(b=d["a"] * 2)
+    ptwo = pdf[["a"]].assign(b=pdf["a"] * 2)
+    assert (two.shift(1, axis=1).to_pandas().fillna(-9).values.tolist()
+            == ptwo.shift(1, axis=1).fillna(-9).values.tolist())
+    pdf3 = pd.DataFrame({"k": ["x", None, "y"]})
+    gn = mpd.get_dummies(mpd.from_pandas(pdf3), dummy_na=True).to_pandas()
+    wn = pd.get_dummies(pdf3, dummy_na=True, dtype="int64")
+    assert gn.values.tolist() == wn.values.tolist() and list(gn.columns) == list(wn.columns)
+    gd = mpd.get_dummies(d[["k"]], drop_first=True).to_pandas()
+    wd = pd.get_dummies(pdf[["k"]], drop_first=True, dtype="int64")
+    assert gd.values.tolist() == wd.values.tolist()
