@@ -42,6 +42,8 @@ def _replace(c: Column, pat: str, repl: str, regex: bool = True, case: bool = Tr
     if regex:
         p = pat if case else f"(?i){pat}"
         return F.regexp_replace(c, p, repl)
+    if not case:  # case-insensitive literal -> escaped regex with (?i)
+        return F.regexp_replace(c, f"(?i){re.escape(pat)}", repl.replace("\\", "\\\\").replace("$", "\\$"))
     # literal replace
     return F.replace(c, F.lit(pat), F.lit(repl))
 

@@ -398,8 +398,21 @@ class DataFrame:
 
     def where(self, cond: "DataFrame | Series", other=None) -> "DataFrame":
         fr = self._frame
+
+        def other_expr(lbl, fallback):
+            # other may be a scalar, a Series (same lineage), or a frame
+            # aligned by label — all stay expressions, no materialize
+            if isinstance(other, DataFrame):
+                of = other._frame
+                opos = {l: j for j, l in enumerate(of.columns)}
+                return of.scol(opos[lbl]) if lbl in opos else F.lit(None)
+            if isinstance(other, Series):
+                return other._expr
+            return _lit(other) if other is not None else fallback
+
         if isinstance(cond, Series):
-            exprs = [F.when(cond._expr, fr.scol(i)).otherwise(_lit(other)) for i in range(len(fr.columns))]
+            exprs = [F.when(cond._expr, fr.scol(i)).otherwise(other_expr(fr.columns[i], F.lit(None)))
+                     for i in range(len(fr.columns))]
             return DataFrame(_frame=fr.project(fr.columns, exprs))
         if isinstance(cond, DataFrame):
             # per-column condition frame, aligned by label; the cond frame is
@@ -408,12 +421,29 @@ class DataFrame:
             cf = cond._frame
             if not cf.can_rebase(fr, set(fr.data_cols)):
                 raise NotImplementedError("where with a condition frame from an unrelated lineage")
+            if isinstance(other, DataFrame) and not cf.can_rebase(other._frame, set(other._frame.data_cols)):
+                # cond and other branched from different projections: align
+                # all three by position (one concat_cols join), then the
+                # when() is an ordinary projection on the combined frame
+                combined = qc.concat_cols([fr, cf, other._frame])
+                n, m = len(fr.columns), len(cf.columns)
+                cpos = {lbl: j for j, lbl in enumerate(cf.columns)}
+                opos = {lbl: j for j, lbl in enumerate(other._frame.columns)}
+                exprs = []
+                for i, lbl in enumerate(fr.columns):
+                    if lbl in cpos:
+                        c = F.coalesce(combined.scol(n + cpos[lbl]), F.lit(False))
+                        o = combined.scol(n + m + opos[lbl]) if lbl in opos else F.lit(None)
+                        exprs.append(F.when(c, combined.scol(i)).otherwise(o))
+                    else:
+                        exprs.append(F.lit(None))
+                return DataFrame(_frame=combined.project(list(fr.columns), exprs))
             cpos = {lbl: j for j, lbl in enumerate(cf.columns)}
             exprs = []
             for i, lbl in enumerate(fr.columns):
                 if lbl in cpos:
                     c = F.coalesce(cf.scol(cpos[lbl]), F.lit(False))
-                    exprs.append(F.when(c, F.col(fr.data_cols[i])).otherwise(_lit(other)))
+                    exprs.append(F.when(c, F.col(fr.data_cols[i])).otherwise(other_expr(lbl, F.lit(None))))
                 else:
                     exprs.append(F.lit(None))  # pandas: missing cond column -> all-NaN
             return DataFrame(_frame=cf.project(list(fr.columns), exprs))
@@ -734,13 +764,13 @@ class DataFrame:
         if on is not None:
             on = on if isinstance(on, list) else [on]
             left_on, right_on = on, on
-        if left_on is not None:
+        lpos = rpos = None
+        if left_on is not None and not left_index:
             left_on = left_on if isinstance(left_on, list) else [left_on]
-            right_on = right_on if isinstance(right_on, list) else [right_on]
             lpos = lf.positions_of(left_on)
+        if right_on is not None and not right_index:
+            right_on = right_on if isinstance(right_on, list) else [right_on]
             rpos = rf.positions_of(right_on)
-        else:
-            lpos = rpos = None
         out = qc.merge(
             lf,
             rf,
@@ -1909,6 +1939,17 @@ class DataFrame:
 
     def rpow(self, other, fill_value=None):
         return self._binary_frame(other, lambda a, b: F.pow(b, a), fill_value)
+
+    def __neg__(self) -> "DataFrame":
+        fr = self._frame
+        return DataFrame(_frame=fr.project(fr.columns, [-fr.scol(i) for i in range(len(fr.columns))]))
+
+    def __pos__(self) -> "DataFrame":
+        return self
+
+    def __invert__(self) -> "DataFrame":
+        fr = self._frame
+        return DataFrame(_frame=fr.project(fr.columns, [~fr.scol(i) for i in range(len(fr.columns))]))
 
     def pad(self):
         return self.ffill()

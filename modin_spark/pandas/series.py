@@ -383,7 +383,20 @@ class Series:
         inv = Series(cond._frame, ~F.coalesce(cond._expr, F.lit(False)), cond._refs, cond._name)
         return self.where(inv, other)
 
-    def replace(self, to_replace, value=None) -> "Series":
+    def replace(self, to_replace, value=None, regex: bool = False) -> "Series":
+        if regex:
+            # value-level regex replace (pandas Series.replace(regex=True)):
+            # full regexp_replace over string values
+            items = (list(to_replace.items()) if isinstance(to_replace, dict)
+                     else [(t, value) for t in (to_replace if isinstance(to_replace, list) else [to_replace])])
+
+            def fre(c):
+                e = c
+                for k, v in items:
+                    e = F.regexp_replace(e, str(k), "" if v is None else str(v))
+                return e
+
+            return self._map1(fre)
         if isinstance(to_replace, dict):
             items = list(to_replace.items())
         else:

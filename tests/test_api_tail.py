@@ -573,3 +573,30 @@ def test_rank_pct_topk_keep_shift_axis1_dummies(spark):
     gd = mpd.get_dummies(d[["k"]], drop_first=True).to_pandas()
     wd = pd.get_dummies(pdf[["k"]], drop_first=True, dtype="int64")
     assert gd.values.tolist() == wd.values.tolist()
+
+
+def test_where_mask_frame_other_and_replace_merge(spark):
+    import modin_spark.pandas as mpd
+
+    pdf = pd.DataFrame({"a": [1.0, np.nan, 3], "b": [5.0, 1, 0], "s": ["ab1", "cd2", "ef3"],
+                        "k": ["x", "y", "x"]})
+    d = mpd.from_pandas(pdf)
+    num = ["a", "b"]
+    got = d[num].where(d[num] > 1, -d[num]).to_pandas()
+    want = pdf[num].where(pdf[num] > 1, -pdf[num])
+    assert got.fillna(-9).values.tolist() == want.fillna(-9).values.tolist()
+    got2 = d["a"].where(d["a"] > 1, d["b"]).to_pandas()
+    assert got2.fillna(-9).tolist() == pdf["a"].where(pdf["a"] > 1, pdf["b"]).fillna(-9).tolist()
+    # str.replace case-insensitive literal; Series.replace(regex=True)
+    assert (d["s"].str.replace("AB", "z", case=False, regex=False).to_pandas().tolist()
+            == pdf["s"].str.replace("AB", "z", case=False, regex=False).tolist())
+    assert (d["s"].replace(r"\d", "", regex=True).to_pandas().tolist()
+            == pdf["s"].replace(r"\d", "", regex=True).tolist())
+    # merge with left_on + right_index
+    m = d.merge(d.set_index("k")[["a"]], left_on="k", right_index=True, suffixes=("", "_r")).to_pandas()
+    wm = pdf.merge(pdf.set_index("k")[["a"]], left_on="k", right_index=True, suffixes=("", "_r"))
+    assert len(m) == len(wm) and sorted(m.columns) == sorted(wm.columns)
+    assert np.allclose(sorted(m["a_r"].fillna(-9)), sorted(wm["a_r"].fillna(-9)))
+    # unary minus / invert
+    assert (-d[num]).to_pandas().fillna(-9).values.tolist() == (-pdf[num]).fillna(-9).values.tolist()
+    assert (~(d[num] > 1)).to_pandas().values.tolist() == (~(pdf[num] > 1)).values.tolist()
