@@ -1883,23 +1883,24 @@ class DataFrame:
 
     # ----------------------------------------------------------- API tail
     # Comparison methods (reference qc binary family, query_compiler.py:535-619)
+    # pandas comparison semantics: NaN compares False (ne: True), never null
     def eq(self, other, fill_value=None):
-        return self._binary_frame(other, lambda a, b: a == b, fill_value)
+        return self._binary_frame(other, lambda a, b: F.coalesce(a == b, F.lit(False)), fill_value)
 
     def ne(self, other, fill_value=None):
-        return self._binary_frame(other, lambda a, b: a != b, fill_value)
+        return self._binary_frame(other, lambda a, b: F.coalesce(a != b, F.lit(True)), fill_value)
 
     def gt(self, other, fill_value=None):
-        return self._binary_frame(other, lambda a, b: a > b, fill_value)
+        return self._binary_frame(other, lambda a, b: F.coalesce(a > b, F.lit(False)), fill_value)
 
     def ge(self, other, fill_value=None):
-        return self._binary_frame(other, lambda a, b: a >= b, fill_value)
+        return self._binary_frame(other, lambda a, b: F.coalesce(a >= b, F.lit(False)), fill_value)
 
     def lt(self, other, fill_value=None):
-        return self._binary_frame(other, lambda a, b: a < b, fill_value)
+        return self._binary_frame(other, lambda a, b: F.coalesce(a < b, F.lit(False)), fill_value)
 
     def le(self, other, fill_value=None):
-        return self._binary_frame(other, lambda a, b: a <= b, fill_value)
+        return self._binary_frame(other, lambda a, b: F.coalesce(a <= b, F.lit(False)), fill_value)
 
     # comparison dunders (pandas: frames are unhashable, same here)
     __eq__ = eq  # type: ignore[assignment]
