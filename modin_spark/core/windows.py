@@ -184,7 +184,7 @@ def pct_change(frame: SparkFrame, positions: Sequence[int], periods: int = 1) ->
     return shifted._same_rows(shifted.sdf).project(labels, exprs)
 
 
-def interpolate_linear(frame: SparkFrame, positions: Sequence[int]) -> SparkFrame:
+def interpolate_linear(frame: SparkFrame, positions: Sequence[int], x_col=None) -> SparkFrame:
     """pandas ``interpolate(method="linear")`` along frame order.
 
     Needs, per null cell, the nearest non-null (value, position) before and
@@ -192,10 +192,15 @@ def interpolate_linear(frame: SparkFrame, positions: Sequence[int]) -> SparkFram
     same two-pass block scheme as ffill: within-block window + per-block
     carry joined broadcast-side. Leading NaNs stay NaN; trailing NaNs extend
     the last value (pandas limit_direction='forward' default).
+
+    ``x_col``: physical column name carrying the interpolation abscissa
+    (pandas method='index'/'time'); the fraction is computed in x-space
+    instead of row positions.  Same plan either way.
     """
     fr = _with_blocks(frame)
     phys = [frame.data_cols[i] for i in positions]
     labels = [frame.columns[i] for i in positions]
+    xe = F.col(x_col).cast("double") if x_col is not None else F.col(_POS).cast("double")
     w_f = Window.partitionBy(_BLK).orderBy(_POS).rowsBetween(Window.unboundedPreceding, 0)
     w_b = Window.partitionBy(_BLK).orderBy(_POS).rowsBetween(0, Window.unboundedFollowing)
     w_cf = Window.orderBy(_BLK).rowsBetween(Window.unboundedPreceding, -1)
@@ -204,7 +209,7 @@ def interpolate_linear(frame: SparkFrame, positions: Sequence[int]) -> SparkFram
     sdf = fr.sdf
     prev_c, next_c = fresh_names(len(phys)), fresh_names(len(phys))
     for p, pc, nc in zip(phys, prev_c, next_c):
-        sv = F.when(F.col(p).isNotNull(), F.struct(F.col(_POS).alias("p"), F.col(p).cast("double").alias("v")))
+        sv = F.when(F.col(p).isNotNull(), F.struct(xe.alias("p"), F.col(p).cast("double").alias("v")))
         sdf = sdf.withColumn(pc, F.last(sv, ignorenulls=True).over(w_f))
         sdf = sdf.withColumn(nc, F.first(sv, ignorenulls=True).over(w_b))
     blk = sdf.groupBy(_BLK).agg(
@@ -222,7 +227,7 @@ def interpolate_linear(frame: SparkFrame, positions: Sequence[int]) -> SparkFram
     for p, pc, nc in zip(phys, prev_c, next_c):
         prev = F.coalesce(F.col(pc), F.col(f"__cp_{pc}"))
         nxt = F.coalesce(F.col(nc), F.col(f"__cn_{nc}"))
-        frac = (F.col(_POS) - prev["p"]).cast("double") / (nxt["p"] - prev["p"]).cast("double")
+        frac = (xe - prev["p"]).cast("double") / (nxt["p"] - prev["p"]).cast("double")
         interp = prev["v"] + (nxt["v"] - prev["v"]) * frac
         e = (
             F.when(F.col(p).isNotNull(), F.col(p).cast("double"))

@@ -951,12 +951,14 @@ class DataFrame:
             raise NotImplementedError(op)
         return Series(fr, e, {fr.data_cols[i] for i in positions}, None)
 
-    def _row_rank(self, method: str = "average", ascending: bool = True) -> "DataFrame":
+    def _row_rank(self, method: str = "average", ascending: bool = True,
+                  pct: bool = False) -> "DataFrame":
         """rank(axis=1): O(k^2) comparison expressions per row — still one
-        projection, no shuffle."""
+        projection, no shuffle.  pct= divides by the per-row non-null count."""
         fr = self._frame
         positions = self._numeric_positions()
         cols = [fr.scol(i).cast("double") for i in positions]
+        nn = sum((F.when(c.isNotNull(), 1).otherwise(0) for c in cols), F.lit(0))
         out_exprs, out_labels = [], []
         for i, ci in enumerate(cols):
             less = sum(
@@ -971,6 +973,8 @@ class DataFrame:
                 r = (less + eq).cast("double")
             else:
                 raise NotImplementedError(f"rank(axis=1) method {method!r}")
+            if pct:
+                r = r / nn.cast("double")
             out_exprs.append(F.when(ci.isNotNull(), r))
             out_labels.append(fr.columns[positions[i]])
         return DataFrame(_frame=fr.project(out_labels, out_exprs))
@@ -1145,15 +1149,20 @@ class DataFrame:
 
     def rank(self, method="average", ascending=True, pct=False, axis=0) -> "DataFrame":
         if axis in (1, "columns"):
-            if pct:
-                raise NotImplementedError("rank(axis=1, pct=True)")
-            return self._row_rank(method, ascending)
+            return self._row_rank(method, ascending, pct)
         return DataFrame(_frame=win.rank(self._frame, self._numeric_positions(), method, ascending, pct))
 
     def pct_change(self, periods=1) -> "DataFrame":
         return DataFrame(_frame=win.pct_change(self._frame, self._numeric_positions(), periods))
 
     def interpolate(self, method="linear", **kw) -> "DataFrame":
+        if method in ("index", "time", "values"):
+            # abscissa = the index values (epoch seconds for timestamps)
+            fr = self._frame
+            if not fr.index_cols:
+                raise NotImplementedError(f"interpolate(method={method!r}) needs a set index")
+            return DataFrame(_frame=win.interpolate_linear(
+                fr, self._numeric_positions(), x_col=fr.index_cols[-1]))
         if method != "linear":
             raise NotImplementedError(f"interpolate(method={method!r})")
         return DataFrame(_frame=win.interpolate_linear(self._frame, self._numeric_positions()))

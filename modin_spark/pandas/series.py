@@ -502,8 +502,27 @@ class Series:
         if isinstance(func, str):
             return self._reduce(func)
         if isinstance(func, (list, tuple)):
-            return pd.Series({f: self._reduce(f) for f in func}, name=self._name)
-        raise NotImplementedError("Series.agg with callables")
+            out = {}
+            for f in func:
+                if isinstance(f, str):
+                    out[f] = self._reduce(f)
+                else:
+                    out[getattr(f, "__name__", str(f))] = self.agg(f)
+            return pd.Series(out, name=self._name)
+        if callable(func):
+            # pandas hands the whole Series to the callable; ours stays lazy,
+            # so a callable written against the Series API (s.max()-s.min())
+            # runs distributed.  numpy reductions get mapped to the named agg.
+            np_name = getattr(func, "__name__", "")
+            if np_name in {"sum", "mean", "min", "max", "std", "var", "median", "prod"}:
+                return self._reduce(np_name)
+            res = func(self)
+            if isinstance(res, Series):
+                # callable produced a transform, not a reduction — pandas
+                # would too; materialize is the caller's choice
+                return res
+            return res
+        raise NotImplementedError("Series.agg spec")
 
     aggregate = agg
 

@@ -337,7 +337,7 @@ class GroupExpanding:
         self._g = g
         self._min_periods = max(1, int(min_periods))
 
-    def _run(self, agg: str):
+    def _run(self, agg: str, q: float = 0.5):
         from pyspark.sql import functions as F
         from pyspark.sql.window import Window
 
@@ -351,18 +351,54 @@ class GroupExpanding:
             "sum": F.sum, "mean": F.avg, "min": F.min, "max": F.max,
             "count": F.count, "var": F.var_samp, "std": F.stddev_samp,
         }
-        if agg not in fnmap:
-            raise NotImplementedError(f"groupby.expanding().{agg}")
         vals = self._g._value_positions(numeric_only=True)
         exprs = []
         for _, i in vals:
-            c = fr.scol(i)
-            cnt = F.count(c).over(w)
-            exprs.append(F.when(cnt >= self._min_periods, fnmap[agg](c).over(w)))
+            c = fr.scol(i).cast("double")
+            n = F.count(c).over(w)
+            min_n = self._min_periods
+            if agg in fnmap:
+                e = fnmap[agg](fr.scol(i)).over(w)
+                if agg in ("var", "std"):
+                    min_n = max(min_n, 2)
+            elif agg == "sem":
+                e = F.stddev_samp(c).over(w) / F.sqrt(n - 1)
+                min_n = max(min_n, 2)
+            elif agg in ("median", "quantile"):
+                # exact percentile as a window aggregate (keyed partitions,
+                # no global sort — same plan class as the other keyed aggs)
+                e = F.percentile(c, F.lit(0.5 if agg == "median" else q)).over(w)
+            elif agg in ("skew", "kurt"):
+                # same bias-corrected formulas as core.windows.expanding_agg
+                s = F.sum(c).over(w)
+                s2 = F.sum(c * c).over(w)
+                s3 = F.sum(c * c * c).over(w)
+                mu = s / n
+                m2 = s2 / n - mu * mu
+                if agg == "skew":
+                    m3 = s3 / n - 3 * mu * (s2 / n) + 2 * mu * mu * mu
+                    e = (m3 / F.pow(m2, 1.5)) * F.sqrt(n * (n - 1)) / (n - 2)
+                    min_n = max(min_n, 3)
+                else:
+                    s4 = F.sum(c * c * c * c).over(w)
+                    m4 = (s4 / n - 4 * mu * (s3 / n) + 6 * mu * mu * (s2 / n)
+                          - 3 * mu * mu * mu * mu)
+                    g2 = m4 / (m2 * m2) - 3
+                    e = ((n - 1) / ((n - 2) * (n - 3))) * ((n + 1) * g2 + 6)
+                    min_n = max(min_n, 4)
+            else:
+                raise NotImplementedError(f"groupby.expanding().{agg}")
+            exprs.append(F.when(n >= min_n, e))
         return DataFrame(_frame=fr.project([lbl for lbl, _ in vals], exprs))
 
+    def median(self):
+        return self._run("median")
 
-for _n in ["sum", "mean", "min", "max", "count", "var", "std"]:
+    def quantile(self, q=0.5):
+        return self._run("quantile", q)
+
+
+for _n in ["sum", "mean", "min", "max", "count", "var", "std", "sem", "skew", "kurt"]:
     def _mk_ge(n=_n):
         def run(self):
             return self._run(n)
@@ -395,7 +431,31 @@ def _rolling_agg_method(self, funcs):
             labels.append(f)
         fr = base._same_rows(sdf, columns=_pd.Index(labels), data_cols=phys)
         return DataFrame(_frame=fr)
-    raise NotImplementedError("rolling.agg(list) on DataFrame")
+    # DataFrame input: pandas yields (column, agg) 2-level columns.  Each
+    # agg's output rides the same block pass; the joins are ORDER_COL
+    # equi-joins on co-partitioned lineages.
+    base = outs[0]._frame
+    sdf = base.sdf
+    phys = list(base.data_cols)
+    tuples = [(c, funcs[0]) for c in base.columns]
+    for f, o in zip(funcs[1:], outs[1:]):
+        ofr = o._frame
+        ren = {c: f"__{f}_{i}__" for i, c in enumerate(ofr.data_cols)}
+        osel = ofr.sdf.select(
+            F.col(ORDER_COL).alias("__ro__"),
+            *[F.col(c).alias(ren[c]) for c in ofr.data_cols],
+        )
+        sdf = sdf.join(osel, sdf[ORDER_COL] == F.col("__ro__"), "inner").drop("__ro__")
+        phys.extend(ren[c] for c in ofr.data_cols)
+        tuples.extend((c, f) for c in ofr.columns)
+    # pandas orders col-major: all aggs of col0, then col1 …
+    order = sorted(range(len(tuples)), key=lambda i: (list(base.columns).index(tuples[i][0]), funcs.index(tuples[i][1])))
+    fr = base._same_rows(
+        sdf,
+        columns=_pd.MultiIndex.from_tuples([tuples[i] for i in order]),
+        data_cols=[phys[i] for i in order],
+    )
+    return DataFrame(_frame=fr)
 
 
 from pyspark.sql import functions as F  # noqa: E402

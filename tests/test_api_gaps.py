@@ -1,0 +1,94 @@
+"""Round-4 API-gap fills, differential vs pandas.
+
+Covers: rank(axis=1, pct=True), Series.agg with callables / numpy reducers,
+groupby.expanding() holistic tail (median/quantile/sem/skew/kurt),
+DataFrame rolling.agg(list) with 2-level columns, and
+interpolate(method='index'/'time').
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import modin_spark.pandas as mpd
+
+_PDF = pd.DataFrame(
+    {
+        "k": ["a", "a", "b", "b", "a", "b"],
+        "x": [1.0, None, 3.0, 4.0, 5.0, 6.0],
+        "y": [2.0, 3.0, None, 1.0, 4.0, 2.0],
+    }
+)
+
+
+@pytest.fixture()
+def m(spark):
+    return mpd.from_pandas(_PDF)
+
+
+def test_rank_axis1_pct(m):
+    got = m[["x", "y"]].rank(axis=1, pct=True).to_pandas().reset_index(drop=True)
+    exp = _PDF[["x", "y"]].rank(axis=1, pct=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_series_agg_callable(m):
+    s = m["x"]
+    assert abs(s.agg(lambda v: v.max() - v.min()) - 5.0) < 1e-9
+    assert abs(s.agg(np.mean) - _PDF.x.mean()) < 1e-9
+    got = s.agg(["sum", "mean"]).astype(float)
+    exp = _PDF.x.agg(["sum", "mean"]).astype(float)
+    pd.testing.assert_series_equal(got, exp, check_names=False)
+
+
+@pytest.mark.parametrize("agg", ["median", "sem", "skew", "kurt"])
+def test_groupby_expanding_holistic(m, agg):
+    got = getattr(m.groupby("k").expanding(), agg)().to_pandas().reset_index(drop=True)
+    exp = (
+        getattr(_PDF.groupby("k").expanding(), agg)(numeric_only=True)
+        .droplevel(0)
+        .sort_index()
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.sort_index(axis=1), exp.sort_index(axis=1), check_dtype=False, atol=1e-9
+    )
+
+
+def test_groupby_expanding_quantile(m):
+    got = m.groupby("k").expanding().quantile(0.25).to_pandas().reset_index(drop=True)
+    exp = (
+        _PDF.groupby("k")
+        .expanding()
+        .quantile(0.25, numeric_only=True)
+        .droplevel(0)
+        .sort_index()
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.sort_index(axis=1), exp.sort_index(axis=1), check_dtype=False, atol=1e-9
+    )
+
+
+def test_rolling_agg_list_frame(m):
+    got = m[["x", "y"]].rolling(2).agg(["sum", "mean"]).to_pandas().reset_index(drop=True)
+    exp = _PDF[["x", "y"]].rolling(2).agg(["sum", "mean"])
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_interpolate_index(spark):
+    p = pd.DataFrame({"ix": [0.0, 1.0, 5.0, 10.0], "v": [1.0, None, None, 10.0]})
+    m2 = mpd.from_pandas(p).set_index("ix")
+    got = m2.interpolate(method="index").to_pandas()
+    exp = p.set_index("ix").interpolate(method="index")
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_interpolate_time(spark):
+    p = pd.DataFrame(
+        {"t": pd.date_range("2024-01-01", periods=5, freq="h"), "v": [1.0, None, None, 4.0, None]}
+    )
+    m2 = mpd.from_pandas(p).set_index("t")
+    got = m2.interpolate(method="time").to_pandas()
+    exp = p.set_index("t").interpolate(method="time")
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
