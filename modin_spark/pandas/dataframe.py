@@ -1085,6 +1085,32 @@ class DataFrame:
         if method == "spearman":
             ranked = self.rank(method="average")
             return ranked.corr(method="pearson", numeric_only=numeric_only)
+        if method == "kendall":
+            # the reference computes only pearson distributed and defaults
+            # every other method to pandas (ref storage_formats/pandas/
+            # aggregations.py:60) — same escape hatch here, size-guarded
+            import numpy as np
+
+            from modin_spark.functions.stats import kendall_tau_b
+
+            pos = self._numeric_positions()
+            sub = self[[self._frame.columns[i] for i in pos]]
+            n = sub._frame.count_rows()
+            if n * max(1, len(pos)) > 20_000_000:
+                raise ValueError(
+                    f"corr(method='kendall') on {n} rows would materialize driver-side; refusing"
+                )
+            pdf = sub.to_pandas()
+            labels = list(pdf.columns)
+            k = len(labels)
+            mat = np.full((k, k), np.nan)
+            for i in range(k):
+                mat[i, i] = 1.0
+                for j in range(i + 1, k):
+                    mat[i, j] = mat[j, i] = kendall_tau_b(
+                        pdf.iloc[:, i].to_numpy(), pdf.iloc[:, j].to_numpy()
+                    )
+            return pd.DataFrame(mat, index=labels, columns=labels)
         if method != "pearson":
             raise NotImplementedError(f"corr method {method!r}")
         fr = self._frame

@@ -1113,6 +1113,19 @@ def _ser_corr(self, other, method="pearson"):
     ``spearman`` = pearson over distributed ranks (exact when NaN-free)."""
     if method == "spearman":
         return self.rank(method="average").corr(other.rank(method="average"), method="pearson")
+    if method == "kendall":
+        # reference parity: only pearson is distributed there (ref
+        # storage_formats/pandas/aggregations.py:60), kendall defaults to
+        # pandas — same size-guarded escape hatch as DataFrame.corr
+        from modin_spark.functions.stats import kendall_tau_b
+
+        fr, ea, eb, _ = self._combine(other)
+        cap = 10_000_000
+        pdf = (fr.sdf.select(ea.cast("double").alias("a"), eb.cast("double").alias("b"))
+               .limit(cap + 1).toPandas())
+        if len(pdf) > cap:
+            raise ValueError("corr(method='kendall') driver fallback refused at this size")
+        return kendall_tau_b(pdf["a"].to_numpy(), pdf["b"].to_numpy())
     if method != "pearson":
         raise NotImplementedError(f"corr method {method!r}")
     fr, ea, eb, _ = self._combine(other)

@@ -208,6 +208,12 @@ class Expanding:
         )
 
     def _order_exact(self, pd_fn):
+        """Non-decomposable expanding stats (median/quantile/rank/apply) via
+        per-block pandas with a whole-prefix halo (halo_rows=None).  Bound:
+        block k re-reads all k-1 earlier blocks, so the LAST block's task
+        holds O(n) rows — inherent to exact holistic expanding stats (the
+        reference is no better: it ships the full prefix to each partition
+        too).  Use the algebraic family (sum..kurt) at scale."""
         from modin_spark.pandas.dataframe import DataFrame
 
         if isinstance(self._obj, Series):

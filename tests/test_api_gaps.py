@@ -92,3 +92,32 @@ def test_interpolate_time(spark):
     got = m2.interpolate(method="time").to_pandas()
     exp = p.set_index("t").interpolate(method="time")
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_corr_kendall(spark):
+    """corr(method='kendall') — reference parity is a pandas default
+    (ref aggregations.py:60); here a size-guarded driver fallback over an
+    inlined exact tau-b kernel (no scipy in this environment)."""
+    p = pd.DataFrame(
+        {"x": [1.0, 2.0, 3.0, 5.0, 4.0], "y": [2.0, 1.0, 4.0, 3.0, 5.0], "z": [1.0, 1.0, 2.0, 2.0, 3.0]}
+    )
+    m = mpd.from_pandas(p)
+    got = m.corr(method="kendall")
+    # brute-force tau-b for the x,y pair: 7 concordant, 3 discordant, no ties
+    assert abs(got.loc["x", "y"] - 0.4) < 1e-12
+    assert abs(m.x.corr(m.y, method="kendall") - 0.4) < 1e-12
+    # tie-corrected pair vs hand computation: z has ties
+    import itertools
+
+    def brute(a, b):
+        con = dis = 0
+        for i, j in itertools.combinations(range(len(a)), 2):
+            s = (a[i] - a[j]) * (b[i] - b[j])
+            con += s > 0
+            dis += s < 0
+        tot = len(a) * (len(a) - 1) // 2
+        xt = sum(c * (c - 1) // 2 for c in pd.Series(a).value_counts())
+        yt = sum(c * (c - 1) // 2 for c in pd.Series(b).value_counts())
+        return (con - dis) / (np.sqrt(tot - xt) * np.sqrt(tot - yt))
+
+    assert abs(got.loc["x", "z"] - brute(p.x.tolist(), p.z.tolist())) < 1e-12
