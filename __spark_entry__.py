@@ -989,6 +989,28 @@ def _docs_pack_sequences(spark, sf):
     )
 
 
+def _docs_shard_layout(spark, sf):
+    """Token-balanced output sharding (corpus.assign_shards — the writer's
+    layout step): docs in id order, shard = floor(token_start/4096). Checks
+    the complete layout per shard: doc count, token sum, id span. Same
+    two-phase blocked cumsum as packing; one range shuffle total."""
+    from modin_spark.operators.corpus import assign_shards
+
+    docs = _rp(spark, f"{sf}/documents.parquet")
+    toks = F.size(F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda w: w != ""))
+    t = docs.select("doc_id", toks.cast("long").alias("tokens")).where(F.col("tokens") > 0)
+    sh = assign_shards(t, "doc_id", "tokens", 4096)
+    return (
+        sh.groupBy(F.col("shard").cast("long").alias("shard"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("tokens").cast("long").alias("tok_sum"),
+            F.min("doc_id").cast("long").alias("id_min"),
+            F.max("doc_id").cast("long").alias("id_max"),
+        )
+    )
+
+
 def _docs_stratified_sample(spark, sf):
     """Deterministic language-stratified downsampling (md5-hash fraction per
     stratum — the corpus-mixing primitive). Pure per-row filter, no RNG, no
@@ -1623,6 +1645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (a) never scored
         "docs_decontaminate": _docs_decontaminate,
         "docs_pack_sequences": _docs_pack_sequences,
+        "docs_shard_layout": _docs_shard_layout,
         "docs_stratified_sample": _docs_stratified_sample,
         "docs_domain_cap": _docs_domain_cap,
         "docs_topk_ngrams": _docs_topk_ngrams,
@@ -2643,6 +2666,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN off // 2048 <> (off + tokens - 1) // 2048 THEN 1 ELSE 0 END) AS BIGINT) AS n_straddle,
                    CAST(SUM((off // 2048) * doc_id) AS BIGINT) AS bin_id_checksum
             FROM r
+        """,
+        "docs_shard_layout": """
+            WITH t AS (
+              SELECT doc_id,
+                     len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS tokens
+              FROM documents
+            ),
+            f AS (SELECT * FROM t WHERE tokens > 0),
+            r AS (
+              SELECT doc_id, tokens,
+                     SUM(tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - tokens AS off
+              FROM f
+            )
+            SELECT CAST(off // 4096 AS BIGINT) AS shard,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(tokens) AS BIGINT) AS tok_sum,
+                   CAST(MIN(doc_id) AS BIGINT) AS id_min,
+                   CAST(MAX(doc_id) AS BIGINT) AS id_max
+            FROM r
+            GROUP BY 1
         """,
         "docs_stratified_sample": """
             SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept,

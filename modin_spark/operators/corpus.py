@@ -182,3 +182,33 @@ def classifier_score(df: SDF, weights: list[float], bias: float = 0.0,
     )
     z = dot + F.lit(float(bias))
     return df.withColumn(out_col, F.lit(1.0) / (F.lit(1.0) + F.exp(-z)))
+
+
+def assign_shards(df: SDF, id_col: str, token_col: str, target_tokens: int) -> SDF:
+    """Token-balanced output sharding: documents laid out in ``id_col``
+    order get ``shard = floor(token_start / target_tokens)`` — every shard
+    holds ~``target_tokens`` tokens (within one document of the target),
+    and shard ids are monotone in document order so readers stream the
+    corpus in sequence.
+
+    Rides the same two-phase blocked cumsum as :func:`pack_sequences`
+    (range shuffle + broadcast offset table) — no global window, no
+    driver data. At 100 TB the only added cost over a plain write is the
+    one range shuffle that a deterministic layout requires.
+    """
+    packed = pack_sequences(df, id_col, token_col, target_tokens)
+    return packed.withColumn("shard", F.col("first_bin")).drop(
+        "offset", "first_bin", "last_bin", "straddles"
+    )
+
+
+def write_corpus_shards(df: SDF, path: str, id_col: str, token_col: str,
+                        target_tokens: int, fmt: str = "parquet") -> None:
+    """Write the corpus as token-balanced shard directories
+    (``shard=K/part-*``). One shuffle on the shard id groups each shard's
+    rows; ``partitionBy`` splits residual hash-collisions into separate
+    shard directories, so a shard is always read back whole."""
+    t = assign_shards(df, id_col, token_col, target_tokens)
+    n_shards = t.agg(F.max("shard")).collect()[0][0] + 1
+    (t.repartition(int(n_shards), F.col("shard"))
+      .write.mode("overwrite").partitionBy("shard").format(fmt).save(path))
