@@ -136,14 +136,15 @@ def read_orc(path: str) -> DataFrame:
     return DataFrame(_frame=SparkFrame.from_spark(get_spark().read.orc(path)))
 
 
-def read_table(path: str, sep: str = "\t", **kw) -> DataFrame:
-    return read_csv(path, sep=sep, **kw)
-
-
-def read_table(name: str) -> DataFrame:
-    """Read a saved (possibly bucketed) managed table; bucketed reads carry
-    the bucket distribution into joins/aggregations (no re-shuffle)."""
-    return DataFrame(_frame=SparkFrame.from_spark(get_spark().table(name)))
+def read_table(path_or_name: str, sep: str = "\t", **kw) -> DataFrame:
+    """pandas ``read_table`` (delimited text, default TSV).  A bare
+    identifier naming a saved managed table instead reads that table
+    (bucketed reads carry the bucket distribution into joins — no
+    re-shuffle); paths always take the text route."""
+    looks_like_path = "/" in path_or_name or "." in path_or_name or "*" in path_or_name
+    if not looks_like_path and get_spark().catalog.tableExists(path_or_name):
+        return DataFrame(_frame=SparkFrame.from_spark(get_spark().table(path_or_name)))
+    return read_csv(path_or_name, sep=sep, **kw)
 
 
 def from_partitions(parts, axis: int = 0) -> DataFrame:

@@ -121,3 +121,13 @@ def test_corr_kendall(spark):
         return (con - dis) / (np.sqrt(tot - xt) * np.sqrt(tot - yt))
 
     assert abs(got.loc["x", "z"] - brute(p.x.tolist(), p.z.tolist())) < 1e-12
+
+
+def test_read_table_tsv(spark, tmp_path):
+    """pandas read_table = TSV reader (was shadowed by the catalog-table
+    reader of the same name); both routes must work."""
+    p = pd.DataFrame({"a": [1, 2], "b": ["x", "y"]})
+    f = str(tmp_path / "t.tsv")
+    p.to_csv(f, sep="\t", index=False)
+    got = mpd.read_table(f).to_pandas()
+    pd.testing.assert_frame_equal(got, p, check_dtype=False)
