@@ -492,11 +492,6 @@ class DataFrame:
             ]
         return DataFrame(_frame=fr.project(fr.columns, exprs))
 
-    def isin(self, values) -> "DataFrame":
-        fr = self._frame
-        exprs = [F.coalesce(fr.scol(i).isin(list(values)), F.lit(False)) for i in range(len(fr.columns))]
-        return DataFrame(_frame=fr.project(fr.columns, exprs))
-
     # ----------------------------------------------------------------- rows
     def head(self, n: int = 5) -> "DataFrame":
         return DataFrame(_frame=self._frame.head(n))
