@@ -727,9 +727,13 @@ def blocked_pandas(frame: SparkFrame, positions: Sequence[int], pd_fn, halo_rows
 # ffill / bfill
 # ---------------------------------------------------------------------------
 
-def ffill(frame: SparkFrame, positions: Sequence[int]) -> SparkFrame:
+def ffill(frame: SparkFrame, positions: Sequence[int], limit: int | None = None) -> SparkFrame:
     """Forward-fill along frame order. Two-pass block scheme: last non-null
-    within block + carry of each block's last non-null from preceding blocks."""
+    within block + carry of each block's last non-null from preceding blocks.
+
+    ``limit``: fill at most that many consecutive nulls (pandas limit=) —
+    the carried value becomes a (position, value) struct so the fill
+    distance is checkable; same plan shape."""
     fr = _with_blocks(frame)
     phys = [frame.data_cols[i] for i in positions]
     labels = [frame.columns[i] for i in positions]
@@ -739,7 +743,9 @@ def ffill(frame: SparkFrame, positions: Sequence[int]) -> SparkFrame:
     sdf = fr.sdf
     within = fresh_names(len(phys))
     for p, wc in zip(phys, within):
-        sdf = sdf.withColumn(wc, F.last(F.col(p), ignorenulls=True).over(w_in))
+        src = (F.col(p) if limit is None else
+               F.when(F.col(p).isNotNull(), F.struct(F.col(_POS).alias("p"), F.col(p).alias("v"))))
+        sdf = sdf.withColumn(wc, F.last(src, ignorenulls=True).over(w_in))
     blk_last = sdf.groupBy(_BLK).agg(
         *[F.max_by(F.col(wc), F.when(F.col(wc).isNotNull(), F.col(_POS))).alias(f"__bl_{wc}") for wc in within]
     )
@@ -748,12 +754,21 @@ def ffill(frame: SparkFrame, positions: Sequence[int]) -> SparkFrame:
         *[F.last(F.col(f"__bl_{wc}"), ignorenulls=True).over(w_carry).alias(f"__cr_{wc}") for wc in within],
     )
     sdf = sdf.join(F.broadcast(carries), sdf[_BLK] == carries["__blk2__"], "left").drop("__blk2__")
-    exprs = [F.coalesce(F.col(wc), F.col(f"__cr_{wc}")) for wc in within]
+    if limit is None:
+        exprs = [F.coalesce(F.col(wc), F.col(f"__cr_{wc}")) for wc in within]
+    else:
+        exprs = []
+        for p, wc in zip(phys, within):
+            prev = F.coalesce(F.col(wc), F.col(f"__cr_{wc}"))
+            exprs.append(
+                F.when(F.col(p).isNotNull(), F.col(p))
+                .when(prev.isNotNull() & (F.col(_POS) - prev["p"] <= limit), prev["v"])
+            )
     out = fr._same_rows(sdf).project(labels, exprs)
     return _drop_aux(out)
 
 
-def bfill(frame: SparkFrame, positions: Sequence[int]) -> SparkFrame:
+def bfill(frame: SparkFrame, positions: Sequence[int], limit: int | None = None) -> SparkFrame:
     """Backward-fill: mirror of ffill with following-windows."""
     fr = _with_blocks(frame)
     phys = [frame.data_cols[i] for i in positions]
@@ -764,7 +779,9 @@ def bfill(frame: SparkFrame, positions: Sequence[int]) -> SparkFrame:
     sdf = fr.sdf
     within = fresh_names(len(phys))
     for p, wc in zip(phys, within):
-        sdf = sdf.withColumn(wc, F.first(F.col(p), ignorenulls=True).over(w_in))
+        src = (F.col(p) if limit is None else
+               F.when(F.col(p).isNotNull(), F.struct(F.col(_POS).alias("p"), F.col(p).alias("v"))))
+        sdf = sdf.withColumn(wc, F.first(src, ignorenulls=True).over(w_in))
     blk_first = sdf.groupBy(_BLK).agg(
         *[F.min_by(F.col(wc), F.when(F.col(wc).isNotNull(), F.col(_POS))).alias(f"__bf_{wc}") for wc in within]
     )
@@ -773,7 +790,16 @@ def bfill(frame: SparkFrame, positions: Sequence[int]) -> SparkFrame:
         *[F.first(F.col(f"__bf_{wc}"), ignorenulls=True).over(w_carry).alias(f"__cr_{wc}") for wc in within],
     )
     sdf = sdf.join(F.broadcast(carries), sdf[_BLK] == carries["__blk2__"], "left").drop("__blk2__")
-    exprs = [F.coalesce(F.col(wc), F.col(f"__cr_{wc}")) for wc in within]
+    if limit is None:
+        exprs = [F.coalesce(F.col(wc), F.col(f"__cr_{wc}")) for wc in within]
+    else:
+        exprs = []
+        for p, wc in zip(phys, within):
+            nxt = F.coalesce(F.col(wc), F.col(f"__cr_{wc}"))
+            exprs.append(
+                F.when(F.col(p).isNotNull(), F.col(p))
+                .when(nxt.isNotNull() & (nxt["p"] - F.col(_POS) <= limit), nxt["v"])
+            )
     out = fr._same_rows(sdf).project(labels, exprs)
     return _drop_aux(out)
 

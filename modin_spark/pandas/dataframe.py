@@ -314,7 +314,7 @@ class DataFrame:
     def convert_dtypes(self) -> "DataFrame":
         return self  # Spark types are already nullable-native
 
-    def astype(self, dtype) -> "DataFrame":
+    def astype(self, dtype, copy: bool = True, errors: str = "raise") -> "DataFrame":
         fr = self._frame
         if not isinstance(dtype, dict):
             dtype = {c: dtype for c in fr.columns}
@@ -356,13 +356,52 @@ class DataFrame:
             if self._frame.dtype_of(i).startswith(("int", "float")) or self._frame.dtype_of(i) == "bool"
         ]
 
-    # ----------------------------------------------------------- missing data
-    def fillna(self, value) -> "DataFrame":
-        return DataFrame(_frame=qc.fillna_value(self._frame, value))
+    def _maybe_inplace(self, out: "DataFrame", inplace: bool):
+        if inplace:
+            self._frame = out._frame
+            return None
+        return out
 
-    def dropna(self, how="any", thresh=None, subset=None) -> "DataFrame":
-        pos = self._frame.positions_of(subset) if subset is not None else None
-        return DataFrame(_frame=qc.dropna(self._frame, how, thresh, pos))
+    # ----------------------------------------------------------- missing data
+    def fillna(self, value=None, method=None, axis=None, inplace=False, limit=None) -> "DataFrame":
+        if method is not None:
+            if method in ("ffill", "pad"):
+                out = self.ffill(limit=limit)
+            elif method in ("bfill", "backfill"):
+                out = self.bfill(limit=limit)
+            else:
+                raise NotImplementedError(f"fillna method {method!r}")
+        else:
+            if value is None:
+                raise ValueError("must specify a fill value or method")
+            out = DataFrame(_frame=qc.fillna_value(self._frame, value))
+        return self._maybe_inplace(out, inplace)
+
+    def dropna(self, axis=0, how="any", thresh=None, subset=None, inplace=False,
+               ignore_index=False) -> "DataFrame":
+        if axis in (1, "columns"):
+            # drop columns containing nulls: ONE tiny aggregate row of
+            # per-column null counts, then a metadata-only projection
+            fr = self._frame
+            na = self.isna()._frame
+            row = na.sdf.agg(*[F.sum(na.scol(i).cast("long")).alias(f"n{i}")
+                               for i in range(len(fr.columns))]).collect()[0]
+            total = fr.count_rows()
+            keep = []
+            for i in range(len(fr.columns)):
+                cnt = row[f"n{i}"] or 0
+                bad = cnt > 0 if how == "any" else cnt == total
+                if thresh is not None:
+                    bad = (total - cnt) < thresh
+                if not bad:
+                    keep.append(fr.columns[i])
+            out = self[keep]
+        else:
+            pos = self._frame.positions_of(subset) if subset is not None else None
+            out = DataFrame(_frame=qc.dropna(self._frame, how, thresh, pos))
+            if ignore_index and out._frame.index_cols:
+                out = out.reset_index(drop=True)
+        return self._maybe_inplace(out, inplace)
 
     def isna(self) -> "DataFrame":
         fr = self._frame
@@ -384,11 +423,11 @@ class DataFrame:
 
     notnull = notna
 
-    def ffill(self) -> "DataFrame":
-        return DataFrame(_frame=win.ffill(self._frame, list(range(len(self._frame.columns)))))
+    def ffill(self, limit=None) -> "DataFrame":
+        return DataFrame(_frame=win.ffill(self._frame, list(range(len(self._frame.columns))), limit=limit))
 
-    def bfill(self) -> "DataFrame":
-        return DataFrame(_frame=win.bfill(self._frame, list(range(len(self._frame.columns)))))
+    def bfill(self, limit=None) -> "DataFrame":
+        return DataFrame(_frame=win.bfill(self._frame, list(range(len(self._frame.columns))), limit=limit))
 
     def replace(self, to_replace, value=None) -> "DataFrame":
         out = DataFrame(_frame=self._frame)
@@ -530,7 +569,7 @@ class DataFrame:
         return Series(fr, col, set(fr.data_cols), None)
 
     def sort_values(self, by, ascending=True, na_position="last", kind=None, ignore_index=False,
-                    key=None) -> "DataFrame":
+                    key=None, inplace=False) -> "DataFrame":
         # kind is a pandas stable-sort selector — meaningless for a shuffle
         # sort (Spark's range sort is what it is); accepted for parity
         by = by if isinstance(by, list) else [by]
@@ -542,7 +581,8 @@ class DataFrame:
             exprs = [key(self._series_at(i))._expr for i in fr.positions_of(by)]
         else:
             exprs = [fr.scol(i) for i in fr.positions_of(by)]
-        return DataFrame(_frame=fr.sort_by(exprs, asc, na_position))
+        out = DataFrame(_frame=fr.sort_by(exprs, asc, na_position))
+        return self._maybe_inplace(out, inplace)
 
     def sort_index(self, ascending=True) -> "DataFrame":
         fr = self._frame
@@ -587,9 +627,12 @@ class DataFrame:
     def nsmallest(self, n: int, columns, keep: str = "first") -> "DataFrame":
         return self._top_k(n, columns, largest=False, keep=keep)
 
-    def drop_duplicates(self, subset=None, keep="first") -> "DataFrame":
+    def drop_duplicates(self, subset=None, keep="first", inplace=False, ignore_index=False) -> "DataFrame":
         pos = self._frame.positions_of(subset if isinstance(subset, list) else [subset]) if subset is not None else None
-        return DataFrame(_frame=qc.drop_duplicates(self._frame, pos, keep))
+        out = DataFrame(_frame=qc.drop_duplicates(self._frame, pos, keep))
+        if ignore_index and out._frame.index_cols:
+            out = out.reset_index(drop=True)
+        return self._maybe_inplace(out, inplace)
 
     def duplicated(self, subset=None, keep="first") -> Series:
         pos = self._frame.positions_of(subset if isinstance(subset, list) else [subset]) if subset is not None else None
@@ -604,7 +647,8 @@ class DataFrame:
         return DataFrame(_frame=self._frame.reset_index(drop))
 
     # ------------------------------------------------------------- groupby
-    def groupby(self, by=None, level=None, as_index: bool = True, dropna: bool = True, sort: bool = True):
+    def groupby(self, by=None, level=None, as_index: bool = True, dropna: bool = True, sort: bool = True,
+                group_keys: bool = True, observed: bool = False):
         from modin_spark.pandas.groupby import DataFrameGroupBy
 
         # pd.Grouper keys: a freq-Grouper becomes a derived time-bucket
@@ -728,6 +772,7 @@ class DataFrame:
         broadcast: bool | None = None,
         indicator: bool | str = False,
         validate: str | None = None,
+        copy: bool = True,
     ) -> "DataFrame":
         if validate is not None:
             self._validate_merge(right, validate, on, left_on, right_on, left_index, right_index)
@@ -897,9 +942,11 @@ class DataFrame:
                 cols[fr.columns[i]] = [r[0]["v"] if r else None]
         return pd.DataFrame(cols)
 
-    def quantile(self, q=0.5, numeric_only=True, axis=0):
+    def quantile(self, q=0.5, numeric_only=True, axis=0, interpolation="linear"):
         if axis in (1, "columns"):
             return self._row_wise("quantile", q=q)
+        if interpolation != "linear":
+            return self._quantile_interp(q, numeric_only, interpolation)
         if isinstance(q, (list, tuple)):
             # one aggregate per q, assembled driver-side (k×cols scalars)
             rows = {qq: self._reduce_frame("quantile", numeric_only, q=float(qq)) for qq in q}
@@ -907,6 +954,55 @@ class DataFrame:
             out.index.name = None
             return out
         return self._reduce_frame("quantile", numeric_only, q=q)
+
+    def _quantile_interp(self, q, numeric_only: bool, interpolation: str):
+        """Non-linear interpolations via exact order statistics: the linear
+        percentile at fraction k/(n-1) IS the k-th order statistic, so
+        lower/higher/nearest/midpoint reduce to percentile calls at adjusted
+        fractions — one tiny count aggregate, then one percentile aggregate."""
+        fr = self._frame
+        positions = self._numeric_positions() if numeric_only else list(range(len(fr.columns)))
+        if not positions:
+            return pd.Series(dtype="float64")
+        cnt_row = fr.sdf.agg(*[F.count(fr.scol(i)).alias(f"n{i}") for i in positions]).collect()[0]
+        qs = list(q) if isinstance(q, (list, tuple)) else [q]
+        exprs = []
+        import math
+
+        for i in positions:
+            n = cnt_row[f"n{i}"]
+            for j, qq in enumerate(qs):
+                if n <= 1:
+                    frac_list = [0.0]
+                else:
+                    pos = float(qq) * (n - 1)
+                    lo, hi = math.floor(pos), math.ceil(pos)
+                    if interpolation == "lower":
+                        frac_list = [lo / (n - 1)]
+                    elif interpolation == "higher":
+                        frac_list = [hi / (n - 1)]
+                    elif interpolation == "nearest":
+                        k = lo if (pos - lo) <= 0.5 else hi
+                        frac_list = [k / (n - 1)]
+                    elif interpolation == "midpoint":
+                        frac_list = [lo / (n - 1), hi / (n - 1)]
+                    else:
+                        raise NotImplementedError(f"interpolation {interpolation!r}")
+                e = None
+                for f_ in frac_list:
+                    t = F.percentile(fr.scol(i).cast("double"), F.lit(f_))
+                    e = t if e is None else (e + t)
+                if len(frac_list) == 2:
+                    e = e / 2
+                exprs.append(e.alias(f"x{i}_{j}"))
+        row = fr.sdf.agg(*exprs).collect()[0]
+        labels = [fr.columns[i] for i in positions]
+        if isinstance(q, (list, tuple)):
+            data = {qq: [row[f"x{i}_{j}"] for i in positions] for j, qq in enumerate(qs)}
+            out = pd.DataFrame(data, index=labels).T
+            out.index.name = None
+            return out
+        return pd.Series([row[f"x{i}_0"] for i in positions], index=labels)
 
     def _row_wise(self, op: str, q: float | None = None, ddof: int = 1) -> Series:
         """Row-axis reductions as pure array expressions — projections in
@@ -1210,14 +1306,25 @@ class DataFrame:
         return Resampler(self, rule, on)
 
     # -------------------------------------------------------------- reshape
-    def melt(self, id_vars=None, value_vars=None, var_name="variable", value_name="value") -> "DataFrame":
+    def melt(self, id_vars=None, value_vars=None, var_name="variable", value_name="value",
+             col_level=None, ignore_index=True) -> "DataFrame":
         fr = self._frame.ensure_order()
         id_vars = id_vars if isinstance(id_vars, list) else ([id_vars] if id_vars else [])
         if value_vars is None:
             value_vars = [c for c in fr.columns if c not in set(id_vars)]
         id_phys = [fr.data_cols[i] for i in fr.positions_of(id_vars)] if id_vars else []
-        val_phys = [fr.data_cols[i] for i in fr.positions_of(value_vars)]
-        unpivoted = fr.sdf.unpivot(
+        val_pos = fr.positions_of(value_vars)
+        val_phys = [fr.data_cols[i] for i in val_pos]
+        sdf0 = fr.sdf
+        # mixed value-column types: pandas coerces to object — cast all to
+        # string so unpivot finds a common type (numeric-only frames keep
+        # their numeric type)
+        vtypes = {fr.dtype_of(i) for i in val_pos}
+        numerics = {"int", "bigint", "smallint", "tinyint", "float", "double"}
+        if len(vtypes) > 1 and not vtypes <= numerics:
+            for p in val_phys:
+                sdf0 = sdf0.withColumn(p, F.col(p).cast("string"))
+        unpivoted = sdf0.unpivot(
             [ORDER_COL] + id_phys, val_phys, "__var__", "__val__"
         )
         # map physical names back to labels in the variable column
@@ -1270,11 +1377,18 @@ class DataFrame:
         out = SparkFrame(sdf, fr.columns, new_cols, fr.index_cols, fr.index_names)
         return DataFrame(_frame=out)
 
-    def pivot_table(self, values=None, index=None, columns=None, aggfunc="mean") -> "DataFrame":
+    def pivot_table(self, values=None, index=None, columns=None, aggfunc="mean",
+                    fill_value=None, margins=False, margins_name="All",
+                    dropna=True, sort=True, observed=False) -> "DataFrame":
         """Single shuffle: groupBy(index).pivot(columns). A LIST of values
         pivots every value column in the same pass and labels the output with
         2-level (value, column-value) MultiIndex columns, pandas-style (ref
-        carries column MultiIndexes natively, ref dataframe.py:161-189)."""
+        carries column MultiIndexes natively, ref dataframe.py:161-189).
+
+        ``margins=True`` (single-value path) adds the All column/row computed
+        from the RAW data (pandas semantics — a margin mean is the mean of
+        all cells, not of the cell means): one extra same-key groupby for the
+        row margins and one tiny pivot for the column margin row."""
         from modin_spark.core.frame import fresh_names as _fn
 
         fr = self._frame
@@ -1286,12 +1400,32 @@ class DataFrame:
             val_phys = fr.data_cols[fr.positions_of([values])[0]]
             pivoted = fr.sdf.groupBy(*idx_phys).pivot(col_phys).agg(agg_fn(F.col(val_phys)))
             value_cols = [c for c in pivoted.columns if c not in set(idx_phys)]
+            if margins:
+                row_m = fr.sdf.groupBy(*idx_phys).agg(agg_fn(F.col(val_phys)).alias("__all__"))
+                pivoted = pivoted.join(row_m, idx_phys, "left")
+                # the margins row's index label is the string margins_name —
+                # index columns become string, like pandas' object index
+                pivoted = pivoted.select(
+                    *[F.col(p).cast("string").alias(p) for p in idx_phys],
+                    *[c for c in pivoted.columns if c not in set(idx_phys)],
+                )
+                col_m = fr.sdf.groupBy().pivot(col_phys).agg(agg_fn(F.col(val_phys)))
+                grand = fr.sdf.agg(agg_fn(F.col(val_phys)).alias("__all__"))
+                mrow = col_m.crossJoin(grand)
+                for p in idx_phys:
+                    mrow = mrow.withColumn(p, F.lit(str(margins_name)))
+                pivoted = pivoted.unionByName(mrow.select(*pivoted.columns), allowMissingColumns=True)
+                value_cols = value_cols + ["__all__"]
             out_phys = _fn(len(value_cols))
             sel = [F.struct(*[F.col(p) for p in idx_phys]).alias(ORDER_COL)]
             sel += [F.col(p) for p in idx_phys]
-            sel += [F.col(v).alias(np_) for v, np_ in zip(value_cols, out_phys)]
-            out = SparkFrame(pivoted.select(*sel), pd.Index(value_cols), out_phys, idx_phys, list(index))
+            fill = (lambda c: F.coalesce(c, F.lit(fill_value))) if fill_value is not None else (lambda c: c)
+            sel += [fill(F.col(v)).alias(np_) for v, np_ in zip(value_cols, out_phys)]
+            labels = [margins_name if v == "__all__" else v for v in value_cols]
+            out = SparkFrame(pivoted.select(*sel), pd.Index(labels), out_phys, idx_phys, list(index))
             return DataFrame(_frame=out)
+        if margins:
+            raise NotImplementedError("pivot_table margins with a list of values")
         # multi-value: one pivot over all value aggregates; the distinct
         # pivot values (column METADATA, driver-side by definition) fix both
         # Spark's output column order and the pandas label order
@@ -1523,12 +1657,17 @@ class DataFrame:
             expr = term if expr is None else (expr + term)
         return Series(fr, expr, set(fr.data_cols), None)
 
-    def value_counts(self, subset=None, normalize=False, sort=True, ascending=False) -> "pd.Series":
+    def value_counts(self, subset=None, normalize=False, sort=True, ascending=False,
+                     dropna=True) -> "pd.Series":
         """Frame-level value_counts: groupBy all (or subset) columns + count."""
         fr = self._frame
         cols = subset if subset is not None else list(fr.columns)
         phys = [fr.data_cols[i] for i in fr.positions_of(cols)]
-        agged = fr.sdf.groupBy(*phys).count()
+        sdf = fr.sdf
+        if dropna:
+            for p in phys:
+                sdf = sdf.where(F.col(p).isNotNull())
+        agged = sdf.groupBy(*phys).count()
         if sort:
             agged = agged.orderBy(F.col("count").asc() if ascending else F.col("count").desc(), *phys)
         pdf = agged.toPandas()
@@ -2018,7 +2157,8 @@ class DataFrame:
         self[self._frame.columns[loc]] = value
 
     def sample(self, n: int | None = None, frac: float | None = None, replace: bool = False,
-               random_state: int | None = None, axis=0, weights=None) -> "DataFrame":
+               random_state: int | None = None, axis=0, weights=None,
+               ignore_index: bool = False) -> "DataFrame":
         """Distributed sampling. ``frac`` is a per-partition Bernoulli/Poisson
         sample (no shuffle, exact at scale in expectation); exact-``n`` orders
         by a seeded rand() — a TakeOrdered top-n, never a full materialize.

@@ -577,7 +577,31 @@ class Series:
     def drop_duplicates(self, keep="first") -> "Series":
         return Series._from_frame(qc.drop_duplicates(self._to_frame(), None, keep))
 
-    def value_counts(self, normalize=False, sort=True, ascending=False, dropna=True) -> "Series":
+    def value_counts(self, normalize=False, sort=True, ascending=False, dropna=True,
+                     bins=None) -> "Series":
+        if bins is not None:
+            # pandas bins=: counts of fixed-width intervals — cut() stays a
+            # JVM when-chain; the k-row result is reindexed driver-side so
+            # EMPTY bins appear with count 0 (pandas semantics)
+            from modin_spark.pandas.general import cut
+
+            binned = cut(self, bins)
+            vc = binned.rename(self._name).value_counts(
+                normalize=normalize, sort=False, dropna=dropna).to_pandas()
+            if isinstance(bins, int):
+                mn, mx = self.min(), self.max()
+                step = (mx - mn) / bins
+                edges = [mn + i * step for i in range(bins + 1)]
+                edges[0] = mn - (mx - mn) * 0.001
+            else:
+                edges = list(bins)
+            all_labels = [f"({edges[i]}, {edges[i+1]}]" for i in range(len(edges) - 1)]
+            vc = vc.reindex(all_labels, fill_value=0)
+            if sort:
+                vc = vc.sort_values(ascending=ascending, kind="stable")
+            out = Series._from_pandas(vc)
+            out._name = self._name
+            return out
         fr = self._to_frame(self._name if self._name is not None else "__v__")
         spec = [("count", None, "size", {})]
         out = qc.groupby_agg(fr, [0], spec, as_index=True, dropna=dropna, sort=False)

@@ -131,3 +131,77 @@ def test_read_table_tsv(spark, tmp_path):
     p.to_csv(f, sep="\t", index=False)
     got = mpd.read_table(f).to_pandas()
     pd.testing.assert_frame_equal(got, p, check_dtype=False)
+
+
+def test_fillna_method_limit_inplace(spark):
+    p = pd.DataFrame({"a": [5.0, None, None, 3.0, None], "b": [None, 2.0, None, None, 6.0]})
+    m = mpd.from_pandas(p)
+    for meth in ["ffill", "bfill"]:
+        for lim in [None, 1]:
+            got = m.fillna(method=meth, limit=lim).to_pandas().reset_index(drop=True)
+            exp = p.fillna(method=meth, limit=lim)
+            pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    m2 = mpd.from_pandas(p)
+    assert m2.fillna(0, inplace=True) is None
+    assert m2.to_pandas().isna().sum().sum() == 0
+
+
+def test_dropna_axis1(spark):
+    p = pd.DataFrame({"x": [1.0, None], "y": [1.0, 2.0], "z": [None, None]})
+    m = mpd.from_pandas(p)
+    got = m.dropna(axis=1).to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, p.dropna(axis=1), check_dtype=False)
+    got_all = m.dropna(axis=1, how="all").to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got_all, p.dropna(axis=1, how="all"), check_dtype=False)
+
+
+def test_inplace_sort_dedup(spark):
+    p = pd.DataFrame({"a": [3, 1, 2, 1], "b": list("wxyz")})
+    m = mpd.from_pandas(p)
+    assert m.sort_values("a", inplace=True) is None
+    assert m.to_pandas().a.tolist() == [1, 1, 2, 3]
+    m2 = mpd.from_pandas(p)
+    assert m2.drop_duplicates(subset=["a"], inplace=True) is None
+    assert len(m2) == 3
+
+
+def test_value_counts_dropna_bins(spark):
+    p = pd.DataFrame({"a": [1.0, 1.0, None, 2.0], "b": [1.0, 2.0, 3.0, 10.0]})
+    m = mpd.from_pandas(p)
+    assert m.value_counts(subset=["a"], dropna=False).sum() == 4
+    assert m.value_counts(subset=["a"]).sum() == 3
+    got = m["b"].value_counts(bins=3).to_pandas()
+    exp = p["b"].value_counts(bins=3)
+    assert sorted(got.tolist()) == sorted(exp.tolist())
+
+
+@pytest.mark.parametrize("interp", ["lower", "higher", "nearest", "midpoint"])
+def test_quantile_interpolation(spark, interp):
+    p = pd.DataFrame({"b": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0], "c": [10.0, 30.0, 20.0, 50.0, 40.0, 60.0]})
+    m = mpd.from_pandas(p)
+    got = m.quantile([0.25, 0.4, 0.75], interpolation=interp)
+    exp = p.quantile([0.25, 0.4, 0.75], interpolation=interp)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_pivot_table_margins_fill(spark):
+    p = pd.DataFrame({"g": list("xxyyzz"), "c": ["a", "b", "a", "b", "a", "b"],
+                      "v": [1.0, 2.0, 3.0, 4.0, 5.0, None]})
+    m = mpd.from_pandas(p)
+    got = m.pivot_table(values="v", index="g", columns="c", aggfunc="sum",
+                        margins=True, fill_value=0).to_pandas().sort_index().astype(float)
+    exp = p.pivot_table(values="v", index="g", columns="c", aggfunc="sum",
+                        margins=True, fill_value=0).sort_index().astype(float)
+    exp.index = [str(i) for i in exp.index]
+    exp.columns = list(exp.columns)
+    pd.testing.assert_frame_equal(got, exp, check_names=False)
+
+
+def test_melt_mixed_types(spark):
+    p = pd.DataFrame({"a": [1.0, 2.0], "k": ["x", "y"]})
+    m = mpd.from_pandas(p)
+    got = m.melt().to_pandas()
+    exp = p.melt()
+    assert len(got) == len(exp)
+    assert sorted(got["variable"].tolist()) == sorted(exp["variable"].tolist())
+    assert sorted(map(str, got["value"].tolist())) == sorted(map(str, exp["value"].tolist()))
