@@ -308,7 +308,15 @@ class Series:
 
     notnull = notna
 
-    def fillna(self, value) -> "Series":
+    def fillna(self, value=None, method=None, limit=None) -> "Series":
+        if method is not None:
+            if method in ("ffill", "pad"):
+                return self.ffill(limit=limit)
+            if method in ("bfill", "backfill"):
+                return self.bfill(limit=limit)
+            raise NotImplementedError(f"fillna method {method!r}")
+        if value is None:
+            raise ValueError("must specify a fill value or method")
         st = self.spark_type
         nullchk = (lambda c: c.isNull() | F.isnan(c)) if isinstance(st, (T.FloatType, T.DoubleType)) else (lambda c: c.isNull())
         return self._map1(lambda c: F.when(nullchk(c), _lit(value)).otherwise(c))
@@ -491,7 +499,34 @@ class Series:
     def all(self, **kw) -> bool:
         return bool(self._reduce("all"))
 
-    def quantile(self, q=0.5):
+    def quantile(self, q=0.5, interpolation="linear"):
+        if interpolation != "linear":
+            import math
+
+            n = int(self.count())
+            qs = list(q) if isinstance(q, (list, tuple)) else [q]
+            outs = []
+            for qq in qs:
+                if n <= 1:
+                    fracs = [0.0]
+                else:
+                    pos = float(qq) * (n - 1)
+                    lo, hi = math.floor(pos), math.ceil(pos)
+                    if interpolation == "lower":
+                        fracs = [lo / (n - 1)]
+                    elif interpolation == "higher":
+                        fracs = [hi / (n - 1)]
+                    elif interpolation == "nearest":
+                        fracs = [(lo if (pos - lo) <= 0.5 else hi) / (n - 1)]
+                    elif interpolation == "midpoint":
+                        fracs = [lo / (n - 1), hi / (n - 1)]
+                    else:
+                        raise NotImplementedError(f"interpolation {interpolation!r}")
+                vals = [self._reduce("quantile", q=f_) for f_ in fracs]
+                outs.append(sum(vals) / len(vals))
+            if isinstance(q, (list, tuple)):
+                return pd.Series(outs, index=list(q), name=self._name)
+            return outs[0]
         if isinstance(q, (list, tuple)):
             exprs = [qc.agg_expr("quantile", self._expr, qq).alias(f"q{i}") for i, qq in enumerate(q)]
             row = self._frame.sdf.agg(*exprs).collect()[0]
@@ -560,9 +595,11 @@ class Series:
         return F.col("__posx__")
 
     # --------------------------------------------------- frame-level结果 ops
-    def sort_values(self, ascending: bool = True, na_position: str = "last") -> "Series":
+    def sort_values(self, ascending: bool = True, na_position: str = "last", key=None,
+                    kind=None, ignore_index: bool = False, axis=0) -> "Series":
         fr = self._to_frame()
-        return Series._from_frame(fr.sort_by([fr.scol(0)], [ascending], na_position))
+        sort_expr = key(Series._from_frame(fr))._expr if key is not None else fr.scol(0)
+        return Series._from_frame(fr.sort_by([sort_expr], [ascending], na_position))
 
     def head(self, n: int = 5) -> "Series":
         return Series._from_frame(self._to_frame().head(n))
@@ -574,8 +611,11 @@ class Series:
         sdf = self._frame.sdf.select(self._expr.alias("__v__")).distinct()
         return pd.Series([r["__v__"] for r in sdf.collect()]).values
 
-    def drop_duplicates(self, keep="first") -> "Series":
-        return Series._from_frame(qc.drop_duplicates(self._to_frame(), None, keep))
+    def drop_duplicates(self, keep="first", inplace=False, ignore_index=False) -> "Series":
+        out = Series._from_frame(qc.drop_duplicates(self._to_frame(), None, keep))
+        if inplace:
+            raise NotImplementedError("Series.drop_duplicates(inplace=True)")
+        return out
 
     def value_counts(self, normalize=False, sort=True, ascending=False, dropna=True,
                      bins=None) -> "Series":
@@ -623,10 +663,14 @@ class Series:
         out = out.select_positions([0]).sort_by([out.scol(0)], [True])
         return Series._from_frame(out)
 
-    def nlargest(self, n: int = 5) -> "Series":
+    def nlargest(self, n: int = 5, keep: str = "first") -> "Series":
+        if keep != "first":
+            return self.to_frame("__v__").nlargest(n, "__v__", keep=keep)["__v__"].rename(self._name)
         return Series._from_frame(self._to_frame().sort_by([self._expr], [False]).head(n))
 
-    def nsmallest(self, n: int = 5) -> "Series":
+    def nsmallest(self, n: int = 5, keep: str = "first") -> "Series":
+        if keep != "first":
+            return self.to_frame("__v__").nsmallest(n, "__v__", keep=keep)["__v__"].rename(self._name)
         return Series._from_frame(self._to_frame().sort_by([self._expr], [True]).head(n))
 
     def pipe(self, func, *args, **kwargs):
@@ -741,18 +785,22 @@ class Series:
 
         return Expanding(self, min_periods)
 
-    def ffill(self) -> "Series":
+    def ffill(self, limit=None) -> "Series":
         """Forward fill along frame order: last non-null via ordered window
         partitioned by blocks with carry (scale-safe two-pass)."""
         fr = self._to_frame()
-        return Series._from_frame(win.ffill(fr, [0]))
+        return Series._from_frame(win.ffill(fr, [0], limit=limit))
 
-    def bfill(self) -> "Series":
+    def bfill(self, limit=None) -> "Series":
         fr = self._to_frame()
-        return Series._from_frame(win.bfill(fr, [0]))
+        return Series._from_frame(win.bfill(fr, [0], limit=limit))
 
     # ------------------------------------------------------------------ UDF
-    def map(self, arg) -> "Series":
+    def map(self, arg, na_action=None) -> "Series":
+        if na_action == "ignore" and not isinstance(arg, dict):
+            mapped = self.map(arg)
+            target, me, se, refs = mapped._combine(self)
+            return Series(target, F.when(se.isNotNull(), me), refs, self._name)
         if isinstance(arg, dict):
             def f(c):
                 e = None

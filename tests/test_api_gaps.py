@@ -205,3 +205,28 @@ def test_melt_mixed_types(spark):
     assert len(got) == len(exp)
     assert sorted(got["variable"].tolist()) == sorted(exp["variable"].tolist())
     assert sorted(map(str, got["value"].tolist())) == sorted(map(str, exp["value"].tolist()))
+
+
+def test_series_kwargs_batch(spark):
+    ps = pd.Series([5.0, None, None, 3.0, None, 1.0], name="v")
+    m = mpd.from_pandas(ps.to_frame()).v
+    for lim in [None, 1]:
+        got = m.ffill(limit=lim).to_pandas().reset_index(drop=True)
+        pd.testing.assert_series_equal(got, ps.ffill(limit=lim), check_names=False)
+        got = m.bfill(limit=lim).to_pandas().reset_index(drop=True)
+        pd.testing.assert_series_equal(got, ps.bfill(limit=lim), check_names=False)
+
+    s2 = pd.Series([3.0, 1.0, 2.0], name="v")
+    m2 = mpd.from_pandas(s2.to_frame()).v
+    assert m2.sort_values(key=lambda s: -s).to_pandas().tolist() == [3.0, 2.0, 1.0]
+    for interp in ["lower", "higher", "nearest", "midpoint"]:
+        assert abs(m2.quantile(0.4, interpolation=interp) - s2.quantile(0.4, interpolation=interp)) < 1e-12
+
+    s3 = pd.Series([1.0, 2.0, 2.0, 3.0], name="v")
+    m3 = mpd.from_pandas(s3.to_frame()).v
+    assert sorted(m3.nlargest(2, keep="all").to_pandas().tolist()) == sorted(s3.nlargest(2, keep="all").tolist())
+
+    s4 = pd.Series(["a", None, "b"], name="v")
+    m4 = mpd.from_pandas(s4.to_frame()).v
+    got = m4.map(lambda x: str(x).upper(), na_action="ignore").to_pandas().tolist()
+    assert got == s4.map(lambda x: str(x).upper(), na_action="ignore").tolist()
