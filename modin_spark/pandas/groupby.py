@@ -549,8 +549,53 @@ class DataFrameGroupBy:
 
         return GroupRolling(self, window, min_periods, center=center)
 
+    def ewm(self, com=None, span=None, halflife=None, alpha=None, adjust=True,
+            min_periods=0):
+        """Grouped exponentially-weighted windows. The recurrence is
+        group-local, so each group runs exact pandas ewm inside ONE
+        applyInPandas task (same groups-fit-in-a-task contract as
+        groupby.apply; the ungrouped EWM instead uses the blocked-halo
+        scheme because there are no natural partitions there)."""
+        return _GroupEWM(self, dict(com=com, span=span, halflife=halflife,
+                                    alpha=alpha, adjust=adjust, min_periods=min_periods))
+
+    @property
+    def keys(self):
+        return self._by if hasattr(self, "_by") else None
+
     def pivot(self, *a, **kw):
         raise NotImplementedError
+
+
+class _GroupEWM:
+    def __init__(self, g, kw):
+        self._g = g
+        self._kw = kw
+
+    def _run(self, agg: str):
+        from modin_spark.pandas.dataframe import DataFrame
+
+        g = self._g
+        vals = [lbl for lbl, _ in g._value_positions(numeric_only=True)]
+        kw = self._kw
+
+        def f(pdf):
+            return getattr(pdf[vals].ewm(**kw), agg)()
+
+        out = qc.groupby_apply(g._df._frame, g._by_pos, f)
+        return DataFrame(_frame=out)
+
+    def mean(self):
+        return self._run("mean")
+
+    def sum(self):
+        return self._run("sum")
+
+    def var(self):
+        return self._run("var")
+
+    def std(self):
+        return self._run("std")
 
 
 class SeriesGroupBy:

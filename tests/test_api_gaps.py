@@ -230,3 +230,14 @@ def test_series_kwargs_batch(spark):
     m4 = mpd.from_pandas(s4.to_frame()).v
     got = m4.map(lambda x: str(x).upper(), na_action="ignore").to_pandas().tolist()
     assert got == s4.map(lambda x: str(x).upper(), na_action="ignore").tolist()
+
+
+def test_groupby_ewm(spark):
+    p = pd.DataFrame({"k": list("xxyyxy"), "v": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0]})
+    m = mpd.from_pandas(p)
+    got = m.groupby("k").ewm(alpha=0.5).mean().to_pandas()
+    exp = p.groupby("k").ewm(alpha=0.5).mean().reset_index(drop=True)
+    assert np.allclose(sorted(got["v"]), sorted(exp["v"]))
+    got = m.groupby("k").ewm(span=3).std().to_pandas()
+    exp = p.groupby("k").ewm(span=3).std().reset_index(drop=True)
+    assert np.allclose(sorted(got["v"].dropna()), sorted(exp["v"].dropna()))
