@@ -814,6 +814,7 @@ def rank(
     method: str = "average",
     ascending: bool = True,
     pct: bool = False,
+    na_option: str = "keep",
 ) -> SparkFrame:
     """pandas ``rank``. Scale-safe and batched: all columns of one dtype melt
     into (column-id, value) rows and go through ONE value sort (range
@@ -845,9 +846,16 @@ def rank(
                 ])
             ).alias("__e__"),
         ).select("__gp__", F.col("__e__.__cid__").alias("__cid__"), F.col("__e__.__v__").alias("__v__"))
-        melted = melted.where(F.col("__v__").isNotNull())  # NaN keeps NaN rank
-
-        vord = F.col("__v__").asc() if ascending else F.col("__v__").desc()
+        if na_option == "keep":
+            melted = melted.where(F.col("__v__").isNotNull())  # NaN keeps NaN rank
+            vord = F.col("__v__").asc() if ascending else F.col("__v__").desc()
+        elif na_option == "top":
+            # NaNs form one tie block at the smallest ranks
+            vord = F.col("__v__").asc_nulls_first() if ascending else F.col("__v__").desc_nulls_first()
+        elif na_option == "bottom":
+            vord = F.col("__v__").asc_nulls_last() if ascending else F.col("__v__").desc_nulls_last()
+        else:
+            raise ValueError(f"na_option {na_option!r}")
         sort_keys = [F.col("__cid__").asc(), vord, F.col("__gp__").asc()]
         s = melted.repartitionByRange(*sort_keys).withColumn("__pid__", F.spark_partition_id())
         w_loc = Window.partitionBy("__pid__").orderBy(*sort_keys)

@@ -1264,10 +1264,12 @@ class DataFrame:
     def diff(self, periods=1) -> "DataFrame":
         return DataFrame(_frame=win.diff(self._frame, self._numeric_positions(), periods))
 
-    def rank(self, method="average", ascending=True, pct=False, axis=0) -> "DataFrame":
+    def rank(self, method="average", ascending=True, pct=False, axis=0,
+             na_option="keep", numeric_only=True) -> "DataFrame":
         if axis in (1, "columns"):
             return self._row_rank(method, ascending, pct)
-        return DataFrame(_frame=win.rank(self._frame, self._numeric_positions(), method, ascending, pct))
+        return DataFrame(_frame=win.rank(self._frame, self._numeric_positions(), method,
+                                         ascending, pct, na_option))
 
     def pct_change(self, periods=1) -> "DataFrame":
         return DataFrame(_frame=win.pct_change(self._frame, self._numeric_positions(), periods))

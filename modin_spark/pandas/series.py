@@ -766,8 +766,8 @@ class Series:
         prev = F.col(shifted_fr.data_cols[0]).cast("double")
         return Series(shifted_fr, (cur - prev) / prev, {fr.data_cols[0], shifted_fr.data_cols[0]}, self._name)
 
-    def rank(self, method="average", ascending=True, pct=False) -> "Series":
-        return Series._from_frame(win.rank(self._to_frame(), [0], method, ascending, pct))
+    def rank(self, method="average", ascending=True, pct=False, na_option="keep") -> "Series":
+        return Series._from_frame(win.rank(self._to_frame(), [0], method, ascending, pct, na_option))
 
     def rolling(self, window: int, min_periods=None, win_type=None, center=False, closed=None, **win_kwargs):
         from modin_spark.pandas.window import Rolling

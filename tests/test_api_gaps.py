@@ -241,3 +241,14 @@ def test_groupby_ewm(spark):
     got = m.groupby("k").ewm(span=3).std().to_pandas()
     exp = p.groupby("k").ewm(span=3).std().reset_index(drop=True)
     assert np.allclose(sorted(got["v"].dropna()), sorted(exp["v"].dropna()))
+
+
+@pytest.mark.parametrize("na", ["top", "bottom"])
+def test_rank_na_option(spark, na):
+    ps = pd.Series([3.0, None, 1.0, 2.0, None], name="v")
+    m = mpd.from_pandas(ps.to_frame()).v
+    for asc in [True, False]:
+        for meth in ["average", "min", "max", "first"]:
+            got = m.rank(method=meth, ascending=asc, na_option=na).to_pandas().reset_index(drop=True)
+            exp = ps.rank(method=meth, ascending=asc, na_option=na)
+            pd.testing.assert_series_equal(got, exp, check_names=False)
