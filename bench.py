@@ -64,6 +64,8 @@ HEADLINE = [
     "docs_pack_sequences",
     "docs_topk_ngrams",
     "emb_label_centroids",
+    # round 4d: token-balanced output sharding
+    "docs_shard_layout",
 ]
 
 

@@ -89,10 +89,17 @@ def pack_sequences(df: SDF, id_col: str, token_col: str, capacity: int) -> SDF:
     t = t.join(F.broadcast(offs), t["__pid__"] == offs["__pid2__"], "inner")
     end = F.col("__off__") + F.col("__run__")  # exclusive end of this doc's span
     start = end - F.col(token_col)
+
+    # exact integer floor division (same fix class as rolling_time_agg's
+    # bucketing): start/capacity as doubles rounds near 2^53 tokens and
+    # could land a doc in the wrong bin at extreme corpus sizes
+    def _bin(e):
+        return ((e - F.pmod(e, F.lit(capacity))).cast("decimal(38,0)") / F.lit(capacity)).cast("long")
+
     out = (
         t.withColumn("offset", start.cast("long"))
-        .withColumn("first_bin", F.floor(start / capacity).cast("long"))
-        .withColumn("last_bin", F.floor((end - 1) / capacity).cast("long"))
+        .withColumn("first_bin", _bin(start))
+        .withColumn("last_bin", _bin(end - 1))
     )
     out = out.withColumn("straddles", F.col("first_bin") != F.col("last_bin"))
     return out.drop("__pid__", "__pid2__", "__run__", "__psum__", "__off__")
