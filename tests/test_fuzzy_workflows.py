@@ -77,7 +77,29 @@ def _steps(rng):
         dimf = dim if isinstance(df, pd.DataFrame) else mpd.from_pandas(dim)
         return df.merge(dimf, on="g", how="left")
 
-    pool = [filter_a, assign_expr, fill_b, group_agg, sort_head, dedup, merge_dim]
+    def cum_a(df):
+        if "a" not in list(df.columns):
+            return df
+        out = df.copy() if isinstance(df, pd.DataFrame) else df
+        out["a_cum"] = out.a.cumsum()
+        return out
+
+    def shift_a(df):
+        if "a" not in list(df.columns):
+            return df
+        out = df.copy() if isinstance(df, pd.DataFrame) else df
+        out["a_prev"] = out.a.shift(1)
+        return out
+
+    def rank_a(df):
+        if "a" not in list(df.columns):
+            return df
+        out = df.copy() if isinstance(df, pd.DataFrame) else df
+        out["a_rank"] = out.a.rank(method="min")
+        return out
+
+    pool = [filter_a, assign_expr, fill_b, group_agg, sort_head, dedup, merge_dim,
+            cum_a, shift_a, rank_a]
     k = int(rng.integers(2, MAX_STEPS + 1))
     return [pool[i] for i in rng.integers(0, len(pool), k)]
 
