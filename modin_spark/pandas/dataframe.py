@@ -2276,6 +2276,13 @@ class DataFrame:
 
     def droplevel(self, level, axis=0) -> "DataFrame":
         fr = self._frame
+        if axis in (1, "columns"):
+            # pure column-metadata relabel — no plan change
+            cols = fr.columns
+            if not isinstance(cols, pd.MultiIndex):
+                raise ValueError("droplevel(axis=1) needs MultiIndex columns")
+            nf = fr._same_rows(fr.sdf, columns=cols.droplevel(level), data_cols=list(fr.data_cols))
+            return DataFrame(_frame=nf)
         lv = self._level_pos(level)
         keep = [i for i in range(len(fr.index_cols)) if i != lv]
         nf = type(fr)(fr.sdf, fr.columns, fr.data_cols,
@@ -2284,8 +2291,14 @@ class DataFrame:
         nf.order_epoch = fr.order_epoch
         return DataFrame(_frame=nf)
 
-    def swaplevel(self, i=-2, j=-1) -> "DataFrame":
+    def swaplevel(self, i=-2, j=-1, axis=0) -> "DataFrame":
         fr = self._frame
+        if axis in (1, "columns"):
+            cols = fr.columns
+            if not isinstance(cols, pd.MultiIndex):
+                raise ValueError("swaplevel(axis=1) needs MultiIndex columns")
+            nf = fr._same_rows(fr.sdf, columns=cols.swaplevel(i, j), data_cols=list(fr.data_cols))
+            return DataFrame(_frame=nf)
         order = list(range(len(fr.index_cols)))
         order[i], order[j] = order[j], order[i]
         return self.reorder_levels(order)

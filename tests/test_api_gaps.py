@@ -252,3 +252,14 @@ def test_rank_na_option(spark, na):
             got = m.rank(method=meth, ascending=asc, na_option=na).to_pandas().reset_index(drop=True)
             exp = ps.rank(method=meth, ascending=asc, na_option=na)
             pd.testing.assert_series_equal(got, exp, check_names=False)
+
+
+def test_columns_axis_level_ops(spark):
+    """droplevel/swaplevel on the columns axis are pure metadata relabels
+    (droplevel(axis=1) previously silently no-opped)."""
+    p = pd.DataFrame({"k": list("xxyy"), "a": [1.0, 2.0, 3.0, 4.0], "b": [5.0, 6.0, 7.0, 8.0]})
+    m = mpd.from_pandas(p)
+    g = m.groupby("k").agg(["sum", "mean"])
+    assert list(g.droplevel(1, axis=1).to_pandas().columns) == ["a", "a", "b", "b"]
+    assert list(g.swaplevel(axis=1).to_pandas().columns) == [
+        ("sum", "a"), ("mean", "a"), ("sum", "b"), ("mean", "b")]
