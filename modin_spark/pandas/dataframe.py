@@ -255,7 +255,15 @@ class DataFrame:
     def rename(self, columns=None, **kw) -> "DataFrame":
         if columns is None:
             raise NotImplementedError("rename supports columns= only")
-        return DataFrame(_frame=self._frame.rename(columns))
+        fr = self._frame
+        if isinstance(fr.columns, pd.MultiIndex):
+            # pandas applies the mapping to every level's values
+            fn = columns if callable(columns) else (lambda v: columns.get(v, v))
+            new_cols = pd.MultiIndex.from_tuples(
+                [tuple(fn(v) for v in tup) for tup in fr.columns]
+            )
+            return DataFrame(_frame=fr._same_rows(fr.sdf, columns=new_cols, data_cols=list(fr.data_cols)))
+        return DataFrame(_frame=fr.rename(columns))
 
     def insert(self, loc: int, column, value) -> None:
         tmp = DataFrame(_frame=self._frame)
@@ -584,8 +592,16 @@ class DataFrame:
         out = DataFrame(_frame=fr.sort_by(exprs, asc, na_position))
         return self._maybe_inplace(out, inplace)
 
-    def sort_index(self, ascending=True) -> "DataFrame":
+    def sort_index(self, ascending=True, axis=0) -> "DataFrame":
         fr = self._frame
+        if axis in (1, "columns"):
+            # column reorder by label — pure projection, no data movement
+            order = sorted(range(len(fr.columns)), key=lambda i: fr.columns[i],
+                           reverse=not ascending)
+            cols = fr.columns[order] if hasattr(fr.columns, "__getitem__") else [fr.columns[i] for i in order]
+            nf = fr._same_rows(fr.sdf, columns=pd.Index(cols) if not isinstance(fr.columns, pd.MultiIndex) else fr.columns[order],
+                               data_cols=[fr.data_cols[i] for i in order])
+            return DataFrame(_frame=nf)
         keys = [F.col(c) for c in (fr.index_cols or [ORDER_COL])]
         return DataFrame(_frame=fr.sort_by(keys, [ascending] * len(keys)))
 
@@ -2318,10 +2334,26 @@ class DataFrame:
             return level if level >= 0 else len(fr.index_cols) + level
         return fr.index_names.index(level)
 
-    def xs(self, key, level=0, drop_level: bool = True) -> "DataFrame":
+    def xs(self, key, level=0, drop_level: bool = True, axis=0) -> "DataFrame":
         """MultiIndex cross-section: filter one level to ``key``, optionally
-        dropping it — a pushdown-friendly WHERE, no shuffle."""
+        dropping it — a pushdown-friendly WHERE, no shuffle. axis=1 selects
+        the columns whose level value matches (metadata projection)."""
         fr = self._frame
+        if axis in (1, "columns"):
+            cols = fr.columns
+            if not isinstance(cols, pd.MultiIndex):
+                raise ValueError("xs(axis=1) needs MultiIndex columns")
+            lv = level if isinstance(level, int) else list(cols.names).index(level)
+            keep = [i for i, tup in enumerate(cols) if tup[lv] == key]
+            new_cols = [tuple(v for j, v in enumerate(cols[i]) if j != lv) for i in keep]
+            if new_cols and len(new_cols[0]) == 1:
+                new_idx = pd.Index([t[0] for t in new_cols])
+            else:
+                new_idx = pd.MultiIndex.from_tuples(new_cols)
+            if not drop_level:
+                new_idx = cols[keep]
+            nf = fr._same_rows(fr.sdf, columns=new_idx, data_cols=[fr.data_cols[i] for i in keep])
+            return DataFrame(_frame=nf)
         lv = self._level_pos(level)
         out = DataFrame(_frame=fr.filter(F.col(fr.index_cols[lv]) == F.lit(key)))
         return out.droplevel(lv) if drop_level and len(fr.index_cols) > 1 else out

@@ -263,3 +263,14 @@ def test_columns_axis_level_ops(spark):
     assert list(g.droplevel(1, axis=1).to_pandas().columns) == ["a", "a", "b", "b"]
     assert list(g.swaplevel(axis=1).to_pandas().columns) == [
         ("sum", "a"), ("mean", "a"), ("sum", "b"), ("mean", "b")]
+
+
+def test_columns_axis_sort_xs_rename(spark):
+    p = pd.DataFrame({"k": list("xxyy"), "a": [1.0, 2.0, 3.0, 4.0], "b": [5.0, 6.0, 7.0, 8.0]})
+    m = mpd.from_pandas(p)
+    g = m.groupby("k").agg(["sum", "mean"])
+    gp = p.groupby("k").agg(["sum", "mean"])
+    assert list(g.sort_index(axis=1).to_pandas().columns) == list(gp.sort_index(axis=1).columns)
+    assert list(g.xs("sum", axis=1, level=1).to_pandas().columns) == list(gp.xs("sum", axis=1, level=1).columns)
+    assert list(g.rename(columns={"a": "A"}).to_pandas().columns) == list(gp.rename(columns={"a": "A"}).columns)
+    assert list(m[["b", "a"]].sort_index(axis=1).to_pandas().columns) == ["a", "b"]
