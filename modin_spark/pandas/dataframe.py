@@ -655,12 +655,45 @@ class DataFrame:
         return Series._from_frame(qc.duplicated(self._frame, pos, keep))
 
     # ---------------------------------------------------------------- index
-    def set_index(self, keys, drop=True) -> "DataFrame":
+    def set_index(self, keys, drop=True, append=False) -> "DataFrame":
         keys = keys if isinstance(keys, list) else [keys]
-        return DataFrame(_frame=self._frame.set_index_from_columns(keys, drop))
+        fr = self._frame
+        if append and fr.index_cols:
+            # keep the existing index levels, add the new keys after them
+            positions = fr.positions_of(keys)
+            idx_phys = [fr.data_cols[i] for i in positions]
+            names = [fr.columns[i] for i in positions]
+            keep_pos = ([i for i in range(len(fr.columns)) if i not in set(positions)]
+                        if drop else list(range(len(fr.columns))))
+            nf = fr._same_rows(
+                fr.sdf,
+                columns=pd.Index([fr.columns[i] for i in keep_pos]),
+                data_cols=[fr.data_cols[i] for i in keep_pos],
+                index_cols=list(fr.index_cols) + idx_phys,
+                index_names=list(fr.index_names) + names,
+            )
+            return DataFrame(_frame=nf)
+        return DataFrame(_frame=fr.set_index_from_columns(keys, drop))
 
-    def reset_index(self, drop=False) -> "DataFrame":
-        return DataFrame(_frame=self._frame.reset_index(drop))
+    def reset_index(self, drop=False, level=None) -> "DataFrame":
+        fr = self._frame
+        if level is not None and fr.index_cols:
+            levels = level if isinstance(level, (list, tuple)) else [level]
+            pos = [self._level_pos(l) for l in levels]
+            keep = [i for i in range(len(fr.index_cols)) if i not in set(pos)]
+            moved_labels = [
+                fr.index_names[i] if fr.index_names[i] is not None else f"level_{i}"
+                for i in pos
+            ]
+            nf = fr._same_rows(
+                fr.sdf,
+                columns=pd.Index((moved_labels if not drop else []) + list(fr.columns)),
+                data_cols=([fr.index_cols[i] for i in pos] if not drop else []) + list(fr.data_cols),
+                index_cols=[fr.index_cols[i] for i in keep],
+                index_names=[fr.index_names[i] for i in keep] or [None],
+            )
+            return DataFrame(_frame=nf)
+        return DataFrame(_frame=fr.reset_index(drop))
 
     # ------------------------------------------------------------- groupby
     def groupby(self, by=None, level=None, as_index: bool = True, dropna: bool = True, sort: bool = True,
@@ -875,7 +908,12 @@ class DataFrame:
             return self._row_wise("max")
         return self._reduce_frame("max", numeric_only)
 
-    def count(self, numeric_only=False) -> pd.Series:
+    def count(self, numeric_only=False, axis=0) -> pd.Series:
+        if axis in (1, "columns"):
+            fr = self._frame
+            e = sum((F.when(fr.scol(i).isNotNull(), 1).otherwise(0)
+                     for i in range(len(fr.columns))), F.lit(0))
+            return Series(fr, e.cast("long"), set(fr.data_cols), None)
         return self._reduce_frame("count", numeric_only)
 
     def std(self, numeric_only=True, ddof=1, axis=0):

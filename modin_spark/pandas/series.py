@@ -491,7 +491,11 @@ class Series:
     kurtosis = kurt
 
     def nunique(self, dropna=True) -> int:
-        return self._reduce("nunique")
+        n = self._reduce("nunique")
+        if not dropna:
+            has_null = self._frame.sdf.where(self.isna()._expr).limit(1).count() > 0
+            n = int(n) + (1 if has_null else 0)
+        return n
 
     def any(self, **kw) -> bool:
         return bool(self._reduce("any"))

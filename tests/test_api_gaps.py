@@ -274,3 +274,14 @@ def test_columns_axis_sort_xs_rename(spark):
     assert list(g.xs("sum", axis=1, level=1).to_pandas().columns) == list(gp.xs("sum", axis=1, level=1).columns)
     assert list(g.rename(columns={"a": "A"}).to_pandas().columns) == list(gp.rename(columns={"a": "A"}).columns)
     assert list(m[["b", "a"]].sort_index(axis=1).to_pandas().columns) == ["a", "b"]
+
+
+def test_index_level_kwargs(spark):
+    p = pd.DataFrame({"k": ["x", "x", "y", "z"], "a": [1.0, 2.0, None, 4.0], "b": [5, 6, 7, 8]})
+    m = mpd.from_pandas(p)
+    got = m.set_index("k").set_index("b", append=True).to_pandas()
+    pd.testing.assert_frame_equal(got, p.set_index("k").set_index("b", append=True), check_dtype=False)
+    got = m.set_index(["k", "b"]).reset_index(level=0).to_pandas()
+    pd.testing.assert_frame_equal(got, p.set_index(["k", "b"]).reset_index(level=0), check_dtype=False)
+    assert int(m["a"].nunique(dropna=False)) == p.a.nunique(dropna=False)
+    assert m.count(axis=1).to_pandas().tolist() == p.count(axis=1).tolist()
