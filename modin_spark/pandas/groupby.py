@@ -561,7 +561,7 @@ class DataFrameGroupBy:
 
     @property
     def keys(self):
-        return self._by if hasattr(self, "_by") else None
+        return self._by_labels[0] if len(self._by_labels) == 1 else list(self._by_labels)
 
     def pivot(self, *a, **kw):
         raise NotImplementedError
