@@ -29,13 +29,31 @@ def _strip(c: Column, to_strip=None, side="both") -> Column:
     return c
 
 
-def _contains(c: Column, pat: str, case: bool = True, regex: bool = True, **kw) -> Column:
+def _contains(c: Column, pat: str, case: bool = True, regex: bool = True, na=None, **kw) -> Column:
     if regex:
         p = pat if case else f"(?i){pat}"
-        return F.coalesce(c.rlike(p), F.lit(None))
-    if not case:
-        return F.instr(F.lower(c), pat.lower()) > 0
-    return F.instr(c, pat) > 0
+        e = c.rlike(p)
+    elif not case:
+        e = F.instr(F.lower(c), pat.lower()) > 0
+    else:
+        e = F.instr(c, pat) > 0
+    # pandas na=: fill result for missing input values
+    return F.coalesce(e, F.lit(na)) if na is not None else e
+
+
+def _rsplit(c: Column, pat=None, n=-1) -> Column:
+    """pandas rsplit: splits from the RIGHT when n>0. Reverse the string,
+    split on the reversed separator with limit n+1, then un-reverse each
+    piece and the piece order — pure codegen, no UDF."""
+    sep = pat if pat else None
+    if not n or n <= 0:
+        return F.split(c, re.escape(sep) if sep else r"\s+")
+    if sep is None:
+        rpat = r"\s+"
+    else:
+        rpat = re.escape(sep[::-1])
+    parts = F.split(F.reverse(c), rpat, n + 1)
+    return F.reverse(F.transform(parts, lambda x: F.reverse(x)))
 
 
 def _replace(c: Column, pat: str, repl: str, regex: bool = True, case: bool = True, **kw) -> Column:
@@ -50,7 +68,19 @@ def _replace(c: Column, pat: str, repl: str, regex: bool = True, case: bool = Tr
 
 def _slice(c: Column, start=None, stop=None, step=None) -> Column:
     if step not in (None, 1):
-        raise NotImplementedError("str.slice with step")
+        # step slicing: split to a char array, keep indexes in the slice
+        # with (i - start) % step == 0, re-join — stays a codegen projection
+        s0 = 0 if start is None else start
+        chars = F.split(c, "")
+        ln = F.size(chars)
+        sx = F.lit(s0) if s0 >= 0 else F.greatest(ln + F.lit(s0), F.lit(0))
+        ex = (F.lit(2**31 - 1) if stop is None
+              else (F.lit(stop) if stop >= 0 else F.greatest(ln + F.lit(stop), F.lit(0))))
+        kept = F.filter(
+            chars,
+            lambda ch, i: (i >= sx) & (i < ex) & ((i - sx) % F.lit(step) == 0),
+        )
+        return F.when(c.isNotNull(), F.concat_ws("", kept))
     start = 0 if start is None else start
     if start >= 0:
         begin = start + 1
@@ -127,10 +157,11 @@ STR_FUNCS = {
     else None,
     "replace": _replace,
     "repeat": lambda c, repeats: F.repeat(c, repeats),
+    # pandas n = max SPLITS; Spark limit = max ELEMENTS = n+1
     "split": lambda c, pat=None, n=-1, regex=None: F.split(
-        c, (pat if (regex or pat is None) else re.escape(pat)) if pat is not None else r"\s+", n if n and n > 0 else -1
+        c, (pat if (regex or pat is None) else re.escape(pat)) if pat is not None else r"\s+", n + 1 if n and n > 0 else -1
     ),
-    "rsplit": lambda c, pat=None, n=-1: F.split(c, re.escape(pat) if pat else r"\s+"),
+    "rsplit": _rsplit,
     "slice": _slice,
     "__getitem__": _getitem,
     "get": _getitem,

@@ -445,8 +445,17 @@ class Series:
         return DatetimeMethods(self)
 
     # ----------------------------------------------------------- reductions
+    _BOOL_NUMERIC_AGGS = frozenset(
+        {"sum", "mean", "avg", "std", "var", "sem", "median", "quantile",
+         "prod", "product", "skew", "kurt", "kurtosis", "idxmax", "idxmin"}
+    )
+
     def _reduce(self, name: str, **kw) -> Any:
-        e = qc.agg_expr(name, self._expr, kw.get("q"))
+        expr = self._expr
+        if name in self._BOOL_NUMERIC_AGGS and isinstance(self.spark_type, T.BooleanType):
+            # pandas numeric-aggregates booleans as 0/1 (bool.sum() = #True)
+            expr = expr.cast("int")
+        e = qc.agg_expr(name, expr, kw.get("q"))
         row = self._frame.sdf.agg(e.alias("__r__")).collect()[0]
         return row["__r__"]
 

@@ -285,3 +285,31 @@ def test_index_level_kwargs(spark):
     pd.testing.assert_frame_equal(got, p.set_index(["k", "b"]).reset_index(level=0), check_dtype=False)
     assert int(m["a"].nunique(dropna=False)) == p.a.nunique(dropna=False)
     assert m.count(axis=1).to_pandas().tolist() == p.count(axis=1).tolist()
+
+
+def test_str_edge_kwargs(spark):
+    """split(n=)/rsplit(n=) split-count semantics (Spark limit = n+1),
+    contains(na=), slice(step=) incl. negative start."""
+    p = pd.DataFrame({"s": ["a_b", "c_d_e", None, "f", "abcdefg"]})
+    m = mpd.from_pandas(p)
+
+    def norm(lst):
+        return [list(x) if x is not None and not isinstance(x, float) else None for x in lst]
+
+    assert norm(m.s.str.split("_", n=1).to_pandas()) == norm(p.s.str.split("_", n=1))
+    assert norm(m.s.str.rsplit("_", n=1).to_pandas()) == norm(p.s.str.rsplit("_", n=1))
+    assert m.s.str.contains("A_", case=False, na=False).to_pandas().tolist() == \
+        p.s.str.contains("A_", case=False, na=False).tolist()
+    for args in [(0, 6, 2), (-4, None, 2), (1, None, 3)]:
+        got = m.s.str.slice(*args).to_pandas().tolist()
+        exp = [e if isinstance(e, str) else None for e in p.s.str.slice(*args)]
+        assert got == exp, (args, got, exp)
+
+
+def test_bool_series_numeric_reduce(spark):
+    """pandas numeric-aggregates booleans as 0/1 — Spark refuses sum(bool),
+    so the reduce path casts."""
+    p = pd.Series([True, False, True, None], name="v")
+    m = mpd.from_pandas(p.to_frame()).v
+    assert int(m.sum()) == 2
+    assert abs(float(m.mean()) - p.mean()) < 1e-12
