@@ -884,7 +884,15 @@ class DataFrame:
         positions = self._numeric_positions() if numeric_only else list(range(len(fr.columns)))
         if not positions:
             return pd.Series(dtype="float64")
-        exprs = [qc.agg_expr(name, fr.scol(i), kw.get("q")).alias(f"x{i}") for i in positions]
+        numeric_aggs = {"sum", "mean", "std", "var", "sem", "median", "quantile",
+                        "prod", "skew", "kurt"}
+        def col(i):
+            c = fr.scol(i)
+            # pandas numeric-aggregates booleans as 0/1; Spark refuses sum(bool)
+            if name in numeric_aggs and fr.dtype_of(i) in ("bool", "boolean"):
+                c = c.cast("int")
+            return c
+        exprs = [qc.agg_expr(name, col(i), kw.get("q")).alias(f"x{i}") for i in positions]
         row = fr.sdf.agg(*exprs).collect()[0]
         return pd.Series([row[f"x{i}"] for i in positions], index=[fr.columns[i] for i in positions])
 
@@ -959,10 +967,22 @@ class DataFrame:
 
     kurtosis = kurt
 
-    def any(self) -> pd.Series:
+    def any(self, axis=0) -> pd.Series:
+        if axis in (1, "columns"):
+            fr = self._frame
+            e = F.lit(False)
+            for i in range(len(fr.columns)):
+                e = e | F.coalesce(fr.scol(i).cast("boolean"), F.lit(False))
+            return Series(fr, e, set(fr.data_cols), None)
         return self._reduce_frame("any", numeric_only=False)
 
-    def all(self) -> pd.Series:
+    def all(self, axis=0) -> pd.Series:
+        if axis in (1, "columns"):
+            fr = self._frame
+            e = F.lit(True)
+            for i in range(len(fr.columns)):
+                e = e & F.coalesce(fr.scol(i).cast("boolean"), F.lit(True))
+            return Series(fr, e, set(fr.data_cols), None)
         return self._reduce_frame("all", numeric_only=False)
 
     def mode(self, numeric_only=False) -> pd.DataFrame:
@@ -1356,10 +1376,10 @@ class DataFrame:
 
         return Expanding(self, min_periods)
 
-    def resample(self, rule: str, on=None):
+    def resample(self, rule: str, on=None, closed=None, label=None, offset=None, origin=None):
         from modin_spark.pandas.resample import Resampler
 
-        return Resampler(self, rule, on)
+        return Resampler(self, rule, on, closed=closed, label=label, offset=offset, origin=origin)
 
     # -------------------------------------------------------------- reshape
     def melt(self, id_vars=None, value_vars=None, var_name="variable", value_name="value",

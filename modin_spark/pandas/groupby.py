@@ -46,6 +46,14 @@ class DataFrameGroupBy:
         self._by_labels = by
         self._by_pos = self._df._frame.positions_of(by)
 
+    def __getattr__(self, name):
+        # attribute-style column selection: g.v == g["v"] (pandas parity)
+        if name.startswith("_"):
+            raise AttributeError(name)
+        if name in list(self._df.columns):
+            return self[name]
+        raise AttributeError(name)
+
     # ---------------------------------------------------------------- select
     def __getitem__(self, key):
         if isinstance(key, list):

@@ -36,11 +36,52 @@ def rule_to_duration(rule: str) -> str:
     return f"{n} {_FREQ[unit]}{'s' if n != 1 else ''}"
 
 
+def bucket_start(ts_col, dur: str, closed=None, offset=None):
+    """Tumbling-window bucket for one timestamp column.
+
+    closed='right' makes intervals (lo, hi] — a boundary point belongs to
+    the EARLIER bucket, implemented by bucketing ts-1µs (exact: parquet
+    timestamps are µs-grained). offset= shifts every boundary (F.window's
+    startTime)."""
+    t = F.col(ts_col) if isinstance(ts_col, str) else ts_col
+    if closed == "right":
+        t = t - F.expr("INTERVAL 1 MICROSECOND")
+    if offset:
+        return F.window(t, dur, dur, rule_to_duration(offset))["start"]
+    return F.window(t, dur)["start"]
+
+
 class Resampler:
-    def __init__(self, df, rule: str, on=None):
+    def __init__(self, df, rule: str, on=None, closed=None, label=None,
+                 offset=None, origin=None):
         self._df = df
         self._rule = rule
         self._on = on
+        self._closed = closed
+        self._label = label
+        self._offset = offset
+        # origin: 'epoch' (our native alignment) and 'start_day' coincide
+        # for day-dividing frequencies; other origins unsupported
+        if origin not in (None, "epoch", "start_day"):
+            raise NotImplementedError(f"resample origin {origin!r}")
+
+    def __getitem__(self, key):
+        # column-scoped resample: r["v"].sum() / r[["a","b"]].mean()
+        cols = key if isinstance(key, list) else [key]
+        on = self._on
+        keep = cols + ([on] if on is not None and on not in cols else [])
+        sub = self._df[keep] if not self._df._frame.index_cols else self._df[cols]
+        r = Resampler(sub, self._rule, on, closed=self._closed, label=self._label,
+                      offset=self._offset)
+        r._scalar = not isinstance(key, list)
+        return r
+
+    def __getattr__(self, name):
+        if name.startswith("_"):
+            raise AttributeError(name)
+        if name in list(self._df.columns):
+            return self[name]
+        raise AttributeError(name)
 
     def _agg(self, name: str, numeric_only=True):
         from modin_spark.pandas.dataframe import DataFrame
@@ -55,7 +96,7 @@ class Resampler:
         else:
             raise ValueError("resample needs on= or a datetime index")
         dur = rule_to_duration(self._rule)
-        bucket = F.window(F.col(ts_phys), dur)["start"]
+        bucket = bucket_start(ts_phys, dur, self._closed, self._offset)
 
         positions = [
             i
@@ -67,10 +108,17 @@ class Resampler:
         key_p, val_ps = out_phys[0], out_phys[1:]
         aggs = [qc.agg_expr(name, F.col(fr.data_cols[i])).alias(p) for i, p in zip(positions, val_ps)]
         agged = fr.sdf.groupBy(bucket.alias(key_p)).agg(*aggs)
+        if self._label == "right":
+            # label buckets by their right edge (pandas label='right')
+            agged = agged.withColumn(key_p, F.col(key_p) + F.expr(f"INTERVAL {dur}"))
         agged = agged.withColumn(ORDER_COL, F.col(key_p))
         labels = [fr.columns[i] for i in positions]
         on_name = self._on if self._on is not None else fr.index_names[0]
         out = SparkFrame(agged, pd.Index(labels), val_ps, [key_p], [on_name])
+        if getattr(self, "_scalar", False) and len(val_ps) == 1:
+            from modin_spark.pandas.series import Series
+
+            return Series._from_frame(out)
         return DataFrame(_frame=out)
 
     def sum(self):

@@ -1150,6 +1150,10 @@ def _route_frame(name):
         if isinstance(res, DataFrame):
             if list(res.columns) == ["__s__"]:
                 return res["__s__"].rename(self._name)
+            if "__s__" in list(res.columns):
+                # e.g. reset_index: the value column keeps the Series' name
+                # (pandas uses 0 for a nameless Series)
+                return res.rename(columns={"__s__": self._name if self._name is not None else 0})
             return res
         return res
 

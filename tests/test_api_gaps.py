@@ -313,3 +313,44 @@ def test_bool_series_numeric_reduce(spark):
     m = mpd.from_pandas(p.to_frame()).v
     assert int(m.sum()) == 2
     assert abs(float(m.mean()) - p.mean()) < 1e-12
+
+
+def test_resample_closed_label_offset(spark):
+    idx = pd.date_range("2024-01-01", periods=20, freq="45min")
+    p = pd.DataFrame({"t": idx, "v": np.arange(20.0)})
+    m = mpd.from_pandas(p).set_index("t")
+    pp = p.set_index("t")
+    for kw in [{"closed": "right"}, {"label": "right"}, {"offset": "30min"},
+               {"closed": "right", "label": "right"}]:
+        got = m.resample("2h", **kw).sum().to_pandas().sort_index()
+        exp = pp.resample("2h", **kw).sum()
+        # spark emits only observed buckets; every emitted bucket must match
+        pd.testing.assert_frame_equal(
+            got, exp[exp.index.isin(got.index)], check_dtype=False, check_freq=False)
+
+
+def test_groupby_attr_and_reset_index_naming(spark):
+    p = pd.DataFrame({"v": np.arange(6.0), "k": ["a", "b"] * 3})
+    m = mpd.from_pandas(p)
+    got = m.groupby("k").v.sum().reset_index().to_pandas()
+    pd.testing.assert_frame_equal(got, p.groupby("k").v.sum().reset_index(), check_dtype=False)
+
+
+def test_bool_frame_reduce_and_row_anyall(spark):
+    p = pd.DataFrame({"v": np.arange(6.0)})
+    m = mpd.from_pandas(p)
+    assert int((m[["v"]] > 2).sum()["v"]) == 3
+    assert (m[["v"]] > 2).any(axis=1).to_pandas().tolist() == (p[["v"]] > 2).any(axis=1).tolist()
+    assert (m[["v"]] > 2).all(axis=1).to_pandas().tolist() == (p[["v"]] > 2).all(axis=1).tolist()
+
+
+def test_resample_column_selection(spark):
+    idx = pd.date_range("2024-01-01", periods=12, freq="30min")
+    p = pd.DataFrame({"t": idx, "v": np.arange(12.0), "w": np.arange(12.0) * 2})
+    m = mpd.from_pandas(p).set_index("t")
+    got = m.resample("2h").v.sum().to_pandas()
+    exp = p.set_index("t").resample("2h").v.sum()
+    assert sorted(got.tolist()) == sorted(exp.tolist())
+    got2 = m.resample("2h")[["v", "w"]].mean().to_pandas().sort_index()
+    exp2 = p.set_index("t").resample("2h")[["v", "w"]].mean()
+    pd.testing.assert_frame_equal(got2, exp2, check_dtype=False, check_freq=False)
