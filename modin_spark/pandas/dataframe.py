@@ -257,11 +257,21 @@ class DataFrame:
             raise NotImplementedError("rename supports columns= only")
         fr = self._frame
         if isinstance(fr.columns, pd.MultiIndex):
-            # pandas applies the mapping to every level's values
+            # tuple keys rename the whole column label (flattening it);
+            # string keys / callables map individual level values (pandas)
             fn = columns if callable(columns) else (lambda v: columns.get(v, v))
-            new_cols = pd.MultiIndex.from_tuples(
-                [tuple(fn(v) for v in tup) for tup in fr.columns]
-            )
+            mapped = []
+            for tup in fr.columns:
+                if not callable(columns) and tup in columns:
+                    mapped.append(columns[tup])
+                else:
+                    mapped.append(tuple(fn(v) for v in tup))
+            if all(isinstance(x, tuple) for x in mapped):
+                new_cols = pd.MultiIndex.from_tuples(mapped)
+            elif not any(isinstance(x, tuple) for x in mapped):
+                new_cols = pd.Index(mapped)
+            else:
+                new_cols = pd.Index(mapped, dtype=object, tupleize_cols=False)
             return DataFrame(_frame=fr._same_rows(fr.sdf, columns=new_cols, data_cols=list(fr.data_cols)))
         return DataFrame(_frame=fr.rename(columns))
 
@@ -998,23 +1008,26 @@ class DataFrame:
         cols = {}
         if melted is not None:
             counts = melted.where(F.col("__val__").isNotNull()).groupBy("__var__", "__val__").count()
-            w = W.partitionBy("__var__").orderBy(F.col("count").desc(), F.col("__val__").asc())
-            top = counts.withColumn("__rk__", F.row_number().over(w)).where(F.col("__rk__") == 1).collect()
-            by_var = {r["__var__"]: r["__val__"] for r in top}
+            # rank (not row_number): pandas returns ALL tied modal values
+            w = W.partitionBy("__var__").orderBy(F.col("count").desc())
+            top = (counts.withColumn("__rk__", F.rank().over(w))
+                   .where(F.col("__rk__") == 1).orderBy("__val__").collect())
+            by_var: dict = {}
+            for r in top:
+                by_var.setdefault(r["__var__"], []).append(r["__val__"])
             for i in positions:
-                cols[fr.columns[i]] = [by_var.get(fr.data_cols[i])]
+                cols[fr.columns[i]] = sorted(by_var.get(fr.data_cols[i], [None]))
         else:
             for i in positions:
-                r = (
-                    fr.sdf.where(fr.scol(i).isNotNull())
-                    .groupBy(fr.scol(i).alias("v"))
-                    .count()
-                    .orderBy(F.col("count").desc(), F.col("v").asc())
-                    .limit(1)
-                    .collect()
-                )
-                cols[fr.columns[i]] = [r[0]["v"] if r else None]
-        return pd.DataFrame(cols)
+                cnt = fr.sdf.where(fr.scol(i).isNotNull()).groupBy(fr.scol(i).alias("v")).count()
+                mx = cnt.agg(F.max("count").alias("m")).collect()[0]["m"]
+                if mx is None:
+                    cols[fr.columns[i]] = [None]
+                    continue
+                r = cnt.where(F.col("count") == mx).orderBy("v").collect()
+                cols[fr.columns[i]] = [x["v"] for x in r]
+        height = max(len(v) for v in cols.values())
+        return pd.DataFrame({k: v + [float("nan")] * (height - len(v)) for k, v in cols.items()})
 
     def quantile(self, q=0.5, numeric_only=True, axis=0, interpolation="linear"):
         if axis in (1, "columns"):

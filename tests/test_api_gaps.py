@@ -354,3 +354,25 @@ def test_resample_column_selection(spark):
     got2 = m.resample("2h")[["v", "w"]].mean().to_pandas().sort_index()
     exp2 = p.set_index("t").resample("2h")[["v", "w"]].mean()
     pd.testing.assert_frame_equal(got2, exp2, check_dtype=False, check_freq=False)
+
+
+def test_mode_ties(spark):
+    p = pd.DataFrame({"k": ["u", "u", "v", "v"], "a": [1.0, 1.0, 2.0, None]})
+    m = mpd.from_pandas(p)
+    pd.testing.assert_frame_equal(m[["k"]].mode(), p[["k"]].mode())
+    got, exp = m.mode(), p.mode()
+    pd.testing.assert_frame_equal(got.astype(object).where(got.notna(), None),
+                                  exp.astype(object).where(exp.notna(), None))
+
+
+def test_rename_multiindex_tuple_and_level(spark):
+    p = pd.DataFrame({"k": list("xxyy"), "a": [1.0, 2.0, 3.0, 4.0]})
+    m = mpd.from_pandas(p)
+    g = m.groupby("k").agg(["sum", "mean"])
+    # per-level value mapping (pandas semantics)
+    gp = p.groupby("k").agg(["sum", "mean"])
+    assert list(g.rename(columns={"a": "A"}).to_pandas().columns) == \
+        list(gp.rename(columns={"a": "A"}).columns)
+    # whole-tuple rename flattens (engine extension used by entry queries)
+    flat = g.rename(columns={("a", "sum"): "s", ("a", "mean"): "m"})
+    assert list(flat.to_pandas().columns) == ["s", "m"]
