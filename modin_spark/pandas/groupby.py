@@ -89,8 +89,26 @@ class DataFrameGroupBy:
         )
         return DataFrame(_frame=out)
 
-    def sum(self, numeric_only=True):
-        return self._agg_all("sum", numeric_only)
+    def sum(self, numeric_only=True, min_count=0):
+        if min_count <= 0:
+            return self._agg_all("sum", numeric_only)
+        # pandas min_count: groups with fewer than min_count non-null values
+        # yield NaN — sums and counts ride ONE hash aggregate, then a mask
+        # projection
+        from modin_spark.pandas.dataframe import DataFrame
+
+        vals = self._value_positions(numeric_only)
+        spec = ([(lbl, i, "sum", {}) for lbl, i in vals]
+                + [(f"__cnt{j}__", i, "count", {}) for j, (_, i) in enumerate(vals)])
+        out = qc.groupby_agg(
+            self._df._frame, self._by_pos, spec, as_index=True,
+            dropna=self._dropna, sort=self._sort
+        )
+        n = len(vals)
+        exprs = [F.when(F.col(out.data_cols[n + j]).cast("long") >= min_count, out.scol(j))
+                 for j in range(n)]
+        res = DataFrame(_frame=out.project([lbl for lbl, _ in vals], exprs))
+        return res.reset_index() if not self._as_index else res
 
     def mean(self, numeric_only=True):
         return self._agg_all("mean", numeric_only)
@@ -140,11 +158,17 @@ class DataFrameGroupBy:
     def quantile(self, q=0.5, numeric_only=True):
         return self._agg_all("quantile", numeric_only, q=q)
 
-    def size(self) -> Series:
+    def size(self):
         spec = [("size", None, "size", {})]
         out = qc.groupby_agg(
-            self._df._frame, self._by_pos, spec, as_index=True, dropna=self._dropna, sort=self._sort
+            self._df._frame, self._by_pos, spec, as_index=self._as_index,
+            dropna=self._dropna, sort=self._sort
         )
+        if not self._as_index:
+            # pandas as_index=False: a frame with the keys + a 'size' column
+            from modin_spark.pandas.dataframe import DataFrame
+
+            return DataFrame(_frame=out)
         return Series._from_frame(out)
 
     def ohlc(self):

@@ -376,3 +376,13 @@ def test_rename_multiindex_tuple_and_level(spark):
     # whole-tuple rename flattens (engine extension used by entry queries)
     flat = g.rename(columns={("a", "sum"): "s", ("a", "mean"): "m"})
     assert list(flat.to_pandas().columns) == ["s", "m"]
+
+
+def test_groupby_size_noindex_and_min_count(spark):
+    p = pd.DataFrame({"a": [3.0, None, 1.0, 2.0], "k": ["u", "u", "v", "v"]})
+    m = mpd.from_pandas(p)
+    got = m.groupby("k", as_index=False).size().to_pandas()
+    pd.testing.assert_frame_equal(got, p.groupby("k", as_index=False).size(), check_dtype=False)
+    got = m.groupby("k").a.sum(min_count=2).to_pandas().sort_values().reset_index(drop=True)
+    exp = p.groupby("k").a.sum(min_count=2).sort_values().reset_index(drop=True)
+    pd.testing.assert_series_equal(got, exp, check_dtype=False, check_names=False)
