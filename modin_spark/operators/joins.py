@@ -194,11 +194,13 @@ def merge_asof(
         dist = F.abs(F.col("__k__") - F.col("__pick__.__mk__"))
         out_rows = out_rows.withColumn("__pick__", F.when(dist <= F.lit(tol), F.col("__pick__")))
 
-    out_labels = list(left.columns)
+    # pandas suffixes BOTH sides of a shared non-key column (k -> k_x, k_y)
+    rshared = {lbl for lbl, _p in r_payload}
+    out_labels = [f"{c}{suffixes[0]}" if c in rshared else c for c in left.columns]
     out_phys = list(lf.data_cols)
     new_phys = fresh_names(len(r_payload))
     sel = [F.col("__lorder__").alias(ORDER_COL)] + [F.col(c) for c in out_phys]
-    lset = set(out_labels)
+    lset = set(left.columns)
     for i, ((lbl, _p), np_) in enumerate(zip(r_payload, new_phys)):
         name = f"{lbl}{suffixes[1]}" if lbl in lset else lbl
         out_labels.append(name)

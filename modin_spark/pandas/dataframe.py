@@ -1496,20 +1496,26 @@ class DataFrame:
                 # index columns become string, like pandas' object index
                 pivoted = pivoted.select(
                     *[F.col(p).cast("string").alias(p) for p in idx_phys],
-                    *[c for c in pivoted.columns if c not in set(idx_phys)],
+                    *[F.col("`" + c.replace("`", "``") + "`")
+                      for c in pivoted.columns if c not in set(idx_phys)],
                 )
                 col_m = fr.sdf.groupBy().pivot(col_phys).agg(agg_fn(F.col(val_phys)))
                 grand = fr.sdf.agg(agg_fn(F.col(val_phys)).alias("__all__"))
                 mrow = col_m.crossJoin(grand)
                 for p in idx_phys:
                     mrow = mrow.withColumn(p, F.lit(str(margins_name)))
-                pivoted = pivoted.unionByName(mrow.select(*pivoted.columns), allowMissingColumns=True)
+                msel = [F.col("`" + c.replace("`", "``") + "`") for c in pivoted.columns]
+                pivoted = pivoted.unionByName(mrow.select(*msel), allowMissingColumns=True)
                 value_cols = value_cols + ["__all__"]
             out_phys = _fn(len(value_cols))
             sel = [F.struct(*[F.col(p) for p in idx_phys]).alias(ORDER_COL)]
             sel += [F.col(p) for p in idx_phys]
             fill = (lambda c: F.coalesce(c, F.lit(fill_value))) if fill_value is not None else (lambda c: c)
-            sel += [fill(F.col(v)).alias(np_) for v, np_ in zip(value_cols, out_phys)]
+            # backtick-quote: pivot values like 1.0 otherwise parse as a
+            # struct field reference `1`.`0`
+            def _q(name):
+                return F.col("`" + name.replace("`", "``") + "`")
+            sel += [fill(_q(v)).alias(np_) for v, np_ in zip(value_cols, out_phys)]
             labels = [margins_name if v == "__all__" else v for v in value_cols]
             out = SparkFrame(pivoted.select(*sel), pd.Index(labels), out_phys, idx_phys, list(index))
             return DataFrame(_frame=out)

@@ -152,20 +152,41 @@ def qcut(x: Series, q, labels=None) -> Series:
     return cut(x, edges, labels=labels)
 
 
-def crosstab(index: Series, columns: Series) -> DataFrame:
+def crosstab(index: Series, columns: Series, margins: bool = False,
+             margins_name: str = "All", normalize=False) -> DataFrame:
     """Contingency table (reference: general.py:713) — groupBy().pivot().count(),
-    fully distributed; the pivoted result stays a lazy frame."""
+    fully distributed; the pivoted result stays a lazy frame. margins= adds
+    the All row/column (a row-sum expression + one tiny ungrouped pivot);
+    normalize= divides by the grand total (one scalar aggregate)."""
     from modin_spark.core.frame import ORDER_COL, fresh_names
 
     target, ie, ce, refs = index._combine(columns)
     sdf = target.sdf.select(ie.alias("__i__"), ce.alias("__c__"))
     pivoted = sdf.groupBy("__i__").pivot("__c__").count().na.fill(0)
     val_cols = [c for c in pivoted.columns if c != "__i__"]
+
+    def _q(c):
+        return F.col("`" + str(c).replace("`", "``") + "`")
+
+    if margins:
+        pivoted = pivoted.withColumn(
+            "__all__", sum((_q(c) for c in val_cols), F.lit(0)))
+        mrow = (sdf.groupBy().pivot("__c__").count().na.fill(0)
+                .withColumn("__i__", F.lit(str(margins_name))))
+        mrow = mrow.withColumn("__all__", sum((_q(c) for c in val_cols), F.lit(0)))
+        pivoted = (pivoted.withColumn("__i__", F.col("__i__").cast("string"))
+                   .unionByName(mrow, allowMissingColumns=True).na.fill(0))
+        val_cols = val_cols + ["__all__"]
     phys = fresh_names(len(val_cols) + 1)
     sel = [F.col("__i__").alias(ORDER_COL), F.col("__i__").alias(phys[0])]
-    sel += [F.col(c).alias(p) for c, p in zip(val_cols, phys[1:])]
+    if normalize in (True, "all"):
+        total = sdf.count()
+        sel += [(_q(c) / F.lit(total)).alias(p) for c, p in zip(val_cols, phys[1:])]
+    else:
+        sel += [_q(c).alias(p) for c, p in zip(val_cols, phys[1:])]
+    labels = [margins_name if c == "__all__" else c for c in val_cols]
     fr = SparkFrame(
-        pivoted.select(*sel), pd.Index(val_cols), phys[1:], [phys[0]],
+        pivoted.select(*sel), pd.Index(labels), phys[1:], [phys[0]],
         [index._name if index._name is not None else "index"],
     )
     return DataFrame(_frame=fr)

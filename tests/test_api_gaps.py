@@ -386,3 +386,30 @@ def test_groupby_size_noindex_and_min_count(spark):
     got = m.groupby("k").a.sum(min_count=2).to_pandas().sort_values().reset_index(drop=True)
     exp = p.groupby("k").a.sum(min_count=2).sort_values().reset_index(drop=True)
     pd.testing.assert_series_equal(got, exp, check_dtype=False, check_names=False)
+
+
+def test_pivot_float_keys_and_crosstab_margins(spark):
+    L = pd.DataFrame({"t": [1.0, 2.0, 5.0, 9.0], "k": ["a", "a", "b", "b"], "lv": [10, 20, 30, 40]})
+    m = mpd.from_pandas(L)
+    got = m.pivot_table(values="lv", index=["k"], columns="t", aggfunc="sum").to_pandas().sort_index()
+    exp = L.pivot_table(values="lv", index=["k"], columns="t", aggfunc="sum").sort_index()
+    exp.columns = [str(c) for c in exp.columns]
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False, check_names=False)
+
+    C = pd.DataFrame({"k": ["a", "a", "b", "b", "a"], "c": ["x", "y", "x", "x", "y"]})
+    mc = mpd.from_pandas(C)
+    got = mpd.crosstab(mc.k, mc.c, margins=True).to_pandas().sort_index()
+    exp = pd.crosstab(C.k, C.c, margins=True).sort_index()
+    assert got.values.tolist() == exp.values.tolist()
+    got = mpd.crosstab(mc.k, mc.c, normalize=True).to_pandas().sort_index()
+    exp = pd.crosstab(C.k, C.c, normalize=True).sort_index()
+    assert np.allclose(got.values, exp.values)
+
+
+def test_merge_asof_shared_column_suffixes(spark):
+    L = pd.DataFrame({"t": [1.0, 2.0, 5.0, 9.0], "k": ["a", "a", "b", "b"], "lv": [10, 20, 30, 40]})
+    R = pd.DataFrame({"t": [1.5, 4.0, 8.0], "k": ["a", "b", "b"], "rv": [1, 2, 3]})
+    got = mpd.merge_asof(mpd.from_pandas(L), mpd.from_pandas(R), on="t",
+                         direction="forward").to_pandas().reset_index(drop=True)
+    exp = pd.merge_asof(L, R, on="t", direction="forward")
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
