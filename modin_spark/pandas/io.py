@@ -115,14 +115,47 @@ def read_parquet(path: str, columns=None, filters=None) -> DataFrame:
     return DataFrame(_frame=SparkFrame.from_spark(sdf))
 
 
-def read_csv(path: str, sep: str = ",", header: int | str = 0, names=None, dtype=None, **kw) -> DataFrame:
+def read_csv(path: str, sep: str = ",", header: int | str = 0, names=None, dtype=None,
+             usecols=None, nrows=None, skiprows=None, parse_dates=None,
+             index_col=None, **kw) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    if sep is None:
+        # engine='python' sniffing: sample the first line driver-side
+        first = get_spark().read.text(path).limit(1).collect()
+        line = first[0][0] if first else ","
+        sep = max([",", "\t", ";", "|"], key=line.count)
     reader = get_spark().read.option("sep", sep).option("header", header is not None and header != None)
     if names is not None:
         reader = reader.option("header", False)
-    sdf = reader.option("inferSchema", True).csv(path)
+    if skiprows:
+        # pandas counts PHYSICAL lines: drop them from the text first, then
+        # csv-parse the remaining lines (header/inferSchema see only the
+        # kept lines — spark.read.csv accepts a dataset of strings)
+        txt = SparkFrame.from_spark(
+            get_spark().read.text(path)
+        ).ensure_order().with_global_position("__rp__")
+        kept = txt.sdf.where(F.col("__rp__") >= int(skiprows))
+        lines = kept.select(txt.data_cols[0]).rdd.map(lambda r: r[0])
+        sdf = reader.option("inferSchema", True).csv(lines)
+    else:
+        sdf = reader.option("inferSchema", True).csv(path)
     if names is not None:
         sdf = sdf.toDF(*names)
-    return DataFrame(_frame=SparkFrame.from_spark(sdf))
+    out = DataFrame(_frame=SparkFrame.from_spark(sdf))
+    if usecols is not None:
+        out = out[[c for c in out.columns if c in set(usecols)]]
+    if dtype is not None:
+        out = out.astype(dtype if isinstance(dtype, dict)
+                         else {c: dtype for c in out.columns})
+    if parse_dates:
+        for c in (parse_dates if isinstance(parse_dates, list) else [parse_dates]):
+            out[c] = out[c].astype("datetime64[ns]")
+    if nrows is not None:
+        out = out.head(int(nrows))
+    if index_col is not None:
+        out = out.set_index(index_col)
+    return out
 
 
 def read_json(path: str, lines: bool = True, **kw) -> DataFrame:

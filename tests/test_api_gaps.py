@@ -413,3 +413,20 @@ def test_merge_asof_shared_column_suffixes(spark):
                          direction="forward").to_pandas().reset_index(drop=True)
     exp = pd.merge_asof(L, R, on="t", direction="forward")
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_read_csv_kwargs(spark, tmp_path):
+    """usecols/nrows/skiprows/parse_dates/index_col/dtype/sep-sniffing were
+    silently swallowed by **kw."""
+    p = pd.DataFrame({"a": [1, 2, 3, 4], "b": ["x", "y", "", "w"],
+                      "t": pd.date_range("2024-01-01", periods=4)})
+    f = str(tmp_path / "t.csv")
+    p.to_csv(f, index=False)
+    assert list(mpd.read_csv(f, usecols=["a", "b"]).columns) == ["a", "b"]
+    assert len(mpd.read_csv(f, nrows=2)) == 2
+    assert mpd.read_csv(f, skiprows=2, names=["a", "b", "t"]).to_pandas().a.tolist() == [2, 3, 4]
+    assert len(mpd.read_csv(f, skiprows=1, header=None)) == len(pd.read_csv(f, skiprows=1, header=None))
+    assert str(mpd.read_csv(f, parse_dates=["t"]).dtypes["t"]).startswith("datetime")
+    assert mpd.read_csv(f, index_col="a").to_pandas().index.name == "a"
+    assert str(mpd.read_csv(f, dtype={"a": "float"}).dtypes["a"]).startswith("float")
+    assert len(mpd.read_csv(f, sep=None)) == 4
