@@ -29,7 +29,13 @@ class ILocIndexer:
             col_pos = list(col_key)
 
         if isinstance(row_key, slice):
-            start, stop, step = row_key.indices(1 << 62)
+            if (row_key.start is not None and row_key.start < 0) or \
+               (row_key.stop is not None and row_key.stop < 0):
+                # negative bounds resolve against the row count (one count job)
+                n = fr.count_rows()
+                start, stop, step = row_key.indices(n)
+            else:
+                start, stop, step = row_key.indices(1 << 62)
             out = fr.slice_positions(start, stop, step) if (start, stop, step) != (0, 1 << 62, 1) else fr
         elif isinstance(row_key, int):
             n = fr.count_rows()
@@ -40,8 +46,19 @@ class ILocIndexer:
                 return row.iloc[0, 0]
             return row.iloc[0]
         elif isinstance(row_key, list):
-            pos_fr = fr.with_global_position("__pos__")
-            out = fr._subset_rows(pos_fr.sdf.where(F.col("__pos__").isin(row_key)).drop("__pos__"))
+            from modin_spark.core.frame import ORDER_COL
+
+            keys = [int(i) for i in row_key]
+            if any(i < 0 for i in keys):
+                n = fr.count_rows()
+                keys = [i if i >= 0 else n + i for i in keys]
+            pos_fr = fr.ensure_order().with_global_position("__pos__")
+            kept = pos_fr.sdf.where(F.col("__pos__").isin(keys))
+            # pandas returns rows in REQUEST order — re-key the frame order
+            # by each row's rank in the request list (a literal array lookup)
+            arr = F.array(*[F.lit(i) for i in keys])
+            kept = kept.withColumn(ORDER_COL, F.array_position(arr, F.col("__pos__"))).drop("__pos__")
+            out = pos_fr._subset_rows(kept)
         else:
             raise NotImplementedError(type(row_key))
 
@@ -54,6 +71,19 @@ class ILocIndexer:
 class LocIndexer:
     def __init__(self, df):
         self._df = df
+
+    def __setitem__(self, key, value):
+        """The pandas masked-update idiom ``df.loc[mask, col] = v``: compiles
+        to a conditional projection (no shuffle, no materialize)."""
+        if not isinstance(key, tuple) or len(key) != 2:
+            raise NotImplementedError("loc assignment needs (row_mask, columns)")
+        row_key, col_key = key
+        if not isinstance(row_key, Series):
+            raise NotImplementedError("loc assignment supports a boolean-Series row mask")
+        cols = col_key if isinstance(col_key, list) else [col_key]
+        for c in cols:
+            cur = self._df[c]
+            self._df[c] = cur.mask(row_key, value)
 
     def __getitem__(self, key):
         from modin_spark.pandas.dataframe import DataFrame

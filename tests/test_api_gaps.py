@@ -430,3 +430,20 @@ def test_read_csv_kwargs(spark, tmp_path):
     assert mpd.read_csv(f, index_col="a").to_pandas().index.name == "a"
     assert str(mpd.read_csv(f, dtype={"a": "float"}).dtypes["a"]).startswith("float")
     assert len(mpd.read_csv(f, sep=None)) == 4
+
+
+def test_iloc_order_negatives_and_loc_setitem(spark):
+    p = pd.DataFrame({"a": [1.0, 2.0, 3.0, 4.0], "b": list("wxyz")})
+    m = mpd.from_pandas(p)
+    # request-order and negative positions
+    assert m.iloc[[2, 0]].to_pandas().a.tolist() == p.iloc[[2, 0]].a.tolist()
+    assert m.iloc[[-1, 0]].to_pandas().a.tolist() == p.iloc[[-1, 0]].a.tolist()
+    # negative slices
+    assert m.iloc[-2:].to_pandas().a.tolist() == p.iloc[-2:].a.tolist()
+    assert m.iloc[:-1].to_pandas().a.tolist() == p.iloc[:-1].a.tolist()
+    # the masked-update idiom
+    m2 = mpd.from_pandas(p)
+    m2.loc[m2.a > 2, "a"] = 0.0
+    p2 = p.copy()
+    p2.loc[p2.a > 2, "a"] = 0.0
+    assert m2.to_pandas().a.tolist() == p2.a.tolist()
