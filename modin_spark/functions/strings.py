@@ -207,7 +207,9 @@ STR_FUNCS = {
     "slice_replace": lambda c, start=None, stop=None, repl="": F.concat(
         F.substring(c, 1, (start or 0)), F.lit(repl), F.substring(c, (stop or 0) + 1, 2**31 - 1)
     ),
-    "wrap": lambda c, width: F.regexp_replace(c, f"(.{{1,{width}}})( +|$)", "$1\n"),
+    # trailing newline from the $-anchored pass is trimmed (pandas/textwrap)
+    "wrap": lambda c, width: F.regexp_replace(
+        F.regexp_replace(c, f"(.{{1,{width}}})( +|$)", "$1\n"), "\n$", ""),
 }
 
 

@@ -226,6 +226,12 @@ class Series:
     divide = __truediv__
     floordiv = __floordiv__
     mod = __mod__
+
+    def __divmod__(self, o):
+        return self // o, self % o
+
+    def __rdivmod__(self, o):
+        return o // self, o % self
     pow = __pow__
 
     def radd(self, o):

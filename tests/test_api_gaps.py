@@ -447,3 +447,16 @@ def test_iloc_order_negatives_and_loc_setitem(spark):
     p2 = p.copy()
     p2.loc[p2.a > 2, "a"] = 0.0
     assert m2.to_pandas().a.tolist() == p2.a.tolist()
+
+
+def test_divmod_and_str_wrap(spark):
+    s = pd.Series([7.0, None, 3.0], name="v")
+    m = mpd.from_pandas(s.to_frame()).v
+    q, r = divmod(m, 2)
+    eq, er = divmod(s, 2)
+    pd.testing.assert_series_equal(q.to_pandas().reset_index(drop=True), eq,
+                                   check_dtype=False, check_names=False)
+    pd.testing.assert_series_equal(r.to_pandas().reset_index(drop=True), er,
+                                   check_dtype=False, check_names=False)
+    w = mpd.from_pandas(pd.Series(["a b c d e"], name="v").to_frame()).v
+    assert w.str.wrap(3).to_pandas().tolist() == pd.Series(["a b c d e"]).str.wrap(3).tolist()
