@@ -290,7 +290,9 @@ class DataFrameGroupBy:
         from modin_spark.pandas.dataframe import DataFrame
 
         def b(c, keys):
-            order = c.asc() if ascending else c.desc()
+            # nulls must sort LAST so they never occupy low ranks (their own
+            # outputs are masked below; pandas keeps NaN rank for NaN values)
+            order = c.asc_nulls_last() if ascending else c.desc_nulls_last()
             w = Window.partitionBy(*keys).orderBy(order)
             if method == "min":
                 r = F.rank().over(w).cast("double")
@@ -447,9 +449,12 @@ class DataFrameGroupBy:
         from modin_spark.pandas.dataframe import DataFrame
 
         def b(c, keys):
+            # pandas pct_change pads missing values before differencing
+            wf = Window.partitionBy(*keys).orderBy(ORDER_COL).rowsBetween(Window.unboundedPreceding, 0)
+            filled = F.last(c, ignorenulls=True).over(wf).cast("double")
             w = Window.partitionBy(*keys).orderBy(ORDER_COL)
-            prev = F.lag(c, periods).over(w).cast("double")
-            return c.cast("double") / prev - 1
+            prev = F.lag(filled, periods).over(w)
+            return filled / prev - 1
 
         return DataFrame(_frame=self._window_transform(b))
 

@@ -45,6 +45,15 @@ class Rolling:
         return Rolling(sub, self._window, self._min_periods, win_type=self._win_type,
                        center=self._center, closed=self._closed, **self._win_kwargs)
 
+    def __getattr__(self, name):
+        # attribute-style narrowing: r.x == r["x"]
+        if name.startswith("_"):
+            raise AttributeError(name)
+        cols = getattr(self._obj, "columns", None)
+        if cols is not None and name in list(cols):
+            return self[name]
+        raise AttributeError(name)
+
     def _run(self, agg: str, **agg_kwargs):
         from modin_spark.pandas.dataframe import DataFrame
 

@@ -460,3 +460,21 @@ def test_divmod_and_str_wrap(spark):
                                    check_dtype=False, check_names=False)
     w = mpd.from_pandas(pd.Series(["a b c d e"], name="v").to_frame()).v
     assert w.str.wrap(3).to_pandas().tolist() == pd.Series(["a b c d e"]).str.wrap(3).tolist()
+
+
+def test_grouped_rank_nulls_pct_change_pad(spark):
+    p = pd.DataFrame({"k": ["u", "u", "v", "v", "u"], "x": [1.0, None, 3.0, 4.0, 5.0]})
+    m = mpd.from_pandas(p)
+    for meth in ["dense", "min", "first", "average"]:
+        got = m.groupby("k").x.rank(method=meth).to_pandas().tolist()
+        exp = p.groupby("k").x.rank(method=meth).tolist()
+        assert all((np.isnan(g) and np.isnan(e)) or g == e for g, e in zip(got, exp)), meth
+    got = m.groupby("k").x.pct_change().to_pandas().tolist()
+    exp = p.groupby("k").x.pct_change().tolist()
+    assert all((np.isnan(g) and np.isnan(e)) or abs(g - e) < 1e-12 for g, e in zip(got, exp))
+    # rolling attribute narrowing
+    p2 = p.assign(i=[1, 2, 3, 4, 5])
+    m2 = mpd.from_pandas(p2)
+    got = m2.rolling(2, on="i").x.sum().to_pandas().reset_index(drop=True)
+    exp = p2.rolling(2, on="i").x.sum().reset_index(drop=True)
+    pd.testing.assert_series_equal(got, exp, check_dtype=False, check_names=False)
