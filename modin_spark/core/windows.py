@@ -173,11 +173,14 @@ def diff(frame: SparkFrame, positions: Sequence[int], periods: int = 1) -> Spark
 
 def pct_change(frame: SparkFrame, positions: Sequence[int], periods: int = 1) -> SparkFrame:
     """pandas ``pct_change`` — cur/prev - 1 along frame order (same
-    position-equijoin plan as shift; no global window)."""
-    shifted = shift(frame, positions, periods)
+    position-equijoin plan as shift; no global window). pandas pads missing
+    values before differencing (fill_method), so the diff runs on the
+    ffilled series — one extra block-carry pass."""
+    filled = ffill(frame, positions)
+    shifted = shift(filled, list(range(len(positions))), periods)
     labels, exprs = [], []
     for out_pos, orig_pos in enumerate(positions):
-        cur = F.col(frame.data_cols[orig_pos])
+        cur = F.col(filled.data_cols[out_pos])
         prev = F.col(shifted.data_cols[out_pos])
         labels.append(frame.columns[orig_pos])
         exprs.append(cur.cast("double") / prev.cast("double") - 1)

@@ -779,11 +779,8 @@ class Series:
         return Series._from_frame(win.diff(self._to_frame(), [0], periods))
 
     def pct_change(self, periods: int = 1) -> "Series":
-        fr = self._to_frame()
-        shifted_fr = win.shift(fr, [0], periods)  # row-preserving; fr's column stays visible in sdf
-        cur = F.col(fr.data_cols[0]).cast("double")
-        prev = F.col(shifted_fr.data_cols[0]).cast("double")
-        return Series(shifted_fr, (cur - prev) / prev, {fr.data_cols[0], shifted_fr.data_cols[0]}, self._name)
+        # pandas pads missing values before differencing (fill_method)
+        return Series._from_frame(win.pct_change(self._to_frame(), [0], periods)).rename(self._name)
 
     def rank(self, method="average", ascending=True, pct=False, na_option="keep") -> "Series":
         return Series._from_frame(win.rank(self._to_frame(), [0], method, ascending, pct, na_option))

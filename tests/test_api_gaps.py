@@ -478,3 +478,13 @@ def test_grouped_rank_nulls_pct_change_pad(spark):
     got = m2.rolling(2, on="i").x.sum().to_pandas().reset_index(drop=True)
     exp = p2.rolling(2, on="i").x.sum().reset_index(drop=True)
     pd.testing.assert_series_equal(got, exp, check_dtype=False, check_names=False)
+
+
+def test_pct_change_pads_missing(spark):
+    s = pd.Series([1.0, None, 3.0, None, 6.0], name="v")
+    m = mpd.from_pandas(s.to_frame()).v
+    for per in [1, 2]:
+        got = m.pct_change(per).to_pandas().tolist()
+        exp = s.pct_change(per).tolist()
+        assert all((np.isnan(g) and np.isnan(e)) or abs(g - e) < 1e-12
+                   for g, e in zip(got, exp)), per
