@@ -975,6 +975,22 @@ class DatetimeMethods:
 
     _PROPS = set(DT_FUNCS)
 
+    def isocalendar(self):
+        """ISO (year, week, day) frame — three extract() expressions in one
+        projection (Spark: YEAROFWEEK / weekofyear / DAYOFWEEK_ISO)."""
+        from modin_spark.pandas.dataframe import DataFrame
+
+        fr = self._s._to_frame("__t__")
+        c = fr.data_cols[0]
+        return DataFrame(_frame=fr.project(
+            ["year", "week", "day"],
+            [
+                F.expr(f"extract(YEAROFWEEK FROM {c})").cast("long"),
+                F.weekofyear(F.col(c)).cast("long"),
+                F.expr(f"extract(DAYOFWEEK_ISO FROM {c})").cast("long"),
+            ],
+        ))
+
     def __getattr__(self, name):
         if name.startswith("_"):
             raise AttributeError(name)

@@ -488,3 +488,11 @@ def test_pct_change_pads_missing(spark):
         exp = s.pct_change(per).tolist()
         assert all((np.isnan(g) and np.isnan(e)) or abs(g - e) < 1e-12
                    for g, e in zip(got, exp)), per
+
+
+def test_dt_isocalendar(spark):
+    p = pd.DataFrame({"t": pd.to_datetime(["2024-01-01", "2023-12-31", "2024-02-29", "2021-01-03"])})
+    m = mpd.from_pandas(p)
+    got = m.t.dt.isocalendar().to_pandas().reset_index(drop=True)
+    exp = p.t.dt.isocalendar().astype("int64").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
