@@ -1562,7 +1562,12 @@ class DataFrame:
             fr = self._frame
             if axis in (0, "index"):
                 if not fr.can_rebase(other._frame, other._refs):
-                    raise NotImplementedError("axis=0 binary with a Series from an unrelated lineage")
+                    # unrelated lineage: position-align via one concat_cols
+                    # join, then the op is an ordinary projection
+                    combined = qc.concat_cols([fr, other._to_frame("__o__")])
+                    n = len(fr.columns)
+                    exprs = [op(combined.scol(i), combined.scol(n)) for i in range(n)]
+                    return DataFrame(_frame=combined.project(list(fr.columns), exprs))
                 exprs = [op(fr.scol(i), other._expr) for i in range(len(fr.columns))]
                 return DataFrame(_frame=fr.project(list(fr.columns), exprs))
             vals = other.to_pandas()

@@ -496,3 +496,12 @@ def test_dt_isocalendar(spark):
     got = m.t.dt.isocalendar().to_pandas().reset_index(drop=True)
     exp = p.t.dt.isocalendar().astype("int64").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_binary_series_axis0_unrelated_lineage(spark):
+    a = pd.DataFrame({"x": [1.0, None, 3.0], "y": [4.0, 5.0, 6.0]})
+    ma = mpd.from_pandas(a)
+    s = mpd.from_pandas(pd.DataFrame({"s": [1.0, 2.0, 3.0]})).s
+    got = ma.mul(s, axis=0).to_pandas().reset_index(drop=True)
+    exp = a.mul(pd.Series([1.0, 2.0, 3.0]), axis=0)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
