@@ -265,3 +265,22 @@ def test_label_centroids_partial_agg(spark):
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     plan = plans.physical_plan(label_centroids(emb))
     assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_every_entry_query_plan_is_scale_safe(spark):
+    """Full-registry sweep (superset of the TPC-H sweep): every one of the
+    110 entry queries must plan without a CartesianProduct and without a
+    single-partition exchange over non-aggregated data. Broadcast
+    nested-loop joins are allowed only because they imply a broadcast-small
+    side (the ANN query fan-out); a true cartesian is never acceptable."""
+    import __spark_entry__ as entry
+
+    bad = []
+    for name, fn in entry.queries().items():
+        df = fn(spark, SF)
+        plan = plans.physical_plan(df)
+        cart = plan.count("CartesianProduct")
+        unsafe = plans.unsafe_single_partition_exchanges(df)
+        if cart or unsafe:
+            bad.append((name, cart, unsafe))
+    assert not bad, bad
