@@ -1209,13 +1209,36 @@ class DataFrame:
 
     aggregate = agg
 
-    def describe(self) -> pd.DataFrame:
+    def describe(self, include=None, exclude=None) -> pd.DataFrame:
+        """pandas describe: numeric stats by default; all-object frames (or
+        include='all'/'object') get count/unique/top/freq — ONE aggregate per
+        object column (count + countDistinct + mode via a k-row groupBy)."""
         fr = self._frame
-        positions = self._numeric_positions()
+        num_pos = self._numeric_positions()
+        obj_pos = [i for i in range(len(fr.columns)) if i not in set(num_pos)]
+        want_obj = include in ("all", "object", object) or (not num_pos)
+        want_num = bool(num_pos) and include not in ("object", object)
         cols = {}
-        for i in positions:
-            cols[fr.columns[i]] = self._series_at(i).describe()
-        return pd.DataFrame(cols)
+        if want_num:
+            for i in num_pos:
+                cols[fr.columns[i]] = self._series_at(i).describe()
+        if want_obj:
+            for i in obj_pos:
+                c = fr.scol(i)
+                base = fr.sdf.agg(
+                    F.count(c).alias("n"), F.countDistinct(c).alias("u")
+                ).collect()[0]
+                top = (fr.sdf.where(c.isNotNull()).groupBy(c.alias("v")).count()
+                       .orderBy(F.col("count").desc(), F.col("v").asc()).limit(1).collect())
+                cols[fr.columns[i]] = pd.Series(
+                    {"count": base["n"], "unique": base["u"],
+                     "top": top[0]["v"] if top else None,
+                     "freq": top[0]["count"] if top else None})
+        out = pd.DataFrame(cols)
+        # pandas row order: count/unique/top/freq first, then numeric stats
+        order = [r for r in ["count", "unique", "top", "freq", "mean", "std",
+                             "min", "25%", "50%", "75%", "max"] if r in out.index]
+        return out.loc[order]
 
     def idxmax(self, axis=0) -> pd.Series:
         if axis in (1, "columns"):

@@ -505,3 +505,12 @@ def test_binary_series_axis0_unrelated_lineage(spark):
     got = ma.mul(s, axis=0).to_pandas().reset_index(drop=True)
     exp = a.mul(pd.Series([1.0, 2.0, 3.0]), axis=0)
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_describe_object_and_include_all(spark):
+    p = pd.DataFrame({"s": ["apple", "Banana", None, "apple"], "v": [1.0, 2.0, 3.0, 4.0]})
+    m = mpd.from_pandas(p)
+    pd.testing.assert_frame_equal(m[["s"]].describe(), p[["s"]].describe(), check_dtype=False)
+    got, exp = m.describe(include="all"), p.describe(include="all")
+    assert got.shape == exp.shape and list(got.index) == list(exp.index)
+    pd.testing.assert_frame_equal(m.describe(), p.describe(), check_dtype=False)
