@@ -1671,6 +1671,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "expanding_median_p90": _expanding_median_p90,
         "q8_market_share": _q8_market_share,
         "q14_promo_revenue": _q14_promo_revenue,
+        # (c2) machinery touched in the continuation session (rank na_option
+        # refactor, pct_change pad, resample closed/label plumbing, pivot
+        # backtick quoting, crosstab margins path, mode tie handling, asof
+        # suffixing, grouped-transform null ordering)
+        "rank_min": _rank_min,
+        "rank_frame": _rank_frame,
+        "pct_change_value": _pct_change_value,
+        "resample_hourly": _resample_hourly,
+        "resample_ffill": _resample_ffill,
+        "resample_interp": _resample_interp,
+        "crosstab_counts": _crosstab_counts,
+        "mode_quantity": _mode_quantity,
+        "asof_join": _asof_join,
+        "shift_diff": _shift_diff,
+        "melt_unpivot": _melt_unpivot,
         # (d) stalest green rows (last scored r2), current relative order
         "asof_nearest": _asof_nearest,
         "case_when": _case_when,
@@ -1700,10 +1715,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_nation_revenue": _q5,
         "q6_forecast_revenue": _q6,
         "query_eval": _query_eval,
-        "rank_frame": _rank_frame,
-        "rank_min": _rank_min,
-        "resample_hourly": _resample_hourly,
-        "shift_diff": _shift_diff,
         "sort_topk": _sort_topk,
         "sql_interface": _sql_interface,
         "str_funcs": _str_funcs,
@@ -1716,7 +1727,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ivf_topk": _emb_ivf_topk,
         "emb_lsh_recall": _emb_lsh_recall,
         "emb_ivf_recall": _emb_ivf_recall,
-        "asof_join": _asof_join,
         "dt_funcs": _dt_funcs,
         "q2_min_cost_supplier": _q2_min_cost_supplier,
         "q4_priority_returned": _q4_priority_returned,
@@ -1735,24 +1745,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_waiting_supplier": _q21_waiting_supplier,
         "q22_global_sales": _q22_global_sales,
         "anti_join_customers": _anti_join_customers,
-        "melt_unpivot": _melt_unpivot,
         "explode_words": _explode_words,
-        "crosstab_counts": _crosstab_counts,
         "qcut_quartiles": _qcut_quartiles,
         "expanding_stats": _expanding_stats,
-        "pct_change_value": _pct_change_value,
         "groupby_transform_demean": _groupby_transform_demean,
         "groupby_filter_large": _groupby_filter_large,
         "groupby_head2": _groupby_head2,
         "groupby_first_last": _groupby_first_last,
         "describe_stats": _describe_stats,
-        "mode_quantity": _mode_quantity,
         "rollup_agg": _rollup_agg,
         "range_join_buckets": _range_join_buckets,
         "where_clip": _where_clip,
         "docs_fingerprint": _docs_fingerprint,
-        "resample_ffill": _resample_ffill,
-        "resample_interp": _resample_interp,
         "docs_langid_quality": _docs_langid_quality,
         "docs_clean_corpus": _docs_clean_corpus,
         "docs_jaccard_pairs": _docs_jaccard_pairs,
