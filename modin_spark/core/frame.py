@@ -265,7 +265,15 @@ class SparkFrame:
             flat[p] = pdf.index.get_level_values(i).to_numpy()
         for j, p in enumerate(data_phys):
             flat[p] = pdf.iloc[:, j].to_numpy()
-        sdf = spark.createDataFrame(flat)
+        if len(flat) == 0:
+            # empty frames can't infer a schema — build it from pandas dtypes
+            fields = [T.StructField(ORDER_COL, T.LongType())]
+            for c in list(flat.columns)[1:]:
+                fields.append(T.StructField(
+                    c, pandas_dtype_to_spark(str(flat[c].dtype))))
+            sdf = spark.createDataFrame([], schema=T.StructType(fields))
+        else:
+            sdf = spark.createDataFrame(flat)
         nf = cls(sdf, data_labels, data_phys, idx_phys, index_names if idx_phys else [None])
         nf.order_epoch = ("pd", nf._lid)  # contiguous 0..n-1, unique to this ingest
         return nf

@@ -514,3 +514,17 @@ def test_describe_object_and_include_all(spark):
     got, exp = m.describe(include="all"), p.describe(include="all")
     assert got.shape == exp.shape and list(got.index) == list(exp.index)
     pd.testing.assert_frame_equal(m.describe(), p.describe(), check_dtype=False)
+
+
+def test_empty_frame_construction(spark):
+    """Empty pandas frames build with an explicit schema (Spark can't infer
+    from zero rows)."""
+    empty = pd.DataFrame({"a": pd.Series([], dtype="float64")})
+    me = mpd.from_pandas(empty)
+    assert len(me) == 0
+    v = me.a.mean()
+    assert v is None or (isinstance(v, float) and np.isnan(v))
+    eg = mpd.from_pandas(pd.DataFrame({"k": pd.Series([], dtype="object"),
+                                       "v": pd.Series([], dtype="float64")}))
+    assert len(eg.groupby("k").sum()) == 0
+    assert len(mpd.concat([me, mpd.from_pandas(pd.DataFrame({"a": [1.0]}))])) == 1
