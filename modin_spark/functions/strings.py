@@ -107,8 +107,8 @@ def _pad(c: Column, width: int, side: str = "left", fillchar: str = " ") -> Colu
         return F.when(ln >= width, c).otherwise(F.lpad(c, width, fillchar))
     if side == "right":
         return F.when(ln >= width, c).otherwise(F.rpad(c, width, fillchar))
-    # both: pandas puts extra fill on the right
-    left = (F.lit(width) - ln) / 2
+    # both: pandas puts the EXTRA fill char on the LEFT (ceil on the left)
+    left = (F.lit(width) - ln + 1) / 2
     return F.when(ln >= width, c).otherwise(
         F.rpad(F.lpad(c, (ln + F.floor(left)).cast("int"), fillchar), width, fillchar)
     )
@@ -138,12 +138,54 @@ def _partition(c: Column, sep: str = " ") -> Column:
 
 _ALPHA = r"^[\p{L}]+$"
 
+
+
+def _title(c: Column) -> Column:
+    """pandas title: uppercase after ANY non-letter (initcap only splits on
+    whitespace) — a per-char transform with a previous-char boundary check,
+    still whole-stage codegen."""
+    chars = F.split(c, "")
+    return F.when(c.isNotNull(), F.concat_ws("", F.transform(
+        chars,
+        lambda ch, i: F.when(i == 0, F.upper(ch)).otherwise(
+            F.when(~F.element_at(chars, i).rlike(r"\p{L}"), F.upper(ch)).otherwise(F.lower(ch))
+        ),
+    )))
+
+
+def _swapcase(c: Column) -> Column:
+    chars = F.split(c, "")
+    return F.when(c.isNotNull(), F.concat_ws("", F.transform(
+        chars,
+        lambda ch: F.when((ch == F.upper(ch)) & (ch != F.lower(ch)), F.lower(ch))
+                    .when((ch == F.lower(ch)) & (ch != F.upper(ch)), F.upper(ch))
+                    .otherwise(ch),
+    )))
+
+
+def _translate(c: Column, table) -> Column:
+    """str.translate with a {ord: ord/str/None} table — 1:1 and deletion
+    maps compile to F.translate; anything else is unsupported."""
+    src_chars, dst_chars = [], []
+    for k, v in table.items():
+        kc = chr(k) if isinstance(k, int) else str(k)
+        if v is None:
+            vc = ""
+        else:
+            vc = chr(v) if isinstance(v, int) else str(v)
+        if len(vc) > 1:
+            raise NotImplementedError("str.translate with multi-char replacements")
+        src_chars.append(kc)
+        dst_chars.append(vc)
+    return F.translate(c, "".join(src_chars), "".join(dst_chars))
+
+
 STR_FUNCS = {
     "lower": lambda c: F.lower(c),
     "upper": lambda c: F.upper(c),
-    "title": lambda c: F.initcap(F.regexp_replace(c, "_", " _")),  # approx; initcap splits on whitespace
+    "title": _title,
     "capitalize": lambda c: F.concat(F.upper(F.substring(c, 1, 1)), F.lower(F.substring(c, 2, 2**31 - 1))),
-    "swapcase": lambda c: F.translate(c, "", ""),  # replaced below with expr
+    "swapcase": _swapcase,
     "len": lambda c: F.length(c),
     "strip": lambda c, to_strip=None: _strip(c, to_strip, "both"),
     "lstrip": lambda c, to_strip=None: _strip(c, to_strip, "left"),
@@ -152,9 +194,10 @@ STR_FUNCS = {
     "startswith": lambda c, pat, na=None: F.coalesce(c.startswith(pat), F.lit(na)),
     "endswith": lambda c, pat, na=None: F.coalesce(c.endswith(pat), F.lit(na)),
     "find": lambda c, sub, start=0, end=None: F.instr(c, sub) - 1,
-    "rfind": lambda c, sub: F.length(c) - F.instr(F.reverse(c), F.reverse(F.lit(sub))) - len(sub) + 1
-    if True
-    else None,
+    "rfind": lambda c, sub: F.when(
+        F.instr(F.reverse(c), F.reverse(F.lit(sub))) > 0,
+        F.length(c) - F.instr(F.reverse(c), F.reverse(F.lit(sub))) - len(sub) + 1,
+    ).otherwise(F.when(c.isNotNull(), F.lit(-1))),
     "replace": _replace,
     "repeat": lambda c, repeats: F.repeat(c, repeats),
     # pandas n = max SPLITS; Spark limit = max ELEMENTS = n+1
@@ -165,7 +208,7 @@ STR_FUNCS = {
     "slice": _slice,
     "__getitem__": _getitem,
     "get": _getitem,
-    "zfill": lambda c, width: F.when(
+    "zfill": lambda c, width: F.when(F.length(c) >= width, c).when(
         c.startswith("-"),
         F.concat(F.lit("-"), F.lpad(F.substring(c, 2, 2**31 - 1), width - 1, "0")),
     ).otherwise(F.lpad(c, width, "0")),
@@ -198,7 +241,7 @@ STR_FUNCS = {
     "removesuffix": lambda c, suffix: F.when(c.endswith(suffix), F.substring(c, 1, F.length(c) - len(suffix))).otherwise(c),
     "cat": lambda c, others=None, sep="": F.concat_ws(sep, c, *(others or [])),
     "join": lambda c, sep: F.array_join(c, sep),
-    "translate": lambda c, table: c,  # needs per-char map; UDF fallback at API layer
+    "translate": _translate,
     "encode": lambda c, encoding="utf-8": F.encode(c, encoding),
     "decode": lambda c, encoding="utf-8": F.decode(c, encoding),
     "normalize": lambda c, form: c,

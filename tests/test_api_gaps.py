@@ -528,3 +528,19 @@ def test_empty_frame_construction(spark):
                                        "v": pd.Series([], dtype="float64")}))
     assert len(eg.groupby("k").sum()) == 0
     assert len(mpd.concat([me, mpd.from_pandas(pd.DataFrame({"a": [1.0]}))])) == 1
+
+
+def test_str_sweep_fixes(spark):
+    """title (boundary after any non-letter), swapcase, rfind miss=-1,
+    center extra-pad-left, zfill no-truncate, translate 1:1 maps,
+    pad(side='both')."""
+    s = pd.Series(["Hello World", "  spam ", None, "a_b-c", "123", "", "ümlaut"], name="v")
+    m = mpd.from_pandas(s.to_frame()).v
+    for name, kw in [("title", {}), ("swapcase", {}), ("rfind", {"sub": "o"}),
+                     ("center", {"width": 15}), ("zfill", {"width": 8}),
+                     ("translate", {"table": {108: 76}}),
+                     ("pad", {"width": 15, "side": "both"})]:
+        got = getattr(m.str, name)(**kw).to_pandas().tolist()
+        exp = getattr(s.str, name)(**kw).tolist()
+        for g, e in zip(got, exp):
+            assert (g == e) or (pd.isna(g) and pd.isna(e)), (name, got, exp)
