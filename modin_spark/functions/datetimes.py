@@ -29,7 +29,10 @@ DT_FUNCS = {
     "microsecond": lambda c: (F.unix_micros(_TS(c)) % 1_000_000).cast("int"),
     "nanosecond": lambda c: ((F.unix_micros(_TS(c)) % 1_000_000) % 1000 * 0).cast("int"),
     "date": lambda c: F.to_date(c),
-    "time": lambda c: F.date_format(c, "HH:mm:ss"),
+    # pandas str(time) omits a zero fraction — match that
+    "time": lambda c: F.when(
+        F.date_format(c, "SSSSSS") == "000000", F.date_format(c, "HH:mm:ss")
+    ).otherwise(F.date_format(c, "HH:mm:ss.SSSSSS")),
     "dayofweek": lambda c: ((F.dayofweek(c) + 5) % 7).cast("int"),
     "weekday": lambda c: ((F.dayofweek(c) + 5) % 7).cast("int"),
     "dayofyear": lambda c: F.dayofyear(c),
@@ -37,13 +40,13 @@ DT_FUNCS = {
     "quarter": lambda c: F.quarter(c),
     "daysinmonth": lambda c: F.dayofmonth(F.last_day(c)),
     "days_in_month": lambda c: F.dayofmonth(F.last_day(c)),
-    "is_month_start": lambda c: F.dayofmonth(c) == 1,
-    "is_month_end": lambda c: F.to_date(c) == F.last_day(c),
-    "is_quarter_start": lambda c: (F.dayofmonth(c) == 1) & (F.month(c).isin(1, 4, 7, 10)),
-    "is_quarter_end": lambda c: (F.to_date(c) == F.last_day(c)) & (F.month(c).isin(3, 6, 9, 12)),
-    "is_year_start": lambda c: (F.dayofmonth(c) == 1) & (F.month(c) == 1),
-    "is_year_end": lambda c: (F.dayofmonth(c) == 31) & (F.month(c) == 12),
-    "is_leap_year": lambda c: (F.year(c) % 4 == 0) & ((F.year(c) % 100 != 0) | (F.year(c) % 400 == 0)),
+    "is_month_start": lambda c: F.coalesce(F.dayofmonth(c) == 1, F.lit(False)),
+    "is_month_end": lambda c: F.coalesce(F.to_date(c) == F.last_day(c), F.lit(False)),
+    "is_quarter_start": lambda c: F.coalesce((F.dayofmonth(c) == 1) & (F.month(c).isin(1, 4, 7, 10)), F.lit(False)),
+    "is_quarter_end": lambda c: F.coalesce((F.to_date(c) == F.last_day(c)) & (F.month(c).isin(3, 6, 9, 12)), F.lit(False)),
+    "is_year_start": lambda c: F.coalesce((F.dayofmonth(c) == 1) & (F.month(c) == 1), F.lit(False)),
+    "is_year_end": lambda c: F.coalesce((F.dayofmonth(c) == 31) & (F.month(c) == 12), F.lit(False)),
+    "is_leap_year": lambda c: F.coalesce((F.year(c) % 4 == 0) & ((F.year(c) % 100 != 0) | (F.year(c) % 400 == 0)), F.lit(False)),
     "isocalendar_week": lambda c: F.weekofyear(c),
     "week": lambda c: F.weekofyear(c),
     "strftime": lambda c, date_format: F.date_format(c, _strftime_to_java(date_format)),

@@ -544,3 +544,17 @@ def test_str_sweep_fixes(spark):
         exp = getattr(s.str, name)(**kw).tolist()
         for g, e in zip(got, exp):
             assert (g == e) or (pd.isna(g) and pd.isna(e)), (name, got, exp)
+
+
+def test_dt_nat_predicates_and_time_micros(spark):
+    s = pd.Series(pd.to_datetime(
+        ["2024-02-29 13:45:56.123456", "2023-01-01 00:00:00.000001",
+         "2024-12-31 23:59:59.500000", None, "2021-07-04 12:00:00.000000"],
+        format="mixed"), name="t")
+    m = mpd.from_pandas(s.to_frame()).t
+    for name in ["is_month_start", "is_month_end", "is_quarter_start", "is_quarter_end",
+                 "is_year_start", "is_year_end", "is_leap_year", "time"]:
+        got = getattr(m.dt, name).to_pandas().tolist()
+        exp = getattr(s.dt, name).tolist()
+        for g, e in zip(got, exp):
+            assert (str(g) == str(e)) or (pd.isna(g) and pd.isna(e)), name
