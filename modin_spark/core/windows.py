@@ -384,10 +384,15 @@ def rolling_agg(
             "neither": (window - 1, -1),
         }[closed]
 
+    # pandas gate: count() needs min_periods window ROWS (every row is an
+    # observation for count); every other agg needs min_periods NON-NULLs
+    def gate(p, w):
+        return (F.count(F.lit(1)) if agg == "count" else F.count(F.col(p))).over(w)
+
     if group_phys:
         w = Window.partitionBy(*group_phys).orderBy(ORDER_COL).rowsBetween(-back, fwd)
         exprs = [
-            F.when(F.count(F.col(p)).over(w) >= min_periods, over_fn(F.col(p), w)).otherwise(F.lit(None))
+            F.when(gate(p, w) >= min_periods, over_fn(F.col(p), w)).otherwise(F.lit(None))
             for p in phys
         ]
         return frame.project(labels, exprs)
@@ -398,9 +403,7 @@ def rolling_agg(
     out_phys = fresh_names(len(phys))
     for p, op_ in zip(phys, out_phys):
         val = over_fn(F.col(p), w)
-        nonnull = F.count(F.col(p)).over(w)
-        # pandas: need min_periods non-null observations inside the window
-        sdf = sdf.withColumn(op_, F.when(nonnull >= min_periods, val).otherwise(F.lit(None)))
+        sdf = sdf.withColumn(op_, F.when(gate(p, w) >= min_periods, val).otherwise(F.lit(None)))
     sdf = sdf.where(F.col("__halo__") == 0).drop("__halo__")
     out = fr._same_rows(sdf).project(labels, [F.col(op_) for op_ in out_phys])
     return _drop_aux(out)

@@ -558,3 +558,14 @@ def test_dt_nat_predicates_and_time_micros(spark):
         exp = getattr(s.dt, name).tolist()
         for g, e in zip(got, exp):
             assert (str(g) == str(e)) or (pd.isna(g) and pd.isna(e)), name
+
+
+def test_rolling_count_min_periods_gate(spark):
+    """pandas gates rolling.count on window ROW coverage, not non-null
+    observations (count itself is the observation for count)."""
+    s = pd.Series([1.0, np.nan, 3.0, 4.0, np.nan, 6.0], name="v")
+    m = mpd.from_pandas(s.to_frame()).v
+    for mp in [None, 2]:
+        got = m.rolling(5, min_periods=mp).count().to_pandas().reset_index(drop=True)
+        exp = s.rolling(5, min_periods=mp).count()
+        pd.testing.assert_series_equal(got, exp, check_dtype=False, check_names=False)
