@@ -277,6 +277,10 @@ class EWM:
     def _run(self, method: str):
         from modin_spark.pandas.dataframe import DataFrame
 
+        if method == "sum" and not self._adjust:
+            # fail driver-side with pandas' own message instead of from an
+            # executor task
+            raise NotImplementedError("sum is not implemented with adjust=False")
         a, adj, mp = self._alpha, self._adjust, self._min_periods
 
         def pd_fn(s):
