@@ -596,7 +596,10 @@ def expanding_agg(frame: SparkFrame, positions: Sequence[int], agg, min_periods:
                 min_n = max(min_periods, 4)
             else:
                 raise NotImplementedError(f"expanding {a_name}")
-            exprs.append(F.when(n >= min_n, e).otherwise(F.lit(None)))
+            # count gates on prefix ROW coverage (every row is an observation
+            # for count — pandas), the rest on non-null observations
+            gate_n = (F.col(_POS) + 1) if a_name == "count" else n
+            exprs.append(F.when(gate_n >= min_n, e).otherwise(F.lit(None)))
             out_labels.append(f"{lbl}_{a_name}" if multi else lbl)
     out = fr._same_rows(sdf).project(out_labels, exprs)
     return _drop_aux(out)

@@ -569,3 +569,12 @@ def test_rolling_count_min_periods_gate(spark):
         got = m.rolling(5, min_periods=mp).count().to_pandas().reset_index(drop=True)
         exp = s.rolling(5, min_periods=mp).count()
         pd.testing.assert_series_equal(got, exp, check_dtype=False, check_names=False)
+
+
+def test_expanding_count_min_periods_gate(spark):
+    s = pd.Series([1.0, np.nan, 3.0], name="v")
+    m = mpd.from_pandas(s.to_frame()).v
+    for mp in [1, 3]:
+        got = m.expanding(mp).count().to_pandas().reset_index(drop=True)
+        exp = s.expanding(mp).count()
+        pd.testing.assert_series_equal(got, exp, check_dtype=False, check_names=False)
