@@ -131,7 +131,14 @@ def groupby_agg(
     aggs = []
     for (lbl, pos, name, kw), op in zip(agg_spec, out_phys):
         c = F.col(frame.data_cols[pos]) if pos is not None else F.lit(1)
-        aggs.append(agg_expr(name, c, kw.get("q")).alias(op))
+        e = agg_expr(name, c, kw.get("q"))
+        # pandas identity elements: sum/prod of an all-NaN group are 0/1
+        # (min_count=0 default) — Spark's aggregates return NULL there
+        if name == "sum":
+            e = F.coalesce(e, F.lit(0))
+        elif name == "prod":
+            e = F.coalesce(e, F.lit(1.0))
+        aggs.append(e.alias(op))
     if sort:
         # pandas sorts group keys with NaN LAST; Spark struct ordering puts
         # nulls first — prefix each key with its null flag (false < true)
@@ -146,7 +153,22 @@ def groupby_agg(
     labels = [s[0] for s in agg_spec]
     if as_index:
         return SparkFrame(agged, pd.Index(labels), out_phys, key_phys, list(key_labels))
-    return SparkFrame(agged, pd.Index(list(key_labels) + labels), key_phys + out_phys, [], [None])
+    return SparkFrame(agged, _keys_plus_labels(key_labels, labels), key_phys + out_phys, [], [None])
+
+
+def _keys_plus_labels(key_labels, labels) -> pd.Index:
+    """as_index=False columns: keys + agg labels. When the agg labels are
+    tuples (list/dict-of-list specs) pandas pads the keys to ('key', '') and
+    the result carries 2-level columns."""
+    if any(isinstance(l, tuple) for l in labels):
+        width = max(len(l) for l in labels if isinstance(l, tuple))
+
+        def pad(l):
+            t = l if isinstance(l, tuple) else (l,)
+            return t + ("",) * (width - len(t))
+
+        return pd.MultiIndex.from_tuples([pad(l) for l in list(key_labels) + list(labels)])
+    return pd.Index(list(key_labels) + list(labels))
 
 
 def groupby_agg_udf(
@@ -198,7 +220,7 @@ def groupby_agg_udf(
     labels = [s[0] for s in agg_spec]
     if as_index:
         return SparkFrame(agged, pd.Index(labels), out_phys, key_phys, list(key_labels))
-    return SparkFrame(agged, pd.Index(list(key_labels) + labels), key_phys + out_phys, [], [None])
+    return SparkFrame(agged, _keys_plus_labels(key_labels, labels), key_phys + out_phys, [], [None])
 
 
 def groupby_apply(frame: SparkFrame, by_positions: Sequence[int], func, schema_sample_rows: int = 100) -> SparkFrame:
@@ -308,11 +330,49 @@ def merge(
     if broadcast_right:
         rsdf = F.broadcast(rsdf)
 
-    cond = None
-    for lk, rk in zip(lkeys, rkeys):
-        c = lsdf[lk] == rsdf[rk]
-        cond = c if cond is None else (cond & c)
-    joined = lsdf.join(rsdf, cond, how)
+    # pandas merge matches NaN keys to each other; Spark's `=` drops them.
+    # A blanket `<=>` (eqNullSafe) would be correct but disables bucketed
+    # co-location and null-pruning pushdown (hash of a transformed key), so
+    # decompose by null pattern instead: key tuples with NO nulls join with
+    # plain `=` (bucketing/broadcast/pushdown intact — this is ~all of the
+    # data); rows with a null key component can only null-safe-match rows
+    # with the IDENTICAL null pattern, so they join in a separate null-safe
+    # branch (parquet null_count stats prune it to ~zero scan on clean data).
+    def _cond(ls, rs, null_safe):
+        c = None
+        for lk, rk in zip(lkeys, rkeys):
+            e = ls[lk].eqNullSafe(rs[rk]) if null_safe else (ls[lk] == rs[rk])
+            c = e if c is None else (c & e)
+        return c
+
+    nullable = any(lsdf.schema[k].nullable for k in lkeys) or any(
+        rsdf.schema[k].nullable for k in rkeys
+    )
+    if lkeys and nullable:
+        l_null = None
+        for k in lkeys:
+            e = F.col(k).isNull()
+            l_null = e if l_null is None else (l_null | e)
+        r_null = None
+        for k in rkeys:
+            e = F.col(k).isNull()
+            r_null = e if r_null is None else (r_null | e)
+        lnn, rnn = lsdf.where(~l_null), rsdf.where(~r_null)
+        ln, rn = lsdf.where(l_null), rsdf.where(r_null)
+        if broadcast_right:
+            rnn = F.broadcast(rnn)
+        # the null branch is ~empty on clean data — broadcast its build side
+        # (where the join type allows) so it never costs a hash shuffle and
+        # co-located/bucketed plans on the main branch stay exchange-free
+        if how in ("inner", "left", "left_outer", "semi", "left_semi", "anti", "left_anti", "cross"):
+            rn = F.broadcast(rn)
+        elif how in ("right", "right_outer"):
+            ln = F.broadcast(ln)
+        joined = lnn.join(rnn, _cond(lnn, rnn, False), how).unionByName(
+            ln.join(rn, _cond(ln, rn, True), how)
+        )
+    else:
+        joined = lsdf.join(rsdf, _cond(lsdf, rsdf, False) if lkeys else None, how)
     if how in ("right", "outer", "full", "full_outer"):
         # pandas coalesces shared `on` keys (and index keys): right-only rows
         # carry the right key value instead of NULL
@@ -338,7 +398,8 @@ def merge(
 
     for i, lbl in enumerate(l_labels):
         name = lbl
-        if lbl in {right.columns[j] for j in range(len(right.columns)) if j not in on_pairs}:
+        # suffixes=(None, '_y') keeps that side's shared columns bare
+        if suffixes[0] and lbl in {right.columns[j] for j in range(len(right.columns)) if j not in on_pairs}:
             name = f"{lbl}{suffixes[0]}"
         out_labels.append(name)
         out_phys.append(left.data_cols[i])
@@ -346,7 +407,7 @@ def merge(
         if j in on_pairs:
             continue  # single copy of the shared key column (from left)
         name = lbl
-        if lbl in set(l_labels):
+        if suffixes[1] and lbl in set(l_labels):
             name = f"{lbl}{suffixes[1]}"
         out_labels.append(name)
         out_phys.append(r_map[right.data_cols[j]])
@@ -379,7 +440,9 @@ def merge(
         out = SparkFrame(joined, pd.Index(out_labels), out_phys, lkeys, list(left.index_names))
     else:
         out = SparkFrame(joined, pd.Index(out_labels), out_phys, [], [None])
-    if sort and lkeys:
+    if (sort or how in ("outer", "full", "full_outer")) and lkeys:
+        # pandas sorts outer-merge results by the join keys even with
+        # sort=False ("outer: ... sort keys lexicographically"); NaN last
         out_keys = [F.col(k) for k in lkeys]
         out = out.sort_by(out_keys, [True] * len(out_keys))
     return out
@@ -486,6 +549,20 @@ def drop_duplicates(frame: SparkFrame, subset_positions: Sequence[int] | None, k
     """
     frame = frame.ensure_order()
     phys = [frame.data_cols[i] for i in (subset_positions if subset_positions is not None else range(len(frame.columns)))]
+    if keep is False:
+        # pandas keep=False drops EVERY member of a duplicated group: keep
+        # only groups of size 1 (same single-shuffle groupBy + semi-join)
+        singles = (
+            frame.sdf.groupBy(*[F.col(p) for p in phys])
+            .agg(F.count(F.lit(1)).alias("__n__"), F.min(ORDER_COL).alias("__keep_order__"))
+            .where(F.col("__n__") == 1)
+        )
+        joined = frame.sdf.join(
+            singles,
+            on=[frame.sdf[ORDER_COL] == singles["__keep_order__"]],
+            how="left_semi",
+        )
+        return frame._subset_rows(joined)
     pick = F.min(ORDER_COL) if keep == "first" else F.max(ORDER_COL)
     if not frame.index_cols and set(phys) >= set(frame.data_cols):
         # subset covers the whole row: duplicates are bytewise identical, so

@@ -885,6 +885,42 @@ def rank(
         local = F.col(_POS) - F.col("__cbase__") + 1
         if method == "first":
             r = local
+        elif method == "dense":
+            # dense: consecutive tie-block numbers. Distinct (cid, value)
+            # blocks can be as many as rows, so they are numbered with the
+            # SAME partition-prefix-sum scheme (never a per-cid global
+            # window), then joined back on the tie-block key.
+            blocks = s.groupBy("__cid__", "__v__").agg(F.min(_POS).alias("__blo__"))
+            bkeys = [F.col("__cid__").asc(), F.col("__blo__").asc()]
+            b = blocks.repartitionByRange(*bkeys).withColumn("__bpid__", F.spark_partition_id())
+            b = b.withColumn(
+                "__blr__",
+                F.row_number().over(Window.partitionBy("__bpid__").orderBy(*bkeys)) - F.lit(1),
+            )
+            bcnt = b.groupBy("__bpid__").count()
+            w_boff = Window.orderBy("__bpid__").rowsBetween(Window.unboundedPreceding, -1)
+            boff = bcnt.select(
+                F.col("__bpid__").alias("__bpid2__"),
+                F.coalesce(F.sum("count").over(w_boff), F.lit(0)).alias("__boff__"),
+            )
+            b = b.join(F.broadcast(boff), b["__bpid__"] == boff["__bpid2__"], "inner")
+            b = b.withColumn("__bpos__", (F.col("__blr__") + F.col("__boff__")).cast("long"))
+            cbb = b.groupBy("__cid__").agg(
+                F.min("__bpos__").alias("__cbb__"), F.count(F.lit(1)).alias("__cnd__")
+            )
+            b = b.join(F.broadcast(cbb), "__cid__").select(
+                F.col("__cid__").alias("__bcid__"), F.col("__v__").alias("__bv__"),
+                (F.col("__bpos__") - F.col("__cbb__") + 1).alias("__dr__"),
+                F.col("__cnd__"),
+            )
+            s = s.join(
+                b,
+                (s["__cid__"] == b["__bcid__"]) & s["__v__"].eqNullSafe(b["__bv__"]),
+                "inner",
+            ).drop("__bcid__", "__bv__")
+            r = F.col("__dr__")
+            # pandas dense+pct divides by the DISTINCT-value count per column
+            dense_den = F.col("__cnd__")
         else:
             w_v = Window.partitionBy("__cid__", "__v__")
             lo = F.min(_POS).over(w_v) - F.col("__cbase__") + 1
@@ -894,7 +930,7 @@ def rank(
                 raise NotImplementedError(f"rank method {method!r}")
         r = r.cast("double")
         if pct:
-            r = r / F.col("__cn__")
+            r = r / (dense_den if method == "dense" else F.col("__cn__"))
         res = s.select(F.col("__gp__").alias("__gpr__"), F.col("__cid__"), r.alias("__rank__"))
         rp = fresh_names(k)
         if k == 1:

@@ -449,6 +449,11 @@ class DataFrame:
 
     def replace(self, to_replace, value=None) -> "DataFrame":
         out = DataFrame(_frame=self._frame)
+        if isinstance(to_replace, dict) and any(isinstance(v, dict) for v in to_replace.values()):
+            # pandas nested form {col: {old: new}} — per-column maps
+            for col, mapping in to_replace.items():
+                out[col] = self[col].replace(mapping, value)
+            return out
         for i, lbl in enumerate(self._frame.columns):
             out[lbl] = self._series_at(i).replace(to_replace, value)
         return out
@@ -476,21 +481,25 @@ class DataFrame:
             # typically derived from self (``df.where(df > 0)``), so its sdf
             # still carries self's physical columns — evaluate there
             cf = cond._frame
-            if not cf.can_rebase(fr, set(fr.data_cols)):
-                raise NotImplementedError("where with a condition frame from an unrelated lineage")
-            if isinstance(other, DataFrame) and not cf.can_rebase(other._frame, set(other._frame.data_cols)):
-                # cond and other branched from different projections: align
-                # all three by position (one concat_cols join), then the
-                # when() is an ordinary projection on the combined frame
-                combined = qc.concat_cols([fr, cf, other._frame])
+            other_f = other._frame if isinstance(other, DataFrame) else None
+            cond_rebases = cf.can_rebase(fr, set(fr.data_cols))
+            other_rebases = other_f is None or cf.can_rebase(other_f, set(other_f.data_cols))
+            if not (cond_rebases and other_rebases):
+                # cond (and/or other) branched from an unrelated lineage:
+                # align everything by position (one concat_cols join), then
+                # the when() is an ordinary projection on the combined frame
+                combined = qc.concat_cols([fr, cf] + ([other_f] if other_f is not None else []))
                 n, m = len(fr.columns), len(cf.columns)
                 cpos = {lbl: j for j, lbl in enumerate(cf.columns)}
-                opos = {lbl: j for j, lbl in enumerate(other._frame.columns)}
+                opos = {lbl: j for j, lbl in enumerate(other_f.columns)} if other_f is not None else {}
                 exprs = []
                 for i, lbl in enumerate(fr.columns):
                     if lbl in cpos:
                         c = F.coalesce(combined.scol(n + cpos[lbl]), F.lit(False))
-                        o = combined.scol(n + m + opos[lbl]) if lbl in opos else F.lit(None)
+                        if other_f is not None:
+                            o = combined.scol(n + m + opos[lbl]) if lbl in opos else F.lit(None)
+                        else:
+                            o = _lit(other) if other is not None else F.lit(None)
                         exprs.append(F.when(c, combined.scol(i)).otherwise(o))
                     else:
                         exprs.append(F.lit(None))
@@ -521,12 +530,14 @@ class DataFrame:
         fr = self._frame
         exprs = []
         for i in range(len(fr.columns)):
-            e = fr.scol(i)
+            c = fr.scol(i)
+            e = c
             if lower is not None:
                 e = F.greatest(e, _lit(lower))
             if upper is not None:
                 e = F.least(e, _lit(upper))
-            exprs.append(e)
+            # greatest/least IGNORE nulls; pandas clip keeps NaN as NaN
+            exprs.append(F.when(c.isNull(), F.lit(None)).otherwise(e))
         return DataFrame(_frame=fr.project(fr.columns, exprs))
 
     def abs(self) -> "DataFrame":
@@ -953,8 +964,16 @@ class DataFrame:
         if axis in (1, "columns"):
             # row-wise distinct count: one array expression, no shuffle
             fr = self._frame
-            cols = [fr.scol(i) for i in range(len(fr.columns))]
-            arr = F.array(*[c.cast("string") for c in cols])
+            # numeric columns compare as numbers (pandas: 1 == 1.0 across an
+            # int and a float column) — normalize through double before the
+            # string array; non-numerics stay strings
+            cols = []
+            for i in range(len(fr.columns)):
+                c = fr.scol(i)
+                if fr.dtype_of(i).startswith(("int", "float", "bool")):
+                    c = c.cast("double")
+                cols.append(c.cast("string"))
+            arr = F.array(*cols)
             if dropna:
                 arr = F.filter(arr, lambda x: x.isNotNull())
             e = F.size(F.array_distinct(arr)).cast("long")
@@ -1428,14 +1447,15 @@ class DataFrame:
         val_pos = fr.positions_of(value_vars)
         val_phys = [fr.data_cols[i] for i in val_pos]
         sdf0 = fr.sdf
-        # mixed value-column types: pandas coerces to object — cast all to
-        # string so unpivot finds a common type (numeric-only frames keep
-        # their numeric type)
+        # mixed value-column types: all-numeric mixes widen to double
+        # (pandas: int+float melt to float64); anything else coerces to
+        # string so unpivot finds a common type
         vtypes = {fr.dtype_of(i) for i in val_pos}
-        numerics = {"int", "bigint", "smallint", "tinyint", "float", "double"}
-        if len(vtypes) > 1 and not vtypes <= numerics:
+        if len(vtypes) > 1:
+            all_num = all(fr.dtype_of(i).startswith(("int", "float", "bool")) for i in val_pos)
+            tgt = "double" if all_num else "string"
             for p in val_phys:
-                sdf0 = sdf0.withColumn(p, F.col(p).cast("string"))
+                sdf0 = sdf0.withColumn(p, F.col(p).cast(tgt))
         unpivoted = sdf0.unpivot(
             [ORDER_COL] + id_phys, val_phys, "__var__", "__val__"
         )
@@ -1603,12 +1623,16 @@ class DataFrame:
                     exprs.append(F.lit(None))  # pandas: unmatched label -> NaN
             return DataFrame(_frame=fr.project(list(fr.columns), exprs))
         if not isinstance(other, DataFrame):
-            # scalar: apply to every numeric column
+            # scalar: apply to every numeric column (fill_value fills the
+            # frame's missing cells before the op, pandas flex semantics)
             labels, exprs = [], []
             fr = self._frame
             for i in range(len(fr.columns)):
                 labels.append(fr.columns[i])
-                exprs.append(op(fr.scol(i), F.lit(other)))
+                la = fr.scol(i)
+                if fill_value is not None:
+                    la = F.coalesce(la, F.lit(fill_value))
+                exprs.append(op(la, F.lit(other)))
             return DataFrame(_frame=fr.project(labels, exprs))
         a, b = self._frame, other._frame
         if a.can_rebase(b, set(b.data_cols)):
@@ -1624,8 +1648,14 @@ class DataFrame:
                 else:
                     la, lb = a.scol(i), b.scol(j)
                     if fill_value is not None:
-                        la, lb = F.coalesce(la, F.lit(fill_value)), F.coalesce(lb, F.lit(fill_value))
-                    exprs.append(op(la, lb))
+                        # pandas flex: one-sided missing fills; BOTH missing
+                        # stays missing
+                        e = F.when(la.isNull() & lb.isNull(), F.lit(None)).otherwise(
+                            op(F.coalesce(la, F.lit(fill_value)), F.coalesce(lb, F.lit(fill_value)))
+                        )
+                    else:
+                        e = op(la, lb)
+                    exprs.append(e)
             return DataFrame(_frame=a.project(labels, exprs))
         # unaligned lineage: join on global position (both sides range-
         # partitioned on order — one co-located shuffle each)
@@ -1645,8 +1675,12 @@ class DataFrame:
             else:
                 la, lb = F.col(ap.data_cols[i]), F.col(f"__r_{jj}")
                 if fill_value is not None:
-                    la, lb = F.coalesce(la, F.lit(fill_value)), F.coalesce(lb, F.lit(fill_value))
-                exprs.append(op(la, lb))
+                    e = F.when(la.isNull() & lb.isNull(), F.lit(None)).otherwise(
+                        op(F.coalesce(la, F.lit(fill_value)), F.coalesce(lb, F.lit(fill_value)))
+                    )
+                else:
+                    e = op(la, lb)
+                exprs.append(e)
         fr = SparkFrame(j.withColumn(ORDER_COL, F.col("__ba__")), a.columns, ap.data_cols, [], [None])
         return DataFrame(_frame=fr.project(labels, exprs))
 
@@ -1693,10 +1727,50 @@ class DataFrame:
     def pow(self, other, axis="columns", fill_value=None):
         return self._binary_frame(other, lambda a, b: F.pow(a, b), fill_value, axis=axis)
 
+    # reversed flex variants (pandas rop(other) == op with operands swapped)
+    def radd(self, other, axis="columns", fill_value=None):
+        return self._binary_frame(other, lambda a, b: b + a, fill_value, axis=axis)
+
+    def rsub(self, other, axis="columns", fill_value=None):
+        return self._binary_frame(other, lambda a, b: b - a, fill_value, axis=axis)
+
+    def rmul(self, other, axis="columns", fill_value=None):
+        return self._binary_frame(other, lambda a, b: b * a, fill_value, axis=axis)
+
+    def rtruediv(self, other, axis="columns", fill_value=None):
+        return self._binary_frame(other, lambda a, b: DataFrame._true_div(b, a), fill_value, axis=axis)
+
+    rdiv = rtruediv
+
+    def rfloordiv(self, other, axis="columns", fill_value=None):
+        return self._binary_frame(
+            other,
+            lambda a, b: F.when(a.cast("double") == 0, DataFrame._true_div(b, a))
+            .otherwise(F.floor(b.cast("double") / a).cast("double")),
+            fill_value,
+            axis=axis,
+        )
+
+    def rmod(self, other, axis="columns", fill_value=None):
+        return self._binary_frame(other, lambda a, b: F.pmod(b, a), fill_value, axis=axis)
+
+    def rpow(self, other, axis="columns", fill_value=None):
+        return self._binary_frame(other, lambda a, b: F.pow(b, a), fill_value, axis=axis)
+
     __add__ = add
     __sub__ = sub
     __mul__ = mul
     __truediv__ = div
+    __floordiv__ = floordiv
+    __mod__ = mod
+    __pow__ = pow
+    __radd__ = radd
+    __rsub__ = rsub
+    __rmul__ = rmul
+    __rtruediv__ = rtruediv
+    __rfloordiv__ = rfloordiv
+    __rmod__ = rmod
+    __rpow__ = rpow
 
     # --------------------------------------------------------- conveniences
     def pipe(self, func, *args, **kwargs):
@@ -1818,22 +1892,43 @@ class DataFrame:
         return self.pivot_table(values=values, index=[index] if isinstance(index, str) else index,
                                 columns=columns, aggfunc="first")
 
-    def stack(self) -> "DataFrame":
-        """Columns → rows. Flat columns: pandas returns a MultiIndex Series —
-        here the frame equivalent: index cols + 'level_1' + 'value'.
+    def stack(self):
+        """Columns → rows. Flat columns: a (index, column-label) MultiIndex
+        Series in pandas' row-major order with NaN cells dropped (classic
+        ``stack`` semantics) — melt + an ORDER-struct swap, no extra shuffle.
         2-level columns: the LAST column level moves into the index and the
         output columns are the level-0 labels (pandas ``future_stack``
         order-of-appearance semantics) — ONE posexplode, no shuffle."""
+        from modin_spark.core.frame import ORDER_COL as _OC
+
         fr = self._frame
         if isinstance(fr.columns, pd.MultiIndex) and fr.columns.nlevels == 2:
             return self._stack_two_level()
-        id_vars = []
+        fr2 = fr.ensure_order()
         if fr.index_cols:
-            out = DataFrame(_frame=fr.reset_index())
-            id_vars = [n if n is not None else "index" for n in fr.index_names]
+            base = DataFrame(_frame=fr2.reset_index())
+            id_vars = [n if n is not None else "index" for n in fr2.index_names]
+            idx_names = list(fr2.index_names)
         else:
-            out = self
-        return out.melt(id_vars=id_vars or None, var_name="level_1", value_name="value")
+            posfr = fr2.with_global_position("__sp0__")
+            base = DataFrame(_frame=SparkFrame(
+                posfr.sdf, pd.Index(["__sl0__"] + list(fr2.columns)),
+                ["__sp0__"] + list(fr2.data_cols), [], [None],
+            ))
+            id_vars = ["__sl0__"]
+            idx_names = [None]
+        melted = base.melt(id_vars=id_vars, var_name="__slv__", value_name="__sval__")
+        mfr = melted._frame
+        # melt emits column-major ORDER (v, o); stack is row-major — swap
+        sdf = mfr.sdf.withColumn(
+            _OC, F.struct(F.col(f"{_OC}.o").alias("a"), F.col(f"{_OC}.v").alias("b"))
+        ).where(F.col(mfr.data_cols[-1]).isNotNull())  # classic stack drops NaN
+        swapped = SparkFrame(sdf, mfr.columns, mfr.data_cols, mfr.index_cols, mfr.index_names)
+        st = DataFrame(_frame=swapped).set_index(id_vars + ["__slv__"])
+        stf = st._frame._same_rows(st._frame.sdf, index_names=idx_names + [None])
+        out = Series._from_frame(stf)
+        out._name = None
+        return out
 
     def _stack_two_level(self) -> "DataFrame":
         from modin_spark.core.frame import fresh_names

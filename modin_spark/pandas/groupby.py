@@ -212,6 +212,10 @@ class DataFrameGroupBy:
             for lbl, i in self._value_positions():
                 for fn in spec:
                     entries.append(((lbl, fn), i, fn, {}))
+        elif callable(spec):
+            # pandas applies the callable per column, output label = column
+            for lbl, i in self._value_positions():
+                entries.append((lbl, i, spec, {}))
         else:
             raise NotImplementedError("agg spec")
         if any(callable(e[2]) for e in entries):

@@ -51,6 +51,30 @@ def bucket_start(ts_col, dur: str, closed=None, offset=None):
     return F.window(t, dur)["start"]
 
 
+def _complete_grid(agged, key_p: str, dur: str, val_ps, agg_name):
+    """pandas resample emits EVERY bucket between min and max, not just the
+    occupied ones (empty buckets: count/size/nunique -> 0, sum -> 0, prod ->
+    1, the rest NaN). Stays one plan: a 1-row min/max aggregate cross-joined
+    back, F.sequence exploded into the grid, left join of the occupied
+    buckets onto it — no driver collect, the grid is ~bucket-count rows."""
+    fills = {"count": F.lit(0), "size": F.lit(0), "nunique": F.lit(0),
+             "sum": F.lit(0), "prod": F.lit(1.0)}
+    names = agg_name if isinstance(agg_name, list) else [agg_name] * len(val_ps)
+    grid = (
+        agged.agg(F.min(key_p).alias("__mn__"), F.max(key_p).alias("__mx__"))
+        .where(F.col("__mn__").isNotNull())
+        .select(F.explode(F.sequence(F.col("__mn__"), F.col("__mx__"), F.expr(f"interval {dur}"))).alias(key_p))
+    )
+    out = grid.join(agged, on=key_p, how="left")
+    if any(n in fills for n in names):
+        out = out.select(
+            key_p,
+            *[F.coalesce(F.col(p), fills[n]).alias(p) if n in fills else F.col(p)
+              for p, n in zip(val_ps, names)],
+        )
+    return out
+
+
 class Resampler:
     def __init__(self, df, rule: str, on=None, closed=None, label=None,
                  offset=None, origin=None):
@@ -108,6 +132,7 @@ class Resampler:
         key_p, val_ps = out_phys[0], out_phys[1:]
         aggs = [qc.agg_expr(name, F.col(fr.data_cols[i])).alias(p) for i, p in zip(positions, val_ps)]
         agged = fr.sdf.groupBy(bucket.alias(key_p)).agg(*aggs)
+        agged = _complete_grid(agged, key_p, dur, val_ps, name)
         if self._label == "right":
             # label buckets by their right edge (pandas label='right')
             agged = agged.withColumn(key_p, F.col(key_p) + F.expr(f"INTERVAL {dur}"))

@@ -27,6 +27,10 @@ from modin_spark.functions import DT_FUNCS, STR_FUNCS
 def _lit(v) -> Column:
     if isinstance(v, pd.Timestamp):
         return F.lit(v.to_pydatetime())
+    if isinstance(v, float) and v != v:
+        # pandas NaN means MISSING; Spark's double NaN is a value that
+        # neither isNull nor coalesce treats as absent — ingest as NULL
+        return F.lit(None).cast("double")
     return F.lit(v)
 
 
@@ -155,9 +159,18 @@ class Series:
         rsdf = rf.sdf.select(*[F.col(k).alias(f"__rk{i}__") for i, k in enumerate(rkey)], rf.data_cols[0])
         cond = None
         for i, k in enumerate(lkey):
-            c = lf.sdf[k] == rsdf[f"__rk{i}__"]
+            c = lf.sdf[k].eqNullSafe(rsdf[f"__rk{i}__"])
             cond = c if cond is None else (cond & c)
-        joined = lf.sdf.join(rsdf, cond, "inner").drop(*[f"__rk{i}__" for i in range(len(rkey))])
+        # pandas OUTER-aligns binary operands: the result carries the union
+        # of both indexes (missing side -> NaN), ordered as the sorted union
+        # (pandas keeps the original order only for already-equal indexes —
+        # those are usually sorted anyway; divergence documented)
+        joined = lf.sdf.join(rsdf, cond, "full_outer")
+        for i, k in enumerate(lkey):
+            joined = joined.withColumn(k, F.coalesce(F.col(k), F.col(f"__rk{i}__")))
+        joined = joined.drop(*[f"__rk{i}__" for i in range(len(rkey))])
+        sort_keys = [F.col(k).asc_nulls_last() for k in lkey] + [F.col(ORDER_COL).asc_nulls_first()]
+        joined = joined.orderBy(*sort_keys).withColumn(ORDER_COL, F.monotonically_increasing_id())
         if "__alp__" in joined.columns:
             joined = joined.drop("__alp__")
         fr = SparkFrame(joined, lf.columns, lf.data_cols, lf.index_cols, lf.index_names)
@@ -176,6 +189,20 @@ class Series:
             e = F.coalesce(e, F.lit(False))
         name = self._name if not isinstance(other, Series) or other._name == self._name else None
         return Series(target, e, refs, name=name, filter_expr=filter_expr)
+
+    def _flex(self, other, fn, reverse=False, fill_value=None) -> "Series":
+        """pandas flex-arithmetic: with ``fill_value`` a one-sided missing
+        value is replaced before the op; both-missing stays missing."""
+        if fill_value is None:
+            return self._binary(other, fn, reverse=reverse)
+        fv = F.lit(fill_value)
+
+        def wrapped(a, b):
+            return F.when(a.isNull() & b.isNull(), F.lit(None)).otherwise(
+                fn(F.coalesce(a, fv), F.coalesce(b, fv))
+            )
+
+        return self._binary(other, wrapped, reverse=reverse)
 
     def __add__(self, o):
         return self._binary(o, lambda a, b: a + b)
@@ -216,29 +243,54 @@ class Series:
     def __rpow__(self, o):
         return self._binary(o, lambda a, b: F.pow(a, b), reverse=True)
 
-    add = __add__
-    sub = __sub__
-    subtract = __sub__
-    mul = __mul__
-    multiply = __mul__
-    div = __truediv__
-    truediv = __truediv__
-    divide = __truediv__
-    floordiv = __floordiv__
-    mod = __mod__
+    def add(self, other, level=None, fill_value=None, axis=0):
+        return self._flex(other, lambda a, b: a + b, fill_value=fill_value)
+
+    def sub(self, other, level=None, fill_value=None, axis=0):
+        return self._flex(other, lambda a, b: a - b, fill_value=fill_value)
+
+    subtract = sub
+
+    def mul(self, other, level=None, fill_value=None, axis=0):
+        return self._flex(other, lambda a, b: a * b, fill_value=fill_value)
+
+    multiply = mul
+
+    def truediv(self, other, level=None, fill_value=None, axis=0):
+        return self._flex(other, _true_div, fill_value=fill_value)
+
+    div = truediv
+    divide = truediv
+
+    def floordiv(self, other, level=None, fill_value=None, axis=0):
+        return self._flex(other, _floor_div, fill_value=fill_value)
+
+    def mod(self, other, level=None, fill_value=None, axis=0):
+        return self._flex(other, _pmod, fill_value=fill_value)
 
     def __divmod__(self, o):
         return self // o, self % o
 
     def __rdivmod__(self, o):
         return o // self, o % self
-    pow = __pow__
 
-    def radd(self, o):
-        return self.__radd__(o)
+    def pow(self, other, level=None, fill_value=None, axis=0):
+        return self._flex(other, lambda a, b: F.pow(a, b), fill_value=fill_value)
 
-    def rsub(self, o):
-        return self.__rsub__(o)
+    def radd(self, other, level=None, fill_value=None, axis=0):
+        return self._flex(other, lambda a, b: a + b, reverse=True, fill_value=fill_value)
+
+    def rsub(self, other, level=None, fill_value=None, axis=0):
+        return self._flex(other, lambda a, b: a - b, reverse=True, fill_value=fill_value)
+
+    def rmul(self, other, level=None, fill_value=None, axis=0):
+        return self._flex(other, lambda a, b: a * b, reverse=True, fill_value=fill_value)
+
+    def rmod(self, other, level=None, fill_value=None, axis=0):
+        return self._flex(other, _pmod, reverse=True, fill_value=fill_value)
+
+    def rpow(self, other, level=None, fill_value=None, axis=0):
+        return self._flex(other, lambda a, b: F.pow(a, b), reverse=True, fill_value=fill_value)
 
     def __eq__(self, o):  # type: ignore[override]
         return self._binary(o, lambda a, b: a == b, comparison=True)
@@ -343,17 +395,18 @@ class Series:
         if isinstance(lower, Series) or isinstance(upper, Series):
             # element-wise bounds: combine on shared lineage (or alignment
             # join) — stays one projection
+            # greatest/least IGNORE nulls; pandas clip keeps NaN as NaN
             out = self
             if isinstance(lower, Series):
                 target, a, b, refs = out._combine(lower)
-                out = Series(target, F.greatest(a, b), refs, out._name)
+                out = Series(target, F.when(a.isNull(), F.lit(None)).otherwise(F.greatest(a, b)), refs, out._name)
             elif lower is not None:
-                out = out._map1(lambda c: F.greatest(c, _lit(lower)))
+                out = out._map1(lambda c: F.when(c.isNull(), F.lit(None)).otherwise(F.greatest(c, _lit(lower))))
             if isinstance(upper, Series):
                 target, a, b, refs = out._combine(upper)
-                out = Series(target, F.least(a, b), refs, out._name)
+                out = Series(target, F.when(a.isNull(), F.lit(None)).otherwise(F.least(a, b)), refs, out._name)
             elif upper is not None:
-                out = out._map1(lambda c: F.least(c, _lit(upper)))
+                out = out._map1(lambda c: F.when(c.isNull(), F.lit(None)).otherwise(F.least(c, _lit(upper))))
             return out
 
         def f(c):
@@ -362,7 +415,7 @@ class Series:
                 e = F.greatest(e, _lit(lower))
             if upper is not None:
                 e = F.least(e, _lit(upper))
-            return e
+            return F.when(c.isNull(), F.lit(None)).otherwise(e)
 
         return self._map1(f)
 
@@ -456,44 +509,55 @@ class Series:
          "prod", "product", "skew", "kurt", "kurtosis", "idxmax", "idxmin"}
     )
 
-    def _reduce(self, name: str, **kw) -> Any:
+    def _reduce(self, name: str, skipna: bool = True, **kw) -> Any:
         expr = self._expr
         if name in self._BOOL_NUMERIC_AGGS and isinstance(self.spark_type, T.BooleanType):
             # pandas numeric-aggregates booleans as 0/1 (bool.sum() = #True)
             expr = expr.cast("int")
         e = qc.agg_expr(name, expr, kw.get("q"))
+        if name == "prod":
+            # pandas identity: prod of all-missing (or empty) is 1
+            e = F.coalesce(e, F.lit(1))
+        if not skipna:
+            # pandas skipna=False: any missing value poisons the aggregate
+            e = F.when(F.count(F.lit(1)) > F.count(expr), F.lit(None)).otherwise(e)
         row = self._frame.sdf.agg(e.alias("__r__")).collect()[0]
-        return row["__r__"]
+        val = row["__r__"]
+        if val is None and not skipna:
+            import numpy as np
+
+            return pd.NaT if self.dtype.kind == "M" else np.nan
+        return val
 
     def sum(self, skipna=True, **kw):
-        return self._reduce("sum")
+        return self._reduce("sum", skipna=skipna)
 
-    def mean(self, **kw):
-        return self._reduce("mean")
+    def mean(self, skipna=True, **kw):
+        return self._reduce("mean", skipna=skipna)
 
-    def min(self, **kw):
-        return self._reduce("min")
+    def min(self, skipna=True, **kw):
+        return self._reduce("min", skipna=skipna)
 
-    def max(self, **kw):
-        return self._reduce("max")
+    def max(self, skipna=True, **kw):
+        return self._reduce("max", skipna=skipna)
 
     def count(self) -> int:
         return self._reduce("count")
 
-    def std(self, ddof=1):
-        return self._reduce("std")
+    def std(self, ddof=1, skipna=True):
+        return self._reduce("std", skipna=skipna)
 
-    def var(self, ddof=1):
-        return self._reduce("var")
+    def var(self, ddof=1, skipna=True):
+        return self._reduce("var", skipna=skipna)
 
-    def sem(self, ddof=1):
-        return self._reduce("sem")
+    def sem(self, ddof=1, skipna=True):
+        return self._reduce("sem", skipna=skipna)
 
-    def median(self):
-        return self._reduce("median")
+    def median(self, skipna=True):
+        return self._reduce("median", skipna=skipna)
 
-    def prod(self, **kw):
-        return self._reduce("prod")
+    def prod(self, skipna=True, **kw):
+        return self._reduce("prod", skipna=skipna)
 
     product = prod
 
@@ -1364,14 +1428,15 @@ Series.transpose = lambda self: self
 Series.squeeze = lambda self: self.item() if len(self) == 1 else self
 
 
-# reversed arithmetic + remaining parity (r-variants ride _binary(reverse=True);
-# division routes through the same pandas div-by-zero expressions as forward)
-Series.rmul = lambda self, o: self._binary(o, lambda a, b: a * b, reverse=True)
-Series.rtruediv = lambda self, o: self._binary(o, _true_div, reverse=True)
+# reversed division parity (class-level rmul/rmod/rpow already take
+# fill_value; division routes through the pandas div-by-zero expressions)
+Series.rtruediv = lambda self, o, level=None, fill_value=None, axis=0: self._flex(
+    o, _true_div, reverse=True, fill_value=fill_value
+)
 Series.rdiv = Series.rtruediv
-Series.rfloordiv = lambda self, o: self._binary(o, _floor_div, reverse=True)
-Series.rmod = lambda self, o: self._binary(o, lambda a, b: F.pmod(a, b), reverse=True)
-Series.rpow = lambda self, o: self._binary(o, lambda a, b: F.pow(a, b), reverse=True)
+Series.rfloordiv = lambda self, o, level=None, fill_value=None, axis=0: self._flex(
+    o, _floor_div, reverse=True, fill_value=fill_value
+)
 
 
 def _ser_case_when(self, caselist):

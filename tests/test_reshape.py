@@ -52,7 +52,12 @@ def test_stack(spark):
 
     p = pd.DataFrame({"x": [1, 2], "y": [3, 4]})
     got = mpd.from_pandas(p).stack().to_pandas()
-    assert set(zip(got["level_1"], got["value"])) == {("x", 1), ("x", 2), ("y", 3), ("y", 4)}
+    exp = p.stack()
+    pd.testing.assert_series_equal(got, exp, check_dtype=False, check_names=False)
+    # NaN cells drop (classic stack) and order is row-major
+    p2 = pd.DataFrame({"x": [1.0, np.nan], "y": [3.0, 4.0]})
+    got2 = mpd.from_pandas(p2).stack().to_pandas()
+    pd.testing.assert_series_equal(got2, p2.stack(), check_dtype=False, check_names=False)
 
 
 def test_pivot(spark):

@@ -1,0 +1,207 @@
+"""Round-5 behavior-probe fixes: pandas semantics the merge/align/groupby
+paths were missing (NaN-key merges, outer alignment of binary operands,
+fill_value flex arithmetic, groupby identity elements, tuple agg labels).
+
+Reference behaviors: modin defers all of these to pandas itself
+(/root/reference/modin/pandas/dataframe.py merge/add; pandas-tests
+merge_asof/test_merge.py cover NaN-key matching), so pandas IS the spec.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import modin_spark.pandas as mpd
+
+L = pd.DataFrame({"k": [1, 2, 2, np.nan, 5], "j": list("abcde"), "v": [1.0, 2, 3, 4, 5]})
+R = pd.DataFrame({"k": [1, 2, np.nan, 4], "j": list("abxz"), "w": [10.0, 20, 30, 40]})
+
+
+def _norm(df):
+    df = df.reset_index(drop=True)
+    df.columns = [str(c) for c in df.columns]
+    df = df[sorted(df.columns)]
+    return df.sort_values(list(df.columns), na_position="last", kind="mergesort").reset_index(drop=True)
+
+
+def _check(got, exp):
+    if hasattr(got, "to_pandas"):
+        got = got.to_pandas()
+    pd.testing.assert_frame_equal(
+        _norm(got), _norm(exp), check_dtype=False, atol=1e-9, check_column_type=False
+    )
+
+
+@pytest.mark.parametrize("how", ["inner", "left", "right", "outer"])
+def test_merge_nan_keys_match(spark, how):
+    """pandas merge treats NaN as a joinable key value (NaN == NaN)."""
+    ml, mr = mpd.from_pandas(L), mpd.from_pandas(R)
+    _check(ml.merge(mr, on="k", how=how), L.merge(R, on="k", how=how))
+
+
+def test_merge_outer_sorts_keys(spark):
+    """outer merge sorts keys lexicographically even with sort=False."""
+    ml, mr = mpd.from_pandas(L), mpd.from_pandas(R)
+    got = ml.merge(mr, on="k", how="outer").to_pandas()
+    exp = L.merge(R, on="k", how="outer")
+    # row ORDER comparison (not just set equality)
+    assert got["k"].fillna(-1).tolist() == exp["k"].fillna(-1).tolist()
+
+
+def test_merge_suffix_none(spark):
+    ml, mr = mpd.from_pandas(L), mpd.from_pandas(R)
+    got = ml.merge(mr, on="k", suffixes=(None, "_R"))
+    assert list(got.columns) == ["k", "j", "v", "j_R", "w"]
+
+
+def test_merge_indicator_values(spark):
+    ml, mr = mpd.from_pandas(L), mpd.from_pandas(R)
+    got = ml.merge(mr, on="k", how="outer", indicator=True).to_pandas()
+    exp = L.merge(R, on="k", how="outer", indicator=True)
+    exp["_merge"] = exp["_merge"].astype(str)
+    _check(got, exp)
+
+
+def test_series_binary_outer_aligns(spark):
+    s1 = pd.Series([1.0, 2, 3], index=["a", "b", "c"])
+    s2 = pd.Series([10.0, 20], index=["b", "d"])
+    fa = mpd.from_pandas(s1.to_frame("x"))["x"]
+    fb = mpd.from_pandas(s2.to_frame("x"))["x"]
+    got = (fa + fb).to_pandas()
+    exp = s1 + s2
+    assert got.index.tolist() == exp.index.tolist()
+    pd.testing.assert_series_equal(got, exp, check_names=False, check_dtype=False)
+
+
+@pytest.mark.parametrize("op", ["add", "sub", "mul", "truediv", "floordiv", "mod", "pow",
+                                "radd", "rsub", "rmul", "rtruediv", "rfloordiv"])
+def test_series_flex_fill_value(spark, op):
+    s1 = pd.Series([1.0, np.nan, 3], index=["a", "b", "c"])
+    s2 = pd.Series([10.0, 20], index=["b", "d"])
+    fa = mpd.from_pandas(s1.to_frame("x"))["x"]
+    fb = mpd.from_pandas(s2.to_frame("x"))["x"]
+    got = getattr(fa, op)(fb, fill_value=2.0).to_pandas()
+    exp = getattr(s1, op)(s2, fill_value=2.0)
+    pd.testing.assert_series_equal(got, exp, check_names=False, check_dtype=False)
+
+
+def test_groupby_allnan_sum_prod_identity(spark):
+    g = pd.DataFrame({"h": [1, 1, 2], "v": [1.0, 2, 3]})
+    mg = mpd.from_pandas(g).assign(v2=np.nan)
+    pg = g.assign(v2=np.nan)
+    got = mg.groupby("h").v2.sum().to_pandas().tolist()
+    assert got == pg.groupby("h").v2.sum().tolist() == [0.0, 0.0]
+    got_p = mg.groupby("h").v2.prod().to_pandas().tolist()
+    assert got_p == pg.groupby("h").v2.prod().tolist() == [1.0, 1.0]
+
+
+def test_groupby_agg_callable_frame(spark):
+    g = pd.DataFrame({"h": [1, 1, 2], "v": [1.0, 2, 3], "w": [5.0, 6, 7]})
+    mg = mpd.from_pandas(g)
+    got = mg.groupby("h")[["v", "w"]].agg(lambda s: s.max() - s.min()).to_pandas().reset_index()
+    exp = g.groupby("h")[["v", "w"]].agg(lambda s: s.max() - s.min()).reset_index()
+    _check(got, exp)
+
+
+def test_groupby_dict_list_as_index_false_multiindex_cols(spark):
+    g = pd.DataFrame({"g": ["a", "a", "b"], "v": [1.0, 2, 3]})
+    mg = mpd.from_pandas(g)
+    got = mg.groupby("g", as_index=False).agg({"v": ["sum", "count"]}).to_pandas()
+    exp = g.groupby("g", as_index=False).agg({"v": ["sum", "count"]})
+    assert isinstance(got.columns, pd.MultiIndex)
+    assert got.columns.tolist() == exp.columns.tolist()
+    _check(got, exp)
+
+
+def test_assign_nan_scalar_is_missing(spark):
+    g = pd.DataFrame({"v": [1.0, 2]})
+    mg = mpd.from_pandas(g).assign(z=np.nan)
+    assert mg["z"].isna().to_pandas().all()
+    # fillna sees it as missing (Spark double NaN would not)
+    assert mg["z"].fillna(7.0).to_pandas().tolist() == [7.0, 7.0]
+
+
+def test_rank_dense_and_pct(spark):
+    s = pd.Series([3.0, 1.0, 3.0, np.nan, 2.0, 1.0])
+    ms = mpd.from_pandas(s.to_frame("x"))["x"]
+    for kw in [dict(method="dense"), dict(method="dense", pct=True),
+               dict(method="dense", ascending=False),
+               dict(method="dense", na_option="bottom")]:
+        got = ms.rank(**kw).to_pandas()
+        exp = s.rank(**kw)
+        pd.testing.assert_series_equal(got, exp, check_names=False, check_dtype=False)
+
+
+def test_resample_emits_empty_buckets(spark):
+    idx = pd.to_datetime(["2024-01-01 00:00", "2024-01-01 03:30"])
+    rs = pd.DataFrame({"v": [1.0, 2.0]}, index=idx)
+    mr = mpd.from_pandas(rs)
+    for agg in ["sum", "count", "mean", "min"]:
+        got = getattr(mr.resample("h"), agg)().to_pandas()
+        exp = getattr(rs.resample("h"), agg)()
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False, check_freq=False,
+                                      check_names=False)
+
+
+def test_series_reductions_skipna_false(spark):
+    s = pd.Series([1.0, np.nan, 3.0])
+    ms = mpd.from_pandas(s.to_frame("x"))["x"]
+    assert np.isnan(ms.sum(skipna=False)) and s.sum(skipna=False) != s.sum(skipna=False)
+    assert np.isnan(ms.mean(skipna=False))
+    assert np.isnan(ms.max(skipna=False))
+    assert ms.sum() == s.sum()
+    allnan = pd.Series([np.nan, np.nan])
+    mn = mpd.from_pandas(allnan.to_frame("x"))["x"]
+    assert mn.prod() == allnan.prod() == 1.0
+    assert mn.sum() == allnan.sum() == 0.0
+
+
+def test_drop_duplicates_keep_false(spark):
+    D = pd.DataFrame({"a": [1, 2, 2, 3, 2], "b": ["x", "y", "y", "z", "q"], "v": [1.0, 2, 2, np.nan, 5]})
+    got = mpd.from_pandas(D).drop_duplicates(subset=["a", "b"], keep=False).to_pandas()
+    exp = D.drop_duplicates(subset=["a", "b"], keep=False)
+    _check(got, exp)
+
+
+def test_clip_preserves_nan(spark):
+    D = pd.DataFrame({"a": [1, 2, 3], "v": [1.0, np.nan, 5.0]})
+    got = mpd.from_pandas(D).clip(lower=1.5, upper=2.5).to_pandas()
+    exp = D.clip(lower=1.5, upper=2.5)
+    _check(got, exp)
+    s = pd.Series([1.0, np.nan, 5.0])
+    gs = mpd.from_pandas(s.to_frame("x"))["x"].clip(1.5, 2.5).to_pandas()
+    pd.testing.assert_series_equal(gs, s.clip(1.5, 2.5), check_names=False, check_dtype=False)
+
+
+def test_nunique_axis1_cross_dtype(spark):
+    D = pd.DataFrame({"a": [1, 2, 3], "v": [1.0, 2.0, 4.0]})
+    got = mpd.from_pandas(D).nunique(axis=1).to_pandas().tolist()
+    assert got == D.nunique(axis=1).tolist() == [1, 1, 2]
+
+
+def test_melt_mixed_numeric_widens(spark):
+    D = pd.DataFrame({"b": ["x", "y"], "a": [1, 2], "v": [1.5, np.nan]})
+    got = mpd.from_pandas(D).melt(id_vars=["b"], value_vars=["a", "v"]).to_pandas()
+    exp = D.melt(id_vars=["b"], value_vars=["a", "v"])
+    _check(got, exp)
+
+
+def test_stack_flat_returns_series(spark):
+    p = pd.DataFrame({"x": [1.0, np.nan], "y": [3.0, 4.0]}, index=["r1", "r2"])
+    got = mpd.from_pandas(p).stack().to_pandas()
+    pd.testing.assert_series_equal(got, p.stack(), check_dtype=False, check_names=False)
+
+
+def test_replace_nested_dict(spark):
+    D = pd.DataFrame({"b": ["x", "y", "z"], "a": [1, 2, 3]})
+    got = mpd.from_pandas(D).replace({"b": {"x": "X", "y": "Y"}}).to_pandas()
+    _check(got, D.replace({"b": {"x": "X", "y": "Y"}}))
+
+
+def test_where_unrelated_lineage_cond(spark):
+    D = pd.DataFrame({"a": [1, 2, 3], "v": [1.0, 2, 3]})
+    m1, m2 = mpd.from_pandas(D), mpd.from_pandas(D)
+    got = m1.where(m2 > 1, -1).to_pandas()
+    _check(got, D.where(D > 1, -1))
+    got2 = m1.mask(m2 > 1, 0).to_pandas()
+    _check(got2, D.mask(D > 1, 0))
