@@ -969,6 +969,24 @@ def _docs_decontaminate(spark, sf):
     return n_train.crossJoin(stats)
 
 
+def _docs_chunk_windows(spark, sf):
+    """Sliding-window token chunking (corpus.chunk_documents, the RAG/
+    embedding chunker): 64-token chunks, 8-token overlap. Per-chunk rows
+    (id, chunk_id, n_tokens, md5(chunk_text)) hash-compare the exact chunk
+    contents against DuckDB's list-slice replication. Plan: split/sequence/
+    posexplode/slice in ONE scan stage — no shuffle, no UDF."""
+    from modin_spark.operators.corpus import chunk_documents
+
+    docs = _rp(spark, f"{sf}/documents.parquet")
+    ch = chunk_documents(docs, "doc_id", "text", chunk_size=64, overlap=8)
+    return ch.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("chunk_id"),
+        F.col("n_tokens"),
+        F.md5(F.col("chunk_text")).alias("chunk_hash"),
+    )
+
+
 def _docs_pack_sequences(spark, sf):
     """Concatenate-and-split sequence packing into 2048-token bins; checks
     the full global token layout via an order-sensitive bin*id checksum.
@@ -1646,6 +1664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_decontaminate": _docs_decontaminate,
         "docs_pack_sequences": _docs_pack_sequences,
         "docs_shard_layout": _docs_shard_layout,
+        "docs_chunk_windows": _docs_chunk_windows,
         "docs_stratified_sample": _docs_stratified_sample,
         "docs_domain_cap": _docs_domain_cap,
         "docs_topk_ngrams": _docs_topk_ngrams,
@@ -2651,6 +2670,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(doc_id) AS BIGINT) AS id_sum_clean,
                    CAST(SUM(LENGTH(text)) AS BIGINT) AS chars_clean
             FROM tr WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+        """,
+        "docs_chunk_windows": """
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+                                 x -> x <> '') AS toks
+              FROM documents
+            ),
+            n AS (
+              SELECT doc_id, toks,
+                     GREATEST(1, (len(toks) - 8 + 55) // 56) AS nch
+              FROM w
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(t.i AS BIGINT) AS chunk_id,
+                   CAST(len(list_slice(toks, t.i * 56 + 1, t.i * 56 + 64)) AS BIGINT) AS n_tokens,
+                   md5(array_to_string(list_slice(toks, t.i * 56 + 1, t.i * 56 + 64), ' ')) AS chunk_hash
+            FROM n, LATERAL (SELECT unnest(range(n.nch)) AS i) t
         """,
         "docs_pack_sequences": """
             WITH t AS (

@@ -66,6 +66,8 @@ HEADLINE = [
     "emb_label_centroids",
     # round 4d: token-balanced output sharding
     "docs_shard_layout",
+    # round 5: sliding-window chunking (map-only scan-stage op)
+    "docs_chunk_windows",
 ]
 
 

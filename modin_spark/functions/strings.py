@@ -121,12 +121,14 @@ def _rpartition(c: Column, sep: str = " ") -> Column:
     head = F.when(found, F.substring(c, 1, pos)).otherwise(F.lit(""))
     tail = F.when(found, F.substring(c, pos + len(sep) + 1, 2**31 - 1)).otherwise(c)
     mid = F.when(found, F.lit(sep)).otherwise(F.lit(""))
-    return F.array(head, mid, tail)
+    null3 = F.array(F.lit(None).cast("string"), F.lit(None).cast("string"), F.lit(None).cast("string"))
+    return F.when(c.isNull(), null3).otherwise(F.array(head, mid, tail))
 
 
 def _partition(c: Column, sep: str = " ") -> Column:
     idx = F.instr(c, sep)
-    return F.when(
+    null3 = F.array(F.lit(None).cast("string"), F.lit(None).cast("string"), F.lit(None).cast("string"))
+    return F.when(c.isNull(), null3).when(
         idx > 0,
         F.array(
             F.substring(c, 1, idx - 1),

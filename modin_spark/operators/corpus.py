@@ -63,6 +63,39 @@ def decontaminate(train: SDF, eval_df: SDF, id_col: str = "doc_id", text_col: st
     return train.join(bad, id_col, "left_anti")
 
 
+def chunk_documents(df: SDF, id_col: str = "doc_id", text_col: str = "text",
+                    chunk_size: int = 128, overlap: int = 16) -> SDF:
+    """Sliding-window chunking: each document becomes ceil((len-overlap)/
+    (size-overlap)) chunks of ``chunk_size`` whitespace tokens, consecutive
+    chunks sharing ``overlap`` tokens (the standard RAG/embedding chunker).
+
+    Plan shape: split -> sequence -> posexplode -> slice/array_join — every
+    step a built-in expression in the SCAN stage. No shuffle, no UDF: at
+    100 TB this runs at full scan speed, one task per input split.
+    Output: (id, chunk_id, n_tokens, chunk_text).
+    """
+    if overlap >= chunk_size:
+        raise ValueError("overlap must be smaller than chunk_size")
+    stride = chunk_size - overlap
+    words = _norm_words(F.col(text_col))
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.floor((F.size(words) - F.lit(overlap) + F.lit(stride - 1)) / F.lit(stride)).cast("int"),
+    )
+    rows = df.select(
+        F.col(id_col),
+        words.alias("__w__"),
+        F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias("__p__", "chunk_id"),
+    )
+    piece = F.slice(F.col("__w__"), F.col("chunk_id") * stride + 1, chunk_size)
+    return rows.select(
+        F.col(id_col),
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size(piece).cast("long").alias("n_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )
+
+
 def pack_sequences(df: SDF, id_col: str, token_col: str, capacity: int) -> SDF:
     """Concatenate-and-split sequence packing: documents are laid out in
     ``id_col`` order into a single token stream that is cut every

@@ -256,6 +256,8 @@ class DataFrame:
         if columns is None:
             raise NotImplementedError("rename supports columns= only")
         fr = self._frame
+        if callable(columns) and not isinstance(fr.columns, pd.MultiIndex):
+            columns = {c: columns(c) for c in fr.columns}
         if isinstance(fr.columns, pd.MultiIndex):
             # tuple keys rename the whole column label (flattening it);
             # string keys / callables map individual level values (pandas)

@@ -121,7 +121,8 @@ def cut(x: Series, bins, labels=None, right: bool = True) -> Series:
         edges = list(bins)
     codes = labels is False
     names = labels if (labels is not None and labels is not False) else [
-        f"({edges[i]}, {edges[i+1]}]" for i in range(len(edges) - 1)
+        (f"({edges[i]}, {edges[i+1]}]" if right else f"[{edges[i]}, {edges[i+1]})")
+        for i in range(len(edges) - 1)
     ]
 
     def f(c):

@@ -144,11 +144,15 @@ class Series:
         return iter(self.to_pandas())
 
     # --------------------------------------------------------------- binary
-    def _combine(self, other: "Series"):
-        """Pick the frame both expressions can evaluate on; else align-join."""
+    def _combine(self, other: "Series", how: str = "full_outer"):
+        """Pick the frame both expressions can evaluate on; else align-join.
+
+        ``how='left'`` keeps self's rows/order (lookup alignment, e.g.
+        fillna); the default outer-aligns to the sorted label union (pandas
+        binary-operand semantics)."""
         if self._frame.can_rebase(other._frame, other._refs):
             return self._frame, self._expr, other._expr, self._refs | other._refs
-        if other._frame.can_rebase(self._frame, self._refs):
+        if other._frame.can_rebase(self._frame, self._refs) and how != "left":
             return other._frame, self._expr, other._expr, self._refs | other._refs
         # alignment join (pandas semantics: align on index; default index ->
         # contiguous global position — raw ORDER_COL is not cross-frame comparable)
@@ -164,13 +168,16 @@ class Series:
         # pandas OUTER-aligns binary operands: the result carries the union
         # of both indexes (missing side -> NaN), ordered as the sorted union
         # (pandas keeps the original order only for already-equal indexes —
-        # those are usually sorted anyway; divergence documented)
-        joined = lf.sdf.join(rsdf, cond, "full_outer")
-        for i, k in enumerate(lkey):
-            joined = joined.withColumn(k, F.coalesce(F.col(k), F.col(f"__rk{i}__")))
+        # those are usually sorted anyway; divergence documented).
+        # how='left' is a lookup: self's rows and order, unchanged.
+        joined = lf.sdf.join(rsdf, cond, how)
+        if how != "left":
+            for i, k in enumerate(lkey):
+                joined = joined.withColumn(k, F.coalesce(F.col(k), F.col(f"__rk{i}__")))
         joined = joined.drop(*[f"__rk{i}__" for i in range(len(rkey))])
-        sort_keys = [F.col(k).asc_nulls_last() for k in lkey] + [F.col(ORDER_COL).asc_nulls_first()]
-        joined = joined.orderBy(*sort_keys).withColumn(ORDER_COL, F.monotonically_increasing_id())
+        if how != "left":
+            sort_keys = [F.col(k).asc_nulls_last() for k in lkey] + [F.col(ORDER_COL).asc_nulls_first()]
+            joined = joined.orderBy(*sort_keys).withColumn(ORDER_COL, F.monotonically_increasing_id())
         if "__alp__" in joined.columns:
             joined = joined.drop("__alp__")
         fr = SparkFrame(joined, lf.columns, lf.data_cols, lf.index_cols, lf.index_names)
@@ -377,6 +384,11 @@ class Series:
             raise ValueError("must specify a fill value or method")
         st = self.spark_type
         nullchk = (lambda c: c.isNull() | F.isnan(c)) if isinstance(st, (T.FloatType, T.DoubleType)) else (lambda c: c.isNull())
+        if isinstance(value, Series):
+            # fill from a Series aligned by label — a LOOKUP: self's rows
+            # and order are kept (never the outer union binary ops use)
+            target, le, re_, refs = self._combine(value, how="left")
+            return Series(target, F.when(nullchk(le), re_).otherwise(le), refs, name=self._name)
         return self._map1(lambda c: F.when(nullchk(c), _lit(value)).otherwise(c))
 
     def dropna(self) -> "Series":
@@ -1011,6 +1023,44 @@ class StringMethods:
         labels = list(range(width))
         exprs = [arr.getItem(i) for i in range(width)]
         return DataFrame(_frame=fr.project(labels, exprs))
+
+    def partition(self, sep=" ", expand: bool = True):
+        """pandas returns a 3-column frame (head, sep, tail); expand=False
+        keeps the element array."""
+        arr = lambda c: STR_FUNCS["partition"](c, sep)
+        if not expand:
+            return self._s._map1(arr)
+        from modin_spark.pandas.dataframe import DataFrame
+
+        fr = self._s._to_frame("__t__")
+        a = arr(fr.scol(0))
+        return DataFrame(_frame=fr.project([0, 1, 2], [a.getItem(i) for i in range(3)]))
+
+    def rpartition(self, sep=" ", expand: bool = True):
+        arr = lambda c: STR_FUNCS["rpartition"](c, sep)
+        if not expand:
+            return self._s._map1(arr)
+        from modin_spark.pandas.dataframe import DataFrame
+
+        fr = self._s._to_frame("__t__")
+        a = arr(fr.scol(0))
+        return DataFrame(_frame=fr.project([0, 1, 2], [a.getItem(i) for i in range(3)]))
+
+    def index(self, sub, start=0):
+        """pandas str.index raises ValueError when the substring is missing
+        anywhere — one tiny existence aggregate, then the find projection."""
+        out = self._s._map1(lambda c: STR_FUNCS["find"](c, sub, start))
+        miss = out._frame.sdf.where(out._expr == -1).limit(1).count()
+        if miss:
+            raise ValueError("substring not found")
+        return out
+
+    def rindex(self, sub, start=0):
+        out = self._s._map1(lambda c: STR_FUNCS["rfind"](c, sub, start))
+        miss = out._frame.sdf.where(out._expr == -1).limit(1).count()
+        if miss:
+            raise ValueError("substring not found")
+        return out
 
     def __getattr__(self, name):
         if name.startswith("_"):

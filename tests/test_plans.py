@@ -247,6 +247,41 @@ def test_stratified_sample_is_narrow(spark):
     assert "Exchange" not in plans.physical_plan(s), plans.physical_plan(s)
 
 
+def test_chunk_documents_is_map_only(spark):
+    """Sliding-window chunking must stay in the scan stage: no Exchange,
+    no Python worker (split/sequence/posexplode/slice are all built-ins)."""
+    from modin_spark.operators.corpus import chunk_documents
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    ch = chunk_documents(docs, "doc_id", "text", chunk_size=64, overlap=8)
+    plan = plans.physical_plan(ch)
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_chunk_documents_window_semantics(spark):
+    """Chunk windows: full coverage, stride = size - overlap, short docs
+    yield one chunk, overlap region repeats between neighbors."""
+    import pandas as pd
+
+    from modin_spark.operators.corpus import chunk_documents
+
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [" ".join(f"w{i}" for i in range(10)),     # 10 toks -> 3 chunks (size 4, ov 1)
+                 "a b",                                    # short -> 1 chunk
+                 " ".join(f"x{i}" for i in range(4))],     # exactly size -> 1 chunk
+    })
+    df = spark.createDataFrame(pdf)
+    out = chunk_documents(df, "doc_id", "text", chunk_size=4, overlap=1).toPandas()
+    d1 = out[out.doc_id == 1].sort_values("chunk_id")
+    assert d1.chunk_id.tolist() == [0, 1, 2]
+    assert d1.chunk_text.tolist() == [
+        "w0 w1 w2 w3", "w3 w4 w5 w6", "w6 w7 w8 w9"]
+    assert out[out.doc_id == 2].chunk_text.tolist() == ["a b"]
+    assert out[out.doc_id == 3].chunk_id.tolist() == [0]
+
+
 def test_topk_ngrams_partial_agg_and_take_ordered(spark):
     """Counting must partial-aggregate map-side; the top-k must be a
     TakeOrdered, not a global sort."""

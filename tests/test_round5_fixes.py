@@ -205,3 +205,47 @@ def test_where_unrelated_lineage_cond(spark):
     _check(got, D.where(D > 1, -1))
     got2 = m1.mask(m2 > 1, 0).to_pandas()
     _check(got2, D.mask(D > 1, 0))
+
+
+def test_frame_flex_fill_and_reversed(spark):
+    D = pd.DataFrame({"a": [1.0, 2, np.nan], "b": [10.0, 20, 30]})
+    m = mpd.from_pandas(D)
+    _check(m.add(1, fill_value=0).to_pandas(), D.add(1, fill_value=0))
+    _check(m.div(m * 2, fill_value=1).to_pandas(), D.div(D * 2, fill_value=1))
+    _check((m ** 2).to_pandas(), D ** 2)
+    _check((10 - m).to_pandas(), 10 - D)
+    _check((m % 3).to_pandas(), D % 3)
+    _check(m.rsub(1).to_pandas(), D.rsub(1))
+    _check(m.rtruediv(1).to_pandas(), D.rtruediv(1))
+
+
+def test_fillna_series_lookup_alignment(spark):
+    D = pd.DataFrame({"a": [1.0, 2, np.nan]}, index=["x", "y", "z"])
+    S = pd.Series([100.0, 200, 300], index=["x", "y", "z"])
+    got = mpd.from_pandas(D)["a"].fillna(mpd.from_pandas(S.to_frame("s"))["s"]).to_pandas()
+    exp = D["a"].fillna(S)
+    # lookup semantics: self's rows only, no union with the filler's index
+    pd.testing.assert_series_equal(got, exp, check_names=False, check_dtype=False)
+
+
+def test_rename_callable(spark):
+    D = pd.DataFrame({"a": [1], "b": [2]})
+    assert list(mpd.from_pandas(D).rename(columns=str.upper).columns) == ["A", "B"]
+
+
+def test_cut_right_false_labels(spark):
+    V = pd.Series([1.0, 5.0, 9.0])
+    got = mpd.cut(mpd.from_pandas(V.to_frame("v"))["v"], bins=[0, 5, 10], right=False).astype(str).to_pandas()
+    exp = pd.cut(V, bins=[0, 5, 10], right=False).astype(str)
+    assert got.tolist() == exp.tolist()
+
+
+def test_str_partition_frame_and_index_raises(spark):
+    T = pd.Series(["hello", "spark", None])
+    mt = mpd.from_pandas(T.to_frame("t"))["t"]
+    _check(mt.str.partition("l").to_pandas(), T.str.partition("l"))
+    _check(mt.str.rpartition("l").to_pandas(), T.str.rpartition("l"))
+    with pytest.raises(ValueError):
+        mt.dropna().str.index("l")  # 'spark' has no 'l'
+    ok = mpd.from_pandas(pd.Series(["la", "al"]).to_frame("t"))["t"]
+    assert ok.str.index("l").to_pandas().tolist() == [0, 1]
