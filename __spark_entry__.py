@@ -1707,36 +1707,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "melt_unpivot": _melt_unpivot,
         # (d) stalest green rows (last scored r2), current relative order
         "asof_nearest": _asof_nearest,
-        "case_when": _case_when,
-        "concat_cols_aligned": _concat_cols_aligned,
-        "concat_union": _concat_union,
+        # ---- r5 machinery-changed: merge null-safe/statistics planning,
+        # clip null guard, skipna reductions — re-queued for driver rows ----
+        "merge_left_fillna": _merge_left_fillna,
+        "q5_nation_revenue": _q5,
+        "q2_min_cost_supplier": _q2_min_cost_supplier,
+        "q9_profit_by_nation": _q9_profit_by_nation,
+        "q10_returned_revenue": _q10_returned_revenue,
+        "q13_order_distribution": _q13_order_distribution,
+        "anti_join_customers": _anti_join_customers,
+        "where_clip": _where_clip,
+        "q6_forecast_revenue": _q6,
         "corr_cov": _corr_cov,
-        "cube_agg": _cube_agg,
-        "cumsum_by_group": _cumsum_by_group,
         "cut_buckets": _cut_buckets,
         "distinct_dedup": _distinct_dedup,
-        "docs_exact_dedup": _docs_exact_dedup,
-        "docs_token_stats": _docs_token_stats,
-        "dot_product": _dot_product,
-        "filter_project": _filter_project,
         "get_dummies_sum": _get_dummies_sum,
-        "groupby_idxmax": _groupby_idxmax,
-        "groupby_median_quantile": _groupby_median_quantile,
+        "pivot_flag_status": _pivot_flag_status,
         "groupby_multi_agg": _groupby_multi_agg,
         "groupby_nunique": _groupby_nunique,
-        "iloc_slice": _iloc_slice,
-        "isin_filter": _isin_filter,
-        "merge_left_fillna": _merge_left_fillna,
-        "multiindex_regroup": _multiindex_regroup,
-        "pivot_flag_status": _pivot_flag_status,
+        "cumsum_by_group": _cumsum_by_group,
         "q1_pricing_summary": _q1,
         "q3_top_orders": _q3,
-        "q5_nation_revenue": _q5,
-        "q6_forecast_revenue": _q6,
-        "query_eval": _query_eval,
+        "concat_cols_aligned": _concat_cols_aligned,
+        "docs_exact_dedup": _docs_exact_dedup,
+        "filter_project": _filter_project,
+        "groupby_idxmax": _groupby_idxmax,
+        "groupby_median_quantile": _groupby_median_quantile,
+        "iloc_slice": _iloc_slice,
+        "isin_filter": _isin_filter,
+        "multiindex_regroup": _multiindex_regroup,
         "sort_topk": _sort_topk,
-        "sql_interface": _sql_interface,
         "str_funcs": _str_funcs,
+        "case_when": _case_when,
+        "concat_union": _concat_union,
+        "cube_agg": _cube_agg,
+        "docs_token_stats": _docs_token_stats,
+        "dot_product": _dot_product,
+        "query_eval": _query_eval,
+        "sql_interface": _sql_interface,
         "value_counts": _value_counts,
         # ---- past the scored prefix: r3-green rows + rows-only ops ----
         "docs_norm_distinct": _docs_norm_distinct,
@@ -1747,14 +1755,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_lsh_recall": _emb_lsh_recall,
         "emb_ivf_recall": _emb_ivf_recall,
         "dt_funcs": _dt_funcs,
-        "q2_min_cost_supplier": _q2_min_cost_supplier,
         "q4_priority_returned": _q4_priority_returned,
         "q7_volume_shipping": _q7_volume_shipping,
-        "q9_profit_by_nation": _q9_profit_by_nation,
-        "q10_returned_revenue": _q10_returned_revenue,
         "q11_important_parts": _q11_important_parts,
         "q12_priority_lines": _q12_priority_lines,
-        "q13_order_distribution": _q13_order_distribution,
         "q15_top_supplier": _q15_top_supplier,
         "q16_supplier_count": _q16_supplier_count,
         "q17_small_quantity": _q17_small_quantity,
@@ -1763,7 +1767,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_part_promotion": _q20_part_promotion,
         "q21_waiting_supplier": _q21_waiting_supplier,
         "q22_global_sales": _q22_global_sales,
-        "anti_join_customers": _anti_join_customers,
         "explode_words": _explode_words,
         "qcut_quartiles": _qcut_quartiles,
         "expanding_stats": _expanding_stats,
@@ -1774,7 +1777,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "describe_stats": _describe_stats,
         "rollup_agg": _rollup_agg,
         "range_join_buckets": _range_join_buckets,
-        "where_clip": _where_clip,
         "docs_fingerprint": _docs_fingerprint,
         "docs_langid_quality": _docs_langid_quality,
         "docs_clean_corpus": _docs_clean_corpus,

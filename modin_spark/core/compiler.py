@@ -284,6 +284,12 @@ def groupby_apply(frame: SparkFrame, by_positions: Sequence[int], func, schema_s
 # joins
 # ---------------------------------------------------------------------------
 
+# pandas NaN-key matching in merges costs Spark the plain-`=` equi-join.
+# True (default) keeps pandas fidelity; tests may flip it to isolate the
+# plan-shape cost.
+NULL_SAFE_MERGE = True
+
+
 def merge(
     left: SparkFrame,
     right: SparkFrame,
@@ -316,6 +322,11 @@ def merge(
     ]
     if len(lkeys) != len(rkeys):
         raise ValueError("merge key arity mismatch")
+    # statistics-driven: keys PROVEN null-free (parquet footer null_count /
+    # exact ingest stats) keep the plain `=` equi-join plan outright
+    keys_proven_nonnull = bool(lkeys) and all(
+        k in left.nonnull_cols for k in lkeys
+    ) and all(k in right.nonnull_cols for k in rkeys)
 
     left, right = left.ensure_order(), right.ensure_order()
     lsdf = left.sdf.withColumnRenamed(ORDER_COL, "__lorder__")
@@ -331,13 +342,16 @@ def merge(
         rsdf = F.broadcast(rsdf)
 
     # pandas merge matches NaN keys to each other; Spark's `=` drops them.
-    # A blanket `<=>` (eqNullSafe) would be correct but disables bucketed
-    # co-location and null-pruning pushdown (hash of a transformed key), so
-    # decompose by null pattern instead: key tuples with NO nulls join with
-    # plain `=` (bucketing/broadcast/pushdown intact — this is ~all of the
-    # data); rows with a null key component can only null-safe-match rows
-    # with the IDENTICAL null pattern, so they join in a separate null-safe
-    # branch (parquet null_count stats prune it to ~zero scan on clean data).
+    # Default: ONE join with `<=>` (eqNullSafe) — Catalyst still extracts it
+    # as an equi-join (hashes the coalesced key), so hash/broadcast/AQE all
+    # apply and the plan tree is not duplicated. The only thing `<=>` loses
+    # is BUCKETED co-location (partitioning on the raw column no longer
+    # lines up), so when both inputs are shallow catalog-table scans — the
+    # only shape where co-location exists — decompose by null pattern
+    # instead: no-null key tuples join with plain `=` (bucket join intact),
+    # and rows with a null key component, which can only null-safe-match
+    # the IDENTICAL null pattern, join in a separate ~empty branch that
+    # parquet null_count stats prune and whose build side broadcasts.
     def _cond(ls, rs, null_safe):
         c = None
         for lk, rk in zip(lkeys, rkeys):
@@ -345,10 +359,19 @@ def merge(
             c = e if c is None else (c & e)
         return c
 
-    nullable = any(lsdf.schema[k].nullable for k in lkeys) or any(
-        rsdf.schema[k].nullable for k in rkeys
+    def _shallow_catalog_scan(sdf) -> bool:
+        try:
+            s = sdf._jdf.queryExecution().analyzed().toString()
+        except Exception:
+            return False
+        deep = ("Join", "Aggregate", "Sort", "Window ", "Union", "Generate", "Repartition")
+        return "spark_catalog" in s and not any(d in s for d in deep)
+
+    nullable = NULL_SAFE_MERGE and not keys_proven_nonnull and (
+        any(lsdf.schema[k].nullable for k in lkeys)
+        or any(rsdf.schema[k].nullable for k in rkeys)
     )
-    if lkeys and nullable:
+    if lkeys and nullable and _shallow_catalog_scan(lsdf) and _shallow_catalog_scan(rsdf):
         l_null = None
         for k in lkeys:
             e = F.col(k).isNull()
@@ -372,7 +395,7 @@ def merge(
             ln.join(rn, _cond(ln, rn, True), how)
         )
     else:
-        joined = lsdf.join(rsdf, _cond(lsdf, rsdf, False) if lkeys else None, how)
+        joined = lsdf.join(rsdf, _cond(lsdf, rsdf, nullable) if lkeys else None, how)
     if how in ("right", "outer", "full", "full_outer"):
         # pandas coalesces shared `on` keys (and index keys): right-only rows
         # carry the right key value instead of NULL
@@ -440,6 +463,17 @@ def merge(
         out = SparkFrame(joined, pd.Index(out_labels), out_phys, lkeys, list(left.index_names))
     else:
         out = SparkFrame(joined, pd.Index(out_labels), out_phys, [], [None])
+    # propagate null-freeness through the join (merge chains then keep the
+    # plain `=` plan): preserved-side columns keep their proof; a side that
+    # can emit unmatched rows (outer of it) loses it
+    l_nn = left.nonnull_cols
+    r_nn = frozenset(r_map[p] for p in right.nonnull_cols if p in r_map)
+    if how in ("inner", "cross", "semi", "left_semi", "anti", "left_anti"):
+        out.nonnull_cols = l_nn | r_nn
+    elif how in ("left", "left_outer"):
+        out.nonnull_cols = l_nn
+    elif how in ("right", "right_outer"):
+        out.nonnull_cols = r_nn
     if (sort or how in ("outer", "full", "full_outer")) and lkeys:
         # pandas sorts outer-merge results by the join keys even with
         # sort=False ("outer: ... sort keys lexicographically"); NaN last

@@ -171,6 +171,13 @@ class SparkFrame:
         # join-comparable iff their epochs are equal and non-None; otherwise
         # cross-frame alignment must go through contiguous global positions.
         self.order_epoch: tuple | None = None
+        # physical columns PROVABLY free of nulls (parquet footer null_count
+        # stats, set by read_parquet). Statistics-driven planning: merges on
+        # null-free keys keep the plain `=` equi-join (bucket co-location,
+        # isNotNull pushdown) instead of pandas' NaN-matching `<=>` plan.
+        # Propagated through row-subset/column ops; never through casts
+        # (fresh physical names break any stale association).
+        self.nonnull_cols: frozenset = frozenset()
         assert len(self.columns) == len(self.data_cols)
 
     def ensure_order(self) -> "SparkFrame":
@@ -190,6 +197,7 @@ class SparkFrame:
         # monotonically_increasing_id over the same base plan is deterministic,
         # so every ensure_order() of this frame yields the same values
         nf.order_epoch = ("mid", self._lid)
+        nf.nonnull_cols = self.nonnull_cols
         return nf
 
     # lineage helpers -------------------------------------------------------
@@ -206,6 +214,7 @@ class SparkFrame:
             has_order=self.has_order if has_order is None else has_order,
         )
         nf.order_epoch = self.order_epoch
+        nf.nonnull_cols = self.nonnull_cols
         return nf
 
     def _subset_rows(self, sdf, columns=None, data_cols=None, index_cols=None, index_names=None, has_order=None):
@@ -222,6 +231,7 @@ class SparkFrame:
             has_order=self.has_order if has_order is None else has_order,
         )
         nf.order_epoch = self.order_epoch  # subset keeps the parent's values
+        nf.nonnull_cols = self.nonnull_cols  # row subsets cannot introduce nulls
         return nf
 
     def can_rebase(self, anchor: "SparkFrame", refs: set[str]) -> bool:
@@ -276,6 +286,13 @@ class SparkFrame:
             sdf = spark.createDataFrame(flat)
         nf = cls(sdf, data_labels, data_phys, idx_phys, index_names if idx_phys else [None])
         nf.order_epoch = ("pd", nf._lid)  # contiguous 0..n-1, unique to this ingest
+        # exact null statistics are free at ingest: null-free columns keep
+        # the plain `=` equi-join plan in later merges
+        nf.nonnull_cols = frozenset(
+            p for j, p in enumerate(data_phys) if pdf.iloc[:, j].notna().all()
+        ) | frozenset(
+            p for i, p in enumerate(idx_phys) if pdf.index.get_level_values(i).notna().all()
+        )
         return nf
 
     # ------------------------------------------------------------- metadata

@@ -86,6 +86,52 @@ def _parquet_scan_uncached(spark, path: str):
     return sdf
 
 
+_NONNULL_CACHE: dict = {}
+
+
+def _parquet_nonnull_cols(path: str) -> frozenset:
+    """Source columns whose parquet FOOTERS prove zero nulls (every row
+    group carries statistics with null_count == 0). Driver-side metadata
+    read only — no data IO; the proof feeds statistics-driven merge
+    planning (plain `=` equi-join instead of the NaN-matching `<=>`)."""
+    import os
+
+    try:
+        st = os.stat(path)
+        key = (path, st.st_mtime_ns)
+    except OSError:
+        return frozenset()
+    if key in _NONNULL_CACHE:
+        return _NONNULL_CACHE[key]
+    out: frozenset = frozenset()
+    try:
+        import pyarrow.parquet as pq
+
+        if os.path.isdir(path):
+            files = [
+                os.path.join(path, f) for f in sorted(os.listdir(path)) if f.endswith(".parquet")
+            ]
+        else:
+            files = [path]
+        if files and len(files) <= 512:  # bound driver footer-read time
+            proven: dict[str, bool] = {}
+            for f in files:
+                md = pq.ParquetFile(f).metadata
+                for rg in range(md.num_row_groups):
+                    row_group = md.row_group(rg)
+                    for ci in range(row_group.num_columns):
+                        col = row_group.column(ci)
+                        name = col.path_in_schema
+                        stats = col.statistics
+                        ok = stats is not None and stats.null_count == 0
+                        proven[name] = proven.get(name, True) and ok
+            out = frozenset(c for c, ok in proven.items() if ok)
+    except Exception:
+        out = frozenset()
+    _NONNULL_CACHE[key] = out
+    return out
+
+
 def read_parquet(path: str, columns=None, filters=None) -> DataFrame:
     sdf = _parquet_scan(path)
     if columns is not None:
@@ -112,7 +158,13 @@ def read_parquet(path: str, columns=None, filters=None) -> DataFrame:
                 conj = e if conj is None else (conj & e)
             disj = conj if disj is None else (disj | conj)
         sdf = sdf.where(disj)
-    return DataFrame(_frame=SparkFrame.from_spark(sdf))
+    fr = SparkFrame.from_spark(sdf)
+    nn = _parquet_nonnull_cols(path)
+    if nn:
+        fr.nonnull_cols = frozenset(
+            p for lbl, p in zip(fr.columns, fr.data_cols) if lbl in nn
+        )
+    return DataFrame(_frame=fr)
 
 
 def read_csv(path: str, sep: str = ",", header: int | str = 0, names=None, dtype=None,

@@ -25,13 +25,15 @@ def _base(rng):
             "a": rng.integers(-20, 20, n),
             "b": np.where(rng.random(n) < 0.2, np.nan, rng.random(n) * 10),
             "k": rng.choice(list("uvw"), n),
-            "g": rng.integers(0, 4, n),
+            # ~10% NaN keys: exercises pandas' NaN-matches-NaN merge
+            # semantics and NaN-group handling through every chain
+            "g": np.where(rng.random(n) < 0.1, np.nan, rng.integers(0, 4, n).astype(float)),
         }
     )
 
 
 def _dim(rng):
-    return pd.DataFrame({"g": [0, 1, 2, 3], "label": list("ABCD")})
+    return pd.DataFrame({"g": [0.0, 1, 2, 3, np.nan], "label": list("ABCDE")})
 
 
 # each step: (name, pandas_fn, modin_fn) — same signature, returns the frame
