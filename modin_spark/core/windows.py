@@ -187,7 +187,7 @@ def pct_change(frame: SparkFrame, positions: Sequence[int], periods: int = 1) ->
     return shifted._same_rows(shifted.sdf).project(labels, exprs)
 
 
-def interpolate_linear(frame: SparkFrame, positions: Sequence[int], x_col=None) -> SparkFrame:
+def interpolate_linear(frame: SparkFrame, positions: Sequence[int], x_col=None, limit=None) -> SparkFrame:
     """pandas ``interpolate(method="linear")`` along frame order.
 
     Needs, per null cell, the nearest non-null (value, position) before and
@@ -212,7 +212,8 @@ def interpolate_linear(frame: SparkFrame, positions: Sequence[int], x_col=None) 
     sdf = fr.sdf
     prev_c, next_c = fresh_names(len(phys)), fresh_names(len(phys))
     for p, pc, nc in zip(phys, prev_c, next_c):
-        sv = F.when(F.col(p).isNotNull(), F.struct(xe.alias("p"), F.col(p).cast("double").alias("v")))
+        sv = F.when(F.col(p).isNotNull(), F.struct(
+            xe.alias("p"), F.col(_POS).cast("double").alias("r"), F.col(p).cast("double").alias("v")))
         sdf = sdf.withColumn(pc, F.last(sv, ignorenulls=True).over(w_f))
         sdf = sdf.withColumn(nc, F.first(sv, ignorenulls=True).over(w_b))
     blk = sdf.groupBy(_BLK).agg(
@@ -238,6 +239,11 @@ def interpolate_linear(frame: SparkFrame, positions: Sequence[int], x_col=None) 
             .when(nxt.isNull(), prev["v"])             # trailing: extend last
             .otherwise(interp)
         )
+        if limit is not None:
+            # pandas limit: at most `limit` consecutive NaNs fill (row gap
+            # from the previous valid row, regardless of the abscissa)
+            gap = F.col(_POS).cast("double") - prev["r"]
+            e = F.when(F.col(p).isNull() & (gap > limit), F.lit(None)).otherwise(e)
         exprs.append(e)
     out = fr._same_rows(sdf).project(labels, exprs)
     return _drop_aux(out)

@@ -443,10 +443,29 @@ class DataFrame:
 
     notnull = notna
 
-    def ffill(self, limit=None) -> "DataFrame":
+    def _fill_axis1(self, reverse: bool, limit=None) -> "DataFrame":
+        """Row-wise ffill/bfill: each cell coalesces over the columns to its
+        left (right for bfill) — pure projection, no shuffle. ``limit``
+        bounds how many columns back a value may carry."""
+        fr = self._frame
+        n = len(fr.columns)
+        order = list(range(n))
+        if reverse:
+            order = order[::-1]
+        exprs: list = [None] * n
+        for rank_, i in enumerate(order):
+            back = order[max(0, rank_ - limit) if limit is not None else 0: rank_ + 1][::-1]
+            exprs[i] = F.coalesce(*[fr.scol(j) for j in back]) if len(back) > 1 else fr.scol(i)
+        return DataFrame(_frame=fr.project(fr.columns, exprs))
+
+    def ffill(self, limit=None, axis=0) -> "DataFrame":
+        if axis in (1, "columns"):
+            return self._fill_axis1(False, limit)
         return DataFrame(_frame=win.ffill(self._frame, list(range(len(self._frame.columns))), limit=limit))
 
-    def bfill(self, limit=None) -> "DataFrame":
+    def bfill(self, limit=None, axis=0) -> "DataFrame":
+        if axis in (1, "columns"):
+            return self._fill_axis1(True, limit)
         return DataFrame(_frame=win.bfill(self._frame, list(range(len(self._frame.columns))), limit=limit))
 
     def replace(self, to_replace, value=None) -> "DataFrame":
@@ -1405,17 +1424,17 @@ class DataFrame:
     def pct_change(self, periods=1) -> "DataFrame":
         return DataFrame(_frame=win.pct_change(self._frame, self._numeric_positions(), periods))
 
-    def interpolate(self, method="linear", **kw) -> "DataFrame":
+    def interpolate(self, method="linear", limit=None, **kw) -> "DataFrame":
         if method in ("index", "time", "values"):
             # abscissa = the index values (epoch seconds for timestamps)
             fr = self._frame
             if not fr.index_cols:
                 raise NotImplementedError(f"interpolate(method={method!r}) needs a set index")
             return DataFrame(_frame=win.interpolate_linear(
-                fr, self._numeric_positions(), x_col=fr.index_cols[-1]))
+                fr, self._numeric_positions(), x_col=fr.index_cols[-1], limit=limit))
         if method != "linear":
             raise NotImplementedError(f"interpolate(method={method!r})")
-        return DataFrame(_frame=win.interpolate_linear(self._frame, self._numeric_positions()))
+        return DataFrame(_frame=win.interpolate_linear(self._frame, self._numeric_positions(), limit=limit))
 
     def rolling(self, window: int, min_periods=None, win_type=None, center=False, closed=None, **win_kwargs):
         from modin_spark.pandas.window import Rolling
@@ -1529,6 +1548,36 @@ class DataFrame:
         index = index if isinstance(index, list) else [index]
         idx_phys = [fr.data_cols[i] for i in fr.positions_of(index)]
         col_phys = fr.data_cols[fr.positions_of([columns])[0]]
+        if isinstance(aggfunc, list):
+            # aggfunc list: every (fn, value) aggregate rides the SAME single
+            # pivot pass; labels are (fn, pv) for a scalar value, pandas'
+            # (fn, value, pv) 3-level for a value list
+            vlist = values if isinstance(values, list) else [values]
+            val_phys2 = [fr.data_cols[fr.positions_of([v])[0]] for v in vlist]
+            pvals = [
+                r[0]
+                for r in fr.sdf.select(col_phys).where(F.col(col_phys).isNotNull())
+                .distinct().orderBy(col_phys).collect()
+            ]
+            pairs = [(fn, v, p) for fn in aggfunc for v, p in zip(vlist, val_phys2)]
+            aggs = [qc.AGG_EXPRS[fn](F.col(p)).alias(f"__a{i}__") for i, (fn, _v, p) in enumerate(pairs)]
+            pivoted = fr.sdf.groupBy(*idx_phys).pivot(col_phys, pvals).agg(*aggs)
+            tmp = _fn(len(pvals) * len(pairs))
+            pivoted = pivoted.toDF(*idx_phys, *tmp)  # positional: names never parsed
+            name_of = {}
+            for j, t in enumerate(tmp):  # Spark: pivot value outer, agg inner
+                fn, v, _p = pairs[j % len(pairs)]
+                name_of[(fn, v, pvals[j // len(pairs)])] = t
+            keys3 = [(fn, v, pv) for fn in aggfunc for v in vlist for pv in pvals]
+            labels = keys3 if isinstance(values, list) else [(fn, pv) for fn, _v, pv in keys3]
+            out_phys = _fn(len(labels))
+            sel = [F.struct(*[F.col(p) for p in idx_phys]).alias(ORDER_COL)]
+            sel += [F.col(p) for p in idx_phys]
+            sel += [F.col(name_of[k3]).alias(np_) for k3, np_ in zip(keys3, out_phys)]
+            out = SparkFrame(
+                pivoted.select(*sel), pd.MultiIndex.from_tuples(labels), out_phys, idx_phys, list(index)
+            )
+            return DataFrame(_frame=out)
         agg_fn = qc.AGG_EXPRS[aggfunc]
         if not isinstance(values, list):
             val_phys = fr.data_cols[fr.positions_of([values])[0]]

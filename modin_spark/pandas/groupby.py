@@ -36,10 +36,24 @@ class DataFrameGroupBy:
         fr = df._frame
         if isinstance(by, Series):
             # external/derived key: attach as a hidden key column
-            if not fr.can_rebase(by._frame, by._refs):
-                raise NotImplementedError("groupby by unaligned Series")
             key_label = by._name if by._name is not None else "__key__"
-            fr2 = fr.with_columns([key_label], [by._expr])
+            if fr.can_rebase(by._frame, by._refs):
+                fr2 = fr.with_columns([key_label], [by._expr])
+            else:
+                # unrelated lineage: align the key by index/position once
+                # (the same left-lookup join fillna(Series) rides), then the
+                # groupBy is ordinary
+                probe = df._series_at(0) if len(df.columns) else None
+                if probe is None:
+                    raise NotImplementedError("groupby by Series on an empty frame")
+                target, _le, ke, _refs = probe._combine(by, how="left")
+                # target's sdf still carries every physical column of df
+                # (project keeps them hidden) — restore df's column metadata
+                base = target._same_rows(
+                    target.sdf, columns=fr.columns, data_cols=fr.data_cols,
+                    index_cols=fr.index_cols, index_names=fr.index_names,
+                )
+                fr2 = base.with_columns([key_label], [ke])
             self._df = DataFrame(_frame=fr2)
             by = [key_label]
         by = by if isinstance(by, list) else [by]

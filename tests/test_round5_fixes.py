@@ -249,3 +249,36 @@ def test_str_partition_frame_and_index_raises(spark):
         mt.dropna().str.index("l")  # 'spark' has no 'l'
     ok = mpd.from_pandas(pd.Series(["la", "al"]).to_frame("t"))["t"]
     assert ok.str.index("l").to_pandas().tolist() == [0, 1]
+
+
+def test_groupby_external_series_key(spark):
+    G = pd.DataFrame({"v": [1.0, 2, 3, 4]})
+    KEY = pd.Series(["a", "b", "a", "b"])
+    mg = mpd.from_pandas(G)
+    mk = mpd.from_pandas(KEY.to_frame("k"))["k"]
+    got = mg.groupby(mk).v.sum().to_pandas()
+    exp = G.groupby(KEY).v.sum()
+    assert got.sort_index().tolist() == exp.sort_index().tolist()
+
+
+def test_pivot_table_aggfunc_list(spark):
+    P = pd.DataFrame({"k": ["a", "a", "b"], "c": ["u", "v", "u"], "x": [1.0, 2, 3]})
+    got = mpd.from_pandas(P).pivot_table(values="x", index="k", columns="c",
+                                         aggfunc=["sum", "count"]).to_pandas()
+    exp = P.pivot_table(values="x", index="k", columns="c", aggfunc=["sum", "count"])
+    assert got.columns.tolist() == exp.columns.tolist()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False, check_names=False)
+
+
+def test_interpolate_limit(spark):
+    s = pd.Series([1.0, np.nan, np.nan, np.nan, 5.0])
+    got = mpd.from_pandas(s.to_frame("x"))["x"].interpolate(limit=1).to_pandas()
+    pd.testing.assert_series_equal(got, s.interpolate(limit=1), check_names=False, check_dtype=False)
+
+
+def test_ffill_bfill_axis1(spark):
+    F2 = pd.DataFrame({"a": [1.0, np.nan], "b": [np.nan, np.nan], "c": [3.0, 4.0]})
+    m = mpd.from_pandas(F2)
+    _check(m.ffill(axis=1).to_pandas(), F2.ffill(axis=1))
+    _check(m.bfill(axis=1).to_pandas(), F2.bfill(axis=1))
+    _check(m.ffill(axis=1, limit=1).to_pandas(), F2.ffill(axis=1, limit=1))

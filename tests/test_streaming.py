@@ -194,3 +194,34 @@ def test_stream_corpus_clean_matches_batch(spark, tmp_path):
     assert len(merged) == len(got) and len(got) >= len(batch) * 0.5, (len(got), len(batch))
     assert (merged["n_docs_s"] == merged["n_docs_b"]).all()
     assert (merged["n_tokens_s"] == merged["n_tokens_b"]).all()
+
+
+def test_stream_chunking_matches_batch(spark, tmp_path):
+    """chunk_documents is a stateless map-only op, so the SAME expression
+    tree runs unchanged under Structured Streaming (readStream -> chunk ->
+    append sink): streamed chunks == batch chunks over the same files."""
+    from modin_spark.operators.corpus import chunk_documents
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    src_dir = str(tmp_path / "docs_feed")
+    docs.write.mode("overwrite").parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    chunked = chunk_documents(stream, "doc_id", "text", chunk_size=32, overlap=4)
+    q = (
+        chunked.writeStream.format("memory").queryName("t_chunks")
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("select * from t_chunks").toPandas()
+    finally:
+        q.stop()
+
+    exp = chunk_documents(spark.read.parquet(src_dir), "doc_id", "text",
+                          chunk_size=32, overlap=4).toPandas()
+    key = ["doc_id", "chunk_id"]
+    got = got.sort_values(key).reset_index(drop=True)
+    exp = exp.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
