@@ -591,16 +591,79 @@ class DataFrame:
     def limit(self, n: int) -> "DataFrame":
         return self.head(n)
 
+    def _translate_query(self, expr: str, caller_depth: int) -> str:
+        """pandas query/eval expression -> Spark SQL: ``@var`` locals become
+        literals (caller's frame), backticked and bare labels map to physical
+        columns (index level names and the bare ``index`` token too),
+        ``in [a, b]`` list syntax becomes SQL IN, a small ``.str`` method set
+        compiles to SQL functions, and ``~`` negates."""
+        import re as _re
+        import sys
+
+        fr = self._frame
+        translated = expr
+
+        # 1. @local/global references -> SQL literals
+        if "@" in translated:
+            f = sys._getframe(caller_depth)
+            scope = {**f.f_globals, **f.f_locals}
+
+            def lit_sql(v):
+                if isinstance(v, str):
+                    return "'" + v.replace("'", "''") + "'"
+                if isinstance(v, bool):
+                    return "true" if v else "false"
+                if v is None:
+                    return "NULL"
+                if isinstance(v, pd.Timestamp):
+                    return f"TIMESTAMP '{v.isoformat(sep=' ')}'"
+                if isinstance(v, (list, tuple, set, frozenset)):
+                    return "(" + ", ".join(lit_sql(x) for x in v) + ")"
+                return repr(v)
+
+            def sub_at(m):
+                name = m.group(1)
+                if name not in scope:
+                    raise NameError(f"name {name!r} is not defined (query @var)")
+                return lit_sql(scope[name])
+
+            translated = _re.sub(r"@([A-Za-z_]\w*)", sub_at, translated)
+
+        # 2. backticked labels (pandas syntax for non-identifier names)
+        label_map = {str(lbl): phys for lbl, phys in zip(fr.columns, fr.data_cols)}
+        for iname, icol in zip(fr.index_names, fr.index_cols):
+            if iname is not None:
+                label_map.setdefault(str(iname), icol)
+        translated = _re.sub(
+            r"`([^`]+)`", lambda m: label_map.get(m.group(1), m.group(0)), translated
+        )
+
+        # 3. bare labels -> physical columns (longest first)
+        for lbl, phys in sorted(label_map.items(), key=lambda t: -len(t[0])):
+            translated = _re.sub(rf"(?<![\w`']){_re.escape(lbl)}(?![\w`'])", phys, translated)
+        if fr.index_cols:
+            translated = _re.sub(rf"(?<![\w`'])index(?![\w`'])", fr.index_cols[0], translated)
+
+        # 4. python list syntax after `in`
+        translated = _re.sub(r"\bin\s*\[([^\]]*)\]", r"in (\1)", translated)
+
+        # 5. the .str method subset pandas query supports in practice
+        translated = _re.sub(r"(\w+)\.str\.len\(\)", r"length(\1)", translated)
+        translated = _re.sub(r"(\w+)\.str\.lower\(\)", r"lower(\1)", translated)
+        translated = _re.sub(r"(\w+)\.str\.upper\(\)", r"upper(\1)", translated)
+        translated = _re.sub(r"(\w+)\.str\.contains\(([^)]*)\)", r"(\1 RLIKE \2)", translated)
+        translated = _re.sub(r"(\w+)\.str\.startswith\(([^)]*)\)", r"startswith(\1, \2)", translated)
+        translated = _re.sub(r"(\w+)\.str\.endswith\(([^)]*)\)", r"endswith(\1, \2)", translated)
+
+        # 6. pandas boolean negation
+        translated = _re.sub(r"~\s*", " not ", translated)
+        return translated
+
     def query(self, expr: str) -> "DataFrame":
         """pandas.query via Spark SQL — labels resolved to physical columns,
         pandas operators translated (Spark SQL already accepts and/or/==)."""
-        fr = self._frame
-        translated = expr
-        import re as _re
-
-        for lbl, phys in sorted(zip(fr.columns, fr.data_cols), key=lambda t: -len(str(t[0]))):
-            translated = _re.sub(rf"(?<![\w`]){_re.escape(str(lbl))}(?![\w`])", phys, translated)
-        return DataFrame(_frame=fr.filter(F.expr(translated)))
+        translated = self._translate_query(expr, caller_depth=2)
+        return DataFrame(_frame=self._frame.filter(F.expr(translated)))
 
     def eval(self, expr: str) -> "DataFrame | Series":
         """pandas.eval — 'new = expression' adds a column; a bare expression
@@ -611,8 +674,7 @@ class DataFrame:
 
         m = _re.match(r"^\s*([A-Za-z_]\w*)\s*=(?!=)\s*(.+)$", expr, _re.S)
         rhs = m.group(2) if m else expr
-        for lbl, phys in sorted(zip(fr.columns, fr.data_cols), key=lambda t: -len(str(t[0]))):
-            rhs = _re.sub(rf"(?<![\w`]){_re.escape(str(lbl))}(?![\w`])", phys, rhs)
+        rhs = self._translate_query(rhs, caller_depth=2)
         col = F.expr(rhs)
         if m:
             return DataFrame(_frame=fr.with_columns([m.group(1)], [col]))
@@ -2825,7 +2887,8 @@ class _ScalarIndexer:
             sub = self._df.iloc[[row]]
             return sub.to_pandas().iloc[0, col]
         sub = self._df.loc[[row]]
-        return sub.to_pandas().iloc[0][col]
+        # column first: a row-wise .iloc[0] Series would upcast mixed dtypes
+        return sub.to_pandas()[col].iloc[0]
 
     def __setitem__(self, key, value):
         raise NotImplementedError("at/iat assignment: use loc/setitem")

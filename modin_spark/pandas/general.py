@@ -48,15 +48,24 @@ def merge(left: DataFrame, right: DataFrame, **kw) -> DataFrame:
     return left.merge(right, **kw)
 
 
-def to_datetime(arg, format=None, errors="raise"):
+def to_datetime(arg, format=None, errors="raise", unit=None):
     if isinstance(arg, Series):
+        if unit is not None:
+            # numeric epochs: scale to microseconds, exact integer math
+            scale = {"s": 1_000_000, "ms": 1_000, "us": 1, "ns": None, "D": 86_400_000_000}
+            if unit not in scale:
+                raise NotImplementedError(f"to_datetime unit {unit!r}")
+            if unit == "ns":
+                return arg._map1(lambda c: F.timestamp_micros(F.floor(c.cast("long") / 1000).cast("long")))
+            k = scale[unit]
+            return arg._map1(lambda c: F.timestamp_micros((c.cast("long") * F.lit(k)).cast("long")))
         if format is not None:
             from modin_spark.functions.datetimes import _strftime_to_java
 
             java_fmt = _strftime_to_java(format)
             return arg._map1(lambda c: F.to_timestamp(c, java_fmt))
         return arg._map1(lambda c: F.to_timestamp(c))
-    return pd.to_datetime(arg, format=format, errors=errors)
+    return pd.to_datetime(arg, format=format, errors=errors, unit=unit)
 
 
 def to_numeric(arg, errors="raise"):

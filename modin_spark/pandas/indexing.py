@@ -73,11 +73,40 @@ class LocIndexer:
         self._df = df
 
     def __setitem__(self, key, value):
-        """The pandas masked-update idiom ``df.loc[mask, col] = v``: compiles
-        to a conditional projection (no shuffle, no materialize)."""
-        if not isinstance(key, tuple) or len(key) != 2:
-            raise NotImplementedError("loc assignment needs (row_mask, columns)")
+        """The pandas masked-update idiom ``df.loc[mask, col] = v`` compiles
+        to a conditional projection (no shuffle, no materialize);
+        ``df.loc[new_label] = [...]`` appends the row (enlargement);
+        ``df.loc[:, col] = v`` routes to plain column assignment."""
+        import pandas as _pd
+
+        if not isinstance(key, tuple):
+            # row enlargement / row overwrite by scalar label
+            fr = self._df._frame
+            vals = list(value) if isinstance(value, (list, tuple)) else [value] * len(fr.columns)
+            row = _pd.DataFrame([vals], columns=list(fr.columns),
+                                index=_pd.Index([key], name=fr.index_names[0] if fr.index_cols else None))
+            from modin_spark.pandas.io import from_pandas
+            from modin_spark.pandas import concat
+
+            if fr.index_cols:
+                # drop an existing row with this label, then append (pandas
+                # overwrites in place; for an overwrite the row moves to the
+                # end — documented divergence)
+                from modin_spark.pandas.dataframe import DataFrame
+
+                existing = DataFrame(
+                    _frame=fr.filter(~F.col(fr.index_cols[0]).eqNullSafe(F.lit(key)))
+                )
+                appended = concat([existing, from_pandas(row)])
+            else:
+                appended = concat([self._df, from_pandas(row.reset_index(drop=True))], ignore_index=True)
+            self._df._frame = appended._frame
+            return
         row_key, col_key = key
+        if isinstance(row_key, slice) and row_key == slice(None):
+            # full-row slice: ordinary column assignment
+            self._df[col_key] = value
+            return
         if not isinstance(row_key, Series):
             raise NotImplementedError("loc assignment supports a boolean-Series row mask")
         cols = col_key if isinstance(col_key, list) else [col_key]

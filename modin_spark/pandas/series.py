@@ -188,6 +188,17 @@ class Series:
             target, le, re_, refs = self._combine(other)
         else:
             target, le, re_, refs = self._frame, self._expr, _lit(other), set(self._refs)
+            cd = getattr(self, "_cat_dtype", None)
+            if comparison and cd is not None and getattr(cd, "ordered", False):
+                # ordered categorical: compare CODES (category order), not
+                # the string values — a when-chain over the k categories
+                codes = {v: i for i, v in enumerate(cd.categories)}
+                if other not in codes:
+                    raise TypeError(f"{other!r} is not in the categories")
+                ce = None
+                for v, i in codes.items():
+                    ce = (ce.when if ce is not None else F.when)(le == F.lit(v), F.lit(i))
+                le, re_ = ce.otherwise(F.lit(None)), F.lit(codes[other])
         a, b = (re_, le) if reverse else (le, re_)
         e = fn(a, b)
         filter_expr = None
@@ -396,6 +407,12 @@ class Series:
         return Series._from_frame(self._frame.filter(cond._expr).project([self._name if self._name is not None else 0], [self._expr]))
 
     def astype(self, dtype) -> "Series":
+        if isinstance(dtype, pd.CategoricalDtype):
+            # physical storage stays string; the dtype (category ORDER for
+            # ordered comparisons) rides on the Series object
+            out = self._map1(lambda c: c.cast("string"))
+            out._cat_dtype = dtype
+            return out
         spark_t = pandas_dtype_to_spark(dtype)
         return self._map1(lambda c: c.cast(spark_t))
 
@@ -1023,6 +1040,32 @@ class StringMethods:
         labels = list(range(width))
         exprs = [arr.getItem(i) for i in range(width)]
         return DataFrame(_frame=fr.project(labels, exprs))
+
+    def extract(self, pat: str, flags: int = 0, expand: bool = True):
+        """pandas str.extract: one column per regex group (named groups keep
+        their names); a single group with expand=False returns a Series.
+        Pure regexp_extract projections — no UDF, no shuffle."""
+        import re as _re
+
+        rx = _re.compile(pat, flags)
+        n = rx.groups
+        if n == 0:
+            raise ValueError("pattern contains no capture groups")
+        names = {v: k for k, v in rx.groupindex.items()}
+        # Java regex spells named groups (?<name>...), Python (?P<name>...)
+        pat = pat.replace("(?P<", "(?<").replace("(?P=", r"\k<")
+
+        def grp(c, i):
+            # pandas: no match (or null) -> NaN, never ''
+            return F.when(c.rlike(pat), F.regexp_extract(c, pat, i))
+
+        if n == 1 and not expand:
+            return self._s._map1(lambda c: grp(c, 1))
+        from modin_spark.pandas.dataframe import DataFrame
+
+        fr = self._s._to_frame("__t__")
+        labels = [names.get(i + 1, i) for i in range(n)]
+        return DataFrame(_frame=fr.project(labels, [grp(fr.scol(0), i + 1) for i in range(n)]))
 
     def partition(self, sep=" ", expand: bool = True):
         """pandas returns a 3-column frame (head, sep, tail); expand=False

@@ -282,3 +282,63 @@ def test_ffill_bfill_axis1(spark):
     _check(m.ffill(axis=1).to_pandas(), F2.ffill(axis=1))
     _check(m.bfill(axis=1).to_pandas(), F2.bfill(axis=1))
     _check(m.ffill(axis=1, limit=1).to_pandas(), F2.ffill(axis=1, limit=1))
+
+
+def test_query_at_vars_backticks_in_index(spark):
+    D = pd.DataFrame({"a": [1, 2, 3], "b name": [4.0, 5, 6], "s": ["x", "yy", "zzz"]})
+    m = mpd.from_pandas(D)
+    thr = 1
+    _check(m.query("a > @thr").to_pandas(), D.query("a > @thr"))
+    _check(m.query("`b name` > 4.5").to_pandas(), D.query("`b name` > 4.5"))
+    _check(m.query("s in ['x', 'yy']").to_pandas(), D.query("s in ['x', 'yy']"))
+    _check(m.query("s.str.len() > 1").to_pandas(), D.query("s.str.len() > 1"))
+    got = m.set_index("a").query("index >= 2").reset_index().to_pandas()
+    _check(got, D.set_index("a").query("index >= 2").reset_index())
+
+
+def test_to_datetime_unit(spark):
+    s = pd.Series([1700000000])
+    got = mpd.to_datetime(mpd.from_pandas(s.to_frame("x"))["x"], unit="s").to_pandas()
+    pd.testing.assert_series_equal(got, pd.to_datetime(s, unit="s"), check_names=False)
+
+
+def test_categorical_ordered_comparison(spark):
+    C = pd.Series(["lo", "hi", "mid", "hi"])
+    dt = pd.CategoricalDtype(["lo", "mid", "hi"], ordered=True)
+    got = (mpd.from_pandas(C.to_frame("c"))["c"].astype(dt) < "hi").to_pandas()
+    assert got.tolist() == (C.astype(dt) < "hi").tolist()
+    with pytest.raises(TypeError):
+        mpd.from_pandas(C.to_frame("c"))["c"].astype(dt) < "nope"
+
+
+def test_loc_enlargement_and_full_slice_set(spark):
+    d = mpd.from_pandas(pd.DataFrame({"a": [1.0]}, index=["x"]))
+    d.loc["y"] = [2.0]
+    got = d.reset_index().to_pandas()
+    exp = pd.DataFrame({"a": [1.0]}, index=["x"])
+    exp.loc["y"] = [2.0]
+    _check(got, exp.reset_index())
+    D = pd.DataFrame({"a": [1, 2]})
+    m = mpd.from_pandas(D)
+    m.loc[:, "z"] = 7
+    D.loc[:, "z"] = 7
+    _check(m.to_pandas(), D)
+
+
+def test_str_extract_groups(spark):
+    S2 = pd.Series(["a1b2", "c3", "no"])
+    ms = mpd.from_pandas(S2.to_frame("s"))["s"]
+    got1 = ms.str.extract(r"(\d)", expand=False).to_pandas()
+    pd.testing.assert_series_equal(got1, S2.str.extract(r"(\d)", expand=False),
+                                   check_names=False, check_dtype=False)
+    got2 = ms.str.extract(r"([a-z])(\d)").to_pandas()
+    pd.testing.assert_frame_equal(got2, S2.str.extract(r"([a-z])(\d)"),
+                                  check_dtype=False, check_column_type=False)
+    gotn = ms.str.extract(r"(?P<ch>[a-z])(?P<num>\d)").to_pandas()
+    assert list(gotn.columns) == ["ch", "num"]
+
+
+def test_at_preserves_int_dtype(spark):
+    D = pd.DataFrame({"a": [1, 2], "b": [1.5, 2.5], "s": ["x", "yy"]})
+    got = mpd.from_pandas(D).set_index("s").at["yy", "a"]
+    assert got == 2 and not isinstance(got, float)
