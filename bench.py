@@ -150,6 +150,13 @@ def main() -> None:
         r4_comparable = round(sum(v for q, v in timings.items() if q in base4 and v > 0), 3)
     except Exception:
         pass
+    r5_comparable = None
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_LOCAL_r05.json")) as f:
+            base5 = json.load(f)["queries"]
+        r5_comparable = round(sum(v for q, v in timings.items() if q in base5 and v > 0), 3)
+    except Exception:
+        pass
 
     print(
         json.dumps(
@@ -161,6 +168,7 @@ def main() -> None:
                 "r1_comparable_total": r1_comparable,
                 "r3_comparable_total": r3_comparable,
                 "r4_comparable_total": r4_comparable,
+                "r5_comparable_total": r5_comparable,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

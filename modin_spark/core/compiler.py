@@ -80,7 +80,7 @@ AGG_EXPRS: dict[str, callable] = {
 _NULL_FILL_ZERO = {"sum"}
 
 
-def agg_expr(name: str, c: Column, q: float | None = None) -> Column:
+def agg_expr(name: str, c: Column, q: float | None = None, input_type=None) -> Column:
     if name == "quantile":
         return F.percentile(c, F.lit(q if q is not None else 0.5))
     fn = AGG_EXPRS.get(name)
@@ -88,7 +88,13 @@ def agg_expr(name: str, c: Column, q: float | None = None) -> Column:
         raise NotImplementedError(f"aggregation {name!r}")
     e = fn(c)
     if name in _NULL_FILL_ZERO:
-        e = F.coalesce(e, F.lit(0))
+        from pyspark.sql import types as T
+
+        if isinstance(input_type, T.DayTimeIntervalType):
+            # interval sums get a type-correct zero (pandas: Timedelta(0))
+            e = F.coalesce(e, F.expr("INTERVAL '0' SECOND"))
+        else:
+            e = F.coalesce(e, F.lit(0))
     return e
 
 
@@ -131,12 +137,11 @@ def groupby_agg(
     aggs = []
     for (lbl, pos, name, kw), op in zip(agg_spec, out_phys):
         c = F.col(frame.data_cols[pos]) if pos is not None else F.lit(1)
-        e = agg_expr(name, c, kw.get("q"))
-        # pandas identity elements: sum/prod of an all-NaN group are 0/1
-        # (min_count=0 default) — Spark's aggregates return NULL there
-        if name == "sum":
-            e = F.coalesce(e, F.lit(0))
-        elif name == "prod":
+        itype = frame.schema_map.get(frame.data_cols[pos]) if pos is not None else None
+        e = agg_expr(name, c, kw.get("q"), input_type=itype)
+        # pandas identity: prod of an all-NaN group is 1 (sum's 0 lives in
+        # agg_expr, type-aware)
+        if name == "prod":
             e = F.coalesce(e, F.lit(1.0))
         aggs.append(e.alias(op))
     if sort:

@@ -161,13 +161,21 @@ def shift(frame: SparkFrame, positions: Sequence[int], periods: int = 1, fill_va
 
 
 def diff(frame: SparkFrame, positions: Sequence[int], periods: int = 1) -> SparkFrame:
+    from pyspark.sql import types as T
+
     shifted = shift(frame, positions, periods)
     labels, exprs = [], []
     for out_pos, orig_pos in enumerate(positions):
         cur = F.col(frame.data_cols[orig_pos])
         prev = F.col(shifted.data_cols[out_pos])
         labels.append(frame.columns[orig_pos])
-        exprs.append(cur.cast("double") - prev.cast("double"))
+        dt = frame.schema_map[frame.data_cols[orig_pos]]
+        if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+            # pandas: datetime diff yields timedelta — Spark's ts - ts is
+            # already a DayTimeInterval
+            exprs.append(cur - prev)
+        else:
+            exprs.append(cur.cast("double") - prev.cast("double"))
     return shifted._same_rows(shifted.sdf).project(labels, exprs)
 
 

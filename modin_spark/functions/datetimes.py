@@ -53,10 +53,8 @@ DT_FUNCS = {
     "month_name": lambda c, locale=None: F.date_format(c, "MMMM"),
     "day_name": lambda c, locale=None: F.date_format(c, "EEEE"),
     "normalize": lambda c: F.date_trunc("day", c),
-    "floor": lambda c, freq: F.date_trunc(_freq_to_trunc(freq), c),
-    "ceil": lambda c, freq: F.when(
-        F.date_trunc(_freq_to_trunc(freq), c) == c, c
-    ).otherwise(F.date_trunc(_freq_to_trunc(freq), c) + F.expr(_freq_to_interval(freq))),
+    "floor": lambda c, freq: _dt_floor(c, freq),
+    "ceil": lambda c, freq: _dt_ceil(c, freq),
     "round": lambda c, freq: _dt_round(c, freq),
     # timedelta accessors: DayTimeIntervalType -> fractional seconds via the
     # decimal cast (interval cannot cast to double directly)
@@ -143,11 +141,41 @@ def _freq_to_interval(freq: str) -> str:
 _FREQ_SECONDS = {"D": 86400, "H": 3600, "h": 3600, "T": 60, "min": 60, "S": 1, "s": 1}
 
 
+def _freq_us(freq: str) -> int:
+    import pandas as _pd
+
+    # bare unit names ("h", "min") mean one unit
+    f = freq if freq[:1].isdigit() else "1" + freq
+    return int(_pd.Timedelta(f).value // 1000)
+
+
+def _dt_floor(c: Column, freq: str) -> Column:
+    """Single units keep date_trunc; multiples ("15min") bucket on exact
+    integer microsecond math (pmod — never double division)."""
+    if freq in _FREQ_TRUNC:
+        return F.date_trunc(_FREQ_TRUNC[freq], c)
+    d = _freq_us(freq)
+    e = F.unix_micros(_TS(c))
+    return F.timestamp_micros((e - F.pmod(e, F.lit(d))).cast("long"))
+
+
+def _dt_ceil(c: Column, freq: str) -> Column:
+    fl = _dt_floor(c, freq)
+    d = _freq_us(freq)
+    return F.when(fl == _TS(c), c).otherwise(
+        F.timestamp_micros((F.unix_micros(fl) + F.lit(d)).cast("long"))
+    )
+
+
 def _dt_round(c: Column, freq: str) -> Column:
-    step = _FREQ_SECONDS[freq]
-    secs = F.unix_timestamp(_TS(c))
-    rounded = F.round(secs / step) * step
-    return F.timestamp_seconds(rounded.cast("long"))
+    """pandas dt.round: round-half-to-EVEN at exact midpoints."""
+    d = _freq_us(freq)
+    e = F.unix_micros(_TS(c))
+    rem = F.pmod(e, F.lit(d))
+    base = e - rem
+    q = (base / F.lit(d)).cast("long")
+    up = (rem > F.lit(d // 2)) | ((rem == F.lit(d // 2)) & (F.pmod(q, F.lit(2)) == 1) if d % 2 == 0 else F.lit(False))
+    return F.timestamp_micros((base + F.when(up, F.lit(d)).otherwise(F.lit(0))).cast("long"))
 
 
 def dt_func(name: str, c: Column, *args, **kwargs) -> Column:

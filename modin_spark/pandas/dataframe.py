@@ -1922,6 +1922,25 @@ class DataFrame:
         # combine_first prefers `other`'s non-null cells; restrict to self's columns
         self._frame = patched[[c for c in self.columns]]._frame
 
+    def persist(self, storage_level: str = "MEMORY_AND_DISK") -> "DataFrame":
+        """Pin the frame's current plan in executor storage (Spark persist) —
+        the escape hatch for iterative workloads that re-consume one
+        intermediate many times (the reference materializes every
+        intermediate by construction; here plans are lazy, so re-use without
+        persist re-executes the lineage). Returns self for chaining."""
+        from pyspark import StorageLevel
+
+        level = getattr(StorageLevel, storage_level)
+        self._frame.sdf.persist(level)
+        return self
+
+    def cache(self) -> "DataFrame":
+        return self.persist()
+
+    def unpersist(self) -> "DataFrame":
+        self._frame.sdf.unpersist()
+        return self
+
     def memory_usage(self, index=False, deep=False) -> pd.Series:
         """Estimated bytes per column: fixed-width from the Spark type; strings
         sampled. Driver sees one aggregate row."""

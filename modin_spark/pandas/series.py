@@ -543,7 +543,7 @@ class Series:
         if name in self._BOOL_NUMERIC_AGGS and isinstance(self.spark_type, T.BooleanType):
             # pandas numeric-aggregates booleans as 0/1 (bool.sum() = #True)
             expr = expr.cast("int")
-        e = qc.agg_expr(name, expr, kw.get("q"))
+        e = qc.agg_expr(name, expr, kw.get("q"), input_type=self.spark_type)
         if name == "prod":
             # pandas identity: prod of all-missing (or empty) is 1
             e = F.coalesce(e, F.lit(1))
@@ -556,6 +556,10 @@ class Series:
             import numpy as np
 
             return pd.NaT if self.dtype.kind == "M" else np.nan
+        import datetime as _dt
+
+        if isinstance(val, _dt.timedelta) and not isinstance(val, pd.Timedelta):
+            return pd.Timedelta(val)  # pandas scalar, pandas repr
         return val
 
     def sum(self, skipna=True, **kw):

@@ -342,3 +342,30 @@ def test_at_preserves_int_dtype(spark):
     D = pd.DataFrame({"a": [1, 2], "b": [1.5, 2.5], "s": ["x", "yy"]})
     got = mpd.from_pandas(D).set_index("s").at["yy", "a"]
     assert got == 2 and not isinstance(got, float)
+
+
+def test_dt_floor_ceil_round_multiples(spark):
+    T = pd.Series(pd.to_datetime(["2024-01-01 05:36:07.123", "2024-02-02 23:59:59.999"]))
+    mt = mpd.from_pandas(T.to_frame("t"))["t"]
+    for op in ["floor", "ceil", "round"]:
+        for freq in ["h", "15min", "2h", "30s"]:
+            got = getattr(mt.dt, op)(freq).to_pandas()
+            exp = getattr(T.dt, op)(freq)
+            pd.testing.assert_series_equal(got, exp, check_names=False), (op, freq)
+
+
+def test_timedelta_sum_and_datetime_diff(spark):
+    TD = pd.Series(pd.to_timedelta(["1 days 02:00:00", "0 days 00:30:00"]))
+    mtd = mpd.from_pandas(TD.to_frame("d"))["d"]
+    assert mtd.sum() == TD.sum()
+    assert isinstance(mtd.sum(), pd.Timedelta)
+    T = pd.Series(pd.to_datetime(["2024-01-01 05:00:00", "2024-01-02 06:30:00"]))
+    mt = mpd.from_pandas(T.to_frame("t"))["t"]
+    got = mt.diff().dt.total_seconds().to_pandas()
+    pd.testing.assert_series_equal(got, T.diff().dt.total_seconds(), check_names=False, check_dtype=False)
+
+
+def test_persist_roundtrip(spark):
+    m = mpd.from_pandas(pd.DataFrame({"a": [1, 2, 3]})).persist()
+    assert m.to_pandas().shape[0] == 3
+    m.unpersist()
