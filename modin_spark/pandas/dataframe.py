@@ -2883,10 +2883,27 @@ class DataFrame:
             w = w.partitionBy(*(partition_cols if isinstance(partition_cols, list) else [partition_cols]))
         w.parquet(path)
 
-    def to_csv(self, path: str, mode: str = "overwrite", header: bool = True) -> None:
-        self.to_spark(ordered=False).write.mode(mode).option("header", header).csv(path)
+    def to_csv(self, path: str, mode: str = "overwrite", header: bool = True,
+               index: bool = True, sep: str = ",") -> None:
+        # index=True writes the index levels as leading columns (pandas);
+        # the default frame has no materialized index — nothing to add.
+        # Quote dialect matches pandas (doubled quotes, minimal quoting).
+        src = self if (index or not self._frame.index_cols) else DataFrame(
+            _frame=self._frame._same_rows(self._frame.sdf, index_cols=[], index_names=[None])
+        )
+        base = src.reset_index() if (index and self._frame.index_cols) else src
+        (
+            base.to_spark(ordered=False).write.mode(mode)
+            .option("header", header).option("sep", sep).option("escape", '"')
+            .csv(path)
+        )
 
-    def to_json(self, path: str, mode: str = "overwrite") -> None:
+    def to_json(self, path: str, mode: str = "overwrite", orient: str = "records",
+                lines: bool = True) -> None:
+        # Spark's json sink IS records+lines; other orients are driver-side
+        # pandas territory and rejected explicitly
+        if orient != "records" or not lines:
+            raise NotImplementedError("to_json supports orient='records', lines=True")
         self.to_spark(ordered=False).write.mode(mode).json(path)
 
     def to_orc(self, path: str, mode: str = "overwrite") -> None:

@@ -169,7 +169,7 @@ def read_parquet(path: str, columns=None, filters=None) -> DataFrame:
 
 def read_csv(path: str, sep: str = ",", header: int | str = 0, names=None, dtype=None,
              usecols=None, nrows=None, skiprows=None, parse_dates=None,
-             index_col=None, **kw) -> DataFrame:
+             index_col=None, na_values=None, thousands=None, **kw) -> DataFrame:
     from pyspark.sql import functions as F
 
     if sep is None:
@@ -177,7 +177,17 @@ def read_csv(path: str, sep: str = ",", header: int | str = 0, names=None, dtype
         first = get_spark().read.text(path).limit(1).collect()
         line = first[0][0] if first else ","
         sep = max([",", "\t", ";", "|"], key=line.count)
-    reader = get_spark().read.option("sep", sep).option("header", header is not None and header != None)
+    reader = (
+        get_spark().read.option("sep", sep)
+        .option("header", header is not None and header != None)
+        # pandas csv dialect doubles quotes inside quoted fields ("" -> ");
+        # Spark's default escape is backslash
+        .option("escape", '"')
+    )
+    if na_values is not None:
+        vals = na_values if isinstance(na_values, (list, tuple, set)) else [na_values]
+        if len(vals) == 1:
+            reader = reader.option("nullValue", str(list(vals)[0]))
     if names is not None:
         reader = reader.option("header", False)
     if skiprows:
@@ -195,6 +205,26 @@ def read_csv(path: str, sep: str = ",", header: int | str = 0, names=None, dtype
     if names is not None:
         sdf = sdf.toDF(*names)
     out = DataFrame(_frame=SparkFrame.from_spark(sdf))
+    if na_values is not None:
+        vals = na_values if isinstance(na_values, (list, tuple, set)) else [na_values]
+        if len(vals) > 1:
+            # multiple sentinels: null out matches in string columns
+            for i, c in enumerate(out.columns):
+                if out._frame.dtype_of(i) == "object":
+                    out[c] = out[c].replace({v: None for v in vals})
+    if thousands:
+        # columns the grouped-digit separator kept as strings: sample-check
+        # the shape, then strip + cast (stays a projection)
+        import re as _re
+
+        pat = _re.compile(rf"^-?\d{{1,3}}({_re.escape(thousands)}\d{{3}})*(\.\d+)?$")
+        sample = out._frame.sdf.limit(100).toPandas()
+        for i, c in enumerate(out.columns):
+            if out._frame.dtype_of(i) == "object":
+                col = sample[out._frame.data_cols[i]].dropna().astype(str)
+                if len(col) and col.map(lambda x: bool(pat.match(x))).all():
+                    stripped = out[c].str.replace(thousands, "", regex=False)
+                    out[c] = stripped.astype(float if col.str.contains(r"\.").any() else "int64")
     if usecols is not None:
         out = out[[c for c in out.columns if c in set(usecols)]]
     if dtype is not None:

@@ -369,3 +369,27 @@ def test_persist_roundtrip(spark):
     m = mpd.from_pandas(pd.DataFrame({"a": [1, 2, 3]})).persist()
     assert m.to_pandas().shape[0] == 3
     m.unpersist()
+
+
+def test_csv_dialect_and_kwargs(spark, tmp_path):
+    p = tmp_path / "q.csv"
+    p.write_text('a,b,c\n1,"x,y",2.5\n2,"he said ""hi""",3.5\n')
+    _check(mpd.read_csv(str(p)).to_pandas(), pd.read_csv(p))
+    p2 = tmp_path / "t.csv"
+    p2.write_text("a,b\n1,MISSING\n2,ok\n")
+    _check(mpd.read_csv(str(p2), na_values=["MISSING"]).to_pandas(),
+           pd.read_csv(p2, na_values=["MISSING"]))
+    p3 = tmp_path / "th.csv"
+    p3.write_text('a,b\n"1,234",x\n"5,678",y\n')
+    _check(mpd.read_csv(str(p3), thousands=",").to_pandas(),
+           pd.read_csv(p3, thousands=","))
+
+
+def test_to_csv_to_json_roundtrip(spark, tmp_path):
+    D = pd.DataFrame({"a": [1.0, np.nan], "s": ['say "hi"', "x,y"]})
+    out = str(tmp_path / "rt")
+    mpd.from_pandas(D).to_csv(out, index=False)
+    _check(mpd.read_csv(out).to_pandas(), D)
+    outj = str(tmp_path / "rtj")
+    mpd.from_pandas(D[["a"]]).to_json(outj, orient="records", lines=True)
+    _check(mpd.read_json(outj, lines=True).to_pandas(), D[["a"]])
