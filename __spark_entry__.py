@@ -1651,15 +1651,16 @@ def _q22_global_sales(spark, sf):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
     # The driver scores a PREFIX of this dict (45 entries in r1, 50 in r2/r3).
-    # Ordering is therefore a rotation schedule. Round-4 prefix: (a) the four
-    # never-scored new queries, (b) the three whose query+oracle changed this
-    # round, (c) queries riding machinery touched this round (centered-window
-    # halo refactor, time-bucket integer division, Series division
-    # semantics), (d) the stalest green rows (last scored in r2). Rows-only
-    # ops sit past the prefix so scored slots stay oracle-dense (contract
-    # test: <= 5 no-oracle in the first 50). Every entry is still checked
-    # locally every round via tools/check_entry.py regardless of position.
-    # See COVERAGE.md 'Driver-gate rotation'.
+    # Ordering is therefore a rotation schedule. Round-5 prefix: (a) the
+    # never-driver-scored round-4 queries (no r4 scoring run happened) plus
+    # the new docs_chunk_windows, (b) window/resample/rank/crosstab/asof/melt
+    # rows riding round-4-changed machinery, (c) the merge-machinery queries
+    # re-queued after this round's NaN-key/statistics-planning redesign,
+    # plus where_clip (clip null guard) and q6 (skipna reductions). The
+    # first 50 are 100% oracle-backed (contract test: <= 5 no-oracle).
+    # Every entry is still checked locally every round via
+    # tools/check_entry.py regardless of position. See COVERAGE.md
+    # 'Driver-gate rotation'.
         # (a) never scored
         "docs_decontaminate": _docs_decontaminate,
         "docs_pack_sequences": _docs_pack_sequences,
