@@ -1044,6 +1044,25 @@ def _docs_stratified_sample(spark, sf):
     )
 
 
+def _docs_mixture_sample(spark, sf):
+    """Token-budgeted mixture sampling (corpus.mixture_sample — pretraining
+    data mixing): per-domain keep rate = min(1, weight*budget/domain_tokens)
+    under the deterministic md5 predicate. One k-row token aggregate
+    broadcast back; the corpus never shuffles. Weighted src4 exceeds its
+    pool at sf0.01 (rate=1 path) while src0-3 downsample."""
+    from modin_spark.operators.corpus import mixture_sample
+
+    docs = _rp(spark, f"{sf}/documents.parquet")
+    w = {"src0": 0.5, "src1": 0.3, "src2": 0.15, "src3": 0.05, "src4": 0.8}
+    samp = mixture_sample(docs, "source", w, total_tokens=2000, key_col="doc_id")
+    toks = F.size(F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != ""))
+    return samp.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+        F.sum(toks.cast("long")).cast("long").alias("tok_kept"),
+    )
+
+
 def _docs_domain_cap(spark, sf):
     """Per-domain document cap (keep <=15 per source by deterministic md5
     order): bounds any one domain's share of the corpus. One shuffle on the
@@ -1667,6 +1686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_shard_layout": _docs_shard_layout,
         "docs_chunk_windows": _docs_chunk_windows,
         "docs_stratified_sample": _docs_stratified_sample,
+        "docs_mixture_sample": _docs_mixture_sample,
         "docs_domain_cap": _docs_domain_cap,
         "docs_topk_ngrams": _docs_topk_ngrams,
         "emb_label_centroids": _emb_label_centroids,
@@ -2739,6 +2759,30 @@ def oracle_sql() -> dict[str, str]:
                   CASE lang WHEN 'en' THEN 'c000' WHEN 'de' THEN '8000'
                             WHEN 'zh' THEN '4000' ELSE '2000' END
             GROUP BY lang
+        """,
+        "docs_mixture_sample": """
+            WITH t AS (
+              SELECT doc_id, source,
+                     len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS toks
+              FROM documents
+            ),
+            d AS (SELECT source, CAST(SUM(toks) AS DOUBLE) AS dtok FROM t GROUP BY source),
+            r AS (
+              SELECT t.doc_id, t.source, t.toks,
+                     LEAST(1.0, COALESCE(
+                       (CASE t.source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.3
+                                      WHEN 'src2' THEN 0.15 WHEN 'src3' THEN 0.05
+                                      WHEN 'src4' THEN 0.8 END) * 2000.0 / d.dtok, 0.0)) AS rate
+              FROM t JOIN d USING (source)
+            )
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+                   CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+                   CAST(SUM(toks) AS BIGINT) AS tok_kept
+            FROM r
+            WHERE rate >= 1.0
+               OR substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+                  printf('%04x', CAST(floor(rate * 65536) AS INT))
+            GROUP BY source
         """,
         "docs_domain_cap": """
             WITH r AS (

@@ -66,8 +66,10 @@ HEADLINE = [
     "emb_label_centroids",
     # round 4d: token-balanced output sharding
     "docs_shard_layout",
-    # round 5: sliding-window chunking (map-only scan-stage op)
+    # round 5: sliding-window chunking (map-only scan-stage op) and
+    # token-budgeted mixture sampling (broadcast rates, corpus never shuffles)
     "docs_chunk_windows",
+    "docs_mixture_sample",
 ]
 
 

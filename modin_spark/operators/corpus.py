@@ -173,6 +173,34 @@ def stratified_sample(df: SDF, strata_col: str, fracs: dict[str, float], key_col
     return df.where(pred)
 
 
+def mixture_sample(df: SDF, domain_col: str, weights: dict[str, float],
+                   total_tokens: int, key_col: str, text_col: str = "text") -> SDF:
+    """Token-BUDGETED mixture sampling (the pretraining data-mixing
+    primitive): domain ``d`` targets ``weights[d] * total_tokens`` tokens,
+    so its rows keep with probability min(1, target_d / domain_tokens_d)
+    under the same deterministic md5 predicate as stratified_sample.
+    Unweighted domains drop entirely.
+
+    Plan shape: ONE small per-domain token aggregate (k rows) broadcast
+    back, then a pure per-row hash filter — the corpus itself never
+    shuffles, and the decision is a pure function of the row (rerun/
+    repartition-stable, bit-reproducible in a SQL oracle)."""
+    toks = F.size(F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda w: w != ""))
+    dom = df.groupBy(domain_col).agg(F.sum(toks.cast("long")).alias("__dtok__"))
+    wmap = F.create_map(*[F.lit(x) for kv in weights.items() for x in kv])
+    j = df.join(F.broadcast(dom), domain_col, "left")
+    # coalesce the weight BEFORE least(): least ignores nulls, so an
+    # unweighted domain would otherwise collapse to rate 1.0 instead of 0
+    weight = F.coalesce(wmap[F.col(domain_col)].cast("double"), F.lit(0.0))
+    target = weight * F.lit(float(total_tokens))
+    rate = F.least(F.lit(1.0), target / F.col("__dtok__").cast("double"))
+    # rate >= 1 short-circuits: floor(1.0 * 65536) would print 5 hex digits
+    # and break the 4-char lexicographic compare
+    thresh = F.format_string("%04x", F.floor(rate * F.lit(65536)).cast("int"))
+    keep = (rate >= 1.0) | (_md5_bucket(F.col(key_col)) < thresh)
+    return j.where(keep).drop("__dtok__")
+
+
 def domain_cap(df: SDF, domain_col: str, cap: int, key_col: str) -> SDF:
     """Keep at most ``cap`` rows per domain, chosen by deterministic hash
     order (md5 of the key, key tiebreak) so the survivors are an unbiased,

@@ -460,3 +460,26 @@ def test_classifier_score_no_shuffle(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     out = classifier_score(emb, [0.1] * 64)
     assert "Exchange" not in plans.physical_plan(out)  # map-only pass
+
+
+def test_mixture_sample_semantics_and_plan(spark):
+    """Token-budgeted mixing: a domain whose target exceeds its pool keeps
+    everything, unweighted domains drop, and the corpus side of the plan
+    joins BROADCAST (the only hash exchange is the k-row domain aggregate)."""
+    from modin_spark import plans
+    from modin_spark.operators.corpus import mixture_sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    w = {"src0": 0.5, "src1": 5.0}  # src1 target >> pool -> rate 1
+    out = mixture_sample(docs, "source", w, total_tokens=2000, key_col="doc_id")
+    pdf = out.toPandas()
+    n_src1 = docs.where("source = 'src1'").count()
+    assert (pdf.source == "src1").sum() == n_src1          # rate-1 domain complete
+    assert set(pdf.source) <= {"src0", "src1"}             # unweighted dropped
+    assert 0 < (pdf.source == "src0").sum() < docs.where("source = 'src0'").count()
+    plan = plans.physical_plan(out)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+    import re
+    # the only hash exchange is the k-row domain-token aggregate (AQE can
+    # print its query stage twice); the corpus side never shuffles
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 2, plan
