@@ -295,6 +295,38 @@ def groupby_apply(frame: SparkFrame, by_positions: Sequence[int], func, schema_s
 NULL_SAFE_MERGE = True
 
 
+def _shallow_catalog_scan(sdf) -> bool:
+    """True when the frame is a bare catalog-table scan (filters/projections
+    only) — the only shape where bucketed co-location exists and the merge
+    null-pattern split pays off. Walks logical-plan node CLASSES instead of
+    stringifying the whole analyzed tree (toString is O(plan-text) driver
+    work per merge on deep chains); only SubqueryAlias nodes render a short
+    simpleString to spot the catalog qualifier."""
+    try:
+        plan = sdf._jdf.queryExecution().analyzed()
+    except Exception:
+        return False
+    deep = {
+        "Join", "Aggregate", "Sort", "Window", "Union", "Generate",
+        "Repartition", "RepartitionByExpression", "RebalancePartitions",
+    }
+    stack, catalog = [plan], False
+    try:
+        while stack:
+            p = stack.pop()
+            name = p.nodeName()
+            if name in deep:
+                return False
+            if name == "SubqueryAlias" and "spark_catalog" in p.simpleString(2):
+                catalog = True
+            ch = p.children()
+            for i in range(ch.size()):
+                stack.append(ch.apply(i))
+    except Exception:
+        return False
+    return catalog
+
+
 def merge(
     left: SparkFrame,
     right: SparkFrame,
@@ -364,14 +396,6 @@ def merge(
             c = e if c is None else (c & e)
         return c
 
-    def _shallow_catalog_scan(sdf) -> bool:
-        try:
-            s = sdf._jdf.queryExecution().analyzed().toString()
-        except Exception:
-            return False
-        deep = ("Join", "Aggregate", "Sort", "Window ", "Union", "Generate", "Repartition")
-        return "spark_catalog" in s and not any(d in s for d in deep)
-
     nullable = NULL_SAFE_MERGE and not keys_proven_nonnull and (
         any(lsdf.schema[k].nullable for k in lkeys)
         or any(rsdf.schema[k].nullable for k in rkeys)
@@ -424,6 +448,14 @@ def merge(
             if left.columns[li] == right.columns[ri]:
                 on_pairs[ri] = li
 
+    overlap = {
+        right.columns[j] for j in range(len(right.columns)) if j not in on_pairs
+    } & set(l_labels)
+    if overlap and not suffixes[0] and not suffixes[1]:
+        # pandas refuses to emit silently duplicated labels
+        raise ValueError(
+            f"columns overlap but no suffix specified: {sorted(map(str, overlap))}"
+        )
     for i, lbl in enumerate(l_labels):
         name = lbl
         # suffixes=(None, '_y') keeps that side's shared columns bare
@@ -513,11 +545,14 @@ def concat_rows(frames: list[SparkFrame], join: str = "outer", ignore_index: boo
         # ORDER_COL that cannot cast to double — flatten to a contiguous long
         # position first so every branch unions a common sortable order repr
         odt = dict(fr.sdf.dtypes).get(ORDER_COL, "bigint")
-        if not odt.startswith(("bigint", "int", "smallint", "tinyint", "double", "float", "decimal")):
+        if not odt.startswith(("bigint", "int", "smallint", "tinyint", "decimal")):
             fr = fr.with_global_position("__cpos__")
-            o_expr = F.col("__cpos__").cast("double")
+            o_expr = F.col("__cpos__").cast("decimal(38,0)")
         else:
-            o_expr = F.col(ORDER_COL).cast("double")
+            # decimal(38,0), NOT double: monotonically_increasing_id packs
+            # `pid<<33 + row`, which exceeds 2^53 past ~2^20 partitions — a
+            # double cast would collapse adjacent ids into order ties.
+            o_expr = F.col(ORDER_COL).cast("decimal(38,0)")
         sel = [F.struct(F.lit(fi).alias("f"), o_expr.alias("o")).alias(ORDER_COL)]
         for k in range(idx_arity):
             src = fr.index_cols[k] if k < len(fr.index_cols) else None

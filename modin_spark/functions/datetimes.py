@@ -174,7 +174,11 @@ def _dt_round(c: Column, freq: str) -> Column:
     rem = F.pmod(e, F.lit(d))
     base = e - rem
     q = (base / F.lit(d)).cast("long")
-    up = (rem > F.lit(d // 2)) | ((rem == F.lit(d // 2)) & (F.pmod(q, F.lit(2)) == 1) if d % 2 == 0 else F.lit(False))
+    # Half-to-even tie-break only exists when d is even (odd d has no exact
+    # midpoint). NB: parenthesize the Python ternary — `A | (B if ...)` not
+    # `(A | B) if ...` which would freeze `up` to False for odd d.
+    half = ((rem == F.lit(d // 2)) & (F.pmod(q, F.lit(2)) == 1)) if d % 2 == 0 else F.lit(False)
+    up = (rem > F.lit(d // 2)) | half
     return F.timestamp_micros((base + F.when(up, F.lit(d)).otherwise(F.lit(0))).cast("long"))
 
 

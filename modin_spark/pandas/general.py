@@ -56,7 +56,17 @@ def to_datetime(arg, format=None, errors="raise", unit=None):
             if unit not in scale:
                 raise NotImplementedError(f"to_datetime unit {unit!r}")
             if unit == "ns":
-                return arg._map1(lambda c: F.timestamp_micros(F.floor(c.cast("long") / 1000).cast("long")))
+                # ns epochs (~1.7e18) exceed 2^53: the old double division
+                # lost up to ~1µs. Floor to the 1000-multiple with exact long
+                # math, then a decimal(38,0) division (exact, integral).
+                def _ns_to_us(c):
+                    e = c.cast("long")
+                    fl = e - F.pmod(e, F.lit(1000))
+                    return F.timestamp_micros(
+                        (fl.cast("decimal(38,0)") / F.lit(1000)).cast("long")
+                    )
+
+                return arg._map1(_ns_to_us)
             k = scale[unit]
             return arg._map1(lambda c: F.timestamp_micros((c.cast("long") * F.lit(k)).cast("long")))
         if format is not None:

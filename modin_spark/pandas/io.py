@@ -114,9 +114,14 @@ def _parquet_nonnull_cols(path: str) -> frozenset:
         else:
             files = [path]
         if files and len(files) <= 512:  # bound driver footer-read time
-            proven: dict[str, bool] = {}
+            # Per-file proven sets INTERSECTED: under schema evolution a file
+            # that lacks the column entirely reads as all-null for its rows,
+            # so a column absent from any file must be vetoed (it carries no
+            # null_count==0 evidence there).
+            per_file: list[frozenset] = []
             for f in files:
                 md = pq.ParquetFile(f).metadata
+                proven: dict[str, bool] = {}
                 for rg in range(md.num_row_groups):
                     row_group = md.row_group(rg)
                     for ci in range(row_group.num_columns):
@@ -125,7 +130,8 @@ def _parquet_nonnull_cols(path: str) -> frozenset:
                         stats = col.statistics
                         ok = stats is not None and stats.null_count == 0
                         proven[name] = proven.get(name, True) and ok
-            out = frozenset(c for c, ok in proven.items() if ok)
+                per_file.append(frozenset(c for c, ok in proven.items() if ok))
+            out = frozenset.intersection(*per_file) if per_file else frozenset()
     except Exception:
         out = frozenset()
     _NONNULL_CACHE[key] = out

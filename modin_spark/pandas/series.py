@@ -956,6 +956,74 @@ def _re_escape(sep: str) -> str:
     return _re.escape(sep)
 
 
+def _inline_flags(flags: int) -> str:
+    """Translate Python re flags to Java inline modifiers `(?imsxu)` so the
+    pattern handed to rlike/regexp_extract actually carries them."""
+    if not flags:
+        return ""
+    import re as _re
+
+    table = [(_re.I, "i"), (_re.M, "m"), (_re.S, "s"), (_re.X, "x"), (_re.U, "u")]
+    mods, rest = "", int(flags)
+    for f, ch in table:
+        if rest & f:
+            mods += ch
+            rest &= ~int(f)
+    if rest:
+        raise NotImplementedError(f"str.extract: unsupported regex flags {rest:#x}")
+    return f"(?{mods})" if mods else ""
+
+
+def _optional_groups(pat: str) -> set:
+    """Indices of capture groups whose CLOSING paren is quantified with
+    `?`, `*` or `{0,...}` — the groups that can legally not participate in a
+    match (pandas maps non-participation to NaN). Walks the pattern tracking
+    escapes, character classes, and capturing vs non-capturing parens."""
+    opts: set = set()
+    stack: list = []
+    gi = i = 0
+    in_class = False
+    while i < len(pat):
+        ch = pat[i]
+        if ch == "\\":
+            i += 2
+            continue
+        if in_class:
+            if ch == "]":
+                in_class = False
+            i += 1
+            continue
+        if ch == "[":
+            in_class = True
+            i += 1
+            continue
+        if ch == "(":
+            if pat[i : i + 2] == "(?":
+                # (?P<name> and (?<name> capture; (?<= / (?<! / (?: / (?= … don't
+                nxt = pat[i + 2 : i + 4]
+                if nxt.startswith("P<") or (
+                    pat[i + 2 : i + 3] == "<" and pat[i + 3 : i + 4] not in ("=", "!")
+                ):
+                    gi += 1
+                    stack.append(gi)
+                else:
+                    stack.append(None)
+            else:
+                gi += 1
+                stack.append(gi)
+            i += 1
+            continue
+        if ch == ")":
+            g = stack.pop() if stack else None
+            tail = pat[i + 1 : i + 3]
+            if g is not None and (tail[:1] in ("?", "*") or tail == "{0"):
+                opts.add(g)
+            i += 1
+            continue
+        i += 1
+    return opts
+
+
 class StringMethods:
     def __init__(self, s: Series):
         self._s = s
@@ -1056,12 +1124,23 @@ class StringMethods:
         if n == 0:
             raise ValueError("pattern contains no capture groups")
         names = {v: k for k, v in rx.groupindex.items()}
+        optional = _optional_groups(pat)
         # Java regex spells named groups (?<name>...), Python (?P<name>...)
         pat = pat.replace("(?P<", "(?<").replace("(?P=", r"\k<")
+        # Python flags become Java inline modifiers — regexp_extract/rlike
+        # never see the Python flags int, so embed them in the pattern.
+        pat = _inline_flags(flags) + pat
 
         def grp(c, i):
-            # pandas: no match (or null) -> NaN, never ''
-            return F.when(c.rlike(pat), F.regexp_extract(c, pat, i))
+            # pandas: no match (or null) -> NaN, never ''. A group that can
+            # be NON-PARTICIPATING (quantified `(x)?`/`(x)*`/`(x){0,}`) also
+            # yields NaN when absent — regexp_extract returns '' for both
+            # non-participation and a zero-width participating match, so the
+            # NULL-out applies only to statically-optional groups (`(x?)`
+            # keeps pandas' '' for a participating empty match).
+            e = F.regexp_extract(c, pat, i)
+            v = F.when(e != "", e) if i in optional else e
+            return F.when(c.rlike(pat), v)
 
         if n == 1 and not expand:
             return self._s._map1(lambda c: grp(c, 1))
