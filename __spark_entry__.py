@@ -1088,6 +1088,44 @@ def _docs_topk_ngrams(spark, sf):
     return topk_ngrams(docs, "text", n=2, k=20).select("ngram", F.col("cnt").cast("long").alias("cnt"))
 
 
+def _excel_ingest(spark, sf):
+    """Parallel xlsx ingestion (sources/excel.py — worksheet XML cut into
+    row-aligned byte chunks on the driver, parsed/typed in executor tasks;
+    reference: modin/core/io/text/excel_dispatcher.py). nation is exported
+    once to a deterministic OOXML file by the stdlib writer, read back
+    through the chunked parser, then aggregated per region. Oracle = the
+    same aggregate straight off the parquet."""
+    import os
+
+    mpd = _mpd()
+    cache = "/root/repo/.cache"
+    os.makedirs(cache, exist_ok=True)
+    path = f"{cache}/nation_ingest.xlsx"
+    if not os.path.exists(path):
+        from modin_spark.sources.excel import write_xlsx
+
+        pdf = (
+            _rp(spark, f"{sf}/nation.parquet")
+            .orderBy("n_nationkey")
+            .select("n_nationkey", "n_name", "n_regionkey")
+            .toPandas()
+        )
+        write_xlsx(pdf, path)
+    df = mpd.read_excel(path)
+    g = (
+        df.groupby("n_regionkey")
+        .agg(n_nations=("n_nationkey", "count"), key_sum=("n_nationkey", "sum"))
+        .reset_index()
+        .sort_values("n_regionkey")
+    )
+    out = g.to_spark(ordered=False)
+    return out.select(
+        F.col("n_regionkey").cast("long").alias("n_regionkey"),
+        F.col("n_nations").cast("long").alias("n_nations"),
+        F.col("key_sum").cast("long").alias("key_sum"),
+    )
+
+
 def _emb_label_centroids(spark, sf):
     """Per-label embedding centroids as (label, pos, c) rows: posexplode +
     groupBy(label,pos) — partial aggregation keeps the shuffle at
@@ -1680,7 +1718,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Every entry is still checked locally every round via
     # tools/check_entry.py regardless of position. See COVERAGE.md
     # 'Driver-gate rotation'.
-        # (a) never scored
+        # (a) round-6 new machinery first, then never-scored
+        "excel_ingest": _excel_ingest,
         "docs_decontaminate": _docs_decontaminate,
         "docs_pack_sequences": _docs_pack_sequences,
         "docs_shard_layout": _docs_shard_layout,
@@ -1808,6 +1847,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "excel_ingest": """
+            SELECT n_regionkey,
+                   COUNT(*) AS n_nations,
+                   CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+            FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+        """,
         "rolling_time_sum": """
             SELECT ts,
                    ROUND(SUM(value) OVER (ORDER BY ts

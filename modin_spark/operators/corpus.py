@@ -19,8 +19,10 @@ from pyspark.sql import functions as F
 
 
 def _norm_words(text: Column) -> Column:
-    """Normalized word array: lowercase, whitespace-collapsed, no empties."""
-    return F.filter(F.split(F.trim(F.regexp_replace(F.lower(text), r"\s+", " ")), " "), lambda w: w != "")
+    """Normalized word array: lowercase, split on whitespace runs, no
+    empties. split() takes the regex directly — a regexp_replace pre-pass
+    would rewrite every byte of text once more for the same token stream."""
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda w: w != "")
 
 
 def word_ngrams(text: Column, n: int) -> Column:

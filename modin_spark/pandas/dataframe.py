@@ -2823,8 +2823,19 @@ class DataFrame:
     def to_html(self, **kw) -> str:
         return self.to_pandas().to_html(**kw)
 
-    def to_excel(self, path, **kw) -> None:
-        self.to_pandas().to_excel(path, **kw)
+    def to_excel(self, path, sheet_name: str = "Sheet1", index: bool = True, **kw) -> None:
+        """Driver-side, like the reference's to_excel default_to_pandas.
+        Without openpyxl installed, writes via the stdlib OOXML writer
+        (modin_spark/sources/excel.py)."""
+        pdf = self.to_pandas()
+        try:
+            pdf.to_excel(path, sheet_name=sheet_name, index=index, **kw)
+        except (ImportError, ModuleNotFoundError):
+            from modin_spark.sources.excel import write_xlsx
+
+            if kw:
+                raise
+            write_xlsx(pdf, str(path), sheet_name=sheet_name, index=index)
 
     def to_feather(self, path, **kw) -> None:
         self.to_pandas().to_feather(path, **kw)

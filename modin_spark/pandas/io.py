@@ -5,6 +5,8 @@ predicate pushdown and schema pruning)."""
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 from pyspark.sql import functions as F
 
@@ -348,7 +350,36 @@ def _pandas_reader(name):
     return reader
 
 
-read_excel = _pandas_reader("read_excel")
+def read_excel(io_path, sheet_name=0, header=0, names=None, usecols=None,
+               skiprows=None, nrows=None, **kw) -> DataFrame:
+    """Parallel xlsx reader (reference: chunked excel dispatcher at
+    /root/reference/modin/core/io/text/excel_dispatcher.py — worksheet XML
+    split into <row>-aligned byte chunks, parsed by parallel tasks). The
+    driver does one zlib decompression pass to cut chunks; XML parsing and
+    cell typing run in executor tasks (modin_spark/sources/excel.py).
+    Legacy .xls / multi-sheet dicts / unsupported kwargs fall back to the
+    driver-side pandas delegate (the reference's default_to_pandas hatch)."""
+    if (
+        not kw
+        and isinstance(io_path, (str, os.PathLike))
+        and str(io_path).endswith(".xlsx")
+        and isinstance(sheet_name, (int, str))
+        and (skiprows is None or isinstance(skiprows, int))
+    ):
+        try:
+            from modin_spark.sources.excel import read_xlsx_spark
+
+            sdf = read_xlsx_spark(
+                str(io_path), sheet_name=sheet_name, header=header, names=names,
+                usecols=usecols, skiprows=skiprows or 0, nrows=nrows,
+            )
+            return DataFrame(_frame=SparkFrame.from_spark(sdf))
+        except Exception:
+            pass  # stdlib parser declined — pandas delegate below
+    return from_pandas(pd.DataFrame(pd.read_excel(
+        io_path, sheet_name=sheet_name, header=header, names=names,
+        usecols=usecols, skiprows=skiprows, nrows=nrows, **kw,
+    )))
 read_html = _pandas_reader("read_html")
 read_pickle = _pandas_reader("read_pickle")
 read_fwf = _pandas_reader("read_fwf")
