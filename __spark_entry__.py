@@ -1126,6 +1126,20 @@ def _excel_ingest(spark, sf):
     )
 
 
+def _transpose_mixed(spark, sf):
+    """Distributed transpose of a MIXED str/int frame (r6: stringified
+    melt + pivot + per-header retype probe — no driver materialization;
+    DataFrame._transpose_distributed). Each transposed column holds a
+    comment string and a region key, so the retype probe resolves every
+    output column to string."""
+    mpd = _mpd()
+    r = mpd.read_parquet(f"{sf}/region.parquet")
+    r["name_lc"] = r["r_name"].str.lower()
+    r = r.sort_values("r_regionkey").set_index("r_name")[["name_lc", "r_regionkey"]]
+    t = r.T.reset_index().rename(columns={"index": "stat"})
+    return t.to_spark(ordered=False)
+
+
 def _emb_label_centroids(spark, sf):
     """Per-label embedding centroids as (label, pos, c) rows: posexplode +
     groupBy(label,pos) — partial aggregation keeps the shuffle at
@@ -1720,6 +1734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 'Driver-gate rotation'.
         # (a) round-6 new machinery first, then never-scored
         "excel_ingest": _excel_ingest,
+        "transpose_mixed": _transpose_mixed,
         "docs_decontaminate": _docs_decontaminate,
         "docs_pack_sequences": _docs_pack_sequences,
         "docs_shard_layout": _docs_shard_layout,
@@ -1852,6 +1867,23 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_nations,
                    CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
             FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+        """,
+        "transpose_mixed": """
+            SELECT 'name_lc' AS stat,
+                   MAX(CASE WHEN r_name='AFRICA' THEN lower(r_name) END) AS "AFRICA",
+                   MAX(CASE WHEN r_name='AMERICA' THEN lower(r_name) END) AS "AMERICA",
+                   MAX(CASE WHEN r_name='ASIA' THEN lower(r_name) END) AS "ASIA",
+                   MAX(CASE WHEN r_name='EUROPE' THEN lower(r_name) END) AS "EUROPE",
+                   MAX(CASE WHEN r_name='MIDDLE EAST' THEN lower(r_name) END) AS "MIDDLE EAST"
+            FROM region
+            UNION ALL
+            SELECT 'r_regionkey',
+                   MAX(CASE WHEN r_name='AFRICA' THEN CAST(r_regionkey AS VARCHAR) END),
+                   MAX(CASE WHEN r_name='AMERICA' THEN CAST(r_regionkey AS VARCHAR) END),
+                   MAX(CASE WHEN r_name='ASIA' THEN CAST(r_regionkey AS VARCHAR) END),
+                   MAX(CASE WHEN r_name='EUROPE' THEN CAST(r_regionkey AS VARCHAR) END),
+                   MAX(CASE WHEN r_name='MIDDLE EAST' THEN CAST(r_regionkey AS VARCHAR) END)
+            FROM region
         """,
         "rolling_time_sum": """
             SELECT ts,

@@ -2139,14 +2139,12 @@ class DataFrame:
         index, duplicate index values) uses the driver path under a size
         guard."""
         fr = self._frame
-        numeric = self._numeric_positions()
-        if (
-            len(fr.columns) > 0
-            and len(numeric) == len(fr.columns)
-            and len(fr.index_cols) <= 1
-        ):
+        if len(fr.columns) > 0 and len(fr.index_cols) <= 1:
             # the distributed path's header collect doubles as the size
-            # probe (limit 10k+1) — no separate count action
+            # probe (limit max_cols+1) — no separate count action. Mixed
+            # dtypes ride the same melt+pivot with stringified values and a
+            # per-target-column retype (r6) — the driver path below remains
+            # only for multi-level/duplicate index labels and over-guard.
             out = self._transpose_distributed()
             if out is not None:
                 return out
@@ -2164,41 +2162,86 @@ class DataFrame:
         return DataFrame(t)
 
     def _transpose_distributed(self) -> "DataFrame | None":
-        """melt+pivot transpose for tall-narrow numeric frames. Returns None
-        when the frame exceeds Spark's practical column budget (>10k
-        transposed columns) or the header values collide (duplicate index
-        labels need pandas' duplicate-column semantics) — driver path."""
+        """melt+pivot transpose for tall-narrow frames of ANY dtype mix.
+        Numeric frames melt as double directly; mixed frames melt the cell
+        values as STRINGS and retype each transposed column afterwards from
+        one tiny per-header probe aggregate (bigint if every value parses
+        integral, double if numeric, else string — mirroring the coercion
+        pandas T + to_numeric would apply). Returns None when the frame
+        exceeds the column budget ($SPARK_GRAFT_TRANSPOSE_MAX_COLS, default
+        10k transposed columns) or the header values collide (duplicate
+        index labels need pandas' duplicate-column semantics) — driver
+        path."""
+        import os as _os
+
         from modin_spark.core.frame import fresh_names
 
+        max_cols = int(_os.environ.get("SPARK_GRAFT_TRANSPOSE_MAX_COLS", "10000"))
         fr = self._frame.ensure_order().with_global_position("__pos__")
+        numeric_only = len(self._numeric_positions()) == len(fr.columns)
         if fr.index_cols:
             hdr_expr = F.col(fr.index_cols[0]).cast("string")
         else:
             hdr_expr = F.col("__pos__").cast("string")
         sdf = fr.sdf.withColumn("__hdr__", hdr_expr)
-        hdr_rows = sdf.select("__pos__", "__hdr__").orderBy("__pos__").limit(10_001).collect()
+        hdr_rows = sdf.select("__pos__", "__hdr__").orderBy("__pos__").limit(max_cols + 1).collect()
         headers = [r["__hdr__"] for r in hdr_rows]
-        if len(headers) > 10_000 or len(headers) == 0:
+        if len(headers) > max_cols or len(headers) == 0:
             return None
         if len(set(headers)) != len(headers):
             return None
+
+        def cell(p: str, dt: str):
+            c = F.col(p)
+            if numeric_only:
+                return c.cast("double")
+            if dt == "boolean":  # pandas str(True) capitalization
+                return F.when(c, F.lit("True")).when(~c, F.lit("False"))
+            return c.cast("string")
+
+        dts = dict(fr.sdf.dtypes)
         melted = sdf.select(
             "__hdr__",
             F.explode(
                 F.array(*[
-                    F.struct(F.lit(ci).alias("__cid__"), F.col(p).cast("double").alias("__v__"))
+                    F.struct(F.lit(ci).alias("__cid__"), cell(p, dts.get(p, "")).alias("__v__"))
                     for ci, p in enumerate(fr.data_cols)
                 ])
             ).alias("__e__"),
         ).select("__hdr__", F.col("__e__.__cid__").alias("__cid__"), F.col("__e__.__v__").alias("__v__"))
+        # NB: no persist here — a lazily-cached melt materialized by the
+        # probe's aggregate job can capture a partial (limit-pruned) result
+        # under AQE; the probe's recompute of the melt is bounded by the
+        # header guard (<= max_cols rows x width values) and is cheaper
+        # than the cache round-trip anyway.
         piv = melted.groupBy("__cid__").pivot("__hdr__", headers).agg(F.first("__v__"))
         phys = fresh_names(len(headers))
         piv = piv.toDF("__cid__", *phys)  # positional rename: header strings never parsed as columns
+        col_types: dict[str, str] = {}
+        if not numeric_only:
+            # ONE grouped probe (k<=max_cols result rows), not 3k agg exprs
+            probe = (
+                melted.groupBy("__hdr__")
+                .agg(
+                    F.count("__v__").alias("n"),
+                    F.count(F.col("__v__").try_cast("bigint")).alias("l"),
+                    F.count(F.col("__v__").try_cast("double")).alias("d"),
+                )
+                .collect()
+            )
+            for r in probe:
+                if r["n"] == 0 or r["d"] == r["n"]:
+                    col_types[r["__hdr__"]] = "bigint" if r["n"] and r["l"] == r["n"] else "double"
+                else:
+                    col_types[r["__hdr__"]] = "string"
         lbl_arr = F.array(*[F.lit(str(l)) for l in fr.columns])
         out_sdf = piv.select(
             F.col("__cid__").cast("long").alias(ORDER_COL),
             F.element_at(lbl_arr, F.col("__cid__") + 1).alias("__lbl__"),
-            *[F.col(p) for p in phys],
+            *[
+                F.col(p).cast(col_types[h]).alias(p) if h in col_types else F.col(p)
+                for p, h in zip(phys, headers)
+            ],
         )
         nf = SparkFrame(
             out_sdf, pd.Index(headers), phys, index_cols=["__lbl__"], index_names=[None],

@@ -142,3 +142,55 @@ def test_shallow_catalog_scan_node_walk(spark):
         assert not _shallow_catalog_scan(cat.join(cat.select("n_nationkey"), "n_nationkey"))
     finally:
         spark.sql("DROP TABLE IF EXISTS __r6_probe__")
+
+
+# ---------------------------------------------------------------------------
+# mixed-dtype distributed transpose (r6: stringified melt + retype probe)
+# ---------------------------------------------------------------------------
+
+
+def test_transpose_mixed_distributed_values(spark):
+    pdf = pd.DataFrame(
+        {"a": [1, 2, 3], "s": ["x", "y", "z"], "f": [1.5, 2.5, np.nan]},
+        index=pd.Index(["p", "q", "r"]),
+    )
+    t = mpd.from_pandas(pdf).T
+    got = t.to_pandas()
+    assert list(got.index) == ["a", "s", "f"]
+    assert list(got.columns) == ["p", "q", "r"]
+    # every transposed column is mixed -> string; numbers stringified
+    assert got.loc["a", "p"] == "1"
+    assert got.loc["s", "q"] == "y"
+    assert got.loc["f", "p"] == "1.5"
+    assert got.loc["f", "r"] is None or got.loc["f", "r"] != got.loc["f", "r"]
+
+
+def test_transpose_mixed_retype_bigint_and_double(spark):
+    # numeric-parsable strings: the retype probe resolves bigint / double
+    pdf = pd.DataFrame(
+        {"n": [7, 8], "ns": ["70", "80"], "fs": ["7.5", "8.5"]},
+        index=pd.Index(["u", "v"]),
+    )
+    t = mpd.from_pandas(pdf).T
+    got = t.to_pandas()
+    assert got["u"].tolist() == [7, 70, 7.5]
+    assert got["v"].tolist() == [8, 80, 8.5]
+    import numpy as _np
+
+    assert got["u"].dtype.kind in "fO" or _np.issubdtype(got["u"].dtype, _np.number)
+
+
+def test_transpose_mixed_no_driver_materialization(spark):
+    # the plan of the transposed frame must NOT be a LocalRelation /
+    # parallelized driver collect — it must still read the source
+    pdf = pd.DataFrame({"a": list(range(50)), "s": [f"v{i}" for i in range(50)]})
+    t = mpd.from_pandas(pdf).T
+    plan = t._frame.sdf._jdf.queryExecution().optimizedPlan().toString()
+    assert "Expand" in plan or "Generate" in plan or "Aggregate" in plan, plan
+
+
+def test_transpose_guard_env(spark, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_TRANSPOSE_MAX_COLS", "3")
+    pdf = pd.DataFrame({"a": [1.0, 2, 3, 4, 5], "b": [5.0, 6, 7, 8, 9]})
+    got = mpd.from_pandas(pdf).T.to_pandas()  # over guard -> driver path
+    assert got.shape == (2, 5)
