@@ -1126,6 +1126,22 @@ def _excel_ingest(spark, sf):
     )
 
 
+def _apply_axis0_strings(spark, sf):
+    """Non-numeric df.apply(axis=0) DISTRIBUTED (r6): string columns melt
+    stringified with per-column dtype tags, each column is rebuilt typed
+    inside its own applyInPandas task, outputs retype from the sampled
+    dtypes — no driver materialization (DataFrame._apply_axis0)."""
+    mpd = _mpd()
+    d = mpd.read_parquet(f"{sf}/documents.parquet")[["doc_id", "lang"]]
+    out = d.apply(
+        lambda s: s.str.upper() if s.dtype == object else s + 1000, axis=0
+    )
+    sdf = out.to_spark(ordered=False)
+    return sdf.select(
+        F.col("doc_id").cast("long").alias("doc_id"), F.col("lang").alias("lang_up")
+    )
+
+
 def _transpose_mixed(spark, sf):
     """Distributed transpose of a MIXED str/int frame (r6: stringified
     melt + pivot + per-header retype probe — no driver materialization;
@@ -1735,6 +1751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (a) round-6 new machinery first, then never-scored
         "excel_ingest": _excel_ingest,
         "transpose_mixed": _transpose_mixed,
+        "apply_axis0_strings": _apply_axis0_strings,
         "docs_decontaminate": _docs_decontaminate,
         "docs_pack_sequences": _docs_pack_sequences,
         "docs_shard_layout": _docs_shard_layout,
@@ -1867,6 +1884,11 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_nations,
                    CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
             FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+        """,
+        "apply_axis0_strings": """
+            SELECT CAST(doc_id + 1000 AS BIGINT) AS doc_id,
+                   upper(lang) AS lang_up
+            FROM documents
         """,
         "transpose_mixed": """
             SELECT 'name_lc' AS stat,

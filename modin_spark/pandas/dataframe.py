@@ -2362,9 +2362,10 @@ class DataFrame:
         from pyspark.sql import types as T
 
         fr = self._frame
-        numeric = set(self._numeric_positions())
-        if len(numeric) != len(fr.columns) or not numeric:
+        if not len(fr.columns):
             return self._default_to_pandas(lambda pdf: pdf.apply(func, axis=0))
+        numeric = set(self._numeric_positions())
+        all_numeric = len(numeric) == len(fr.columns)
         # shape probe on a driver sample (same technique as the axis=1 path)
         sample = self.head(100).to_pandas()
         out_sample = sample.apply(func, axis=0)
@@ -2378,44 +2379,131 @@ class DataFrame:
 
         fr2 = fr.ensure_order().with_global_position("__pos__")
         k = len(fr.data_cols)
+        sdts = dict(fr2.sdf.dtypes)
+
+        def in_tag(sdt: str) -> str:
+            if sdt.startswith(("tinyint", "smallint", "int", "bigint")):
+                return "i"
+            if sdt.startswith(("float", "double", "decimal")):
+                return "f"
+            if sdt == "boolean":
+                return "b"
+            if sdt.startswith("timestamp"):
+                return "t"
+            if sdt == "date":
+                return "t"
+            return "s"
+
+        in_tags = [in_tag(sdts.get(p, "")) for p in fr.data_cols]
+        # numeric frames melt as double (fast, codegen-friendly); any other
+        # dtype mix melts STRINGIFIED (lossless: Java Double.toString
+        # round-trips) with per-cid tags to rebuild the typed pandas Series
+        # inside the task (r6 — strings/bools/timestamps now run
+        # distributed; reference distributes all dtypes the same way via
+        # column partitions, ref dataframe.py:2956)
+        v_expr = (lambda p: F.col(p).cast("double")) if all_numeric else (
+            lambda p: F.col(p).cast("string")
+        )
         melted = fr2.sdf.select(
             F.col("__pos__"),
             F.explode(
                 F.array(*[
-                    F.struct(F.lit(ci).alias("__cid__"), F.col(p).cast("double").alias("__v__"))
+                    F.struct(F.lit(ci).alias("__cid__"), v_expr(p).alias("__v__"))
                     for ci, p in enumerate(fr.data_cols)
                 ])
             ).alias("__e__"),
         ).select("__pos__", F.col("__e__.__cid__").alias("__cid__"), F.col("__e__.__v__").alias("__v__"))
 
+        def rebuild(vals: pd.Series, tag: str) -> pd.Series:
+            if all_numeric:
+                return pd.Series(vals.to_numpy())
+            if tag == "i":
+                return pd.to_numeric(vals)  # int64, or float64 when nulls present
+            if tag == "f":
+                return vals.astype("float64")
+            if tag == "b":
+                return vals.map({"true": True, "false": False})
+            if tag == "t":
+                return pd.to_datetime(vals)
+            return pd.Series(vals.to_numpy())
+
+        def encode_out(r) -> list:
+            if all_numeric:
+                return list(np.asarray(r, dtype="float64"))
+            out = []
+            for v in pd.Series(r).tolist():
+                if v is None or (isinstance(v, float) and v != v) or v is pd.NaT:
+                    out.append(None)
+                elif isinstance(v, (bool, np.bool_)):
+                    out.append("True" if v else "False")
+                elif isinstance(v, (float, np.floating)):
+                    out.append(repr(float(v)))
+                else:
+                    out.append(str(v))
+            return out
+
+        out_t = T.DoubleType() if all_numeric else T.StringType()
+
+        def out_cast(lbl):
+            """Target Spark type per column from the SAMPLED output dtype
+            (documented sampling contract, same as groupby_apply)."""
+            kind = (
+                out_sample[lbl].dtype.kind
+                if not reduction and hasattr(out_sample[lbl], "dtype")
+                else "O"
+            )
+            return {"i": "bigint", "u": "bigint", "f": "double", "b": "boolean",
+                    "M": "timestamp"}.get(kind, "string")
+
         if reduction:
             schema = T.StructType([
-                T.StructField("__cid__", T.IntegerType()), T.StructField("__o__", T.DoubleType())
+                T.StructField("__cid__", T.IntegerType()), T.StructField("__o__", out_t)
             ])
 
             def apply_red(pdf: pd.DataFrame) -> pd.DataFrame:
                 pdf = pdf.sort_values("__pos__")
-                r = func(pd.Series(pdf["__v__"].to_numpy()))
-                v = float(r) if r is not None else float("nan")
-                return pd.DataFrame({"__cid__": [int(pdf["__cid__"].iloc[0])], "__o__": [v]})
+                cid = int(pdf["__cid__"].iloc[0])
+                r = func(rebuild(pdf["__v__"], in_tags[cid]))
+                return pd.DataFrame({"__cid__": [cid], "__o__": encode_out([r])})
 
             rows = melted.groupBy("__cid__").applyInPandas(apply_red, schema).collect()
             vals = {r["__cid__"]: r["__o__"] for r in rows}
-            return pd.Series([vals.get(ci) for ci in range(k)], index=list(fr.columns))
+            if all_numeric:
+                return pd.Series([vals.get(ci) for ci in range(k)], index=list(fr.columns))
+
+            def decode_scalar(lbl, v):
+                sv = out_sample[lbl]
+                if v is None:
+                    return np.nan
+                if isinstance(sv, (bool, np.bool_)):
+                    return v in ("True", "true")
+                if isinstance(sv, (int, np.integer)):
+                    return int(float(v))
+                if isinstance(sv, (float, np.floating)):
+                    return float(v)
+                if isinstance(sv, pd.Timestamp):
+                    return pd.Timestamp(v)
+                return v
+
+            return pd.Series(
+                [decode_scalar(lbl, vals.get(ci)) for ci, lbl in enumerate(fr.columns)],
+                index=list(fr.columns),
+            )
 
         schema = T.StructType([
             T.StructField("__pos__", T.LongType()),
             T.StructField("__cid__", T.IntegerType()),
-            T.StructField("__o__", T.DoubleType()),
+            T.StructField("__o__", out_t),
         ])
 
         def apply_col(pdf: pd.DataFrame) -> pd.DataFrame:
             pdf = pdf.sort_values("__pos__")
-            r = func(pd.Series(pdf["__v__"].to_numpy()))
+            cid = int(pdf["__cid__"].iloc[0])
+            r = func(rebuild(pdf["__v__"], in_tags[cid]))
             return pd.DataFrame({
                 "__pos__": pdf["__pos__"].to_numpy(),
                 "__cid__": pdf["__cid__"].to_numpy(),
-                "__o__": np.asarray(r, dtype="float64"),
+                "__o__": encode_out(r),
             })
 
         res = melted.groupBy("__cid__").applyInPandas(apply_col, schema)
@@ -2425,7 +2513,12 @@ class DataFrame:
         piv = res.groupBy("__pos__").pivot("__cid__", list(range(k))).agg(F.first("__o__"))
         piv = piv.select(F.col("__pos__").alias("__pp__"), *[F.col(str(ci)).alias(rp[ci]) for ci in range(k)])
         sdf = fr2.sdf.join(piv, fr2.sdf["__pos__"] == piv["__pp__"], "left").drop("__pp__")
-        out = fr2._same_rows(sdf).project(list(fr.columns), [F.col(c) for c in rp])
+        casts = (
+            [F.col(rp[ci]) for ci in range(k)]
+            if all_numeric
+            else [F.col(rp[ci]).cast(out_cast(lbl)) for ci, lbl in enumerate(fr.columns)]
+        )
+        out = fr2._same_rows(sdf).project(list(fr.columns), casts)
         return DataFrame(_frame=out._same_rows(out.sdf.drop("__pos__")))
 
     def _default_to_pandas(self, fn):

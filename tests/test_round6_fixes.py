@@ -194,3 +194,47 @@ def test_transpose_guard_env(spark, monkeypatch):
     pdf = pd.DataFrame({"a": [1.0, 2, 3, 4, 5], "b": [5.0, 6, 7, 8, 9]})
     got = mpd.from_pandas(pdf).T.to_pandas()  # over guard -> driver path
     assert got.shape == (2, 5)
+
+
+# ---------------------------------------------------------------------------
+# distributed non-numeric apply(axis=0) (r6: typed melt + rebuild in task)
+# ---------------------------------------------------------------------------
+
+_MIX = pd.DataFrame(
+    {
+        "a": [1, 2, 3, 4],
+        "s": ["xx", "y", "zzz", "w"],
+        "f": [1.5, 2.5, np.nan, 4.0],
+        "b": [True, False, True, False],
+        "t": pd.date_range("2024-01-01", periods=4, freq="D"),
+    }
+)
+
+
+def test_apply_axis0_mixed_transform(spark):
+    fn = lambda s: s.str.upper() if s.dtype == object else (
+        s * 2 if s.dtype.kind in "if" else s
+    )
+    got = mpd.from_pandas(_MIX).apply(fn, axis=0).to_pandas()
+    exp = _MIX.apply(fn, axis=0)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_apply_axis0_mixed_reduction(spark):
+    red = lambda s: s.str.len().sum() if s.dtype == object else (
+        s.sum() if s.dtype.kind in "ifb" else s.max()
+    )
+    got = mpd.from_pandas(_MIX).apply(red, axis=0)
+    exp = _MIX.apply(red, axis=0)
+    assert dict(got) == dict(exp)
+
+
+def test_apply_axis0_strings_no_driver_warning(spark):
+    # the non-numeric path must NOT hit the default_to_pandas escape hatch
+    import warnings as w
+
+    fn = lambda s: s.str.upper() if s.dtype == object else s
+    with w.catch_warnings():
+        w.simplefilter("error")  # any fallback warning -> test failure
+        got = mpd.from_pandas(_MIX[["s", "a"]]).apply(fn, axis=0).to_pandas()
+    assert got["s"].tolist() == ["XX", "Y", "ZZZ", "W"]
