@@ -344,25 +344,61 @@ def _docs_jaccard_pairs(spark, sf):
 
 def _clustered_corpus(spark, sf):
     """Embeddings + deterministic jittered near-copies of the first 20
-    vectors (8 copies each, cosine ~0.997 to their source). The raw
+    vectors (8 copies each, near-1 cosine to their source). The raw
     embeddings table is pure noise (no pair above cosine 0.6), so recall@k
     against it measures nothing; the planted clusters give ANN a real
-    retrieval task while keeping everything derived from the sf data."""
+    retrieval task while keeping everything derived from the sf data.
+    Jitter is EXACT-RATIONAL (integer pmod + IEEE double mul/div — no libm
+    sin whose last ulp differs across engines), so the DuckDB recall
+    oracles rebuild this corpus bit-identically."""
     emb = _rp(spark, f"{sf}/embeddings.parquet").select("vec_id", "embedding")
     base = emb.where(F.col("vec_id") < 20)
     copies = base.join(spark.range(1, 9).select(F.col("id").alias("__c__")), how="cross")
     jit = copies.select(
         (F.col("vec_id") + F.col("__c__") * 1000000).alias("vec_id"),
         F.expr(
-            "transform(embedding, (x, i) -> x + float(0.05 * sin(vec_id * 31 + __c__ * 7 + i)))"
+            "transform(embedding, (x, i) -> float(x + (0.05 * (pmod(vec_id * 31 + __c__ * 7 + i, 97) - 48)) / 97.0))"
         ).alias("embedding"),
     )
     return emb.unionByName(jit)
 
 
+# DuckDB rebuild of _clustered_corpus, bit-identical (same IEEE double ops,
+# float32 rounding last; i is 0-based in both)
+_CORPUS_SQL = """
+    corpus AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT e.vec_id + c.c * 1000000 AS vec_id,
+               list_transform(range(64), i -> CAST(
+                   embedding[i + 1] +
+                   (0.05 * ((e.vec_id * 31 + c.c * 7 + i) % 97 - 48)) / 97.0
+                   AS REAL)) AS embedding
+        FROM embeddings e, (SELECT UNNEST(range(1, 9)) AS c) c
+        WHERE e.vec_id < 20
+    ),
+    q AS (
+        SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 20
+    ),
+    brute AS (
+        SELECT q_id, vec_id FROM (
+            SELECT q.q_id, c.vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.q_id
+                       ORDER BY LIST_COSINE_SIMILARITY(c.embedding, q.q_vec) DESC,
+                                c.vec_id) AS rk
+            FROM corpus c, q
+        ) WHERE rk <= 5
+    )
+"""
+
+
 def _emb_lsh_recall(spark, sf):
     """recall@5 of multi-probe hyperplane-LSH vs exact brute force over the
-    planted clustered corpus — one metric row (pytest gates >= 0.9). With
+    planted clustered corpus — one metric row, FULLY ORACLE-BACKED (r6):
+    the DuckDB side rebuilds the jittered corpus bit-identically, recomputes
+    the seeded hyperplane codes from the literal matrix, replays the
+    Hamming-radius-2 probe as bit_count(xor(...)) <= 2, and re-ranks — so
+    the recall value itself is exact-checked, not just pytest-gated. With
     planes=8, radius=2 each query scans ~14% of buckets."""
     from modin_spark.operators.similarity import brute_force_topk, lsh_topk
 
@@ -379,15 +415,23 @@ def _emb_lsh_recall(spark, sf):
 
 
 def _emb_ivf_recall(spark, sf):
-    """recall@5 of IVF (sampled centroids, nprobe=4 of 16 cells => 25%
-    scanned) vs brute force over the planted clustered corpus."""
+    """recall@5 of IVF (FIXED quantizer: the first 16 raw embeddings,
+    normalized — SQL-reproducible, so the whole probe/re-rank machinery sits
+    under an exact DuckDB oracle (r6); the k-means quantizer itself stays
+    covered by emb_ivf_exhaustive + the pytest objective gate) with
+    nprobe=4 of 16 cells => 25% scanned, vs brute force over the planted
+    clustered corpus."""
     from modin_spark.operators.similarity import brute_force_topk, ivf_topk
 
     corpus = _clustered_corpus(spark, sf)
     emb = _rp(spark, f"{sf}/embeddings.parquet")
+    cents = [
+        r["embedding"]
+        for r in emb.where(F.col("vec_id") < 16).orderBy("vec_id").select("embedding").collect()
+    ]
     q = emb.where(F.col("vec_id") < 20).select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
     brute = brute_force_topk(corpus, q, k=5).select("q_id", "vec_id")
-    ivf = ivf_topk(corpus, q, k=5, n_centroids=16, nprobe=4).select("q_id", "vec_id")
+    ivf = ivf_topk(corpus, q, k=5, nprobe=4, centroids=cents).select("q_id", "vec_id")
     hits = brute.join(ivf, ["q_id", "vec_id"], "left_semi")
     return hits.agg(F.count(F.lit(1)).alias("hits")).select(
         F.lit(20).alias("n_queries"),
@@ -1877,8 +1921,80 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _lsh_code_sql(col: str) -> str:
+    """DuckDB expression recomputing similarity.hyperplane_bucket's packed
+    code from the SAME seeded matrix (numpy default_rng(_PLANE_SEED + dim),
+    dim=64, planes=8), embedded as literal ±1 vectors."""
+    import numpy as np
+
+    rng = np.random.default_rng(1469598103 + 64)
+    mat = rng.choice([-1.0, 1.0], size=(64, 8))
+    terms = []
+    for p in range(8):
+        vec = ", ".join("1.0" if v > 0 else "-1.0" for v in mat[:, p])
+        terms.append(
+            f"(CASE WHEN LIST_DOT_PRODUCT({col}, [{vec}]) > 0 THEN {1 << p} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
 def oracle_sql() -> dict[str, str]:
+    lsh_recall_sql = f"""
+        WITH {_CORPUS_SQL},
+        codes AS (SELECT vec_id, embedding, {_lsh_code_sql('embedding')} AS code FROM corpus),
+        qcodes AS (SELECT q_id, q_vec, {_lsh_code_sql('q_vec')} AS code FROM q),
+        cand AS (
+            SELECT qc.q_id, c.vec_id, c.embedding, qc.q_vec
+            FROM qcodes qc JOIN codes c ON bit_count(xor(qc.code, c.code)) <= 2
+        ),
+        lsh AS (
+            SELECT q_id, vec_id FROM (
+                SELECT q_id, vec_id,
+                       ROW_NUMBER() OVER (PARTITION BY q_id
+                           ORDER BY LIST_COSINE_SIMILARITY(embedding, q_vec) DESC, vec_id) rk
+                FROM cand
+            ) WHERE rk <= 5
+        )
+        SELECT 20 AS n_queries, ROUND(COUNT(*) / 100.0, 3) AS recall_at_5
+        FROM brute b JOIN lsh l ON b.q_id = l.q_id AND b.vec_id = l.vec_id
+    """
+    ivf_recall_sql = f"""
+        WITH {_CORPUS_SQL},
+        cents AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16),
+        assign AS (
+            SELECT vec_id, embedding, cid FROM (
+                SELECT c.vec_id, c.embedding, k.cid,
+                       ROW_NUMBER() OVER (PARTITION BY c.vec_id
+                           ORDER BY LIST_COSINE_SIMILARITY(c.embedding, k.cvec) DESC, k.cid) rk
+                FROM corpus c, cents k
+            ) WHERE rk = 1
+        ),
+        qprobe AS (
+            SELECT q_id, cid, q_vec FROM (
+                SELECT q.q_id, k.cid, q.q_vec,
+                       ROW_NUMBER() OVER (PARTITION BY q.q_id
+                           ORDER BY LIST_COSINE_SIMILARITY(q.q_vec, k.cvec) DESC, k.cid) rk
+                FROM q, cents k
+            ) WHERE rk <= 4
+        ),
+        cand AS (
+            SELECT qp.q_id, a.vec_id, a.embedding, qp.q_vec
+            FROM qprobe qp JOIN assign a USING (cid)
+        ),
+        ivf AS (
+            SELECT q_id, vec_id FROM (
+                SELECT q_id, vec_id,
+                       ROW_NUMBER() OVER (PARTITION BY q_id
+                           ORDER BY LIST_COSINE_SIMILARITY(embedding, q_vec) DESC, vec_id) rk
+                FROM cand
+            ) WHERE rk <= 5
+        )
+        SELECT 20 AS n_queries, ROUND(COUNT(*) / 100.0, 3) AS recall_at_5
+        FROM brute b JOIN ivf l ON b.q_id = l.q_id AND b.vec_id = l.vec_id
+    """
     return {
+        "emb_lsh_recall": lsh_recall_sql,
+        "emb_ivf_recall": ivf_recall_sql,
         "excel_ingest": """
             SELECT n_regionkey,
                    COUNT(*) AS n_nations,

@@ -187,15 +187,21 @@ def kmeans_centroids(corpus: SDF, vec_col: str, n_centroids: int, iters: int = 2
 def ivf_topk(corpus: SDF, queries: SDF, k: int = 10, n_centroids: int = 16, nprobe: int = 4,
              id_col: str = "vec_id", vec_col: str = "embedding",
              q_id_col: str = "q_id", q_vec_col: str = "q_vec", seed: int = 42,
-             kmeans_iters: int = 2) -> SDF:
+             kmeans_iters: int = 2, centroids=None) -> SDF:
     """IVF-flat: k-means coarse centroids (distributed Lloyd iterations, see
     kmeans_centroids), assign every corpus vector to its nearest centroid
     (one broadcast pass), probe the nprobe nearest cells per query, exact
-    re-rank inside the probed cells."""
+    re-rank inside the probed cells. Pass ``centroids`` (k x dim array-like)
+    to use a FIXED quantizer instead of running k-means — e.g. an external
+    model, or an exactly-reproducible centroid set for oracle checking."""
     import pandas as pd
     from pyspark.sql import types as T
 
-    Cn = kmeans_centroids(corpus, vec_col, n_centroids, iters=kmeans_iters, seed=seed)
+    if centroids is not None:
+        C = np.asarray(centroids, dtype="float64")
+        Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    else:
+        Cn = kmeans_centroids(corpus, vec_col, n_centroids, iters=kmeans_iters, seed=seed)
 
     def nearest_udf(n: int):
         # one (batch × dim) @ (dim × k) matmul per Arrow batch — the
