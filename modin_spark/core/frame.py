@@ -249,7 +249,11 @@ class SparkFrame:
         """
         labels = pd.Index(sdf.columns)
         phys = fresh_names(len(labels))
-        projected = sdf.select(*[F.col(c).alias(p) for c, p in zip(sdf.columns, phys)])
+        # backtick-quote: source column names may contain dots (`x.1` from
+        # header mangling) which bare F.col would parse as field access
+        projected = sdf.select(
+            *[F.col(f"`{c}`").alias(p) for c, p in zip(sdf.columns, phys)]
+        )
         return cls(projected, labels, phys, has_order=False)
 
     @classmethod

@@ -2478,7 +2478,13 @@ class DataFrame:
                 if isinstance(sv, (bool, np.bool_)):
                     return v in ("True", "true")
                 if isinstance(sv, (int, np.integer)):
-                    return int(float(v))
+                    # encode_out stringifies ints without a decimal point —
+                    # direct int() keeps exact values past 2^53; the float
+                    # round-trip is only for a sampled-int/actual-float mix
+                    try:
+                        return int(v)
+                    except ValueError:
+                        return int(float(v))
                 if isinstance(sv, (float, np.floating)):
                     return float(v)
                 if isinstance(sv, pd.Timestamp):

@@ -974,53 +974,43 @@ def _inline_flags(flags: int) -> str:
     return f"(?{mods})" if mods else ""
 
 
-def _optional_groups(pat: str) -> set:
-    """Indices of capture groups whose CLOSING paren is quantified with
-    `?`, `*` or `{0,...}` — the groups that can legally not participate in a
-    match (pandas maps non-participation to NaN). Walks the pattern tracking
-    escapes, character classes, and capturing vs non-capturing parens."""
+def _optional_groups(pat: str, flags: int = 0) -> set:
+    """Indices of capture groups that can legally NOT participate in a match
+    (pandas maps non-participation to NaN): groups under a min=0 quantifier
+    (`(x)?`, `(x)*`, `(x){0,…}`), groups inside any alternation branch
+    (`(a)|(b)` — whichever branch loses doesn't participate), and groups
+    inside a negative lookaround. Walks Python's own regex parse tree
+    instead of re-scanning the text, so escapes / classes / conditionals all
+    come for free."""
+    try:
+        import re._parser as _sp  # py>=3.11
+    except ImportError:  # pragma: no cover
+        import sre_parse as _sp
+
     opts: set = set()
-    stack: list = []
-    gi = i = 0
-    in_class = False
-    while i < len(pat):
-        ch = pat[i]
-        if ch == "\\":
-            i += 2
-            continue
-        if in_class:
-            if ch == "]":
-                in_class = False
-            i += 1
-            continue
-        if ch == "[":
-            in_class = True
-            i += 1
-            continue
-        if ch == "(":
-            if pat[i : i + 2] == "(?":
-                # (?P<name> and (?<name> capture; (?<= / (?<! / (?: / (?= … don't
-                nxt = pat[i + 2 : i + 4]
-                if nxt.startswith("P<") or (
-                    pat[i + 2 : i + 3] == "<" and pat[i + 3 : i + 4] not in ("=", "!")
-                ):
-                    gi += 1
-                    stack.append(gi)
-                else:
-                    stack.append(None)
-            else:
-                gi += 1
-                stack.append(gi)
-            i += 1
-            continue
-        if ch == ")":
-            g = stack.pop() if stack else None
-            tail = pat[i + 1 : i + 3]
-            if g is not None and (tail[:1] in ("?", "*") or tail == "{0"):
-                opts.add(g)
-            i += 1
-            continue
-        i += 1
+
+    def walk(items, optional: bool) -> None:
+        for op, av in items:
+            name = str(op)
+            if name == "SUBPATTERN":
+                g, _af, _df, sub = av
+                if g is not None and optional:
+                    opts.add(g)
+                walk(sub, optional)
+            elif name == "BRANCH":
+                # a group in one branch is skipped whenever another wins
+                for branch in av[1]:
+                    walk(branch, True)
+            elif name in ("MAX_REPEAT", "MIN_REPEAT", "POSSESSIVE_REPEAT"):
+                lo, _hi, sub = av
+                walk(sub, optional or lo == 0)
+            elif name == "ASSERT":
+                walk(av[1], optional)
+            elif name == "ASSERT_NOT":
+                walk(av[1], True)
+            elif name == "ATOMIC_GROUP":
+                walk(av, optional)
+    walk(_sp.parse(pat, flags), False)
     return opts
 
 
@@ -1124,7 +1114,7 @@ class StringMethods:
         if n == 0:
             raise ValueError("pattern contains no capture groups")
         names = {v: k for k, v in rx.groupindex.items()}
-        optional = _optional_groups(pat)
+        optional = _optional_groups(pat, flags)
         # Java regex spells named groups (?<name>...), Python (?P<name>...)
         pat = pat.replace("(?P<", "(?<").replace("(?P=", r"\k<")
         # Python flags become Java inline modifiers — regexp_extract/rlike

@@ -85,3 +85,83 @@ def test_xlsx_filter_after_read_stays_lazy(tmp_path, spark):
     out = mpd.read_excel(p)
     f = out[out.i > 5][["i", "f"]].to_pandas()
     assert f["i"].tolist() == [6, 7, 8, 9]
+
+
+def test_xlsx_date_cells_roundtrip(tmp_path, spark):
+    # date-styled serials (styles.xml numFmt) must come back as timestamps,
+    # not raw floats (round-7 ADVICE)
+    ts = pd.to_datetime(
+        ["2023-01-15 00:00:00", "2024-06-30 12:30:45", "1999-12-31 23:59:59"]
+    )
+    pdf = pd.DataFrame({"d": ts, "v": [1, 2, 3]})
+    p = str(tmp_path / "d.xlsx")
+    write_xlsx(pdf, p)
+    got = mpd.read_excel(p).to_pandas()
+    assert str(got["d"].dtype).startswith("datetime64")
+    assert got["d"].tolist() == list(ts)
+    assert got["v"].tolist() == [1, 2, 3]
+
+
+def test_xlsx_blank_row_gaps(tmp_path, spark):
+    # Excel omits <row> elements for blank rows; pandas emits all-NaN rows,
+    # so header/skiprows indexing must follow the logical grid
+    import zipfile
+
+    p = str(tmp_path / "g.xlsx")
+    write_xlsx(pd.DataFrame({"a": [1, 2, 3], "b": ["x", "y", "z"]}), p)
+    # rewrite the sheet with a gap: header r=1, data r=2, r=4 (r=3 blank)
+    with zipfile.ZipFile(p) as zf:
+        names = {n: zf.read(n) for n in zf.namelist()}
+    sheet = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        '<sheetData>'
+        '<row r="1"><c r="A1" t="inlineStr"><is><t>a</t></is></c>'
+        '<c r="B1" t="inlineStr"><is><t>b</t></is></c></row>'
+        '<row r="2"><c r="A2"><v>1</v></c><c r="B2" t="inlineStr"><is><t>x</t></is></c></row>'
+        '<row r="4"><c r="A4"><v>3</v></c><c r="B4" t="inlineStr"><is><t>z</t></is></c></row>'
+        "</sheetData></worksheet>"
+    )
+    names["xl/worksheets/sheet1.xml"] = sheet.encode()
+    with zipfile.ZipFile(p, "w", zipfile.ZIP_DEFLATED) as zf:
+        for n, data in names.items():
+            zf.writestr(n, data)
+    got = mpd.read_excel(p).to_pandas()
+    assert len(got) == 3  # blank row materialized, not dropped
+    assert got["a"].fillna(-1).tolist() == [1.0, -1.0, 3.0]
+    assert got["b"].fillna("␀").tolist() == ["x", "␀", "z"]
+    # skiprows counts logical rows (skip header+first data row -> blank first)
+    got2 = mpd.read_excel(p, header=None, skiprows=2, names=["a", "b"]).to_pandas()
+    assert len(got2) == 2
+    assert got2["a"].fillna(-1).tolist() == [-1.0, 3.0]
+
+
+def test_xlsx_duplicate_headers_mangled(tmp_path, spark):
+    # pandas mangles duplicate header labels x, x -> x, x.1
+    pdf = pd.DataFrame([[1, 2, 3], [4, 5, 6]], columns=["x", "y", "x"])
+    p = str(tmp_path / "dup.xlsx")
+    write_xlsx(pdf, p)
+    got = mpd.read_excel(p).to_pandas()
+    assert list(got.columns) == ["x", "y", "x.1"]
+    assert got["x"].tolist() == [1, 4]
+    assert got["x.1"].tolist() == [3, 6]
+
+
+def test_xlsx_non_integral_float_not_truncated(tmp_path, spark):
+    # a bigint-inferred column (sample all-integral) hitting 2.5 later must
+    # null, not truncate to 2 (round-7 ADVICE)
+    n = 300  # inference sample is 200 rows
+    vals = [float(i) for i in range(n)]
+    vals[250] = 2.5
+    pdf = pd.DataFrame({"v": vals})
+    # write ints for the sample (floats that are integral serialize as x.0
+    # and infer double; force bigint inference with true ints)
+    pdf["v"] = pd.Series(
+        [int(v) if float(v).is_integer() else v for v in vals], dtype=object
+    )
+    p = str(tmp_path / "tr.xlsx")
+    write_xlsx(pdf, p)
+    got = mpd.read_excel(p).to_pandas()
+    assert got["v"].iloc[249] == 249
+    assert pd.isna(got["v"].iloc[250])  # nulled, NOT truncated to 2
+    assert got["v"].iloc[251] == 251
