@@ -662,18 +662,32 @@ def _docs_norm_distinct(spark, sf):
 
 
 def _docs_minhash_dedup(spark, sf):
+    """Full MinHash-LSH dedup pipeline (shingle -> 128-perm signature -> 32
+    value-banded buckets -> candidate pairs -> signature verify -> keep-min)
+    on the SQL-replayable md5 base hash (dedup.md5_hash60), so every stage
+    sits under an EXACT DuckDB oracle (r7). The production siphash default
+    keeps its planted-duplicate recall/precision pytest gate."""
     from modin_spark.operators.dedup import minhash_lsh_dedup
 
     docs = _rp(spark, f"{sf}/documents.parquet")
-    out = minhash_lsh_dedup(docs, threshold=0.8)
-    return out.agg(F.count(F.lit(1)).alias("n_after"), F.sum("n_chars").alias("chars_after"))
+    out = minhash_lsh_dedup(docs, threshold=0.8, base_hash="md5")
+    return out.agg(
+        F.count(F.lit(1)).cast("long").alias("n_after"),
+        F.sum("n_chars").cast("long").alias("chars_after"),
+    )
 
 
 def _docs_simhash_dedup(spark, sf):
+    """SimHash near-dup dedup (3-shingle 64-bit word -> 4x16-bit bands ->
+    Hamming<=3 verify -> keep-min) on the md5 base hash — EXACT DuckDB
+    oracle replays the bit votes and banding (r7); the xxhash64 production
+    default stays pytest-gated."""
     from modin_spark.operators.dedup import simhash_dedup
 
     docs = _rp(spark, f"{sf}/documents.parquet")
-    return simhash_dedup(docs, hamming_threshold=3).agg(F.count(F.lit(1)).alias("n_after"))
+    return simhash_dedup(docs, hamming_threshold=3, base_hash="md5").agg(
+        F.count(F.lit(1)).cast("long").alias("n_after")
+    )
 
 
 def _docs_langid_quality(spark, sf):
@@ -1415,6 +1429,11 @@ def _transpose_agg(spark, sf):
 
 
 def _emb_lsh_topk(spark, sf):
+    """Multi-probe hyperplane-LSH top-k. The hyperplanes are the seeded
+    deterministic ±1 matrix (similarity.hyperplane_bucket), so the DuckDB
+    oracle replays the codes from the literal matrix and the radius-2 probe
+    as bit_count(xor) <= 2 — EXACT oracle row (r7, same replay as
+    emb_lsh_recall)."""
     from modin_spark.operators.similarity import lsh_topk
 
     emb = _rp(spark, f"{sf}/embeddings.parquet")
@@ -1424,11 +1443,20 @@ def _emb_lsh_topk(spark, sf):
 
 
 def _emb_ivf_topk(spark, sf):
+    """IVF top-k at the approximate operating point (nprobe=4 of 16 cells)
+    with a FIXED quantizer (first 16 embeddings, normalized — same
+    centroids= pin as emb_ivf_recall), so the assign/probe/re-rank pipeline
+    is EXACT-oracle-backed (r7). The k-means quantizer stays covered by
+    emb_ivf_exhaustive; recall quality by emb_ivf_recall."""
     from modin_spark.operators.similarity import ivf_topk
 
     emb = _rp(spark, f"{sf}/embeddings.parquet")
+    cents = [
+        r["embedding"]
+        for r in emb.where(F.col("vec_id") < 16).orderBy("vec_id").select("embedding").collect()
+    ]
     q = emb.where(F.col("vec_id") < 3).select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
-    out = ivf_topk(emb, q, k=5, n_centroids=16, nprobe=4)
+    out = ivf_topk(emb, q, k=5, nprobe=4, centroids=cents)
     return out.select("q_id", "vec_id", F.round("cosine", 4).alias("cos_sim"), "rank")
 
 
@@ -1938,6 +1966,63 @@ def _lsh_code_sql(col: str) -> str:
     return " + ".join(terms)
 
 
+def _shingle_hash_cte(k: int) -> str:
+    """DuckDB CTEs rebuilding dedup's word k-shingles and their md5_hash60
+    base hashes (60-bit: first 15 hex digits of md5) — bit-identical to the
+    Spark md5-mode pipeline (dedup.shingles + dedup.md5_hash60)."""
+    return f"""
+        w AS (
+            SELECT doc_id, n_chars,
+                   list_filter(
+                       string_split_regex(
+                           regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'),
+                           '\\s+'),
+                       x -> x <> '') AS words
+            FROM documents
+        ),
+        hv AS (
+            SELECT doc_id, n_chars,
+                   list_transform(
+                       CASE WHEN len(words) >= {k}
+                            THEN list_transform(range(len(words) - {k - 1}),
+                                     i -> array_to_string(words[i+1:i+{k}], ' '))
+                            ELSE [array_to_string(words, ' ')] END,
+                       s -> CAST(('0x' || substring(md5(s), 1, 15)) AS BIGINT)
+                   ) AS h
+            FROM w
+        )"""
+
+
+def _minhash_sig_sql(num_perm: int = 128) -> str:
+    """One SQL array expression per the 128 universal-hash permutations:
+    lane_i = unsigned min over shingle hashes of (a_i*x + b_i) mod 2^64 —
+    HUGEINT math replays numpy's wrapping uint64 exactly (dedup._perm_coeffs
+    literals; x is the 60-bit md5 hash, so a*x+b < 2^123 fits HUGEINT)."""
+    mh_a, mh_b = 0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F
+    mask63 = (1 << 63) - 1
+    terms = []
+    for i in range(num_perm):
+        a = (mh_a * (2 * i + 1)) & mask63
+        b = (mh_b * (i + 1)) & mask63
+        terms.append(
+            f"list_min(list_transform(h, x -> ({a}::HUGEINT * x + {b}) % 18446744073709551616::HUGEINT))"
+        )
+    return "[" + ", ".join(terms) + "]"
+
+
+def _simhash_word_sql() -> str:
+    """SQL expression for the 64-bit SimHash word from the per-doc hash list
+    ``h``: bit b set iff the majority of shingle hashes carry bit b. Hashes
+    are 60-bit, so bits 60-63 never vote positive (identical in the Spark
+    md5-mode word, dedup.text_simhash_md5)."""
+    terms = [
+        f"(CASE WHEN 2 * list_sum(list_transform(h, x -> (x >> {b}) & 1)) > len(h) "
+        f"THEN {1 << b} ELSE 0 END)"
+        for b in range(60)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
 def oracle_sql() -> dict[str, str]:
     lsh_recall_sql = f"""
         WITH {_CORPUS_SQL},
@@ -1992,9 +2077,123 @@ def oracle_sql() -> dict[str, str]:
         SELECT 20 AS n_queries, ROUND(COUNT(*) / 100.0, 3) AS recall_at_5
         FROM brute b JOIN ivf l ON b.q_id = l.q_id AND b.vec_id = l.vec_id
     """
+    # r7: the same hyperplane/quantizer replays promote the top-k queries
+    # themselves (not just the recall metrics) to exact oracle rows
+    lsh_topk_sql = f"""
+        WITH codes AS (
+            SELECT vec_id, embedding, {_lsh_code_sql('embedding')} AS code
+            FROM embeddings
+        ),
+        qs AS (
+            SELECT vec_id AS q_id, embedding AS q_vec, code AS qcode
+            FROM codes WHERE vec_id < 3
+        ),
+        cand AS (
+            SELECT q.q_id, c.vec_id, c.embedding, q.q_vec
+            FROM qs q JOIN codes c ON bit_count(xor(q.qcode, c.code)) <= 2
+        )
+        SELECT q_id, vec_id, ROUND(cos_sim, 4) AS cos_sim, rank FROM (
+            SELECT q_id, vec_id,
+                   LIST_COSINE_SIMILARITY(embedding, q_vec) AS cos_sim,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                       ORDER BY LIST_COSINE_SIMILARITY(embedding, q_vec) DESC,
+                                vec_id) AS rank
+            FROM cand
+        ) WHERE rank <= 5
+    """
+    ivf_topk_sql = """
+        WITH cents AS (
+            SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16
+        ),
+        assign AS (
+            SELECT vec_id, embedding, cid FROM (
+                SELECT c.vec_id, c.embedding, k.cid,
+                       ROW_NUMBER() OVER (PARTITION BY c.vec_id
+                           ORDER BY LIST_COSINE_SIMILARITY(c.embedding, k.cvec) DESC, k.cid) rk
+                FROM embeddings c, cents k
+            ) WHERE rk = 1
+        ),
+        qprobe AS (
+            SELECT q_id, cid, q_vec FROM (
+                SELECT q.vec_id AS q_id, k.cid, q.embedding AS q_vec,
+                       ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                           ORDER BY LIST_COSINE_SIMILARITY(q.embedding, k.cvec) DESC, k.cid) rk
+                FROM (SELECT * FROM embeddings WHERE vec_id < 3) q, cents k
+            ) WHERE rk <= 4
+        ),
+        cand AS (
+            SELECT qp.q_id, a.vec_id, a.embedding, qp.q_vec
+            FROM qprobe qp JOIN assign a USING (cid)
+        )
+        SELECT q_id, vec_id, ROUND(cos_sim, 4) AS cos_sim, rank FROM (
+            SELECT q_id, vec_id,
+                   LIST_COSINE_SIMILARITY(embedding, q_vec) AS cos_sim,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                       ORDER BY LIST_COSINE_SIMILARITY(embedding, q_vec) DESC,
+                                vec_id) AS rank
+            FROM cand
+        ) WHERE rank <= 5
+    """
+    # r7: full-pipeline replays of the md5-mode MinHash-LSH / SimHash dedups
+    minhash_dedup_sql = f"""
+        WITH {_shingle_hash_cte(5)},
+        sig AS (
+            SELECT doc_id, {_minhash_sig_sql(128)} AS sig FROM hv
+        ),
+        bk AS (
+            SELECT doc_id, sig[band*4+1:band*4+4] AS key, band
+            FROM (SELECT doc_id, sig, unnest(range(32)) AS band FROM sig)
+        ),
+        okkeys AS (
+            SELECT band, key FROM bk GROUP BY band, key
+            HAVING count(*) BETWEEN 2 AND 5000
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bk a JOIN okkeys USING (band, key)
+                 JOIN bk b ON a.band = b.band AND a.key = b.key
+                          AND a.doc_id < b.doc_id
+        ),
+        ver AS (
+            SELECT c.id_a, c.id_b
+            FROM cand c
+                 JOIN sig sa ON sa.doc_id = c.id_a
+                 JOIN sig sb ON sb.doc_id = c.id_b
+            WHERE list_sum(list_transform(range(128),
+                      i -> CASE WHEN sa.sig[i+1] = sb.sig[i+1] THEN 1 ELSE 0 END
+                  )) / 128.0 >= 0.8
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_after,
+               CAST(sum(n_chars) AS BIGINT) AS chars_after
+        FROM documents
+        WHERE doc_id NOT IN (SELECT DISTINCT id_b FROM ver)
+    """
+    simhash_dedup_sql = f"""
+        WITH {_shingle_hash_cte(3)},
+        sw AS (
+            SELECT doc_id, {_simhash_word_sql()} AS word FROM hv
+        ),
+        bk AS (
+            SELECT doc_id, word, band, (word >> (band*16)) & 65535 AS key
+            FROM (SELECT doc_id, word, unnest(range(4)) AS band FROM sw)
+        ),
+        ver AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key
+                              AND a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.word, b.word)) <= 3
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_after
+        FROM documents
+        WHERE doc_id NOT IN (SELECT DISTINCT id_b FROM ver)
+    """
     return {
         "emb_lsh_recall": lsh_recall_sql,
         "emb_ivf_recall": ivf_recall_sql,
+        "emb_lsh_topk": lsh_topk_sql,
+        "emb_ivf_topk": ivf_topk_sql,
+        "docs_minhash_dedup": minhash_dedup_sql,
+        "docs_simhash_dedup": simhash_dedup_sql,
         "excel_ingest": """
             SELECT n_regionkey,
                    COUNT(*) AS n_nations,
@@ -3176,7 +3375,7 @@ def oracle_sql() -> dict[str, str]:
                    16 AS feat_dim
             FROM documents WHERE doc_id < 200
         """,
-        # docs_minhash_dedup / docs_simhash_dedup / emb_lsh_topk /
-        # emb_ivf_topk / emb_lsh_recall / emb_ivf_recall: approximate
-        # operators with no SQL equivalent -> rows-only check.
+        # r7: every registry query is oracle-backed (115/115) — the last
+        # four rows-only ops were promoted via the md5-mode hash replay
+        # (minhash/simhash) and pinned-quantizer/seeded-hyperplane ANN.
     }

@@ -295,6 +295,36 @@ def groupby_apply(frame: SparkFrame, by_positions: Sequence[int], func, schema_s
 NULL_SAFE_MERGE = True
 
 
+# Session-level memo: does ANY persistent catalog table exist? The analyzed
+# plan walk below can only ever return True through a spark_catalog-qualified
+# SubqueryAlias, i.e. a table written via saveAsTable — when the catalog is
+# empty the walk (an analyzed() materialization + a py4j call per plan node,
+# twice per merge) is pure driver-side overhead on every merge chain.
+# Invalidated by DataFrame.to_table (the only saveAsTable site) and on
+# session change.
+_CATALOG_MEMO = {"sid": None, "has_tables": False}
+
+
+def invalidate_catalog_memo() -> None:
+    _CATALOG_MEMO["sid"] = None
+
+
+def _catalog_has_tables(spark) -> bool:
+    sid = id(spark)
+    if _CATALOG_MEMO["sid"] != sid:
+        try:
+            has = any(
+                t.tableType != "TEMPORARY"
+                for db in spark.catalog.listDatabases()
+                for t in spark.catalog.listTables(db.name)
+            )
+        except Exception:
+            has = True  # can't tell — keep the precise walk
+        _CATALOG_MEMO["sid"] = sid
+        _CATALOG_MEMO["has_tables"] = has
+    return _CATALOG_MEMO["has_tables"]
+
+
 def _shallow_catalog_scan(sdf) -> bool:
     """True when the frame is a bare catalog-table scan (filters/projections
     only) — the only shape where bucketed co-location exists and the merge
@@ -303,6 +333,8 @@ def _shallow_catalog_scan(sdf) -> bool:
     work per merge on deep chains); only SubqueryAlias nodes render a short
     simpleString to spot the catalog qualifier."""
     try:
+        if not _catalog_has_tables(sdf.sparkSession):
+            return False
         plan = sdf._jdf.queryExecution().analyzed()
     except Exception:
         return False
@@ -371,8 +403,11 @@ def merge(
     # merges of frames sharing lineage would otherwise collide
     r_orig = list(dict.fromkeys(right.index_cols + right.data_cols))
     r_map = dict(zip(r_orig, fresh_names(len(r_orig))))
-    rsdf = right.sdf.select(
-        F.col(ORDER_COL).alias("__rorder__"), *[F.col(p).alias(r_map[p]) for p in r_orig]
+    # one selectExpr call — physical names are generated identifiers, and a
+    # per-column Column object would cost 2 py4j round-trips per column on
+    # every merge of a chain
+    rsdf = right.sdf.selectExpr(
+        f"{ORDER_COL} AS __rorder__", *[f"{p} AS {r_map[p]}" for p in r_orig]
     )
     rkeys = [r_map[k] for k in rkeys]
     if broadcast_right:
@@ -389,12 +424,13 @@ def merge(
     # and rows with a null key component, which can only null-safe-match
     # the IDENTICAL null pattern, join in a separate ~empty branch that
     # parquet null_count stats prune and whose build side broadcasts.
+    # right-side columns were just re-aliased to fresh physical names, so
+    # every name in the joined scope is unique and the condition can be ONE
+    # parsed expression (a Column-object tree costs ~6 py4j round-trips per
+    # key on every merge of a chain)
     def _cond(ls, rs, null_safe):
-        c = None
-        for lk, rk in zip(lkeys, rkeys):
-            e = ls[lk].eqNullSafe(rs[rk]) if null_safe else (ls[lk] == rs[rk])
-            c = e if c is None else (c & e)
-        return c
+        op = "<=>" if null_safe else "="
+        return F.expr(" AND ".join(f"({lk} {op} {rk})" for lk, rk in zip(lkeys, rkeys)))
 
     nullable = NULL_SAFE_MERGE and not keys_proven_nonnull and (
         any(lsdf.schema[k].nullable for k in lkeys)
@@ -486,15 +522,14 @@ def merge(
         out_phys.append(ind_phys)
 
     # struct order: unmatched side sorts last (pandas appends right-only rows);
-    # the null flag leads so struct comparison never hits a NULL field
-    lo, ro = F.col("__lorder__"), F.col("__rorder__")
-    order = F.struct(
-        lo.isNull().cast("int").alias("ln"),
-        lo.alias("l"),
-        ro.isNull().cast("int").alias("rn"),
-        ro.alias("r"),
+    # the null flag leads so struct comparison never hits a NULL field.
+    # One selectExpr replaces withColumn+drop+an 8-call Column struct.
+    joined = joined.selectExpr(
+        "* except(__lorder__, __rorder__)",
+        "struct(cast((__lorder__ is null) as int) as ln, __lorder__ as l, "
+        "cast((__rorder__ is null) as int) as rn, __rorder__ as r) "
+        f"AS {ORDER_COL}",
     )
-    joined = joined.withColumn(ORDER_COL, order).drop("__lorder__", "__rorder__")
     if left_index and right_index:
         # index-aligned join keeps the (coalesced) index
         out = SparkFrame(joined, pd.Index(out_labels), out_phys, lkeys, list(left.index_names))

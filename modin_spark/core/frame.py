@@ -249,10 +249,15 @@ class SparkFrame:
         """
         labels = pd.Index(sdf.columns)
         phys = fresh_names(len(labels))
-        # backtick-quote: source column names may contain dots (`x.1` from
-        # header mangling) which bare F.col would parse as field access
-        projected = sdf.select(
-            *[F.col(f"`{c}`").alias(p) for c, p in zip(sdf.columns, phys)]
+        # ONE selectExpr call instead of per-column F.col().alias() pairs —
+        # each Column object costs a py4j round-trip and this runs on every
+        # ingest. Backtick-quote (doubled inner backticks): source names may
+        # contain dots (`x.1` from header mangling) or other specials.
+        projected = sdf.selectExpr(
+            *[
+                "`%s` AS %s" % (str(c).replace("`", "``"), p)
+                for c, p in zip(sdf.columns, phys)
+            ]
         )
         return cls(projected, labels, phys, has_order=False)
 

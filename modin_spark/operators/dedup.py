@@ -121,6 +121,43 @@ def shingles(c: Column, k: int = 5) -> Column:
     return _sh(c)
 
 
+def md5_hash60(c: Column) -> Column:
+    """Engine-independent 60-bit shingle hash: the first 15 hex digits of
+    md5, parsed as an integer — Spark computes it JVM-side
+    (conv(substring(md5(s),1,15),16,10)) and DuckDB replays it exactly
+    (('0x'||substring(md5(s),1,15))::BIGINT), which makes every
+    MinHash/SimHash built on it fully oracle-checkable. The production
+    default stays the (faster) siphash/xxhash64 base, whose quality is
+    pytest-gated on planted duplicates instead."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def text_minhash_md5(c: Column, k: int = 5, num_perm: int = 128) -> Column:
+    """text -> packed MinHash signature like text_minhash, but on the
+    SQL-replayable md5 base hash: shingle strings built once (vectorized
+    pandas_udf), hashed JVM-side via md5_hash60, then one numpy pass does
+    the num_perm wrapping-uint64 permutation mins (identical coefficient
+    family and unsigned-min order as text_minhash)."""
+    from pyspark.sql import types as T
+
+    a_co, b_co = _perm_coeffs(num_perm)
+    a_u, b_u = a_co.astype(np.uint64), b_co.astype(np.uint64)
+
+    @F.pandas_udf(T.BinaryType())
+    def _mh(harr: pd.Series) -> pd.Series:
+        with np.errstate(over="ignore"):
+            out = []
+            for h in harr:
+                x = np.asarray(h, dtype=np.int64).astype(np.uint64)
+                if x.size == 0:
+                    x = np.zeros(1, dtype=np.uint64)
+                m = (a_u[:, None] * x[None, :] + b_u[:, None]).min(axis=1)
+                out.append(m.astype("<u8").tobytes())
+            return pd.Series(out)
+
+    return _mh(F.transform(shingles(c, k), md5_hash60))
+
+
 def text_minhash(c: Column, k: int = 5, num_perm: int = 128) -> Column:
     """text -> MinHash signature packed as ``binary`` (num_perm little-endian
     64-bit lanes) in ONE pandas_udf pass, vectorized across the WHOLE Arrow
@@ -244,15 +281,20 @@ def minhash_signature(sh: Column, num_perm: int = 128) -> Column:
     return _sig(base)
 
 
-def _band_rows(df: SDF, id_col: str, sig_col: str, bands: int, rows_per_band: int) -> SDF:
-    """Explode a packed-binary signature into (band, bucket_hash, id) rows —
-    bucket = xxhash64 of the band's byte slice, all JVM-side."""
-    band_arr = F.array(
-        *[
-            F.xxhash64(F.expr(f"substring({sig_col}, {b * rows_per_band * 8 + 1}, {rows_per_band * 8})"))
-            for b in range(bands)
-        ]
-    )
+def _band_rows(df: SDF, id_col: str, sig_col: str, bands: int, rows_per_band: int,
+               by_value: bool = False) -> SDF:
+    """Explode a packed-binary signature into (band, bucket, id) rows —
+    bucket = xxhash64 of the band's byte slice (default), or the raw byte
+    slice itself with ``by_value=True`` (hex-encoded so the bucket key is a
+    plain string): slightly wider shuffle rows, but the bucket key is then
+    exactly the band's lane values, which a SQL oracle can recompute."""
+    def _slice(b):
+        return F.expr(f"substring({sig_col}, {b * rows_per_band * 8 + 1}, {rows_per_band * 8})")
+
+    if by_value:
+        band_arr = F.array(*[F.hex(_slice(b)) for b in range(bands)])
+    else:
+        band_arr = F.array(*[F.xxhash64(_slice(b)) for b in range(bands)])
     return (
         df.withColumn("__bands__", band_arr)
         .select(id_col, sig_col, F.posexplode("__bands__").alias("__band__", "__bucket__"))
@@ -273,7 +315,8 @@ def _spread_for_udf(df: SDF) -> SDF:
 
 def minhash_candidate_pairs(
     df: SDF, id_col: str, text_col: str, *, k: int = 5, num_perm: int = 128, bands: int = 32,
-    threshold: float = 0.8, max_bucket_size: int | None = 5000, distinct_pairs: bool = True
+    threshold: float = 0.8, max_bucket_size: int | None = 5000, distinct_pairs: bool = True,
+    base_hash: str = "sip_poly"
 ) -> SDF:
     """(id_a, id_b, est_jaccard) candidate near-dup pairs, id_a < id_b.
 
@@ -288,16 +331,19 @@ def minhash_candidate_pairs(
     df = _spread_for_udf(df)
 
     # signatures computed once and persisted — both the band explode and the
-    # verification join read this lineage (MEMORY_AND_DISK so 100 TB spills)
+    # verification join read this lineage (MEMORY_AND_DISK so 100 TB spills).
+    # base_hash="md5": SQL-replayable signature + value banding (see
+    # md5_hash60) so the whole pipeline can sit under an exact oracle.
+    mh = text_minhash_md5 if base_hash == "md5" else text_minhash
     sigs = df.select(
-        id_col, text_minhash(F.col(text_col), k, num_perm).alias("__sig__")
+        id_col, mh(F.col(text_col), k, num_perm).alias("__sig__")
     ).persist(StorageLevel.MEMORY_AND_DISK)
     # candidate generation ships only (band, bucket, id) — NOT the signature;
     # carrying the 128-long array through the 32x band explode would amplify
     # the shuffle by two orders of magnitude
-    banded = _band_rows(sigs, id_col, "__sig__", bands, rows_per_band).select(
-        id_col, "__band__", "__bucket__"
-    )
+    banded = _band_rows(
+        sigs, id_col, "__sig__", bands, rows_per_band, by_value=(base_hash == "md5")
+    ).select(id_col, "__band__", "__bucket__")
     # ONE shuffle does candidate generation: group each (band, bucket) to a
     # sorted id list, enforce the size cap inline on the aggregated row (no
     # separate count job / broadcast anti-join), and expand the m*(m-1)/2
@@ -472,11 +518,41 @@ def simhash(c: Column, k: int = 3, bits: int = 64) -> Column:
     return _simhash(F.transform(sh, lambda s: F.xxhash64(s)))
 
 
-def simhash_dedup(df: SDF, id_col: str = "doc_id", text_col: str = "text", hamming_threshold: int = 3) -> SDF:
+def text_simhash_md5(c: Column, k: int = 3, bits: int = 64) -> Column:
+    """text -> SimHash word on the SQL-replayable md5 base hash (see
+    md5_hash60): shingle strings hashed JVM-side, bit votes in one numpy
+    pass. Hashes carry 60 significant bits, so word bits 60-63 are always 0
+    — identical on the SQL side, which recomputes the same votes."""
+    from pyspark.sql import types as T
+
+    shifts = np.arange(bits, dtype=np.uint64)
+    powers = (np.uint64(1) << shifts).astype(np.uint64)
+
+    @F.pandas_udf(T.LongType())
+    def _sh(harr: pd.Series) -> pd.Series:
+        out = np.zeros(len(harr), dtype=np.int64)
+        for i, h in enumerate(harr):
+            x = np.asarray(h, dtype=np.int64).astype(np.uint64)
+            if x.size == 0:
+                continue
+            bitmat = ((x[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+            votes = bitmat.sum(axis=0) * 2 - x.size
+            word = ((votes > 0).astype(np.uint64) * powers).sum(dtype=np.uint64)
+            out[i] = np.uint64(word).astype(np.int64)
+        return pd.Series(out)
+
+    return _sh(F.transform(shingles(c, k), md5_hash60))
+
+
+def simhash_dedup(df: SDF, id_col: str = "doc_id", text_col: str = "text",
+                  hamming_threshold: int = 3, base_hash: str = "sip_poly") -> SDF:
     """Near-dup via SimHash: band the 64 bits into 4×16-bit keys (any pair
     within Hamming distance 3 shares ≥1 exact band), equi-join candidates,
-    verify exact Hamming distance with bit_count(xor)."""
-    sh = _spread_for_udf(df).select(id_col, text_simhash(F.col(text_col)).alias("__sh__"))
+    verify exact Hamming distance with bit_count(xor). ``base_hash="md5"``
+    swaps the word-hash base for the SQL-replayable md5_hash60 family so the
+    whole pipeline can sit under an exact DuckDB oracle."""
+    ts = text_simhash_md5 if base_hash == "md5" else text_simhash
+    sh = _spread_for_udf(df).select(id_col, ts(F.col(text_col)).alias("__sh__"))
     bands = sh.select(
         id_col,
         "__sh__",

@@ -313,6 +313,9 @@ class DataFrame:
             if sort_by is not None:
                 w = w.sortBy(*(sort_by if isinstance(sort_by, list) else [sort_by]))
         w.format("parquet").saveAsTable(name)
+        from modin_spark.core.compiler import invalidate_catalog_memo
+
+        invalidate_catalog_memo()
 
     def to_arrow(self):
         """Arrow table egress (Spark 4 ``toArrow``; reference interchange

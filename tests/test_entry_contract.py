@@ -19,10 +19,17 @@ def test_query_names_unique_and_callable():
 
 
 def test_scored_prefix_is_oracle_dense():
-    """At most 5 of the first 50 entries may lack an oracle (the rows-only
-    pipeline ops) — the driver's scored slots are too scarce to spend on
-    more."""
+    """r7: every rows-only query has been promoted to a full oracle row
+    (md5-mode minhash/simhash replay, pinned-quantizer ANN) — the scored
+    prefix must stay 100% oracle-backed."""
     q = list(entry.queries())
     o = set(entry.oracle_sql())
     no_oracle_in_prefix = [k for k in q[:50] if k not in o]
-    assert len(no_oracle_in_prefix) <= 5, no_oracle_in_prefix
+    assert len(no_oracle_in_prefix) == 0, no_oracle_in_prefix
+
+
+def test_every_query_has_oracle():
+    """The whole registry is oracle-backed as of r7."""
+    q = set(entry.queries())
+    o = set(entry.oracle_sql())
+    assert q <= o, sorted(q - o)
