@@ -1240,6 +1240,47 @@ def _multiindex_cols_agg(spark, sf):
     return out.to_spark(ordered=False)
 
 
+# all (l_returnflag, l_linestatus) combos in the synthetic TPC-H-ish data
+_LI_COMBOS = [("A", "F"), ("A", "O"), ("N", "F"), ("N", "O"), ("R", "F"), ("R", "O")]
+
+
+def _multiindex3_cols_agg(spark, sf):
+    """3-level COLUMN MultiIndex round-trip (r7): multi-key pivot_table
+    (columns=['l_returnflag','l_linestatus'], aggfunc list) emits
+    (fn, flag, status) 3-level columns over the 2-level (l_linenumber,
+    l_tax) row MultiIndex; groupby(level=0).agg('sum') re-aggregates,
+    dropping the non-grouped index level (pandas parity); tuple-keyed
+    rename flattens for the oracle."""
+    mpd = _mpd()
+    li = mpd.read_parquet(f"{sf}/lineitem.parquet")
+    pt = li.pivot_table(
+        index=["l_linenumber", "l_tax"],
+        columns=["l_returnflag", "l_linestatus"],
+        values="l_quantity", aggfunc=["sum", "count"],
+    )
+    g = pt.groupby(level=0).agg("sum")
+    out = g.reset_index()
+    ren = {(fn, f, s): f"{fn}_{f}_{s}" for fn in ("sum", "count") for f, s in _LI_COMBOS}
+    out = out.rename(columns=ren)
+    for f, s in _LI_COMBOS:
+        out[f"sum_{f}_{s}"] = _r(out[f"sum_{f}_{s}"], 2)
+    return out.to_spark(ordered=False)
+
+
+def _concat_dup_labels(spark, sf):
+    """concat(axis=1) with COLLIDING column labels (r7): the duplicate-label
+    frame stays fully computable (positional physical names); a positional
+    columns= assignment renames for the oracle compare."""
+    mpd = _mpd()
+    n = mpd.read_parquet(f"{sf}/nation.parquet")
+    a = n[["n_nationkey", "n_regionkey"]]
+    b = n[["n_nationkey"]]
+    c = mpd.concat([a, b], axis=1)  # columns: n_nationkey, n_regionkey, n_nationkey
+    c = c[c["n_regionkey"] < 3]  # filter THROUGH the dup-label frame
+    c.columns = ["k1", "r", "k2"]
+    return c.to_spark(ordered=False)
+
+
 def _win_weighted_var(spark, sf):
     """Weighted-window variance (win_type='triang', w=4, exact binary-fraction
     weights [.25,.75,.75,.25]): two lag-unrolled accumulations in whole-stage
@@ -1839,6 +1880,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transpose_agg": _transpose_agg,
         "win_weighted_var": _win_weighted_var,
         "multiindex_cols_agg": _multiindex_cols_agg,
+        "multiindex3_cols_agg": _multiindex3_cols_agg,
+        "concat_dup_labels": _concat_dup_labels,
         "docs_pii_scrub": _docs_pii_scrub,
         "docs_repetition": _docs_repetition,
         "docs_paragraph_dedup": _docs_paragraph_dedup,
@@ -2187,6 +2230,15 @@ def oracle_sql() -> dict[str, str]:
         FROM documents
         WHERE doc_id NOT IN (SELECT DISTINCT id_b FROM ver)
     """
+    mi3_cols = ",\n".join(
+        f"ROUND(SUM(CASE WHEN l_returnflag='{f}' AND l_linestatus='{s}' THEN l_quantity END), 2) AS sum_{f}_{s},\n"
+        f"CAST(COUNT(CASE WHEN l_returnflag='{f}' AND l_linestatus='{s}' THEN 1 END) AS BIGINT) AS count_{f}_{s}"
+        for f, s in _LI_COMBOS
+    )
+    multiindex3_sql = f"""
+        SELECT l_linenumber, {mi3_cols}
+        FROM lineitem GROUP BY l_linenumber
+    """
     return {
         "emb_lsh_recall": lsh_recall_sql,
         "emb_ivf_recall": ivf_recall_sql,
@@ -2194,6 +2246,11 @@ def oracle_sql() -> dict[str, str]:
         "emb_ivf_topk": ivf_topk_sql,
         "docs_minhash_dedup": minhash_dedup_sql,
         "docs_simhash_dedup": simhash_dedup_sql,
+        "multiindex3_cols_agg": multiindex3_sql,
+        "concat_dup_labels": """
+            SELECT n_nationkey AS k1, n_regionkey AS r, n_nationkey AS k2
+            FROM nation WHERE n_regionkey < 3
+        """,
         "excel_ingest": """
             SELECT n_regionkey,
                    COUNT(*) AS n_nations,

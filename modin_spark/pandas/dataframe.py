@@ -846,7 +846,16 @@ class DataFrame:
                 i = lv if isinstance(lv, int) else list(fr.index_names).index(lv)
                 n = fr.index_names[i]
                 labels.append(n if n is not None else ("index" if len(fr.index_cols) == 1 else f"level_{i}"))
-            reset = DataFrame(_frame=fr.reset_index(drop=False))
+            rfr = fr.reset_index(drop=False)
+            # pandas drops NON-grouped index levels from the aggregation
+            # surface (groupby(level=0).sum() of a (k,k2) index never sums
+            # k2) — keep only the grouped level columns + the original data
+            # columns (positional: label equality would mangle MultiIndex
+            # or duplicate data labels)
+            n_surfaced = len(rfr.data_cols) - len(fr.data_cols)
+            keep = [i for i in range(n_surfaced) if rfr.columns[i] in set(labels)]
+            keep += list(range(n_surfaced, len(rfr.data_cols)))
+            reset = DataFrame(_frame=rfr.select_positions(keep))
             return DataFrameGroupBy(reset, labels, as_index=as_index, dropna=dropna, sort=sort)
         return DataFrameGroupBy(self, by, as_index=as_index, dropna=dropna, sort=sort)
 
@@ -1612,7 +1621,59 @@ class DataFrame:
         fr = self._frame
         index = index if isinstance(index, list) else [index]
         idx_phys = [fr.data_cols[i] for i in fr.positions_of(index)]
-        col_phys = fr.data_cols[fr.positions_of([columns])[0]]
+        columns_list = columns if isinstance(columns, list) else [columns]
+        if len(columns_list) > 1:
+            # MULTI-KEY column pivot -> n-level MultiIndex columns
+            # ((aggfunc?, value?, key1, key2, ...) tuples — arbitrary depth;
+            # the frame's label/physical-name split carries any nlevels).
+            # One synthesized composite key (concat_ws on an unprintable
+            # separator) keeps the single groupBy().pivot() shuffle; the
+            # observed combos are column METADATA (bounded) and are
+            # collected once to fix pval order + label tuples.
+            if margins:
+                raise NotImplementedError("pivot_table margins with multi-key columns")
+            col_physes = [fr.data_cols[fr.positions_of([c])[0]] for c in columns_list]
+            combo_phys = _fn(1)[0]
+            key_expr = F.concat_ws("\x1f", *[F.col(p).cast("string") for p in col_physes])
+            sdf2 = fr.sdf.withColumn(combo_phys, key_expr)
+            nn = " AND ".join(f"{p} IS NOT NULL" for p in col_physes)
+            combos = sorted(
+                (tuple(r) for r in sdf2.where(nn).select(combo_phys, *col_physes).distinct().collect()),
+                key=lambda r: r[1:],
+            )
+            pvals = [r[0] for r in combos]
+            label_of = {r[0]: r[1:] for r in combos}
+            fnlist = aggfunc if isinstance(aggfunc, list) else [aggfunc]
+            vlist = values if isinstance(values, list) else [values]
+            val_phys2 = [fr.data_cols[fr.positions_of([v])[0]] for v in vlist]
+            pairs = [(fn, v, p) for fn in fnlist for v, p in zip(vlist, val_phys2)]
+            aggs = [qc.AGG_EXPRS[fn](F.col(p)).alias(f"__a{i}__") for i, (fn, _v, p) in enumerate(pairs)]
+            pivoted = sdf2.groupBy(*idx_phys).pivot(combo_phys, pvals).agg(*aggs)
+            tmp = _fn(len(pvals) * len(pairs))
+            pivoted = pivoted.toDF(*idx_phys, *tmp)  # positional: names never parsed
+            name_of = {}
+            for j, t in enumerate(tmp):  # Spark: pivot value outer, agg inner
+                fn, v, _p = pairs[j % len(pairs)]
+                name_of[(fn, v, pvals[j // len(pairs)])] = t
+            keys3 = [(fn, v, pv) for fn in fnlist for v in vlist for pv in pvals]
+
+            def _lbl(fn, v, pv):
+                head = ([fn] if isinstance(aggfunc, list) else []) + (
+                    [v] if isinstance(values, list) else []
+                )
+                return tuple(head) + label_of[pv]
+
+            labels = [_lbl(*k3) for k3 in keys3]
+            out_phys = _fn(len(labels))
+            sel = [F.struct(*[F.col(p) for p in idx_phys]).alias(ORDER_COL)]
+            sel += [F.col(p) for p in idx_phys]
+            sel += [F.col(name_of[k3]).alias(np_) for k3, np_ in zip(keys3, out_phys)]
+            out = SparkFrame(
+                pivoted.select(*sel), pd.MultiIndex.from_tuples(labels), out_phys,
+                idx_phys, list(index),
+            )
+            return DataFrame(_frame=out)
+        col_phys = fr.data_cols[fr.positions_of([columns_list[0]])[0]]
         if isinstance(aggfunc, list):
             # aggfunc list: every (fn, value) aggregate rides the SAME single
             # pivot pass; labels are (fn, pv) for a scalar value, pandas'

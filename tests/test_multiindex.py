@@ -149,3 +149,95 @@ def test_explode_multiple_columns(spark):
     assert got["a"].tolist() == want["a"].tolist()
     assert got["b"].tolist() == want["b"].tolist()
     assert got["k"].tolist() == want["k"].tolist()
+
+
+# ---------------------------------------------------------------------------
+# round 7: n-level COLUMN MultiIndex + duplicate column labels
+# ---------------------------------------------------------------------------
+
+@pytest.fixture()
+def mk(spark):
+    import modin_spark.pandas as mpd
+
+    rng = np.random.default_rng(7)
+    pdf = pd.DataFrame({
+        "k": rng.integers(0, 3, 80),
+        "k2": rng.integers(0, 2, 80),
+        "g": rng.choice(list("ab"), 80),
+        "h": rng.choice(list("pq"), 80),
+        "x": rng.random(80) * 10,
+        "y": rng.random(80) * 5,
+    })
+    return mpd.from_pandas(pdf), pdf
+
+
+@pytest.mark.parametrize("aggfunc,values", [
+    ("sum", "x"),
+    (["sum", "mean"], "x"),
+    ("sum", ["x", "y"]),
+    (["sum", "max"], ["x", "y"]),
+])
+def test_pivot_table_multikey_columns(mk, aggfunc, values):
+    m, pdf = mk
+    kw = dict(index="k", columns=["g", "h"], values=values, aggfunc=aggfunc)
+    got = m.pivot_table(**kw).to_pandas()
+    want = pdf.pivot_table(**kw)
+    got.index.name = want.index.name
+    pd.testing.assert_frame_equal(got, want, check_names=False, check_dtype=False)
+
+
+def test_three_level_columns_groupby_agg_roundtrip(mk):
+    m, pdf = mk
+    kw = dict(index=["k", "k2"], columns=["g", "h"], values="x", aggfunc=["sum", "mean"])
+    gm = m.pivot_table(**kw).groupby(level=0).agg("sum").to_pandas()
+    gp = pdf.pivot_table(**kw).groupby(level=0).agg("sum")
+    pd.testing.assert_frame_equal(gm, gp, check_names=False, check_dtype=False)
+
+
+def test_three_level_columns_partial_getitem(mk):
+    m, pdf = mk
+    kw = dict(index="k", columns=["g", "h"], values="x", aggfunc=["sum", "mean"])
+    gm = m.pivot_table(**kw)["sum"].to_pandas()
+    gp = pdf.pivot_table(**kw)["sum"]
+    pd.testing.assert_frame_equal(gm, gp, check_names=False, check_dtype=False)
+
+
+def test_groupby_level_drops_other_index_level(mk):
+    # pandas: non-grouped index levels are excluded from aggregation
+    m, pdf = mk
+    gm = m.set_index(["k", "k2"])[["x", "y"]].groupby(level=0).sum().to_pandas()
+    gp = pdf.set_index(["k", "k2"])[["x", "y"]].groupby(level=0).sum()
+    pd.testing.assert_frame_equal(gm.sort_index(), gp.sort_index(),
+                                  check_names=False, check_dtype=False)
+    assert "k2" not in gm.columns
+
+
+def test_concat_axis1_duplicate_labels(mk):
+    m, pdf = mk
+    c = __import__("modin_spark.pandas", fromlist=["concat"]).concat(
+        [m[["x", "y"]], m[["x"]]], axis=1
+    )
+    pc = pd.concat([pdf[["x", "y"]], pdf[["x"]]], axis=1)
+    got = c.to_pandas()
+    assert list(got.columns) == list(pc.columns) == ["x", "y", "x"]
+    assert np.allclose(got.values, pc.values)
+    # getitem of the duplicated label returns BOTH columns
+    both = c["x"].to_pandas()
+    assert both.shape[1] == 2
+    # reductions keep the duplicate label entries
+    s = c.sum()
+    s = s.to_pandas() if hasattr(s, "to_pandas") else s
+    assert list(s.index) == ["x", "y", "x"]
+    # drop removes every occurrence (pandas parity)
+    assert list(c.drop(columns=["x"]).to_pandas().columns) == ["y"]
+
+
+def test_duplicate_labels_positional_rename(mk):
+    m, pdf = mk
+    c = __import__("modin_spark.pandas", fromlist=["concat"]).concat(
+        [m[["x"]], m[["x"]]], axis=1
+    )
+    c.columns = ["x1", "x2"]
+    got = c.to_pandas()
+    assert list(got.columns) == ["x1", "x2"]
+    assert np.allclose(got["x1"], pdf["x"])
