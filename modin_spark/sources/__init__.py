@@ -34,7 +34,7 @@ CAPABILITIES = {
     "pickle": (False, "driver-side pandas"),
     "feather": (True, "parallel Arrow IPC reader, one task per record batch; legacy v1 falls back driver-side"),
     "html": (False, "driver-side pandas"),
-    "fwf": (False, "driver-side pandas; TODO substring post-processing on csv reader"),
+    "fwf": (True, "native csv line scan + substring/trim/cast codegen projections (sources/fwf.py); exotic kwargs fall back driver-side"),
     "delta/iceberg/hudi": (False, "jars not in this image; stubbed behind import-try"),
 }
 
