@@ -1907,19 +1907,40 @@ def _q22_global_sales(spark, sf):
 # registry
 # ---------------------------------------------------------------------------
 
+# The driver scores a PREFIX of queries() (50 entries since r2). Ordering is
+# therefore a rotation schedule. Round-7 prefix: (a) the four never-scored
+# r7 queries (multiindex3/dup-labels/fwf/wide-transpose), (b) the four
+# promoted-to-oracle rows + the recall pair riding the same replay
+# machinery, (c) every row whose machinery CHANGED this round (excel
+# dates/gaps/mangling, apply-axis0 int decode, str.extract parse-tree
+# rewrite, the merge-chain selectExpr/catalog-memo refactor, transpose
+# map-collect, groupby(level=) surface fix, multi-key pivot), then (d) the
+# stalest green rows (last scored r2/r3). All 50 are oracle-backed
+# (contract test: 0 no-oracle allowed). Every entry is still checked
+# locally every round via tools/check_entry.py regardless of position.
+_R7_PREFIX = [
+    "multiindex3_cols_agg", "concat_dup_labels", "fwf_ingest",
+    "transpose_wide_roundtrip",
+    "docs_minhash_dedup", "docs_simhash_dedup", "emb_lsh_topk",
+    "emb_ivf_topk", "emb_lsh_recall", "emb_ivf_recall",
+    "excel_ingest", "transpose_mixed", "transpose_agg",
+    "apply_axis0_strings", "apply_axis0_zscore", "str_funcs",
+    "q2_min_cost_supplier", "q5_nation_revenue", "q9_profit_by_nation",
+    "q10_returned_revenue", "q13_order_distribution", "merge_left_fillna",
+    "multiindex_regroup", "multiindex_cols_agg", "pivot_flag_status",
+    "cube_agg",
+    "case_when", "concat_cols_aligned", "concat_union", "cumsum_by_group",
+    "cut_buckets", "distinct_dedup", "docs_exact_dedup",
+    "docs_norm_distinct", "docs_token_stats", "dot_product",
+    "filter_project", "get_dummies_sum", "groupby_idxmax",
+    "groupby_median_quantile", "groupby_multi_agg", "groupby_nunique",
+    "iloc_slice", "isin_filter", "q1_pricing_summary", "q3_top_orders",
+    "query_eval", "sort_topk", "sql_interface", "qcut_quartiles",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
-    # The driver scores a PREFIX of this dict (45 entries in r1, 50 in r2/r3).
-    # Ordering is therefore a rotation schedule. Round-5 prefix: (a) the
-    # never-driver-scored round-4 queries (no r4 scoring run happened) plus
-    # the new docs_chunk_windows, (b) window/resample/rank/crosstab/asof/melt
-    # rows riding round-4-changed machinery, (c) the merge-machinery queries
-    # re-queued after this round's NaN-key/statistics-planning redesign,
-    # plus where_clip (clip null guard) and q6 (skipna reductions). The
-    # first 50 are 100% oracle-backed (contract test: <= 5 no-oracle).
-    # Every entry is still checked locally every round via
-    # tools/check_entry.py regardless of position. See COVERAGE.md
-    # 'Driver-gate rotation'.
+    all_q = {
         # (a) round-6 new machinery first, then never-scored
         "excel_ingest": _excel_ingest,
         "fwf_ingest": _fwf_ingest,
@@ -2051,6 +2072,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_jaccard_pairs": _docs_jaccard_pairs,
         "emb_brute_topk": _emb_brute_topk,
     }
+    ordered = {k: all_q[k] for k in _R7_PREFIX}
+    ordered.update({k: v for k, v in all_q.items() if k not in ordered})
+    return ordered
 
 
 def _lsh_code_sql(col: str) -> str:

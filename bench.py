@@ -70,7 +70,16 @@ HEADLINE = [
     # token-budgeted mixture sampling (broadcast rates, corpus never shuffles)
     "docs_chunk_windows",
     "docs_mixture_sample",
+    # round 7: n-level column MultiIndex machinery + parallel fwf ingest
+    "multiindex3_cols_agg",
+    "fwf_ingest",
 ]
+
+# host-noise self-diagnosis (r7): three cheap, stable queries re-run at
+# start and end of the bench; their ratio to the frozen quiet-host minima
+# (BASELINE_SENTINELS.json) is emitted as host_noise_factor so the driver
+# can machine-detect a co-tenant-polluted round (the r6 bench shipped one).
+SENTINELS = ["q1_pricing_summary", "filter_project", "sort_topk"]
 
 
 def main() -> None:
@@ -97,6 +106,19 @@ def main() -> None:
     spark.range(100_000, numPartitions=ncpu).mapInPandas(
         lambda it: it, "id long"
     ).count()
+
+    def run_sentinels() -> dict[str, float]:
+        out = {}
+        for name in SENTINELS:
+            runs = []
+            for _ in range(2):
+                t0 = time.time()
+                qs[name](spark, sf_dir).count()
+                runs.append(time.time() - t0)
+            out[name] = round(min(runs), 3)
+        return out
+
+    sentinels_start = run_sentinels()
 
     # ASV-style measurement (the reference's own benchmark methodology):
     # execute each query twice and report the fastest — the first execution
@@ -160,6 +182,23 @@ def main() -> None:
     except Exception:
         pass
 
+    sentinels_end = run_sentinels()
+    host_noise_factor = None
+    try:
+        if sf != "0.1":
+            raise ValueError("sentinel minima are frozen at sf0.1")
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_SENTINELS.json")) as f:
+            frozen = json.load(f)["sentinels"]
+        factors = sorted(
+            obs[n] / frozen[n]
+            for obs in (sentinels_start, sentinels_end)
+            for n in SENTINELS
+            if frozen.get(n)
+        )
+        host_noise_factor = round(factors[len(factors) // 2], 2)  # median
+    except Exception:
+        pass
+
     print(
         json.dumps(
             {
@@ -171,6 +210,9 @@ def main() -> None:
                 "r3_comparable_total": r3_comparable,
                 "r4_comparable_total": r4_comparable,
                 "r5_comparable_total": r5_comparable,
+                "sentinels_start": sentinels_start,
+                "sentinels_end": sentinels_end,
+                "host_noise_factor": host_noise_factor,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

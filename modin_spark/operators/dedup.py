@@ -132,30 +132,41 @@ def md5_hash60(c: Column) -> Column:
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
 
 
+def _md5_shingle_hashes(text: str | None, k: int) -> "np.ndarray":
+    """60-bit md5 hashes of the word k-shingles (first 15 hex digits as an
+    int — exactly dedup.md5_hash60 / the DuckDB oracle's hex-cast)."""
+    import hashlib
+
+    return np.fromiter(
+        (int(hashlib.md5(s.encode()).hexdigest()[:15], 16) for s in _py_shingles(text, k)),
+        dtype=np.uint64,
+    )
+
+
 def text_minhash_md5(c: Column, k: int = 5, num_perm: int = 128) -> Column:
     """text -> packed MinHash signature like text_minhash, but on the
-    SQL-replayable md5 base hash: shingle strings built once (vectorized
-    pandas_udf), hashed JVM-side via md5_hash60, then one numpy pass does
-    the num_perm wrapping-uint64 permutation mins (identical coefficient
-    family and unsigned-min order as text_minhash)."""
+    SQL-replayable md5 base hash. ONE fused pandas_udf (shingle + hashlib
+    md5 + numpy wrapping-uint64 permutation mins) — a shingle-string
+    round-trip through a JVM md5 stage costs two extra Arrow transfers of
+    every shingle and benched 5x slower."""
     from pyspark.sql import types as T
 
     a_co, b_co = _perm_coeffs(num_perm)
     a_u, b_u = a_co.astype(np.uint64), b_co.astype(np.uint64)
 
     @F.pandas_udf(T.BinaryType())
-    def _mh(harr: pd.Series) -> pd.Series:
+    def _mh(texts: pd.Series) -> pd.Series:
         with np.errstate(over="ignore"):
             out = []
-            for h in harr:
-                x = np.asarray(h, dtype=np.int64).astype(np.uint64)
+            for t in texts:
+                x = _md5_shingle_hashes(t, k)
                 if x.size == 0:
                     x = np.zeros(1, dtype=np.uint64)
                 m = (a_u[:, None] * x[None, :] + b_u[:, None]).min(axis=1)
                 out.append(m.astype("<u8").tobytes())
             return pd.Series(out)
 
-    return _mh(F.transform(shingles(c, k), md5_hash60))
+    return _mh(c)
 
 
 def text_minhash(c: Column, k: int = 5, num_perm: int = 128) -> Column:
@@ -520,19 +531,19 @@ def simhash(c: Column, k: int = 3, bits: int = 64) -> Column:
 
 def text_simhash_md5(c: Column, k: int = 3, bits: int = 64) -> Column:
     """text -> SimHash word on the SQL-replayable md5 base hash (see
-    md5_hash60): shingle strings hashed JVM-side, bit votes in one numpy
-    pass. Hashes carry 60 significant bits, so word bits 60-63 are always 0
-    — identical on the SQL side, which recomputes the same votes."""
+    md5_hash60), ONE fused pandas_udf (same rationale as text_minhash_md5).
+    Hashes carry 60 significant bits, so word bits 60-63 are always 0 —
+    identical on the SQL side, which recomputes the same votes."""
     from pyspark.sql import types as T
 
     shifts = np.arange(bits, dtype=np.uint64)
     powers = (np.uint64(1) << shifts).astype(np.uint64)
 
     @F.pandas_udf(T.LongType())
-    def _sh(harr: pd.Series) -> pd.Series:
-        out = np.zeros(len(harr), dtype=np.int64)
-        for i, h in enumerate(harr):
-            x = np.asarray(h, dtype=np.int64).astype(np.uint64)
+    def _sh(texts: pd.Series) -> pd.Series:
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            x = _md5_shingle_hashes(t, k)
             if x.size == 0:
                 continue
             bitmat = ((x[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
@@ -541,7 +552,7 @@ def text_simhash_md5(c: Column, k: int = 3, bits: int = 64) -> Column:
             out[i] = np.uint64(word).astype(np.int64)
         return pd.Series(out)
 
-    return _sh(F.transform(shingles(c, k), md5_hash60))
+    return _sh(c)
 
 
 def simhash_dedup(df: SDF, id_col: str = "doc_id", text_col: str = "text",
