@@ -189,9 +189,13 @@ def main() -> None:
             raise ValueError("sentinel minima are frozen at sf0.1")
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_SENTINELS.json")) as f:
             frozen = json.load(f)["sentinels"]
+        # per sentinel, the best of the start/end observations: "could the
+        # host hit baseline speed at any point this run?" — a sustained
+        # co-tenant burst inflates both ends and IS flagged, while JIT
+        # warm-in on the start pass or a transient burst on one end is not
+        # a false alarm. Median across the three sentinels.
         factors = sorted(
-            obs[n] / frozen[n]
-            for obs in (sentinels_start, sentinels_end)
+            min(sentinels_start[n], sentinels_end[n]) / frozen[n]
             for n in SENTINELS
             if frozen.get(n)
         )

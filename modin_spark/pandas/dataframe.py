@@ -2195,21 +2195,23 @@ class DataFrame:
         """Swap axes (same cost class as the reference's partition-grid
         transpose, /root/reference/modin/core/dataframe/pandas/dataframe/dataframe.py:4747).
 
-        Numeric frames whose row count fits Spark's practical column budget
-        (<= 10k transposed columns) run DISTRIBUTED: melt to (header, cid,
-        value) rows — one explode, no driver data — then one pivot shuffle
+        Frames whose row count fits Spark's practical column budget
+        (<= 10k transposed columns) run DISTRIBUTED: melt to (position, cid,
+        value) rows — one explode, no driver data — then one map-collect
         groups each original column into a transposed row. Only the header
-        strings (the transposed frame's column names, driver-side metadata by
-        definition) are collected. Everything else (mixed dtypes, multi-level
-        index, duplicate index values) uses the driver path under a size
-        guard."""
+        labels (the transposed frame's column names, driver-side metadata by
+        definition) are collected; the melt/map is keyed on the GLOBAL
+        POSITION, so duplicate index labels and multi-level indexes (which
+        become duplicate / MultiIndex column labels — both carried by the
+        frame's positional physical names since r7) ride the same path.
+        Only over-budget frames use the driver path, under a size guard."""
         fr = self._frame
-        if len(fr.columns) > 0 and len(fr.index_cols) <= 1:
+        if len(fr.columns) > 0:
             # the distributed path's header collect doubles as the size
             # probe (limit max_cols+1) — no separate count action. Mixed
             # dtypes ride the same melt+pivot with stringified values and a
             # per-target-column retype (r6) — the driver path below remains
-            # only for multi-level/duplicate index labels and over-guard.
+            # only for over-guard frames.
             out = self._transpose_distributed()
             if out is not None:
                 return out
@@ -2249,11 +2251,13 @@ class DataFrame:
         values as STRINGS and retype each transposed column afterwards from
         one tiny per-header probe aggregate (bigint if every value parses
         integral, double if numeric, else string — mirroring the coercion
-        pandas T + to_numeric would apply). Returns None when the frame
-        exceeds the column budget ($SPARK_GRAFT_TRANSPOSE_MAX_COLS, default
-        10k transposed columns) or the header values collide (duplicate
-        index labels need pandas' duplicate-column semantics) — driver
-        path."""
+        pandas T + to_numeric would apply). The melt/map keys on the global
+        POSITION (not the header string), so duplicate index labels become
+        pandas-style duplicate column labels and a multi-level index becomes
+        MultiIndex columns (both representable since the r7 positional-name
+        label table). Returns None only when the frame exceeds the column
+        budget ($SPARK_GRAFT_TRANSPOSE_MAX_COLS, default 10k transposed
+        columns) — driver path."""
         import os as _os
 
         from modin_spark.core.frame import fresh_names
@@ -2261,17 +2265,28 @@ class DataFrame:
         max_cols = int(_os.environ.get("SPARK_GRAFT_TRANSPOSE_MAX_COLS", "10000"))
         fr = self._frame.ensure_order().with_global_position("__pos__")
         numeric_only = len(self._numeric_positions()) == len(fr.columns)
-        if fr.index_cols:
-            hdr_expr = F.col(fr.index_cols[0]).cast("string")
-        else:
-            hdr_expr = F.col("__pos__").cast("string")
-        sdf = fr.sdf.withColumn("__hdr__", hdr_expr)
-        hdr_rows = sdf.select("__pos__", "__hdr__").orderBy("__pos__").limit(max_cols + 1).collect()
-        headers = [r["__hdr__"] for r in hdr_rows]
-        if len(headers) > max_cols or len(headers) == 0:
+        lvl_exprs = (
+            [F.col(c).cast("string") for c in fr.index_cols]
+            if fr.index_cols
+            else [F.col("__pos__").cast("string")]
+        )
+        sdf = fr.sdf
+        hdr_rows = (
+            sdf.select("__pos__", *[e.alias(f"__hl{i}__") for i, e in enumerate(lvl_exprs)])
+            .orderBy("__pos__")
+            .limit(max_cols + 1)
+            .collect()
+        )
+        if len(hdr_rows) > max_cols or len(hdr_rows) == 0:
             return None
-        if len(set(headers)) != len(headers) or any(h is None for h in headers):
-            return None  # duplicate/null labels need pandas' column semantics
+        positions = [r["__pos__"] for r in hdr_rows]
+        if len(lvl_exprs) > 1:
+            headers = pd.MultiIndex.from_tuples(
+                [tuple(r[f"__hl{i}__"] for i in range(len(lvl_exprs))) for r in hdr_rows],
+                names=list(fr.index_names),
+            )
+        else:
+            headers = pd.Index([r["__hl0__"] for r in hdr_rows])
 
         def cell(p: str, dt: str):
             c = F.col(p)
@@ -2283,14 +2298,14 @@ class DataFrame:
 
         dts = dict(fr.sdf.dtypes)
         melted = sdf.select(
-            "__hdr__",
+            "__pos__",
             F.explode(
                 F.array(*[
                     F.struct(F.lit(ci).alias("__cid__"), cell(p, dts.get(p, "")).alias("__v__"))
                     for ci, p in enumerate(fr.data_cols)
                 ])
             ).alias("__e__"),
-        ).select("__hdr__", F.col("__e__.__cid__").alias("__cid__"), F.col("__e__.__v__").alias("__v__"))
+        ).select("__pos__", F.col("__e__.__cid__").alias("__cid__"), F.col("__e__.__v__").alias("__v__"))
         # NB: no persist here — a lazily-cached melt materialized by the
         # probe's aggregate job can capture a partial (limit-pruned) result
         # under AQE; the probe's recompute of the melt is bounded by the
@@ -2306,7 +2321,7 @@ class DataFrame:
         # max_cols guard is the declared budget for that.
         agged = melted.groupBy("__cid__").agg(
             F.map_from_entries(
-                F.collect_list(F.struct(F.col("__hdr__"), F.col("__v__")))
+                F.collect_list(F.struct(F.col("__pos__"), F.col("__v__")))
             ).alias("__m__")
         )
         phys = fresh_names(len(headers))
@@ -2314,11 +2329,11 @@ class DataFrame:
         def _esc(s: str) -> str:
             return s.replace("\\", "\\\\").replace("'", "\\'")
 
-        col_types: dict[str, str] = {}
+        col_types: dict[int, str] = {}
         if not numeric_only:
             # ONE grouped probe (k<=max_cols result rows), not 3k agg exprs
             probe = (
-                melted.groupBy("__hdr__")
+                melted.groupBy("__pos__")
                 .agg(
                     F.count("__v__").alias("n"),
                     F.count(F.col("__v__").try_cast("bigint")).alias("l"),
@@ -2328,28 +2343,43 @@ class DataFrame:
             )
             for r in probe:
                 if r["n"] == 0 or r["d"] == r["n"]:
-                    col_types[r["__hdr__"]] = "bigint" if r["n"] and r["l"] == r["n"] else "double"
+                    col_types[r["__pos__"]] = "bigint" if r["n"] and r["l"] == r["n"] else "double"
                 else:
-                    col_types[r["__hdr__"]] = "string"
+                    col_types[r["__pos__"]] = "string"
         # the extract + retype + order/label projection is ONE selectExpr —
         # a per-column Column-object chain costs ~3 py4j round-trips per
         # column and a second wide analysis pass (~25s of the old build
         # time at w=5k)
-        lbl_sql = "array(" + ", ".join(f"'{_esc(str(l))}'" for l in fr.columns) + ")"
+        src_cols = fr.columns
+        lvl_tuples = (
+            [tuple(t) for t in src_cols]
+            if isinstance(src_cols, pd.MultiIndex)
+            else [(l,) for l in src_cols]
+        )
+        n_lvls = len(lvl_tuples[0])
+        lbl_sqls = [
+            "array(" + ", ".join(f"'{_esc(str(t[lv]))}'" for t in lvl_tuples) + ")"
+            for lv in range(n_lvls)
+        ]
+        lbl_phys = ["__lbl__"] if n_lvls == 1 else [f"__lbl{lv}__" for lv in range(n_lvls)]
 
-        def _cell_sql(h: str, p: str) -> str:
-            e = f"element_at(__m__, '{_esc(h)}')"
-            if h in col_types:
-                e = f"CAST({e} AS {col_types[h]})"
+        def _cell_sql(pos: int, p: str) -> str:
+            e = f"element_at(__m__, CAST({pos} AS BIGINT))"
+            if pos in col_types:
+                e = f"CAST({e} AS {col_types[pos]})"
             return f"{e} AS {p}"
 
         out_sdf = agged.selectExpr(
             f"CAST(__cid__ AS BIGINT) AS {ORDER_COL}",
-            f"element_at({lbl_sql}, CAST(__cid__ AS INT) + 1) AS __lbl__",
-            *[_cell_sql(h, p) for h, p in zip(headers, phys)],
+            *[
+                f"element_at({ls}, CAST(__cid__ AS INT) + 1) AS {lp}"
+                for ls, lp in zip(lbl_sqls, lbl_phys)
+            ],
+            *[_cell_sql(pos, p) for pos, p in zip(positions, phys)],
         )
+        idx_names = list(src_cols.names) if isinstance(src_cols, pd.MultiIndex) else [src_cols.name]
         nf = SparkFrame(
-            out_sdf, pd.Index(headers), phys, index_cols=["__lbl__"], index_names=[None],
+            out_sdf, headers, phys, index_cols=lbl_phys, index_names=idx_names,
             has_order=True,
         )
         return DataFrame(_frame=nf)

@@ -133,6 +133,13 @@ def test_shallow_catalog_scan_node_walk(spark):
 
     spark.sql("DROP TABLE IF EXISTS __r6_probe__")
     path_scan.write.saveAsTable("__r6_probe__")
+    # the raw Spark write bypasses DataFrame.to_table, the documented
+    # invalidation point of the r7 session-level catalog memo — refresh it
+    # like to_table would (a stale memo is perf-only: the merge falls back
+    # to the single eqNullSafe join, same results)
+    from modin_spark.core.compiler import invalidate_catalog_memo
+
+    invalidate_catalog_memo()
     try:
         cat = spark.table("__r6_probe__")
         assert _shallow_catalog_scan(cat)
@@ -142,6 +149,7 @@ def test_shallow_catalog_scan_node_walk(spark):
         assert not _shallow_catalog_scan(cat.join(cat.select("n_nationkey"), "n_nationkey"))
     finally:
         spark.sql("DROP TABLE IF EXISTS __r6_probe__")
+        invalidate_catalog_memo()
 
 
 # ---------------------------------------------------------------------------

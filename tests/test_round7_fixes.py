@@ -56,3 +56,68 @@ def test_apply_axis0_bigint_exact(spark):
         got = got.to_pandas()
     assert got["a"] == exp["a"] == 3 * big + 3
     assert got["s"] == "x"
+
+
+# ---------------------------------------------------------------------------
+# transpose: duplicate index labels + multi-level index run DISTRIBUTED
+# (position-keyed melt/map — the driver path remains only for over-guard)
+# ---------------------------------------------------------------------------
+
+
+def _plan_is_distributed(df):
+    # the transposed frame's plan must not be a driver LocalRelation /
+    # parallelized pandas payload
+    plan = df._frame.sdf._jdf.queryExecution().optimizedPlan().toString()
+    return "LocalRelation" not in plan.split("\n")[0]
+
+
+def test_transpose_duplicate_index_labels(spark):
+    pdf = pd.DataFrame(
+        {"a": [1, 2, 3], "b": [4.0, 5.0, 6.0]},
+        index=pd.Index(["x", "y", "x"]),
+    )
+    m = mpd.from_pandas(pdf).T
+    assert _plan_is_distributed(m)
+    got = m.to_pandas()
+    exp = pdf.T
+    assert list(got.columns) == list(exp.columns)  # x, y, x preserved
+    np.testing.assert_allclose(got.values.astype(float), exp.values.astype(float))
+
+
+def test_transpose_multilevel_index_to_multiindex_columns(spark):
+    idx = pd.MultiIndex.from_tuples(
+        [("g1", "r1"), ("g1", "r2"), ("g2", "r1")], names=["g", "r"]
+    )
+    pdf = pd.DataFrame({"a": [1, 2, 3], "b": [10, 20, 30]}, index=idx)
+    m = mpd.from_pandas(pdf).T
+    assert _plan_is_distributed(m)
+    got = m.to_pandas()
+    exp = pdf.T
+    assert got.columns.nlevels == 2
+    assert [tuple(t) for t in got.columns] == [tuple(t) for t in exp.columns]
+    np.testing.assert_allclose(got.values.astype(float), exp.values.astype(float))
+
+
+def test_transpose_multilevel_mixed_dtypes(spark):
+    idx = pd.MultiIndex.from_tuples([("a", 1), ("a", 2), ("b", 1)])
+    pdf = pd.DataFrame(
+        {"n": [1, 2, 3], "s": ["u", "v", "w"]}, index=idx
+    )
+    got = mpd.from_pandas(pdf).T.to_pandas()
+    exp = pdf.T
+    # level values stringify in the distributed path
+    assert [tuple(str(x) for x in t) for t in got.columns] == [
+        tuple(str(x) for t2 in [t] for x in t2) for t in exp.columns
+    ]
+    assert got.loc["s"].tolist() == exp.loc["s"].tolist()
+
+
+def test_transpose_dup_labels_roundtrip_values(spark):
+    # T of a frame whose index has dups, then T back: values survive
+    pdf = pd.DataFrame(
+        {"a": [1.5, 2.5], "b": [3.5, 4.5]}, index=pd.Index(["k", "k"])
+    )
+    m = mpd.from_pandas(pdf).T
+    got = m.to_pandas()
+    assert list(got.columns) == ["k", "k"]
+    np.testing.assert_allclose(got.values, pdf.T.values)

@@ -74,13 +74,20 @@ def main() -> None:
           f"event_id + cp.c * {E} AS event_id, ts, user_id + cp.c * 1000000 AS user_id, "
           "event_type, value, props")
     D = shifts["documents"]
-    # word-rotate text per copy: rotation point depends on copy + doc
+    # Per-copy word SUFFIX, not rotation: a word-rotated copy shares all but
+    # k-1 of its k-shingles with the original (a cyclic shift preserves the
+    # window multiset), so rotation made every doc a ~10-clique of >=0.8
+    # Jaccard near-dups and blew MinHash candidate pairs up ~50x instead of
+    # 10x (measured: 37x runtime at the 10x rung). Suffixing EVERY word with
+    # the copy id rewrites every shingle consistently INSIDE a copy (exact
+    # and near dup structure within a copy is preserved bijectively) while
+    # no shingle ever matches across copies — each copy is a genuinely fresh
+    # corpus to MinHash/SimHash, which is what a naturally-10x corpus looks
+    # like.
     scale("documents",
           f"doc_id + cp.c * {D} AS doc_id, "
-          "CASE WHEN cp.c = 0 THEN text ELSE array_to_string(list_concat("
-          "  string_split(text, ' ')[1 + (cp.c * 7 + doc_id) % GREATEST(len(string_split(text, ' ')), 1):], "
-          "  string_split(text, ' ')[:(cp.c * 7 + doc_id) % GREATEST(len(string_split(text, ' ')), 1)]"
-          "), ' ') END AS text, "
+          "CASE WHEN cp.c = 0 THEN text ELSE "
+          "regexp_replace(text, '(\\S+)', '\\1q' || CAST(cp.c AS VARCHAR), 'g') END AS text, "
           "lang, source, n_chars")
     V = shifts["embeddings"]
     scale("embeddings",
