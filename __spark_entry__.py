@@ -1528,6 +1528,25 @@ def _transpose_agg(spark, sf):
     return out.to_spark(ordered=False)
 
 
+def _transpose_multiindex_roundtrip(spark, sf):
+    """r7 transpose capability: a 2-level-index aggregate transposes
+    DISTRIBUTED into MultiIndex COLUMNS (position-keyed melt/map —
+    DataFrame._transpose_distributed), then transposes BACK (MultiIndex
+    columns -> 2-level index), so both directions of the new multi-level
+    path are exercised; values must survive the double stringify/retype
+    round-trip exactly. Reference carries column MultiIndexes natively in
+    its partition metadata (modin/core/dataframe/pandas/dataframe/dataframe.py:161)."""
+    mpd = _mpd()
+    li = mpd.read_parquet(f"{sf}/lineitem.parquet")
+    g = li.groupby(["l_returnflag", "l_linestatus"]).agg(
+        sq=("l_quantity", "sum"), ap=("l_extendedprice", "sum")
+    )
+    back = g.T.T.reset_index()  # T: (rf,ls)-index -> 2-level columns; T back
+    back["sq"] = _r(back["sq"], 2)
+    back["ap"] = _r(back["ap"], 2)
+    return back.to_spark(ordered=False)
+
+
 def _emb_lsh_topk(spark, sf):
     """Multi-probe hyperplane-LSH top-k. The hyperplanes are the seeded
     deterministic ±1 matrix (similarity.hyperplane_bucket), so the DuckDB
@@ -1920,7 +1939,7 @@ def _q22_global_sales(spark, sf):
 # locally every round via tools/check_entry.py regardless of position.
 _R7_PREFIX = [
     "multiindex3_cols_agg", "concat_dup_labels", "fwf_ingest",
-    "transpose_wide_roundtrip",
+    "transpose_wide_roundtrip", "transpose_multiindex_roundtrip",
     "docs_minhash_dedup", "docs_simhash_dedup", "emb_lsh_topk",
     "emb_ivf_topk", "emb_lsh_recall", "emb_ivf_recall",
     "excel_ingest", "transpose_mixed", "transpose_agg",
@@ -1935,7 +1954,7 @@ _R7_PREFIX = [
     "filter_project", "get_dummies_sum", "groupby_idxmax",
     "groupby_median_quantile", "groupby_multi_agg", "groupby_nunique",
     "iloc_slice", "isin_filter", "q1_pricing_summary", "q3_top_orders",
-    "query_eval", "sort_topk", "sql_interface", "qcut_quartiles",
+    "query_eval", "sort_topk", "sql_interface",
 ]
 
 
@@ -1960,6 +1979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_quality_filter": _emb_quality_filter,
         "apply_axis0_zscore": _apply_axis0_zscore,
         "transpose_agg": _transpose_agg,
+        "transpose_multiindex_roundtrip": _transpose_multiindex_roundtrip,
         "win_weighted_var": _win_weighted_var,
         "multiindex_cols_agg": _multiindex_cols_agg,
         "multiindex3_cols_agg": _multiindex3_cols_agg,
@@ -3503,6 +3523,12 @@ def oracle_sql() -> dict[str, str]:
                    ROUND((o_custkey - AVG(o_custkey) OVER ()) / STDDEV_SAMP(o_custkey) OVER (), 4) AS z_cust,
                    ROUND((o_totalprice - AVG(o_totalprice) OVER ()) / STDDEV_SAMP(o_totalprice) OVER (), 4) AS z_price
             FROM orders
+        """,
+        "transpose_multiindex_roundtrip": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 2) AS sq,
+                   ROUND(SUM(l_extendedprice), 2) AS ap
+            FROM lineitem GROUP BY 1, 2
         """,
         "transpose_agg": """
             WITH g AS (

@@ -181,6 +181,13 @@ def main() -> None:
         r5_comparable = round(sum(v for q, v in timings.items() if q in base5 and v > 0), 3)
     except Exception:
         pass
+    r7_comparable = None
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_LOCAL_r07.json")) as f:
+            base7 = json.load(f)["queries"]
+        r7_comparable = round(sum(v for q, v in timings.items() if q in base7 and v > 0), 3)
+    except Exception:
+        pass
 
     sentinels_end = run_sentinels()
     host_noise_factor = None
@@ -214,6 +221,7 @@ def main() -> None:
                 "r3_comparable_total": r3_comparable,
                 "r4_comparable_total": r4_comparable,
                 "r5_comparable_total": r5_comparable,
+                "r7_comparable_total": r7_comparable,
                 "sentinels_start": sentinels_start,
                 "sentinels_end": sentinels_end,
                 "host_noise_factor": host_noise_factor,
