@@ -1259,6 +1259,24 @@ def _apply_axis0_strings(spark, sf):
     )
 
 
+def _apply_axis0_vcounts(spark, sf):
+    """SHAPE-CHANGING df.apply(axis=0) DISTRIBUTED (r7): per-column
+    value_counts results come back labeled by their own indexes and align
+    pandas-style (union sort) in one label-grouped conditional aggregation
+    — no driver materialization (DataFrame._apply_axis0 reshape branch).
+    Reference runs shape-changers through apply_full_axis column partitions
+    (modin/core/dataframe/pandas/dataframe/dataframe.py:2956)."""
+    mpd = _mpd()
+    li = mpd.read_parquet(f"{sf}/lineitem.parquet")[["l_returnflag", "l_linestatus"]]
+    out = li.apply(lambda s: s.value_counts(), axis=0).reset_index()
+    out = out.rename(columns={"index": "val"})
+    return out.to_spark(ordered=False).select(
+        "val",
+        F.col("l_returnflag").cast("double").alias("rf_count"),
+        F.col("l_linestatus").cast("double").alias("ls_count"),
+    )
+
+
 def _transpose_mixed(spark, sf):
     """Distributed transpose of a MIXED str/int frame (r6: stringified
     melt + pivot + per-header retype probe — no driver materialization;
@@ -1943,7 +1961,8 @@ _R7_PREFIX = [
     "docs_minhash_dedup", "docs_simhash_dedup", "emb_lsh_topk",
     "emb_ivf_topk", "emb_lsh_recall", "emb_ivf_recall",
     "excel_ingest", "transpose_mixed", "transpose_agg",
-    "apply_axis0_strings", "apply_axis0_zscore", "str_funcs",
+    "apply_axis0_strings", "apply_axis0_vcounts", "apply_axis0_zscore",
+    "str_funcs",
     "q2_min_cost_supplier", "q5_nation_revenue", "q9_profit_by_nation",
     "q10_returned_revenue", "q13_order_distribution", "merge_left_fillna",
     "multiindex_regroup", "multiindex_cols_agg", "pivot_flag_status",
@@ -1954,7 +1973,7 @@ _R7_PREFIX = [
     "filter_project", "get_dummies_sum", "groupby_idxmax",
     "groupby_median_quantile", "groupby_multi_agg", "groupby_nunique",
     "iloc_slice", "isin_filter", "q1_pricing_summary", "q3_top_orders",
-    "query_eval", "sort_topk", "sql_interface",
+    "query_eval", "sort_topk",
 ]
 
 
@@ -1966,6 +1985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transpose_wide_roundtrip": _transpose_wide_roundtrip,
         "transpose_mixed": _transpose_mixed,
         "apply_axis0_strings": _apply_axis0_strings,
+        "apply_axis0_vcounts": _apply_axis0_vcounts,
         "docs_decontaminate": _docs_decontaminate,
         "docs_pack_sequences": _docs_pack_sequences,
         "docs_shard_layout": _docs_shard_layout,
@@ -2383,6 +2403,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(doc_id + 1000 AS BIGINT) AS doc_id,
                    upper(lang) AS lang_up
             FROM documents
+        """,
+        "apply_axis0_vcounts": """
+            WITH rf AS (SELECT l_returnflag AS v, COUNT(*) AS c FROM lineitem GROUP BY 1),
+                 ls AS (SELECT l_linestatus AS v, COUNT(*) AS c FROM lineitem GROUP BY 1)
+            SELECT COALESCE(rf.v, ls.v) AS val,
+                   CAST(rf.c AS DOUBLE) AS rf_count,
+                   CAST(ls.c AS DOUBLE) AS ls_count
+            FROM rf FULL OUTER JOIN ls ON rf.v = ls.v
         """,
         "transpose_mixed": """
             SELECT 'name_lc' AS stat,

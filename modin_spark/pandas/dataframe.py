@@ -2507,10 +2507,17 @@ class DataFrame:
         reduction = isinstance(out_sample, pd.Series)
         if not reduction and (
             not isinstance(out_sample, pd.DataFrame)
-            or len(out_sample) != len(sample)
             or list(out_sample.columns) != list(sample.columns)
         ):
             return self._default_to_pandas(lambda pdf: pdf.apply(func, axis=0))
+        # shape-changing (value_counts / describe / head-like) results run
+        # distributed too (r7) — see the reshape branch below. The
+        # discriminator is INDEX equality, not length: pandas aligns
+        # per-column results on their index, and positional (transform)
+        # alignment is only equivalent when the output index IS the input's
+        # (a same-LENGTH value_counts with different labels must still
+        # reshape).
+        reshaping = not reduction and not out_sample.index.equals(sample.index)
 
         fr2 = fr.ensure_order().with_global_position("__pos__")
         k = len(fr.data_cols)
@@ -2589,6 +2596,76 @@ class DataFrame:
             )
             return {"i": "bigint", "u": "bigint", "f": "double", "b": "boolean",
                     "M": "timestamp"}.get(kind, "string")
+
+        if reshaping:
+            # SHAPE-CHANGING columnwise UDF: each column's task returns its
+            # result Series LABELED by that result's own index; rows align
+            # pandas-style in ONE label-grouped conditional aggregation
+            # (no pivot — k when/first aggs keep it single-shuffle, and the
+            # label is the join key pandas itself aligns on). Row order is
+            # pandas': identical per-column indexes keep their sequence,
+            # differing indexes union-SORT (numerically for numeric
+            # indexes) — decided by one tiny action over the persisted
+            # (#labels)-row aggregate, not a second UDF pass.
+            schema = T.StructType([
+                T.StructField("__lbl__", T.StringType()),
+                T.StructField("__seq__", T.LongType()),
+                T.StructField("__cid__", T.IntegerType()),
+                T.StructField("__o__", out_t),
+            ])
+
+            def apply_reshape(pdf: pd.DataFrame) -> pd.DataFrame:
+                pdf = pdf.sort_values("__pos__")
+                cid = int(pdf["__cid__"].iloc[0])
+                r = func(rebuild(pdf["__v__"], in_tags[cid]))
+                if not isinstance(r, pd.Series):
+                    r = pd.Series(r)
+                return pd.DataFrame({
+                    "__lbl__": [str(x) for x in r.index],
+                    "__seq__": np.arange(len(r), dtype="int64"),
+                    "__cid__": np.full(len(r), cid, dtype="int32"),
+                    "__o__": encode_out(r),
+                })
+
+            from modin_spark.core.frame import fresh_names
+
+            rp = fresh_names(k)
+            res = melted.groupBy("__cid__").applyInPandas(apply_reshape, schema)
+            g = res.groupBy("__lbl__").agg(
+                F.min("__seq__").alias("__smin__"),
+                F.max("__seq__").alias("__smax__"),
+                F.count(F.lit(1)).alias("__cnt__"),
+                *[
+                    F.first(F.when(F.col("__cid__") == ci, F.col("__o__")), ignorenulls=True).alias(rp[ci])
+                    for ci in range(k)
+                ],
+            ).persist()
+            # identical per-column indexes <=> every label appears in all k
+            # columns at one agreed position
+            aligned = (
+                g.where((F.col("__smin__") != F.col("__smax__")) | (F.col("__cnt__") != k))
+                .limit(1).count() == 0
+            )
+            ikind = out_sample.index.dtype.kind
+            if aligned:
+                order_e = F.col("__smin__")
+            elif ikind in "iuf":
+                order_e = F.col("__lbl__").cast("double")
+            else:
+                order_e = F.col("__lbl__")
+            idx_cast = {"i": "bigint", "u": "bigint", "f": "double", "M": "timestamp"}.get(ikind)
+            lbl_e = F.col("__lbl__").cast(idx_cast) if idx_cast else F.col("__lbl__")
+            sdf = g.select(
+                order_e.alias(ORDER_COL),
+                lbl_e.alias("__albl__"),
+                *[F.col(rp[ci]).cast(out_cast(lbl)).alias(rp[ci]) for ci, lbl in enumerate(fr.columns)],
+            )
+            nf = SparkFrame(
+                sdf, pd.Index(list(fr.columns)), rp,
+                index_cols=["__albl__"], index_names=[out_sample.index.name],
+                has_order=True,
+            )
+            return DataFrame(_frame=nf)
 
         if reduction:
             schema = T.StructType([

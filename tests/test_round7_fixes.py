@@ -121,3 +121,49 @@ def test_transpose_dup_labels_roundtrip_values(spark):
     got = m.to_pandas()
     assert list(got.columns) == ["k", "k"]
     np.testing.assert_allclose(got.values, pdf.T.values)
+
+
+# ---------------------------------------------------------------------------
+# shape-changing apply(axis=0) runs DISTRIBUTED (r7): per-column results
+# align on their own indexes pandas-style (identical -> sequence order,
+# differing -> union sort)
+# ---------------------------------------------------------------------------
+
+
+def test_apply_axis0_value_counts_numeric(spark):
+    pdf = pd.DataFrame({"a": [3, 1, 2, 3, 3], "b": [10, 20, 10, 30, 30]})
+    got = mpd.from_pandas(pdf).apply(lambda s: s.value_counts()).to_pandas()
+    exp = pdf.apply(lambda s: s.value_counts())
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False, check_index_type=False)
+
+
+def test_apply_axis0_describe_order_preserved(spark):
+    pdf = pd.DataFrame({"a": [3.0, 1.0, 2.0], "b": [10.0, 20.0, 10.0]})
+    got = mpd.from_pandas(pdf).apply(lambda s: s.describe()).to_pandas()
+    exp = pdf.apply(lambda s: s.describe())
+    # identical per-column indexes: count/mean/std/... order survives
+    assert list(got.index) == list(exp.index)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_apply_axis0_value_counts_strings(spark):
+    pdf = pd.DataFrame({"a": ["x", "y", "x"], "b": ["p", "p", "q"]})
+    got = mpd.from_pandas(pdf).apply(lambda s: s.value_counts()).to_pandas()
+    exp = pdf.apply(lambda s: s.value_counts())
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False, check_index_type=False)
+
+
+def test_apply_axis0_head_like(spark):
+    pdf = pd.DataFrame({"a": [5, 6, 7, 8], "b": [1, 2, 3, 4]})
+    got = mpd.from_pandas(pdf).apply(lambda s: s.head(2)).to_pandas()
+    exp = pdf.apply(lambda s: s.head(2))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False, check_index_type=False)
+
+
+def test_apply_axis0_reshape_no_driver_fallback(spark, recwarn):
+    import warnings as _w
+
+    pdf = pd.DataFrame({"a": [1, 1, 2], "b": [3, 3, 3]})
+    with _w.catch_warnings():
+        _w.simplefilter("error")  # the driver fallback warns — must not fire
+        mpd.from_pandas(pdf).apply(lambda s: s.value_counts()).to_pandas()
