@@ -2288,24 +2288,28 @@ class DataFrame:
         else:
             headers = pd.Index([r["__hl0__"] for r in hdr_rows])
 
-        def cell(p: str, dt: str):
-            c = F.col(p)
+        # the melt is rendered as ONE selectExpr string — building w
+        # F.struct Column objects costs ~3 py4j round-trips per column and
+        # dominated wide-frame transpose build time (500 cols: ~8s of pure
+        # driver-side construction, measured; the SQL string is one call)
+        def _bq(p: str) -> str:
+            return "`" + p.replace("`", "``") + "`"
+
+        def cell_sql(p: str, dt: str) -> str:
             if numeric_only:
-                return c.cast("double")
+                return f"CAST({_bq(p)} AS DOUBLE)"
             if dt == "boolean":  # pandas str(True) capitalization
-                return F.when(c, F.lit("True")).when(~c, F.lit("False"))
-            return c.cast("string")
+                return f"CASE WHEN {_bq(p)} THEN 'True' WHEN NOT {_bq(p)} THEN 'False' END"
+            return f"CAST({_bq(p)} AS STRING)"
 
         dts = dict(fr.sdf.dtypes)
-        melted = sdf.select(
-            "__pos__",
-            F.explode(
-                F.array(*[
-                    F.struct(F.lit(ci).alias("__cid__"), cell(p, dts.get(p, "")).alias("__v__"))
-                    for ci, p in enumerate(fr.data_cols)
-                ])
-            ).alias("__e__"),
-        ).select("__pos__", F.col("__e__.__cid__").alias("__cid__"), F.col("__e__.__v__").alias("__v__"))
+        entries = ", ".join(
+            f"named_struct('__cid__', {ci}, '__v__', {cell_sql(p, dts.get(p, ''))})"
+            for ci, p in enumerate(fr.data_cols)
+        )
+        melted = sdf.selectExpr("__pos__", f"explode(array({entries})) AS __e__").selectExpr(
+            "__pos__", "__e__.__cid__ AS __cid__", "__e__.__v__ AS __v__"
+        )
         # NB: no persist here — a lazily-cached melt materialized by the
         # probe's aggregate job can capture a partial (limit-pruned) result
         # under AQE; the probe's recompute of the melt is bounded by the
@@ -2543,18 +2547,20 @@ class DataFrame:
         # inside the task (r6 — strings/bools/timestamps now run
         # distributed; reference distributes all dtypes the same way via
         # column partitions, ref dataframe.py:2956)
-        v_expr = (lambda p: F.col(p).cast("double")) if all_numeric else (
-            lambda p: F.col(p).cast("string")
+        # ONE selectExpr string, not k F.struct Column objects — same
+        # wide-frame py4j construction tax as the transpose melt (see
+        # _transpose_distributed)
+        def _bq(p: str) -> str:
+            return "`" + p.replace("`", "``") + "`"
+
+        _vt = "DOUBLE" if all_numeric else "STRING"
+        entries = ", ".join(
+            f"named_struct('__cid__', {ci}, '__v__', CAST({_bq(p)} AS {_vt}))"
+            for ci, p in enumerate(fr.data_cols)
         )
-        melted = fr2.sdf.select(
-            F.col("__pos__"),
-            F.explode(
-                F.array(*[
-                    F.struct(F.lit(ci).alias("__cid__"), v_expr(p).alias("__v__"))
-                    for ci, p in enumerate(fr.data_cols)
-                ])
-            ).alias("__e__"),
-        ).select("__pos__", F.col("__e__.__cid__").alias("__cid__"), F.col("__e__.__v__").alias("__v__"))
+        melted = fr2.sdf.selectExpr("__pos__", f"explode(array({entries})) AS __e__").selectExpr(
+            "__pos__", "__e__.__cid__ AS __cid__", "__e__.__v__ AS __v__"
+        )
 
         def rebuild(vals: pd.Series, tag: str) -> pd.Series:
             if all_numeric:
