@@ -125,3 +125,35 @@ def test_prop_series_division(spark, pdf):
     got = (m.f / m.i).to_pandas()
     ref = (pdf.f / pdf.i).reset_index(drop=True)
     pd.testing.assert_series_equal(got, ref, check_dtype=False, check_names=False)
+
+
+@given(pdf=frames(min_rows=2))
+@settings(**SETTINGS)
+def test_prop_apply_axis0_value_counts(spark, pdf):
+    # shape-changing apply (r7): per-column value_counts align on the
+    # union index exactly like pandas
+    num = pdf[["i", "f"]].fillna(0)
+    got = _mpd(num).apply(lambda s: s.value_counts()).to_pandas()
+    ref = num.apply(lambda s: s.value_counts())
+    got.index = [str(x) for x in got.index]
+    ref.index = [str(x) for x in ref.index]
+    # our labels stringify; compare as sets of (label, col) -> value
+    assert sorted(got.index) == sorted(ref.index)
+    for c in ref.columns:
+        g = got[c].dropna().sort_index()
+        r = ref[c].dropna().sort_index()
+        np.testing.assert_allclose(g.to_numpy(dtype=float), r.to_numpy(dtype=float))
+
+
+@given(pdf=frames(min_rows=1, max_rows=15))
+@settings(**SETTINGS)
+def test_prop_transpose_dup_and_keyed_index(spark, pdf):
+    # transpose with a DUPLICATE-prone index column (r7 position-keyed path)
+    num = pdf[["i", "f"]].copy()
+    num.index = pd.Index([f"r{v % 3}" for v in range(len(num))])
+    got = _mpd(num.reset_index().set_index("index")[["i", "f"]]).T.to_pandas()
+    ref = num.T
+    assert [str(c) for c in got.columns] == [str(c) for c in ref.columns]
+    gv = got.to_numpy(dtype=float)
+    rv = ref.to_numpy(dtype=float)
+    np.testing.assert_allclose(gv, rv, equal_nan=True)
