@@ -790,6 +790,41 @@ def _multimodal_features(spark, sf):
     )
 
 
+def _multimodal_png_stats(spark, sf):
+    """REAL image decode (r7, no media libs): deterministic 16x16 grayscale
+    PNGs are ENCODED executor-side with the stdlib PNG writer
+    (media_codecs.encode_png — zlib deflate, CRC chunks), decoded back by
+    the real decoder inside image_features(decode_stub=False), and the
+    extracted width/height/mean-brightness must match the oracle's replay
+    of the same pixel arithmetic: pixel(k) = (vec_id*7 + 3k) % 251. The
+    mean of 256 sub-2^8 ints is exactly dyadic, so float32 carries it
+    exactly — an EXACT oracle over a genuine PNG encode->decode round
+    trip."""
+    import numpy as np
+
+    from modin_spark.operators.media_codecs import encode_png
+    from modin_spark.operators.multimodal import image_features
+
+    emb = _rp(spark, f"{sf}/embeddings.parquet").where(F.col("vec_id") < 12).select("vec_id")
+
+    def mk(batches):
+        for pdf in batches:
+            payloads = []
+            for i in pdf["vec_id"]:
+                arr = ((int(i) * 7 + 3 * np.arange(256)) % 251).reshape(16, 16).astype(np.uint8)
+                payloads.append(encode_png(arr))
+            yield pdf.assign(payload=payloads)
+
+    media = emb.mapInPandas(mk, "vec_id long, payload binary")
+    feats = image_features(media, dim=16, decode_stub=False)
+    return feats.select(
+        "vec_id",
+        F.element_at("features", 1).cast("int").alias("width"),
+        F.element_at("features", 2).cast("int").alias("height"),
+        F.element_at("features", 4).cast("double").alias("mean_lum"),
+    )
+
+
 def _q4_priority_returned(spark, sf):
     """Semi-join: orders having >=1 returned lineitem, counted by priority."""
     mpd = _mpd()
@@ -1958,6 +1993,7 @@ def _q22_global_sales(spark, sf):
 _R7_PREFIX = [
     "multiindex3_cols_agg", "concat_dup_labels", "fwf_ingest",
     "transpose_wide_roundtrip", "transpose_multiindex_roundtrip",
+    "multimodal_png_stats",
     "docs_minhash_dedup", "docs_simhash_dedup", "emb_lsh_topk",
     "emb_ivf_topk", "emb_lsh_recall", "emb_ivf_recall",
     "excel_ingest", "transpose_mixed", "transpose_agg",
@@ -1968,7 +2004,7 @@ _R7_PREFIX = [
     "multiindex_regroup", "multiindex_cols_agg", "pivot_flag_status",
     "cube_agg",
     "case_when", "concat_cols_aligned", "concat_union", "cumsum_by_group",
-    "cut_buckets", "distinct_dedup", "docs_exact_dedup",
+    "distinct_dedup", "docs_exact_dedup",
     "docs_norm_distinct", "docs_token_stats", "dot_product",
     "filter_project", "get_dummies_sum", "groupby_idxmax",
     "groupby_median_quantile", "groupby_multi_agg", "groupby_nunique",
@@ -2011,6 +2047,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cosine_dedup": _emb_cosine_dedup,
         "docs_ngram_dedup": _docs_ngram_dedup,
         "multimodal_features": _multimodal_features,
+        "multimodal_png_stats": _multimodal_png_stats,
         # (c) machinery touched this round
         "rolling_mean": _rolling_mean,
         "rolling_corr_pair": _rolling_corr_pair,
@@ -3587,6 +3624,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(octet_length(encode(text)) AS INT) AS payload_len,
                    16 AS feat_dim
             FROM documents WHERE doc_id < 200
+        """,
+        "multimodal_png_stats": """
+            SELECT e.vec_id,
+                   16 AS width, 16 AS height,
+                   AVG(CAST((e.vec_id * 7 + 3 * t.k) % 251 AS DOUBLE)) AS mean_lum
+            FROM (SELECT vec_id FROM embeddings WHERE vec_id < 12) e
+            CROSS JOIN generate_series(0, 255) t(k)
+            GROUP BY e.vec_id
         """,
         # r7: every registry query is oracle-backed (115/115) — the last
         # four rows-only ops were promoted via the md5-mode hash replay

@@ -3,11 +3,14 @@
 Representation: opaque ``binary`` payload column + typed metadata struct
 (format, width/height or sample_rate/duration, codec). The Spark-side
 plumbing — schema, partition sizing, Arrow batch shape, mapInPandas
-signatures — is real and tested; the actual media decode is STUBBED
-(`decode_stub=True` produces deterministic fake features; decode_stub=False
-raises NotImplementedError) because no image/audio libraries ship in this
-environment. Swapping in PIL/torchaudio later only changes the inner
-function body.
+signatures — is real and tested. Decode is REAL for the two stdlib-
+expressible formats (r7): PNG via zlib inflate + scanline unfilter and WAV
+via the stdlib ``wave`` module (operators/media_codecs.py) back
+``decode_stub=False`` for image decode / feature extraction / resize and
+audio decode / features. JPEG/MP3/video remain stubbed
+(``decode_stub=True`` produces deterministic fake features) because their
+codecs are not stdlib-expressible; swapping in PIL/torchaudio later only
+changes the inner function body.
 
 Scale notes: media blobs make rows heavy — mapInPandas with
 spark.sql.execution.arrow.maxRecordsPerBatch tuned low keeps Arrow batches
@@ -44,17 +47,32 @@ AUDIO_META = T.StructType(
 
 
 def attach_image_meta(df: SDF, bin_col: str = "payload") -> SDF:
-    """Parse cheap header fields from the binary (stub: derive deterministic
-    metadata from content hash so the pipeline is testable end-to-end)."""
-    h = F.crc32(F.col(bin_col))
-    return df.withColumn(
-        "meta",
-        F.struct(
-            F.lit("png").alias("format"),
-            (F.pmod(h, F.lit(1920)) + 32).cast("int").alias("width"),
-            (F.pmod(F.shiftright(h, 8), F.lit(1080)) + 32).cast("int").alias("height"),
-        ),
-    )
+    """Parse header fields from the binary. REAL for PNG payloads (IHDR
+    width/height via media_codecs.png_meta in a vectorized pandas_udf);
+    non-PNG payloads get the deterministic content-hash stub so mixed
+    corpora stay testable end-to-end."""
+    from modin_spark.operators.media_codecs import PNG_MAGIC, png_meta
+
+    @F.pandas_udf(IMAGE_META)
+    def _meta(payloads: pd.Series) -> pd.DataFrame:
+        fmts, ws, hs = [], [], []
+        for b in payloads:
+            b = bytes(b) if b is not None else b""
+            if b.startswith(PNG_MAGIC):
+                m = png_meta(b)
+                fmts.append("png"); ws.append(m["width"]); hs.append(m["height"])
+            else:  # stub metadata for non-decodable formats
+                h = zlib_crc32(b)
+                fmts.append("unknown"); ws.append(h % 1920 + 32); hs.append((h >> 8) % 1080 + 32)
+        return pd.DataFrame({"format": fmts, "width": ws, "height": hs})
+
+    return df.withColumn("meta", _meta(F.col(bin_col)))
+
+
+def zlib_crc32(b: bytes) -> int:
+    import zlib
+
+    return zlib.crc32(b) & 0xFFFFFFFF
 
 
 def _fake_embedding(data: bytes, dim: int) -> np.ndarray:
@@ -64,12 +82,32 @@ def _fake_embedding(data: bytes, dim: int) -> np.ndarray:
     return rng.standard_normal(dim).astype(np.float32)
 
 
+def _png_feature_vec(data: bytes, dim: int) -> list:
+    """REAL PNG features: [width, height, channels, mean, std, 8-bin luma
+    histogram density...] padded with zeros to ``dim``. mean/std computed in
+    float64 over all samples (mean of a 2^k-pixel gray image is exactly
+    dyadic — exploited by the multimodal_png_stats oracle)."""
+    from modin_spark.operators.media_codecs import decode_png
+
+    arr = decode_png(bytes(data))
+    h, w, ch = arr.shape
+    flat = arr.astype(np.float64)
+    luma = flat.mean(axis=2)
+    hist = np.histogram(luma, bins=8, range=(0.0, 256.0))[0] / float(h * w)
+    feats = [float(w), float(h), float(ch), float(flat.mean()), float(flat.std())]
+    feats.extend(float(x) for x in hist)
+    feats = feats[:dim] + [0.0] * max(0, dim - len(feats))
+    return [float(np.float32(v)) for v in feats]
+
+
 def image_features(df: SDF, bin_col: str = "payload", dim: int = 64, decode_stub: bool = True) -> SDF:
     """Decode + feature-extract via mapInPandas (Arrow-batched).
 
-    Output schema: input columns + feature array<float>. The mapInPandas
-    shape (iterator of pandas batches) is the real contract a PIL/torch
-    implementation drops into.
+    Output schema: input columns + feature array<float>. With
+    ``decode_stub=False`` the decode is REAL for PNG payloads (stdlib-only
+    codec, media_codecs.decode_png); non-PNG payloads raise. The
+    mapInPandas shape (iterator of pandas batches) is the same contract a
+    PIL/torch implementation would drop into for other formats.
     """
     out_schema = T.StructType(df.schema.fields + [T.StructField("features", T.ArrayType(T.FloatType()))])
 
@@ -78,7 +116,7 @@ def image_features(df: SDF, bin_col: str = "payload", dim: int = 64, decode_stub
             if decode_stub:
                 feats = [_fake_embedding(b, dim).tolist() for b in pdf[bin_col]]
             else:
-                raise NotImplementedError("real image decode requires PIL/cv2 (not in this environment)")
+                feats = [_png_feature_vec(b, dim) for b in pdf[bin_col]]
             yield pdf.assign(features=feats)
 
     return df.mapInPandas(extract, out_schema)
@@ -94,17 +132,54 @@ def audio_features(df: SDF, bin_col: str = "payload", dim: int = 32, decode_stub
             if decode_stub:
                 feats = [_fake_embedding(b, dim).tolist() for b in pdf[bin_col]]
             else:
-                raise NotImplementedError("real audio decode requires torchaudio/librosa (not in this environment)")
+                feats = [_wav_feature_vec(b, dim) for b in pdf[bin_col]]
             yield pdf.assign(audio_features=feats)
 
     return df.mapInPandas(extract, out_schema)
 
 
+def _wav_feature_vec(data: bytes, dim: int) -> list:
+    """REAL WAV features: [duration_s, rms, zero-crossing rate, 13 log-power
+    spectral bands] padded with zeros to ``dim`` (stdlib-only codec,
+    media_codecs.decode_wav; bands via numpy rFFT — MFCC-shaped without the
+    mel filterbank dependency)."""
+    from modin_spark.operators.media_codecs import decode_wav
+
+    x, rate = decode_wav(bytes(data))
+    mono = x.mean(axis=1)
+    n = len(mono)
+    dur = n / float(rate) if rate else 0.0
+    rms = float(np.sqrt(np.mean(mono**2))) if n else 0.0
+    zcr = float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1]))) if n > 1 else 0.0
+    feats = [dur, rms, zcr]
+    if n:
+        spec = np.abs(np.fft.rfft(mono)) ** 2
+        bands = np.array_split(spec, 13)
+        feats.extend(float(np.log1p(b.mean())) if len(b) else 0.0 for b in bands)
+    feats = feats[:dim] + [0.0] * max(0, dim - len(feats))
+    return [float(np.float32(v)) for v in feats]
+
+
 def resize_images(df: SDF, bin_col: str = "payload", size: tuple[int, int] = (224, 224), decode_stub: bool = True) -> SDF:
-    """Resize stub: passes payload through, rewrites meta dims (real impl
-    would re-encode); keeps the operator signature and plan shape honest."""
+    """Image resize. With ``decode_stub=False`` (PNG payloads) this is
+    REAL: decode -> nearest-neighbour resample -> re-encode, payload
+    replaced, meta rewritten from the actual new header. The stub keeps the
+    old behaviour (payload passthrough, meta dims rewritten) for
+    non-decodable formats."""
     if not decode_stub:
-        raise NotImplementedError("real resize requires an image library")
+        from modin_spark.operators.media_codecs import encode_png, resize_nearest, decode_png
+
+        out_schema = df.schema
+
+        def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                pdf = pdf.copy()
+                pdf[bin_col] = [
+                    encode_png(resize_nearest(decode_png(bytes(b)), size)) for b in pdf[bin_col]
+                ]
+                yield pdf
+
+        return attach_image_meta(df.mapInPandas(_resize, out_schema), bin_col)
     df = attach_image_meta(df, bin_col)
     return df.withColumn(
         "meta",
@@ -128,12 +203,32 @@ def sample_frames(df: SDF, bin_col: str = "payload", every_n: int = 10, decode_s
     return exploded.withColumn("frame_payload", F.sha2(F.concat(F.col(bin_col), F.col("frame_idx").cast("binary")), 256).cast("binary"))
 
 
-def make_synthetic_media(spark, n: int = 100, seed: int = 42) -> SDF:
-    """Deterministic synthetic binary table for tests (no media libs needed)."""
+def make_synthetic_media(spark, n: int = 100, seed: int = 42, kind: str = "raw") -> SDF:
+    """Deterministic synthetic binary table for tests.
+
+    kind="raw": opaque random bytes (exercises the stub paths).
+    kind="png": REAL 16x16 grayscale PNGs, pixel(r, c) = (id*31 + r*16 + c)
+    % 256 — decodable by the real codec and SQL-replayable (the
+    multimodal_png_stats oracle recomputes mean brightness from the same
+    arithmetic).
+    kind="wav": REAL 0.25 s 8 kHz sine WAVs at id-dependent frequency."""
     rows = []
     rng = np.random.default_rng(seed)
     for i in range(n):
-        rows.append((i, bytes(rng.integers(0, 256, size=64, dtype=np.uint8).tolist())))
+        if kind == "png":
+            from modin_spark.operators.media_codecs import encode_png
+
+            r, c = np.meshgrid(np.arange(16), np.arange(16), indexing="ij")
+            arr = ((i * 31 + r * 16 + c) % 256).astype(np.uint8)
+            payload = encode_png(arr)
+        elif kind == "wav":
+            from modin_spark.operators.media_codecs import encode_wav
+
+            t = np.arange(2000) / 8000.0
+            payload = encode_wav(0.5 * np.sin(2 * np.pi * (220 + 20 * i) * t), 8000)
+        else:
+            payload = bytes(rng.integers(0, 256, size=64, dtype=np.uint8).tolist())
+        rows.append((i, payload))
     return spark.createDataFrame(rows, T.StructType([
         T.StructField("media_id", T.LongType()),
         T.StructField("payload", T.BinaryType()),
