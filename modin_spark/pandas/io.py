@@ -357,8 +357,40 @@ def read_excel(io_path, sheet_name=0, header=0, names=None, usecols=None,
     split into <row>-aligned byte chunks, parsed by parallel tasks). The
     driver does one zlib decompression pass to cut chunks; XML parsing and
     cell typing run in executor tasks (modin_spark/sources/excel.py).
-    Legacy .xls / multi-sheet dicts / unsupported kwargs fall back to the
-    driver-side pandas delegate (the reference's default_to_pandas hatch)."""
+    Multi-sheet requests (sheet_name=None or a list) return a dict keyed
+    like pandas — the given identifier for list entries, the sheet name for
+    None — with EACH sheet read through the parallel path (r7). Legacy .xls
+    / unsupported kwargs fall back to the driver-side pandas delegate (the
+    reference's default_to_pandas hatch)."""
+    if (
+        not kw
+        and isinstance(io_path, (str, os.PathLike))
+        and str(io_path).endswith(".xlsx")
+        and (sheet_name is None or isinstance(sheet_name, (list, tuple)))
+        and (skiprows is None or isinstance(skiprows, int))
+    ):
+        try:
+            import zipfile
+
+            from modin_spark.sources.excel import _sheet_members, read_xlsx_spark
+
+            with zipfile.ZipFile(str(io_path)) as zf:
+                all_names = [n for n, _ in _sheet_members(zf)]
+            wanted = (
+                [(n, n) for n in all_names]
+                if sheet_name is None
+                else [(s, all_names[s] if isinstance(s, int) else s) for s in sheet_name]
+            )
+            out = {}
+            for key, name in wanted:
+                sdf = read_xlsx_spark(
+                    str(io_path), sheet_name=name, header=header, names=names,
+                    usecols=usecols, skiprows=skiprows or 0, nrows=nrows,
+                )
+                out[key] = DataFrame(_frame=SparkFrame.from_spark(sdf))
+            return out
+        except Exception:
+            pass  # stdlib parser declined — pandas delegate below
     if (
         not kw
         and isinstance(io_path, (str, os.PathLike))

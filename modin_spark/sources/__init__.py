@@ -30,7 +30,7 @@ CAPABILITIES = {
     "csv": (True, "native; byte-range splits (≙ reference text_file_dispatcher)"),
     "json": (True, "native (lines=True); multiLine is single-task per file"),
     "jdbc": (True, "partitionColumn/bounds partitioned reads"),
-    "excel": (True, "xlsx: parallel stdlib OOXML reader (sources/excel.py) — row-aligned chunks parsed executor-side; .xls/multi-sheet fall back driver-side (reference is xlsx-only too)"),
+    "excel": (True, "xlsx: parallel stdlib OOXML reader (sources/excel.py) — row-aligned chunks parsed executor-side; multi-sheet dicts (sheet_name=None/list) read every sheet through the parallel path (r7); .xls falls back driver-side (reference is xlsx-only too)"),
     "pickle": (False, "driver-side pandas"),
     "feather": (True, "parallel Arrow IPC reader, one task per record batch; legacy v1 falls back driver-side"),
     "html": (False, "driver-side pandas"),

@@ -434,16 +434,6 @@ def read_xlsx_spark(path: str, sheet_name=0, header: int = 0, names=None,
 # for fixtures and to_excel without openpyxl)
 # ---------------------------------------------------------------------------
 
-_CT = (
-    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
-    '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
-    '<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
-    '<Default Extension="xml" ContentType="application/xml"/>'
-    '<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
-    '<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
-    '<Override PartName="/xl/styles.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.styles+xml"/>'
-    "</Types>"
-)
 # style index 1 = builtin numFmt 22 (m/d/yy h:mm) — datetime cells
 _STYLES = (
     '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
@@ -461,13 +451,6 @@ _RELS = (
     '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>'
     "</Relationships>"
 )
-_WB_RELS = (
-    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
-    '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
-    '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>'
-    '<Relationship Id="rId2" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/styles" Target="styles.xml"/>'
-    "</Relationships>"
-)
 
 
 def _esc(s: str) -> str:
@@ -477,19 +460,61 @@ def _esc(s: str) -> str:
     )
 
 
-def write_xlsx(pdf: pd.DataFrame, path: str, sheet_name: str = "Sheet1",
+def write_xlsx(pdf, path: str, sheet_name: str = "Sheet1",
                index: bool = False, header: bool = True) -> None:
-    """Minimal OOXML writer: one sheet, inline strings (no sharedStrings,
-    no styles). Numbers stay numeric; bools typed; NaN/None -> empty cell;
-    everything else stringified."""
-    if index:
-        pdf = pdf.reset_index()
+    """Minimal OOXML writer: inline strings (no sharedStrings). Numbers
+    stay numeric; bools typed; NaN/None -> empty cell; everything else
+    stringified. ``pdf`` may be a DataFrame (one sheet) or a dict
+    ``{name: DataFrame}`` (multi-sheet workbook — the pandas ExcelWriter
+    shape; read back by read_excel(sheet_name=None))."""
+    sheets = pdf if isinstance(pdf, dict) else {sheet_name: pdf}
+    sheets = {str(n): (d.reset_index() if index else d) for n, d in sheets.items()}
+    names = list(sheets)
     wb = (
         '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
         '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
         'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
-        f'<sheets><sheet name="{_esc(str(sheet_name))}" sheetId="1" r:id="rId1"/></sheets></workbook>'
+        "<sheets>"
+        + "".join(
+            f'<sheet name="{_esc(n)}" sheetId="{i + 1}" r:id="rId{i + 1}"/>'
+            for i, n in enumerate(names)
+        )
+        + "</sheets></workbook>"
     )
+    ct = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+        '<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
+        '<Default Extension="xml" ContentType="application/xml"/>'
+        '<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+        + "".join(
+            f'<Override PartName="/xl/worksheets/sheet{i + 1}.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
+            for i in range(len(names))
+        )
+        + '<Override PartName="/xl/styles.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.styles+xml"/>'
+        "</Types>"
+    )
+    wb_rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        + "".join(
+            f'<Relationship Id="rId{i + 1}" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet{i + 1}.xml"/>'
+            for i in range(len(names))
+        )
+        + f'<Relationship Id="rId{len(names) + 1}" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/styles" Target="styles.xml"/>'
+        "</Relationships>"
+    )
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("[Content_Types].xml", ct)
+        zf.writestr("_rels/.rels", _RELS)
+        zf.writestr("xl/workbook.xml", wb)
+        zf.writestr("xl/styles.xml", _STYLES)
+        zf.writestr("xl/_rels/workbook.xml.rels", wb_rels)
+        for i, n in enumerate(names):
+            zf.writestr(f"xl/worksheets/sheet{i + 1}.xml", _sheet_xml(sheets[n], header))
+
+
+def _sheet_xml(pdf: pd.DataFrame, header: bool = True) -> str:
     buf = io.StringIO()
     buf.write(
         '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
@@ -524,10 +549,4 @@ def write_xlsx(pdf: pd.DataFrame, path: str, sheet_name: str = "Sheet1",
                 buf.write(f'<c r="{ref}" t="inlineStr"><is><t xml:space="preserve">{_esc(str(v))}</t></is></c>')
         buf.write("</row>")
     buf.write("</sheetData></worksheet>")
-    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as zf:
-        zf.writestr("[Content_Types].xml", _CT)
-        zf.writestr("_rels/.rels", _RELS)
-        zf.writestr("xl/workbook.xml", wb)
-        zf.writestr("xl/styles.xml", _STYLES)
-        zf.writestr("xl/_rels/workbook.xml.rels", _WB_RELS)
-        zf.writestr("xl/worksheets/sheet1.xml", buf.getvalue())
+    return buf.getvalue()

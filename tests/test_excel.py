@@ -165,3 +165,57 @@ def test_xlsx_non_integral_float_not_truncated(tmp_path, spark):
     assert got["v"].iloc[249] == 249
     assert pd.isna(got["v"].iloc[250])  # nulled, NOT truncated to 2
     assert got["v"].iloc[251] == 251
+
+
+def test_multisheet_write_read_dict(spark, tmp_path):
+    # r7: multi-sheet workbook written by the stdlib writer, every sheet
+    # read back DISTRIBUTED (sheet_name=None -> dict keyed by sheet name;
+    # the pandas delegate would ImportError here, so a passing read proves
+    # the parallel path)
+    import pandas as pd
+
+    from modin_spark.sources.excel import write_xlsx
+
+    p = str(tmp_path / "multi.xlsx")
+    a = pd.DataFrame({"x": [1, 2, 3], "y": ["a", "b", "c"]})
+    b = pd.DataFrame({"n": [1.5, 2.5]})
+    write_xlsx({"alpha": a, "beta": b}, p)
+
+    import modin_spark.pandas as mpd
+
+    d = mpd.read_excel(p, sheet_name=None)
+    assert set(d) == {"alpha", "beta"}
+    pd.testing.assert_frame_equal(d["alpha"].to_pandas(), a, check_dtype=False)
+    pd.testing.assert_frame_equal(d["beta"].to_pandas(), b, check_dtype=False)
+
+
+def test_multisheet_list_keys_like_pandas(spark, tmp_path):
+    import pandas as pd
+
+    from modin_spark.sources.excel import write_xlsx
+
+    p = str(tmp_path / "multi2.xlsx")
+    write_xlsx({"s1": pd.DataFrame({"a": [1]}), "s2": pd.DataFrame({"b": [2]})}, p)
+
+    import modin_spark.pandas as mpd
+
+    d = mpd.read_excel(p, sheet_name=[0, "s2"])
+    # pandas keys the dict by the given identifier: int stays int
+    assert set(d) == {0, "s2"}
+    assert list(d[0].to_pandas().columns) == ["a"]
+    assert list(d["s2"].to_pandas().columns) == ["b"]
+
+
+def test_single_sheet_write_still_works(spark, tmp_path):
+    import pandas as pd
+
+    from modin_spark.sources.excel import write_xlsx
+
+    p = str(tmp_path / "single.xlsx")
+    a = pd.DataFrame({"v": [10, 20], "s": ["p", "q"]})
+    write_xlsx(a, p, sheet_name="Data")
+
+    import modin_spark.pandas as mpd
+
+    got = mpd.read_excel(p, sheet_name="Data").to_pandas()
+    pd.testing.assert_frame_equal(got, a, check_dtype=False)
