@@ -1980,16 +1980,19 @@ def _q22_global_sales(spark, sf):
 # ---------------------------------------------------------------------------
 
 # The driver scores a PREFIX of queries() (50 entries since r2). Ordering is
-# therefore a rotation schedule. Round-7 prefix: (a) the four never-scored
-# r7 queries (multiindex3/dup-labels/fwf/wide-transpose), (b) the four
-# promoted-to-oracle rows + the recall pair riding the same replay
-# machinery, (c) every row whose machinery CHANGED this round (excel
-# dates/gaps/mangling, apply-axis0 int decode, str.extract parse-tree
+# therefore a rotation schedule. Round-7 prefix: (a) the seven never-scored
+# r7 queries (multiindex3 / dup-labels / fwf / wide-transpose /
+# MultiIndex-transpose round-trip / real-PNG-decode stats / shape-changing
+# apply value_counts), (b) the four promoted-to-oracle rows + the recall
+# pair riding the same replay machinery, (c) every row whose machinery
+# CHANGED this round (excel dates/gaps/mangling + multi-sheet, apply-axis0
+# int decode + index-equality reshape probe, str.extract parse-tree
 # rewrite, the merge-chain selectExpr/catalog-memo refactor, transpose
-# map-collect, groupby(level=) surface fix, multi-key pivot), then (d) the
-# stalest green rows (last scored r2/r3). All 50 are oracle-backed
-# (contract test: 0 no-oracle allowed). Every entry is still checked
-# locally every round via tools/check_entry.py regardless of position.
+# map-collect + position-keyed labels, groupby(level=) surface fix,
+# multi-key pivot, selectExpr melts), then (d) the stalest green rows.
+# All 50 are oracle-backed (contract test: 0 no-oracle allowed). Every
+# entry is still checked locally every round via tools/check_entry.py
+# regardless of position.
 _R7_PREFIX = [
     "multiindex3_cols_agg", "concat_dup_labels", "fwf_ingest",
     "transpose_wide_roundtrip", "transpose_multiindex_roundtrip",

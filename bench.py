@@ -73,6 +73,11 @@ HEADLINE = [
     # round 7: n-level column MultiIndex machinery + parallel fwf ingest
     "multiindex3_cols_agg",
     "fwf_ingest",
+    # round 7b: MultiIndex transpose round-trip, shape-changing apply,
+    # real PNG decode
+    "transpose_multiindex_roundtrip",
+    "apply_axis0_vcounts",
+    "multimodal_png_stats",
 ]
 
 # host-noise self-diagnosis (r7): three cheap, stable queries re-run at
