@@ -155,44 +155,19 @@ def main() -> None:
         timings[name] = round(best, 3)
         total += timings[name]
 
-    # regression-gate subtotal over the round-1 query set (BASELINE_LOCAL_r01
-    # froze those numbers; the headline set has since grown, so the raw total
-    # is not comparable across rounds — this one is)
-    r1_comparable = None
-    try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_LOCAL_r01.json")) as f:
-            base = json.load(f)["queries"]
-        r1_comparable = round(sum(v for q, v in timings.items() if q in base and v > 0), 3)
-    except Exception:
-        pass
-    r3_comparable = None
-    try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_LOCAL_r03.json")) as f:
-            base3 = json.load(f)["queries"]
-        r3_comparable = round(sum(v for q, v in timings.items() if q in base3 and v > 0), 3)
-    except Exception:
-        pass
-    r4_comparable = None
-    try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_LOCAL_r04.json")) as f:
-            base4 = json.load(f)["queries"]
-        r4_comparable = round(sum(v for q, v in timings.items() if q in base4 and v > 0), 3)
-    except Exception:
-        pass
-    r5_comparable = None
-    try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_LOCAL_r05.json")) as f:
-            base5 = json.load(f)["queries"]
-        r5_comparable = round(sum(v for q, v in timings.items() if q in base5 and v > 0), 3)
-    except Exception:
-        pass
-    r7_comparable = None
-    try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_LOCAL_r07.json")) as f:
-            base7 = json.load(f)["queries"]
-        r7_comparable = round(sum(v for q, v in timings.items() if q in base7 and v > 0), 3)
-    except Exception:
-        pass
+    # regression-gate subtotals over each frozen round's query set (the
+    # headline set grows every round, so the raw total is not comparable
+    # across rounds — these per-freeze subtotals are)
+    comparables: dict[str, float | None] = {}
+    for tag in ("r1", "r3", "r4", "r5", "r7"):
+        comparables[tag] = None
+        try:
+            fname = f"BASELINE_LOCAL_r{int(tag[1:]):02d}.json"
+            with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), fname)) as f:
+                base = json.load(f)["queries"]
+            comparables[tag] = round(sum(v for q, v in timings.items() if q in base and v > 0), 3)
+        except Exception:
+            pass
 
     sentinels_end = run_sentinels()
     host_noise_factor = None
@@ -222,11 +197,7 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
-                "r1_comparable_total": r1_comparable,
-                "r3_comparable_total": r3_comparable,
-                "r4_comparable_total": r4_comparable,
-                "r5_comparable_total": r5_comparable,
-                "r7_comparable_total": r7_comparable,
+                **{f"{tag}_comparable_total": v for tag, v in comparables.items()},
                 "sentinels_start": sentinels_start,
                 "sentinels_end": sentinels_end,
                 "host_noise_factor": host_noise_factor,

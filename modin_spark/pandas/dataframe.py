@@ -2286,7 +2286,11 @@ class DataFrame:
                 names=list(fr.index_names),
             )
         else:
-            headers = pd.Index([r["__hl0__"] for r in hdr_rows])
+            # pandas parity: T's columns carry the old index's name
+            headers = pd.Index(
+                [r["__hl0__"] for r in hdr_rows],
+                name=fr.index_names[0] if fr.index_cols else None,
+            )
 
         # the melt is rendered as ONE selectExpr string — building w
         # F.struct Column objects costs ~3 py4j round-trips per column and
@@ -2604,15 +2608,53 @@ class DataFrame:
                     "M": "timestamp"}.get(kind, "string")
 
         if reshaping:
-            # SHAPE-CHANGING columnwise UDF: each column's task returns its
-            # result Series LABELED by that result's own index; rows align
-            # pandas-style in ONE label-grouped conditional aggregation
-            # (no pivot — k when/first aggs keep it single-shuffle, and the
-            # label is the join key pandas itself aligns on). Row order is
-            # pandas': identical per-column indexes keep their sequence,
-            # differing indexes union-SORT (numerically for numeric
-            # indexes) — decided by one tiny action over the persisted
-            # (#labels)-row aggregate, not a second UDF pass.
+            # SHAPE-CHANGING columnwise UDF (value_counts / describe /
+            # head-like): each column's task receives its Series with the
+            # frame's REAL index (typed rebuild of the melted index labels;
+            # default-index frames use the global position, which IS the
+            # pandas default label, so head/tail/nlargest keep the right
+            # labels) and returns its result labeled by that result's own
+            # index. Alignment is pandas': one k-row per-column fingerprint
+            # action decides the shape —
+            #   identical per-column indexes (incl. DUPLICATE labels) ->
+            #   rows key on the result POSITION, original order and dup
+            #   rows survive;
+            #   differing unique indexes -> rows key on the label and
+            #   union-SORT (numerically for numeric indexes);
+            #   differing indexes with duplicate labels -> pandas' own
+            #   "cannot reindex" error.
+            # Task output is persisted so the fingerprint action does not
+            # run ``func`` twice; the cache is released when the result
+            # frame is garbage-collected (weakref.finalize).
+            if len(fr.index_cols) > 1:
+                # multi-level-index reshape alignment — declared fallback
+                return self._default_to_pandas(lambda pdf: pdf.apply(func, axis=0))
+            import weakref
+
+            from modin_spark.core.frame import fresh_names
+
+            has_idx = bool(fr.index_cols)
+            idx_sql = (
+                f"CAST({_bq(fr.index_cols[0])} AS STRING) AS __ilbl__"
+                if has_idx
+                else "CAST(NULL AS STRING) AS __ilbl__"
+            )
+            idx_tag = in_tag(sdts.get(fr.index_cols[0], "")) if has_idx else None
+            melted_i = fr2.sdf.selectExpr(
+                "__pos__", idx_sql, f"explode(array({entries})) AS __e__"
+            ).selectExpr("__pos__", "__ilbl__", "__e__.__cid__ AS __cid__", "__e__.__v__ AS __v__")
+
+            def decode_idx(vals: pd.Series, tag: str) -> pd.Series:
+                if tag == "i":
+                    return pd.to_numeric(vals)
+                if tag == "f":
+                    return vals.astype("float64")
+                if tag == "b":
+                    return vals.map({"true": True, "false": False})
+                if tag == "t":
+                    return pd.to_datetime(vals)
+                return vals
+
             schema = T.StructType([
                 T.StructField("__lbl__", T.StringType()),
                 T.StructField("__seq__", T.LongType()),
@@ -2623,7 +2665,13 @@ class DataFrame:
             def apply_reshape(pdf: pd.DataFrame) -> pd.DataFrame:
                 pdf = pdf.sort_values("__pos__")
                 cid = int(pdf["__cid__"].iloc[0])
-                r = func(rebuild(pdf["__v__"], in_tags[cid]))
+                vals = rebuild(pdf["__v__"], in_tags[cid]).to_numpy()
+                idx = (
+                    decode_idx(pdf["__ilbl__"], idx_tag).to_numpy()
+                    if has_idx
+                    else pdf["__pos__"].to_numpy()
+                )
+                r = func(pd.Series(vals, index=idx))
                 if not isinstance(r, pd.Series):
                     r = pd.Series(r)
                 return pd.DataFrame({
@@ -2633,33 +2681,40 @@ class DataFrame:
                     "__o__": encode_out(r),
                 })
 
-            from modin_spark.core.frame import fresh_names
-
             rp = fresh_names(k)
-            res = melted.groupBy("__cid__").applyInPandas(apply_reshape, schema)
-            g = res.groupBy("__lbl__").agg(
-                F.min("__seq__").alias("__smin__"),
-                F.max("__seq__").alias("__smax__"),
-                F.count(F.lit(1)).alias("__cnt__"),
-                *[
-                    F.first(F.when(F.col("__cid__") == ci, F.col("__o__")), ignorenulls=True).alias(rp[ci])
-                    for ci in range(k)
-                ],
-            ).persist()
-            # identical per-column indexes <=> every label appears in all k
-            # columns at one agreed position
-            aligned = (
-                g.where((F.col("__smin__") != F.col("__smax__")) | (F.col("__cnt__") != k))
-                .limit(1).count() == 0
-            )
+            res = melted_i.groupBy("__cid__").applyInPandas(apply_reshape, schema).persist()
+            # per-column fingerprint of the (position, label) sequence:
+            # k tiny rows decide the alignment shape
+            fp = res.groupBy("__cid__").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count_distinct("__lbl__").alias("nd"),
+                F.md5(
+                    F.concat_ws(
+                        "\x01",
+                        F.array_sort(
+                            F.collect_list(
+                                F.concat_ws("\x02", F.col("__seq__").cast("string"), F.col("__lbl__"))
+                            )
+                        ),
+                    )
+                ).alias("fp"),
+            ).collect()
+            aligned = len(fp) == k and len({r["fp"] for r in fp}) == 1
+            if not aligned and any(r["nd"] != r["n"] for r in fp):
+                res.unpersist()
+                raise ValueError("cannot reindex on an axis with duplicate labels")
             ikind = out_sample.index.dtype.kind
-            if aligned:
-                order_e = F.col("__smin__")
-            elif ikind in "iuf":
-                order_e = F.col("__lbl__").cast("double")
-            else:
-                order_e = F.col("__lbl__")
             idx_cast = {"i": "bigint", "u": "bigint", "f": "double", "M": "timestamp"}.get(ikind)
+            val_aggs = [
+                F.first(F.when(F.col("__cid__") == ci, F.col("__o__")), ignorenulls=True).alias(rp[ci])
+                for ci in range(k)
+            ]
+            if aligned:
+                g = res.groupBy("__seq__").agg(F.first("__lbl__").alias("__lbl__"), *val_aggs)
+                order_e = F.col("__seq__")
+            else:
+                g = res.groupBy("__lbl__").agg(*val_aggs)
+                order_e = F.col("__lbl__").cast("double") if ikind in "iuf" else F.col("__lbl__")
             lbl_e = F.col("__lbl__").cast(idx_cast) if idx_cast else F.col("__lbl__")
             sdf = g.select(
                 order_e.alias(ORDER_COL),
@@ -2671,7 +2726,9 @@ class DataFrame:
                 index_cols=["__albl__"], index_names=[out_sample.index.name],
                 has_order=True,
             )
-            return DataFrame(_frame=nf)
+            out_df = DataFrame(_frame=nf)
+            weakref.finalize(out_df, res.unpersist)
+            return out_df
 
         if reduction:
             schema = T.StructType([

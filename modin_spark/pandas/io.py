@@ -408,10 +408,13 @@ def read_excel(io_path, sheet_name=0, header=0, names=None, usecols=None,
             return DataFrame(_frame=SparkFrame.from_spark(sdf))
         except Exception:
             pass  # stdlib parser declined — pandas delegate below
-    return from_pandas(pd.DataFrame(pd.read_excel(
+    res = pd.read_excel(
         io_path, sheet_name=sheet_name, header=header, names=names,
         usecols=usecols, skiprows=skiprows, nrows=nrows, **kw,
-    )))
+    )
+    if isinstance(res, dict):  # multi-sheet delegate returns a dict too
+        return {k: from_pandas(pd.DataFrame(v)) for k, v in res.items()}
+    return from_pandas(pd.DataFrame(res))
 read_html = _pandas_reader("read_html")
 read_pickle = _pandas_reader("read_pickle")
 read_xml = _pandas_reader("read_xml")

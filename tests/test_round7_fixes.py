@@ -167,3 +167,59 @@ def test_apply_axis0_reshape_no_driver_fallback(spark, recwarn):
     with _w.catch_warnings():
         _w.simplefilter("error")  # the driver fallback warns — must not fire
         mpd.from_pandas(pdf).apply(lambda s: s.value_counts()).to_pandas()
+
+
+# ---------------------------------------------------------------------------
+# reshape-apply review fixes: real input index, duplicate result labels,
+# index-name parity on transpose
+# ---------------------------------------------------------------------------
+
+
+def test_apply_axis0_head_keeps_real_index_labels(spark):
+    pdf = pd.DataFrame(
+        {"a": [5, 6, 7, 8], "b": [1, 2, 3, 4]}, index=pd.Index(["w", "x", "y", "z"])
+    )
+    got = mpd.from_pandas(pdf.reset_index().set_index("index")[["a", "b"]]).apply(
+        lambda s: s.head(2)
+    ).to_pandas()
+    exp = pdf.apply(lambda s: s.head(2))
+    assert list(got.index) == ["w", "x"]
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False, check_names=False)
+
+
+def test_apply_axis0_nlargest_typed_index(spark):
+    # func USES the typed index (nlargest returns labels of the max rows)
+    pdf = pd.DataFrame({"a": [5, 9, 7], "b": [3, 1, 8]})
+    got = mpd.from_pandas(pdf).apply(lambda s: s.nlargest(1)).to_pandas()
+    exp = pdf.apply(lambda s: s.nlargest(1))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False, check_index_type=False)
+
+
+def test_apply_axis0_duplicate_result_labels_aligned(spark):
+    # identical dup-labeled results: every row survives (pandas keeps 2n)
+    pdf = pd.DataFrame({"a": [1, 2], "b": [3, 4]})
+    got = mpd.from_pandas(pdf).apply(lambda s: pd.concat([s, s])).to_pandas()
+    exp = pdf.apply(lambda s: pd.concat([s, s]))
+    assert len(got) == 4
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False, check_index_type=False)
+
+
+def test_apply_axis0_duplicate_labels_differing_raises(spark):
+    import pytest as _pt
+
+    pdf = pd.DataFrame({"a": [1, 2], "b": [3, 4]})
+
+    def f(s):
+        if s.name == "a":
+            return pd.Series([1, 2], index=["x", "x"])
+        return pd.Series([3], index=["y"])
+
+    with _pt.raises(ValueError, match="duplicate labels"):
+        mpd.from_pandas(pdf).apply(f).to_pandas()
+
+
+def test_transpose_columns_carry_index_name(spark):
+    pdf = pd.DataFrame({"a": [1, 2], "b": [3, 4]},
+                       index=pd.Index(["x", "y"], name="idx"))
+    m = mpd.from_pandas(pdf.reset_index().set_index("idx")[["a", "b"]]).T
+    assert m.to_pandas().columns.name == "idx"
