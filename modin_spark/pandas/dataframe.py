@@ -2727,7 +2727,14 @@ class DataFrame:
                 has_order=True,
             )
             out_df = DataFrame(_frame=nf)
-            weakref.finalize(out_df, res.unpersist)
+
+            def _quiet_unpersist(sdf=res):
+                try:  # session may already be gone at interpreter shutdown
+                    sdf.unpersist()
+                except Exception:
+                    pass
+
+            weakref.finalize(out_df, _quiet_unpersist)
             return out_df
 
         if reduction:
