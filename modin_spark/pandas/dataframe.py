@@ -2681,8 +2681,19 @@ class DataFrame:
                     "__o__": encode_out(r),
                 })
 
+            import uuid
+
             rp = fresh_names(k)
-            res = melted_i.groupBy("__cid__").applyInPandas(apply_reshape, schema).persist()
+            # the unused literal makes this call's canonical plan UNIQUE:
+            # Spark's cache is keyed by canonicalized plan, so two calls
+            # with identical lineage would share one cache entry and the
+            # first frame's weakref unpersist would evict the second call's
+            # cache mid-flight (recomputing the UDF pass)
+            res = (
+                melted_i.groupBy("__cid__").applyInPandas(apply_reshape, schema)
+                .withColumn("__u__", F.lit(uuid.uuid4().hex))
+                .persist()
+            )
             # per-column fingerprint of the (position, label) sequence:
             # k tiny rows decide the alignment shape
             fp = res.groupBy("__cid__").agg(
