@@ -19,6 +19,24 @@ from modin_spark.core import windows as win
 from modin_spark.core.frame import ORDER_COL, SparkFrame, pandas_dtype_to_spark
 from modin_spark.pandas.series import Series, _lit
 
+# Bounded FIFO of persisted shape-changing-apply task outputs (see
+# _apply_axis0's reshape branch): each call persists its UDF output so the
+# alignment fingerprint doesn't run func twice; evicting beyond the cap
+# bounds executor storage without coupling cache lifetime to driver GC
+# (derived frames share the lineage, so recompute after eviction is
+# correct — func is assumed pure, the pandas apply contract).
+_RESHAPE_CACHES: list = []
+
+
+def _retire_reshape_caches(new_sdf, cap: int = 16) -> None:
+    _RESHAPE_CACHES.append(new_sdf)
+    while len(_RESHAPE_CACHES) > cap:
+        old = _RESHAPE_CACHES.pop(0)
+        try:  # session may already be gone at interpreter shutdown
+            old.unpersist()
+        except Exception:
+            pass
+
 
 class DataFrame:
     def __init__(self, data=None, columns=None, index=None, _frame: SparkFrame | None = None):
@@ -2562,13 +2580,25 @@ class DataFrame:
             f"named_struct('__cid__', {ci}, '__v__', CAST({_bq(p)} AS {_vt}))"
             for ci, p in enumerate(fr.data_cols)
         )
-        melted = fr2.sdf.selectExpr("__pos__", f"explode(array({entries})) AS __e__").selectExpr(
-            "__pos__", "__e__.__cid__ AS __cid__", "__e__.__v__ AS __v__"
+        # every branch melts the frame's SINGLE-LEVEL index alongside the
+        # values, and func receives its Series with the REAL typed index —
+        # idxmax/head/nlargest-style label-dependent funcs see pandas'
+        # labels in all three branches (default-index frames use the global
+        # position, which IS the pandas default label; multi-level indexes
+        # keep positional input, documented)
+        has_idx = len(fr.index_cols) == 1
+        idx_sel = (
+            [f"CAST({_bq(fr.index_cols[0])} AS STRING) AS __ilbl__"] if has_idx else []
         )
+        idx_pass = ["__ilbl__"] if has_idx else []
+        idx_tag = in_tag(sdts.get(fr.index_cols[0], "")) if has_idx else None
+        melted = fr2.sdf.selectExpr(
+            "__pos__", *idx_sel, f"explode(array({entries})) AS __e__"
+        ).selectExpr("__pos__", *idx_pass, "__e__.__cid__ AS __cid__", "__e__.__v__ AS __v__")
 
-        def rebuild(vals: pd.Series, tag: str) -> pd.Series:
-            if all_numeric:
-                return pd.Series(vals.to_numpy())
+        def _decode_tagged(vals: pd.Series, tag: str) -> pd.Series:
+            """stringified column -> typed pandas Series (shared by value
+            and index decode)."""
             if tag == "i":
                 return pd.to_numeric(vals)  # int64, or float64 when nulls present
             if tag == "f":
@@ -2577,7 +2607,33 @@ class DataFrame:
                 return vals.map({"true": True, "false": False})
             if tag == "t":
                 return pd.to_datetime(vals)
-            return pd.Series(vals.to_numpy())
+            return vals
+
+        def rebuild(vals: pd.Series, tag: str) -> pd.Series:
+            if all_numeric:
+                arr = vals.to_numpy()
+                if tag == "b":
+                    # bool columns ride the double melt as 1.0/0.0 — restore
+                    # bool-ness so func sees pandas' dtype (value_counts
+                    # labels, any() semantics); nulls upcast to object like
+                    # pandas bool-with-NaN
+                    s = pd.Series(arr != 0.0)
+                    if pd.isna(arr).any():
+                        s = s.astype(object)
+                        s[pd.isna(arr)] = None
+                    return s
+                return pd.Series(arr)
+            return pd.Series(_decode_tagged(vals, tag).to_numpy())
+
+        def input_series(pdf: pd.DataFrame, cid: int) -> pd.Series:
+            """func's view of one column: typed values, REAL typed index."""
+            vals = rebuild(pdf["__v__"], in_tags[cid]).to_numpy()
+            idx = (
+                _decode_tagged(pdf["__ilbl__"], idx_tag).to_numpy()
+                if has_idx
+                else pdf["__pos__"].to_numpy()
+            )
+            return pd.Series(vals, index=idx)
 
         def encode_out(r) -> list:
             if all_numeric:
@@ -2596,14 +2652,11 @@ class DataFrame:
 
         out_t = T.DoubleType() if all_numeric else T.StringType()
 
-        def out_cast(lbl):
-            """Target Spark type per column from the SAMPLED output dtype
-            (documented sampling contract, same as groupby_apply)."""
-            kind = (
-                out_sample[lbl].dtype.kind
-                if not reduction and hasattr(out_sample[lbl], "dtype")
-                else "O"
-            )
+        def out_cast(ci):
+            """Target Spark type per column POSITION from the SAMPLED output
+            dtype (documented sampling contract, same as groupby_apply;
+            positional so duplicate column labels resolve correctly)."""
+            kind = out_sample.iloc[:, ci].dtype.kind if not reduction else "O"
             return {"i": "bigint", "u": "bigint", "f": "double", "b": "boolean",
                     "M": "timestamp"}.get(kind, "string")
 
@@ -2624,36 +2677,14 @@ class DataFrame:
             #   differing indexes with duplicate labels -> pandas' own
             #   "cannot reindex" error.
             # Task output is persisted so the fingerprint action does not
-            # run ``func`` twice; the cache is released when the result
-            # frame is garbage-collected (weakref.finalize).
+            # run ``func`` twice; cache lifetime is a bounded FIFO registry
+            # (not GC-coupled — frames DERIVED from the result share the
+            # lineage, so an eager unpersist on the wrapper's collection
+            # would silently re-run func on their next action).
             if len(fr.index_cols) > 1:
                 # multi-level-index reshape alignment — declared fallback
                 return self._default_to_pandas(lambda pdf: pdf.apply(func, axis=0))
-            import weakref
-
             from modin_spark.core.frame import fresh_names
-
-            has_idx = bool(fr.index_cols)
-            idx_sql = (
-                f"CAST({_bq(fr.index_cols[0])} AS STRING) AS __ilbl__"
-                if has_idx
-                else "CAST(NULL AS STRING) AS __ilbl__"
-            )
-            idx_tag = in_tag(sdts.get(fr.index_cols[0], "")) if has_idx else None
-            melted_i = fr2.sdf.selectExpr(
-                "__pos__", idx_sql, f"explode(array({entries})) AS __e__"
-            ).selectExpr("__pos__", "__ilbl__", "__e__.__cid__ AS __cid__", "__e__.__v__ AS __v__")
-
-            def decode_idx(vals: pd.Series, tag: str) -> pd.Series:
-                if tag == "i":
-                    return pd.to_numeric(vals)
-                if tag == "f":
-                    return vals.astype("float64")
-                if tag == "b":
-                    return vals.map({"true": True, "false": False})
-                if tag == "t":
-                    return pd.to_datetime(vals)
-                return vals
 
             schema = T.StructType([
                 T.StructField("__lbl__", T.StringType()),
@@ -2665,13 +2696,7 @@ class DataFrame:
             def apply_reshape(pdf: pd.DataFrame) -> pd.DataFrame:
                 pdf = pdf.sort_values("__pos__")
                 cid = int(pdf["__cid__"].iloc[0])
-                vals = rebuild(pdf["__v__"], in_tags[cid]).to_numpy()
-                idx = (
-                    decode_idx(pdf["__ilbl__"], idx_tag).to_numpy()
-                    if has_idx
-                    else pdf["__pos__"].to_numpy()
-                )
-                r = func(pd.Series(vals, index=idx))
+                r = func(input_series(pdf, cid))
                 if not isinstance(r, pd.Series):
                     r = pd.Series(r)
                 return pd.DataFrame({
@@ -2687,35 +2712,45 @@ class DataFrame:
             # the unused literal makes this call's canonical plan UNIQUE:
             # Spark's cache is keyed by canonicalized plan, so two calls
             # with identical lineage would share one cache entry and the
-            # first frame's weakref unpersist would evict the second call's
-            # cache mid-flight (recomputing the UDF pass)
+            # registry's eviction of one would clear the other's cache
+            # mid-flight (recomputing the UDF pass)
             res = (
-                melted_i.groupBy("__cid__").applyInPandas(apply_reshape, schema)
+                melted.groupBy("__cid__").applyInPandas(apply_reshape, schema)
                 .withColumn("__u__", F.lit(uuid.uuid4().hex))
                 .persist()
             )
-            # per-column fingerprint of the (position, label) sequence:
-            # k tiny rows decide the alignment shape
+            _retire_reshape_caches(res)
+            # per-column fingerprint of the (position, label) multiset:
+            # a SUM of per-row 60-bit hashes — order-independent, fully
+            # distributed (partial aggregation; no collect_list holding a
+            # high-cardinality column's whole result in one task). The
+            # row hash covers "seq\\x02label"; seq is digits-only, so the
+            # first separator delimits unambiguously whatever the label
+            # contains. k tiny rows decide the alignment shape.
             fp = res.groupBy("__cid__").agg(
                 F.count(F.lit(1)).alias("n"),
                 F.count_distinct("__lbl__").alias("nd"),
-                F.md5(
-                    F.concat_ws(
-                        "\x01",
-                        F.array_sort(
-                            F.collect_list(
-                                F.concat_ws("\x02", F.col("__seq__").cast("string"), F.col("__lbl__"))
-                            )
+                F.sum(
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat_ws("\x02", F.col("__seq__").cast("string"), F.col("__lbl__"))),
+                            1, 15,
                         ),
-                    )
+                        16, 10,
+                    ).cast("decimal(38,0)")
                 ).alias("fp"),
             ).collect()
-            aligned = len(fp) == k and len({r["fp"] for r in fp}) == 1
+            aligned = (
+                len(fp) == k
+                and len({r["fp"] for r in fp}) == 1
+                and len({r["n"] for r in fp}) == 1
+            )
             if not aligned and any(r["nd"] != r["n"] for r in fp):
                 res.unpersist()
                 raise ValueError("cannot reindex on an axis with duplicate labels")
             ikind = out_sample.index.dtype.kind
-            idx_cast = {"i": "bigint", "u": "bigint", "f": "double", "M": "timestamp"}.get(ikind)
+            idx_cast = {"i": "bigint", "u": "bigint", "f": "double", "b": "boolean",
+                        "M": "timestamp"}.get(ikind)
             val_aggs = [
                 F.first(F.when(F.col("__cid__") == ci, F.col("__o__")), ignorenulls=True).alias(rp[ci])
                 for ci in range(k)
@@ -2730,42 +2765,49 @@ class DataFrame:
             sdf = g.select(
                 order_e.alias(ORDER_COL),
                 lbl_e.alias("__albl__"),
-                *[F.col(rp[ci]).cast(out_cast(lbl)).alias(rp[ci]) for ci, lbl in enumerate(fr.columns)],
+                *[F.col(rp[ci]).cast(out_cast(ci)).alias(rp[ci]) for ci in range(k)],
             )
             nf = SparkFrame(
                 sdf, pd.Index(list(fr.columns)), rp,
                 index_cols=["__albl__"], index_names=[out_sample.index.name],
                 has_order=True,
             )
-            out_df = DataFrame(_frame=nf)
-
-            def _quiet_unpersist(sdf=res):
-                try:  # session may already be gone at interpreter shutdown
-                    sdf.unpersist()
-                except Exception:
-                    pass
-
-            weakref.finalize(out_df, _quiet_unpersist)
-            return out_df
+            return DataFrame(_frame=nf)
 
         if reduction:
+            # the OUTPUT type follows the SAMPLED result, not the input: a
+            # numeric frame's reduction can be non-numeric (idxmax returns
+            # index labels), which must ride the string codec
+            red_numeric = all_numeric and out_sample.dtype.kind in "if"
             schema = T.StructType([
-                T.StructField("__cid__", T.IntegerType()), T.StructField("__o__", out_t)
+                T.StructField("__cid__", T.IntegerType()),
+                T.StructField("__o__", T.DoubleType() if red_numeric else T.StringType()),
             ])
+
+            def encode_red(v) -> list:
+                if v is None or (isinstance(v, float) and v != v) or v is pd.NaT:
+                    return [None]
+                if red_numeric:
+                    return [float(v)]
+                if isinstance(v, (bool, np.bool_)):
+                    return ["True" if v else "False"]
+                if isinstance(v, (float, np.floating)):
+                    return [repr(float(v))]
+                return [str(v)]
 
             def apply_red(pdf: pd.DataFrame) -> pd.DataFrame:
                 pdf = pdf.sort_values("__pos__")
                 cid = int(pdf["__cid__"].iloc[0])
-                r = func(rebuild(pdf["__v__"], in_tags[cid]))
-                return pd.DataFrame({"__cid__": [cid], "__o__": encode_out([r])})
+                r = func(input_series(pdf, cid))
+                return pd.DataFrame({"__cid__": [cid], "__o__": encode_red(r)})
 
             rows = melted.groupBy("__cid__").applyInPandas(apply_red, schema).collect()
             vals = {r["__cid__"]: r["__o__"] for r in rows}
-            if all_numeric:
+            if red_numeric:
                 return pd.Series([vals.get(ci) for ci in range(k)], index=list(fr.columns))
 
-            def decode_scalar(lbl, v):
-                sv = out_sample[lbl]
+            def decode_scalar(ci, v):
+                sv = out_sample.iloc[ci]  # positional: dup labels resolve
                 if v is None:
                     return np.nan
                 if isinstance(sv, (bool, np.bool_)):
@@ -2785,7 +2827,7 @@ class DataFrame:
                 return v
 
             return pd.Series(
-                [decode_scalar(lbl, vals.get(ci)) for ci, lbl in enumerate(fr.columns)],
+                [decode_scalar(ci, vals.get(ci)) for ci in range(k)],
                 index=list(fr.columns),
             )
 
@@ -2798,7 +2840,7 @@ class DataFrame:
         def apply_col(pdf: pd.DataFrame) -> pd.DataFrame:
             pdf = pdf.sort_values("__pos__")
             cid = int(pdf["__cid__"].iloc[0])
-            r = func(rebuild(pdf["__v__"], in_tags[cid]))
+            r = func(input_series(pdf, cid))
             return pd.DataFrame({
                 "__pos__": pdf["__pos__"].to_numpy(),
                 "__cid__": pdf["__cid__"].to_numpy(),
@@ -2815,7 +2857,7 @@ class DataFrame:
         casts = (
             [F.col(rp[ci]) for ci in range(k)]
             if all_numeric
-            else [F.col(rp[ci]).cast(out_cast(lbl)) for ci, lbl in enumerate(fr.columns)]
+            else [F.col(rp[ci]).cast(out_cast(ci)) for ci in range(k)]
         )
         out = fr2._same_rows(sdf).project(list(fr.columns), casts)
         return DataFrame(_frame=out._same_rows(out.sdf.drop("__pos__")))

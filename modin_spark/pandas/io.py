@@ -351,7 +351,7 @@ def _pandas_reader(name):
 
 
 def read_excel(io_path, sheet_name=0, header=0, names=None, usecols=None,
-               skiprows=None, nrows=None, **kw) -> DataFrame:
+               skiprows=None, nrows=None, **kw) -> "DataFrame | dict":
     """Parallel xlsx reader (reference: chunked excel dispatcher at
     /root/reference/modin/core/io/text/excel_dispatcher.py — worksheet XML
     split into <row>-aligned byte chunks, parsed by parallel tasks). The

@@ -223,3 +223,46 @@ def test_transpose_columns_carry_index_name(spark):
                        index=pd.Index(["x", "y"], name="idx"))
     m = mpd.from_pandas(pdf.reset_index().set_index("idx")[["a", "b"]]).T
     assert m.to_pandas().columns.name == "idx"
+
+
+def test_apply_axis0_reduction_sees_real_index(spark):
+    # idxmax is label-dependent: the reduction branch must feed func the
+    # frame's real index, not positions
+    pdf = pd.DataFrame({"a": [5, 9, 7], "b": [3, 1, 8]},
+                       index=pd.Index(["w", "x", "y"]))
+    m = mpd.from_pandas(pdf.reset_index().set_index("index")[["a", "b"]])
+    got = m.apply(lambda s: s.idxmax())
+    exp = pdf.apply(lambda s: s.idxmax())
+    assert list(got) == list(exp)  # ['x', 'y']
+
+
+def test_apply_axis0_transform_sees_real_index(spark):
+    # transform whose VALUES depend on the index
+    pdf = pd.DataFrame({"a": [1.0, 2.0, 3.0]}, index=pd.Index([10, 20, 30]))
+    m = mpd.from_pandas(pdf.reset_index().set_index("index")[["a"]])
+    got = m.apply(lambda s: s + s.index.to_series().astype(float)).to_pandas()
+    exp = pdf.apply(lambda s: s + s.index.to_series().astype(float))
+    np.testing.assert_allclose(got.to_numpy(), exp.to_numpy())
+
+
+def test_apply_axis0_reshape_bool_index(spark):
+    pdf = pd.DataFrame({"a": [True, True, False]})
+    got = mpd.from_pandas(pdf).apply(lambda s: s.value_counts()).to_pandas()
+    exp = pdf.apply(lambda s: s.value_counts())
+    assert set(got.index) == set(exp.index)  # boolean labels, not strings
+    assert got.index.dtype.kind == "b"
+
+
+def test_apply_axis0_reshape_dup_column_labels_numeric(spark):
+    # duplicate COLUMN labels: out_cast must resolve positionally, keeping
+    # numeric dtypes instead of degrading to strings
+    pdf = pd.DataFrame([[1, 10], [1, 20], [2, 10]])
+    pdf.columns = ["a", "a"]
+    got = mpd.from_pandas(pdf).apply(lambda s: s.value_counts()).to_pandas()
+    exp = pdf.apply(lambda s: s.value_counts())
+    assert list(got.columns) == ["a", "a"]
+    assert all(dt.kind in "if" for dt in got.dtypes)
+    np.testing.assert_allclose(
+        np.sort(got.fillna(-1).to_numpy(), axis=0),
+        np.sort(exp.fillna(-1).to_numpy(), axis=0),
+    )
