@@ -22,13 +22,16 @@ from modin_spark.pandas.series import Series, _lit
 # Bounded FIFO of persisted shape-changing-apply task outputs (see
 # _apply_axis0's reshape branch): each call persists its UDF output so the
 # alignment fingerprint doesn't run func twice; evicting beyond the cap
-# bounds executor storage without coupling cache lifetime to driver GC
-# (derived frames share the lineage, so recompute after eviction is
-# correct — func is assumed pure, the pandas apply contract).
+# ($SPARK_GRAFT_APPLY_CACHE_CAP, default 16) bounds executor storage
+# without coupling cache lifetime to driver GC. Recompute after eviction
+# is correct because the apply contract assumes a PURE func (pandas itself
+# re-invokes apply funcs); an impure func could diverge from the alignment
+# decision baked in at call time — documented limitation.
 _RESHAPE_CACHES: list = []
 
 
-def _retire_reshape_caches(new_sdf, cap: int = 16) -> None:
+def _retire_reshape_caches(new_sdf) -> None:
+    cap = int(os.environ.get("SPARK_GRAFT_APPLY_CACHE_CAP", "16"))
     _RESHAPE_CACHES.append(new_sdf)
     while len(_RESHAPE_CACHES) > cap:
         old = _RESHAPE_CACHES.pop(0)
@@ -2563,12 +2566,15 @@ class DataFrame:
             return "s"
 
         in_tags = [in_tag(sdts.get(p, "")) for p in fr.data_cols]
-        # numeric frames melt as double (fast, codegen-friendly); any other
-        # dtype mix melts STRINGIFIED (lossless: Java Double.toString
-        # round-trips) with per-cid tags to rebuild the typed pandas Series
-        # inside the task (r6 — strings/bools/timestamps now run
-        # distributed; reference distributes all dtypes the same way via
-        # column partitions, ref dataframe.py:2956)
+        # FLOAT-only frames melt as double (fast, codegen-friendly); any
+        # other dtype mix — including int/bool columns — melts STRINGIFIED
+        # (lossless) with per-cid tags to rebuild the typed pandas Series
+        # inside the task. Ints deliberately take the tagged path: the
+        # double melt would hand func float values (1 -> 1.0, visible to
+        # astype(str)-style funcs) and lose exact integers past 2^53.
+        # (reference distributes all dtypes the same way via column
+        # partitions, ref dataframe.py:2956)
+        all_numeric = all_numeric and all(t == "f" for t in in_tags)
         # ONE selectExpr string, not k F.struct Column objects — same
         # wide-frame py4j construction tax as the transpose melt (see
         # _transpose_distributed)
@@ -2580,18 +2586,18 @@ class DataFrame:
             f"named_struct('__cid__', {ci}, '__v__', CAST({_bq(p)} AS {_vt}))"
             for ci, p in enumerate(fr.data_cols)
         )
-        # every branch melts the frame's SINGLE-LEVEL index alongside the
-        # values, and func receives its Series with the REAL typed index —
+        # every branch melts the frame's index levels alongside the values,
+        # and func receives its Series with the REAL typed index —
         # idxmax/head/nlargest-style label-dependent funcs see pandas'
-        # labels in all three branches (default-index frames use the global
-        # position, which IS the pandas default label; multi-level indexes
-        # keep positional input, documented)
-        has_idx = len(fr.index_cols) == 1
-        idx_sel = (
-            [f"CAST({_bq(fr.index_cols[0])} AS STRING) AS __ilbl__"] if has_idx else []
-        )
-        idx_pass = ["__ilbl__"] if has_idx else []
-        idx_tag = in_tag(sdts.get(fr.index_cols[0], "")) if has_idx else None
+        # labels (a MultiIndex for multi-level frames) in all three
+        # branches; default-index frames use the global position, which IS
+        # the pandas default label
+        n_lvl = len(fr.index_cols)
+        idx_sel = [
+            f"CAST({_bq(c)} AS STRING) AS __ilbl{i}__" for i, c in enumerate(fr.index_cols)
+        ]
+        idx_pass = [f"__ilbl{i}__" for i in range(n_lvl)]
+        idx_tags = [in_tag(sdts.get(c, "")) for c in fr.index_cols]
         melted = fr2.sdf.selectExpr(
             "__pos__", *idx_sel, f"explode(array({entries})) AS __e__"
         ).selectExpr("__pos__", *idx_pass, "__e__.__cid__ AS __cid__", "__e__.__v__ AS __v__")
@@ -2610,34 +2616,41 @@ class DataFrame:
             return vals
 
         def rebuild(vals: pd.Series, tag: str) -> pd.Series:
-            if all_numeric:
-                arr = vals.to_numpy()
-                if tag == "b":
-                    # bool columns ride the double melt as 1.0/0.0 — restore
-                    # bool-ness so func sees pandas' dtype (value_counts
-                    # labels, any() semantics); nulls upcast to object like
-                    # pandas bool-with-NaN
-                    s = pd.Series(arr != 0.0)
-                    if pd.isna(arr).any():
-                        s = s.astype(object)
-                        s[pd.isna(arr)] = None
-                    return s
-                return pd.Series(arr)
+            if all_numeric:  # float-only melt: values arrive as doubles
+                return pd.Series(vals.to_numpy())
             return pd.Series(_decode_tagged(vals, tag).to_numpy())
 
         def input_series(pdf: pd.DataFrame, cid: int) -> pd.Series:
-            """func's view of one column: typed values, REAL typed index."""
+            """func's view of one column: typed values, REAL typed index
+            (MultiIndex for multi-level frames)."""
             vals = rebuild(pdf["__v__"], in_tags[cid]).to_numpy()
-            idx = (
-                _decode_tagged(pdf["__ilbl__"], idx_tag).to_numpy()
-                if has_idx
-                else pdf["__pos__"].to_numpy()
-            )
+            if n_lvl == 0:
+                idx = pdf["__pos__"].to_numpy()
+            elif n_lvl == 1:
+                idx = _decode_tagged(pdf["__ilbl0__"], idx_tags[0]).to_numpy()
+            else:
+                idx = pd.MultiIndex.from_arrays([
+                    _decode_tagged(pdf[f"__ilbl{i}__"], idx_tags[i]).to_numpy()
+                    for i in range(n_lvl)
+                ])
             return pd.Series(vals, index=idx)
 
+        # the OUTPUT codec keys on the SAMPLED result dtypes, not the input
+        # melt: a float frame's func can return strings/bools/ints, which
+        # must ride the string codec (ints for exactness past 2^53)
+        if reduction:
+            out_numeric = all_numeric and out_sample.dtype.kind == "f"
+        else:
+            out_numeric = all_numeric and all(
+                out_sample.iloc[:, ci].dtype.kind == "f" for ci in range(k)
+            )
+
         def encode_out(r) -> list:
-            if all_numeric:
-                return list(np.asarray(r, dtype="float64"))
+            if out_numeric:
+                return [
+                    None if v is None or (isinstance(v, float) and v != v) else float(v)
+                    for v in pd.Series(r).tolist()
+                ]
             out = []
             for v in pd.Series(r).tolist():
                 if v is None or (isinstance(v, float) and v != v) or v is pd.NaT:
@@ -2650,7 +2663,7 @@ class DataFrame:
                     out.append(str(v))
             return out
 
-        out_t = T.DoubleType() if all_numeric else T.StringType()
+        out_t = T.DoubleType() if out_numeric else T.StringType()
 
         def out_cast(ci):
             """Target Spark type per column POSITION from the SAMPLED output
@@ -2693,6 +2706,20 @@ class DataFrame:
                 T.StructField("__o__", out_t),
             ])
 
+            # result labels canonicalize per the SAMPLED union-index kind:
+            # pandas unifies int 0 and float 0.0 labels across columns, so
+            # an int column's labels must stringify identically to a float
+            # column's when the union index is float (kind is dtype-driven,
+            # hence sample-stable)
+            lbl_kind = out_sample.index.dtype.kind
+
+            def lblstr(x) -> str:
+                if lbl_kind in "iu":
+                    return str(int(x))
+                if lbl_kind == "f":
+                    return repr(float(x))
+                return str(x)
+
             def apply_reshape(pdf: pd.DataFrame) -> pd.DataFrame:
                 pdf = pdf.sort_values("__pos__")
                 cid = int(pdf["__cid__"].iloc[0])
@@ -2700,7 +2727,7 @@ class DataFrame:
                 if not isinstance(r, pd.Series):
                     r = pd.Series(r)
                 return pd.DataFrame({
-                    "__lbl__": [str(x) for x in r.index],
+                    "__lbl__": [lblstr(x) for x in r.index],
                     "__seq__": np.arange(len(r), dtype="int64"),
                     "__cid__": np.full(len(r), cid, dtype="int32"),
                     "__o__": encode_out(r),
@@ -2747,6 +2774,7 @@ class DataFrame:
             )
             if not aligned and any(r["nd"] != r["n"] for r in fp):
                 res.unpersist()
+                _RESHAPE_CACHES[:] = [c for c in _RESHAPE_CACHES if c is not res]
                 raise ValueError("cannot reindex on an axis with duplicate labels")
             ikind = out_sample.index.dtype.kind
             idx_cast = {"i": "bigint", "u": "bigint", "f": "double", "b": "boolean",
@@ -2775,35 +2803,19 @@ class DataFrame:
             return DataFrame(_frame=nf)
 
         if reduction:
-            # the OUTPUT type follows the SAMPLED result, not the input: a
-            # numeric frame's reduction can be non-numeric (idxmax returns
-            # index labels), which must ride the string codec
-            red_numeric = all_numeric and out_sample.dtype.kind in "if"
             schema = T.StructType([
-                T.StructField("__cid__", T.IntegerType()),
-                T.StructField("__o__", T.DoubleType() if red_numeric else T.StringType()),
+                T.StructField("__cid__", T.IntegerType()), T.StructField("__o__", out_t)
             ])
-
-            def encode_red(v) -> list:
-                if v is None or (isinstance(v, float) and v != v) or v is pd.NaT:
-                    return [None]
-                if red_numeric:
-                    return [float(v)]
-                if isinstance(v, (bool, np.bool_)):
-                    return ["True" if v else "False"]
-                if isinstance(v, (float, np.floating)):
-                    return [repr(float(v))]
-                return [str(v)]
 
             def apply_red(pdf: pd.DataFrame) -> pd.DataFrame:
                 pdf = pdf.sort_values("__pos__")
                 cid = int(pdf["__cid__"].iloc[0])
                 r = func(input_series(pdf, cid))
-                return pd.DataFrame({"__cid__": [cid], "__o__": encode_red(r)})
+                return pd.DataFrame({"__cid__": [cid], "__o__": encode_out([r])})
 
             rows = melted.groupBy("__cid__").applyInPandas(apply_red, schema).collect()
             vals = {r["__cid__"]: r["__o__"] for r in rows}
-            if red_numeric:
+            if out_numeric:
                 return pd.Series([vals.get(ci) for ci in range(k)], index=list(fr.columns))
 
             def decode_scalar(ci, v):
@@ -2854,11 +2866,10 @@ class DataFrame:
         piv = res.groupBy("__pos__").pivot("__cid__", list(range(k))).agg(F.first("__o__"))
         piv = piv.select(F.col("__pos__").alias("__pp__"), *[F.col(str(ci)).alias(rp[ci]) for ci in range(k)])
         sdf = fr2.sdf.join(piv, fr2.sdf["__pos__"] == piv["__pp__"], "left").drop("__pp__")
-        casts = (
-            [F.col(rp[ci]) for ci in range(k)]
-            if all_numeric
-            else [F.col(rp[ci]).cast(out_cast(ci)) for ci in range(k)]
-        )
+        # out_cast keys on the sampled output kinds, so this is a no-op
+        # double->double cast on the out_numeric fast path and the typed
+        # decode (exact bigint, boolean, timestamp, string) otherwise
+        casts = [F.col(rp[ci]).cast(out_cast(ci)) for ci in range(k)]
         out = fr2._same_rows(sdf).project(list(fr.columns), casts)
         return DataFrame(_frame=out._same_rows(out.sdf.drop("__pos__")))
 

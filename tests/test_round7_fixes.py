@@ -266,3 +266,42 @@ def test_apply_axis0_reshape_dup_column_labels_numeric(spark):
         np.sort(got.fillna(-1).to_numpy(), axis=0),
         np.sort(exp.fillna(-1).to_numpy(), axis=0),
     )
+
+
+def test_apply_axis0_multiindex_input_labels(spark):
+    # multi-level-index frames: func sees a real MultiIndex in the
+    # reduction branch (idxmax returns the tuple label)
+    idx = pd.MultiIndex.from_tuples([("x", 1), ("y", 2), ("z", 3)])
+    pdf = pd.DataFrame({"a": [5, 9, 7], "b": [1, 2, 8]}, index=idx)
+    m = mpd.from_pandas(
+        pdf.reset_index().set_index(["level_0", "level_1"])[["a", "b"]]
+    )
+    got = m.apply(lambda s: str(s.idxmax()))
+    exp = pdf.apply(lambda s: str(s.idxmax()))
+    assert list(got) == list(exp)
+
+
+def test_apply_axis0_string_output_from_int_frame(spark):
+    # int frame, string-returning transform: values keep pandas' '1' (not
+    # '1.0') because ints ride the tagged melt and the output codec keys
+    # on the sampled result dtype
+    pdf = pd.DataFrame({"a": [3, 1, 2]})
+    got = mpd.from_pandas(pdf).apply(lambda s: s.astype(str)).to_pandas()
+    exp = pdf.apply(lambda s: s.astype(str))
+    assert got["a"].tolist() == exp["a"].tolist()
+
+
+def test_apply_axis0_bool_transform_output(spark):
+    pdf = pd.DataFrame({"a": [True, False, True]})
+    got = mpd.from_pandas(pdf).apply(lambda s: ~s).to_pandas()
+    exp = pdf.apply(lambda s: ~s)
+    assert got["a"].tolist() == exp["a"].tolist()
+    assert got["a"].dtype.kind == "b"
+
+
+def test_apply_axis0_reduction_exact_bigint(spark):
+    # int reductions ride the string codec: exact past 2^53
+    big = 2**53 + 1
+    pdf = pd.DataFrame({"a": [big, 1]})
+    got = mpd.from_pandas(pdf).apply(lambda s: s.max())
+    assert got["a"] == big and isinstance(got["a"], (int, np.integer))
