@@ -1312,6 +1312,27 @@ def _apply_axis0_vcounts(spark, sf):
     )
 
 
+def _apply_axis0_mi_reshape(spark, sf):
+    """SHAPE-CHANGING df.apply(axis=0) over a 2-level MultiIndex-ed frame,
+    DISTRIBUTED (r8: the last driver fallback closed): the index levels ride
+    the melt as __ilbl columns, each column's task sees its Series with the
+    real MultiIndex, and the per-column value_counts results union-align on
+    their own labels — no driver materialization. Reference runs these
+    through apply_full_axis column partitions
+    (modin/core/dataframe/pandas/dataframe/dataframe.py:2956)."""
+    mpd = _mpd()
+    d = mpd.read_parquet(f"{sf}/documents.parquet")
+    d["len_bucket"] = (d["n_chars"] // 200).astype(str)
+    d = d.set_index(["lang", "doc_id"])[["source", "len_bucket"]]
+    out = d.apply(lambda s: s.value_counts(), axis=0).reset_index()
+    out = out.rename(columns={"index": "val"})
+    return out.to_spark(ordered=False).select(
+        "val",
+        F.col("source").cast("double").alias("src_count"),
+        F.col("len_bucket").cast("double").alias("lb_count"),
+    )
+
+
 def _transpose_mixed(spark, sf):
     """Distributed transpose of a MIXED str/int frame (r6: stringified
     melt + pivot + per-header retype probe — no driver materialization;
@@ -2025,6 +2046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transpose_mixed": _transpose_mixed,
         "apply_axis0_strings": _apply_axis0_strings,
         "apply_axis0_vcounts": _apply_axis0_vcounts,
+        "apply_axis0_mi_reshape": _apply_axis0_mi_reshape,
         "docs_decontaminate": _docs_decontaminate,
         "docs_pack_sequences": _docs_pack_sequences,
         "docs_shard_layout": _docs_shard_layout,
@@ -2451,6 +2473,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(rf.c AS DOUBLE) AS rf_count,
                    CAST(ls.c AS DOUBLE) AS ls_count
             FROM rf FULL OUTER JOIN ls ON rf.v = ls.v
+        """,
+        "apply_axis0_mi_reshape": """
+            WITH s AS (SELECT source AS v, COUNT(*) AS c FROM documents GROUP BY 1),
+                 lb AS (SELECT CAST(n_chars // 200 AS VARCHAR) AS v, COUNT(*) AS c
+                        FROM documents GROUP BY 1)
+            SELECT COALESCE(s.v, lb.v) AS val,
+                   CAST(s.c AS DOUBLE) AS src_count,
+                   CAST(lb.c AS DOUBLE) AS lb_count
+            FROM s FULL OUTER JOIN lb ON s.v = lb.v
         """,
         "transpose_mixed": """
             SELECT 'name_lc' AS stat,

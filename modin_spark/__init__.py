@@ -14,7 +14,8 @@ here Spark *is* the partition manager, so that whole layer is absent by design.
 """
 
 from modin_spark.session import get_spark, stop_spark
+from modin_spark.core.compiler import invalidate_catalog_memo
 
 __version__ = "0.1.0"
 
-__all__ = ["get_spark", "stop_spark", "__version__"]
+__all__ = ["get_spark", "stop_spark", "invalidate_catalog_memo", "__version__"]

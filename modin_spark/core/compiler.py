@@ -300,12 +300,22 @@ NULL_SAFE_MERGE = True
 # SubqueryAlias, i.e. a table written via saveAsTable — when the catalog is
 # empty the walk (an analyzed() materialization + a py4j call per plan node,
 # twice per merge) is pure driver-side overhead on every merge chain.
-# Invalidated by DataFrame.to_table (the only saveAsTable site) and on
-# session change.
+# Invalidated by DataFrame.to_table (the only saveAsTable site in this
+# package) and on session change. LIMITATION: a table created OUTSIDE this
+# API on the same session (spark.sql('CREATE TABLE ...'), df.write
+# .saveAsTable on a raw pyspark frame) leaves the memo stale-False and
+# bucketed-merge detection disabled for it — performance-only, never a
+# correctness issue. Call modin_spark.invalidate_catalog_memo() (public
+# API) after out-of-band catalog writes to re-enable the bucketed path.
 _CATALOG_MEMO = {"sid": None, "has_tables": False}
 
 
 def invalidate_catalog_memo() -> None:
+    """Drop the session catalog memo so the next merge re-checks the catalog.
+
+    Call after creating a persistent table outside this package (e.g.
+    ``spark.sql('CREATE TABLE ...')``) to re-enable bucketed-merge
+    detection for it; see _CATALOG_MEMO above."""
     _CATALOG_MEMO["sid"] = None
 
 

@@ -1656,7 +1656,14 @@ class DataFrame:
                 raise NotImplementedError("pivot_table margins with multi-key columns")
             col_physes = [fr.data_cols[fr.positions_of([c])[0]] for c in columns_list]
             combo_phys = _fn(1)[0]
-            key_expr = F.concat_ws("\x1f", *[F.col(p).cast("string") for p in col_physes])
+            # hex-encode each component before joining: hex output is
+            # [0-9A-F] only, so the \x1f separator can never occur inside a
+            # component and the composite key is collision-free for ANY key
+            # values (label_of reads the real columns, never parses the key)
+            key_expr = F.concat_ws(
+                "\x1f",
+                *[F.hex(F.encode(F.col(p).cast("string"), "UTF-8")) for p in col_physes],
+            )
             sdf2 = fr.sdf.withColumn(combo_phys, key_expr)
             nn = " AND ".join(f"{p} IS NOT NULL" for p in col_physes)
             combos = sorted(
@@ -1686,12 +1693,20 @@ class DataFrame:
                 return tuple(head) + label_of[pv]
 
             labels = [_lbl(*k3) for k3 in keys3]
+            # pandas: key-derived column levels carry the key column names;
+            # aggfunc/values prefix levels are unnamed
+            nhead = (1 if isinstance(aggfunc, list) else 0) + (
+                1 if isinstance(values, list) else 0
+            )
+            lbl_names = [None] * nhead + list(columns_list)
             out_phys = _fn(len(labels))
             sel = [F.struct(*[F.col(p) for p in idx_phys]).alias(ORDER_COL)]
             sel += [F.col(p) for p in idx_phys]
             sel += [F.col(name_of[k3]).alias(np_) for k3, np_ in zip(keys3, out_phys)]
             out = SparkFrame(
-                pivoted.select(*sel), pd.MultiIndex.from_tuples(labels), out_phys,
+                pivoted.select(*sel),
+                pd.MultiIndex.from_tuples(labels, names=lbl_names),
+                out_phys,
                 idx_phys, list(index),
             )
             return DataFrame(_frame=out)
@@ -1911,7 +1926,26 @@ class DataFrame:
     divide = div
 
     def floordiv(self, other, axis="columns", fill_value=None):
-        # pandas: x // 0 -> signed inf (float result), like truediv
+        # pandas: x // 0 -> signed inf (float result), like truediv;
+        # int columns // a nonzero int scalar keep int64 (exact, r8)
+        from modin_spark.pandas.series import _is_nonzero_int_scalar, _int_floor_div
+
+        if _is_nonzero_int_scalar(other):
+            fr = self._frame
+            sdts = dict(fr.sdf.dtypes)
+            exprs = []
+            for i in range(len(fr.columns)):
+                la = fr.scol(i)
+                if fill_value is not None:
+                    la = F.coalesce(la, F.lit(fill_value))
+                t = sdts.get(fr.data_cols[i], "")
+                if t in ("tinyint", "smallint", "int", "bigint"):
+                    exprs.append(_int_floor_div(la, F.lit(other)))
+                else:
+                    exprs.append(
+                        F.floor(la.cast("double") / F.lit(other)).cast("double")
+                    )
+            return DataFrame(_frame=fr.project(list(fr.columns), exprs))
         return self._binary_frame(
             other,
             lambda a, b: F.when(b.cast("double") == 0, DataFrame._true_div(a, b))
@@ -2694,29 +2728,38 @@ class DataFrame:
             # (not GC-coupled — frames DERIVED from the result share the
             # lineage, so an eager unpersist on the wrapper's collection
             # would silently re-run func on their next action).
-            if len(fr.index_cols) > 1:
-                # multi-level-index reshape alignment — declared fallback
-                return self._default_to_pandas(lambda pdf: pdf.apply(func, axis=0))
             from modin_spark.core.frame import fresh_names
 
-            schema = T.StructType([
-                T.StructField("__lbl__", T.StringType()),
-                T.StructField("__seq__", T.LongType()),
-                T.StructField("__cid__", T.IntegerType()),
-                T.StructField("__o__", out_t),
-            ])
+            # the RESULT index may itself be multi-level (head-like funcs on
+            # a MultiIndex-ed frame, groupby-shaped results): one stringified
+            # label column PER result level rides the task output; the input
+            # index — any nlevels — already reached func via input_series,
+            # so no input-shape fallback remains (r8; §2.1 apply_full_axis
+            # fully distributed)
+            m = out_sample.index.nlevels
+            lbl_cols = [f"__lbl{j}__" for j in range(m)]
+            schema = T.StructType(
+                [T.StructField(lc, T.StringType()) for lc in lbl_cols]
+                + [
+                    T.StructField("__seq__", T.LongType()),
+                    T.StructField("__cid__", T.IntegerType()),
+                    T.StructField("__o__", out_t),
+                ]
+            )
 
             # result labels canonicalize per the SAMPLED union-index kind:
             # pandas unifies int 0 and float 0.0 labels across columns, so
             # an int column's labels must stringify identically to a float
             # column's when the union index is float (kind is dtype-driven,
             # hence sample-stable)
-            lbl_kind = out_sample.index.dtype.kind
+            lbl_kinds = [
+                out_sample.index.get_level_values(j).dtype.kind for j in range(m)
+            ]
 
-            def lblstr(x) -> str:
-                if lbl_kind in "iu":
+            def lblstr(x, kind) -> str:
+                if kind in "iu":
                     return str(int(x))
-                if lbl_kind == "f":
+                if kind == "f":
                     return repr(float(x))
                 return str(x)
 
@@ -2726,12 +2769,22 @@ class DataFrame:
                 r = func(input_series(pdf, cid))
                 if not isinstance(r, pd.Series):
                     r = pd.Series(r)
-                return pd.DataFrame({
-                    "__lbl__": [lblstr(x) for x in r.index],
-                    "__seq__": np.arange(len(r), dtype="int64"),
-                    "__cid__": np.full(len(r), cid, dtype="int32"),
-                    "__o__": encode_out(r),
-                })
+                if r.index.nlevels != m:
+                    raise ValueError(
+                        f"modin_spark apply(axis=0): func returned a "
+                        f"{r.index.nlevels}-level index for column {cid} but the "
+                        f"driver sample (head(100)) produced {m} levels; funcs "
+                        f"must return a consistent index shape across columns "
+                        f"and sample sizes"
+                    )
+                data = {}
+                for j in range(m):
+                    lv = r.index.get_level_values(j)
+                    data[lbl_cols[j]] = [lblstr(x, lbl_kinds[j]) for x in lv]
+                data["__seq__"] = np.arange(len(r), dtype="int64")
+                data["__cid__"] = np.full(len(r), cid, dtype="int32")
+                data["__o__"] = encode_out(r)
+                return pd.DataFrame(data)
 
             import uuid
 
@@ -2747,20 +2800,25 @@ class DataFrame:
                 .persist()
             )
             _retire_reshape_caches(res)
-            # per-column fingerprint of the (position, label) multiset:
+            # per-column fingerprint of the (position, label-tuple) multiset:
             # a SUM of per-row 60-bit hashes — order-independent, fully
             # distributed (partial aggregation; no collect_list holding a
-            # high-cardinality column's whole result in one task). The
-            # row hash covers "seq\\x02label"; seq is digits-only, so the
-            # first separator delimits unambiguously whatever the label
-            # contains. k tiny rows decide the alignment shape.
+            # high-cardinality column's whole result in one task). Each
+            # label level is hex-encoded before joining so the \x02
+            # separator can never occur inside a component (unambiguous for
+            # ANY label content, any nlevels). k tiny rows decide the
+            # alignment shape.
             fp = res.groupBy("__cid__").agg(
                 F.count(F.lit(1)).alias("n"),
-                F.count_distinct("__lbl__").alias("nd"),
+                F.count_distinct(F.struct(*[F.col(lc) for lc in lbl_cols])).alias("nd"),
                 F.sum(
                     F.conv(
                         F.substring(
-                            F.md5(F.concat_ws("\x02", F.col("__seq__").cast("string"), F.col("__lbl__"))),
+                            F.md5(F.concat_ws(
+                                "\x02",
+                                F.col("__seq__").cast("string"),
+                                *[F.hex(F.encode(F.col(lc), "UTF-8")) for lc in lbl_cols],
+                            )),
                             1, 15,
                         ),
                         16, 10,
@@ -2776,28 +2834,46 @@ class DataFrame:
                 res.unpersist()
                 _RESHAPE_CACHES[:] = [c for c in _RESHAPE_CACHES if c is not res]
                 raise ValueError("cannot reindex on an axis with duplicate labels")
-            ikind = out_sample.index.dtype.kind
-            idx_cast = {"i": "bigint", "u": "bigint", "f": "double", "b": "boolean",
-                        "M": "timestamp"}.get(ikind)
+            idx_casts = [
+                {"i": "bigint", "u": "bigint", "f": "double", "b": "boolean",
+                 "M": "timestamp"}.get(lbl_kinds[j])
+                for j in range(m)
+            ]
+
+            def _order_of(j):
+                c = F.col(lbl_cols[j])
+                return c.cast("double") if lbl_kinds[j] in "iuf" else c
+
             val_aggs = [
                 F.first(F.when(F.col("__cid__") == ci, F.col("__o__")), ignorenulls=True).alias(rp[ci])
                 for ci in range(k)
             ]
             if aligned:
-                g = res.groupBy("__seq__").agg(F.first("__lbl__").alias("__lbl__"), *val_aggs)
+                g = res.groupBy("__seq__").agg(
+                    *[F.first(lc).alias(lc) for lc in lbl_cols], *val_aggs
+                )
                 order_e = F.col("__seq__")
             else:
-                g = res.groupBy("__lbl__").agg(*val_aggs)
-                order_e = F.col("__lbl__").cast("double") if ikind in "iuf" else F.col("__lbl__")
-            lbl_e = F.col("__lbl__").cast(idx_cast) if idx_cast else F.col("__lbl__")
+                # union-sort on the typed labels; multi-level sorts
+                # lexicographically by level, pandas-style
+                g = res.groupBy(*lbl_cols).agg(*val_aggs)
+                order_e = (
+                    _order_of(0) if m == 1
+                    else F.struct(*[_order_of(j) for j in range(m)])
+                )
+            albls = [f"__albl{j}__" for j in range(m)]
+            lbl_es = [
+                (F.col(lbl_cols[j]).cast(idx_casts[j]) if idx_casts[j] else F.col(lbl_cols[j])).alias(albls[j])
+                for j in range(m)
+            ]
             sdf = g.select(
                 order_e.alias(ORDER_COL),
-                lbl_e.alias("__albl__"),
+                *lbl_es,
                 *[F.col(rp[ci]).cast(out_cast(ci)).alias(rp[ci]) for ci in range(k)],
             )
             nf = SparkFrame(
                 sdf, pd.Index(list(fr.columns)), rp,
-                index_cols=["__albl__"], index_names=[out_sample.index.name],
+                index_cols=albls, index_names=list(out_sample.index.names),
                 has_order=True,
             )
             return DataFrame(_frame=nf)
@@ -2853,6 +2929,22 @@ class DataFrame:
             pdf = pdf.sort_values("__pos__")
             cid = int(pdf["__cid__"].iloc[0])
             r = func(input_series(pdf, cid))
+            if len(r) != len(pdf):
+                # the driver sample (head(100)) classified func as
+                # length-preserving, but on the full column it is not —
+                # e.g. lambda s: s.head(100) on a 300-row frame, which the
+                # truncated sample cannot distinguish from identity. Raise
+                # the sampling contract explicitly instead of Spark's
+                # opaque 'All arrays must be of the same length'.
+                raise ValueError(
+                    f"modin_spark apply(axis=0): func returned {len(r)} rows "
+                    f"for a {len(pdf)}-row column, but the driver sample "
+                    f"(head(100)) classified it as a length-preserving "
+                    f"transform. Funcs whose output length depends on input "
+                    f"length (head/tail/sample-like) violate the sampling "
+                    f"contract; slice with .iloc on the frame instead, or "
+                    f"make the output shape sample-stable."
+                )
             return pd.DataFrame({
                 "__pos__": pdf["__pos__"].to_numpy(),
                 "__cid__": pdf["__cid__"].to_numpy(),

@@ -54,6 +54,29 @@ def _floor_div(a: Column, b: Column) -> Column:
     )
 
 
+def _int_floor_div(a: Column, b: Column) -> Column:
+    """Exact int // nonzero-int floor division, int64 result (pandas: int
+    dtype survives floordiv by a nonzero int). (a - a % b) is exactly
+    divisible by b, giving truncation-toward-zero; subtracting 1 where the
+    remainder's sign disagrees with the divisor's turns it into FLOOR for
+    negative operands, pandas-style. Decimal math keeps it exact past 2^53
+    where the double path would round."""
+    D = "decimal(38,0)"
+    r0 = a % b  # Spark %: remainder with the DIVIDEND's sign
+    trunc = (a.cast(D) - r0.cast(D)) / b.cast(D)
+    return (
+        F.when((r0 != 0) & ((r0 < 0) != (b < 0)), trunc - 1)
+        .otherwise(trunc)
+        .cast("bigint")
+    )
+
+
+def _is_nonzero_int_scalar(o) -> bool:
+    import numbers
+
+    return isinstance(o, numbers.Integral) and not isinstance(o, bool) and o != 0
+
+
 class Series:
     def __init__(self, frame: SparkFrame, expr: Column, refs: set[str], name=None, filter_expr: Column | None = None):
         self._frame = frame
@@ -247,7 +270,15 @@ class Series:
         return self._binary(o, _true_div, reverse=True)
 
     def __floordiv__(self, o):
-        return self._binary(o, _floor_div)
+        return self._binary(o, self._floordiv_op(o))
+
+    def _floordiv_op(self, o):
+        """int series // nonzero int scalar keeps int64 (pandas); any zero
+        divisor, float operand, or series divisor (data-dependent dtype in
+        pandas) takes the double path."""
+        if _is_nonzero_int_scalar(o) and self.dtype.kind in "iu":
+            return _int_floor_div
+        return _floor_div
 
     def __mod__(self, o):
         return self._binary(o, _pmod)
@@ -281,7 +312,7 @@ class Series:
     divide = truediv
 
     def floordiv(self, other, level=None, fill_value=None, axis=0):
-        return self._flex(other, _floor_div, fill_value=fill_value)
+        return self._flex(other, self._floordiv_op(other), fill_value=fill_value)
 
     def mod(self, other, level=None, fill_value=None, axis=0):
         return self._flex(other, _pmod, fill_value=fill_value)

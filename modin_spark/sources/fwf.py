@@ -124,10 +124,18 @@ def read_fwf_spark(path: str, colspecs="infer", widths=None, names=None,
         .load(path)
     )
 
+    # pandas' default NA token set (pandas.io.parsers STR_NA_VALUES): these
+    # become NULL in EVERY column, string columns included — matching the
+    # pandas delegate this reader falls back to for exotic kwargs
+    na_tokens = [
+        "", "#N/A", "#N/A N/A", "#NA", "-1.#IND", "-1.#QNAN", "-NaN", "-nan",
+        "1.#IND", "1.#QNAN", "<NA>", "N/A", "NA", "NULL", "NaN", "None",
+        "n/a", "nan", "null",
+    ]
     exprs = []
     for (a, b), c, t in zip(spans, cols, types):
         field = F.trim(F.substring(F.col("__line__"), a + 1, b - a))
-        field = F.when(field != "", field)  # empty -> NULL (pandas NaN)
+        field = F.when(~field.isin(na_tokens), field)  # NA tokens -> NULL (pandas NaN)
         if t != "string":
             field = field.cast(t)
         exprs.append(field.alias(c))
