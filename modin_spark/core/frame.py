@@ -275,7 +275,9 @@ class SparkFrame:
             and pdf.index.equals(pd.RangeIndex(len(pdf)))
         )
         idx_phys = [] if default_range else fresh_names(n_levels)
-        data_labels = pd.Index(pdf.columns)
+        # keep the column Index OBJECT (pd.Index(mi) would flatten a
+        # MultiIndex to tuples); pdf.columns is always already a pd.Index
+        data_labels = pdf.columns
         data_phys = fresh_names(len(data_labels))
 
         flat = pd.DataFrame()

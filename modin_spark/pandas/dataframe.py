@@ -274,7 +274,7 @@ class DataFrame:
             return DataFrame(_frame=fr.filter(cond))
         raise NotImplementedError("drop: nothing to drop")
 
-    def rename(self, columns=None, **kw) -> "DataFrame":
+    def rename(self, columns=None, level=None, **kw) -> "DataFrame":
         if columns is None:
             raise NotImplementedError("rename supports columns= only")
         fr = self._frame
@@ -282,16 +282,22 @@ class DataFrame:
             columns = {c: columns(c) for c in fr.columns}
         if isinstance(fr.columns, pd.MultiIndex):
             # tuple keys rename the whole column label (flattening it);
-            # string keys / callables map individual level values (pandas)
+            # string keys / callables map individual level values (pandas);
+            # level= restricts the mapper to ONE level (int or level name)
+            if level is not None and not isinstance(level, int):
+                level = list(fr.columns.names).index(level)
             fn = columns if callable(columns) else (lambda v: columns.get(v, v))
             mapped = []
             for tup in fr.columns:
-                if not callable(columns) and tup in columns:
+                if not callable(columns) and level is None and tup in columns:
                     mapped.append(columns[tup])
                 else:
-                    mapped.append(tuple(fn(v) for v in tup))
+                    mapped.append(tuple(
+                        fn(v) if level is None or j == level else v
+                        for j, v in enumerate(tup)
+                    ))
             if all(isinstance(x, tuple) for x in mapped):
-                new_cols = pd.MultiIndex.from_tuples(mapped)
+                new_cols = pd.MultiIndex.from_tuples(mapped, names=fr.columns.names)
             elif not any(isinstance(x, tuple) for x in mapped):
                 new_cols = pd.Index(mapped)
             else:
@@ -684,13 +690,14 @@ class DataFrame:
         translated = _re.sub(r"~\s*", " not ", translated)
         return translated
 
-    def query(self, expr: str) -> "DataFrame":
+    def query(self, expr: str, inplace: bool = False) -> "DataFrame | None":
         """pandas.query via Spark SQL — labels resolved to physical columns,
         pandas operators translated (Spark SQL already accepts and/or/==)."""
         translated = self._translate_query(expr, caller_depth=2)
-        return DataFrame(_frame=self._frame.filter(F.expr(translated)))
+        out = DataFrame(_frame=self._frame.filter(F.expr(translated)))
+        return self._maybe_inplace(out, inplace)
 
-    def eval(self, expr: str) -> "DataFrame | Series":
+    def eval(self, expr: str, inplace: bool = False) -> "DataFrame | Series | None":
         """pandas.eval — 'new = expression' adds a column; a bare expression
         returns a Series. Same label->physical translation as query; the
         expression itself runs as a Catalyst expression (F.expr)."""
@@ -702,7 +709,10 @@ class DataFrame:
         rhs = self._translate_query(rhs, caller_depth=2)
         col = F.expr(rhs)
         if m:
-            return DataFrame(_frame=fr.with_columns([m.group(1)], [col]))
+            out = DataFrame(_frame=fr.with_columns([m.group(1)], [col]))
+            return self._maybe_inplace(out, inplace)
+        if inplace:
+            raise ValueError("Cannot operate inplace if there is no assignment")
         return Series(fr, col, set(fr.data_cols), None)
 
     def sort_values(self, by, ascending=True, na_position="last", kind=None, ignore_index=False,
@@ -1594,7 +1604,10 @@ class DataFrame:
         out = SparkFrame(sdf.select(*sel), pd.Index(id_vars + [var_name, value_name]), out_phys)
         return DataFrame(_frame=out)
 
-    def explode(self, column) -> "DataFrame":
+    def explode(self, column, ignore_index: bool = False) -> "DataFrame":
+        if ignore_index:
+            # pandas: result gets a fresh RangeIndex
+            return self.explode(column).reset_index(drop=True)
         fr = self._frame.ensure_order()
         from modin_spark.core.frame import fresh_names as _fn
 
@@ -2144,10 +2157,11 @@ class DataFrame:
         return self.pivot_table(values=values, index=[index] if isinstance(index, str) else index,
                                 columns=columns, aggfunc="first")
 
-    def stack(self):
+    def stack(self, future_stack: bool = False):
         """Columns → rows. Flat columns: a (index, column-label) MultiIndex
         Series in pandas' row-major order with NaN cells dropped (classic
-        ``stack`` semantics) — melt + an ORDER-struct swap, no extra shuffle.
+        ``stack`` semantics; ``future_stack=True`` keeps them, pandas 2.x
+        new semantics) — melt + an ORDER-struct swap, no extra shuffle.
         2-level columns: the LAST column level moves into the index and the
         output columns are the level-0 labels (pandas ``future_stack``
         order-of-appearance semantics) — ONE posexplode, no shuffle."""
@@ -2174,7 +2188,9 @@ class DataFrame:
         # melt emits column-major ORDER (v, o); stack is row-major — swap
         sdf = mfr.sdf.withColumn(
             _OC, F.struct(F.col(f"{_OC}.o").alias("a"), F.col(f"{_OC}.v").alias("b"))
-        ).where(F.col(mfr.data_cols[-1]).isNotNull())  # classic stack drops NaN
+        )
+        if not future_stack:  # classic stack drops NaN; future_stack keeps
+            sdf = sdf.where(F.col(mfr.data_cols[-1]).isNotNull())
         swapped = SparkFrame(sdf, mfr.columns, mfr.data_cols, mfr.index_cols, mfr.index_names)
         st = DataFrame(_frame=swapped).set_index(id_vars + ["__slv__"])
         stf = st._frame._same_rows(st._frame.sdf, index_names=idx_names + [None])

@@ -146,3 +146,113 @@ def test_frame_floordiv_per_column_dtype():
     got = (mpd.DataFrame(pdf) // 3).to_pandas()
     pd.testing.assert_frame_equal(got, pdf // 3)
     assert got["a"].dtype.kind == "i" and got["b"].dtype.kind == "f"
+
+
+# ------------------------------------------------------- probe wave 9 kwargs
+def test_groupby_dropna_false():
+    pdf = pd.DataFrame({"g": ["a", "b", None, "a", "b"], "x": [1.0, 2, 3, 4, 5]})
+    got = (
+        mpd.DataFrame(pdf).groupby("g", dropna=False).agg(s=("x", "sum"))
+        .reset_index().sort_values("g", na_position="last").reset_index(drop=True)
+        .to_pandas()
+    )
+    exp = (
+        pdf.groupby("g", dropna=False).agg(s=("x", "sum"))
+        .reset_index().sort_values("g", na_position="last").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_merge_indicator():
+    l = pd.DataFrame({"k": [1, 2, 3], "a": [1.0, 2.0, 3.0]})
+    r = pd.DataFrame({"k": [2, 3, 4], "b": [20.0, 30.0, 40.0]})
+    for ind in (True, "src"):
+        got = (
+            mpd.DataFrame(l).merge(mpd.DataFrame(r), on="k", how="outer", indicator=ind)
+            .sort_values("k").reset_index(drop=True).to_pandas()
+        )
+        exp = l.merge(r, on="k", how="outer", indicator=ind).sort_values("k").reset_index(drop=True)
+        col = "_merge" if ind is True else ind
+        got[col] = got[col].astype(str)
+        exp[col] = exp[col].astype(str)
+        pd.testing.assert_frame_equal(got, exp)
+
+
+def test_explode_ignore_index():
+    e = pd.DataFrame({"id": [1, 2], "v": [[1, 2, 3], [4]]})
+    got = mpd.DataFrame(e).explode("v", ignore_index=True).to_pandas()
+    exp = e.explode("v", ignore_index=True)
+    # declared divergence: typed-array explode keeps int64 (pandas: object)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    assert list(got.index) == list(exp.index)
+
+
+def test_round_dict():
+    rd = pd.DataFrame({"a": [1.2345, 2.3456], "b": [3.4567, 4.5678]})
+    pd.testing.assert_frame_equal(
+        mpd.DataFrame(rd).round({"a": 1, "b": 2}).to_pandas(), rd.round({"a": 1, "b": 2})
+    )
+
+
+MI_COLS = pd.MultiIndex.from_tuples(
+    [("x", "a"), ("x", "b"), ("y", "a")], names=["l0", "l1"]
+)
+RN = pd.DataFrame([[1, 2, 3], [4, 5, 6]], columns=MI_COLS)
+
+
+def test_rename_level():
+    pd.testing.assert_frame_equal(
+        mpd.DataFrame(RN).rename(columns={"a": "A"}, level=1).to_pandas(),
+        RN.rename(columns={"a": "A"}, level=1),
+    )
+    pd.testing.assert_frame_equal(
+        mpd.DataFrame(RN).rename(columns={"x": "X"}, level="l0").to_pandas(),
+        RN.rename(columns={"x": "X"}, level="l0"),
+    )
+    pd.testing.assert_frame_equal(
+        mpd.DataFrame(RN).rename(columns={"a": "A"}).to_pandas(),
+        RN.rename(columns={"a": "A"}),
+    )
+
+
+def test_from_pandas_keeps_column_multiindex():
+    # pd.Index(mi) flattens to tuples; from_pandas must keep the MI object
+    m = mpd.DataFrame(RN)
+    assert isinstance(m.columns, pd.MultiIndex)
+    assert list(m.columns.names) == ["l0", "l1"]
+    pd.testing.assert_frame_equal(m.to_pandas(), RN)
+
+
+def test_stack_future_stack():
+    st = pd.DataFrame({"a": [1.0, 2.0], "b": [3.0, np.nan]}, index=["r1", "r2"])
+    got = mpd.DataFrame(st).stack(future_stack=True)
+    if not isinstance(got, pd.Series):
+        got = got.to_pandas()
+    pd.testing.assert_series_equal(got, st.stack(future_stack=True))
+    # classic stack still drops NaN
+    got2 = mpd.DataFrame(st).stack()
+    if not isinstance(got2, pd.Series):
+        got2 = got2.to_pandas()
+    assert len(got2) == 3
+
+
+def test_series_between():
+    ps = pd.Series([1, 3, 5, 7], name="x")
+    s = mpd.DataFrame({"x": [1, 3, 5, 7]})["x"]
+    for inc in ("both", "neither", "left", "right"):
+        got = s.between(2, 6, inclusive=inc).to_pandas().reset_index(drop=True)
+        pd.testing.assert_series_equal(got, ps.between(2, 6, inclusive=inc))
+
+
+def test_eval_query_inplace():
+    ev = pd.DataFrame({"a": [1.0, 2.0], "b": [3.0, 4.0]})
+    m = mpd.DataFrame(ev.copy())
+    assert m.eval("c = a + b", inplace=True) is None
+    pe = ev.copy()
+    pe.eval("c = a + b", inplace=True)
+    pd.testing.assert_frame_equal(m.to_pandas(), pe)
+    m2 = mpd.DataFrame(ev.copy())
+    assert m2.query("a > 1", inplace=True) is None
+    assert len(m2.to_pandas()) == 1
+    with pytest.raises(ValueError, match="inplace"):
+        mpd.DataFrame(ev.copy()).eval("a + b", inplace=True)
