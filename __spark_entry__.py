@@ -2001,39 +2001,40 @@ def _q22_global_sales(spark, sf):
 # ---------------------------------------------------------------------------
 
 # The driver scores a PREFIX of queries() (50 entries since r2). Ordering is
-# therefore a rotation schedule. Round-7 prefix: (a) the seven never-scored
-# r7 queries (multiindex3 / dup-labels / fwf / wide-transpose /
-# MultiIndex-transpose round-trip / real-PNG-decode stats / shape-changing
-# apply value_counts), (b) the four promoted-to-oracle rows + the recall
-# pair riding the same replay machinery, (c) every row whose machinery
-# CHANGED this round (excel dates/gaps/mangling + multi-sheet, apply-axis0
-# int decode + index-equality reshape probe, str.extract parse-tree
-# rewrite, the merge-chain selectExpr/catalog-memo refactor, transpose
-# map-collect + position-keyed labels, groupby(level=) surface fix,
-# multi-key pivot, selectExpr melts), then (d) the stalest green rows.
-# All 50 are oracle-backed (contract test: 0 no-oracle allowed). Every
-# entry is still checked locally every round via tools/check_entry.py
-# regardless of position.
-_R7_PREFIX = [
-    "multiindex3_cols_agg", "concat_dup_labels", "fwf_ingest",
-    "transpose_wide_roundtrip", "transpose_multiindex_roundtrip",
-    "multimodal_png_stats",
-    "docs_minhash_dedup", "docs_simhash_dedup", "emb_lsh_topk",
-    "emb_ivf_topk", "emb_lsh_recall", "emb_ivf_recall",
-    "excel_ingest", "transpose_mixed", "transpose_agg",
-    "apply_axis0_strings", "apply_axis0_vcounts", "apply_axis0_zscore",
-    "str_funcs",
-    "q2_min_cost_supplier", "q5_nation_revenue", "q9_profit_by_nation",
-    "q10_returned_revenue", "q13_order_distribution", "merge_left_fillna",
-    "multiindex_regroup", "multiindex_cols_agg", "pivot_flag_status",
-    "cube_agg",
-    "case_when", "concat_cols_aligned", "concat_union", "cumsum_by_group",
-    "distinct_dedup", "docs_exact_dedup",
-    "docs_norm_distinct", "docs_token_stats", "dot_product",
-    "filter_project", "get_dummies_sum", "groupby_idxmax",
-    "groupby_median_quantile", "groupby_multi_agg", "groupby_nunique",
-    "iloc_slice", "isin_filter", "q1_pricing_summary", "q3_top_orders",
-    "query_eval", "sort_topk",
+# therefore a rotation schedule. Round-8 prefix: (a) the one never-scored
+# query (apply_axis0_mi_reshape — the closed MultiIndex reshape fallback),
+# (b) every row whose machinery CHANGED this round (the apply-axis0
+# reshape rewrite: any-nlevels result/input indexes + the executor
+# sampling-contract guard; the multi-key pivot hex-encoded composite keys;
+# fwf NA-token mapping; explode(ignore_index=)/stack(future_stack=)/
+# eval(inplace=)/rename(level=) kwarg fixes; from_pandas column-MultiIndex
+# preservation; exact int floordiv), then (c) the stalest green rows —
+# last driver-scored r2/r3: the TPC-H tail, dt_funcs, describe_stats,
+# qcut_quartiles, the groupby head/first/filter/transform family, the
+# corpus-scan family. All 50 are oracle-backed (contract test: 0 no-oracle
+# allowed). Every entry is still checked locally every round via
+# tools/check_entry.py regardless of position.
+_R8_PREFIX = [
+    # (a) never scored
+    "apply_axis0_mi_reshape",
+    # (b) machinery changed in r8
+    "apply_axis0_vcounts", "apply_axis0_strings", "apply_axis0_zscore",
+    "pivot_flag_status", "multiindex3_cols_agg", "multiindex_cols_agg",
+    "multiindex_regroup", "concat_dup_labels", "fwf_ingest",
+    "explode_words", "melt_unpivot", "query_eval",
+    # (c) stalest green rows (last scored r2/r3)
+    "dt_funcs", "describe_stats", "qcut_quartiles",
+    "q4_priority_returned", "q7_volume_shipping", "q11_important_parts",
+    "q12_priority_lines", "q15_top_supplier", "q16_supplier_count",
+    "q17_small_quantity", "q18_large_volume", "q19_brand_filter",
+    "q20_part_promotion", "q21_waiting_supplier", "q22_global_sales",
+    "expanding_stats", "groupby_transform_demean", "groupby_filter_large",
+    "groupby_head2", "groupby_first_last", "rollup_agg",
+    "range_join_buckets", "docs_fingerprint", "docs_langid_quality",
+    "docs_clean_corpus", "docs_jaccard_pairs", "emb_brute_topk",
+    "docs_norm_distinct", "value_counts", "sql_interface",
+    "asof_nearest", "where_clip", "q6_forecast_revenue", "corr_cov",
+    "cut_buckets", "crosstab_counts", "mode_quantity",
 ]
 
 
@@ -2174,7 +2175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_jaccard_pairs": _docs_jaccard_pairs,
         "emb_brute_topk": _emb_brute_topk,
     }
-    ordered = {k: all_q[k] for k in _R7_PREFIX}
+    ordered = {k: all_q[k] for k in _R8_PREFIX}
     ordered.update({k: v for k, v in all_q.items() if k not in ordered})
     return ordered
 
@@ -2707,9 +2708,17 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
         """,
         "resample_hourly": """
-            SELECT DATE_TRUNC('hour', ts) AS hour_start,
-                   ROUND(SUM(value), 2) AS value
-            FROM events GROUP BY 1
+            -- full hourly grid (pandas resample emits empty bins as sum=0);
+            -- identical to the plain GROUP BY at sf>=0.01 where every hour
+            -- is populated, but stays correct on sparse data
+            WITH b AS (SELECT MIN(DATE_TRUNC('hour', ts)) AS lo,
+                              MAX(DATE_TRUNC('hour', ts)) AS hi FROM events),
+            grid AS (SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_start FROM b)
+            SELECT g.hour_start,
+                   ROUND(COALESCE(SUM(e.value), 0), 2) AS value
+            FROM grid g LEFT JOIN events e
+              ON DATE_TRUNC('hour', e.ts) = g.hour_start
+            GROUP BY 1
         """,
         "pivot_flag_status": """
             SELECT l_returnflag,

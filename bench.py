@@ -129,25 +129,37 @@ def main() -> None:
     # execute each query twice and report the fastest — the first execution
     # is dominated by one-time plan compilation / JVM JIT, not engine
     # throughput, and swings +-3x run to run.
+    # build/exec split (r8): build_ms is the driver-side cost of ASSEMBLING
+    # the final DataFrame (Python plan construction + Spark analysis) before
+    # the action fires — the merge-chain tax r7 cut 2.5x on q2.  Reported
+    # per-query so construction regressions are visible independently of
+    # executor throughput.
     timings: dict[str, float] = {}
+    build_ms: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
         fn = qs[name]
         best = None
         try:
-            runs = []
-            for _ in range(2):
+            runs, builds = [], []
+
+            def one_run() -> None:
                 t0 = time.time()
-                fn(spark, sf_dir).count()
+                df = fn(spark, sf_dir)
+                t1 = time.time()
+                df.count()
                 runs.append(time.time() - t0)
+                builds.append(t1 - t0)
+
+            for _ in range(2):
+                one_run()
             # the host is shared: a co-tenant burst can inflate both runs.
             # If the two disagree by >40% the measurement is noise-dominated —
             # take one more and keep the min.
             if min(runs) > 0 and (max(runs) - min(runs)) / min(runs) > 0.4:
-                t0 = time.time()
-                fn(spark, sf_dir).count()
-                runs.append(time.time() - t0)
+                one_run()
             best = min(runs)
+            build_ms[name] = round(min(builds) * 1000, 1)
         except Exception as e:  # keep the bench line parseable even on failure
             timings[name] = -1.0
             print(f"# {name} FAILED: {type(e).__name__}: {str(e)[:120]}", file=sys.stderr)
@@ -197,6 +209,7 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "build_ms": build_ms,
                 **{f"{tag}_comparable_total": v for tag, v in comparables.items()},
                 "sentinels_start": sentinels_start,
                 "sentinels_end": sentinels_end,

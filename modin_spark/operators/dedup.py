@@ -319,7 +319,19 @@ def _spread_for_udf(df: SDF) -> SDF:
     through one core; at real scale inputs already have >= cores partitions
     and this is a no-op."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    # read the scan's split count from the physical plan instead of df.rdd
+    # (the RDD conversion forces a full plan translation per call); if the
+    # plan has no file scan (in-memory relation etc.) fall back to the RDD
+    # probe. At real scale inputs already carry >= cores splits and the
+    # repartition is skipped either way.
+    try:
+        nparts = df.sparkSession._jsparkSession.sessionState().executePlan(
+            df._jdf.queryExecution().logical(),
+            df._jdf.queryExecution().mode(),
+        ).executedPlan().outputPartitioning().numPartitions()
+    except Exception:
+        nparts = df.rdd.getNumPartitions()
+    if nparts < target:
         return df.repartition(target)
     return df
 

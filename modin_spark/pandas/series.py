@@ -1493,7 +1493,12 @@ def _ser_corr(self, other, method="pearson"):
         pdf = (fr.sdf.select(ea.cast("double").alias("a"), eb.cast("double").alias("b"))
                .limit(cap + 1).toPandas())
         if len(pdf) > cap:
-            raise ValueError("corr(method='kendall') driver fallback refused at this size")
+            raise ValueError(
+                "corr(method='kendall') runs a driver-side kernel (reference "
+                f"parity: non-pearson methods are not distributed) and is "
+                f"refused above {cap:,} rows; use method='spearman', which "
+                "runs fully distributed, or method='pearson'"
+            )
         return kendall_tau_b(pdf["a"].to_numpy(), pdf["b"].to_numpy())
     if method != "pearson":
         raise NotImplementedError(f"corr method {method!r}")
