@@ -2376,14 +2376,19 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT doc_id, sig, unnest(range(32)) AS band FROM sig)
         ),
         okkeys AS (
-            SELECT band, key FROM bk GROUP BY band, key
-            HAVING count(*) BETWEEN 2 AND 5000
+            SELECT band, key, count(*) AS m, min(doc_id) AS mn
+            FROM bk GROUP BY band, key
+            HAVING count(*) >= 2
         ),
         cand AS (
+            -- over-cap buckets expand as a STAR against the bucket min
+            -- (dedup.minhash_candidate_pairs max_bucket_size=1000), not
+            -- all-pairs
             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-            FROM bk a JOIN okkeys USING (band, key)
+            FROM bk a JOIN okkeys o USING (band, key)
                  JOIN bk b ON a.band = b.band AND a.key = b.key
                           AND a.doc_id < b.doc_id
+            WHERE o.m <= 1000 OR a.doc_id = o.mn
         ),
         ver AS (
             SELECT c.id_a, c.id_b
@@ -2408,11 +2413,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, word, band, (word >> (band*16)) & 65535 AS key
             FROM (SELECT doc_id, word, unnest(range(4)) AS band FROM sw)
         ),
+        sizes AS (
+            SELECT band, key, count(*) AS m, min(doc_id) AS mn
+            FROM bk GROUP BY band, key
+        ),
         ver AS (
+            -- over-cap band buckets expand as a STAR against the bucket min
+            -- (dedup.simhash_dedup max_bucket_size=1000), not all-pairs
             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-            FROM bk a JOIN bk b ON a.band = b.band AND a.key = b.key
-                              AND a.doc_id < b.doc_id
-            WHERE bit_count(xor(a.word, b.word)) <= 3
+            FROM bk a JOIN sizes o ON a.band = o.band AND a.key = o.key
+                 JOIN bk b ON a.band = b.band AND a.key = b.key
+                          AND a.doc_id < b.doc_id
+            WHERE (o.m <= 1000 OR a.doc_id = o.mn)
+              AND bit_count(xor(a.word, b.word)) <= 3
         )
         SELECT CAST(count(*) AS BIGINT) AS n_after
         FROM documents

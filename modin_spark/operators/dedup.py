@@ -338,17 +338,23 @@ def _spread_for_udf(df: SDF) -> SDF:
 
 def minhash_candidate_pairs(
     df: SDF, id_col: str, text_col: str, *, k: int = 5, num_perm: int = 128, bands: int = 32,
-    threshold: float = 0.8, max_bucket_size: int | None = 5000, distinct_pairs: bool = True,
+    threshold: float = 0.8, max_bucket_size: int | None = 1000, distinct_pairs: bool = True,
     base_hash: str = "sip_poly"
 ) -> SDF:
     """(id_a, id_b, est_jaccard) candidate near-dup pairs, id_a < id_b.
 
     ``max_bucket_size`` is the hot-bucket skew guard for boilerplate-heavy
-    corpora: an LSH bucket of m ids yields m²/2 self-join pairs, so one
-    mega-bucket (empty docs, shared boilerplate) can dominate the whole
-    shuffle. Buckets larger than the cap are dropped from candidate
-    generation (their members still pair through their other bands — a
-    standard LSH-dedup mitigation; set None to disable)."""
+    corpora: an LSH bucket of m ids yields m(m-1)/2 all-pairs candidates, so
+    one mega-bucket (empty docs, shared boilerplate) can dominate the whole
+    job — the adversarial-skew rung measured a planted 2500-identical-doc
+    cluster at ~100M pair rows (258s) under all-pairs expansion. Buckets
+    larger than the cap switch to STAR expansion: each member pairs with the
+    bucket's minimum id only (m-1 pairs, linear in bucket size). The cluster
+    still collapses — every member is verified against the representative
+    and keep-min/connected-components drops the rest — unlike the
+    drop-the-bucket mitigation, which would skip deduping exactly the docs
+    that need it most (identical docs share ALL their bands, so every one of
+    their buckets is over-cap). Set None to always expand all pairs."""
     rows_per_band = num_perm // bands
     from pyspark import StorageLevel
     df = _spread_for_udf(df)
@@ -379,12 +385,23 @@ def minhash_candidate_pairs(
         .agg(F.sort_array(F.collect_list(id_col)).alias("__ids__"))
         .where(F.size("__ids__") >= 2)
     )
-    if max_bucket_size is not None:
-        grouped = grouped.where(F.size("__ids__") <= max_bucket_size)
-    pair_struct = (
+    all_pairs = (
         "flatten(transform(__ids__, (x, i) -> "
         "transform(slice(__ids__, i + 2, size(__ids__)), y -> struct(x AS id_a, y AS id_b))))"
     )
+    if max_bucket_size is None:
+        pair_struct = all_pairs
+    else:
+        # over-cap: star expansion against the bucket minimum (__ids__ is
+        # sorted, so element 1 is the min) — m-1 pairs instead of m(m-1)/2
+        star = (
+            "transform(slice(__ids__, 2, size(__ids__) - 1), "
+            "y -> struct(element_at(__ids__, 1) AS id_a, y AS id_b))"
+        )
+        pair_struct = (
+            f"CASE WHEN size(__ids__) <= {int(max_bucket_size)} "
+            f"THEN {all_pairs} ELSE {star} END"
+        )
     pairs = (
         grouped.select(F.explode(F.expr(pair_struct)).alias("__p__"))
         .select("__p__.id_a", "__p__.id_b")
@@ -568,12 +585,19 @@ def text_simhash_md5(c: Column, k: int = 3, bits: int = 64) -> Column:
 
 
 def simhash_dedup(df: SDF, id_col: str = "doc_id", text_col: str = "text",
-                  hamming_threshold: int = 3, base_hash: str = "sip_poly") -> SDF:
+                  hamming_threshold: int = 3, base_hash: str = "sip_poly",
+                  max_bucket_size: int | None = 1000) -> SDF:
     """Near-dup via SimHash: band the 64 bits into 4×16-bit keys (any pair
     within Hamming distance 3 shares ≥1 exact band), equi-join candidates,
     verify exact Hamming distance with bit_count(xor). ``base_hash="md5"``
     swaps the word-hash base for the SQL-replayable md5_hash60 family so the
-    whole pipeline can sit under an exact DuckDB oracle."""
+    whole pipeline can sit under an exact DuckDB oracle.
+
+    ``max_bucket_size`` is the same hot-bucket skew guard as
+    minhash_candidate_pairs: a band bucket larger than the cap (identical
+    boilerplate docs share the whole 64-bit word, hence every band key)
+    switches from all-pairs to STAR expansion against the bucket's minimum
+    id — linear in bucket size, and keep-min still collapses the cluster."""
     ts = text_simhash_md5 if base_hash == "md5" else text_simhash
     sh = _spread_for_udf(df).select(id_col, ts(F.col(text_col)).alias("__sh__"))
     bands = sh.select(
@@ -590,10 +614,22 @@ def simhash_dedup(df: SDF, id_col: str = "doc_id", text_col: str = "text",
         .agg(F.sort_array(F.collect_list(F.struct(F.col(id_col).alias("i"), F.col("__sh__").alias("h")))).alias("__m__"))
         .where(F.size("__m__") >= 2)
     )
-    pair_expr = (
+    all_pairs = (
         "flatten(transform(__m__, (x, i) -> transform(slice(__m__, i + 2, size(__m__)), "
         "y -> struct(x.i AS id_a, y.i AS id_b, x.h AS ha, y.h AS hb))))"
     )
+    if max_bucket_size is None:
+        pair_expr = all_pairs
+    else:
+        star = (
+            "transform(slice(__m__, 2, size(__m__) - 1), "
+            "y -> struct(element_at(__m__, 1).i AS id_a, y.i AS id_b, "
+            "element_at(__m__, 1).h AS ha, y.h AS hb))"
+        )
+        pair_expr = (
+            f"CASE WHEN size(__m__) <= {int(max_bucket_size)} "
+            f"THEN {all_pairs} ELSE {star} END"
+        )
     pairs = (
         grouped.select(F.explode(F.expr(pair_expr)).alias("__p__"))
         .select("__p__.id_a", "__p__.id_b", "__p__.ha", "__p__.hb")
@@ -628,9 +664,14 @@ def ngram_jaccard_dedup(df: SDF, id_col: str = "doc_id", text_col: str = "text",
 # embedding cosine near-dup
 # ---------------------------------------------------------------------------
 
-def embedding_cosine_dedup(df: SDF, id_col: str = "vec_id", vec_col: str = "embedding", threshold: float = 0.95, planes: int = 16) -> SDF:
+def embedding_cosine_dedup(df: SDF, id_col: str = "vec_id", vec_col: str = "embedding", threshold: float = 0.95, planes: int = 16,
+                           max_bucket_size: int | None = 1000) -> SDF:
     """Near-dup by cosine similarity over array<float>: random-hyperplane LSH
-    sign bucket (16-bit key) -> bucket equi-join -> exact cosine verify."""
+    sign bucket (16-bit key) -> bucket equi-join -> exact cosine verify.
+    ``max_bucket_size`` is the same hot-bucket guard as
+    minhash_candidate_pairs: an over-cap bucket (e.g. a mass-duplicated
+    embedding) expands as a STAR against the bucket's min id instead of
+    all-pairs — linear in bucket size, keep-min still collapses it."""
     from modin_spark.operators.similarity import cosine_expr, hyperplane_bucket
 
     b = df.select(F.col(id_col), F.col(vec_col), hyperplane_bucket(F.col(vec_col), planes).alias("__bk__"))
@@ -642,10 +683,22 @@ def embedding_cosine_dedup(df: SDF, id_col: str = "vec_id", vec_col: str = "embe
         .agg(F.sort_array(F.collect_list(F.struct(F.col(id_col).alias("i"), F.col(vec_col).alias("v")))).alias("__m__"))
         .where(F.size("__m__") >= 2)
     )
-    pair_expr = (
+    all_pairs = (
         "flatten(transform(__m__, (x, i) -> transform(slice(__m__, i + 2, size(__m__)), "
         "y -> struct(x.i AS id_a, y.i AS id_b, x.v AS va, y.v AS vb))))"
     )
+    if max_bucket_size is None:
+        pair_expr = all_pairs
+    else:
+        star = (
+            "transform(slice(__m__, 2, size(__m__) - 1), "
+            "y -> struct(element_at(__m__, 1).i AS id_a, y.i AS id_b, "
+            "element_at(__m__, 1).v AS va, y.v AS vb))"
+        )
+        pair_expr = (
+            f"CASE WHEN size(__m__) <= {int(max_bucket_size)} "
+            f"THEN {all_pairs} ELSE {star} END"
+        )
     pairs = (
         grouped.select(F.explode(F.expr(pair_expr)).alias("__p__"))
         .select("__p__.id_a", "__p__.id_b", "__p__.va", "__p__.vb")

@@ -230,22 +230,62 @@ def test_ann_recall_at_5(spark):
 
 
 def test_minhash_bucket_cap(spark):
-    """Hot-bucket skew guard: a mega-bucket (many identical docs) is dropped
-    from candidate generation when over the cap, kept when under."""
-    from modin_spark.operators.dedup import minhash_candidate_pairs
+    """Hot-bucket skew guard: a mega-bucket (many identical docs) switches
+    to STAR expansion against the bucket min — linear pair count, the
+    cluster still fully linked to its representative — while under-cap
+    buckets expand all pairs."""
+    from modin_spark.operators.dedup import minhash_candidate_pairs, minhash_lsh_dedup
 
     rows = [(i, "exact same boilerplate text repeated many times over") for i in range(30)]
     rows += [(100, "something completely different about spark plans"),
              (101, "something completely different about spark plans")]
     df = spark.createDataFrame(rows, "doc_id long, text string")
-    # cap below the 30-dup clique: its buckets drop, the small pair survives
+    # cap below the 30-dup clique: its buckets star-expand (29 pairs, all
+    # anchored at doc 0); the small under-cap pair still expands all-pairs
     capped = minhash_candidate_pairs(df, "doc_id", "text", threshold=0.8, max_bucket_size=10)
     got = {(r.id_a, r.id_b) for r in capped.collect()}
     assert (100, 101) in got
-    assert not any(a < 100 and b < 100 for a, b in got)
-    # uncapped finds the clique pairs
+    clique = {(a, b) for a, b in got if a < 100 and b < 100}
+    assert clique == {(0, j) for j in range(1, 30)}, clique
+    # keep-min therefore collapses the whole mega-cluster to its min id
+    kept = minhash_lsh_dedup(df, threshold=0.8, max_bucket_size=10)
+    survivors = sorted(r.doc_id for r in kept.select("doc_id").collect())
+    assert survivors == [0, 100]
+    # uncapped finds the full clique
     full = minhash_candidate_pairs(df, "doc_id", "text", threshold=0.8, max_bucket_size=None)
-    assert full.where("id_a < 100").count() > 0
+    assert full.where("id_a < 100").count() == 29 * 30 // 2
+
+
+def test_simhash_bucket_cap_star(spark):
+    """SimHash hot-bucket guard: identical docs share every band key, so a
+    mega-cluster over the cap star-expands and still collapses to one doc."""
+    from modin_spark.operators.dedup import simhash_dedup
+
+    rows = [(i, "exact same boilerplate legal footer clause shared on every page") for i in range(40)]
+    rows += [(100, "a completely unrelated document about catalyst plans"),
+             (101, "a completely unrelated document about catalyst plans")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = simhash_dedup(df, hamming_threshold=3, max_bucket_size=10)
+    survivors = sorted(r.doc_id for r in kept.select("doc_id").collect())
+    assert survivors == [0, 100]
+
+
+def test_embedding_cosine_bucket_cap_star(spark):
+    """Embedding-cosine hot-bucket guard: a mass-duplicated vector over the
+    cap star-expands and keep-min leaves exactly one copy."""
+    from modin_spark.operators.dedup import embedding_cosine_dedup
+
+    rng = np.random.default_rng(5)
+    hot = rng.normal(size=16)
+    hot = (hot / np.linalg.norm(hot)).tolist()
+    rows = [(i, hot) for i in range(40)]
+    for j in range(5):
+        v = rng.normal(size=16)
+        rows.append((100 + j, (v / np.linalg.norm(v)).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kept = embedding_cosine_dedup(df, threshold=0.99, max_bucket_size=10)
+    survivors = sorted(r.vec_id for r in kept.select("vec_id").collect())
+    assert survivors[0] == 0 and all(s >= 100 for s in survivors[1:]), survivors
 
 
 def test_kmeans_centroids_improve_quantization(spark):

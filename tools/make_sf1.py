@@ -8,10 +8,12 @@ matter for a scaling measurement:
   so join fan-outs, key cardinality ratios, and groupby group counts scale
   linearly (copy i's orders reference copy i's customers, etc.);
 - dates/values are untouched -> filter selectivities identical;
-- document text is word-ROTATED per copy (rotation changes nearly every
-  k-shingle) so the near-dup cluster structure does NOT amplify 10x into
-  100x candidate pairs — a rotated copy is a new document to MinHash, which
-  is what a naturally-10x corpus looks like;
+- document text gets a per-copy word SUFFIX (every word tagged with the
+  copy id) so the near-dup cluster structure is preserved bijectively
+  WITHIN a copy while no k-shingle matches ACROSS copies — each copy is a
+  genuinely fresh corpus to MinHash, which is what a naturally-10x corpus
+  looks like (a word ROTATION preserves the shingle window multiset and
+  made every doc a ~10-clique of >=0.8 near-dups: 37x measured blowup);
 - embeddings get a deterministic per-copy jitter for the same reason.
 
 Output: /root/repo/.localdata/sf1/*.parquet (gitignored).

@@ -7,9 +7,13 @@
 3. Proves the minhash hot-bucket cap end-to-end on the planted 2500-doc
    boilerplate mega-cluster (5x the 500-doc cap used here):
    - counts over-cap LSH buckets (expect one 2500-id bucket per band),
-   - runs the capped pipeline and asserts NO candidate pair has both ends
-     inside the mega-cluster (dropped, not expanded),
-   - records the pair volume the cap avoided (m*(m-1)/2 per band).
+   - runs the capped pipeline and asserts the mega-cluster expanded as a
+     STAR (exactly m-1 pairs inside it, all anchored at the min id) rather
+     than all-pairs,
+   - asserts the full dedup still collapses the mega-cluster to ONE
+     surviving document (the guard must not skip deduping the docs that
+     need it most),
+   - records the pair volume the star avoided (m*(m-1)/2 - (m-1) per band).
 
 Usage: python tools/run_skew.py        (writes BASELINE_LOCAL_skew.json)
 """
@@ -85,22 +89,39 @@ def main() -> None:
     pairs = minhash_candidate_pairs(
         docs, "doc_id", "text", max_bucket_size=CAP, base_hash="md5"
     )
-    in_mega = pairs.where((F.col("id_a") < MEGA) & (F.col("id_b") < MEGA)).count()
+    mega = pairs.where((F.col("id_a") < MEGA) & (F.col("id_b") < MEGA))
+    in_mega = mega.count()
+    star_anchored = mega.where(F.col("id_a") == 0).count()
     n_pairs = pairs.count()
     capped_wall = round(time.time() - t0, 2)
+
+    # end-to-end: the star pairs must still collapse the mega-cluster to ONE
+    # surviving document through keep-min
+    from modin_spark.operators.dedup import minhash_lsh_dedup
+
+    survivors_in_mega = (
+        minhash_lsh_dedup(docs, threshold=0.8, base_hash="md5", max_bucket_size=CAP)
+        .where(F.col("doc_id") < MEGA)
+        .count()
+    )
 
     proof = {
         "cap": CAP,
         "mega_cluster_size": MEGA,
         "over_cap_buckets": int(census["over_cap"]),
         "max_bucket": int(census["max_bucket"]),
-        "pairs_avoided_by_cap": int(census["pairs_avoided"]),
+        "pairs_avoided_by_star": int(census["pairs_avoided"]) - 32 * (MEGA - 1),
         "capped_pairs_total": int(n_pairs),
-        "capped_pairs_within_mega_cluster": int(in_mega),
+        "star_pairs_within_mega_cluster": int(in_mega),
+        "mega_cluster_survivors_after_dedup": int(survivors_in_mega),
         "capped_wall_sec": capped_wall,
     }
     assert proof["over_cap_buckets"] >= 32, proof  # the mega-bucket, every band
-    assert proof["capped_pairs_within_mega_cluster"] == 0, proof
+    # star expansion: exactly m-1 distinct pairs, every one anchored at the
+    # cluster's min id — not the m(m-1)/2 all-pairs blowup
+    assert proof["star_pairs_within_mega_cluster"] == MEGA - 1, proof
+    assert star_anchored == MEGA - 1, (star_anchored, proof)
+    assert proof["mega_cluster_survivors_after_dedup"] == 1, proof
 
     result = {
         **bench,
