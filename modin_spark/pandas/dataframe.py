@@ -305,14 +305,28 @@ class DataFrame:
             return DataFrame(_frame=fr._same_rows(fr.sdf, columns=new_cols, data_cols=list(fr.data_cols)))
         return DataFrame(_frame=fr.rename(columns))
 
-    def insert(self, loc: int, column, value) -> None:
+    def insert(self, loc: int, column, value, allow_duplicates: bool = False) -> None:
+        exists = column in set(self._frame.columns)
+        if exists and not allow_duplicates:
+            raise ValueError(f"cannot insert {column!r}, already exists")
         tmp = DataFrame(_frame=self._frame)
-        tmp[column] = value
+        # a duplicate label can't ride setitem (it would REPLACE the existing
+        # column), so assign under a fresh name and relabel after reordering
+        tmp["__insert_tmp__" if exists else column] = value
         fr = tmp._frame
         n = len(fr.columns)
         order = list(range(n - 1))
         order.insert(loc, n - 1)
-        self._frame = fr.select_positions(order)
+        fr = fr.select_positions(order)
+        if exists:
+            cols = list(fr.columns)
+            cols[loc] = column
+            if isinstance(fr.columns, pd.MultiIndex):
+                new_cols = pd.MultiIndex.from_tuples(cols, names=fr.columns.names)
+            else:
+                new_cols = pd.Index(cols, tupleize_cols=False)
+            fr = fr._same_rows(fr.sdf, columns=new_cols, data_cols=list(fr.data_cols))
+        self._frame = fr
 
     def __dataframe__(self, nan_as_null: bool = False, allow_copy: bool = True):
         """DataFrame interchange protocol (reference: modin
@@ -369,6 +383,25 @@ class DataFrame:
         fr = self._frame
         if not isinstance(dtype, dict):
             dtype = {c: dtype for c in fr.columns}
+        if errors == "ignore" and dtype:
+            # pandas: a column whose conversion fails keeps its ORIGINAL
+            # values (all-or-nothing per column). Failure is data-dependent
+            # but the output schema must be static, so decide with ONE small
+            # aggregate probe: any value that casts to NULL from non-NULL
+            # marks the column as failed and its cast is skipped.
+            probes, cand = [], []
+            for i, lbl in enumerate(fr.columns):
+                if lbl in dtype:
+                    e = fr.scol(i)
+                    t = pandas_dtype_to_spark(dtype[lbl])
+                    probes.append(
+                        F.max((e.isNotNull() & e.cast(t).isNull()).cast("int")).alias(f"__p{i}__")
+                    )
+                    cand.append((i, lbl))
+            if probes:
+                row = fr.sdf.agg(*probes).collect()[0]
+                failed = {lbl for (i, lbl) in cand if row[f"__p{i}__"]}
+                dtype = {k: v for k, v in dtype.items() if k not in failed}
         labels, exprs = [], []
         for i, lbl in enumerate(fr.columns):
             e = fr.scol(i)
@@ -499,15 +532,17 @@ class DataFrame:
             return self._fill_axis1(True, limit)
         return DataFrame(_frame=win.bfill(self._frame, list(range(len(self._frame.columns))), limit=limit))
 
-    def replace(self, to_replace, value=None) -> "DataFrame":
+    def replace(self, to_replace, value=None, regex: bool = False) -> "DataFrame":
         out = DataFrame(_frame=self._frame)
         if isinstance(to_replace, dict) and any(isinstance(v, dict) for v in to_replace.values()):
             # pandas nested form {col: {old: new}} — per-column maps
             for col, mapping in to_replace.items():
-                out[col] = self[col].replace(mapping, value)
+                out[col] = self[col].replace(mapping, value, regex=regex)
             return out
         for i, lbl in enumerate(self._frame.columns):
-            out[lbl] = self._series_at(i).replace(to_replace, value)
+            if regex and not self._frame.dtype_of(i).startswith(("object", "string")):
+                continue  # pandas applies regex replacement to string columns only
+            out[lbl] = self._series_at(i).replace(to_replace, value, regex=regex)
         return out
 
     def where(self, cond: "DataFrame | Series", other=None) -> "DataFrame":
@@ -731,7 +766,7 @@ class DataFrame:
         out = DataFrame(_frame=fr.sort_by(exprs, asc, na_position))
         return self._maybe_inplace(out, inplace)
 
-    def sort_index(self, ascending=True, axis=0) -> "DataFrame":
+    def sort_index(self, ascending=True, axis=0, level=None, sort_remaining: bool = True) -> "DataFrame":
         fr = self._frame
         if axis in (1, "columns"):
             # column reorder by label — pure projection, no data movement
@@ -741,8 +776,29 @@ class DataFrame:
             nf = fr._same_rows(fr.sdf, columns=pd.Index(cols) if not isinstance(fr.columns, pd.MultiIndex) else fr.columns[order],
                                data_cols=[fr.data_cols[i] for i in order])
             return DataFrame(_frame=nf)
-        keys = [F.col(c) for c in (fr.index_cols or [ORDER_COL])]
-        return DataFrame(_frame=fr.sort_by(keys, [ascending] * len(keys)))
+        idx_cols = list(fr.index_cols or [ORDER_COL])
+        if level is not None and fr.index_cols:
+            levels = level if isinstance(level, (list, tuple)) else [level]
+            pos = [self._level_pos(l) for l in levels]
+            ordered = pos + ([i for i in range(len(idx_cols)) if i not in set(pos)]
+                             if sort_remaining else [])
+            keys = [F.col(fr.index_cols[i]) for i in ordered]
+            if isinstance(ascending, (list, tuple)):
+                asc = list(ascending)
+                if len(asc) != len(pos):
+                    raise ValueError(f"ascending has {len(asc)} entries for {len(pos)} levels")
+                # pandas: a LIST applies to the given levels only; the
+                # sort_remaining levels default ascending
+                asc = asc + [True] * (len(keys) - len(asc))
+            else:
+                # a SCALAR broadcasts to the remaining levels too
+                asc = [ascending] * len(keys)
+            return DataFrame(_frame=fr.sort_by(keys, asc))
+        keys = [F.col(c) for c in idx_cols]
+        asc = list(ascending) if isinstance(ascending, (list, tuple)) else [ascending] * len(keys)
+        if len(asc) != len(keys):
+            raise ValueError(f"ascending has {len(asc)} entries for {len(keys)} index levels")
+        return DataFrame(_frame=fr.sort_by(keys, asc))
 
     def _top_k(self, n: int, columns, largest: bool, keep: str) -> "DataFrame":
         cols = columns if isinstance(columns, list) else [columns]
@@ -814,7 +870,7 @@ class DataFrame:
             return DataFrame(_frame=nf)
         return DataFrame(_frame=fr.set_index_from_columns(keys, drop))
 
-    def reset_index(self, drop=False, level=None) -> "DataFrame":
+    def reset_index(self, drop=False, level=None, names=None) -> "DataFrame":
         fr = self._frame
         if level is not None and fr.index_cols:
             levels = level if isinstance(level, (list, tuple)) else [level]
@@ -824,6 +880,13 @@ class DataFrame:
                 fr.index_names[i] if fr.index_names[i] is not None else f"level_{i}"
                 for i in pos
             ]
+            if names is not None and not drop:
+                given = [names] if isinstance(names, str) else list(names)
+                if len(given) != len(moved_labels):
+                    raise ValueError(
+                        f"names has {len(given)} entries for {len(moved_labels)} moved levels"
+                    )
+                moved_labels = given
             nf = fr._same_rows(
                 fr.sdf,
                 columns=pd.Index((moved_labels if not drop else []) + list(fr.columns)),
@@ -832,7 +895,20 @@ class DataFrame:
                 index_names=[fr.index_names[i] for i in keep] or [None],
             )
             return DataFrame(_frame=nf)
-        return DataFrame(_frame=fr.reset_index(drop))
+        out = DataFrame(_frame=fr.reset_index(drop))
+        if names is not None and not drop and fr.index_cols:
+            given = [names] if isinstance(names, str) else list(names)
+            nlev = len(fr.index_cols)
+            if len(given) != nlev:
+                raise ValueError(f"names has {len(given)} entries for {nlev} index levels")
+            ofr = out._frame
+            cols = list(ofr.columns)
+            cols[:nlev] = given
+            out = DataFrame(_frame=ofr._same_rows(
+                ofr.sdf, columns=pd.Index(cols, tupleize_cols=False),
+                data_cols=list(ofr.data_cols),
+            ))
+        return out
 
     # ------------------------------------------------------------- groupby
     def groupby(self, by=None, level=None, as_index: bool = True, dropna: bool = True, sort: bool = True,
@@ -2291,19 +2367,22 @@ class DataFrame:
             raise ValueError(f"transpose of {n} rows would materialize driver-side; refusing")
         import warnings as _warnings
 
-        max_cols = int(os.environ.get("SPARK_GRAFT_TRANSPOSE_MAX_COLS", "10000"))
+        max_cols = int(os.environ.get("SPARK_GRAFT_TRANSPOSE_MAX_COLS", "20000"))
         if n > max_cols:
             # NOT silent (r7): the distributed path declined on width — the
             # guard is an empirical Spark schema budget, not a correctness
-            # limit (measured on this JVM: the w-column projection exhausts
-            # the codegen cache between w=10k and w=20k; pyspark's own
-            # createDataFrame schema build is O(w^2) above that)
+            # limit. Measured on this JVM (tools/measure_transpose.py, r9):
+            # per-column wall cost is flat ~0.6ms/col from 10k to 20k
+            # transposed columns and rises ~45% above (30k-40k: ~0.87ms/col
+            # as the wide projection leaves whole-stage codegen), so the
+            # default sits at the 20k knee; wider still WORKS (40k measured
+            # at 35s) but grows superlinearly
             _warnings.warn(
                 f"transpose of {n} rows exceeds the distributed column budget "
                 f"(SPARK_GRAFT_TRANSPOSE_MAX_COLS={max_cols}); materializing "
-                "driver-side — a >10k-column Spark schema degrades whole-stage "
-                "codegen, so widening the budget trades build time for driver "
-                "memory",
+                "driver-side — above ~20k columns the wide Spark projection "
+                "leaves whole-stage codegen, so widening the budget trades "
+                "build time for driver memory",
                 stacklevel=2,
             )
         t = self.to_pandas().T
@@ -2327,13 +2406,14 @@ class DataFrame:
         pandas-style duplicate column labels and a multi-level index becomes
         MultiIndex columns (both representable since the r7 positional-name
         label table). Returns None only when the frame exceeds the column
-        budget ($SPARK_GRAFT_TRANSPOSE_MAX_COLS, default 10k transposed
-        columns) — driver path."""
+        budget ($SPARK_GRAFT_TRANSPOSE_MAX_COLS, default 20k transposed
+        columns — the measured per-column-cost knee, tools/measure_transpose.py)
+        — driver path."""
         import os as _os
 
         from modin_spark.core.frame import fresh_names
 
-        max_cols = int(_os.environ.get("SPARK_GRAFT_TRANSPOSE_MAX_COLS", "10000"))
+        max_cols = int(_os.environ.get("SPARK_GRAFT_TRANSPOSE_MAX_COLS", "20000"))
         fr = self._frame.ensure_order().with_global_position("__pos__")
         numeric_only = len(self._numeric_positions()) == len(fr.columns)
         lvl_exprs = (

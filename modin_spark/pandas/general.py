@@ -69,11 +69,14 @@ def to_datetime(arg, format=None, errors="raise", unit=None):
                 return arg._map1(_ns_to_us)
             k = scale[unit]
             return arg._map1(lambda c: F.timestamp_micros((c.cast("long") * F.lit(k)).cast("long")))
-        if format is not None:
+        if format is not None and format not in ("mixed", "ISO8601"):
             from modin_spark.functions.datetimes import _strftime_to_java
 
             java_fmt = _strftime_to_java(format)
             return arg._map1(lambda c: F.to_timestamp(c, java_fmt))
+        # format="mixed"/"ISO8601" (pandas 2.x): per-element inference —
+        # Spark's default to_timestamp parser covers the ISO family; with
+        # ANSI off an unparseable value yields NULL (= errors="coerce")
         return arg._map1(lambda c: F.to_timestamp(c))
     return pd.to_datetime(arg, format=format, errors=errors, unit=unit)
 
@@ -135,7 +138,12 @@ def cut(x: Series, bins, labels=None, right: bool = True) -> Series:
         mn, mx = x.min(), x.max()
         step = (mx - mn) / bins
         edges = [mn + i * step for i in range(bins + 1)]
-        edges[0] = mn - (mx - mn) * 0.001
+        # pandas pads the CLOSED end so the extreme value falls inside:
+        # right-closed bins widen the first edge, left-closed the last
+        if right:
+            edges[0] = mn - (mx - mn) * 0.001
+        else:
+            edges[-1] = mx + (mx - mn) * 0.001
     else:
         edges = list(bins)
     codes = labels is False

@@ -1477,11 +1477,15 @@ def _ser_copy(self, deep=True):
     return Series(self._frame, self._expr, self._refs, name=self._name, filter_expr=self._filter_expr)
 
 
-def _ser_corr(self, other, method="pearson"):
+def _ser_corr(self, other, method="pearson", min_periods=None):
     """Pairwise Pearson r — ONE aggregate after lineage/position align.
-    ``spearman`` = pearson over distributed ranks (exact when NaN-free)."""
+    ``spearman`` = pearson over distributed ranks (exact when NaN-free).
+    ``min_periods``: NaN when fewer pairwise-complete observations exist
+    (counted in the same single aggregate)."""
     if method == "spearman":
-        return self.rank(method="average").corr(other.rank(method="average"), method="pearson")
+        return self.rank(method="average").corr(
+            other.rank(method="average"), method="pearson", min_periods=min_periods
+        )
     if method == "kendall":
         # reference parity: only pearson is distributed there (ref
         # storage_formats/pandas/aggregations.py:60), kendall defaults to
@@ -1499,11 +1503,19 @@ def _ser_corr(self, other, method="pearson"):
                 f"refused above {cap:,} rows; use method='spearman', which "
                 "runs fully distributed, or method='pearson'"
             )
+        if min_periods is not None and (pdf["a"].notna() & pdf["b"].notna()).sum() < min_periods:
+            return float("nan")
         return kendall_tau_b(pdf["a"].to_numpy(), pdf["b"].to_numpy())
     if method != "pearson":
         raise NotImplementedError(f"corr method {method!r}")
     fr, ea, eb, _ = self._combine(other)
-    return fr.sdf.agg(F.corr(ea.cast("double"), eb.cast("double")).alias("r")).collect()[0]["r"]
+    row = fr.sdf.agg(
+        F.corr(ea.cast("double"), eb.cast("double")).alias("r"),
+        F.count(F.when(ea.isNotNull() & eb.isNotNull(), 1)).alias("n"),
+    ).collect()[0]
+    if min_periods is not None and row["n"] < min_periods:
+        return float("nan")
+    return row["r"]
 
 
 def _ser_cov(self, other, ddof=1):
