@@ -2001,29 +2001,36 @@ def _q22_global_sales(spark, sf):
 # ---------------------------------------------------------------------------
 
 # The driver scores a PREFIX of queries() (50 entries since r2). Ordering is
-# therefore a rotation schedule. Round-8 prefix: (a) the one never-scored
-# query (apply_axis0_mi_reshape — the closed MultiIndex reshape fallback),
-# (b) every row whose machinery CHANGED this round (the apply-axis0
-# reshape rewrite: any-nlevels result/input indexes + the executor
-# sampling-contract guard; the multi-key pivot hex-encoded composite keys;
-# fwf NA-token mapping; explode(ignore_index=)/stack(future_stack=)/
-# eval(inplace=)/rename(level=) kwarg fixes; from_pandas column-MultiIndex
-# preservation; exact int floordiv), then (c) the stalest green rows —
-# last driver-scored r2/r3: the TPC-H tail, dt_funcs, describe_stats,
-# qcut_quartiles, the groupby head/first/filter/transform family, the
-# corpus-scan family. All 50 are oracle-backed (contract test: 0 no-oracle
-# allowed). Every entry is still checked locally every round via
-# tools/check_entry.py regardless of position.
-_R8_PREFIX = [
+# therefore a rotation schedule. Round-9 prefix (the r8 driver run was not
+# recorded, so the r8-changed rows stay front-loaded too): (a) the one
+# never-scored query (apply_axis0_mi_reshape), (b) rows whose machinery
+# changed in r9 — the over-cap STAR-expansion bucket guard in
+# minhash/simhash/ngram/cosine dedup (oracles replay the new semantics),
+# the transpose budget raise, and the probe-wave-10 fixes (cut edge
+# padding, corr min_periods, sort_index level/ascending, reset_index
+# names, astype errors=ignore, replace regex, insert allow_duplicates,
+# to_datetime mixed), (c) rows whose machinery changed in r8 (apply-axis0
+# any-nlevels reshape + sampling guard, hex pivot keys, fwf NA tokens,
+# kwarg fixes), then (d) the stalest green rows — last driver-scored
+# r2/r3: the TPC-H tail and the groupby/corpus families. All 50 are
+# oracle-backed (contract test: 0 no-oracle allowed). Every entry is still
+# checked locally every round via tools/check_entry.py regardless of
+# position.
+_R9_PREFIX = [
     # (a) never scored
     "apply_axis0_mi_reshape",
-    # (b) machinery changed in r8
+    # (b) machinery changed in r9
+    "docs_minhash_dedup", "docs_simhash_dedup", "docs_ngram_dedup",
+    "emb_cosine_dedup", "cut_buckets", "qcut_quartiles", "corr_cov",
+    "dt_funcs", "multiindex_regroup", "transpose_wide_roundtrip",
+    "transpose_mixed", "transpose_agg", "transpose_multiindex_roundtrip",
+    # (c) machinery changed in r8 (never driver-scored since)
     "apply_axis0_vcounts", "apply_axis0_strings", "apply_axis0_zscore",
     "pivot_flag_status", "multiindex3_cols_agg", "multiindex_cols_agg",
-    "multiindex_regroup", "concat_dup_labels", "fwf_ingest",
-    "explode_words", "melt_unpivot", "query_eval",
-    # (c) stalest green rows (last scored r2/r3)
-    "dt_funcs", "describe_stats", "qcut_quartiles",
+    "concat_dup_labels", "fwf_ingest", "explode_words", "melt_unpivot",
+    "query_eval",
+    # (d) stalest green rows (last scored r2/r3)
+    "describe_stats",
     "q4_priority_returned", "q7_volume_shipping", "q11_important_parts",
     "q12_priority_lines", "q15_top_supplier", "q16_supplier_count",
     "q17_small_quantity", "q18_large_volume", "q19_brand_filter",
@@ -2032,9 +2039,6 @@ _R8_PREFIX = [
     "groupby_head2", "groupby_first_last", "rollup_agg",
     "range_join_buckets", "docs_fingerprint", "docs_langid_quality",
     "docs_clean_corpus", "docs_jaccard_pairs", "emb_brute_topk",
-    "docs_norm_distinct", "value_counts", "sql_interface",
-    "asof_nearest", "where_clip", "q6_forecast_revenue", "corr_cov",
-    "cut_buckets", "crosstab_counts", "mode_quantity",
 ]
 
 
@@ -2175,7 +2179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_jaccard_pairs": _docs_jaccard_pairs,
         "emb_brute_topk": _emb_brute_topk,
     }
-    ordered = {k: all_q[k] for k in _R8_PREFIX}
+    ordered = {k: all_q[k] for k in _R9_PREFIX}
     ordered.update({k: v for k, v in all_q.items() if k not in ordered})
     return ordered
 
