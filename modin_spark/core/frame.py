@@ -357,6 +357,10 @@ class SparkFrame:
         expressions can still rebase; Catalyst prunes unused ones.
         """
         labels = pd.Index(list(labels))
+        if len(labels) == len(self.columns) and list(labels) == list(self.columns):
+            # value-only projection (fillna/clip/where/...): pandas keeps the
+            # columns-Index name(s) — reuse the existing label Index object
+            labels = self.columns
         phys = fresh_names(len(labels))
         sdf = self.sdf.select("*", *[e.alias(p) for e, p in zip(exprs, phys)])
         return self._same_rows(sdf, columns=labels, data_cols=phys)
@@ -544,7 +548,9 @@ class SparkFrame:
         ]
         return self._same_rows(
             self.sdf,
-            columns=pd.Index(labels + list(self.columns)),
+            # pandas preserves the columns-Index NAME through reset_index
+            columns=pd.Index(labels + list(self.columns), name=self.columns.name
+                             if not isinstance(self.columns, pd.MultiIndex) else None),
             data_cols=self.index_cols + self.data_cols,
             index_cols=[],
             index_names=[None],

@@ -735,11 +735,27 @@ class DataFrame:
     def eval(self, expr: str, inplace: bool = False) -> "DataFrame | Series | None":
         """pandas.eval — 'new = expression' adds a column; a bare expression
         returns a Series. Same label->physical translation as query; the
-        expression itself runs as a Catalyst expression (F.expr)."""
-        fr = self._frame
+        expression itself runs as a Catalyst expression (F.expr).
+        Multi-line expressions assign sequentially (pandas semantics: every
+        line must be an assignment; later lines may reference earlier
+        results) — each stays one projection, no materialization."""
         import re as _re
 
-        m = _re.match(r"^\s*([A-Za-z_]\w*)\s*=(?!=)\s*(.+)$", expr, _re.S)
+        assign = r"^\s*([A-Za-z_]\w*)\s*=(?!=)\s*(.+)$"
+        lines = [ln for ln in expr.splitlines() if ln.strip()]
+        if len(lines) > 1:
+            out = self
+            for ln in lines:
+                m = _re.match(assign, ln)
+                if not m:
+                    raise ValueError(
+                        "Multi-line expressions are only valid if all expressions contain an assignment"
+                    )
+                rhs = out._translate_query(m.group(2), caller_depth=2)
+                out = DataFrame(_frame=out._frame.with_columns([m.group(1)], [F.expr(rhs)]))
+            return self._maybe_inplace(out, inplace)
+        fr = self._frame
+        m = _re.match(assign, expr, _re.S)
         rhs = m.group(2) if m else expr
         rhs = self._translate_query(rhs, caller_depth=2)
         col = F.expr(rhs)
@@ -889,7 +905,10 @@ class DataFrame:
                 moved_labels = given
             nf = fr._same_rows(
                 fr.sdf,
-                columns=pd.Index((moved_labels if not drop else []) + list(fr.columns)),
+                columns=pd.Index(
+                    (moved_labels if not drop else []) + list(fr.columns),
+                    name=fr.columns.name if not isinstance(fr.columns, pd.MultiIndex) else None,
+                ),
                 data_cols=([fr.index_cols[i] for i in pos] if not drop else []) + list(fr.data_cols),
                 index_cols=[fr.index_cols[i] for i in keep],
                 index_names=[fr.index_names[i] for i in keep] or [None],
@@ -905,7 +924,9 @@ class DataFrame:
             cols = list(ofr.columns)
             cols[:nlev] = given
             out = DataFrame(_frame=ofr._same_rows(
-                ofr.sdf, columns=pd.Index(cols, tupleize_cols=False),
+                ofr.sdf,
+                columns=pd.Index(cols, tupleize_cols=False, name=ofr.columns.name
+                                 if not isinstance(ofr.columns, pd.MultiIndex) else None),
                 data_cols=list(ofr.data_cols),
             ))
         return out
@@ -1560,25 +1581,37 @@ class DataFrame:
         return pd.DataFrame(data, index=labels, columns=labels)
 
     # -------------------------------------------------------- order-dependent
-    def cumsum(self, axis=0) -> "DataFrame":
+    def _cum_axis0(self, kind: str, skipna: bool) -> "DataFrame":
+        out = DataFrame(_frame=win.cum_op(self._frame, self._numeric_positions(), kind))
+        if not skipna:
+            # pandas skipna=False: the first NaN poisons everything after it.
+            # The poison mask is itself a cumulative (count of nulls so far
+            # > 0) on the SAME order key — stays an expression pipeline.
+            for i in self._numeric_positions():
+                lbl = self._frame.columns[i]
+                poison = self._series_at(i).isna().astype("int64").cumsum() > 0
+                out[lbl] = out._series_at(i).where(~poison)
+        return out
+
+    def cumsum(self, axis=0, skipna: bool = True) -> "DataFrame":
         if axis in (1, "columns"):
             return self._row_cum("cumsum")
-        return DataFrame(_frame=win.cum_op(self._frame, self._numeric_positions(), "cumsum"))
+        return self._cum_axis0("cumsum", skipna)
 
-    def cummax(self, axis=0) -> "DataFrame":
+    def cummax(self, axis=0, skipna: bool = True) -> "DataFrame":
         if axis in (1, "columns"):
             return self._row_cum("cummax")
-        return DataFrame(_frame=win.cum_op(self._frame, self._numeric_positions(), "cummax"))
+        return self._cum_axis0("cummax", skipna)
 
-    def cummin(self, axis=0) -> "DataFrame":
+    def cummin(self, axis=0, skipna: bool = True) -> "DataFrame":
         if axis in (1, "columns"):
             return self._row_cum("cummin")
-        return DataFrame(_frame=win.cum_op(self._frame, self._numeric_positions(), "cummin"))
+        return self._cum_axis0("cummin", skipna)
 
-    def cumprod(self, axis=0) -> "DataFrame":
+    def cumprod(self, axis=0, skipna: bool = True) -> "DataFrame":
         if axis in (1, "columns"):
             return self._row_cum("cumprod")
-        return DataFrame(_frame=win.cum_op(self._frame, self._numeric_positions(), "cumprod"))
+        return self._cum_axis0("cumprod", skipna)
 
     def shift(self, periods=1, fill_value=None, axis=0) -> "DataFrame":
         if axis in (1, "columns"):
@@ -1833,6 +1866,32 @@ class DataFrame:
         agg_fn = qc.AGG_EXPRS[aggfunc]
         if not isinstance(values, list):
             val_phys = fr.data_cols[fr.positions_of([values])[0]]
+            if not margins:
+                # collect the distinct pivot keys TYPED (driver metadata by
+                # definition): pandas keeps the key dtype in the column
+                # labels (an int key labels an int column, not '1') and
+                # names the columns Index after the key
+                pvals = [
+                    r[0]
+                    for r in fr.sdf.select(col_phys).where(F.col(col_phys).isNotNull())
+                    .distinct().orderBy(col_phys).collect()
+                ]
+                pivoted = fr.sdf.groupBy(*idx_phys).pivot(col_phys, pvals).agg(
+                    agg_fn(F.col(val_phys))
+                )
+                tmp = _fn(len(pvals))
+                pivoted = pivoted.toDF(*idx_phys, *tmp)  # positional: names never parsed
+                out_phys = _fn(len(pvals))
+                fill = (lambda c: F.coalesce(c, F.lit(fill_value))) if fill_value is not None else (lambda c: c)
+                sel = [F.struct(*[F.col(p) for p in idx_phys]).alias(ORDER_COL)]
+                sel += [F.col(p) for p in idx_phys]
+                sel += [fill(F.col(t)).alias(np_) for t, np_ in zip(tmp, out_phys)]
+                out = SparkFrame(
+                    pivoted.select(*sel),
+                    pd.Index(pvals, name=columns_list[0], tupleize_cols=False),
+                    out_phys, idx_phys, list(index),
+                )
+                return DataFrame(_frame=out)
             pivoted = fr.sdf.groupBy(*idx_phys).pivot(col_phys).agg(agg_fn(F.col(val_phys)))
             value_cols = [c for c in pivoted.columns if c not in set(idx_phys)]
             if margins:
@@ -1891,7 +1950,9 @@ class DataFrame:
         sel += [F.col(p) for p in idx_phys]
         sel += [F.col(name_of[t]).alias(np_) for t, np_ in zip(labels, out_phys)]
         out = SparkFrame(
-            pivoted.select(*sel), pd.MultiIndex.from_tuples(labels), out_phys, idx_phys, list(index)
+            pivoted.select(*sel),
+            pd.MultiIndex.from_tuples(labels, names=[None, columns_list[0]]),
+            out_phys, idx_phys, list(index),
         )
         return DataFrame(_frame=out)
 
@@ -2229,23 +2290,56 @@ class DataFrame:
 
     def pivot(self, index=None, columns=None, values=None) -> "DataFrame":
         """Reshape without aggregation (errors on duplicates in pandas; here
-        first-wins) — groupBy(index).pivot(columns).first(values)."""
+        first-wins) — groupBy(index).pivot(columns).first(values).
+        ``index=None`` pivots on the existing index (pandas semantics); a
+        default positional index rides as a materialized global position."""
+        if index is None:
+            fr = self._frame
+            if fr.index_cols:
+                names = [n if n is not None else f"level_{i}" for i, n in enumerate(fr.index_names)]
+                flat = DataFrame(_frame=fr.reset_index())
+                return flat.pivot_table(values=values, index=names, columns=columns, aggfunc="first")
+            fr2 = fr.ensure_order().with_global_position("__pvi__")
+            base = SparkFrame(
+                fr2.sdf, pd.Index(["__pvi__"] + list(fr.columns)),
+                ["__pvi__"] + list(fr2.data_cols), [], [None],
+            )
+            out = DataFrame(_frame=base).pivot_table(
+                values=values, index=["__pvi__"], columns=columns, aggfunc="first"
+            )
+            ofr = out._frame
+            return DataFrame(_frame=ofr._same_rows(
+                ofr.sdf, columns=ofr.columns, data_cols=list(ofr.data_cols),
+                index_cols=list(ofr.index_cols), index_names=[None],
+            ))
         return self.pivot_table(values=values, index=[index] if isinstance(index, str) else index,
                                 columns=columns, aggfunc="first")
 
-    def stack(self, future_stack: bool = False):
+    def stack(self, level=-1, future_stack: bool = False):
         """Columns → rows. Flat columns: a (index, column-label) MultiIndex
         Series in pandas' row-major order with NaN cells dropped (classic
         ``stack`` semantics; ``future_stack=True`` keeps them, pandas 2.x
         new semantics) — melt + an ORDER-struct swap, no extra shuffle.
         2-level columns: the LAST column level moves into the index and the
         output columns are the level-0 labels (pandas ``future_stack``
-        order-of-appearance semantics) — ONE posexplode, no shuffle."""
+        order-of-appearance semantics) — ONE posexplode, no shuffle.
+        ``level=`` picks which column level moves (2-level columns only);
+        level 0 is a metadata-only label swap before the same posexplode."""
         from modin_spark.core.frame import ORDER_COL as _OC
 
         fr = self._frame
         if isinstance(fr.columns, pd.MultiIndex) and fr.columns.nlevels == 2:
+            lv = level
+            if isinstance(lv, str):
+                lv = list(fr.columns.names).index(lv)
+            if lv == 0:
+                sw = fr._same_rows(
+                    fr.sdf, columns=fr.columns.swaplevel(0, 1), data_cols=list(fr.data_cols)
+                )
+                return DataFrame(_frame=sw)._stack_two_level()
             return self._stack_two_level()
+        if level not in (-1, 0):
+            raise ValueError(f"stack level {level!r} out of range for flat columns")
         fr2 = fr.ensure_order()
         if fr.index_cols:
             base = DataFrame(_frame=fr2.reset_index())
@@ -2318,25 +2412,53 @@ class DataFrame:
             *[F.col(f"__e__.__s{gi}__").alias(op) for gi, op in enumerate(out_phys)],
         )
         nf = SparkFrame(
-            sdf, pd.Index(lvl0), out_phys,
+            # pandas: the surviving column level keeps its level NAME as the
+            # output columns-Index name
+            sdf, pd.Index(lvl0, name=fr.columns.names[0]), out_phys,
             fr.index_cols + ["__lv2__"],
             list(fr.index_names) + [fr.columns.names[-1]],
             has_order=True,
         )
         return DataFrame(_frame=nf)
 
-    def unstack(self, level=-1) -> "DataFrame":
+    def unstack(self, level=-1, fill_value=None) -> "DataFrame":
         """Inverse of stack for the 2-level-index frame shape stack emits:
         pivot the last index column into columns. Multiple value columns
-        produce 2-level (value, key) MultiIndex columns, pandas-style."""
+        produce 2-level (value, key) MultiIndex columns, pandas-style.
+
+        ``fill_value`` fills only cells whose (index, key) combo is ABSENT
+        from the data — a present-but-NaN value stays NaN (pandas exact).
+        Absence is data-dependent, so each value rides the single pivot
+        wrapped in a (presence, value) struct: a NULL struct means the
+        combo never existed, a non-NULL struct with NULL value means NaN."""
         fr = self._frame
         if len(fr.index_cols) < 2:
             raise NotImplementedError("unstack needs a 2-level index")
         names = [n if n is not None else f"level_{i}" for i, n in enumerate(fr.index_names)]
+        if isinstance(level, str):
+            lv = names.index(level)
+        else:
+            lv = level % len(names)
+        moved, remaining = names[lv], [n for i, n in enumerate(names) if i != lv]
         flat = DataFrame(_frame=fr.reset_index())
         value_cols = [c for c in flat.columns if c not in names]
         values = value_cols[0] if len(value_cols) == 1 else value_cols
-        return flat.pivot_table(values=values, index=names[:-1], columns=names[-1], aggfunc="first")
+        if fill_value is None:
+            return flat.pivot_table(values=values, index=remaining, columns=moved, aggfunc="first")
+        for v in value_cols:
+            s = flat[v]
+            flat[v] = Series(s._frame, F.struct(F.lit(1).alias("p"), s._expr.alias("v")), s._refs, None)
+        out = flat.pivot_table(values=values, index=remaining, columns=moved, aggfunc="first")
+        ofr = out._frame
+        exprs = [
+            F.when(ofr.scol(i).isNull(), F.lit(fill_value)).otherwise(ofr.scol(i)["v"])
+            for i in range(len(ofr.columns))
+        ]
+        nf = ofr.project(list(ofr.columns), exprs)
+        # project rebuilds the label Index — restore the columns name pandas
+        # carries through unstack
+        nf = nf._same_rows(nf.sdf, columns=ofr.columns, data_cols=list(nf.data_cols))
+        return DataFrame(_frame=nf)
 
     def transpose(self) -> "DataFrame":
         """Swap axes (same cost class as the reference's partition-grid
@@ -3398,7 +3520,11 @@ class DataFrame:
         fr = self._frame
         c = fr.index_cols[0] if fr.index_cols else None
         if c is None:
-            raise NotImplementedError("truncate requires a set index")
+            # default positional index: truncate on positions, both ends
+            # inclusive (pandas) — exactly an iloc slice
+            lo = int(before) if before is not None else None
+            hi = int(after) + 1 if after is not None else None
+            return self.iloc[lo:hi]
         cond = F.lit(True)
         if before is not None:
             cond = cond & (F.col(c) >= F.lit(before))

@@ -262,11 +262,17 @@ class DataFrameGroupBy:
 
         return DataFrame(_frame=self._window_transform(b))
 
-    def cumcount(self) -> Series:
+    def cumcount(self, ascending: bool = True) -> Series:
         fr = self._df._frame.ensure_order()
         keys = [fr.data_cols[i] for i in self._by_pos]
         w = Window.partitionBy(*keys).orderBy(ORDER_COL)
-        return Series._from_frame(fr.project(["cumcount"], [F.row_number().over(w) - 1]))
+        if ascending:
+            expr = F.row_number().over(w) - 1
+        else:
+            # count from the end of the group: size - 1 - cumcount, via one
+            # extra unordered group-count window over the same partitioning
+            expr = F.count(F.lit(1)).over(Window.partitionBy(*keys)) - F.row_number().over(w)
+        return Series._from_frame(fr.project(["cumcount"], [expr]))
 
     def cummax(self):
         from modin_spark.pandas.dataframe import DataFrame

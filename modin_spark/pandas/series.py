@@ -888,17 +888,25 @@ class Series:
         return int(row["n"] or 0)
 
     # ------------------------------------------------------- order-dependent
-    def cumsum(self) -> "Series":
-        return Series._from_frame(win.cum_op(self._to_frame(), [0], "cumsum"))
+    def _cum(self, kind: str, skipna: bool) -> "Series":
+        out = Series._from_frame(win.cum_op(self._to_frame(), [0], kind))
+        if not skipna:
+            # pandas skipna=False: the first NaN poisons everything after it
+            poison = self.isna().astype("int64").cumsum() > 0
+            out = out.where(~poison)
+        return out
 
-    def cumprod(self) -> "Series":
-        return Series._from_frame(win.cum_op(self._to_frame(), [0], "cumprod"))
+    def cumsum(self, skipna: bool = True) -> "Series":
+        return self._cum("cumsum", skipna)
 
-    def cummax(self) -> "Series":
-        return Series._from_frame(win.cum_op(self._to_frame(), [0], "cummax"))
+    def cumprod(self, skipna: bool = True) -> "Series":
+        return self._cum("cumprod", skipna)
 
-    def cummin(self) -> "Series":
-        return Series._from_frame(win.cum_op(self._to_frame(), [0], "cummin"))
+    def cummax(self, skipna: bool = True) -> "Series":
+        return self._cum("cummax", skipna)
+
+    def cummin(self, skipna: bool = True) -> "Series":
+        return self._cum("cummin", skipna)
 
     def shift(self, periods: int = 1, fill_value=None) -> "Series":
         return Series._from_frame(win.shift(self._to_frame(), [0], periods, fill_value))
@@ -1724,8 +1732,8 @@ def _ser_info(self, **kw):
     print(f"<modin_spark Series, name={self._name}, len={len(self)}>")
 
 
-def _ser_unstack(self, level=-1):
-    return self.to_frame("__s__").unstack(level)
+def _ser_unstack(self, level=-1, fill_value=None):
+    return self.to_frame("__s__").unstack(level, fill_value=fill_value)
 
 
 Series.compare = _ser_compare

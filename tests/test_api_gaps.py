@@ -393,7 +393,7 @@ def test_pivot_float_keys_and_crosstab_margins(spark):
     m = mpd.from_pandas(L)
     got = m.pivot_table(values="lv", index=["k"], columns="t", aggfunc="sum").to_pandas().sort_index()
     exp = L.pivot_table(values="lv", index=["k"], columns="t", aggfunc="sum").sort_index()
-    exp.columns = [str(c) for c in exp.columns]
+    # r9: pivot keys stay TYPED (float labels, not '1.0' strings) — pandas exact
     pd.testing.assert_frame_equal(got, exp, check_dtype=False, check_names=False)
 
     C = pd.DataFrame({"k": ["a", "a", "b", "b", "a"], "c": ["x", "y", "x", "x", "y"]})

@@ -120,3 +120,106 @@ def test_sort_index_level_and_ascending_list():
         m.set_index(["b", "a"]).sort_index(level="b", ascending=False).reset_index(),
         p.set_index(["b", "a"]).sort_index(level="b", ascending=False).reset_index(),
     )
+
+
+# ---------------------------------------------------------------- wave 11
+# (tools/probe_wave11.py — each diverged or errored vs pandas before the fix)
+
+WPDF = pd.DataFrame(
+    {
+        "a": [3, 1, 2, 1, 3, 2],
+        "b": ["x", "y", "x", "z", "y", "x"],
+        "c": [1.5, 2.5, 3.5, 4.5, 5.5, 6.5],
+        "d": [10, 20, 30, 40, 50, 60],
+    }
+)
+
+
+def wboth():
+    return mpd.DataFrame(WPDF.copy()), WPDF.copy()
+
+
+def _srt(df):
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def eq_pd(got, want):
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True),
+        check_dtype=False, check_index_type=False,
+    )
+
+
+def test_unstack_fill_value_only_absent_cells():
+    m, p = wboth()
+    fn = lambda df: df.groupby(["b", "a"])["d"].sum().unstack(fill_value=-1).reset_index()
+    eq_pd(_srt(fn(m).to_pandas()), _srt(fn(p)))
+
+
+def test_stack_level0_of_two():
+    m, p = wboth()
+    fn = lambda df: (
+        df.set_index(["b", "a"]).groupby(level=[0, 1]).sum()
+        .unstack(0).stack(0, future_stack=True).reset_index().fillna(-9)
+    )
+    eq_pd(_srt(fn(m).to_pandas()), _srt(fn(p)))
+
+
+def test_eval_multi_assign():
+    m, p = wboth()
+    fn = lambda df: df.eval("e = c + d\nf = c * 2")
+    eq_pd(_srt(fn(m).to_pandas()), _srt(fn(p)))
+    with pytest.raises(ValueError):
+        m.eval("e = c + d\nc * 2")
+
+
+def test_pivot_columns_only_positional_index():
+    m, p = wboth()
+    fn = lambda df: df.head(3).pivot(columns="b", values="d").fillna(-1).reset_index(drop=True)
+    eq_pd(_srt(fn(m).to_pandas()), _srt(fn(p)))
+
+
+def test_pivot_table_typed_keys_and_columns_name():
+    m, p = wboth()
+    gm = m.pivot_table(values="d", index="b", columns="a", aggfunc="sum").to_pandas()
+    gp = p.pivot_table(values="d", index="b", columns="a", aggfunc="sum")
+    assert list(gm.columns) == list(gp.columns)  # typed (int) labels, not strings
+    assert gm.columns.name == gp.columns.name == "a"
+
+
+def test_cumsum_skipna_false_poisons_after_first_nan():
+    m, p = wboth()
+    for kind in ("cumsum", "cummax", "cumprod"):
+        sm = getattr(m.assign(c2=[1.0, None, 2.0, None, 3.0, 4.0])["c2"], kind)(skipna=False)
+        sp = getattr(p.assign(c2=[1.0, None, 2.0, None, 3.0, 4.0])["c2"], kind)(skipna=False)
+        pd.testing.assert_series_equal(
+            sm.to_pandas().reset_index(drop=True), sp.reset_index(drop=True),
+            check_dtype=False, check_names=False,
+        )
+
+
+def test_groupby_cumcount_descending():
+    m, p = wboth()
+    sm = m.groupby("b").cumcount(ascending=False).sort_values().to_pandas()
+    sp = p.groupby("b").cumcount(ascending=False).sort_values()
+    assert list(sm) == list(sp)
+
+
+def test_truncate_positional_index():
+    m, p = wboth()
+    fn = lambda df: df.truncate(before=1, after=4).reset_index(drop=True)
+    eq_frames(fn(m), fn(p))
+
+
+def test_reset_index_preserves_columns_name():
+    m, p = wboth()
+    gm = m.pivot_table(values="d", index="b", columns="a", aggfunc="sum").reset_index().to_pandas()
+    gp = p.pivot_table(values="d", index="b", columns="a", aggfunc="sum").reset_index()
+    assert gm.columns.name == gp.columns.name == "a"
+
+
+def test_fillna_preserves_columns_name():
+    m, p = wboth()
+    gm = m.pivot_table(values="d", index="b", columns="a", aggfunc="sum").fillna(0).to_pandas()
+    gp = p.pivot_table(values="d", index="b", columns="a", aggfunc="sum").fillna(0)
+    assert gm.columns.name == gp.columns.name == "a"
