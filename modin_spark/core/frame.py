@@ -178,6 +178,14 @@ class SparkFrame:
         # Propagated through row-subset/column ops; never through casts
         # (fresh physical names break any stale association).
         self.nonnull_cols: frozenset = frozenset()
+        # ORDER_COL values ARE the pandas default-index labels (0..n-1 at
+        # creation). Set by from_pandas for default-RangeIndex input; survives
+        # row subsets (filter/dropna/head — pandas KEEPS original labels
+        # there), cleared whenever ORDER is re-derived (sort) or restructured.
+        # Lets to_pandas and idxmax-style consumers recover pandas-exact
+        # labels after filters with ZERO extra plan cost (no global position
+        # shuffle) — the label is already in every row.
+        self.order_is_position: bool = False
         assert len(self.columns) == len(self.data_cols)
 
     def ensure_order(self) -> "SparkFrame":
@@ -215,6 +223,7 @@ class SparkFrame:
         )
         nf.order_epoch = self.order_epoch
         nf.nonnull_cols = self.nonnull_cols
+        nf.order_is_position = self.order_is_position
         return nf
 
     def _subset_rows(self, sdf, columns=None, data_cols=None, index_cols=None, index_names=None, has_order=None):
@@ -232,6 +241,7 @@ class SparkFrame:
         )
         nf.order_epoch = self.order_epoch  # subset keeps the parent's values
         nf.nonnull_cols = self.nonnull_cols  # row subsets cannot introduce nulls
+        nf.order_is_position = self.order_is_position
         return nf
 
     def can_rebase(self, anchor: "SparkFrame", refs: set[str]) -> bool:
@@ -297,6 +307,9 @@ class SparkFrame:
             sdf = spark.createDataFrame(flat)
         nf = cls(sdf, data_labels, data_phys, idx_phys, index_names if idx_phys else [None])
         nf.order_epoch = ("pd", nf._lid)  # contiguous 0..n-1, unique to this ingest
+        # default-RangeIndex ingest: ORDER values literally ARE the pandas
+        # row labels, so filtered frames can recover them for free
+        nf.order_is_position = default_range
         # exact null statistics are free at ingest: null-free columns keep
         # the plain `=` equi-join plan in later merges
         nf.nonnull_cols = frozenset(
@@ -426,6 +439,7 @@ class SparkFrame:
         sorted_sdf = base.sdf.orderBy(*keys).withColumn(ORDER_COL, F.monotonically_increasing_id())
         nf = base._subset_rows(sorted_sdf, has_order=True)
         nf.order_epoch = ("sort", nf._lid)  # ORDER re-derived: new epoch
+        nf.order_is_position = False  # fresh mono ids, not original positions
         # sort().head(n) fusion: head() on THIS frame (and only this frame —
         # _presort never propagates to derived frames) can re-plan as
         # orderBy+limit, which compiles to TakeOrderedAndProject instead of a
@@ -581,6 +595,17 @@ class SparkFrame:
                 )
         else:
             out.index = pd.RangeIndex(len(out))
+            if (
+                self.has_order
+                and self.order_is_position
+                and len(out)
+                and pdf[ORDER_COL].dtype.kind in "iu"
+            ):
+                labels = pdf[ORDER_COL].to_numpy()
+                # only deviate from RangeIndex when rows were actually
+                # dropped — pandas keeps the ORIGINAL labels there
+                if labels[-1] != len(out) - 1:
+                    out.index = pd.Index(labels, dtype="int64")
         return out
 
     def to_spark(self, include_index: bool = False, ordered: bool = True) -> SDF:

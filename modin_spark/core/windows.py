@@ -179,12 +179,17 @@ def diff(frame: SparkFrame, positions: Sequence[int], periods: int = 1) -> Spark
     return shifted._same_rows(shifted.sdf).project(labels, exprs)
 
 
-def pct_change(frame: SparkFrame, positions: Sequence[int], periods: int = 1) -> SparkFrame:
+def pct_change(frame: SparkFrame, positions: Sequence[int], periods: int = 1,
+               fill_method="ffill") -> SparkFrame:
     """pandas ``pct_change`` — cur/prev - 1 along frame order (same
     position-equijoin plan as shift; no global window). pandas pads missing
     values before differencing (fill_method), so the diff runs on the
-    ffilled series — one extra block-carry pass."""
-    filled = ffill(frame, positions)
+    ffilled series — one extra block-carry pass. ``fill_method=None``
+    (pandas 2.x direction) skips the pad; NaNs propagate."""
+    if fill_method is None:
+        filled = frame.select_positions(list(positions))
+    else:
+        filled = ffill(frame, positions)
     shifted = shift(filled, list(range(len(positions))), periods)
     labels, exprs = [], []
     for out_pos, orig_pos in enumerate(positions):
@@ -195,7 +200,8 @@ def pct_change(frame: SparkFrame, positions: Sequence[int], periods: int = 1) ->
     return shifted._same_rows(shifted.sdf).project(labels, exprs)
 
 
-def interpolate_linear(frame: SparkFrame, positions: Sequence[int], x_col=None, limit=None) -> SparkFrame:
+def interpolate_linear(frame: SparkFrame, positions: Sequence[int], x_col=None, limit=None,
+                       limit_direction: str = "forward") -> SparkFrame:
     """pandas ``interpolate(method="linear")`` along frame order.
 
     Needs, per null cell, the nearest non-null (value, position) before and
@@ -203,6 +209,9 @@ def interpolate_linear(frame: SparkFrame, positions: Sequence[int], x_col=None, 
     same two-pass block scheme as ffill: within-block window + per-block
     carry joined broadcast-side. Leading NaNs stay NaN; trailing NaNs extend
     the last value (pandas limit_direction='forward' default).
+    ``limit_direction``: which NaN runs are eligible — 'forward' (leading
+    stay NaN), 'backward' (trailing stay NaN, leading backfill), 'both'.
+    Same plan either way; only the final projection's when-chain changes.
 
     ``x_col``: physical column name carrying the interpolation abscissa
     (pandas method='index'/'time'); the fraction is computed in x-space
@@ -241,16 +250,39 @@ def interpolate_linear(frame: SparkFrame, positions: Sequence[int], x_col=None, 
         nxt = F.coalesce(F.col(nc), F.col(f"__cn_{nc}"))
         frac = (xe - prev["p"]).cast("double") / (nxt["p"] - prev["p"]).cast("double")
         interp = prev["v"] + (nxt["v"] - prev["v"]) * frac
-        e = (
-            F.when(F.col(p).isNotNull(), F.col(p).cast("double"))
-            .when(prev.isNull(), F.lit(None))          # leading NaNs
-            .when(nxt.isNull(), prev["v"])             # trailing: extend last
-            .otherwise(interp)
-        )
+        if limit_direction == "backward":
+            e = (
+                F.when(F.col(p).isNotNull(), F.col(p).cast("double"))
+                .when(nxt.isNull(), F.lit(None))       # trailing NaNs stay
+                .when(prev.isNull(), nxt["v"])         # leading: backfill
+                .otherwise(interp)
+            )
+        elif limit_direction == "both":
+            e = (
+                F.when(F.col(p).isNotNull(), F.col(p).cast("double"))
+                .when(prev.isNull() & nxt.isNull(), F.lit(None))
+                .when(prev.isNull(), nxt["v"])         # leading: backfill
+                .when(nxt.isNull(), prev["v"])         # trailing: extend last
+                .otherwise(interp)
+            )
+        else:
+            e = (
+                F.when(F.col(p).isNotNull(), F.col(p).cast("double"))
+                .when(prev.isNull(), F.lit(None))          # leading NaNs
+                .when(nxt.isNull(), prev["v"])             # trailing: extend last
+                .otherwise(interp)
+            )
         if limit is not None:
-            # pandas limit: at most `limit` consecutive NaNs fill (row gap
-            # from the previous valid row, regardless of the abscissa)
-            gap = F.col(_POS).cast("double") - prev["r"]
+            # pandas limit: at most `limit` consecutive NaNs fill — gap from
+            # the nearest valid row in the eligible direction(s)
+            gap_f = F.col(_POS).cast("double") - prev["r"]
+            gap_b = nxt["r"] - F.col(_POS).cast("double")
+            if limit_direction == "backward":
+                gap = F.coalesce(gap_b, gap_f)
+            elif limit_direction == "both":
+                gap = F.least(F.coalesce(gap_f, gap_b), F.coalesce(gap_b, gap_f))
+            else:
+                gap = F.coalesce(gap_f, gap_b)
             e = F.when(F.col(p).isNull() & (gap > limit), F.lit(None)).otherwise(e)
         exprs.append(e)
     out = fr._same_rows(sdf).project(labels, exprs)

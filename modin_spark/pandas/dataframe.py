@@ -251,6 +251,7 @@ class DataFrame:
     def drop(self, labels=None, columns=None, index=None, axis=0, errors="raise") -> "DataFrame":
         if columns is None and axis in (1, "columns"):
             columns = labels
+        out = self
         if columns is not None:
             cols = columns if isinstance(columns, (list, tuple)) else [columns]
             dropset = set()
@@ -260,17 +261,23 @@ class DataFrame:
                     raise KeyError(c)
                 dropset.update(hits)
             keep = [i for i in range(len(self._frame.columns)) if i not in dropset]
-            return DataFrame(_frame=self._frame.select_positions(keep))
+            out = DataFrame(_frame=self._frame.select_positions(keep))
+            if index is None:
+                return out
         # drop rows by index label (pandas axis=0 default) — an anti-filter
         # on the index column, pushes down to the scan
         if index is None and axis in (0, "index"):
             index = labels
         if index is not None:
-            fr = self._frame
+            fr = out._frame
+            idx_vals = list(index) if isinstance(index, (list, tuple)) else [index]
             if not fr.index_cols:
-                raise NotImplementedError("drop by index labels needs an index")
-            idx_vals = index if isinstance(index, (list, tuple)) else [index]
-            cond = ~F.col(fr.index_cols[0]).isin(list(idx_vals))
+                # default positional index: drop by position — one global
+                # position column (same machinery as iloc), anti-filter on it
+                fr2 = fr.ensure_order().with_global_position("__dpi__")
+                sdf = fr2.sdf.where(~F.col("__dpi__").isin(idx_vals)).drop("__dpi__")
+                return DataFrame(_frame=fr._same_rows(sdf))
+            cond = ~F.col(fr.index_cols[0]).isin(idx_vals)
             return DataFrame(_frame=fr.filter(cond))
         raise NotImplementedError("drop: nothing to drop")
 
@@ -546,6 +553,10 @@ class DataFrame:
         return out
 
     def where(self, cond: "DataFrame | Series", other=None) -> "DataFrame":
+        if callable(cond):
+            cond = cond(self)
+        if callable(other):
+            other = other(self)
         fr = self._frame
 
         def other_expr(lbl, fallback):
@@ -603,6 +614,8 @@ class DataFrame:
         raise NotImplementedError("where cond must be Series or DataFrame")
 
     def mask(self, cond: "DataFrame | Series", other=None) -> "DataFrame":
+        if callable(cond):
+            cond = cond(self)
         if isinstance(cond, Series):
             inv = Series(cond._frame, ~F.coalesce(cond._expr, F.lit(False)), cond._refs, cond._name)
             return self.where(inv, other)
@@ -1137,14 +1150,30 @@ class DataFrame:
             if name in numeric_aggs and fr.dtype_of(i) in ("bool", "boolean"):
                 c = c.cast("int")
             return c
-        exprs = [qc.agg_expr(name, col(i), kw.get("q")).alias(f"x{i}") for i in positions]
+        def expr(i):
+            c = col(i)
+            ddof = kw.get("ddof")
+            if name == "sem" and ddof is not None and ddof != 1:
+                # sem(ddof) = sqrt(M2/(n-ddof))/sqrt(n); Spark's stddev_samp
+                # is ddof=1 — rescale by sqrt((n-1)/(n-ddof))
+                n = F.count(c)
+                e = F.stddev_samp(c) * F.sqrt((n - 1) / (n - F.lit(ddof))) / F.sqrt(n)
+            else:
+                e = qc.agg_expr(name, c, kw.get("q"))
+            mc = kw.get("min_count") or 0
+            if mc > 0 and name in ("sum", "prod"):
+                # pandas min_count: fewer than min_count valid values → NaN
+                e = F.when(F.count(c) >= mc, e)
+            return e
+
+        exprs = [expr(i).alias(f"x{i}") for i in positions]
         row = fr.sdf.agg(*exprs).collect()[0]
         return pd.Series([row[f"x{i}"] for i in positions], index=[fr.columns[i] for i in positions])
 
-    def sum(self, numeric_only=True, axis=0, **kw):
+    def sum(self, numeric_only=True, axis=0, min_count=0, **kw):
         if axis in (1, "columns"):
             return self._row_wise("sum")
-        return self._reduce_frame("sum", numeric_only)
+        return self._reduce_frame("sum", numeric_only, min_count=min_count)
 
     def mean(self, numeric_only=True, axis=0, **kw):
         if axis in (1, "columns"):
@@ -1204,15 +1233,17 @@ class DataFrame:
             return Series(fr, e, set(fr.data_cols), None)
         return self._reduce_frame("nunique", numeric_only=False)
 
-    def prod(self, numeric_only=True):
-        return self._reduce_frame("prod", numeric_only)
+    def prod(self, numeric_only=True, min_count=0):
+        return self._reduce_frame("prod", numeric_only, min_count=min_count)
 
     product = prod
 
     def sem(self, numeric_only=True, ddof=1):
-        return self._reduce_frame("sem", numeric_only)
+        return self._reduce_frame("sem", numeric_only, ddof=ddof)
 
-    def skew(self, numeric_only=True):
+    def skew(self, numeric_only=True, axis=0):
+        if axis in (1, "columns"):
+            return self._row_wise("skew")
         return self._reduce_frame("skew", numeric_only)
 
     def kurt(self, numeric_only=True):
@@ -1238,9 +1269,28 @@ class DataFrame:
             return Series(fr, e, set(fr.data_cols), None)
         return self._reduce_frame("all", numeric_only=False)
 
-    def mode(self, numeric_only=False) -> pd.DataFrame:
+    def _mode_axis1(self) -> "DataFrame":
+        """mode(axis=1): per-row tied modal values, sorted, NaN-padded to the
+        global max mode count — one array expression per row plus a 1-row agg
+        for the output width (driver metadata); no shuffle."""
+        fr = self._frame
+        positions = self._numeric_positions()
+        vals = F.array_compact(F.array(*[fr.scol(i).cast("double") for i in positions]))
+        cnt = lambda d: F.size(F.filter(vals, lambda x: x == d))  # noqa: E731
+        maxc = F.array_max(F.transform(F.array_distinct(vals), cnt))
+        modes = F.array_sort(F.filter(F.array_distinct(vals), lambda d: cnt(d) == maxc))
+        tmp = DataFrame(_frame=fr.project(["__m__"], [modes]))
+        width = int(tmp._frame.sdf.agg(F.max(F.size(F.col(tmp._frame.data_cols[0])))).collect()[0][0] or 1)
+        mfr = tmp._frame
+        mcol = mfr.scol(0)
+        out = mfr.project(list(range(width)), [F.element_at(mcol, i + 1) for i in range(width)])
+        return DataFrame(_frame=out)
+
+    def mode(self, numeric_only=False, axis=0) -> pd.DataFrame:
         """Per-column modal values — one unpivot + count + rank pass (single
         job for all columns, not one job per column)."""
+        if axis in (1, "columns"):
+            return self._mode_axis1()
         fr = self._frame
         positions = self._numeric_positions() if numeric_only else list(range(len(fr.columns)))
         from pyspark.sql.window import Window as W
@@ -1358,6 +1408,16 @@ class DataFrame:
             var = (sx2 - sx * sx / n) / (n - ddof)
             var = F.when(n > ddof, var)
             e = F.sqrt(var) if op == "std" else var
+        elif op == "skew":
+            # pandas G1 = [sqrt(n(n-1))/(n-2)] * m3/m2^1.5 (population moments)
+            vals = F.array_compact(F.array(*[c.cast("double") for c in cols]))
+            n = F.size(vals).cast("double")
+            sx = F.aggregate(vals, F.lit(0.0), lambda a, x: a + x)
+            mu = sx / n
+            m2 = F.aggregate(vals, F.lit(0.0), lambda a, x: a + (x - mu) * (x - mu)) / n
+            m3 = F.aggregate(vals, F.lit(0.0), lambda a, x: a + (x - mu) * (x - mu) * (x - mu)) / n
+            g1 = m3 / F.pow(m2, 1.5)
+            e = F.when(n > 2, g1 * F.sqrt(n * (n - 1)) / (n - 2))
         elif op in ("median", "quantile"):
             qq = 0.5 if q is None else float(q)
             vals = F.array_sort(F.array_compact(F.array(*[c.cast("double") for c in cols])))
@@ -1626,7 +1686,19 @@ class DataFrame:
             return DataFrame(_frame=fr.project(fr.columns, exprs))
         return DataFrame(_frame=win.shift(self._frame, list(range(len(self._frame.columns))), periods, fill_value))
 
-    def diff(self, periods=1) -> "DataFrame":
+    def diff(self, periods=1, axis=0) -> "DataFrame":
+        if axis in (1, "columns"):
+            # column-axis diff: c_i - c_{i-periods} — one projection, no shuffle
+            fr = self._frame
+            k = len(fr.columns)
+            exprs = []
+            for i in range(k):
+                j = i - periods
+                if 0 <= j < k:
+                    exprs.append(fr.scol(i).cast("double") - fr.scol(j).cast("double"))
+                else:
+                    exprs.append(F.lit(None).cast("double"))
+            return DataFrame(_frame=fr.project(list(fr.columns), exprs))
         return DataFrame(_frame=win.diff(self._frame, self._numeric_positions(), periods))
 
     def rank(self, method="average", ascending=True, pct=False, axis=0,
@@ -1636,20 +1708,23 @@ class DataFrame:
         return DataFrame(_frame=win.rank(self._frame, self._numeric_positions(), method,
                                          ascending, pct, na_option))
 
-    def pct_change(self, periods=1) -> "DataFrame":
-        return DataFrame(_frame=win.pct_change(self._frame, self._numeric_positions(), periods))
+    def pct_change(self, periods=1, fill_method="ffill") -> "DataFrame":
+        return DataFrame(_frame=win.pct_change(self._frame, self._numeric_positions(), periods,
+                                               fill_method=fill_method))
 
-    def interpolate(self, method="linear", limit=None, **kw) -> "DataFrame":
+    def interpolate(self, method="linear", limit=None, limit_direction="forward", **kw) -> "DataFrame":
         if method in ("index", "time", "values"):
             # abscissa = the index values (epoch seconds for timestamps)
             fr = self._frame
             if not fr.index_cols:
                 raise NotImplementedError(f"interpolate(method={method!r}) needs a set index")
             return DataFrame(_frame=win.interpolate_linear(
-                fr, self._numeric_positions(), x_col=fr.index_cols[-1], limit=limit))
+                fr, self._numeric_positions(), x_col=fr.index_cols[-1], limit=limit,
+                limit_direction=limit_direction))
         if method != "linear":
             raise NotImplementedError(f"interpolate(method={method!r})")
-        return DataFrame(_frame=win.interpolate_linear(self._frame, self._numeric_positions(), limit=limit))
+        return DataFrame(_frame=win.interpolate_linear(self._frame, self._numeric_positions(),
+                                                       limit=limit, limit_direction=limit_direction))
 
     def rolling(self, window: int, min_periods=None, win_type=None, center=False, closed=None, **win_kwargs):
         from modin_spark.pandas.window import Rolling
@@ -2168,7 +2243,10 @@ class DataFrame:
     def add_suffix(self, suffix: str) -> "DataFrame":
         return self.rename(columns={c: f"{c}{suffix}" for c in self.columns})
 
-    def squeeze(self):
+    def squeeze(self, axis=None):
+        if axis in (0, "index", "rows"):
+            # squeeze rows only: 1-row frame → Series of its single row
+            return self if len(self) != 1 else self.to_pandas().squeeze(axis=0)
         if len(self._frame.columns) == 1:
             return self._series_at(0)
         return self
@@ -2186,10 +2264,11 @@ class DataFrame:
     def itertuples(self, index=True, name="Pandas"):
         yield from self.to_pandas().itertuples(index=index, name=name)
 
-    def update(self, other: "DataFrame") -> None:
-        """In-place patch of non-null cells from ``other`` (index-aligned)."""
-        patched = other.combine_first(self)
-        # combine_first prefers `other`'s non-null cells; restrict to self's columns
+    def update(self, other: "DataFrame", overwrite: bool = True) -> None:
+        """In-place patch of non-null cells from ``other`` (index-aligned).
+        ``overwrite=False``: only fill cells that are null in self."""
+        patched = self.combine_first(other) if not overwrite else other.combine_first(self)
+        # combine_first prefers the left's non-null cells; restrict to self's columns
         self._frame = patched[[c for c in self.columns]]._frame
 
     def persist(self, storage_level: str = "MEMORY_AND_DISK") -> "DataFrame":
@@ -2538,10 +2617,13 @@ class DataFrame:
         max_cols = int(_os.environ.get("SPARK_GRAFT_TRANSPOSE_MAX_COLS", "20000"))
         fr = self._frame.ensure_order().with_global_position("__pos__")
         numeric_only = len(self._numeric_positions()) == len(fr.columns)
+        # headers keep their NATIVE type (pandas T: an int index makes int
+        # column labels, the default positional index makes 0..n-1 ints) —
+        # labels are pure metadata since the r7 positional physical names
         lvl_exprs = (
-            [F.col(c).cast("string") for c in fr.index_cols]
+            [F.col(c) for c in fr.index_cols]
             if fr.index_cols
-            else [F.col("__pos__").cast("string")]
+            else [F.col("__pos__")]
         )
         sdf = fr.sdf
         hdr_rows = (
@@ -2743,13 +2825,34 @@ class DataFrame:
         if axis in (1, "columns"):
             # row-wise UDF via applyInPandas-free pandas_udf over struct
             sample = self.head(100).to_pandas()
-            out_sample = sample.apply(func, axis=1)
-            out_t = pandas_dtype_to_spark(out_sample.dtype)
             fr = self._frame
             labels = list(fr.columns)
             phys = list(fr.data_cols)
 
             from pyspark.sql import types as T
+
+            if result_type == "expand":
+                # list-returning func expands to k columns: the udf returns
+                # ONE array column, the projection fans it out — still a
+                # single vectorized pass, no shuffle
+                exp_sample = sample.apply(func, axis=1, result_type="expand")
+                out_labels = list(exp_sample.columns)
+                el_t = pandas_dtype_to_spark(
+                    exp_sample.dtypes.iloc[0] if len(exp_sample.columns) else np.dtype("float64")
+                )
+
+                @F.pandas_udf(T.ArrayType(el_t))
+                def _audf(batch: pd.DataFrame) -> pd.Series:
+                    batch.columns = labels
+                    return batch.apply(lambda r: list(func(r)), axis=1)
+
+                struct = F.struct(*[F.col(p) for p in phys])
+                base = fr.project(["__arr__"], [_audf(struct)])
+                arr = base.scol(0)
+                out = base.project(out_labels, [F.element_at(arr, i + 1) for i in range(len(out_labels))])
+                return DataFrame(_frame=out)
+            out_sample = sample.apply(func, axis=1)
+            out_t = pandas_dtype_to_spark(out_sample.dtype)
 
             @F.pandas_udf(out_t)
             def _udf(batch: pd.DataFrame) -> pd.Series:

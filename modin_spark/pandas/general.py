@@ -81,12 +81,22 @@ def to_datetime(arg, format=None, errors="raise", unit=None):
     return pd.to_datetime(arg, format=format, errors=errors, unit=unit)
 
 
-def to_numeric(arg, errors="raise"):
+def to_numeric(arg, errors="raise", downcast=None):
     if isinstance(arg, Series):
         if errors == "coerce":
-            return arg._map1(lambda c: F.try_cast(c, "double") if hasattr(F, "try_cast") else c.try_cast("double"))
-        return arg._map1(lambda c: c.cast("double"))
-    return pd.to_numeric(arg, errors=errors)
+            out = arg._map1(lambda c: F.try_cast(c, "double") if hasattr(F, "try_cast") else c.try_cast("double"))
+        else:
+            out = arg._map1(lambda c: c.cast("double"))
+        if downcast in ("integer", "signed", "unsigned"):
+            # pandas downcasts only when every value survives the narrowing;
+            # already-integral Spark types narrow losslessly by definition,
+            # floats would need a data-dependent check — keep those wide
+            if str(arg.dtype).startswith("int"):
+                out = arg._map1(lambda c: c.cast("int"))
+        elif downcast == "float":
+            out = arg._map1(lambda c: c.cast("float"))
+        return out
+    return pd.to_numeric(arg, errors=errors, downcast=downcast)
 
 
 def isna(obj):
@@ -132,8 +142,10 @@ def get_dummies(data, columns=None, prefix=None, prefix_sep="_", dtype="int64",
     return out
 
 
-def cut(x: Series, bins, labels=None, right: bool = True) -> Series:
-    """Fixed-width binning as a when-chain (JVM-side; no UDF)."""
+def cut(x: Series, bins, labels=None, right: bool = True, include_lowest: bool = False) -> Series:
+    """Fixed-width binning as a when-chain (JVM-side; no UDF).
+    ``include_lowest``: the first right-closed bin also admits its left edge
+    (pandas renders its label with the exact edge; codes are unaffected)."""
     if isinstance(bins, int):
         mn, mx = x.min(), x.max()
         step = (mx - mn) / bins
@@ -156,7 +168,8 @@ def cut(x: Series, bins, labels=None, right: bool = True) -> Series:
         e = None
         for i in range(len(edges) - 1):
             if right:
-                cond = (c > edges[i]) & (c <= edges[i + 1])
+                lo = (c >= edges[i]) if (include_lowest and i == 0) else (c > edges[i])
+                cond = lo & (c <= edges[i + 1])
             else:
                 cond = (c >= edges[i]) & (c < edges[i + 1])
             lab = F.lit(i) if codes else F.lit(str(names[i]))
@@ -167,8 +180,10 @@ def cut(x: Series, bins, labels=None, right: bool = True) -> Series:
     return x._map1(f)
 
 
-def qcut(x: Series, q, labels=None) -> Series:
-    """Quantile binning: exact percentile edges (one agg) + cut."""
+def qcut(x: Series, q, labels=None, duplicates: str = "raise") -> Series:
+    """Quantile binning: exact percentile edges (one agg) + cut.
+    ``duplicates='drop'`` collapses repeated quantile edges (pandas: fewer
+    bins instead of a ValueError on skewed data)."""
     if isinstance(q, int):
         probs = [i / q for i in range(q + 1)]
     else:
@@ -176,6 +191,17 @@ def qcut(x: Series, q, labels=None) -> Series:
     exprs = [F.percentile(x._expr, F.lit(p)).alias(f"p{i}") for i, p in enumerate(probs)]
     row = x._frame.sdf.agg(*exprs).collect()[0]
     edges = [row[f"p{i}"] for i in range(len(probs))]
+    if len(set(edges)) != len(edges):
+        if duplicates != "drop":
+            raise ValueError(
+                "Bin edges must be unique; pass duplicates='drop' to collapse them"
+            )
+        seen, uniq = set(), []
+        for e in edges:
+            if e not in seen:
+                seen.add(e)
+                uniq.append(e)
+        edges = uniq
     edges[0] = edges[0] - abs(edges[0]) * 0.001 - 0.001
     return cut(x, edges, labels=labels)
 

@@ -88,7 +88,12 @@ class DataFrameGroupBy:
                 continue
             if labels is not None and lbl not in set(labels):
                 continue
-            if numeric_only and not (fr.dtype_of(i).startswith(("int", "float")) or fr.dtype_of(i) == "bool"):
+            if (labels is None and numeric_only
+                    and not (fr.dtype_of(i).startswith(("int", "float")) or fr.dtype_of(i) == "bool")):
+                # numeric_only prunes only the implicit all-columns selection;
+                # an explicitly selected column always participates (pandas
+                # SeriesGroupBy semantics — sums of object Nones yield NaN/0,
+                # not an empty aggregate)
                 continue
             out.append((lbl, i))
         return out
@@ -500,6 +505,11 @@ class DataFrameGroupBy:
             idx = F.col(fr.index_cols[0]) if len(fr.index_cols) == 1 else F.struct(
                 *[F.col(c) for c in fr.index_cols]
             )
+        elif fr.has_order and fr.order_is_position:
+            # ORDER values ARE the pandas labels (default-index ingest,
+            # possibly filtered since) — no position shuffle needed, and
+            # pandas-exact labels after dropna/masks
+            idx = F.col(ORDER_COL)
         else:
             pos_col = fresh_names(1)[0]
             fr = fr.with_global_position(pos_col)

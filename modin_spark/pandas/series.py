@@ -574,7 +574,19 @@ class Series:
         if name in self._BOOL_NUMERIC_AGGS and isinstance(self.spark_type, T.BooleanType):
             # pandas numeric-aggregates booleans as 0/1 (bool.sum() = #True)
             expr = expr.cast("int")
-        e = qc.agg_expr(name, expr, kw.get("q"), input_type=self.spark_type)
+        ddof = kw.get("ddof", 1)
+        if name in ("std", "var", "sem") and ddof != 1:
+            # Spark's sample stats are ddof=1; rescale M2/(n-1) -> M2/(n-ddof)
+            n = F.count(expr)
+            scale = (n - 1) / (n - F.lit(ddof))
+            if name == "var":
+                e = F.var_samp(expr) * scale
+            elif name == "std":
+                e = F.stddev_samp(expr) * F.sqrt(scale)
+            else:
+                e = F.stddev_samp(expr) * F.sqrt(scale) / F.sqrt(n)
+        else:
+            e = qc.agg_expr(name, expr, kw.get("q"), input_type=self.spark_type)
         if name == "prod":
             # pandas identity: prod of all-missing (or empty) is 1
             e = F.coalesce(e, F.lit(1))
@@ -609,13 +621,13 @@ class Series:
         return self._reduce("count")
 
     def std(self, ddof=1, skipna=True):
-        return self._reduce("std", skipna=skipna)
+        return self._reduce("std", skipna=skipna, ddof=ddof)
 
     def var(self, ddof=1, skipna=True):
-        return self._reduce("var", skipna=skipna)
+        return self._reduce("var", skipna=skipna, ddof=ddof)
 
     def sem(self, ddof=1, skipna=True):
-        return self._reduce("sem", skipna=skipna)
+        return self._reduce("sem", skipna=skipna, ddof=ddof)
 
     def median(self, skipna=True):
         return self._reduce("median", skipna=skipna)
@@ -736,6 +748,12 @@ class Series:
             if len(self._frame.index_cols) == 1:
                 return F.col(self._frame.index_cols[0])
             return F.struct(*[F.col(c) for c in self._frame.index_cols])
+        if self._frame.has_order and self._frame.order_is_position:
+            # ORDER values ARE the pandas labels (default-index ingest,
+            # possibly filtered since) — no position shuffle, exact labels
+            from modin_spark.core.frame import ORDER_COL as _OC
+
+            return F.col(_OC)
         # default positional index: global position
         fr = self._frame.with_global_position("__posx__")
         self._frame = fr
@@ -914,9 +932,12 @@ class Series:
     def diff(self, periods: int = 1) -> "Series":
         return Series._from_frame(win.diff(self._to_frame(), [0], periods))
 
-    def pct_change(self, periods: int = 1) -> "Series":
-        # pandas pads missing values before differencing (fill_method)
-        return Series._from_frame(win.pct_change(self._to_frame(), [0], periods)).rename(self._name)
+    def pct_change(self, periods: int = 1, fill_method="ffill") -> "Series":
+        # pandas pads missing values before differencing (fill_method);
+        # fill_method=None (pandas 2.x direction) lets NaNs propagate
+        return Series._from_frame(
+            win.pct_change(self._to_frame(), [0], periods, fill_method=fill_method)
+        ).rename(self._name)
 
     def rank(self, method="average", ascending=True, pct=False, na_option="keep") -> "Series":
         return Series._from_frame(win.rank(self._to_frame(), [0], method, ascending, pct, na_option))

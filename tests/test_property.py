@@ -42,8 +42,9 @@ def _mpd(pdf):
 def test_prop_filter_project(spark, pdf):
     m = _mpd(pdf)
     got = m[m.i > 0][["i", "k"]].to_pandas()
-    ref = pdf[pdf.i > 0][["i", "k"]].reset_index(drop=True)
-    pd.testing.assert_frame_equal(got, ref, check_dtype=False)
+    # r9: filtered default index keeps ORIGINAL pandas labels (no reset)
+    ref = pdf[pdf.i > 0][["i", "k"]]
+    pd.testing.assert_frame_equal(got, ref, check_dtype=False, check_index_type=False)
 
 
 @given(pdf=frames())
@@ -86,8 +87,9 @@ def test_prop_fillna_dropna(spark, pdf):
     ref = pdf[["f"]].fillna(0.0).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, ref, check_dtype=False)
     gd = m.dropna(subset=["f"]).to_pandas()[["i", "k"]]
-    rd = pdf.dropna(subset=["f"]).reset_index(drop=True)[["i", "k"]]
-    pd.testing.assert_frame_equal(gd, rd, check_dtype=False)
+    # r9: dropna keeps ORIGINAL pandas labels
+    rd = pdf.dropna(subset=["f"])[["i", "k"]]
+    pd.testing.assert_frame_equal(gd, rd, check_dtype=False, check_index_type=False)
 
 
 @given(pdf=frames(min_rows=3), w=st.integers(2, 6), mp=st.integers(1, 3))
@@ -113,9 +115,10 @@ def test_prop_apply_axis0_transform(spark, pdf):
 def test_prop_transpose_roundtrip(spark, pdf):
     num = pdf[["i", "f"]]
     got = _mpd(num).T.to_pandas()
+    # r9: transposed column labels keep their native type (ints), pandas-exact
     ref = num.T
-    ref.columns = [str(c) for c in ref.columns]
-    pd.testing.assert_frame_equal(got, ref, check_dtype=False, check_names=False)
+    pd.testing.assert_frame_equal(got, ref, check_dtype=False, check_names=False,
+                                  check_index_type=False)
 
 
 @given(pdf=frames(min_rows=2))

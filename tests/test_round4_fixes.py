@@ -169,9 +169,10 @@ def test_transpose_distributed(spark):
 
     pdf = pd.DataFrame({"a": [1.0, 2, 3, 4], "b": [10.0, 20, 30, 40], "c": [5, 6, 7, 8]})
     got = mpd.from_pandas(pdf).T.to_pandas()
+    # r9: transposed column labels keep their native int type, pandas-exact
     exp = pdf.T
-    exp.columns = [str(c) for c in exp.columns]
-    pd.testing.assert_frame_equal(got, exp, check_dtype=False, check_names=False)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False, check_names=False,
+                                  check_index_type=False)
 
 
 def test_transpose_distributed_labeled(spark):
