@@ -10,6 +10,7 @@ from __future__ import annotations
 import os
 from typing import Any, Sequence
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -202,9 +203,7 @@ class DataFrame:
                 self[key] = value._series_at(0)
                 return
             raise ValueError("setitem: column count mismatch")
-        if isinstance(value, (list, tuple, pd.Series)):
-            import numpy as np
-
+        if isinstance(value, (list, tuple, pd.Series, pd.Index, np.ndarray)):
             vals = pd.Series(value).reset_index(drop=True)
             self[key] = Series._from_pandas(vals)
             return
@@ -1133,7 +1132,13 @@ class DataFrame:
         )
         return DataFrame(_frame=out)
 
-    def join(self, other: "DataFrame", how="left", lsuffix="", rsuffix="") -> "DataFrame":
+    def join(self, other: "DataFrame", on=None, how="left", lsuffix="", rsuffix="") -> "DataFrame":
+        if isinstance(other, Series):
+            other = other.to_frame()
+        if on is not None:
+            # pandas: join self's COLUMN(S) against other's index
+            return self.merge(other, how=how, left_on=on, right_index=True,
+                              suffixes=(lsuffix or "_x", rsuffix or "_y"))
         return self.merge(other, how=how, left_index=True, right_index=True, suffixes=(lsuffix or "_x", rsuffix or "_y"))
 
     # ------------------------------------------------------------ reductions
@@ -1628,14 +1633,20 @@ class DataFrame:
         data = [[row[f"c_{i}_{j}"] for j in pos] for i in pos]
         return pd.DataFrame(data, index=labels, columns=labels)
 
-    def cov(self, numeric_only=True) -> pd.DataFrame:
+    def cov(self, numeric_only=True, ddof=1) -> pd.DataFrame:
         fr = self._frame
         pos = self._numeric_positions()
         labels = [fr.columns[i] for i in pos]
         exprs = []
         for i in pos:
             for j in pos:
-                exprs.append(F.covar_samp(fr.scol(i).cast("double"), fr.scol(j).cast("double")).alias(f"c_{i}_{j}"))
+                a, b = fr.scol(i).cast("double"), fr.scol(j).cast("double")
+                e = F.covar_samp(a, b)
+                if ddof != 1:
+                    # covar_samp is ddof=1; rescale by the pairwise-complete n
+                    n = F.count(F.when(a.isNotNull() & b.isNotNull(), 1))
+                    e = e * (n - 1) / (n - F.lit(ddof))
+                exprs.append(e.alias(f"c_{i}_{j}"))
         row = fr.sdf.agg(*exprs).collect()[0]
         data = [[row[f"c_{i}_{j}"] for j in pos] for i in pos]
         return pd.DataFrame(data, index=labels, columns=labels)
@@ -2083,7 +2094,14 @@ class DataFrame:
                 labels.append(lbl)
                 j = pairs.get(lbl)
                 if j is None:
-                    exprs.append(F.lit(None))
+                    # column absent from other: with fill_value pandas still
+                    # computes op(self, fill) cell-wise (NaN only where self
+                    # is also missing); without it the column is all-NaN
+                    la = a.scol(i)
+                    exprs.append(
+                        F.when(la.isNotNull(), op(la, F.lit(fill_value)))
+                        if fill_value is not None else F.lit(None)
+                    )
                 else:
                     la, lb = a.scol(i), b.scol(j)
                     if fill_value is not None:
@@ -2095,6 +2113,17 @@ class DataFrame:
                     else:
                         e = op(la, lb)
                     exprs.append(e)
+            apos = {lbl: i for i, lbl in enumerate(a.columns)}
+            for j, lbl in enumerate(b.columns):
+                if lbl in apos:
+                    continue
+                # other-only columns join the union result, same fill rule
+                labels.append(lbl)
+                lb = b.scol(j)
+                exprs.append(
+                    F.when(lb.isNotNull(), op(F.lit(fill_value), lb))
+                    if fill_value is not None else F.lit(None)
+                )
             return DataFrame(_frame=a.project(labels, exprs))
         # unaligned lineage: join on global position (both sides range-
         # partitioned on order — one co-located shuffle each)
@@ -2110,7 +2139,11 @@ class DataFrame:
             labels.append(lbl)
             jj = pairs.get(lbl)
             if jj is None:
-                exprs.append(F.lit(None))
+                la = F.col(ap.data_cols[i])
+                exprs.append(
+                    F.when(la.isNotNull(), op(la, F.lit(fill_value)))
+                    if fill_value is not None else F.lit(None)
+                )
             else:
                 la, lb = F.col(ap.data_cols[i]), F.col(f"__r_{jj}")
                 if fill_value is not None:

@@ -216,8 +216,13 @@ def crosstab(index: Series, columns: Series, margins: bool = False,
 
     target, ie, ce, refs = index._combine(columns)
     sdf = target.sdf.select(ie.alias("__i__"), ce.alias("__c__"))
-    pivoted = sdf.groupBy("__i__").pivot("__c__").count().na.fill(0)
+    # typed distinct pivot keys (driver metadata by definition): pandas keeps
+    # the key dtype in the output column labels (int keys -> int labels)
+    pvals = [r[0] for r in sdf.select("__c__").where(F.col("__c__").isNotNull())
+             .distinct().orderBy("__c__").collect()]
+    pivoted = sdf.groupBy("__i__").pivot("__c__", pvals).count().na.fill(0)
     val_cols = [c for c in pivoted.columns if c != "__i__"]
+    typed_of = {c: v for c, v in zip(val_cols, pvals)}
 
     def _q(c):
         return F.col("`" + str(c).replace("`", "``") + "`")
@@ -233,14 +238,26 @@ def crosstab(index: Series, columns: Series, margins: bool = False,
         val_cols = val_cols + ["__all__"]
     phys = fresh_names(len(val_cols) + 1)
     sel = [F.col("__i__").alias(ORDER_COL), F.col("__i__").alias(phys[0])]
-    if normalize in (True, "all"):
+    if normalize is True or normalize == "all":
         total = sdf.count()
         sel += [(_q(c) / F.lit(total)).alias(p) for c, p in zip(val_cols, phys[1:])]
+    elif normalize == "index" or (not isinstance(normalize, bool) and normalize == 0):
+        # each row divided by its row total — a pure projection
+        row_tot = sum((_q(c) for c in val_cols), F.lit(0))
+        sel += [(_q(c) / row_tot).alias(p) for c, p in zip(val_cols, phys[1:])]
+    elif normalize == "columns" or (not isinstance(normalize, bool) and normalize == 1):
+        # each column divided by its column total — one unpartitioned window
+        # over the (tiny, #distinct-index-rows) pivoted relation
+        from pyspark.sql.window import Window as _W
+
+        wall = _W.partitionBy()
+        sel += [(_q(c) / F.sum(_q(c)).over(wall)).alias(p) for c, p in zip(val_cols, phys[1:])]
     else:
         sel += [_q(c).alias(p) for c, p in zip(val_cols, phys[1:])]
-    labels = [margins_name if c == "__all__" else c for c in val_cols]
+    labels = [margins_name if c == "__all__" else typed_of.get(c, c) for c in val_cols]
     fr = SparkFrame(
-        pivoted.select(*sel), pd.Index(labels), phys[1:], [phys[0]],
+        # pandas names the columns Index after the columns Series
+        pivoted.select(*sel), pd.Index(labels, name=columns._name), phys[1:], [phys[0]],
         [index._name if index._name is not None else "index"],
     )
     return DataFrame(_frame=fr)

@@ -361,10 +361,12 @@ class DataFrameGroupBy:
 
         return DataFrame(_frame=self._window_transform(b))
 
-    def ngroup(self) -> Series:
+    def ngroup(self, ascending: bool = True) -> Series:
         fr = self._df._frame
         keys = [fr.data_cols[i] for i in self._by_pos]
-        w = Window.orderBy(*[F.col(k) for k in keys])
+        # ascending=False reverses the numbering (ngroups-1-ng) == dense rank
+        # over key-descending order — same tiny distinct, no extra pass
+        w = Window.orderBy(*[F.col(k) if ascending else F.col(k).desc() for k in keys])
         # dense_rank over distinct keys only (small), joined back — avoids a
         # global window over the full data
         distinct = fr.sdf.select(*keys).distinct().withColumn("__ng__", F.dense_rank().over(w) - 1)
@@ -500,7 +502,10 @@ class DataFrameGroupBy:
         from modin_spark.pandas.dataframe import DataFrame
         from modin_spark.core.frame import fresh_names
 
+        from pyspark.sql import types as T
+
         fr = self._df._frame
+        pos = None
         if fr.index_cols:
             idx = F.col(fr.index_cols[0]) if len(fr.index_cols) == 1 else F.struct(
                 *[F.col(c) for c in fr.index_cols]
@@ -510,16 +515,36 @@ class DataFrameGroupBy:
             # possibly filtered since) — no position shuffle needed, and
             # pandas-exact labels after dropna/masks
             idx = F.col(ORDER_COL)
+            pos = idx
         else:
             pos_col = fresh_names(1)[0]
             fr = fr.with_global_position(pos_col)
             idx = F.col(pos_col)
+            pos = idx
+        if pos is None:
+            # pandas tie-break is FIRST occurrence — need a long frame
+            # position; free when ORDER is already an integer
+            if not fr.has_order:
+                fr = fr.ensure_order()
+            if isinstance(fr.schema_map.get(ORDER_COL), (T.LongType, T.IntegerType)):
+                pos = F.col(ORDER_COL)
+            else:
+                pos_col = fresh_names(1)[0]
+                fr = fr.with_global_position(pos_col)
+                pos = F.col(pos_col)
         key_phys = [fr.data_cols[i] for i in self._by_pos]
         picker = F.max_by if which == "max" else F.min_by
 
         vals = [(lbl, i) for lbl, i in self._value_positions(numeric_only)]
         out_phys = fresh_names(len(vals))
-        aggs = [picker(idx, fr.scol(i)).alias(p) for (_, i), p in zip(vals, out_phys)]
+
+        def tie_key(c):
+            # rank by (value, ±position): max_by gets -pos (earliest wins),
+            # min_by gets +pos; null values yield a null key (skipped)
+            t = (-pos) if which == "max" else pos
+            return F.when(c.isNotNull(), F.struct(c.alias("v"), t.alias("t")))
+
+        aggs = [picker(idx, tie_key(fr.scol(i))).alias(p) for (_, i), p in zip(vals, out_phys)]
         agged = fr.sdf.groupBy(*key_phys).agg(*aggs)
         agged = agged.withColumn(ORDER_COL, F.struct(*[F.col(k) for k in key_phys]))
         out = SparkFrame(agged, pd.Index([lbl for lbl, _ in vals]), out_phys, key_phys, list(self._by_labels))

