@@ -132,6 +132,12 @@ class DataFrame:
             if "__alp__" in joined.columns:
                 joined = joined.drop("__alp__")
             return DataFrame(_frame=fr._subset_rows(joined))
+        if isinstance(key, (pd.Index, np.ndarray)):
+            # pandas: df[df.columns] / df[array_of_labels]; a BOOLEAN array
+            # is a positional row mask
+            if getattr(key, "dtype", None) is not None and str(key.dtype) == "bool":
+                return self.iloc[key]
+            key = list(key)
         if isinstance(key, list):
             return DataFrame(_frame=fr.select_positions(fr.positions_of(key)))
         if isinstance(key, slice):
@@ -545,9 +551,26 @@ class DataFrame:
             for col, mapping in to_replace.items():
                 out[col] = self[col].replace(mapping, value, regex=regex)
             return out
+        # type-incompatible columns are untouched (pandas: replacing "x" in
+        # an int column is a no-op, NOT a stringifying cast)
+        keys = list(to_replace.keys()) if isinstance(to_replace, dict) else (
+            to_replace if isinstance(to_replace, list) else [to_replace])
+
+        def applicable(dt: str) -> bool:
+            if regex:
+                return dt.startswith(("object", "string"))
+            is_str_col = dt.startswith(("object", "string"))
+            has_str = any(isinstance(k, str) for k in keys)
+            has_num = any(isinstance(k, (int, float)) and not isinstance(k, bool) for k in keys)
+            if is_str_col:
+                return has_str
+            if dt.startswith(("int", "float", "bool")):
+                return has_num or any(isinstance(k, bool) for k in keys)
+            return True  # datetimes/others: let the series kernel decide
+
         for i, lbl in enumerate(self._frame.columns):
-            if regex and not self._frame.dtype_of(i).startswith(("object", "string")):
-                continue  # pandas applies regex replacement to string columns only
+            if not applicable(self._frame.dtype_of(i)):
+                continue
             out[lbl] = self._series_at(i).replace(to_replace, value, regex=regex)
         return out
 
@@ -3833,7 +3856,7 @@ class DataFrame:
         w.parquet(path)
 
     def to_csv(self, path: str, mode: str = "overwrite", header: bool = True,
-               index: bool = True, sep: str = ",") -> None:
+               index: bool = True, sep: str = ",", na_rep: str = "") -> None:
         # index=True writes the index levels as leading columns (pandas);
         # the default frame has no materialized index — nothing to add.
         # Quote dialect matches pandas (doubled quotes, minimal quoting).
@@ -3844,6 +3867,7 @@ class DataFrame:
         (
             base.to_spark(ordered=False).write.mode(mode)
             .option("header", header).option("sep", sep).option("escape", '"')
+            .option("nullValue", na_rep).option("emptyValue", "")
             .csv(path)
         )
 
@@ -3961,3 +3985,26 @@ DataFrame.flags = property(lambda self: pd.DataFrame().flags)
 DataFrame.to_clipboard = lambda self, **k: self.to_pandas().to_clipboard(**k)
 DataFrame.to_gbq = lambda self, *a, **k: self.to_pandas().to_gbq(*a, **k)
 DataFrame.to_xarray = lambda self: self.to_pandas().to_xarray()
+
+
+# ---------------------------------------------------------------- inplace=
+# pandas mutators accept inplace=True (mutate the object, return None). The
+# engine is expression-immutable, so inplace is pure metadata adoption:
+# compute the derived frame, swap it into self — no extra plan or job.
+def _wrap_inplace(nm):
+    orig = getattr(DataFrame, nm)
+
+    def f(self, *a, inplace: bool = False, **k):
+        out = orig(self, *a, **k)
+        return self._maybe_inplace(out, inplace)
+
+    f.__name__ = nm
+    f.__doc__ = orig.__doc__
+    setattr(DataFrame, nm, f)
+
+
+for _nm in ["drop", "rename", "replace", "clip", "set_index", "reset_index",
+            "sort_values", "sort_index", "rename_axis", "where", "mask",
+            "interpolate", "ffill", "bfill"]:
+    _wrap_inplace(_nm)
+del _wrap_inplace, _nm

@@ -319,19 +319,26 @@ def wide_to_long(df: DataFrame, stubnames, i, j, sep: str = "", suffix: str = r"
             m = re.fullmatch(re.escape(s) + re.escape(sep) + f"({suffix})", str(c))
             if m:
                 value_cols[s].append((str(c), m.group(1)))
+    # pandas carries every non-stub, non-i column through as an id column
+    stub_cols = {c for cols in value_cols.values() for c, _ in cols}
+    carried = i + [str(c) for c in df.columns if str(c) not in stub_cols and str(c) not in set(i)]
     melted = {}
     for s, cols in value_cols.items():
-        part = df.melt(id_vars=i, value_vars=[c for c, _ in cols], var_name="__stubcol__", value_name=s)
+        part = df.melt(id_vars=carried, value_vars=[c for c, _ in cols], var_name="__stubcol__", value_name=s)
         mapping = None
+        # pandas parses all-digit suffixes into an int j column
+        numeric_j = all(str(suf).isdigit() for _, suf in cols)
         for c, suf in cols:
-            w = (mapping.when if mapping is not None else F.when)(F.col(part._frame.phys_of_label("__stubcol__")) == c, F.lit(suf))
+            lit = F.lit(int(suf)) if numeric_j else F.lit(suf)
+            w = (mapping.when if mapping is not None else F.when)(F.col(part._frame.phys_of_label("__stubcol__")) == c, lit)
             mapping = w
         part._frame = part._frame.with_columns([j], [mapping])
         melted[s] = part.drop(columns=["__stubcol__"])
     out = None
     for s, part in melted.items():
-        out = part if out is None else out.merge(part, on=i + [j], how="outer")
-    return out
+        out = part if out is None else out.merge(part, on=carried + [j], how="outer")
+    # pandas returns the long frame indexed by (i..., j)
+    return out.set_index(i + [j])
 
 
 def sql(query: str, **frames) -> DataFrame:

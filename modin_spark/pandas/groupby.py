@@ -56,6 +56,26 @@ class DataFrameGroupBy:
                 fr2 = base.with_columns([key_label], [ke])
             self._df = DataFrame(_frame=fr2)
             by = [key_label]
+        elif isinstance(by, list) and any(isinstance(b, Series) for b in by):
+            # mixed [Series, label, ...] key list: attach each Series as a
+            # hidden derived key column (same-lineage rebase — one plan)
+            labels = []
+            cur = df
+            for j, b in enumerate(by):
+                if not isinstance(b, Series):
+                    labels.append(b)
+                    continue
+                key_label = b._name if b._name is not None else f"__key{j}__"
+                cfr = cur._frame
+                if not cfr.can_rebase(b._frame, b._refs):
+                    raise NotImplementedError(
+                        "groupby list keys: an unrelated-lineage Series key "
+                        "must be aligned first (assign it as a column)"
+                    )
+                cur = DataFrame(_frame=cfr.with_columns([key_label], [b._expr]))
+                labels.append(key_label)
+            self._df = cur
+            by = labels
         by = by if isinstance(by, list) else [by]
         self._by_labels = by
         self._by_pos = self._df._frame.positions_of(by)
@@ -732,13 +752,19 @@ class SeriesGroupBy:
         g._value_labels = [val_lbl]
         return g
 
-    def agg(self, spec=None, **named):
+    def agg(self, spec=None, *args, **named):
         """pandas SeriesGroupBy.agg: a LIST spec yields FLAT columns named
-        by each agg fn (the frame path would label them (col, fn))."""
+        by each agg fn (the frame path would label them (col, fn)).
+        Positional ``*args`` after a callable spec are forwarded to it
+        (pandas ``agg(func, *args)``)."""
         import pandas as pd
 
         from modin_spark.pandas.dataframe import DataFrame
 
+        if args and callable(spec):
+            inner = spec
+            spec = lambda s, _f=inner, _a=tuple(args): _f(s, *_a)
+            args = ()
         res = self._fg().agg(spec, **named)
         if isinstance(spec, list) and isinstance(res, DataFrame):
             fr = res._frame

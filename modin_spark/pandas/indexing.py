@@ -6,6 +6,8 @@ SparkFrame (range repartition + partition offsets), never a collect.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import functions as F
 
 from modin_spark.pandas.series import Series
@@ -45,10 +47,14 @@ class ILocIndexer:
             if isinstance(col_key, int):
                 return row.iloc[0, 0]
             return row.iloc[0]
-        elif isinstance(row_key, list):
+        elif isinstance(row_key, (list, np.ndarray, pd.Index)):
             from modin_spark.core.frame import ORDER_COL
 
-            keys = [int(i) for i in row_key]
+            if getattr(row_key, "dtype", None) is not None and str(row_key.dtype) == "bool":
+                # boolean positional mask: keep rows whose position is True
+                keys = [i for i, flag in enumerate(row_key) if flag]
+            else:
+                keys = [int(i) for i in row_key]
             if any(i < 0 for i in keys):
                 n = fr.count_rows()
                 keys = [i if i >= 0 else n + i for i in keys]

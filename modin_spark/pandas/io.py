@@ -175,7 +175,7 @@ def read_parquet(path: str, columns=None, filters=None) -> DataFrame:
     return DataFrame(_frame=fr)
 
 
-def read_csv(path: str, sep: str = ",", header: int | str = 0, names=None, dtype=None,
+def read_csv(path: str, sep: str = ",", header: int | str = "infer", names=None, dtype=None,
              usecols=None, nrows=None, skiprows=None, parse_dates=None,
              index_col=None, na_values=None, thousands=None, **kw) -> DataFrame:
     from pyspark.sql import functions as F
@@ -197,7 +197,10 @@ def read_csv(path: str, sep: str = ",", header: int | str = 0, names=None, dtype
         if len(vals) == 1:
             reader = reader.option("nullValue", str(list(vals)[0]))
     if names is not None:
-        reader = reader.option("header", False)
+        # pandas: names= with an EXPLICIT header=0 REPLACES the header row
+        # (row 0 consumed); names= with the default 'infer' (or header=None)
+        # keeps row 0 as data
+        reader = reader.option("header", header == 0)
     if skiprows:
         # pandas counts PHYSICAL lines: drop them from the text first, then
         # csv-parse the remaining lines (header/inferSchema see only the
@@ -234,7 +237,8 @@ def read_csv(path: str, sep: str = ",", header: int | str = 0, names=None, dtype
                     stripped = out[c].str.replace(thousands, "", regex=False)
                     out[c] = stripped.astype(float if col.str.contains(r"\.").any() else "int64")
     if usecols is not None:
-        out = out[[c for c in out.columns if c in set(usecols)]]
+        keep = (lambda c: usecols(c)) if callable(usecols) else (lambda c, s=set(usecols): c in s)
+        out = out[[c for c in out.columns if keep(c)]]
     if dtype is not None:
         out = out.astype(dtype if isinstance(dtype, dict)
                          else {c: dtype for c in out.columns})

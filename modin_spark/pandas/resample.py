@@ -47,7 +47,13 @@ def bucket_start(ts_col, dur: str, closed=None, offset=None):
     if closed == "right":
         t = t - F.expr("INTERVAL 1 MICROSECOND")
     if offset:
-        return F.window(t, dur, dur, rule_to_duration(offset))["start"]
+        # a pandas rule ("30min") or an already-rendered duration
+        # ("1800000000 microseconds", from origin='start')
+        try:
+            off = rule_to_duration(offset)
+        except (ValueError, NotImplementedError):
+            off = offset
+        return F.window(t, dur, dur, off)["start"]
     return F.window(t, dur)["start"]
 
 
@@ -85,8 +91,25 @@ class Resampler:
         self._label = label
         self._offset = offset
         # origin: 'epoch' (our native alignment) and 'start_day' coincide
-        # for day-dividing frequencies; other origins unsupported
-        if origin not in (None, "epoch", "start_day"):
+        # for day-dividing frequencies; 'start' aligns buckets to the first
+        # timestamp — one tiny min aggregate resolves it to a window offset
+        if origin == "start":
+            fr = df._frame
+            if on is not None:
+                ts_phys = fr.data_cols[fr.positions_of([on])[0]]
+            elif fr.index_cols:
+                ts_phys = fr.index_cols[0]
+            else:
+                raise NotImplementedError("resample origin='start' needs a time column")
+            mn = fr.sdf.agg(F.min(ts_phys)).collect()[0][0]
+            if mn is not None:
+                import pandas as _pd
+
+                dur_us = int(_pd.Timedelta(rule_to_duration(rule)).total_seconds() * 1_000_000)
+                off_us = (int(_pd.Timestamp(mn).value) // 1000) % dur_us
+                if off_us:
+                    self._offset = f"{off_us} microseconds"
+        elif origin not in (None, "epoch", "start_day"):
             raise NotImplementedError(f"resample origin {origin!r}")
 
     def __getitem__(self, key):
@@ -200,7 +223,7 @@ class Resampler:
             else:
                 ts_phys = fr.index_cols[0]
             dur = rule_to_duration(self._rule)
-            bucket = F.window(F.col(ts_phys), dur)["start"]
+            bucket = bucket_start(ts_phys, dur, self._closed, self._offset)
             labels = list(spec.keys())
             positions = fr.positions_of(labels)
             out_phys = fresh_names(len(positions) + 1)
@@ -235,7 +258,7 @@ class Resampler:
             fr.data_cols[fr.positions_of([self._on])[0]] if self._on is not None else fr.index_cols[0]
         )
         dur = rule_to_duration(self._rule)
-        bucket = F.window(F.col(ts_phys), dur)["start"]
+        bucket = bucket_start(ts_phys, dur, self._closed, self._offset)
         return DataFrame(_frame=fr.filter(bucket == F.lit(pd.Timestamp(ts).to_pydatetime())))
 
     def transform(self, func: str):
@@ -251,7 +274,7 @@ class Resampler:
             fr.data_cols[fr.positions_of([self._on])[0]] if self._on is not None else fr.index_cols[0]
         )
         dur = rule_to_duration(self._rule)
-        bucket = F.window(F.col(ts_phys), dur)["start"]
+        bucket = bucket_start(ts_phys, dur, self._closed, self._offset)
         w = Window.partitionBy(bucket)
         positions = [
             i for i in range(len(fr.columns))
@@ -317,7 +340,7 @@ class Resampler:
         else:
             raise ValueError("resample needs on= or a datetime index")
         dur = rule_to_duration(self._rule)
-        bucket = F.window(F.col(ts_phys), dur)["start"]
+        bucket = bucket_start(ts_phys, dur, self._closed, self._offset)
         bounds = fr.sdf.agg(F.min(bucket).alias("mn"), F.max(bucket).alias("mx")).collect()[0]
         timeline = fr.spark.range(1).select(
             F.explode(
@@ -352,7 +375,7 @@ class Resampler:
         fr = self._df._frame.ensure_order()
         ts_phys = fr.data_cols[fr.positions_of([self._on])[0]] if self._on else fr.index_cols[0]
         dur = rule_to_duration(self._rule)
-        bucket = F.window(F.col(ts_phys), dur)["start"]
+        bucket = bucket_start(ts_phys, dur, self._closed, self._offset)
         positions = [i for i in range(len(fr.columns)) if fr.data_cols[i] != ts_phys and fr.dtype_of(i).startswith(("int", "float"))]
         out_phys = fresh_names(4 * len(positions) + 1)
         key_p = out_phys[0]
@@ -388,7 +411,7 @@ def _rs_agg_quantile(self, q):
     fr = self._df._frame
     ts_phys = fr.index_cols[0] if self._on is None else fr.data_cols[fr.positions_of([self._on])[0]]
     dur = rule_to_duration(self._rule)
-    bucket = F.window(F.col(ts_phys), dur)["start"]
+    bucket = bucket_start(ts_phys, dur, self._closed, self._offset)
     positions = [i for i in range(len(fr.columns))
                  if fr.data_cols[i] != ts_phys and fr.dtype_of(i).startswith(("int", "float"))]
     out_phys = fresh_names(len(positions) + 1)

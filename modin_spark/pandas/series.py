@@ -1853,3 +1853,49 @@ Series.plot = property(lambda self: self.to_pandas().plot)
 Series.hist = lambda self, *a, **k: self.to_pandas().hist(*a, **k)
 Series.flags = property(lambda self: pd.Series(dtype="float64").flags)
 Series.to_clipboard = lambda self, **k: self.to_pandas().to_clipboard(**k)
+
+
+# ---------------------------------------------------------------- inplace=
+# Series mutators accept inplace=True — adopt the derived series' fields
+# (expression metadata only; no extra plan or job).
+def _ser_maybe_inplace(self, out, inplace: bool):
+    if inplace:
+        self.__dict__.update(out.__dict__)
+        return None
+    return out
+
+
+Series._maybe_inplace = _ser_maybe_inplace
+
+
+def _ser_wrap_inplace(nm):
+    orig = getattr(Series, nm)
+
+    def f(self, *a, inplace: bool = False, **k):
+        out = orig(self, *a, **k)
+        return self._maybe_inplace(out, inplace)
+
+    f.__name__ = nm
+    f.__doc__ = orig.__doc__
+    setattr(Series, nm, f)
+
+
+for _nm in ["fillna", "replace", "clip", "dropna", "where", "mask",
+            "sort_values", "sort_index", "ffill", "bfill"]:
+    _ser_wrap_inplace(_nm)
+del _ser_wrap_inplace, _nm
+
+
+def _ser_resample(self, rule, **kw):
+    """Series.resample: the frame Resampler with the scalar flag set, so
+    aggregates come back as a Series (pandas parity)."""
+    from modin_spark.pandas.dataframe import DataFrame
+
+    name = self._name if self._name is not None else "__s__"
+    fr = self._to_frame(name)
+    r = DataFrame(_frame=fr).resample(rule, **kw)
+    r._scalar = True
+    return r
+
+
+Series.resample = _ser_resample

@@ -113,7 +113,8 @@ def test_wide_to_long(spark):
     import modin_spark.pandas as mpd
 
     p = pd.DataFrame({"id": [1, 2], "A1970": [10.0, 11.0], "A1980": [20.0, 21.0], "X": [9, 8]})
-    got = mpd.wide_to_long(mpd.from_pandas(p), ["A"], i="id", j="year").to_pandas()
+    # r9: wide_to_long returns the pandas-exact (i, j)-indexed long frame
+    got = mpd.wide_to_long(mpd.from_pandas(p), ["A"], i="id", j="year").reset_index().to_pandas()
     ref = pd.wide_to_long(p, ["A"], i="id", j="year").reset_index()[["id", "A"]]
     got2 = got.sort_values(["id", "year"]).reset_index(drop=True)
     ref2 = (

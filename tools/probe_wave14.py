@@ -95,7 +95,9 @@ def _csv_round(df, **kw):
     with tempfile.TemporaryDirectory() as td:
         path = os.path.join(td, "t.csv")
         pd.DataFrame(PDF).to_csv(path, index=False)
-        return lib.read_csv(path, **kw)
+        out = lib.read_csv(path, **kw)
+        # materialize INSIDE the tempdir context (Spark reads lazily)
+        return out.to_pandas() if hasattr(out, "to_pandas") else out
 
 
 cmp("read_csv(names+header=0)", lambda df: _csv_round(df, header=0, names=["w", "x", "y", "z"]).pipe(srt))
@@ -105,10 +107,13 @@ cmp("read_csv(usecols callable)", lambda df: _csv_round(df, usecols=lambda c: c 
 
 
 def _csv_out(df, **kw):
+    import glob
     with tempfile.TemporaryDirectory() as td:
         path = os.path.join(td, "o.csv")
         df.to_csv(path, index=False, **kw)
-        return pd.read_csv(path, sep=kw.get("sep", ","), keep_default_na=True)
+        # Spark writes a directory of part files; pandas writes one file
+        files = sorted(glob.glob(os.path.join(path, "part-*"))) if os.path.isdir(path) else [path]
+        return pd.concat([pd.read_csv(f, sep=kw.get("sep", ",")) for f in files], ignore_index=True)
 
 
 cmp("to_csv(sep=;,na_rep=NA)", lambda df: _csv_out(df, sep=";", na_rep="NA").pipe(srt))
@@ -126,13 +131,9 @@ cmp("stack(dropna legacy)", lambda df: df[["a", "c"]].stack().reset_index(drop=T
 cmp("groupby(by=[series,col])", lambda df: df.groupby([df["a"] > 1, "b"])["d"].sum().reset_index(drop=True).sort_values().reset_index(drop=True))
 cmp("groupby.agg(lambda with args)", lambda df: df.groupby("b")["d"].agg(lambda s, k: s.max() + k, 5).reset_index().pipe(srt))
 cmp("convert_dtypes roundtrip", lambda df: df.convert_dtypes()[["a", "d"]].sum())
-cmp("wide_to_long", lambda df: pd.wide_to_long(
-    (df.rename(columns={"a": "v1", "d": "v2"}).assign(id=range(6))
-     if isinstance(df, pd.DataFrame)
-     else df.rename(columns={"a": "v1", "d": "v2"}).assign(id=list(range(6)))),
-    ["v"], i="id", j="n").reset_index().pipe(srt) if isinstance(df, pd.DataFrame) else mpd.wide_to_long(
+cmp("wide_to_long", lambda df: (pd if isinstance(df, pd.DataFrame) else mpd).wide_to_long(
     df.rename(columns={"a": "v1", "d": "v2"}).assign(id=list(range(6))),
-    ["v"], i="id", j="n").reset_index().pipe(srt))
+    ["v"], i="id", j="n").reset_index()[["id", "n", "b", "c", "v"]].pipe(srt))
 cmp("resample(2h,origin=start)", lambda df: df.assign(
     t=pd.date_range("2024-01-01 00:30", periods=6, freq="50min")).set_index("t")["d"]
     .resample("2h", origin="start").sum().reset_index(drop=True))
