@@ -182,6 +182,16 @@ def _translate(c: Column, table) -> Column:
     return F.translate(c, "".join(src_chars), "".join(dst_chars))
 
 
+def _any_affix(c, pat, which: str):
+    """startswith/endswith with a str or tuple-of-str pattern (pandas)."""
+    pats = pat if isinstance(pat, (tuple, list, set)) else [pat]
+    e = None
+    for p in pats:
+        t = getattr(c, which)(p)
+        e = t if e is None else (e | t)
+    return e
+
+
 STR_FUNCS = {
     "lower": lambda c: F.lower(c),
     "upper": lambda c: F.upper(c),
@@ -193,8 +203,11 @@ STR_FUNCS = {
     "lstrip": lambda c, to_strip=None: _strip(c, to_strip, "left"),
     "rstrip": lambda c, to_strip=None: _strip(c, to_strip, "right"),
     "contains": _contains,
-    "startswith": lambda c, pat, na=None: F.coalesce(c.startswith(pat), F.lit(na)),
-    "endswith": lambda c, pat, na=None: F.coalesce(c.endswith(pat), F.lit(na)),
+    # pandas accepts a tuple of prefixes/suffixes (any-match)
+    "startswith": lambda c, pat, na=None: F.coalesce(
+        _any_affix(c, pat, "startswith"), F.lit(na)),
+    "endswith": lambda c, pat, na=None: F.coalesce(
+        _any_affix(c, pat, "endswith"), F.lit(na)),
     "find": lambda c, sub, start=0, end=None: F.instr(c, sub) - 1,
     "rfind": lambda c, sub: F.when(
         F.instr(F.reverse(c), F.reverse(F.lit(sub))) > 0,

@@ -2290,7 +2290,11 @@ class DataFrame:
     def pipe(self, func, *args, **kwargs):
         return func(self, *args, **kwargs)
 
-    def take(self, indices) -> "DataFrame":
+    def take(self, indices, axis=0) -> "DataFrame":
+        if axis in (1, "columns"):
+            n = len(self._frame.columns)
+            pos = [i if i >= 0 else n + i for i in indices]
+            return DataFrame(_frame=self._frame.select_positions(pos))
         return self.iloc[list(indices)]
 
     def add_prefix(self, prefix: str) -> "DataFrame":
@@ -3542,6 +3546,10 @@ class DataFrame:
                 fr.sdf, F.col("__tgt__") == F.col(icol), "left"
             )
             sdf = j.withColumn(ORDER_COL, F.col("__torder__")).withColumn(icol, F.col("__tgt__"))
+            if fill_value is not None:
+                # pandas: labels absent from the frame take fill_value
+                for p in fr.data_cols:
+                    sdf = sdf.withColumn(p, F.coalesce(F.col(p), F.lit(fill_value)))
             nf = type(fr)(sdf, fr.columns, fr.data_cols, fr.index_cols, fr.index_names, has_order=True)
             out = DataFrame(_frame=nf)
         return out
@@ -4008,3 +4016,22 @@ for _nm in ["drop", "rename", "replace", "clip", "set_index", "reset_index",
             "interpolate", "ffill", "bfill"]:
     _wrap_inplace(_nm)
 del _wrap_inplace, _nm
+
+
+# ------------------------------------------------------- numpy ufunc protocol
+def _df_array_ufunc(self, ufunc, method, *inputs, **kwargs):
+    from modin_spark.pandas.series import _UFUNC_EXPRS
+
+    if method != "__call__" or kwargs.get("out") is not None or len(inputs) != 1:
+        return NotImplemented
+    fn = _UFUNC_EXPRS.get(ufunc.__name__)
+    if fn is None:
+        return NotImplemented
+    fr = self._frame
+    return DataFrame(_frame=fr.project(
+        list(fr.columns), [fn(fr.scol(i).cast("double")) for i in range(len(fr.columns))]
+    ))
+
+
+DataFrame.__array_ufunc__ = _df_array_ufunc
+DataFrame.__abs__ = lambda self: self.abs()

@@ -246,12 +246,13 @@ def crosstab(index: Series, columns: Series, margins: bool = False,
         row_tot = sum((_q(c) for c in val_cols), F.lit(0))
         sel += [(_q(c) / row_tot).alias(p) for c, p in zip(val_cols, phys[1:])]
     elif normalize == "columns" or (not isinstance(normalize, bool) and normalize == 1):
-        # each column divided by its column total — one unpartitioned window
-        # over the (tiny, #distinct-index-rows) pivoted relation
-        from pyspark.sql.window import Window as _W
-
-        wall = _W.partitionBy()
-        sel += [(_q(c) / F.sum(_q(c)).over(wall)).alias(p) for c, p in zip(val_cols, phys[1:])]
+        # each column divided by its column total — a 1-row totals aggregate
+        # broadcast-cross-joined back (stays parallel at any index
+        # cardinality; a window over the whole relation would single-task)
+        totals = pivoted.agg(*[F.sum(_q(c)).alias(f"__t{k}__") for k, c in enumerate(val_cols)])
+        pivoted = pivoted.crossJoin(F.broadcast(totals))
+        sel += [(_q(c) / F.col(f"__t{k}__")).alias(p)
+                for k, (c, p) in enumerate(zip(val_cols, phys[1:]))]
     else:
         sel += [_q(c).alias(p) for c, p in zip(val_cols, phys[1:])]
     labels = [margins_name if c == "__all__" else typed_of.get(c, c) for c in val_cols]

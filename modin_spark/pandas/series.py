@@ -1049,9 +1049,17 @@ class Series:
         return self._map1(lambda c: _udf(c))
 
     # ------------------------------------------------------------- groupby
-    def groupby(self, by=None):
+    def groupby(self, by=None, level=None):
         from modin_spark.pandas.groupby import SeriesGroupBy
 
+        if by is None and level is not None:
+            # group on index level(s): route through the frame machinery,
+            # then select the value column back
+            name = self._name if self._name is not None else "__v__"
+            df = self._to_frame(name)
+            from modin_spark.pandas.dataframe import DataFrame
+
+            return DataFrame(_frame=df).groupby(level=level)[name]
         return SeriesGroupBy(self, by)
 
 
@@ -1899,3 +1907,55 @@ def _ser_resample(self, rule, **kw):
 
 
 Series.resample = _ser_resample
+
+
+# ------------------------------------------------------- numpy ufunc protocol
+# np.sqrt(series) / np.log1p(series) / ... stay JVM-side expressions.
+_UFUNC_EXPRS = {
+    "sqrt": F.sqrt, "exp": F.exp, "expm1": F.expm1,
+    "log": F.log, "log1p": F.log1p, "log10": F.log10, "log2": F.log2,
+    "absolute": F.abs, "fabs": F.abs, "floor": F.floor, "ceil": F.ceil,
+    "sin": F.sin, "cos": F.cos, "tan": F.tan, "arcsin": F.asin,
+    "arccos": F.acos, "arctan": F.atan, "sinh": F.sinh, "cosh": F.cosh,
+    "tanh": F.tanh, "sign": F.signum, "negative": lambda c: -c,
+    "rint": lambda c: F.round(c, 0), "square": lambda c: c * c,
+    "isnan": F.isnan, "cbrt": F.cbrt,
+}
+def _ufunc_greatest(a, b, which):
+    # np.maximum/minimum(series, other): same-lineage expression pairing
+    fn = F.greatest if which == "max" else F.least
+    if isinstance(b, Series):
+        target, ae, be, refs = a._combine(b)
+        return Series(target, fn(ae, be), refs, a._name)
+    return a._map1(lambda c: fn(c, _lit(b)))
+
+
+_UFUNC_BINOPS = {
+    "add": lambda a, b: a + b, "subtract": lambda a, b: a - b,
+    "multiply": lambda a, b: a * b, "true_divide": lambda a, b: a / b,
+    "divide": lambda a, b: a / b, "power": lambda a, b: a ** b,
+    "mod": lambda a, b: a % b, "floor_divide": lambda a, b: a // b,
+    "maximum": lambda a, b: _ufunc_greatest(a, b, "max"),
+    "minimum": lambda a, b: _ufunc_greatest(a, b, "min"),
+}
+
+
+def _ser_array_ufunc(self, ufunc, method, *inputs, **kwargs):
+    if method != "__call__" or kwargs.get("out") is not None:
+        return NotImplemented
+    name = ufunc.__name__
+    if len(inputs) == 1 and name in _UFUNC_EXPRS:
+        fn = _UFUNC_EXPRS[name]
+        if name in ("floor", "ceil", "rint"):
+            # pandas keeps float dtype through these
+            return self._map1(lambda c: fn(c.cast("double")).cast("double"))
+        return self._map1(lambda c: fn(c.cast("double")))
+    if len(inputs) == 2 and name in _UFUNC_BINOPS and _UFUNC_BINOPS[name] is not None:
+        a, b = inputs
+        if a is self:
+            return _UFUNC_BINOPS[name](self, b)
+        return NotImplemented
+    return NotImplemented
+
+
+Series.__array_ufunc__ = _ser_array_ufunc
