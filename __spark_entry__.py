@@ -507,6 +507,35 @@ def _pivot_flag_status(spark, sf):
     return out.to_spark(ordered=False)
 
 
+def _pivot_typed_keys(spark, sf):
+    """r9: pivot keys keep their NATIVE dtype (int l_linenumber labels, not
+    '1' strings) and the columns Index carries the key's name — one
+    composite pivot shuffle (pandas/dataframe.py pivot_table single-key)."""
+    mpd = _mpd()
+    li = mpd.read_parquet(f"{sf}/lineitem.parquet")
+    p = li.pivot_table(values="l_quantity", index=["l_returnflag"], columns="l_linenumber", aggfunc="sum")
+    assert all(isinstance(c, int) for c in p.columns), "typed int pivot labels"
+    out = p.reset_index()
+    for c in out.columns:
+        if c != "l_returnflag":
+            out[c] = _r(out[c], 2)
+    return out.to_spark(ordered=False)
+
+
+def _unstack_fill(spark, sf):
+    """r9: unstack(fill_value=) fills only ABSENT (index, key) combos via a
+    (presence, value) struct riding the single pivot; present-but-NaN stays
+    NaN (pandas exact; pandas/dataframe.py unstack)."""
+    mpd = _mpd()
+    li = mpd.read_parquet(f"{sf}/lineitem.parquet")
+    s = li.groupby(["l_returnflag", "l_linestatus"])["l_quantity"].sum()
+    out = s.unstack(fill_value=-1).reset_index()
+    for c in out.columns:
+        if c != "l_returnflag":
+            out[c] = _r(out[c], 2)
+    return out.to_spark(ordered=False)
+
+
 def _concat_union(spark, sf):
     mpd = _mpd()
     li = mpd.read_parquet(f"{sf}/lineitem.parquet")
@@ -2017,8 +2046,9 @@ def _q22_global_sales(spark, sf):
 # checked locally every round via tools/check_entry.py regardless of
 # position.
 _R9_PREFIX = [
-    # (a) never scored
-    "apply_axis0_mi_reshape",
+    # (a) never scored (pivot_typed_keys/unstack_fill are r9-new machinery:
+    # typed pivot labels + presence-struct unstack fill)
+    "apply_axis0_mi_reshape", "pivot_typed_keys", "unstack_fill",
     # (b) machinery changed in r9
     "docs_minhash_dedup", "docs_simhash_dedup", "docs_ngram_dedup",
     "emb_cosine_dedup", "cut_buckets", "qcut_quartiles", "corr_cov",
@@ -2038,7 +2068,7 @@ _R9_PREFIX = [
     "expanding_stats", "groupby_transform_demean", "groupby_filter_large",
     "groupby_head2", "groupby_first_last", "rollup_agg",
     "range_join_buckets", "docs_fingerprint", "docs_langid_quality",
-    "docs_clean_corpus", "docs_jaccard_pairs", "emb_brute_topk",
+    "docs_clean_corpus",
 ]
 
 
@@ -2119,6 +2149,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_dedup": _distinct_dedup,
         "get_dummies_sum": _get_dummies_sum,
         "pivot_flag_status": _pivot_flag_status,
+        "pivot_typed_keys": _pivot_typed_keys,
+        "unstack_fill": _unstack_fill,
         "groupby_multi_agg": _groupby_multi_agg,
         "groupby_nunique": _groupby_nunique,
         "cumsum_by_group": _cumsum_by_group,
@@ -2736,6 +2768,23 @@ def oracle_sql() -> dict[str, str]:
             FROM grid g LEFT JOIN events e
               ON DATE_TRUNC('hour', e.ts) = g.hour_start
             GROUP BY 1
+        """,
+        "pivot_typed_keys": """
+            SELECT l_returnflag,
+                   ROUND(SUM(CASE WHEN l_linenumber = 1 THEN l_quantity END), 2) AS "1",
+                   ROUND(SUM(CASE WHEN l_linenumber = 2 THEN l_quantity END), 2) AS "2",
+                   ROUND(SUM(CASE WHEN l_linenumber = 3 THEN l_quantity END), 2) AS "3",
+                   ROUND(SUM(CASE WHEN l_linenumber = 4 THEN l_quantity END), 2) AS "4",
+                   ROUND(SUM(CASE WHEN l_linenumber = 5 THEN l_quantity END), 2) AS "5",
+                   ROUND(SUM(CASE WHEN l_linenumber = 6 THEN l_quantity END), 2) AS "6",
+                   ROUND(SUM(CASE WHEN l_linenumber = 7 THEN l_quantity END), 2) AS "7"
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "unstack_fill": """
+            SELECT l_returnflag,
+                   ROUND(COALESCE(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END), -1), 2) AS F,
+                   ROUND(COALESCE(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END), -1), 2) AS O
+            FROM lineitem GROUP BY l_returnflag
         """,
         "pivot_flag_status": """
             SELECT l_returnflag,
