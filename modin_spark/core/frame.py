@@ -111,6 +111,17 @@ _PANDAS_TO_SPARK_CAST = {
     "float": T.DoubleType(),
     "bool": T.BooleanType(),
     "boolean": T.BooleanType(),
+    # pandas nullable extension dtypes: Spark columns are nullable natively
+    "Int8": T.ByteType(),
+    "Int16": T.ShortType(),
+    "Int32": T.IntegerType(),
+    "Int64": T.LongType(),
+    "UInt8": T.IntegerType(),
+    "UInt16": T.IntegerType(),
+    "UInt32": T.LongType(),
+    "UInt64": T.LongType(),
+    "Float32": T.FloatType(),
+    "Float64": T.DoubleType(),
     "str": T.StringType(),
     "string": T.StringType(),
     "object": T.StringType(),

@@ -668,6 +668,9 @@ class DataFrame:
 
     def round(self, decimals=0) -> "DataFrame":
         fr = self._frame
+        if isinstance(decimals, (pd.Series, Series)):
+            vals = decimals.to_pandas() if isinstance(decimals, Series) else decimals
+            decimals = {k: int(v) for k, v in vals.items()}
         if isinstance(decimals, dict):
             dec = {k: int(v) for k, v in decimals.items()}
             exprs = [
@@ -1103,6 +1106,11 @@ class DataFrame:
         validate: str | None = None,
         copy: bool = True,
     ) -> "DataFrame":
+        if isinstance(right, Series):
+            # pandas: a NAMED Series merges as a 1-column frame
+            if right._name is None:
+                raise ValueError("Cannot merge a Series without a name")
+            right = right.to_frame()
         if validate is not None:
             self._validate_merge(right, validate, on, left_on, right_on, left_index, right_index)
         lf, rf = self._frame, right._frame
@@ -1203,9 +1211,9 @@ class DataFrame:
             return self._row_wise("sum")
         return self._reduce_frame("sum", numeric_only, min_count=min_count)
 
-    def mean(self, numeric_only=True, axis=0, **kw):
+    def mean(self, numeric_only=True, axis=0, skipna=True, **kw):
         if axis in (1, "columns"):
-            return self._row_wise("mean")
+            return self._row_wise("mean", skipna=skipna)
         return self._reduce_frame("mean", numeric_only)
 
     def min(self, numeric_only=False, axis=0, **kw):
@@ -1261,7 +1269,9 @@ class DataFrame:
             return Series(fr, e, set(fr.data_cols), None)
         return self._reduce_frame("nunique", numeric_only=False)
 
-    def prod(self, numeric_only=True, min_count=0):
+    def prod(self, numeric_only=True, min_count=0, axis=0):
+        if axis in (1, "columns"):
+            return self._row_wise("prod")
         return self._reduce_frame("prod", numeric_only, min_count=min_count)
 
     product = prod
@@ -1412,13 +1422,18 @@ class DataFrame:
             return out
         return pd.Series([row[f"x{i}_0"] for i in positions], index=labels)
 
-    def _row_wise(self, op: str, q: float | None = None, ddof: int = 1) -> Series:
+    def _row_wise(self, op: str, q: float | None = None, ddof: int = 1,
+                  skipna: bool = True) -> Series:
         """Row-axis reductions as pure array expressions — projections in
-        whole-stage codegen, no shuffle (k = #columns is plan-time small)."""
+        whole-stage codegen, no shuffle (k = #columns is plan-time small).
+        ``skipna=False``: any missing cell poisons the row's result."""
         fr = self._frame
         positions = self._numeric_positions()
         cols = [fr.scol(i) for i in positions]
-        if op == "sum":
+        if op == "prod":
+            vals = F.array_compact(F.array(*[c.cast("double") for c in cols]))
+            e = F.aggregate(vals, F.lit(1.0), lambda a, x: a * x)
+        elif op == "sum":
             e = sum((F.coalesce(c, F.lit(0)) for c in cols), F.lit(0))
         elif op == "min":
             e = F.least(*cols) if len(cols) > 1 else cols[0]
@@ -1458,6 +1473,12 @@ class DataFrame:
             e = F.when(n > 0, vlo + (vhi - vlo) * frac)
         else:
             raise NotImplementedError(op)
+        if not skipna:
+            has_null = None
+            for c in cols:
+                t = c.isNull()
+                has_null = t if has_null is None else (has_null | t)
+            e = F.when(~F.coalesce(has_null, F.lit(False)), e)
         return Series(fr, e, {fr.data_cols[i] for i in positions}, None)
 
     def _row_rank(self, method: str = "average", ascending: bool = True,
@@ -1540,7 +1561,7 @@ class DataFrame:
 
     aggregate = agg
 
-    def describe(self, include=None, exclude=None) -> pd.DataFrame:
+    def describe(self, include=None, exclude=None, percentiles=None) -> pd.DataFrame:
         """pandas describe: numeric stats by default; all-object frames (or
         include='all'/'object') get count/unique/top/freq — ONE aggregate per
         object column (count + countDistinct + mode via a k-row groupBy)."""
@@ -1552,7 +1573,7 @@ class DataFrame:
         cols = {}
         if want_num:
             for i in num_pos:
-                cols[fr.columns[i]] = self._series_at(i).describe()
+                cols[fr.columns[i]] = self._series_at(i).describe(percentiles=percentiles)
         if want_obj:
             for i in obj_pos:
                 c = fr.scol(i)
@@ -1567,8 +1588,13 @@ class DataFrame:
                      "freq": top[0]["count"] if top else None})
         out = pd.DataFrame(cols)
         # pandas row order: count/unique/top/freq first, then numeric stats
-        order = [r for r in ["count", "unique", "top", "freq", "mean", "std",
-                             "min", "25%", "50%", "75%", "max"] if r in out.index]
+        # (percentile rows in ascending order, whatever set was requested)
+        pct_rows = sorted(
+            (r for r in out.index if isinstance(r, str) and r.endswith("%")),
+            key=lambda r: float(r[:-1]),
+        )
+        order = [r for r in (["count", "unique", "top", "freq", "mean", "std", "min"]
+                             + pct_rows + ["max"]) if r in out.index]
         return out.loc[order]
 
     def idxmax(self, axis=0) -> pd.Series:
@@ -1848,6 +1874,12 @@ class DataFrame:
             return DataFrame(_frame=SparkFrame(sdf, fr.columns, new_cols, fr.index_cols, fr.index_names))
         pos = fr.positions_of([column])[0]
         phys = fr.data_cols[pos]
+        from pyspark.sql import types as _T
+
+        if not isinstance(fr.schema_map.get(phys), _T.ArrayType):
+            # pandas: exploding a non-list column is the identity (scalars
+            # and None pass through one row each)
+            return DataFrame(_frame=self._frame)
         sdf = fr.sdf.withColumn("__exp__", F.explode_outer(F.col(phys)))
         sdf = sdf.withColumn(ORDER_COL, F.struct(F.col(ORDER_COL).alias("o"), F.monotonically_increasing_id().alias("e")))
         new_cols = list(fr.data_cols)

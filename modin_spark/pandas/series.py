@@ -720,20 +720,22 @@ class Series:
 
     aggregate = agg
 
-    def describe(self) -> pd.Series:
-        names = ["count", "mean", "std", "min", "25%", "50%", "75%", "max"]
+    def describe(self, percentiles=None) -> pd.Series:
+        # pandas: percentiles= replaces the quartiles; the median is always
+        # included (pandas inserts 0.5 if missing)
+        ps = sorted(set(list(percentiles) + [0.5])) if percentiles is not None else [0.25, 0.5, 0.75]
+        names = (["count", "mean", "std", "min"]
+                 + [f"{p * 100:g}%" for p in ps] + ["max"])
         exprs = [
             F.count(self._expr),
             F.avg(self._expr),
             F.stddev_samp(self._expr),
             F.min(self._expr),
-            F.percentile(self._expr, F.lit(0.25)),
-            F.percentile(self._expr, F.lit(0.5)),
-            F.percentile(self._expr, F.lit(0.75)),
+            *[F.percentile(self._expr, F.lit(p)) for p in ps],
             F.max(self._expr),
         ]
         row = self._frame.sdf.agg(*[e.alias(f"x{i}") for i, e in enumerate(exprs)]).collect()[0]
-        return pd.Series([row[f"x{i}"] for i in range(8)], index=names, name=self._name)
+        return pd.Series([row[f"x{i}"] for i in range(len(exprs))], index=names, name=self._name)
 
     def idxmax(self):
         # pandas tie-break: FIRST occurrence of the max — max_by alone picks
@@ -1468,6 +1470,30 @@ class CategoricalMethods:
 
     def remove_unused_categories(self) -> Series:
         return self._s
+
+    def remove_categories(self, removals) -> Series:
+        """pandas: values in removed categories become NaN."""
+        s = self._s
+        rem = list(removals) if isinstance(removals, (list, tuple, set, pd.Index)) else [removals]
+        return Series(s._frame, F.when(~s._expr.isin(rem), s._expr), s._refs, s._name)
+
+    def as_ordered(self) -> Series:
+        # dictionaries here are always the sorted distinct values, so the
+        # ordered flag only affects comparison/min/max — which already use
+        # the sorted order; the column itself is unchanged
+        return self._s
+
+    def as_unordered(self) -> Series:
+        return self._s
+
+    def set_categories(self, new_categories, ordered=False) -> Series:
+        """Values outside the new dictionary become NaN (pandas)."""
+        s = self._s
+        keep = list(new_categories)
+        return Series(s._frame, F.when(s._expr.isin(keep), s._expr), s._refs, s._name)
+
+    def reorder_categories(self, new_categories, ordered=False) -> Series:
+        return self.set_categories(new_categories, ordered)
 
 
 def _series_api_tail():
