@@ -189,6 +189,10 @@ def _any_affix(c, pat, which: str):
     for p in pats:
         t = getattr(c, which)(p)
         e = t if e is None else (e | t)
+    if e is None:
+        # pandas: s.str.startswith(()) is valid and all-False (null-safe —
+        # callers wrap in F.coalesce(e, na), which would choke on None)
+        return F.when(c.isNull(), F.lit(None).cast("boolean")).otherwise(F.lit(False))
     return e
 
 

@@ -277,8 +277,16 @@ class DataFrame:
             fr = out._frame
             idx_vals = list(index) if isinstance(index, (list, tuple)) else [index]
             if not fr.index_cols:
-                # default positional index: drop by position — one global
-                # position column (same machinery as iloc), anti-filter on it
+                # default positional index: drop by LABEL. When ORDER values
+                # ARE the original pandas labels (order_is_position, survives
+                # filters), anti-filter on ORDER_COL directly — after
+                # df2 = df[mask], pandas drop(index=k) removes the row
+                # labeled k, not the (k+1)-th surviving row, and ORDER_COL is
+                # exactly the labels to_pandas/idxmax display. Only frames
+                # with no positional lineage need a fresh global position.
+                if fr.has_order and fr.order_is_position:
+                    sdf = fr.sdf.where(~F.col(ORDER_COL).isin(idx_vals))
+                    return DataFrame(_frame=fr._same_rows(sdf))
                 fr2 = fr.ensure_order().with_global_position("__dpi__")
                 sdf = fr2.sdf.where(~F.col("__dpi__").isin(idx_vals)).drop("__dpi__")
                 return DataFrame(_frame=fr._same_rows(sdf))
@@ -3573,15 +3581,20 @@ class DataFrame:
 
             tgt = from_pandas(pd.DataFrame({"__tgt__": list(index)}))._frame
             icol = fr.index_cols[0]
+            fsdf = fr.sdf.withColumn("__hit__", F.lit(1)) if fill_value is not None else fr.sdf
             j = F.broadcast(tgt.sdf.select(F.col(tgt.data_cols[0]).alias("__tgt__"),
                                            F.col(ORDER_COL).alias("__torder__"))).join(
-                fr.sdf, F.col("__tgt__") == F.col(icol), "left"
+                fsdf, F.col("__tgt__") == F.col(icol), "left"
             )
             sdf = j.withColumn(ORDER_COL, F.col("__torder__")).withColumn(icol, F.col("__tgt__"))
             if fill_value is not None:
-                # pandas: labels absent from the frame take fill_value
+                # pandas fills ONLY rows for labels absent from the frame
+                # (join-miss, __hit__ null); a matched row's pre-existing NaN
+                # cells stay NaN — coalescing every column would clobber them
+                miss = F.col("__hit__").isNull()
                 for p in fr.data_cols:
-                    sdf = sdf.withColumn(p, F.coalesce(F.col(p), F.lit(fill_value)))
+                    sdf = sdf.withColumn(p, F.when(miss, F.lit(fill_value)).otherwise(F.col(p)))
+                sdf = sdf.drop("__hit__")
             nf = type(fr)(sdf, fr.columns, fr.data_cols, fr.index_cols, fr.index_names, has_order=True)
             out = DataFrame(_frame=nf)
         return out

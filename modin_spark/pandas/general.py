@@ -82,19 +82,48 @@ def to_datetime(arg, format=None, errors="raise", unit=None):
 
 
 def to_numeric(arg, errors="raise", downcast=None):
+    """pandas.to_numeric (reference: modin/pandas/general.py to_numeric ->
+    qc.to_numeric). Numeric inputs pass through unchanged; strings coerce via
+    (try_)cast to double. ``downcast`` narrows ONLY when a one-pass probe
+    proves the narrowing lossless — min/max/integrality aggregate for ints,
+    float32 round-trip-equality for floats — matching pandas' value-dependent
+    downcast instead of blindly wrapping out-of-range values."""
     if isinstance(arg, Series):
-        if errors == "coerce":
+        if arg.dtype.kind in "iuf":
+            out = arg  # pandas: numeric input is returned unchanged
+        elif errors == "coerce":
             out = arg._map1(lambda c: F.try_cast(c, "double") if hasattr(F, "try_cast") else c.try_cast("double"))
         else:
             out = arg._map1(lambda c: c.cast("double"))
         if downcast in ("integer", "signed", "unsigned"):
-            # pandas downcasts only when every value survives the narrowing;
-            # already-integral Spark types narrow losslessly by definition,
-            # floats would need a data-dependent check — keep those wide
-            if str(arg.dtype).startswith("int"):
-                out = arg._map1(lambda c: c.cast("int"))
+            e = out._expr
+            # One aggregate: range + any-fractional. NaN poisons the range
+            # check (NaN sorts largest in Spark, so mx < hi is False) and
+            # NaN == floor(NaN) under Spark's NaN-equality, so frac stays 0.
+            row = out._frame.sdf.agg(
+                F.min(e).alias("mn"),
+                F.max(e).alias("mx"),
+                F.max(F.when(e != F.floor(e), F.lit(1)).otherwise(F.lit(0))).alias("frac"),
+            ).collect()[0]
+            mn, mx = row["mn"], row["mx"]
+            ok = mn is not None and not row["frac"] and not (downcast == "unsigned" and mn < 0)
+            if ok:
+                # Spark has no unsigned types; 'unsigned' gets the smallest
+                # signed width that fits (documented divergence in dtype name)
+                for hi, t in ((2**7, "tinyint"), (2**15, "smallint"), (2**31, "int")):
+                    if -hi <= mn and mx < hi:
+                        out = out._map1(lambda c, t=t: c.cast(t))
+                        break
+                else:
+                    if out.dtype.kind not in "iu":
+                        out = out._map1(lambda c: c.cast("bigint"))
         elif downcast == "float":
-            out = arg._map1(lambda c: c.cast("float"))
+            e = out._expr
+            lossy = out._frame.sdf.agg(
+                F.max(F.when(e.cast("float").cast("double") != e.cast("double"), 1).otherwise(0)).alias("l")
+            ).collect()[0]["l"]
+            if not lossy:
+                out = out._map1(lambda c: c.cast("float"))
         return out
     return pd.to_numeric(arg, errors=errors, downcast=downcast)
 
@@ -236,6 +265,17 @@ def crosstab(index: Series, columns: Series, margins: bool = False,
         pivoted = (pivoted.withColumn("__i__", F.col("__i__").cast("string"))
                    .unionByName(mrow, allowMissingColumns=True).na.fill(0))
         val_cols = val_cols + ["__all__"]
+    if margins and (normalize == "index" or (not isinstance(normalize, bool) and normalize == 0)):
+        # pandas: index-normalized margins DROP the All column (each row,
+        # including the All row, then sums to 1 — keeping it would halve
+        # every proportion since row_tot double-counts the margin)
+        val_cols = [c for c in val_cols if c != "__all__"]
+        pivoted = pivoted.drop("__all__")
+    if margins and (normalize == "columns" or (not isinstance(normalize, bool) and normalize == 1)):
+        # pandas: column-normalized margins DROP the All row (keeping it
+        # would double every column total); the All column survives and
+        # normalizes to row_total/grand_total
+        pivoted = pivoted.where(F.col("__i__") != F.lit(str(margins_name)))
     phys = fresh_names(len(val_cols) + 1)
     sel = [F.col("__i__").alias(ORDER_COL), F.col("__i__").alias(phys[0])]
     if normalize is True or normalize == "all":
