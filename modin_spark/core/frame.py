@@ -564,7 +564,31 @@ class SparkFrame:
 
     def reset_index(self, drop: bool = False) -> "SparkFrame":
         if not self.index_cols:
-            return self
+            # pandas semantics on a default positional index (reference:
+            # modin dataframe.py:1451 from_labels): drop=True renumbers the
+            # labels 0..n-1; drop=False ADDS an "index" column holding the
+            # CURRENT labels, then renumbers. Either way the result's ORDER
+            # values are no longer the labels (order_is_position cleared).
+            if drop:
+                nf = self._same_rows(self.sdf)
+                nf.order_is_position = False
+                return nf
+            if self.has_order and self.order_is_position:
+                # ORDER values ARE the labels — free, no extra pass
+                ri = fresh_names(1)[0]
+                fr2 = self._same_rows(self.sdf.withColumn(ri, F.col(ORDER_COL).cast("long")))
+            else:
+                ri = fresh_names(1)[0]
+                fr2 = self.with_global_position(ri)
+            nf = fr2._same_rows(
+                fr2.sdf,
+                columns=pd.Index(["index"] + list(self.columns),
+                                 name=self.columns.name
+                                 if not isinstance(self.columns, pd.MultiIndex) else None),
+                data_cols=[ri] + list(self.data_cols),
+            )
+            nf.order_is_position = False
+            return nf
         if drop:
             return self._same_rows(self.sdf, index_cols=[], index_names=[None])
         labels = [

@@ -2436,26 +2436,34 @@ class DataFrame:
         return Series(fr, expr, set(fr.data_cols), None)
 
     def value_counts(self, subset=None, normalize=False, sort=True, ascending=False,
-                     dropna=True) -> "pd.Series":
-        """Frame-level value_counts: groupBy all (or subset) columns + count."""
+                     dropna=True) -> "Series":
+        """Frame-level value_counts: ONE distributed hash aggregate over the
+        (subset) columns via qc.groupby_agg — the same machinery as
+        Series.value_counts — returning an ENGINE Series. Nothing
+        materializes on the driver (distinct row combinations can be ~|rows|
+        at 100 TB) and the result chains into further engine ops.
+        Divergence note: pandas wraps even a single-column result in a
+        1-level MultiIndex; ours surfaces a regular Index there."""
         fr = self._frame
         cols = subset if subset is not None else list(fr.columns)
-        phys = [fr.data_cols[i] for i in fr.positions_of(cols)]
-        sdf = fr.sdf
-        if dropna:
-            for p in phys:
-                sdf = sdf.where(F.col(p).isNotNull())
-        agged = sdf.groupBy(*phys).count()
-        if sort:
-            agged = agged.orderBy(F.col("count").asc() if ascending else F.col("count").desc(), *phys)
-        pdf = agged.toPandas()
-        pdf.columns = list(cols) + ["count"]
-        out = pdf.set_index(list(cols))["count"]
-        if out.index.nlevels == 1:
-            out.index = pd.MultiIndex.from_arrays([out.index])
+        pos = fr.positions_of(cols)
+        lbl = "proportion" if normalize else "count"
+        # groupby_agg(sort=True) gives pandas' key order for sort=False and
+        # drops any-null-key rows for dropna (pandas semantics for both)
+        out = qc.groupby_agg(fr, pos, [(lbl, None, "size", {})],
+                             as_index=True, dropna=dropna, sort=True)
         if normalize:
-            out = out / out.sum()
-        return out
+            csdf = fr.sdf
+            if dropna:
+                for p in [fr.data_cols[i] for i in pos]:
+                    csdf = csdf.where(F.col(p).isNotNull())
+            total = csdf.count()
+            out = out.project([lbl], [F.col(out.data_cols[0]) / F.lit(total)])
+        if sort:
+            out = out.sort_by([F.col(out.data_cols[0])], [ascending])
+        s = Series._from_frame(out)
+        s._name = lbl
+        return s
 
     def isin(self, values) -> "DataFrame":
         """Boolean frame: membership per cell (list) or per column (dict)."""

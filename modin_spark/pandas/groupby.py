@@ -382,17 +382,54 @@ class DataFrameGroupBy:
         return DataFrame(_frame=self._window_transform(b))
 
     def ngroup(self, ascending: bool = True) -> Series:
+        """Scale-safe group numbering. Distinct keys are aggregated (one hash
+        shuffle with map-side combine), then numbered with the blocked
+        global-position scheme — range repartition + per-partition rank +
+        tiny (#partitions)-row offset join — NOT an unpartitioned window
+        (single-task sort of ALL distinct groups) and NOT a forced broadcast
+        of them back (AQE picks the join strategy; 1e8 groups stay a shuffle
+        join). pandas order: sorted keys (NaN last) when groupby(sort=True),
+        first appearance when sort=False; null-key rows get NaN when
+        dropna=True. ascending=False reverses the numbering (G-1-ng)."""
         fr = self._df._frame
         keys = [fr.data_cols[i] for i in self._by_pos]
-        # ascending=False reverses the numbering (ngroups-1-ng) == dense rank
-        # over key-descending order — same tiny distinct, no extra pass
-        w = Window.orderBy(*[F.col(k) if ascending else F.col(k).desc() for k in keys])
-        # dense_rank over distinct keys only (small), joined back — avoids a
-        # global window over the full data
-        distinct = fr.sdf.select(*keys).distinct().withColumn("__ng__", F.dense_rank().over(w) - 1)
-        joined = fr.sdf.join(F.broadcast(distinct), on=keys, how="left")
+        if self._sort:
+            d = fr.sdf.select(*keys).distinct()
+            obc = []
+            for k in keys:  # NaN-last key order (False < True on the flag)
+                obc.append(F.col(k).isNull())
+                obc.append(F.col(k))
+        else:
+            fr = fr.ensure_order()
+            d = fr.sdf.groupBy(*keys).agg(F.min(ORDER_COL).alias("__mo__"))
+            obc = [F.col("__mo__")]
+        if self._dropna:
+            for k in keys:
+                d = d.where(F.col(k).isNotNull())
+        d = d.repartitionByRange(*obc).withColumn("__pid__", F.spark_partition_id())
+        w = Window.partitionBy("__pid__").orderBy(*obc)
+        d = d.withColumn("__lr__", F.row_number().over(w) - F.lit(1))
+        counts = d.groupBy("__pid__").count()
+        woff = Window.orderBy("__pid__").rowsBetween(Window.unboundedPreceding, -1)
+        offsets = counts.select(
+            F.col("__pid__").alias("__p2__"),
+            F.coalesce(F.sum("count").over(woff), F.lit(0)).alias("__off__"),
+        )
+        d = d.join(F.broadcast(offsets), F.col("__pid__") == F.col("__p2__"), "inner")
+        d = d.withColumn("__ng__", (F.col("__lr__") + F.col("__off__")).cast("long"))
+        if not ascending:
+            total = d.count()  # one job over the (already aggregated) keys
+            d = d.withColumn("__ng__", F.lit(total - 1) - F.col("__ng__"))
+        dk = d.select(*[F.col(k).alias(f"__jk{i}__") for i, k in enumerate(keys)], "__ng__")
+        cond = None
+        for i, k in enumerate(keys):  # null-safe: dropna=False matches NaN groups
+            c = F.col(k).eqNullSafe(F.col(f"__jk{i}__"))
+            cond = c if cond is None else cond & c
+        joined = fr.sdf.join(dk, cond, "left").drop(*[f"__jk{i}__" for i in range(len(keys))])
         nf = SparkFrame(joined, fr.columns, fr.data_cols, fr.index_cols, fr.index_names,
-                        _lid=fr._lid, _chain=fr._chain)
+                        _lid=fr._lid, _chain=fr._chain, has_order=fr.has_order)
+        nf.order_epoch = fr.order_epoch
+        nf.order_is_position = fr.order_is_position
         return Series._from_frame(nf.project(["ngroup"], [F.col("__ng__")]))
 
     def head(self, n=5):

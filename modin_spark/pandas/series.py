@@ -799,8 +799,14 @@ class Series:
         return Series._from_frame(self._to_frame().tail(n))
 
     def unique(self):
-        sdf = self._frame.sdf.select(self._expr.alias("__v__")).distinct()
-        return pd.Series([r["__v__"] for r in sdf.collect()]).values
+        """pandas contract: FIRST-APPEARANCE order. One hash aggregate
+        (min(ORDER) per distinct value, map-side combine) + ordered collect —
+        not distinct(), whose post-shuffle order is arbitrary."""
+        fr = self._to_frame().ensure_order()
+        col = fr.data_cols[0]
+        rows = (fr.sdf.groupBy(col).agg(F.min(ORDER_COL).alias("__o__"))
+                .orderBy("__o__").select(col).collect())
+        return pd.Series([r[col] for r in rows]).values
 
     def drop_duplicates(self, keep="first", inplace=False, ignore_index=False) -> "Series":
         out = Series._from_frame(qc.drop_duplicates(self._to_frame(), None, keep))

@@ -109,3 +109,82 @@ def test_crosstab_margins_normalize():
         rm = rm.reindex(index=list(rp.index), columns=list(rp.columns))
         assert rp.shape == rm.shape, norm
         assert np.allclose(rp.values.astype(float), rm.values.astype(float)), norm
+
+
+# ------------------------------------------------------- verdict r9 items
+
+def test_reset_index_default_rangeindex_adds_column():
+    # verdict #1: pandas ADDS an "index" column (0..n-1); was a silent no-op
+    p = pd.DataFrame({"a": [10, 20, 30], "b": ["x", "y", "z"]})
+    m = mpd.from_pandas(p)
+    rp, rm = p.reset_index(), m.reset_index().to_pandas()
+    assert list(rm.columns) == ["index", "a", "b"]
+    eq_frame(rm, rp)
+    # after a filter the column holds the ORIGINAL labels, new index 0..n-1
+    rp2 = p[p["a"] > 10].reset_index()
+    rm2 = m[m["a"] > 10].reset_index().to_pandas()
+    assert list(rm2["index"]) == list(rp2["index"]) == [1, 2]
+    assert list(rm2.index) == [0, 1]
+    # drop=True renumbers filtered labels
+    rm3 = m[m["a"] > 10].reset_index(drop=True).to_pandas()
+    assert list(rm3.index) == [0, 1]
+    # chains into groupby like pandas
+    rp4 = p.reset_index().groupby("b").agg(s=("index", "sum")).reset_index().sort_values("b")
+    rm4 = m.reset_index().groupby("b").agg(s=("index", "sum")).reset_index().sort_values("b").to_pandas()
+    assert list(rp4["s"]) == list(rm4["s"])
+
+
+def test_frame_value_counts_distributed_engine_series():
+    p = pd.DataFrame({"a": [3.0, 1, 2, 1, 3, 2, None],
+                      "b": ["x", "y", "x", "z", "y", "x", "x"]})
+    m = mpd.from_pandas(p)
+
+    def norm(s):
+        return sorted(
+            (tuple(str(x) for x in (i if isinstance(i, tuple) else (i,))), round(float(c), 9))
+            for i, c in s.items()
+        )
+
+    for kw in [{}, {"normalize": True}, {"sort": False}, {"dropna": False},
+               {"subset": ["b"]}, {"ascending": True}]:
+        rm = m.value_counts(**kw)
+        assert isinstance(rm, mpd.Series), "must return an ENGINE Series"
+        assert norm(rm.to_pandas()) == norm(p.value_counts(**kw)), kw
+    # scale guard: no driver materialization in the plan build (lazy until
+    # to_pandas) — constructing the result must not trigger a collect
+    big = m.value_counts()
+    assert hasattr(big, "_frame")
+
+
+def test_groupby_ngroup_scalable_and_correct():
+    p = pd.DataFrame({"a": [3.0, 1, 2, 1, 3, 2, None],
+                      "b": ["x", "y", "x", "z", "y", "x", "x"]})
+    m = mpd.from_pandas(p)
+    for sort in (True, False):
+        for asc in (True, False):
+            gp = p.groupby("b", sort=sort).ngroup(ascending=asc)
+            gm = m.groupby("b", sort=sort).ngroup(ascending=asc).to_pandas()
+            assert list(gp) == list(gm), (sort, asc)
+    # null keys: NaN under dropna=True, numbered last under dropna=False
+    gp = p.groupby("a").ngroup()
+    gm = m.groupby("a").ngroup().to_pandas()
+    assert list(gp.fillna(-9)) == list(gm.fillna(-9))
+    gp2 = p.groupby("a", dropna=False).ngroup()
+    gm2 = m.groupby("a", dropna=False).ngroup().to_pandas()
+    assert list(gp2) == list(gm2)
+    # scale: numbering must not route ALL distinct groups through one task
+    from modin_spark import plans
+
+    s = m.groupby("b").ngroup()
+    sdf = s._to_frame().sdf
+    assert plans.unsafe_single_partition_exchanges(sdf) == 0, plans.physical_plan(sdf)
+
+
+def test_series_unique_appearance_order():
+    s = pd.Series([3, 1, 3, 2, 1, 5], name="u")
+    ms = mpd.from_pandas(s.to_frame())["u"]
+    assert list(ms.unique()) == list(s.unique()) == [3, 1, 2, 5]
+    # survives a filter (labels differ from positions)
+    pf, mf = s.to_frame(), mpd.from_pandas(s.to_frame())
+    pfil, mfil = pf[pf["u"] > 1]["u"], mf[mf["u"] > 1]["u"]
+    assert list(mfil.unique()) == list(pfil.unique()) == [3, 2, 5]
