@@ -177,6 +177,48 @@ def _value_counts(spark, sf):
     return out.to_spark(ordered=False)
 
 
+def _frame_value_counts(spark, sf):
+    """DataFrame.value_counts (round-10 fix): ONE distributed hash aggregate
+    over the subset columns returning an engine Series — no driver
+    materialization of the distinct row combinations (reference:
+    modin/pandas/dataframe.py value_counts -> groupby size)."""
+    mpd = _mpd()
+    orders = mpd.read_parquet(f"{sf}/orders.parquet")
+    vc = orders[["o_orderpriority", "o_orderstatus"]].value_counts()
+    out = vc.to_frame("n").reset_index()
+    return out.to_spark(ordered=False)
+
+
+def _reset_index_roundtrip(spark, sf):
+    """reset_index() on a DEFAULT RangeIndex adds the positional-label
+    column (round-10 fix; reference semantics
+    modin/core/dataframe/pandas/dataframe/dataframe.py:1451 from_labels),
+    round-tripped through a filter + groupby so the aggregated labels prove
+    the gaps pandas keeps survive the engine's blocked position machinery."""
+    mpd = _mpd()
+    cust = mpd.read_parquet(f"{sf}/customer.parquet")[["c_custkey", "c_mktsegment", "c_acctbal"]]
+    base = cust.sort_values("c_custkey").reset_index(drop=True)
+    flat = base[base.c_acctbal > 500].reset_index()
+    out = flat.groupby(["c_mktsegment"]).agg(
+        n=("index", "count"), min_lbl=("index", "min"),
+        max_lbl=("index", "max"), sum_lbl=("index", "sum"),
+    ).reset_index()
+    return out.to_spark(ordered=False)
+
+
+def _ngroup_labels(spark, sf):
+    """groupby.ngroup (round-10 rework): distinct keys numbered with the
+    blocked global-position scheme, join strategy left to AQE — equivalent
+    to DENSE_RANK over sorted keys minus one."""
+    mpd = _mpd()
+    orders = mpd.read_parquet(f"{sf}/orders.parquet")
+    orders["ng"] = orders.groupby("o_orderpriority").ngroup()
+    out = orders.groupby(["o_orderpriority"]).agg(
+        ng=("ng", "min"), n=("o_orderkey", "count")
+    ).reset_index()
+    return out.to_spark(ordered=False)
+
+
 def _groupby_multi_agg(spark, sf):
     mpd = _mpd()
     cust = mpd.read_parquet(f"{sf}/customer.parquet")
@@ -2045,35 +2087,41 @@ def _q22_global_sales(spark, sf):
 # oracle-backed (contract test: 0 no-oracle allowed). Every entry is still
 # checked locally every round via tools/check_entry.py regardless of
 # position.
-_R9_PREFIX = [
-    # (a) never scored (pivot_typed_keys/unstack_fill are r9-new machinery:
-    # typed pivot labels + presence-struct unstack fill)
-    "apply_axis0_mi_reshape", "pivot_typed_keys", "unstack_fill",
-    # (b) machinery changed in r9
-    "docs_minhash_dedup", "docs_simhash_dedup", "docs_ngram_dedup",
-    "emb_cosine_dedup", "cut_buckets", "qcut_quartiles", "corr_cov",
-    "dt_funcs", "multiindex_regroup", "transpose_wide_roundtrip",
-    "transpose_mixed", "transpose_agg", "transpose_multiindex_roundtrip",
-    # (c) machinery changed in r8 (never driver-scored since)
-    "apply_axis0_vcounts", "apply_axis0_strings", "apply_axis0_zscore",
-    "pivot_flag_status", "multiindex3_cols_agg", "multiindex_cols_agg",
-    "concat_dup_labels", "fwf_ingest", "explode_words", "melt_unpivot",
-    "query_eval",
-    # (d) stalest green rows (last scored r2/r3)
-    "describe_stats",
-    "q4_priority_returned", "q7_volume_shipping", "q11_important_parts",
-    "q12_priority_lines", "q15_top_supplier", "q16_supplier_count",
-    "q17_small_quantity", "q18_large_volume", "q19_brand_filter",
-    "q20_part_promotion", "q21_waiting_supplier", "q22_global_sales",
-    "expanding_stats", "groupby_transform_demean", "groupby_filter_large",
-    "groupby_head2", "groupby_first_last", "rollup_agg",
-    "range_join_buckets", "docs_fingerprint", "docs_langid_quality",
-    "docs_clean_corpus",
+_R10_PREFIX = [
+    # (a) round-10 new machinery: reset_index positional labels (blocked
+    # global position into ORDER), distributed frame value_counts, blocked
+    # ngroup numbering
+    "reset_index_roundtrip", "frame_value_counts", "ngroup_labels",
+    # (b) machinery touched in r10 (crosstab normalize path, str affix) +
+    # the two stalest green rows (last scored r2)
+    "crosstab_counts", "str_funcs", "value_counts", "sql_interface",
+    # (c) stalest green rows: r3/r5, then the full r6-scored family
+    "docs_jaccard_pairs", "emb_brute_topk",
+    "q6_forecast_revenue", "where_clip",
+    "anti_join_customers", "asof_join", "asof_nearest",
+    "docs_chunk_windows", "docs_decontaminate", "docs_domain_cap",
+    "docs_mixture_sample", "docs_pack_sequences", "docs_paragraph_dedup",
+    "docs_pii_scrub", "docs_repetition", "docs_shard_layout",
+    "docs_stratified_sample", "docs_topk_ngrams", "emb_ivf_exhaustive",
+    "emb_label_centroids", "emb_quality_filter", "ewm_mean",
+    "expanding_median_p90", "mode_quantity", "multimodal_features",
+    "pct_change_value", "q14_promo_revenue", "q8_market_share",
+    "rank_frame", "rank_min", "resample_ffill", "resample_hourly",
+    "resample_interp", "rolling_corr_pair", "rolling_mean",
+    "rolling_time_sum", "shift_diff", "win_weighted_var",
+    # (d) start of the r7-scored family
+    "case_when", "concat_cols_aligned", "concat_union", "cube_agg",
+    "cumsum_by_group",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q = {
+        # (r10) new machinery: reset_index positional labels, distributed
+        # frame value_counts, blocked ngroup numbering
+        "reset_index_roundtrip": _reset_index_roundtrip,
+        "frame_value_counts": _frame_value_counts,
+        "ngroup_labels": _ngroup_labels,
         # (a) round-6 new machinery first, then never-scored
         "excel_ingest": _excel_ingest,
         "fwf_ingest": _fwf_ingest,
@@ -2211,7 +2259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_jaccard_pairs": _docs_jaccard_pairs,
         "emb_brute_topk": _emb_brute_topk,
     }
-    ordered = {k: all_q[k] for k in _R9_PREFIX}
+    ordered = {k: all_q[k] for k in _R10_PREFIX}
     ordered.update({k: v for k, v in all_q.items() if k not in ordered})
     return ordered
 
@@ -2682,6 +2730,30 @@ def oracle_sql() -> dict[str, str]:
         """,
         "value_counts": """
             SELECT o_orderpriority, COUNT(*) AS n FROM orders GROUP BY o_orderpriority
+        """,
+        "frame_value_counts": """
+            SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n
+            FROM orders GROUP BY o_orderpriority, o_orderstatus
+        """,
+        "reset_index_roundtrip": """
+            WITH base AS (
+                SELECT c_mktsegment, c_acctbal,
+                       ROW_NUMBER() OVER (ORDER BY c_custkey) - 1 AS lbl
+                FROM customer
+            )
+            SELECT c_mktsegment, COUNT(*) AS n,
+                   MIN(lbl) AS min_lbl, MAX(lbl) AS max_lbl,
+                   CAST(SUM(lbl) AS BIGINT) AS sum_lbl
+            FROM base WHERE c_acctbal > 500 GROUP BY c_mktsegment
+        """,
+        "ngroup_labels": """
+            WITH ng AS (
+                SELECT o_orderpriority, o_orderkey,
+                       DENSE_RANK() OVER (ORDER BY o_orderpriority) - 1 AS g
+                FROM orders
+            )
+            SELECT o_orderpriority, MIN(g) AS ng, COUNT(o_orderkey) AS n
+            FROM ng GROUP BY o_orderpriority
         """,
         "groupby_multi_agg": """
             SELECT c_mktsegment,

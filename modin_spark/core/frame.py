@@ -567,27 +567,32 @@ class SparkFrame:
             # pandas semantics on a default positional index (reference:
             # modin dataframe.py:1451 from_labels): drop=True renumbers the
             # labels 0..n-1; drop=False ADDS an "index" column holding the
-            # CURRENT labels, then renumbers. Either way the result's ORDER
-            # values are no longer the labels (order_is_position cleared).
-            if drop:
-                nf = self._same_rows(self.sdf)
-                nf.order_is_position = False
-                return nf
-            if self.has_order and self.order_is_position:
-                # ORDER values ARE the labels — free, no extra pass
-                ri = fresh_names(1)[0]
-                fr2 = self._same_rows(self.sdf.withColumn(ri, F.col(ORDER_COL).cast("long")))
+            # CURRENT labels, then renumbers. The renumbered labels are
+            # materialized INTO ORDER_COL (blocked global position — range
+            # repartition + per-partition rank + tiny offset join, no
+            # single-task window) with order_is_position set, so a LATER
+            # filter preserves gapped labels exactly like pandas.
+            ri = fresh_names(1)[0]
+            if not drop and self.has_order and self.order_is_position:
+                # current labels ARE the ORDER values — the new column is free
+                base = self._same_rows(self.sdf.withColumn(ri, F.col(ORDER_COL).cast("long")))
+            elif not drop:
+                base = self.with_global_position(ri)
             else:
-                ri = fresh_names(1)[0]
-                fr2 = self.with_global_position(ri)
-            nf = fr2._same_rows(
-                fr2.sdf,
-                columns=pd.Index(["index"] + list(self.columns),
+                base = self
+            pc = fresh_names(1)[0]
+            fr2 = base.with_global_position(pc)
+            sdf = fr2.sdf.withColumn(ORDER_COL, F.col(pc)).drop(pc)
+            nf = fr2._subset_rows(
+                sdf,
+                columns=pd.Index((["index"] if not drop else []) + list(self.columns),
                                  name=self.columns.name
                                  if not isinstance(self.columns, pd.MultiIndex) else None),
-                data_cols=[ri] + list(self.data_cols),
+                data_cols=([ri] if not drop else []) + list(self.data_cols),
+                has_order=True,
             )
-            nf.order_is_position = False
+            nf.order_epoch = ("reset", nf._lid)  # ORDER re-derived: new epoch
+            nf.order_is_position = True
             return nf
         if drop:
             return self._same_rows(self.sdf, index_cols=[], index_names=[None])

@@ -159,11 +159,17 @@ def test_duplicate_labels(spark):
 
 
 def test_frame_value_counts(mdf, pdf):
+    # returns an ENGINE Series now (round 10) — distributed, no driver
+    # materialization; pandas wraps a single column in a 1-level MultiIndex,
+    # ours keeps a plain Index, so compare flattened
+    from modin_spark.pandas.series import Series as EngineSeries
+
     m = mdf.value_counts(subset=["k"])
+    assert isinstance(m, EngineSeries)
+    mp = m.to_pandas()
     p = pdf.value_counts(subset=["k"])
-    pd.testing.assert_series_equal(
-        m.astype("int64"), p.astype("int64"), check_names=False
-    )
+    assert list(mp.values) == list(p.values)
+    assert [i if not isinstance(i, tuple) else i[0] for i in mp.index] == [i[0] for i in p.index]
 
 
 def test_frame_isin(mdf, pdf):
