@@ -46,6 +46,7 @@ Design notes (vs the reference, modin):
 from __future__ import annotations
 
 import itertools
+import os
 from typing import Iterable, Sequence
 
 import pandas as pd
@@ -131,6 +132,55 @@ _PANDAS_TO_SPARK_CAST = {
 }
 
 
+def native_max_rows() -> int:
+    """Row threshold under which from_pandas keeps the pandas object on the
+    driver and defers Spark ingestion (reference parity: the small-frame
+    native mode threshold, modin/config/envvars.py:1357-1376). 0 disables."""
+    try:
+        return int(os.environ.get("MODIN_SPARK_NATIVE_MAX_ROWS", "5000"))
+    except ValueError:
+        return 0
+
+
+def _native_ingest_schema(pdf: pd.DataFrame, idx_phys: list, data_phys: list):
+    """The exact Spark schema createDataFrame WOULD infer for this pandas
+    frame, derived without touching the JVM — or None when any column's
+    inference is not provably identical to the _PANDAS_TO_SPARK_CAST row
+    (mixed objects, tz-aware datetimes, exotic extension dtypes), in which
+    case the caller ingests eagerly like before."""
+    out = {ORDER_COL: T.LongType()}
+    cols = [(p, pdf.index.get_level_values(i)) for i, p in enumerate(idx_phys)]
+    cols += [(p, pdf.iloc[:, j]) for j, p in enumerate(data_phys)]
+    for p, s in cols:
+        d = s.dtype
+        name = str(d)
+        kind = getattr(d, "kind", "O")
+        if kind == "M":
+            if name != "datetime64[ns]":
+                return None  # tz-aware / non-ns units: let Arrow decide
+            out[p] = T.TimestampType()
+        elif kind == "O":
+            # Arrow infers string only for str/None/NaN cells; anything else
+            # (lists, Decimals, mixed) must go through real inference
+            import numpy as np
+
+            vals = s.to_numpy() if hasattr(s, "to_numpy") else np.asarray(s)
+            if len(vals) and not all(
+                v is None or isinstance(v, str) or (isinstance(v, float) and np.isnan(v))
+                for v in vals
+            ):
+                return None
+            out[p] = T.StringType()
+        elif name in ("int8", "int16", "int32", "int64", "float32", "float64", "bool"):
+            # the verified-identical-to-Arrow subset (test_native_fastpath
+            # asserts schema parity for each); unsigned/extension dtypes go
+            # through real inference
+            out[p] = _PANDAS_TO_SPARK_CAST[name]
+        else:
+            return None
+    return out
+
+
 def pandas_dtype_to_spark(dtype) -> T.DataType:
     if isinstance(dtype, T.DataType):
         return dtype
@@ -162,7 +212,15 @@ class SparkFrame:
         _chain: frozenset | None = None,
         has_order: bool = True,
     ):
-        self.sdf = sdf
+        # lazy Spark ingestion (reference parity: NativeQueryCompiler's
+        # small-frame pandas mode, modin native_query_compiler.py). A tiny
+        # from_pandas frame stores the pandas object in ``native_pdf`` and
+        # DEFERS createDataFrame behind ``_ingest``; chains of native-capable
+        # ops (pandas/native.py) never touch the JVM. First .sdf access
+        # materializes the identical Spark plan, so semantics never fork.
+        self._sdf = sdf
+        self._ingest = None
+        self.native_pdf: pd.DataFrame | None = None
         self.columns = columns if isinstance(columns, pd.Index) else pd.Index(columns)
         self.data_cols = list(data_cols)
         self.index_cols = list(index_cols or [])
@@ -198,6 +256,13 @@ class SparkFrame:
         # shuffle) — the label is already in every row.
         self.order_is_position: bool = False
         assert len(self.columns) == len(self.data_cols)
+
+    @property
+    def sdf(self) -> SDF:
+        if self._sdf is None:
+            self._sdf = self._ingest()
+            self._ingest = None
+        return self._sdf
 
     def ensure_order(self) -> "SparkFrame":
         """Materialize ORDER_COL if this frame still rides on natural order.
@@ -284,9 +349,6 @@ class SparkFrame:
 
     @classmethod
     def from_pandas(cls, pdf: pd.DataFrame, spark: SparkSession | None = None) -> "SparkFrame":
-        from modin_spark.session import get_spark
-
-        spark = spark or get_spark()
         index_names = list(pdf.index.names)
         n_levels = pdf.index.nlevels
         default_range = (
@@ -301,22 +363,57 @@ class SparkFrame:
         data_labels = pdf.columns
         data_phys = fresh_names(len(data_labels))
 
-        flat = pd.DataFrame()
-        flat[ORDER_COL] = range(len(pdf))
-        for i, p in enumerate(idx_phys):
-            flat[p] = pdf.index.get_level_values(i).to_numpy()
-        for j, p in enumerate(data_phys):
-            flat[p] = pdf.iloc[:, j].to_numpy()
-        if len(flat) == 0:
-            # empty frames can't infer a schema — build it from pandas dtypes
-            fields = [T.StructField(ORDER_COL, T.LongType())]
-            for c in list(flat.columns)[1:]:
-                fields.append(T.StructField(
-                    c, pandas_dtype_to_spark(str(flat[c].dtype))))
-            sdf = spark.createDataFrame([], schema=T.StructType(fields))
+        # native deferral requires a RUNNING session: non-dispatched ops
+        # build Column expressions (F.col) before ever touching .sdf, and
+        # those assert an active SparkContext. The very first from_pandas in
+        # a process therefore ingests eagerly (spinning the session up
+        # exactly like before); everything after gets the lazy path.
+        from pyspark import SparkContext as _SC
+
+        # _active_spark_context is the pure-Python liveness flag —
+        # getActiveSession() itself would cost 4 py4j round-trips per frame
+        native_schema = (
+            _native_ingest_schema(pdf, idx_phys, data_phys)
+            if len(pdf) <= native_max_rows() and _SC._active_spark_context is not None
+            else None
+        )
+        if native_schema is not None:
+            # snapshot once: the deferred ingest closure and native_pdf must
+            # see the SAME data even if the caller mutates their frame later
+            pdf = pdf.copy()
+
+        def _ingest() -> SDF:
+            from modin_spark.session import get_spark
+
+            sp = spark or get_spark()
+            flat = pd.DataFrame()
+            flat[ORDER_COL] = range(len(pdf))
+            for i, p in enumerate(idx_phys):
+                flat[p] = pdf.index.get_level_values(i).to_numpy()
+            for j, p in enumerate(data_phys):
+                flat[p] = pdf.iloc[:, j].to_numpy()
+            if len(flat) == 0:
+                # empty frames can't infer a schema — build it from pandas dtypes
+                fields = [T.StructField(ORDER_COL, T.LongType())]
+                for c in list(flat.columns)[1:]:
+                    fields.append(T.StructField(
+                        c, pandas_dtype_to_spark(str(flat[c].dtype))))
+                return sp.createDataFrame([], schema=T.StructType(fields))
+            return sp.createDataFrame(flat)
+
+        if native_schema is not None:
+            # tiny frame: keep the pandas object driver-side, DEFER the JVM
+            # ingest behind the lazy .sdf property (reference parity:
+            # NativeQueryCompiler small-frame mode). Pure-native op chains
+            # (pandas/native.py) and pristine to_pandas round-trips never
+            # touch Spark; the first distributed op materializes the
+            # identical plan.
+            nf = cls(None, data_labels, data_phys, idx_phys, index_names if idx_phys else [None])
+            nf._ingest = _ingest
+            nf.native_pdf = pdf
+            nf._native_schema = native_schema
         else:
-            sdf = spark.createDataFrame(flat)
-        nf = cls(sdf, data_labels, data_phys, idx_phys, index_names if idx_phys else [None])
+            nf = cls(_ingest(), data_labels, data_phys, idx_phys, index_names if idx_phys else [None])
         nf.order_epoch = ("pd", nf._lid)  # contiguous 0..n-1, unique to this ingest
         # default-RangeIndex ingest: ORDER values literally ARE the pandas
         # row labels, so filtered frames can recover them for free
@@ -337,6 +434,10 @@ class SparkFrame:
 
     @property
     def schema_map(self) -> dict[str, T.DataType]:
+        if self._sdf is None and getattr(self, "_native_schema", None) is not None:
+            # deferred-ingest frame: the schema createDataFrame would infer,
+            # derived without the JVM (verified identical in tests)
+            return dict(self._native_schema)
         return {f.name: f.dataType for f in self.sdf.schema.fields}
 
     def spark_type_of(self, pos: int) -> T.DataType:
@@ -612,9 +713,15 @@ class SparkFrame:
 
     # ------------------------------------------------------------ materialize
     def count_rows(self) -> int:
+        if self._sdf is None and self.native_pdf is not None:
+            return len(self.native_pdf)
         return self.sdf.count()
 
     def to_pandas(self) -> pd.DataFrame:
+        if self._sdf is None and self.native_pdf is not None:
+            # pristine deferred-ingest frame: the stored pandas object IS the
+            # round-trip result (and keeps dtypes Spark would widen)
+            return self.native_pdf.copy()
         if not self.has_order:
             # natural order: toPandas collects partitions in order already
             cols = list(dict.fromkeys(self.index_cols + self.data_cols))

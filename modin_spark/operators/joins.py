@@ -111,12 +111,15 @@ def merge_asof(
     by_r = [rf.data_cols[i] for i in rf.positions_of(rby)] if rby else []
 
     # with on= the shared key appears once (pandas); with left_on/right_on the
-    # right key column is kept as payload (pandas keeps both)
+    # right key column is kept as payload (pandas keeps both). Same contract
+    # for the by-columns: symmetric by= surfaces one copy, asymmetric
+    # left_by/right_by keeps the right column as payload too.
     drop_key = {on_r} if on is not None else set()
+    drop_by = set(by_r) if by is not None else set()
     r_payload = [
         (rf.columns[j], rf.data_cols[j])
         for j in range(len(rf.columns))
-        if rf.data_cols[j] not in drop_key and rf.data_cols[j] not in set(by_r)
+        if rf.data_cols[j] not in drop_key and rf.data_cols[j] not in drop_by
     ]
 
     key_t = lf.schema_map[on_l].simpleString()

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from modin_spark.core import compiler as qc
 from modin_spark.core import windows as win
+from modin_spark.pandas import native as _native
 from modin_spark.core.frame import ORDER_COL, SparkFrame, pandas_dtype_to_spark
 from modin_spark.pandas.series import Series, _lit
 
@@ -103,6 +104,10 @@ class DataFrame:
 
     def __getitem__(self, key):
         fr = self._frame
+        if isinstance(key, list):  # label-list projection stays native
+            nat = _native.maybe(self, "__getitem__", key)
+            if nat is not None:
+                return nat
         if isinstance(key, Series):  # boolean mask
             sj = getattr(key, "_semijoin", None)
             if sj is not None:  # isin(Series) mask -> left_semi / left_anti join
@@ -468,6 +473,10 @@ class DataFrame:
 
     # ----------------------------------------------------------- missing data
     def fillna(self, value=None, method=None, axis=None, inplace=False, limit=None) -> "DataFrame":
+        if not inplace and method is None and value is not None:
+            nat = _native.maybe(self, "fillna", value=value, axis=axis, limit=limit)
+            if nat is not None:
+                return nat
         if method is not None:
             if method in ("ffill", "pad"):
                 out = self.ffill(limit=limit)
@@ -483,6 +492,13 @@ class DataFrame:
 
     def dropna(self, axis=0, how="any", thresh=None, subset=None, inplace=False,
                ignore_index=False) -> "DataFrame":
+        if not inplace:
+            kw = dict(axis=axis, subset=subset, ignore_index=ignore_index)
+            # pandas 2 rejects how+thresh together
+            kw.update({"thresh": thresh} if thresh is not None else {"how": how})
+            nat = _native.maybe(self, "dropna", **kw)
+            if nat is not None:
+                return nat
         if axis in (1, "columns"):
             # drop columns containing nulls: ONE tiny aggregate row of
             # per-column null counts, then a metadata-only projection
@@ -675,6 +691,9 @@ class DataFrame:
         return DataFrame(_frame=fr.project(fr.columns, [F.abs(fr.scol(i)) for i in range(len(fr.columns))]))
 
     def round(self, decimals=0) -> "DataFrame":
+        nat = _native.maybe(self, "round", decimals=decimals)
+        if nat is not None:
+            return nat
         fr = self._frame
         if isinstance(decimals, (pd.Series, Series)):
             vals = decimals.to_pandas() if isinstance(decimals, Series) else decimals
@@ -695,9 +714,15 @@ class DataFrame:
 
     # ----------------------------------------------------------------- rows
     def head(self, n: int = 5) -> "DataFrame":
+        nat = _native.maybe(self, "head", n=n)
+        if nat is not None:
+            return nat
         return DataFrame(_frame=self._frame.head(n))
 
     def tail(self, n: int = 5) -> "DataFrame":
+        nat = _native.maybe(self, "tail", n=n)
+        if nat is not None:
+            return nat
         return DataFrame(_frame=self._frame.tail(n))
 
     def limit(self, n: int) -> "DataFrame":
@@ -771,9 +796,12 @@ class DataFrame:
         translated = _re.sub(r"~\s*", " not ", translated)
         return translated
 
-    def query(self, expr: str, inplace: bool = False) -> "DataFrame | None":
+    def query(self, expr: str, inplace: bool = False, engine: str | None = None,
+              **kwargs) -> "DataFrame | None":
         """pandas.query via Spark SQL — labels resolved to physical columns,
-        pandas operators translated (Spark SQL already accepts and/or/==)."""
+        pandas operators translated (Spark SQL already accepts and/or/==).
+        ``engine=`` ('python'/'numexpr') is a pandas EXECUTION hint with no
+        semantic effect — accepted for parity, the plan is Catalyst's."""
         translated = self._translate_query(expr, caller_depth=2)
         out = DataFrame(_frame=self._frame.filter(F.expr(translated)))
         return self._maybe_inplace(out, inplace)
@@ -814,6 +842,11 @@ class DataFrame:
 
     def sort_values(self, by, ascending=True, na_position="last", kind=None, ignore_index=False,
                     key=None, inplace=False) -> "DataFrame":
+        if not inplace:
+            nat = _native.maybe(self, "sort_values", by=by, ascending=ascending,
+                                na_position=na_position, ignore_index=ignore_index, key=key)
+            if nat is not None:
+                return nat
         # kind is a pandas stable-sort selector — meaningless for a shuffle
         # sort (Spark's range sort is what it is); accepted for parity
         by = by if isinstance(by, list) else [by]
@@ -895,12 +928,23 @@ class DataFrame:
         return DataFrame(_frame=fr.sort_by(exprs, asc).head(n))
 
     def nlargest(self, n: int, columns, keep: str = "first") -> "DataFrame":
+        nat = _native.maybe(self, "nlargest", n=n, columns=columns, keep=keep)
+        if nat is not None:
+            return nat
         return self._top_k(n, columns, largest=True, keep=keep)
 
     def nsmallest(self, n: int, columns, keep: str = "first") -> "DataFrame":
+        nat = _native.maybe(self, "nsmallest", n=n, columns=columns, keep=keep)
+        if nat is not None:
+            return nat
         return self._top_k(n, columns, largest=False, keep=keep)
 
     def drop_duplicates(self, subset=None, keep="first", inplace=False, ignore_index=False) -> "DataFrame":
+        if not inplace:
+            nat = _native.maybe(self, "drop_duplicates", subset=subset, keep=keep,
+                                ignore_index=ignore_index)
+            if nat is not None:
+                return nat
         pos = self._frame.positions_of(subset if isinstance(subset, list) else [subset]) if subset is not None else None
         out = DataFrame(_frame=qc.drop_duplicates(self._frame, pos, keep))
         if ignore_index and out._frame.index_cols:
@@ -1119,6 +1163,14 @@ class DataFrame:
             if right._name is None:
                 raise ValueError("Cannot merge a Series without a name")
             right = right.to_frame()
+        if broadcast is None:  # engine-only kwarg blocks the native path
+            nat = _native.maybe(self, "merge", right, how=how, on=on,
+                                left_on=left_on, right_on=right_on,
+                                left_index=left_index, right_index=right_index,
+                                suffixes=suffixes, sort=sort,
+                                indicator=indicator, validate=validate)
+            if nat is not None:
+                return nat
         if validate is not None:
             self._validate_merge(right, validate, on, left_on, right_on, left_index, right_index)
         lf, rf = self._frame, right._frame
@@ -1369,6 +1421,10 @@ class DataFrame:
         return pd.DataFrame({k: v + [float("nan")] * (height - len(v)) for k, v in cols.items()})
 
     def quantile(self, q=0.5, numeric_only=True, axis=0, interpolation="linear"):
+        nat = _native.maybe(self, "quantile", q=q, numeric_only=numeric_only,
+                            axis=axis, interpolation=interpolation, _raw=True)
+        if nat is not None:
+            return nat
         if axis in (1, "columns"):
             return self._row_wise("quantile", q=q)
         if interpolation != "linear":
@@ -1573,6 +1629,10 @@ class DataFrame:
         """pandas describe: numeric stats by default; all-object frames (or
         include='all'/'object') get count/unique/top/freq — ONE aggregate per
         object column (count + countDistinct + mode via a k-row groupBy)."""
+        nat = _native.maybe(self, "describe", include=include, exclude=exclude,
+                            percentiles=percentiles, _raw=True)
+        if nat is not None:
+            return nat
         fr = self._frame
         num_pos = self._numeric_positions()
         obj_pos = [i for i in range(len(fr.columns)) if i not in set(num_pos)]
@@ -1648,6 +1708,10 @@ class DataFrame:
         rides the distributed rank machinery (pearson over whole-column
         ranks; exact pandas parity when columns are NaN-free — pandas
         re-ranks per pairwise-complete pair under NaNs)."""
+        nat = _native.maybe(self, "corr", method=method,
+                            numeric_only=numeric_only, _raw=True)
+        if nat is not None:
+            return nat
         if method == "spearman":
             ranked = self.rank(method="average")
             return ranked.corr(method="pearson", numeric_only=numeric_only)
@@ -1691,6 +1755,9 @@ class DataFrame:
         return pd.DataFrame(data, index=labels, columns=labels)
 
     def cov(self, numeric_only=True, ddof=1) -> pd.DataFrame:
+        nat = _native.maybe(self, "cov", numeric_only=numeric_only, ddof=ddof, _raw=True)
+        if nat is not None:
+            return nat
         fr = self._frame
         pos = self._numeric_positions()
         labels = [fr.columns[i] for i in pos]
@@ -1771,6 +1838,11 @@ class DataFrame:
 
     def rank(self, method="average", ascending=True, pct=False, axis=0,
              na_option="keep", numeric_only=True) -> "DataFrame":
+        nat = _native.maybe(self, "rank", method=method, ascending=ascending,
+                            pct=pct, axis=axis, na_option=na_option,
+                            numeric_only=numeric_only)
+        if nat is not None:
+            return nat
         if axis in (1, "columns"):
             return self._row_rank(method, ascending, pct)
         return DataFrame(_frame=win.rank(self._frame, self._numeric_positions(), method,
@@ -1818,6 +1890,11 @@ class DataFrame:
     # -------------------------------------------------------------- reshape
     def melt(self, id_vars=None, value_vars=None, var_name="variable", value_name="value",
              col_level=None, ignore_index=True) -> "DataFrame":
+        nat = _native.maybe(self, "melt", id_vars=id_vars, value_vars=value_vars,
+                            var_name=var_name, value_name=value_name,
+                            col_level=col_level, ignore_index=ignore_index)
+        if nat is not None:
+            return nat
         fr = self._frame.ensure_order()
         id_vars = id_vars if isinstance(id_vars, list) else ([id_vars] if id_vars else [])
         if value_vars is None:
@@ -1909,6 +1986,12 @@ class DataFrame:
         from the RAW data (pandas semantics — a margin mean is the mean of
         all cells, not of the cell means): one extra same-key groupby for the
         row margins and one tiny pivot for the column margin row."""
+        nat = _native.maybe(self, "pivot_table", values=values, index=index,
+                            columns=columns, aggfunc=aggfunc, fill_value=fill_value,
+                            margins=margins, margins_name=margins_name,
+                            dropna=dropna, sort=sort, observed=observed)
+        if nat is not None:
+            return nat
         from modin_spark.core.frame import fresh_names as _fn
 
         fr = self._frame
@@ -2661,6 +2744,9 @@ class DataFrame:
         become duplicate / MultiIndex column labels — both carried by the
         frame's positional physical names since r7) ride the same path.
         Only over-budget frames use the driver path, under a size guard."""
+        nat = _native.maybe(self, "transpose")
+        if nat is not None:
+            return nat
         fr = self._frame
         if len(fr.columns) > 0:
             # the distributed path's header collect doubles as the size
@@ -3528,12 +3614,34 @@ class DataFrame:
         if weights is not None:
             if n is None:
                 raise ValueError("weights= requires n=")
-            w = (F.col(fr.data_cols[fr.positions_of([weights])[0]]).cast("double")
-                 if isinstance(weights, str) else weights._expr.cast("double"))
+            if isinstance(weights, str):
+                w = F.col(fr.data_cols[fr.positions_of([weights])[0]]).cast("double")
+            elif fr.can_rebase(weights._frame, weights._refs):
+                w = weights._expr.cast("double")
+            else:
+                # cross-frame weights Series (pandas aligns by label):
+                # join it on by index / global position like any aligned op
+                wfr = weights._to_frame("__wcol__").ensure_order()
+                fr = fr.ensure_order()
+                fr, lkey = fr.align_keyed_with(wfr, "__swl__")
+                wfr2, rkey = wfr.align_keyed_with(fr, "__swr__")
+                wsdf = wfr2.sdf.select(
+                    *[F.col(k).alias(f"__wk{i}__") for i, k in enumerate(rkey)],
+                    F.col(wfr2.data_cols[0]).alias("__wval__"),
+                )
+                cond = None
+                for i, k in enumerate(lkey):
+                    c = fr.sdf[k] == wsdf[f"__wk{i}__"]
+                    cond = c if cond is None else (cond & c)
+                joined = fr.sdf.join(wsdf, cond, "left").drop(
+                    *[f"__wk{i}__" for i in range(len(rkey))])
+                fr = fr._same_rows(joined)
+                w = F.col("__wval__").cast("double")
             key = F.log(F.rand(seed)) / w
             sdf = fr.sdf.withColumn("__wk__", F.when(w > 0, key))
             sdf = (sdf.where(F.col("__wk__").isNotNull())
-                   .orderBy(F.col("__wk__").desc()).limit(int(n)).drop("__wk__"))
+                   .orderBy(F.col("__wk__").desc()).limit(int(n))
+                   .drop("__wk__", "__wval__"))
             return DataFrame(_frame=fr._subset_rows(sdf))
         if frac is not None and n is None:
             return DataFrame(_frame=fr._subset_rows(

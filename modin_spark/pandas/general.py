@@ -206,7 +206,25 @@ def cut(x: Series, bins, labels=None, right: bool = True, include_lowest: bool =
             e = w
         return e.otherwise(F.lit(None).cast("int") if codes else F.lit(None))
 
-    return x._map1(f)
+    out = x._map1(f)
+    if labels is None and not codes:
+        # pandas contract: labels=None yields an ORDERED Categorical of
+        # Interval categories. Physical storage stays the string bin label
+        # (JVM-side when-chain unchanged); the dtype is reconstructed on
+        # to_pandas from the driver-known edges.
+        closed = "right" if right else "left"
+        try:
+            iv = pd.IntervalIndex.from_breaks([float(e) for e in edges], closed=closed)
+            cat = pd.CategoricalDtype(categories=iv, ordered=True)
+            lab_to_iv = {str(names[i]): iv[i] for i in range(len(iv))}
+
+            def _post(s, _m=lab_to_iv, _c=cat):
+                return s.map(_m).astype(_c)
+
+            out._post_to_pandas = _post
+        except (TypeError, ValueError):
+            pass  # non-numeric edges: keep string labels
+    return out
 
 
 def qcut(x: Series, q, labels=None, duplicates: str = "raise") -> Series:

@@ -177,8 +177,26 @@ def read_parquet(path: str, columns=None, filters=None) -> DataFrame:
 
 def read_csv(path: str, sep: str = ",", header: int | str = "infer", names=None, dtype=None,
              usecols=None, nrows=None, skiprows=None, parse_dates=None,
-             index_col=None, na_values=None, thousands=None, **kw) -> DataFrame:
+             index_col=None, na_values=None, thousands=None, chunksize=None,
+             iterator: bool = False, **kw) -> DataFrame:
     from pyspark.sql import functions as F
+
+    if chunksize is not None or iterator:
+        # pandas' chunked-read protocol is driver-sequential by definition
+        # (each chunk is consumed before the next is parsed) — delegate to
+        # the pandas reader and wrap each chunk as an engine frame, exactly
+        # like the reference's default-to-pandas iterator path
+        def _chunks():
+            rdr = pd.read_csv(
+                path, sep=sep, header=header, names=names, dtype=dtype,
+                usecols=usecols, nrows=nrows, skiprows=skiprows,
+                parse_dates=parse_dates, index_col=index_col,
+                na_values=na_values, thousands=thousands,
+                chunksize=chunksize, iterator=iterator, **kw)
+            for c in rdr:
+                yield from_pandas(c)
+
+        return _chunks()
 
     if sep is None:
         # engine='python' sniffing: sample the first line driver-side
@@ -252,11 +270,25 @@ def read_csv(path: str, sep: str = ",", header: int | str = "infer", names=None,
     return out
 
 
-def read_json(path: str, lines: bool = True, **kw) -> DataFrame:
+def read_json(path_or_buf, lines: bool | None = None, orient=None, **kw) -> DataFrame:
+    """Distributed JSON/JSONL scan for paths (lines defaults to True there —
+    Spark's native shape); inline JSON strings, buffers, and orient=
+    variants delegate to the pandas parser (reference: default_to_pandas for
+    non-path / oriented JSON) and re-enter as an engine frame."""
+    inline = isinstance(path_or_buf, str) and path_or_buf.lstrip()[:1] in ("[", "{")
+    if inline or hasattr(path_or_buf, "read") or orient is not None:
+        import io as _io
+
+        src = _io.StringIO(path_or_buf) if inline else path_or_buf
+        pdf = pd.read_json(src, orient=orient,
+                           lines=bool(lines) if lines is not None else False, **kw)
+        return from_pandas(pd.DataFrame(pdf))
     reader = get_spark().read
+    if lines is None:
+        lines = True
     if not lines:
         reader = reader.option("multiLine", True)
-    return DataFrame(_frame=SparkFrame.from_spark(reader.json(path)))
+    return DataFrame(_frame=SparkFrame.from_spark(reader.json(path_or_buf)))
 
 
 def read_orc(path: str) -> DataFrame:

@@ -125,6 +125,11 @@ class Series:
         pdf = self._to_frame("__v__").to_pandas()
         out = pdf["__v__"]
         out.name = self._name
+        post = getattr(self, "_post_to_pandas", None)
+        if post is not None:
+            # driver-side dtype reconstruction (e.g. cut's ordered
+            # interval Categorical riding on string storage)
+            out = post(out)
         return out
 
     def to_spark(self):

@@ -30,6 +30,13 @@ _DEFAULTS = {
     "spark.sql.files.minPartitionNum": os.environ.get("SPARK_GRAFT_CPUS", "32"),
     "spark.ui.enabled": "false",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
+    # PySpark 4 captures the Python call site on EVERY Column/DataFrame API
+    # call when dataFrameDebugging is on (the default): each F.col/select
+    # costs ~15-20 extra py4j round-trips to set/clear PySparkCurrentOrigin.
+    # Measured on this engine's rank builder: 2024 -> ~150 bridge commands,
+    # cutting plan-build latency ~10x. Error messages lose the Python-line
+    # origin enrichment only — semantics are unchanged.
+    "spark.python.sql.dataFrameDebugging.enabled": "false",
 }
 
 

@@ -1,3 +1,4 @@
+import os
 import warnings
 
 import numpy as np
@@ -5,6 +6,12 @@ import pandas as pd
 import pytest
 
 warnings.filterwarnings("ignore")
+
+# The differential suite must exercise the DISTRIBUTED paths: tiny
+# from_pandas frames would otherwise take the native pandas fast path and
+# compare pandas against pandas. tests/test_native_fastpath.py re-enables it
+# per-test to cover the native dispatch itself.
+os.environ.setdefault("MODIN_SPARK_NATIVE_MAX_ROWS", "0")
 
 
 @pytest.fixture(scope="session")

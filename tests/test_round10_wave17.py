@@ -1,0 +1,77 @@
+"""Round-10 probe wave 17 regressions (tools/probe_wave17.py): each case
+diverged or errored vs real pandas before the fix."""
+
+import tempfile
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import modin_spark.pandas as mpd
+
+P = pd.DataFrame({"a": [1, 2, 3, 4, 5, 6], "b": [10., 20., 30., 40., 50., 60.],
+                  "k": list("xyxyxy"), "w": [0, 0, 1, 1, 2, 2]})
+
+
+def M():
+    return mpd.from_pandas(P.copy())
+
+
+def test_sample_weights_column_name(spark):
+    # zero-weight rows must never be drawn; n rows come back
+    got = M().sample(n=3, weights="w", random_state=1).to_pandas()
+    assert len(got) == 3 and set(got["a"]) <= {3, 4, 5, 6}
+
+
+def test_sample_weights_cross_frame_series(spark):
+    w = M()["w"]  # a DIFFERENT frame: label alignment required
+    got = M().sample(n=2, weights=w, random_state=2).to_pandas()
+    assert len(got) == 2 and set(got["a"]) <= {3, 4, 5, 6}
+
+
+def test_merge_asof_left_by_right_by(spark):
+    L = pd.DataFrame({"t": [1, 2, 3, 4], "g": ["a", "a", "b", "b"], "lv": [1, 2, 3, 4]})
+    R = pd.DataFrame({"t2": [1, 3], "g2": ["a", "b"], "rv": [10, 30]})
+    want = pd.merge_asof(L, R, left_on="t", right_on="t2", left_by="g", right_by="g2")
+    got = mpd.merge_asof(mpd.from_pandas(L), mpd.from_pandas(R),
+                         left_on="t", right_on="t2",
+                         left_by="g", right_by="g2").to_pandas()
+    pd.testing.assert_frame_equal(
+        got[list(want.columns)].reset_index(drop=True), want, check_dtype=False)
+
+
+def test_read_csv_chunksize_iterator(spark):
+    with tempfile.NamedTemporaryFile("w", suffix=".csv", delete=False) as f:
+        P.to_csv(f.name, index=False)
+        path = f.name
+    chunks = list(mpd.read_csv(path, chunksize=4))
+    assert [len(c.to_pandas()) for c in chunks] == [4, 2]
+    # chunk labels continue across chunks like pandas
+    assert list(chunks[1].to_pandas().index) == [4, 5]
+
+
+def test_read_json_inline_and_orient(spark):
+    s = P.to_json(orient="records")
+    want = pd.read_json(__import__("io").StringIO(s), orient="records")
+    got = mpd.read_json(s, orient="records").to_pandas()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_query_engine_kwarg(spark):
+    want = P.query("a > 2 and k == 'x'", engine="python")
+    got = M().query("a > 2 and k == 'x'", engine="python").to_pandas()
+    assert list(got["a"]) == list(want["a"])
+
+
+def test_cut_interval_categorical_dtype(spark):
+    p = pd.DataFrame({"a": [1.0, 2.0, 5.0, 8.0]})
+    m = mpd.from_pandas(p)
+    rp = pd.cut(p["a"], [0, 3, 6, 9])
+    rm = mpd.cut(m["a"], [0, 3, 6, 9]).to_pandas()
+    assert rp.dtype == rm.dtype and list(rp) == list(rm)
+    rp2, rm2 = pd.cut(p["a"], 3), mpd.cut(m["a"], 3).to_pandas()
+    assert str(rm2.dtype) == "category" and rm2.cat.ordered
+    assert list(rp2.cat.codes) == list(rm2.cat.codes)
+    # labels= keeps the given labels (no categorical coercion of strings)
+    rm3 = mpd.cut(m["a"], [0, 3, 6, 9], labels=["lo", "mid", "hi"]).to_pandas()
+    assert list(rm3) == list(pd.cut(p["a"], [0, 3, 6, 9], labels=["lo", "mid", "hi"]).astype(str))
