@@ -98,9 +98,14 @@ class DataFrame:
 
     # -------------------------------------------------------------- selection
     def _series_at(self, pos: int) -> Series:
-        return Series(
+        s = Series(
             self._frame, self._frame.scol(pos), {self._frame.data_cols[pos]}, name=self._frame.columns[pos]
         )
+        # plain-column marker for the native fast path: ONLY a direct column
+        # extraction may be replayed as pdf[label] (derived Series keep the
+        # name through _map1 but are new objects, so the attr vanishes)
+        s._native_col = pos
+        return s
 
     def __getitem__(self, key):
         fr = self._frame

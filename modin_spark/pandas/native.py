@@ -47,11 +47,14 @@ def _convert_arg(x):
             raise _Bail
         return p
     if isinstance(x, Series):
-        # engine Series are expression-bound to a frame; a pristine native
-        # frame's column round-trips exactly
+        # engine Series are expression-bound to a frame; ONLY a direct
+        # column extraction (marked by _series_at) replays as pdf[label] —
+        # a derived Series like df["a"]+1 keeps the NAME "a" but is not
+        # column "a", so trusting the name would silently use stale values
         p = native_pdf_of(x)
-        if p is not None and x._name is not None and x._name in p.columns:
-            return p[x._name]
+        pos = getattr(x, "_native_col", None)
+        if p is not None and pos is not None:
+            return p.iloc[:, pos]
         raise _Bail
     if isinstance(x, dict):
         return {k: _convert_arg(v) for k, v in x.items()}

@@ -167,3 +167,18 @@ def test_spark_path_equals_native_path(monkeypatch, spark):
     monkeypatch.setenv("MODIN_SPARK_NATIVE_MAX_ROWS", "0")
     spk = mpd.from_pandas(p).rank(method="min").to_pandas()
     pd.testing.assert_frame_equal(nat, spk, check_dtype=False)
+
+
+def test_derived_series_arg_never_replays_as_column(native_on, spark):
+    # df["a"]*100 keeps the NAME "a" but is NOT column "a": the native
+    # dispatcher must not replay it as pdf["a"] (only the _series_at marker
+    # qualifies a Series for native conversion)
+    m = mpd.from_pandas(pd.DataFrame({"a": [1.0, 2.0], "b": [3.0, 4.0]}))
+    derived = m["a"] * 100
+    assert getattr(derived, "_native_col", None) is None
+    assert getattr(m["a"], "_native_col", None) is not None
+    from modin_spark.pandas.native import _convert_arg, _Bail
+
+    with pytest.raises(_Bail):
+        _convert_arg(derived)
+    assert list(_convert_arg(m["a"])) == [1.0, 2.0]
