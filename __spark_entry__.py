@@ -1577,7 +1577,7 @@ def _describe_stats(spark, sf):
 def _mode_quantity(spark, sf):
     mpd = _mpd()
     li = mpd.read_parquet(f"{sf}/lineitem.parquet")
-    m = li[["l_quantity"]].mode()
+    m = li[["l_quantity"]].mode().to_pandas()
     return spark.createDataFrame([(int(m["l_quantity"].iloc[0]),)], "mode_qty bigint")
 
 

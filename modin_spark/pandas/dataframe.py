@@ -1423,7 +1423,14 @@ class DataFrame:
                 r = cnt.where(F.col("count") == mx).orderBy("v").collect()
                 cols[fr.columns[i]] = [x["v"] for x in r]
         height = max(len(v) for v in cols.values())
-        return pd.DataFrame({k: v + [float("nan")] * (height - len(v)) for k, v in cols.items()})
+        # engine frame out (reference parity: mode returns a Modin frame,
+        # not raw pandas) — the modal table is k rows, driver-built by
+        # construction, and re-enters the lazy-ingest path
+        from modin_spark.pandas.io import from_pandas
+
+        return from_pandas(
+            pd.DataFrame({k: v + [float("nan")] * (height - len(v)) for k, v in cols.items()})
+        )
 
     def quantile(self, q=0.5, numeric_only=True, axis=0, interpolation="linear"):
         nat = _native.maybe(self, "quantile", q=q, numeric_only=numeric_only,

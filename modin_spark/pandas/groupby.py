@@ -228,8 +228,13 @@ class DataFrameGroupBy:
         return DataFrame(_frame=out)
 
     def agg(self, spec=None, **named):
-        """dict / list / str / named-tuple aggregation specs."""
+        """dict / list / str / named-tuple aggregation specs. ``engine=`` /
+        ``engine_kwargs=`` are pandas numba EXECUTION hints — accepted and
+        ignored (the plan is Catalyst's; the reference delegates these too)."""
         from modin_spark.pandas.dataframe import DataFrame
+
+        named.pop("engine", None)
+        named.pop("engine_kwargs", None)
 
         entries: list[tuple[Any, int | None, str, dict]] = []
         fr = self._df._frame
@@ -793,10 +798,14 @@ class SeriesGroupBy:
         """pandas SeriesGroupBy.agg: a LIST spec yields FLAT columns named
         by each agg fn (the frame path would label them (col, fn)).
         Positional ``*args`` after a callable spec are forwarded to it
-        (pandas ``agg(func, *args)``)."""
+        (pandas ``agg(func, *args)``); engine=/engine_kwargs= numba hints
+        are accepted and ignored."""
         import pandas as pd
 
         from modin_spark.pandas.dataframe import DataFrame
+
+        named.pop("engine", None)
+        named.pop("engine_kwargs", None)
 
         if args and callable(spec):
             inner = spec

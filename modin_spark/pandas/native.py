@@ -72,6 +72,33 @@ def _wrap(res):
     return res
 
 
+def series_pdf_of(s):
+    """The pandas Series behind a plain-column extraction of a pristine
+    native frame (the _series_at marker), else None."""
+    p = native_pdf_of(s)
+    pos = getattr(s, "_native_col", None)
+    if p is not None and pos is not None:
+        out = p.iloc[:, pos]
+        return out
+
+
+def maybe_series(s, name, *args, _raw: bool = False, **kwargs):
+    """Series counterpart of maybe(): run pandas.Series.<name> natively when
+    ``s`` is a marked plain-column extraction of a pristine native frame."""
+    ps = series_pdf_of(s)
+    if ps is None:
+        return None
+    try:
+        a2 = [_convert_arg(a) for a in args]
+        k2 = {k: _convert_arg(v) for k, v in kwargs.items()}
+        res = getattr(ps.copy(), name)(*a2, **k2)
+    except _Bail:
+        return None
+    except Exception:
+        return None
+    return res if _raw else _wrap(res)
+
+
 def maybe(df, name, *args, _raw: bool = False, **kwargs):
     """Run ``pandas.DataFrame.<name>(*args, **kwargs)`` natively when ``df``
     (and every engine-object argument) is a pristine native frame. Returns

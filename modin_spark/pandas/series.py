@@ -20,6 +20,7 @@ from pyspark.sql import types as T
 
 from modin_spark.core import compiler as qc
 from modin_spark.core import windows as win
+from modin_spark.pandas import native as _native
 from modin_spark.core.frame import ORDER_COL, SparkFrame, pandas_dtype_to_spark, spark_to_pandas_dtype
 from modin_spark.functions import DT_FUNCS, STR_FUNCS
 
@@ -92,7 +93,12 @@ class Series:
     @classmethod
     def _from_frame(cls, frame: SparkFrame) -> "Series":
         assert len(frame.data_cols) == 1
-        return cls(frame, frame.scol(0), {frame.data_cols[0]}, name=frame.columns[0])
+        s = cls(frame, frame.scol(0), {frame.data_cols[0]}, name=frame.columns[0])
+        if frame._sdf is None and frame.native_pdf is not None:
+            # pristine deferred-ingest frame: this IS its only column — mark
+            # it so chained native Series ops and to_pandas stay driver-side
+            s._native_col = 0
+        return s
 
     @classmethod
     def _from_pandas(cls, ps: pd.Series) -> "Series":
@@ -122,6 +128,11 @@ class Series:
 
     # ------------------------------------------------------------ execution
     def to_pandas(self) -> pd.Series:
+        ps = _native.series_pdf_of(self)
+        if ps is not None:
+            out = ps.copy()
+            out.name = self._name
+            return out
         pdf = self._to_frame("__v__").to_pandas()
         out = pdf["__v__"]
         out.name = self._name
@@ -575,6 +586,17 @@ class Series:
     )
 
     def _reduce(self, name: str, skipna: bool = True, **kw) -> Any:
+        ps = _native.series_pdf_of(self)
+        if ps is not None:
+            try:
+                if name == "count":
+                    return int(ps.count())
+                if name == "quantile":
+                    return ps.quantile(kw.get("q", 0.5))
+                kw2 = {"ddof": kw.get("ddof", 1)} if name in ("std", "var", "sem") else {}
+                return getattr(ps, name)(skipna=skipna, **kw2)
+            except Exception:
+                pass  # pandas rejected it — distributed path is authoritative
         expr = self._expr
         if name in self._BOOL_NUMERIC_AGGS and isinstance(self.spark_type, T.BooleanType):
             # pandas numeric-aggregates booleans as 0/1 (bool.sum() = #True)
@@ -726,6 +748,9 @@ class Series:
     aggregate = agg
 
     def describe(self, percentiles=None) -> pd.Series:
+        nat = _native.maybe_series(self, "describe", percentiles=percentiles, _raw=True)
+        if nat is not None:
+            return nat
         # pandas: percentiles= replaces the quartiles; the median is always
         # included (pandas inserts 0.5 if missing)
         ps = sorted(set(list(percentiles) + [0.5])) if percentiles is not None else [0.25, 0.5, 0.75]
@@ -793,17 +818,31 @@ class Series:
     # --------------------------------------------------- frame-level结果 ops
     def sort_values(self, ascending: bool = True, na_position: str = "last", key=None,
                     kind=None, ignore_index: bool = False, axis=0) -> "Series":
+        nat = _native.maybe_series(self, "sort_values", ascending=ascending,
+                                   na_position=na_position, key=key,
+                                   ignore_index=ignore_index)
+        if nat is not None:
+            return nat
         fr = self._to_frame()
         sort_expr = key(Series._from_frame(fr))._expr if key is not None else fr.scol(0)
         return Series._from_frame(fr.sort_by([sort_expr], [ascending], na_position))
 
     def head(self, n: int = 5) -> "Series":
+        nat = _native.maybe_series(self, "head", n=n)
+        if nat is not None:
+            return nat
         return Series._from_frame(self._to_frame().head(n))
 
     def tail(self, n: int = 5) -> "Series":
+        nat = _native.maybe_series(self, "tail", n=n)
+        if nat is not None:
+            return nat
         return Series._from_frame(self._to_frame().tail(n))
 
     def unique(self):
+        ps = _native.series_pdf_of(self)
+        if ps is not None:
+            return ps.unique()
         """pandas contract: FIRST-APPEARANCE order. One hash aggregate
         (min(ORDER) per distinct value, map-side combine) + ordered collect —
         not distinct(), whose post-shuffle order is arbitrary."""
@@ -814,6 +853,11 @@ class Series:
         return pd.Series([r[col] for r in rows]).values
 
     def drop_duplicates(self, keep="first", inplace=False, ignore_index=False) -> "Series":
+        if not inplace:
+            nat = _native.maybe_series(self, "drop_duplicates", keep=keep,
+                                       ignore_index=ignore_index)
+            if nat is not None:
+                return nat
         out = Series._from_frame(qc.drop_duplicates(self._to_frame(), None, keep))
         if inplace:
             raise NotImplementedError("Series.drop_duplicates(inplace=True)")
@@ -821,6 +865,11 @@ class Series:
 
     def value_counts(self, normalize=False, sort=True, ascending=False, dropna=True,
                      bins=None) -> "Series":
+        nat = _native.maybe_series(self, "value_counts", normalize=normalize,
+                                   sort=sort, ascending=ascending,
+                                   dropna=dropna, bins=bins)
+        if nat is not None:
+            return nat
         if bins is not None:
             # pandas bins=: counts of fixed-width intervals — cut() stays a
             # JVM when-chain; the k-row result is reindexed driver-side so
@@ -866,11 +915,17 @@ class Series:
         return Series._from_frame(out)
 
     def nlargest(self, n: int = 5, keep: str = "first") -> "Series":
+        nat = _native.maybe_series(self, "nlargest", n=n, keep=keep)
+        if nat is not None:
+            return nat
         if keep != "first":
             return self.to_frame("__v__").nlargest(n, "__v__", keep=keep)["__v__"].rename(self._name)
         return Series._from_frame(self._to_frame().sort_by([self._expr], [False]).head(n))
 
     def nsmallest(self, n: int = 5, keep: str = "first") -> "Series":
+        nat = _native.maybe_series(self, "nsmallest", n=n, keep=keep)
+        if nat is not None:
+            return nat
         if keep != "first":
             return self.to_frame("__v__").nsmallest(n, "__v__", keep=keep)["__v__"].rename(self._name)
         return Series._from_frame(self._to_frame().sort_by([self._expr], [True]).head(n))

@@ -32,6 +32,9 @@ class Rolling:
         self._center = center
         self._closed = closed
         self._on = on
+        # pandas 1.5+ step=: keep every step-th output row (applied after
+        # the windows are computed — the window CONTENTS still see all rows)
+        self._step = win_kwargs.pop("step", None)
         self._win_kwargs = win_kwargs
         if on is not None and not isinstance(obj, Series):
             # rolling(on=col): the window rides the named column instead of
@@ -43,7 +46,8 @@ class Rolling:
         # column narrowing: df.rolling(...)[col], the common frame idiom
         sub = self._obj[key]
         return Rolling(sub, self._window, self._min_periods, win_type=self._win_type,
-                       center=self._center, closed=self._closed, **self._win_kwargs)
+                       center=self._center, closed=self._closed, step=self._step,
+                       **self._win_kwargs)
 
     def __getattr__(self, name):
         # attribute-style narrowing: r.x == r["x"]
@@ -55,6 +59,19 @@ class Rolling:
         raise AttributeError(name)
 
     def _run(self, agg: str, **agg_kwargs):
+        out = self._run_impl(agg, **agg_kwargs)
+        if self._step and self._step > 1:
+            # positional stride over the computed result (original labels kept)
+            if isinstance(out, Series):
+                from modin_spark.pandas.dataframe import DataFrame
+
+                fr = out._to_frame().slice_positions(0, 2**62, int(self._step))
+                out = Series._from_frame(fr)
+            else:
+                out = out.iloc[:: int(self._step)]
+        return out
+
+    def _run_impl(self, agg: str, **agg_kwargs):
         from modin_spark.pandas.dataframe import DataFrame
 
         if self._win_type is not None:

@@ -359,8 +359,8 @@ def test_resample_column_selection(spark):
 def test_mode_ties(spark):
     p = pd.DataFrame({"k": ["u", "u", "v", "v"], "a": [1.0, 1.0, 2.0, None]})
     m = mpd.from_pandas(p)
-    pd.testing.assert_frame_equal(m[["k"]].mode(), p[["k"]].mode())
-    got, exp = m.mode(), p.mode()
+    pd.testing.assert_frame_equal(m[["k"]].mode().to_pandas(), p[["k"]].mode())
+    got, exp = m.mode().to_pandas(), p.mode()
     pd.testing.assert_frame_equal(got.astype(object).where(got.notna(), None),
                                   exp.astype(object).where(exp.notna(), None))
 

@@ -182,3 +182,59 @@ def test_derived_series_arg_never_replays_as_column(native_on, spark):
     with pytest.raises(_Bail):
         _convert_arg(derived)
     assert list(_convert_arg(m["a"])) == [1.0, 2.0]
+
+
+def test_native_series_ops_match_pandas(native_on, spark):
+    p = _pdf()
+    m = mpd.from_pandas(p)
+    # reductions: scalar results identical to pandas
+    for red in ("sum", "mean", "min", "max", "count", "std", "var", "median"):
+        want = getattr(p["b"], red)()
+        got = getattr(m["b"], red)()
+        assert abs(float(got) - float(want)) < 1e-9, red
+    assert m["b"].quantile(0.5) == p["b"].quantile(0.5)
+    # skipna=False poisons like pandas
+    assert np.isnan(m["c"].sum(skipna=False)) == np.isnan(p["c"].sum(skipna=False))
+    # transforms / selections
+    for name, fn in [
+        ("sort_values", lambda s: s.sort_values(ascending=False)),
+        ("head", lambda s: s.head(5)),
+        ("tail", lambda s: s.tail(5)),
+        ("nlargest", lambda s: s.nlargest(4)),
+        ("nsmallest", lambda s: s.nsmallest(4)),
+        ("drop_duplicates", lambda s: s.drop_duplicates()),
+        ("value_counts", lambda s: s.value_counts()),
+    ]:
+        want = fn(p["a"])
+        got = fn(m["a"]).to_pandas()
+        assert list(got.values) == list(want.values), name
+    assert list(m["a"].unique()) == list(p["a"].unique())
+    pd.testing.assert_series_equal(m["b"].describe(), p["b"].describe())
+
+
+def test_native_series_chain_zero_jvm(native_on, spark):
+    import py4j.clientserver as cs
+
+    p = _pdf()
+    m = mpd.from_pandas(p)
+    count = [0]
+    orig = cs.ClientServerConnection.send_command
+
+    def patched(self, *a, **k):
+        count[0] += 1
+        return orig(self, *a, **k)
+
+    cs.ClientServerConnection.send_command = patched
+    try:
+        total = m["b"].sum()
+        vc = m["k"].value_counts().to_pandas()
+        top = m["b"].nlargest(3).to_pandas()
+    finally:
+        cs.ClientServerConnection.send_command = orig
+    # Series extraction builds a Column object (a few constant py4j calls,
+    # ~1ms) but must run ZERO jobs: the source frame stays un-ingested
+    assert count[0] < 40, count[0]
+    assert m._frame._sdf is None, "Series chain must not ingest the frame"
+    assert abs(total - p["b"].sum()) < 1e-9
+    assert list(vc.values) == list(p["k"].value_counts().values)
+    assert list(top.values) == list(p["b"].nlargest(3).values)

@@ -26,7 +26,7 @@ def test_any_all(spark):
 
 
 def test_mode(mdf, pdf):
-    got = mdf[["k"]].mode()
+    got = mdf[["k"]].mode().to_pandas()
     ref = pdf[["k"]].mode()
     assert got["k"].iloc[0] == ref["k"].iloc[0]
 

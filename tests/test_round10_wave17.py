@@ -75,3 +75,35 @@ def test_cut_interval_categorical_dtype(spark):
     # labels= keeps the given labels (no categorical coercion of strings)
     rm3 = mpd.cut(m["a"], [0, 3, 6, 9], labels=["lo", "mid", "hi"]).to_pandas()
     assert list(rm3) == list(pd.cut(p["a"], [0, 3, 6, 9], labels=["lo", "mid", "hi"]).astype(str))
+
+
+def test_rolling_step(spark):
+    p = pd.DataFrame({"b": [1., 2., 3., 4., 5.]})
+    m = mpd.from_pandas(p)
+    for w, s in [(2, 2), (3, 2), (2, 3)]:
+        want = p["b"].rolling(w, step=s).sum()
+        got = m["b"].rolling(w, step=s).sum().to_pandas()
+        assert list(got.fillna(-9)) == list(want.fillna(-9)), (w, s)
+    want = p.rolling(3, step=2).mean()
+    got = m.rolling(3, step=2).mean().to_pandas()
+    assert got.fillna(-9).values.tolist() == want.fillna(-9).values.tolist()
+
+
+def test_frame_mode_returns_engine_frame(spark):
+    p = pd.DataFrame({"k": ["u", "u", "v"], "a": [1.0, 1.0, 2.0]})
+    m = mpd.from_pandas(p)
+    got = m.mode()
+    assert hasattr(got, "_frame"), "mode must return an engine DataFrame"
+    gp = got.to_pandas()
+    ep = p.mode()
+    assert gp.fillna(-9).values.tolist() == ep.fillna(-9).values.tolist()
+
+
+def test_groupby_engine_kwarg_ignored(spark):
+    p = pd.DataFrame({"a": [1, 1, 2], "b": [3, 4, 5]})
+    m = mpd.from_pandas(p)
+    want = p.groupby("a").agg(s=("b", "sum"))
+    got = m.groupby("a").agg(s=("b", "sum"), engine="numba").to_pandas()
+    assert list(got["s"]) == list(want["s"])
+    got2 = m.groupby("a")["b"].agg("sum", engine="numba").to_pandas()
+    assert list(got2) == list(p.groupby("a")["b"].agg("sum"))
