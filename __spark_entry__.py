@@ -206,6 +206,27 @@ def _reset_index_roundtrip(spark, sf):
     return out.to_spark(ordered=False)
 
 
+def _numpy_zscore(spark, sf):
+    """modin_spark.numpy end-to-end (round-10 module, reference surface
+    modin/numpy/arr.py): a 2-D distributed array from lineitem numeric
+    columns, z-scored with (n,k)-(k,) broadcast arithmetic, reduced along
+    axis 0 — the whole chain is Catalyst projections + one aggregate."""
+    import modin_spark.numpy as mnp
+
+    mpd = _mpd()
+    li = mpd.read_parquet(f"{sf}/lineitem.parquet")
+    a = mnp.array(li[["l_quantity", "l_extendedprice"]])
+    mu = a.mean(axis=0)
+    sd = a.std(axis=0, ddof=1)
+    z = (a - mu) / sd
+    abs_max = mnp.abs(z).max(axis=0)._to_numpy().tolist()
+    sq_sum = (z * z).sum(axis=0)._to_numpy().tolist()
+    return spark.createDataFrame(
+        [("l_extendedprice", round(abs_max[1], 6), round(sq_sum[1], 2)),
+         ("l_quantity", round(abs_max[0], 6), round(sq_sum[0], 2))],
+        "col string, abs_z_max double, z_sq_sum double")
+
+
 def _ngroup_labels(spark, sf):
     """groupby.ngroup (round-10 rework): distinct keys numbered with the
     blocked global-position scheme, join strategy left to AQE — equivalent
@@ -2092,6 +2113,7 @@ _R10_PREFIX = [
     # global position into ORDER), distributed frame value_counts, blocked
     # ngroup numbering
     "reset_index_roundtrip", "frame_value_counts", "ngroup_labels",
+    "numpy_zscore",
     # (b) machinery touched in r10 (crosstab normalize path, str affix) +
     # the two stalest green rows (last scored r2)
     "crosstab_counts", "str_funcs", "value_counts", "sql_interface",
@@ -2122,6 +2144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reset_index_roundtrip": _reset_index_roundtrip,
         "frame_value_counts": _frame_value_counts,
         "ngroup_labels": _ngroup_labels,
+        "numpy_zscore": _numpy_zscore,
         # (a) round-6 new machinery first, then never-scored
         "excel_ingest": _excel_ingest,
         "fwf_ingest": _fwf_ingest,
@@ -2745,6 +2768,22 @@ def oracle_sql() -> dict[str, str]:
                    MIN(lbl) AS min_lbl, MAX(lbl) AS max_lbl,
                    CAST(SUM(lbl) AS BIGINT) AS sum_lbl
             FROM base WHERE c_acctbal > 500 GROUP BY c_mktsegment
+        """,
+        "numpy_zscore": """
+            WITH s AS (
+                SELECT AVG(l_quantity) mq, STDDEV_SAMP(l_quantity) sq,
+                       AVG(l_extendedprice) mp, STDDEV_SAMP(l_extendedprice) sp
+                FROM lineitem
+            )
+            SELECT 'l_extendedprice' AS col,
+                   ROUND(MAX(ABS((l_extendedprice - mp) / sp)), 6) AS abs_z_max,
+                   ROUND(SUM(POW((l_extendedprice - mp) / sp, 2)), 2) AS z_sq_sum
+            FROM lineitem, s GROUP BY mp, sp
+            UNION ALL
+            SELECT 'l_quantity',
+                   ROUND(MAX(ABS((l_quantity - mq) / sq)), 6),
+                   ROUND(SUM(POW((l_quantity - mq) / sq, 2)), 2)
+            FROM lineitem, s GROUP BY mq, sq
         """,
         "ngroup_labels": """
             WITH ng AS (

@@ -1,0 +1,281 @@
+"""modin_spark.numpy — distributed ndarray emulation over the engine
+(reference surface: modin/numpy/__init__.py exports; same names, Spark-first
+execution). 1-D and 2-D only, like the reference."""
+
+from __future__ import annotations
+
+import numpy as _np
+
+from modin_spark.numpy.arr import array
+
+# constants (re-exported from real numpy, like the reference)
+e = _np.e
+euler_gamma = _np.euler_gamma
+inf = _np.inf
+nan = _np.nan
+newaxis = _np.newaxis
+pi = _np.pi
+
+
+def _as_arr(a):
+    return a if isinstance(a, array) else array(a)
+
+
+# ------------------------------------------------------------------ creation
+def zeros_like(a, dtype=None, order="K", subok=True, shape=None) -> array:
+    a = _as_arr(a)
+    if shape is not None:
+        return array(_np.zeros(shape, dtype=dtype or a.dtype))
+    return a._map(lambda c: __import__("pyspark.sql.functions", fromlist=["lit"]).lit(0)).astype(dtype or a.dtype)
+
+
+def ones_like(a, dtype=None, order="K", subok=True, shape=None) -> array:
+    a = _as_arr(a)
+    if shape is not None:
+        return array(_np.ones(shape, dtype=dtype or a.dtype))
+    return a._map(lambda c: __import__("pyspark.sql.functions", fromlist=["lit"]).lit(1)).astype(dtype or a.dtype)
+
+
+def tri(N, M=None, k=0, dtype=float, like=None) -> array:
+    return array(_np.tri(N, M, k, dtype=dtype))
+
+
+# ------------------------------------------------------------------- shaping
+def ravel(a, order="C") -> array:
+    return _as_arr(a).flatten(order)
+
+
+def shape(a):
+    return _as_arr(a).shape if isinstance(a, array) else _np.shape(a)
+
+
+def transpose(a, axes=None) -> array:
+    if axes is not None:
+        raise NotImplementedError("transpose(axes=) beyond a plain 2-D swap")
+    return _as_arr(a).transpose()
+
+
+def split(arr, indices, axis=0):
+    return _as_arr(arr).split(indices, axis)
+
+
+def hstack(tup, dtype=None, casting="same_kind") -> array:
+    first, rest = _as_arr(tup[0]), list(tup[1:])
+    return first.hstack(rest, dtype=dtype, casting=casting)
+
+
+def append(arr, values, axis=None) -> array:
+    return _as_arr(arr).append(values, axis)
+
+
+# --------------------------------------------------------------------- logic
+def isscalar(e):
+    return not isinstance(e, array) and _np.isscalar(e)
+
+
+def _dispatch_unary(name):
+    def fn(x, *args, **kwargs):
+        return getattr(_as_arr(x), name)()
+    fn.__name__ = name.strip("_")
+    return fn
+
+
+isnan = _dispatch_unary("_isnan")
+isinf = _dispatch_unary("_isinf")
+isfinite = _dispatch_unary("_isfinite")
+isnat = _dispatch_unary("_isnat")
+isneginf = _dispatch_unary("_isneginf")
+isposinf = _dispatch_unary("_isposinf")
+iscomplex = _dispatch_unary("_iscomplex")
+isreal = _dispatch_unary("_isreal")
+logical_not = _dispatch_unary("_logical_not")
+
+
+def logical_and(x1, x2):
+    return _as_arr(x1)._logical_and(x2)
+
+
+def logical_or(x1, x2):
+    return _as_arr(x1)._logical_or(x2)
+
+
+def logical_xor(x1, x2):
+    return _as_arr(x1)._logical_xor(x2)
+
+
+def greater(x1, x2):
+    return _as_arr(x1) > x2
+
+
+def greater_equal(x1, x2):
+    return _as_arr(x1) >= x2
+
+
+def less(x1, x2):
+    return _as_arr(x1) < x2
+
+
+def less_equal(x1, x2):
+    return _as_arr(x1) <= x2
+
+
+def equal(x1, x2):
+    return _as_arr(x1) == x2
+
+
+def not_equal(x1, x2):
+    return _as_arr(x1) != x2
+
+
+def all(a, axis=None, **kw):
+    return _as_arr(a).all(axis=axis)
+
+
+def any(a, axis=None, **kw):
+    return _as_arr(a).any(axis=axis)
+
+
+# ---------------------------------------------------------------------- math
+def abs(x, *a, **kw):  # noqa: A001 — numpy-parity name
+    return _as_arr(x).__abs__()
+
+
+absolute = abs
+
+
+def add(x1, x2, *a, **kw):
+    return _as_arr(x1) + x2
+
+
+def subtract(x1, x2, *a, **kw):
+    return _as_arr(x1) - x2
+
+
+def multiply(x1, x2, *a, **kw):
+    return _as_arr(x1) * x2
+
+
+def divide(x1, x2, *a, **kw):
+    return _as_arr(x1) / x2
+
+
+true_divide = divide
+
+
+def floor_divide(x1, x2, *a, **kw):
+    return _as_arr(x1) // x2
+
+
+def power(x1, x2, *a, **kw):
+    return _as_arr(x1) ** x2
+
+
+def remainder(x1, x2, *a, **kw):
+    return _as_arr(x1) % x2
+
+
+mod = remainder
+
+
+def dot(a, b, out=None):
+    return _as_arr(a).dot(b)
+
+
+def matmul(a, b):
+    return _as_arr(a).dot(b)
+
+
+def sum(a, axis=None, **kw):  # noqa: A001
+    return _as_arr(a).sum(axis=axis)
+
+
+def prod(a, axis=None, **kw):
+    return _as_arr(a).prod(axis=axis)
+
+
+def mean(a, axis=None, **kw):
+    return _as_arr(a).mean(axis=axis)
+
+
+def var(x1, axis=None, dtype=None, out=None, ddof=0, keepdims=None, *, where=True):
+    return _as_arr(x1).var(axis=axis, ddof=ddof)
+
+
+def std(a, axis=None, ddof=0, **kw):
+    return _as_arr(a).std(axis=axis, ddof=ddof)
+
+
+def amax(a, axis=None, **kw):
+    return _as_arr(a).max(axis=axis)
+
+
+def amin(a, axis=None, **kw):
+    return _as_arr(a).min(axis=axis)
+
+
+max = amax  # noqa: A001
+min = amin  # noqa: A001
+
+
+def maximum(x1, x2, *a, **kw):
+    y1 = _as_arr(x1)
+    cond = y1 >= x2
+    return cond.where(y1, x2) if isinstance(x2, array) else cond.where(y1, x2)
+
+
+def minimum(x1, x2, *a, **kw):
+    y1 = _as_arr(x1)
+    cond = y1 <= x2
+    return cond.where(y1, x2)
+
+
+def argmax(a, axis=None, out=None, *, keepdims=None):
+    return _as_arr(a).argmax(axis=axis)
+
+
+def argmin(a, axis=None, out=None, *, keepdims=None):
+    return _as_arr(a).argmin(axis=axis)
+
+
+def sqrt(x, *a, **kw):
+    return _as_arr(x).sqrt()
+
+
+def exp(x, *a, **kw):
+    return _as_arr(x).exp()
+
+
+def tanh(x, *a, **kw):
+    return _as_arr(x).tanh()
+
+
+def where(condition, x=None, y=None):
+    if condition is True:
+        return x
+    if condition is False:
+        return y
+    if hasattr(condition, "where"):
+        return condition.where(x=x, y=y)
+    raise NotImplementedError(f"np.where for condition of type {type(condition)}")
+
+
+class linalg:  # namespace parity with numpy.linalg / reference linalg.py
+    @staticmethod
+    def norm(x, ord=None, axis=None, keepdims=False):
+        return _as_arr(x)._norm(ord=ord, axis=axis, keepdims=keepdims)
+
+
+__all__ = [
+    "linalg", "array", "zeros_like", "ones_like", "tri",
+    "ravel", "shape", "transpose", "split", "hstack", "append",
+    "all", "any", "isfinite", "isinf", "isnan", "isnat", "isneginf",
+    "isposinf", "iscomplex", "isreal", "isscalar", "logical_not",
+    "logical_and", "logical_or", "logical_xor", "greater", "greater_equal",
+    "less", "less_equal", "equal", "not_equal",
+    "abs", "absolute", "add", "subtract", "multiply", "divide",
+    "true_divide", "floor_divide", "power", "remainder", "mod",
+    "dot", "matmul", "sum", "prod", "mean", "var", "std",
+    "amax", "amin", "max", "min", "maximum", "minimum",
+    "argmax", "argmin", "sqrt", "exp", "tanh", "where",
+    "e", "euler_gamma", "inf", "nan", "newaxis", "pi",
+]

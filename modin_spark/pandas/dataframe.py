@@ -1259,6 +1259,11 @@ class DataFrame:
                 # is ddof=1 — rescale by sqrt((n-1)/(n-ddof))
                 n = F.count(c)
                 e = F.stddev_samp(c) * F.sqrt((n - 1) / (n - F.lit(ddof))) / F.sqrt(n)
+            elif name in ("std", "var") and ddof is not None and ddof != 1:
+                # Spark's sample stats are ddof=1; rescale M2/(n-1) -> M2/(n-ddof)
+                n = F.count(c)
+                scale = (n - 1) / (n - F.lit(ddof))
+                e = F.var_samp(c) * scale if name == "var" else F.stddev_samp(c) * F.sqrt(scale)
             else:
                 e = qc.agg_expr(name, c, kw.get("q"))
             mc = kw.get("min_count") or 0
@@ -1302,12 +1307,12 @@ class DataFrame:
     def std(self, numeric_only=True, ddof=1, axis=0):
         if axis in (1, "columns"):
             return self._row_wise("std", ddof=ddof)
-        return self._reduce_frame("std", numeric_only)
+        return self._reduce_frame("std", numeric_only, ddof=ddof)
 
     def var(self, numeric_only=True, ddof=1, axis=0):
         if axis in (1, "columns"):
             return self._row_wise("var", ddof=ddof)
-        return self._reduce_frame("var", numeric_only)
+        return self._reduce_frame("var", numeric_only, ddof=ddof)
 
     def median(self, numeric_only=True, axis=0):
         if axis in (1, "columns"):
@@ -3704,7 +3709,15 @@ class DataFrame:
         if index is not None:
             fr = out._frame
             if not fr.index_cols:
-                raise NotImplementedError("reindex(index=) requires a set index")
+                # default positional index: the labels ARE the positions —
+                # free via order_is_position lineage, blocked global position
+                # otherwise; then the ordinary label join below applies
+                fr = fr.ensure_order()
+                if fr.order_is_position:
+                    fr = fr._same_rows(fr.sdf.withColumn("__ri_lbl__", F.col(ORDER_COL).cast("long")))
+                else:
+                    fr = fr.with_global_position("__ri_lbl__")
+                fr = fr._same_rows(fr.sdf, index_cols=["__ri_lbl__"], index_names=[None])
             from modin_spark.pandas.io import from_pandas
 
             tgt = from_pandas(pd.DataFrame({"__tgt__": list(index)}))._frame

@@ -107,3 +107,22 @@ def test_groupby_engine_kwarg_ignored(spark):
     assert list(got["s"]) == list(want["s"])
     got2 = m.groupby("a")["b"].agg("sum", engine="numba").to_pandas()
     assert list(got2) == list(p.groupby("a")["b"].agg("sum"))
+
+
+def test_reindex_default_index(spark):
+    # reindex(index=) on a default RangeIndex: labels are positions
+    pf = pd.DataFrame({"a": [10, 20, 30]})
+    mf = mpd.from_pandas(pf)
+    rp = pf.reindex(index=[2, 0, 7], fill_value=0)
+    rm = mf.reindex(index=[2, 0, 7], fill_value=0).to_pandas()
+    assert rm.values.tolist() == rp.values.tolist()
+    assert list(rm.index) == list(rp.index)
+    # survives a filter (original labels, not renumbered)
+    pff, mff = pf[pf.a > 10], mf[mf.a > 10]
+    rp2 = pff.reindex(index=[1, 5])
+    rm2 = mff.reindex(index=[1, 5]).to_pandas()
+    assert rm2.fillna(-9).values.tolist() == rp2.fillna(-9).values.tolist()
+    # Series path
+    s = pd.Series([3.0, 1.0, None, 5.0], name="v")
+    ms = mpd.from_pandas(s.to_frame())["v"]
+    assert list(ms.reindex([0, 1, 9]).to_pandas().fillna(-9)) == list(s.reindex([0, 1, 9]).fillna(-9))
