@@ -107,10 +107,13 @@ def _pad(c: Column, width: int, side: str = "left", fillchar: str = " ") -> Colu
         return F.when(ln >= width, c).otherwise(F.lpad(c, width, fillchar))
     if side == "right":
         return F.when(ln >= width, c).otherwise(F.rpad(c, width, fillchar))
-    # both: pandas puts the EXTRA fill char on the LEFT (ceil on the left)
-    left = (F.lit(width) - ln + 1) / 2
+    # both: CPython's str.center rule — left = marg//2 + (marg & width & 1),
+    # i.e. the extra fill char goes LEFT only when margin AND width are both
+    # odd, RIGHT otherwise (pandas delegates to it)
+    marg = F.lit(width) - ln
+    left = F.floor(marg / 2) + F.pmod(marg, F.lit(2)) * F.lit(width % 2)
     return F.when(ln >= width, c).otherwise(
-        F.rpad(F.lpad(c, (ln + F.floor(left)).cast("int"), fillchar), width, fillchar)
+        F.rpad(F.lpad(c, (ln + left).cast("int"), fillchar), width, fillchar)
     )
 
 
@@ -180,6 +183,18 @@ def _translate(c: Column, table) -> Column:
         src_chars.append(kc)
         dst_chars.append(vc)
     return F.translate(c, "".join(src_chars), "".join(dst_chars))
+
+
+def _wrap(c: Column, width: int) -> Column:
+    """textwrap line filling is STATEFUL (a broken long word fills the
+    remainder of the current line before wrapping), not expressible as a
+    regex/codegen projection — the one Arrow-batched pandas UDF in this
+    module, running exactly what pandas runs per row (pandas .str.wrap
+    delegates to textwrap.TextWrapper)."""
+    from pyspark.sql.functions import pandas_udf
+
+    _do = pandas_udf(lambda s: s.str.wrap(width), "string")
+    return _do(c)
 
 
 def _any_affix(c, pat, which: str):
@@ -269,9 +284,7 @@ STR_FUNCS = {
     "slice_replace": lambda c, start=None, stop=None, repl="": F.concat(
         F.substring(c, 1, (start or 0)), F.lit(repl), F.substring(c, (stop or 0) + 1, 2**31 - 1)
     ),
-    # trailing newline from the $-anchored pass is trimmed (pandas/textwrap)
-    "wrap": lambda c, width: F.regexp_replace(
-        F.regexp_replace(c, f"(.{{1,{width}}})( +|$)", "$1\n"), "\n$", ""),
+    "wrap": lambda c, width: _wrap(c, width),
 }
 
 

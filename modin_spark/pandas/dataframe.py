@@ -982,6 +982,9 @@ class DataFrame:
         return DataFrame(_frame=fr.set_index_from_columns(keys, drop))
 
     def reset_index(self, drop=False, level=None, names=None) -> "DataFrame":
+        nat = _native.maybe(self, "reset_index", drop=drop, level=level, names=names)
+        if nat is not None:
+            return nat
         fr = self._frame
         if level is not None and fr.index_cols:
             levels = level if isinstance(level, (list, tuple)) else [level]
@@ -2013,6 +2016,23 @@ class DataFrame:
 
         fr = self._frame
         index = index if isinstance(index, list) else [index]
+        if columns is None:
+            # no column pivot: pivot_table degenerates to ONE hash aggregate
+            # (pandas shape: single aggfunc -> flat value columns; a list ->
+            # (aggfunc, value) MultiIndex columns)
+            vals = (values if isinstance(values, list)
+                    else ([values] if values is not None
+                          else [c for c in fr.columns if c not in set(index)
+                                and fr.dtype_of(fr.positions_of([c])[0]).startswith(("int", "float"))]))
+            fns = aggfunc if isinstance(aggfunc, list) else [aggfunc]
+            spec = []
+            for fn in fns:
+                for v in vals:
+                    lbl = (fn, v) if isinstance(aggfunc, list) else v
+                    spec.append((lbl, fr.positions_of([v])[0], fn, {}))
+            out = qc.groupby_agg(fr, fr.positions_of(index), spec,
+                                 as_index=True, dropna=dropna, sort=sort)
+            return DataFrame(_frame=out)
         idx_phys = [fr.data_cols[i] for i in fr.positions_of(index)]
         columns_list = columns if isinstance(columns, list) else [columns]
         if len(columns_list) > 1:

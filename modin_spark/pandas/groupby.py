@@ -121,6 +121,14 @@ class DataFrameGroupBy:
     # ------------------------------------------------------------------ aggs
     def _agg_all(self, name: str, numeric_only=False, **kw):
         from modin_spark.pandas.dataframe import DataFrame
+        from modin_spark.pandas import native as _native
+
+        nat = _native.maybe_groupby(self, name, numeric_only=numeric_only, **kw)
+        if nat is None and numeric_only is False:
+            # several pandas groupby reducers reject numeric_only kwarg
+            nat = _native.maybe_groupby(self, name, **kw)
+        if nat is not None:
+            return nat
 
         spec = [(lbl, i, name, kw) for lbl, i in self._value_positions(numeric_only)]
         out = qc.groupby_agg(
@@ -235,6 +243,12 @@ class DataFrameGroupBy:
 
         named.pop("engine", None)
         named.pop("engine_kwargs", None)
+        from modin_spark.pandas import native as _native
+
+        nat = (_native.maybe_groupby(self, "agg", **named) if spec is None
+               else _native.maybe_groupby(self, "agg", spec))
+        if nat is not None:
+            return nat
 
         entries: list[tuple[Any, int | None, str, dict]] = []
         fr = self._df._frame
@@ -806,6 +820,12 @@ class SeriesGroupBy:
 
         named.pop("engine", None)
         named.pop("engine_kwargs", None)
+        from modin_spark.pandas import native as _native
+
+        nat = (_native.maybe_groupby(self, "agg", **named) if spec is None
+               else _native.maybe_groupby(self, "agg", spec))
+        if nat is not None:
+            return nat
 
         if args and callable(spec):
             inner = spec
@@ -836,9 +856,13 @@ class SeriesGroupBy:
         def call(*args, **kwargs):
             res = attr(*args, **kwargs)
             from modin_spark.pandas.dataframe import DataFrame
+            from modin_spark.pandas.window import GroupExpanding, GroupRolling
 
             if isinstance(res, DataFrame) and len(res._frame.columns) == 1:
                 return Series._from_frame(res._frame)
+            if isinstance(res, (GroupRolling, GroupExpanding)):
+                # s-groupby window results are Series in pandas
+                res._as_series = True
             return res
 
         return call

@@ -17,6 +17,43 @@ class ILocIndexer:
     def __init__(self, df):
         self._df = df
 
+    def __setitem__(self, key, value):
+        """Positional assignment ``df.iloc[rows, cols] = v``: a conditional
+        projection keyed on the blocked global position — no materialize,
+        no shuffle beyond the position derivation (same machinery as slicing)."""
+        if not isinstance(key, tuple) or len(key) != 2:
+            raise NotImplementedError("iloc assignment needs (row, col)")
+        row_key, col_key = key
+        fr = self._df._frame
+        if isinstance(col_key, slice):
+            col_pos = list(range(len(fr.columns)))[col_key]
+        elif isinstance(col_key, int):
+            col_pos = [col_key]
+        else:
+            col_pos = [int(c) for c in col_key]
+        n = None
+        if isinstance(row_key, int):
+            keys = [row_key]
+        elif isinstance(row_key, slice):
+            n = fr.count_rows()
+            keys = list(range(*row_key.indices(n)))
+        elif getattr(row_key, "dtype", None) is not None and str(row_key.dtype) == "bool":
+            keys = [i for i, flag in enumerate(row_key) if flag]
+        else:
+            keys = [int(i) for i in row_key]
+        if any(i < 0 for i in keys):
+            n = fr.count_rows() if n is None else n
+            keys = [i if i >= 0 else n + i for i in keys]
+        pos_fr = fr.ensure_order().with_global_position("__isp__")
+        cond = F.col("__isp__").isin(keys)
+        colset = set(col_pos)
+        labels = list(fr.columns)
+        exprs = []
+        for i in range(len(labels)):
+            base = F.col(pos_fr.data_cols[i])
+            exprs.append(F.when(cond, F.lit(value)).otherwise(base) if i in colset else base)
+        self._df._frame = pos_fr.project(labels, exprs)
+
     def __getitem__(self, key):
         from modin_spark.pandas.dataframe import DataFrame
 

@@ -219,14 +219,18 @@ def read_csv(path: str, sep: str = ",", header: int | str = "infer", names=None,
         # (row 0 consumed); names= with the default 'infer' (or header=None)
         # keeps row 0 as data
         reader = reader.option("header", header == 0)
-    if skiprows:
+    if skiprows is not None and (isinstance(skiprows, (list, tuple, set)) or skiprows):
         # pandas counts PHYSICAL lines: drop them from the text first, then
         # csv-parse the remaining lines (header/inferSchema see only the
-        # kept lines — spark.read.csv accepts a dataset of strings)
+        # kept lines — spark.read.csv accepts a dataset of strings); an int
+        # drops the first N lines, a list drops exactly those line numbers
         txt = SparkFrame.from_spark(
             get_spark().read.text(path)
         ).ensure_order().with_global_position("__rp__")
-        kept = txt.sdf.where(F.col("__rp__") >= int(skiprows))
+        if isinstance(skiprows, (list, tuple, set)):
+            kept = txt.sdf.where(~F.col("__rp__").isin([int(i) for i in skiprows]))
+        else:
+            kept = txt.sdf.where(F.col("__rp__") >= int(skiprows))
         lines = kept.select(txt.data_cols[0]).rdd.map(lambda r: r[0])
         sdf = reader.option("inferSchema", True).csv(lines)
     else:

@@ -99,6 +99,41 @@ def maybe_series(s, name, *args, _raw: bool = False, **kwargs):
     return res if _raw else _wrap(res)
 
 
+def maybe_groupby(g, method, *args, **kwargs):
+    """GroupBy counterpart: run pandas groupby.<method> natively when the
+    grouped frame is pristine native and the keys are plain labels (Series
+    keys are materialized as hidden columns first, which already takes the
+    frame off the pristine path — automatic fallthrough). A SeriesGroupBy
+    (df.groupby(k)[col]) replays as pdf.groupby(k)[col]."""
+    col = None
+    if not hasattr(g, "_df"):  # SeriesGroupBy wrapping a frame groupby
+        inner = getattr(g, "_g", None)
+        if inner is None:
+            return None
+        col = getattr(g, "_col", None)
+        g = inner
+    pdf = native_pdf_of(g._df)
+    if pdf is None:
+        return None
+    try:
+        gb = pdf.copy().groupby(g._by_labels, as_index=g._as_index,
+                                dropna=g._dropna, sort=g._sort)
+        if col is not None:
+            gb = gb[col]
+        vl = getattr(g, "_value_labels", None)
+        if vl is not None and col is None:
+            gb = gb[list(vl)]
+        fn = getattr(gb, method)
+        a2 = [_convert_arg(a) for a in args]
+        k2 = {k: _convert_arg(v) for k, v in kwargs.items()}
+        res = fn(*a2, **k2)
+    except _Bail:
+        return None
+    except Exception:
+        return None
+    return _wrap(res)
+
+
 def maybe(df, name, *args, _raw: bool = False, **kwargs):
     """Run ``pandas.DataFrame.<name>(*args, **kwargs)`` natively when ``df``
     (and every engine-object argument) is a pristine native frame. Returns

@@ -1264,8 +1264,10 @@ class StringMethods:
             for r in fr.sdf.select(F.explode(F.split(fr.scol(0), _re_escape(sep))).alias("t"))
             .where("t <> ''").distinct().orderBy("t").collect()
         ]
+        # null rows are all-zero in pandas (not NaN), and the dtype is int
         exprs = [
-            F.array_contains(F.split(fr.scol(0), _re_escape(sep)), t).cast("int") for t in toks
+            F.coalesce(F.array_contains(F.split(fr.scol(0), _re_escape(sep)), t), F.lit(False)).cast("int")
+            for t in toks
         ]
         return DataFrame(_frame=fr.project(toks, exprs))
 

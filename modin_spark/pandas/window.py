@@ -323,6 +323,38 @@ class EWM:
         return self._run("sum")
 
 
+def _group_window_finish(g, base_fr, out_fr):
+    """pandas shape for grouped window results: indexed by (group keys...,
+    original labels) in GROUP-MAJOR order (pandas sorts by key, then original
+    position). ORDER becomes a (keys..., old ORDER) struct — a lazy sort key
+    consumed only when order is materialized, no extra pass. The label level
+    is the original index, or the positional label (free via
+    order_is_position, blocked global position otherwise). Null-key rows are
+    dropped like pandas groupby(dropna=True)."""
+    from modin_spark.core.frame import ORDER_COL, SparkFrame, fresh_names
+
+    keys = [base_fr.data_cols[i] for i in g._by_pos]
+    key_names = [base_fr.columns[i] for i in g._by_pos]
+    sdf = out_fr.sdf
+    if base_fr.index_cols:
+        lbl_cols = list(base_fr.index_cols)
+        lbl_names = list(base_fr.index_names)
+    else:
+        lc = fresh_names(1)[0]
+        if out_fr.has_order and out_fr.order_is_position:
+            sdf = sdf.withColumn(lc, F.col(ORDER_COL).cast("long"))
+        else:
+            sdf = out_fr._same_rows(sdf).with_global_position(lc).sdf
+        lbl_cols, lbl_names = [lc], [None]
+    if g._dropna:
+        for k in keys:
+            sdf = sdf.where(F.col(k).isNotNull())
+    sdf = sdf.withColumn(ORDER_COL, F.struct(*[F.col(k) for k in keys], F.col(ORDER_COL)))
+    nf = SparkFrame(sdf, out_fr.columns, out_fr.data_cols, keys + lbl_cols,
+                    list(key_names) + lbl_names, has_order=True)
+    return nf
+
+
 class GroupRolling:
     """groupby(...).rolling(w) — plain key-partitioned ordered window
     (``center=True`` widens the frame to [-back, +fwd] like ungrouped
@@ -343,7 +375,10 @@ class GroupRolling:
         vals = self._g._value_positions(numeric_only=True)
         out = win.rolling_agg(fr, [i for _, i in vals], self._window, agg, self._min_periods,
                               group_phys=keys, center=self._center)
-        return DataFrame(_frame=out)
+        nf = _group_window_finish(self._g, fr, out)
+        if getattr(self, "_as_series", False) and len(nf.data_cols) == 1:
+            return Series._from_frame(nf)
+        return DataFrame(_frame=nf)
 
 
 def _mk(cls, names):
@@ -425,7 +460,11 @@ class GroupExpanding:
             else:
                 raise NotImplementedError(f"groupby.expanding().{agg}")
             exprs.append(F.when(n >= min_n, e))
-        return DataFrame(_frame=fr.project([lbl for lbl, _ in vals], exprs))
+        out = fr.project([lbl for lbl, _ in vals], exprs)
+        nf = _group_window_finish(self._g, fr, out)
+        if getattr(self, "_as_series", False) and len(nf.data_cols) == 1:
+            return Series._from_frame(nf)
+        return DataFrame(_frame=nf)
 
     def median(self):
         return self._run("median")

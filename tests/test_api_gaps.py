@@ -46,8 +46,6 @@ def test_groupby_expanding_holistic(m, agg):
     got = getattr(m.groupby("k").expanding(), agg)().to_pandas().reset_index(drop=True)
     exp = (
         getattr(_PDF.groupby("k").expanding(), agg)(numeric_only=True)
-        .droplevel(0)
-        .sort_index()
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(
@@ -61,8 +59,6 @@ def test_groupby_expanding_quantile(m):
         _PDF.groupby("k")
         .expanding()
         .quantile(0.25, numeric_only=True)
-        .droplevel(0)
-        .sort_index()
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(

@@ -148,10 +148,12 @@ def test_native_chain_never_touches_jvm(native_on, spark):
 def test_native_falls_through_to_spark_seamlessly(native_on, spark):
     p = _pdf()
     m = mpd.from_pandas(p)
-    # groupby is not in the dispatch table -> materializes the Spark plan
-    got = m.groupby("k").agg(s=("a", "sum")).reset_index().sort_values("k").to_pandas()
-    want = p.groupby("k").agg(s=("a", "sum")).reset_index().sort_values("k").reset_index(drop=True)
-    pd.testing.assert_frame_equal(got.reset_index(drop=True), want, check_dtype=False)
+    # groupby TRANSFORMS are not in the dispatch table -> this materializes
+    # the Spark plan mid-chain and must still be exactly right
+    got = m.groupby("k")["b"].cumsum().to_pandas()
+    want = p.groupby("k")["b"].cumsum()
+    assert np.allclose(got.values, want.values)
+    assert m._frame._sdf is not None or m._frame.native_pdf is not None
 
 
 def test_threshold_off_disables_native(monkeypatch, spark):
@@ -238,3 +240,30 @@ def test_native_series_chain_zero_jvm(native_on, spark):
     assert abs(total - p["b"].sum()) < 1e-9
     assert list(vc.values) == list(p["k"].value_counts().values)
     assert list(top.values) == list(p["b"].nlargest(3).values)
+
+
+def test_native_groupby_agg_zero_jvm(native_on, spark):
+    import py4j.clientserver as cs
+
+    p = pd.DataFrame({"k": list("xyxzy"), "v": [1.0, 2, 3, 4, 5]})
+    m = mpd.from_pandas(p)
+    count = [0]
+    orig = cs.ClientServerConnection.send_command
+
+    def patched(self, *a, **k):
+        count[0] += 1
+        return orig(self, *a, **k)
+
+    cs.ClientServerConnection.send_command = patched
+    try:
+        r1 = m.groupby("k").agg(s=("v", "sum")).reset_index().to_pandas()
+        r2 = m.groupby("k").sum().to_pandas()
+        r3 = m.groupby("k")["v"].agg(["sum", "mean"]).to_pandas()
+        r4 = m.groupby("k", as_index=False, sort=False).mean().to_pandas()
+    finally:
+        cs.ClientServerConnection.send_command = orig
+    assert count[0] == 0, count[0]
+    assert r1.values.tolist() == p.groupby("k").agg(s=("v", "sum")).reset_index().values.tolist()
+    assert r2.values.tolist() == p.groupby("k").sum().values.tolist()
+    assert r3.values.tolist() == p.groupby("k")["v"].agg(["sum", "mean"]).values.tolist()
+    assert r4.values.tolist() == p.groupby("k", as_index=False, sort=False).mean().values.tolist()

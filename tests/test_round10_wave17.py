@@ -126,3 +126,75 @@ def test_reindex_default_index(spark):
     s = pd.Series([3.0, 1.0, None, 5.0], name="v")
     ms = mpd.from_pandas(s.to_frame())["v"]
     assert list(ms.reindex([0, 1, 9]).to_pandas().fillna(-9)) == list(s.reindex([0, 1, 9]).fillna(-9))
+
+
+def test_iloc_setitem(spark):
+    p = pd.DataFrame({"a": [1, 2, 3, 4], "b": [10., 20., 30., 40.]})
+    m = mpd.from_pandas(p.copy())
+    pc = p.copy()
+    m.iloc[0, 1] = -1.0
+    pc.iloc[0, 1] = -1.0
+    assert m.to_pandas().values.tolist() == pc.values.tolist()
+    m2, p2 = mpd.from_pandas(p.copy()), p.copy()
+    m2.iloc[1:3, 0] = 99
+    p2.iloc[1:3, 0] = 99
+    assert m2.to_pandas().values.tolist() == p2.values.tolist()
+    m3, p3 = mpd.from_pandas(p.copy()), p.copy()
+    m3.iloc[-1, 1] = 0.5
+    p3.iloc[-1, 1] = 0.5
+    assert m3.to_pandas().values.tolist() == p3.values.tolist()
+
+
+def test_str_center_wrap_get_dummies(spark):
+    s = pd.Series(["a1_x", "b22_y", None], name="s")
+    m = mpd.from_pandas(s.to_frame())["s"]
+    assert list(m.str.center(8, "*").to_pandas().fillna("-")) == list(s.str.center(8, "*").fillna("-"))
+    assert list(m.str.wrap(2).to_pandas().fillna("-")) == list(s.str.wrap(2).fillna("-"))
+    assert m.str.get_dummies("_").to_pandas().values.tolist() == s.str.get_dummies("_").values.tolist()
+    # mixed words + long words
+    s2 = pd.Series(["aa bb ccccc d"], name="s")
+    m2 = mpd.from_pandas(s2.to_frame())["s"]
+    assert list(m2.str.wrap(4).to_pandas()) == list(s2.str.wrap(4))
+
+
+def test_groupby_window_pandas_shape(spark):
+    # round 10: grouped window results carry the (key, label) MultiIndex in
+    # group-major order; the series-groupby form returns a Series
+    P = pd.DataFrame({"b": [1., 2., 3., 4., 5., 6.], "k": list("xyxyxy")})
+    m = mpd.from_pandas(P)
+    got = m.groupby("k")["b"].rolling(2).sum().to_pandas()
+    want = P.groupby("k")["b"].rolling(2).sum()
+    assert isinstance(got, pd.Series)
+    assert got.index.tolist() == want.index.tolist()
+    assert list(got.fillna(-9)) == list(want.fillna(-9))
+    g2 = m.groupby("k").expanding().mean().to_pandas()
+    w2 = P.groupby("k").expanding().mean()
+    assert g2.index.tolist() == w2.index.tolist()
+    assert np.allclose(g2.values, w2.values, equal_nan=True)
+    # filtered source keeps ORIGINAL labels in the label level
+    mf, pf = m[m["b"] > 1], P[P["b"] > 1]
+    g3 = mf.groupby("k")["b"].rolling(2).sum().to_pandas()
+    w3 = pf.groupby("k")["b"].rolling(2).sum()
+    assert g3.index.tolist() == w3.index.tolist()
+
+
+def test_pivot_table_aggfunc_list_no_columns(spark):
+    P = pd.DataFrame({"b": [1., 2., 3., 4., 5., 6.], "k": list("xyxyxy")})
+    m = mpd.from_pandas(P)
+    got = m.pivot_table(values="b", index="k", aggfunc=["sum", "mean"]).to_pandas()
+    want = P.pivot_table(values="b", index="k", aggfunc=["sum", "mean"])
+    assert got.values.tolist() == want.values.tolist()
+    assert [tuple(c) for c in got.columns] == [tuple(c) for c in want.columns]
+
+
+def test_read_csv_skiprows_list(spark):
+    import tempfile
+
+    P = pd.DataFrame({"a": [1, 2, 3], "b": [1.5, 2.5, 3.5]})
+    with tempfile.NamedTemporaryFile("w", suffix=".csv", delete=False) as f:
+        P.to_csv(f.name, index=False)
+        path = f.name
+    got = mpd.read_csv(path, skiprows=[1]).to_pandas()
+    want = pd.read_csv(path, skiprows=[1])
+    assert got.values.tolist() == want.values.tolist()
+    assert list(got.columns) == list(want.columns)

@@ -77,11 +77,12 @@ def test_ffill_bfill(mdf, pdf):
 
 
 def test_groupby_rolling(mdf, pdf):
-    got = mdf.groupby("k").rolling(3).mean()[["b"]].to_pandas()
-    # align by original order: our result keeps frame order
-    ref2 = pdf.groupby("k")["b"].rolling(3).mean().reset_index(level=0)
-    ref_sorted = ref2.sort_index()["b"]
-    np.testing.assert_allclose(got["b"].values, ref_sorted.values, rtol=1e-9, equal_nan=True)
+    # round 10: pandas-exact shape — (key, original label) MultiIndex in
+    # group-major order, Series out for the series-groupby form
+    got = mdf.groupby("k")["b"].rolling(3).mean().to_pandas()
+    ref = pdf.groupby("k")["b"].rolling(3).mean()
+    assert got.index.tolist() == ref.index.tolist()
+    np.testing.assert_allclose(got.values, ref.values, rtol=1e-9, equal_nan=True)
 
 
 def test_block_boundary_correctness(spark):
