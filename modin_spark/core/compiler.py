@@ -645,19 +645,36 @@ def concat_cols(frames: list[SparkFrame], join: str = "outer") -> SparkFrame:
         acc = acc.withColumn(ORDER_COL, F.col(key))
         return SparkFrame(acc, pd.Index(out_labels), out_phys, [key], list(base.index_names))
     pos = fresh_names(len(frames))
-    acc = frames[0].with_global_position(pos[0]).sdf
+
+    def _poskey(fr: SparkFrame, name: str) -> SparkFrame:
+        # order_is_position frames align on their TRUE pandas labels (the
+        # ORDER values, gaps preserved after filters) — zero extra plan cost;
+        # only scan-lineage frames pay the blocked global position
+        if fr.has_order and fr.order_is_position:
+            return fr._same_rows(fr.sdf.withColumn(name, F.col(ORDER_COL).cast("long")))
+        return fr.with_global_position(name)
+
+    acc = _poskey(frames[0], pos[0]).sdf
     out_labels = list(base.columns)
     out_phys = list(base.data_cols)
     for k, fr in enumerate(frames[1:], start=1):
-        fp = fr.with_global_position(pos[k])
+        fp = _poskey(fr, pos[k])
         r_orig = list(fp.data_cols)
         r_map = dict(zip(r_orig, fresh_names(len(r_orig))))
         rsdf = fp.sdf.select(F.col(pos[k]), *[F.col(p).alias(r_map[p]) for p in r_orig])
         acc = acc.join(rsdf, acc[pos[0]] == rsdf[pos[k]], how)
+        # rows contributed ONLY by a later frame have a null left position —
+        # fold each join's position into pos[0] so the final ORDER is the
+        # union position for every row (pandas: union of labels, ascending)
+        acc = acc.withColumn(pos[0], F.coalesce(F.col(pos[0]), F.col(pos[k])))
         out_labels += list(fr.columns)
         out_phys += [r_map[p] for p in fr.data_cols]
     acc = acc.withColumn(ORDER_COL, F.col(pos[0]))
-    return SparkFrame(acc, pd.Index(out_labels), out_phys, [], [None])
+    nf = SparkFrame(acc, pd.Index(out_labels), out_phys, [], [None])
+    nf.order_is_position = all(
+        (not fr.has_order) or fr.order_is_position for fr in frames
+    )  # union positions ARE the pandas labels when every input was positional
+    return nf
 
 
 def drop_duplicates(frame: SparkFrame, subset_positions: Sequence[int] | None, keep: str = "first") -> SparkFrame:

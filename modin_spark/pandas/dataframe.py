@@ -304,9 +304,34 @@ class DataFrame:
             return DataFrame(_frame=fr.filter(cond))
         raise NotImplementedError("drop: nothing to drop")
 
-    def rename(self, columns=None, level=None, **kw) -> "DataFrame":
+    def rename(self, columns=None, level=None, index=None, **kw) -> "DataFrame":
+        if index is not None:
+            if not isinstance(index, dict):
+                raise NotImplementedError("rename(index=) supports a dict mapper")
+            fr = self._frame
+            if not fr.index_cols:
+                # default positional index: the labels are the positions —
+                # materialize them as an index level (free via
+                # order_is_position), then map
+                from modin_spark.core.frame import fresh_names as _fn
+
+                lc = _fn(1)[0]
+                base = fr.ensure_order()
+                if base.order_is_position:
+                    base = base._same_rows(base.sdf.withColumn(lc, F.col(ORDER_COL).cast("long")))
+                else:
+                    base = base.with_global_position(lc)
+                fr = base._same_rows(base.sdf, index_cols=[lc], index_names=[None])
+            icol = fr.index_cols[0]
+            e = F.col(icol)
+            for kk, vv in index.items():  # k-entry when-chain: driver-provided map
+                e = F.when(F.col(icol).eqNullSafe(F.lit(kk)), F.lit(vv)).otherwise(e)
+            out = DataFrame(_frame=fr._same_rows(fr.sdf.withColumn(icol, e)))
+            if columns is None:
+                return out
+            return out.rename(columns=columns, level=level, **kw)
         if columns is None:
-            raise NotImplementedError("rename supports columns= only")
+            raise NotImplementedError("rename supports columns= or index=")
         fr = self._frame
         if callable(columns) and not isinstance(fr.columns, pd.MultiIndex):
             columns = {c: columns(c) for c in fr.columns}
@@ -964,6 +989,19 @@ class DataFrame:
     def set_index(self, keys, drop=True, append=False) -> "DataFrame":
         keys = keys if isinstance(keys, list) else [keys]
         fr = self._frame
+        if append and not fr.index_cols:
+            # pandas: appending to a DEFAULT index keeps the positional
+            # labels as level 0 (free via order_is_position, blocked global
+            # position otherwise)
+            from modin_spark.core.frame import fresh_names as _fn
+
+            lc = _fn(1)[0]
+            base = fr.ensure_order()
+            if base.order_is_position:
+                base = base._same_rows(base.sdf.withColumn(lc, F.col(ORDER_COL).cast("long")))
+            else:
+                base = base.with_global_position(lc)
+            fr = base._same_rows(base.sdf, index_cols=[lc], index_names=[None])
         if append and fr.index_cols:
             # keep the existing index levels, add the new keys after them
             positions = fr.positions_of(keys)

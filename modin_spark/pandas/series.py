@@ -461,6 +461,26 @@ class Series:
             out._cat_dtype = dtype
             return out
         spark_t = pandas_dtype_to_spark(dtype)
+        if isinstance(spark_t, T.StringType) and dtype not in ("object",):
+            # pandas astype(str) renders missing values as LITERAL text
+            # ('nan'/'NaT' by source kind); engine NULLs would stay NULL
+            kind = self.dtype.kind
+            if kind in "fiu":
+                return self._map1(lambda c: F.coalesce(c.cast("string"), F.lit("nan")))
+            if kind == "M":
+                # pandas renders at the ARRAY's coarsest lossless unit
+                # (all-midnight -> dates, second-aligned -> seconds, else
+                # microseconds) — ONE probe aggregate decides the format
+                row = self._frame.sdf.agg(
+                    F.max(F.when(self._expr != F.date_trunc("day", self._expr), 1)
+                          .otherwise(0)).alias("t"),
+                    F.max(F.when(self._expr != F.date_trunc("second", self._expr), 1)
+                          .otherwise(0)).alias("us"),
+                ).collect()[0]
+                fmt = ("yyyy-MM-dd" if not row["t"] else
+                       "yyyy-MM-dd HH:mm:ss" if not row["us"] else
+                       "yyyy-MM-dd HH:mm:ss.SSSSSS")
+                return self._map1(lambda c: F.coalesce(F.date_format(c, fmt), F.lit("NaT")))
         return self._map1(lambda c: c.cast(spark_t))
 
     def round(self, decimals: int = 0) -> "Series":

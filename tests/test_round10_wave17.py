@@ -198,3 +198,43 @@ def test_read_csv_skiprows_list(spark):
     want = pd.read_csv(path, skiprows=[1])
     assert got.values.tolist() == want.values.tolist()
     assert list(got.columns) == list(want.columns)
+
+
+def test_concat_axis1_outer_align_order(spark):
+    P = pd.DataFrame({"a": [1, 2, 3], "c": [1.5, None, 3.5]})
+    m = mpd.from_pandas(P)
+    got = mpd.concat([m[["a"]].head(2), m[["c"]]], axis=1).to_pandas()
+    want = pd.concat([P[["a"]].head(2), P[["c"]]], axis=1)
+    assert got.fillna(-9).values.tolist() == want.fillna(-9).values.tolist()
+
+
+def test_rename_index_dict(spark):
+    P = pd.DataFrame({"a": [1, 2, 3]})
+    m = mpd.from_pandas(P)
+    got = m.rename(index={0: 99}).to_pandas()
+    want = P.rename(index={0: 99})
+    assert got.index.tolist() == want.index.tolist() == [99, 1, 2]
+    # labeled index
+    P2 = P.set_index(pd.Index(["x", "y", "z"]))
+    m2 = mpd.from_pandas(P2.reset_index()).set_index("index")
+    got2 = m2.rename(index={"y": "Y"}).to_pandas()
+    assert sorted(got2.index.tolist()) == sorted(P2.rename(index={"y": "Y"}).index.tolist())
+
+
+def test_set_index_append_default(spark):
+    P = pd.DataFrame({"a": [1, 2, 3], "b": list("xyz")})
+    m = mpd.from_pandas(P)
+    got = m.set_index("b", append=True).to_pandas()
+    want = P.set_index("b", append=True)
+    assert got.index.nlevels == want.index.nlevels == 2
+    assert got.index.tolist() == want.index.tolist()
+
+
+def test_astype_str_renders_missing(spark):
+    P = pd.DataFrame({"c": [1.5, None, 3.5],
+                      "t": pd.to_datetime(["2024-01-01", None, "2024-01-03"])})
+    m = mpd.from_pandas(P)
+    assert list(m["c"].astype(str).to_pandas()) == list(P["c"].astype(str))
+    got_t = list(m["t"].astype(str).to_pandas())
+    want_t = list(P["t"].astype(str))
+    assert got_t == want_t
