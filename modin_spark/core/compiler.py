@@ -199,24 +199,63 @@ def groupby_agg_udf(
         for k in key_phys:
             sdf = sdf.where(F.col(k).isNotNull())
     out_phys = fresh_names(len(agg_spec))
-    fields = [T.StructField(k, frame.schema_map[k]) for k in key_phys]
-    fields += [T.StructField(op, T.DoubleType()) for op in out_phys]
-    schema = T.StructType(fields)
     specs = [(frame.data_cols[pos], fn, kw) for (_, pos, fn, kw) in agg_spec]
+    cols0 = list(dict.fromkeys(key_phys + [s[0] for s in specs]))
+
+    # dtype contract (the SAME sampling contract as groupby_apply, see the
+    # guard at pandas/dataframe.py): each spec's output type is inferred by
+    # running it once on a driver-side sample, so integer-valued callables
+    # come back int64 like pandas; a callable must return the same scalar
+    # type for every group
+    def _type_of(v):
+        import datetime as _dt
+
+        import numpy as _np
+
+        if isinstance(v, (bool, _np.bool_)):
+            return T.BooleanType()
+        if isinstance(v, (int, _np.integer)):
+            return T.LongType()
+        if isinstance(v, (pd.Timestamp, _dt.datetime)):
+            return T.TimestampType()
+        if isinstance(v, str):
+            return T.StringType()
+        return T.DoubleType()
+
+    sample_pdf = sdf.select(*cols0).limit(200).toPandas()
+    out_types = []
+    for vp, fn, kw in specs:
+        try:
+            v = fn(sample_pdf[vp]) if callable(fn) else getattr(sample_pdf[vp], fn)(**(kw or {}))
+            out_types.append(_type_of(v))
+        except Exception:
+            out_types.append(T.DoubleType())
+    fields = [T.StructField(k, frame.schema_map[k]) for k in key_phys]
+    fields += [T.StructField(op, t) for op, t in zip(out_phys, out_types)]
+    schema = T.StructType(fields)
+    coercers = []
+    for t in out_types:
+        if isinstance(t, T.LongType):
+            coercers.append(lambda v: int(v))
+        elif isinstance(t, T.BooleanType):
+            coercers.append(lambda v: bool(v))
+        elif isinstance(t, (T.StringType, T.TimestampType)):
+            coercers.append(lambda v: v)
+        else:
+            coercers.append(lambda v: float(v))
 
     def apply_fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
         row = {k: [v] for k, v in zip(key_phys, key)}
-        for op, (vp, fn, kw) in zip(out_phys, specs):
+        for op, (vp, fn, kw), co in zip(out_phys, specs, coercers):
             s = pdf[vp]
             v = fn(s) if callable(fn) else getattr(s, fn)(**(kw or {}))
             try:
-                row[op] = [float(v)]
+                row[op] = [co(v)]
             except (TypeError, ValueError):
-                row[op] = [float("nan")]
+                row[op] = [None]
         return pd.DataFrame(row)
 
-    cols = list(dict.fromkeys(key_phys + [s[0] for s in specs]))
-    agged = sdf.select(*cols).groupBy(*key_phys).applyInPandas(apply_fn, schema)
+    agged = sdf.select(*cols0).groupBy(*key_phys).applyInPandas(apply_fn, schema)
     order_fields = []
     for i, k in enumerate(key_phys):
         order_fields.append(F.col(k).isNull().alias(f"__n{i}__"))
@@ -647,12 +686,10 @@ def concat_cols(frames: list[SparkFrame], join: str = "outer") -> SparkFrame:
     pos = fresh_names(len(frames))
 
     def _poskey(fr: SparkFrame, name: str) -> SparkFrame:
-        # order_is_position frames align on their TRUE pandas labels (the
-        # ORDER values, gaps preserved after filters) — zero extra plan cost;
-        # only scan-lineage frames pay the blocked global position
-        if fr.has_order and fr.order_is_position:
-            return fr._same_rows(fr.sdf.withColumn(name, F.col(ORDER_COL).cast("long")))
-        return fr.with_global_position(name)
+        # frames with known pandas labels (order_is_position lineage or a
+        # post-sort labels_col stash) align on the TRUE labels — zero extra
+        # plan cost; only scan-lineage frames pay the blocked position
+        return fr.with_pandas_labels(name)
 
     acc = _poskey(frames[0], pos[0]).sdf
     out_labels = list(base.columns)

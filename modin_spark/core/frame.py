@@ -159,23 +159,33 @@ def _native_ingest_schema(pdf: pd.DataFrame, idx_phys: list, data_phys: list):
             if name != "datetime64[ns]":
                 return None  # tz-aware / non-ns units: let Arrow decide
             out[p] = T.TimestampType()
+        elif name in ("boolean", "string"):
+            out[p] = T.BooleanType() if name == "boolean" else T.StringType()
         elif kind == "O":
-            # Arrow infers string only for str/None/NaN cells; anything else
-            # (lists, Decimals, mixed) must go through real inference
+            # Arrow infers string only for str/None/NaN/NA cells; anything
+            # else (lists, Decimals, mixed) must go through real inference
             import numpy as np
 
             vals = s.to_numpy() if hasattr(s, "to_numpy") else np.asarray(s)
             if len(vals) and not all(
-                v is None or isinstance(v, str) or (isinstance(v, float) and np.isnan(v))
+                v is None or isinstance(v, str) or v is pd.NA
+                or (isinstance(v, float) and np.isnan(v))
                 for v in vals
             ):
                 return None
             out[p] = T.StringType()
         elif name in ("int8", "int16", "int32", "int64", "float32", "float64", "bool"):
             # the verified-identical-to-Arrow subset (test_native_fastpath
-            # asserts schema parity for each); unsigned/extension dtypes go
-            # through real inference
+            # asserts schema parity for each); unsigned dtypes go through
+            # real inference
             out[p] = _PANDAS_TO_SPARK_CAST[name]
+        elif name in ("Int8", "Int16", "Int32", "Int64"):
+            # nullable ints degrade through .to_numpy(): float64 (=> double)
+            # when any value is missing, the plain int width otherwise —
+            # verified against Arrow in test_native_fastpath
+            out[p] = T.DoubleType() if s.isna().any() else _PANDAS_TO_SPARK_CAST[name.lower()]
+        elif name in ("Float32", "Float64"):
+            out[p] = _PANDAS_TO_SPARK_CAST[name.lower()]
         else:
             return None
     return out
@@ -255,6 +265,12 @@ class SparkFrame:
         # labels after filters with ZERO extra plan cost (no global position
         # shuffle) — the label is already in every row.
         self.order_is_position: bool = False
+        # physical column holding the pandas default-index LABELS when they
+        # diverge from ORDER (set by sort_by: ORDER re-derives for the new
+        # row order, the old positional labels ride along hidden). Consumed
+        # by to_pandas (display) and sort_index (restore); survives row
+        # subsets like order_is_position.
+        self.labels_col: str | None = None
         assert len(self.columns) == len(self.data_cols)
 
     @property
@@ -300,6 +316,7 @@ class SparkFrame:
         nf.order_epoch = self.order_epoch
         nf.nonnull_cols = self.nonnull_cols
         nf.order_is_position = self.order_is_position
+        nf.labels_col = self.labels_col
         return nf
 
     def _subset_rows(self, sdf, columns=None, data_cols=None, index_cols=None, index_names=None, has_order=None):
@@ -318,6 +335,7 @@ class SparkFrame:
         nf.order_epoch = self.order_epoch  # subset keeps the parent's values
         nf.nonnull_cols = self.nonnull_cols  # row subsets cannot introduce nulls
         nf.order_is_position = self.order_is_position
+        nf.labels_col = self.labels_col
         return nf
 
     def can_rebase(self, anchor: "SparkFrame", refs: set[str]) -> bool:
@@ -548,10 +566,19 @@ class SparkFrame:
             else:
                 keys.append(e.desc_nulls_last() if na_position == "last" else e.desc_nulls_first())
         keys.append(F.col(ORDER_COL).asc())
-        sorted_sdf = base.sdf.orderBy(*keys).withColumn(ORDER_COL, F.monotonically_increasing_id())
+        presdf = base.sdf
+        lblc = None
+        if not base.index_cols and base.order_is_position:
+            # pandas keeps the PERMUTED original labels through a sort; stash
+            # them in a hidden column before ORDER is re-derived (consumed by
+            # to_pandas for display and by sort_index to restore)
+            lblc = fresh_names(1)[0]
+            presdf = presdf.withColumn(lblc, F.col(ORDER_COL).cast("long"))
+        sorted_sdf = presdf.orderBy(*keys).withColumn(ORDER_COL, F.monotonically_increasing_id())
         nf = base._subset_rows(sorted_sdf, has_order=True)
         nf.order_epoch = ("sort", nf._lid)  # ORDER re-derived: new epoch
         nf.order_is_position = False  # fresh mono ids, not original positions
+        nf.labels_col = lblc if lblc is not None else base.labels_col
         # sort().head(n) fusion: head() on THIS frame (and only this frame —
         # _presort never propagates to derived frames) can re-plan as
         # orderBy+limit, which compiles to TakeOrderedAndProject instead of a
@@ -591,6 +618,19 @@ class SparkFrame:
         return self.align_keyed(pos_col)
 
     # ------------------------------------------------------------ positional
+    def with_pandas_labels(self, name: str) -> "SparkFrame":
+        """Attach a column holding the pandas default-index LABELS: the
+        ORDER values when order_is_position (from_pandas lineage, gaps kept
+        through filters), the stashed ``labels_col`` after a sort, else the
+        blocked global position (scan lineage, positions-as-labels)."""
+        base = self.ensure_order()
+        if base.order_is_position:
+            return base._same_rows(base.sdf.withColumn(name, F.col(ORDER_COL).cast("long")))
+        lc = base.labels_col
+        if lc is not None and lc in base.sdf.columns:
+            return base._same_rows(base.sdf.withColumn(name, F.col(lc).cast("long")))
+        return base.with_global_position(name)
+
     def with_global_position(self, pos_col: str) -> "SparkFrame":
         """Attach a contiguous 0-based global position column.
 
@@ -620,6 +660,10 @@ class SparkFrame:
             n = max(0, self.sdf.count() + n)
         if getattr(self, "_presort", None) is not None:
             presdf, keys = self._presort
+            if self.labels_col is not None and self.labels_col not in presdf.columns:
+                # the TakeOrdered fusion replays from the PRE-sort plan: the
+                # stashed pandas labels live in the pre-sort ORDER values
+                presdf = presdf.withColumn(self.labels_col, F.col(ORDER_COL).cast("long"))
             limited = presdf.orderBy(*keys).limit(n).withColumn(
                 ORDER_COL, F.monotonically_increasing_id()
             )
@@ -674,11 +718,10 @@ class SparkFrame:
             # single-task window) with order_is_position set, so a LATER
             # filter preserves gapped labels exactly like pandas.
             ri = fresh_names(1)[0]
-            if not drop and self.has_order and self.order_is_position:
-                # current labels ARE the ORDER values — the new column is free
-                base = self._same_rows(self.sdf.withColumn(ri, F.col(ORDER_COL).cast("long")))
-            elif not drop:
-                base = self.with_global_position(ri)
+            if not drop:
+                # current labels: ORDER values / post-sort labels_col stash /
+                # blocked global position (with_pandas_labels picks)
+                base = self.with_pandas_labels(ri)
             else:
                 base = self
             pc = fresh_names(1)[0]
@@ -694,6 +737,7 @@ class SparkFrame:
             )
             nf.order_epoch = ("reset", nf._lid)  # ORDER re-derived: new epoch
             nf.order_is_position = True
+            nf.labels_col = None  # labels are positions again
             return nf
         if drop:
             return self._same_rows(self.sdf, index_cols=[], index_names=[None])
@@ -722,12 +766,14 @@ class SparkFrame:
             # pristine deferred-ingest frame: the stored pandas object IS the
             # round-trip result (and keeps dtypes Spark would widen)
             return self.native_pdf.copy()
+        lbl_extra = ([self.labels_col] if self.labels_col is not None
+                     and not self.index_cols and self.labels_col in self.sdf.columns else [])
         if not self.has_order:
             # natural order: toPandas collects partitions in order already
-            cols = list(dict.fromkeys(self.index_cols + self.data_cols))
+            cols = list(dict.fromkeys(self.index_cols + self.data_cols)) + lbl_extra
             pdf = self.sdf.select(*cols).toPandas()
         else:
-            cols = [ORDER_COL] + list(dict.fromkeys(self.index_cols + self.data_cols))
+            cols = [ORDER_COL] + list(dict.fromkeys(self.index_cols + self.data_cols)) + lbl_extra
             pdf = self.sdf.select(*cols).orderBy(ORDER_COL).toPandas()
         out = pd.DataFrame({i: pdf[p] for i, p in enumerate(self.data_cols)})
         if len(self.data_cols) == 0:
@@ -752,6 +798,12 @@ class SparkFrame:
                 # only deviate from RangeIndex when rows were actually
                 # dropped — pandas keeps the ORIGINAL labels there
                 if labels[-1] != len(out) - 1:
+                    out.index = pd.Index(labels, dtype="int64")
+            elif self.labels_col is not None and self.labels_col in pdf.columns and len(out):
+                # post-sort frames: the stashed PERMUTED labels (pandas keeps
+                # them through sort_values)
+                labels = pdf[self.labels_col].to_numpy()
+                if not (labels == pd.RangeIndex(len(out))).all():
                     out.index = pd.Index(labels, dtype="int64")
         return out
 

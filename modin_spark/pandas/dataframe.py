@@ -297,7 +297,7 @@ class DataFrame:
                 if fr.has_order and fr.order_is_position:
                     sdf = fr.sdf.where(~F.col(ORDER_COL).isin(idx_vals))
                     return DataFrame(_frame=fr._same_rows(sdf))
-                fr2 = fr.ensure_order().with_global_position("__dpi__")
+                fr2 = fr.with_pandas_labels("__dpi__")
                 sdf = fr2.sdf.where(~F.col("__dpi__").isin(idx_vals)).drop("__dpi__")
                 return DataFrame(_frame=fr._same_rows(sdf))
             cond = ~F.col(fr.index_cols[0]).isin(idx_vals)
@@ -316,11 +316,7 @@ class DataFrame:
                 from modin_spark.core.frame import fresh_names as _fn
 
                 lc = _fn(1)[0]
-                base = fr.ensure_order()
-                if base.order_is_position:
-                    base = base._same_rows(base.sdf.withColumn(lc, F.col(ORDER_COL).cast("long")))
-                else:
-                    base = base.with_global_position(lc)
+                base = fr.with_pandas_labels(lc)
                 fr = base._same_rows(base.sdf, index_cols=[lc], index_names=[None])
             icol = fr.index_cols[0]
             e = F.col(icol)
@@ -901,6 +897,20 @@ class DataFrame:
             nf = fr._same_rows(fr.sdf, columns=pd.Index(cols) if not isinstance(fr.columns, pd.MultiIndex) else fr.columns[order],
                                data_cols=[fr.data_cols[i] for i in order])
             return DataFrame(_frame=nf)
+        if not fr.index_cols and fr.labels_col is not None:
+            # post-sort default-index frame: pandas sort_index restores LABEL
+            # order — the stashed labels become ORDER again (exact labels,
+            # order_is_position restored; one range shuffle like any sort)
+            lc = fr.labels_col
+            if lc in fr.sdf.columns:
+                sdf = fr.sdf.withColumn(
+                    ORDER_COL,
+                    (F.col(lc) if ascending else -F.col(lc)).cast("long"))
+                nf = fr._subset_rows(sdf, has_order=True)
+                nf.order_epoch = ("sortidx", nf._lid)
+                nf.order_is_position = bool(ascending)
+                nf.labels_col = None if ascending else lc
+                return DataFrame(_frame=nf)
         idx_cols = list(fr.index_cols or [ORDER_COL])
         if level is not None and fr.index_cols:
             levels = level if isinstance(level, (list, tuple)) else [level]
@@ -996,11 +1006,7 @@ class DataFrame:
             from modin_spark.core.frame import fresh_names as _fn
 
             lc = _fn(1)[0]
-            base = fr.ensure_order()
-            if base.order_is_position:
-                base = base._same_rows(base.sdf.withColumn(lc, F.col(ORDER_COL).cast("long")))
-            else:
-                base = base.with_global_position(lc)
+            base = fr.with_pandas_labels(lc)
             fr = base._same_rows(base.sdf, index_cols=[lc], index_names=[None])
         if append and fr.index_cols:
             # keep the existing index levels, add the new keys after them
@@ -3770,11 +3776,7 @@ class DataFrame:
                 # default positional index: the labels ARE the positions —
                 # free via order_is_position lineage, blocked global position
                 # otherwise; then the ordinary label join below applies
-                fr = fr.ensure_order()
-                if fr.order_is_position:
-                    fr = fr._same_rows(fr.sdf.withColumn("__ri_lbl__", F.col(ORDER_COL).cast("long")))
-                else:
-                    fr = fr.with_global_position("__ri_lbl__")
+                fr = fr.with_pandas_labels("__ri_lbl__")
                 fr = fr._same_rows(fr.sdf, index_cols=["__ri_lbl__"], index_names=[None])
             from modin_spark.pandas.io import from_pandas
 

@@ -830,12 +830,13 @@ class Series:
             from modin_spark.core.frame import ORDER_COL as _OC
 
             return F.col(_OC)
-        # default positional index: global position
-        fr = self._frame.with_global_position("__posx__")
+        # default positional index: post-sort labels_col stash, else the
+        # blocked global position
+        fr = self._frame.with_pandas_labels("__posx__")
         self._frame = fr
         return F.col("__posx__")
 
-    # --------------------------------------------------- frame-level结果 ops
+    # --------------------------------------------------- frame-level ops
     def sort_values(self, ascending: bool = True, na_position: str = "last", key=None,
                     kind=None, ignore_index: bool = False, axis=0) -> "Series":
         nat = _native.maybe_series(self, "sort_values", ascending=ascending,

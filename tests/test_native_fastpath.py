@@ -66,10 +66,27 @@ def test_native_schema_matches_materialized(native_on, spark):
 
 def test_native_ineligible_dtypes_ingest_eagerly(native_on, spark):
     for col in [np.array([1, 2], dtype="uint64"),
-                pd.array([1, None], dtype="Int64"),
                 pd.Series([["x"], ["y"]])]:
         m = mpd.from_pandas(pd.DataFrame({"c": col}))
         assert m._frame.native_pdf is None
+
+
+def test_native_nullable_extension_schema_parity(native_on, spark):
+    p = pd.DataFrame({
+        "i_null": pd.array([1, None], dtype="Int64"),
+        "i_full": pd.array([1, 2], dtype="Int64"),
+        "i8": pd.array([1, 2], dtype="Int8"),
+        "f32": pd.array([1.5, None], dtype="Float32"),
+        "bo": pd.array([True, None], dtype="boolean"),
+        "st": pd.array(["x", None], dtype="string"),
+    })
+    m = mpd.from_pandas(p)
+    fr = m._frame
+    assert fr.native_pdf is not None
+    nat = dict(fr.schema_map)
+    _ = fr.sdf
+    mat = {f.name: f.dataType for f in fr.sdf.schema.fields}
+    assert nat == mat
 
 
 def test_native_ops_match_pandas_and_spark(native_on, spark):

@@ -238,3 +238,50 @@ def test_astype_str_renders_missing(spark):
     got_t = list(m["t"].astype(str).to_pandas())
     want_t = list(P["t"].astype(str))
     assert got_t == want_t
+
+
+def test_groupby_callable_agg_dtype(spark):
+    P = pd.DataFrame({"a": [1, 2, 3, 4], "b": list("xyxy")})
+    m = mpd.from_pandas(P)
+    got = m.groupby("b").agg(x=("a", lambda s: s.max() - s.min())).to_pandas()
+    want = P.groupby("b").agg(x=("a", lambda s: s.max() - s.min()))
+    assert got["x"].tolist() == want["x"].tolist()
+    assert got["x"].dtype == want["x"].dtype == "int64"
+    got2 = m.groupby("b").agg(y=("a", lambda s: float(s.mean()))).to_pandas()
+    assert got2["y"].dtype.kind == "f"
+
+
+def test_sort_preserves_labels_and_sort_index_restores(spark):
+    p = pd.DataFrame({"a": [3, 1, 2], "b": list("xyz")})
+    m = mpd.from_pandas(p)
+    # pandas keeps the PERMUTED labels through sort_values
+    assert m.sort_values("a").to_pandas().index.tolist() == p.sort_values("a").index.tolist()
+    # sort_index restores label order, both directions
+    for asc in (True, False):
+        want = p.sort_values("a").sort_index(ascending=asc)
+        got = m.sort_values("a").sort_index(ascending=asc).to_pandas()
+        assert got.values.tolist() == want.values.tolist()
+        assert got.index.tolist() == want.index.tolist()
+    # gapped labels after a filter survive the sort
+    pf, mf = p[p.a > 1].sort_values("a"), m[m.a > 1].sort_values("a")
+    assert mf.to_pandas().index.tolist() == pf.index.tolist()
+    # TakeOrdered fusion (nlargest/head-after-sort) keeps them too
+    assert m.nlargest(2, "a").to_pandas().index.tolist() == p.nlargest(2, "a").index.tolist()
+    assert (m.sort_values("a").head(2).to_pandas().index.tolist()
+            == p.sort_values("a").head(2).index.tolist())
+    # Series path
+    assert m["a"].sort_values().to_pandas().index.tolist() == p["a"].sort_values().index.tolist()
+
+
+def test_label_ops_after_sort(spark):
+    # labels_col consumption: drop(index=) / reindex / reset_index after a
+    # sort act on the PERMUTED pandas labels, not fresh positions
+    p = pd.DataFrame({"a": [3, 1, 2]})
+    m = mpd.from_pandas(p)
+    ps, ms = p.sort_values("a"), m.sort_values("a")
+    assert (ms.drop(index=0).to_pandas().values.tolist()
+            == ps.drop(index=0).values.tolist())
+    assert (ms.reindex(index=[2, 0]).to_pandas().values.tolist()
+            == ps.reindex(index=[2, 0]).values.tolist())
+    assert (ms.reset_index().to_pandas()["index"].tolist()
+            == ps.reset_index()["index"].tolist())
