@@ -227,6 +227,20 @@ def _numpy_zscore(spark, sf):
         "col string, abs_z_max double, z_sq_sum double")
 
 
+def _sort_labels_roundtrip(spark, sf):
+    """Labels through sorts (round-10 labels_col machinery): sort_values
+    keeps the PERMUTED pandas labels; reset_index surfaces them; the
+    checksum sum(label * new_position) pins the exact permutation."""
+    mpd = _mpd()
+    cust = mpd.read_parquet(f"{sf}/customer.parquet")[["c_custkey", "c_acctbal"]]
+    base = cust.sort_values("c_custkey").reset_index(drop=True)
+    s = base.sort_values("c_acctbal").reset_index().rename(columns={"index": "lbl"})
+    out = s.reset_index()  # 'index' = 0..n-1 in acctbal order
+    n = int(out["lbl"].count())
+    checksum = int((out["lbl"] * out["index"]).sum())
+    return spark.createDataFrame([(n, checksum)], "n bigint, checksum bigint")
+
+
 def _ngroup_labels(spark, sf):
     """groupby.ngroup (round-10 rework): distinct keys numbered with the
     blocked global-position scheme, join strategy left to AQE — equivalent
@@ -2115,7 +2129,7 @@ _R10_PREFIX = [
     # global position into ORDER), distributed frame value_counts, blocked
     # ngroup numbering
     "reset_index_roundtrip", "frame_value_counts", "ngroup_labels",
-    "numpy_zscore",
+    "numpy_zscore", "sort_labels_roundtrip",
     # (b) machinery touched in r10 (crosstab normalize path, str affix) +
     # the two stalest green rows (last scored r2)
     "crosstab_counts", "str_funcs", "value_counts", "sql_interface",
@@ -2147,6 +2161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_value_counts": _frame_value_counts,
         "ngroup_labels": _ngroup_labels,
         "numpy_zscore": _numpy_zscore,
+        "sort_labels_roundtrip": _sort_labels_roundtrip,
         # (a) round-6 new machinery first, then never-scored
         "excel_ingest": _excel_ingest,
         "fwf_ingest": _fwf_ingest,
@@ -2770,6 +2785,20 @@ def oracle_sql() -> dict[str, str]:
                    MIN(lbl) AS min_lbl, MAX(lbl) AS max_lbl,
                    CAST(SUM(lbl) AS BIGINT) AS sum_lbl
             FROM base WHERE c_acctbal > 500 GROUP BY c_mktsegment
+        """,
+        "sort_labels_roundtrip": """
+            WITH base AS (
+                SELECT c_acctbal,
+                       ROW_NUMBER() OVER (ORDER BY c_custkey) - 1 AS lbl
+                FROM customer
+            ),
+            perm AS (
+                SELECT lbl,
+                       ROW_NUMBER() OVER (ORDER BY c_acctbal, lbl) - 1 AS pos
+                FROM base
+            )
+            SELECT COUNT(*) AS n, CAST(SUM(lbl * pos) AS BIGINT) AS checksum
+            FROM perm
         """,
         "numpy_zscore": """
             WITH s AS (
