@@ -319,3 +319,24 @@ def test_every_entry_query_plan_is_scale_safe(spark):
         if cart or unsafe:
             bad.append((name, cart, unsafe))
     assert not bad, bad
+
+
+def test_round10_new_machinery_plan_quality(spark):
+    """Round-10 paths (reset_index positional labels, distributed frame
+    value_counts, blocked ngroup, sort labels_col stash) must not introduce
+    single-task exchanges over non-aggregated data."""
+    import modin_spark.pandas as mpd
+    from modin_spark import plans
+
+    li = mpd.read_parquet(f"{SF}/lineitem.parquet")
+    cases = {
+        "reset_index": li[li.l_quantity > 10][["l_orderkey", "l_quantity"]].reset_index(),
+        "frame_value_counts": li[["l_returnflag", "l_linestatus"]].value_counts()._to_frame(),
+        "ngroup": li.groupby("l_returnflag").ngroup()._to_frame(),
+        "sorted_labels": li[["l_orderkey", "l_quantity"]]
+        .sort_values("l_quantity").reset_index(),
+    }
+    for name, obj in cases.items():
+        sdf = obj._frame.sdf if hasattr(obj, "_frame") else obj.sdf
+        n = plans.unsafe_single_partition_exchanges(sdf)
+        assert n == 0, (name, plans.physical_plan(sdf))
