@@ -249,6 +249,31 @@ def tanh(x, *a, **kw):
     return _as_arr(x).tanh()
 
 
+def _unary(name):
+    def fn(x, *a, **kw):
+        return getattr(_as_arr(x), name)()
+    fn.__name__ = name
+    return fn
+
+
+log = _unary("log")
+log2 = _unary("log2")
+log10 = _unary("log10")
+log1p = _unary("log1p")
+expm1 = _unary("expm1")
+sin = _unary("sin")
+cos = _unary("cos")
+tan = _unary("tan")
+arcsin = _unary("arcsin")
+arccos = _unary("arccos")
+arctan = _unary("arctan")
+sinh = _unary("sinh")
+cosh = _unary("cosh")
+floor = _unary("floor")
+ceil = _unary("ceil")
+sign = _unary("sign")
+
+
 def where(condition, x=None, y=None):
     if condition is True:
         return x
@@ -277,5 +302,7 @@ __all__ = [
     "dot", "matmul", "sum", "prod", "mean", "var", "std",
     "amax", "amin", "max", "min", "maximum", "minimum",
     "argmax", "argmin", "sqrt", "exp", "tanh", "where",
+    "log", "log2", "log10", "log1p", "expm1", "sin", "cos", "tan",
+    "arcsin", "arccos", "arctan", "sinh", "cosh", "floor", "ceil", "sign",
     "e", "euler_gamma", "inf", "nan", "newaxis", "pi",
 ]

@@ -210,6 +210,22 @@ class array:
     def exp(self, *a, **kw): return self._map(lambda c: F.exp(c))
     def sqrt(self, *a, **kw): return self._map(lambda c: F.sqrt(c))
     def tanh(self, *a, **kw): return self._map(lambda c: F.tanh(c))
+    def log(self, *a, **kw): return self._map(lambda c: F.log(c))
+    def log2(self, *a, **kw): return self._map(lambda c: F.log2(c))
+    def log10(self, *a, **kw): return self._map(lambda c: F.log10(c))
+    def log1p(self, *a, **kw): return self._map(lambda c: F.log1p(c))
+    def expm1(self, *a, **kw): return self._map(lambda c: F.expm1(c))
+    def sin(self, *a, **kw): return self._map(lambda c: F.sin(c))
+    def cos(self, *a, **kw): return self._map(lambda c: F.cos(c))
+    def tan(self, *a, **kw): return self._map(lambda c: F.tan(c))
+    def arcsin(self, *a, **kw): return self._map(lambda c: F.asin(c))
+    def arccos(self, *a, **kw): return self._map(lambda c: F.acos(c))
+    def arctan(self, *a, **kw): return self._map(lambda c: F.atan(c))
+    def sinh(self, *a, **kw): return self._map(lambda c: F.sinh(c))
+    def cosh(self, *a, **kw): return self._map(lambda c: F.cosh(c))
+    def floor(self, *a, **kw): return self._map(lambda c: F.floor(c).cast("double"))
+    def ceil(self, *a, **kw): return self._map(lambda c: F.ceil(c).cast("double"))
+    def sign(self, *a, **kw): return self._map(lambda c: F.signum(c))
 
     def _isnan(self, *a, **kw):
         return self._map(lambda c: c.isNull() | (F.isnan(c) if self.dtype.kind == "f" else F.lit(False)))
@@ -486,7 +502,14 @@ class array:
         name = ufunc.__name__
         simple = {"exp": self.exp, "sqrt": self.sqrt, "tanh": self.tanh,
                   "absolute": self.__abs__, "isnan": self._isnan,
-                  "isinf": self._isinf, "isfinite": self._isfinite}
+                  "isinf": self._isinf, "isfinite": self._isfinite,
+                  "log": self.log, "log2": self.log2, "log10": self.log10,
+                  "log1p": self.log1p, "expm1": self.expm1,
+                  "sin": self.sin, "cos": self.cos, "tan": self.tan,
+                  "arcsin": self.arcsin, "arccos": self.arccos,
+                  "arctan": self.arctan, "sinh": self.sinh, "cosh": self.cosh,
+                  "floor": self.floor, "ceil": self.ceil, "sign": self.sign,
+                  "negative": self.__neg__}
         if method == "__call__" and name in simple and inputs[0] is self:
             return simple[name]()
         binops = {"add": "add", "subtract": "sub", "multiply": "mul",

@@ -144,3 +144,18 @@ def test_frame_std_var_ddof(spark):
     for ddof in (0, 1, 2):
         assert abs(m.var(ddof=ddof)["x"] - p.var(ddof=ddof)["x"]) < 1e-12
         assert abs(m.std(ddof=ddof)["x"] - p.std(ddof=ddof)["x"]) < 1e-12
+
+
+def test_ufunc_tail(arrs):
+    a, _ = arrs
+    for name in ["log", "log1p", "log2", "log10", "expm1", "sin", "cos", "tan",
+                 "arctan", "sinh", "cosh", "floor", "ceil", "sign"]:
+        got = getattr(mnp, name)(a)
+        want = getattr(np, name)(A)
+        assert close(got, want), name
+        # ufunc protocol route too
+        got2 = getattr(np, name)(a)
+        assert isinstance(got2, mnp.array) and close(got2, want), name
+    frac = mnp.array(np.array([0.1, 0.5, 0.9]))
+    assert close(mnp.arcsin(frac), np.arcsin(np.array([0.1, 0.5, 0.9])))
+    assert close(mnp.arccos(frac), np.arccos(np.array([0.1, 0.5, 0.9])))
