@@ -457,7 +457,13 @@ def read_excel(io_path, sheet_name=0, header=0, names=None, usecols=None,
     return from_pandas(pd.DataFrame(res))
 read_html = _pandas_reader("read_html")
 read_pickle = _pandas_reader("read_pickle")
-read_xml = _pandas_reader("read_xml")
+def read_xml(path_or_buffer, parser: str = "lxml", **kw) -> DataFrame:
+    """Driver delegate like the reference; falls back to the stdlib etree
+    parser when lxml (an optional pandas dependency) is absent."""
+    try:
+        return from_pandas(pd.DataFrame(pd.read_xml(path_or_buffer, parser=parser, **kw)))
+    except ImportError:
+        return from_pandas(pd.DataFrame(pd.read_xml(path_or_buffer, parser="etree", **kw)))
 
 
 def read_fwf(filepath_or_buffer, colspecs="infer", widths=None, names=None,

@@ -285,3 +285,17 @@ def test_label_ops_after_sort(spark):
             == ps.reindex(index=[2, 0]).values.tolist())
     assert (ms.reset_index().to_pandas()["index"].tolist()
             == ps.reset_index()["index"].tolist())
+
+
+def test_read_xml_etree_fallback(spark):
+    import tempfile
+
+    xml = ('<?xml version="1.0"?><data><row><a>1</a><b>x</b></row>'
+           '<row><a>2</a><b>y</b></row></data>')
+    with tempfile.NamedTemporaryFile("w", suffix=".xml", delete=False) as f:
+        f.write(xml)
+        path = f.name
+    got = mpd.read_xml(path).to_pandas()
+    want = pd.read_xml(path, parser="etree")
+    assert got.values.tolist() == want.values.tolist()
+    assert list(got.columns) == list(want.columns)
