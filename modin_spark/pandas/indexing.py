@@ -200,8 +200,9 @@ class LocIndexer:
             out = fr.select_positions(col_pos)
         elif isinstance(row_key, list):
             if not fr.index_cols:
-                # default RangeIndex: labels ARE positions
-                pos_fr = fr.with_global_position("__pos__")
+                # default index: true pandas labels (gaps after filters, the
+                # labels_col stash after sorts, positions for scan lineage)
+                pos_fr = fr.with_pandas_labels("__pos__")
                 out = fr._subset_rows(
                     pos_fr.sdf.where(F.col("__pos__").isin(row_key)).drop("__pos__")
                 ).select_positions(col_pos)
@@ -239,13 +240,28 @@ class LocIndexer:
                 out = fr.filter(cond).select_positions(col_pos)
         else:
             if not fr.index_cols:
-                # default RangeIndex: scalar label == position
-                pos_fr = fr.with_global_position("__pos__")
+                # default index: scalar LABEL lookup (pandas labels survive
+                # filters and sorts via order_is_position / labels_col)
+                pos_fr = fr.with_pandas_labels("__pos__")
                 out = fr._subset_rows(
                     pos_fr.sdf.where(F.col("__pos__") == int(row_key)).drop("__pos__")
                 ).select_positions(col_pos)
                 if not isinstance(col_key, (slice, list)):
-                    return Series._from_frame(out)
+                    s = Series._from_frame(out)
+                    vals = s.head(2).to_pandas()
+                    if len(vals) == 0:
+                        raise KeyError(row_key)
+                    if len(vals) == 1:
+                        return vals.iloc[0]
+                    return s
+                if isinstance(col_key, slice) and col_key == slice(None):
+                    # pandas: loc[scalar] yields the ROW as a Series indexed
+                    # by the column labels (driver row by definition)
+                    row = out.to_pandas()
+                    if len(row) == 0:
+                        raise KeyError(row_key)
+                    if len(row) == 1:
+                        return row.iloc[0]
                 from modin_spark.pandas.dataframe import DataFrame as _DF
 
                 return _DF(_frame=out)
@@ -257,8 +273,25 @@ class LocIndexer:
                                      index_names=fr.index_names[1:])
             out = out.select_positions(col_pos)
 
+        scalar_row = not isinstance(row_key, (slice, list, Series, tuple))
         if not isinstance(col_key, (slice, list)):
-            return Series._from_frame(out)
+            s = Series._from_frame(out)
+            if scalar_row:
+                # pandas: loc[scalar, scalar] is a SCALAR for a unique label,
+                # a Series for duplicate labels (driver cell by definition)
+                vals = s.head(2).to_pandas()
+                if len(vals) == 0:
+                    raise KeyError(row_key)
+                if len(vals) == 1:
+                    return vals.iloc[0]
+            return s
+        if scalar_row and isinstance(col_key, slice) and col_key == slice(None):
+            # pandas: loc[scalar] yields the row as a column-indexed Series
+            row = DataFrame(_frame=out).head(2).to_pandas()
+            if len(row) == 0:
+                raise KeyError(row_key)
+            if len(row) == 1:
+                return row.iloc[0]
         return DataFrame(_frame=out)
 
 
@@ -301,4 +334,9 @@ class _SeriesLocWrapper:
                 if len(vals) == 1:
                     return vals.iloc[0]
             return res.rename(self._s._name)
+        if isinstance(res, pd.Series):
+            # the frame indexer now returns a pandas ROW Series for unique
+            # scalar labels — for the 1-column wrapper that row holds one
+            # cell, the scalar
+            return res.iloc[0] if len(res) == 1 else res
         return res

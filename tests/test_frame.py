@@ -265,8 +265,8 @@ def test_loc_default_index_labels(mdf, pdf):
     ref = pdf.loc[[2, 5, 7], ["a", "k"]].reset_index(drop=True)
     pd.testing.assert_frame_equal(got.sort_values("a").reset_index(drop=True),
                                   ref.sort_values("a").reset_index(drop=True), check_dtype=False)
-    s = mdf.loc[3, "a"].to_pandas()
-    assert s.iloc[0] == pdf.loc[3, "a"]
+    # round 10: loc[scalar, scalar] returns the SCALAR like pandas
+    assert mdf.loc[3, "a"] == pdf.loc[3, "a"]
 
 
 def test_transpose_mixed_dtypes(spark):

@@ -299,3 +299,30 @@ def test_read_xml_etree_fallback(spark):
     want = pd.read_xml(path, parser="etree")
     assert got.values.tolist() == want.values.tolist()
     assert list(got.columns) == list(want.columns)
+
+
+def test_loc_pandas_scalar_shapes(spark):
+    p = pd.DataFrame({"a": [3, 1, 2], "b": list("xyz")})
+    m = mpd.from_pandas(p)
+    # scalar row -> row Series; scalar/scalar -> scalar; after sort/filter
+    # the TRUE labels are used
+    assert m.loc[1].tolist() == p.loc[1].tolist()
+    assert m.loc[1, "a"] == p.loc[1, "a"] == 1
+    assert m.sort_values("a").loc[0].tolist() == p.sort_values("a").loc[0].tolist()
+    assert m[m.a > 1].loc[2].tolist() == p[p.a > 1].loc[2].tolist()
+    assert (m[m.a > 1].loc[[0, 2]].to_pandas().values.tolist()
+            == p[p.a > 1].loc[[0, 2]].values.tolist())
+    ix, pix = m.set_index("b"), p.set_index("b")
+    assert ix.loc["y"].tolist() == pix.loc["y"].tolist()
+    assert ix.loc["y", "a"] == pix.loc["y", "a"] == 1
+    # duplicate labels keep a Series result
+    pd2 = pd.DataFrame({"k": ["u", "u"], "a": [1, 2]})
+    m2 = mpd.from_pandas(pd2).set_index("k")
+    r = m2.loc["u", "a"]
+    assert sorted(r.to_pandas().tolist()) == [1, 2]
+    # missing label raises
+    with pytest.raises(KeyError):
+        m.loc[99]
+    # Series scalar lookups
+    s, sp = m["a"], p["a"]
+    assert s.loc[2] == sp.loc[2] and s.iloc[1] == sp.iloc[1]
