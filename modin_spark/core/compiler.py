@@ -189,7 +189,16 @@ def groupby_agg_udf(
     group. Built-in names in the same spec run through their pandas
     equivalents inside the group, so a mixed spec still costs one shuffle
     instead of joining a Catalyst plan to a UDF plan. Documented slow path:
-    outputs are double, groups come back key-sorted (the struct ORDER)."""
+    groups come back key-sorted (the struct ORDER).
+
+    NOTE: schema inference runs ONE extra eager Spark job at plan-build time
+    (a 200-row ``limit().toPandas()`` bounded to the key+value columns) so
+    integer-valued callables come back int64 like pandas. The sample is
+    grouped by the keys before probing, so a callable that returns int for
+    one group and a fractional float for another widens the whole column to
+    double instead of truncating; if an unsampled group still surprises the
+    inferred long dtype, the coercer is lossless (``int(v)`` only when
+    ``v == int(v)``, else NULL) rather than silently truncating."""
     from pyspark.sql import types as T
 
     key_phys = [frame.data_cols[i] for i in by_positions]
@@ -223,20 +232,47 @@ def groupby_agg_udf(
         return T.DoubleType()
 
     sample_pdf = sdf.select(*cols0).limit(200).toPandas()
+
+    def _widen(types):
+        """Combine per-group sampled types: any numeric disagreement with
+        LongType widens to double (pandas upcasts the column the same way)."""
+        uniq = {type(t) for t in types}
+        return types[0] if len(uniq) == 1 else T.DoubleType()
+
     out_types = []
     for vp, fn, kw in specs:
         try:
-            v = fn(sample_pdf[vp]) if callable(fn) else getattr(sample_pdf[vp], fn)(**(kw or {}))
-            out_types.append(_type_of(v))
+            if key_phys and len(sample_pdf):
+                # probe per sampled GROUP, not the flat sample: a callable
+                # that is integral on one group but fractional on another
+                # must widen the column instead of truncating later
+                vals = [
+                    (fn(g) if callable(fn) else getattr(g, fn)(**(kw or {})))
+                    for _, g in sample_pdf.groupby(key_phys, dropna=False)[vp]
+                ]
+            else:
+                vals = [fn(sample_pdf[vp]) if callable(fn) else getattr(sample_pdf[vp], fn)(**(kw or {}))]
+            if not vals:
+                out_types.append(T.DoubleType())
+            else:
+                out_types.append(_widen([_type_of(v) for v in vals]))
         except Exception:
             out_types.append(T.DoubleType())
     fields = [T.StructField(k, frame.schema_map[k]) for k in key_phys]
     fields += [T.StructField(op, t) for op, t in zip(out_phys, out_types)]
     schema = T.StructType(fields)
+    def _lossless_int(v):
+        # an unsampled group can still return a fractional float for a
+        # column inferred long: NULL beats a silently truncated value
+        iv = int(v)
+        if v != iv:
+            raise ValueError("non-integral value in long-typed agg")
+        return iv
+
     coercers = []
     for t in out_types:
         if isinstance(t, T.LongType):
-            coercers.append(lambda v: int(v))
+            coercers.append(_lossless_int)
         elif isinstance(t, T.BooleanType):
             coercers.append(lambda v: bool(v))
         elif isinstance(t, (T.StringType, T.TimestampType)):

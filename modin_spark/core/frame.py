@@ -390,9 +390,15 @@ class SparkFrame:
 
         # _active_spark_context is the pure-Python liveness flag —
         # getActiveSession() itself would cost 4 py4j round-trips per frame
+        # 0 is a HARD off switch (len-0 frames must not sneak through the
+        # <= comparison: the differential suite sets MAX_ROWS=0 to force
+        # every case — including empty frames — onto the Spark path)
+        _native_limit = native_max_rows()
         native_schema = (
             _native_ingest_schema(pdf, idx_phys, data_phys)
-            if len(pdf) <= native_max_rows() and _SC._active_spark_context is not None
+            if _native_limit > 0
+            and len(pdf) <= _native_limit
+            and _SC._active_spark_context is not None
             else None
         )
         if native_schema is not None:
@@ -707,6 +713,16 @@ class SparkFrame:
             index_names=names,
         )
 
+    def _reset_index_label(self, level: int = 0) -> str:
+        """pandas naming for an unnamed index level on reset_index(drop=False):
+        a single unnamed level becomes "index" UNLESS a column named "index"
+        already exists, in which case pandas falls back to the first free
+        "level_N"."""
+        existing = set(self.columns)
+        if len(self.index_cols) <= 1:
+            return "index" if "index" not in existing else "level_0"
+        return f"level_{level}"
+
     def reset_index(self, drop: bool = False) -> "SparkFrame":
         if not self.index_cols:
             # pandas semantics on a default positional index (reference:
@@ -729,7 +745,7 @@ class SparkFrame:
             sdf = fr2.sdf.withColumn(ORDER_COL, F.col(pc)).drop(pc)
             nf = fr2._subset_rows(
                 sdf,
-                columns=pd.Index((["index"] if not drop else []) + list(self.columns),
+                columns=pd.Index(([self._reset_index_label()] if not drop else []) + list(self.columns),
                                  name=self.columns.name
                                  if not isinstance(self.columns, pd.MultiIndex) else None),
                 data_cols=([ri] if not drop else []) + list(self.data_cols),
@@ -742,7 +758,7 @@ class SparkFrame:
         if drop:
             return self._same_rows(self.sdf, index_cols=[], index_names=[None])
         labels = [
-            n if n is not None else ("index" if len(self.index_cols) == 1 else f"level_{i}")
+            n if n is not None else self._reset_index_label(i)
             for i, n in enumerate(self.index_names)
         ]
         return self._same_rows(

@@ -48,10 +48,57 @@ class ILocIndexer:
         cond = F.col("__isp__").isin(keys)
         colset = set(col_pos)
         labels = list(fr.columns)
+
+        # pandas assigns list/array values ELEMENTWISE: a 1-D value of
+        # len(keys) maps per-row (single column), of len(col_pos) maps
+        # per-column; 2-D maps (row, col). Per-row values become a
+        # when-chain keyed on the blocked global position — fine for the
+        # small explicit key lists iloc assignment implies.
+        arr = None
+        if isinstance(value, (list, tuple, np.ndarray, pd.Series)):
+            arr = np.asarray(value.values if isinstance(value, pd.Series) else value)
+            if len(keys) > 10_000 and arr.ndim >= 1 and arr.shape[0] == len(keys) and (
+                arr.ndim == 2 or len(col_pos) == 1
+            ):
+                raise NotImplementedError(
+                    "iloc assignment with per-row array values is capped at "
+                    "10k rows (builds a literal when-chain); use a join-based "
+                    "update for larger assignments"
+                )
+
+        def _value_expr(ci: int, base):
+            """Expression for selected column index ci (position in col_pos)."""
+            if arr is None:
+                return F.when(cond, F.lit(value)).otherwise(base)
+            if arr.ndim == 2:
+                if arr.shape != (len(keys), len(col_pos)):
+                    raise ValueError(
+                        f"shape mismatch: value {arr.shape} vs "
+                        f"({len(keys)}, {len(col_pos)}) selection"
+                    )
+                expr = base
+                for k, v in zip(keys, arr[:, ci]):
+                    expr = F.when(F.col("__isp__") == int(k), F.lit(v.item() if hasattr(v, "item") else v)).otherwise(expr)
+                return expr
+            # 1-D: per-row when it matches the row selection and there is a
+            # single target column; per-column when it matches col_pos
+            if len(col_pos) == 1 and arr.shape[0] == len(keys):
+                expr = base
+                for k, v in zip(keys, arr):
+                    expr = F.when(F.col("__isp__") == int(k), F.lit(v.item() if hasattr(v, "item") else v)).otherwise(expr)
+                return expr
+            if arr.shape[0] == len(col_pos):
+                v = arr[ci]
+                return F.when(cond, F.lit(v.item() if hasattr(v, "item") else v)).otherwise(base)
+            raise ValueError(
+                f"could not broadcast input array of length {arr.shape[0]} "
+                f"onto ({len(keys)}, {len(col_pos)}) selection"
+            )
+
         exprs = []
         for i in range(len(labels)):
             base = F.col(pos_fr.data_cols[i])
-            exprs.append(F.when(cond, F.lit(value)).otherwise(base) if i in colset else base)
+            exprs.append(_value_expr(col_pos.index(i), base) if i in colset else base)
         self._df._frame = pos_fr.project(labels, exprs)
 
     def __getitem__(self, key):

@@ -861,12 +861,12 @@ class Series:
         return Series._from_frame(self._to_frame().tail(n))
 
     def unique(self):
-        ps = _native.series_pdf_of(self)
-        if ps is not None:
-            return ps.unique()
         """pandas contract: FIRST-APPEARANCE order. One hash aggregate
         (min(ORDER) per distinct value, map-side combine) + ordered collect —
         not distinct(), whose post-shuffle order is arbitrary."""
+        ps = _native.series_pdf_of(self)
+        if ps is not None:
+            return ps.unique()
         fr = self._to_frame().ensure_order()
         col = fr.data_cols[0]
         rows = (fr.sdf.groupBy(col).agg(F.min(ORDER_COL).alias("__o__"))
