@@ -931,6 +931,61 @@ def _multimodal_png_stats(spark, sf):
     )
 
 
+def _multimodal_media_meta(spark, sf):
+    """REAL JPEG/MP3/MP4 HEADER parsing (r11, no media libs): deterministic
+    payloads — structurally valid JPEG marker streams, MPEG1 Layer-III CBR
+    frame chains behind ID3v2 tags, and ISO-BMFF box trees — are encoded
+    executor-side from vec_id arithmetic (media_codecs.encode_jpeg_header /
+    encode_mp3 / encode_mp4_header), then parsed back by the real header
+    parsers inside ONE vectorized attach_media_meta pass that sniffs magic
+    bytes per row. The oracle replays the same field arithmetic in SQL, so
+    every extracted dimension / sample-rate / channel-count / duration is
+    exact. Scale shape: header parse only (no pixel/sample decode), narrow,
+    scan-speed, zero shuffle."""
+    from modin_spark.operators.multimodal import attach_media_meta
+
+    emb = _rp(spark, f"{sf}/embeddings.parquet").where(F.col("vec_id") < 60).select("vec_id")
+
+    def mk(batches):
+        from modin_spark.operators.media_codecs import (
+            encode_jpeg_header, encode_mp3, encode_mp4_header,
+        )
+
+        for pdf in batches:
+            payloads = []
+            for i in pdf["vec_id"]:
+                i = int(i)
+                k = i % 3
+                if k == 0:
+                    payloads.append(encode_jpeg_header(
+                        32 + i * 3, 16 + i * 2, components=3,
+                        progressive=(i // 3) % 2 == 1, comment=b"c" * (i % 19)))
+                elif k == 1:
+                    payloads.append(encode_mp3(
+                        5 + (i // 3) % 7, sr_idx=(i // 3) % 3, br_idx=9,
+                        mono=(i // 3) % 2 == 0, id3_pad=(i * 13) % 97))
+                else:
+                    payloads.append(encode_mp4_header(
+                        1000 + i * 137, 64 + i % 256, 48 + i % 32,
+                        video_codec="avc1",
+                        audio_codec="mp4a" if (i // 3) % 2 == 0 else None))
+            yield pdf.assign(payload=payloads)
+
+    media = emb.mapInPandas(mk, "vec_id long, payload binary")
+    out = attach_media_meta(media)
+    return out.select(
+        "vec_id",
+        F.col("media_meta.kind").alias("kind"),
+        F.col("media_meta.format").alias("fmt"),
+        F.col("media_meta.codec").alias("codec"),
+        F.col("media_meta.width").cast("int").alias("width"),
+        F.col("media_meta.height").cast("int").alias("height"),
+        F.col("media_meta.sample_rate").cast("int").alias("sample_rate"),
+        F.col("media_meta.channels").cast("int").alias("channels"),
+        F.round(F.col("media_meta.duration_s"), 4).alias("dur_s"),
+    )
+
+
 def _q4_priority_returned(spark, sf):
     """Semi-join: orders having >=1 returned lineitem, counted by priority."""
     mpd = _mpd()
@@ -2196,6 +2251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_ngram_dedup": _docs_ngram_dedup,
         "multimodal_features": _multimodal_features,
         "multimodal_png_stats": _multimodal_png_stats,
+        "multimodal_media_meta": _multimodal_media_meta,
         # (c) machinery touched this round
         "rolling_mean": _rolling_mean,
         "rolling_corr_pair": _rolling_corr_pair,
@@ -3883,6 +3939,41 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT vec_id FROM embeddings WHERE vec_id < 12) e
             CROSS JOIN generate_series(0, 255) t(k)
             GROUP BY e.vec_id
+        """,
+        # r11: exact replay of the header-field arithmetic the executor-side
+        # encoders baked into the JPEG/MP3/MP4 payloads — every parsed field
+        # must round-trip byte-exactly through the real header parsers
+        "multimodal_media_meta": """
+            SELECT vec_id,
+                   CASE vec_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                        ELSE 'video' END AS kind,
+                   CASE vec_id % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'mp3'
+                        ELSE 'mp4' END AS fmt,
+                   CASE vec_id % 3
+                        WHEN 0 THEN CASE WHEN (vec_id // 3) % 2 = 1
+                                         THEN 'jpeg_progressive'
+                                         ELSE 'jpeg_baseline' END
+                        WHEN 1 THEN 'mp3'
+                        ELSE 'avc1' END AS codec,
+                   CAST(CASE vec_id % 3 WHEN 0 THEN 32 + vec_id * 3
+                        WHEN 2 THEN 64 + vec_id % 256 END AS INT) AS width,
+                   CAST(CASE vec_id % 3 WHEN 0 THEN 16 + vec_id * 2
+                        WHEN 2 THEN 48 + vec_id % 32 END AS INT) AS height,
+                   CAST(CASE vec_id % 3 WHEN 1 THEN
+                        CASE (vec_id // 3) % 3 WHEN 0 THEN 44100
+                             WHEN 1 THEN 48000 ELSE 32000 END
+                        END AS INT) AS sample_rate,
+                   CAST(CASE vec_id % 3 WHEN 1 THEN
+                        CASE WHEN (vec_id // 3) % 2 = 0 THEN 1 ELSE 2 END
+                        END AS INT) AS channels,
+                   CASE vec_id % 3
+                        WHEN 1 THEN ROUND(
+                            (5 + (vec_id // 3) % 7) * 1152.0 /
+                            (CASE (vec_id // 3) % 3 WHEN 0 THEN 44100
+                                  WHEN 1 THEN 48000 ELSE 32000 END), 4)
+                        WHEN 2 THEN ROUND((1000 + vec_id * 137) / 1000.0, 4)
+                        END AS dur_s
+            FROM embeddings WHERE vec_id < 60
         """,
         # r7: every registry query is oracle-backed (115/115) — the last
         # four rows-only ops were promoted via the md5-mode hash replay

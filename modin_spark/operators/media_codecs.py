@@ -190,3 +190,247 @@ def encode_wav(samples: np.ndarray, rate: int) -> bytes:
         f.setframerate(rate)
         f.writeframes(pcm.tobytes())
     return buf.getvalue()
+
+# --------------------------------------------------------------------------
+# JPEG / MP3 / MP4 HEADER parsers (round 11). Full pixel/sample decode for
+# these formats is NOT stdlib-expressible and stays a declared stub in
+# operators/multimodal.py — but the metadata a pipeline filters and shards
+# on (dimensions, sample rate, duration, codec) lives in the container
+# headers, which ARE plain byte structures. These are real parsers of the
+# public formats (ITU T.81 marker segments, MPEG-1/2 audio frame headers +
+# ID3v2 + Xing, ISO BMFF boxes), not decoders.
+
+JPEG_MAGIC = b"\xff\xd8"
+# SOF markers carrying frame dimensions: C0-C3, C5-C7, C9-CB, CD-CF
+_JPEG_SOF = {m for m in range(0xC0, 0xD0)} - {0xC4, 0xC8, 0xCC}
+_JPEG_STANDALONE = set(range(0xD0, 0xDA)) | {0x01}  # RSTn, SOI, EOI, TEM
+
+
+def jpeg_meta(data: bytes) -> dict:
+    """Marker-segment walk (ITU T.81 B.1): SOI, then FF-prefixed segments
+    with big-endian lengths, until a Start-Of-Frame marker yields precision,
+    height, width, component count. progressive <=> SOF2 family."""
+    if not data or not data.startswith(JPEG_MAGIC):
+        raise ValueError("not a JPEG")
+    pos, n = 2, len(data)
+    while pos + 4 <= n:
+        if data[pos] != 0xFF:
+            raise ValueError("corrupt JPEG: lost marker sync")
+        marker = data[pos + 1]
+        while marker == 0xFF and pos + 2 < n:  # fill bytes are legal
+            pos += 1
+            marker = data[pos + 1]
+        if marker in _JPEG_STANDALONE:
+            if marker == 0xD9:  # EOI before any SOF
+                break
+            pos += 2
+            continue
+        (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        if marker in _JPEG_SOF:
+            prec, h, w, ncomp = struct.unpack(">BHHB", data[pos + 4 : pos + 10])
+            return {
+                "format": "jpeg", "width": int(w), "height": int(h),
+                "bit_depth": int(prec), "components": int(ncomp),
+                "progressive": marker in (0xC2, 0xC6, 0xCA, 0xCE),
+            }
+        pos += 2 + seglen
+    raise ValueError("corrupt JPEG: no SOF marker")
+
+
+def encode_jpeg_header(width: int, height: int, components: int = 3,
+                       progressive: bool = False, comment: bytes = b"") -> bytes:
+    """Structurally valid JPEG header stream (SOI + APP0/JFIF + COM + SOF +
+    EOI) for testing the marker walk. Carries no entropy-coded scan — the
+    full DCT codec is the declared stub."""
+    app0 = b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    sof_marker = 0xC2 if progressive else 0xC0
+    comps = b"".join(struct.pack(">BBB", i + 1, 0x11, 0) for i in range(components))
+    sof = struct.pack(">BHHB", 8, height, width, components) + comps
+    out = bytearray(JPEG_MAGIC)
+    for marker, payload in ((0xE0, app0), (0xFE, comment), (sof_marker, sof)):
+        out += struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# MPEG audio frame header tables (public spec, ISO/IEC 11172-3 / 13818-3)
+_MP3_BITRATE_V1L3 = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 0]
+_MP3_BITRATE_V2L3 = [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160, 0]
+_MP3_SR = {3: [44100, 48000, 32000], 2: [22050, 24000, 16000], 0: [11025, 12000, 8000]}
+
+
+def _id3v2_size(data: bytes) -> int:
+    """Bytes occupied by a leading ID3v2 tag (syncsafe 28-bit size), else 0."""
+    if len(data) >= 10 and data[:3] == b"ID3":
+        s = (data[6] << 21) | (data[7] << 14) | (data[8] << 7) | data[9]
+        return 10 + s
+    return 0
+
+
+def mp3_meta(data: bytes) -> dict:
+    """Skip ID3v2, parse the first MPEG audio frame header (version, layer,
+    bitrate, sample rate, channel mode), then WALK the frame chain using the
+    per-frame computed lengths to count frames exactly — duration is
+    frames * samples_per_frame / sample_rate, which is also what a Xing
+    header would assert for VBR files."""
+    pos = _id3v2_size(data)
+    n = len(data)
+    first = None
+    frames = 0
+    while pos + 4 <= n:
+        b0, b1, b2, b3 = data[pos : pos + 4]
+        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            if first is None:
+                pos += 1  # resync scan before the first frame only
+                continue
+            break
+        version = (b1 >> 3) & 0x3  # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+        layer = (b1 >> 1) & 0x3    # 1=III, 2=II, 3=I
+        br_idx = (b2 >> 4) & 0xF
+        sr_idx = (b2 >> 2) & 0x3
+        padding = (b2 >> 1) & 0x1
+        mode = (b3 >> 6) & 0x3
+        if version == 1 or layer == 0 or br_idx in (0, 15) or sr_idx == 3:
+            break  # reserved values: not a real frame
+        sr = _MP3_SR[version][sr_idx]
+        if layer == 1:  # Layer III
+            kbps = (_MP3_BITRATE_V1L3 if version == 3 else _MP3_BITRATE_V2L3)[br_idx]
+            spf = 1152 if version == 3 else 576
+            flen = spf // 8 * kbps * 1000 // sr + padding
+        elif layer == 3:  # Layer I
+            kbps = _MP3_BITRATE_V1L3[br_idx]
+            spf = 384
+            flen = (12 * kbps * 1000 // sr + padding) * 4
+        else:  # Layer II
+            kbps = _MP3_BITRATE_V1L3[br_idx]
+            spf = 1152
+            flen = 144 * kbps * 1000 // sr + padding
+        if first is None:
+            first = {
+                "codec": "mp3" if layer == 1 else ("mp2" if layer == 2 else "mp1"),
+                "mpeg_version": {3: 1, 2: 2, 0: 25}[version],
+                "bitrate_kbps": int(kbps), "sample_rate": int(sr),
+                "channels": 1 if mode == 3 else 2, "samples_per_frame": spf,
+            }
+        frames += 1
+        pos += max(flen, 4)
+    if first is None:
+        raise ValueError("not an MPEG audio stream")
+    first["frames"] = frames
+    first["duration_s"] = frames * first["samples_per_frame"] / first["sample_rate"]
+    return first
+
+
+def encode_mp3(n_frames: int, sr_idx: int = 0, br_idx: int = 9,
+               mono: bool = False, id3_pad: int = 0) -> bytes:
+    """Valid MPEG1 Layer III CBR frame chain (headers + zeroed payloads),
+    optionally behind an ID3v2 tag — exercises the tag skip, the header
+    field decode, and the frame walk."""
+    out = bytearray()
+    if id3_pad:
+        out += b"ID3\x03\x00\x00" + bytes(
+            [(id3_pad >> 21) & 0x7F, (id3_pad >> 14) & 0x7F, (id3_pad >> 7) & 0x7F, id3_pad & 0x7F]
+        ) + bytes(id3_pad)
+    sr = _MP3_SR[3][sr_idx]
+    kbps = _MP3_BITRATE_V1L3[br_idx]
+    flen = 144 * kbps * 1000 // sr
+    hdr = bytes([0xFF, 0xFB, (br_idx << 4) | (sr_idx << 2), 0xC0 if mono else 0x00])
+    for _ in range(n_frames):
+        out += hdr + bytes(flen - 4)
+    return bytes(out)
+
+
+def _mp4_box(btype: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+
+_MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+
+
+def _walk_mp4(data: bytes, start: int, end: int, out: dict) -> None:
+    pos = start
+    while pos + 8 <= end:
+        (size,) = struct.unpack(">I", data[pos : pos + 4])
+        btype = data[pos + 4 : pos + 8]
+        body, bodyend = pos + 8, pos + size
+        if size == 1:  # 64-bit largesize
+            (size,) = struct.unpack(">Q", data[pos + 8 : pos + 16])
+            body, bodyend = pos + 16, pos + size
+        if size < 8 or bodyend > end:
+            break
+        if btype == b"ftyp":
+            out["brand"] = data[body : body + 4].decode("latin-1")
+        elif btype == b"mvhd":
+            ver = data[body]
+            if ver == 1:
+                ts, dur = struct.unpack(">IQ", data[body + 20 : body + 32])
+            else:
+                ts, dur = struct.unpack(">II", data[body + 12 : body + 20])
+            out["duration_s"] = dur / ts if ts else 0.0
+        elif btype == b"tkhd":
+            ver = data[body]
+            off = body + (84 if ver == 1 else 72)  # matrix end -> width
+            w_fp, h_fp = struct.unpack(">II", data[off + 4 : off + 12])
+            if w_fp and h_fp:
+                out["width"] = w_fp >> 16
+                out["height"] = h_fp >> 16
+        elif btype == b"hdlr":
+            out.setdefault("handlers", []).append(data[body + 8 : body + 12].decode("latin-1"))
+        elif btype == b"stsd":
+            fourcc = data[body + 12 : body + 16].decode("latin-1")
+            h = (out.get("handlers") or ["?"])[-1]
+            out["video_codec" if h == "vide" else "audio_codec"] = fourcc
+        elif btype in _MP4_CONTAINERS:
+            _walk_mp4(data, body, bodyend, out)
+        pos = bodyend
+
+
+def mp4_meta(data: bytes) -> dict:
+    """ISO BMFF box walk: ftyp brand, mvhd duration, per-track tkhd
+    dimensions + hdlr/stsd codecs (v0 and v1 box versions)."""
+    if len(data) < 12 or data[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF (mp4) file")
+    out: dict = {"format": "mp4"}
+    _walk_mp4(data, 0, len(data), out)
+    out.pop("handlers", None)
+    return out
+
+
+def encode_mp4_header(duration_ms: int, width: int = 0, height: int = 0,
+                      video_codec: str = "avc1", audio_codec: str | None = None,
+                      brand: str = "isom") -> bytes:
+    """Minimal valid ISO-BMFF metadata tree (ftyp + moov/mvhd + one trak per
+    codec with tkhd/mdia/hdlr/minf/stbl/stsd) — no mdat; the sample decode
+    is the declared stub."""
+    ftyp = _mp4_box(b"ftyp", brand.encode("latin-1") + struct.pack(">I", 0) + b"isom")
+    mvhd = _mp4_box(
+        b"mvhd",
+        bytes(4) + struct.pack(">IIII", 0, 0, 1000, duration_ms)
+        + struct.pack(">I", 0x00010000) + struct.pack(">H", 0x0100) + bytes(10)
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + bytes(24) + struct.pack(">I", 3),
+    )
+
+    def trak(handler: bytes, fourcc: str, w: int, h: int) -> bytes:
+        tkhd = _mp4_box(
+            b"tkhd",
+            bytes(4) + struct.pack(">IIII", 0, 0, 1, 0) + struct.pack(">I", duration_ms)
+            + bytes(8) + struct.pack(">HHHH", 0, 0, 0x0100 if handler == b"soun" else 0, 0)
+            + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+            + struct.pack(">II", w << 16, h << 16),
+        )
+        mdhd = _mp4_box(b"mdhd", bytes(4) + struct.pack(">IIII", 0, 0, 1000, duration_ms) + struct.pack(">HH", 0x55C4, 0))
+        hdlr = _mp4_box(b"hdlr", bytes(4) + bytes(4) + handler + bytes(12) + b"\x00")
+        entry = struct.pack(">I", 16) + fourcc.encode("latin-1") + bytes(8)
+        stsd = _mp4_box(b"stsd", bytes(4) + struct.pack(">I", 1) + entry)
+        stbl = _mp4_box(b"stbl", stsd)
+        minf = _mp4_box(b"minf", stbl)
+        mdia = _mp4_box(b"mdia", mdhd + hdlr + minf)
+        return _mp4_box(b"trak", tkhd + mdia)
+
+    traks = b""
+    if video_codec:
+        traks += trak(b"vide", video_codec, width, height)
+    if audio_codec:
+        traks += trak(b"soun", audio_codec, 0, 0)
+    return ftyp + _mp4_box(b"moov", mvhd + traks)

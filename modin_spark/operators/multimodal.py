@@ -7,10 +7,14 @@ signatures — is real and tested. Decode is REAL for the two stdlib-
 expressible formats (r7): PNG via zlib inflate + scanline unfilter and WAV
 via the stdlib ``wave`` module (operators/media_codecs.py) back
 ``decode_stub=False`` for image decode / feature extraction / resize and
-audio decode / features. JPEG/MP3/video remain stubbed
+audio decode / features. JPEG/MP3/video PIXEL/SAMPLE decode remains stubbed
 (``decode_stub=True`` produces deterministic fake features) because their
-codecs are not stdlib-expressible; swapping in PIL/torchaudio later only
-changes the inner function body.
+entropy codecs are not stdlib-expressible; swapping in PIL/torchaudio later
+only changes the inner function body. Their HEADER metadata, however, is
+REAL as of r11: jpeg_meta (T.81 marker walk), mp3_meta (MPEG frame-header
+chain + ID3v2 skip), mp4_meta (ISO-BMFF box walk) in media_codecs.py back
+attach_media_meta — dimensions / sample rate / duration / codec, which is
+what a pipeline filters and shards on.
 
 Scale notes: media blobs make rows heavy — mapInPandas with
 spark.sql.execution.arrow.maxRecordsPerBatch tuned low keeps Arrow batches
@@ -21,6 +25,7 @@ bounded; never collect; feature extraction is embarrassingly parallel
 from __future__ import annotations
 
 import hashlib
+from struct import error as struct_error
 from typing import Iterator
 
 import numpy as np
@@ -46,12 +51,26 @@ AUDIO_META = T.StructType(
 )
 
 
+MEDIA_META = T.StructType(
+    [
+        T.StructField("kind", T.StringType()),      # image / audio / video / unknown
+        T.StructField("format", T.StringType()),    # png / jpeg / wav / mp3 / mp4 ...
+        T.StructField("codec", T.StringType()),     # avc1 / mp4a / pcm_s16 / mp3 ...
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("duration_s", T.DoubleType()),
+    ]
+)
+
+
 def attach_image_meta(df: SDF, bin_col: str = "payload") -> SDF:
-    """Parse header fields from the binary. REAL for PNG payloads (IHDR
-    width/height via media_codecs.png_meta in a vectorized pandas_udf);
-    non-PNG payloads get the deterministic content-hash stub so mixed
+    """Parse header fields from the binary. REAL for PNG and JPEG payloads
+    (IHDR / SOF marker walk via media_codecs in a vectorized pandas_udf);
+    other payloads get the deterministic content-hash stub so mixed
     corpora stay testable end-to-end."""
-    from modin_spark.operators.media_codecs import PNG_MAGIC, png_meta
+    from modin_spark.operators.media_codecs import JPEG_MAGIC, PNG_MAGIC, jpeg_meta, png_meta
 
     @F.pandas_udf(IMAGE_META)
     def _meta(payloads: pd.Series) -> pd.DataFrame:
@@ -61,12 +80,72 @@ def attach_image_meta(df: SDF, bin_col: str = "payload") -> SDF:
             if b.startswith(PNG_MAGIC):
                 m = png_meta(b)
                 fmts.append("png"); ws.append(m["width"]); hs.append(m["height"])
+            elif b.startswith(JPEG_MAGIC):
+                m = jpeg_meta(b)
+                fmts.append("jpeg"); ws.append(m["width"]); hs.append(m["height"])
             else:  # stub metadata for non-decodable formats
                 h = zlib_crc32(b)
                 fmts.append("unknown"); ws.append(h % 1920 + 32); hs.append((h >> 8) % 1080 + 32)
         return pd.DataFrame({"format": fmts, "width": ws, "height": hs})
 
     return df.withColumn("meta", _meta(F.col(bin_col)))
+
+
+def attach_media_meta(df: SDF, bin_col: str = "payload") -> SDF:
+    """Unified REAL header-metadata pass over a mixed media corpus: one
+    Arrow-vectorized pandas_udf sniffs the magic bytes and dispatches to the
+    real parsers (png_meta / jpeg_meta / wav_meta / mp3_meta / mp4_meta).
+    This is the 100 TB shard/filter primitive — dimensions, sample rate,
+    duration and codec come straight out of the container headers with no
+    pixel/sample decode, so the pass is scan-speed and embarrassingly
+    parallel (no shuffle). Unparseable payloads yield kind='unknown' rather
+    than failing the batch."""
+    from modin_spark.operators import media_codecs as mc
+
+    @F.pandas_udf(MEDIA_META)
+    def _meta(payloads: pd.Series) -> pd.DataFrame:
+        rows = []
+        for b in payloads:
+            b = bytes(b) if b is not None else b""
+            row = {"kind": "unknown", "format": None, "codec": None,
+                   "width": None, "height": None, "sample_rate": None,
+                   "channels": None, "duration_s": None}
+            try:
+                if b.startswith(mc.PNG_MAGIC):
+                    m = mc.png_meta(b)
+                    row.update(kind="image", format="png",
+                               width=m["width"], height=m["height"])
+                elif b.startswith(mc.JPEG_MAGIC):
+                    m = mc.jpeg_meta(b)
+                    row.update(kind="image", format="jpeg",
+                               codec="jpeg_progressive" if m["progressive"] else "jpeg_baseline",
+                               width=m["width"], height=m["height"])
+                elif b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+                    m = mc.wav_meta(b)
+                    row.update(kind="audio", format="wav", codec=m["codec"],
+                               sample_rate=m["sample_rate"], channels=m["channels"],
+                               duration_s=m["duration_s"])
+                elif len(b) >= 12 and b[4:8] == b"ftyp":
+                    m = mc.mp4_meta(b)
+                    row.update(kind="video" if m.get("video_codec") else "audio",
+                               format="mp4", codec=m.get("video_codec") or m.get("audio_codec"),
+                               width=m.get("width"), height=m.get("height"),
+                               duration_s=m.get("duration_s"))
+                elif b[:3] == b"ID3" or (len(b) >= 2 and b[0] == 0xFF and (b[1] & 0xE0) == 0xE0):
+                    m = mc.mp3_meta(b)
+                    row.update(kind="audio", format="mp3", codec=m["codec"],
+                               sample_rate=m["sample_rate"], channels=m["channels"],
+                               duration_s=m["duration_s"])
+            except (ValueError, NotImplementedError, struct_error):
+                pass
+            rows.append(row)
+        out = pd.DataFrame(rows)
+        for c, dt in (("width", "Int32"), ("height", "Int32"),
+                      ("sample_rate", "Int32"), ("channels", "Int32")):
+            out[c] = out[c].astype(dt)
+        return out
+
+    return df.withColumn("media_meta", _meta(F.col(bin_col)))
 
 
 def zlib_crc32(b: bytes) -> int:

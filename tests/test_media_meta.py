@@ -1,0 +1,125 @@
+"""Round-11 media header metadata: real JPEG (T.81 marker walk), MP3 (MPEG
+frame chain + ID3v2), MP4 (ISO-BMFF box walk) parsers, plus the unified
+attach_media_meta Spark pass over a mixed corpus."""
+
+import struct
+
+import pandas as pd
+import pytest
+
+from modin_spark.operators.media_codecs import (
+    encode_jpeg_header,
+    encode_mp3,
+    encode_mp4_header,
+    encode_png,
+    encode_wav,
+    jpeg_meta,
+    mp3_meta,
+    mp4_meta,
+)
+
+
+# ------------------------------------------------------------------- JPEG
+
+def test_jpeg_meta_baseline_and_progressive():
+    m = jpeg_meta(encode_jpeg_header(320, 240, components=3))
+    assert (m["width"], m["height"], m["components"], m["progressive"]) == (320, 240, 3, False)
+    m = jpeg_meta(encode_jpeg_header(17, 4000, components=1, progressive=True))
+    assert (m["width"], m["height"], m["components"], m["progressive"]) == (17, 4000, 1, True)
+
+
+def test_jpeg_meta_skips_segments_and_fill_bytes():
+    # extra APPn segment + FF fill bytes before a marker are legal
+    b = bytearray(encode_jpeg_header(64, 32, comment=b"hello world"))
+    app1 = b"Exif\x00\x00" + bytes(10)
+    seg = struct.pack(">BBH", 0xFF, 0xE1, len(app1) + 2) + app1
+    b[2:2] = b"\xff" + seg  # fill byte, then APP1, right after SOI
+    m = jpeg_meta(bytes(b))
+    assert (m["width"], m["height"]) == (64, 32)
+
+
+def test_jpeg_meta_rejects_non_jpeg():
+    with pytest.raises(ValueError):
+        jpeg_meta(b"\x89PNG\r\n\x1a\n")
+    with pytest.raises(ValueError):
+        jpeg_meta(b"\xff\xd8\xff\xd9")  # SOI+EOI, no SOF
+
+
+# -------------------------------------------------------------------- MP3
+
+def test_mp3_meta_frame_chain_and_duration():
+    m = mp3_meta(encode_mp3(9, sr_idx=0, br_idx=9))
+    assert m["sample_rate"] == 44100 and m["bitrate_kbps"] == 128
+    assert m["frames"] == 9 and m["channels"] == 2
+    assert m["duration_s"] == pytest.approx(9 * 1152 / 44100)
+
+
+def test_mp3_meta_id3_skip_and_mono():
+    m = mp3_meta(encode_mp3(3, sr_idx=2, br_idx=11, mono=True, id3_pad=777))
+    assert m["sample_rate"] == 32000 and m["channels"] == 1
+    assert m["frames"] == 3 and m["bitrate_kbps"] == 192
+
+
+def test_mp3_meta_resync_before_first_frame():
+    # garbage prefix before the first sync word is tolerated (stream rip)
+    m = mp3_meta(b"\x00\x12\x34" + encode_mp3(2, sr_idx=1))
+    assert m["sample_rate"] == 48000 and m["frames"] == 2
+
+
+def test_mp3_meta_rejects_non_audio():
+    with pytest.raises(ValueError):
+        mp3_meta(b"RIFFxxxxWAVE" + bytes(20))
+
+
+# -------------------------------------------------------------------- MP4
+
+def test_mp4_meta_full_tree():
+    m = mp4_meta(encode_mp4_header(90137, 1920, 1080, "avc1", "mp4a", brand="mp42"))
+    assert m["brand"] == "mp42"
+    assert m["duration_s"] == pytest.approx(90.137)
+    assert (m["width"], m["height"]) == (1920, 1080)
+    assert m["video_codec"] == "avc1" and m["audio_codec"] == "mp4a"
+
+
+def test_mp4_meta_audio_only():
+    m = mp4_meta(encode_mp4_header(2500, video_codec="", audio_codec="mp4a"))
+    assert m["audio_codec"] == "mp4a" and "video_codec" not in m
+    assert "width" not in m  # zero-dim audio tkhd must not report dimensions
+
+
+def test_mp4_meta_rejects_non_bmff():
+    with pytest.raises(ValueError):
+        mp4_meta(bytes(24))
+
+
+# ------------------------------------------------- unified Spark-side pass
+
+def test_attach_media_meta_mixed_corpus(spark):
+    import numpy as np
+
+    from modin_spark.operators.multimodal import attach_media_meta
+
+    rows = [
+        (0, encode_png(np.zeros((4, 6), dtype=np.uint8))),
+        (1, encode_jpeg_header(100, 50, progressive=True)),
+        (2, encode_wav(np.zeros(800), 8000)),
+        (3, encode_mp3(5, sr_idx=0, id3_pad=40)),
+        (4, encode_mp4_header(3000, 320, 240, "avc1", "mp4a")),
+        (5, b"not media at all"),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = (
+        attach_media_meta(df)
+        .select("media_id", "media_meta.*")
+        .toPandas()
+        .set_index("media_id")
+        .sort_index()
+    )
+    assert list(got["kind"]) == ["image", "image", "audio", "audio", "video", "unknown", "unknown"]
+    assert got.loc[0, "width"] == 6 and got.loc[0, "height"] == 4
+    assert got.loc[1, "codec"] == "jpeg_progressive" and got.loc[1, "width"] == 100
+    assert got.loc[2, "sample_rate"] == 8000 and got.loc[2, "duration_s"] == pytest.approx(0.1)
+    assert got.loc[3, "format"] == "mp3" and got.loc[3, "duration_s"] == pytest.approx(5 * 1152 / 44100)
+    assert got.loc[4, "codec"] == "avc1" and got.loc[4, "duration_s"] == pytest.approx(3.0)
+    assert pd.isna(got.loc[5, "format"]) and pd.isna(got.loc[6, "width"])
