@@ -2606,8 +2606,9 @@ class DataFrame:
         Series.value_counts — returning an ENGINE Series. Nothing
         materializes on the driver (distinct row combinations can be ~|rows|
         at 100 TB) and the result chains into further engine ops.
-        Divergence note: pandas wraps even a single-column result in a
-        1-level MultiIndex; ours surfaces a regular Index there."""
+        pandas wraps even a single-column result in a 1-LEVEL MultiIndex
+        (a shape downstream ``.loc`` tuples rely on) — reproduced in the
+        Series materialization layer (r11), not the plan."""
         fr = self._frame
         cols = subset if subset is not None else list(fr.columns)
         pos = fr.positions_of(cols)
@@ -2627,6 +2628,13 @@ class DataFrame:
             out = out.sort_by([F.col(out.data_cols[0])], [ascending])
         s = Series._from_frame(out)
         s._name = lbl
+        if len(pos) == 1:
+            def _one_level_mi(ps: pd.Series) -> pd.Series:
+                ps = ps.copy()
+                ps.index = pd.MultiIndex.from_arrays([ps.index], names=[ps.index.name])
+                return ps
+
+            s._post_to_pandas = _one_level_mi
         return s
 
     def isin(self, values) -> "DataFrame":

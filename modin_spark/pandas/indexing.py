@@ -198,7 +198,37 @@ class LocIndexer:
             self._df[col_key] = value
             return
         if not isinstance(row_key, Series):
-            raise NotImplementedError("loc assignment supports a boolean-Series row mask")
+            # label-keyed update (r11): df.loc[label, col] = v and
+            # df.loc[[l1, l2], col] = v. On a default positional index the
+            # condition keys on the TRUE pandas labels (ORDER values /
+            # post-sort labels_col stash via with_pandas_labels), never
+            # fresh positions. Update-in-place only: a missing label is a
+            # no-op here, not pandas' enlargement.
+            fr = self._df._frame
+            if isinstance(row_key, slice):
+                raise NotImplementedError("loc assignment with a label slice")
+            labels_key = (
+                [k for k in row_key]
+                if isinstance(row_key, (list, np.ndarray, pd.Index))
+                else [row_key]
+            )
+            if fr.index_cols:
+                work = fr
+                lbl = F.col(fr.index_cols[0])
+            else:
+                work = fr.with_pandas_labels("__ll__")
+                lbl = F.col("__ll__")
+                labels_key = [int(k) for k in labels_key]
+            cond = lbl.isin(labels_key)
+            cols = col_key if isinstance(col_key, list) else [col_key]
+            colset = set(fr.positions_of(cols))
+            out_labels = list(fr.columns)
+            exprs = []
+            for i in range(len(out_labels)):
+                base = F.col(work.data_cols[i])
+                exprs.append(F.when(cond, F.lit(value)).otherwise(base) if i in colset else base)
+            self._df._frame = work.project(out_labels, exprs)
+            return
         cols = col_key if isinstance(col_key, list) else [col_key]
         for c in cols:
             cur = self._df[c]

@@ -231,8 +231,17 @@ def read_csv(path: str, sep: str = ",", header: int | str = "infer", names=None,
             kept = txt.sdf.where(~F.col("__rp__").isin([int(i) for i in skiprows]))
         else:
             kept = txt.sdf.where(F.col("__rp__") >= int(skiprows))
-        lines = kept.select(txt.data_cols[0]).rdd.map(lambda r: r[0])
-        sdf = reader.option("inferSchema", True).csv(lines)
+        # JVM-side all the way (r11): hand the kept lines to the Scala
+        # csv(Dataset[String]) overload via a STRING-encoder cast — the old
+        # .rdd.map(lambda) route serialized every line through Python
+        # workers; this keeps header/inferSchema semantics identical with
+        # zero Python in the plan (asserted in tests/test_io.py)
+        from pyspark.sql import DataFrame as _PDF
+
+        jkept = kept.select(F.col(txt.data_cols[0]).alias("value"))._jdf
+        jvm = get_spark()._jvm
+        jds = getattr(jkept, "as")(jvm.org.apache.spark.sql.Encoders.STRING())
+        sdf = _PDF(reader.option("inferSchema", True)._jreader.csv(jds), get_spark())
     else:
         sdf = reader.option("inferSchema", True).csv(path)
     if names is not None:

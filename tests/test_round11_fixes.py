@@ -99,3 +99,62 @@ def test_series_unique_docstring_visible():
     # VERDICT wrong #3: the order-contract note must render in help()
     doc = mpd.Series.unique.__doc__
     assert doc and "FIRST-APPEARANCE" in doc
+
+
+def test_read_csv_skiprows_stays_jvm_side(tmp_path):
+    # VERDICT wrong #1: the skiprows route must not serialize lines through
+    # Python workers — the kept text feeds the Scala csv(Dataset[String])
+    # overload, so no Python stage may appear in the plan or RDD lineage
+    p = tmp_path / "sk.csv"
+    p.write_text("garbage\njunk junk\na,b,c\n1,2,x\n3,4,y\n")
+    got = mpd.read_csv(str(p), skiprows=2)
+    want = pd.read_csv(str(p), skiprows=2)
+    eq_frame(got.to_pandas(), want)
+    jqe = got._frame.sdf._jdf.queryExecution()
+    assert "python" not in jqe.toString().lower()
+    assert "python" not in str(jqe.toRdd().toDebugString()).lower()
+
+
+def test_label_keyed_mutation_after_sort_matches_pandas():
+    # VERDICT wrong #4 ("wave-19 item 2 ghost"): drop(index=) / reindex /
+    # loc assignment keyed on LABELS after sort_values on a filtered frame
+    # must use the true pandas labels, not fresh positions
+    p = pd.DataFrame({"a": [5, 3, 9, 1, 7, 2], "b": list("uvwxyz")})
+    p = p[p.a > 1]                      # filtered: labels gap (0,1,2,4,5)
+    m = mpd.from_pandas(p)
+
+    ps = p.sort_values("a")
+    ms = m.sort_values("a")
+
+    # drop by label after sort
+    eq_frame(ms.drop(index=[0, 4]).to_pandas().reset_index(drop=True),
+             ps.drop(index=[0, 4]).reset_index(drop=True))
+    # reindex by label after sort
+    eq_frame(ms.reindex([5, 2, 0]).to_pandas().reset_index(drop=True),
+             ps.reindex([5, 2, 0]).reset_index(drop=True))
+    # loc read by label after sort
+    assert ms.loc[4, "b"] == ps.loc[4, "b"]
+    # loc assignment by label after sort
+    ps2 = ps.copy()
+    ps2.loc[2, "b"] = "Q"
+    ms2 = m.sort_values("a")
+    ms2.loc[2, "b"] = "Q"
+    eq_frame(ms2.to_pandas().reset_index(drop=True), ps2.reset_index(drop=True))
+
+
+def test_frame_value_counts_single_column_multiindex_shape():
+    # VERDICT wrong #2: pandas wraps even a 1-column subset in a 1-level
+    # MultiIndex — downstream .loc[("x",)] tuples rely on it
+    p = pd.DataFrame({"k": list("xxyz"), "v": [1, 1, 2, 3]})
+    m = mpd.from_pandas(p)
+    rp = p.value_counts(subset=["k"])
+    rm = m.value_counts(subset=["k"]).to_pandas()
+    assert isinstance(rm.index, pd.MultiIndex) and rm.index.nlevels == 1
+    assert rm.index.names == rp.index.names
+    assert rm.loc[("x",)] == rp.loc[("x",)] == 2
+    pd.testing.assert_series_equal(rm, rp, check_dtype=False)
+    # multi-column subset unchanged
+    rp2 = p.value_counts()
+    rm2 = m.value_counts().to_pandas()
+    assert rm2.index.nlevels == 2
+    pd.testing.assert_series_equal(rm2, rp2, check_dtype=False)
