@@ -1067,3 +1067,58 @@ def rolling_time_agg(
     sdf = base.join(agged, ORDER_COL, "left")
     labels = [fr.columns[i] for i in positions]
     return SparkFrame(sdf, pd.Index(labels), out_phys, [ts], [fr.index_names[0]])
+
+
+def grouped_rolling_time_agg(
+    frame: SparkFrame,
+    positions: Sequence[int],
+    duration_us: int,
+    agg: str,
+    min_periods: int = 1,
+    group_phys: list[str] | None = None,
+    closed: str = "right",
+    ts_phys: str | None = None,
+) -> SparkFrame:
+    """groupby().rolling("2h") — offset window WITHIN each group (r11).
+
+    Scale shape: unlike the ungrouped case (bucketized self-join — no
+    natural partitions), the group keys already partition the window, so
+    this is ONE key-partitioned range window (shuffle-parallel, one task
+    per key range, no row duplication). pandas closed= maps to the range
+    bounds in µs: 'right' (t-d, t] -> [-(d-1), 0], 'both' [t-d, t] ->
+    [-d, 0], 'left' [t-d, t) -> [-d, -1], 'neither' -> [-(d-1), -1].
+    ``ts_phys``: the physical timestamp column (rolling ``on=``); defaults
+    to the frame's datetime index."""
+    fr = frame.ensure_order()
+    if ts_phys is None and not fr.index_cols:
+        raise TypeError("time-based rolling requires a DatetimeIndex (or on=)")
+    ts = ts_phys if ts_phys is not None else fr.index_cols[0]
+    d = int(duration_us)
+    lo, hi = {
+        "right": (-(d - 1), 0),
+        "both": (-d, 0),
+        "left": (-d, -1),
+        "neither": (-(d - 1), -1),
+    }[closed]
+    epoch_col = fresh_names(1)[0]
+    sdf = fr.sdf.withColumn(epoch_col, F.unix_micros(F.col(ts).cast("timestamp")))
+    w = (
+        Window.partitionBy(*(group_phys or []))
+        .orderBy(epoch_col)
+        .rangeBetween(lo, hi)
+    )
+    fnmap = {"sum": F.sum, "mean": F.avg, "min": F.min, "max": F.max,
+             "count": F.count, "std": F.stddev_samp, "var": F.var_samp,
+             "median": F.median}
+    if agg not in fnmap:
+        raise NotImplementedError(f"groupby.rolling(time).{agg}")
+    phys = [fr.data_cols[i] for i in positions]
+    labels = [fr.columns[i] for i in positions]
+    out_phys = fresh_names(len(phys))
+    for p, op in zip(phys, out_phys):
+        cnt = F.count(F.col(p)).over(w)
+        sdf = sdf.withColumn(
+            op, F.when(cnt >= int(min_periods), fnmap[agg](F.col(p)).over(w))
+        )
+    out = fr._same_rows(sdf.drop(epoch_col))
+    return out.project(labels, [F.col(op) for op in out_phys])

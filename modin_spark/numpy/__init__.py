@@ -68,6 +68,40 @@ def append(arr, values, axis=None) -> array:
     return _as_arr(arr).append(values, axis)
 
 
+def concatenate(arrays, axis=0, out=None, dtype=None, casting="same_kind") -> array:
+    """np.concatenate: axis=0 chains engine concat (union-all, no shuffle);
+    axis=1 is the aligned column concat. None flattens first like numpy."""
+    if out is not None:
+        raise NotImplementedError("concatenate(out=)")
+    arrs = [_as_arr(a) for a in arrays]
+    if not arrs:
+        raise ValueError("need at least one array to concatenate")
+    first, rest = arrs[0], arrs[1:]
+    if axis is None:
+        first = first.flatten()
+        rest = [a.flatten() for a in rest]
+        axis = 0
+    if axis == 0 and first._ndim == 1:
+        out_a = first
+        for a in rest:
+            out_a = out_a.append(a, axis=0)
+        return out_a
+    if axis in (0, 1) and first._ndim == 2:
+        if axis == 0:
+            out_a = first
+            for a in rest:
+                out_a = out_a.append(a, axis=0)
+            return out_a
+        return first.hstack(rest, dtype=dtype, casting=casting)
+    if axis == 1 and first._ndim == 1:
+        raise ValueError("axis 1 is out of bounds for array of dimension 1")
+    raise NotImplementedError(f"concatenate(axis={axis})")
+
+
+def vstack(tup, dtype=None, casting="same_kind") -> array:
+    return concatenate([_as_arr(a) for a in tup], axis=0)
+
+
 # --------------------------------------------------------------------- logic
 def isscalar(e):
     return not isinstance(e, array) and _np.isscalar(e)

@@ -754,9 +754,11 @@ class DataFrame:
     def limit(self, n: int) -> "DataFrame":
         return self.head(n)
 
-    def _translate_query(self, expr: str, caller_depth: int) -> str:
+    def _translate_query(self, expr: str, caller_depth: int,
+                         local_dict=None, global_dict=None) -> str:
         """pandas query/eval expression -> Spark SQL: ``@var`` locals become
-        literals (caller's frame), backticked and bare labels map to physical
+        literals (caller's frame, or the pandas ``local_dict``/``global_dict``
+        overrides when given), backticked and bare labels map to physical
         columns (index level names and the bare ``index`` token too),
         ``in [a, b]`` list syntax becomes SQL IN, a small ``.str`` method set
         compiles to SQL functions, and ``~`` negates."""
@@ -769,7 +771,10 @@ class DataFrame:
         # 1. @local/global references -> SQL literals
         if "@" in translated:
             f = sys._getframe(caller_depth)
-            scope = {**f.f_globals, **f.f_locals}
+            scope = {
+                **(f.f_globals if global_dict is None else global_dict),
+                **(f.f_locals if local_dict is None else local_dict),
+            }
 
             def lit_sql(v):
                 if isinstance(v, str):
@@ -827,8 +832,12 @@ class DataFrame:
         """pandas.query via Spark SQL — labels resolved to physical columns,
         pandas operators translated (Spark SQL already accepts and/or/==).
         ``engine=`` ('python'/'numexpr') is a pandas EXECUTION hint with no
-        semantic effect — accepted for parity, the plan is Catalyst's."""
-        translated = self._translate_query(expr, caller_depth=2)
+        semantic effect — accepted for parity, the plan is Catalyst's.
+        ``local_dict=``/``global_dict=`` replace the caller's scope for
+        ``@var`` resolution, exactly like pandas."""
+        translated = self._translate_query(
+            expr, caller_depth=2,
+            local_dict=kwargs.get("local_dict"), global_dict=kwargs.get("global_dict"))
         out = DataFrame(_frame=self._frame.filter(F.expr(translated)))
         return self._maybe_inplace(out, inplace)
 
@@ -1926,6 +1935,15 @@ class DataFrame:
                 fr, self._numeric_positions(), x_col=fr.index_cols[-1], limit=limit,
                 limit_direction=limit_direction))
         if method != "linear":
+            if method in ("nearest", "polynomial", "spline", "krogh", "pchip",
+                          "akima", "cubicspline", "barycentric", "quadratic",
+                          "cubic"):
+                # pandas itself requires SciPy for these (ImportError in this
+                # environment) — declared, matching the reference's behavior
+                raise ImportError(
+                    f"interpolate(method={method!r}) requires SciPy (matching "
+                    "pandas, which delegates these methods to scipy.interpolate)"
+                )
             raise NotImplementedError(f"interpolate(method={method!r})")
         return DataFrame(_frame=win.interpolate_linear(self._frame, self._numeric_positions(),
                                                        limit=limit, limit_direction=limit_direction))

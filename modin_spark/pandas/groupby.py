@@ -716,10 +716,12 @@ class DataFrameGroupBy:
         out = qc.groupby_apply(self._df._frame, self._by_pos, func)
         return DataFrame(_frame=out)
 
-    def rolling(self, window: int, min_periods=None, center: bool = False):
+    def rolling(self, window, min_periods=None, center: bool = False,
+                closed=None, on=None):
         from modin_spark.pandas.window import GroupRolling
 
-        return GroupRolling(self, window, min_periods, center=center)
+        return GroupRolling(self, window, min_periods, center=center,
+                            closed=closed, on=on)
 
     def ewm(self, com=None, span=None, halflife=None, alpha=None, adjust=True,
             min_periods=0):

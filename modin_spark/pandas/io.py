@@ -550,7 +550,16 @@ def read_feather(path, columns=None, **kw) -> DataFrame:
 
 
 def json_normalize(data, **kw) -> DataFrame:
-    return from_pandas(pd.json_normalize(data, **kw))
+    pdf = pd.json_normalize(data, **kw)
+    # ragged records leave float-NaN holes in object columns that otherwise
+    # hold lists — Spark can't merge ArrayType with DoubleType, so missing
+    # entries become proper nulls before ingest
+    for c in pdf.columns:
+        if pdf[c].dtype == object:
+            s = pdf[c]
+            if s.map(lambda v: isinstance(v, (list, tuple))).any():
+                pdf[c] = s.map(lambda v: list(v) if isinstance(v, (list, tuple)) else None)
+    return from_pandas(pdf)
 
 
 def from_arrow(table) -> DataFrame:

@@ -7,6 +7,12 @@ from __future__ import annotations
 from modin_spark.core import windows as win
 from modin_spark.pandas.series import Series
 
+
+def _pd_index_prepend(label, idx):
+    import pandas as _pd
+
+    return _pd.Index([label] + list(idx))
+
 _ROLL = ["sum", "mean", "min", "max", "count", "std", "var", "median", "sem", "skew", "kurt"]
 _EXP = ["sum", "mean", "min", "max", "count", "std", "var", "sem", "skew", "kurt"]
 
@@ -361,11 +367,27 @@ class GroupRolling:
     rolling; the group keys already partition the window, so no halo is
     needed)."""
 
-    def __init__(self, g, window: int, min_periods=None, center: bool = False):
+    def __init__(self, g, window, min_periods=None, center: bool = False,
+                 closed=None, on=None):
         self._g = g
         self._window = window
         self._min_periods = min_periods
         self._center = center
+        self._closed = closed
+        self._on = on
+
+    def __getitem__(self, key):
+        # column narrowing: df.groupby(k).rolling(...)[col]
+        from modin_spark.pandas.groupby import DataFrameGroupBy
+
+        g = self._g
+        g2 = DataFrameGroupBy(g._df, g._by_labels, g._as_index, g._dropna, g._sort)
+        g2._value_labels = list(key) if isinstance(key, list) else [key]
+        r = GroupRolling(g2, self._window, self._min_periods,
+                         center=self._center, closed=self._closed, on=self._on)
+        if not isinstance(key, list):
+            r._as_series = True
+        return r
 
     def _run(self, agg: str):
         from modin_spark.pandas.dataframe import DataFrame
@@ -373,10 +395,42 @@ class GroupRolling:
         fr = self._g._df._frame
         keys = [fr.data_cols[i] for i in self._g._by_pos]
         vals = self._g._value_positions(numeric_only=True)
-        out = win.rolling_agg(fr, [i for _, i in vals], self._window, agg, self._min_periods,
-                              group_phys=keys, center=self._center)
-        nf = _group_window_finish(self._g, fr, out)
-        if getattr(self, "_as_series", False) and len(nf.data_cols) == 1:
+        on_pos = fr.positions_of([self._on])[0] if self._on is not None else None
+        val_pos = [i for _, i in vals if i != on_pos]
+        as_series = getattr(self, "_as_series", False)
+        if isinstance(self._window, str):
+            # offset window within each group: ONE key-partitioned range
+            # window (the keys already partition — no self-join needed)
+            import pandas as _pd
+
+            if self._center:
+                raise NotImplementedError("center=True with an offset window")
+            dur_us = int(_pd.Timedelta(self._window).value // 1000)
+            mp = self._min_periods if self._min_periods is not None else 1
+            ts_phys = fr.data_cols[on_pos] if on_pos is not None else None
+            out = win.grouped_rolling_time_agg(
+                fr, val_pos, dur_us, agg, mp,
+                group_phys=keys, closed=self._closed or "right",
+                ts_phys=ts_phys)
+            if on_pos is not None:
+                if as_series:
+                    # narrowed Series keeps (keys..., on) as the index
+                    base2 = fr._same_rows(fr.sdf, index_cols=[ts_phys],
+                                          index_names=[self._on])
+                    return Series._from_frame(_group_window_finish(self._g, base2, out))
+                # frame shape keeps `on` as the FIRST column (pandas)
+                out = out._same_rows(
+                    out.sdf,
+                    columns=_pd_index_prepend(self._on, out.columns),
+                    data_cols=[ts_phys] + list(out.data_cols),
+                )
+            nf = _group_window_finish(self._g, fr, out)
+        else:
+            out = win.rolling_agg(fr, val_pos, self._window, agg,
+                                  self._min_periods, group_phys=keys,
+                                  center=self._center, closed=self._closed)
+            nf = _group_window_finish(self._g, fr, out)
+        if as_series and len(nf.data_cols) == 1:
             return Series._from_frame(nf)
         return DataFrame(_frame=nf)
 
