@@ -2164,47 +2164,44 @@ def _q22_global_sales(spark, sf):
 # ---------------------------------------------------------------------------
 
 # The driver scores a PREFIX of queries() (50 entries since r2). Ordering is
-# therefore a rotation schedule. Round-9 prefix (the r8 driver run was not
-# recorded, so the r8-changed rows stay front-loaded too): (a) the one
-# never-scored query (apply_axis0_mi_reshape), (b) rows whose machinery
-# changed in r9 — the over-cap STAR-expansion bucket guard in
-# minhash/simhash/ngram/cosine dedup (oracles replay the new semantics),
-# the transpose budget raise, and the probe-wave-10 fixes (cut edge
-# padding, corr min_periods, sort_index level/ascending, reset_index
-# names, astype errors=ignore, replace regex, insert allow_duplicates,
-# to_datetime mixed), (c) rows whose machinery changed in r8 (apply-axis0
-# any-nlevels reshape + sampling guard, hex pivot keys, fwf NA tokens,
-# kwarg fixes), then (d) the stalest green rows — last driver-scored
-# r2/r3: the TPC-H tail and the groupby/corpus families. All 50 are
-# oracle-backed (contract test: 0 no-oracle allowed). Every entry is still
-# checked locally every round via tools/check_entry.py regardless of
-# position.
-_R10_PREFIX = [
-    # (a) round-10 new machinery: reset_index positional labels (blocked
-    # global position into ORDER), distributed frame value_counts, blocked
-    # ngroup numbering
-    "reset_index_roundtrip", "frame_value_counts", "ngroup_labels",
-    "numpy_zscore", "sort_labels_roundtrip",
-    # (b) machinery touched in r10 (crosstab normalize path, str affix) +
-    # the two stalest green rows (last scored r2)
-    "crosstab_counts", "str_funcs", "value_counts", "sql_interface",
-    # (c) stalest green rows: r3/r5, then the full r6-scored family
-    "docs_jaccard_pairs", "emb_brute_topk",
-    "q6_forecast_revenue", "where_clip",
-    "anti_join_customers", "asof_join", "asof_nearest",
-    "docs_chunk_windows", "docs_decontaminate", "docs_domain_cap",
-    "docs_mixture_sample", "docs_pack_sequences", "docs_paragraph_dedup",
-    "docs_pii_scrub", "docs_repetition", "docs_shard_layout",
-    "docs_stratified_sample", "docs_topk_ngrams", "emb_ivf_exhaustive",
-    "emb_label_centroids", "emb_quality_filter", "ewm_mean",
-    "expanding_median_p90", "mode_quantity", "multimodal_features",
-    "pct_change_value", "q14_promo_revenue", "q8_market_share",
-    "rank_frame", "rank_min", "resample_ffill", "resample_hourly",
-    "resample_interp", "rolling_corr_pair", "rolling_mean",
-    "rolling_time_sum", "shift_diff", "win_weighted_var",
-    # (d) start of the r7-scored family
-    "case_when", "concat_cols_aligned", "concat_union", "cube_agg",
-    "cumsum_by_group",
+# therefore a rotation schedule. Round-11 prefix: (a) the never-scored
+# multimodal_media_meta (new JPEG/MP3/MP4 header codecs) + its media family,
+# (b) rows whose machinery changed in r11 (value_counts materialization,
+# reset_index naming, labels machinery, numpy module, window module, csv IO
+# route), (c) the stalest green rows — the full r7-scored family (TPC-H
+# head, groupby/dedup/ANN tails), then (d) the start of the r9-scored
+# transpose/apply-axis0 family. All oracle-backed (contract test: 0
+# no-oracle allowed). Every entry is still checked locally every round via
+# tools/check_entry.py regardless of position.
+_R11_PREFIX = [
+    # (a) round-11 new machinery: JPEG/MP3/MP4 header codecs behind
+    # attach_media_meta (never scored), plus the rest of the media family
+    "multimodal_media_meta", "multimodal_png_stats", "multimodal_features",
+    # (b) rows whose machinery changed in r11: Series materialization
+    # (1-level MultiIndex for single-key frame value_counts), reset_index
+    # naming (level_0 collision), the labels machinery now also consumed by
+    # label-keyed loc assignment, numpy module (concatenate/vstack), the
+    # window module (grouped offset rolling), the csv IO route (JVM-side
+    # skiprows — excel/fwf are the nearest ingest rows)
+    "frame_value_counts", "value_counts", "reset_index_roundtrip",
+    "sort_labels_roundtrip", "numpy_zscore", "rolling_mean",
+    "rolling_time_sum", "excel_ingest", "fwf_ingest",
+    # (c) stalest green rows — the full r7-scored family (last driver-scored
+    # round 7: TPC-H head, groupby/dedup/ANN tails)
+    "cube_agg", "cumsum_by_group", "merge_left_fillna",
+    "q5_nation_revenue", "q2_min_cost_supplier", "q9_profit_by_nation",
+    "q10_returned_revenue", "q13_order_distribution", "distinct_dedup",
+    "get_dummies_sum", "groupby_multi_agg", "groupby_nunique",
+    "q1_pricing_summary", "q3_top_orders", "docs_exact_dedup",
+    "filter_project", "groupby_idxmax", "groupby_median_quantile",
+    "iloc_slice", "isin_filter", "sort_topk", "docs_token_stats",
+    "dot_product", "docs_norm_distinct", "emb_lsh_topk", "emb_ivf_topk",
+    "emb_lsh_recall", "emb_ivf_recall",
+    # (d) start of the r9-scored family (transpose/apply-axis0/multiindex)
+    "transpose_wide_roundtrip", "transpose_mixed", "apply_axis0_strings",
+    "apply_axis0_vcounts", "apply_axis0_mi_reshape", "apply_axis0_zscore",
+    "transpose_agg", "transpose_multiindex_roundtrip", "multiindex_cols_agg",
+    "concat_dup_labels",
 ]
 
 
@@ -2355,7 +2352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_jaccard_pairs": _docs_jaccard_pairs,
         "emb_brute_topk": _emb_brute_topk,
     }
-    ordered = {k: all_q[k] for k in _R10_PREFIX}
+    ordered = {k: all_q[k] for k in _R11_PREFIX}
     ordered.update({k: v for k, v in all_q.items() if k not in ordered})
     return ordered
 

@@ -213,9 +213,17 @@ def merge_asof(
     return DataFrame(_frame=out)
 
 
-def merge_ordered(left, right, on=None, how="outer", suffixes=("_x", "_y")):
-    """pandas.merge_ordered: outer join + sort by key."""
-    return left.merge(right, on=on, how=how, suffixes=suffixes, sort=True)
+def merge_ordered(left, right, on=None, how="outer", suffixes=("_x", "_y"),
+                  fill_method=None):
+    """pandas.merge_ordered: outer join + sort by key.
+    ``fill_method='ffill'`` forward-fills the join-introduced gaps along the
+    merged order (the engine's block+halo ffill — no global window)."""
+    out = left.merge(right, on=on, how=how, suffixes=suffixes, sort=True)
+    if fill_method is None:
+        return out
+    if fill_method != "ffill":
+        raise NotImplementedError(f"merge_ordered(fill_method={fill_method!r})")
+    return out.ffill()
 
 
 def range_join(left, right, left_on, right_lo, right_hi, how="inner", bucket_width=None):

@@ -79,6 +79,13 @@ class DataFrame:
     def index(self):
         return self.to_pandas().index
 
+    @index.setter
+    def index(self, value):
+        # pandas axis-metadata assignment: df.index = labels. Same machinery
+        # as set_axis(axis=0) — the labels ride in as index columns zipped by
+        # position, no shuffle beyond the position derivation.
+        self._frame = self.set_axis(list(value), axis=0)._frame
+
     def __len__(self) -> int:
         return self._frame.count_rows()
 
@@ -2094,7 +2101,41 @@ class DataFrame:
                     spec.append((lbl, fr.positions_of([v])[0], fn, {}))
             out = qc.groupby_agg(fr, fr.positions_of(index), spec,
                                  as_index=True, dropna=dropna, sort=sort)
-            return DataFrame(_frame=out)
+            result = DataFrame(_frame=out)
+            if margins:
+                # the All row aggregates the RAW data (pandas: a margin mean
+                # is the mean of all cells, not of the cell means): ONE tiny
+                # global aggregate job, unioned under a stringified index so
+                # the margins_name label coexists with any key dtype
+                _gmap = {"sum": F.sum, "mean": F.avg, "min": F.min, "max": F.max,
+                         "count": F.count, "median": F.median,
+                         "std": F.stddev_samp, "var": F.var_samp}
+                exprs = []
+                for k, (lbl, pos, fn, _) in enumerate(spec):
+                    if not isinstance(fn, str) or fn not in _gmap:
+                        raise NotImplementedError(f"pivot_table margins with aggfunc {fn!r}")
+                    exprs.append(_gmap[fn](F.col(fr.data_cols[pos])).alias(f"__m{k}__"))
+                if len(index) > 1:
+                    raise NotImplementedError("pivot_table margins with a multi-level index")
+                mrow = fr.sdf.agg(*exprs).collect()[0]
+                margin_pd = pd.DataFrame(
+                    [[mrow[f"__m{k}__"] for k in range(len(spec))]],
+                    columns=result._frame.columns,
+                    index=pd.Index([margins_name], name=index[0]))
+                # the body STAYS distributed: stringify the key level when
+                # needed (pandas' margins index is object dtype anyway) and
+                # union-all the one-row All frame — no shuffle, no collect
+                key_dtype = str(fr.dtype_of(fr.positions_of(index)[0]))
+                if not key_dtype.startswith(("object", "str")):
+                    bfr = result._frame
+                    idxp = bfr.index_cols[0]
+                    result = DataFrame(_frame=bfr._same_rows(
+                        bfr.sdf.withColumn(idxp, F.col(idxp).cast("string"))))
+                from modin_spark.pandas.general import concat as _concat
+                from modin_spark.pandas.io import from_pandas as _fp
+
+                return _concat([result, _fp(margin_pd)])
+            return result
         idx_phys = [fr.data_cols[i] for i in fr.positions_of(index)]
         columns_list = columns if isinstance(columns, list) else [columns]
         if len(columns_list) > 1:
@@ -4180,7 +4221,13 @@ class _ScalarIndexer:
         return sub.to_pandas()[col].iloc[0]
 
     def __setitem__(self, key, value):
-        raise NotImplementedError("at/iat assignment: use loc/setitem")
+        # single-cell write: route to the label/positional conditional
+        # projection (r11 — loc now supports scalar-label assignment)
+        row, col = key
+        if self._positional:
+            self._df.iloc[row, col] = value
+        else:
+            self._df.loc[row, col] = value
 
 
 def _df_map(self, func, na_action=None):

@@ -171,10 +171,14 @@ def get_dummies(data, columns=None, prefix=None, prefix_sep="_", dtype="int64",
     return out
 
 
-def cut(x: Series, bins, labels=None, right: bool = True, include_lowest: bool = False) -> Series:
+def cut(x: Series, bins, labels=None, right: bool = True, include_lowest: bool = False,
+        retbins: bool = False) -> Series:
     """Fixed-width binning as a when-chain (JVM-side; no UDF).
     ``include_lowest``: the first right-closed bin also admits its left edge
-    (pandas renders its label with the exact edge; codes are unaffected)."""
+    (pandas renders its label with the exact edge; codes are unaffected).
+    ``retbins=True`` returns ``(result, edges ndarray)`` like pandas — the
+    edges are already driver-side scalars (one min/max agg for int bins), so
+    this adds no extra job."""
     if isinstance(bins, int):
         mn, mx = x.min(), x.max()
         step = (mx - mn) / bins
@@ -224,6 +228,10 @@ def cut(x: Series, bins, labels=None, right: bool = True, include_lowest: bool =
             out._post_to_pandas = _post
         except (TypeError, ValueError):
             pass  # non-numeric edges: keep string labels
+    if retbins:
+        import numpy as _np
+
+        return out, _np.asarray(edges, dtype="float64")
     return out
 
 
@@ -330,8 +338,9 @@ def unique(s: Series):
     return s.unique()
 
 
-def pivot_table(data: DataFrame, values=None, index=None, columns=None, aggfunc="mean") -> DataFrame:
-    return data.pivot_table(values=values, index=index, columns=columns, aggfunc=aggfunc)
+def pivot_table(data: DataFrame, values=None, index=None, columns=None, aggfunc="mean",
+                **kw) -> DataFrame:
+    return data.pivot_table(values=values, index=index, columns=columns, aggfunc=aggfunc, **kw)
 
 
 def melt(frame: DataFrame, **kw) -> DataFrame:
@@ -359,10 +368,11 @@ def merge_asof(
                  suffixes=suffixes, tolerance=tolerance, allow_exact_matches=allow_exact_matches)
 
 
-def merge_ordered(left: DataFrame, right: DataFrame, on=None, how="outer", suffixes=("_x", "_y")) -> DataFrame:
+def merge_ordered(left: DataFrame, right: DataFrame, on=None, how="outer",
+                  suffixes=("_x", "_y"), fill_method=None) -> DataFrame:
     from modin_spark.operators.joins import merge_ordered as _mo
 
-    return _mo(left, right, on=on, how=how, suffixes=suffixes)
+    return _mo(left, right, on=on, how=how, suffixes=suffixes, fill_method=fill_method)
 
 
 def wide_to_long(df: DataFrame, stubnames, i, j, sep: str = "", suffix: str = r"\d+") -> DataFrame:

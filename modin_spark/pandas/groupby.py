@@ -336,11 +336,16 @@ class DataFrameGroupBy:
 
         return DataFrame(_frame=self._window_transform(b))
 
-    def shift(self, periods=1):
+    def shift(self, periods=1, freq=None, fill_value=None):
         from modin_spark.pandas.dataframe import DataFrame
+
+        if freq is not None:
+            raise NotImplementedError("groupby.shift(freq=)")
 
         def b(c, keys):
             w = Window.partitionBy(*keys).orderBy(ORDER_COL)
+            if fill_value is not None:
+                return F.lag(c, periods, fill_value).over(w)
             return F.lag(c, periods).over(w)
 
         return DataFrame(_frame=self._window_transform(b))
