@@ -754,6 +754,20 @@ def _rolling_time_sum(spark, sf):
     return df.select("ts", F.round("r_sum", 2).alias("r_sum"))
 
 
+def _grouped_rolling_time(spark, sf):
+    """groupby().rolling("30min", on=) — offset window WITHIN each group
+    (r11, core/windows.py:grouped_rolling_time_agg). Unlike the ungrouped
+    bucketized self-join, this is ONE key-partitioned range window: the
+    group keys partition the data, so it's shuffle-parallel with no row
+    duplication. closed='both' matches DuckDB's RANGE inclusive bounds."""
+    mpd = _mpd()
+    ev = mpd.read_parquet(f"{sf}/events.parquet")
+    r = ev.groupby("event_type").rolling("30min", on="ts", closed="both")["value"].sum()
+    out = r.to_frame("r_sum").reset_index()
+    df = out.to_spark(ordered=False)
+    return df.select("event_type", "ts", F.round("r_sum", 2).alias("r_sum"))
+
+
 def _docs_token_stats(spark, sf):
     from modin_spark.operators.text import token_count
 
@@ -2185,7 +2199,7 @@ _R11_PREFIX = [
     # skiprows — excel/fwf are the nearest ingest rows)
     "frame_value_counts", "value_counts", "reset_index_roundtrip",
     "sort_labels_roundtrip", "numpy_zscore", "rolling_mean",
-    "rolling_time_sum", "excel_ingest", "fwf_ingest",
+    "rolling_time_sum", "grouped_rolling_time", "excel_ingest", "fwf_ingest",
     # (c) stalest green rows — the full r7-scored family (last driver-scored
     # round 7: TPC-H head, groupby/dedup/ANN tails)
     "cube_agg", "cumsum_by_group", "merge_left_fillna",
@@ -2253,6 +2267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_mean": _rolling_mean,
         "rolling_corr_pair": _rolling_corr_pair,
         "rolling_time_sum": _rolling_time_sum,
+        "grouped_rolling_time": _grouped_rolling_time,
         "ewm_mean": _ewm_mean,
         "expanding_median_p90": _expanding_median_p90,
         "q8_market_share": _q8_market_share,
@@ -2696,6 +2711,13 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(value) OVER (ORDER BY ts
                      RANGE BETWEEN INTERVAL 10 MINUTES PRECEDING AND CURRENT ROW), 2) AS r_sum
             FROM events
+        """,
+        "grouped_rolling_time": """
+            SELECT event_type, ts,
+                   ROUND(SUM(value) OVER (PARTITION BY event_type ORDER BY ts
+                     RANGE BETWEEN INTERVAL 30 MINUTES PRECEDING AND CURRENT ROW), 2) AS r_sum
+            FROM events
+            WHERE event_type IS NOT NULL
         """,
         "docs_clean_corpus": """
             WITH t AS (
