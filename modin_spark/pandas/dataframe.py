@@ -4059,10 +4059,34 @@ class DataFrame:
 
     def transform(self, func):
         """Shape-preserving transform: named/elementwise funcs stay JVM-side
-        via map; arbitrary callables use the apply path."""
+        (method dispatch — abs/sqrt/cumsum/... are Catalyst projections);
+        arbitrary callables use the Arrow map path; a LIST yields pandas'
+        (column, func) MultiIndex columns via one aligned axis-1 concat."""
+        if isinstance(func, list):
+            from modin_spark.pandas.general import concat as _concat
+
+            parts = []
+            for fn in func:
+                name = fn if isinstance(fn, str) else getattr(fn, "__name__", str(fn))
+                part = self.transform(fn)
+                part.columns = pd.MultiIndex.from_tuples([(c, name) for c in self.columns])
+                parts.append(part)
+            out = _concat(parts, axis=1)
+            # pandas orders (col, fn) pairs column-major
+            order = [(c, (fn if isinstance(fn, str) else getattr(fn, "__name__", str(fn))))
+                     for c in self.columns for fn in func]
+            return out[order] if len(func) > 1 else out
+        if isinstance(func, str):
+            if hasattr(self, func) and callable(getattr(self, func)):
+                return getattr(self, func)()
+            import numpy as _np
+
+            if hasattr(_np, func):
+                return self.map(getattr(_np, func))
+            raise NotImplementedError(f"transform({func!r})")
         if callable(func):
             return self.map(func)
-        raise NotImplementedError("transform(str): call the method directly")
+        raise NotImplementedError(f"transform({type(func).__name__})")
 
     def combine(self, other: "DataFrame", func, fill_value=None) -> "DataFrame":
         # arbitrary python column-merge function — declared driver fallback

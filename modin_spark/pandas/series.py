@@ -536,6 +536,11 @@ class Series:
         return self._map1(lambda c: F.coalesce(ops[inclusive](c), F.lit(False)))
 
     def where(self, cond: "Series", other=None) -> "Series":
+        # pandas accepts callables for cond/other (applied to self)
+        if callable(cond) and not isinstance(cond, Series):
+            cond = cond(self)
+        if callable(other) and not isinstance(other, Series):
+            other = other(self)
         target, le, ce, refs = self._combine(cond)
         oe = other._expr if isinstance(other, Series) else _lit(other)
         if isinstance(other, Series):
@@ -1105,7 +1110,10 @@ class Series:
     # ------------------------------------------------------------------ UDF
     def map(self, arg, na_action=None) -> "Series":
         if na_action == "ignore" and not isinstance(arg, dict):
-            mapped = self.map(arg)
+            # guard INSIDE the UDF too: the callable must never see a null
+            # (a bare .upper() lambda would throw in the Python worker)
+            safe = lambda v, _f=arg: None if pd.isna(v) else _f(v)
+            mapped = self.apply(safe)
             target, me, se, refs = mapped._combine(self)
             return Series(target, F.when(se.isNotNull(), me), refs, self._name)
         if isinstance(arg, dict):
