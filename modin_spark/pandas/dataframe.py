@@ -1422,7 +1422,15 @@ class DataFrame:
 
     kurtosis = kurt
 
-    def any(self, axis=0) -> pd.Series:
+    def _bool_only(self) -> "DataFrame":
+        fr = self._frame
+        keep = [fr.columns[i] for i in range(len(fr.columns))
+                if fr.dtype_of(i).startswith("bool")]
+        return self[keep]
+
+    def any(self, axis=0, bool_only=False, **kw) -> pd.Series:
+        if bool_only:
+            return self._bool_only().any(axis=axis)
         if axis in (1, "columns"):
             fr = self._frame
             e = F.lit(False)
@@ -1431,7 +1439,9 @@ class DataFrame:
             return Series(fr, e, set(fr.data_cols), None)
         return self._reduce_frame("any", numeric_only=False)
 
-    def all(self, axis=0) -> pd.Series:
+    def all(self, axis=0, bool_only=False, **kw) -> pd.Series:
+        if bool_only:
+            return self._bool_only().all(axis=axis)
         if axis in (1, "columns"):
             fr = self._frame
             e = F.lit(True)
@@ -3138,26 +3148,46 @@ class DataFrame:
         row = j.agg(F.coalesce(F.bool_and(both & allc), F.lit(True)).alias("eq")).collect()[0]
         return bool(row["eq"])
 
-    def compare(self, other: "DataFrame") -> "DataFrame":
+    def compare(self, other: "DataFrame", align_axis=1, keep_shape: bool = False,
+                keep_equal: bool = False) -> "DataFrame":
         """Cell differences — position-join, keep rows with any difference,
-        emit (col_self, col_other) pairs like pandas ``compare``."""
-        a, b = self._frame.with_global_position("__pa__"), other._frame.with_global_position("__pb__")
+        emit (col_self, col_other) pairs like pandas ``compare``. pandas also
+        DROPS all-equal columns (unless keep_shape) — which columns differ is
+        decided by one tiny k-boolean aggregate (column METADATA by
+        definition, k = ncols), then the narrowed projection runs
+        distributed. The result keeps the ORIGINAL row labels."""
+        if align_axis not in (1, "columns"):
+            raise NotImplementedError("compare(align_axis=0)")
+        a = self._frame.with_pandas_labels("__pa__")
+        b = other._frame.with_pandas_labels("__pb__")
         bsel = b.sdf.select(F.col("__pb__"), *[F.col(p).alias(f"__r_{i}") for i, p in enumerate(b.data_cols)])
         j = a.sdf.join(bsel, a.sdf["__pa__"] == bsel["__pb__"], "inner")
         diffs = [~a.sdf[p].eqNullSafe(F.col(f"__r_{i}")) for i, p in enumerate(a.data_cols)]
         any_diff = diffs[0]
         for d in diffs[1:]:
             any_diff = any_diff | d
-        j = j.where(any_diff)
+        if keep_shape:
+            keep_idx = list(range(len(a.data_cols)))
+        else:
+            j = j.where(any_diff)
+            flags = j.agg(*[F.max(d.cast("int")).alias(f"__d{i}") for i, d in enumerate(diffs)]).collect()
+            row0 = flags[0] if flags else None
+            keep_idx = [i for i in range(len(a.data_cols))
+                        if row0 is not None and (row0[f"__d{i}"] or 0) > 0]
         out_labels, exprs = [], []
-        for i, (lbl, p) in enumerate(zip(a.columns, a.data_cols)):
+        for i in keep_idx:
+            lbl, p = a.columns[i], a.data_cols[i]
             out_labels += [(lbl, "self"), (lbl, "other")]
-            exprs += [
-                F.when(diffs[i], a.sdf[p]),
-                F.when(diffs[i], F.col(f"__r_{i}")),
-            ]
-        fr = SparkFrame(j.withColumn(ORDER_COL, F.col("__pa__")), pd.Index(["dummy"]), [a.data_cols[0]], [], [None])
-        return DataFrame(_frame=fr.project(out_labels, exprs))
+            if keep_equal:
+                exprs += [a.sdf[p], F.col(f"__r_{i}")]
+            else:
+                exprs += [F.when(diffs[i], a.sdf[p]), F.when(diffs[i], F.col(f"__r_{i}"))]
+        fr = SparkFrame(j.withColumn(ORDER_COL, F.col("__pa__")), pd.Index(["dummy"]),
+                        [a.data_cols[0]], ["__pa__"], [None])
+        out = fr.project(out_labels, exprs)
+        # the label level rides as the index; expose it pandas-style (plain
+        # unnamed index of original labels)
+        return DataFrame(_frame=out)
 
     # ------------------------------------------------------------------ UDF
     def apply(self, func, axis=0, raw=False, result_type=None, args=(), **kwds):

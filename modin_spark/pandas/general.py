@@ -146,6 +146,9 @@ def get_dummies(data, columns=None, prefix=None, prefix_sep="_", dtype="int64",
     (reference: qc get_dummies via column-axis pivot, qc:4643).
     ``drop_first`` drops the first (sorted) category per column;
     ``dummy_na`` appends an is-null indicator column."""
+    # pandas: a bare Series without prefix= yields UNPREFIXED category
+    # columns; frames always prefix with the source column name
+    bare_series = isinstance(data, Series) and prefix is None
     if isinstance(data, Series):
         data = data.to_frame()
     fr = data._frame
@@ -158,7 +161,7 @@ def get_dummies(data, columns=None, prefix=None, prefix_sep="_", dtype="int64",
         cats = [r[0] for r in fr.sdf.select(phys).where(F.col(phys).isNotNull()).distinct().orderBy(phys).collect()]
         if drop_first:
             cats = cats[1:]
-        pre = (prefix or str(col)) + prefix_sep
+        pre = "" if bare_series else (prefix or str(col)) + prefix_sep
         for cat in cats:
             out = out.assign(**{f"{pre}{cat}": None})
             s = Series(out._frame, F.coalesce((F.col(phys) == F.lit(cat)).cast("long"), F.lit(0)), {phys}, None)

@@ -657,7 +657,12 @@ class Series:
             return pd.Timedelta(val)  # pandas scalar, pandas repr
         return val
 
-    def sum(self, skipna=True, **kw):
+    def sum(self, skipna=True, min_count=0, **kw):
+        if min_count and int(min_count) > 0:
+            # pandas: fewer than min_count valid values -> NaN (one extra
+            # tiny count job, only on this rare kwarg)
+            if self._reduce("count", skipna=True) < int(min_count):
+                return float("nan")
         return self._reduce("sum", skipna=skipna)
 
     def mean(self, skipna=True, **kw):
@@ -1273,7 +1278,9 @@ class StringMethods:
         result string itself; NaN elements are skipped, pandas-style)."""
         if others is not None:
             if isinstance(others, Series):
-                return self._s._binary(others, lambda a, b: F.concat_ws(sep, a, b))
+                # pandas propagates NULL if EITHER side is null (na_rep=None
+                # default) — F.concat does that; concat_ws would skip nulls
+                return self._s._binary(others, lambda a, b: F.concat(a, F.lit(sep), b))
             raise NotImplementedError("str.cat others must be a Series")
         fr = self._s._to_frame("__t__").ensure_order()
         v = fr.scol(0)
