@@ -312,12 +312,18 @@ def rolling_quantile(frame, positions, window, q, min_periods=None, group_phys=N
     return rolling_agg(frame, positions, window, "quantile", min_periods, group_phys, q=q, center=center)
 
 
-def rolling_apply(frame, positions, window, func, min_periods=None, center=False):
+def rolling_apply(frame, positions, window, func, min_periods=None, center=False,
+                  raw=False):
     """rolling(w).apply(func) — collect_list over the block-halo window, then
     one Arrow-vectorized pandas_udf over the window arrays (the documented
-    slow path; every built-in agg should use rolling_agg instead). Inside the
-    udf the batch's windows are stacked into ONE (n, w) matrix so a
-    numpy-reducible ``func`` runs once per batch, not once per row."""
+    slow path; every built-in agg should use rolling_agg instead).
+
+    pandas semantics (r11): func sees the window INCLUDING NaN cells (nulls
+    are NaN-coded before collect_list, which would otherwise drop them);
+    ``min_periods`` gates on the NON-NaN count; ``raw=False`` (the pandas
+    default) hands func a pandas Series per window, ``raw=True`` an ndarray.
+    With raw=True, NaN-free full windows are stacked into ONE (n, w) matrix
+    so a numpy-reducible func runs once per batch, not once per row."""
     import numpy as np
     from pyspark.sql import types as T
 
@@ -329,27 +335,26 @@ def rolling_apply(frame, positions, window, func, min_periods=None, center=False
         n = len(arrs)
         if n == 0:
             return pd.Series([], dtype="float64")
-        lens = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=n)
-        full = lens == window
+        rows = [np.asarray(a, dtype="float64") for a in arrs]
+        nns = np.fromiter(((~np.isnan(r)).sum() for r in rows), dtype=np.int64, count=n)
         out = np.full(n, np.nan)
-        # full windows: one (m, w) matrix; func applied along axis=1 when it
-        # supports it (numpy reducers), else a tight per-row loop
-        if full.any():
-            M = np.asarray(
-                [np.asarray(arrs.iloc[i], dtype="float64") for i in np.nonzero(full)[0]]
-            )
-            nn = (~np.isnan(M)).sum(axis=1)
-            try:
-                vals = np.asarray(func(M, axis=1), dtype="float64")
-                if vals.shape != (M.shape[0],):
-                    raise TypeError
-            except Exception:
-                vals = np.asarray([float(func(row[~np.isnan(row)])) if (~np.isnan(row)).any() else np.nan for row in M])
-            vals = np.where(nn >= min_periods, vals, np.nan)
-            out[np.nonzero(full)[0]] = vals
-        for i in np.nonzero(~full)[0]:
-            v = np.asarray([x for x in arrs.iloc[i] if x is not None], dtype="float64")
-            out[i] = float(func(v)) if v.size >= min_periods else float("nan")
+        todo = [i for i in range(n) if nns[i] >= min_periods]
+        if raw and todo:
+            fast = [i for i in todo if rows[i].size == window and nns[i] == window]
+            if fast:
+                Mx = np.vstack([rows[i] for i in fast])
+                try:
+                    vals = np.asarray(func(Mx, axis=1), dtype="float64")
+                    if vals.shape != (Mx.shape[0],):
+                        raise TypeError
+                    out[fast] = vals
+                    fastset = set(fast)
+                    todo = [i for i in todo if i not in fastset]
+                except Exception:
+                    pass
+        for i in todo:
+            arg = rows[i] if raw else pd.Series(rows[i])
+            out[i] = float(func(arg))
         return pd.Series(out, dtype="float64")
 
     frame2 = frame.ensure_order()
@@ -361,7 +366,11 @@ def rolling_apply(frame, positions, window, func, min_periods=None, center=False
     w = Window.partitionBy(_BLK).orderBy(_POS).rowsBetween(-back, fwd)
     out_phys = fresh_names(len(phys))
     for p, op_ in zip(phys, out_phys):
-        arr = F.collect_list(F.col(p)).over(w)
+        # NaN-code nulls so collect_list keeps them: pandas windows include
+        # NaN cells (min_periods gates, but func must SEE them)
+        arr = F.collect_list(
+            F.coalesce(F.col(p).cast("double"), F.lit(float("nan")))
+        ).over(w)
         pos_cnt = F.count(F.lit(1)).over(w)
         sdf = sdf.withColumn(op_, F.when(pos_cnt >= 1, _apply(arr)))
     sdf = sdf.where(F.col("__halo__") == 0).drop("__halo__")

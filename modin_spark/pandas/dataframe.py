@@ -95,7 +95,13 @@ class DataFrame:
 
     # ------------------------------------------------------------ execution
     def to_pandas(self) -> pd.DataFrame:
-        return self._frame.to_pandas()
+        pdf = self._frame.to_pandas()
+        if getattr(self, "_to_pandas_convert_dtypes", False):
+            pdf = pdf.convert_dtypes()
+        ext = getattr(self, "_to_pandas_ext_dtypes", None)
+        if ext:
+            pdf = pdf.astype({c: t for c, t in ext.items() if c in pdf.columns})
+        return pdf
 
     def to_spark(self, include_index: bool = False, ordered: bool = True):
         return self._frame.to_spark(include_index=include_index, ordered=ordered)
@@ -435,7 +441,14 @@ class DataFrame:
         return self  # schema is always concrete in Spark (SURVEY §1.2)
 
     def convert_dtypes(self) -> "DataFrame":
-        return self  # Spark types are already nullable-native
+        # Spark types are already nullable-native; the pandas-visible effect
+        # is the EXTENSION dtypes on materialization (int64 -> Int64,
+        # object -> string). The plan is untouched; the flag rides to
+        # to_pandas. (Chained engine ops drop the flag — documented: the
+        # engine's own nullability never depended on it.)
+        out = DataFrame(_frame=self._frame)
+        out._to_pandas_convert_dtypes = True
+        return out
 
     def astype(self, dtype, copy: bool = True, errors: str = "raise") -> "DataFrame":
         fr = self._frame
@@ -4071,7 +4084,20 @@ class DataFrame:
             cols = b_cols
         else:
             cols = a_cols + [c for c in b_cols if c not in set(a_cols)]
-        return self.reindex(columns=cols, fill_value=fill_value), other.reindex(columns=cols, fill_value=fill_value)
+        left = self.reindex(columns=cols, fill_value=fill_value)
+        right = other.reindex(columns=cols, fill_value=fill_value)
+        if join == "outer" and not self._frame.index_cols and not other._frame.index_cols:
+            # outer row alignment on default positional labels: pad the
+            # shorter frame to the union 0..max-1 (two count jobs; the pad
+            # itself is the ordinary reindex projection)
+            na, nb = len(left), len(right)
+            if na != nb:
+                target = list(range(max(na, nb)))
+                if na < nb:
+                    left = left.reindex(target, fill_value=fill_value)
+                else:
+                    right = right.reindex(target, fill_value=fill_value)
+        return left, right
 
     def corrwith(self, other: "DataFrame") -> "Series":
         """Pairwise Pearson r per shared column — ONE aggregate pass after a

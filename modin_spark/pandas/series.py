@@ -39,6 +39,38 @@ def _pmod(a: Column, b: Column) -> Column:
     return ((a % b) + b) % b
 
 
+def _is_plain_dateoffset(o) -> bool:
+    """A bare pd.DateOffset (calendar fields); named offsets (MonthEnd...)
+    and Timedelta take other paths."""
+    return type(o) is pd.DateOffset
+
+
+def _dateoffset_interval(o):
+    """pd.DateOffset -> ONE Spark make_interval literal (timestamp + interval
+    keeps the time-of-day, unlike add_months)."""
+    kw = dict(getattr(o, "kwds", {}) or {})
+    n = int(getattr(o, "n", 1))
+    months = (kw.pop("years", 0) * 12 + kw.pop("months", 0)) * n
+    weeks = kw.pop("weeks", 0) * n
+    days = kw.pop("days", 0) * n
+    hours = kw.pop("hours", 0) * n
+    minutes = kw.pop("minutes", 0) * n
+    seconds = (kw.pop("seconds", 0) + kw.pop("microseconds", 0) / 1e6) * n
+    if kw:
+        raise NotImplementedError(f"DateOffset fields {sorted(kw)}")
+    return F.make_interval(
+        F.lit(0), F.lit(int(months)), F.lit(int(weeks)), F.lit(int(days)),
+        F.lit(int(hours)), F.lit(int(minutes)), F.lit(float(seconds)),
+    )
+
+
+def _interval_micros(c: Column) -> Column:
+    """Exact microseconds in a day-time interval column: anchor it to epoch 0
+    and read unix_micros (the session tz is pinned UTC, so the anchor IS 0).
+    A direct numeric cast would truncate to whole seconds."""
+    return F.unix_micros(F.to_timestamp(F.lit("1970-01-01")) + c)
+
+
 def _true_div(a: Column, b: Column) -> Column:
     # pandas semantics: x/0 -> signed inf, 0/0 -> NaN (Spark yields NULL)
     q = a.cast("double") / b.cast("double")
@@ -262,12 +294,18 @@ class Series:
         return self._binary(other, wrapped, reverse=reverse)
 
     def __add__(self, o):
+        if _is_plain_dateoffset(o):
+            return self._map1(lambda c: c + _dateoffset_interval(o))
         return self._binary(o, lambda a, b: a + b)
 
     def __radd__(self, o):
+        if _is_plain_dateoffset(o):
+            return self._map1(lambda c: c + _dateoffset_interval(o))
         return self._binary(o, lambda a, b: a + b, reverse=True)
 
     def __sub__(self, o):
+        if _is_plain_dateoffset(o):
+            return self._map1(lambda c: c - _dateoffset_interval(o))
         return self._binary(o, lambda a, b: a - b)
 
     def __rsub__(self, o):
@@ -280,6 +318,12 @@ class Series:
         return self._binary(o, lambda a, b: a * b, reverse=True)
 
     def __truediv__(self, o):
+        import datetime as _dt
+
+        if isinstance(o, (pd.Timedelta, _dt.timedelta)) and not isinstance(o, pd.DateOffset):
+            # timedelta series / timedelta scalar -> float ratio, exact to µs
+            denom = float(pd.Timedelta(o) / pd.Timedelta(microseconds=1))
+            return self._map1(lambda c: _interval_micros(c) / F.lit(denom))
         return self._binary(o, _true_div)
 
     def __rtruediv__(self, o):
@@ -459,6 +503,20 @@ class Series:
             # ordered comparisons) rides on the Series object
             out = self._map1(lambda c: c.cast("string"))
             out._cat_dtype = dtype
+            return out
+        if dtype == "string" or isinstance(dtype, pd.StringDtype):
+            # pandas EXTENSION string dtype: nulls stay <NA> (not 'nan' text)
+            # and materialization carries StringDtype
+            out = self._map1(lambda c: c.cast("string"))
+            out._post_to_pandas = lambda s: s.astype("string")
+            return out
+        if dtype in ("Int64", "Int32", "Float64", "boolean") or (
+            isinstance(dtype, pd.api.extensions.ExtensionDtype)
+        ):
+            # numeric/bool extension dtypes: nullable storage is native in
+            # Spark; reconstruct the pandas dtype on materialization
+            out = self._map1(lambda c: c.cast(pandas_dtype_to_spark(dtype)))
+            out._post_to_pandas = lambda s, _d=dtype: s.astype(_d)
             return out
         spark_t = pandas_dtype_to_spark(dtype)
         if isinstance(spark_t, T.StringType) and dtype not in ("object",):

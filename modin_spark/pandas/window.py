@@ -138,16 +138,16 @@ class Rolling:
                                    center=self._center)
         return DataFrame(_frame=out)
 
-    def apply(self, func, raw=True):
+    def apply(self, func, raw=False):
         from modin_spark.pandas.dataframe import DataFrame
 
         if isinstance(self._obj, Series):
             out = win.rolling_apply(self._obj._to_frame(), [0], self._window, func, self._min_periods,
-                                    center=self._center)
+                                    center=self._center, raw=raw)
             return Series._from_frame(out)
         df = self._obj
         out = win.rolling_apply(df._frame, df._numeric_positions(), self._window, func, self._min_periods,
-                                center=self._center)
+                                center=self._center, raw=raw)
         return DataFrame(_frame=out)
 
     def rank(self, method="average", ascending=True, pct=False):
@@ -234,7 +234,7 @@ class Expanding:
             lambda s, mp=self._min_periods: s.expanding(mp).rank(method=method, ascending=ascending, pct=pct)
         )
 
-    def apply(self, func, raw=True):
+    def apply(self, func, raw=False):
         return self._order_exact(
             lambda s, mp=self._min_periods, f=func: s.expanding(mp).apply(f, raw=raw)
         )
