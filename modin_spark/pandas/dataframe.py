@@ -3862,10 +3862,45 @@ class DataFrame:
             raise TypeError("must pass items, like, or regex")
         return DataFrame(_frame=self._frame.select_positions(keep))
 
-    def reindex(self, index=None, columns=None, fill_value=None) -> "DataFrame":
+    def reindex(self, index=None, columns=None, fill_value=None, method=None) -> "DataFrame":
         """Column reindex = projection (missing -> NULL/fill). Row reindex =
         left join of the target label list against the frame on the index
-        column — the labels frame is small (driver-provided) and broadcast."""
+        column — the labels frame is small (driver-provided) and broadcast.
+        ``method=`` ('ffill'/'bfill'/'nearest') fills label misses from the
+        nearest existing label via the asof-join machinery (block+halo, no
+        global window) — pandas requires a monotonic index here, same as us."""
+        if index is not None and method is not None:
+            from modin_spark.pandas.general import merge_asof as _ma
+            from modin_spark.pandas.io import from_pandas as _fp
+
+            right = DataFrame(_frame=self._frame).reset_index()
+            key = right.columns[0]
+            tgt = _fp(pd.DataFrame({key: list(index)}))
+            if method == "nearest":
+                # pandas tie-break: the LARGER label wins — merge_asof
+                # 'nearest' breaks ties backward, so resolve the nearest KEY
+                # explicitly (two asof key-lookups over a 1-column frame),
+                # then one equi-join pulls the row
+                rk = right[[key]]
+                rk["__kb__"] = rk[key]
+                look = _ma(tgt, rk, on=key, direction="backward")
+                rk2 = right[[key]]
+                rk2["__kf__"] = rk2[key]
+                look = _ma(look, rk2, on=key, direction="forward")
+                kb, kf, t = look["__kb__"], look["__kf__"], look[key]
+                use_back = kb.notna() & (kf.isna() | ((t - kb) < (kf - t)))
+                look["__nk__"] = kb.where(use_back, kf)
+                sel = look[[key, "__nk__"]]
+                rr = right.rename(columns={key: "__rk__"})
+                merged = sel.merge(rr, left_on="__nk__", right_on="__rk__", how="left")
+                out = merged.drop(columns=["__nk__", "__rk__"]).set_index(key)
+            else:
+                direction = {"ffill": "backward", "pad": "backward",
+                             "bfill": "forward", "backfill": "forward"}[method]
+                out = _ma(tgt, right, on=key, direction=direction).set_index(key)
+            if columns is not None:
+                out = out.reindex(columns=columns, fill_value=fill_value)
+            return out
         out = self
         if columns is not None:
             fr = out._frame
@@ -4250,10 +4285,13 @@ class DataFrame:
         return r.asfreq()
 
     # ---------------------------------------------------------------- writers
-    def to_parquet(self, path: str, mode: str = "overwrite", partition_cols=None) -> None:
+    def to_parquet(self, path: str, mode: str = "overwrite", partition_cols=None,
+                   compression: str | None = "snappy", index=None) -> None:
         w = self.to_spark(ordered=False).write.mode(mode)
         if partition_cols:
             w = w.partitionBy(*(partition_cols if isinstance(partition_cols, list) else [partition_cols]))
+        if compression is not None:
+            w = w.option("compression", "uncompressed" if compression == "none" else compression)
         w.parquet(path)
 
     def to_csv(self, path: str, mode: str = "overwrite", header: bool = True,

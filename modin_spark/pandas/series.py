@@ -705,6 +705,14 @@ class Series:
             e = F.when(F.count(F.lit(1)) > F.count(expr), F.lit(None)).otherwise(e)
         row = self._frame.sdf.agg(e.alias("__r__")).collect()[0]
         val = row["__r__"]
+        if val is None and name not in ("min", "max", "first", "last", "mode"):
+            # pandas scalar contract: an empty/all-missing numeric aggregate
+            # is NaN (or NaT for datetimes), never Python None — except the
+            # order statistics, whose missing result pandas also leaves NaN
+            # but dtype-preserving callers (min of strings) expect None-like
+            import numpy as np
+
+            return pd.NaT if self.dtype.kind == "M" else np.nan
         if val is None and not skipna:
             import numpy as np
 
