@@ -2756,7 +2756,7 @@ class DataFrame:
         return self.pivot_table(values=values, index=[index] if isinstance(index, str) else index,
                                 columns=columns, aggfunc="first")
 
-    def stack(self, level=-1, future_stack: bool = False):
+    def stack(self, level=-1, future_stack: bool = False, dropna: bool = True):
         """Columns → rows. Flat columns: a (index, column-label) MultiIndex
         Series in pandas' row-major order with NaN cells dropped (classic
         ``stack`` semantics; ``future_stack=True`` keeps them, pandas 2.x
@@ -2800,7 +2800,8 @@ class DataFrame:
         sdf = mfr.sdf.withColumn(
             _OC, F.struct(F.col(f"{_OC}.o").alias("a"), F.col(f"{_OC}.v").alias("b"))
         )
-        if not future_stack:  # classic stack drops NaN; future_stack keeps
+        if not future_stack and dropna:  # classic stack drops NaN unless
+            # dropna=False; future_stack always keeps
             sdf = sdf.where(F.col(mfr.data_cols[-1]).isNotNull())
         swapped = SparkFrame(sdf, mfr.columns, mfr.data_cols, mfr.index_cols, mfr.index_names)
         st = DataFrame(_frame=swapped).set_index(id_vars + ["__slv__"])

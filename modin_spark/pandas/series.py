@@ -526,6 +526,26 @@ class Series:
             if kind in "fiu":
                 return self._map1(lambda c: F.coalesce(c.cast("string"), F.lit("nan")))
             if kind == "M":
+                tzm = getattr(self, "_tz_meta", None)
+                if tzm is not None:
+                    # tz-aware render: wall clock + per-row UTC offset
+                    # (DST-correct — the offset is derived per instant)
+                    mode, tz = tzm
+
+                    def _tz_str(c, _m=mode, _t=tz):
+                        wall = c if _m == "wall" else F.from_utc_timestamp(c, _t)
+                        inst = F.to_utc_timestamp(c, _t) if _m == "wall" else c
+                        off = F.unix_timestamp(wall) - F.unix_timestamp(inst)
+                        sign = F.when(off < 0, F.lit("-")).otherwise(F.lit("+"))
+                        hh = F.lpad((F.abs(off) / 3600).cast("int").cast("string"), 2, "0")
+                        mm = F.lpad(((F.abs(off) % 3600) / 60).cast("int").cast("string"), 2, "0")
+                        return F.coalesce(
+                            F.concat(F.date_format(wall, "yyyy-MM-dd HH:mm:ss"),
+                                     sign, hh, F.lit(":"), mm),
+                            F.lit("NaT"),
+                        )
+
+                    return self._map1(_tz_str)
                 # pandas renders at the ARRAY's coarsest lossless unit
                 # (all-midnight -> dates, second-aligned -> seconds, else
                 # microseconds) — ONE probe aggregate decides the format
@@ -1536,7 +1556,25 @@ class DatetimeMethods:
             return self._s._map1(fn)
 
         def call(*args, **kwargs):
-            return self._s._map1(lambda c: fn(c, *args, **kwargs))
+            out = self._s._map1(lambda c: fn(c, *args, **kwargs))
+            if name in ("tz_localize", "tz_convert"):
+                # Spark timestamps are naive; pandas' tz-AWARE dtype is
+                # reconstructed on materialization. Storage convention:
+                # tz_localize keeps the UTC instant, tz_convert the wall
+                # clock in the target tz — each implies its own rebuild.
+                tz = args[0] if args else kwargs.get("tz")
+                if tz is None:
+                    out._post_to_pandas = None
+                elif name == "tz_localize":
+                    out._post_to_pandas = (
+                        lambda s, _tz=tz: s.dt.tz_localize("UTC").dt.tz_convert(_tz))
+                    out._tz_meta = ("instant", tz)
+                else:
+                    out._post_to_pandas = (
+                        lambda s, _tz=tz: s.dt.tz_localize(_tz, ambiguous="NaT",
+                                                           nonexistent="NaT"))
+                    out._tz_meta = ("wall", tz)
+            return out
 
         return call
 
