@@ -319,8 +319,27 @@ class DataFrame:
 
     def rename(self, columns=None, level=None, index=None, **kw) -> "DataFrame":
         if index is not None:
+            if callable(index):
+                # callable mapper over STRING-typed labels stays a JVM
+                # expression only for upper/lower-style funcs we can't
+                # introspect — run it through the Arrow UDF machinery via a
+                # temporary column instead of collecting labels
+                fr0 = self._frame
+                if not fr0.index_cols:
+                    from modin_spark.core.frame import fresh_names as _fn0
+
+                    lc0 = _fn0(1)[0]
+                    b0 = fr0.with_pandas_labels(lc0)
+                    fr0 = b0._same_rows(b0.sdf, index_cols=[lc0], index_names=[None])
+                icol0 = fr0.index_cols[0]
+                tmp = Series(fr0, F.col(icol0), set(fr0.data_cols), None).apply(index)
+                out0 = DataFrame(_frame=fr0._same_rows(
+                    fr0.sdf.withColumn(icol0, tmp._expr)))
+                if columns is None:
+                    return out0
+                return out0.rename(columns=columns, level=level, **kw)
             if not isinstance(index, dict):
-                raise NotImplementedError("rename(index=) supports a dict mapper")
+                raise NotImplementedError("rename(index=) supports a dict or callable mapper")
             fr = self._frame
             if not fr.index_cols:
                 # default positional index: the labels are the positions —

@@ -40,7 +40,16 @@ def concat(objs, axis=0, join="outer", ignore_index=False, keys=None, names=None
                                     lvl_names[:1 + len(fr.index_cols)]))
         return DataFrame(_frame=qc.concat_rows(keyed, join=join, ignore_index=False))
     if axis in (1, "columns"):
-        return DataFrame(_frame=qc.concat_cols(frames, join=join))
+        out = DataFrame(_frame=qc.concat_cols(frames, join=join))
+        if keys is not None:
+            # hierarchical columns: (key, original label) — metadata only
+            tuples = []
+            for key, fr in zip(keys, frames):
+                tuples += [(key, c) for c in fr.columns]
+            out.columns = pd.MultiIndex.from_tuples(tuples, names=(names or None))
+        elif ignore_index:
+            out.columns = list(range(len(out._frame.columns)))
+        return out
     return DataFrame(_frame=qc.concat_rows(frames, join=join, ignore_index=ignore_index))
 
 
@@ -264,21 +273,42 @@ def qcut(x: Series, q, labels=None, duplicates: str = "raise") -> Series:
     return cut(x, edges, labels=labels)
 
 
-def crosstab(index: Series, columns: Series, margins: bool = False,
+def crosstab(index: Series, columns: Series, values: Series | None = None,
+             aggfunc=None, margins: bool = False,
              margins_name: str = "All", normalize=False) -> DataFrame:
     """Contingency table (reference: general.py:713) — groupBy().pivot().count(),
     fully distributed; the pivoted result stays a lazy frame. margins= adds
     the All row/column (a row-sum expression + one tiny ungrouped pivot);
-    normalize= divides by the grand total (one scalar aggregate)."""
+    normalize= divides by the grand total (one scalar aggregate).
+    values=/aggfunc= pivots an aggregate of ``values`` instead of counts
+    (missing combos stay NaN, pandas-style); margins there are supported
+    for the additive aggs (sum/count) whose All is a row-sum expression."""
     from modin_spark.core.frame import ORDER_COL, fresh_names
 
+    if (values is None) != (aggfunc is None):
+        raise ValueError("crosstab: values and aggfunc must be given together")
     target, ie, ce, refs = index._combine(columns)
-    sdf = target.sdf.select(ie.alias("__i__"), ce.alias("__c__"))
+    if values is not None:
+        # rebase the values expression onto the SAME combined target
+        target, ie, ve, refs = Series(target, ie, refs, None)._combine(values)
+        sdf = target.sdf.select(ie.alias("__i__"), ce.alias("__c__"), ve.alias("__v__"))
+    else:
+        sdf = target.sdf.select(ie.alias("__i__"), ce.alias("__c__"))
     # typed distinct pivot keys (driver metadata by definition): pandas keeps
     # the key dtype in the output column labels (int keys -> int labels)
     pvals = [r[0] for r in sdf.select("__c__").where(F.col("__c__").isNotNull())
              .distinct().orderBy("__c__").collect()]
-    pivoted = sdf.groupBy("__i__").pivot("__c__", pvals).count().na.fill(0)
+    if values is not None:
+        _fnmap = {"sum": F.sum, "mean": F.avg, "min": F.min, "max": F.max,
+                  "count": F.count, "median": F.median,
+                  "std": F.stddev_samp, "var": F.var_samp}
+        if aggfunc not in _fnmap:
+            raise NotImplementedError(f"crosstab aggfunc {aggfunc!r}")
+        if margins and aggfunc not in ("sum", "count"):
+            raise NotImplementedError("crosstab margins with a non-additive aggfunc")
+        pivoted = sdf.groupBy("__i__").pivot("__c__", pvals).agg(_fnmap[aggfunc](F.col("__v__")))
+    else:
+        pivoted = sdf.groupBy("__i__").pivot("__c__", pvals).count().na.fill(0)
     val_cols = [c for c in pivoted.columns if c != "__i__"]
     typed_of = {c: v for c, v in zip(val_cols, pvals)}
 
@@ -288,11 +318,17 @@ def crosstab(index: Series, columns: Series, margins: bool = False,
     if margins:
         pivoted = pivoted.withColumn(
             "__all__", sum((_q(c) for c in val_cols), F.lit(0)))
-        mrow = (sdf.groupBy().pivot("__c__").count().na.fill(0)
-                .withColumn("__i__", F.lit(str(margins_name))))
+        if values is not None:
+            mrow = (sdf.groupBy().pivot("__c__", pvals).agg(_fnmap[aggfunc](F.col("__v__")))
+                    .withColumn("__i__", F.lit(str(margins_name))))
+        else:
+            mrow = (sdf.groupBy().pivot("__c__").count().na.fill(0)
+                    .withColumn("__i__", F.lit(str(margins_name))))
         mrow = mrow.withColumn("__all__", sum((_q(c) for c in val_cols), F.lit(0)))
-        pivoted = (pivoted.withColumn("__i__", F.col("__i__").cast("string"))
-                   .unionByName(mrow, allowMissingColumns=True).na.fill(0))
+        pivoted = pivoted.withColumn("__i__", F.col("__i__").cast("string")).unionByName(
+            mrow, allowMissingColumns=True)
+        if values is None:
+            pivoted = pivoted.na.fill(0)
         val_cols = val_cols + ["__all__"]
     if margins and (normalize == "index" or (not isinstance(normalize, bool) and normalize == 0)):
         # pandas: index-normalized margins DROP the All column (each row,
@@ -306,7 +342,12 @@ def crosstab(index: Series, columns: Series, margins: bool = False,
         # normalizes to row_total/grand_total
         pivoted = pivoted.where(F.col("__i__") != F.lit(str(margins_name)))
     phys = fresh_names(len(val_cols) + 1)
-    sel = [F.col("__i__").alias(ORDER_COL), F.col("__i__").alias(phys[0])]
+    # pandas puts the All MARGIN row LAST regardless of sort order
+    order_e = (
+        F.struct((F.col("__i__") == F.lit(str(margins_name))).cast("int"), F.col("__i__"))
+        if margins else F.col("__i__")
+    )
+    sel = [order_e.alias(ORDER_COL), F.col("__i__").alias(phys[0])]
     if normalize is True or normalize == "all":
         total = sdf.count()
         sel += [(_q(c) / F.lit(total)).alias(p) for c, p in zip(val_cols, phys[1:])]

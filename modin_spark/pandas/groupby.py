@@ -645,6 +645,10 @@ class DataFrameGroupBy:
         from modin_spark.pandas.dataframe import DataFrame
 
         if isinstance(func, str):
+            if func in ("rank", "cumsum", "cumprod", "cummax", "cummin",
+                        "cumcount", "shift", "diff", "ngroup", "ffill", "bfill"):
+                # already-length-preserving group methods ARE the transform
+                return getattr(self, func)(*args, **kwargs)
             if func not in self._TRANSFORM_AGGS:
                 raise NotImplementedError(f"transform({func!r})")
 

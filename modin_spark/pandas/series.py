@@ -146,8 +146,16 @@ class Series:
     def name(self):
         return self._name
 
-    def rename(self, name) -> "Series":
-        return Series(self._frame, self._expr, self._refs, name=name)
+    def rename(self, name=None, index=None) -> "Series":
+        mapper = index if index is not None else name
+        if callable(mapper) or isinstance(mapper, dict):
+            # pandas: a callable/dict RELABELS the index, not the series name
+            out = self.to_frame(self._name if self._name is not None else "__v__")
+            out = out.rename(index=mapper)
+            s = Series._from_frame(out._frame)
+            s._name = self._name
+            return s
+        return Series(self._frame, self._expr, self._refs, name=mapper)
 
     def _to_frame(self, label=None) -> SparkFrame:
         lbl = label if label is not None else (self._name if self._name is not None else 0)
