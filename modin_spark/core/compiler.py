@@ -334,6 +334,9 @@ def groupby_apply(frame: SparkFrame, by_positions: Sequence[int], func, schema_s
         res = func(named)
         if isinstance(res, pd.Series):
             res = res.to_frame().T
+        elif not isinstance(res, pd.DataFrame):
+            # scalar-per-group apply (pandas: a Series keyed by group)
+            res = pd.DataFrame({0: [res]})
         return res
 
     sample_out = run(sample_pdf)

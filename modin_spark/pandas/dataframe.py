@@ -1930,7 +1930,19 @@ class DataFrame:
             return self._row_cum("cumprod")
         return self._cum_axis0("cumprod", skipna)
 
-    def shift(self, periods=1, fill_value=None, axis=0) -> "DataFrame":
+    def shift(self, periods=1, fill_value=None, axis=0, freq=None) -> "DataFrame":
+        if freq is not None:
+            # pandas shift(freq=): the INDEX moves by periods*freq, data
+            # stays put — a single projection over the index column
+            fr = self._frame
+            if not fr.index_cols:
+                raise TypeError("shift(freq=) requires a datetime index")
+            off = pd.tseries.frequencies.to_offset(freq) * periods
+            delta_us = int(pd.Timedelta(off) / pd.Timedelta(microseconds=1))
+            icol = fr.index_cols[0]
+            sdf = fr.sdf.withColumn(
+                icol, F.col(icol) + F.expr(f"INTERVAL {delta_us} MICROSECOND"))
+            return DataFrame(_frame=fr._same_rows(sdf))
         if axis in (1, "columns"):
             # column-axis shift: a pure relabeling projection
             fr = self._frame

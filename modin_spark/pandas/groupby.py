@@ -719,9 +719,17 @@ class DataFrameGroupBy:
         sdf = fr.sdf.groupBy(*keys).applyInPandas(apply_fn, fr.sdf.schema)
         return DataFrame(_frame=fr._subset_rows(sdf))
 
-    def apply(self, func):
+    def apply(self, func, *args, **kwargs):
         from modin_spark.pandas.dataframe import DataFrame
 
+        vl = getattr(self, "_value_labels", None)
+        if args or kwargs:
+            inner0 = func
+            func = lambda d, _f=inner0, _a=tuple(args), _k=dict(kwargs): _f(d, *_a, **_k)
+        if vl is not None:
+            # narrowed apply: pandas hands func ONLY the selected columns
+            inner1 = func
+            func = lambda d, _f=inner1, _v=list(vl): _f(d[_v])
         out = qc.groupby_apply(self._df._frame, self._by_pos, func)
         return DataFrame(_frame=out)
 
@@ -794,6 +802,27 @@ class SeriesGroupBy:
         obj._g = g
         obj._col = col_label
         return obj
+
+    def apply(self, func, *args, **kwargs):
+        """Series-groupby apply: func sees the GROUP'S SERIES (pandas);
+        scalar results come back as a group-keyed Series."""
+        g = self._fg()
+        col = g._value_labels[0]
+
+        def inner(d, _f=func, _c=col, _a=tuple(args), _k=dict(kwargs)):
+            r = _f(d[_c], *_a, **_k)
+            if not isinstance(r, (pd.Series, pd.DataFrame)):
+                return pd.DataFrame({_c: [r]})
+            return r
+
+        # bypass the narrowing wrapper: inner needs the key-labeled frame
+        g2 = DataFrameGroupBy(g._df, g._by_labels, g._as_index, g._dropna, g._sort)
+        res = g2.apply(inner)
+        if len(res._frame.columns) == 1:
+            out = Series._from_frame(res._frame)
+            out._name = col if str(res._frame.columns[0]) == str(col) else None
+            return out
+        return res
 
     def _fg(self) -> DataFrameGroupBy:
         if hasattr(self, "_g"):

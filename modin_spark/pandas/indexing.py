@@ -245,7 +245,7 @@ class LocIndexer:
         if (
             isinstance(key, tuple)
             and len(fr.index_cols) > 1
-            and len(key) == len(fr.index_cols)
+            and len(key) <= len(fr.index_cols)
             and all(not isinstance(k, (slice, list, Series)) for k in key)
         ):
             cond = None
@@ -253,8 +253,32 @@ class LocIndexer:
                 e = F.col(c) == F.lit(v)
                 cond = e if cond is None else (cond & e)
             out = fr.filter(cond)
-            out = out._same_rows(out.sdf, index_cols=[], index_names=[None])
+            if len(key) == len(fr.index_cols):
+                out = out._same_rows(out.sdf, index_cols=[], index_names=[None])
+            else:
+                # PARTIAL tuple: the matched leading levels drop out of the
+                # index, the remaining levels stay (pandas partial indexing)
+                rest = len(key)
+                out = out._same_rows(out.sdf,
+                                     index_cols=list(fr.index_cols[rest:]),
+                                     index_names=list(fr.index_names[rest:]))
             return DataFrame(_frame=out)
+        if (
+            isinstance(key, list)
+            and len(fr.index_cols) > 1
+            and key
+            and all(isinstance(k, tuple) and len(k) == len(fr.index_cols) for k in key)
+        ):
+            # list of full-depth tuples: OR of conjunctive filters (a k-term
+            # pushdown-friendly predicate, k = len(key) — driver-provided)
+            cond = None
+            for tup in key:
+                e = None
+                for c, v in zip(fr.index_cols, tup):
+                    t = F.col(c) == F.lit(v)
+                    e = t if e is None else (e & t)
+                cond = e if cond is None else (cond | e)
+            return DataFrame(_frame=fr.filter(cond))
         row_key, col_key = key if isinstance(key, tuple) else (key, slice(None))
 
         if isinstance(col_key, slice) and col_key == slice(None):

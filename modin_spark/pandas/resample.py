@@ -93,7 +93,17 @@ class Resampler:
         # origin: 'epoch' (our native alignment) and 'start_day' coincide
         # for day-dividing frequencies; 'start' aligns buckets to the first
         # timestamp — one tiny min aggregate resolves it to a window offset
-        if origin == "start":
+        import pandas as _pd
+
+        dur_us = int(_pd.Timedelta(rule_to_duration(rule)).total_seconds() * 1_000_000)
+        _DAY_US = 86_400_000_000
+        # epoch alignment coincides with pandas' default 'start_day' for any
+        # frequency that DIVIDES a day; multi-day rules must anchor to the
+        # first timestamp's midnight (one tiny min aggregate), like pandas
+        needs_day_anchor = (
+            origin in (None, "start_day") and dur_us > _DAY_US and offset is None
+        )
+        if origin == "start" or needs_day_anchor:
             fr = df._frame
             if on is not None:
                 ts_phys = fr.data_cols[fr.positions_of([on])[0]]
@@ -103,10 +113,10 @@ class Resampler:
                 raise NotImplementedError("resample origin='start' needs a time column")
             mn = fr.sdf.agg(F.min(ts_phys)).collect()[0][0]
             if mn is not None:
-                import pandas as _pd
-
-                dur_us = int(_pd.Timedelta(rule_to_duration(rule)).total_seconds() * 1_000_000)
-                off_us = (int(_pd.Timestamp(mn).value) // 1000) % dur_us
+                anchor = _pd.Timestamp(mn)
+                if origin != "start":
+                    anchor = anchor.normalize()  # start_day: first ts midnight
+                off_us = (int(anchor.value) // 1000) % dur_us
                 if off_us:
                     self._offset = f"{off_us} microseconds"
         elif origin not in (None, "epoch", "start_day"):

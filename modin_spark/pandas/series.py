@@ -1505,6 +1505,18 @@ class StringMethods:
             raise ValueError("substring not found")
         return out
 
+    def replace(self, pat, repl, regex: bool = True, case: bool = True, **kw):
+        if callable(repl):
+            # callable replacement: pandas hands each re.Match to repl —
+            # only expressible via the Arrow UDF path
+            import re as _re
+
+            flags = 0 if case else _re.IGNORECASE
+            rx = _re.compile(pat if regex else _re.escape(pat), flags)
+            return self._s.apply(
+                lambda v, _rx=rx, _r=repl: None if v is None else _rx.sub(_r, v))
+        return self._s._map1(lambda c: STR_FUNCS["replace"](c, pat, repl, regex=regex, case=case, **kw))
+
     def __getattr__(self, name):
         if name.startswith("_"):
             raise AttributeError(name)
