@@ -1371,9 +1371,9 @@ class DataFrame:
         row = fr.sdf.agg(*exprs).collect()[0]
         return pd.Series([row[f"x{i}"] for i in positions], index=[fr.columns[i] for i in positions])
 
-    def sum(self, numeric_only=True, axis=0, min_count=0, **kw):
+    def sum(self, numeric_only=True, axis=0, min_count=0, skipna=True, **kw):
         if axis in (1, "columns"):
-            return self._row_wise("sum")
+            return self._row_wise("sum", skipna=skipna)
         return self._reduce_frame("sum", numeric_only, min_count=min_count)
 
     def mean(self, numeric_only=True, axis=0, skipna=True, **kw):
@@ -3866,9 +3866,29 @@ class DataFrame:
                    .orderBy(F.col("__wk__").desc()).limit(int(n))
                    .drop("__wk__", "__wval__"))
             return DataFrame(_frame=fr._subset_rows(sdf))
+        if replace and (n is not None or frac is not None):
+            # pandas: EXACT count with replacement. n seeded uniform draws
+            # joined against the blocked global position — distributed, one
+            # equi-join; output order = draw order (pandas reuses original
+            # labels; ours renumbers by draw — documented)
+            from modin_spark.core.frame import ORDER_COL as _OC
+
+            total = fr.count_rows()
+            nn = int(n) if n is not None else int(round(float(frac) * total))
+            base = fr.ensure_order().with_global_position("__sp__")
+            spark = base.sdf.sparkSession
+            draws = spark.range(nn).select(
+                F.col("id").alias("__did__"),
+                F.floor(F.rand(seed) * F.lit(total)).cast("long").alias("__pick__"),
+            )
+            j = draws.join(base.sdf, F.col("__pick__") == F.col("__sp__"), "inner")
+            sdf = j.withColumn(_OC, F.col("__did__")).drop("__did__", "__pick__", "__sp__")
+            nf = type(fr)(sdf, fr.columns, fr.data_cols, fr.index_cols, fr.index_names,
+                          has_order=True)
+            return DataFrame(_frame=nf)
         if frac is not None and n is None:
             return DataFrame(_frame=fr._subset_rows(
-                fr.sdf.sample(withReplacement=replace, fraction=float(frac), seed=seed)
+                fr.sdf.sample(withReplacement=False, fraction=float(frac), seed=seed)
             ))
         if n is None:
             raise ValueError("must provide n or frac")

@@ -159,6 +159,24 @@ class Series:
 
     def _to_frame(self, label=None) -> SparkFrame:
         lbl = label if label is not None else (self._name if self._name is not None else 0)
+        sj = getattr(self, "_semijoin", None)
+        if sj is not None:
+            # a semijoin-marked isin(Series) mask used as a VALUE (not a
+            # filter): resolve the other side's distinct values once —
+            # bounded collect; masks against unbounded value sets should be
+            # consumed as filters (df[mask]), which stay join-based
+            other, expr, neg = sj
+            vals_sdf = other._frame.sdf.select(other._expr.alias("__iv__")).where(
+                other._expr.isNotNull()).distinct().limit(1_000_001)
+            vals = [r["__iv__"] for r in vals_sdf.collect()]
+            if len(vals) > 1_000_000:
+                raise ValueError(
+                    "isin(Series) mask materialization capped at 1M distinct "
+                    "values; consume the mask as a filter (df[mask]) instead")
+            e = F.coalesce(expr.isin(vals) if vals else F.lit(False), F.lit(False))
+            if neg:
+                e = ~e
+            return self._frame.project([lbl], [e])
         return self._frame.project([lbl], [self._expr])
 
     def to_frame(self, name=None):
