@@ -471,6 +471,17 @@ def merge(
     Order contract: pandas returns left-frame order (then right order for
     ties); encoded as a struct ORDER, no sort executed.
     """
+    def _with_positional_index(fr: SparkFrame) -> SparkFrame:
+        # index-merge on a DEFAULT index: the positional labels ARE the key
+        # (an empty key list would otherwise compile to a CROSS join)
+        lc = fresh_names(1)[0]
+        base = fr.with_pandas_labels(lc)
+        return base._same_rows(base.sdf, index_cols=[lc], index_names=[None])
+
+    if left_index and not left.index_cols:
+        left = _with_positional_index(left)
+    if right_index and not right.index_cols:
+        right = _with_positional_index(right)
     lkeys = [left.index_cols[i] for i in range(len(left.index_cols))] if left_index else [
         left.data_cols[i] for i in (left_on or [])
     ]

@@ -1324,6 +1324,12 @@ class DataFrame:
         return DataFrame(_frame=out)
 
     def join(self, other: "DataFrame", on=None, how="left", lsuffix="", rsuffix="") -> "DataFrame":
+        if isinstance(other, (list, tuple)):
+            # pandas: join a LIST of frames — sequential index joins
+            out = self
+            for o in other:
+                out = out.join(o, on=on, how=how, lsuffix=lsuffix, rsuffix=rsuffix)
+            return out
         if isinstance(other, Series):
             other = other.to_frame()
         if on is not None:
@@ -1499,9 +1505,10 @@ class DataFrame:
         out = mfr.project(list(range(width)), [F.element_at(mcol, i + 1) for i in range(width)])
         return DataFrame(_frame=out)
 
-    def mode(self, numeric_only=False, axis=0) -> pd.DataFrame:
+    def mode(self, numeric_only=False, axis=0, dropna: bool = True) -> pd.DataFrame:
         """Per-column modal values — one unpivot + count + rank pass (single
-        job for all columns, not one job per column)."""
+        job for all columns, not one job per column). ``dropna=False`` lets
+        NULL compete as a value (pandas)."""
         if axis in (1, "columns"):
             return self._mode_axis1()
         fr = self._frame
@@ -1510,8 +1517,15 @@ class DataFrame:
 
         melted = fr.sdf.unpivot(
             [], [fr.data_cols[i] for i in positions], "__var__", "__val__"
-        ) if len({str(fr.spark_type_of(i)) for i in positions}) == 1 else None
+        ) if len({str(fr.spark_type_of(i)) for i in positions}) == 1 and dropna else None
         cols = {}
+        if not dropna:
+            for i in positions:
+                cnt = fr.sdf.groupBy(fr.scol(i).alias("v")).count()
+                mx = cnt.agg(F.max("count").alias("m")).collect()[0]["m"]
+                r = cnt.where(F.col("count") == mx).orderBy(F.col("v").asc_nulls_last()).collect()
+                cols[fr.columns[i]] = [x["v"] for x in r]
+            melted = None
         if melted is not None:
             counts = melted.where(F.col("__val__").isNotNull()).groupBy("__var__", "__val__").count()
             # rank (not row_number): pandas returns ALL tied modal values
@@ -1523,7 +1537,7 @@ class DataFrame:
                 by_var.setdefault(r["__var__"], []).append(r["__val__"])
             for i in positions:
                 cols[fr.columns[i]] = sorted(by_var.get(fr.data_cols[i], [None]))
-        else:
+        elif not cols:
             for i in positions:
                 cnt = fr.sdf.where(fr.scol(i).isNotNull()).groupBy(fr.scol(i).alias("v")).count()
                 mx = cnt.agg(F.max("count").alias("m")).collect()[0]["m"]
@@ -2391,6 +2405,20 @@ class DataFrame:
         against every column (same-lineage rebase); the default
         'columns' matches its index against the column labels (the series'
         k values are column metadata — collected driver-side)."""
+        if isinstance(other, pd.Series):
+            if axis in (0, "index"):
+                from modin_spark.pandas.io import from_pandas as _fp
+
+                other = _fp(other.to_frame("__o__"))["__o__"]
+            else:
+                # raw pandas Series along columns: label -> scalar literals
+                fr = self._frame
+                by_label = dict(zip(other.index, other.values))
+                exprs = [
+                    op(fr.scol(i), F.lit(by_label[lbl])) if lbl in by_label else F.lit(None)
+                    for i, lbl in enumerate(fr.columns)
+                ]
+                return DataFrame(_frame=fr.project(list(fr.columns), exprs))
         if isinstance(other, Series):
             fr = self._frame
             if axis in (0, "index"):
@@ -4446,12 +4474,17 @@ def _df_asof(self, where, subset=None):
     if not fr.index_cols:
         raise NotImplementedError("asof requires a set index")
     iname = fr.index_names[0] or "index"
-    probe = from_pandas(pd.DataFrame({iname: list(where) if isinstance(where, (list, tuple)) else [where]}))
-    left = probe
+    # collision-free probe key: when the frame's index NAME also appears on
+    # the right, the merge would suffix both copies away
+    probe = from_pandas(pd.DataFrame(
+        {"__aswhere__": list(where) if isinstance(where, (list, tuple)) else [where]}))
     right = self.reset_index()
-    out = merge_asof(left, right, left_on=iname,
-                     right_on=fr.index_names[0] if fr.index_names[0] else right.columns[0])
-    return out.set_index(iname)
+    rkey = fr.index_names[0] if fr.index_names[0] else right.columns[0]
+    out = merge_asof(probe, right, left_on="__aswhere__", right_on=rkey)
+    out = out.drop(columns=[rkey]) if rkey in list(out.columns) else out
+    out = out.set_index("__aswhere__")
+    out._frame = out._frame._same_rows(out._frame.sdf, index_names=[iname])
+    return out
 
 
 DataFrame.map = _df_map

@@ -871,6 +871,12 @@ class SeriesGroupBy:
             inner = spec
             spec = lambda s, _f=inner, _a=tuple(args): _f(s, *_a)
             args = ()
+        if (isinstance(spec, list) and spec
+                and all(isinstance(t, tuple) and len(t) == 2 for t in spec)):
+            # pandas legacy (name, fn) tuple list -> named-agg columns
+            g = self._fg()
+            col = g._value_labels[0]
+            return g.agg(**{nm: (col, fn) for nm, fn in spec})
         res = self._fg().agg(spec, **named)
         if isinstance(spec, list) and isinstance(res, DataFrame):
             fr = res._frame
