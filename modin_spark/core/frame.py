@@ -596,15 +596,18 @@ class SparkFrame:
         """Frame + key columns for cross-frame index alignment joins.
 
         Indexed frames align on their index columns. Default-index frames
-        align on a contiguous 0-based global position — NOT on raw ORDER_COL:
-        unrelated frames have incomparable ORDER_COL values (from_pandas is
-        contiguous 0..n-1, parquet reads are partition-major ids where
-        partition p starts at p<<33), so equating them across frames silently
-        misaligns rows.
+        align on their TRUE pandas labels (ORDER values / post-sort
+        labels_col stash / blocked global position for scan lineage) — NOT
+        on raw ORDER_COL: unrelated frames have incomparable ORDER_COL
+        values (from_pandas is contiguous 0..n-1, parquet reads are
+        partition-major ids where partition p starts at p<<33), so equating
+        them across frames silently misaligns rows. Labels (not fresh
+        positions) matter when one side was SORTED or FILTERED: pandas
+        aligns ``df[c] = other.sort_values(...)[c]`` back by label.
         """
         if self.index_cols:
             return self, list(self.index_cols)
-        fr = self.with_global_position(pos_col)
+        fr = self.with_pandas_labels(pos_col)
         return fr, [pos_col]
 
     def align_keyed_with(self, other: "SparkFrame", pos_col: str) -> tuple["SparkFrame", list[str]]:

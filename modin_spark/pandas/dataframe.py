@@ -232,9 +232,30 @@ class DataFrame:
                 self[key] = value._series_at(0)
                 return
             raise ValueError("setitem: column count mismatch")
-        if isinstance(value, (list, tuple, pd.Series, pd.Index, np.ndarray)):
+        if isinstance(value, pd.Series):
+            # a labeled pandas Series aligns BY LABEL (pandas); its index
+            # rides in as the engine frame's index
+            from modin_spark.pandas.io import from_pandas as _fp
+
+            idx_default = isinstance(value.index, pd.RangeIndex) and value.index.start == 0 and value.index.step == 1
+            vdf = _fp(value.rename("__v__").to_frame())
+            self[key] = vdf["__v__"] if idx_default else Series._from_frame(vdf._frame)
+            return
+        if isinstance(value, (list, tuple, pd.Index, np.ndarray)):
+            # raw sequences have NO labels: pandas assigns POSITIONALLY —
+            # join on the contiguous global position, not the label stash
             vals = pd.Series(value).reset_index(drop=True)
-            self[key] = Series._from_pandas(vals)
+            vfr = Series._from_pandas(vals)._to_frame("__v__").ensure_order()
+            fr2 = fr.ensure_order().with_global_position("__sp0__")
+            vsdf = vfr.sdf.select(
+                F.col(ORDER_COL).cast("long").alias("__vp0__"),
+                F.col(vfr.data_cols[0]).alias("__vv0__"),
+            )
+            joined = fr2.sdf.join(vsdf, F.col("__sp0__") == F.col("__vp0__"), "left").drop(
+                "__vp0__", "__sp0__")
+            nf = SparkFrame(joined, fr.columns, fr.data_cols, fr.index_cols,
+                            fr.index_names, _lid=fr._lid, _chain=fr._chain)
+            self._frame = nf.with_columns([key], [F.col("__vv0__")])
             return
         self._frame = fr.with_columns([key], [_lit(value)])
 
@@ -4110,7 +4131,8 @@ class DataFrame:
         if axis in (1, "columns"):
             cols = fr.columns
             if not isinstance(cols, pd.MultiIndex):
-                raise ValueError("xs(axis=1) needs MultiIndex columns")
+                # flat columns: xs(axis=1) is plain column extraction
+                return self[key]
             lv = level if isinstance(level, int) else list(cols.names).index(level)
             keep = [i for i, tup in enumerate(cols) if tup[lv] == key]
             new_cols = [tuple(v for j, v in enumerate(cols[i]) if j != lv) for i in keep]

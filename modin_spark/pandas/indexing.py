@@ -237,6 +237,11 @@ class LocIndexer:
     def __getitem__(self, key):
         from modin_spark.pandas.dataframe import DataFrame
 
+        if callable(key):
+            # pandas: loc[callable] applies it to the frame first
+            key = key(self._df)
+        elif isinstance(key, tuple) and len(key) == 2 and callable(key[0]):
+            key = (key[0](self._df), key[1])
         fr = self._df._frame
         # full-depth MultiIndex row label: loc[(k1, k2)] on a 2-level index
         # (reference keeps the whole MultiIndex in pandas partitions; here the
@@ -403,6 +408,19 @@ class _SeriesLocWrapper:
     def __init__(self, s, positional: bool):
         self._s = s
         self._positional = positional
+
+    def __setitem__(self, key, value):
+        # in-place series write: run the frame-level conditional projection
+        # on the 1-column view, then rebind this series to the result
+        df = self._s.to_frame("__s__")
+        if self._positional:
+            df.iloc[key if isinstance(key, tuple) else (key, 0)] = value
+        else:
+            df.loc[key if isinstance(key, tuple) else (key, "__s__")] = value
+        nf = df._frame
+        self._s._frame = nf
+        self._s._expr = F.col(nf.data_cols[0])
+        self._s._refs = set(nf.data_cols)
 
     def __getitem__(self, key):
         from modin_spark.pandas.dataframe import DataFrame

@@ -36,14 +36,21 @@ def test_setitem_list_after_sort(sorted_mdf):
 
 
 def test_setitem_series_cross_frame(sorted_mdf, spark):
+    # pandas aligns a Series value BY LABEL: the sorted frame keeps its
+    # ORIGINAL labels, so each row gets value[original_label] (r11 — the
+    # earlier positional expectation here was NOT pandas semantics)
     import modin_spark.pandas as mpd
 
     mdf, ppdf = sorted_mdf
+    rng = np.random.default_rng(7)
+    pdf = pd.DataFrame({"a": rng.permutation(1000), "b": rng.random(1000)})
+    want = pdf.sort_values("a")
+    want["x"] = pd.Series(np.arange(1000) * 2.0)
     other = mpd.from_pandas(pd.DataFrame({"v": np.arange(1000) * 2.0}))
     mdf["x"] = other["v"]
     out = mdf.to_pandas()
     assert out["x"].notna().all()
-    np.testing.assert_allclose(out["x"].to_numpy(), np.arange(1000) * 2.0)
+    np.testing.assert_allclose(out["x"].to_numpy(), want["x"].to_numpy())
 
 
 def test_series_combine_cross_frame(sorted_mdf, spark):
@@ -58,11 +65,15 @@ def test_series_combine_cross_frame(sorted_mdf, spark):
 
 
 def test_mask_cross_frame(sorted_mdf, spark):
+    # pandas reindexes a boolean-Series key to the frame's LABELS: rows with
+    # original label < 10 survive (r11 — was positional before, not pandas)
     import modin_spark.pandas as mpd
 
     mdf, ppdf = sorted_mdf
+    rng = np.random.default_rng(7)
+    pdf = pd.DataFrame({"a": rng.permutation(1000), "b": rng.random(1000)})
+    want = pdf.sort_values("a")[pd.Series(np.arange(1000) < 10)]
     mask_src = mpd.from_pandas(pd.DataFrame({"m": np.arange(1000) < 10}))
     out = mdf[mask_src["m"]].to_pandas()
-    # positions 0..9 of the sorted frame = 10 smallest a values
     assert len(out) == 10
-    np.testing.assert_array_equal(np.sort(out["a"].to_numpy()), np.sort(ppdf["a"].to_numpy()[:10]))
+    np.testing.assert_array_equal(np.sort(out["a"].to_numpy()), np.sort(want["a"].to_numpy()))
