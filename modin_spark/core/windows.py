@@ -388,6 +388,7 @@ def rolling_agg(
     q: float | None = None,
     center: bool = False,
     closed: str | None = None,
+    ddof: int = 1,
 ) -> SparkFrame:
     """Fixed-size rolling window along frame order (pandas ``rolling(w).agg()``).
 
@@ -409,8 +410,11 @@ def rolling_agg(
         # F.median is not frame-window capable; percentile(0.5) is
         over_fn = lambda c, w: F.percentile(c, F.lit(0.5)).over(w)
     elif agg == "sem":
-        # window sem: std/sqrt(n - ddof), ddof=1 (pandas window semantics)
-        over_fn = lambda c, w: F.stddev_samp(c).over(w) / F.sqrt(F.count(c).over(w) - 1)
+        # window sem: std/sqrt(n - ddof) (pandas window semantics)
+        def over_fn(c, w, _d=ddof):
+            n = F.count(c).over(w)
+            scale = F.sqrt((n - 1) / (n - F.lit(_d))) if _d != 1 else F.lit(1.0)
+            return F.stddev_samp(c).over(w) * scale / F.sqrt(n - _d)
     elif agg == "skew":
         # pandas bias-corrected G1 over the window (Spark skewness = population g1)
         def over_fn(c, w):
@@ -421,6 +425,14 @@ def rolling_agg(
         def over_fn(c, w):
             n = F.count(c).over(w)
             return ((n - 1) / ((n - 2) * (n - 3))) * ((n + 1) * F.kurtosis(c).over(w) + 6)
+    elif agg in ("var", "std") and ddof != 1:
+        # rescale Spark's sample stats: M2/(n-1) -> M2/(n-ddof)
+        def over_fn(c, w, _a=agg, _d=ddof):
+            n = F.count(c).over(w)
+            scale = (n - 1) / (n - F.lit(_d))
+            if _a == "var":
+                return F.var_samp(c).over(w) * scale
+            return F.stddev_samp(c).over(w) * F.sqrt(scale)
     else:
         _fn = _ROLL_AGGS[agg]
         over_fn = lambda c, w: _fn(c).over(w)

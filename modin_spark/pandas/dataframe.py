@@ -241,7 +241,7 @@ class DataFrame:
             vdf = _fp(value.rename("__v__").to_frame())
             self[key] = vdf["__v__"] if idx_default else Series._from_frame(vdf._frame)
             return
-        if isinstance(value, (list, tuple, pd.Index, np.ndarray)):
+        if isinstance(value, (list, tuple, pd.Index, np.ndarray, pd.Categorical)):
             # raw sequences have NO labels: pandas assigns POSITIONALLY —
             # join on the contiguous global position, not the label stash
             vals = pd.Series(value).reset_index(drop=True)
@@ -759,6 +759,20 @@ class DataFrame:
         return self.where(inv, other)
 
     def clip(self, lower=None, upper=None) -> "DataFrame":
+        if isinstance(lower, DataFrame) or isinstance(upper, DataFrame):
+            # frame bounds clip per cell by matching label — rides the
+            # ordinary binary alignment (label columns, lineage/label rows);
+            # a missing/NULL bound cell leaves the value untouched (pandas)
+            out = self
+            if lower is not None:
+                out = out._binary_frame(
+                    lower, lambda a, b: F.when(a.isNull(), F.lit(None))
+                    .otherwise(F.greatest(a, F.coalesce(b, a))))
+            if upper is not None:
+                out = out._binary_frame(
+                    upper, lambda a, b: F.when(a.isNull(), F.lit(None))
+                    .otherwise(F.least(a, F.coalesce(b, a))))
+            return out
         fr = self._frame
         exprs = []
         for i in range(len(fr.columns)):

@@ -466,14 +466,25 @@ class DataFrameGroupBy:
         sdf = sdf.where(F.col("__rn__") <= n).drop("__rn__")
         return DataFrame(_frame=fr._subset_rows(sdf))
 
-    def nth(self, n: int):
+    def nth(self, n):
+        """Row(s) n of each group; negative n counts from the group's end,
+        a list selects several — one key-window (+ a count window only when
+        a negative position needs the group size)."""
         from modin_spark.pandas.dataframe import DataFrame
 
         fr = self._df._frame.ensure_order()
         keys = [fr.data_cols[i] for i in self._by_pos]
         w = Window.partitionBy(*keys).orderBy(ORDER_COL)
+        ns = list(n) if isinstance(n, (list, tuple)) else [n]
         sdf = fr.sdf.withColumn("__rn__", F.row_number().over(w))
-        sdf = sdf.where(F.col("__rn__") == n + 1).drop("__rn__")
+        if any(v < 0 for v in ns):
+            wc = Window.partitionBy(*keys)
+            sdf = sdf.withColumn("__gn__", F.count(F.lit(1)).over(wc))
+        cond = None
+        for v in ns:
+            e = (F.col("__rn__") == v + 1) if v >= 0 else (F.col("__rn__") == F.col("__gn__") + v + 1)
+            cond = e if cond is None else (cond | e)
+        sdf = sdf.where(cond).drop("__rn__", "__gn__")
         return DataFrame(_frame=fr._subset_rows(sdf))
 
     def tail(self, n=5):

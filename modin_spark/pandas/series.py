@@ -673,7 +673,13 @@ class Series:
             items = list(to_replace.items())
         else:
             tr = to_replace if isinstance(to_replace, list) else [to_replace]
-            items = [(t, value) for t in tr]
+            if isinstance(to_replace, list) and isinstance(value, (list, tuple)):
+                # pandas pairwise form: replace([a, b], [x, y])
+                if len(value) != len(tr):
+                    raise ValueError("Replacement lists must match in length")
+                items = list(zip(tr, value))
+            else:
+                items = [(t, value) for t in tr]
 
         def f(c):
             e = None
@@ -915,13 +921,19 @@ class Series:
         idx, pos = self._index_expr(), self._pos_for_ties()
         key = F.when(self._expr.isNotNull(), F.struct(self._expr.alias("v"), (-pos).alias("t")))
         e = F.max_by(idx, key)
-        return self._frame.sdf.agg(e.alias("__r__")).collect()[0]["__r__"]
+        val = self._frame.sdf.agg(e.alias("__r__")).collect()[0]["__r__"]
+        import numpy as _np
+
+        return _np.nan if val is None else val  # pandas: all-NaN -> nan
 
     def idxmin(self):
         idx, pos = self._index_expr(), self._pos_for_ties()
         key = F.when(self._expr.isNotNull(), F.struct(self._expr.alias("v"), pos.alias("t")))
         e = F.min_by(idx, key)
-        return self._frame.sdf.agg(e.alias("__r__")).collect()[0]["__r__"]
+        val = self._frame.sdf.agg(e.alias("__r__")).collect()[0]["__r__"]
+        import numpy as _np
+
+        return _np.nan if val is None else val
 
     def _pos_for_ties(self) -> Column:
         """A long frame-position expression for first-occurrence tie-breaks.

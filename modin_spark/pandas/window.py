@@ -98,6 +98,7 @@ class Rolling:
                 center=self._center, **wkw
             )
             return DataFrame(_frame=out)
+        ddof = agg_kwargs.pop("ddof", 1) if agg in ("var", "std", "sem") else 1
         if agg_kwargs:
             raise TypeError(f"{agg}() got unexpected keyword arguments {sorted(agg_kwargs)} (only win_type windows take window parameters here)")
         if isinstance(self._window, str):
@@ -118,12 +119,12 @@ class Rolling:
         if isinstance(self._obj, Series):
             fr = self._obj._to_frame()
             out = win.rolling_agg(fr, [0], self._window, agg, self._min_periods,
-                                  center=self._center, closed=self._closed)
+                                  center=self._center, closed=self._closed, ddof=ddof)
             return Series._from_frame(out)
         df = self._obj
         pos = df._numeric_positions()
         out = win.rolling_agg(df._frame, pos, self._window, agg, self._min_periods,
-                              center=self._center, closed=self._closed)
+                              center=self._center, closed=self._closed, ddof=ddof)
         return DataFrame(_frame=out)
 
     def quantile(self, q=0.5):
