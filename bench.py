@@ -171,7 +171,7 @@ def main() -> None:
     # headline set grows every round, so the raw total is not comparable
     # across rounds — these per-freeze subtotals are)
     comparables: dict[str, float | None] = {}
-    for tag in ("r1", "r3", "r4", "r5", "r7", "r10"):
+    for tag in ("r1", "r3", "r4", "r5", "r7", "r10", "r11"):
         comparables[tag] = None
         try:
             fname = f"BASELINE_LOCAL_r{int(tag[1:]):02d}.json"
