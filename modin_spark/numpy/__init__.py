@@ -340,3 +340,63 @@ __all__ = [
     "arcsin", "arccos", "arctan", "sinh", "cosh", "floor", "ceil", "sign",
     "e", "euler_gamma", "inf", "nan", "newaxis", "pi",
 ]
+
+
+def where(cond, x=None, y=None):
+    """np.where(cond, x, y) — a conditional projection. Array operands ride
+    the frame where/mask alignment; scalar/scalar pairs compile to one
+    arithmetic blend (numeric), all JVM-side."""
+    if x is None or y is None:
+        raise NotImplementedError("np.where(cond) nonzero form")
+    c = _as_arr(cond)
+    cdf = c._df
+    x_arr = isinstance(x, array) or isinstance(x, (list, tuple)) or getattr(x, "ndim", 0) > 0
+    y_arr = isinstance(y, array) or isinstance(y, (list, tuple)) or getattr(y, "ndim", 0) > 0
+    if c._ndim == 1:
+        # Series.where handles sibling-projection rebase (the common
+        # np.where(v > t, v, fill) shape)
+        cs = cdf[cdf.columns[0]]
+        if x_arr:
+            xs = _as_arr(x)._df
+            xs = xs[xs.columns[0]]
+            other = _as_arr(y)._df if y_arr else y
+            if y_arr:
+                other = other[other.columns[0]]
+            out = xs.where(cs, other).to_frame(0)
+        elif y_arr:
+            ys = _as_arr(y)._df
+            out = ys[ys.columns[0]].mask(cs, x).to_frame(0)
+        else:
+            out = (cs.astype("int64") * x + (1 - cs.astype("int64")) * y).to_frame(0)
+        return array(_df=out, _ndim=1)
+    if x_arr:
+        out = _as_arr(x)._df.where(cdf, other=(_as_arr(y)._df if y_arr else y))
+        return array(_df=out, _ndim=c._ndim)
+    if y_arr:
+        out = _as_arr(y)._df.mask(cdf, x)
+        return array(_df=out, _ndim=c._ndim)
+    ci = cdf.astype("int64")
+    out = ci * x + (1 - ci) * y
+    return array(_df=out, _ndim=c._ndim)
+
+
+def clip(a, a_min=None, a_max=None) -> array:
+    arr_ = _as_arr(a)
+    out = arr_._df.clip(lower=a_min, upper=a_max)
+    return array(_df=out, _ndim=arr_._ndim)
+
+
+def unique(a) -> array:
+    """Sorted distinct values (numpy contract: SORTED, unlike pandas'
+    first-appearance unique) — one distinct + sort, k-row result."""
+    import pandas as _pd
+
+    arr_ = _as_arr(a).flatten()
+    vals = sorted(arr_._df.iloc[:, 0].unique().tolist())
+    from modin_spark.pandas.io import from_pandas
+
+    return array(_df=from_pandas(_pd.DataFrame({0: vals})), _ndim=1)
+
+
+def reshape(a, newshape) -> array:
+    return _as_arr(a).reshape(newshape)

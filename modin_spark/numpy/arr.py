@@ -487,7 +487,51 @@ class array:
         if isinstance(key, array):  # boolean mask
             masked = self._df[key._df[0] if key._ndim == 1 else key._df]
             return array(_df=masked.reset_index(drop=True), _ndim=self._ndim)
+        if isinstance(key, (list, np.ndarray)):
+            karr = np.asarray(key)
+            if karr.dtype == bool:
+                return self[array(karr.tolist())]
+            # fancy integer row index: iloc list select (keeps repeat order)
+            sub = self._df.iloc[[int(i) for i in karr]].reset_index(drop=True)
+            return array(_df=sub, _ndim=self._ndim)
         raise NotImplementedError(f"indexing with {type(key)}")
+
+    def reshape(self, *shape) -> "array":
+        """Row-major reshape: flatten (one melt, distributed), then regroup —
+        row r of the target = elements [r*ncols, (r+1)*ncols), one
+        groupBy(pos // ncols) with ncols conditional aggregates. A -1 dim is
+        resolved from one count job."""
+        if len(shape) == 1 and isinstance(shape[0], (tuple, list)):
+            shape = tuple(shape[0])
+        if len(shape) == 1:
+            n = shape[0]
+            flat = self.flatten()
+            if n == -1:
+                return flat
+            return flat
+        if len(shape) != 2:
+            raise NotImplementedError("reshape beyond 2-D")
+        from modin_spark.core.frame import ORDER_COL, SparkFrame, fresh_names
+        from modin_spark.pandas.dataframe import DataFrame
+
+        nrows, ncols = shape
+        flat = self.flatten()
+        if nrows == -1 or ncols == -1:
+            total = len(flat._df)
+            if ncols == -1:
+                ncols = total // nrows
+            else:
+                nrows = total // ncols
+        fr = flat._df._frame.ensure_order().with_global_position("__rp__")
+        v = F.col(fr.data_cols[0])
+        out_phys = fresh_names(ncols)
+        aggs = [F.max(F.when(F.col("__rp__") % ncols == j, v)).alias(p)
+                for j, p in enumerate(out_phys)]
+        sdf = fr.sdf.groupBy((F.col("__rp__") / ncols).cast("long").alias("__rr__")).agg(*aggs)
+        sdf = sdf.withColumn(ORDER_COL, F.col("__rr__")).drop("__rr__")
+        nf = SparkFrame(sdf, __import__("pandas").Index(range(ncols)), out_phys, [], [None],
+                        has_order=True)
+        return array(_df=DataFrame(_frame=nf), _ndim=2)
 
     # ------------------------------------------------------------- numpy io
     def _to_numpy(self) -> np.ndarray:
