@@ -57,8 +57,16 @@ def merge(left: DataFrame, right: DataFrame, **kw) -> DataFrame:
     return left.merge(right, **kw)
 
 
-def to_datetime(arg, format=None, errors="raise", unit=None):
+def to_datetime(arg, format=None, errors="raise", unit=None,
+                dayfirst: bool = False, yearfirst: bool = False):
     if isinstance(arg, Series):
+        if dayfirst and format is None:
+            # pandas dayfirst: ambiguous d/m strings parse day-first; compile
+            # to an explicit pattern (slash or dash separated)
+            sample = arg._frame.sdf.select(arg._expr.alias("__v__")).where(
+                arg._expr.isNotNull()).limit(1).collect()
+            sep = "-" if sample and "-" in str(sample[0]["__v__"]) else "/"
+            format = f"%d{sep}%m{sep}%Y"
         if unit is not None:
             # numeric epochs: scale to microseconds, exact integer math
             scale = {"s": 1_000_000, "ms": 1_000, "us": 1, "ns": None, "D": 86_400_000_000}

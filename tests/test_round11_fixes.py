@@ -158,3 +158,13 @@ def test_frame_value_counts_single_column_multiindex_shape():
     rm2 = m.value_counts().to_pandas()
     assert rm2.index.nlevels == 2
     pd.testing.assert_series_equal(rm2, rp2, check_dtype=False)
+
+
+def test_to_datetime_dayfirst():
+    # wave 33 quickie: dayfirst resolves the ambiguous d/m order
+    got = mpd.to_datetime(
+        mpd.from_pandas(pd.DataFrame({"x": ["02/03/2024", "15/01/2024"]})).x,
+        dayfirst=True).astype(str).to_pandas().tolist()
+    want = pd.to_datetime(pd.Series(["02/03/2024", "15/01/2024"]),
+                          dayfirst=True).astype(str).tolist()
+    assert got == want
