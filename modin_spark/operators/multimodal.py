@@ -290,24 +290,37 @@ def make_synthetic_media(spark, n: int = 100, seed: int = 42, kind: str = "raw")
     % 256 — decodable by the real codec and SQL-replayable (the
     multimodal_png_stats oracle recomputes mean brightness from the same
     arithmetic).
-    kind="wav": REAL 0.25 s 8 kHz sine WAVs at id-dependent frequency."""
+    kind="wav": REAL 0.25 s 8 kHz sine WAVs at id-dependent frequency.
+    kind="jpeg"/"mp3"/"mp4": structurally valid HEADER streams with
+    id-derived fields (r11 — parsed by the real header codecs; the
+    entropy-coded payload stays the declared stub).
+    kind="mixed": cycles png/jpeg/wav/mp3/mp4 for attach_media_meta tests."""
     rows = []
     rng = np.random.default_rng(seed)
-    for i in range(n):
-        if kind == "png":
-            from modin_spark.operators.media_codecs import encode_png
+    from modin_spark.operators import media_codecs as mc
 
+    def mk(kd: str, i: int) -> bytes:
+        if kd == "png":
             r, c = np.meshgrid(np.arange(16), np.arange(16), indexing="ij")
             arr = ((i * 31 + r * 16 + c) % 256).astype(np.uint8)
-            payload = encode_png(arr)
-        elif kind == "wav":
-            from modin_spark.operators.media_codecs import encode_wav
-
+            return mc.encode_png(arr)
+        if kd == "wav":
             t = np.arange(2000) / 8000.0
-            payload = encode_wav(0.5 * np.sin(2 * np.pi * (220 + 20 * i) * t), 8000)
-        else:
-            payload = bytes(rng.integers(0, 256, size=64, dtype=np.uint8).tolist())
-        rows.append((i, payload))
+            return mc.encode_wav(0.5 * np.sin(2 * np.pi * (220 + 20 * i) * t), 8000)
+        if kd == "jpeg":
+            return mc.encode_jpeg_header(32 + i * 3, 16 + i * 2,
+                                         progressive=i % 2 == 1)
+        if kd == "mp3":
+            return mc.encode_mp3(3 + i % 5, sr_idx=i % 3, id3_pad=(i * 13) % 97)
+        if kd == "mp4":
+            return mc.encode_mp4_header(1000 + i * 137, 64 + i % 256, 48 + i % 32,
+                                        video_codec="avc1", audio_codec="mp4a")
+        return bytes(rng.integers(0, 256, size=64, dtype=np.uint8).tolist())
+
+    cycle = ["png", "jpeg", "wav", "mp3", "mp4"]
+    for i in range(n):
+        kd = cycle[i % len(cycle)] if kind == "mixed" else kind
+        rows.append((i, mk(kd, i)))
     return spark.createDataFrame(rows, T.StructType([
         T.StructField("media_id", T.LongType()),
         T.StructField("payload", T.BinaryType()),

@@ -123,3 +123,13 @@ def test_attach_media_meta_mixed_corpus(spark):
     assert got.loc[3, "format"] == "mp3" and got.loc[3, "duration_s"] == pytest.approx(5 * 1152 / 44100)
     assert got.loc[4, "codec"] == "avc1" and got.loc[4, "duration_s"] == pytest.approx(3.0)
     assert pd.isna(got.loc[5, "format"]) and pd.isna(got.loc[6, "width"])
+
+
+def test_make_synthetic_media_mixed_kinds(spark):
+    from modin_spark.operators.multimodal import attach_media_meta, make_synthetic_media
+
+    df = make_synthetic_media(spark, n=10, kind="mixed")
+    got = (attach_media_meta(df).select("media_id", "media_meta.kind", "media_meta.format")
+           .toPandas().set_index("media_id").sort_index())
+    assert got["format"].tolist() == ["png", "jpeg", "wav", "mp3", "mp4"] * 2
+    assert got["kind"].tolist() == ["image", "image", "audio", "audio", "video"] * 2
