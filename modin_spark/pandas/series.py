@@ -899,6 +899,19 @@ class Series:
         nat = _native.maybe_series(self, "describe", percentiles=percentiles, _raw=True)
         if nat is not None:
             return nat
+        if self.dtype.kind in "OUSb" and self.dtype.kind != "b":
+            # object/string dtype: pandas shape is count/unique/top/freq —
+            # one count aggregate + one top-1 value count (both tiny)
+            cnt_row = self._frame.sdf.agg(
+                F.count(self._expr).alias("c"),
+                F.count_distinct(self._expr).alias("u"),
+            ).collect()[0]
+            top_rows = (self._frame.sdf.where(self._expr.isNotNull())
+                        .groupBy(self._expr.alias("v")).count()
+                        .orderBy(F.col("count").desc(), F.col("v")).limit(1).collect())
+            top, freq = (top_rows[0]["v"], top_rows[0]["count"]) if top_rows else (None, None)
+            return pd.Series([cnt_row["c"], cnt_row["u"], top, freq],
+                             index=["count", "unique", "top", "freq"], name=self._name)
         # pandas: percentiles= replaces the quartiles; the median is always
         # included (pandas inserts 0.5 if missing)
         ps = sorted(set(list(percentiles) + [0.5])) if percentiles is not None else [0.25, 0.5, 0.75]
@@ -1967,11 +1980,12 @@ def _ser_rdivmod(self, other):
 
 
 def _ser_add_prefix(self, prefix):
-    return self.rename(f"{prefix}{self._name}" if self._name is not None else prefix)
+    # pandas prefixes the INDEX labels (stringifying them), not the name
+    return self.rename(index=lambda lbl, _p=prefix: f"{_p}{lbl}")
 
 
 def _ser_add_suffix(self, suffix):
-    return self.rename(f"{self._name}{suffix}" if self._name is not None else suffix)
+    return self.rename(index=lambda lbl, _s=suffix: f"{lbl}{_s}")
 
 
 def _ser_argsort(self):
