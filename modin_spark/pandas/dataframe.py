@@ -183,6 +183,13 @@ class DataFrame:
 
     def __setitem__(self, key, value):
         fr = self._frame
+        # categorical VALUES: the category SET rides on the wrapper (Spark
+        # storage is plain string) so groupby(observed=False) can restore
+        # unobserved categories later
+        if isinstance(value, pd.Categorical):
+            self._cat_meta = {**getattr(self, "_cat_meta", {}), key: value.dtype}
+        elif getattr(value, "_cat_dtype", None) is not None:
+            self._cat_meta = {**getattr(self, "_cat_meta", {}), key: value._cat_dtype}
         if isinstance(value, Series):
             if fr.can_rebase(value._frame, value._refs):
                 self._frame = fr.with_columns([key], [value._expr])
@@ -1211,7 +1218,8 @@ class DataFrame:
             keep += list(range(n_surfaced, len(rfr.data_cols)))
             reset = DataFrame(_frame=rfr.select_positions(keep))
             return DataFrameGroupBy(reset, labels, as_index=as_index, dropna=dropna, sort=sort)
-        return DataFrameGroupBy(self, by, as_index=as_index, dropna=dropna, sort=sort)
+        return DataFrameGroupBy(self, by, as_index=as_index, dropna=dropna, sort=sort,
+                                observed=observed)
 
     def _validate_merge(self, right, validate, on, left_on, right_on, left_index, right_index):
         """pandas merge(validate=): check key uniqueness per side. Two tiny

@@ -26,13 +26,23 @@ _AGG_NAMES = (
 
 
 class DataFrameGroupBy:
-    def __init__(self, df, by, as_index=True, dropna=True, sort=True):
+    def __init__(self, df, by, as_index=True, dropna=True, sort=True,
+                 observed=True):
         from modin_spark.pandas.dataframe import DataFrame
 
         self._df: DataFrame = df
         self._as_index = as_index
         self._dropna = dropna
         self._sort = sort
+        # observed=False on a key whose CategoricalDtype is known (recorded
+        # at setitem/assign time — Spark storage is plain string, so the
+        # category SET rides on the wrapper): unobserved categories come
+        # back as identity rows, pandas-style
+        self._unobserved_dtype = None
+        if not observed and isinstance(by, (str, int)) or (
+            not observed and isinstance(by, list) and len(by) == 1):
+            key = by if isinstance(by, (str, int)) else by[0]
+            self._unobserved_dtype = getattr(df, "_cat_meta", {}).get(key)
         fr = df._frame
         if isinstance(by, Series):
             # external/derived key: attach as a hidden key column
@@ -94,6 +104,7 @@ class DataFrameGroupBy:
             sub = self._df[list(dict.fromkeys(self._by_labels + key))]
             g = DataFrameGroupBy(sub, self._by_labels, self._as_index, self._dropna, self._sort)
             g._value_labels = key
+            g._unobserved_dtype = self._unobserved_dtype
             return g
         g = SeriesGroupBy._from_frame_groupby(self, key)
         return g
@@ -119,6 +130,32 @@ class DataFrameGroupBy:
         return out
 
     # ------------------------------------------------------------------ aggs
+    def _complete_unobserved(self, res, fns):
+        """groupby(observed=False) on a known CategoricalDtype key: append
+        identity rows (count/size/nunique/sum -> 0, else NaN) for categories
+        never observed. The missing set is bounded by the category SET —
+        driver metadata by definition; the body stays distributed."""
+        dt = self._unobserved_dtype
+        if dt is None or not self._as_index:
+            return res
+        from modin_spark.pandas.general import concat as _concat
+        from modin_spark.pandas.io import from_pandas as _fp
+
+        fr = res._frame
+        if len(fr.index_cols) != 1:
+            return res
+        observed = {r[0] for r in fr.sdf.select(fr.index_cols[0]).distinct().collect()}
+        missing = [c for c in dt.categories if c not in observed]
+        if not missing:
+            return res
+
+        def ident(fn):
+            return 0 if fn in ("count", "size", "nunique", "sum") else float("nan")
+
+        pad = pd.DataFrame({lbl: [ident(fn)] * len(missing) for lbl, fn in fns},
+                           index=pd.Index(missing, name=fr.index_names[0]))
+        return _concat([res, _fp(pad)])
+
     def _agg_all(self, name: str, numeric_only=False, **kw):
         from modin_spark.pandas.dataframe import DataFrame
         from modin_spark.pandas import native as _native
@@ -134,7 +171,11 @@ class DataFrameGroupBy:
         out = qc.groupby_agg(
             self._df._frame, self._by_pos, spec, as_index=self._as_index, dropna=self._dropna, sort=self._sort
         )
-        return DataFrame(_frame=out)
+        res = DataFrame(_frame=out)
+        if self._unobserved_dtype is not None:
+            res = self._complete_unobserved(
+                res, [(lbl, name) for lbl, _ in self._value_positions(numeric_only)])
+        return res
 
     def sum(self, numeric_only=True, min_count=0):
         if min_count <= 0:
@@ -839,6 +880,7 @@ class SeriesGroupBy:
         if hasattr(self, "_g"):
             g2 = DataFrameGroupBy(self._g._df, self._g._by_labels, self._g._as_index, self._g._dropna, self._g._sort)
             g2._value_labels = [self._col]
+            g2._unobserved_dtype = self._g._unobserved_dtype
             return g2
         # standalone series groupby: build a 2-col frame
         from modin_spark.pandas.dataframe import DataFrame

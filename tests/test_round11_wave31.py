@@ -59,3 +59,18 @@ def test_assign_categorical(pdf):
 def test_idxmax_all_nan_is_nan():
     m = mpd.from_pandas(pd.DataFrame({"x": [np.nan, np.nan]}))
     assert np.isnan(m.x.idxmax()) and np.isnan(m.x.idxmin())
+
+
+def test_groupby_observed_false_unobserved_categories(pdf):
+    m = mpd.from_pandas(pdf)
+    cat = pd.Categorical(pdf.k, categories=list("xyzw"))
+    pc = pdf.assign(c=cat)
+    mc = m.assign(c=pd.Categorical(pdf.k, categories=list("xyzw")))
+    for fn in ("count", "sum", "mean"):
+        want = getattr(pc.groupby("c", observed=False)["a"], fn)().to_dict()
+        got = getattr(mc.groupby("c", observed=False)["a"], fn)().to_pandas().to_dict()
+        norm = lambda d: {str(k): (None if pd.isna(v) else v) for k, v in d.items()}
+        assert norm(got) == norm(want), fn
+    # observed=True unchanged
+    assert mc.groupby("c", observed=True)["a"].count().to_pandas().to_dict() == \
+        {"x": 2, "y": 2, "z": 1}

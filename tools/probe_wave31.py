@@ -67,11 +67,11 @@ probe("eval chained @var", lambda: (lambda lim=2: P.eval("c = a + @lim\nd = c * 
       lambda: (lambda lim=2: M().eval("c = a + @lim\nd = c * 2"))().to_pandas().d.tolist())
 probe("cut on negative values", lambda: pd.cut(pd.Series([-5, 0, 5]), 2, labels=False).tolist(),
       lambda: mpd.cut(mpd.from_pandas(pd.DataFrame({"x": [-5, 0, 5]})).x, 2, labels=False).to_pandas().tolist())
-# DOCUMENTED divergence: categorical dtype degrades to string storage
-# on ingest, so groupby(observed=False) cannot emit zero-rows for
-# UNOBSERVED categories (the category SET is not carried). observed
-# groups are exact.
-probe("categorical groupby unobserved (known: no zero-rows for unobserved cats)", lambda: P.assign(c=pd.Categorical(P.k, categories=list("xyzw"))).groupby("c", observed=False)["a"].count().to_dict(),
+# FIXED late r11: the category SET rides the wrapper (_cat_meta) from
+# setitem/assign, and groupby(observed=False) appends identity rows
+# for unobserved categories (display order: observed-sorted + missing
+# appended, vs pandas category-declaration order).
+probe("categorical groupby unobserved", lambda: P.assign(c=pd.Categorical(P.k, categories=list("xyzw"))).groupby("c", observed=False)["a"].count().to_dict(),
       lambda: M().assign(c=pd.Categorical(P.k, categories=list("xyzw"))).groupby("c", observed=False)["a"].count().to_pandas().to_dict(),
       norm=lambda d: {str(k): v for k, v in d.items()})
 probe("corrwith values", lambda: P[["a","b"]].corrwith(P[["a","b"]].fillna(0)).round(5).to_dict(),
