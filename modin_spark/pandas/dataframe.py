@@ -4434,12 +4434,15 @@ class DataFrame:
             .csv(path)
         )
 
-    def to_json(self, path: str, mode: str = "overwrite", orient: str = "records",
-                lines: bool = True) -> None:
+    def to_json(self, path: str | None = None, mode: str = "overwrite",
+                orient: str = "records", lines: bool = False, **kw):
+        if path is None:
+            # pandas: no path -> the JSON STRING (driver-bound by contract)
+            return self.to_pandas().to_json(orient=orient, lines=lines, **kw)
         # Spark's json sink IS records+lines; other orients are driver-side
         # pandas territory and rejected explicitly
-        if orient != "records" or not lines:
-            raise NotImplementedError("to_json supports orient='records', lines=True")
+        if orient != "records":
+            raise NotImplementedError("to_json(path) supports orient='records'")
         self.to_spark(ordered=False).write.mode(mode).json(path)
 
     def to_orc(self, path: str, mode: str = "overwrite") -> None:

@@ -140,7 +140,16 @@ def _parquet_nonnull_cols(path: str) -> frozenset:
     return out
 
 
-def read_parquet(path: str, columns=None, filters=None) -> DataFrame:
+def read_parquet(path, columns=None, filters=None) -> DataFrame:
+    if isinstance(path, (list, tuple)):
+        # pandas accepts a list of files; one multi-path scan (single job)
+        sdf = get_spark().read.parquet(*[str(p) for p in path])
+        from modin_spark.core.frame import SparkFrame as _SF
+
+        out0 = DataFrame(_frame=_SF.from_spark(sdf))
+        if columns is not None:
+            out0 = out0[list(columns)]
+        return out0
     sdf = _parquet_scan(path)
     if columns is not None:
         sdf = sdf.select(*columns)  # column pruning reaches the scan
@@ -178,7 +187,8 @@ def read_parquet(path: str, columns=None, filters=None) -> DataFrame:
 def read_csv(path: str, sep: str = ",", header: int | str = "infer", names=None, dtype=None,
              usecols=None, nrows=None, skiprows=None, parse_dates=None,
              index_col=None, na_values=None, thousands=None, chunksize=None,
-             iterator: bool = False, **kw) -> DataFrame:
+             iterator: bool = False, comment: str | None = None,
+             quotechar: str = '"', encoding: str | None = None, **kw) -> DataFrame:
     from pyspark.sql import functions as F
 
     if chunksize is not None or iterator:
@@ -208,8 +218,19 @@ def read_csv(path: str, sep: str = ",", header: int | str = "infer", names=None,
         .option("header", header is not None and header != None)
         # pandas csv dialect doubles quotes inside quoted fields ("" -> ");
         # Spark's default escape is backslash
-        .option("escape", '"')
+        .option("escape", quotechar)
+        .option("quote", quotechar)
     )
+    if comment is not None:
+        reader = reader.option("comment", comment)
+    if encoding is not None:
+        # Spark accepts canonical charset names only (latin-1 -> ISO-8859-1)
+        import codecs as _codecs
+
+        canon = {"latin-1": "ISO-8859-1", "latin1": "ISO-8859-1",
+                 "utf8": "UTF-8", "utf-8": "UTF-8", "cp1252": "windows-1252"}
+        enc = canon.get(encoding.lower(), _codecs.lookup(encoding).name.upper())
+        reader = reader.option("encoding", enc)
     if na_values is not None:
         vals = na_values if isinstance(na_values, (list, tuple, set)) else [na_values]
         if len(vals) == 1:
