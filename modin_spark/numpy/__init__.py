@@ -346,8 +346,34 @@ def where(cond, x=None, y=None):
     """np.where(cond, x, y) — a conditional projection. Array operands ride
     the frame where/mask alignment; scalar/scalar pairs compile to one
     arithmetic blend (numeric), all JVM-side."""
+    if x is None and y is None:
+        # nonzero form: np.where(cond) -> tuple of index arrays of True
+        # cells. The result is an ndarray by contract (driver-side by
+        # definition); positions derive from the frame order, one filter +
+        # bounded collect of the matching POSITIONS only (never the data).
+        import numpy as _np
+
+        from pyspark.sql import functions as _F
+
+        c = _as_arr(cond)
+        cdf = c._df
+        if c._ndim == 1:
+            fr = cdf[cdf.columns[0]]._to_frame("__c__").ensure_order().with_global_position("__p__")
+            rows = fr.sdf.where(_F.col(fr.data_cols[0]).cast("boolean")).select("__p__").orderBy("__p__").collect()
+            return (_np.array([r["__p__"] for r in rows], dtype="int64"),)
+        # 2-D: row/col index pair per True cell
+        fr = cdf._frame.ensure_order().with_global_position("__p__")
+        ridx, cidx = [], []
+        rows = fr.sdf.select("__p__", *[_F.col(d).cast("boolean").alias(f"__b{j}__")
+                                        for j, d in enumerate(fr.data_cols)]).orderBy("__p__").collect()
+        for r in rows:
+            for j in range(len(fr.data_cols)):
+                if r[f"__b{j}__"]:
+                    ridx.append(r["__p__"])
+                    cidx.append(j)
+        return (_np.array(ridx, dtype="int64"), _np.array(cidx, dtype="int64"))
     if x is None or y is None:
-        raise NotImplementedError("np.where(cond) nonzero form")
+        raise ValueError("either both or neither of x and y should be given")
     c = _as_arr(cond)
     cdf = c._df
     x_arr = isinstance(x, array) or isinstance(x, (list, tuple)) or getattr(x, "ndim", 0) > 0

@@ -298,7 +298,9 @@ class array:
         from modin_spark.pandas.dataframe import DataFrame
 
         if x is None and y is None:
-            raise NotImplementedError("np.where(cond) (nonzero form) is not supported")
+            from modin_spark import numpy as _mnp
+
+            return _mnp.where(self)  # nonzero form
         fr = self._df._frame
         xf = x._df._frame if isinstance(x, array) else None
         yf = y._df._frame if isinstance(y, array) else None

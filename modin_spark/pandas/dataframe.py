@@ -43,16 +43,51 @@ def _retire_reshape_caches(new_sdf) -> None:
             pass
 
 
+
+_MASKED_EXT_NAMES = {"Int8", "Int16", "Int32", "Int64", "UInt8", "UInt16",
+                     "UInt32", "UInt64", "Float32", "Float64", "boolean"}
+
+
+def _masked_ext_dtypes(pdf: pd.DataFrame) -> dict:
+    """Labels of pandas nullable (masked) extension-dtype columns — Spark
+    stores them as plain nullable columns; the wrapper remembers the dtype so
+    to_pandas and comparison results (pd.NA, not False) stay faithful."""
+    return {c: d for c, d in pdf.dtypes.items() if getattr(d, "name", "") in _MASKED_EXT_NAMES}
+
+
 class DataFrame:
-    def __init__(self, data=None, columns=None, index=None, _frame: SparkFrame | None = None):
+    def __init__(self, data=None, index=None, columns=None, dtype=None, copy=None,
+                 _frame: SparkFrame | None = None):
         if _frame is not None:
             self._frame = _frame
             return
         if isinstance(data, pd.DataFrame):
             pdf = data
+            if dtype is not None:
+                pdf = pdf.astype(dtype)
         else:
-            pdf = pd.DataFrame(data, columns=columns, index=index)
+            from modin_spark.pandas.series import Series as _MSeries
+
+            if isinstance(data, _MSeries):
+                data = data.to_pandas()
+            elif isinstance(data, dict):
+                data = {k: (v.to_pandas() if isinstance(v, _MSeries) else v)
+                        for k, v in data.items()}
+            elif isinstance(data, (list, tuple)) and data and all(
+                    isinstance(v, _MSeries) for v in data):
+                data = [v.to_pandas() for v in data]
+            pdf = pd.DataFrame(data, columns=columns, index=index, dtype=dtype)
         self._frame = SparkFrame.from_pandas(pdf)
+        ext = _masked_ext_dtypes(pdf)
+        if ext:
+            self._to_pandas_ext_dtypes = ext
+        cats = {c: d for c, d in pdf.dtypes.items() if isinstance(d, pd.CategoricalDtype)}
+        if cats:
+            # category SET rides the wrapper (Spark storage is plain string):
+            # groupby(observed=False) restores unobserved keys; to_pandas
+            # restores the dtype
+            self._cat_meta = cats
+            self._to_pandas_ext_dtypes = {**getattr(self, "_to_pandas_ext_dtypes", {}), **cats}
 
     # ------------------------------------------------------------- metadata
     @property
@@ -118,6 +153,17 @@ class DataFrame:
         # extraction may be replayed as pdf[label] (derived Series keep the
         # name through _map1 but are new objects, so the attr vanishes)
         s._native_col = pos
+        ext = getattr(self, "_to_pandas_ext_dtypes", None)
+        if ext:
+            d = ext.get(self._frame.columns[pos])
+            if isinstance(d, pd.CategoricalDtype):
+                # categorical: ordered comparisons + groupby category
+                # restoration key off _cat_dtype; comparisons stay plain bool
+                s._cat_dtype = d
+                s._post_to_pandas = lambda x, _d=d: x.astype(_d)
+            elif d is not None:
+                s._ext_dtype = d
+                s._post_to_pandas = lambda x, _d=d: x.astype(_d)
         return s
 
     def __getitem__(self, key):

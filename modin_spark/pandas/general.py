@@ -11,7 +11,34 @@ from modin_spark.pandas.dataframe import DataFrame
 from modin_spark.pandas.series import Series
 
 
-def concat(objs, axis=0, join="outer", ignore_index=False, keys=None, names=None) -> DataFrame:
+def concat(objs, axis=0, join="outer", ignore_index=False, keys=None, names=None):
+    objs = list(objs)
+    if (objs and axis in (0, "index") and keys is None
+            and all(isinstance(o, Series) for o in objs)):
+        # pandas: concat of all-Series on axis=0 yields a Series whose name
+        # is the common name (None when they differ). Relabel every frame's
+        # single column to one label so concat_rows unions positionally
+        # instead of outer-joining mismatched column labels.
+        snames = {o.name for o in objs}
+        out_name = snames.pop() if len(snames) == 1 else None
+        lbl = out_name if out_name is not None else "__ser__"
+        sfrs = [o._to_frame(lbl) for o in objs]
+        if not ignore_index:
+            # pandas keeps each part's OWN labels (duplicates included) —
+            # default-index parts materialize their pandas labels as an index
+            # level (free for from_pandas lineage: order IS the label)
+            fixed = []
+            for fr in sfrs:
+                if not fr.index_cols:
+                    fr = fr.with_pandas_labels("__cl__")
+                    fr = SparkFrame(fr.sdf, fr.columns, fr.data_cols,
+                                    ["__cl__"], [None])
+                fixed.append(fr)
+            sfrs = fixed
+        fr = qc.concat_rows(sfrs, join=join, ignore_index=ignore_index)
+        s = Series._from_frame(fr)
+        s._name = out_name
+        return s
     frames = []
     for o in objs:
         if isinstance(o, DataFrame):
@@ -61,12 +88,35 @@ def to_datetime(arg, format=None, errors="raise", unit=None,
                 dayfirst: bool = False, yearfirst: bool = False):
     if isinstance(arg, Series):
         if dayfirst and format is None:
-            # pandas dayfirst: ambiguous d/m strings parse day-first; compile
-            # to an explicit pattern (slash or dash separated)
-            sample = arg._frame.sdf.select(arg._expr.alias("__v__")).where(
-                arg._expr.isNotNull()).limit(1).collect()
-            sep = "-" if sample and "-" in str(sample[0]["__v__"]) else "/"
-            format = f"%d{sep}%m{sep}%Y"
+            # pandas dayfirst is a parsing HINT: only values of a strict
+            # d<sep>m<sep>y shape (any of / - . separators, optional H:mm[:ss]
+            # time, 2- or 4-digit year) parse day-first; everything else
+            # (ISO yyyy-mm-dd, month names, fractional seconds) falls through
+            # to the generic parser. All JVM-side, per-row conditional — no
+            # driver sampling, no single hard-coded format.
+            def _dayfirst(c):
+                t = F.trim(c)
+                norm = F.regexp_replace(t, r"^(\d{1,2})[\-.](\d{1,2})[\-.]", "$1/$2/")
+                strict4 = t.rlike(r"^\d{1,2}[/\-.]\d{1,2}[/\-.]\d{4}([ T]\d{1,2}:\d{2}(:\d{2})?)?$")
+                strict2 = t.rlike(r"^\d{1,2}[/\-.]\d{1,2}[/\-.]\d{2}([ T]\d{1,2}:\d{2}(:\d{2})?)?$")
+                p4 = F.coalesce(
+                    F.try_to_timestamp(norm, F.lit("d/M/yyyy")),
+                    F.try_to_timestamp(norm, F.lit("d/M/yyyy H:mm")),
+                    F.try_to_timestamp(norm, F.lit("d/M/yyyy H:mm:ss")),
+                )
+                p2r = F.coalesce(
+                    F.try_to_timestamp(norm, F.lit("d/M/yy")),
+                    F.try_to_timestamp(norm, F.lit("d/M/yy H:mm")),
+                    F.try_to_timestamp(norm, F.lit("d/M/yy H:mm:ss")),
+                )
+                # Spark 'yy' maps every 2-digit year to 20xx; pandas
+                # (dateutil) pivots at 68: 69-99 -> 19xx
+                p2 = F.when(F.year(p2r) > 2068,
+                            F.timestamp_add("YEAR", F.lit(-100), p2r)).otherwise(p2r)
+                return (F.when(strict4, p4).when(strict2, p2)
+                        .otherwise(F.try_to_timestamp(c)))
+
+            return arg._map1(_dayfirst)
         if unit is not None:
             # numeric epochs: scale to microseconds, exact integer math
             scale = {"s": 1_000_000, "ms": 1_000, "us": 1, "ns": None, "D": 86_400_000_000}
@@ -191,6 +241,31 @@ def get_dummies(data, columns=None, prefix=None, prefix_sep="_", dtype="int64",
     return out
 
 
+def _round_frac(x, precision: int):
+    """pandas tile._round_frac: round keeping `precision` significant
+    fractional digits for sub-1 magnitudes."""
+    import numpy as np
+
+    if not np.isfinite(x) or x == 0:
+        return x
+    frac, whole = np.modf(x)
+    if whole == 0:
+        digits = -int(np.floor(np.log10(abs(frac)))) - 1 + precision
+    else:
+        digits = precision
+    return float(np.around(x, digits))
+
+
+def _infer_precision(base: int, breaks) -> int:
+    """pandas tile._infer_precision: smallest precision >= base keeping the
+    rounded breaks unique."""
+    for p in range(base, 21):
+        r = [_round_frac(b, p) for b in breaks]
+        if len(set(r)) == len(list(breaks)):
+            return p
+    return base
+
+
 def cut(x: Series, bins, labels=None, right: bool = True, include_lowest: bool = False,
         retbins: bool = False) -> Series:
     """Fixed-width binning as a when-chain (JVM-side; no UDF).
@@ -212,8 +287,20 @@ def cut(x: Series, bins, labels=None, right: bool = True, include_lowest: bool =
     else:
         edges = list(bins)
     codes = labels is False
+    # pandas label display: breaks rounded to an inferred precision (base 3,
+    # raised until the rounded breaks stay unique); include_lowest widens the
+    # displayed first edge by 10^-precision (codes use the EXACT edges)
+    if all(isinstance(e, int) for e in edges):
+        disp = list(edges)
+        if include_lowest and right:
+            disp[0] = disp[0] - 0.001
+    else:
+        prec = _infer_precision(3, edges)
+        disp = [_round_frac(e, prec) for e in edges]
+        if include_lowest and right:
+            disp[0] = disp[0] - 10 ** (-prec)
     names = labels if (labels is not None and labels is not False) else [
-        (f"({edges[i]}, {edges[i+1]}]" if right else f"[{edges[i]}, {edges[i+1]})")
+        (f"({disp[i]}, {disp[i+1]}]" if right else f"[{disp[i]}, {disp[i+1]})")
         for i in range(len(edges) - 1)
     ]
 
@@ -238,7 +325,7 @@ def cut(x: Series, bins, labels=None, right: bool = True, include_lowest: bool =
         # to_pandas from the driver-known edges.
         closed = "right" if right else "left"
         try:
-            iv = pd.IntervalIndex.from_breaks([float(e) for e in edges], closed=closed)
+            iv = pd.IntervalIndex.from_breaks([float(e) for e in disp], closed=closed)
             cat = pd.CategoricalDtype(categories=iv, ordered=True)
             lab_to_iv = {str(names[i]): iv[i] for i in range(len(iv))}
 
@@ -277,8 +364,10 @@ def qcut(x: Series, q, labels=None, duplicates: str = "raise") -> Series:
                 seen.add(e)
                 uniq.append(e)
         edges = uniq
-    edges[0] = edges[0] - abs(edges[0]) * 0.001 - 0.001
-    return cut(x, edges, labels=labels)
+    # pandas qcut: exact quantile edges with include_lowest (the minimum
+    # falls in the first bin; the DISPLAYED first edge is widened by
+    # 10^-precision inside cut, the codes use the exact edge)
+    return cut(x, edges, labels=labels, include_lowest=True)
 
 
 def crosstab(index: Series, columns: Series, values: Series | None = None,

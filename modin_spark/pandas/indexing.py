@@ -198,20 +198,17 @@ class LocIndexer:
             self._df[col_key] = value
             return
         if not isinstance(row_key, Series):
-            # label-keyed update (r11): df.loc[label, col] = v and
-            # df.loc[[l1, l2], col] = v. On a default positional index the
-            # condition keys on the TRUE pandas labels (ORDER values /
-            # post-sort labels_col stash via with_pandas_labels), never
-            # fresh positions. Update-in-place only: a missing label is a
-            # no-op here, not pandas' enlargement.
+            # label-keyed update (r11, hardened r12): df.loc[label, col] = v,
+            # df.loc[[l1, l2], col] = [v1, v2] (elementwise by label),
+            # df.loc[new_label, col] = v (pandas enlargement). On a default
+            # positional index the condition keys on the TRUE pandas labels
+            # (ORDER values / post-sort labels_col stash via
+            # with_pandas_labels), never fresh positions.
             fr = self._df._frame
             if isinstance(row_key, slice):
                 raise NotImplementedError("loc assignment with a label slice")
-            labels_key = (
-                [k for k in row_key]
-                if isinstance(row_key, (list, np.ndarray, pd.Index))
-                else [row_key]
-            )
+            scalar_row = not isinstance(row_key, (list, np.ndarray, pd.Index))
+            labels_key = [row_key] if scalar_row else [k for k in row_key]
             if fr.index_cols:
                 work = fr
                 lbl = F.col(fr.index_cols[0])
@@ -219,14 +216,83 @@ class LocIndexer:
                 work = fr.with_pandas_labels("__ll__")
                 lbl = F.col("__ll__")
                 labels_key = [int(k) for k in labels_key]
-            cond = lbl.isin(labels_key)
+            # existence check (one bounded-distinct job): pandas ENLARGES on
+            # a missing scalar label and raises KeyError for a list key with
+            # missing labels — a silent no-op would drop the write
+            matched = {
+                r["__k__"]
+                for r in work.sdf.where(lbl.isin(labels_key))
+                .select(lbl.alias("__k__")).distinct().collect()
+            }
+            missing = [k for k in labels_key if k not in matched]
             cols = col_key if isinstance(col_key, list) else [col_key]
+            if missing:
+                if not scalar_row:
+                    raise KeyError(f"{missing} not in index")
+                # scalar enlargement: append a row that is NaN everywhere
+                # except the assigned column(s)
+                import numpy as _np
+
+                from modin_spark.pandas import concat
+                from modin_spark.pandas.io import from_pandas
+
+                if not fr.index_cols and int(row_key) != fr.count_rows():
+                    raise NotImplementedError(
+                        "loc enlargement on a default index requires the "
+                        "next positional label")
+                row = _pd.DataFrame(
+                    [[_np.nan] * len(fr.columns)], columns=list(fr.columns),
+                    index=_pd.Index([row_key],
+                                    name=fr.index_names[0] if fr.index_cols else None))
+                vlist = (list(value)
+                         if isinstance(value, (list, tuple, np.ndarray)) and len(cols) > 1
+                         else [value] * len(cols))
+                for c, v in zip(cols, vlist):
+                    row[c] = v
+                if fr.index_cols:
+                    appended = concat([self._df, from_pandas(row)])
+                else:
+                    appended = concat(
+                        [self._df, from_pandas(row.reset_index(drop=True))],
+                        ignore_index=True)
+                self._df._frame = appended._frame
+                return
             colset = set(fr.positions_of(cols))
+            pos_to_col = dict(zip(fr.positions_of(cols), cols))
+            is_listy = isinstance(value, (list, tuple, np.ndarray))
+            val2d = None
+            if is_listy and len(value) and isinstance(value[0], (list, tuple, np.ndarray)):
+                val2d = [list(r) for r in value]  # (rows x cols) block
+                if len(val2d) != len(labels_key) or any(len(r) != len(cols) for r in val2d):
+                    raise ValueError("shape mismatch in loc assignment")
+            elif is_listy and not scalar_row and len(labels_key) > 1:
+                if len(value) != len(labels_key):
+                    raise ValueError("shape mismatch in loc assignment")
+            elif is_listy and scalar_row and isinstance(col_key, list):
+                if len(value) != len(cols):
+                    raise ValueError("shape mismatch in loc assignment")
+
+            def _assigned(pos, base):
+                ci = cols.index(pos_to_col[pos])
+                if val2d is not None:
+                    e = base
+                    for k, r in zip(labels_key, val2d):
+                        e = F.when(lbl.eqNullSafe(F.lit(k)), F.lit(r[ci])).otherwise(e)
+                    return e
+                if is_listy and not scalar_row and len(labels_key) > 1:
+                    e = base
+                    for k, v in zip(labels_key, value):
+                        e = F.when(lbl.eqNullSafe(F.lit(k)), F.lit(v)).otherwise(e)
+                    return e
+                v = value[ci] if (is_listy and scalar_row and isinstance(col_key, list)) else (
+                    value[0] if is_listy else value)
+                return F.when(lbl.isin(labels_key), F.lit(v)).otherwise(base)
+
             out_labels = list(fr.columns)
             exprs = []
             for i in range(len(out_labels)):
                 base = F.col(work.data_cols[i])
-                exprs.append(F.when(cond, F.lit(value)).otherwise(base) if i in colset else base)
+                exprs.append(_assigned(i, base) if i in colset else base)
             self._df._frame = work.project(out_labels, exprs)
             return
         cols = col_key if isinstance(col_key, list) else [col_key]
@@ -252,6 +318,10 @@ class LocIndexer:
             and len(fr.index_cols) > 1
             and len(key) <= len(fr.index_cols)
             and all(not isinstance(k, (slice, list, Series)) for k in key)
+            # pandas disambiguation: a SHORT tuple whose trailing element is
+            # a column label is a (row indexer, column indexer) pair, not a
+            # partial row key over the leading index levels
+            and not (len(key) < len(fr.index_cols) and key[-1] in set(fr.columns))
         ):
             cond = None
             for c, v in zip(fr.index_cols, key):

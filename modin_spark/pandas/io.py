@@ -402,7 +402,17 @@ def read_sql(query_or_table: str, con: str, partition_column=None, num_partition
 
 
 def from_pandas(pdf: pd.DataFrame) -> DataFrame:
-    return DataFrame(_frame=SparkFrame.from_pandas(pdf))
+    from modin_spark.pandas.dataframe import _masked_ext_dtypes
+
+    out = DataFrame(_frame=SparkFrame.from_pandas(pdf))
+    ext = _masked_ext_dtypes(pdf)
+    if ext:
+        out._to_pandas_ext_dtypes = ext
+    cats = {c: d for c, d in pdf.dtypes.items() if isinstance(d, pd.CategoricalDtype)}
+    if cats:
+        out._cat_meta = cats
+        out._to_pandas_ext_dtypes = {**getattr(out, "_to_pandas_ext_dtypes", {}), **cats}
+    return out
 
 
 def from_spark(sdf) -> DataFrame:

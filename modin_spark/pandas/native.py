@@ -79,6 +79,9 @@ def series_pdf_of(s):
     pos = getattr(s, "_native_col", None)
     if p is not None and pos is not None:
         out = p.iloc[:, pos]
+        if out.name == "__ser__":
+            # unnamed-series ingest marker, not a user label
+            out = out.rename(None)
         return out
 
 

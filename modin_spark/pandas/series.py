@@ -39,6 +39,10 @@ def _pmod(a: Column, b: Column) -> Column:
     return ((a % b) + b) % b
 
 
+_MASKED_EXT_NAMES = {"Int8", "Int16", "Int32", "Int64", "UInt8", "UInt16",
+                     "UInt32", "UInt64", "Float32", "Float64", "boolean"}
+
+
 def _is_plain_dateoffset(o) -> bool:
     """A bare pd.DateOffset (calendar fields); named offsets (MonthEnd...)
     and Timedelta take other paths."""
@@ -111,15 +115,57 @@ def _is_nonzero_int_scalar(o) -> bool:
 
 
 class Series:
-    def __init__(self, frame: SparkFrame, expr: Column, refs: set[str], name=None, filter_expr: Column | None = None):
-        self._frame = frame
-        self._expr = expr
-        self._refs = set(refs)
-        self._name = name
-        # comparisons wrap NULL->False for pandas value semantics, but that
-        # coalesce blocks parquet predicate pushdown; _filter_expr keeps the
-        # raw 3VL predicate (identical rows kept when used as a WHERE mask)
-        self._filter_expr = filter_expr
+    def __init__(self, data=None, index=None, dtype=None, name=None, copy=None, filter_expr: Column | None = None):
+        """Dual-mode constructor.
+
+        Public form mirrors the reference signature
+        (modin/pandas/series.py:122): ``Series(data, index=None, dtype=None,
+        name=None, copy=None)`` with data a list / ndarray / dict /
+        pd.Series / scalar / Series — materialized through pandas then
+        ingested via SparkFrame.from_pandas (deferred-native, so small
+        constructions stay driver-side until a distributed op needs them).
+
+        Internal form (every call site in this package) passes
+        ``(SparkFrame, Column, refs, name=, filter_expr=)`` positionally —
+        detected by the (SparkFrame, Column) type pair, impossible for
+        public data/index values.
+        """
+        if isinstance(data, SparkFrame) and isinstance(index, Column):
+            self._frame = data
+            self._expr = index
+            self._refs = set(dtype)
+            self._name = name
+            # comparisons wrap NULL->False for pandas value semantics, but
+            # that coalesce blocks parquet predicate pushdown; _filter_expr
+            # keeps the raw 3VL predicate (identical rows kept as WHERE mask)
+            self._filter_expr = filter_expr
+            return
+        if isinstance(data, Series):
+            data = data.to_pandas()
+        if isinstance(data, pd.Series):
+            ps = data
+            if index is not None:
+                ps = ps.reindex(index)
+            if dtype is not None:
+                ps = ps.astype(dtype)
+            if name is not None:
+                ps = ps.rename(name)
+        else:
+            ps = pd.Series(data, index=index, dtype=dtype, name=name, copy=copy)
+        fr = SparkFrame.from_pandas(ps.to_frame("__ser__" if ps.name is None else ps.name))
+        self._frame = fr
+        self._expr = fr.scol(0)
+        self._refs = {fr.data_cols[0]}
+        self._name = ps.name
+        self._filter_expr = None
+        if fr._sdf is None and fr.native_pdf is not None:
+            self._native_col = 0
+        if getattr(ps.dtype, "name", "") in _MASKED_EXT_NAMES:
+            self._ext_dtype = ps.dtype
+            self._post_to_pandas = lambda x, _d=ps.dtype: x.astype(_d)
+        elif isinstance(ps.dtype, pd.CategoricalDtype):
+            self._cat_dtype = ps.dtype
+            self._post_to_pandas = lambda x, _d=ps.dtype: x.astype(_d)
 
     # ------------------------------------------------------------- plumbing
     @classmethod
@@ -137,10 +183,17 @@ class Series:
         fr = SparkFrame.from_pandas(ps.to_frame("__ser__" if ps.name is None else ps.name))
         s = cls._from_frame(fr)
         s._name = ps.name
+        if getattr(ps.dtype, "name", "") in _MASKED_EXT_NAMES:
+            s._ext_dtype = ps.dtype
+            s._post_to_pandas = lambda x, _d=ps.dtype: x.astype(_d)
         return s
 
-    def __init_from_data__(self):  # pragma: no cover
-        raise NotImplementedError
+    def _rewrap(self, fr: SparkFrame) -> "Series":
+        """Wrap a 1-col frame derived from self, keeping self's name (the
+        frame label may be the positional/placeholder one _to_frame used)."""
+        s = Series._from_frame(fr)
+        s._name = self._name
+        return s
 
     @property
     def name(self):
@@ -251,6 +304,20 @@ class Series:
             return self._frame, self._expr, other._expr, self._refs | other._refs
         if other._frame.can_rebase(self._frame, self._refs) and how != "left":
             return other._frame, self._expr, other._expr, self._refs | other._refs
+        # native fast path: BOTH operands are pristine driver-resident
+        # columns — pandas .align gives exact semantics (duplicate-label
+        # identical sequences add POSITIONALLY; non-identical dup indexes
+        # cartesian per label; original order kept for equal indexes), which
+        # the sorted-union join below can only approximate
+        lp = _native.series_pdf_of(self)
+        rp = _native.series_pdf_of(other)
+        if lp is not None and rp is not None:
+            la, ra = lp.align(rp, join="left" if how == "left" else "outer")
+            pdf = pd.DataFrame(index=la.index)
+            pdf["__l__"] = la.values
+            pdf["__r__"] = ra.values
+            fr = SparkFrame.from_pandas(pdf)
+            return fr, fr.scol(0), fr.scol(1), set(fr.data_cols)
         # alignment join (pandas semantics: align on index; default index ->
         # contiguous global position — raw ORDER_COL is not cross-frame comparable)
         lf0 = self._to_frame("__l__").ensure_order()
@@ -299,10 +366,20 @@ class Series:
         a, b = (re_, le) if reverse else (le, re_)
         e = fn(a, b)
         filter_expr = None
+        name = self._name if not isinstance(other, Series) or other._name == self._name else None
         if comparison:
             filter_expr = e  # raw pushdown-friendly predicate
+            ext = (getattr(self, "_ext_dtype", None) is not None
+                   or getattr(other, "_ext_dtype", None) is not None)
+            if ext:
+                # pandas nullable-dtype comparison: NA stays NA (BooleanDtype)
+                # — the mask VALUE keeps Spark's 3VL NULL; used as a filter it
+                # drops NULL rows, exactly pandas' NA-is-False mask indexing
+                out = Series(target, e, refs, name=name, filter_expr=filter_expr)
+                out._ext_dtype = pd.BooleanDtype()
+                out._post_to_pandas = lambda x: x.astype("boolean")
+                return out
             e = F.coalesce(e, F.lit(False))
-        name = self._name if not isinstance(other, Series) or other._name == self._name else None
         return Series(target, e, refs, name=name, filter_expr=filter_expr)
 
     def _flex(self, other, fn, reverse=False, fill_value=None) -> "Series":
@@ -431,6 +508,9 @@ class Series:
         return self._binary(o, lambda a, b: a == b, comparison=True)
 
     def __ne__(self, o):  # type: ignore[override]
+        if (getattr(self, "_ext_dtype", None) is not None
+                or getattr(o, "_ext_dtype", None) is not None):
+            return self._binary(o, lambda a, b: a != b, comparison=True)
         return self._binary(o, lambda a, b: ~F.coalesce(a == b, F.lit(False)), comparison=True)
 
     def __lt__(self, o):
@@ -752,6 +832,10 @@ class Series:
         if name == "prod":
             # pandas identity: prod of all-missing (or empty) is 1
             e = F.coalesce(e, F.lit(1))
+        elif name == "sum" and self.dtype.kind not in ("M", "m"):
+            # pandas identity: sum of empty/all-missing is 0 (0.0 for floats)
+            zero = F.lit(0.0) if self.dtype.kind == "f" else F.lit(0)
+            e = F.coalesce(e, zero)
         if not skipna:
             # pandas skipna=False: any missing value poisons the aggregate
             e = F.when(F.count(F.lit(1)) > F.count(expr), F.lit(None)).otherwise(e)
@@ -993,19 +1077,19 @@ class Series:
             return nat
         fr = self._to_frame()
         sort_expr = key(Series._from_frame(fr))._expr if key is not None else fr.scol(0)
-        return Series._from_frame(fr.sort_by([sort_expr], [ascending], na_position))
+        return self._rewrap(fr.sort_by([sort_expr], [ascending], na_position))
 
     def head(self, n: int = 5) -> "Series":
         nat = _native.maybe_series(self, "head", n=n)
         if nat is not None:
             return nat
-        return Series._from_frame(self._to_frame().head(n))
+        return self._rewrap(self._to_frame().head(n))
 
     def tail(self, n: int = 5) -> "Series":
         nat = _native.maybe_series(self, "tail", n=n)
         if nat is not None:
             return nat
-        return Series._from_frame(self._to_frame().tail(n))
+        return self._rewrap(self._to_frame().tail(n))
 
     def unique(self):
         """pandas contract: FIRST-APPEARANCE order. One hash aggregate
@@ -1088,7 +1172,7 @@ class Series:
             return nat
         if keep != "first":
             return self.to_frame("__v__").nlargest(n, "__v__", keep=keep)["__v__"].rename(self._name)
-        return Series._from_frame(self._to_frame().sort_by([self._expr], [False]).head(n))
+        return self._rewrap(self._to_frame().sort_by([self._expr], [False]).head(n))
 
     def nsmallest(self, n: int = 5, keep: str = "first") -> "Series":
         nat = _native.maybe_series(self, "nsmallest", n=n, keep=keep)
@@ -1096,7 +1180,7 @@ class Series:
             return nat
         if keep != "first":
             return self.to_frame("__v__").nsmallest(n, "__v__", keep=keep)["__v__"].rename(self._name)
-        return Series._from_frame(self._to_frame().sort_by([self._expr], [True]).head(n))
+        return self._rewrap(self._to_frame().sort_by([self._expr], [True]).head(n))
 
     def pipe(self, func, *args, **kwargs):
         return func(self, *args, **kwargs)
@@ -1413,6 +1497,10 @@ class StringMethods:
         Without: reduce the whole series to ONE string in frame order (the
         output is a single scalar, so the ordered collect is bounded by the
         result string itself; NaN elements are skipped, pandas-style)."""
+        if sep is None:
+            # pandas' documented default is sep=None meaning empty separator;
+            # F.lit(None) would NULL every concat row
+            sep = ""
         if others is not None:
             if isinstance(others, Series):
                 # pandas propagates NULL if EITHER side is null (na_rep=None

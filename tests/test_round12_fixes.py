@@ -1,0 +1,206 @@
+"""Round-12 fixes: ADVICE defects + probe-wave-33 items, differential vs
+pandas (reference test model: modin's test_series/test_indexing suites)."""
+import warnings
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import modin_spark.pandas as mpd
+import modin_spark.numpy as mnp
+
+warnings.filterwarnings("ignore")
+
+
+def eq_series(m, p):
+    g = m.to_pandas() if hasattr(m, "to_pandas") else m
+    pd.testing.assert_series_equal(g, p, check_dtype=False, check_index_type=False,
+                                   check_freq=False, check_categorical=False)
+
+
+# ---------------------------------------------------------------- ADVICE #1
+def test_sum_identity_all_nan():
+    assert mpd.Series([np.nan, np.nan]).sum() == 0.0
+    assert mpd.Series([], dtype="float64").sum() == 0.0
+    assert mpd.Series([], dtype="int64").sum() == 0
+    # skipna=False still poisons
+    assert np.isnan(mpd.Series([np.nan, 1.0]).sum(skipna=False))
+    # distributed path (past the native threshold)
+    assert mpd.Series([np.nan] * 50_000).sum() == 0.0
+    # prod identity unchanged
+    assert mpd.Series([np.nan, np.nan]).prod() == 1.0
+
+
+# ---------------------------------------------------------------- ADVICE #2
+def test_to_datetime_dayfirst_shapes():
+    vals = ["15/01/20", "5/3/99", "15/01/2020 10:30", "15.01.2020",
+            "2020-01-15", "15/01/2020 10:30:45", "3-4-2021", "01/02/2020",
+            "bogus", None]
+    got = mpd.to_datetime(mpd.Series(vals), dayfirst=True).to_pandas()
+    exp = pd.to_datetime(pd.Series(vals), dayfirst=True, errors="coerce")
+    eq_series(got, exp)
+
+
+# ---------------------------------------------------------------- ADVICE #3
+def test_loc_assign_elementwise_and_enlarge():
+    def mk(lib):
+        return lib.DataFrame({"a": [1.0, 2.0, 3.0], "b": [4.0, 5.0, 6.0]},
+                             index=["x", "y", "z"])
+
+    p, m = mk(pd), mk(mpd)
+    p.loc[["x", "z"], "a"] = [7.0, 8.0]
+    m.loc[["x", "z"], "a"] = [7.0, 8.0]
+    pd.testing.assert_frame_equal(m.to_pandas(), p, check_dtype=False)
+
+    p, m = mk(pd), mk(mpd)
+    p.loc["w", "a"] = 5.0  # enlargement
+    m.loc["w", "a"] = 5.0
+    pd.testing.assert_frame_equal(m.to_pandas(), p, check_dtype=False)
+
+    p, m = mk(pd), mk(mpd)
+    p.loc[["x", "y"], ["a", "b"]] = [[10.0, 11.0], [12.0, 13.0]]
+    m.loc[["x", "y"], ["a", "b"]] = [[10.0, 11.0], [12.0, 13.0]]
+    pd.testing.assert_frame_equal(m.to_pandas(), p, check_dtype=False)
+
+    m = mk(mpd)
+    with pytest.raises(KeyError):
+        m.loc[["x", "nope"], "a"] = 1.0
+
+
+def test_loc_assign_default_index_enlarge():
+    p = pd.DataFrame({"a": [1.0, 2.0]})
+    m = mpd.DataFrame({"a": [1.0, 2.0]})
+    p.loc[2, "a"] = 9.0
+    m.loc[2, "a"] = 9.0
+    pd.testing.assert_frame_equal(m.to_pandas(), p, check_dtype=False)
+
+
+# ---------------------------------------------------------------- ADVICE #4
+def test_loc_short_tuple_column_split_on_deep_multiindex():
+    pdf = pd.DataFrame({"l1": ["a", "a", "b"], "l2": [1, 2, 1],
+                        "l3": ["p", "q", "r"], "v": [10, 20, 30],
+                        "w": [1, 2, 3]}).set_index(["l1", "l2", "l3"])
+    mdf = mpd.DataFrame(pdf.reset_index()).set_index(["l1", "l2", "l3"])
+    eq_series(mdf.loc["a", "v"], pdf.loc["a", "v"])
+    # partial tuples still resolve as row keys
+    pd.testing.assert_frame_equal(mdf.loc[("a", 1)].to_pandas(),
+                                  pdf.loc[("a", 1)], check_dtype=False)
+
+
+# ---------------------------------------------------------------- ADVICE #5
+def test_str_cat_sep_none():
+    p = pd.Series(["a", "b"]).str.cat(pd.Series(["x", "y"]), sep=None)
+    m = mpd.Series(["a", "b"]).str.cat(mpd.Series(["x", "y"]), sep=None)
+    eq_series(m, p)
+
+
+# ------------------------------------------------------- Series constructor
+def test_series_public_constructor():
+    eq_series(mpd.Series([3, 1, 2]), pd.Series([3, 1, 2]))
+    eq_series(mpd.Series({"a": 1, "b": 2}), pd.Series({"a": 1, "b": 2}))
+    eq_series(mpd.Series(np.array([1.5, 2.5]), name="n"),
+              pd.Series(np.array([1.5, 2.5]), name="n"))
+    eq_series(mpd.Series([1, 2], index=["a", "b"], dtype="float64"),
+              pd.Series([1, 2], index=["a", "b"], dtype="float64"))
+    s = mpd.Series(pd.Series([1, 2], name="z"))
+    assert s.name == "z"
+    # unnamed survives ops without picking up a positional label
+    out = mpd.Series([3, 1, 2]).sort_values()
+    assert out.name is None
+    eq_series(out, pd.Series([3, 1, 2]).sort_values())
+
+
+def test_concat_all_series_returns_series():
+    g = mpd.concat([mpd.Series([1, 2], name="s"), mpd.Series([3], name="s")])
+    e = pd.concat([pd.Series([1, 2], name="s"), pd.Series([3], name="s")])
+    eq_series(g, e)
+    # differing names -> name None
+    g2 = mpd.concat([mpd.Series([1], name="a"), mpd.Series([2], name="b")])
+    assert g2.name is None
+
+
+def test_dataframe_from_modin_series_and_dtype():
+    pd.testing.assert_frame_equal(
+        mpd.DataFrame(mpd.Series([1, 2, 3], name="c")).to_pandas(),
+        pd.DataFrame(pd.Series([1, 2, 3], name="c")), check_dtype=False)
+    pd.testing.assert_frame_equal(
+        mpd.DataFrame({"a": [1, 0]}, dtype=bool).to_pandas(),
+        pd.DataFrame({"a": [1, 0]}, dtype=bool), check_dtype=False)
+
+
+# -------------------------------------------------------- pd.NA comparisons
+def test_nullable_ext_comparisons_keep_na():
+    ps = pd.Series(pd.array([1, None, 3], dtype="Int64"))
+    ms = mpd.Series(ps)
+    for op in ("gt", "lt", "ge", "le", "eq", "ne"):
+        e = getattr(ps, op)(1)
+        g = getattr(ms, op)(1).to_pandas()
+        pd.testing.assert_series_equal(g, e)
+    # frame-ingested column keeps the dtype and the NA mask semantics
+    pdf = pd.DataFrame({"a": pd.array([1, None, 3], dtype="Int64")})
+    mdf = mpd.from_pandas(pdf)
+    pd.testing.assert_series_equal((mdf["a"] > 1).to_pandas(), pdf["a"] > 1)
+    assert str(mdf.to_pandas().dtypes["a"]) == "Int64"
+    # mask indexing treats NA as False (pandas semantics)
+    assert mdf[mdf["a"] > 1].to_pandas()["a"].tolist() == [3]
+
+
+# ------------------------------------------------- categorical on ingest
+def test_categorical_retention_from_pandas():
+    pdf = pd.DataFrame({"c": pd.Categorical(["a", "b", "a"],
+                                            categories=["a", "b", "z"]),
+                        "v": [1, 2, 3]})
+    mdf = mpd.from_pandas(pdf)
+    eq_series(mdf.groupby("c", observed=False)["v"].sum(),
+              pdf.groupby("c", observed=False)["v"].sum())
+    assert str(mdf.to_pandas().dtypes["c"]) == "category"
+    # ordered categorical comparison compares category ORDER
+    pdo = pd.DataFrame({"c": pd.Categorical(
+        ["lo", "hi", "mid"], categories=["lo", "mid", "hi"], ordered=True)})
+    mdo = mpd.from_pandas(pdo)
+    assert (mdo[mdo["c"] > "lo"].to_pandas()["c"].tolist()
+            == pdo[pdo["c"] > "lo"]["c"].tolist())
+
+
+# --------------------------------------------- dup-label binaries (native)
+def test_duplicate_label_identical_sequence_positional(monkeypatch):
+    # the positional fast path applies to driver-resident (native) series;
+    # the suite globally disables native mode, so re-enable it here
+    monkeypatch.setenv("MODIN_SPARK_NATIVE_MAX_ROWS", "5000")
+    pe = pd.Series([1, 2, 3], index=["a", "a", "b"]) + \
+        pd.Series([10, 20, 30], index=["a", "a", "b"])
+    me = mpd.Series([1, 2, 3], index=["a", "a", "b"]) + \
+        mpd.Series([10, 20, 30], index=["a", "a", "b"])
+    eq_series(me, pe)
+    # non-identical dup indexes: pandas cartesians per label
+    pe2 = pd.Series([1, 2, 3], index=["a", "a", "b"]) + \
+        pd.Series([10, 20, 30], index=["a", "b", "a"])
+    me2 = mpd.Series([1, 2, 3], index=["a", "a", "b"]) + \
+        mpd.Series([10, 20, 30], index=["a", "b", "a"])
+    eq_series(me2, pe2)
+
+
+# ---------------------------------------------------------- np.where 1-arg
+def test_np_where_nonzero_form():
+    g = mnp.where(mpd.Series([True, False, True, True]))
+    e = np.where(np.array([True, False, True, True]))
+    assert len(g) == 1 and list(g[0]) == list(e[0])
+    a = mnp.array([[1, 0], [0, 2]])
+    g2 = mnp.where(a != 0)
+    e2 = np.where(np.array([[1, 0], [0, 2]]) != 0)
+    assert list(g2[0]) == list(e2[0]) and list(g2[1]) == list(e2[1])
+
+
+# ------------------------------------------------------- cut/qcut precision
+def test_cut_qcut_label_precision():
+    ps = pd.Series([1, 5, 9])
+    ms = mpd.Series([1, 5, 9])
+    assert [str(x) for x in mpd.cut(ms, 3).to_pandas()] == \
+        [str(x) for x in pd.cut(ps, 3)]
+    ps4 = pd.Series([1, 2, 3, 4])
+    ms4 = mpd.Series([1, 2, 3, 4])
+    assert [str(x) for x in mpd.qcut(ms4, 2).to_pandas()] == \
+        [str(x) for x in pd.qcut(ps4, 2)]
+    # include_lowest widens the displayed first edge only
+    assert [str(x) for x in mpd.cut(ms4, [1, 2, 4], include_lowest=True).to_pandas()] == \
+        [str(x) for x in pd.cut(ps4, [1, 2, 4], include_lowest=True)]
