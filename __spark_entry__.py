@@ -2178,44 +2178,35 @@ def _q22_global_sales(spark, sf):
 # ---------------------------------------------------------------------------
 
 # The driver scores a PREFIX of queries() (50 entries since r2). Ordering is
-# therefore a rotation schedule. Round-11 prefix: (a) the never-scored
-# multimodal_media_meta (new JPEG/MP3/MP4 header codecs) + its media family,
-# (b) rows whose machinery changed in r11 (value_counts materialization,
-# reset_index naming, labels machinery, numpy module, window module, csv IO
-# route), (c) the stalest green rows — the full r7-scored family (TPC-H
-# head, groupby/dedup/ANN tails), then (d) the start of the r9-scored
-# transpose/apply-axis0 family. All oracle-backed (contract test: 0
-# no-oracle allowed). Every entry is still checked locally every round via
-# tools/check_entry.py regardless of position.
-_R11_PREFIX = [
-    # (a) round-11 new machinery: JPEG/MP3/MP4 header codecs behind
-    # attach_media_meta (never scored), plus the rest of the media family
-    "multimodal_media_meta", "multimodal_png_stats", "multimodal_features",
-    # (b) rows whose machinery changed in r11: Series materialization
-    # (1-level MultiIndex for single-key frame value_counts), reset_index
-    # naming (level_0 collision), the labels machinery now also consumed by
-    # label-keyed loc assignment, numpy module (concatenate/vstack), the
-    # window module (grouped offset rolling), the csv IO route (JVM-side
-    # skiprows — excel/fwf are the nearest ingest rows)
-    "frame_value_counts", "value_counts", "reset_index_roundtrip",
-    "sort_labels_roundtrip", "numpy_zscore", "rolling_mean",
-    "rolling_time_sum", "grouped_rolling_time", "excel_ingest", "fwf_ingest",
-    # (c) stalest green rows — the full r7-scored family (last driver-scored
-    # round 7: TPC-H head, groupby/dedup/ANN tails)
-    "cube_agg", "cumsum_by_group", "merge_left_fillna",
-    "q5_nation_revenue", "q2_min_cost_supplier", "q9_profit_by_nation",
-    "q10_returned_revenue", "q13_order_distribution", "distinct_dedup",
-    "get_dummies_sum", "groupby_multi_agg", "groupby_nunique",
-    "q1_pricing_summary", "q3_top_orders", "docs_exact_dedup",
-    "filter_project", "groupby_idxmax", "groupby_median_quantile",
-    "iloc_slice", "isin_filter", "sort_topk", "docs_token_stats",
-    "dot_product", "docs_norm_distinct", "emb_lsh_topk", "emb_ivf_topk",
-    "emb_lsh_recall", "emb_ivf_recall",
-    # (d) start of the r9-scored family (transpose/apply-axis0/multiindex)
-    "transpose_wide_roundtrip", "transpose_mixed", "apply_axis0_strings",
-    "apply_axis0_vcounts", "apply_axis0_mi_reshape", "apply_axis0_zscore",
-    "transpose_agg", "transpose_multiindex_roundtrip", "multiindex_cols_agg",
-    "concat_dup_labels",
+# therefore a rotation schedule. Round-12 prefix: (a) the 40 STALEST green
+# rows (last driver-scored in round 9: the TPC-H tail, groupby transforms,
+# reshape family, dedup tails) — many of which also ride machinery changed
+# this round (concat label preservation, cut/qcut label precision,
+# to_datetime dayfirst, describe/sum identity, dup-label concat); then
+# (b) 10 round-10-scored rows whose machinery changed in r12: the concat
+# family, comparison masks (case_when/where), str.cat, crosstab, and the
+# resample family (groupby.resample grid completion shares bucket_start).
+# Everything r11-scored (constructors' nearest rows value_counts/iloc/isin
+# included) is still checked locally every round via tools/check_entry.py.
+_R12_PREFIX = [
+    # (a) stalest: last scored round 9
+    "q4_priority_returned", "q7_volume_shipping", "q11_important_parts",
+    "q12_priority_lines", "q15_top_supplier", "q16_supplier_count",
+    "q17_small_quantity", "q18_large_volume", "q19_brand_filter",
+    "q20_part_promotion", "q21_waiting_supplier", "q22_global_sales",
+    "melt_unpivot", "pivot_flag_status", "pivot_typed_keys", "unstack_fill",
+    "rollup_agg", "range_join_buckets", "multiindex_regroup",
+    "multiindex3_cols_agg", "query_eval", "corr_cov", "describe_stats",
+    "cut_buckets", "qcut_quartiles", "dt_funcs", "concat_dup_labels",
+    "groupby_transform_demean", "groupby_filter_large", "groupby_head2",
+    "groupby_first_last", "expanding_stats", "explode_words",
+    "docs_fingerprint", "docs_langid_quality", "docs_clean_corpus",
+    "docs_minhash_dedup", "docs_ngram_dedup", "docs_simhash_dedup",
+    "emb_cosine_dedup",
+    # (b) round-10-scored rows on r12-changed machinery
+    "concat_union", "concat_cols_aligned", "case_when", "where_clip",
+    "str_funcs", "crosstab_counts", "mode_quantity", "resample_hourly",
+    "resample_ffill", "resample_interp",
 ]
 
 
@@ -2367,7 +2358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_jaccard_pairs": _docs_jaccard_pairs,
         "emb_brute_topk": _emb_brute_topk,
     }
-    ordered = {k: all_q[k] for k in _R11_PREFIX}
+    ordered = {k: all_q[k] for k in _R12_PREFIX}
     ordered.update({k: v for k, v in all_q.items() if k not in ordered})
     return ordered
 

@@ -78,6 +78,17 @@ HEADLINE = [
     "transpose_multiindex_roundtrip",
     "apply_axis0_vcounts",
     "multimodal_png_stats",
+    # round 12: key-partitioned time-range windows, media-header metadata,
+    # and one representative per r8-r11 registry growth area (TPC-H deep
+    # join, LSH ANN, exact distributed quantiles, bucketized time windows,
+    # ewm recursion)
+    "grouped_rolling_time",
+    "multimodal_media_meta",
+    "q8_market_share",
+    "emb_lsh_topk",
+    "groupby_median_quantile",
+    "rolling_time_sum",
+    "ewm_mean",
 ]
 
 # host-noise self-diagnosis (r7): three cheap, stable queries re-run at
@@ -171,7 +182,7 @@ def main() -> None:
     # headline set grows every round, so the raw total is not comparable
     # across rounds — these per-freeze subtotals are)
     comparables: dict[str, float | None] = {}
-    for tag in ("r1", "r3", "r4", "r5", "r7", "r10", "r11"):
+    for tag in ("r1", "r3", "r4", "r5", "r7", "r10", "r11", "r12"):
         comparables[tag] = None
         try:
             fname = f"BASELINE_LOCAL_r{int(tag[1:]):02d}.json"

@@ -100,7 +100,16 @@ class DataFrame:
 
     @property
     def dtypes(self) -> pd.Series:
-        return self._frame.dtypes
+        out = self._frame.dtypes
+        ext = getattr(self, "_to_pandas_ext_dtypes", None)
+        if ext:
+            # wrapper-carried extension dtypes (nullable ingest, categorical,
+            # dtype_backend reads) overlay the physical Spark storage types
+            out = out.copy()
+            for c, d in ext.items():
+                if c in out.index:
+                    out[c] = d
+        return out
 
     @property
     def shape(self) -> tuple[int, int]:
@@ -2758,9 +2767,43 @@ class DataFrame:
     def itertuples(self, index=True, name="Pandas"):
         yield from self.to_pandas().itertuples(index=index, name=name)
 
-    def update(self, other: "DataFrame", overwrite: bool = True) -> None:
+    def update(self, other: "DataFrame", join: str = "left", overwrite: bool = True,
+               filter_func=None, errors: str = "ignore") -> None:
         """In-place patch of non-null cells from ``other`` (index-aligned).
-        ``overwrite=False``: only fill cells that are null in self."""
+        ``overwrite=False``: only fill cells that are null in self.
+        ``filter_func``: update only where filter_func(self values) is True
+        (pandas contract: a 1-D-array predicate per column — compiled here
+        to a per-column conditional projection via combine, no UDF when the
+        predicate composes from column expressions is not knowable, so the
+        predicate runs driver-side per combine batch). ``errors='raise'``:
+        raise if an update would overwrite a non-null cell."""
+        if join != "left":
+            raise NotImplementedError("DataFrame.update only supports join='left'")
+        if errors == "raise":
+            # pandas: any position non-null in BOTH frames is a conflict
+            both = self[[c for c in self.columns if c in set(other.columns)]]
+            sub = other[[c for c in both.columns]]
+            conflict = 0
+            for c in both.columns:
+                m = both[c].notna() & sub[c].notna()
+                conflict += int(m.sum())
+            if conflict:
+                raise ValueError("Data overlaps.")
+        if filter_func is not None:
+            # keep other's value only where filter_func(self) holds AND
+            # other is non-null; else keep self (pandas semantics). Adopt
+            # other's column onto this frame first (index-aligned setitem) so
+            # the conditional is a single-frame projection, no 3-way join.
+            cols = [c for c in self.columns if c in set(other.columns)]
+            out = DataFrame(_frame=self._frame)
+            for c in cols:
+                out["__upd__"] = other[c]
+                cur, new = out[c], out["__upd__"]
+                mask = filter_func(cur)
+                out[c] = cur.mask(mask & new.notna(), new)
+                out = out.drop(columns="__upd__")
+            self._frame = out._frame
+            return
         patched = self.combine_first(other) if not overwrite else other.combine_first(self)
         # combine_first prefers the left's non-null cells; restrict to self's columns
         self._frame = patched[[c for c in self.columns]]._frame

@@ -342,10 +342,12 @@ def cut(x: Series, bins, labels=None, right: bool = True, include_lowest: bool =
     return out
 
 
-def qcut(x: Series, q, labels=None, duplicates: str = "raise") -> Series:
+def qcut(x: Series, q, labels=None, retbins: bool = False,
+         duplicates: str = "raise") -> Series:
     """Quantile binning: exact percentile edges (one agg) + cut.
     ``duplicates='drop'`` collapses repeated quantile edges (pandas: fewer
-    bins instead of a ValueError on skewed data)."""
+    bins instead of a ValueError on skewed data). ``retbins=True`` also
+    returns the edges ndarray (already driver-side scalars)."""
     if isinstance(q, int):
         probs = [i / q for i in range(q + 1)]
     else:
@@ -367,7 +369,12 @@ def qcut(x: Series, q, labels=None, duplicates: str = "raise") -> Series:
     # pandas qcut: exact quantile edges with include_lowest (the minimum
     # falls in the first bin; the DISPLAYED first edge is widened by
     # 10^-precision inside cut, the codes use the exact edge)
-    return cut(x, edges, labels=labels, include_lowest=True)
+    out = cut(x, edges, labels=labels, include_lowest=True)
+    if retbins:
+        import numpy as _np
+
+        return out, _np.asarray(edges, dtype="float64")
+    return out
 
 
 def crosstab(index: Series, columns: Series, values: Series | None = None,

@@ -1082,21 +1082,129 @@ def _g_expanding(self, min_periods: int = 1):
     return GroupExpanding(self, min_periods)
 
 
-def _g_resample(self, rule: str):
-    """Grouped time resample: groupBy(keys + date_trunc(rule, index)) —
-    one hash aggregate, no per-group loop."""
+def _g_resample(self, rule: str, on=None, closed=None, label=None,
+                offset=None, origin=None):
+    """Grouped time resample: groupBy(keys + window-bucket(time)) — one hash
+    aggregate, no per-group loop. ``on=`` buckets a column instead of the
+    index; closed/offset ride the same bucket_start as frame resample;
+    origin 'epoch'/'start_day' coincide for sub-day rules (day boundaries
+    are duration multiples of the epoch for every divisor-of-a-day rule)."""
     from modin_spark.pandas.dataframe import DataFrame
-    from modin_spark.pandas.resample import rule_to_duration
+    from modin_spark.pandas.resample import bucket_start, rule_to_duration
 
     fr = self._df._frame
-    if not fr.index_cols:
-        raise TypeError("groupby.resample requires a DatetimeIndex")
-    ts = fr.index_cols[0]
-    tname = fr.index_names[0] or "ts"
-    fr2 = fr.with_columns([tname], [F.window(F.col(ts), rule_to_duration(rule))["start"]])
+    if origin not in (None, "epoch", "start_day"):
+        raise NotImplementedError(f"groupby.resample origin {origin!r}")
+    dur = rule_to_duration(rule)
+    if on is not None:
+        ts = fr.data_cols[fr.positions_of([on])[0]]
+        tname = on
+    else:
+        if not fr.index_cols:
+            raise TypeError("groupby.resample requires a DatetimeIndex or on=")
+        ts = fr.index_cols[0]
+        tname = fr.index_names[0] or "ts"
+    bucket = bucket_start(ts, dur, closed, offset)
+    if label == "right":
+        bucket = bucket + F.expr(f"INTERVAL {dur}")
+    fr2 = fr.with_columns([tname], [bucket])
     g = DataFrameGroupBy(DataFrame(_frame=fr2), self._by_labels + [tname],
                          self._as_index, self._dropna, self._sort)
-    return g
+    return _GroupedResampler(g, dur)
+
+
+class _GroupedResampler:
+    """pandas groupby.resample parity wrapper: runs the grouped aggregate,
+    then completes each group's time grid (pandas emits EVERY bucket between
+    a group's min and max — empty buckets fill 0 for count/size/sum, 1 for
+    prod, NaN otherwise). One extra per-keys min/max aggregate + sequence
+    explode + left join; no driver collect, no per-group loop."""
+
+    _FILLS = {"count": 0, "size": 0, "nunique": 0, "sum": 0, "prod": 1.0}
+
+    def __init__(self, g, dur: str):
+        self._g = g
+        self._dur = dur
+
+    def __getitem__(self, key):
+        w = _GroupedResampler(self._g[key], self._dur)
+        return w
+
+    def _complete(self, out, agg_name: str):
+        from modin_spark.core.frame import ORDER_COL, SparkFrame
+        from modin_spark.pandas.dataframe import DataFrame
+        from modin_spark.pandas.series import Series
+
+        is_series = isinstance(out, Series)
+        fr = out._to_frame() if is_series else out._frame
+        if len(fr.index_cols) < 2:
+            return out
+        keys, b = list(fr.index_cols[:-1]), fr.index_cols[-1]
+        sdf = fr.sdf
+        mm = sdf.groupBy(*keys).agg(F.min(b).alias("__mn__"), F.max(b).alias("__mx__"))
+        grid = mm.where(F.col("__mn__").isNotNull()).select(
+            *keys,
+            F.explode(F.sequence(F.col("__mn__"), F.col("__mx__"),
+                                 F.expr(f"interval {self._dur}"))).alias(b))
+        joined = grid.join(sdf.select(*keys, b, *fr.data_cols), on=keys + [b], how="left")
+        fill = self._FILLS.get(agg_name)
+        if fill is not None:
+            joined = joined.select(
+                *keys, b, *[F.coalesce(F.col(p), F.lit(fill)).alias(p) for p in fr.data_cols])
+        joined = joined.orderBy(*keys, b).withColumn(ORDER_COL, F.monotonically_increasing_id())
+        nfr = SparkFrame(joined, fr.columns, fr.data_cols, fr.index_cols, fr.index_names)
+        if is_series:
+            s = Series._from_frame(nfr)
+            s._name = out._name
+            return s
+        return DataFrame(_frame=nfr)
+
+    def _agg(self, name, *a, **k):
+        return self._complete(getattr(self._g, name)(*a, **k), name)
+
+    def sum(self, *a, **k):
+        return self._agg("sum", *a, **k)
+
+    def mean(self, *a, **k):
+        return self._agg("mean", *a, **k)
+
+    def count(self, *a, **k):
+        return self._agg("count", *a, **k)
+
+    def size(self, *a, **k):
+        return self._agg("size", *a, **k)
+
+    def min(self, *a, **k):
+        return self._agg("min", *a, **k)
+
+    def max(self, *a, **k):
+        return self._agg("max", *a, **k)
+
+    def median(self, *a, **k):
+        return self._agg("median", *a, **k)
+
+    def std(self, *a, **k):
+        return self._agg("std", *a, **k)
+
+    def var(self, *a, **k):
+        return self._agg("var", *a, **k)
+
+    def first(self, *a, **k):
+        return self._agg("first", *a, **k)
+
+    def last(self, *a, **k):
+        return self._agg("last", *a, **k)
+
+    def nunique(self, *a, **k):
+        return self._agg("nunique", *a, **k)
+
+    def prod(self, *a, **k):
+        return self._agg("prod", *a, **k)
+
+    def __getattr__(self, name):
+        # anything else (agg/apply/transform/head...) runs ungridded on the
+        # inner groupby — same rows, occupied buckets only
+        return getattr(self._g, name)
 
 
 def _g_corr(self, method="pearson"):

@@ -188,7 +188,8 @@ def read_csv(path: str, sep: str = ",", header: int | str = "infer", names=None,
              usecols=None, nrows=None, skiprows=None, parse_dates=None,
              index_col=None, na_values=None, thousands=None, chunksize=None,
              iterator: bool = False, comment: str | None = None,
-             quotechar: str = '"', encoding: str | None = None, **kw) -> DataFrame:
+             quotechar: str = '"', encoding: str | None = None,
+             dtype_backend=None, **kw) -> DataFrame:
     from pyspark.sql import functions as F
 
     if chunksize is not None or iterator:
@@ -301,6 +302,22 @@ def read_csv(path: str, sep: str = ",", header: int | str = "infer", names=None,
         out = out.head(int(nrows))
     if index_col is not None:
         out = out.set_index(index_col)
+    if dtype_backend is not None and dtype_backend is not pd.api.extensions.no_default:
+        if dtype_backend != "numpy_nullable":
+            raise NotImplementedError(f"read_csv dtype_backend {dtype_backend!r}")
+        # Spark columns are natively nullable; the pandas nullable dtypes are
+        # a MATERIALIZATION concern — record them on the wrapper (same
+        # mechanism as nullable-extension ingest)
+        _SPARK_TO_NULLABLE = {"int64": "Int64", "int32": "Int32", "int16": "Int16",
+                              "float64": "Float64", "float32": "Float32",
+                              "bool": "boolean", "object": "string"}
+        ext = {}
+        for i, c in enumerate(out.columns):
+            t = _SPARK_TO_NULLABLE.get(out._frame.dtype_of(i))
+            if t:
+                ext[c] = pd.api.types.pandas_dtype(t)
+        if ext:
+            out._to_pandas_ext_dtypes = {**getattr(out, "_to_pandas_ext_dtypes", {}), **ext}
     return out
 
 

@@ -204,3 +204,49 @@ def test_cut_qcut_label_precision():
     # include_lowest widens the displayed first edge only
     assert [str(x) for x in mpd.cut(ms4, [1, 2, 4], include_lowest=True).to_pandas()] == \
         [str(x) for x in pd.cut(ps4, [1, 2, 4], include_lowest=True)]
+
+
+# ---------------------------------------------------------- wave 36 fixes
+def test_groupby_resample_on_and_grid():
+    ev = pd.DataFrame({
+        "g": ["a", "a", "b", "b", "a", "b"],
+        "t": pd.to_datetime(["2024-01-01 00:10", "2024-01-01 01:20",
+                             "2024-01-01 00:40", "2024-01-01 02:05",
+                             "2024-01-01 02:30", "2024-01-01 02:55"]),
+        "v": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0]})
+    e = ev.groupby("g").resample("1h", on="t")["v"].sum()
+    g = mpd.DataFrame(ev).groupby("g").resample("1h", on="t")["v"].sum()
+    eq_series(g, e)
+    # non-hour rule with explicit epoch origin
+    e2 = ev.groupby("g").resample("90min", on="t", origin="epoch")["v"].sum()
+    g2 = mpd.DataFrame(ev).groupby("g").resample("90min", on="t", origin="epoch")["v"].sum()
+    eq_series(g2, e2)
+
+
+def test_update_filter_func_and_errors():
+    p = pd.DataFrame({"a": [1.0, 2.0, 3.0]})
+    m = mpd.DataFrame({"a": [1.0, 2.0, 3.0]})
+    o_p = pd.DataFrame({"a": [9.0, 9.0, 9.0]})
+    o_m = mpd.DataFrame({"a": [9.0, 9.0, 9.0]})
+    p.update(o_p, filter_func=lambda x: x > 1.5)
+    m.update(o_m, filter_func=lambda x: x > 1.5)
+    pd.testing.assert_frame_equal(m.to_pandas(), p, check_dtype=False)
+    m2 = mpd.DataFrame({"a": [1.0, np.nan]})
+    with pytest.raises(ValueError):
+        m2.update(mpd.DataFrame({"a": [9.0, 8.0]}), errors="raise")
+
+
+def test_qcut_retbins():
+    g, gb = mpd.qcut(mpd.Series([1, 2, 3, 4]), 2, retbins=True)
+    e, eb = pd.qcut(pd.Series([1, 2, 3, 4]), 2, retbins=True)
+    assert list(np.round(gb, 6)) == list(np.round(eb, 6))
+    assert [str(x) for x in g.to_pandas()] == [str(x) for x in e]
+
+
+def test_read_csv_dtype_backend(tmp_path):
+    p = str(tmp_path / "nb.csv")
+    pd.DataFrame({"a": [1, None], "b": ["x", "y"]}).to_csv(p, index=False)
+    out = mpd.read_csv(p, dtype_backend="numpy_nullable")
+    exp = pd.read_csv(p, dtype_backend="numpy_nullable")
+    assert str(out.dtypes["a"]) == str(exp.dtypes["a"]) == "Float64"
+    pd.testing.assert_frame_equal(out.to_pandas(), exp, check_dtype=False)

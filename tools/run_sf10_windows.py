@@ -37,6 +37,24 @@ WINDOW_FAMILY = [
 ]
 
 
+def _ewm_mean_full(spark, sf):
+    """Rung-local ewm variant over the FULL events table. The registry's
+    ewm_mean caps at head(4000) so its DuckDB oracle (driver-side recursion)
+    stays tractable — which makes its sf1==sf10 time pure fixed overhead.
+    This variant measures the actual decay-truncation halo data path."""
+    import __spark_entry__ as entry
+
+    mpd = entry._mpd()
+    ev = mpd.read_parquet(f"{sf}/events.parquet")
+    ev2 = ev.sort_values("event_id").set_index("event_id")
+    return ev2[["value"]].ewm(span=9).mean().reset_index().to_spark(ordered=False)
+
+
+# rung-only overrides: same operator, uncapped data (the registry caps some
+# inputs purely for oracle tractability, which defeats a scale rung)
+OVERRIDES = {"ewm_mean": _ewm_mean_full}
+
+
 def main() -> None:
     import __spark_entry__ as entry
     from modin_spark.session import get_spark
@@ -46,7 +64,7 @@ def main() -> None:
     out: dict = {"queries": {}, "superlinear": []}
 
     for name in WINDOW_FAMILY:
-        fn = qs[name]
+        fn = OVERRIDES.get(name, qs[name])
         row: dict = {}
         for label, sf in (("sf1", SF1), ("sf10", SF10)):
             runs = []
