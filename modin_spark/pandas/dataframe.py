@@ -1272,7 +1272,17 @@ class DataFrame:
             keep = [i for i in range(n_surfaced) if rfr.columns[i] in set(labels)]
             keep += list(range(n_surfaced, len(rfr.data_cols)))
             reset = DataFrame(_frame=rfr.select_positions(keep))
-            return DataFrameGroupBy(reset, labels, as_index=as_index, dropna=dropna, sort=sort)
+            g = DataFrameGroupBy(reset, labels, as_index=as_index, dropna=dropna, sort=sort)
+            # UNNAMED levels surfaced as 'index'/'level_i' placeholders:
+            # results map those index names back to None (pandas keeps None)
+            name_map = {lbl: None for lbl, lv in zip(labels, levels)
+                        if fr.index_names[lv if isinstance(lv, int) else
+                                          list(fr.index_names).index(lv)] is None}
+            if name_map:
+                from modin_spark.pandas.groupby import _GroupByResultProxy
+
+                return _GroupByResultProxy(g, name_map)
+            return g
         return DataFrameGroupBy(self, by, as_index=as_index, dropna=dropna, sort=sort,
                                 observed=observed)
 
@@ -4139,6 +4149,15 @@ class DataFrame:
 
             tgt = from_pandas(pd.DataFrame({"__tgt__": list(index)}))._frame
             icol = fr.index_cols[0]
+            # pandas: reindexing an axis with duplicate labels raises — the
+            # label join below would silently fan out instead. One tiny
+            # keys-only aggregate (count + count_distinct), eager like pandas.
+            r = fr.sdf.agg(
+                F.count(F.lit(1)).alias("n"), F.count_distinct(icol).alias("d"),
+                F.sum(F.when(F.col(icol).isNull(), 1).otherwise(0)).alias("nn"),
+            ).collect()[0]
+            if r["n"] != r["d"] + (1 if r["nn"] else 0):
+                raise ValueError("cannot reindex on an axis with duplicate labels")
             fsdf = fr.sdf.withColumn("__hit__", F.lit(1)) if fill_value is not None else fr.sdf
             j = F.broadcast(tgt.sdf.select(F.col(tgt.data_cols[0]).alias("__tgt__"),
                                            F.col(ORDER_COL).alias("__torder__"))).join(

@@ -1237,3 +1237,54 @@ DataFrameGroupBy.dtypes = property(lambda self: self._df[[l for l, _ in self._va
 DataFrameGroupBy.get_backend = lambda self: "Spark"
 DataFrameGroupBy.set_backend = lambda self, backend, **k: self
 DataFrameGroupBy.is_backend_pinned = lambda self: False
+
+
+class _GroupByResultProxy:
+    """Post-processes every result of a wrapped groupby (reference parity
+    shim): used by groupby(level=) to map surfaced-placeholder index names
+    ('index' / 'level_i' for UNNAMED levels) back to None, and by
+    Series.groupby(level=) to strip the '__v__' placeholder value name.
+    Purely metadata — no extra plan nodes."""
+
+    def __init__(self, inner, name_map: dict, strip_value_name: str | None = None):
+        self._inner = inner
+        self._map = name_map
+        self._strip = strip_value_name
+
+    def _fix(self, r):
+        from modin_spark.pandas.dataframe import DataFrame
+        from modin_spark.pandas.series import Series
+
+        if isinstance(r, (Series, DataFrame)):
+            fr = r._frame if not isinstance(r, Series) else r._frame
+            new = [self._map.get(n, n) for n in fr.index_names]
+            if new != list(fr.index_names):
+                nfr = fr._same_rows(fr.sdf, index_names=new)
+                if isinstance(r, Series):
+                    s = Series(nfr, r._expr, r._refs, name=r._name)
+                    r = s
+                else:
+                    r = DataFrame(_frame=nfr)
+            if isinstance(r, Series) and self._strip is not None and r._name == self._strip:
+                r = Series(r._frame, r._expr, r._refs, name=None)
+            # rename the surfaced placeholder among result COLUMNS too
+            # (as_index=False keeps the key as a column; pandas labels an
+            # unnamed level 'index' there, so leave columns untouched)
+            return r
+        if isinstance(r, (DataFrameGroupBy, SeriesGroupBy)):
+            return _GroupByResultProxy(r, self._map, self._strip)
+        return r
+
+    def __getattr__(self, k):
+        a = getattr(self._inner, k)
+        if callable(a):
+            def wrapped(*args, **kw):
+                return self._fix(a(*args, **kw))
+            return wrapped
+        return self._fix(a) if not isinstance(a, (int, str, list, dict, bool, type(None))) else a
+
+    def __getitem__(self, k):
+        return self._fix(self._inner[k])
+
+    def __iter__(self):
+        return iter(self._inner)

@@ -261,7 +261,7 @@ class Series:
         return self._frame.count_rows()
 
     def __repr__(self) -> str:
-        head = Series._from_frame(self._to_frame().head(30)).to_pandas()
+        head = self._rewrap(self._to_frame().head(30)).to_pandas()
         return repr(head)
 
     @property
@@ -1110,7 +1110,7 @@ class Series:
                                        ignore_index=ignore_index)
             if nat is not None:
                 return nat
-        out = Series._from_frame(qc.drop_duplicates(self._to_frame(), None, keep))
+        out = self._rewrap(qc.drop_duplicates(self._to_frame(), None, keep))
         if inplace:
             raise NotImplementedError("Series.drop_duplicates(inplace=True)")
         return out
@@ -1164,7 +1164,7 @@ class Series:
         keep = fr.sdf.where(F.col(fr.data_cols[0]) == mx)
         out = SparkFrame(keep, fr.columns, fr.data_cols, fr.index_cols, fr.index_names).reset_index()
         out = out.select_positions([0]).sort_by([out.scol(0)], [True])
-        return Series._from_frame(out)
+        return self._rewrap(out)
 
     def nlargest(self, n: int = 5, keep: str = "first") -> "Series":
         nat = _native.maybe_series(self, "nlargest", n=n, keep=keep)
@@ -1186,7 +1186,7 @@ class Series:
         return func(self, *args, **kwargs)
 
     def duplicated(self, keep="first") -> "Series":
-        return Series._from_frame(qc.duplicated(self._to_frame(), None, keep))
+        return self._rewrap(qc.duplicated(self._to_frame(), None, keep))
 
     def dot(self, other: "Series") -> float:
         """Vector dot product — one aggregate (reference qc:2546)."""
@@ -1272,7 +1272,7 @@ class Series:
 
     # ------------------------------------------------------- order-dependent
     def _cum(self, kind: str, skipna: bool) -> "Series":
-        out = Series._from_frame(win.cum_op(self._to_frame(), [0], kind))
+        out = self._rewrap(win.cum_op(self._to_frame(), [0], kind))
         if not skipna:
             # pandas skipna=False: the first NaN poisons everything after it
             poison = self.isna().astype("int64").cumsum() > 0
@@ -1292,10 +1292,10 @@ class Series:
         return self._cum("cummin", skipna)
 
     def shift(self, periods: int = 1, fill_value=None) -> "Series":
-        return Series._from_frame(win.shift(self._to_frame(), [0], periods, fill_value))
+        return self._rewrap(win.shift(self._to_frame(), [0], periods, fill_value))
 
     def diff(self, periods: int = 1) -> "Series":
-        return Series._from_frame(win.diff(self._to_frame(), [0], periods))
+        return self._rewrap(win.diff(self._to_frame(), [0], periods))
 
     def pct_change(self, periods: int = 1, fill_method="ffill") -> "Series":
         # pandas pads missing values before differencing (fill_method);
@@ -1305,7 +1305,7 @@ class Series:
         ).rename(self._name)
 
     def rank(self, method="average", ascending=True, pct=False, na_option="keep") -> "Series":
-        return Series._from_frame(win.rank(self._to_frame(), [0], method, ascending, pct, na_option))
+        return self._rewrap(win.rank(self._to_frame(), [0], method, ascending, pct, na_option))
 
     def rolling(self, window: int, min_periods=None, win_type=None, center=False, closed=None, **win_kwargs):
         from modin_spark.pandas.window import Rolling
@@ -1327,11 +1327,11 @@ class Series:
         """Forward fill along frame order: last non-null via ordered window
         partitioned by blocks with carry (scale-safe two-pass)."""
         fr = self._to_frame()
-        return Series._from_frame(win.ffill(fr, [0], limit=limit))
+        return self._rewrap(win.ffill(fr, [0], limit=limit))
 
     def bfill(self, limit=None) -> "Series":
         fr = self._to_frame()
-        return Series._from_frame(win.bfill(fr, [0], limit=limit))
+        return self._rewrap(win.bfill(fr, [0], limit=limit))
 
     # ------------------------------------------------------------------ UDF
     def map(self, arg, na_action=None) -> "Series":
@@ -1381,8 +1381,16 @@ class Series:
             name = self._name if self._name is not None else "__v__"
             df = self._to_frame(name)
             from modin_spark.pandas.dataframe import DataFrame
+            from modin_spark.pandas.groupby import _GroupByResultProxy
 
-            return DataFrame(_frame=df).groupby(level=level)[name]
+            g = DataFrame(_frame=df).groupby(level=level)[name]
+            if self._name is None:
+                # strip the '__v__' placeholder from result names
+                if isinstance(g, _GroupByResultProxy):
+                    g._strip = "__v__"
+                else:
+                    g = _GroupByResultProxy(g, {}, strip_value_name="__v__")
+            return g
         return SeriesGroupBy(self, by)
 
 
@@ -2167,21 +2175,30 @@ def _ser_filter(self, items=None, like=None, regex=None, axis=0):
         cond = c.cast("string").rlike(regex)
     else:
         raise TypeError("must pass items, like, or regex")
-    return Series._from_frame(fr.filter(cond))
+    out = Series._from_frame(fr.filter(cond))
+    out._name = self._name
+    return out
 
 
 def _ser_pop(self, item):
     out = self.drop([item])
     val = self.loc[item]
     self._frame, self._expr, self._refs = out._frame, out._expr, out._refs
+    self._native_col = None  # frame swapped: the plain-column marker is stale
     return val
 
 
 def _ser_compare(self, other):
-    """Differing positions, as a two-column frame (frame compare machinery)."""
+    """Differing positions, as a two-column frame (frame compare machinery).
+    pandas: a SERIES compare yields FLAT self/other columns (the frame
+    version's (col, self/other) MultiIndex top level is dropped)."""
     a = self.to_frame("__c__")
     b = other.to_frame("__c__")
-    return a.compare(b)
+    out = a.compare(b)
+    cols = out._frame.columns
+    if getattr(cols, "nlevels", 1) == 2:
+        out = out.__class__(_frame=out._frame.set_labels([c[1] for c in cols]))
+    return out
 
 
 def _ser_align(self, other, join="outer", fill_value=None):
@@ -2192,6 +2209,9 @@ def _ser_align(self, other, join="outer", fill_value=None):
 def _ser_update(self, other):
     merged = other.combine_first(self)
     self._frame, self._expr, self._refs = merged._frame, merged._expr, merged._refs
+    # the in-place frame swap invalidates the plain-column native marker:
+    # the merged frame's column 0 is the LEFT operand, not the coalesce
+    self._native_col = None
 
 
 def _ser_combine(self, other, func, fill_value=None):

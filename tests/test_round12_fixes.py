@@ -250,3 +250,44 @@ def test_read_csv_dtype_backend(tmp_path):
     exp = pd.read_csv(p, dtype_backend="numpy_nullable")
     assert str(out.dtypes["a"]) == str(exp.dtypes["a"]) == "Float64"
     pd.testing.assert_frame_equal(out.to_pandas(), exp, check_dtype=False)
+
+
+# ---------------------------------------------------------- wave 37 fixes
+def test_series_update_after_native_combine():
+    s = mpd.Series([1.0, 2.0, 3.0])
+    s.update(mpd.Series([9.0], index=[1]))
+    p = pd.Series([1.0, 2.0, 3.0])
+    p.update(pd.Series([9.0], index=[1]))
+    eq_series(s, p)
+
+
+def test_series_name_retention_through_ops():
+    # unnamed series must not pick up positional/placeholder labels
+    assert mpd.Series([3, 1, 2]).rank().name is None
+    assert mpd.Series([1, 2], index=[10, 20]).cumsum().name is None
+    assert mpd.Series([1.0, None, 3.0], name="z").dropna().name == "z"
+    assert mpd.Series([1, 1, 2], name="x").drop_duplicates().name == "x"
+    assert mpd.Series([1, 1, 2], name="x").duplicated().name == "x"
+    assert mpd.Series([1, 1, 2], name="x").mode().name == "x"
+    s = mpd.Series([1, 2, 3, 4], index=["a", "b", "a", "b"])
+    g = s.groupby(level=0).sum().to_pandas()
+    pgs = pd.Series([1, 2, 3, 4], index=["a", "b", "a", "b"]).groupby(level=0).sum()
+    pd.testing.assert_series_equal(g, pgs, check_dtype=False)
+
+
+def test_series_compare_flat_columns():
+    a = mpd.Series([1, 2, 3], name="v")
+    b = mpd.Series([1, 9, 3], name="v")
+    got = a.compare(b).to_pandas()
+    exp = pd.Series([1, 2, 3], name="v").compare(pd.Series([1, 9, 3], name="v"))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False, check_index_type=False)
+
+
+def test_reindex_duplicate_labels_raises():
+    s = mpd.DataFrame({"v": [1, 2]}, index=["a", "a"])
+    with pytest.raises(ValueError):
+        s.reindex(["a", "b"])
+    # non-duplicate reindex still works (incl. a single null label)
+    ok = mpd.DataFrame({"v": [1, 2]}, index=["a", "b"]).reindex(["b", "c"]).to_pandas()
+    exp = pd.DataFrame({"v": [1, 2]}, index=["a", "b"]).reindex(["b", "c"])
+    pd.testing.assert_frame_equal(ok, exp, check_dtype=False)
