@@ -754,6 +754,27 @@ def _rolling_time_sum(spark, sf):
     return df.select("ts", F.round("r_sum", 2).alias("r_sum"))
 
 
+def _polars_pipeline(spark, sf):
+    """Polars-veneer pipeline (modin_spark.polars — reference surface
+    modin/polars/dataframe.py:40): scan -> filter -> group_by -> agg -> join
+    -> sort, all expression-compiled to ONE Catalyst plan (the veneer maps
+    polars exprs straight to Spark Columns; no UDF, no driver loop)."""
+    import modin_spark.polars as pl
+
+    orders = pl.scan_parquet(f"{sf}/orders.parquet")
+    cust = pl.scan_parquet(f"{sf}/customer.parquet")
+    agg = (orders.filter(pl.col("o_totalprice") > 100_000)
+           .group_by("o_custkey")
+           .agg(pl.col("o_totalprice").sum().alias("spend"),
+                pl.len().alias("n_orders"))
+           .collect())
+    top = (agg.join(cust.collect(), left_on="o_custkey", right_on="c_custkey", how="inner")
+           .select("c_name", "c_mktsegment",
+                   pl.col("spend").round(2).alias("spend"), "n_orders")
+           .sort(["spend", "c_name"], descending=[True, False]).head(25))
+    return top._frame.to_spark(include_index=False, ordered=False)
+
+
 def _grouped_rolling_time(spark, sf):
     """groupby().rolling("30min", on=) — offset window WITHIN each group
     (r11, core/windows.py:grouped_rolling_time_agg). Unlike the ungrouped
@@ -2259,6 +2280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_corr_pair": _rolling_corr_pair,
         "rolling_time_sum": _rolling_time_sum,
         "grouped_rolling_time": _grouped_rolling_time,
+        "polars_pipeline": _polars_pipeline,
         "ewm_mean": _ewm_mean,
         "expanding_median_p90": _expanding_median_p90,
         "q8_market_share": _q8_market_share,
@@ -2702,6 +2724,17 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(value) OVER (ORDER BY ts
                      RANGE BETWEEN INTERVAL 10 MINUTES PRECEDING AND CURRENT ROW), 2) AS r_sum
             FROM events
+        """,
+        "polars_pipeline": """
+            SELECT c_name, c_mktsegment,
+                   ROUND(spend, 2) AS spend, n_orders
+            FROM (
+              SELECT o_custkey, SUM(o_totalprice) AS spend,
+                     COUNT(*) AS n_orders
+              FROM orders WHERE o_totalprice > 100000
+              GROUP BY o_custkey
+            ) a JOIN customer ON o_custkey = c_custkey
+            ORDER BY spend DESC, c_name ASC LIMIT 25
         """,
         "grouped_rolling_time": """
             SELECT event_type, ts,

@@ -340,3 +340,36 @@ def test_round10_new_machinery_plan_quality(spark):
         sdf = obj._frame.sdf if hasattr(obj, "_frame") else obj.sdf
         n = plans.unsafe_single_partition_exchanges(sdf)
         assert n == 0, (name, plans.physical_plan(sdf))
+
+
+def test_polars_pipeline_plan_is_scale_safe(spark):
+    """The polars veneer compiles a scan->filter->group_by->join->sort chain
+    into one Catalyst plan: filter pushed to the scan, no cartesian product,
+    no full-data single-partition exchange (global sort+limit is a TakeOrdered)."""
+    import modin_spark.polars as pl
+
+    orders = pl.scan_parquet(f"{SF}/orders.parquet")
+    agg = (orders.filter(pl.col("o_totalprice") > 100_000)
+           .group_by("o_custkey")
+           .agg(pl.col("o_totalprice").sum().alias("spend"))
+           .collect())
+    sdf = agg._frame.sdf
+    plan = plans.physical_plan(sdf)
+    assert "Cartesian" not in plan, plan
+    assert plans.has_pushed_filters(sdf), plan
+    assert plan.count("HashAggregate") >= 2, plan  # partial + final
+    cust = pl.read_parquet(f"{SF}/customer.parquet")
+    j = agg.join(cust, left_on="o_custkey", right_on="c_custkey")
+    assert "Cartesian" not in plans.physical_plan(j._frame.sdf)
+
+
+def test_grouped_resample_grid_plan(spark):
+    """groupby.resample grid completion: per-keys min/max + sequence explode
+    + left join — no cartesian, no full-data single-partition exchange."""
+    import modin_spark.pandas as mpd
+
+    ev = mpd.read_parquet(f"{SF}/events.parquet")
+    out = ev.groupby("event_type").resample("1d", on="ts")["value"].sum()
+    plan = plans.physical_plan(out._frame.sdf)
+    assert "Cartesian" not in plan, plan
+    assert plans.unsafe_single_partition_exchanges(out._frame.sdf) == 0, plan
