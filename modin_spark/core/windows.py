@@ -201,7 +201,7 @@ def pct_change(frame: SparkFrame, positions: Sequence[int], periods: int = 1,
 
 
 def interpolate_linear(frame: SparkFrame, positions: Sequence[int], x_col=None, limit=None,
-                       limit_direction: str = "forward") -> SparkFrame:
+                       limit_direction: str = "forward", keep_all: bool = False) -> SparkFrame:
     """pandas ``interpolate(method="linear")`` along frame order.
 
     Needs, per null cell, the nearest non-null (value, position) before and
@@ -285,6 +285,15 @@ def interpolate_linear(frame: SparkFrame, positions: Sequence[int], x_col=None, 
                 gap = F.coalesce(gap_f, gap_b)
             e = F.when(F.col(p).isNull() & (gap > limit), F.lit(None)).otherwise(e)
         exprs.append(e)
+    if keep_all:
+        # pandas frame interpolate keeps EVERY column: non-interpolated
+        # columns (strings, NaN-free ints) pass through unchanged
+        by_pos = dict(zip(positions, exprs))
+        all_labels = list(frame.columns)
+        all_exprs = [by_pos.get(i, F.col(frame.data_cols[i]))
+                     for i in range(len(all_labels))]
+        out = fr._same_rows(sdf).project(all_labels, all_exprs)
+        return _drop_aux(out)
     out = fr._same_rows(sdf).project(labels, exprs)
     return _drop_aux(out)
 
@@ -810,7 +819,7 @@ def blocked_pandas(frame: SparkFrame, positions: Sequence[int], pd_fn, halo_rows
 # ffill / bfill
 # ---------------------------------------------------------------------------
 
-def ffill(frame: SparkFrame, positions: Sequence[int], limit: int | None = None) -> SparkFrame:
+def ffill(frame: SparkFrame, positions: Sequence[int], limit: int | None = None, keep_all: bool = False) -> SparkFrame:
     """Forward-fill along frame order. Two-pass block scheme: last non-null
     within block + carry of each block's last non-null from preceding blocks.
 
@@ -847,11 +856,20 @@ def ffill(frame: SparkFrame, positions: Sequence[int], limit: int | None = None)
                 F.when(F.col(p).isNotNull(), F.col(p))
                 .when(prev.isNotNull() & (F.col(_POS) - prev["p"] <= limit), prev["v"])
             )
+    if keep_all:
+        # pandas frame interpolate keeps EVERY column: non-interpolated
+        # columns (strings, NaN-free ints) pass through unchanged
+        by_pos = dict(zip(positions, exprs))
+        all_labels = list(frame.columns)
+        all_exprs = [by_pos.get(i, F.col(frame.data_cols[i]))
+                     for i in range(len(all_labels))]
+        out = fr._same_rows(sdf).project(all_labels, all_exprs)
+        return _drop_aux(out)
     out = fr._same_rows(sdf).project(labels, exprs)
     return _drop_aux(out)
 
 
-def bfill(frame: SparkFrame, positions: Sequence[int], limit: int | None = None) -> SparkFrame:
+def bfill(frame: SparkFrame, positions: Sequence[int], limit: int | None = None, keep_all: bool = False) -> SparkFrame:
     """Backward-fill: mirror of ffill with following-windows."""
     fr = _with_blocks(frame)
     phys = [frame.data_cols[i] for i in positions]
@@ -883,6 +901,15 @@ def bfill(frame: SparkFrame, positions: Sequence[int], limit: int | None = None)
                 F.when(F.col(p).isNotNull(), F.col(p))
                 .when(nxt.isNotNull() & (nxt["p"] - F.col(_POS) <= limit), nxt["v"])
             )
+    if keep_all:
+        # pandas frame interpolate keeps EVERY column: non-interpolated
+        # columns (strings, NaN-free ints) pass through unchanged
+        by_pos = dict(zip(positions, exprs))
+        all_labels = list(frame.columns)
+        all_exprs = [by_pos.get(i, F.col(frame.data_cols[i]))
+                     for i in range(len(all_labels))]
+        out = fr._same_rows(sdf).project(all_labels, all_exprs)
+        return _drop_aux(out)
     out = fr._same_rows(sdf).project(labels, exprs)
     return _drop_aux(out)
 

@@ -1138,7 +1138,9 @@ class DataFrame:
 
     def duplicated(self, subset=None, keep="first") -> Series:
         pos = self._frame.positions_of(subset if isinstance(subset, list) else [subset]) if subset is not None else None
-        return Series._from_frame(qc.duplicated(self._frame, pos, keep))
+        s = Series._from_frame(qc.duplicated(self._frame, pos, keep))
+        s._name = None  # pandas: frame.duplicated() is unnamed
+        return s
 
     # ---------------------------------------------------------------- index
     def set_index(self, keys, drop=True, append=False) -> "DataFrame":
@@ -1909,12 +1911,12 @@ class DataFrame:
                              + pct_rows + ["max"]) if r in out.index]
         return out.loc[order]
 
-    def idxmax(self, axis=0) -> pd.Series:
+    def idxmax(self, axis=0, skipna=True, numeric_only=False) -> pd.Series:
         if axis in (1, "columns"):
             return self._row_arg_extreme(max_=True)
         return pd.Series({self._frame.columns[i]: self._series_at(i).idxmax() for i in self._numeric_positions()})
 
-    def idxmin(self, axis=0) -> pd.Series:
+    def idxmin(self, axis=0, skipna=True, numeric_only=False) -> pd.Series:
         if axis in (1, "columns"):
             return self._row_arg_extreme(max_=False)
         return pd.Series({self._frame.columns[i]: self._series_at(i).idxmin() for i in self._numeric_positions()})
@@ -2108,6 +2110,13 @@ class DataFrame:
         return DataFrame(_frame=win.pct_change(self._frame, self._numeric_positions(), periods,
                                                fill_method=fill_method))
 
+    def _float_null_positions(self) -> list:
+        """Positions eligible for interpolation: float columns (the only
+        numeric storage that can hold missing values; pandas leaves NaN-free
+        int columns as ints)."""
+        return [i for i in range(len(self._frame.columns))
+                if self._frame.dtype_of(i).startswith("float")]
+
     def interpolate(self, method="linear", limit=None, limit_direction="forward", **kw) -> "DataFrame":
         if method in ("index", "time", "values"):
             # abscissa = the index values (epoch seconds for timestamps)
@@ -2115,8 +2124,8 @@ class DataFrame:
             if not fr.index_cols:
                 raise NotImplementedError(f"interpolate(method={method!r}) needs a set index")
             return DataFrame(_frame=win.interpolate_linear(
-                fr, self._numeric_positions(), x_col=fr.index_cols[-1], limit=limit,
-                limit_direction=limit_direction))
+                fr, self._float_null_positions(), x_col=fr.index_cols[-1], limit=limit,
+                limit_direction=limit_direction, keep_all=True))
         if method != "linear":
             if method in ("nearest", "polynomial", "spline", "krogh", "pchip",
                           "akima", "cubicspline", "barycentric", "quadratic",
@@ -2128,8 +2137,9 @@ class DataFrame:
                     "pandas, which delegates these methods to scipy.interpolate)"
                 )
             raise NotImplementedError(f"interpolate(method={method!r})")
-        return DataFrame(_frame=win.interpolate_linear(self._frame, self._numeric_positions(),
-                                                       limit=limit, limit_direction=limit_direction))
+        return DataFrame(_frame=win.interpolate_linear(self._frame, self._float_null_positions(),
+                                                       limit=limit, limit_direction=limit_direction,
+                                                       keep_all=True))
 
     def rolling(self, window: int, min_periods=None, win_type=None, center=False, closed=None, **win_kwargs):
         from modin_spark.pandas.window import Rolling

@@ -142,13 +142,22 @@ class ILocIndexer:
             if any(i < 0 for i in keys):
                 n = fr.count_rows()
                 keys = [i if i >= 0 else n + i for i in keys]
-            pos_fr = fr.ensure_order().with_global_position("__pos__")
+            base = fr.ensure_order()
+            if not fr.index_cols:
+                # default index: pandas iloc KEEPS the original labels —
+                # stash them as a column before the order re-key below
+                base = base.with_pandas_labels("__il__")
+            pos_fr = base.with_global_position("__pos__")
             kept = pos_fr.sdf.where(F.col("__pos__").isin(keys))
             # pandas returns rows in REQUEST order — re-key the frame order
             # by each row's rank in the request list (a literal array lookup)
             arr = F.array(*[F.lit(i) for i in keys])
             kept = kept.withColumn(ORDER_COL, F.array_position(arr, F.col("__pos__"))).drop("__pos__")
             out = pos_fr._subset_rows(kept)
+            if not fr.index_cols:
+                # surfaced labels ride as an int64 index (pandas keeps the
+                # pre-take labels, which are no longer positional)
+                out = out._same_rows(out.sdf, index_cols=["__il__"], index_names=[None])
         else:
             raise NotImplementedError(type(row_key))
 

@@ -348,6 +348,28 @@ class Series:
         return fr, F.col(lf.data_cols[0]), F.col(rf.data_cols[0]), {lf.data_cols[0], rf.data_cols[0]}
 
     def _binary(self, other, fn: Callable[[Column, Column], Column], reverse=False, comparison=False) -> "Series":
+        import numpy as _np
+
+        if (isinstance(other, (list, tuple, _np.ndarray))
+                and not isinstance(other, str) and _np.ndim(other) == 1):
+            # raw sequence operand: pandas aligns POSITIONALLY (never by
+            # label). Zip by the scale-safe global position; the operand is
+            # driver-provided, so the array literal is bounded by definition.
+            vals = [v for v in other]
+            if len(vals) > 100_000:
+                raise NotImplementedError(
+                    "sequence operand >100k elements; wrap it in a Series")
+            pos_fr = self._frame.with_global_position("__bp__")
+            arr = F.array(*[_lit(v) for v in vals])
+            re_ = F.element_at(arr, (F.col("__bp__") + 1).cast("int"))
+            a, b = (re_, self._expr) if reverse else (self._expr, re_)
+            e = fn(a, b)
+            filter_expr = None
+            if comparison:
+                filter_expr = e
+                e = F.coalesce(e, F.lit(False))
+            return Series(pos_fr, e, set(self._refs), name=self._name,
+                          filter_expr=filter_expr)
         if isinstance(other, Series):
             target, le, re_, refs = self._combine(other)
         else:
@@ -2085,7 +2107,8 @@ def _ser_add_suffix(self, suffix):
 
 
 def _ser_argsort(self):
-    return Series._from_pandas(self.to_pandas().reset_index(drop=True).argsort())
+    # pandas argsort KEEPS the original index (positions as values, -1 NaN)
+    return Series._from_pandas(self.to_pandas().argsort())
 
 
 Series.drop = _ser_drop

@@ -291,3 +291,40 @@ def test_reindex_duplicate_labels_raises():
     ok = mpd.DataFrame({"v": [1, 2]}, index=["a", "b"]).reindex(["b", "c"]).to_pandas()
     exp = pd.DataFrame({"v": [1, 2]}, index=["a", "b"]).reindex(["b", "c"])
     pd.testing.assert_frame_equal(ok, exp, check_dtype=False)
+
+
+# ---------------------------------------------------------- wave 38 fixes
+def test_sequence_operand_aligns_positionally():
+    s = mpd.Series([2.0, 1.0, np.nan, 4.0], index=["a", "b", "c", "d"], name="v")
+    p = pd.Series([2.0, 1.0, np.nan, 4.0], index=["a", "b", "c", "d"], name="v")
+    eq_series(s.add([1.0, 1.0, 1.0, 1.0]), p.add([1.0, 1.0, 1.0, 1.0]))
+    eq_series(s > [1, 1, 1, 5], p > [1, 1, 1, 5])
+    eq_series(s.radd(np.array([1.0, 2.0, 3.0, 4.0])),
+              p.radd(np.array([1.0, 2.0, 3.0, 4.0])))
+
+
+def test_take_keeps_original_positional_labels():
+    d = {"g": ["x", "y", "x"], "a": [1.0, 2.0, 3.0]}
+    m, p = mpd.DataFrame(d), pd.DataFrame(d)
+    pd.testing.assert_frame_equal(m.take([0, 2]).to_pandas(), p.take([0, 2]),
+                                  check_dtype=False)
+    pd.testing.assert_frame_equal(m.iloc[[2, 0]].to_pandas(), p.iloc[[2, 0]],
+                                  check_dtype=False)
+
+
+def test_frame_interpolate_keeps_nonnumeric_columns():
+    d = {"g": ["x", "y", "x", "y"], "a": [1.0, 2.0, np.nan, 4.0], "b": [10, 20, 30, 40]}
+    m, p = mpd.DataFrame(d), pd.DataFrame(d)
+    pd.testing.assert_frame_equal(m.interpolate().to_pandas(), p.interpolate(),
+                                  check_dtype=False)
+    assert list(m.interpolate().columns) == ["g", "a", "b"]
+
+
+def test_misc_wave38_parity():
+    s = mpd.Series([2.0, 1.0, np.nan, 4.0], index=["a", "b", "c", "d"], name="v")
+    p = pd.Series([2.0, 1.0, np.nan, 4.0], index=["a", "b", "c", "d"], name="v")
+    eq_series(s.argsort(), p.argsort())
+    d = {"g": ["x", "y", "x", "y"], "a": [1.0, 2.0, np.nan, 4.0]}
+    m, pf = mpd.DataFrame(d), pd.DataFrame(d)
+    eq_series(m.duplicated(subset=["g"]), pf.duplicated(subset=["g"]))
+    eq_series(m.idxmax(numeric_only=True), pf.idxmax(numeric_only=True))

@@ -1,0 +1,241 @@
+"""Probe wave 38: exhaustive METHOD sweep — every public Series/DataFrame
+method invoked with canned arguments on a standard fixture, result diffed
+against pandas (the systematic version of the per-wave hand-written probes;
+the r12 constructor sweep proved presence testing is blind).
+
+Methods that raise the SAME exception type on both sides count as parity.
+Usage: python tools/probe_wave38_methodsweep.py [--verbose]
+"""
+import os
+import sys
+import warnings
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+warnings.filterwarnings("ignore")
+
+import numpy as np
+import pandas as pd
+
+import modin_spark.pandas as mpd
+
+VERBOSE = "--verbose" in sys.argv
+
+SER_DATA = dict(data=[2.0, 1.0, np.nan, 4.0], index=["a", "b", "c", "d"], name="v")
+DF_DATA = dict(data={"g": ["x", "y", "x", "y"], "a": [1.0, 2.0, np.nan, 4.0],
+                     "b": [10, 20, 30, 40], "s": ["p", "q", "r", "s"]})
+
+# method -> (args, kwargs); None -> skip (side effects / needs resources)
+SER_ARGS = {
+    "abs": ((), {}), "add": (([1.0, 1.0, 1.0, 1.0],), {}), "add_prefix": (("p_",), {}),
+    "add_suffix": (("_s",), {}), "agg": (("sum",), {}), "aggregate": (("sum",), {}),
+    "align": None, "all": ((), {}), "any": ((), {}), "apply": ((lambda x: x * 2,), {}),
+    "argmax": ((), {}), "argmin": ((), {}), "argsort": ((), {}),
+    "asfreq": None, "asof": None,  # pandas DateParseError quirk on str key "astype": (("float64",), {}),
+    "at_time": None, "autocorr": None, "backfill": ((), {}), "between": ((1, 3), {}),
+    "between_time": None, "bfill": ((), {}), "bool": None, "clip": ((1.5, 3.5), {}),
+    "combine": None, "combine_first": None, "compare": None, "convert_dtypes": ((), {}),
+    "copy": ((), {}), "corr": None, "count": ((), {}), "cov": None,
+    "cummax": ((), {}), "cummin": ((), {}), "cumprod": ((), {}), "cumsum": ((), {}),
+    "describe": ((), {}), "diff": ((), {}), "div": ((2,), {}), "divide": ((2,), {}),
+    "divmod": None, "dot": None, "drop": ((["a"],), {}), "drop_duplicates": ((), {}),
+    "droplevel": None, "dropna": ((), {}), "duplicated": ((), {}),
+    "eq": ((2.0,), {}), "equals": None, "ewm": None, "expanding": None,
+    "explode": ((), {}), "factorize": None, "ffill": ((), {}),
+    "fillna": ((0.0,), {}), "filter": ((), {"items": ["a", "b"]}),
+    "first": None, "first_valid_index": ((), {}), "floordiv": ((2,), {}),
+    "ge": ((2.0,), {}), "get": (("a",), {}), "groupby": None, "gt": ((2.0,), {}),
+    "head": ((2,), {}), "hist": None, "idxmax": ((), {}), "idxmin": ((), {}),
+    "infer_objects": ((), {}), "info": None, "interpolate": ((), {}),
+    "isin": (([1.0, 2.0],), {}), "isna": ((), {}), "isnull": ((), {}),
+    "item": None, "items": None, "keys": None, "kurt": ((), {}), "kurtosis": ((), {}),
+    "last": None, "last_valid_index": ((), {}), "le": ((2.0,), {}),
+    "lt": ((2.0,), {}), "map": ((lambda x: x + 1,), {}), "mask": None,
+    "max": ((), {}), "mean": ((), {}), "median": ((), {}), "memory_usage": None,
+    "min": ((), {}), "mod": ((2,), {}), "mode": ((), {}), "mul": ((2,), {}),
+    "multiply": ((2,), {}), "ne": ((2.0,), {}), "nlargest": ((2,), {}),
+    "notna": ((), {}), "notnull": ((), {}), "nsmallest": ((2,), {}),
+    "nunique": ((), {}), "pad": ((), {}), "pct_change": ((), {}),
+    "pipe": ((lambda s: s.sum(),), {}), "pop": None, "pow": ((2,), {}),
+    "prod": ((), {}), "product": ((), {}), "quantile": ((0.5,), {}),
+    "radd": ((1,), {}), "rank": ((), {}), "ravel": None, "rdiv": ((2,), {}),
+    "rdivmod": None, "reindex": ((["a", "b", "z"],), {}),
+    "reindex_like": None, "rename": (("w",), {}), "rename_axis": None,
+    "reorder_levels": None, "repeat": ((2,), {}), "replace": ((1.0, 9.0), {}),
+    "resample": None, "reset_index": ((), {}), "rfloordiv": ((2,), {}),
+    "rmod": ((2,), {}), "rmul": ((2,), {}), "rolling": None, "round": ((0,), {}),
+    "rpow": None, "rsub": ((2,), {}), "rtruediv": ((2,), {}), "sample": None,
+    "searchsorted": None, "sem": ((), {}), "set_axis": ((["p", "q", "r", "s"],), {}),
+    "set_flags": None, "shift": ((1,), {}), "skew": ((), {}),
+    "sort_index": ((), {}), "sort_values": ((), {}), "squeeze": ((), {}),
+    "std": ((), {}), "sub": ((1,), {}), "subtract": ((1,), {}), "sum": ((), {}),
+    "swapaxes": None, "swaplevel": None, "tail": ((2,), {}), "take": (([0, 2],), {}),
+    "to_clipboard": None, "to_csv": None, "to_dict": ((), {}), "to_excel": None,
+    "to_frame": ((), {}), "to_hdf": None, "to_json": None, "to_latex": None,
+    "to_list": ((), {}), "to_markdown": None, "to_numpy": ((), {}),
+    "to_period": None, "to_pickle": None, "to_sql": None, "to_string": None,
+    "to_timestamp": None, "to_xarray": None, "tolist": ((), {}),
+    "transform": ((lambda x: x * 2,), {}), "transpose": ((), {}),
+    "truediv": ((2,), {}), "truncate": None, "tz_convert": None,
+    "tz_localize": None, "unique": ((), {}), "unstack": None, "update": None,
+    "value_counts": ((), {}), "var": ((), {}), "view": None, "where": None,
+    "xs": None,
+}
+
+DF_ARGS = {
+    "abs": None, "add": None, "add_prefix": (("p_",), {}), "add_suffix": (("_s",), {}),
+    "agg": (({"a": "sum", "b": "mean"},), {}), "aggregate": (({"a": "sum"},), {}),
+    "align": None, "all": None, "any": None, "apply": None, "applymap": None,
+    "asfreq": None, "asof": None, "assign": ((), {"c": lambda d: d["b"] * 2}),
+    "astype": (({"b": "float64"},), {}), "at_time": None, "backfill": ((), {}),
+    "between_time": None, "bfill": ((), {}), "bool": None, "boxplot": None,
+    "clip": None, "combine": None, "combine_first": None, "compare": None,
+    "convert_dtypes": ((), {}), "copy": ((), {}), "corr": ((), {"numeric_only": True}),
+    "corrwith": None, "count": ((), {}), "cov": ((), {"numeric_only": True}),
+    "cummax": ((), {"numeric_only": True}), "cummin": ((), {"numeric_only": True}),
+    "cumprod": ((), {"numeric_only": True}), "cumsum": ((), {"numeric_only": True}),
+    "describe": ((), {}), "diff": None, "div": None, "divide": None, "dot": None,
+    "drop": ((), {"columns": ["s"]}), "drop_duplicates": ((), {"subset": ["g"]}),
+    "droplevel": None, "dropna": ((), {}), "duplicated": ((), {"subset": ["g"]}),
+    "eq": None, "equals": None, "eval": (("c = a + b",), {}), "ewm": None,
+    "expanding": None, "explode": None, "ffill": ((), {}), "fillna": ((0.0,), {}),
+    "filter": ((), {"items": ["a", "b"]}), "first": None,
+    "first_valid_index": ((), {}), "floordiv": None, "ge": None, "get": (("a",), {}),
+    "groupby": None, "gt": None, "head": ((2,), {}), "hist": None,
+    "idxmax": ((), {"numeric_only": True}), "idxmin": ((), {"numeric_only": True}),
+    "infer_objects": ((), {}), "info": None, "insert": None, "interpolate": ((), {}),
+    "isetitem": None, "isin": (([1.0, 10],), {}), "isna": ((), {}), "isnull": ((), {}),
+    "items": None, "iterrows": None, "itertuples": None, "join": None,
+    "keys": None, "kurt": ((), {"numeric_only": True}),
+    "kurtosis": ((), {"numeric_only": True}), "last": None,
+    "last_valid_index": ((), {}), "le": None, "lt": None, "map": None, "mask": None,
+    "max": ((), {"numeric_only": True}), "mean": ((), {"numeric_only": True}),
+    "median": ((), {"numeric_only": True}), "melt": ((), {"id_vars": ["g"], "value_vars": ["a"]}),
+    "memory_usage": None, "merge": None, "min": ((), {"numeric_only": True}),
+    "mod": None, "mode": ((), {"numeric_only": True}), "mul": None, "multiply": None,
+    "ne": None, "nlargest": ((2, "b"), {}), "notna": ((), {}), "notnull": ((), {}),
+    "nsmallest": ((2, "b"), {}), "nunique": ((), {}), "pad": ((), {}),
+    "pct_change": None, "pipe": ((lambda d: d.shape,), {}), "pivot": None,
+    "pivot_table": ((), {"index": "g", "values": "a", "aggfunc": "mean"}),
+    "pop": None, "pow": None, "prod": ((), {"numeric_only": True}),
+    "product": ((), {"numeric_only": True}), "quantile": ((0.5,), {"numeric_only": True}),
+    "query": (("b > 15",), {}), "radd": None, "rank": ((), {"numeric_only": True}),
+    "rdiv": None, "reindex": None, "reindex_like": None,
+    "rename": ((), {"columns": {"a": "A"}}), "rename_axis": None,
+    "reorder_levels": None, "replace": ((1.0, 9.0), {}), "resample": None,
+    "reset_index": ((), {}), "rfloordiv": None, "rmod": None, "rmul": None,
+    "rolling": None, "round": ((1,), {}), "rpow": None, "rsub": None,
+    "rtruediv": None, "sample": None, "select_dtypes": ((), {"include": "number"}),
+    "sem": ((), {"numeric_only": True}), "set_axis": None, "set_flags": None,
+    "set_index": (("g",), {}), "shift": ((1,), {}), "skew": ((), {"numeric_only": True}),
+    "sort_index": ((), {}), "sort_values": (("b",), {}), "squeeze": None,
+    "stack": None, "std": ((), {"numeric_only": True}), "sub": None,
+    "subtract": None, "sum": ((), {"numeric_only": True}), "swapaxes": None,
+    "swaplevel": None, "tail": ((2,), {}), "take": (([0, 2],), {}),
+    "to_clipboard": None, "to_csv": None, "to_dict": ((), {}), "to_excel": None,
+    "to_feather": None, "to_gbq": None, "to_hdf": None, "to_html": None,
+    "to_json": None, "to_latex": None, "to_markdown": None, "to_numpy": ((), {}),
+    "to_orc": None, "to_parquet": None, "to_period": None, "to_pickle": None,
+    "to_records": None, "to_sql": None, "to_stata": None, "to_string": None,
+    "to_timestamp": None, "to_xarray": None, "to_xml": None,
+    "transform": None, "transpose": None, "truediv": None, "truncate": None,
+    "tz_convert": None, "tz_localize": None, "unstack": None, "update": None,
+    "value_counts": ((), {"subset": ["g"]}), "var": ((), {"numeric_only": True}),
+    "where": None, "xs": (("x",), {"axis": 0, "drop_level": True}) if False else None,
+}
+
+
+def _norm(x):
+    if hasattr(x, "to_pandas"):
+        x = x.to_pandas()
+    if isinstance(x, (pd.DataFrame, pd.Series)):
+        return x
+    if isinstance(x, (np.ndarray, pd.Index, pd.Categorical)):
+        return list(np.asarray(x))
+    return x
+
+
+def _match(a, b):
+    a, b = _norm(a), _norm(b)
+    try:
+        if isinstance(a, pd.DataFrame) and isinstance(b, pd.DataFrame):
+            pd.testing.assert_frame_equal(b, a, check_dtype=False, check_index_type=False,
+                                          check_column_type=False, check_categorical=False)
+            return True
+        if isinstance(a, pd.Series) and isinstance(b, pd.Series):
+            pd.testing.assert_series_equal(b, a, check_dtype=False, check_index_type=False,
+                                           check_categorical=False, check_freq=False)
+            return True
+        if isinstance(a, float) and isinstance(b, float) and np.isnan(a) and np.isnan(b):
+            return True
+        if isinstance(a, list) and isinstance(b, list):
+            def cell_eq(x, y):
+                if isinstance(x, np.ndarray) or isinstance(y, np.ndarray):
+                    return _match(list(np.asarray(x)), list(np.asarray(y)))
+                try:
+                    if pd.isna(x) and pd.isna(y):
+                        return True
+                except (ValueError, TypeError):
+                    pass
+                return bool(x == y)
+            return len(a) == len(b) and all(cell_eq(x, y) for x, y in zip(a, b))
+        if isinstance(a, dict) and isinstance(b, dict):
+            if set(a) != set(b):
+                return False
+            return all(_match(a[k], b[k]) for k in a)
+        try:
+            if pd.isna(a) and pd.isna(b):
+                return True
+        except (ValueError, TypeError):
+            pass
+        return bool(a == b)
+    except Exception:
+        return False
+
+
+def sweep(kind, args_table, make_p, make_m):
+    diffs, passes, skipped = [], 0, 0
+    for name in sorted(args_table):
+        spec = args_table[name]
+        if spec is None:
+            skipped += 1
+            continue
+        a, k = spec
+        try:
+            exp = getattr(make_p(), name)(*a, **k)
+            exp_exc = None
+        except Exception as e:
+            exp, exp_exc = None, type(e).__name__
+        try:
+            got = getattr(make_m(), name)(*a, **k)
+            got_exc = None
+        except Exception as e:
+            got, got_exc = None, type(e).__name__
+        if got_exc is None:
+            # engine is lazy: force materialization so plan-time errors
+            # surface here, not inside the comparator
+            try:
+                got = _norm(got)
+            except Exception as e:
+                got, got_exc = None, type(e).__name__
+        if exp_exc or got_exc:
+            if exp_exc == got_exc:
+                passes += 1
+            else:
+                diffs.append((name, f"exc {exp_exc} vs {got_exc}"))
+            continue
+        if _match(exp, got):
+            passes += 1
+        else:
+            diffs.append((name, f"exp={str(_norm(exp))[:90]!r} got={str(_norm(got))[:90]!r}"))
+    print(f"\n== {kind}: {passes} pass, {len(diffs)} diff, {skipped} skipped ==")
+    for n, d in diffs:
+        print(f"DIFF {kind}.{n}: {d}")
+    return diffs
+
+
+if __name__ == "__main__":
+    d1 = sweep("Series", SER_ARGS,
+               lambda: pd.Series(**SER_DATA), lambda: mpd.Series(**SER_DATA))
+    d2 = sweep("DataFrame", DF_ARGS,
+               lambda: pd.DataFrame(**DF_DATA), lambda: mpd.DataFrame(**DF_DATA))
+    print(f"\nTOTAL DIFFS: {len(d1) + len(d2)}")
