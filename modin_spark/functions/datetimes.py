@@ -34,6 +34,8 @@ DT_FUNCS = {
         F.date_format(c, "SSSSSS") == "000000", F.date_format(c, "HH:mm:ss")
     ).otherwise(F.date_format(c, "HH:mm:ss.SSSSSS")),
     "dayofweek": lambda c: ((F.dayofweek(c) + 5) % 7).cast("int"),
+    "day_of_week": lambda c: ((F.dayofweek(c) + 5) % 7).cast("int"),
+    "day_of_year": lambda c: F.dayofyear(c).cast("int"),
     "weekday": lambda c: ((F.dayofweek(c) + 5) % 7).cast("int"),
     "dayofyear": lambda c: F.dayofyear(c),
     "day_of_year": lambda c: F.dayofyear(c),

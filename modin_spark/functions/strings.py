@@ -270,7 +270,9 @@ STR_FUNCS = {
     "isspace": lambda c: c.rlike(r"^\s+$"),
     "islower": lambda c: c.rlike(r"^[^\p{Lu}]*[\p{Ll}][^\p{Lu}]*$"),
     "isupper": lambda c: c.rlike(r"^[^\p{Ll}]*[\p{Lu}][^\p{Ll}]*$"),
-    "istitle": lambda c: c.rlike(r"^(?:[\p{Lu}][\p{Ll}]*)(?:[^\p{L}]+[\p{Lu}][\p{Ll}]*)*[^\p{L}]*$"),
+    # Python str.istitle: leading non-letters allowed; every letter RUN is
+    # [Lu][Ll]* and at least one run exists
+    "istitle": lambda c: c.rlike(r"^(?:[^\p{L}]*[\p{Lu}][\p{Ll}]*(?=[^\p{L}]|$))+[^\p{L}]*$"),
     "removeprefix": lambda c, prefix: F.when(c.startswith(prefix), F.substring(c, len(prefix) + 1, 2**31 - 1)).otherwise(c),
     "removesuffix": lambda c, suffix: F.when(c.endswith(suffix), F.substring(c, 1, F.length(c) - len(suffix))).otherwise(c),
     "cat": lambda c, others=None, sep="": F.concat_ws(sep, c, *(others or [])),

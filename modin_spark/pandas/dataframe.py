@@ -4519,6 +4519,53 @@ class DataFrame:
         return DataFrame(_frame=nf)
 
     def asfreq(self, freq: str, method=None) -> "DataFrame":
+        """pandas asfreq: the target grid anchors at the FIRST index value
+        (not epoch buckets) and picks EXACT index matches. Fixed frequencies:
+        one min/max aggregate -> F.sequence explode -> left equi-join on the
+        timestamp (no driver materialization of the grid). Calendar
+        frequencies (month/quarter) fall back to resample bucketing."""
+        fr = self._frame
+        try:
+            off = pd.tseries.frequencies.to_offset(freq)
+            delta_us = int(pd.Timedelta(off) / pd.Timedelta(microseconds=1))
+            fixed = True
+        except ValueError:
+            fixed = False
+        if fixed and fr.index_cols:
+            icol = fr.index_cols[0]
+            grid = (fr.sdf.agg(F.min(icol).alias("__mn__"), F.max(icol).alias("__mx__"))
+                    .where(F.col("__mn__").isNotNull())
+                    .select(F.explode(F.sequence(
+                        F.col("__mn__"), F.col("__mx__"),
+                        F.expr(f"interval {delta_us} microseconds"))).alias("__g__")))
+            from modin_spark.core.frame import ORDER_COL as _OC
+
+            if method in ("ffill", "pad", "bfill", "backfill"):
+                # pandas fills from the nearest ORIGINAL observation (asof),
+                # not from the previous grid row — distributed asof join of
+                # the grid against the frame (block+halo, no global window)
+                from modin_spark.core.frame import SparkFrame as _SF
+                from modin_spark.pandas.general import merge_asof as _ma
+
+                iname = fr.index_names[0] if fr.index_names[0] is not None else "__af__"
+                gsdf = grid.select(F.col("__g__").alias("__gv__")).withColumn(
+                    _OC, F.col("__gv__"))
+                gdf = DataFrame(_frame=_SF(gsdf, pd.Index([iname]), ["__gv__"], [], [None]))
+                right = DataFrame(_frame=fr).reset_index()
+                rname = right.columns[0]
+                if rname != iname:
+                    right = right.rename(columns={rname: iname})
+                direction = "backward" if method in ("ffill", "pad") else "forward"
+                out = _ma(gdf, right, on=iname, direction=direction).set_index(iname)
+                ofr = out._frame
+                return DataFrame(_frame=ofr._same_rows(
+                    ofr.sdf, index_names=list(fr.index_names)))
+            joined = grid.join(fr.sdf.select(icol, *fr.data_cols),
+                               F.col("__g__") == F.col(icol), "left")
+            sdf = (joined.withColumn(icol, F.col("__g__"))
+                   .withColumn(_OC, F.col("__g__")).drop("__g__"))
+            return DataFrame(_frame=type(fr)(sdf, fr.columns, fr.data_cols,
+                                             fr.index_cols, fr.index_names, has_order=True))
         r = self.resample(freq)
         if method in ("ffill", "pad"):
             return r.ffill()

@@ -1313,7 +1313,14 @@ class Series:
     def cummin(self, skipna: bool = True) -> "Series":
         return self._cum("cummin", skipna)
 
-    def shift(self, periods: int = 1, fill_value=None) -> "Series":
+    def shift(self, periods: int = 1, fill_value=None, freq=None) -> "Series":
+        if freq is not None:
+            # pandas shift(freq=): the INDEX moves, values stay — reuse the
+            # frame projection (one expression over the index column)
+            from modin_spark.pandas.dataframe import DataFrame
+
+            out = DataFrame(_frame=self._to_frame()).shift(periods, freq=freq)
+            return self._rewrap(out._frame)
         return self._rewrap(win.shift(self._to_frame(), [0], periods, fill_value))
 
     def diff(self, periods: int = 1) -> "Series":

@@ -328,3 +328,27 @@ def test_misc_wave38_parity():
     m, pf = mpd.DataFrame(d), pd.DataFrame(d)
     eq_series(m.duplicated(subset=["g"]), pf.duplicated(subset=["g"]))
     eq_series(m.idxmax(numeric_only=True), pf.idxmax(numeric_only=True))
+
+
+def test_asfreq_anchors_at_first_index_value():
+    idx = pd.date_range("2024-01-01 09:00", periods=6, freq="7h")
+    m = mpd.DataFrame({"v": [1.0, 2.0, np.nan, 4.0, 5.0, 6.0]}, index=idx)
+    p = pd.DataFrame({"v": [1.0, 2.0, np.nan, 4.0, 5.0, 6.0]}, index=idx)
+    pd.testing.assert_frame_equal(m.asfreq("12h").to_pandas(), p.asfreq("12h"),
+                                  check_dtype=False, check_freq=False)
+    pd.testing.assert_frame_equal(m.asfreq("12h", method="ffill").to_pandas(),
+                                  p.asfreq("12h", method="ffill"),
+                                  check_dtype=False, check_freq=False)
+
+
+def test_series_shift_freq_moves_index():
+    idx = pd.date_range("2024-01-01", periods=3, freq="h")
+    m = mpd.Series([1.0, 2.0, 3.0], index=idx, name="v")
+    p = pd.Series([1.0, 2.0, 3.0], index=idx, name="v")
+    eq_series(m.shift(2, freq="h"), p.shift(2, freq="h"))
+
+
+def test_istitle_letter_runs():
+    vals = ["  Quux  ", "quux", "Quux Bar", "QUux", "  a", "A", "a B",
+            "Ab Cd-Ef", "123", "", "He2Llo", None, "Aa Bb  Cc", "aA"]
+    eq_series(mpd.Series(vals).str.istitle(), pd.Series(vals).str.istitle())

@@ -233,9 +233,114 @@ def sweep(kind, args_table, make_p, make_m):
     return diffs
 
 
+
+
+# ---------------------------------------------------------------- accessors
+STR_SER = dict(data=["Foo bar", "baz", None, "  Quux  "], name="t")
+DT_SER = dict(data=pd.to_datetime(["2024-03-05 10:30:45", "2023-12-31 23:59:59",
+                                   None, "2024-07-01 00:00:00"]), name="ts")
+
+STR_ARGS = {
+    "capitalize": ((), {}), "casefold": ((), {}), "center": ((10,), {}),
+    "contains": (("ba",), {}), "count": (("a",), {}), "endswith": (("z",), {}),
+    "find": (("a",), {}), "fullmatch": (("baz",), {}), "get": ((0,), {}),
+    "index": None, "isalnum": ((), {}), "isalpha": ((), {}), "isdecimal": ((), {}),
+    "isdigit": ((), {}), "islower": ((), {}), "isnumeric": ((), {}),
+    "isspace": ((), {}), "istitle": ((), {}), "isupper": ((), {}),
+    "join": None, "len": ((), {}), "ljust": ((10,), {}), "lower": ((), {}),
+    "lstrip": ((), {}), "match": (("ba",), {}), "normalize": None,
+    "pad": ((10,), {}), "partition": None, "removeprefix": (("Foo",), {}),
+    "removesuffix": (("z",), {}), "repeat": ((2,), {}), "replace": (("a", "X"), {}),
+    "rfind": (("a",), {}), "rindex": None, "rjust": ((10,), {}),
+    "rpartition": None, "rsplit": None, "rstrip": ((), {}),
+    "slice": ((1, 3), {}), "slice_replace": ((1, 3, "Z"), {}),
+    "split": ((" ",), {}), "startswith": (("F",), {}), "strip": ((), {}),
+    "swapcase": ((), {}), "title": ((), {}), "translate": None,
+    "upper": ((), {}), "wrap": None, "zfill": ((8,), {}),
+    "extract": ((r"(\w+)",), {}), "findall": ((r"\w+",), {}),
+}
+
+DT_ARGS = {
+    "ceil": (("h",), {}), "date": "prop", "day": "prop", "day_name": ((), {}),
+    "day_of_week": "prop", "day_of_year": "prop", "dayofweek": "prop",
+    "dayofyear": "prop", "days_in_month": "prop", "daysinmonth": "prop",
+    "floor": (("h",), {}), "hour": "prop", "is_leap_year": "prop",
+    "is_month_end": "prop", "is_month_start": "prop", "is_quarter_end": "prop",
+    "is_quarter_start": "prop", "is_year_end": "prop", "is_year_start": "prop",
+    "isocalendar": ((), {}), "microsecond": "prop", "minute": "prop",
+    "month": "prop", "month_name": ((), {}), "nanosecond": "prop",
+    "normalize": ((), {}), "quarter": "prop", "round": (("h",), {}),
+    "second": "prop", "strftime": (("%Y-%m-%d",), {}), "time": None,
+    "to_period": None, "to_pydatetime": None, "tz": None, "tz_convert": None,
+    "tz_localize": None, "weekday": "prop", "year": "prop",
+}
+
+
+def sweep_accessor(kind, acc, args_table, data):
+    diffs, passes, skipped = [], 0, 0
+    for name in sorted(args_table):
+        spec = args_table[name]
+        if spec is None:
+            skipped += 1
+            continue
+        def run(lib):
+            ns = getattr(lib.Series(**data), acc)
+            if spec == "prop":
+                return getattr(ns, name)
+            a, k = spec
+            return getattr(ns, name)(*a, **k)
+        try:
+            exp, exp_exc = run(pd), None
+        except Exception as e:
+            exp, exp_exc = None, type(e).__name__
+        try:
+            got, got_exc = _norm(run(mpd)), None
+        except Exception as e:
+            got, got_exc = None, type(e).__name__
+        if exp_exc or got_exc:
+            if exp_exc == got_exc:
+                passes += 1
+            else:
+                diffs.append((name, f"exc {exp_exc} vs {got_exc}"))
+            continue
+        if _match(exp, got):
+            passes += 1
+        else:
+            diffs.append((name, f"exp={str(_norm(exp))[:90]!r} got={str(_norm(got))[:90]!r}"))
+    print(f"\n== {kind}: {passes} pass, {len(diffs)} diff, {skipped} skipped ==")
+    for n, d in diffs:
+        print(f"DIFF {kind}.{n}: {d}")
+    return diffs
+
+
+# ------------------------------------------------- datetime-index fixtures
+TIDX = pd.date_range("2024-01-01 09:00", periods=6, freq="7h")
+TS_SER = dict(data=[1.0, 2.0, np.nan, 4.0, 5.0, 6.0], index=TIDX, name="v")
+
+TS_ARGS = {
+    "asfreq": (("12h",), {}),
+    "at_time": (("09:00",), {}),
+    "between_time": (("08:00", "18:00"), {}),
+    "first": (("1D",), {}),
+    "last": (("1D",), {}),
+    "truncate": ((), {"before": "2024-01-01 12:00"}),
+    "resample": None,  # covered by dedicated resample tests
+    "to_period": None,
+    "shift": ((1,), {"freq": "7h"}),
+    "idxmax": ((), {}),
+    "asof": ((pd.Timestamp("2024-01-01 20:00"),), {}),
+    "interpolate": ((), {"method": "time"}),
+    "sort_index": ((), {"ascending": False}),
+}
+
+
 if __name__ == "__main__":
     d1 = sweep("Series", SER_ARGS,
                lambda: pd.Series(**SER_DATA), lambda: mpd.Series(**SER_DATA))
     d2 = sweep("DataFrame", DF_ARGS,
                lambda: pd.DataFrame(**DF_DATA), lambda: mpd.DataFrame(**DF_DATA))
-    print(f"\nTOTAL DIFFS: {len(d1) + len(d2)}")
+    d3 = sweep_accessor("Series.str", "str", STR_ARGS, STR_SER)
+    d4 = sweep_accessor("Series.dt", "dt", DT_ARGS, DT_SER)
+    d5 = sweep("Series[ts-index]", TS_ARGS,
+               lambda: pd.Series(**TS_SER), lambda: mpd.Series(**TS_SER))
+    print(f"\nTOTAL DIFFS: {len(d1) + len(d2) + len(d3) + len(d4) + len(d5)}")
