@@ -257,7 +257,9 @@ class DataFrameGroupBy:
             from modin_spark.pandas.dataframe import DataFrame
 
             return DataFrame(_frame=out)
-        return Series._from_frame(out)
+        res = Series._from_frame(out)
+        res._name = None  # pandas: groupby.size() is unnamed
+        return res
 
     def ohlc(self):
         from modin_spark.pandas.dataframe import DataFrame
@@ -357,7 +359,9 @@ class DataFrameGroupBy:
             # count from the end of the group: size - 1 - cumcount, via one
             # extra unordered group-count window over the same partitioning
             expr = F.count(F.lit(1)).over(Window.partitionBy(*keys)) - F.row_number().over(w)
-        return Series._from_frame(fr.project(["cumcount"], [expr]))
+        out = Series._from_frame(fr.project(["cumcount"], [expr.cast("bigint")]))
+        out._name = None  # pandas: cumcount is unnamed int64
+        return out
 
     def cummax(self):
         from modin_spark.pandas.dataframe import DataFrame
@@ -495,7 +499,9 @@ class DataFrameGroupBy:
                         _lid=fr._lid, _chain=fr._chain, has_order=fr.has_order)
         nf.order_epoch = fr.order_epoch
         nf.order_is_position = fr.order_is_position
-        return Series._from_frame(nf.project(["ngroup"], [F.col("__ng__")]))
+        out = Series._from_frame(nf.project(["ngroup"], [F.col("__ng__")]))
+        out._name = None  # pandas: ngroup is unnamed
+        return out
 
     def head(self, n=5):
         from modin_spark.pandas.dataframe import DataFrame
@@ -1017,6 +1023,7 @@ def _g_value_counts(self, sort: bool = True, ascending: bool = False, normalize:
         raise NotImplementedError("value_counts(normalize=True) on groupby")
     if sort:
         s = s.sort_values(ascending=ascending)
+    s._name = "count"  # pandas 2.x: groupby.value_counts is named 'count'
     return s
 
 

@@ -352,3 +352,14 @@ def test_istitle_letter_runs():
     vals = ["  Quux  ", "quux", "Quux Bar", "QUux", "  a", "A", "a B",
             "Ab Cd-Ef", "123", "", "He2Llo", None, "Aa Bb  Cc", "aA"]
     eq_series(mpd.Series(vals).str.istitle(), pd.Series(vals).str.istitle())
+
+
+def test_groupby_result_names():
+    d = {"k": ["a", "b", "a"], "v": [1.0, 2.0, 3.0]}
+    m, p = mpd.DataFrame(d), pd.DataFrame(d)
+    eq_series(m.groupby("k").size(), p.groupby("k").size())
+    assert m.groupby("k").size().name is None
+    eq_series(m.groupby("k").cumcount(), p.groupby("k").cumcount())
+    eq_series(m.groupby("k").ngroup(), p.groupby("k").ngroup())
+    eq_series(m.groupby("k").value_counts(), p.groupby("k").value_counts())
+    assert m.groupby("k").value_counts().name == "count"

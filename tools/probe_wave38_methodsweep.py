@@ -334,6 +334,34 @@ TS_ARGS = {
 }
 
 
+# ---------------------------------------------------------------- groupby
+GB_DF = dict(data={"k": ["a", "b", "a", "b", "a"],
+                   "v": [1.0, 2.0, np.nan, 4.0, 5.0],
+                   "w": [10, 20, 30, 40, 50]})
+
+GB_ARGS = {
+    "agg": (({"v": "sum", "w": "mean"},), {}),
+    "aggregate": (("sum",), {}),
+    "all": ((), {}), "any": ((), {}),
+    "apply": None, "bfill": ((), {}), "corr": None, "count": ((), {}),
+    "cumcount": ((), {}), "cummax": ((), {}), "cummin": ((), {}),
+    "cumprod": ((), {}), "cumsum": ((), {}),
+    "describe": ((), {}), "diff": ((), {}), "ffill": ((), {}),
+    "fillna": None, "filter": ((lambda g: g["v"].sum() > 5,), {}),
+    "first": ((), {}), "head": ((1,), {}), "idxmax": ((), {}),
+    "idxmin": ((), {}), "last": ((), {}), "max": ((), {}), "mean": ((), {}),
+    "median": ((), {}), "min": ((), {}), "ngroup": ((), {}),
+    "nth": ((1,), {}), "nunique": ((), {}), "ohlc": None,
+    "pct_change": ((), {}), "pipe": ((lambda g: g.sum(),), {}),
+    "prod": ((), {}), "quantile": ((0.5,), {}), "rank": ((), {}),
+    "resample": None, "rolling": None, "sample": None, "sem": ((), {}),
+    "shift": ((1,), {}), "size": ((), {}), "skew": ((), {}),
+    "std": ((), {}), "sum": ((), {}), "tail": ((1,), {}),
+    "take": None, "transform": (("mean",), {}), "var": ((), {}),
+    "value_counts": ((), {}),
+}
+
+
 if __name__ == "__main__":
     d1 = sweep("Series", SER_ARGS,
                lambda: pd.Series(**SER_DATA), lambda: mpd.Series(**SER_DATA))
@@ -343,4 +371,7 @@ if __name__ == "__main__":
     d4 = sweep_accessor("Series.dt", "dt", DT_ARGS, DT_SER)
     d5 = sweep("Series[ts-index]", TS_ARGS,
                lambda: pd.Series(**TS_SER), lambda: mpd.Series(**TS_SER))
-    print(f"\nTOTAL DIFFS: {len(d1) + len(d2) + len(d3) + len(d4) + len(d5)}")
+    d6 = sweep("GroupBy", GB_ARGS,
+               lambda: pd.DataFrame(**GB_DF).groupby("k"),
+               lambda: mpd.DataFrame(**GB_DF).groupby("k"))
+    print(f"\nTOTAL DIFFS: {len(d1) + len(d2) + len(d3) + len(d4) + len(d5) + len(d6)}")
