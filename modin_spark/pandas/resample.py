@@ -97,11 +97,13 @@ class Resampler:
 
         dur_us = int(_pd.Timedelta(rule_to_duration(rule)).total_seconds() * 1_000_000)
         _DAY_US = 86_400_000_000
-        # epoch alignment coincides with pandas' default 'start_day' for any
-        # frequency that DIVIDES a day; multi-day rules must anchor to the
-        # first timestamp's midnight (one tiny min aggregate), like pandas
+        # epoch alignment coincides with pandas' default 'start_day' ONLY
+        # for frequencies that DIVIDE a day; multi-day rules AND sub-day
+        # non-divisors (5h, 7min, 90s...) must anchor to the first
+        # timestamp's midnight (one tiny min aggregate), like pandas
         needs_day_anchor = (
-            origin in (None, "start_day") and dur_us > _DAY_US and offset is None
+            origin in (None, "start_day") and offset is None
+            and (dur_us > _DAY_US or _DAY_US % dur_us != 0)
         )
         if origin == "start" or needs_day_anchor:
             fr = df._frame
@@ -216,9 +218,16 @@ class Resampler:
         from modin_spark.pandas.series import Series
 
         out = self._agg("size", numeric_only=True)
-        fr = out._frame
+        fr = out._frame if not isinstance(out, Series) else out._to_frame()
         one = fr.select_positions([0]) if fr.columns.size else fr
-        return Series._from_frame(one.set_labels(["size"])) if fr.columns.size else None
+        if not fr.columns.size:
+            return None
+        res = Series._from_frame(one.set_labels(["size"]))
+        # pandas: series resample keeps the series NAME; frame resample None
+        res._name = str(fr.columns[0]) if getattr(self, "_scalar", False) else None
+        if res._name == "__s__":
+            res._name = None
+        return res
 
     def agg(self, spec):
         from modin_spark.pandas.dataframe import DataFrame
@@ -308,11 +317,12 @@ class Resampler:
 
         if method != "linear":
             raise NotImplementedError(f"interpolate method {method!r}")
-        base = self.asfreq()._frame
+        af = self.asfreq()
+        base = af._frame if not hasattr(af, "_to_frame") else af._to_frame()
         filled = win.interpolate_linear(base, list(range(len(base.columns))))
         out = SparkFrame(filled.sdf, base.columns, filled.data_cols,
                          list(base.index_cols), list(base.index_names))
-        return DataFrame(_frame=out)
+        return self._maybe_series(DataFrame(_frame=out))
 
 
     def asfreq(self):
@@ -377,7 +387,18 @@ class Resampler:
             index_cols=[t_phys],
             index_names=[on_name],
         )
-        return DataFrame(_frame=out_fr)
+        return self._maybe_series(DataFrame(_frame=out_fr))
+
+    def _maybe_series(self, out):
+        """Series resample: 1-column frame results squeeze back to a
+        Series with the original name (pandas parity)."""
+        if not getattr(self, "_scalar", False) or len(out._frame.columns) != 1:
+            return out
+        from modin_spark.pandas.series import Series
+
+        res = Series._from_frame(out._frame)
+        res._name = None if str(out._frame.columns[0]) == "__s__" else res._name
+        return res
 
     def ohlc(self):
         from modin_spark.pandas.dataframe import DataFrame

@@ -363,3 +363,21 @@ def test_groupby_result_names():
     eq_series(m.groupby("k").ngroup(), p.groupby("k").ngroup())
     eq_series(m.groupby("k").value_counts(), p.groupby("k").value_counts())
     assert m.groupby("k").value_counts().name == "count"
+
+
+def test_resample_nondivisor_start_day_anchor():
+    idx = pd.date_range("2024-01-01 09:00", periods=6, freq="7h")
+    m = mpd.Series([1.0, 2.0, np.nan, 4.0, 5.0, 6.0], index=idx, name="v")
+    p = pd.Series([1.0, 2.0, np.nan, 4.0, 5.0, 6.0], index=idx, name="v")
+    eq_series(m.resample("5h").sum(), p.resample("5h").sum())
+    eq_series(m.resample("5h").ffill(), p.resample("5h").ffill())
+    eq_series(m.resample("90min").mean(), p.resample("90min").mean())
+
+
+def test_series_resample_fill_returns_series():
+    idx = pd.date_range("2024-01-01", periods=4, freq="3h")
+    m = mpd.Series([1.0, 2.0, 3.0, 4.0], index=idx, name="v")
+    p = pd.Series([1.0, 2.0, 3.0, 4.0], index=idx, name="v")
+    eq_series(m.resample("1h").asfreq(), p.resample("1h").asfreq())
+    eq_series(m.resample("1h").nearest(), p.resample("1h").nearest())
+    eq_series(m.resample("2h").size(), p.resample("2h").size())

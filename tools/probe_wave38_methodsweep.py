@@ -362,6 +362,61 @@ GB_ARGS = {
 }
 
 
+
+# ------------------------------------------------- window/resample sweeps
+ROLL_ARGS = {
+    "sum": ((), {}), "mean": ((), {}), "min": ((), {}), "max": ((), {}),
+    "std": ((), {}), "var": ((), {}), "median": ((), {}), "count": ((), {}),
+    "sem": ((), {}), "skew": ((), {}), "kurt": ((), {}),
+    "quantile": ((0.5,), {}), "apply": ((lambda x: x.max() - x.min(),), {}),
+    "rank": ((), {}), "sum_extra": None,
+}
+
+EXP_ARGS = {k: v for k, v in ROLL_ARGS.items() if k not in ("rank",)}
+
+EWM_ARGS = {"mean": ((), {}), "std": ((), {}), "var": ((), {}), "sum": ((), {})}
+
+RES_ARGS = {
+    "sum": ((), {}), "mean": ((), {}), "count": ((), {}), "min": ((), {}),
+    "max": ((), {}), "median": ((), {}), "std": ((), {}), "var": ((), {}),
+    "first": ((), {}), "last": ((), {}), "nunique": ((), {}), "size": ((), {}),
+    "asfreq": ((), {}), "ffill": ((), {}), "bfill": ((), {}),
+    "nearest": ((), {}), "interpolate": ((), {}),
+}
+
+
+def sweep_windowed(kind, args_table, make_obj_p, make_obj_m):
+    diffs, passes, skipped = [], 0, 0
+    for name in sorted(args_table):
+        spec = args_table[name]
+        if spec is None:
+            skipped += 1
+            continue
+        a, k = spec
+        try:
+            exp, exp_exc = getattr(make_obj_p(), name)(*a, **k), None
+        except Exception as e:
+            exp, exp_exc = None, type(e).__name__
+        try:
+            got, got_exc = _norm(getattr(make_obj_m(), name)(*a, **k)), None
+        except Exception as e:
+            got, got_exc = None, type(e).__name__
+        if exp_exc or got_exc:
+            if exp_exc == got_exc:
+                passes += 1
+            else:
+                diffs.append((name, f"exc {exp_exc} vs {got_exc}"))
+            continue
+        if _match(exp, got):
+            passes += 1
+        else:
+            diffs.append((name, f"exp={str(_norm(exp))[:90]!r} got={str(_norm(got))[:90]!r}"))
+    print(f"\n== {kind}: {passes} pass, {len(diffs)} diff, {skipped} skipped ==")
+    for n, d in diffs:
+        print(f"DIFF {kind}.{n}: {d}")
+    return diffs
+
+
 if __name__ == "__main__":
     d1 = sweep("Series", SER_ARGS,
                lambda: pd.Series(**SER_DATA), lambda: mpd.Series(**SER_DATA))
@@ -374,4 +429,16 @@ if __name__ == "__main__":
     d6 = sweep("GroupBy", GB_ARGS,
                lambda: pd.DataFrame(**GB_DF).groupby("k"),
                lambda: mpd.DataFrame(**GB_DF).groupby("k"))
-    print(f"\nTOTAL DIFFS: {len(d1) + len(d2) + len(d3) + len(d4) + len(d5) + len(d6)}")
+    d7 = sweep_windowed("Rolling", ROLL_ARGS,
+        lambda: pd.Series(**TS_SER).rolling(3, min_periods=1),
+        lambda: mpd.Series(**TS_SER).rolling(3, min_periods=1))
+    d8 = sweep_windowed("Expanding", EXP_ARGS,
+        lambda: pd.Series(**TS_SER).expanding(),
+        lambda: mpd.Series(**TS_SER).expanding())
+    d9 = sweep_windowed("EWM", EWM_ARGS,
+        lambda: pd.Series(**TS_SER).ewm(span=3),
+        lambda: mpd.Series(**TS_SER).ewm(span=3))
+    d10 = sweep_windowed("Resampler", RES_ARGS,
+        lambda: pd.Series(**TS_SER).resample("5h"),
+        lambda: mpd.Series(**TS_SER).resample("5h"))
+    print(f"\nTOTAL DIFFS: {len(d1)+len(d2)+len(d3)+len(d4)+len(d5)+len(d6)+len(d7)+len(d8)+len(d9)+len(d10)}")
