@@ -2558,6 +2558,23 @@ class DataFrame:
                 else:
                     exprs.append(F.lit(None))  # pandas: unmatched label -> NaN
             return DataFrame(_frame=fr.project(list(fr.columns), exprs))
+        if isinstance(other, (list, tuple, np.ndarray)) and np.ndim(other) == 1:
+            fr = self._frame
+            vals = [v for v in other]
+            if axis in (0, "index"):
+                # row-aligned sequence: zip by global position, one array
+                # literal lookup per column (operand is driver-provided)
+                pos_fr = fr.with_global_position("__bl__")
+                arr = F.array(*[F.lit(v) for v in vals])
+                be = F.element_at(arr, (F.col("__bl__") + 1).cast("int"))
+                exprs = [op(pos_fr.scol(i), be) for i in range(len(fr.columns))]
+                return DataFrame(_frame=pos_fr.project(list(fr.columns), exprs))
+            if len(vals) != len(fr.columns):
+                raise ValueError(
+                    f"Unable to coerce to Series, length must be "
+                    f"{len(fr.columns)}: given {len(vals)}")
+            exprs = [op(fr.scol(i), F.lit(v)) for i, v in enumerate(vals)]
+            return DataFrame(_frame=fr.project(list(fr.columns), exprs))
         if not isinstance(other, DataFrame):
             # scalar: apply to every numeric column (fill_value fills the
             # frame's missing cells before the op, pandas flex semantics)
@@ -2571,6 +2588,9 @@ class DataFrame:
                 exprs.append(op(la, F.lit(other)))
             return DataFrame(_frame=fr.project(labels, exprs))
         a, b = self._frame, other._frame
+        # pandas frame/frame column alignment: the SORTED union of both
+        # column sets (Index.union), computed once for either lineage branch
+        union_labels = list(a.columns.union(b.columns, sort=None)) if not a.columns.equals(b.columns) else list(a.columns)
         if a.can_rebase(b, set(b.data_cols)):
             pairs = {}
             for j, lbl in enumerate(b.columns):
@@ -2610,6 +2630,10 @@ class DataFrame:
                     F.when(lb.isNotNull(), op(F.lit(fill_value), lb))
                     if fill_value is not None else F.lit(None)
                 )
+            if list(labels) != union_labels:
+                order = {lbl: k for k, lbl in enumerate(labels)}
+                exprs = [exprs[order[lbl]] for lbl in union_labels]
+                labels = union_labels
             return DataFrame(_frame=a.project(labels, exprs))
         # unaligned lineage: join on global position (both sides range-
         # partitioned on order — one co-located shuffle each)
@@ -2617,28 +2641,34 @@ class DataFrame:
         bp = b.with_global_position("__bb__")
         bsel = bp.sdf.select(F.col("__bb__"), *[F.col(p).alias(f"__r_{j}") for j, p in enumerate(bp.data_cols)])
         j = ap.sdf.join(bsel, ap.sdf["__ba__"] == bsel["__bb__"], "full_outer")
+        apos = {}
+        for i, lbl in enumerate(a.columns):
+            apos.setdefault(lbl, i)
         pairs = {}
         for jj, lbl in enumerate(b.columns):
             pairs.setdefault(lbl, jj)
         labels, exprs = [], []
-        for i, lbl in enumerate(a.columns):
+        for lbl in union_labels:
             labels.append(lbl)
-            jj = pairs.get(lbl)
-            if jj is None:
-                la = F.col(ap.data_cols[i])
-                exprs.append(
-                    F.when(la.isNotNull(), op(la, F.lit(fill_value)))
-                    if fill_value is not None else F.lit(None)
+            i, jj = apos.get(lbl), pairs.get(lbl)
+            la = F.col(ap.data_cols[i]) if i is not None else None
+            lb = F.col(f"__r_{jj}") if jj is not None else None
+            if la is None or lb is None:
+                present = la if la is not None else lb
+                swapped = la is None  # other-only column: op(fill, other)
+                if fill_value is not None:
+                    e = F.when(present.isNotNull(),
+                               op(F.lit(fill_value), present) if swapped
+                               else op(present, F.lit(fill_value)))
+                else:
+                    e = F.lit(None)
+            elif fill_value is not None:
+                e = F.when(la.isNull() & lb.isNull(), F.lit(None)).otherwise(
+                    op(F.coalesce(la, F.lit(fill_value)), F.coalesce(lb, F.lit(fill_value)))
                 )
             else:
-                la, lb = F.col(ap.data_cols[i]), F.col(f"__r_{jj}")
-                if fill_value is not None:
-                    e = F.when(la.isNull() & lb.isNull(), F.lit(None)).otherwise(
-                        op(F.coalesce(la, F.lit(fill_value)), F.coalesce(lb, F.lit(fill_value)))
-                    )
-                else:
-                    e = op(la, lb)
-                exprs.append(e)
+                e = op(la, lb)
+            exprs.append(e)
         fr = SparkFrame(j.withColumn(ORDER_COL, F.col("__ba__")), a.columns, ap.data_cols, [], [None])
         return DataFrame(_frame=fr.project(labels, exprs))
 

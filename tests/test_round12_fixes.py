@@ -381,3 +381,20 @@ def test_series_resample_fill_returns_series():
     eq_series(m.resample("1h").asfreq(), p.resample("1h").asfreq())
     eq_series(m.resample("1h").nearest(), p.resample("1h").nearest())
     eq_series(m.resample("2h").size(), p.resample("2h").size())
+
+
+def test_frame_binary_column_union_and_list_operand():
+    a = {"a": [1.0, 2.0], "b": [3.0, 4.0]}
+    b = {"b": [10.0, 20.0], "c": [5.0, 6.0]}
+    m = mpd.DataFrame(a) + mpd.DataFrame(b)
+    p = pd.DataFrame(a) + pd.DataFrame(b)
+    pd.testing.assert_frame_equal(m.to_pandas(), p, check_dtype=False)
+    m2 = mpd.DataFrame(a).add(mpd.DataFrame(b), fill_value=0)
+    p2 = pd.DataFrame(a).add(pd.DataFrame(b), fill_value=0)
+    pd.testing.assert_frame_equal(m2.to_pandas(), p2, check_dtype=False)
+    # list operand: per-column broadcast / row-aligned with axis=0
+    pd.testing.assert_frame_equal((mpd.DataFrame(a) + [10.0, 100.0]).to_pandas(),
+                                  pd.DataFrame(a) + [10.0, 100.0], check_dtype=False)
+    pd.testing.assert_frame_equal(mpd.DataFrame(a).add([10.0, 100.0], axis=0).to_pandas(),
+                                  pd.DataFrame(a).add([10.0, 100.0], axis=0),
+                                  check_dtype=False)

@@ -417,6 +417,72 @@ def sweep_windowed(kind, args_table, make_obj_p, make_obj_m):
     return diffs
 
 
+
+# ------------------------------------------------------ MultiIndex sweeps
+def _mi_df(lib):
+    pdf = pd.DataFrame({
+        "l1": ["a", "a", "b", "b"], "l2": [1, 2, 1, 2],
+        "v": [10.0, 20.0, 30.0, 40.0], "w": [1, 2, 3, 4],
+    })
+    if lib is pd:
+        return pdf.set_index(["l1", "l2"])
+    return lib.DataFrame(pdf).set_index(["l1", "l2"])
+
+
+MI_ARGS = {
+    "reset_index": ((), {}),
+    "reset_index_level": None,
+    "droplevel": (("l1",), {}),
+    "swaplevel": ((), {}),
+    "sort_index": ((), {}),
+    "unstack": ((), {}),
+    "stack": None,
+    "xs": (("a",), {}),
+    "head": ((2,), {}),
+    "sum": ((), {"numeric_only": True}),
+    "rename_axis": None,
+    "to_pandas_roundtrip": None,
+}
+
+
+def sweep_mi():
+    diffs, passes = [], 0
+    for name in sorted(MI_ARGS):
+        spec = MI_ARGS[name]
+        if spec is None:
+            continue
+        a, k = spec
+        try:
+            exp, exp_exc = getattr(_mi_df(pd), name)(*a, **k), None
+        except Exception as e:
+            exp, exp_exc = None, type(e).__name__
+        try:
+            got, got_exc = _norm(getattr(_mi_df(mpd), name)(*a, **k)), None
+        except Exception as e:
+            got, got_exc = None, type(e).__name__
+        if exp_exc or got_exc:
+            ok = exp_exc == got_exc
+        else:
+            ok = _match(exp, got)
+        passes += ok
+        if not ok:
+            diffs.append((name, f"exp={str(_norm(exp))[:110]!r} got={str(_norm(got))[:110]!r} exc={exp_exc}/{got_exc}"))
+    # groupby on a level + agg over the other
+    try:
+        exp = _mi_df(pd).groupby(level="l2")["v"].sum()
+        got = _norm(_mi_df(mpd).groupby(level="l2")["v"].sum())
+        ok = _match(exp, got)
+    except Exception as e:
+        ok, got = False, type(e).__name__
+    passes += ok
+    if not ok:
+        diffs.append(("groupby_level_name", f"{got!r}"))
+    print(f"\n== MultiIndex: {passes} pass, {len(diffs)} diff ==")
+    for n, d in diffs:
+        print(f"DIFF MultiIndex.{n}: {d}")
+    return diffs
+
+
 if __name__ == "__main__":
     d1 = sweep("Series", SER_ARGS,
                lambda: pd.Series(**SER_DATA), lambda: mpd.Series(**SER_DATA))
@@ -441,4 +507,5 @@ if __name__ == "__main__":
     d10 = sweep_windowed("Resampler", RES_ARGS,
         lambda: pd.Series(**TS_SER).resample("5h"),
         lambda: mpd.Series(**TS_SER).resample("5h"))
-    print(f"\nTOTAL DIFFS: {len(d1)+len(d2)+len(d3)+len(d4)+len(d5)+len(d6)+len(d7)+len(d8)+len(d9)+len(d10)}")
+    d11 = sweep_mi()
+    print(f"\nTOTAL DIFFS: {len(d1)+len(d2)+len(d3)+len(d4)+len(d5)+len(d6)+len(d7)+len(d8)+len(d9)+len(d10)+len(d11)}")
