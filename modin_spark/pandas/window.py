@@ -66,6 +66,10 @@ class Rolling:
 
     def _run(self, agg: str, **agg_kwargs):
         out = self._run_impl(agg, **agg_kwargs)
+        if isinstance(self._obj, Series) and isinstance(out, Series):
+            # preserve the source series' name (the 1-col frame round trip
+            # would otherwise surface the positional placeholder label)
+            out._name = self._obj._name
         if self._step and self._step > 1:
             # positional stride over the computed result (original labels kept)
             if isinstance(out, Series):
@@ -91,7 +95,7 @@ class Rolling:
                     self._obj._to_frame(), [0], self._window, self._win_type, agg,
                     center=self._center, **wkw
                 )
-                return Series._from_frame(out)
+                return self._obj._rewrap(out)
             df = self._obj
             out = win.rolling_weighted(
                 df._frame, df._numeric_positions(), self._window, self._win_type, agg,
@@ -133,7 +137,7 @@ class Rolling:
         if isinstance(self._obj, Series):
             out = win.rolling_quantile(self._obj._to_frame(), [0], self._window, q, self._min_periods,
                                        center=self._center)
-            return Series._from_frame(out)
+            return self._obj._rewrap(out)
         df = self._obj
         out = win.rolling_quantile(df._frame, df._numeric_positions(), self._window, q, self._min_periods,
                                    center=self._center)
@@ -145,7 +149,7 @@ class Rolling:
         if isinstance(self._obj, Series):
             out = win.rolling_apply(self._obj._to_frame(), [0], self._window, func, self._min_periods,
                                     center=self._center, raw=raw)
-            return Series._from_frame(out)
+            return self._obj._rewrap(out)
         df = self._obj
         out = win.rolling_apply(df._frame, df._numeric_positions(), self._window, func, self._min_periods,
                                 center=self._center, raw=raw)
@@ -195,7 +199,7 @@ class Expanding:
         if isinstance(self._obj, Series):
             fr = self._obj._to_frame()
             out = win.expanding_agg(fr, [0], agg, self._min_periods)
-            return Series._from_frame(out)
+            return self._obj._rewrap(out)
         df = self._obj
         pos = df._numeric_positions()
         out = win.expanding_agg(df._frame, pos, agg, self._min_periods)
@@ -312,7 +316,7 @@ class EWM:
 
         if isinstance(self._obj, Series):
             out = win.blocked_pandas(self._obj._to_frame(), [0], pd_fn, halo_rows=self._halo)
-            return Series._from_frame(out)
+            return self._obj._rewrap(out)
         df = self._obj
         out = win.blocked_pandas(df._frame, df._numeric_positions(), pd_fn, halo_rows=self._halo)
         return DataFrame(_frame=out)
