@@ -658,9 +658,15 @@ def merge(
 # ---------------------------------------------------------------------------
 
 def concat_rows(frames: list[SparkFrame], join: str = "outer", ignore_index: bool = False) -> SparkFrame:
-    """``pd.concat(axis=0)``. Order contract: frames in sequence."""
-    if join == "outer":
-        out_labels: list = []
+    """``pd.concat(axis=0)``. Order contract: frames in sequence.
+    Identical column SEQUENCES (duplicate labels included) union
+    positionally; otherwise the label union applies."""
+    first_cols = list(frames[0].columns)
+    positional = all(list(fr.columns) == first_cols for fr in frames)
+    if positional:
+        out_labels = first_cols  # duplicates preserved
+    elif join == "outer":
+        out_labels = []
         for fr in frames:
             for lbl in fr.columns:
                 if lbl not in out_labels:
@@ -691,12 +697,18 @@ def concat_rows(frames: list[SparkFrame], join: str = "outer", ignore_index: boo
         for k in range(idx_arity):
             src = fr.index_cols[k] if k < len(fr.index_cols) else None
             sel.append((F.col(src) if src else F.lit(None)).alias(idx_phys[k]))
-        label_map = {}
-        for lbl, p in zip(fr.columns, fr.data_cols):
-            label_map.setdefault(lbl, p)
-        for lbl, p in zip(out_labels, out_phys):
-            src = label_map.get(lbl)
-            sel.append((F.col(src) if src is not None else F.lit(None)).alias(p))
+        if positional:
+            # identical column sequences: map source -> output by POSITION
+            # (label-keying would collapse duplicate labels onto one source)
+            for src, p in zip(fr.data_cols, out_phys):
+                sel.append(F.col(src).alias(p))
+        else:
+            label_map = {}
+            for lbl, p in zip(fr.columns, fr.data_cols):
+                label_map.setdefault(lbl, p)
+            for lbl, p in zip(out_labels, out_phys):
+                src = label_map.get(lbl)
+                sel.append((F.col(src) if src is not None else F.lit(None)).alias(p))
         parts.append(fr.sdf.select(*sel))
 
     sdf = parts[0]

@@ -2173,9 +2173,12 @@ class DataFrame:
         fr = self._frame.ensure_order()
         id_vars = id_vars if isinstance(id_vars, list) else ([id_vars] if id_vars else [])
         if value_vars is None:
-            value_vars = [c for c in fr.columns if c not in set(id_vars)]
+            # positional, not label-keyed: duplicate column labels each melt
+            val_pos = [i for i, c in enumerate(fr.columns) if c not in set(id_vars)]
+            value_vars = [fr.columns[i] for i in val_pos]
+        else:
+            val_pos = fr.positions_of(value_vars)
         id_phys = [fr.data_cols[i] for i in fr.positions_of(id_vars)] if id_vars else []
-        val_pos = fr.positions_of(value_vars)
         val_phys = [fr.data_cols[i] for i in val_pos]
         sdf0 = fr.sdf
         # mixed value-column types: all-numeric mixes widen to double

@@ -398,3 +398,16 @@ def test_frame_binary_column_union_and_list_operand():
     pd.testing.assert_frame_equal(mpd.DataFrame(a).add([10.0, 100.0], axis=0).to_pandas(),
                                   pd.DataFrame(a).add([10.0, 100.0], axis=0),
                                   check_dtype=False)
+
+
+def test_duplicate_column_labels_concat_melt():
+    def mk(lib):
+        d = lib.DataFrame({"a": [1, 2], "b": [3, 4], "c": [5, 6]})
+        d.columns = ["x", "x", "y"]
+        return d
+
+    e = pd.concat([mk(pd), mk(pd)], ignore_index=True)
+    g = mpd.concat([mk(mpd), mk(mpd)], ignore_index=True).to_pandas()
+    pd.testing.assert_frame_equal(g, e, check_dtype=False)
+    pd.testing.assert_frame_equal(mk(mpd).melt().to_pandas(), mk(pd).melt(),
+                                  check_dtype=False)
