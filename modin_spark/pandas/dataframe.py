@@ -236,6 +236,13 @@ class DataFrame:
             return DataFrame(_frame=fr.select_positions(positions))
         return self._series_at(positions[0])
 
+    def __delitem__(self, key):
+        # pandas `del df[col]`: drop in place (KeyError on a missing label)
+        if key not in set(self._frame.columns):
+            raise KeyError(key)
+        keep = [i for i, c in enumerate(self._frame.columns) if c != key]
+        self._frame = self._frame.select_positions(keep)
+
     def __setitem__(self, key, value):
         fr = self._frame
         # categorical VALUES: the category SET rides on the wrapper (Spark

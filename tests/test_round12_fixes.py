@@ -411,3 +411,11 @@ def test_duplicate_column_labels_concat_melt():
     pd.testing.assert_frame_equal(g, e, check_dtype=False)
     pd.testing.assert_frame_equal(mk(mpd).melt().to_pandas(), mk(pd).melt(),
                                   check_dtype=False)
+
+
+def test_delitem():
+    d = mpd.DataFrame({"a": [1.0], "b": [2.0]})
+    del d["a"]
+    assert list(d.columns) == ["b"]
+    with pytest.raises(KeyError):
+        del d["zz"]
