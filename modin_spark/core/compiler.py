@@ -482,6 +482,15 @@ def merge(
         left = _with_positional_index(left)
     if right_index and not right.index_cols:
         right = _with_positional_index(right)
+    # pandas: a one-sided index merge KEEPS the other side's index on the
+    # result (left's for right_index joins that preserve left rows, and
+    # vice versa) — materialize a default index so it can ride through
+    keep_left_idx = right_index and not left_index and how in ("inner", "left", "left_outer")
+    keep_right_idx = left_index and not right_index and how in ("inner", "right", "right_outer")
+    if keep_left_idx and not left.index_cols:
+        left = _with_positional_index(left)
+    if keep_right_idx and not right.index_cols:
+        right = _with_positional_index(right)
     lkeys = [left.index_cols[i] for i in range(len(left.index_cols))] if left_index else [
         left.data_cols[i] for i in (left_on or [])
     ]
@@ -632,6 +641,12 @@ def merge(
     if left_index and right_index:
         # index-aligned join keeps the (coalesced) index
         out = SparkFrame(joined, pd.Index(out_labels), out_phys, lkeys, list(left.index_names))
+    elif keep_left_idx and left.index_cols:
+        out = SparkFrame(joined, pd.Index(out_labels), out_phys,
+                         list(left.index_cols), list(left.index_names))
+    elif keep_right_idx and right.index_cols:
+        out = SparkFrame(joined, pd.Index(out_labels), out_phys,
+                         [r_map[c] for c in right.index_cols], list(right.index_names))
     else:
         out = SparkFrame(joined, pd.Index(out_labels), out_phys, [], [None])
     # propagate null-freeness through the join (merge chains then keep the

@@ -419,3 +419,17 @@ def test_delitem():
     assert list(d.columns) == ["b"]
     with pytest.raises(KeyError):
         del d["zz"]
+
+
+def test_one_sided_index_merge_keeps_other_index():
+    L = {"k": [1, 2, 3], "v": [10.0, 20.0, 30.0]}
+    e = pd.DataFrame(L).merge(pd.DataFrame({"w": [100.0]}, index=[2]),
+                              left_on="k", right_index=True)
+    g = mpd.DataFrame(L).merge(mpd.DataFrame({"w": [100.0]}, index=[2]),
+                               left_on="k", right_index=True).to_pandas()
+    pd.testing.assert_frame_equal(g, e, check_dtype=False)
+    e2 = pd.DataFrame({"v": [1.0]}, index=[5]).merge(
+        pd.DataFrame({"k": [5, 6], "w": [9.0, 8.0]}), left_index=True, right_on="k")
+    g2 = mpd.DataFrame({"v": [1.0]}, index=[5]).merge(
+        mpd.DataFrame({"k": [5, 6], "w": [9.0, 8.0]}), left_index=True, right_on="k").to_pandas()
+    pd.testing.assert_frame_equal(g2, e2, check_dtype=False)
