@@ -754,6 +754,8 @@ class Series:
         return Series(target, F.when(ce, le).otherwise(oe), refs, self._name)
 
     def mask(self, cond: "Series", other=None) -> "Series":
+        if callable(cond) and not isinstance(cond, Series):
+            cond = cond(self)
         inv = Series(cond._frame, ~F.coalesce(cond._expr, F.lit(False)), cond._refs, cond._name)
         return self.where(inv, other)
 
@@ -1148,9 +1150,9 @@ class Series:
             # pandas bins=: counts of fixed-width intervals — cut() stays a
             # JVM when-chain; the k-row result is reindexed driver-side so
             # EMPTY bins appear with count 0 (pandas semantics)
-            from modin_spark.pandas.general import cut
+            from modin_spark.pandas.general import _infer_precision, _round_frac, cut
 
-            binned = cut(self, bins)
+            binned = cut(self, bins, include_lowest=True)
             vc = binned.rename(self._name).value_counts(
                 normalize=normalize, sort=False, dropna=dropna).to_pandas()
             if isinstance(bins, int):
@@ -1160,12 +1162,20 @@ class Series:
                 edges[0] = mn - (mx - mn) * 0.001
             else:
                 edges = list(bins)
-            all_labels = [f"({edges[i]}, {edges[i+1]}]" for i in range(len(edges) - 1)]
+            # the displayed labels are cut()'s: rounded to the inferred
+            # precision, first edge widened by 10^-precision (include_lowest)
+            prec = _infer_precision(3, edges)
+            disp = [_round_frac(e, prec) for e in edges]
+            disp[0] = disp[0] - 10 ** (-prec)
+            all_labels = [f"({disp[i]}, {disp[i+1]}]" for i in range(len(edges) - 1)]
             vc = vc.reindex(all_labels, fill_value=0)
             if sort:
                 vc = vc.sort_values(ascending=ascending, kind="stable")
+            vc.index.name = None
             out = Series._from_pandas(vc)
-            out._name = self._name
+            # pandas 2.x: value_counts is named 'count' ('proportion' when
+            # normalized), the interval index is unnamed
+            out._name = "proportion" if normalize else "count"
             return out
         fr = self._to_frame(self._name if self._name is not None else "__v__")
         spec = [("count", None, "size", {})]

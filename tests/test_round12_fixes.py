@@ -433,3 +433,13 @@ def test_one_sided_index_merge_keeps_other_index():
     g2 = mpd.DataFrame({"v": [1.0]}, index=[5]).merge(
         mpd.DataFrame({"k": [5, 6], "w": [9.0, 8.0]}), left_index=True, right_on="k").to_pandas()
     pd.testing.assert_frame_equal(g2, e2, check_dtype=False)
+
+
+def test_value_counts_bins_and_mask_callable():
+    s = mpd.Series([3.0, 1.0, np.nan, 2.0, 1.0], name="v")
+    p = pd.Series([3.0, 1.0, np.nan, 2.0, 1.0], name="v")
+    g, e = s.value_counts(bins=2).to_pandas(), p.value_counts(bins=2)
+    assert g.name == e.name == "count"
+    assert [str(x) for x in g.index] == [str(x) for x in e.index]
+    assert g.tolist() == e.tolist()
+    eq_series(s.mask(lambda x: x > 2, -1.0), p.mask(lambda x: x > 2, -1.0))
