@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -303,20 +304,40 @@ def groupby_agg_udf(
     return SparkFrame(agged, _keys_plus_labels(key_labels, labels), key_phys + out_phys, [], [None])
 
 
-def groupby_apply(frame: SparkFrame, by_positions: Sequence[int], func, schema_sample_rows: int = 100) -> SparkFrame:
+def groupby_apply(frame: SparkFrame, by_positions: Sequence[int], func,
+                  schema_sample_rows: int = 100, group_keys: bool = True,
+                  kind_out: list | None = None) -> SparkFrame:
     """``groupby.apply(func)`` — arbitrary pandas-DataFrame-in/out per group via
     ``applyInPandas``. Output schema is inferred by running ``func`` on one
     sampled group on the driver (the reference instead runs everywhere and
     re-aligns columns after the fact,
     /root/reference/modin/core/dataframe/pandas/dataframe/dataframe.py:4386).
-    """
+
+    pandas fidelity: ``func`` sees the group slice with its ORIGINAL row
+    labels in frame order; a DataFrame result concatenates keyed by group
+    (MultiIndex ``(keys..., inner index)``), Series/scalar results stay
+    keys-only.  ``group_keys=False`` drops the key levels and restores the
+    original row order for rows whose labels came from the input."""
+    frame = frame.ensure_order()
     key_phys = [frame.data_cols[i] for i in by_positions]
     key_labels = [frame.columns[i] for i in by_positions]
     data_phys = frame.data_cols
     labels = list(frame.columns)
+    # a global position for in-task ordering (funcs see rows in FRAME order,
+    # which after a sort differs from label order) + the original labels
+    # (positional pandas labels when the index is default)
+    pos_phys, lbl_phys = fresh_names(2)
+    base = frame.with_global_position(pos_phys)
+    if frame.index_cols:
+        idx_phys = list(frame.index_cols)
+        idx_names = list(frame.index_names)
+    else:
+        base = base.with_pandas_labels(lbl_phys)
+        idx_phys = [lbl_phys]
+        idx_names = [None]
 
     # sample one group to infer the output schema
-    one_key = frame.sdf.select(*key_phys).where(
+    one_key = base.sdf.select(*key_phys).where(
         F.struct(*key_phys).isNotNull()
     ).limit(1).collect()
     if not one_key:
@@ -326,12 +347,21 @@ def groupby_apply(frame: SparkFrame, by_positions: Sequence[int], func, schema_s
     for k in key_phys:
         c = F.col(k) == F.lit(row[k])
         cond = c if cond is None else (cond & c)
-    sample_pdf = frame.sdf.where(cond).limit(schema_sample_rows).toPandas()
+    sample_pdf = base.sdf.where(cond).limit(schema_sample_rows).toPandas()
 
-    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+    def _named(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(pos_phys)
         named = pdf[data_phys].copy()
         named.columns = labels
-        res = func(named)
+        if len(idx_phys) == 1:
+            named.index = pd.Index(pdf[idx_phys[0]].to_numpy(), name=idx_names[0])
+        else:
+            named.index = pd.MultiIndex.from_arrays(
+                [pdf[c].to_numpy() for c in idx_phys], names=idx_names)
+        return named
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        res = func(_named(pdf))
         if isinstance(res, pd.Series):
             res = res.to_frame().T
         elif not isinstance(res, pd.DataFrame):
@@ -339,28 +369,75 @@ def groupby_apply(frame: SparkFrame, by_positions: Sequence[int], func, schema_s
             res = pd.DataFrame({0: [res]})
         return res
 
+    raw_sample = func(_named(sample_pdf))
+    with_inner = isinstance(raw_sample, pd.DataFrame)
+    if kind_out is not None:
+        kind_out.append("frame" if with_inner
+                        else "series" if isinstance(raw_sample, pd.Series)
+                        else "scalar")
     sample_out = run(sample_pdf)
     out_labels = list(sample_out.columns)
     out_phys = fresh_names(len(out_labels))
+    n_inner = sample_out.index.nlevels if with_inner else 0
+    inner_names = list(sample_out.index.names) if with_inner else []
+    inner_phys = fresh_names(n_inner) if n_inner else []
+    seq_phys, ord_phys = fresh_names(2)
 
     from modin_spark.core.frame import pandas_dtype_to_spark
     from pyspark.sql import types as T
 
     fields = [T.StructField(k, frame.schema_map[k]) for k in key_phys]
+    for k in range(n_inner):
+        fields.append(T.StructField(
+            inner_phys[k],
+            pandas_dtype_to_spark(sample_out.index.get_level_values(k).dtype)))
+    fields.append(T.StructField(seq_phys, T.LongType()))
+    fields.append(T.StructField(ord_phys, T.LongType()))
     for lbl, p in zip(out_labels, out_phys):
         fields.append(T.StructField(p, pandas_dtype_to_spark(sample_out[lbl].dtype)))
     out_schema = T.StructType(fields)
 
     def apply_fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        res = run(pdf).reset_index(drop=True)
-        res.columns = out_phys
+        pdf = pdf.sort_values(pos_phys)
+        res = run(pdf)
+        out = res.reset_index(drop=True)
+        out.columns = out_phys
+        for k in range(n_inner):
+            out[inner_phys[k]] = res.index.get_level_values(k).to_numpy()
+        out[seq_phys] = np.arange(len(out), dtype="int64")
+        # original position of each result row whose label came from the
+        # input slice (group_keys=False order restoration; NaN when the
+        # func invented labels)
+        if len(idx_phys) == 1:
+            in_labels = pdf[idx_phys[0]].to_numpy()
+        else:
+            in_labels = list(zip(*[pdf[c].to_numpy() for c in idx_phys]))
+        pos_map = {}
+        for lbl, p in zip(in_labels, pdf[pos_phys].to_numpy()):
+            pos_map.setdefault(lbl, int(p))
+        out[ord_phys] = pd.array(
+            [pos_map.get(lbl) for lbl in res.index.to_numpy()], dtype="Int64")
         for k, v in zip(key_phys, key):
-            res[k] = v
-        return res[[*key_phys, *out_phys]]
+            out[k] = v
+        return out[[*key_phys, *inner_phys, seq_phys, ord_phys, *out_phys]]
 
-    agged = frame.sdf.groupBy(*key_phys).applyInPandas(apply_fn, out_schema)
-    agged = agged.withColumn(ORDER_COL, F.struct(*[F.col(k) for k in key_phys]))
-    return SparkFrame(agged, pd.Index(out_labels), out_phys, key_phys, list(key_labels))
+    agged = base.sdf.groupBy(*key_phys).applyInPandas(apply_fn, out_schema)
+    if group_keys:
+        agged = agged.withColumn(
+            ORDER_COL, F.struct(*[F.col(k) for k in key_phys], F.col(seq_phys))
+        ).drop(seq_phys, ord_phys)
+        return SparkFrame(agged, pd.Index(out_labels), out_phys,
+                          key_phys + inner_phys, list(key_labels) + inner_names)
+    # group_keys=False: no key levels; rows whose labels came from the input
+    # return to their original positions, invented labels sort group-major
+    agged = agged.withColumn(
+        ORDER_COL,
+        F.struct(F.coalesce(F.col(ord_phys), F.lit(2**62)),
+                 *[F.col(k) for k in key_phys], F.col(seq_phys)),
+    ).drop(seq_phys, ord_phys)
+    idx_out = inner_phys if with_inner else list(key_phys)
+    nm_out = inner_names if with_inner else list(key_labels)
+    return SparkFrame(agged, pd.Index(out_labels), out_phys, idx_out, nm_out)
 
 
 # ---------------------------------------------------------------------------

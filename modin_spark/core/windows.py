@@ -740,6 +740,250 @@ def rolling_pair(
     return _drop_aux(out)
 
 
+def expanding_pairwise(frame: SparkFrame, positions: Sequence[int], stat: str,
+                       min_periods: int = 1) -> SparkFrame:
+    """``df.expanding().corr()`` / ``.cov()`` pairwise — the full k×k matrix
+    per row.  corr/cov are algebraic, so all k(k+1)/2 distinct pairs ride
+    ONE two-pass block+carry pipeline (6 carried sums per pair over
+    pairwise-complete rows, same scheme as expanding_pair), then posexplode
+    lays the matrix out in pandas' (row, column) block order."""
+    fr0 = frame.ensure_order()
+    phys = [fr0.data_cols[i] for i in positions]
+    labels = [fr0.columns[i] for i in positions]
+    fr = _with_blocks(fr0)
+    w_in = Window.partitionBy(_BLK).orderBy(_POS).rowsBetween(Window.unboundedPreceding, 0)
+    w_carry = Window.orderBy(_BLK).rowsBetween(Window.unboundedPreceding, -1)
+    pairs = [(i, j) for i in range(len(phys)) for j in range(i, len(phys))]
+    terms = {}
+    for i, j in pairs:
+        x, y = F.col(phys[i]).cast("double"), F.col(phys[j]).cast("double")
+        both = x.isNotNull() & y.isNotNull()
+        terms[f"n_{i}_{j}"] = F.when(both, F.lit(1)).cast("long")
+        terms[f"sx_{i}_{j}"] = F.when(both, x)
+        terms[f"sy_{i}_{j}"] = F.when(both, y)
+        terms[f"sxy_{i}_{j}"] = F.when(both, x * y)
+        terms[f"sxx_{i}_{j}"] = F.when(both, x * x)
+        terms[f"syy_{i}_{j}"] = F.when(both, y * y)
+    sdf = fr.sdf
+    within = {k: F.sum(v).over(w_in) for k, v in terms.items()}
+    tot = sdf.groupBy(_BLK).agg(*[F.sum(v).alias(f"__t_{k}") for k, v in terms.items()])
+    carry = tot.select(
+        F.col(_BLK).alias("__blk2__"),
+        *[F.coalesce(F.sum(F.col(f"__t_{k}")).over(w_carry), F.lit(0)).alias(f"__c_{k}")
+          for k in terms],
+    )
+    sdf = sdf.join(F.broadcast(carry), sdf[_BLK] == carry["__blk2__"], "left").drop("__blk2__")
+    cells = {}
+    for i, j in pairs:
+        g = {t: (F.coalesce(within[f"{t}_{i}_{j}"], F.lit(0))
+                 + F.coalesce(F.col(f"__c_{t}_{i}_{j}"), F.lit(0)))
+             for t in ("n", "sx", "sy", "sxy", "sxx", "syy")}
+        n = g["n"]
+        cov = (g["sxy"] - g["sx"] * g["sy"] / n) / (n - 1)
+        if stat == "cov":
+            e = cov
+        else:
+            sdx = F.sqrt((g["sxx"] - g["sx"] * g["sx"] / n) / (n - 1))
+            sdy = F.sqrt((g["syy"] - g["sy"] * g["sy"] / n) / (n - 1))
+            e = cov / (sdx * sdy)
+        e = F.when(n >= F.greatest(F.lit(min_periods), F.lit(2)), e)
+        nm = f"__pw_{i}_{j}__"
+        sdf = sdf.withColumn(nm, e)
+        cells[(i, j)] = nm
+        cells[(j, i)] = nm  # corr and cov are both symmetric
+    lvl = fresh_names(1)[0]
+    out_phys = fresh_names(len(phys))
+    structs = [
+        F.struct(
+            F.lit(str(labels[i])).alias("__lvl__"),
+            *[F.col(cells[(i, j)]).alias(f"__v_{j}__") for j in range(len(phys))],
+        )
+        for i in range(len(phys))
+    ]
+    idx_cols = list(fr0.index_cols) if fr0.index_cols else [_POS]
+    idx_names = list(fr0.index_names) if fr0.index_cols else [None]
+    sdf = sdf.select(
+        *idx_cols, ORDER_COL,
+        F.posexplode(F.array(*structs)).alias("__pwi__", "__pw__"),
+    )
+    sdf = sdf.select(
+        *idx_cols,
+        F.struct(F.col(ORDER_COL), F.col("__pwi__")).alias(ORDER_COL),
+        F.col("__pw__.__lvl__").alias(lvl),
+        *[F.col(f"__pw__.__v_{j}__").alias(op_) for j, op_ in enumerate(out_phys)],
+    )
+    return SparkFrame(sdf, pd.Index(labels), out_phys, idx_cols + [lvl],
+                      idx_names + [None], has_order=True)
+
+
+def rolling_pair_frame(frame: SparkFrame, positions: Sequence[int], py: str, window: int,
+                       stat: str, min_periods=None, center: bool = False) -> SparkFrame:
+    """``df.rolling(w).corr(series)`` — each selected column paired against
+    ONE other physical column, all k F.corr/covar_samp window aggregates in
+    a single block+halo pass (pairwise-complete, pandas semantics)."""
+    if min_periods is None:
+        min_periods = window
+    fr = _with_blocks(frame)
+    back, fwd = _center_extents(window, center)
+    sdf = _halo_union(fr.sdf, back, fwd)
+    w = Window.partitionBy(_BLK).orderBy(_POS).rowsBetween(-back, fwd)
+    fn = F.covar_samp if stat == "cov" else F.corr
+    phys = [frame.data_cols[i] for i in positions]
+    labels = [frame.columns[i] for i in positions]
+    out_phys = fresh_names(len(phys))
+    y = F.col(py).cast("double")
+    for p, op_ in zip(phys, out_phys):
+        x = F.col(p).cast("double")
+        both = x.isNotNull() & y.isNotNull()
+        n_pair = F.sum(F.when(both, F.lit(1)).otherwise(F.lit(0))).over(w)
+        val = fn(F.when(both, x), F.when(both, y)).over(w)
+        sdf = sdf.withColumn(op_, F.when(n_pair >= min_periods, val))
+    sdf = sdf.where(F.col("__halo__") == 0).drop("__halo__")
+    out = fr._same_rows(sdf).project(labels, [F.col(op_) for op_ in out_phys])
+    return _drop_aux(out)
+
+
+def rolling_pairwise(frame: SparkFrame, positions: Sequence[int], window: int, stat: str,
+                     min_periods=None, center: bool = False) -> SparkFrame:
+    """``df.rolling(w).corr()`` / ``.cov()`` pairwise — the full k×k matrix
+    per row.  All k² F.corr/covar_samp window aggregates run in ONE
+    block+halo pass, then posexplode lays the matrix out as pandas does: k
+    output rows per input row, indexed by (original label, column label).
+    Non-string column labels stringify into the new index level (documented
+    typed-column contract, same class as the reindex fill_value divergence)."""
+    if min_periods is None:
+        min_periods = window
+    fr0 = frame.ensure_order()
+    phys = [fr0.data_cols[i] for i in positions]
+    labels = [fr0.columns[i] for i in positions]
+    fr = _with_blocks(fr0)
+    back, fwd = _center_extents(window, center)
+    sdf = _halo_union(fr.sdf, back, fwd)
+    w = Window.partitionBy(_BLK).orderBy(_POS).rowsBetween(-back, fwd)
+    fn = F.covar_samp if stat == "cov" else F.corr
+    cell = {}
+    for i, pi in enumerate(phys):
+        for j, pj in enumerate(phys):
+            if stat == "cov" and j < i:
+                continue  # symmetric: reuse the upper triangle
+            x, y = F.col(pi).cast("double"), F.col(pj).cast("double")
+            both = x.isNotNull() & y.isNotNull()
+            n_pair = F.sum(F.when(both, F.lit(1)).otherwise(F.lit(0))).over(w)
+            val = fn(F.when(both, x), F.when(both, y)).over(w)
+            nm = f"__pw_{i}_{j}__"
+            sdf = sdf.withColumn(nm, F.when(n_pair >= min_periods, val))
+            cell[(i, j)] = nm
+            if stat == "cov":
+                cell[(j, i)] = nm
+    sdf = sdf.where(F.col("__halo__") == 0).drop("__halo__")
+    lvl = fresh_names(1)[0]
+    out_phys = fresh_names(len(phys))
+    structs = [
+        F.struct(
+            F.lit(str(labels[i])).alias("__lvl__"),
+            *[F.col(cell[(i, j)]).alias(f"__v_{j}__") for j in range(len(phys))],
+        )
+        for i in range(len(phys))
+    ]
+    # one output row per (input row, source column i); _POS doubles as the
+    # original positional label when the frame has a default index
+    idx_cols = list(fr0.index_cols) if fr0.index_cols else [_POS]
+    idx_names = list(fr0.index_names) if fr0.index_cols else [None]
+    sdf = sdf.select(
+        *idx_cols, ORDER_COL,
+        F.posexplode(F.array(*structs)).alias("__pwi__", "__pw__"),
+    )
+    sdf = sdf.select(
+        *idx_cols,
+        F.struct(F.col(ORDER_COL), F.col("__pwi__")).alias(ORDER_COL),
+        F.col("__pw__.__lvl__").alias(lvl),
+        *[F.col(f"__pw__.__v_{j}__").alias(op_) for j, op_ in enumerate(out_phys)],
+    )
+    return SparkFrame(sdf, pd.Index(labels), out_phys, idx_cols + [lvl],
+                      idx_names + [None], has_order=True)
+
+
+def grouped_pandas_transform(frame: SparkFrame, positions: Sequence[int],
+                             group_phys: Sequence[str], pd_fn) -> SparkFrame:
+    """Length-preserving per-group pandas transform (``groupby().ewm()``,
+    ``groupby().rolling().apply()``): the group keys already partition the
+    work, so each group runs exact pandas inside ONE applyInPandas task
+    (same groups-fit-in-a-task contract as groupby.apply).  Rows sort by
+    frame order inside the task and the result rejoins on position, so
+    labels and order survive (same scheme as blocked_pandas)."""
+    from pyspark.sql import types as T
+
+    frame2 = frame.ensure_order()
+    phys = [frame2.data_cols[i] for i in positions]
+    fr = _with_blocks(frame2)
+    labels = [frame2.columns[i] for i in positions]
+    sel = list(dict.fromkeys([_POS, *group_phys, *phys]))
+    narrow = fr.sdf.select(*sel)
+    out_names = fresh_names(len(phys))
+    schema = T.StructType(
+        [T.StructField(_POS, T.LongType())]
+        + [T.StructField(o, T.DoubleType()) for o in out_names]
+    )
+
+    def apply_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(_POS)
+        sub = pdf[phys].astype("float64")
+        sub.columns = range(len(phys))  # positional: labels may collide/be tuples
+        res = pd_fn(sub)
+        out = {_POS: pdf[_POS].to_numpy()}
+        for j, o in enumerate(out_names):
+            out[o] = res.iloc[:, j].to_numpy(dtype="float64")
+        return pd.DataFrame(out)
+
+    res = narrow.groupBy(*[F.col(k) for k in group_phys]).applyInPandas(apply_fn, schema)
+    res = res.select(F.col(_POS).alias("__pos_r__"), *[F.col(o) for o in out_names])
+    joined = fr.sdf.join(res, fr.sdf[_POS] == res["__pos_r__"], "left").drop("__pos_r__")
+    out = fr._same_rows(joined).project(labels, [F.col(o) for o in out_names])
+    return _drop_aux(out)
+
+
+def blocked_pandas_pair(frame: SparkFrame, px: str, py: str, pd_fn2,
+                        halo_rows: int | None, out_label="0") -> SparkFrame:
+    """Two-column blocked pandas (``ewm().corr/cov(other)``, time-decayed
+    ``ewm(times=)``): the same block+halo scheme as blocked_pandas, with
+    ``pd_fn2(sx, sy) -> Series`` computed over both columns together.
+    ``halo_rows=None`` gives each block the ENTIRE prefix (exact
+    non-row-bounded context — same documented slow path as blocked_pandas)."""
+    from pyspark.sql import types as T
+
+    fr = _with_blocks(frame.ensure_order())
+    narrow = fr.sdf.select(_POS, _BLK, px, py)
+    if halo_rows is None:
+        maxblk = narrow.agg(F.max(F.col(_BLK)).alias("m")).collect()[0].m or 0
+        halo = narrow.where(F.col(_BLK) < maxblk).withColumn(
+            _BLK, F.explode(F.sequence(F.col(_BLK) + 1, F.lit(maxblk)))
+        )
+    else:
+        lo_blk = F.col(_BLK) + 1
+        hi_blk = ((F.col(_POS) + F.lit(halo_rows)) / F.lit(BLOCK)).cast("long")
+        halo = narrow.where(hi_blk >= lo_blk).withColumn(
+            _BLK, F.explode(F.sequence(lo_blk, hi_blk))
+        )
+    u = narrow.withColumn("__halo__", F.lit(0)).unionByName(
+        halo.withColumn("__halo__", F.lit(1))
+    )
+    o = fresh_names(1)[0]
+    schema = T.StructType([T.StructField(_POS, T.LongType()), T.StructField(o, T.DoubleType())])
+
+    def apply_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(_POS)
+        keep = (pdf["__halo__"] == 0).to_numpy()
+        r = pd_fn2(pdf[px].astype("float64"), pdf[py].astype("float64"))
+        return pd.DataFrame({_POS: pdf[_POS].to_numpy()[keep],
+                             o: r.to_numpy(dtype="float64")[keep]})
+
+    res = u.groupBy(_BLK).applyInPandas(apply_fn, schema)
+    res = res.select(F.col(_POS).alias("__pos_r__"), F.col(o))
+    joined = fr.sdf.join(res, fr.sdf[_POS] == res["__pos_r__"], "left").drop("__pos_r__")
+    out = fr._same_rows(joined).project([out_label], [F.col(o)])
+    return _drop_aux(out)
+
+
 def blocked_pandas(frame: SparkFrame, positions: Sequence[int], pd_fn, halo_rows: int | None,
                    fwd_halo_rows: int = 0):
     """Run a pandas Series->Series positional function per block with enough

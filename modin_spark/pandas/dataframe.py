@@ -145,6 +145,9 @@ class DataFrame:
         ext = getattr(self, "_to_pandas_ext_dtypes", None)
         if ext:
             pdf = pdf.astype({c: t for c, t in ext.items() if c in pdf.columns})
+        pidx = getattr(self, "_post_to_pandas_index", None)
+        if pidx is not None:
+            pdf.index = pidx(pdf.index)
         return pdf
 
     def to_spark(self, include_index: bool = False, ordered: bool = True):
@@ -1110,7 +1113,10 @@ class DataFrame:
                 eq = e == F.lit(bound[c])
                 prev_eq = eq if prev_eq is None else (prev_eq & eq)
             cond = cond | prev_eq  # strictly-better on some prefix, or ties the boundary
-            return DataFrame(_frame=fr.filter(cond))
+            # pandas orders the result by the key columns (ties keep frame order)
+            kept = fr.filter(cond)
+            kexprs = [kept.scol(i) for i in kept.positions_of(cols)]
+            return DataFrame(_frame=kept.sort_by(kexprs, asc))
         if keep == "last":
             fr = fr.ensure_order()
             exprs = exprs + [F.col(ORDER_COL)]
@@ -1152,6 +1158,40 @@ class DataFrame:
     # ---------------------------------------------------------------- index
     def set_index(self, keys, drop=True, append=False) -> "DataFrame":
         keys = keys if isinstance(keys, list) else [keys]
+        arrayish = tuple(
+            i for i, k in enumerate(keys)
+            if isinstance(k, (pd.Index, pd.Series, np.ndarray, Series))
+        )
+        if arrayish:
+            # pandas: array-like keys become index LEVELS by position — attach
+            # each as a temp column (positional list assignment), set, rename
+            if not drop and any(not isinstance(keys[i], (pd.Index, pd.Series, np.ndarray, Series))
+                                for i in range(len(keys))):
+                raise NotImplementedError("set_index(drop=False) with mixed array keys")
+            _keep = object()  # label keys keep the name set_index gave them
+            expanded = []  # (label to pass to set_index, level name or _keep)
+            df2 = self.copy()
+            for i, k in enumerate(keys):
+                if isinstance(k, pd.MultiIndex):
+                    for lv in range(k.nlevels):
+                        t = f"__si_{i}_{lv}__"
+                        df2[t] = list(k.get_level_values(lv))
+                        expanded.append((t, k.names[lv]))
+                elif i in arrayish:
+                    t = f"__si_{i}__"
+                    vals = k.to_pandas() if isinstance(k, Series) else k
+                    df2[t] = list(np.asarray(vals))
+                    expanded.append((t, getattr(k, "name", None)))
+                else:
+                    expanded.append((k, _keep))
+            out = df2.set_index([lbl for lbl, _ in expanded], drop=True, append=append)
+            ofr = out._frame
+            names = list(ofr.index_names)
+            off = len(names) - len(expanded)
+            for j, (_, nm) in enumerate(expanded):
+                if nm is not _keep:
+                    names[off + j] = nm
+            return DataFrame(_frame=ofr._same_rows(ofr.sdf, index_names=names))
         fr = self._frame
         if append and not fr.index_cols:
             # pandas: appending to a DEFAULT index keeps the positional
@@ -1258,7 +1298,8 @@ class DataFrame:
                 target = DataFrame(_frame=fr.with_columns([g.key], [bucket]))
                 keys.append(g.key)
             return DataFrameGroupBy(target, keys if isinstance(by, (list, tuple)) else keys[0],
-                                    as_index=as_index, dropna=dropna, sort=sort)
+                                    as_index=as_index, dropna=dropna, sort=sort,
+                                    group_keys=group_keys)
         if by is None:
             if level is None:
                 raise TypeError("groupby requires by or level")
@@ -1281,7 +1322,8 @@ class DataFrame:
             keep = [i for i in range(n_surfaced) if rfr.columns[i] in set(labels)]
             keep += list(range(n_surfaced, len(rfr.data_cols)))
             reset = DataFrame(_frame=rfr.select_positions(keep))
-            g = DataFrameGroupBy(reset, labels, as_index=as_index, dropna=dropna, sort=sort)
+            g = DataFrameGroupBy(reset, labels, as_index=as_index, dropna=dropna, sort=sort,
+                                 group_keys=group_keys)
             # UNNAMED levels surfaced as 'index'/'level_i' placeholders:
             # results map those index names back to None (pandas keeps None)
             name_map = {lbl: None for lbl, lv in zip(labels, levels)
@@ -1292,7 +1334,7 @@ class DataFrame:
 
                 return _GroupByResultProxy(g, name_map)
             return g
-        return DataFrameGroupBy(self, by, as_index=as_index, dropna=dropna, sort=sort,
+        return DataFrameGroupBy(self, by, as_index=as_index, dropna=dropna, sort=sort, group_keys=group_keys,
                                 observed=observed)
 
     def _validate_merge(self, right, validate, on, left_on, right_on, left_index, right_index):
@@ -2153,11 +2195,12 @@ class DataFrame:
 
         return Rolling(self, window, min_periods, win_type=win_type, center=center, closed=closed, **win_kwargs)
 
-    def ewm(self, com=None, span=None, halflife=None, alpha=None, adjust=True, min_periods=0):
+    def ewm(self, com=None, span=None, halflife=None, alpha=None, adjust=True, min_periods=0,
+            times=None):
         from modin_spark.pandas.window import EWM
 
         return EWM(self, com=com, span=span, halflife=halflife, alpha=alpha,
-                   adjust=adjust, min_periods=min_periods)
+                   adjust=adjust, min_periods=min_periods, times=times)
 
     def expanding(self, min_periods: int = 1):
         from modin_spark.pandas.window import Expanding
@@ -4416,9 +4459,22 @@ class DataFrame:
                     right = right.reindex(target, fill_value=fill_value)
         return left, right
 
-    def corrwith(self, other: "DataFrame") -> "Series":
+    def corrwith(self, other) -> "Series":
         """Pairwise Pearson r per shared column — ONE aggregate pass after a
-        position/lineage align (reference: DataFrame.corrwith)."""
+        position/lineage align (reference: DataFrame.corrwith).  A Series
+        operand correlates EVERY numeric column against it (label-aligned
+        via the tested setitem path, still one aggregate pass)."""
+        if isinstance(other, Series):
+            tmp = "__cw_other__"
+            df2 = self.copy()
+            df2[tmp] = other
+            fr = df2._frame
+            y = fr.scol(fr.positions_of([tmp])[0]).cast("double")
+            pos = self._numeric_positions()
+            aggs = [F.corr(fr.scol(i).cast("double"), y).alias(f"c{i}") for i in pos]
+            row = fr.sdf.agg(*aggs).collect()[0]
+            return Series._from_pandas(pd.Series(
+                [row[f"c{i}"] for i in pos], index=[self.columns[i] for i in pos]))
         shared = [c for c in self.columns if c in set(other.columns)]
         prod = self[shared]._binary_frame(other[shared], lambda a, b: F.struct(a.alias("a"), b.alias("b")))
         fr = prod._frame

@@ -27,7 +27,8 @@ _AGG_NAMES = (
 
 class DataFrameGroupBy:
     def __init__(self, df, by, as_index=True, dropna=True, sort=True,
-                 observed=True):
+                 observed=True, group_keys=True):
+        self._group_keys = group_keys
         from modin_spark.pandas.dataframe import DataFrame
 
         self._df: DataFrame = df
@@ -175,6 +176,9 @@ class DataFrameGroupBy:
         if self._unobserved_dtype is not None:
             res = self._complete_unobserved(
                 res, [(lbl, name) for lbl, _ in self._value_positions(numeric_only)])
+            # pandas keys a categorical groupby result by a CategoricalIndex
+            res._post_to_pandas_index = (
+                lambda ix, _d=self._unobserved_dtype: ix.astype(_d))
         return res
 
     def sum(self, numeric_only=True, min_count=0):
@@ -513,7 +517,13 @@ class DataFrameGroupBy:
         sdf = sdf.where(F.col("__rn__") <= n).drop("__rn__")
         return DataFrame(_frame=fr._subset_rows(sdf))
 
-    def nth(self, n):
+    @property
+    def nth(self):
+        """pandas 2.x indexable selector: ``g.nth(1)``, ``g.nth([-1, 0])``,
+        ``g.nth[:2]`` all work (the slice form keeps every matching row)."""
+        return _NthSelector(self)
+
+    def _nth(self, n):
         """Row(s) n of each group; negative n counts from the group's end,
         a list selects several — one key-window (+ a count window only when
         a negative position needs the group size)."""
@@ -788,7 +798,15 @@ class DataFrameGroupBy:
             # narrowed apply: pandas hands func ONLY the selected columns
             inner1 = func
             func = lambda d, _f=inner1, _v=list(vl): _f(d[_v])
-        out = qc.groupby_apply(self._df._frame, self._by_pos, func)
+        kind = []
+        out = qc.groupby_apply(self._df._frame, self._by_pos, func,
+                               group_keys=getattr(self, "_group_keys", True),
+                               kind_out=kind)
+        if kind == ["scalar"]:
+            # pandas: scalar-per-group apply is a group-keyed SERIES
+            s = Series._from_frame(out)
+            s._name = None
+            return s
         return DataFrame(_frame=out)
 
     def rolling(self, window, min_periods=None, center: bool = False,
@@ -816,23 +834,82 @@ class DataFrameGroupBy:
         raise NotImplementedError
 
 
+class _NthSelector:
+    """``groupby.nth`` — callable (``nth(1)``) and sliceable (``nth[:2]``),
+    mirroring pandas' GroupByNthSelector. The slice form compiles to one
+    key-window row_number predicate (group size only when a bound is
+    negative)."""
+
+    def __init__(self, g):
+        self._g = g
+
+    def __call__(self, n, dropna=None):
+        return self._g._nth(n)
+
+    def __getitem__(self, key):
+        if not isinstance(key, slice):
+            return self._g._nth(key)
+        from modin_spark.pandas.dataframe import DataFrame
+
+        g = self._g
+        fr = g._df._frame.ensure_order()
+        keys = [fr.data_cols[i] for i in g._by_pos]
+        w = Window.partitionBy(*keys).orderBy(ORDER_COL)
+        sdf = fr.sdf.withColumn("__rn__", F.row_number().over(w) - 1)
+        start, stop, step = key.start, key.stop, key.step or 1
+        if step <= 0:
+            raise NotImplementedError("groupby.nth[] with a non-positive step")
+        rn = F.col("__rn__")
+        if (start is not None and start < 0) or (stop is not None and stop < 0):
+            wc = Window.partitionBy(*keys)
+            sdf = sdf.withColumn("__gn__", F.count(F.lit(1)).over(wc))
+            gn = F.col("__gn__")
+            lo = F.lit(start or 0) if (start or 0) >= 0 else gn + start
+            hi = F.lit(stop) if stop is None or stop >= 0 else gn + stop
+        else:
+            lo = F.lit(start or 0)
+            hi = None if stop is None else F.lit(stop)
+        cond = rn >= lo
+        if stop is not None:
+            cond = cond & (rn < hi)
+        if step != 1:
+            cond = cond & ((rn - lo) % step == 0)
+        sdf = sdf.where(cond).drop("__rn__", "__gn__")
+        return DataFrame(_frame=fr._subset_rows(sdf))
+
+
 class _GroupEWM:
     def __init__(self, g, kw):
         self._g = g
         self._kw = kw
 
+    def __getitem__(self, key):
+        g = self._g
+        g2 = DataFrameGroupBy(g._df, g._by_labels, g._as_index, g._dropna, g._sort)
+        g2._value_labels = list(key) if isinstance(key, list) else [key]
+        r = _GroupEWM(g2, self._kw)
+        if not isinstance(key, list):
+            r._as_series = True
+        return r
+
     def _run(self, agg: str):
         from modin_spark.pandas.dataframe import DataFrame
+        from modin_spark.pandas.window import _group_window_finish
 
         g = self._g
-        vals = [lbl for lbl, _ in g._value_positions(numeric_only=True)]
+        fr = g._df._frame
+        keys = [fr.data_cols[i] for i in g._by_pos]
+        val_pos = [i for _, i in g._value_positions(numeric_only=True)]
         kw = self._kw
 
-        def f(pdf):
-            return getattr(pdf[vals].ewm(**kw), agg)()
+        def pd_fn(sub):
+            return getattr(sub.ewm(**kw), agg)()
 
-        out = qc.groupby_apply(g._df._frame, g._by_pos, f)
-        return DataFrame(_frame=out)
+        out = win.grouped_pandas_transform(fr, val_pos, keys, pd_fn)
+        nf = _group_window_finish(g, fr, out)
+        if getattr(self, "_as_series", False) and len(nf.data_cols) == 1:
+            return Series._from_frame(nf)
+        return DataFrame(_frame=nf)
 
     def mean(self):
         return self._run("mean")
@@ -862,29 +939,41 @@ class SeriesGroupBy:
         return obj
 
     def apply(self, func, *args, **kwargs):
-        """Series-groupby apply: func sees the GROUP'S SERIES (pandas);
-        scalar results come back as a group-keyed Series."""
+        """Series-groupby apply (pandas shapes): func sees the GROUP'S
+        SERIES with its original labels; scalar results -> group-keyed
+        Series, Series results -> concat keyed by group (key levels dropped
+        and original order restored under group_keys=False); the result
+        keeps the source column's name."""
+        from modin_spark.pandas.dataframe import DataFrame
+
         g = self._fg()
         col = g._value_labels[0]
 
         def inner(d, _f=func, _c=col, _a=tuple(args), _k=dict(kwargs)):
             r = _f(d[_c], *_a, **_k)
-            if not isinstance(r, (pd.Series, pd.DataFrame)):
-                return pd.DataFrame({_c: [r]})
+            if isinstance(r, pd.Series):
+                return r.to_frame("__sga__")
             return r
 
         # bypass the narrowing wrapper: inner needs the key-labeled frame
-        g2 = DataFrameGroupBy(g._df, g._by_labels, g._as_index, g._dropna, g._sort)
+        g2 = DataFrameGroupBy(g._df, g._by_labels, g._as_index, g._dropna, g._sort,
+                              group_keys=getattr(g, "_group_keys", True))
         res = g2.apply(inner)
-        if len(res._frame.columns) == 1:
+        if isinstance(res, Series):  # scalar-per-group path
+            res._name = col
+            return res
+        if isinstance(res, DataFrame) and len(res._frame.columns) == 1:
             out = Series._from_frame(res._frame)
-            out._name = col if str(res._frame.columns[0]) == str(col) else None
+            lbl = res._frame.columns[0]
+            out._name = col if lbl == "__sga__" or str(lbl) == str(col) else None
             return out
         return res
 
     def _fg(self) -> DataFrameGroupBy:
         if hasattr(self, "_g"):
-            g2 = DataFrameGroupBy(self._g._df, self._g._by_labels, self._g._as_index, self._g._dropna, self._g._sort)
+            g2 = DataFrameGroupBy(self._g._df, self._g._by_labels, self._g._as_index,
+                                  self._g._dropna, self._g._sort,
+                                  group_keys=getattr(self._g, "_group_keys", True))
             g2._value_labels = [self._col]
             g2._unobserved_dtype = self._g._unobserved_dtype
             return g2
@@ -964,8 +1053,12 @@ class SeriesGroupBy:
             from modin_spark.pandas.window import GroupExpanding, GroupRolling
 
             if isinstance(res, DataFrame) and len(res._frame.columns) == 1:
-                return Series._from_frame(res._frame)
-            if isinstance(res, (GroupRolling, GroupExpanding)):
+                out = Series._from_frame(res._frame)
+                pidx = getattr(res, "_post_to_pandas_index", None)
+                if pidx is not None:
+                    out._post_to_pandas_index = pidx
+                return out
+            if isinstance(res, (GroupRolling, GroupExpanding, _GroupEWM)):
                 # s-groupby window results are Series in pandas
                 res._as_series = True
             return res
@@ -1060,9 +1153,18 @@ def _g_take(self, indices):
     Set semantics: rows come back in frame order, a row matched by both a
     positive and a negative position appears once."""
     from modin_spark.pandas.dataframe import DataFrame
+    from modin_spark.pandas.window import _group_window_finish
     from pyspark.sql.window import Window
 
     fr = self._df._frame.ensure_order()
+    if not fr.index_cols:
+        # pandas keeps the ORIGINAL row labels as the inner index level —
+        # materialize them BEFORE filtering (free via order_is_position)
+        from modin_spark.core.frame import fresh_names as _fn
+
+        lc = _fn(1)[0]
+        base0 = fr.with_pandas_labels(lc)
+        fr = base0._same_rows(base0.sdf, index_cols=[lc], index_names=[None])
     keys = [F.col(fr.data_cols[i]) for i in self._by_pos]
     w = Window.partitionBy(*keys).orderBy(F.col(ORDER_COL))
     pos = [int(i) for i in indices if i >= 0]
@@ -1080,7 +1182,21 @@ def _g_take(self, indices):
     if cond is None:
         cond = F.lit(False)
     sdf = sdf.where(cond).drop("__rn__", "__rnd__")
-    return DataFrame(_frame=fr._subset_rows(sdf))
+    base = fr._subset_rows(sdf)
+    # pandas shape: value columns only, indexed by (keys..., original labels)
+    vl = getattr(self, "_value_labels", None)
+    if vl is not None:
+        val_pos = base.positions_of(vl)
+    else:
+        keyset = set(self._by_pos)
+        val_pos = [i for i in range(len(base.columns)) if i not in keyset]
+    out = base._same_rows(
+        base.sdf,
+        columns=pd.Index([base.columns[i] for i in val_pos]),
+        data_cols=[base.data_cols[i] for i in val_pos],
+    )
+    nf = _group_window_finish(self, base, out)
+    return DataFrame(_frame=nf)
 
 
 def _g_expanding(self, min_periods: int = 1):
@@ -1222,6 +1338,30 @@ def _g_cov(self):
     return self.apply(lambda pdf: pdf.cov(numeric_only=True))
 
 
+def _g_corrwith(self, other, axis=0, drop=False, method="pearson", numeric_only=False):
+    """Per-group corr of each value column with an index-aligned Series
+    (pandas DataFrameGroupBy.corrwith): the operand joins in ONCE as a temp
+    column via the tested cross-lineage setitem alignment, then one
+    groupby.apply (Series-per-group -> group-keyed frame)."""
+    if axis not in (0, "index"):
+        raise NotImplementedError("groupby.corrwith(axis=1)")
+    if not isinstance(other, Series):
+        if isinstance(other, pd.Series):
+            other = Series(other)
+        else:
+            raise NotImplementedError("groupby.corrwith with a DataFrame operand")
+    vals = [lbl for lbl, _ in self._value_positions(numeric_only=True)]
+    tmp = "__cw_other__"
+    df2 = self._df.copy()
+    df2[tmp] = other
+    g2 = DataFrameGroupBy(df2, self._by_labels, self._as_index, self._dropna, self._sort)
+
+    def f(d, _v=list(vals), _m=method):
+        return d[_v].corrwith(d[tmp], method=_m)
+
+    return g2.apply(f)
+
+
 def _g_pipe(self, func, *a, **k):
     return func(self, *a, **k)
 
@@ -1238,6 +1378,7 @@ DataFrameGroupBy.expanding = _g_expanding
 DataFrameGroupBy.resample = _g_resample
 DataFrameGroupBy.corr = _g_corr
 DataFrameGroupBy.cov = _g_cov
+DataFrameGroupBy.corrwith = _g_corrwith
 DataFrameGroupBy.pipe = _g_pipe
 DataFrameGroupBy.ndim = 2
 DataFrameGroupBy.dtypes = property(lambda self: self._df[[l for l, _ in self._value_positions()]].dtypes)

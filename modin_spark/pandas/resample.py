@@ -261,8 +261,69 @@ class Resampler:
     aggregate = agg
 
     def apply(self, func):
-        """pandas Resampler.apply == agg for named/dict specs."""
-        return self.agg(func)
+        """pandas Resampler.apply — named/dict specs == agg; a CALLABLE runs
+        per bucket (one hash shuffle: collect_list per bucket + one Arrow
+        pandas_udf over the bucket arrays; empty grid buckets fill with
+        ``func(empty series)``, pandas semantics)."""
+        if not callable(func):
+            return self.agg(func)
+        from pyspark.sql import types as T
+
+        from modin_spark.pandas.dataframe import DataFrame
+
+        fr = self._df._frame
+        if self._on is not None:
+            ts_phys = fr.data_cols[fr.positions_of([self._on])[0]]
+        elif fr.index_cols:
+            ts_phys = fr.index_cols[0]
+        else:
+            raise ValueError("resample needs on= or a datetime index")
+        dur = rule_to_duration(self._rule)
+        bucket = bucket_start(ts_phys, dur, self._closed, self._offset)
+        positions = [
+            i for i in range(len(fr.columns))
+            if fr.data_cols[i] != ts_phys and fr.dtype_of(i).startswith(("int", "float"))
+        ]
+        out_phys = fresh_names(len(positions) + 1)
+        key_p, val_ps = out_phys[0], out_phys[1:]
+
+        @F.pandas_udf(T.DoubleType())
+        def _apply(arrs: pd.Series) -> pd.Series:
+            import numpy as _np
+
+            out = []
+            for a in arrs:
+                pairs = sorted(a, key=lambda r: r["t"])
+                s = pd.Series([r["v"] for r in pairs], dtype="float64")
+                v = func(s)
+                out.append(float(v) if v is not None and not (isinstance(v, float) and _np.isnan(v)) else _np.nan)
+            return pd.Series(out, dtype="float64")
+
+        aggs = [
+            _apply(F.collect_list(F.struct(
+                F.col(ts_phys).alias("t"),
+                F.col(fr.data_cols[i]).cast("double").alias("v"),
+            ))).alias(p)
+            for i, p in zip(positions, val_ps)
+        ]
+        agged = fr.sdf.groupBy(bucket.alias(key_p)).agg(*aggs)
+        agged = _complete_grid(agged, key_p, dur, val_ps, "__callable__")
+        # pandas evaluates func on an EMPTY series for grid-only buckets
+        try:
+            fv = func(pd.Series([], dtype="float64"))
+            fv = None if fv is None or pd.isna(fv) else float(fv)
+        except Exception:
+            fv = None
+        if fv is not None:
+            agged = agged.select(
+                key_p, *[F.coalesce(F.col(p), F.lit(fv)).alias(p) for p in val_ps])
+        if self._label == "right":
+            agged = agged.withColumn(key_p, F.col(key_p) + F.expr(f"INTERVAL {dur}"))
+        agged = agged.withColumn(ORDER_COL, F.col(key_p))
+        labels = [fr.columns[i] for i in positions]
+        on_name = self._on if self._on is not None else fr.index_names[0]
+        out = SparkFrame(agged, pd.Index(labels), val_ps, [key_p], [on_name])
+        return self._maybe_series(DataFrame(_frame=out))
 
     def pipe(self, func, *args, **kwargs):
         return func(self, *args, **kwargs)
@@ -305,7 +366,7 @@ class Resampler:
             over = lambda c: qc.agg_expr(func, c).over(w)
         labels = [fr.columns[i] for i in positions]
         exprs = [over(F.col(fr.data_cols[i])) for i in positions]
-        return DataFrame(_frame=fr.project(labels, exprs))
+        return self._maybe_series(DataFrame(_frame=fr.project(labels, exprs)))
 
     def interpolate(self, method: str = "linear"):
         """asfreq + linear interpolation over the gap rows (the blocked

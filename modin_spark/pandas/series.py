@@ -252,6 +252,9 @@ class Series:
             # driver-side dtype reconstruction (e.g. cut's ordered
             # interval Categorical riding on string storage)
             out = post(out)
+        pidx = getattr(self, "_post_to_pandas_index", None)
+        if pidx is not None:
+            out.index = pidx(out.index)
         return out
 
     def to_spark(self):
@@ -1351,11 +1354,12 @@ class Series:
 
         return Rolling(self, window, min_periods, win_type=win_type, center=center, closed=closed, **win_kwargs)
 
-    def ewm(self, com=None, span=None, halflife=None, alpha=None, adjust=True, min_periods=0):
+    def ewm(self, com=None, span=None, halflife=None, alpha=None, adjust=True, min_periods=0,
+            times=None):
         from modin_spark.pandas.window import EWM
 
         return EWM(self, com=com, span=span, halflife=halflife, alpha=alpha,
-                   adjust=adjust, min_periods=min_periods)
+                   adjust=adjust, min_periods=min_periods, times=times)
 
     def expanding(self, min_periods: int = 1):
         from modin_spark.pandas.window import Expanding

