@@ -319,7 +319,8 @@ class SparkFrame:
         nf.labels_col = self.labels_col
         return nf
 
-    def _subset_rows(self, sdf, columns=None, data_cols=None, index_cols=None, index_names=None, has_order=None):
+    def _subset_rows(self, sdf, columns=None, data_cols=None, index_cols=None,
+                     index_names=None, has_order=None):
         """Derive a frame whose rows are a subset/reorder of this frame's."""
         lid = next(_lid_counter)
         nf = SparkFrame(

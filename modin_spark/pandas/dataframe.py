@@ -109,6 +109,15 @@ class DataFrame:
             for c, d in ext.items():
                 if c in out.index:
                     out[c] = d
+        if getattr(self, "_to_pandas_convert_dtypes", False):
+            # convert_dtypes marks the whole frame for nullable-extension
+            # materialization — reflect that in the reported dtypes
+            conv = {"int8": "Int8", "int16": "Int16", "int32": "Int32",
+                    "int64": "Int64", "float32": "Float32", "float64": "Float64",
+                    "bool": "boolean", "object": "string"}
+            out = out.copy()
+            for c, d in out.items():
+                out[c] = conv.get(str(d), d)
         return out
 
     @property
@@ -1480,7 +1489,13 @@ class DataFrame:
             sort=sort,
             indicator=indicator,
         )
-        return DataFrame(_frame=out)
+        res = DataFrame(_frame=out)
+        if indicator:
+            # pandas types the indicator column as a Categorical
+            ind_name = "_merge" if indicator is True else str(indicator)
+            res._to_pandas_ext_dtypes = {
+                ind_name: pd.CategoricalDtype(["left_only", "right_only", "both"])}
+        return res
 
     def join(self, other: "DataFrame", on=None, how="left", lsuffix="", rsuffix="") -> "DataFrame":
         if isinstance(other, (list, tuple)):
@@ -1534,7 +1549,10 @@ class DataFrame:
 
         exprs = [expr(i).alias(f"x{i}") for i in positions]
         row = fr.sdf.agg(*exprs).collect()[0]
-        return pd.Series([row[f"x{i}"] for i in positions], index=[fr.columns[i] for i in positions])
+        labels = [fr.columns[i] for i in positions]
+        idx = (pd.MultiIndex.from_tuples(labels)
+               if isinstance(fr.columns, pd.MultiIndex) else pd.Index(labels))
+        return pd.Series([row[f"x{i}"] for i in positions], index=idx)
 
     def sum(self, numeric_only=True, axis=0, min_count=0, skipna=True, **kw):
         if axis in (1, "columns"):
@@ -2171,7 +2189,15 @@ class DataFrame:
             # abscissa = the index values (epoch seconds for timestamps)
             fr = self._frame
             if not fr.index_cols:
-                raise NotImplementedError(f"interpolate(method={method!r}) needs a set index")
+                # default index: the abscissa is the positional LABELS
+                # (gap-preserving through filters)
+                from modin_spark.core.frame import fresh_names as _fn
+
+                lc = _fn(1)[0]
+                base = fr.with_pandas_labels(lc)
+                return DataFrame(_frame=win.interpolate_linear(
+                    base, self._float_null_positions(), x_col=lc, limit=limit,
+                    limit_direction=limit_direction, keep_all=True))
             return DataFrame(_frame=win.interpolate_linear(
                 fr, self._float_null_positions(), x_col=fr.index_cols[-1], limit=limit,
                 limit_direction=limit_direction, keep_all=True))
@@ -2268,6 +2294,12 @@ class DataFrame:
         fr = self._frame.ensure_order()
         from modin_spark.core.frame import fresh_names as _fn
 
+        if not fr.index_cols:
+            # pandas repeats the ORIGINAL positional labels ([0,0,1,...]) —
+            # materialize them as an index level before the row-multiplying op
+            lc = _fn(1)[0]
+            base0 = fr.with_pandas_labels(lc)
+            fr = base0._same_rows(base0.sdf, index_cols=[lc], index_names=[None])
         if isinstance(column, (list, tuple)):
             # pandas multi-column explode: columns zip positionally
             # (arrays_zip + one explode — rows with mismatched lengths get
@@ -2520,11 +2552,15 @@ class DataFrame:
                 mrow = col_m.crossJoin(grand)
                 for p in idx_phys:
                     mrow = mrow.withColumn(p, F.lit(str(margins_name)))
+                # pandas puts the All row LAST regardless of key sort order
+                pivoted = pivoted.withColumn("__mrg__", F.lit(0))
+                mrow = mrow.withColumn("__mrg__", F.lit(1))
                 msel = [F.col("`" + c.replace("`", "``") + "`") for c in pivoted.columns]
                 pivoted = pivoted.unionByName(mrow.select(*msel), allowMissingColumns=True)
                 value_cols = value_cols + ["__all__"]
             out_phys = _fn(len(value_cols))
-            sel = [F.struct(*[F.col(p) for p in idx_phys]).alias(ORDER_COL)]
+            order_fields = ([F.col("__mrg__")] if margins else []) + [F.col(p) for p in idx_phys]
+            sel = [F.struct(*order_fields).alias(ORDER_COL)]
             sel += [F.col(p) for p in idx_phys]
             fill = (lambda c: F.coalesce(c, F.lit(fill_value))) if fill_value is not None else (lambda c: c)
             # backtick-quote: pivot values like 1.0 otherwise parse as a
@@ -2533,7 +2569,8 @@ class DataFrame:
                 return F.col("`" + name.replace("`", "``") + "`")
             sel += [fill(_q(v)).alias(np_) for v, np_ in zip(value_cols, out_phys)]
             labels = [margins_name if v == "__all__" else v for v in value_cols]
-            out = SparkFrame(pivoted.select(*sel), pd.Index(labels), out_phys, idx_phys, list(index))
+            cols_idx = pd.Index(labels, name=columns if isinstance(columns, (str, int)) else None)
+            out = SparkFrame(pivoted.select(*sel), cols_idx, out_phys, idx_phys, list(index))
             return DataFrame(_frame=out)
         if margins:
             raise NotImplementedError("pivot_table margins with a list of values")
@@ -2576,6 +2613,10 @@ class DataFrame:
         against every column (same-lineage rebase); the default
         'columns' matches its index against the column labels (the series'
         k values are column metadata — collected driver-side)."""
+        if isinstance(other, pd.DataFrame):
+            from modin_spark.pandas.io import from_pandas as _fp
+
+            other = _fp(other)
         if isinstance(other, pd.Series):
             if axis in (0, "index"):
                 from modin_spark.pandas.io import from_pandas as _fp
@@ -2644,7 +2685,9 @@ class DataFrame:
         # pandas frame/frame column alignment: the SORTED union of both
         # column sets (Index.union), computed once for either lineage branch
         union_labels = list(a.columns.union(b.columns, sort=None)) if not a.columns.equals(b.columns) else list(a.columns)
-        if a.can_rebase(b, set(b.data_cols)):
+        # rebase only when both frames cover the same rows in the same order
+        # (shared lineage id) — differing row sets/orders outer-align below
+        if a.can_rebase(b, set(b.data_cols)) and a._lid == b._lid:
             pairs = {}
             for j, lbl in enumerate(b.columns):
                 pairs.setdefault(lbl, j)
@@ -2688,12 +2731,48 @@ class DataFrame:
                 exprs = [exprs[order[lbl]] for lbl in union_labels]
                 labels = union_labels
             return DataFrame(_frame=a.project(labels, exprs))
-        # unaligned lineage: join on global position (both sides range-
-        # partitioned on order — one co-located shuffle each)
-        ap = a.with_global_position("__ba__")
-        bp = b.with_global_position("__bb__")
-        bsel = bp.sdf.select(F.col("__bb__"), *[F.col(p).alias(f"__r_{j}") for j, p in enumerate(bp.data_cols)])
-        j = ap.sdf.join(bsel, ap.sdf["__ba__"] == bsel["__bb__"], "full_outer")
+        # unaligned lineage: pandas aligns frame operands on the INDEX —
+        # label-keyed full-outer join (default-index frames key on positional
+        # labels, same align_keyed_with scheme Series._combine uses); both
+        # sides shuffle once on the key
+        from modin_spark.core.frame import fresh_names as _fn
+
+        if a.index_cols or b.index_cols:
+            lf, lkey = a.ensure_order().align_keyed_with(b, "__ba__")
+            rf, rkey = b.ensure_order().align_keyed_with(a, "__bb__")
+            if len(lkey) != len(rkey):
+                raise NotImplementedError("frame binary with mismatched index depths")
+            ap = lf
+            bsel = rf.sdf.select(
+                *[F.col(k).alias(f"__rk{i}__") for i, k in enumerate(rkey)],
+                *[F.col(p).alias(f"__r_{jj}") for jj, p in enumerate(rf.data_cols)],
+            )
+            cond = None
+            for i, k in enumerate(lkey):
+                c = lf.sdf[k].eqNullSafe(bsel[f"__rk{i}__"])
+                cond = c if cond is None else (cond & c)
+            j = lf.sdf.join(bsel, cond, "full_outer")
+            keyout = _fn(len(lkey))
+            for i, (k, ko) in enumerate(zip(lkey, keyout)):
+                j = j.withColumn(ko, F.coalesce(F.col(k), F.col(f"__rk{i}__")))
+            j = j.drop(*[f"__rk{i}__" for i in range(len(rkey))])
+            j = j.orderBy(*[F.col(ko).asc_nulls_last() for ko in keyout]).withColumn(
+                ORDER_COL, F.monotonically_increasing_id())
+            idx_cols = keyout
+            idx_names = list(a.index_names) if a.index_cols else list(b.index_names)
+        else:
+            # both default-index: join on the pandas POSITIONAL LABELS
+            # (gap-preserving through filters), result ordered/indexed by the
+            # sorted label union like pandas
+            ap = a.with_pandas_labels("__ba__")
+            bp = b.with_pandas_labels("__bb__")
+            bsel = bp.sdf.select(F.col("__bb__"), *[F.col(p).alias(f"__r_{jj}") for jj, p in enumerate(bp.data_cols)])
+            j = ap.sdf.join(bsel, ap.sdf["__ba__"] == bsel["__bb__"], "full_outer")
+            ko = _fn(1)[0]
+            j = j.withColumn(ko, F.coalesce(F.col("__ba__"), F.col("__bb__")))
+            j = j.orderBy(F.col(ko).asc_nulls_last()).withColumn(
+                ORDER_COL, F.monotonically_increasing_id())
+            idx_cols, idx_names = [ko], [None]
         apos = {}
         for i, lbl in enumerate(a.columns):
             apos.setdefault(lbl, i)
@@ -2722,7 +2801,7 @@ class DataFrame:
             else:
                 e = op(la, lb)
             exprs.append(e)
-        fr = SparkFrame(j.withColumn(ORDER_COL, F.col("__ba__")), a.columns, ap.data_cols, [], [None])
+        fr = SparkFrame(j, a.columns, ap.data_cols, idx_cols, idx_names)
         return DataFrame(_frame=fr.project(labels, exprs))
 
     def add(self, other, axis="columns", fill_value=None):
@@ -3111,6 +3190,11 @@ class DataFrame:
         cols = list(fr.columns)
         lvl0 = list(dict.fromkeys(t[0] for t in cols))
         lvl1 = list(dict.fromkeys(t[1] for t in cols))
+        # pandas: when the inner-level sets DIFFER across level-0 groups the
+        # stacked level is the SORTED union; a uniform grid keeps appearance
+        per_group = {g: tuple(t[1] for t in cols if t[0] == g) for g in lvl0}
+        if len(set(per_group.values())) > 1:
+            lvl1 = sorted(set(lvl1), key=str)
         phys_map = dict(zip(cols, fr.data_cols))
         # per level-0 group: single consistent dtype -> keep it; mixed but
         # numeric -> widen to double; else unsupported
@@ -3417,11 +3501,11 @@ class DataFrame:
         a, b = self, other
         af, bf = a._frame, b._frame
         if not af.index_cols or not bf.index_cols:
-            # default-index frames: pandas aligns positionally — promote the
-            # contiguous global position to an index on both sides
-            af = af.with_global_position("__cfp__")
+            # default-index frames align on their positional LABELS (gaps
+            # survive filters) — promote them to an index on both sides
+            af = af.with_pandas_labels("__cfp__")
             af = af._same_rows(af.sdf, index_cols=["__cfp__"], index_names=[None])
-            bf = bf.with_global_position("__cfp2__")
+            bf = bf.with_pandas_labels("__cfp2__")
             bf = bf._same_rows(bf.sdf, index_cols=["__cfp2__"], index_names=[None])
         merged = qc.merge(af, bf, how="outer", left_index=True, right_index=True, suffixes=("__a", "__b"))
         out_labels, exprs = [], []
@@ -4100,7 +4184,13 @@ class DataFrame:
         if weights is not None:
             if n is None:
                 raise ValueError("weights= requires n=")
-            if isinstance(weights, str):
+            if isinstance(weights, (list, tuple, np.ndarray)):
+                # raw sequence weights align positionally (pandas)
+                pos_fr = fr.with_global_position("__swp__")
+                arr = F.array(*[F.lit(float(v)) for v in weights])
+                w = F.element_at(arr, (F.col("__swp__") + 1).cast("int"))
+                fr = pos_fr
+            elif isinstance(weights, str):
                 w = F.col(fr.data_cols[fr.positions_of([weights])[0]]).cast("double")
             elif fr.can_rebase(weights._frame, weights._refs):
                 w = weights._expr.cast("double")
@@ -4270,7 +4360,9 @@ class DataFrame:
         return out
 
     def reindex_like(self, other: "DataFrame") -> "DataFrame":
-        return self.reindex(columns=list(other.columns))
+        # pandas contract: conform to other's row labels AND columns (labels
+        # are driver metadata by pandas' own definition of the op)
+        return self.reindex(index=other.index, columns=list(other.columns))
 
     def rename_axis(self, mapper=None, axis=0) -> "DataFrame":
         fr = self._frame
@@ -4446,6 +4538,12 @@ class DataFrame:
             cols = a_cols + [c for c in b_cols if c not in set(a_cols)]
         left = self.reindex(columns=cols, fill_value=fill_value)
         right = other.reindex(columns=cols, fill_value=fill_value)
+        if join == "left":
+            right = right.reindex(index=self.index, fill_value=fill_value)
+            return left, right
+        if join == "right":
+            left = left.reindex(index=other.index, fill_value=fill_value)
+            return left, right
         if join == "outer" and not self._frame.index_cols and not other._frame.index_cols:
             # outer row alignment on default positional labels: pad the
             # shorter frame to the union 0..max-1 (two count jobs; the pad
@@ -4579,8 +4677,13 @@ class DataFrame:
         self.to_pandas().to_hdf(path, key=key, **kw)
 
     @classmethod
-    def from_dict(cls, data, orient="columns") -> "DataFrame":
-        return cls(pd.DataFrame.from_dict(data, orient=orient))
+    def from_dict(cls, data, orient="columns", dtype=None, columns=None) -> "DataFrame":
+        return cls(pd.DataFrame.from_dict(data, orient=orient, dtype=dtype,
+                                          columns=columns))
+
+    def __array__(self, dtype=None):
+        arr = self.to_pandas().to_numpy()
+        return arr if dtype is None else arr.astype(dtype)
 
     @classmethod
     def from_records(cls, data, **kw) -> "DataFrame":

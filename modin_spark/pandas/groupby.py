@@ -307,11 +307,18 @@ class DataFrameGroupBy:
         elif isinstance(spec, str):
             return self._agg_all(spec)
         elif isinstance(spec, dict):
+            # pandas: if ANY column's spec is a list, EVERY output column
+            # gets the 2-level (column, agg) label
+            any_list = any(isinstance(v, (list, tuple)) for v in spec.values())
             for col, fns in spec.items():
                 i = fr.positions_of([col])[0]
-                fns_list = fns if isinstance(fns, list) else [fns]
+                fns_list = list(fns) if isinstance(fns, (list, tuple)) else [fns]
                 for fn in fns_list:
-                    out_lbl = (col, fn) if isinstance(fns, list) else col
+                    if any_list:
+                        fname = fn if isinstance(fn, str) else getattr(fn, "__name__", str(fn))
+                        out_lbl = (col, fname)
+                    else:
+                        out_lbl = col
                     entries.append((out_lbl, i, fn, {}))
         elif isinstance(spec, list):
             for lbl, i in self._value_positions():

@@ -209,6 +209,22 @@ def read_csv(path: str, sep: str = ",", header: int | str = "infer", names=None,
 
         return _chunks()
 
+    if isinstance(header, (list, tuple)):
+        # MultiIndex column headers: parse ONLY the header lines driver-side
+        # with pandas (nrows=0), then read the body distributed with those
+        # rows skipped (JVM-side skip) and relabel
+        hdr = pd.read_csv(path, sep=sep, header=list(header), nrows=0,
+                          quotechar=quotechar, comment=comment, encoding=encoding)
+        body = read_csv(path, sep=sep, header=None, dtype=dtype, usecols=usecols,
+                        nrows=nrows, skiprows=max(header) + 1, na_values=na_values,
+                        thousands=thousands, comment=comment, quotechar=quotechar,
+                        encoding=encoding, **kw)
+        fr = body._frame
+        out = DataFrame(_frame=fr._same_rows(fr.sdf, columns=hdr.columns))
+        if index_col is not None:
+            out = out.set_index(
+                [out.columns[i] for i in (index_col if isinstance(index_col, list) else [index_col])])
+        return out
     if sep is None:
         # engine='python' sniffing: sample the first line driver-side
         first = get_spark().read.text(path).limit(1).collect()

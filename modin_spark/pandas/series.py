@@ -303,9 +303,16 @@ class Series:
         ``how='left'`` keeps self's rows/order (lookup alignment, e.g.
         fillna); the default outer-aligns to the sorted label union (pandas
         binary-operand semantics)."""
-        if self._frame.can_rebase(other._frame, other._refs):
+        # rebase is only row-faithful when both operands cover the SAME rows
+        # in the same order — i.e. the frames share a lineage id (pandas
+        # OUTER-aligns differing row sets: df.a + df.a.iloc[1:] keeps all 4
+        # labels, and sorts the union when operand orders differ).
+        # how='left' is a lookup: rebasing onto self is also safe when
+        # other's frame is an ANCESTOR (superset of self's rows, same labels).
+        same_rows = self._frame._lid == other._frame._lid
+        if self._frame.can_rebase(other._frame, other._refs) and (same_rows or how == "left"):
             return self._frame, self._expr, other._expr, self._refs | other._refs
-        if other._frame.can_rebase(self._frame, self._refs) and how != "left":
+        if other._frame.can_rebase(self._frame, self._refs) and how != "left" and same_rows:
             return other._frame, self._expr, other._expr, self._refs | other._refs
         # native fast path: BOTH operands are pristine driver-resident
         # columns — pandas .align gives exact semantics (duplicate-label
@@ -751,10 +758,17 @@ class Series:
         if callable(other) and not isinstance(other, Series):
             other = other(self)
         target, le, ce, refs = self._combine(cond)
-        oe = other._expr if isinstance(other, Series) else _lit(other)
         if isinstance(other, Series):
-            refs = refs | other._refs
-        return Series(target, F.when(ce, le).otherwise(oe), refs, self._name)
+            if target.can_rebase(other._frame, other._refs) and target._lid == other._frame._lid:
+                return Series(target, F.when(ce, le).otherwise(other._expr),
+                              refs | other._refs, self._name)
+            # misaligned replacement source: pandas reindexes other to SELF's
+            # labels — pack (value, cond) into one struct so both ride the
+            # single lookup join
+            packed = Series(target, F.struct(le.alias("v"), ce.alias("c")), set(refs))
+            t2, pe, oe, refs2 = packed._combine(other, how="left")
+            return Series(t2, F.when(pe["c"], pe["v"]).otherwise(oe), refs2, self._name)
+        return Series(target, F.when(ce, le).otherwise(_lit(other)), refs, self._name)
 
     def mask(self, cond: "Series", other=None) -> "Series":
         if callable(cond) and not isinstance(cond, Series):
@@ -1268,7 +1282,9 @@ class Series:
         from modin_spark.pandas.dataframe import DataFrame
 
         df = DataFrame(_frame=self._to_frame(self._name if self._name is not None else "__v__"))
-        return df.explode(df.columns[0])[df.columns[0]]
+        out = df.explode(df.columns[0])[df.columns[0]]
+        out._name = self._name
+        return out
 
     def repeat(self, repeats: int) -> "Series":
         rep = self._map1(lambda c: F.array_repeat(c, repeats))
@@ -1742,6 +1758,28 @@ class DatetimeMethods:
             ],
         ))
 
+    @property
+    def components(self):
+        """Timedelta components (pandas ``dt.components``): 7 integer columns
+        derived from the interval's exact microsecond precision (Spark
+        day-time intervals carry µs, so nanoseconds are always 0)."""
+        from modin_spark.pandas.dataframe import DataFrame
+
+        fr = self._s._to_frame("__t__")
+        c = fr.data_cols[0]
+        d = F.expr(f"extract(DAY FROM {c})").cast("long")
+        h = F.expr(f"extract(HOUR FROM {c})").cast("long")
+        m = F.expr(f"extract(MINUTE FROM {c})").cast("long")
+        sfrac = F.expr(f"extract(SECOND FROM {c})")
+        s_ = F.floor(sfrac).cast("long")
+        usfrac = ((sfrac - s_) * 1_000_000).cast("long")
+        return DataFrame(_frame=fr.project(
+            ["days", "hours", "minutes", "seconds",
+             "milliseconds", "microseconds", "nanoseconds"],
+            [d, h, m, s_, F.floor(usfrac / 1000).cast("long"),
+             usfrac % 1000, F.when(F.col(c).isNotNull(), F.lit(0)).cast("long")],
+        ))
+
     def __getattr__(self, name):
         if name.startswith("_"):
             raise AttributeError(name)
@@ -1910,8 +1948,13 @@ def _series_api_tail():
     """Registered below — keeps the additions in one visually grouped block."""
 
 
-def _ser_sample(self, n=None, frac=None, replace=False, random_state=None):
-    return self.to_frame("__s__").sample(n=n, frac=frac, replace=replace, random_state=random_state)["__s__"].rename(self._name)
+def _ser_sample(self, n=None, frac=None, replace=False, random_state=None,
+                weights=None, ignore_index=False):
+    out = self.to_frame("__s__").sample(
+        n=n, frac=frac, replace=replace, random_state=random_state,
+        weights=list(weights) if weights is not None and not isinstance(weights, str) else weights,
+        ignore_index=ignore_index)["__s__"]
+    return out.rename(self._name)
 
 
 def _ser_argmax(self):

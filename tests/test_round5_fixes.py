@@ -58,7 +58,8 @@ def test_merge_indicator_values(spark):
     ml, mr = mpd.from_pandas(L), mpd.from_pandas(R)
     got = ml.merge(mr, on="k", how="outer", indicator=True).to_pandas()
     exp = L.merge(R, on="k", how="outer", indicator=True)
-    exp["_merge"] = exp["_merge"].astype(str)
+    # the indicator column is a Categorical on both sides (pandas dtype)
+    assert isinstance(got["_merge"].dtype, pd.CategoricalDtype)
     _check(got, exp)
 
 
