@@ -2294,9 +2294,13 @@ class DataFrame:
         fr = self._frame.ensure_order()
         from modin_spark.core.frame import fresh_names as _fn
 
-        if not fr.index_cols:
+        if not fr.index_cols and (fr.order_is_position or fr.labels_col is not None):
             # pandas repeats the ORIGINAL positional labels ([0,0,1,...]) —
-            # materialize them as an index level before the row-multiplying op
+            # materialize them as an index level before the row-multiplying
+            # op.  Only when the labels are FREE (from_pandas / post-sort
+            # lineages): a scan frame would need an extra global-position
+            # pass over the whole table, so it keeps the engine's
+            # fresh-positional-labels contract instead (documented).
             lc = _fn(1)[0]
             base0 = fr.with_pandas_labels(lc)
             fr = base0._same_rows(base0.sdf, index_cols=[lc], index_names=[None])
@@ -4782,8 +4786,13 @@ class DataFrame:
             w = w.option("compression", "uncompressed" if compression == "none" else compression)
         w.parquet(path)
 
-    def to_csv(self, path: str, mode: str = "overwrite", header: bool = True,
-               index: bool = True, sep: str = ",", na_rep: str = "") -> None:
+    def to_csv(self, path: str | None = None, mode: str = "overwrite", header: bool = True,
+               index: bool = True, sep: str = ",", na_rep: str = "", **kw):
+        if path is None:
+            # pandas: no path -> the CSV STRING (driver-bound by contract);
+            # full pandas kwarg surface (float_format/date_format/columns/...)
+            return self.to_pandas().to_csv(index=index, header=header, sep=sep,
+                                           na_rep=na_rep, **kw)
         # index=True writes the index levels as leading columns (pandas);
         # the default frame has no materialized index — nothing to add.
         # Quote dialect matches pandas (doubled quotes, minimal quoting).

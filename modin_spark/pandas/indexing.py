@@ -114,6 +114,12 @@ class ILocIndexer:
         else:
             col_pos = list(col_key)
 
+        if isinstance(row_key, slice) and (row_key.step or 1) < 0:
+            # negative step (e.g. [::-1]): resolve to an explicit position
+            # list against the row count, then the ordered take path
+            n = fr.count_rows()
+            return self[(list(range(*row_key.indices(n))), col_key) if isinstance(key, tuple)
+                        else list(range(*row_key.indices(n)))]
         if isinstance(row_key, slice):
             if (row_key.start is not None and row_key.start < 0) or \
                (row_key.stop is not None and row_key.stop < 0):
@@ -383,17 +389,39 @@ class LocIndexer:
             out = filtered._frame.select_positions(col_pos)
         elif isinstance(row_key, slice) and row_key == slice(None):
             out = fr.select_positions(col_pos)
+        elif isinstance(row_key, (list, np.ndarray)) and len(row_key) and all(
+                isinstance(v, (bool, np.bool_)) for v in row_key):
+            # boolean mask list: positional filter (pandas loc[[True, ...]])
+            pos_fr = fr.with_global_position("__pos__")
+            keep = [i for i, flag in enumerate(row_key) if flag]
+            out = fr._subset_rows(
+                pos_fr.sdf.where(F.col("__pos__").isin(keep)).drop("__pos__")
+            ).select_positions(col_pos)
         elif isinstance(row_key, list):
+            from modin_spark.core.frame import ORDER_COL as _OC
+
+            # pandas loc[list] returns rows in the ORDER OF THE KEYS
+            karr = F.array(*[F.lit(v) for v in row_key])
             if not fr.index_cols:
                 # default index: true pandas labels (gaps after filters, the
-                # labels_col stash after sorts, positions for scan lineage)
-                pos_fr = fr.with_pandas_labels("__pos__")
-                out = fr._subset_rows(
-                    pos_fr.sdf.where(F.col("__pos__").isin(row_key)).drop("__pos__")
-                ).select_positions(col_pos)
+                # labels_col stash after sorts, positions for scan lineage).
+                # The permuted labels stay stashed for display/chaining.
+                from modin_spark.core.frame import fresh_names as _fnames
+
+                lc = _fnames(1)[0]
+                pos_fr = fr.with_pandas_labels(lc)
+                sdf = pos_fr.sdf.where(F.col(lc).isin(row_key)).withColumn(
+                    _OC, F.array_position(karr, F.col(lc)))
+                out = fr._subset_rows(sdf, has_order=True).select_positions(col_pos)
+                out.order_is_position = False
+                out.labels_col = lc
             else:
-                cond = F.col(fr.index_cols[0]).isin(row_key)
-                out = fr.filter(cond).select_positions(col_pos)
+                fr2 = fr.ensure_order()
+                cond = F.col(fr2.index_cols[0]).isin(row_key)
+                sdf = fr2.sdf.where(cond).withColumn(
+                    _OC, F.struct(F.array_position(karr, F.col(fr2.index_cols[0])),
+                                  F.col(_OC)))
+                out = fr2._subset_rows(sdf, has_order=True).select_positions(col_pos)
         elif isinstance(row_key, slice):
             # label slice: inclusive both ends; datetime indexes accept
             # pandas partial-string bounds ("2024-01" spans the whole month)

@@ -232,6 +232,13 @@ class Series:
             return self._frame.project([lbl], [e])
         return self._frame.project([lbl], [self._expr])
 
+    def to_csv(self, path=None, **kw):
+        """pandas Series.to_csv: no path -> the CSV string (driver-bound by
+        contract, full pandas kwargs); a path -> the distributed frame sink."""
+        if path is None:
+            return self.to_pandas().to_csv(**kw)
+        return self.to_frame(self._name if self._name is not None else 0).to_csv(path, **kw)
+
     def to_frame(self, name=None):
         from modin_spark.pandas.dataframe import DataFrame
 
@@ -428,19 +435,37 @@ class Series:
 
         return self._binary(other, wrapped, reverse=reverse)
 
+    def _anchored_offset(self, o, sub: bool = False) -> "Series":
+        """Anchored pandas offsets (MonthEnd, QuarterBegin, Week(weekday=),
+        ...) have calendar roll semantics no interval literal expresses —
+        one Arrow-vectorized pandas_udf applies the offset per batch."""
+        from pyspark.sql import types as T
+
+        @F.pandas_udf(T.TimestampType())
+        def f(s: pd.Series) -> pd.Series:
+            return (s - o) if sub else (s + o)
+
+        return self._map1(lambda c: f(c))
+
     def __add__(self, o):
         if _is_plain_dateoffset(o):
             return self._map1(lambda c: c + _dateoffset_interval(o))
+        if isinstance(o, pd.tseries.offsets.BaseOffset):
+            return self._anchored_offset(o)
         return self._binary(o, lambda a, b: a + b)
 
     def __radd__(self, o):
         if _is_plain_dateoffset(o):
             return self._map1(lambda c: c + _dateoffset_interval(o))
+        if isinstance(o, pd.tseries.offsets.BaseOffset):
+            return self._anchored_offset(o)
         return self._binary(o, lambda a, b: a + b, reverse=True)
 
     def __sub__(self, o):
         if _is_plain_dateoffset(o):
             return self._map1(lambda c: c - _dateoffset_interval(o))
+        if isinstance(o, pd.tseries.offsets.BaseOffset):
+            return self._anchored_offset(o, sub=True)
         return self._binary(o, lambda a, b: a - b)
 
     def __rsub__(self, o):
