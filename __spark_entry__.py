@@ -335,6 +335,33 @@ def _rolling_mean(spark, sf):
     return out.to_spark(ordered=False)
 
 
+def _rolling_pair_corr(spark, sf):
+    """rolling(7).corr(other) pair — k F.corr window aggregates in ONE
+    block+halo pass (core.windows.rolling_pair), pairwise-complete
+    min_periods gating (pandas semantics; r12 wave 39)."""
+    mpd = _mpd()
+    ev = mpd.read_parquet(f"{sf}/events.parquet").sort_values("event_id")
+    x = ev["value"]
+    y = x.shift(1)
+    r = x.rolling(7).corr(y)
+    out = ev[["event_id"]]
+    out["pair_corr"] = _r(r.fillna(-9.0), 4)
+    return out.to_spark(ordered=False)
+
+
+def _expanding_pair_cov(spark, sf):
+    """expanding().cov(other) — algebraic pairwise carries over blocks
+    (core.windows.expanding_pair), no global window."""
+    mpd = _mpd()
+    ev = mpd.read_parquet(f"{sf}/events.parquet").sort_values("event_id")
+    x = ev["value"]
+    y = x.shift(2)
+    r = x.expanding(min_periods=3).cov(y)
+    out = ev[["event_id"]]
+    out["exp_cov"] = _r(r.fillna(-9.0), 3)
+    return out.to_spark(ordered=False)
+
+
 def _rank_min(spark, sf):
     mpd = _mpd()
     orders = mpd.read_parquet(f"{sf}/orders.parquet")
@@ -2279,6 +2306,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_mean": _rolling_mean,
         "rolling_corr_pair": _rolling_corr_pair,
         "rolling_time_sum": _rolling_time_sum,
+        "rolling_pair_corr": _rolling_pair_corr,
+        "expanding_pair_cov": _expanding_pair_cov,
         "grouped_rolling_time": _grouped_rolling_time,
         "polars_pipeline": _polars_pipeline,
         "ewm_mean": _ewm_mean,
@@ -2978,6 +3007,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey,
                    RANK() OVER (ORDER BY o_totalprice) AS price_rank
             FROM orders
+        """,
+        "rolling_pair_corr": """
+            WITH lagged AS (
+                SELECT event_id, value,
+                       LAG(value) OVER (ORDER BY event_id) AS lv
+                FROM events
+            )
+            SELECT event_id,
+                   ROUND(COALESCE(CASE WHEN SUM(CASE WHEN value IS NOT NULL AND lv IS NOT NULL THEN 1 ELSE 0 END)
+                                        OVER (ORDER BY event_id ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) >= 7
+                         THEN CORR(value, lv) OVER (ORDER BY event_id ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                         END, -9.0), 4) AS pair_corr
+            FROM lagged
+        """,
+        "expanding_pair_cov": """
+            WITH lagged AS (
+                SELECT event_id, value,
+                       LAG(value, 2) OVER (ORDER BY event_id) AS lv
+                FROM events
+            )
+            SELECT event_id,
+                   ROUND(COALESCE(CASE WHEN SUM(CASE WHEN value IS NOT NULL AND lv IS NOT NULL THEN 1 ELSE 0 END)
+                                        OVER (ORDER BY event_id ROWS UNBOUNDED PRECEDING) >= 3
+                         THEN COVAR_SAMP(CASE WHEN lv IS NOT NULL THEN value END, lv)
+                              OVER (ORDER BY event_id ROWS UNBOUNDED PRECEDING)
+                         END, -9.0), 3) AS exp_cov
+            FROM lagged
         """,
         "str_funcs": """
             SELECT c_custkey,
