@@ -823,6 +823,18 @@ def _docs_token_stats(spark, sf):
     return docs.select("doc_id", token_count(F.col("text"), "whitespace").alias("n_tokens"))
 
 
+def _docs_normalize_text(spark, sf):
+    """Corpus text normalization (operators/text.py normalize_text): control
+    strip + whitespace collapse, pure codegen — per-doc normalized length
+    and changed flag."""
+    from modin_spark.operators.text import normalize_text
+
+    docs = _rp(spark, f"{sf}/documents.parquet")
+    out = normalize_text(docs, "text")
+    return out.select("doc_id", F.length(F.col("text_norm")).alias("norm_len"),
+                      F.col("changed"))
+
+
 def _docs_norm_distinct(spark, sf):
     docs = _rp(spark, f"{sf}/documents.parquet")
     norm = F.trim(F.regexp_replace(F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9\s]", " "), r"\s+", " "))
@@ -2368,6 +2380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "concat_union": _concat_union,
         "cube_agg": _cube_agg,
         "docs_token_stats": _docs_token_stats,
+        "docs_normalize_text": _docs_normalize_text,
         "dot_product": _dot_product,
         "query_eval": _query_eval,
         "sql_interface": _sql_interface,
@@ -3268,6 +3281,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    LEN(LIST_FILTER(STRING_SPLIT_REGEX(text, '\\s+'), x -> x <> '')) AS n_tokens
             FROM documents
+        """,
+        "docs_normalize_text": """
+            WITH n AS (
+                SELECT doc_id, text,
+                       TRIM(REGEXP_REPLACE(
+                           REGEXP_REPLACE(text, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'),
+                           '[ \\t]+', ' ', 'g')) AS tn
+                FROM documents
+            )
+            SELECT doc_id, LENGTH(tn) AS norm_len,
+                   CASE WHEN tn <> text THEN 1 ELSE 0 END AS changed
+            FROM n
         """,
         "docs_norm_distinct": """
             SELECT COUNT(*) AS n_distinct FROM (

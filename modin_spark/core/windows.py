@@ -321,23 +321,13 @@ def rolling_quantile(frame, positions, window, q, min_periods=None, group_phys=N
     return rolling_agg(frame, positions, window, "quantile", min_periods, group_phys, q=q, center=center)
 
 
-def rolling_apply(frame, positions, window, func, min_periods=None, center=False,
-                  raw=False):
-    """rolling(w).apply(func) — collect_list over the block-halo window, then
-    one Arrow-vectorized pandas_udf over the window arrays (the documented
-    slow path; every built-in agg should use rolling_agg instead).
-
-    pandas semantics (r11): func sees the window INCLUDING NaN cells (nulls
-    are NaN-coded before collect_list, which would otherwise drop them);
-    ``min_periods`` gates on the NON-NaN count; ``raw=False`` (the pandas
-    default) hands func a pandas Series per window, ``raw=True`` an ndarray.
-    With raw=True, NaN-free full windows are stacked into ONE (n, w) matrix
-    so a numpy-reducible func runs once per batch, not once per row."""
+def _rolling_apply_udf(window, func, min_periods, raw):
+    """The batched rolling-apply evaluator shared by the blocked (ungrouped)
+    and key-partitioned (grouped) paths: NaN-coded window arrays in, one
+    double per row out; raw=True NaN-free full windows stack into ONE (n, w)
+    matrix so a numpy-reducible func runs once per batch, not once per row."""
     import numpy as np
     from pyspark.sql import types as T
-
-    if min_periods is None:
-        min_periods = window
 
     @F.pandas_udf(T.DoubleType())
     def _apply(arrs: pd.Series) -> pd.Series:
@@ -366,6 +356,52 @@ def rolling_apply(frame, positions, window, func, min_periods=None, center=False
             out[i] = float(func(arg))
         return pd.Series(out, dtype="float64")
 
+    return _apply
+
+
+def grouped_rolling_apply(frame: SparkFrame, positions: Sequence[int],
+                          group_phys: Sequence[str], window, func,
+                          min_periods=None, center: bool = False,
+                          raw: bool = False) -> SparkFrame:
+    """groupby().rolling(w).apply(func) — a plain key-partitioned window
+    (the keys already partition; no halo needed) + collect_list + the same
+    batched udf as rolling_apply.  Shuffle-parallel across key ranges, NOT
+    one-task-per-group (pandas inside applyInPandas was measured mildly
+    superlinear at 10M rows / few groups: parallelism was #groups)."""
+    if min_periods is None:
+        min_periods = window
+    frame2 = frame.ensure_order()
+    phys = [frame2.data_cols[i] for i in positions]
+    labels = [frame2.columns[i] for i in positions]
+    back, fwd = _center_extents(window, center)
+    w = (Window.partitionBy(*[F.col(k) for k in group_phys])
+         .orderBy(F.col(ORDER_COL)).rowsBetween(-back, fwd))
+    _apply = _rolling_apply_udf(window, func, min_periods, raw)
+    sdf = frame2.sdf
+    out_phys = fresh_names(len(phys))
+    for p, op_ in zip(phys, out_phys):
+        arr = F.collect_list(
+            F.coalesce(F.col(p).cast("double"), F.lit(float("nan")))
+        ).over(w)
+        sdf = sdf.withColumn(op_, _apply(arr))
+    return frame2._same_rows(sdf).project(labels, [F.col(op_) for op_ in out_phys])
+
+
+def rolling_apply(frame, positions, window, func, min_periods=None, center=False,
+                  raw=False):
+    """rolling(w).apply(func) — collect_list over the block-halo window, then
+    one Arrow-vectorized pandas_udf over the window arrays (the documented
+    slow path; every built-in agg should use rolling_agg instead).
+
+    pandas semantics (r11): func sees the window INCLUDING NaN cells (nulls
+    are NaN-coded before collect_list, which would otherwise drop them);
+    ``min_periods`` gates on the NON-NaN count; ``raw=False`` (the pandas
+    default) hands func a pandas Series per window, ``raw=True`` an ndarray.
+    With raw=True, NaN-free full windows are stacked into ONE (n, w) matrix
+    so a numpy-reducible func runs once per batch, not once per row."""
+    if min_periods is None:
+        min_periods = window
+    _apply = _rolling_apply_udf(window, func, min_periods, raw)
     frame2 = frame.ensure_order()
     phys = [frame2.data_cols[i] for i in positions]
     labels = [frame2.columns[i] for i in positions]

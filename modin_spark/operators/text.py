@@ -107,6 +107,22 @@ def pii_scrub(df: SDF, text_col: str = "text", replacement: str = "[PII]") -> SD
     return out.withColumn(f"{text_col}_scrubbed", cleaned)
 
 
+def normalize_text(df: SDF, text_col: str = "text") -> SDF:
+    """Corpus text normalization (the pre-tokenization cleanup every
+    training pipeline runs): control-character strip (keeps \\n and \\t)
+    and horizontal-whitespace collapse with trim. Pure codegen expressions
+    (one regexp chain per row) — scan speed at 100 TB. Unicode NFC is NOT
+    included: Spark has no JVM-side normalizer, and a per-row Python
+    unicodedata pass would put the hot loop off the codegen path (declared
+    scope cut — run it at ingest if the source needs it).
+    Adds ``{text_col}_norm`` plus a ``changed`` flag for audit sampling."""
+    t = F.col(text_col)
+    norm = F.regexp_replace(t, r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]", "")
+    norm = F.trim(F.regexp_replace(norm, r"[ \t]+", " "))
+    out = df.withColumn(f"{text_col}_norm", norm)
+    return out.withColumn("changed", (F.col(f"{text_col}_norm") != t).cast("int"))
+
+
 def repetition_stats(df: SDF, text_col: str = "text") -> SDF:
     """Per-document repetition signals for corpus filtering: word count,
     unique-word ratio (low => boilerplate/spam), duplicate-line fraction.

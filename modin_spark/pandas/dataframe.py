@@ -1228,7 +1228,11 @@ class DataFrame:
             return DataFrame(_frame=nf)
         return DataFrame(_frame=fr.set_index_from_columns(keys, drop))
 
-    def reset_index(self, drop=False, level=None, names=None) -> "DataFrame":
+    def reset_index(self, level=None, drop=False, names=None) -> "DataFrame":
+        # pandas positional order: reset_index(level, drop); a positional
+        # bool first arg is the old (drop-first) call shape — honor it
+        if isinstance(level, bool):
+            level, drop = None, level
         nat = _native.maybe(self, "reset_index", drop=drop, level=level, names=names)
         if nat is not None:
             return nat
@@ -1296,7 +1300,23 @@ class DataFrame:
                     continue
                 if g.key is None:
                     if g.freq is None and g.level is not None:
-                        return self.groupby(level=g.level, as_index=as_index, dropna=dropna, sort=sort)
+                        if len(by) == 1 if isinstance(by, (list, tuple)) else True:
+                            return self.groupby(level=g.level, as_index=as_index,
+                                                dropna=dropna, sort=sort)
+                        # mixed Grouper(level=) + column keys: surface the
+                        # level as a key column (metadata-only projection)
+                        fr0 = target._frame
+                        lv = (g.level if isinstance(g.level, int)
+                              else list(fr0.index_names).index(g.level))
+                        lbl = (fr0.index_names[lv] if fr0.index_names[lv] is not None
+                               else f"level_{lv}")
+                        nf = fr0._same_rows(
+                            fr0.sdf,
+                            columns=pd.Index(list(fr0.columns) + [lbl]),
+                            data_cols=list(fr0.data_cols) + [fr0.index_cols[lv]])
+                        target = DataFrame(_frame=nf)
+                        keys.append(lbl)
+                        continue
                     raise NotImplementedError("Grouper(freq=...) requires key= here")
                 if g.freq is None:
                     keys.append(g.key)
@@ -3599,12 +3619,21 @@ class DataFrame:
 
             from pyspark.sql import types as T
 
-            if result_type == "expand":
-                # list-returning func expands to k columns: the udf returns
-                # ONE array column, the projection fans it out — still a
-                # single vectorized pass, no shuffle
-                exp_sample = sample.apply(func, axis=1, result_type="expand")
-                out_labels = list(exp_sample.columns)
+            probe = sample.apply(func, axis=1)
+            if result_type == "expand" or isinstance(probe, pd.DataFrame):
+                # list- or Series-returning func expands to k columns: the
+                # udf returns ONE array column, the projection fans it out —
+                # still a single vectorized pass, no shuffle.  A Series
+                # result's index becomes the output columns (pandas infers
+                # expansion; column set fixed by the driver sample).
+                if isinstance(probe, pd.DataFrame) and result_type != "expand":
+                    exp_sample = probe
+                    out_labels = list(exp_sample.columns)
+                    inner0 = func
+                    func = lambda r, _f=inner0, _c=out_labels: _f(r).reindex(_c)
+                else:
+                    exp_sample = sample.apply(func, axis=1, result_type="expand")
+                    out_labels = list(exp_sample.columns)
                 el_t = pandas_dtype_to_spark(
                     exp_sample.dtypes.iloc[0] if len(exp_sample.columns) else np.dtype("float64")
                 )
@@ -3619,7 +3648,7 @@ class DataFrame:
                 arr = base.scol(0)
                 out = base.project(out_labels, [F.element_at(arr, i + 1) for i in range(len(out_labels))])
                 return DataFrame(_frame=out)
-            out_sample = sample.apply(func, axis=1)
+            out_sample = probe
             out_t = pandas_dtype_to_spark(out_sample.dtype)
 
             @F.pandas_udf(out_t)
@@ -4593,6 +4622,12 @@ class DataFrame:
         (method dispatch — abs/sqrt/cumsum/... are Catalyst projections);
         arbitrary callables use the Arrow map path; a LIST yields pandas'
         (column, func) MultiIndex columns via one aligned axis-1 concat."""
+        if isinstance(func, dict):
+            # pandas: {column: func} transforms each named column
+            from modin_spark.pandas.general import concat as _concat
+
+            parts = [self[[c]].transform(fn) for c, fn in func.items()]
+            return _concat(parts, axis=1) if len(parts) > 1 else parts[0]
         if isinstance(func, list):
             from modin_spark.pandas.general import concat as _concat
 

@@ -982,6 +982,7 @@ class SeriesGroupBy:
                                   self._g._dropna, self._g._sort,
                                   group_keys=getattr(self._g, "_group_keys", True))
             g2._value_labels = [self._col]
+            g2._scalar_selection = True  # gb["col"], not gb[["col"]]
             g2._unobserved_dtype = self._g._unobserved_dtype
             return g2
         # standalone series groupby: build a 2-col frame
@@ -1092,18 +1093,21 @@ def _g_indices(self):
 
 def _g_describe(self):
     """Per-group describe: one groupBy computing all 8 stats per numeric
-    column (single shuffle, partial+final agg)."""
+    column (single shuffle, partial+final agg). A single narrowed column
+    (SeriesGroupBy.describe) gets pandas' FLAT stat columns."""
     from modin_spark.pandas.dataframe import DataFrame
 
+    vals = self._value_positions(numeric_only=True)
+    flat = getattr(self, "_scalar_selection", False) and len(vals) == 1
     entries = []
-    for lbl, i in self._value_positions(numeric_only=True):
+    for lbl, i in vals:
         for stat, fn, kw in [
             ("count", "count", {}), ("mean", "mean", {}), ("std", "std", {}),
             ("min", "min", {}), ("25%", "quantile", {"q": 0.25}),
             ("50%", "quantile", {"q": 0.5}), ("75%", "quantile", {"q": 0.75}),
             ("max", "max", {}),
         ]:
-            entries.append(((lbl, stat), i, fn, kw))
+            entries.append((stat if flat else (lbl, stat), i, fn, kw))
     out = qc.groupby_agg(
         self._df._frame, self._by_pos, entries, as_index=self._as_index,
         dropna=self._dropna, sort=self._sort,
@@ -1120,7 +1124,21 @@ def _g_value_counts(self, sort: bool = True, ascending: bool = False, normalize:
     )
     s = sub.size()
     if normalize:
-        raise NotImplementedError("value_counts(normalize=True) on groupby")
+        # proportion within each GROUP: one key-partitioned window over the
+        # already-aggregated (keys, values, count) rows — no extra shuffle
+        # class (the window partitions on a prefix of the aggregate keys)
+        from pyspark.sql.window import Window
+
+        fr = s._to_frame("__vc__")
+        nby = len(self._by_labels)
+        w = Window.partitionBy(*[F.col(c) for c in fr.index_cols[:nby]])
+        expr = fr.scol(0).cast("double") / F.sum(fr.scol(0)).over(w)
+        out = fr.project(["proportion"], [expr])
+        s = Series._from_frame(out)
+        if sort:
+            s = s.sort_values(ascending=ascending)
+        s._name = "proportion"
+        return s
     if sort:
         s = s.sort_values(ascending=ascending)
     s._name = "count"  # pandas 2.x: groupby.value_counts is named 'count'

@@ -324,6 +324,38 @@ class LocIndexer:
         elif isinstance(key, tuple) and len(key) == 2 and callable(key[0]):
             key = (key[0](self._df), key[1])
         fr = self._df._frame
+        # pd.IndexSlice row keys: a full-depth tuple with slice/list elements
+        # compiles to one conjunctive filter over the level columns (all
+        # levels stay in the result index, pandas semantics)
+        rk = key[0] if (isinstance(key, tuple) and len(key) == 2
+                        and isinstance(key[0], tuple)) else key
+        if (isinstance(rk, tuple) and len(fr.index_cols) > 1
+                and len(rk) == len(fr.index_cols)
+                and any(isinstance(k, (slice, list)) for k in rk)
+                and all(not isinstance(k, Series) for k in rk)):
+            cond = None
+            for c, k in zip(fr.index_cols, rk):
+                if isinstance(k, slice):
+                    if k.start is None and k.stop is None:
+                        continue
+                    e = F.lit(True)
+                    if k.start is not None:
+                        e = e & (F.col(c) >= F.lit(k.start))
+                    if k.stop is not None:
+                        e = e & (F.col(c) <= F.lit(k.stop))
+                elif isinstance(k, list):
+                    e = F.col(c).isin(k)
+                else:
+                    e = F.col(c) == F.lit(k)
+                cond = e if cond is None else (cond & e)
+            from modin_spark.pandas.dataframe import DataFrame as _DF
+
+            filtered = _DF(_frame=fr if cond is None else fr.filter(cond))
+            if rk is not key and not (isinstance(key[1], slice) and key[1] == slice(None)):
+                if isinstance(key[1], (list, slice)):
+                    return filtered.loc[:, key[1]]
+                return filtered[key[1]]  # scalar column -> Series
+            return filtered
         # full-depth MultiIndex row label: loc[(k1, k2)] on a 2-level index
         # (reference keeps the whole MultiIndex in pandas partitions; here the
         # levels are ordinary key columns, so the lookup is a conjunctive
@@ -344,6 +376,17 @@ class LocIndexer:
                 cond = e if cond is None else (cond & e)
             out = fr.filter(cond)
             if len(key) == len(fr.index_cols):
+                # pandas: a UNIQUE full-depth match is the ROW as a Series
+                # (point lookup — inherently a driver materialization, same
+                # eager contract as .at); duplicate matches stay a frame
+                pdf = DataFrame(_frame=out._same_rows(
+                    out.sdf, index_cols=[], index_names=[None])).to_pandas()
+                if len(pdf) == 1:
+                    row = pdf.iloc[0]
+                    row.name = key
+                    return row
+                if len(pdf) == 0:
+                    raise KeyError(key)
                 out = out._same_rows(out.sdf, index_cols=[], index_names=[None])
             else:
                 # PARTIAL tuple: the matched leading levels drop out of the

@@ -1020,6 +1020,12 @@ class Series:
     def agg(self, func):
         if isinstance(func, str):
             return self._reduce(func)
+        if isinstance(func, dict):
+            # pandas: {out_label: agg} -> Series indexed by the out labels
+            out = {}
+            for k, f in func.items():
+                out[k] = self._reduce(f) if isinstance(f, str) else self.agg(f)
+            return pd.Series(out, name=self._name)
         if isinstance(func, (list, tuple)):
             out = {}
             for f in func:

@@ -571,26 +571,26 @@ class GroupRolling:
         return DataFrame(_frame=nf)
 
     def apply(self, func, raw=False, args=(), kwargs=None):
-        """groupby.rolling.apply — exact pandas rolling apply inside each
-        group's applyInPandas task (the keys partition the work; same
-        groups-fit-in-a-task contract as groupby.apply)."""
+        """groupby.rolling.apply — key-partitioned window + collect_list +
+        the batched rolling-apply udf (shuffle-parallel across key ranges,
+        not one-task-per-group; raw=True numpy funcs get the stacked
+        matrix fast path)."""
         from modin_spark.pandas.dataframe import DataFrame
 
         if isinstance(self._window, str) or self._on is not None:
             raise NotImplementedError("groupby.rolling(...).apply with an offset window / on=")
+        if self._closed not in (None, "right"):
+            raise NotImplementedError("groupby.rolling(...).apply with closed=")
         g = self._g
         fr = g._df._frame
         keys = [fr.data_cols[i] for i in g._by_pos]
         val_pos = [i for _, i in g._value_positions(numeric_only=True)]
-        w, mp, c, cl = self._window, self._min_periods, self._center, self._closed
-        kw = dict(kwargs or {})
-        a = tuple(args)
-
-        def pd_fn(sub, _f=func):
-            return sub.rolling(w, min_periods=mp, center=c, closed=cl).apply(
-                _f, raw=raw, args=a, kwargs=kw)
-
-        out = win.grouped_pandas_transform(fr, val_pos, keys, pd_fn)
+        if args or kwargs:
+            inner = func
+            func = lambda x, _f=inner, _a=tuple(args), _k=dict(kwargs or {}): _f(x, *_a, **_k)
+        out = win.grouped_rolling_apply(fr, val_pos, keys, self._window, func,
+                                        self._min_periods, center=self._center,
+                                        raw=raw)
         nf = _group_window_finish(g, fr, out)
         if getattr(self, "_as_series", False) and len(nf.data_cols) == 1:
             return Series._from_frame(nf)

@@ -576,3 +576,22 @@ def test_real_image_meta_from_png_header(spark):
     raw = make_synthetic_media(spark, n=3, kind="raw")
     meta2 = attach_image_meta(raw).collect()
     assert all(r["meta"]["format"] == "unknown" and r["meta"]["width"] >= 32 for r in meta2)
+
+
+def test_normalize_text(spark):
+    from modin_spark.operators.text import normalize_text
+
+    df = spark.createDataFrame(
+        [
+            (1, "hello\x00 world\x07  with   runs\t\tand tabs "),
+            (2, "already clean"),
+            (3, "line\nbreaks\tsurvive"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in normalize_text(df).collect()}
+    assert out[1]["text_norm"] == "hello world with runs and tabs"
+    assert out[1]["changed"] == 1
+    assert out[2]["text_norm"] == "already clean" and out[2]["changed"] == 0
+    # \n survives the control strip, \t collapses into the space run
+    assert "\n" in out[3]["text_norm"]

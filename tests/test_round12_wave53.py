@@ -1,0 +1,57 @@
+"""Probe wave 53 (round 12): pd.IndexSlice row keys (conjunctive
+level-column filters), loc full-depth tuple returns the row Series (unique
+match) / KeyError (no match), reset_index pandas positional order
+(level first), Grouper(level=) mixed with column keys."""
+
+import pandas as pd
+import pytest
+
+import modin_spark.pandas as mpd
+
+
+def _pair():
+    d = {"g": ["x", "x", "y", "y"], "h": ["p", "q", "p", "q"],
+         "a": [1.0, 2.0, 3.0, 4.0]}
+    return (pd.DataFrame(d).set_index(["g", "h"]),
+            mpd.DataFrame(d).set_index(["g", "h"]))
+
+
+def _eqf(got, exp):
+    pd.testing.assert_frame_equal(got.to_pandas() if hasattr(got, "to_pandas") else got,
+                                  exp, check_dtype=False, check_index_type=False)
+
+
+def _eqs(got, exp):
+    pd.testing.assert_series_equal(got.to_pandas() if hasattr(got, "to_pandas") else got,
+                                   exp, check_dtype=False, check_index_type=False)
+
+
+def test_index_slice():
+    P, M = _pair()
+    idx = pd.IndexSlice
+    _eqf(M.loc[idx[:, "p"], :], P.loc[idx[:, "p"], :])
+    _eqf(M.loc[idx[["x"], :], :], P.loc[idx[["x"], :], :])
+    _eqs(M.loc[idx[:, "q"], "a"], P.loc[idx[:, "q"], "a"])
+    _eqf(M.sort_index().loc[idx["x":"y", ["p"]], :],
+         P.sort_index().loc[idx["x":"y", ["p"]], :])
+
+
+def test_loc_full_tuple_row_series():
+    P, M = _pair()
+    _eqs(M.loc[("x", "p")], P.loc[("x", "p")])
+    _eqf(M.loc[("x",)], P.loc[("x",)])
+    with pytest.raises(KeyError):
+        M.loc[("zz", "p")]
+
+
+def test_reset_index_positional_level():
+    P, M = _pair()
+    _eqf(M.reset_index(["h"]), P.reset_index(["h"]))
+    _eqf(M.reset_index("g"), P.reset_index("g"))
+    _eqf(M.reset_index(drop=True), P.reset_index(drop=True))
+
+
+def test_grouper_level_mixed_with_column():
+    P, M = _pair()
+    _eqs(M.reset_index("h").groupby([mpd.Grouper(level="g"), "h"])["a"].sum(),
+         P.reset_index("h").groupby([pd.Grouper(level="g"), "h"])["a"].sum())
