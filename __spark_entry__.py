@@ -2263,10 +2263,14 @@ _R12_PREFIX = [
     "docs_fingerprint", "docs_langid_quality", "docs_clean_corpus",
     "docs_minhash_dedup", "docs_ngram_dedup", "docs_simhash_dedup",
     "emb_cosine_dedup",
-    # (b) round-10-scored rows on r12-changed machinery
-    "concat_union", "concat_cols_aligned", "case_when", "where_clip",
-    "str_funcs", "crosstab_counts", "mode_quantity", "resample_hourly",
-    "resample_ffill", "resample_interp",
+    # (b) rows on machinery changed in the r12 CONTINUATION session: the
+    # new pairwise-window queries + text normalize, binary alignment
+    # (dot_product: cross-series arithmetic), loc/iloc list-and-slice paths,
+    # reset_index signature, MultiIndex agg columns, resample.apply family,
+    # explode labels (explode_words already in (a)), concat label union
+    "rolling_pair_corr", "expanding_pair_cov", "docs_normalize_text",
+    "iloc_slice", "reset_index_roundtrip", "dot_product",
+    "multiindex_cols_agg", "resample_hourly", "concat_union", "case_when",
 ]
 
 

@@ -252,9 +252,15 @@ class LocIndexer:
                 from modin_spark.pandas.io import from_pandas
 
                 if not fr.index_cols and int(row_key) != fr.count_rows():
-                    raise NotImplementedError(
-                        "loc enlargement on a default index requires the "
-                        "next positional label")
+                    # gap label ([0,1] -> [0,1,5]): pandas enlarges anyway —
+                    # materialize the positional labels as an index level
+                    # first, then the labeled append below applies
+                    from modin_spark.core.frame import fresh_names as _fnm
+
+                    lc = _fnm(1)[0]
+                    base = fr.with_pandas_labels(lc)
+                    fr = base._same_rows(base.sdf, index_cols=[lc], index_names=[None])
+                    self._df._frame = fr
                 row = _pd.DataFrame(
                     [[_np.nan] * len(fr.columns)], columns=list(fr.columns),
                     index=_pd.Index([row_key],

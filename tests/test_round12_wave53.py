@@ -55,3 +55,11 @@ def test_grouper_level_mixed_with_column():
     P, M = _pair()
     _eqs(M.reset_index("h").groupby([mpd.Grouper(level="g"), "h"])["a"].sum(),
          P.reset_index("h").groupby([pd.Grouper(level="g"), "h"])["a"].sum())
+
+
+def test_loc_gap_label_enlargement():
+    m = mpd.DataFrame({"a": [1.0, 2.0]})
+    m.loc[5, "a"] = 9.0
+    p = pd.DataFrame({"a": [1.0, 2.0]})
+    p.loc[5, "a"] = 9.0
+    _eqf(m, p)
