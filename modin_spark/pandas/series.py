@@ -186,6 +186,9 @@ class Series:
         if getattr(ps.dtype, "name", "") in _MASKED_EXT_NAMES:
             s._ext_dtype = ps.dtype
             s._post_to_pandas = lambda x, _d=ps.dtype: x.astype(_d)
+        elif isinstance(ps.dtype, pd.CategoricalDtype):
+            s._cat_dtype = ps.dtype
+            s._post_to_pandas = lambda x, _d=ps.dtype: x.astype(_d)
         return s
 
     def _rewrap(self, fr: SparkFrame) -> "Series":
@@ -1903,8 +1906,21 @@ class CategoricalMethods:
     def __init__(self, s: Series):
         self._s = s
 
+    def _dtype(self) -> pd.CategoricalDtype | None:
+        """The declared CategoricalDtype when ingest recorded one (storage is
+        plain string; the category SET/order ride the wrapper)."""
+        return getattr(self._s, "_cat_dtype", None)
+
+    def _with_dtype(self, s: Series, dt: pd.CategoricalDtype) -> Series:
+        s._cat_dtype = dt
+        s._post_to_pandas = lambda x, _d=dt: x.astype(_d)
+        return s
+
     @property
     def categories(self) -> pd.Index:
+        dt = self._dtype()
+        if dt is not None:
+            return dt.categories
         vals = self._s._frame.sdf.select(self._s._expr.alias("__c__")).where(
             F.col("__c__").isNotNull()
         ).distinct().orderBy("__c__").collect()
@@ -1913,6 +1929,14 @@ class CategoricalMethods:
     @property
     def codes(self) -> Series:
         s = self._s
+        dt = self._dtype()
+        if dt is not None:
+            # declared category ORDER defines the codes (pandas) — a bounded
+            # array literal lookup, no distinct pass
+            arr = F.array(*[F.lit(c) for c in dt.categories])
+            pos = F.array_position(arr, s._expr).cast("short")
+            expr = F.when(s._expr.isNull() | (pos == 0), F.lit(-1).cast("short")).otherwise(pos - 1)
+            return Series(s._frame, expr, set(s._refs), s._name)
         distinct = s._frame.sdf.select(s._expr.alias("__cv__")).where(F.col("__cv__").isNotNull()).distinct()
         from pyspark.sql.window import Window as W
 
@@ -1926,8 +1950,8 @@ class CategoricalMethods:
 
     @property
     def ordered(self) -> bool:
-        # category dictionaries here are always the sorted distinct values
-        return False
+        dt = self._dtype()
+        return bool(dt.ordered) if dt is not None else False
 
     def rename_categories(self, mapping) -> Series:
         """Relabel category values (a plain value map over the column)."""
@@ -1941,35 +1965,76 @@ class CategoricalMethods:
                 s._expr == F.lit(old), F.lit(new)
             )
         expr = expr.otherwise(s._expr)
-        return Series(s._frame, expr, set(s._refs), s._name)
+        out = Series(s._frame, expr, set(s._refs), s._name)
+        dt = self._dtype()
+        if dt is not None:
+            out = self._with_dtype(out, pd.CategoricalDtype(
+                [mapping.get(c, c) for c in dt.categories], ordered=dt.ordered))
+        return out
 
     def add_categories(self, new_categories) -> Series:
-        # dictionary is derived from the data; unused categories are a no-op
-        return self._s
+        dt = self._dtype()
+        new = (list(new_categories)
+               if isinstance(new_categories, (list, tuple, set, pd.Index))
+               else [new_categories])
+        s = self._s
+        out = Series(s._frame, s._expr, set(s._refs), s._name)
+        if dt is not None:
+            return self._with_dtype(out, pd.CategoricalDtype(
+                list(dt.categories) + new, ordered=dt.ordered))
+        # dictionary otherwise derives from the data; unused cats are a no-op
+        return out
 
     def remove_unused_categories(self) -> Series:
-        return self._s
+        dt = self._dtype()
+        s = self._s
+        if dt is None:
+            return s
+        observed = {r["__c__"] for r in s._frame.sdf.select(s._expr.alias("__c__"))
+                    .where(F.col("__c__").isNotNull()).distinct().collect()}
+        out = Series(s._frame, s._expr, set(s._refs), s._name)
+        return self._with_dtype(out, pd.CategoricalDtype(
+            [c for c in dt.categories if c in observed], ordered=dt.ordered))
 
     def remove_categories(self, removals) -> Series:
         """pandas: values in removed categories become NaN."""
         s = self._s
         rem = list(removals) if isinstance(removals, (list, tuple, set, pd.Index)) else [removals]
-        return Series(s._frame, F.when(~s._expr.isin(rem), s._expr), s._refs, s._name)
+        out = Series(s._frame, F.when(~s._expr.isin(rem), s._expr), s._refs, s._name)
+        dt = self._dtype()
+        if dt is not None:
+            out = self._with_dtype(out, pd.CategoricalDtype(
+                [c for c in dt.categories if c not in set(rem)], ordered=dt.ordered))
+        return out
 
     def as_ordered(self) -> Series:
-        # dictionaries here are always the sorted distinct values, so the
-        # ordered flag only affects comparison/min/max — which already use
-        # the sorted order; the column itself is unchanged
-        return self._s
+        s = self._s
+        out = Series(s._frame, s._expr, set(s._refs), s._name)
+        dt = self._dtype()
+        cats = list(dt.categories) if dt is not None else list(self.categories)
+        return self._with_dtype(out, pd.CategoricalDtype(cats, ordered=True))
 
     def as_unordered(self) -> Series:
-        return self._s
+        s = self._s
+        out = Series(s._frame, s._expr, set(s._refs), s._name)
+        dt = self._dtype()
+        if dt is None:
+            return s
+        return self._with_dtype(out, pd.CategoricalDtype(list(dt.categories), ordered=False))
+
+    def reorder_categories(self, new_categories, ordered=None) -> Series:
+        dt = self._dtype()
+        s = self._s
+        out = Series(s._frame, s._expr, set(s._refs), s._name)
+        ordered = (dt.ordered if dt is not None else False) if ordered is None else ordered
+        return self._with_dtype(out, pd.CategoricalDtype(list(new_categories), ordered=ordered))
 
     def set_categories(self, new_categories, ordered=False) -> Series:
         """Values outside the new dictionary become NaN (pandas)."""
         s = self._s
         keep = list(new_categories)
-        return Series(s._frame, F.when(s._expr.isin(keep), s._expr), s._refs, s._name)
+        out = Series(s._frame, F.when(s._expr.isin(keep), s._expr), s._refs, s._name)
+        return self._with_dtype(out, pd.CategoricalDtype(keep, ordered=ordered))
 
     def reorder_categories(self, new_categories, ordered=False) -> Series:
         return self.set_categories(new_categories, ordered)
