@@ -2946,10 +2946,14 @@ class DataFrame:
             return DataFrame(_frame=self._frame.select_positions(pos))
         return self.iloc[list(indices)]
 
-    def add_prefix(self, prefix: str) -> "DataFrame":
+    def add_prefix(self, prefix: str, axis=None) -> "DataFrame":
+        if axis in (0, "index"):
+            return self.rename(index=lambda i: f"{prefix}{i}")
         return self.rename(columns={c: f"{prefix}{c}" for c in self.columns})
 
-    def add_suffix(self, suffix: str) -> "DataFrame":
+    def add_suffix(self, suffix: str, axis=None) -> "DataFrame":
+        if axis in (0, "index"):
+            return self.rename(index=lambda i: f"{i}{suffix}")
         return self.rename(columns={c: f"{c}{suffix}" for c in self.columns})
 
     def squeeze(self, axis=None):

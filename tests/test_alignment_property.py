@@ -58,3 +58,30 @@ def test_cross_frame_mask_matches_pandas(trial, spark):
         want = pdf[(p_src["b"] > 5).reindex(pdf.index, fill_value=False)]
     got = m[m_src["b"] > 5].to_pandas()
     assert sorted(got["a"].tolist()) == sorted(want["a"].tolist())
+
+
+@pytest.mark.parametrize("trial", range(8))
+def test_same_lineage_subset_binary_outer_aligns(trial, spark):
+    """r12 continuation: binary operands derived from the SAME frame through
+    DIFFERENT row-subset chains must outer-align like pandas (the rebase
+    fast path now requires lineage-id equality)."""
+    rng = np.random.default_rng(1000 + trial)
+    pdf = _mk(50, seed=500 + trial)
+    m = mpd.from_pandas(pdf)
+    i1, i2 = rng.choice(len(STEPS), size=2, replace=True)
+    p1, m1 = STEPS[i1][1](pdf), STEPS[i1][1](m)
+    p2, m2 = STEPS[i2][1](pdf), STEPS[i2][1](m)
+    want = (p1["b"] + p2["b"]).sort_index()
+    got = (m1["b"] + m2["b"]).to_pandas().sort_index()
+    assert got.fillna(-9).tolist() == want.fillna(-9).tolist(), (STEPS[i1][0], STEPS[i2][0])
+
+
+@pytest.mark.parametrize("trial", range(4))
+def test_subset_flex_fill_value_matches_pandas(trial, spark):
+    pdf = _mk(40, seed=900 + trial)
+    m = mpd.from_pandas(pdf)
+    p_sub = pdf[pdf["a"] % 2 == 0]
+    m_sub = m[m["a"] % 2 == 0]
+    want = pdf["b"].add(p_sub["b"], fill_value=100).sort_index()
+    got = m["b"].add(m_sub["b"], fill_value=100).to_pandas().sort_index()
+    assert np.allclose(got.to_numpy(), want.to_numpy(), equal_nan=True)
