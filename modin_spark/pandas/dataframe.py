@@ -1526,11 +1526,18 @@ class DataFrame:
             return out
         if isinstance(other, Series):
             other = other.to_frame()
+        # pandas join suffix rules: overlap with NO suffix raises; a given
+        # suffix applies ONLY to its own side (the other keeps its name)
+        overlap = [c for c in self.columns if c in set(other.columns)]
+        if overlap and not lsuffix and not rsuffix:
+            raise ValueError(
+                f"columns overlap but no suffix specified: {overlap}")
+        sfx = (lsuffix, rsuffix)
         if on is not None:
             # pandas: join self's COLUMN(S) against other's index
             return self.merge(other, how=how, left_on=on, right_index=True,
-                              suffixes=(lsuffix or "_x", rsuffix or "_y"))
-        return self.merge(other, how=how, left_index=True, right_index=True, suffixes=(lsuffix or "_x", rsuffix or "_y"))
+                              suffixes=sfx)
+        return self.merge(other, how=how, left_index=True, right_index=True, suffixes=sfx)
 
     # ------------------------------------------------------------ reductions
     def _reduce_frame(self, name: str, numeric_only: bool = True, **kw) -> pd.Series:
@@ -2141,7 +2148,19 @@ class DataFrame:
             return self._row_cum("cumprod")
         return self._cum_axis0("cumprod", skipna)
 
-    def shift(self, periods=1, fill_value=None, axis=0, freq=None) -> "DataFrame":
+    def shift(self, periods=1, fill_value=None, axis=0, freq=None, suffix=None) -> "DataFrame":
+        if isinstance(periods, (list, tuple)):
+            # pandas 2.1 list form: one output column per period, labeled
+            # {col}{suffix or _}{p} — all shifts ride one aligned concat
+            from modin_spark.pandas.general import concat as _concat
+
+            parts = []
+            for p in periods:
+                part = self.shift(p, fill_value=fill_value, axis=axis, freq=freq)
+                sfx = f"{suffix}_" if suffix is not None else "_"
+                part.columns = pd.Index([f"{c}{sfx}{p}" for c in self.columns])
+                parts.append(part)
+            return _concat(parts, axis=1)
         if freq is not None:
             # pandas shift(freq=): the INDEX moves by periods*freq, data
             # stays put — a single projection over the index column

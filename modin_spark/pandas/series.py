@@ -1376,7 +1376,15 @@ class Series:
     def cummin(self, skipna: bool = True) -> "Series":
         return self._cum("cummin", skipna)
 
-    def shift(self, periods: int = 1, fill_value=None, freq=None) -> "Series":
+    def shift(self, periods: int = 1, fill_value=None, freq=None, suffix=None):
+        if isinstance(periods, (list, tuple)):
+            # pandas 2.1 list form: a FRAME with one column per period
+            from modin_spark.pandas.dataframe import DataFrame
+
+            name = self._name if self._name is not None else 0
+            out = DataFrame(_frame=self._to_frame(name)).shift(
+                list(periods), fill_value=fill_value, freq=freq, suffix=suffix)
+            return out
         if freq is not None:
             # pandas shift(freq=): the INDEX moves, values stay — reuse the
             # frame projection (one expression over the index column)

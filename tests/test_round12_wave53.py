@@ -63,3 +63,27 @@ def test_loc_gap_label_enlargement():
     p = pd.DataFrame({"a": [1.0, 2.0]})
     p.loc[5, "a"] = 9.0
     _eqf(m, p)
+
+
+def test_join_suffix_rules():
+    L = pd.DataFrame({"t": [1, 3], "g": ["x", "x"], "v": [1.0, 2]})
+    R = pd.DataFrame({"t": [2, 3], "g": ["y", "x"], "w": [10.0, 20]})
+    ML, MR = mpd.DataFrame(L), mpd.DataFrame(R)
+    for kw in (dict(lsuffix="_l"), dict(rsuffix="_r"), dict(lsuffix="_l", rsuffix="_r")):
+        exp = L.set_index("t").join(R.set_index("t"), how="outer", **kw)
+        got = ML.set_index("t").join(MR.set_index("t"), how="outer", **kw).to_pandas()
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False, check_index_type=False)
+    with pytest.raises(ValueError):
+        ML.set_index("t").join(MR.set_index("t"))
+
+
+def test_shift_list_periods():
+    P = pd.DataFrame({"a": [1.0, 2.0, 3.0], "b": [4.0, 5.0, 6.0]})
+    M = mpd.DataFrame(P)
+    for kw in (dict(periods=[1, 2]), dict(periods=[1], suffix="_lag"),
+               dict(periods=[-1, 1])):
+        pd.testing.assert_frame_equal(M.shift(**kw).to_pandas(), P.shift(**kw),
+                                      check_dtype=False, check_index_type=False)
+    pd.testing.assert_frame_equal(mpd.Series([1.0, 2.0, 3.0]).shift([1, 2]).to_pandas(),
+                                  pd.Series([1.0, 2.0, 3.0]).shift([1, 2]),
+                                  check_dtype=False, check_index_type=False)
