@@ -59,3 +59,66 @@ def stream_corpus_clean(
         .select(F.col("window.start").alias("window_start"), "lang_pred", "n_docs", "n_tokens")
     )
     return agged.writeStream.outputMode("append").format("memory").queryName(query_name).start()
+
+
+def stream_near_dedup(
+    spark: SparkSession,
+    schema,
+    path: str,
+    ts_col: str = "ts",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    num_perm: int = 128,
+    bands: int = 32,
+    watermark: str = "10 minutes",
+    window: str = "1 hour",
+    query_name: str = "near_dedup_out",
+):
+    """Streaming MinHash-LSH near-dup SCREEN: the same Arrow-vectorized
+    signature expression as the batch pipeline (operators.dedup.text_minhash)
+    -> per-band bucket keys -> a document survives iff it was the FIRST
+    arrival in EVERY one of its band buckets inside the watermark horizon
+    (an arriving near-dup shares >=1 bucket with an earlier doc, so at least
+    one of its band rows is suppressed).
+
+    Plan: posexplode into ``bands`` rows, ``dropDuplicatesWithinWatermark``
+    on (band, bucket) — state is one row per occupied bucket within the
+    horizon, bounded — then a watermarked windowed count keeps docs whose
+    surviving-band count equals ``bands``.  This is the LSH CANDIDATE rule
+    (the batch pipeline's verify-jaccard refinement has no bounded-state
+    streaming analog; tune recall/precision with (bands, rows_per_band)).
+    Within one micro-batch the surviving claimant of a cluster is arbitrary
+    (Spark's dropDuplicates keeps an arbitrary first); across micro-batches
+    earlier batches always win.  Emits (window_start, doc_id) for the kept
+    documents.
+    """
+    from modin_spark.operators.dedup import text_minhash
+    from modin_spark.streaming.resample import _ltz_event_time
+
+    rows_per_band = num_perm // bands
+    src = _ltz_event_time(spark.readStream.schema(schema).parquet(path), ts_col)
+    sig = src.select(
+        F.col(ts_col), F.col(id_col),
+        text_minhash(F.col(text_col), k=k, num_perm=num_perm).alias("__sig__"),
+    )
+
+    def _slice(b):
+        return F.expr(f"substring(__sig__, {b * rows_per_band * 8 + 1}, {rows_per_band * 8})")
+
+    banded = sig.select(
+        F.col(ts_col), F.col(id_col),
+        F.posexplode(F.array(*[F.xxhash64(_slice(b)) for b in range(bands)]))
+        .alias("__band__", "__bucket__"),
+    )
+    claimed = (
+        banded.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["__band__", "__bucket__"])
+    )
+    kept = (
+        claimed.groupBy(F.window(F.col(ts_col), window), F.col(id_col))
+        .agg(F.count(F.lit(1)).alias("__n__"))
+        .where(F.col("__n__") == bands)
+        .select(F.col("window.start").alias("window_start"), id_col)
+    )
+    return kept.writeStream.outputMode("append").format("memory").queryName(query_name).start()

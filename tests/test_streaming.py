@@ -225,3 +225,65 @@ def test_stream_chunking_matches_batch(spark, tmp_path):
     got = got.sort_values(key).reset_index(drop=True)
     exp = exp.sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_stream_near_dedup_matches_batch_screen(spark, tmp_path):
+    """Streaming MinHash-LSH screen == the batch bucket-claim rule on the
+    same static data (every doc's band buckets claimed in arrival order;
+    kept iff it claimed all of them)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from modin_spark.operators.dedup import text_minhash
+    from modin_spark.streaming.corpus import stream_near_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:01", "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "2024-01-01 00:00:02", "the quick brown fox jumps over the lazy dog again and again"),
+            (3, "2024-01-01 00:00:03", "a completely different document about distributed query engines"),
+            (4, "2024-01-01 00:00:04", "yet another unrelated text concerning window aggregation"),
+            (5, "2024-01-01 00:00:05", "a completely different document about distributed query engines"),
+            # sentinel far past the window end: advances the watermark so the
+            # hour-0 window FINALIZES (append mode only emits closed windows)
+            (99, "2024-01-01 02:30:00", "late watermark sentinel document entirely unlike the others"),
+        ],
+        "doc_id long, ts string, text string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    src_dir = str(tmp_path / "docs_stream")
+    docs.write.mode("overwrite").parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+
+    q = stream_near_dedup(spark, schema, src_dir, ts_col="ts", id_col="doc_id",
+                          text_col="text", watermark="1 minute", window="1 hour",
+                          query_name="t_near_dedup")
+    try:
+        q.processAllAvailable()
+        got = sorted(spark.sql("select doc_id from t_near_dedup").toPandas()["doc_id"])
+    finally:
+        q.stop()
+
+    # batch replay of the claim rule: first arrival per (band, bucket)
+    bands, rpb = 32, 4
+    sig = docs.select("doc_id", "ts", text_minhash(F.col("text"), k=5, num_perm=128).alias("__sig__"))
+    banded = sig.select(
+        "doc_id", "ts",
+        F.posexplode(F.array(*[
+            F.xxhash64(F.expr(f"substring(__sig__, {b * rpb * 8 + 1}, {rpb * 8})"))
+            for b in range(bands)
+        ])).alias("__band__", "__bucket__"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("__band__", "__bucket__").orderBy("ts")
+    first = banded.withColumn("__rn__", F.row_number().over(w)).where(F.col("__rn__") == 1)
+    counts = first.groupBy("doc_id").count().where(F.col("count") == bands)
+    # only the FINALIZED hour-0 window is emitted; the sentinel stays pending
+    want = sorted(r["doc_id"] for r in counts.collect() if r["doc_id"] != 99)
+    # within ONE micro-batch the surviving claimant of a dup cluster is
+    # arbitrary (dropDuplicates keeps an arbitrary first) — assert the
+    # CLUSTER semantics: one survivor per near-dup cluster, singletons kept
+    assert len(got) == len(want)
+    assert len({1, 2} & set(got)) == 1  # exact-dup pair -> one survivor
+    assert len({3, 5} & set(got)) == 1
+    assert 4 in got
