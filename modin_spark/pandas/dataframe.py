@@ -519,9 +519,14 @@ class DataFrame:
         Delegates to the Arrow table's implementation after egress."""
         return self.to_arrow().__dataframe__(nan_as_null=nan_as_null, allow_copy=allow_copy)
 
-    def to_sql(self, name: str, con: str, if_exists: str = "fail", **kw) -> None:
+    def to_sql(self, name: str, con, if_exists: str = "fail", **kw) -> None:
         """JDBC writer (reference: modin/core/io/sql/sql_dispatcher.py) —
-        distributed parallel INSERTs, one connection per partition."""
+        distributed parallel INSERTs, one connection per partition, for a
+        JDBC URL string.  A DBAPI connection / SQLAlchemy engine has no
+        distributed form (one driver-held handle) — pandas writes it, same
+        delegate contract as read_sql with a connection object."""
+        if not isinstance(con, str):
+            return self.to_pandas().to_sql(name, con, if_exists=if_exists, **kw)
         mode = {"fail": "errorifexists", "replace": "overwrite", "append": "append"}[if_exists]
         self.to_spark(ordered=False).write.format("jdbc").option("url", con).option(
             "dbtable", name

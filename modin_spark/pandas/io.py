@@ -358,8 +358,9 @@ def read_json(path_or_buf, lines: bool | None = None, orient=None, **kw) -> Data
     return DataFrame(_frame=SparkFrame.from_spark(reader.json(path_or_buf)))
 
 
-def read_orc(path: str) -> DataFrame:
-    return DataFrame(_frame=SparkFrame.from_spark(get_spark().read.orc(path)))
+def read_orc(path: str, columns=None, **kw) -> DataFrame:
+    out = DataFrame(_frame=SparkFrame.from_spark(get_spark().read.orc(path)))
+    return out[list(columns)] if columns is not None else out
 
 
 def read_table(path_or_name: str, sep: str = "\t", **kw) -> DataFrame:

@@ -87,3 +87,16 @@ def test_shift_list_periods():
     pd.testing.assert_frame_equal(mpd.Series([1.0, 2.0, 3.0]).shift([1, 2]).to_pandas(),
                                   pd.Series([1.0, 2.0, 3.0]).shift([1, 2]),
                                   check_dtype=False, check_index_type=False)
+
+
+def test_io_reader_writer_tail(tmp_path):
+    import sqlite3
+
+    P = pd.DataFrame({"g": ["x", "y", "z"], "a": [1.0, 2.0, 3.0]})
+    orc = str(tmp_path / "t.orc")
+    P.to_orc(orc)
+    got = mpd.read_orc(orc, columns=["a"]).to_pandas()
+    assert list(got.columns) == ["a"] and sorted(got.a) == [1.0, 2.0, 3.0]
+    con = sqlite3.connect(str(tmp_path / "t.db"))
+    mpd.DataFrame(P).to_sql("t2", con, index=False)
+    assert pd.read_sql("select count(*) n from t2", con).n[0] == 3
