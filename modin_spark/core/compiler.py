@@ -737,6 +737,11 @@ def merge(
         out.nonnull_cols = l_nn
     elif how in ("right", "right_outer"):
         out.nonnull_cols = r_nn
+    # the ORDER struct is a deterministic derivation of this join — stamp an
+    # epoch so the output and its row-subset descendants recognize each
+    # other's raw ORDER values as comparable (row-identity alignment in
+    # binaries/setitems instead of a label re-derivation that would renumber)
+    out.order_epoch = ("merge", out._lid)
     if (sort or how in ("outer", "full", "full_outer")) and lkeys:
         # pandas sorts outer-merge results by the join keys even with
         # sort=False ("outer: ... sort keys lexicographically"); NaN last

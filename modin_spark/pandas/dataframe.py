@@ -283,12 +283,21 @@ class DataFrame:
                                     index_cols=fr.index_cols, index_names=fr.index_names)
                 self._frame = nf.with_columns([key], [value._expr])
                 return
-            # align by join then set (index cols, or global position for
-            # default-index frames — raw ORDER_COL is not cross-frame comparable)
+            # align by join then set (index cols; default-index frames key on
+            # the PANDAS LABELS when the derivations differ — raw
+            # ORDER/positions are not label-true after sorts/filters)
             vfr = value._to_frame("__v__").ensure_order()
             fr = fr.ensure_order()
-            fr, lkey = fr.align_keyed_with(vfr, "__alp__")
-            vf, rkey = vfr.align_keyed_with(fr, "__arp__")
+            if (not fr.index_cols and not vfr.index_cols
+                    and (fr.order_epoch is None or fr.order_epoch != vfr.order_epoch)):
+                from modin_spark.core.frame import fresh_names as _fnames
+
+                ll, rr = _fnames(2)
+                fr, lkey = fr.with_pandas_labels(ll), [ll]
+                vf, rkey = vfr.with_pandas_labels(rr), [rr]
+            else:
+                fr, lkey = fr.align_keyed_with(vfr, "__alp__")
+                vf, rkey = vfr.align_keyed_with(fr, "__arp__")
             vsdf = vf.sdf.select(*[F.col(k).alias(f"__vk{i}__") for i, k in enumerate(rkey)], vf.data_cols[0])
             cond = None
             for i, k in enumerate(lkey):
@@ -297,8 +306,8 @@ class DataFrame:
             joined = fr.sdf.join(vsdf, cond, "left").drop(*[f"__vk{i}__" for i in range(len(rkey))])
             if "__alp__" in joined.columns:
                 joined = joined.drop("__alp__")
-            nf = SparkFrame(joined, fr.columns, fr.data_cols, fr.index_cols, fr.index_names,
-                            _lid=fr._lid, _chain=fr._chain)
+            # left join keeps the target's rows/order AND its label stash
+            nf = fr._same_rows(joined)
             self._frame = nf.with_columns([key], [F.col(vf.data_cols[0])])
             return
         if isinstance(value, DataFrame):

@@ -340,11 +340,34 @@ class Series:
             return fr, fr.scol(0), fr.scol(1), set(fr.data_cols)
         # alignment join (pandas semantics: align on index; default index ->
         # contiguous global position — raw ORDER_COL is not cross-frame comparable)
+        from modin_spark.core.frame import fresh_names as _fnames
+
         lf0 = self._to_frame("__l__").ensure_order()
         rf0 = other._to_frame("__r__").ensure_order()
-        lf, lkey = lf0.align_keyed_with(rf0, "__alp__")
-        rf, rkey = rf0.align_keyed_with(lf0, "__arp__")
-        rsdf = rf.sdf.select(*[F.col(k).alias(f"__rk{i}__") for i, k in enumerate(rkey)], rf.data_cols[0])
+        # default-index frames: the TRUE pandas labels must survive the join
+        # (the alignment key may be a raw ORDER/position that the result's
+        # fresh ORDER would orphan — permuted labels after sorts, gaps after
+        # filters, would otherwise silently renumber)
+        lab_l = lab_r = None
+        if not lf0.index_cols and not rf0.index_cols:
+            lab_l, lab_r = _fnames(2)
+            lf0 = lf0.with_pandas_labels(lab_l)
+            rf0 = rf0.with_pandas_labels(lab_r)
+        if lab_l is not None and (lf0.order_epoch is None
+                                  or lf0.order_epoch != rf0.order_epoch):
+            # DIFFERENT derivations: raw ORDER/positions are not label-true
+            # (permuted after sorts, gappy after filters) — join on the
+            # pandas labels themselves
+            lf, lkey = lf0, [lab_l]
+            rf, rkey = rf0, [lab_r]
+        else:
+            lf, lkey = lf0.align_keyed_with(rf0, "__alp__")
+            rf, rkey = rf0.align_keyed_with(lf0, "__arp__")
+        rsdf = rf.sdf.select(
+            *[F.col(k).alias(f"__rk{i}__") for i, k in enumerate(rkey)],
+            rf.data_cols[0],
+            *([F.col(lab_r)] if lab_r is not None else []),
+        )
         cond = None
         for i, k in enumerate(lkey):
             c = lf.sdf[k].eqNullSafe(rsdf[f"__rk{i}__"])
@@ -358,6 +381,8 @@ class Series:
         if how != "left":
             for i, k in enumerate(lkey):
                 joined = joined.withColumn(k, F.coalesce(F.col(k), F.col(f"__rk{i}__")))
+        if lab_l is not None:
+            joined = joined.withColumn(lab_l, F.coalesce(F.col(lab_l), F.col(lab_r)))
         joined = joined.drop(*[f"__rk{i}__" for i in range(len(rkey))])
         if how != "left":
             sort_keys = [F.col(k).asc_nulls_last() for k in lkey] + [F.col(ORDER_COL).asc_nulls_first()]
@@ -365,6 +390,9 @@ class Series:
         if "__alp__" in joined.columns:
             joined = joined.drop("__alp__")
         fr = SparkFrame(joined, lf.columns, lf.data_cols, lf.index_cols, lf.index_names)
+        if lab_l is not None:
+            fr.labels_col = lab_l
+            fr.order_is_position = False
         return fr, F.col(lf.data_cols[0]), F.col(rf.data_cols[0]), {lf.data_cols[0], rf.data_cols[0]}
 
     def _binary(self, other, fn: Callable[[Column, Column], Column], reverse=False, comparison=False) -> "Series":

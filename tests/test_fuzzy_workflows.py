@@ -100,8 +100,31 @@ def _steps(rng):
         out["a_rank"] = out.a.rank(method="min")
         return out
 
+    def subset_binary(df):
+        # r12: binary operands with DIFFERING row sets outer-align; the
+        # assignment then reindexes to the frame's own labels
+        if "a" not in list(df.columns):
+            return df
+        out = df.copy() if isinstance(df, pd.DataFrame) else df
+        out["a2"] = out.a + out[out.a > 0].a
+        return out
+
+    def where_flip(df):
+        if "a" not in list(df.columns):
+            return df
+        out = df.copy() if isinstance(df, pd.DataFrame) else df
+        out["a"] = out.a.where(out.a > 0, -out.a)
+        return out
+
+    def roll_b(df):
+        if "b" not in list(df.columns):
+            return df
+        out = df.copy() if isinstance(df, pd.DataFrame) else df
+        out["b_roll"] = out.b.rolling(3, min_periods=1).mean()
+        return out
+
     pool = [filter_a, assign_expr, fill_b, group_agg, sort_head, dedup, merge_dim,
-            cum_a, shift_a, rank_a]
+            cum_a, shift_a, rank_a, subset_binary, where_flip, roll_b]
     k = int(rng.integers(2, MAX_STEPS + 1))
     return [pool[i] for i in rng.integers(0, len(pool), k)]
 

@@ -158,3 +158,33 @@ def test_reindex_like_and_align_rows():
         g0, g1 = M[["a"]].align(M[["b"]].iloc[1:], join=join)
         _eqf(g0, e0)
         _eqf(g1, e1)
+
+
+def test_merge_descendant_subset_binary():
+    """Binaries between a merge output and its own row-subset pair by ROW
+    IDENTITY (shared order epoch), matching pandas label alignment."""
+    L = pd.DataFrame({"g": [1.0, 2.0, 3.0], "a": [1.0, 2.0, 3.0]})
+    D = pd.DataFrame({"g": [1.0, 2.0, 3.0], "lab": ["A", "B", "C"]})
+    Pm = L.merge(D, on="g", how="left")
+    Mm = mpd.DataFrame(L).merge(mpd.DataFrame(D), on="g", how="left")
+    exp = Pm.copy(); exp["a2"] = Pm.a + Pm[Pm.a > 1.5].a
+    got = Mm.copy(); got["a2"] = Mm.a + Mm[Mm.a > 1.5].a
+    pd.testing.assert_frame_equal(
+        got.to_pandas().sort_values("g").reset_index(drop=True),
+        exp.sort_values("g").reset_index(drop=True),
+        check_dtype=False, check_index_type=False)
+
+
+def test_sorted_frame_cross_setitem_keeps_labels():
+    P = pd.DataFrame({"a": [3.0, 1.0, 2.0, 4.0]})
+    Ps = P.sort_values("a").head(3)
+    Ms = mpd.DataFrame(P).sort_values("a").head(3)
+    exp = Ps.copy(); exp["a2"] = Ps.a + Ps[Ps.a > 1.5].a
+    got = Ms.copy(); got["a2"] = Ms.a + Ms[Ms.a > 1.5].a
+    pd.testing.assert_frame_equal(got.to_pandas(), exp, check_dtype=False,
+                                  check_index_type=False)
+    # mixed-lineage label-aligned setitem onto the permuted-label frame
+    exp2 = Ps.copy(); exp2["z"] = pd.Series([10.0, 20, 30, 40])
+    got2 = Ms.copy(); got2["z"] = mpd.Series(pd.Series([10.0, 20, 30, 40]))
+    pd.testing.assert_frame_equal(got2.to_pandas(), exp2, check_dtype=False,
+                                  check_index_type=False)
