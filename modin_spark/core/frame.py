@@ -248,8 +248,14 @@ class SparkFrame:
         # order_epoch: identity of the derivation that produced the current
         # ORDER_COL *values*. Two frames' ORDER values are directly
         # join-comparable iff their epochs are equal and non-None; otherwise
-        # cross-frame alignment must go through contiguous global positions.
-        self.order_epoch: tuple | None = None
+        # cross-frame alignment must go through contiguous global positions
+        # (or the pandas labels themselves).  A frame CONSTRUCTED with an
+        # ORDER already in place gets its own fresh epoch: its row-subset /
+        # column-op descendants copy it, so parent/child pairs align by raw
+        # ORDER (row identity) instead of a label re-derivation that would
+        # renumber a filtered child's positions.  Unrelated frames can never
+        # share it (the lid is unique to this construction).
+        self.order_epoch: tuple | None = ("ctor", self._lid) if has_order else None
         # physical columns PROVABLY free of nulls (parquet footer null_count
         # stats, set by read_parquet). Statistics-driven planning: merges on
         # null-free keys keep the plain `=` equi-join (bucket co-location,

@@ -188,3 +188,18 @@ def test_sorted_frame_cross_setitem_keeps_labels():
     got2 = Ms.copy(); got2["z"] = mpd.Series(pd.Series([10.0, 20, 30, 40]))
     pd.testing.assert_frame_equal(got2.to_pandas(), exp2, check_dtype=False,
                                   check_index_type=False)
+
+
+def test_agg_descendant_subset_binary():
+    """Binaries between a groupby-agg output and its own row-subset also
+    align by row identity (the constructor-default order epoch)."""
+    P = pd.DataFrame({"g": [0.0, 1.0, 2.0, 1.0], "a": [-2.0, 1.0, 16.0, 1.25]})
+    M = mpd.DataFrame(P)
+    Pg = P.groupby("g").agg({"a": "sum"}).reset_index()
+    Mg = M.groupby("g").agg({"a": "sum"}).reset_index()
+    exp = Pg.copy(); exp["a2"] = Pg.a + Pg[Pg.a > 0].a
+    got = Mg.copy(); got["a2"] = Mg.a + Mg[Mg.a > 0].a
+    pd.testing.assert_frame_equal(
+        got.to_pandas().sort_values("g").reset_index(drop=True),
+        exp.sort_values("g").reset_index(drop=True),
+        check_dtype=False, check_index_type=False)
