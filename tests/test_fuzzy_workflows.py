@@ -123,8 +123,31 @@ def _steps(rng):
         out["b_roll"] = out.b.rolling(3, min_periods=1).mean()
         return out
 
+    def concat_self(df):
+        if isinstance(df, pd.DataFrame):
+            return pd.concat([df, df.head(3)], ignore_index=True)
+        return mpd.concat([df, df.head(3)], ignore_index=True)
+
+    def set_reset(df):
+        if "k" not in list(df.columns):
+            return df
+        return df.set_index("k").reset_index()
+
+    def rename_cols(df):
+        return df.rename(columns={"a": "A"}).rename(columns={"A": "a"})
+
+    def tail_sort(df):
+        cols = [c for c in ["b", "a"] if c in list(df.columns)]
+        if not cols:
+            return df
+        # kind='mergesort': a STABLE tie order — pandas' default quicksort
+        # picks an arbitrary tie subset at the tail cut; the engine is
+        # always stable (ORDER tiebreak), so pin pandas to the same contract
+        return df.sort_values(cols[0], na_position="first", kind="mergesort").tail(12)
+
     pool = [filter_a, assign_expr, fill_b, group_agg, sort_head, dedup, merge_dim,
-            cum_a, shift_a, rank_a, subset_binary, where_flip, roll_b]
+            cum_a, shift_a, rank_a, subset_binary, where_flip, roll_b,
+            concat_self, set_reset, rename_cols, tail_sort]
     k = int(rng.integers(2, MAX_STEPS + 1))
     return [pool[i] for i in rng.integers(0, len(pool), k)]
 
