@@ -900,8 +900,18 @@ def drop_duplicates(frame: SparkFrame, subset_positions: Sequence[int] | None, k
         # subset covers the whole row: duplicates are bytewise identical, so
         # ONE groupBy (keys -> kept ORDER) replaces the agg + semi-join-back
         # (which scans the frame twice and builds a keys-sized build side)
-        agg = frame.sdf.groupBy(*[F.col(p) for p in phys]).agg(pick.alias(ORDER_COL))
-        return frame._subset_rows(agg.select(*frame.data_cols, ORDER_COL))
+        aggs = [pick.alias(ORDER_COL)]
+        lc = frame.labels_col if (frame.labels_col is not None
+                                  and frame.labels_col in frame.sdf.columns) else None
+        if lc is not None:
+            # the kept row's stashed pandas label rides along (post-sort
+            # permuted labels would otherwise renumber)
+            pick_lbl = (F.min_by(F.col(lc), F.col(ORDER_COL)) if keep == "first"
+                        else F.max_by(F.col(lc), F.col(ORDER_COL)))
+            aggs.append(pick_lbl.alias(lc))
+        agg = frame.sdf.groupBy(*[F.col(p) for p in phys]).agg(*aggs)
+        return frame._subset_rows(
+            agg.select(*frame.data_cols, ORDER_COL, *([lc] if lc is not None else [])))
     keepers = frame.sdf.groupBy(*[F.col(p) for p in phys]).agg(pick.alias("__keep_order__"))
     joined = frame.sdf.join(
         keepers,

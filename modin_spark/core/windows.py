@@ -103,13 +103,22 @@ def cum_op(frame: SparkFrame, positions: Sequence[int], op: str, skipna: bool = 
     carry_agg = {"cumsum": F.sum, "cumprod": F.product, "cummax": F.max, "cummin": F.min}[op]
 
     phys = [frame.data_cols[i] for i in positions]
+
+    def _src(p):
+        # pandas treats float NaN VALUES as missing (skipped, not poisoning
+        # the accumulator) — normalize to NULL for the skipna path
+        c = F.col(p)
+        if skipna and frame.schema_map[p].simpleString() in ("double", "float"):
+            return F.when(F.isnan(c), F.lit(None)).otherwise(c)
+        return c
+
     sdf = fr.sdf
     within_cols = fresh_names(len(phys))
     for p, wc in zip(phys, within_cols):
-        sdf = sdf.withColumn(wc, agg_fn(F.col(p)).over(w_in))
+        sdf = sdf.withColumn(wc, agg_fn(_src(p)).over(w_in))
 
     # per-block totals -> prefix carry (tiny: #blocks rows, single light task)
-    totals = sdf.groupBy(_BLK).agg(*[agg_fn(F.col(p)).alias(f"__t_{wc}") for p, wc in zip(phys, within_cols)])
+    totals = sdf.groupBy(_BLK).agg(*[agg_fn(_src(p)).alias(f"__t_{wc}") for p, wc in zip(phys, within_cols)])
     carry_sel = [F.col(_BLK).alias("__blk2__")]
     for wc in within_cols:
         carry_sel.append(carry_agg(F.col(f"__t_{wc}")).over(w_carry).alias(f"__carry_{wc}"))
@@ -121,7 +130,7 @@ def cum_op(frame: SparkFrame, positions: Sequence[int], op: str, skipna: bool = 
         pos = positions[i]
         merged = merge_fn(F.col(wc), F.col(f"__carry_{wc}"))
         merged = F.coalesce(merged, F.col(f"__carry_{wc}"), F.col(wc))
-        out = F.when(F.col(p).isNull(), F.lit(None)).otherwise(merged) if skipna else merged
+        out = F.when(_src(p).isNull(), F.lit(None)).otherwise(merged) if skipna else merged
         labels.append(frame.columns[pos])
         exprs.append(out)
     out_fr = fr._same_rows(sdf).project(labels, exprs)

@@ -85,10 +85,13 @@ def _true_div(a: Column, b: Column) -> Column:
 
 
 def _floor_div(a: Column, b: Column) -> Column:
-    # pandas: x // 0 -> signed inf (float result), 0 // 0 -> NaN
-    return F.when(b.cast("double") == 0, _true_div(a, b)).otherwise(
-        F.floor(a.cast("double") / b.cast("double")).cast("double")
-    )
+    # pandas: x // 0 -> signed inf (float result), 0 // 0 -> NaN; an
+    # INFINITE dividend floors to NaN (numpy floor_divide).  The floor is
+    # computed as q - pmod(q, 1) entirely in the double domain — Spark's
+    # FLOOR returns a LONG, which overflows to Long.MaxValue on infinity.
+    q = a.cast("double") / b.cast("double")
+    fl = q - F.pmod(q, F.lit(1.0))
+    return F.when(b.cast("double") == 0, _true_div(a, b)).otherwise(fl)
 
 
 def _int_floor_div(a: Column, b: Column) -> Column:
@@ -306,6 +309,35 @@ class Series:
     def __iter__(self):
         return iter(self.to_pandas())
 
+    def __getitem__(self, key):
+        """pandas Series selection: boolean-Series/array masks filter rows,
+        int slices are positional, lists and scalars are label lookups."""
+        import numpy as _np
+
+        from modin_spark.pandas.dataframe import DataFrame
+
+        if isinstance(key, Series):
+            name = self._name if self._name is not None else "__v__"
+            df = DataFrame(_frame=self._to_frame(name))
+            out = df[key][name]
+            out._name = self._name
+            return out
+        if isinstance(key, slice):
+            if all(v is None or isinstance(v, int)
+                   for v in (key.start, key.stop, key.step)):
+                return self.iloc[key]
+            return self.loc[key]
+        if isinstance(key, (list, _np.ndarray, pd.Index)) and not isinstance(key, str):
+            vals = list(key)
+            if vals and all(isinstance(v, (bool, _np.bool_)) for v in vals):
+                name = self._name if self._name is not None else "__v__"
+                df = DataFrame(_frame=self._to_frame(name))
+                out = df.loc[vals][name]
+                out._name = self._name
+                return out
+            return self.loc[vals]
+        return self.loc[key]
+
     # --------------------------------------------------------------- binary
     def _combine(self, other: "Series", how: str = "full_outer"):
         """Pick the frame both expressions can evaluate on; else align-join.
@@ -478,19 +510,27 @@ class Series:
 
         return self._map1(lambda c: f(c))
 
+    def _plus_fn(self, o):
+        """``+`` on STRING series is pandas concatenation (null-propagating),
+        not arithmetic — Spark's numeric ``+`` would null every row."""
+        if (isinstance(o, str) or isinstance(o, Series)) and isinstance(
+                self.spark_type, T.StringType):
+            return lambda a, b: F.concat(a, b)
+        return lambda a, b: a + b
+
     def __add__(self, o):
         if _is_plain_dateoffset(o):
             return self._map1(lambda c: c + _dateoffset_interval(o))
         if isinstance(o, pd.tseries.offsets.BaseOffset):
             return self._anchored_offset(o)
-        return self._binary(o, lambda a, b: a + b)
+        return self._binary(o, self._plus_fn(o))
 
     def __radd__(self, o):
         if _is_plain_dateoffset(o):
             return self._map1(lambda c: c + _dateoffset_interval(o))
         if isinstance(o, pd.tseries.offsets.BaseOffset):
             return self._anchored_offset(o)
-        return self._binary(o, lambda a, b: a + b, reverse=True)
+        return self._binary(o, self._plus_fn(o), reverse=True)
 
     def __sub__(self, o):
         if _is_plain_dateoffset(o):
@@ -544,7 +584,7 @@ class Series:
         return self._binary(o, lambda a, b: F.pow(a, b), reverse=True)
 
     def add(self, other, level=None, fill_value=None, axis=0):
-        return self._flex(other, lambda a, b: a + b, fill_value=fill_value)
+        return self._flex(other, self._plus_fn(other), fill_value=fill_value)
 
     def sub(self, other, level=None, fill_value=None, axis=0):
         return self._flex(other, lambda a, b: a - b, fill_value=fill_value)
@@ -578,7 +618,7 @@ class Series:
         return self._flex(other, lambda a, b: F.pow(a, b), fill_value=fill_value)
 
     def radd(self, other, level=None, fill_value=None, axis=0):
-        return self._flex(other, lambda a, b: a + b, reverse=True, fill_value=fill_value)
+        return self._flex(other, self._plus_fn(other), reverse=True, fill_value=fill_value)
 
     def rsub(self, other, level=None, fill_value=None, axis=0):
         return self._flex(other, lambda a, b: a - b, reverse=True, fill_value=fill_value)
@@ -1797,6 +1837,17 @@ class StringMethods:
         return call
 
     def __getitem__(self, i):
+        # list column (e.g. a split() result): pandas .str[i] selects the
+        # i-th ELEMENT — element_at, with pandas' out-of-range -> None
+        if isinstance(self._s.spark_type, T.ArrayType):
+            if isinstance(i, slice):
+                return self._s._map1(
+                    lambda c: F.slice(c, (i.start or 0) + 1,
+                                      (i.stop if i.stop is not None else (1 << 30)) - (i.start or 0)))
+            pos = i + 1 if i >= 0 else i
+            return self._s._map1(
+                lambda c: F.when(F.size(c) > (i if i >= 0 else -i - 1),
+                                 F.element_at(c, pos)))
         if isinstance(i, slice):
             return self._s._map1(lambda c: STR_FUNCS["slice"](c, i.start, i.stop, i.step))
         return self._s._map1(lambda c: STR_FUNCS["__getitem__"](c, i))
