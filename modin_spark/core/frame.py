@@ -391,21 +391,26 @@ class SparkFrame:
         # native deferral requires a RUNNING session: non-dispatched ops
         # build Column expressions (F.col) before ever touching .sdf, and
         # those assert an active SparkContext. The very first from_pandas in
-        # a process therefore ingests eagerly (spinning the session up
-        # exactly like before); everything after gets the lazy path.
+        # a process therefore spins the session up NOW (same cost the eager
+        # path paid inside _ingest) and still defers — otherwise the first
+        # frame of a process silently loses the native marker and e.g.
+        # duplicate-label positional binaries fall to the alignment join.
         from pyspark import SparkContext as _SC
 
-        # _active_spark_context is the pure-Python liveness flag —
-        # getActiveSession() itself would cost 4 py4j round-trips per frame
         # 0 is a HARD off switch (len-0 frames must not sneak through the
         # <= comparison: the differential suite sets MAX_ROWS=0 to force
         # every case — including empty frames — onto the Spark path)
         _native_limit = native_max_rows()
+        _use_native = _native_limit > 0 and len(pdf) <= _native_limit
+        if _use_native and _SC._active_spark_context is None:
+            # _active_spark_context is the pure-Python liveness flag —
+            # getActiveSession() itself would cost 4 py4j round-trips per frame
+            from modin_spark.session import get_spark
+
+            spark = spark or get_spark()
         native_schema = (
             _native_ingest_schema(pdf, idx_phys, data_phys)
-            if _native_limit > 0
-            and len(pdf) <= _native_limit
-            and _SC._active_spark_context is not None
+            if _use_native
             else None
         )
         if native_schema is not None:

@@ -621,7 +621,13 @@ def expanding_agg(frame: SparkFrame, positions: Sequence[int], agg, min_periods:
     """
     aggs = [agg] if isinstance(agg, str) else list(agg)
     multi = not isinstance(agg, str)
-    need_mom = bool({"skew", "kurt"} & set(aggs))  # third/fourth raw moments
+    need_mom = bool({"skew", "kurt"} & set(aggs))  # third/fourth central moments
+    need_var = bool({"var", "std", "sem"} & set(aggs))
+    # var/std/sem/skew/kurt accumulate ANCHOR-SHIFTED sums (Σ(x−a),
+    # Σ(x−a)², …) — the naive Σx² − (Σx)²/n cancels catastrophically when
+    # |mean| ≫ std, making the result partition-split-dependent (see
+    # expanding_pair). sum/mean/min/max/count keep the raw carries.
+    need_shift = need_mom or need_var
     fr = _with_blocks(frame)
     phys = [frame.data_cols[i] for i in positions]
     labels = [frame.columns[i] for i in positions]
@@ -629,42 +635,56 @@ def expanding_agg(frame: SparkFrame, positions: Sequence[int], agg, min_periods:
     w_carry = Window.orderBy(_BLK).rowsBetween(Window.unboundedPreceding, -1)
 
     sdf = fr.sdf
-    # per-row within-block partials for count/sum/sumsq(/cube/quad)/min/max
+    if need_shift:
+        anch = fr.sdf.groupBy().agg(*[
+            F.coalesce(F.avg(F.col(p).cast("double")), F.lit(0.0)).alias(f"__a_{p}")
+            for p in phys])
+        sdf = sdf.crossJoin(F.broadcast(anch))
+    # per-row within-block partials for count/sum(/shifted moments)/min/max
     aux = {}
+    shifted_of = {}
     for p in phys:
         c = F.col(p)
         aux[p] = {
             "n": F.count(c).over(w_in),
             "s": F.sum(c).over(w_in),
-            "s2": F.sum(c * c).over(w_in),
             "mn": F.min(c).over(w_in),
             "mx": F.max(c).over(w_in),
         }
-        if need_mom:
-            aux[p]["s3"] = F.sum(c * c * c).over(w_in)
-            aux[p]["s4"] = F.sum(c * c * c * c).over(w_in)
+        if need_shift:
+            cd = c.cast("double") - F.col(f"__a_{p}")
+            shifted_of[p] = cd
+            aux[p]["d"] = F.sum(cd).over(w_in)
+            aux[p]["d2"] = F.sum(cd * cd).over(w_in)
+            if need_mom:
+                aux[p]["d3"] = F.sum(cd * cd * cd).over(w_in)
+                aux[p]["d4"] = F.sum(cd * cd * cd * cd).over(w_in)
     tot_aggs = [
         *[F.count(F.col(p)).alias(f"__n_{p}") for p in phys],
         *[F.sum(F.col(p)).alias(f"__s_{p}") for p in phys],
-        *[F.sum(F.col(p) * F.col(p)).alias(f"__s2_{p}") for p in phys],
         *[F.min(F.col(p)).alias(f"__mn_{p}") for p in phys],
         *[F.max(F.col(p)).alias(f"__mx_{p}") for p in phys],
     ]
+    if need_shift:
+        tot_aggs += [F.sum(shifted_of[p]).alias(f"__d_{p}") for p in phys]
+        tot_aggs += [F.sum(shifted_of[p] * shifted_of[p]).alias(f"__d2_{p}") for p in phys]
     if need_mom:
-        tot_aggs += [F.sum(F.col(p) * F.col(p) * F.col(p)).alias(f"__s3_{p}") for p in phys]
-        tot_aggs += [F.sum(F.col(p) * F.col(p) * F.col(p) * F.col(p)).alias(f"__s4_{p}") for p in phys]
+        tot_aggs += [F.sum(shifted_of[p] * shifted_of[p] * shifted_of[p]).alias(f"__d3_{p}") for p in phys]
+        tot_aggs += [F.sum(shifted_of[p] * shifted_of[p] * shifted_of[p] * shifted_of[p]).alias(f"__d4_{p}") for p in phys]
     tot = sdf.groupBy(_BLK).agg(*tot_aggs)
     carry_sel = [
         F.col(_BLK).alias("__blk2__"),
         *[F.coalesce(F.sum(F.col(f"__n_{p}")).over(w_carry), F.lit(0)).alias(f"__cn_{p}") for p in phys],
         *[F.coalesce(F.sum(F.col(f"__s_{p}")).over(w_carry), F.lit(0)).alias(f"__cs_{p}") for p in phys],
-        *[F.coalesce(F.sum(F.col(f"__s2_{p}")).over(w_carry), F.lit(0)).alias(f"__cs2_{p}") for p in phys],
         *[F.min(F.col(f"__mn_{p}")).over(w_carry).alias(f"__cmn_{p}") for p in phys],
         *[F.max(F.col(f"__mx_{p}")).over(w_carry).alias(f"__cmx_{p}") for p in phys],
     ]
+    if need_shift:
+        carry_sel += [F.coalesce(F.sum(F.col(f"__d_{p}")).over(w_carry), F.lit(0)).alias(f"__cd_{p}") for p in phys]
+        carry_sel += [F.coalesce(F.sum(F.col(f"__d2_{p}")).over(w_carry), F.lit(0)).alias(f"__cd2_{p}") for p in phys]
     if need_mom:
-        carry_sel += [F.coalesce(F.sum(F.col(f"__s3_{p}")).over(w_carry), F.lit(0)).alias(f"__cs3_{p}") for p in phys]
-        carry_sel += [F.coalesce(F.sum(F.col(f"__s4_{p}")).over(w_carry), F.lit(0)).alias(f"__cs4_{p}") for p in phys]
+        carry_sel += [F.coalesce(F.sum(F.col(f"__d3_{p}")).over(w_carry), F.lit(0)).alias(f"__cd3_{p}") for p in phys]
+        carry_sel += [F.coalesce(F.sum(F.col(f"__d4_{p}")).over(w_carry), F.lit(0)).alias(f"__cd4_{p}") for p in phys]
     carry = tot.select(*carry_sel)
     sdf = sdf.join(F.broadcast(carry), sdf[_BLK] == carry["__blk2__"], "left").drop("__blk2__")
 
@@ -674,18 +694,23 @@ def expanding_agg(frame: SparkFrame, positions: Sequence[int], agg, min_periods:
         a = aux[p]
         n = a["n"] + F.coalesce(F.col(f"__cn_{p}"), F.lit(0))
         s = F.coalesce(a["s"], F.lit(0)) + F.coalesce(F.col(f"__cs_{p}"), F.lit(0))
-        s2 = F.coalesce(a["s2"], F.lit(0)) + F.coalesce(F.col(f"__cs2_{p}"), F.lit(0))
         mn = F.least(a["mn"], F.col(f"__cmn_{p}"))
         mn = F.coalesce(mn, a["mn"], F.col(f"__cmn_{p}"))
         mx = F.greatest(a["mx"], F.col(f"__cmx_{p}"))
         mx = F.coalesce(mx, a["mx"], F.col(f"__cmx_{p}"))
+        if need_shift:
+            # anchor-shifted prefix sums: Σ(x−a), Σ(x−a)² — centred ≈0
+            d = F.coalesce(a["d"], F.lit(0)) + F.coalesce(F.col(f"__cd_{p}"), F.lit(0))
+            d2 = F.coalesce(a["d2"], F.lit(0)) + F.coalesce(F.col(f"__cd2_{p}"), F.lit(0))
         if need_mom:
-            s3 = F.coalesce(a["s3"], F.lit(0)) + F.coalesce(F.col(f"__cs3_{p}"), F.lit(0))
-            s4 = F.coalesce(a["s4"], F.lit(0)) + F.coalesce(F.col(f"__cs4_{p}"), F.lit(0))
-            mu = s / n
-            m2 = s2 / n - mu * mu
-            m3 = s3 / n - 3 * mu * (s2 / n) + 2 * mu * mu * mu
-            m4 = s4 / n - 4 * mu * (s3 / n) + 6 * mu * mu * (s2 / n) - 3 * mu * mu * mu * mu
+            d3 = F.coalesce(a["d3"], F.lit(0)) + F.coalesce(F.col(f"__cd3_{p}"), F.lit(0))
+            d4 = F.coalesce(a["d4"], F.lit(0)) + F.coalesce(F.col(f"__cd4_{p}"), F.lit(0))
+            # central moments are shift-invariant: same formulas on the
+            # shifted sums, with μ' = Σ(x−a)/n
+            mu = d / n
+            m2 = d2 / n - mu * mu
+            m3 = d3 / n - 3 * mu * (d2 / n) + 2 * mu * mu * mu
+            m4 = d4 / n - 4 * mu * (d3 / n) + 6 * mu * mu * (d2 / n) - 3 * mu * mu * mu * mu
         for a_name in aggs:
             min_n = min_periods
             if a_name == "sum":
@@ -699,7 +724,7 @@ def expanding_agg(frame: SparkFrame, positions: Sequence[int], agg, min_periods:
             elif a_name == "max":
                 e = mx
             elif a_name in ("var", "std", "sem"):
-                var = (s2 - (s * s) / n) / (n - 1)
+                var = (d2 - (d * d) / n) / (n - 1)
                 e = var if a_name == "var" else F.sqrt(var)
                 if a_name == "sem":
                     # window sem: std/sqrt(n - ddof), ddof=1 (pandas window semantics)
@@ -728,19 +753,37 @@ def expanding_agg(frame: SparkFrame, positions: Sequence[int], agg, min_periods:
 
 def expanding_pair(frame: SparkFrame, px: str, py: str, stat: str, min_periods: int = 1, out_label="0") -> SparkFrame:
     """Expanding corr/cov between two physical columns — algebraic carries
-    over pairwise-complete rows (n, Σx, Σy, Σxy, Σx², Σy²), same two-pass
-    block scheme as expanding_agg. Shuffle-parallel at any scale."""
+    over pairwise-complete rows (n, Σx', Σy', Σx'y', Σx'², Σy'²), same
+    two-pass block scheme as expanding_agg. Shuffle-parallel at any scale.
+
+    FP stability: cov/corr are shift-invariant, and the naive one-pass
+    Σxy − ΣxΣy/n cancels catastrophically when |mean| ≫ std — the result
+    then depends on the partition split (block-carry summation order) and
+    can flip a round(3) boundary vs a stable oracle. The accumulators are
+    therefore ANCHOR-SHIFTED from the start: a one-row global mean
+    aggregate broadcasts onto every row, and ALL sums (within-block and
+    block carries) accumulate (x−ax), (x−ax)(y−ay), … — centred ≈0, so
+    the shortcut formula is well-conditioned at any mean/std ratio."""
     fr = _with_blocks(frame)
     w_in = Window.partitionBy(_BLK).orderBy(_POS).rowsBetween(Window.unboundedPreceding, 0)
     w_carry = Window.orderBy(_BLK).rowsBetween(Window.unboundedPreceding, -1)
-    x, y = F.col(px), F.col(py)
+    x, y = F.col(px).cast("double"), F.col(py).cast("double")
     both = x.isNotNull() & y.isNotNull()
+    # global anchor = mean over complete pairs, one extra NARROW scan
+    # (2-column global agg, map-side combined — cheap next to the window
+    # machinery even at cluster scale); anchor accuracy is irrelevant, any
+    # constant near the data centre kills the cancellation
+    anch = fr.sdf.groupBy().agg(
+        F.coalesce(F.avg(F.when(both, x)), F.lit(0.0)).alias("__ax__"),
+        F.coalesce(F.avg(F.when(both, y)), F.lit(0.0)).alias("__ay__"),
+    )
+    sdf = fr.sdf.crossJoin(F.broadcast(anch))
+    xs, ys = x - F.col("__ax__"), y - F.col("__ay__")
     terms = {
         "n": F.when(both, F.lit(1)).cast("long"),
-        "sx": F.when(both, x), "sy": F.when(both, y),
-        "sxy": F.when(both, x * y), "sxx": F.when(both, x * x), "syy": F.when(both, y * y),
+        "sx": F.when(both, xs), "sy": F.when(both, ys),
+        "sxy": F.when(both, xs * ys), "sxx": F.when(both, xs * xs), "syy": F.when(both, ys * ys),
     }
-    sdf = fr.sdf
     within = {k: F.sum(v).over(w_in) for k, v in terms.items()}
     tot = sdf.groupBy(_BLK).agg(*[F.sum(v).alias(f"__t_{k}") for k, v in terms.items()])
     carry = tot.select(
@@ -799,9 +842,16 @@ def expanding_pairwise(frame: SparkFrame, positions: Sequence[int], stat: str,
     w_in = Window.partitionBy(_BLK).orderBy(_POS).rowsBetween(Window.unboundedPreceding, 0)
     w_carry = Window.orderBy(_BLK).rowsBetween(Window.unboundedPreceding, -1)
     pairs = [(i, j) for i in range(len(phys)) for j in range(i, len(phys))]
+    # anchor-shift every column by its global mean (same FP-stability
+    # scheme as expanding_pair: one extra narrow global agg, broadcast on)
+    anch = fr.sdf.groupBy().agg(*[
+        F.coalesce(F.avg(F.col(p).cast("double")), F.lit(0.0)).alias(f"__a_{i}__")
+        for i, p in enumerate(phys)])
+    sdf = fr.sdf.crossJoin(F.broadcast(anch))
     terms = {}
     for i, j in pairs:
-        x, y = F.col(phys[i]).cast("double"), F.col(phys[j]).cast("double")
+        x = F.col(phys[i]).cast("double") - F.col(f"__a_{i}__")
+        y = F.col(phys[j]).cast("double") - F.col(f"__a_{j}__")
         both = x.isNotNull() & y.isNotNull()
         terms[f"n_{i}_{j}"] = F.when(both, F.lit(1)).cast("long")
         terms[f"sx_{i}_{j}"] = F.when(both, x)
@@ -809,7 +859,6 @@ def expanding_pairwise(frame: SparkFrame, positions: Sequence[int], stat: str,
         terms[f"sxy_{i}_{j}"] = F.when(both, x * y)
         terms[f"sxx_{i}_{j}"] = F.when(both, x * x)
         terms[f"syy_{i}_{j}"] = F.when(both, y * y)
-    sdf = fr.sdf
     within = {k: F.sum(v).over(w_in) for k, v in terms.items()}
     tot = sdf.groupBy(_BLK).agg(*[F.sum(v).alias(f"__t_{k}") for k, v in terms.items()])
     carry = tot.select(

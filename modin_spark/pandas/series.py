@@ -284,14 +284,33 @@ class Series:
     def dtype(self):
         import numpy as np
 
-        sdf = self._frame.sdf.select(self._expr.alias("__t__"))
         # a real np.dtype (pandas contract: `.kind`, comparisons with both
         # np.dtype and strings); every name in _SPARK_TO_PANDAS parses
-        return np.dtype(spark_to_pandas_dtype(sdf.schema.fields[0].dataType))
+        return np.dtype(spark_to_pandas_dtype(self.spark_type))
 
     @property
     def spark_type(self) -> T.DataType:
-        return self._frame.sdf.select(self._expr.alias("__t__")).schema.fields[0].dataType
+        fr = self._frame
+        if fr._sdf is None and getattr(fr, "_native_schema", None) is not None:
+            # pristine deferred-native frame: resolving the type must NOT
+            # force JVM ingestion (that clears the native marker and kills
+            # the duplicate-label positional fast path in _combine). A
+            # plain column extraction reads the precomputed ingest schema;
+            # a derived expression resolves against an EMPTY same-schema
+            # DataFrame (exprs on a never-materialized frame are
+            # name-bound F.col refs, so they bind to any same-named plan).
+            pos = getattr(self, "_native_col", None)
+            if pos is not None:
+                return fr.spark_type_of(pos)
+            try:
+                from modin_spark.session import get_spark
+
+                empty = get_spark().createDataFrame([], schema=T.StructType(
+                    [T.StructField(n, t) for n, t in fr.schema_map.items()]))
+                return empty.select(self._expr.alias("__t__")).schema.fields[0].dataType
+            except Exception:
+                pass  # exotic expr: fall through to real materialization
+        return fr.sdf.select(self._expr.alias("__t__")).schema.fields[0].dataType
 
     @property
     def index(self):

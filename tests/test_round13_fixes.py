@@ -1,0 +1,63 @@
+"""Round-13 fixes: VERDICT r12 punch list, differential vs pandas
+(reference test model: modin's test_series suite)."""
+import warnings
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import modin_spark.pandas as mpd
+
+warnings.filterwarnings("ignore")
+
+
+def eq_series(m, p):
+    g = m.to_pandas() if hasattr(m, "to_pandas") else m
+    pd.testing.assert_series_equal(g, p, check_dtype=False, check_index_type=False,
+                                   check_freq=False, check_categorical=False)
+
+
+# ------------------------------------------------------------- VERDICT #1
+def test_add_does_not_poison_native_frames(monkeypatch):
+    """spark_type probes inside dunders must not force JVM ingestion of a
+    pristine deferred-native frame (that killed the duplicate-label
+    positional fast path in _combine)."""
+    monkeypatch.setenv("MODIN_SPARK_NATIVE_MAX_ROWS", "5000")
+    s1 = mpd.Series([1, 2, 3], index=["a", "a", "b"])
+    s2 = mpd.Series([10, 20, 30], index=["a", "a", "b"])
+    assert s1._frame._sdf is None and s2._frame._sdf is None
+    r = s1 + s2
+    # the probe and the add itself leave both operands pristine
+    assert s1._frame._sdf is None and s2._frame._sdf is None
+    eq_series(r, pd.Series([11, 22, 33], index=["a", "a", "b"]))
+    # string + string concatenates without materializing either side
+    t1 = mpd.Series(["x", "y"])
+    t2 = mpd.Series(["1", "2"])
+    r2 = t1 + t2
+    assert t1._frame._sdf is None and t2._frame._sdf is None
+    eq_series(r2, pd.Series(["x1", "y2"]))
+    # dtype / spark_type probes are themselves non-poisoning, including on
+    # a DERIVED expression over a pristine frame
+    s3 = mpd.Series([1.5, 2.5])
+    assert s3.dtype.kind == "f"
+    assert s3._frame._sdf is None
+    d = (s3 * 2).dtype
+    assert d.kind == "f" and s3._frame._sdf is None
+
+
+def test_first_frame_of_process_is_deferred(monkeypatch):
+    """from_pandas defers even when it is what spins the session up — the
+    gate that eagerly ingested the first frame of a process is gone."""
+    monkeypatch.setenv("MODIN_SPARK_NATIVE_MAX_ROWS", "5000")
+    s = mpd.Series([1, 2, 3], index=["a", "a", "b"])
+    assert s._frame._sdf is None and s._native_col == 0
+
+
+def test_all_binaries_duplicate_label_positional(monkeypatch):
+    monkeypatch.setenv("MODIN_SPARK_NATIVE_MAX_ROWS", "5000")
+    import operator as op
+
+    for f in (op.add, op.sub, op.mul, op.truediv, op.floordiv, op.mod, op.pow):
+        pa = pd.Series([1.0, 2.0, 3.0], index=["a", "a", "b"])
+        pb = pd.Series([10.0, 20.0, 30.0], index=["a", "a", "b"])
+        eq_series(f(mpd.Series(pa), mpd.Series(pb)), f(pa, pb))
