@@ -2238,39 +2238,33 @@ def _q22_global_sales(spark, sf):
 # ---------------------------------------------------------------------------
 
 # The driver scores a PREFIX of queries() (50 entries since r2). Ordering is
-# therefore a rotation schedule. Round-12 prefix: (a) the 40 STALEST green
-# rows (last driver-scored in round 9: the TPC-H tail, groupby transforms,
-# reshape family, dedup tails) — many of which also ride machinery changed
-# this round (concat label preservation, cut/qcut label precision,
-# to_datetime dayfirst, describe/sum identity, dup-label concat); then
-# (b) 10 round-10-scored rows whose machinery changed in r12: the concat
-# family, comparison masks (case_when/where), str.cat, crosstab, and the
-# resample family (groupby.resample grid completion shares bucket_start).
-# Everything r11-scored (constructors' nearest rows value_counts/iloc/isin
-# included) is still checked locally every round via tools/check_entry.py.
-_R12_PREFIX = [
-    # (a) stalest: last scored round 9
-    "q4_priority_returned", "q7_volume_shipping", "q11_important_parts",
-    "q12_priority_lines", "q15_top_supplier", "q16_supplier_count",
-    "q17_small_quantity", "q18_large_volume", "q19_brand_filter",
-    "q20_part_promotion", "q21_waiting_supplier", "q22_global_sales",
-    "melt_unpivot", "pivot_flag_status", "pivot_typed_keys", "unstack_fill",
-    "rollup_agg", "range_join_buckets", "multiindex_regroup",
-    "multiindex3_cols_agg", "query_eval", "corr_cov", "describe_stats",
-    "cut_buckets", "qcut_quartiles", "dt_funcs", "concat_dup_labels",
-    "groupby_transform_demean", "groupby_filter_large", "groupby_head2",
-    "groupby_first_last", "expanding_stats", "explode_words",
-    "docs_fingerprint", "docs_langid_quality", "docs_clean_corpus",
-    "docs_minhash_dedup", "docs_ngram_dedup", "docs_simhash_dedup",
-    "emb_cosine_dedup",
-    # (b) rows on machinery changed in the r12 CONTINUATION session: the
-    # new pairwise-window queries + text normalize, binary alignment
-    # (dot_product: cross-series arithmetic), loc/iloc list-and-slice paths,
-    # reset_index signature, MultiIndex agg columns, resample.apply family,
-    # explode labels (explode_words already in (a)), concat label union
-    "rolling_pair_corr", "expanding_pair_cov", "docs_normalize_text",
-    "iloc_slice", "reset_index_roundtrip", "dot_product",
-    "multiindex_cols_agg", "resample_hourly", "concat_union", "case_when",
+# therefore a rotation schedule. Round-13 prefix: (a) the 40 STALEST rows —
+# everything last driver-scored in round 10, plus polars_pipeline which has
+# NEVER been driver-scored (it was added in r12 after the prefix froze);
+# then (b) 10 rows riding machinery changed in r13: the anchor-shifted
+# expanding var/pair/pairwise accumulators, the batched-setitem projection
+# buffer (str_funcs/rank_frame/dt_funcs-class build paths), the strict
+# comparison-operator label check, and the non-poisoning Series type probes
+# (dot_product: cross-series arithmetic). Everything r11/r12-scored is still
+# checked locally every round via tools/check_entry.py (136/136).
+_R13_PREFIX = [
+    # (a) stalest: never scored / last scored round 10
+    "polars_pipeline", "anti_join_customers", "asof_join", "asof_nearest",
+    "concat_cols_aligned", "crosstab_counts", "docs_chunk_windows",
+    "docs_decontaminate", "docs_domain_cap", "docs_jaccard_pairs",
+    "docs_mixture_sample", "docs_pack_sequences", "docs_paragraph_dedup",
+    "docs_pii_scrub", "docs_repetition", "docs_shard_layout",
+    "docs_stratified_sample", "docs_topk_ngrams", "emb_brute_topk",
+    "emb_ivf_exhaustive", "emb_label_centroids", "emb_quality_filter",
+    "ewm_mean", "expanding_median_p90", "mode_quantity", "ngroup_labels",
+    "pct_change_value", "q14_promo_revenue", "q6_forecast_revenue",
+    "q8_market_share", "rank_frame", "rank_min", "resample_ffill",
+    "resample_interp", "rolling_corr_pair", "shift_diff", "sql_interface",
+    "str_funcs", "where_clip", "win_weighted_var",
+    # (b) rows on machinery changed in r13
+    "expanding_pair_cov", "rolling_pair_corr", "expanding_stats",
+    "dt_funcs", "case_when", "groupby_filter_large", "dot_product",
+    "concat_union", "docs_normalize_text", "iloc_slice",
 ]
 
 
@@ -2426,7 +2420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_jaccard_pairs": _docs_jaccard_pairs,
         "emb_brute_topk": _emb_brute_topk,
     }
-    ordered = {k: all_q[k] for k in _R12_PREFIX}
+    ordered = {k: all_q[k] for k in _R13_PREFIX}
     ordered.update({k: v for k, v in all_q.items() if k not in ordered})
     return ordered
 

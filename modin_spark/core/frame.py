@@ -230,6 +230,11 @@ class SparkFrame:
         # materializes the identical Spark plan, so semantics never fork.
         self._sdf = sdf
         self._ingest = None
+        # pending column adds: (physical name, aliased Column) pairs not yet
+        # applied to _sdf. A chain of __setitem__ ops costs ONE select at
+        # the next .sdf access instead of one py4j select per assignment —
+        # plan-build latency is dominated by py4j round-trips, not Catalyst.
+        self._pending: list[tuple[str, Column]] = []
         self.native_pdf: pd.DataFrame | None = None
         self.columns = columns if isinstance(columns, pd.Index) else pd.Index(columns)
         self.data_cols = list(data_cols)
@@ -284,7 +289,20 @@ class SparkFrame:
         if self._sdf is None:
             self._sdf = self._ingest()
             self._ingest = None
+        if self._pending:
+            self._sdf = self._sdf.select("*", *[c for _, c in self._pending])
+            self._pending = []
         return self._sdf
+
+    def _available_cols(self) -> set[str]:
+        """Physical columns an expression could reference on this frame —
+        answered from the (pyspark-cached) base schema plus pending adds,
+        WITHOUT flushing the pending projection."""
+        if self._sdf is None:
+            if getattr(self, "_native_schema", None) is not None:
+                return set(self._native_schema)
+            return set(self.sdf.columns)
+        return set(self._sdf.columns) | {n for n, _ in self._pending}
 
     def ensure_order(self) -> "SparkFrame":
         """Materialize ORDER_COL if this frame still rides on natural order.
@@ -348,7 +366,7 @@ class SparkFrame:
     def can_rebase(self, anchor: "SparkFrame", refs: set[str]) -> bool:
         """True if a pure column expression anchored at ``anchor`` with
         physical references ``refs`` can be evaluated directly on ``self``."""
-        return anchor._lid in self._chain and refs.issubset(set(self.sdf.columns))
+        return anchor._lid in self._chain and refs.issubset(self._available_cols())
 
     # ------------------------------------------------------------------ ctor
     @classmethod
@@ -531,15 +549,23 @@ class SparkFrame:
         phys = [self.data_cols[i] for i in positions]
         return self._same_rows(self.sdf, columns=labels, data_cols=phys)
 
-    def with_columns(self, labels: Sequence, exprs: Sequence[Column]) -> "SparkFrame":
+    def with_columns(self, labels: Sequence, exprs: Sequence[Column],
+                     refs: set[str] | None = None) -> "SparkFrame":
         """Set/append columns (pandas ``__setitem__``): existing label ->
-        replaced (fresh physical name); new label -> appended at the end."""
+        replaced (fresh physical name); new label -> appended at the end.
+
+        When the caller knows the physical columns the expressions reference
+        (``refs``), the projection is BUFFERED (``_pending``) instead of
+        issuing a py4j ``select`` per call — a chain of setitems collapses
+        to one select at the next .sdf access. Referencing a still-pending
+        column (or refs=None) flushes first: a select list cannot read its
+        own aliases."""
         new_labels = list(self.columns)
         new_phys = list(self.data_cols)
-        aliased = []
+        pairs = []
         for lbl, e in zip(labels, exprs):
             p = _fresh_name()
-            aliased.append(e.alias(p))
+            pairs.append((p, e.alias(p)))
             hits = [i for i, c in enumerate(new_labels) if c == lbl]
             if hits:
                 for i in hits:
@@ -547,7 +573,20 @@ class SparkFrame:
             else:
                 new_labels.append(lbl)
                 new_phys.append(p)
-        sdf = self.sdf.select("*", *aliased)
+        if (refs is not None and self._sdf is not None
+                and not (refs & {n for n, _ in self._pending})):
+            nf = SparkFrame(
+                self._sdf, pd.Index(new_labels), new_phys, self.index_cols,
+                self.index_names, _lid=self._lid, _chain=self._chain,
+                has_order=self.has_order,
+            )
+            nf.order_epoch = self.order_epoch
+            nf.nonnull_cols = self.nonnull_cols
+            nf.order_is_position = self.order_is_position
+            nf.labels_col = self.labels_col
+            nf._pending = list(self._pending) + pairs
+            return nf
+        sdf = self.sdf.select("*", *[c for _, c in pairs])
         return self._same_rows(sdf, columns=pd.Index(new_labels), data_cols=new_phys)
 
     def rename(self, mapping: dict) -> "SparkFrame":

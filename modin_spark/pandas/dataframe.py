@@ -266,7 +266,7 @@ class DataFrame:
             self._cat_meta = {**getattr(self, "_cat_meta", {}), key: value._cat_dtype}
         if isinstance(value, Series):
             if fr.can_rebase(value._frame, value._refs):
-                self._frame = fr.with_columns([key], [value._expr])
+                self._frame = fr.with_columns([key], [value._expr], refs=set(value._refs))
                 return
             # adopt path: value's frame is a same-rows sibling (same _lid ⇒
             # identical rows/order) whose sdf carries everything this frame
@@ -281,7 +281,7 @@ class DataFrame:
             ):
                 nf = vf0._same_rows(vf0.sdf, columns=fr.columns, data_cols=fr.data_cols,
                                     index_cols=fr.index_cols, index_names=fr.index_names)
-                self._frame = nf.with_columns([key], [value._expr])
+                self._frame = nf.with_columns([key], [value._expr], refs=set(value._refs))
                 return
             # align by join then set (index cols; default-index frames key on
             # the PANDAS LABELS when the derivations differ — raw
@@ -347,7 +347,7 @@ class DataFrame:
                             fr.index_names, _lid=fr._lid, _chain=fr._chain)
             self._frame = nf.with_columns([key], [F.col("__vv0__")])
             return
-        self._frame = fr.with_columns([key], [_lit(value)])
+        self._frame = fr.with_columns([key], [_lit(value)], refs=set())
 
     def __getattr__(self, name):
         if name.startswith("_"):

@@ -446,7 +446,7 @@ class Series:
             fr.order_is_position = False
         return fr, F.col(lf.data_cols[0]), F.col(rf.data_cols[0]), {lf.data_cols[0], rf.data_cols[0]}
 
-    def _binary(self, other, fn: Callable[[Column, Column], Column], reverse=False, comparison=False) -> "Series":
+    def _binary(self, other, fn: Callable[[Column, Column], Column], reverse=False, comparison=False, strict=False) -> "Series":
         import numpy as _np
 
         if (isinstance(other, (list, tuple, _np.ndarray))
@@ -470,6 +470,16 @@ class Series:
             return Series(pos_fr, e, set(self._refs), name=self._name,
                           filter_expr=filter_expr)
         if isinstance(other, Series):
+            if comparison and strict:
+                # pandas raises on comparison OPERATORS over differently-
+                # labeled Series (only flex .eq/.lt/... align). Enforce it
+                # exactly where it's cheap — both operands driver-resident;
+                # distributed frames keep the documented align-relaxation
+                # (an exact check there would cost a full index collect).
+                lp = _native.series_pdf_of(self)
+                rp = _native.series_pdf_of(other)
+                if lp is not None and rp is not None and not lp.index.equals(rp.index):
+                    raise ValueError("Can only compare identically-labeled Series objects")
             target, le, re_, refs = self._combine(other)
         else:
             target, le, re_, refs = self._frame, self._expr, _lit(other), set(self._refs)
@@ -652,32 +662,47 @@ class Series:
         return self._flex(other, lambda a, b: F.pow(a, b), reverse=True, fill_value=fill_value)
 
     def __eq__(self, o):  # type: ignore[override]
-        return self._binary(o, lambda a, b: a == b, comparison=True)
+        return self._binary(o, lambda a, b: a == b, comparison=True, strict=True)
 
     def __ne__(self, o):  # type: ignore[override]
         if (getattr(self, "_ext_dtype", None) is not None
                 or getattr(o, "_ext_dtype", None) is not None):
+            return self._binary(o, lambda a, b: a != b, comparison=True, strict=True)
+        return self._binary(o, lambda a, b: ~F.coalesce(a == b, F.lit(False)), comparison=True, strict=True)
+
+    def __lt__(self, o):
+        return self._binary(o, lambda a, b: a < b, comparison=True, strict=True)
+
+    def __le__(self, o):
+        return self._binary(o, lambda a, b: a <= b, comparison=True, strict=True)
+
+    def __gt__(self, o):
+        return self._binary(o, lambda a, b: a > b, comparison=True, strict=True)
+
+    def __ge__(self, o):
+        return self._binary(o, lambda a, b: a >= b, comparison=True, strict=True)
+
+    # flex comparison METHODS align on labels (pandas: only the
+    # operators raise on differently-labeled operands)
+    def eq(self, o):
+        return self._binary(o, lambda a, b: a == b, comparison=True)
+
+    def ne(self, o):
+        if isinstance(o, Series):
             return self._binary(o, lambda a, b: a != b, comparison=True)
         return self._binary(o, lambda a, b: ~F.coalesce(a == b, F.lit(False)), comparison=True)
 
-    def __lt__(self, o):
+    def lt(self, o):
         return self._binary(o, lambda a, b: a < b, comparison=True)
 
-    def __le__(self, o):
+    def le(self, o):
         return self._binary(o, lambda a, b: a <= b, comparison=True)
 
-    def __gt__(self, o):
+    def gt(self, o):
         return self._binary(o, lambda a, b: a > b, comparison=True)
 
-    def __ge__(self, o):
+    def ge(self, o):
         return self._binary(o, lambda a, b: a >= b, comparison=True)
-
-    eq = __eq__
-    ne = __ne__
-    lt = __lt__
-    le = __le__
-    gt = __gt__
-    ge = __ge__
 
     def __and__(self, o):
         out = self._binary(o, lambda a, b: F.coalesce(a, F.lit(False)) & F.coalesce(b, F.lit(False)))

@@ -61,3 +61,36 @@ def test_all_binaries_duplicate_label_positional(monkeypatch):
         pa = pd.Series([1.0, 2.0, 3.0], index=["a", "a", "b"])
         pb = pd.Series([10.0, 20.0, 30.0], index=["a", "a", "b"])
         eq_series(f(mpd.Series(pa), mpd.Series(pb)), f(pa, pb))
+
+
+# ------------------------------------------------------------- VERDICT #6
+def test_plot_accessor_presence():
+    """df.plot / Series.plot delegate to pandas' PlotAccessor on driver-side
+    data (reference parity: modin default-to-pandas plotting). matplotlib is
+    not installed here, so assert the accessor exists and is the pandas one
+    (rendering would require a backend at call time, exactly like pandas)."""
+    from pandas.plotting import PlotAccessor
+
+    df = mpd.DataFrame({"a": [1, 2, 3], "b": [3, 2, 1]})
+    assert isinstance(df.plot, PlotAccessor)
+    assert isinstance(df["a"].plot, PlotAccessor)
+    assert callable(df.hist) and callable(df.boxplot)
+    # module-level pandas.plotting passthrough
+    assert hasattr(mpd.plotting, "scatter_matrix")
+
+
+# ------------------------------------------------------------- VERDICT #8
+def test_comparison_operators_raise_on_different_labels(monkeypatch):
+    monkeypatch.setenv("MODIN_SPARK_NATIVE_MAX_ROWS", "5000")
+    s1 = mpd.Series([1, 2, 3], index=["a", "b", "c"])
+    s2 = mpd.Series([1, 2, 3], index=["a", "b", "z"])
+    with pytest.raises(ValueError, match="identically-labeled"):
+        s1 == s2
+    with pytest.raises(ValueError, match="identically-labeled"):
+        s1 < s2
+    # identical labels still compare fine
+    s3 = mpd.Series([1, 9, 3], index=["a", "b", "c"])
+    eq_series(s1 == s3, pd.Series([True, False, True], index=["a", "b", "c"]))
+    # flex methods ALIGN (pandas contract: .eq never raises on labels)
+    got = s1.eq(s2)
+    assert len(got.to_pandas()) == 4
