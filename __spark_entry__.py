@@ -1168,6 +1168,21 @@ def _qcut_quartiles(spark, sf):
     return out.to_spark(ordered=False)
 
 
+def _expanding_rank_pct(spark, sf):
+    """expanding().rank(pct=True) — the exact DISTRIBUTED rank path
+    (core.windows.expanding_rank: value-bucket x pos-block dominance
+    counting, O(n) shipping, no whole-prefix task)."""
+    mpd = _mpd()
+    ev = mpd.read_parquet(f"{sf}/events.parquet")
+    ev = ev.sort_values("event_id").set_index("event_id")
+    ev["v"] = _r(ev["value"], 0)  # coarse rounding forces heavy ties
+    rk = ev["v"].expanding(min_periods=1).rank(method="average", pct=True)
+    e = rk.reset_index()
+    e.columns = ["event_id", "exp_rank"]
+    e["exp_rank"] = _r(e["exp_rank"], 6)
+    return e.head(10000).to_spark(ordered=False)
+
+
 def _expanding_stats(spark, sf):
     mpd = _mpd()
     ev = mpd.read_parquet(f"{sf}/events.parquet")
@@ -2264,7 +2279,7 @@ _R13_PREFIX = [
     # (b) rows on machinery changed in r13
     "expanding_pair_cov", "rolling_pair_corr", "expanding_stats",
     "dt_funcs", "case_when", "groupby_filter_large", "dot_product",
-    "concat_union", "docs_normalize_text", "iloc_slice",
+    "concat_union", "docs_normalize_text", "expanding_rank_pct",
 ]
 
 
@@ -2407,6 +2422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "explode_words": _explode_words,
         "qcut_quartiles": _qcut_quartiles,
         "expanding_stats": _expanding_stats,
+        "expanding_rank_pct": _expanding_rank_pct,
         "groupby_transform_demean": _groupby_transform_demean,
         "groupby_filter_large": _groupby_filter_large,
         "groupby_head2": _groupby_head2,
@@ -3570,6 +3586,15 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'q4' END AS q4,
                    COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
             FROM orders, b GROUP BY 1
+        """,
+        "expanding_rank_pct": """
+            SELECT a.event_id,
+                   ROUND((SUM(CASE WHEN ROUND(b.value, 0) < ROUND(a.value, 0) THEN 1 ELSE 0 END)
+                          + (SUM(CASE WHEN ROUND(b.value, 0) = ROUND(a.value, 0) THEN 1 ELSE 0 END) + 1) / 2.0)
+                         / COUNT(*), 6) AS exp_rank
+            FROM events a JOIN events b ON b.event_id <= a.event_id
+            GROUP BY a.event_id
+            ORDER BY a.event_id LIMIT 10000
         """,
         "expanding_stats": """
             SELECT event_id,

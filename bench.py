@@ -89,6 +89,10 @@ HEADLINE = [
     "groupby_median_quantile",
     "rolling_time_sum",
     "ewm_mean",
+    # round 13: the polars veneer's lazy pipeline and a pairwise-window
+    # representative from the wave-39-59 machinery (anchor-shifted carries)
+    "polars_pipeline",
+    "rolling_pair_corr",
 ]
 
 # host-noise self-diagnosis (r7): three cheap, stable queries re-run at
@@ -182,7 +186,7 @@ def main() -> None:
     # headline set grows every round, so the raw total is not comparable
     # across rounds — these per-freeze subtotals are)
     comparables: dict[str, float | None] = {}
-    for tag in ("r1", "r3", "r4", "r5", "r7", "r10", "r11", "r12"):
+    for tag in ("r1", "r3", "r4", "r5", "r7", "r10", "r11", "r12", "r13"):
         comparables[tag] = None
         try:
             fname = f"BASELINE_LOCAL_r{int(tag[1:]):02d}.json"

@@ -313,15 +313,20 @@ class SparkFrame:
         """
         if self.has_order:
             return self
+        cached = getattr(self, "_ordered_cache", None)
+        if cached is not None:
+            return cached
         sdf = self.sdf.withColumn(ORDER_COL, F.monotonically_increasing_id())
         nf = SparkFrame(
             sdf, self.columns, self.data_cols, self.index_cols, self.index_names,
             _lid=self._lid, _chain=self._chain, has_order=True,
         )
         # monotonically_increasing_id over the same base plan is deterministic,
-        # so every ensure_order() of this frame yields the same values
+        # so every ensure_order() of this frame yields the same values —
+        # cache the derived frame so repeat calls cost zero py4j traffic
         nf.order_epoch = ("mid", self._lid)
         nf.nonnull_cols = self.nonnull_cols
+        self._ordered_cache = nf
         return nf
 
     # lineage helpers -------------------------------------------------------

@@ -910,6 +910,181 @@ def expanding_pairwise(frame: SparkFrame, positions: Sequence[int], stat: str,
                       idx_names + [None], has_order=True)
 
 
+def expanding_rank(frame: SparkFrame, positions: Sequence[int], method: str = "average",
+                   ascending: bool = True, pct: bool = False,
+                   min_periods: int = 1) -> SparkFrame:
+    """Exact distributed ``expanding().rank()`` — NOT the whole-prefix
+    blocked_pandas path.
+
+    For each row p, the rank of x_p within the non-null prefix decomposes as
+    less(p) = A + B with
+      A = #{i<=p : value-bucket(x_i) < value-bucket(x_p)}   and
+      B = #{i<=p, same value bucket : x_i < x_p}  (ties: eq(p) likewise).
+    Scheme: one range shuffle buckets the values (V = shuffle partitions);
+    a tiny per-(pos-block, bucket) count matrix, cumulated driver-free with
+    two window passes, gives every pos block its cross-block contribution
+    to A; a per-pos-block Arrow pass adds the within-block part of A via a
+    running bucket histogram; a per-value-bucket Arrow pass computes B and
+    eq with a Fenwick sweep in pos order (queries are the bucket's OWN rows,
+    so the group is never query-skewed). Total shipping O(n); every task
+    holds one pos block or one value bucket — no task ever sees the whole
+    prefix. Ties share one bucket (range partition on the value alone), the
+    same hot-key bound as a groupby.
+
+    pandas semantics (pandas/core/window/expanding.py Expanding.rank):
+    methods average/min/max, NaN rows rank NaN and do not count,
+    pct divides by the prefix non-null count, min_periods gates on it.
+    """
+    from pyspark.sql import types as T
+
+    fr = _with_blocks(frame)
+    out_names = fresh_names(len(positions))
+    labels = [frame.columns[i] for i in positions]
+    res_joined = fr.sdf
+    nparts = int(fr.sdf.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    for i, op_ in zip(positions, out_names):
+        p = frame.data_cols[i]
+        x = F.col(p).cast("double")
+        xv = x if ascending else -x
+        nn = fr.sdf.where(x.isNotNull()).select(
+            F.col(_POS), F.col(_BLK), xv.alias("__xv__"))
+        # value buckets from approx-quantile boundaries baked as LITERALS
+        # (one build-time pass, like blocked_pandas' max-block literal).
+        # repartitionByRange + spark_partition_id would re-SAMPLE different
+        # boundaries on every re-evaluation of the plan's branches — the
+        # bucket ids must be one consistent function of the value. Boundary
+        # accuracy only affects balance, never the result; ties always land
+        # in one bucket (same value ⇒ same comparisons).
+        bounds = nn.approxQuantile(
+            "__xv__", [i / nparts for i in range(1, nparts)], 0.001)
+        bounds = sorted(set(bounds))
+        if bounds:
+            s = nn.withColumn("__vb__", F.aggregate(
+                F.array(*[F.lit(float(b)) for b in bounds]), F.lit(0),
+                lambda acc, b: acc + F.when(F.col("__xv__") > b, 1).otherwise(0)))
+        else:
+            s = nn.withColumn("__vb__", F.lit(0))
+        s = s.repartition(nparts, "__vb__")
+        # tiny (#blocks × #buckets) count matrix, cumulated plan-side
+        # (fresh column names: cogrouping cells back against s would
+        # otherwise trip the ambiguous-self-join check). The grid must be
+        # DENSE: a block with no rows in some bucket still needs that
+        # bucket's earlier-block counts in its cumulative row, else the
+        # window prefix sums skip them.
+        counts = s.groupBy(
+            F.col(_BLK).alias("__cblk__"), F.col("__vb__").alias("__cvb__")).count()
+        grid = (s.select(F.col(_BLK).alias("__cblk__")).distinct()
+                .crossJoin(s.select(F.col("__vb__").alias("__cvb__")).distinct()))
+        cells = grid.join(counts, ["__cblk__", "__cvb__"], "left").select(
+            "__cblk__", "__cvb__", F.coalesce(F.col("count"), F.lit(0)).alias("count"))
+        w_bprev = Window.partitionBy("__cvb__").orderBy("__cblk__").rowsBetween(
+            Window.unboundedPreceding, -1)
+        cells = cells.withColumn(
+            "__prev__", F.coalesce(F.sum("count").over(w_bprev), F.lit(0)))
+        # per (block, bucket): rows in EARLIER blocks with bucket < vb —
+        # same-bucket earlier rows are covered BY VALUE in stage 2; the
+        # all-bucket earlier-row count feeds nn_prefix
+        w_vprev = Window.partitionBy("__cblk__").orderBy("__cvb__").rowsBetween(
+            Window.unboundedPreceding, -1)
+        w_vall = Window.partitionBy("__cblk__").orderBy("__cvb__").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing)
+        cells = cells.select(
+            F.col("__cblk__"), F.col("__cvb__"),
+            F.coalesce(F.sum("__prev__").over(w_vprev), F.lit(0)).alias("__below__"),
+            F.sum("__prev__").over(w_vall).alias("__allprev__"),
+        )
+
+        t1_schema = T.StructType([
+            T.StructField(_POS, T.LongType()),
+            T.StructField("__t1__", T.LongType()),
+            T.StructField("__nn__", T.LongType()),
+        ])
+
+        def stage1(rows, cdf):
+            import numpy as np
+
+            if not len(rows):
+                return pd.DataFrame({_POS: [], "__t1__": [], "__nn__": []})
+            rows = rows.sort_values(_POS)
+            vb = rows["__vb__"].to_numpy()
+            V = int(vb.max()) + 1 if len(vb) else 1
+            below = np.zeros(V, dtype="int64")
+            allprev = 0
+            if len(cdf):
+                got = cdf[cdf["__cvb__"] < V]
+                below[got["__cvb__"].to_numpy()] = got["__below__"].to_numpy()
+                # __below__ is only materialized at observed buckets; fill
+                # the gaps with a running max (cumulative counts are
+                # monotone in the bucket id)
+                below = np.maximum.accumulate(below)
+                allprev = int(cdf["__allprev__"].iloc[0])
+            # within-block running bucket histogram (exclusive of self)
+            onehot = np.zeros((len(vb), V), dtype="int64")
+            onehot[np.arange(len(vb)), vb] = 1
+            cum = np.cumsum(onehot, axis=0) - onehot  # rows before, per bucket
+            cumlow = np.cumsum(cum, axis=1) - cum      # buckets strictly below
+            local_a = cumlow[np.arange(len(vb)), vb]
+            t1 = below[vb] + local_a
+            nnp = allprev + np.arange(1, len(vb) + 1)
+            return pd.DataFrame({_POS: rows[_POS].to_numpy(),
+                                 "__t1__": t1, "__nn__": nnp})
+
+        t1 = s.groupby(_BLK).cogroup(cells.groupby("__cblk__")).applyInPandas(
+            stage1, t1_schema)
+
+        t2_schema = T.StructType([
+            T.StructField(_POS, T.LongType()),
+            T.StructField("__t2__", T.LongType()),
+            T.StructField("__eq__", T.LongType()),
+        ])
+
+        def stage2(pdf):
+            import numpy as np
+
+            pdf = pdf.sort_values(_POS)
+            xs = pdf["__xv__"].to_numpy()
+            uniq, inv = np.unique(xs, return_inverse=True)
+            m = len(uniq)
+            fen = np.zeros(m + 1, dtype="int64")
+            eq_seen = np.zeros(m, dtype="int64")
+            t2 = np.empty(len(xs), dtype="int64")
+            eq = np.empty(len(xs), dtype="int64")
+            for j in range(len(xs)):
+                r = inv[j]
+                # Fenwick prefix sum over value ranks < r
+                acc, k = 0, r  # sum of [1..r] in 1-based = values <= r-1
+                while k > 0:
+                    acc += fen[k]
+                    k -= k & (-k)
+                t2[j] = acc
+                eq[j] = eq_seen[r] + 1  # ties seen so far, incl self
+                eq_seen[r] += 1
+                k = r + 1
+                while k <= m:
+                    fen[k] += 1
+                    k += k & (-k)
+            return pd.DataFrame({_POS: pdf[_POS].to_numpy(), "__t2__": t2, "__eq__": eq})
+
+        t2 = s.groupby("__vb__").applyInPandas(stage2, t2_schema)
+        comb = t1.join(t2.withColumnRenamed(_POS, "__pos2__"),
+                       t1[_POS] == F.col("__pos2__"), "inner").drop("__pos2__")
+        less = F.col("__t1__") + F.col("__t2__")
+        eqc = F.col("__eq__")
+        r = {"min": less + 1, "max": less + eqc,
+             "average": (less + (eqc + 1) / 2).cast("double")}[method]
+        r = r.cast("double")
+        if pct:
+            r = r / F.col("__nn__")
+        r = F.when(F.col("__nn__") >= F.lit(max(min_periods, 1)), r)
+        comb = comb.select(F.col(_POS).alias(f"__posr_{op_}__"), r.alias(op_))
+        res_joined = res_joined.join(
+            comb, res_joined[_POS] == comb[f"__posr_{op_}__"], "left"
+        ).drop(f"__posr_{op_}__")
+
+    out = fr._same_rows(res_joined).project(labels, [F.col(o) for o in out_names])
+    return _drop_aux(out)
+
+
 def rolling_pair_frame(frame: SparkFrame, positions: Sequence[int], py: str, window: int,
                        stat: str, min_periods=None, center: bool = False) -> SparkFrame:
     """``df.rolling(w).corr(series)`` — each selected column paired against

@@ -273,6 +273,23 @@ class Expanding:
         return self._order_exact(lambda s, mp=self._min_periods: s.expanding(mp).median())
 
     def rank(self, method="average", ascending=True, pct=False):
+        # exact DISTRIBUTED path (value-bucket × pos-block decomposition,
+        # core.windows.expanding_rank) — never the whole-prefix
+        # blocked_pandas fallback: ranking is pure dominance counting, so
+        # no task needs the full prefix
+        from modin_spark.pandas.dataframe import DataFrame
+
+        if method in ("average", "min", "max"):
+            if isinstance(self._obj, Series):
+                out = win.expanding_rank(
+                    self._obj._to_frame(), [0], method=method,
+                    ascending=ascending, pct=pct, min_periods=self._min_periods)
+                return Series._from_frame(out)
+            df = self._obj
+            out = win.expanding_rank(
+                df._frame, df._numeric_positions(), method=method,
+                ascending=ascending, pct=pct, min_periods=self._min_periods)
+            return DataFrame(_frame=out)
         return self._order_exact(
             lambda s, mp=self._min_periods: s.expanding(mp).rank(method=method, ascending=ascending, pct=pct)
         )

@@ -94,3 +94,25 @@ def test_comparison_operators_raise_on_different_labels(monkeypatch):
     # flex methods ALIGN (pandas contract: .eq never raises on labels)
     got = s1.eq(s2)
     assert len(got.to_pandas()) == 4
+
+
+# -------------------------------------------------- exact expanding rank
+def test_expanding_rank_distributed_exact():
+    """expanding().rank() rides the value-bucket × pos-block exact path
+    (core.windows.expanding_rank) — differential vs pandas across methods,
+    direction, pct, NaNs, ties."""
+    rng = np.random.default_rng(3)
+    x = np.round(rng.normal(50, 5, 4000), 1)
+    x[rng.random(4000) < 0.04] = np.nan
+    pdf = pd.DataFrame({"a": x, "b": rng.integers(0, 9, 4000).astype(float)})
+    mdf = mpd.DataFrame(pdf)
+    for method in ("average", "min", "max"):
+        e = pdf["a"].expanding(2).rank(method=method)
+        g = mdf["a"].expanding(2).rank(method=method)
+        eq_series(g, e)
+    eq_series(mdf["b"].expanding(1).rank(ascending=False, pct=True),
+              pdf["b"].expanding(1).rank(ascending=False, pct=True))
+    # frame form: both numeric columns in one call
+    ef = pdf.expanding(3).rank()
+    gf = mdf.expanding(3).rank().to_pandas()
+    pd.testing.assert_frame_equal(gf, ef, check_dtype=False)
