@@ -1173,10 +1173,17 @@ def _expanding_rank_pct(spark, sf):
     (core.windows.expanding_rank: value-bucket x pos-block dominance
     counting, O(n) shipping, no whole-prefix task)."""
     mpd = _mpd()
+    from modin_spark.core import windows as _win
+    from modin_spark.pandas.series import Series as _S
+
     ev = mpd.read_parquet(f"{sf}/events.parquet")
     ev = ev.sort_values("event_id").set_index("event_id")
     ev["v"] = _r(ev["value"], 0)  # coarse rounding forces heavy ties
-    rk = ev["v"].expanding(min_periods=1).rank(method="average", pct=True)
+    # call the distributed kernel DIRECTLY (the public API routes small
+    # frames onto the single-block pandas pass; the driver should score
+    # the bucketed machinery itself)
+    rk = _S._from_frame(_win.expanding_rank(
+        ev["v"]._to_frame(), [0], method="average", pct=True, min_periods=1))
     e = rk.reset_index()
     e.columns = ["event_id", "exp_rank"]
     e["exp_rank"] = _r(e["exp_rank"], 6)

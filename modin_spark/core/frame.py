@@ -696,17 +696,48 @@ class SparkFrame:
             return base._same_rows(base.sdf.withColumn(name, F.col(lc).cast("long")))
         return base.with_global_position(name)
 
+    def _order_bucket_expr(self) -> Column | None:
+        """A DETERMINISTIC, order-monotone bucket id derived from the stored
+        ORDER value: ``order >> 16`` (65536-row buckets for contiguous
+        range-ingest orders; per-scan-partition sub-buckets for
+        monotonically_increasing_id orders, whose upper bits are the scan
+        partition). Struct orders (merge outputs) recurse into field 0 —
+        struct comparison is lexicographic, so a monotone function of the
+        leading field is order-monotone. None when the leading leaf is not
+        integral (caller falls back to a range shuffle)."""
+        t = self.schema_map.get(ORDER_COL)
+        path = ORDER_COL
+        while isinstance(t, T.StructType) and t.fields:
+            path = f"{path}.{t.fields[0].name}"
+            t = t.fields[0].dataType
+        if isinstance(t, (T.LongType, T.IntegerType, T.ShortType)):
+            return F.shiftright(F.col(path).cast("long"), 16)
+        return None
+
     def with_global_position(self, pos_col: str) -> "SparkFrame":
         """Attach a contiguous 0-based global position column.
 
-        Scale-safe: range-repartition by ORDER_COL, rank within each
-        partition, then add per-partition offsets computed from a tiny
-        (#partitions)-row aggregate — no single-task global window.
+        Scale-safe AND branch-deterministic: rows bucket by a pure function
+        of the stored ORDER value (``_order_bucket_expr``), rank within each
+        bucket, and add per-bucket offsets from a tiny aggregate — no
+        single-task global window. The bucket id must NOT come from
+        ``spark_partition_id`` over a range shuffle: AQE coalescing and the
+        range sampler can assign DIFFERENT pids in the offsets branch vs the
+        stream branch of the same query, and the inner join then silently
+        drops every row whose pid has no offsets entry.
         """
         if not self.has_order:
             return self.ensure_order().with_global_position(pos_col)
-        sdf = self.sdf.repartitionByRange(F.col(ORDER_COL))
-        sdf = sdf.withColumn("__pid__", F.spark_partition_id())
+        obkt = self._order_bucket_expr()
+        if obkt is not None:
+            sdf = self.sdf.withColumn("__pid__", obkt)
+        else:
+            # non-integral ORDER leaf (exotic): range shuffle with an
+            # EXPLICIT partition count (AQE never re-coalesces a
+            # user-specified N, so the two branches stay consistent)
+            np_ = int(self.sdf.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+            sdf = self.sdf.repartitionByRange(np_, F.col(ORDER_COL)).withColumn(
+                "__pid__", F.spark_partition_id())
         w = Window.partitionBy("__pid__").orderBy(ORDER_COL)
         sdf = sdf.withColumn("__local_rank__", F.row_number().over(w) - F.lit(1))
         counts = sdf.groupBy("__pid__").count()

@@ -1085,6 +1085,230 @@ def expanding_rank(frame: SparkFrame, positions: Sequence[int], method: str = "a
     return _drop_aux(out)
 
 
+def expanding_quantile(frame: SparkFrame, positions: Sequence[int], q: float,
+                       min_periods: int = 1,
+                       interpolation: str = "linear") -> SparkFrame:
+    """Exact distributed ``expanding().quantile(q)`` / ``.median()`` — NOT
+    the whole-prefix blocked_pandas path.
+
+    Same value-bucket × pos-block decomposition as expanding_rank, plus a
+    SELECTION stage: stage 1 locates, per row, the bucket holding the
+    target order statistic (prefix bucket-histogram = tiny dense matrix +
+    within-block running histogram) and the residual rank inside it; stage
+    2 answers (pos, k) selection queries per bucket with one Fenwick sweep
+    in pos order. Shipping O(n); tasks hold one pos block or one value
+    bucket (+ its queries). Caveat, documented: the quantile trajectory
+    concentrates its queries on few buckets once it stabilizes, so stage-2
+    parallelism degrades toward those buckets — still bounded memory and
+    O(n log) work, vs the O(n·#blocks) whole-prefix shipping this replaces.
+
+    pandas semantics: NaN skipped, interpolation linear/lower/higher/
+    nearest/midpoint on fractional index q*(nn-1), min_periods gate.
+    """
+    from pyspark.sql import types as T
+
+    if not (0.0 <= q <= 1.0):
+        raise ValueError("quantile must be in [0, 1]")
+    fr = _with_blocks(frame)
+    out_names = fresh_names(len(positions))
+    labels = [frame.columns[i] for i in positions]
+    res_joined = fr.sdf
+    nparts = int(fr.sdf.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    for i, op_ in zip(positions, out_names):
+        p = frame.data_cols[i]
+        x = F.col(p).cast("double")
+        # ALL rows ride stage 1 — pandas reports the running prefix
+        # quantile at NaN rows too (a NaN contributes nothing but still
+        # reads); null rows carry bucket -1 and never enter a histogram
+        base = fr.sdf.select(F.col(_POS), F.col(_BLK), x.alias("__xv__"))
+        bounds = base.where(F.col("__xv__").isNotNull()).approxQuantile(
+            "__xv__", [j / nparts for j in range(1, nparts)], 0.001)
+        bounds = sorted(set(bounds))
+        if bounds:
+            vb_e = F.aggregate(
+                F.array(*[F.lit(float(b)) for b in bounds]), F.lit(0),
+                lambda acc, b: acc + F.when(F.col("__xv__") > b, 1).otherwise(0))
+        else:
+            vb_e = F.lit(0)
+        s = base.withColumn(
+            "__vb__", F.when(F.col("__xv__").isNotNull(), vb_e).otherwise(F.lit(-1)))
+        s = s.repartition(nparts, "__vb__")
+        s_nn = s.where(F.col("__vb__") >= 0)
+        counts = s_nn.groupBy(
+            F.col(_BLK).alias("__cblk__"), F.col("__vb__").alias("__cvb__")).count()
+        grid = (s.select(F.col(_BLK).alias("__cblk__")).distinct()
+                .crossJoin(s_nn.select(F.col("__vb__").alias("__cvb__")).distinct()))
+        cells = grid.join(counts, ["__cblk__", "__cvb__"], "left").select(
+            "__cblk__", "__cvb__", F.coalesce(F.col("count"), F.lit(0)).alias("count"))
+        w_bprev = Window.partitionBy("__cvb__").orderBy("__cblk__").rowsBetween(
+            Window.unboundedPreceding, -1)
+        cells = cells.withColumn(
+            "__prev__", F.coalesce(F.sum("count").over(w_bprev), F.lit(0)))
+
+        q_schema = T.StructType([
+            T.StructField(_POS, T.LongType()),
+            T.StructField("__qvb__", T.IntegerType()),
+            T.StructField("__k__", T.LongType()),
+            T.StructField("__which__", T.IntegerType()),
+            T.StructField("__frac__", T.DoubleType()),
+            T.StructField("__nn__", T.LongType()),
+            T.StructField("__loev__", T.IntegerType()),
+        ])
+
+        def stage1(rows, cdf):
+            import numpy as np
+
+            empty = pd.DataFrame({_POS: pd.Series([], dtype="int64"),
+                                  "__qvb__": pd.Series([], dtype="int32"),
+                                  "__k__": pd.Series([], dtype="int64"),
+                                  "__which__": pd.Series([], dtype="int32"),
+                                  "__frac__": pd.Series([], dtype="float64"),
+                                  "__nn__": pd.Series([], dtype="int64")})
+            if not len(rows):
+                return empty
+            rows = rows.sort_values(_POS)
+            vb = rows["__vb__"].to_numpy()
+            m = len(vb)
+            nonnull = vb >= 0
+            V = int(max(int(vb.max()) + 1 if nonnull.any() else 1,
+                        (int(cdf["__cvb__"].max()) + 1) if len(cdf) else 1))
+            prev = np.zeros(V, dtype="int64")
+            if len(cdf):
+                prev[cdf["__cvb__"].to_numpy()] = cdf["__prev__"].to_numpy()
+            onehot = np.zeros((m, V), dtype="int64")
+            onehot[np.arange(m)[nonnull], vb[nonnull]] = 1
+            hist = np.cumsum(onehot, axis=0) + prev  # INCLUSIVE prefix, per bucket
+            cum = np.cumsum(hist, axis=1)            # buckets <= v, inclusive prefix
+            nnp = prev.sum() + np.cumsum(nonnull.astype("int64"))
+            idx = q * np.maximum(nnp - 1, 0)
+            lo = np.floor(idx).astype("int64")
+            hi = np.ceil(idx).astype("int64")
+            frac = idx - lo
+            out = []
+            for which, kk in ((0, lo), (1, hi)):
+                # per-row bucket search, vectorized: each cum row ascends,
+                # so the target bucket = #buckets with cum <= k
+                tv = (cum <= kk[:, None]).sum(axis=1)
+                below = np.where(tv > 0, cum[np.arange(m), np.maximum(tv - 1, 0)], 0)
+                below = np.where(tv == 0, 0, below)
+                out.append(pd.DataFrame({
+                    _POS: rows[_POS].to_numpy(), "__qvb__": tv.astype("int32"),
+                    "__k__": kk - below, "__which__": np.int32(which),
+                    "__frac__": frac, "__nn__": nnp,
+                    "__loev__": (1 - (lo % 2)).astype("int32")}))
+                if (lo == hi).all():
+                    out.append(out[0].assign(__which__=np.int32(1)))
+                    break
+            return pd.concat(out, ignore_index=True)
+
+        queries = s.groupby(_BLK).cogroup(cells.groupby("__cblk__")).applyInPandas(
+            stage1, q_schema)
+        queries = queries.where(F.col("__nn__") >= 1)
+
+        # stage 2 passes the query metadata THROUGH so no plan branch has
+        # to re-derive it: every extra consumer of `queries`/`sel` would
+        # re-run the whole cogroup pipeline (Python stages are never
+        # exchange-reused across branches)
+        sel_schema = T.StructType([
+            T.StructField(_POS, T.LongType()),
+            T.StructField("__which__", T.IntegerType()),
+            T.StructField("__val__", T.DoubleType()),
+            T.StructField("__frac__", T.DoubleType()),
+            T.StructField("__nn__", T.LongType()),
+            T.StructField("__loev__", T.IntegerType()),
+        ])
+
+        def stage2(rows, qdf):
+            import numpy as np
+
+            if not len(qdf) or not len(rows):
+                return pd.DataFrame({_POS: pd.Series([], dtype="int64"),
+                                     "__which__": pd.Series([], dtype="int32"),
+                                     "__val__": pd.Series([], dtype="float64"),
+                                     "__frac__": pd.Series([], dtype="float64"),
+                                     "__nn__": pd.Series([], dtype="int64"),
+                                     "__loev__": pd.Series([], dtype="int32")})
+            rows = rows.sort_values(_POS)
+            qdf = qdf.sort_values(_POS)
+            xs = rows["__xv__"].to_numpy()
+            rpos = rows[_POS].to_numpy()
+            uniq, inv = np.unique(xs, return_inverse=True)
+            mu = len(uniq)
+            fen = np.zeros(mu + 1, dtype="int64")
+            LOG = max(1, int(mu).bit_length())
+            qpos = qdf[_POS].to_numpy()
+            qk = qdf["__k__"].to_numpy()
+            vals = np.empty(len(qdf), dtype="float64")
+            # queries sharing the same insertion frontier see the same
+            # Fenwick state — batch them and run the k-th-select descent
+            # VECTORIZED across each batch (the hot median-trajectory
+            # bucket receives ~all queries; a per-query Python loop there
+            # was the wall-clock bottleneck)
+            frontier = np.searchsorted(rpos, qpos, side="right")
+            starts = np.flatnonzero(np.r_[True, frontier[1:] != frontier[:-1]])
+            ends = np.r_[starts[1:], len(qdf)]
+            ri = 0
+            for b, e in zip(starts, ends):
+                target = frontier[b]
+                while ri < target:
+                    k = inv[ri] + 1
+                    while k <= mu:
+                        fen[k] += 1
+                        k += k & (-k)
+                    ri += 1
+                want = qk[b:e] + 1
+                pos_ = np.zeros(e - b, dtype="int64")
+                acc = np.zeros(e - b, dtype="int64")
+                for step in range(LOG, -1, -1):
+                    nxt = pos_ + (1 << step)
+                    ok = nxt <= mu
+                    f = np.where(ok, fen[np.minimum(nxt, mu)], 0)
+                    take = ok & (acc + f < want)
+                    pos_ = np.where(take, nxt, pos_)
+                    acc = np.where(take, acc + f, acc)
+                vals[b:e] = np.where(pos_ < mu, uniq[np.minimum(pos_, mu - 1)], np.nan)
+            return pd.DataFrame({_POS: qpos, "__which__": qdf["__which__"].to_numpy(),
+                                 "__val__": vals,
+                                 "__frac__": qdf["__frac__"].to_numpy(),
+                                 "__nn__": qdf["__nn__"].to_numpy(),
+                                 "__loev__": qdf["__loev__"].to_numpy()})
+
+        sel = s_nn.groupby("__vb__").cogroup(queries.groupby("__qvb__")).applyInPandas(
+            stage2, sel_schema)
+        # ONE pass over sel: pivot lo/hi into columns (an extra join branch
+        # would re-execute both Python stages)
+        comb = sel.groupBy(F.col(_POS).alias("__pm__")).agg(
+            F.max(F.when(F.col("__which__") == 0, F.col("__val__"))).alias("__vlo__"),
+            F.max(F.when(F.col("__which__") == 1, F.col("__val__"))).alias("__vhi__"),
+            F.first("__frac__").alias("__frac__"),
+            F.first("__nn__").alias("__nn__"),
+            F.first("__loev__").alias("__loev__"),
+        )
+        vlo, vhi, frac = F.col("__vlo__"), F.col("__vhi__"), F.col("__frac__")
+        if interpolation == "linear":
+            e = vlo + frac * (vhi - vlo)
+        elif interpolation == "lower":
+            e = vlo
+        elif interpolation == "higher":
+            e = vhi
+        elif interpolation == "midpoint":
+            e = (vlo + vhi) / 2
+        elif interpolation == "nearest":
+            # numpy/pandas 'nearest' rounds a half-index to the EVEN index
+            e = (F.when(frac > 0.5, vhi).when(frac < 0.5, vlo)
+                 .otherwise(F.when(F.col("__loev__") == 1, vlo).otherwise(vhi)))
+        else:
+            raise NotImplementedError(f"interpolation {interpolation!r}")
+        e = F.when(F.col("__nn__") >= F.lit(max(min_periods, 1)), e)
+        comb = comb.select(F.col("__pm__").alias(f"__posq_{op_}__"), e.alias(op_))
+        res_joined = res_joined.join(
+            comb, res_joined[_POS] == comb[f"__posq_{op_}__"], "left"
+        ).drop(f"__posq_{op_}__")
+
+    out = fr._same_rows(res_joined).project(labels, [F.col(o) for o in out_names])
+    return _drop_aux(out)
+
+
 def rolling_pair_frame(frame: SparkFrame, positions: Sequence[int], py: str, window: int,
                        stat: str, min_periods=None, center: bool = False) -> SparkFrame:
     """``df.rolling(w).corr(series)`` — each selected column paired against
@@ -1480,7 +1704,9 @@ def rank(
         else:
             raise ValueError(f"na_option {na_option!r}")
         sort_keys = [F.col("__cid__").asc(), vord, F.col("__gp__").asc()]
-        s = melted.repartitionByRange(*sort_keys).withColumn("__pid__", F.spark_partition_id())
+        _np = int(melted.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+        # explicit N: branch-consistent pids (see SparkFrame.with_global_position)
+        s = melted.repartitionByRange(_np, *sort_keys).withColumn("__pid__", F.spark_partition_id())
         w_loc = Window.partitionBy("__pid__").orderBy(*sort_keys)
         s = s.withColumn("__lr__", F.row_number().over(w_loc) - F.lit(1))
         counts = s.groupBy("__pid__").count()
@@ -1506,7 +1732,7 @@ def rank(
             # window), then joined back on the tie-block key.
             blocks = s.groupBy("__cid__", "__v__").agg(F.min(_POS).alias("__blo__"))
             bkeys = [F.col("__cid__").asc(), F.col("__blo__").asc()]
-            b = blocks.repartitionByRange(*bkeys).withColumn("__bpid__", F.spark_partition_id())
+            b = blocks.repartitionByRange(_np, *bkeys).withColumn("__bpid__", F.spark_partition_id())
             b = b.withColumn(
                 "__blr__",
                 F.row_number().over(Window.partitionBy("__bpid__").orderBy(*bkeys)) - F.lit(1),

@@ -53,7 +53,12 @@ def _pick_direction(u, direction: str, allow_exact: bool, by_cols: list[str], ou
     # no by: block + halo. Range-partition on the FULL sort key so block
     # order is consistent with the global sort (equal keys that straddle a
     # block boundary are covered by the carry join).
-    u2 = u.repartitionByRange(*sort_cols).withColumn(_BLK, F.spark_partition_id())
+    # EXPLICIT partition count: AQE may re-coalesce an N-less range
+    # shuffle differently in the offsets branch vs the stream branch, and
+    # the pid-keyed join then silently drops rows (see
+    # SparkFrame.with_global_position)
+    _np = int(u.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    u2 = u.repartitionByRange(_np, *sort_cols).withColumn(_BLK, F.spark_partition_id())
     w_in = Window.partitionBy(_BLK).orderBy(*[c.asc() for c in sort_cols])
     is_r = F.col("__il__") == 0
     r_ord = F.when(is_r, F.struct(F.col("__k__"), F.col("__ro__")))

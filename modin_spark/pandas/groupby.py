@@ -486,7 +486,9 @@ class DataFrameGroupBy:
         if self._dropna:
             for k in keys:
                 d = d.where(F.col(k).isNotNull())
-        d = d.repartitionByRange(*obc).withColumn("__pid__", F.spark_partition_id())
+        _np = int(d.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+        # explicit N: branch-consistent pids (see SparkFrame.with_global_position)
+        d = d.repartitionByRange(_np, *obc).withColumn("__pid__", F.spark_partition_id())
         w = Window.partitionBy("__pid__").orderBy(*obc)
         d = d.withColumn("__lr__", F.row_number().over(w) - F.lit(1))
         counts = d.groupBy("__pid__").count()

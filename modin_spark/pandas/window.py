@@ -266,20 +266,45 @@ class Expanding:
 
     aggregate = agg
 
-    def quantile(self, q=0.5):
-        return self._order_exact(lambda s, mp=self._min_periods: s.expanding(mp).quantile(q))
+    def quantile(self, q=0.5, interpolation="linear"):
+        # exact DISTRIBUTED selection (core.windows.expanding_quantile:
+        # value-bucket × pos-block + per-bucket Fenwick select) once the
+        # frame spans enough blocks that the whole-prefix blocked path's
+        # O(n·#blocks) shipping explodes; small frames keep the single-
+        # task pandas pass (fewer shuffles, no bucketing action)
+        from modin_spark.pandas.dataframe import DataFrame
+
+        if not self._past_block_threshold():
+            return self._order_exact(
+                lambda s, mp=self._min_periods: s.expanding(mp).quantile(
+                    q, interpolation=interpolation))
+        if isinstance(self._obj, Series):
+            out = win.expanding_quantile(
+                self._obj._to_frame(), [0], q, min_periods=self._min_periods,
+                interpolation=interpolation)
+            return Series._from_frame(out)
+        df = self._obj
+        out = win.expanding_quantile(
+            df._frame, df._numeric_positions(), q,
+            min_periods=self._min_periods, interpolation=interpolation)
+        return DataFrame(_frame=out)
+
+    def _past_block_threshold(self) -> bool:
+        """True when the frame spans enough pos blocks that whole-prefix
+        shipping (O(n·#blocks)) loses to the bucketed exact machinery."""
+        return self._obj._frame.count_rows() > 4 * win.BLOCK
 
     def median(self):
-        return self._order_exact(lambda s, mp=self._min_periods: s.expanding(mp).median())
+        return self.quantile(0.5)
 
     def rank(self, method="average", ascending=True, pct=False):
         # exact DISTRIBUTED path (value-bucket × pos-block decomposition,
-        # core.windows.expanding_rank) — never the whole-prefix
-        # blocked_pandas fallback: ranking is pure dominance counting, so
-        # no task needs the full prefix
+        # core.windows.expanding_rank) once the frame spans enough blocks —
+        # ranking is pure dominance counting, so no task needs the full
+        # prefix; small frames keep the single-task pandas pass
         from modin_spark.pandas.dataframe import DataFrame
 
-        if method in ("average", "min", "max"):
+        if method in ("average", "min", "max") and self._past_block_threshold():
             if isinstance(self._obj, Series):
                 out = win.expanding_rank(
                     self._obj._to_frame(), [0], method=method,

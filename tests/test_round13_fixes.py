@@ -116,3 +116,41 @@ def test_expanding_rank_distributed_exact():
     ef = pdf.expanding(3).rank()
     gf = mdf.expanding(3).rank().to_pandas()
     pd.testing.assert_frame_equal(gf, ef, check_dtype=False)
+
+
+def test_expanding_quantile_distributed_exact():
+    """expanding().median()/quantile() ride the distributed selection path
+    (core.windows.expanding_quantile) — NaN rows still report the running
+    prefix quantile (pandas), all interpolations, min_periods gate."""
+    rng = np.random.default_rng(7)
+    x = np.round(rng.normal(10, 2, 3000), 2)
+    x[rng.random(3000) < 0.04] = np.nan
+    x[0] = np.nan
+    pdf = pd.DataFrame({"a": x})
+    mdf = mpd.DataFrame(pdf)
+    eq_series(mdf["a"].expanding(2).median(), pdf["a"].expanding(2).median())
+    for q, interp in ((0.25, "linear"), (0.9, "lower"), (0.5, "midpoint"),
+                      (0.35, "nearest"), (0.75, "higher")):
+        e = pdf["a"].expanding(3).quantile(q, interpolation=interp)
+        g = mdf["a"].expanding(3).quantile(q, interpolation=interp)
+        eq_series(g, e)
+    # frame form
+    pdf2 = pd.DataFrame({"a": x[:500], "b": rng.integers(0, 40, 500).astype(float)})
+    mdf2 = mpd.DataFrame(pdf2)
+    pd.testing.assert_frame_equal(mdf2.expanding(2).median().to_pandas(),
+                                  pdf2.expanding(2).median(), check_dtype=False)
+
+
+# --------------------------------------------- branch-deterministic positions
+def test_global_position_no_row_loss_at_scale():
+    """with_global_position must key its offsets join on a DETERMINISTIC
+    bucket of the stored ORDER value: spark_partition_id over an N-less
+    range shuffle gets AQE-coalesced differently per branch and the inner
+    join then silently drops rows (reproduced at 300k rows pre-fix)."""
+    n = 300_000
+    pdf = pd.DataFrame({"x": np.arange(n, dtype="float64")})
+    mdf = mpd.DataFrame(pdf)
+    fr = mdf["x"]._to_frame("x").ensure_order().with_global_position("__pos__")
+    lp = fr.sdf.toPandas()
+    assert len(lp) == n
+    assert sorted(lp["__pos__"].tolist()) == list(range(n))
