@@ -1185,20 +1185,22 @@ def expanding_quantile(frame: SparkFrame, positions: Sequence[int], q: float,
             hi = np.ceil(idx).astype("int64")
             frac = idx - lo
             out = []
-            for which, kk in ((0, lo), (1, hi)):
+            need_hi = hi > lo  # integral index: lo IS the answer, skip the
+            for which, kk, keep in ((0, lo, None), (1, hi, need_hi)):
+                # hi query entirely (comb coalesces vhi -> vlo)
+                if keep is not None and not keep.any():
+                    break
                 # per-row bucket search, vectorized: each cum row ascends,
                 # so the target bucket = #buckets with cum <= k
                 tv = (cum <= kk[:, None]).sum(axis=1)
                 below = np.where(tv > 0, cum[np.arange(m), np.maximum(tv - 1, 0)], 0)
                 below = np.where(tv == 0, 0, below)
-                out.append(pd.DataFrame({
+                q_df = pd.DataFrame({
                     _POS: rows[_POS].to_numpy(), "__qvb__": tv.astype("int32"),
                     "__k__": kk - below, "__which__": np.int32(which),
                     "__frac__": frac, "__nn__": nnp,
-                    "__loev__": (1 - (lo % 2)).astype("int32")}))
-                if (lo == hi).all():
-                    out.append(out[0].assign(__which__=np.int32(1)))
-                    break
+                    "__loev__": (1 - (lo % 2)).astype("int32")})
+                out.append(q_df[keep] if keep is not None else q_df)
             return pd.concat(out, ignore_index=True)
 
         queries = s.groupby(_BLK).cogroup(cells.groupby("__cblk__")).applyInPandas(
@@ -1285,6 +1287,7 @@ def expanding_quantile(frame: SparkFrame, positions: Sequence[int], q: float,
             F.first("__loev__").alias("__loev__"),
         )
         vlo, vhi, frac = F.col("__vlo__"), F.col("__vhi__"), F.col("__frac__")
+        vhi = F.coalesce(vhi, vlo)  # hi emitted only for fractional indexes
         if interpolation == "linear":
             e = vlo + frac * (vhi - vlo)
         elif interpolation == "lower":
