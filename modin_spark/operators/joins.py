@@ -50,15 +50,23 @@ def _pick_direction(u, direction: str, allow_exact: bool, by_cols: list[str], ou
             pick = F.first("__rs__", ignorenulls=True).over(w.rowsBetween(0, Window.unboundedFollowing))
         return u.withColumn(out_col, pick)
 
-    # no by: block + halo. Range-partition on the FULL sort key so block
-    # order is consistent with the global sort (equal keys that straddle a
-    # block boundary are covered by the carry join).
-    # EXPLICIT partition count: AQE may re-coalesce an N-less range
-    # shuffle differently in the offsets branch vs the stream branch, and
-    # the pid-keyed join then silently drops rows (see
-    # SparkFrame.with_global_position)
+    # no by: block + carry. Block ids must be a DETERMINISTIC function of
+    # the key: spark_partition_id over a range shuffle re-SAMPLES its
+    # boundaries in the carries branch vs the stream branch of the same
+    # query, and rows near block edges then read a misaligned carry
+    # (observed: ~5 stale matches per boundary at 300k rows). Quantile
+    # boundaries bake in as literals — accuracy only affects balance;
+    # equal keys always share a block (hot-key bound, same as groupby).
     _np = int(u.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    u2 = u.repartitionByRange(_np, *sort_cols).withColumn(_BLK, F.spark_partition_id())
+    bounds = u.approxQuantile("__k__", [i / _np for i in range(1, _np)], 0.001)
+    bounds = sorted(set(b for b in bounds if b is not None))
+    if bounds:
+        blk_e = F.aggregate(
+            F.array(*[F.lit(float(b)) for b in bounds]), F.lit(0),
+            lambda acc, b: acc + F.when(F.col("__k__") > b, 1).otherwise(0))
+    else:
+        blk_e = F.lit(0)
+    u2 = u.withColumn(_BLK, F.when(F.col("__k__").isNotNull(), blk_e).otherwise(F.lit(-1)))
     w_in = Window.partitionBy(_BLK).orderBy(*[c.asc() for c in sort_cols])
     is_r = F.col("__il__") == 0
     r_ord = F.when(is_r, F.struct(F.col("__k__"), F.col("__ro__")))

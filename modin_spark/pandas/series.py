@@ -688,7 +688,9 @@ class Series:
         return self._binary(o, lambda a, b: a == b, comparison=True)
 
     def ne(self, o):
-        if isinstance(o, Series):
+        if (getattr(self, "_ext_dtype", None) is not None
+                or getattr(o, "_ext_dtype", None) is not None):
+            # nullable ext dtype: NA != x stays NA (3VL), like __ne__
             return self._binary(o, lambda a, b: a != b, comparison=True)
         return self._binary(o, lambda a, b: ~F.coalesce(a == b, F.lit(False)), comparison=True)
 

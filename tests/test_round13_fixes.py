@@ -154,3 +154,33 @@ def test_global_position_no_row_loss_at_scale():
     lp = fr.sdf.toPandas()
     assert len(lp) == n
     assert sorted(lp["__pos__"].tolist()) == list(range(n))
+
+
+def test_rank_no_row_loss_local_relation():
+    """df.rank's partition-prefix-sum scheme must survive a local-relation
+    source at multi-batch size (the AQE pid-mismatch trigger)."""
+    n = 300_000
+    rng = np.random.default_rng(1)
+    pdf = pd.DataFrame({"a": rng.integers(0, 1000, n).astype(float)})
+    mdf = mpd.DataFrame(pdf)
+    got = mdf["a"].rank(method="min").to_pandas()
+    exp = pdf["a"].rank(method="min")
+    assert len(got) == n
+    assert np.allclose(got.values, exp.values)
+
+
+def test_asof_no_stale_matches_at_scale():
+    """merge_asof (no by) block ids must be a deterministic function of the
+    key — range-shuffle pids re-sample boundaries per plan branch and rows
+    near block edges then read a misaligned carry (observed: ~5 stale
+    matches per boundary at 300k rows pre-fix)."""
+    rng = np.random.default_rng(2)
+    n = 120_000
+    l = pd.DataFrame({"t": np.sort(rng.integers(0, 10**9, n)), "v": rng.normal(size=n)})
+    r = pd.DataFrame({"t": np.sort(rng.integers(0, 10**9, n // 10)), "w": rng.normal(size=n // 10)})
+    ml, mr = mpd.DataFrame(l), mpd.DataFrame(r)
+    for d in ("backward", "forward"):
+        g = mpd.merge_asof(ml, mr, on="t", direction=d).to_pandas()
+        e = pd.merge_asof(l, r, on="t", direction=d)
+        assert len(g) == len(e)
+        assert np.allclose(g["w"].fillna(-9).values, e["w"].fillna(-9).values)
