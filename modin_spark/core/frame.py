@@ -132,6 +132,39 @@ _PANDAS_TO_SPARK_CAST = {
 }
 
 
+def quantile_bucket_expr(sdf, colname: str, nparts: int):
+    """A DETERMINISTIC order-monotone bucket id for a sortable column:
+    approx-quantile boundaries collected once and baked as literals
+    (one build-time pass over the column). Partition-prefix-sum schemes
+    must not derive their bucket from ``spark_partition_id`` over a range
+    shuffle — the range sampler re-draws boundaries per plan branch, so
+    the offsets branch and the stream branch of one query can disagree
+    and rows near block edges read a misaligned (or missing) offset.
+    Boundary accuracy only affects balance, never results; equal values
+    always share a bucket. Returns None for non-numeric, non-temporal
+    columns (caller keeps its explicit-N range shuffle and documents the
+    residual risk)."""
+    dt = dict((f.name, f.dataType) for f in sdf.schema.fields).get(colname)
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+        num = F.col(colname).cast("timestamp").cast("double")
+    elif isinstance(dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType,
+                         T.DoubleType, T.FloatType, T.DecimalType)):
+        # cast to double is MONOTONE even where lossy (ties widen, never
+        # reorder) — bucketing only, exactness unaffected
+        num = F.col(colname).cast("double")
+    else:
+        return None
+    tmp = sdf.select(num.alias("__qb__")).where(F.col("__qb__").isNotNull())
+    bounds = tmp.approxQuantile("__qb__", [i / nparts for i in range(1, nparts)], 0.001)
+    bounds = sorted(set(b for b in bounds if b is not None))
+    if not bounds:
+        return F.when(num.isNotNull(), F.lit(0)).otherwise(F.lit(-1))
+    e = F.aggregate(
+        F.array(*[F.lit(float(b)) for b in bounds]), F.lit(0),
+        lambda acc, b: acc + F.when(num > b, 1).otherwise(0))
+    return F.when(num.isNotNull(), e).otherwise(F.lit(-1))
+
+
 def native_max_rows() -> int:
     """Row threshold under which from_pandas keeps the pandas object on the
     driver and defers Spark ingestion (reference parity: the small-frame

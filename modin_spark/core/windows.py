@@ -1708,8 +1708,30 @@ def rank(
             raise ValueError(f"na_option {na_option!r}")
         sort_keys = [F.col("__cid__").asc(), vord, F.col("__gp__").asc()]
         _np = int(melted.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-        # explicit N: branch-consistent pids (see SparkFrame.with_global_position)
-        s = melted.repartitionByRange(_np, *sort_keys).withColumn("__pid__", F.spark_partition_id())
+        # deterministic (cid, value-bucket) blocks: quantile-literal buckets
+        # on the melted value (core.frame.quantile_bucket_expr) — range-
+        # shuffle pids re-sample boundaries per plan branch and would
+        # misalign the offsets join. Composite id stays monotone under the
+        # (cid, vord, gp) sort: cid-major, bucket monotone in the value
+        # (flipped for descending; na_option places the null bucket).
+        from modin_spark.core.frame import quantile_bucket_expr as _qbe
+
+        vb0 = _qbe(melted, "__v__", _np)
+        if vb0 is not None:
+            nb = _np + 3
+            vb = vb0 if ascending else (F.lit(_np) - vb0)
+            if na_option == "top":
+                vb = F.when(F.col("__v__").isNull(), F.lit(-1)).otherwise(vb)
+            elif na_option == "bottom":
+                vb = F.when(F.col("__v__").isNull(), F.lit(_np + 1)).otherwise(vb)
+            s = melted.withColumn(
+                "__pid__", F.col("__cid__").cast("long") * nb + vb + 1
+            ).repartition(_np, "__pid__")
+        else:
+            # non-numeric ranked values (strings): explicit-N range shuffle
+            # (documented residual: boundary re-sampling across branches)
+            s = melted.repartitionByRange(_np, *sort_keys).withColumn(
+                "__pid__", F.spark_partition_id())
         w_loc = Window.partitionBy("__pid__").orderBy(*sort_keys)
         s = s.withColumn("__lr__", F.row_number().over(w_loc) - F.lit(1))
         counts = s.groupBy("__pid__").count()
@@ -1735,7 +1757,13 @@ def rank(
             # window), then joined back on the tie-block key.
             blocks = s.groupBy("__cid__", "__v__").agg(F.min(_POS).alias("__blo__"))
             bkeys = [F.col("__cid__").asc(), F.col("__blo__").asc()]
-            b = blocks.repartitionByRange(_np, *bkeys).withColumn("__bpid__", F.spark_partition_id())
+            # deterministic: __blo__ is a global position (long) — 65536-row
+            # buckets via shiftright stay monotone under (cid, blo)
+            b = blocks.withColumn(
+                "__bpid__",
+                F.col("__cid__").cast("long") * F.lit(1 << 48)
+                + F.shiftright(F.col("__blo__").cast("long"), 16),
+            ).repartition(_np, "__bpid__")
             b = b.withColumn(
                 "__blr__",
                 F.row_number().over(Window.partitionBy("__bpid__").orderBy(*bkeys)) - F.lit(1),

@@ -112,10 +112,18 @@ def pack_sequences(df: SDF, id_col: str, token_col: str, capacity: int) -> SDF:
     join against a (#partitions)-row offset table. No single-task global
     window at any width.
     """
-    # explicit N: an N-less range shuffle can be AQE-coalesced differently
-    # per branch, and the pid-keyed offsets join then drops rows
+    # deterministic quantile-literal buckets: range-shuffle pids re-sample
+    # boundaries per plan branch and would misalign the offsets join (see
+    # core.frame.quantile_bucket_expr)
+    from modin_spark.core.frame import quantile_bucket_expr
+
     _np = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    t = df.repartitionByRange(_np, F.col(id_col)).withColumn("__pid__", F.spark_partition_id())
+    bkt = quantile_bucket_expr(df, id_col, _np)
+    if bkt is not None:
+        t = df.withColumn("__pid__", bkt).repartition(_np, "__pid__")
+    else:
+        t = df.repartitionByRange(_np, F.col(id_col)).withColumn(
+            "__pid__", F.spark_partition_id())
     w = Window.partitionBy("__pid__").orderBy(id_col)
     t = t.withColumn("__run__", F.sum(F.col(token_col).cast("long")).over(w))
     parts = t.groupBy("__pid__").agg(F.max("__run__").alias("__psum__"))

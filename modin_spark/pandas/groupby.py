@@ -487,8 +487,23 @@ class DataFrameGroupBy:
             for k in keys:
                 d = d.where(F.col(k).isNotNull())
         _np = int(d.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-        # explicit N: branch-consistent pids (see SparkFrame.with_global_position)
-        d = d.repartitionByRange(_np, *obc).withColumn("__pid__", F.spark_partition_id())
+        # deterministic bucket (see core.frame.quantile_bucket_expr): range-
+        # shuffle pids re-sample per branch and would misalign the offsets
+        # join. Bucket on the leading sort key (monotone under the full
+        # composite order: leading-key major); nulls sort last here.
+        from modin_spark.core.frame import quantile_bucket_expr as _qbe
+
+        if len(obc) == 1:  # sort=False: __mo__ is a LONG min-ORDER value
+            bkt = F.shiftright(F.col("__mo__").cast("long"), 16)
+        else:
+            k0 = keys[0]
+            b0 = _qbe(d, k0, _np)
+            bkt = (F.when(F.col(k0).isNull(), F.lit(2_000_000_000)).otherwise(b0)
+                   if b0 is not None else None)
+        if bkt is not None:
+            d = d.withColumn("__pid__", bkt).repartition(_np, "__pid__")
+        else:
+            d = d.repartitionByRange(_np, *obc).withColumn("__pid__", F.spark_partition_id())
         w = Window.partitionBy("__pid__").orderBy(*obc)
         d = d.withColumn("__lr__", F.row_number().over(w) - F.lit(1))
         counts = d.groupBy("__pid__").count()
