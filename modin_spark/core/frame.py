@@ -132,18 +132,26 @@ _PANDAS_TO_SPARK_CAST = {
 }
 
 
-def quantile_bucket_expr(sdf, colname: str, nparts: int):
-    """A DETERMINISTIC order-monotone bucket id for a sortable column:
-    approx-quantile boundaries collected once and baked as literals
-    (one build-time pass over the column). Partition-prefix-sum schemes
-    must not derive their bucket from ``spark_partition_id`` over a range
-    shuffle — the range sampler re-draws boundaries per plan branch, so
-    the offsets branch and the stream branch of one query can disagree
-    and rows near block edges read a misaligned (or missing) offset.
-    Boundary accuracy only affects balance, never results; equal values
-    always share a bucket. Returns None for non-numeric, non-temporal
-    columns (caller keeps its explicit-N range shuffle and documents the
-    residual risk)."""
+def order_bucket_expr(sdf, colname: str, nparts: int = 0):
+    """A DETERMINISTIC order-monotone bucket id for a sortable column —
+    computed from the VALUE alone (sign, binary exponent, 6 mantissa
+    bits), so it needs NO build-time pass and can never disagree between
+    plan branches. Partition-prefix-sum schemes must not derive their
+    bucket from ``spark_partition_id`` over a range shuffle: the range
+    sampler re-draws boundaries per branch, and the offsets branch and
+    stream branch of one query then disagree — rows near block edges read
+    a misaligned (or missing) offset.
+
+    Monotone: for v>0 the id is e·128 + floor(|v|·2^(6−e)) with
+    e = floor(log2 |v|) (the scaled term lands in [64,128), so octave
+    jumps dominate); negatives negate it; zero maps to 0; NaN sorts last
+    like Spark ordering. Range ±~139k (|e| ≤ 1080). Balance: ≤ ~1.6% of
+    an octave per bucket — a near-constant column degenerates to one hot
+    bucket, the same bound as a groupby hot key. Returns (expr, LO, HI)
+    sentinels for callers placing nulls, or None for non-numeric,
+    non-temporal columns (caller keeps an explicit-N range shuffle and
+    documents the residual risk). Null input yields a null id.
+    """
     dt = dict((f.name, f.dataType) for f in sdf.schema.fields).get(colname)
     if isinstance(dt, (T.TimestampType, T.TimestampNTZType, T.DateType)):
         num = F.col(colname).cast("timestamp").cast("double")
@@ -154,15 +162,22 @@ def quantile_bucket_expr(sdf, colname: str, nparts: int):
         num = F.col(colname).cast("double")
     else:
         return None
-    tmp = sdf.select(num.alias("__qb__")).where(F.col("__qb__").isNotNull())
-    bounds = tmp.approxQuantile("__qb__", [i / nparts for i in range(1, nparts)], 0.001)
-    bounds = sorted(set(b for b in bounds if b is not None))
-    if not bounds:
-        return F.when(num.isNotNull(), F.lit(0)).otherwise(F.lit(-1))
-    e = F.aggregate(
-        F.array(*[F.lit(float(b)) for b in bounds]), F.lit(0),
-        lambda acc, b: acc + F.when(num > b, 1).otherwise(0))
-    return F.when(num.isNotNull(), e).otherwise(F.lit(-1))
+    a = F.abs(num)
+    e = F.least(F.greatest(F.floor(F.log2(a)), F.lit(-1080.0)), F.lit(1080.0))
+    scaled = F.floor(a * F.pow(F.lit(2.0), F.lit(6.0) - e))  # in [64, 128)
+    # +139000 keeps the magnitude STRICTLY positive (raw e*128+scaled goes
+    # negative for |v| < ~0.6, which would invert the order around zero)
+    mag = (e * 128 + scaled).cast("long") + F.lit(139_000)
+    b = (F.when(F.isnan(num), F.lit(ORDER_BUCKET_HI))
+         .when(num == 0, F.lit(0))
+         .when(num > 0, mag)
+         .otherwise(-mag))
+    return F.when(num.isNotNull(), b)
+
+
+# sentinels strictly outside the ±~278k magnitude range of order_bucket_expr
+ORDER_BUCKET_LO = -1_000_000
+ORDER_BUCKET_HI = 1_000_000
 
 
 def native_max_rows() -> int:

@@ -1708,24 +1708,24 @@ def rank(
             raise ValueError(f"na_option {na_option!r}")
         sort_keys = [F.col("__cid__").asc(), vord, F.col("__gp__").asc()]
         _np = int(melted.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-        # deterministic (cid, value-bucket) blocks: quantile-literal buckets
-        # on the melted value (core.frame.quantile_bucket_expr) — range-
+        # deterministic (cid, value-bucket) blocks: value-derived buckets
+        # on the melted value (core.frame.order_bucket_expr) — range-
         # shuffle pids re-sample boundaries per plan branch and would
         # misalign the offsets join. Composite id stays monotone under the
         # (cid, vord, gp) sort: cid-major, bucket monotone in the value
-        # (flipped for descending; na_option places the null bucket).
-        from modin_spark.core.frame import quantile_bucket_expr as _qbe
+        # (negated for descending; na_option places the null bucket).
+        from modin_spark.core.frame import (
+            ORDER_BUCKET_HI, ORDER_BUCKET_LO, order_bucket_expr as _obe)
 
-        vb0 = _qbe(melted, "__v__", _np)
+        vb0 = _obe(melted, "__v__")
         if vb0 is not None:
-            nb = _np + 3
-            vb = vb0 if ascending else (F.lit(_np) - vb0)
+            vb = vb0 if ascending else (-vb0)
             if na_option == "top":
-                vb = F.when(F.col("__v__").isNull(), F.lit(-1)).otherwise(vb)
+                vb = F.when(F.col("__v__").isNull(), F.lit(ORDER_BUCKET_LO)).otherwise(vb)
             elif na_option == "bottom":
-                vb = F.when(F.col("__v__").isNull(), F.lit(_np + 1)).otherwise(vb)
+                vb = F.when(F.col("__v__").isNull(), F.lit(ORDER_BUCKET_HI)).otherwise(vb)
             s = melted.withColumn(
-                "__pid__", F.col("__cid__").cast("long") * nb + vb + 1
+                "__pid__", F.col("__cid__").cast("long") * F.lit(4_000_000) + vb
             ).repartition(_np, "__pid__")
         else:
             # non-numeric ranked values (strings): explicit-N range shuffle

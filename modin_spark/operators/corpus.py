@@ -112,15 +112,16 @@ def pack_sequences(df: SDF, id_col: str, token_col: str, capacity: int) -> SDF:
     join against a (#partitions)-row offset table. No single-task global
     window at any width.
     """
-    # deterministic quantile-literal buckets: range-shuffle pids re-sample
+    # deterministic value-derived buckets: range-shuffle pids re-sample
     # boundaries per plan branch and would misalign the offsets join (see
-    # core.frame.quantile_bucket_expr)
-    from modin_spark.core.frame import quantile_bucket_expr
+    # core.frame.order_bucket_expr)
+    from modin_spark.core.frame import ORDER_BUCKET_LO, order_bucket_expr
 
     _np = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    bkt = quantile_bucket_expr(df, id_col, _np)
+    bkt = order_bucket_expr(df, id_col)
     if bkt is not None:
-        t = df.withColumn("__pid__", bkt).repartition(_np, "__pid__")
+        t = df.withColumn("__pid__", F.coalesce(bkt, F.lit(ORDER_BUCKET_LO))
+                          ).repartition(_np, "__pid__")
     else:
         t = df.repartitionByRange(_np, F.col(id_col)).withColumn(
             "__pid__", F.spark_partition_id())

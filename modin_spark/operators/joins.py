@@ -54,19 +54,15 @@ def _pick_direction(u, direction: str, allow_exact: bool, by_cols: list[str], ou
     # the key: spark_partition_id over a range shuffle re-SAMPLES its
     # boundaries in the carries branch vs the stream branch of the same
     # query, and rows near block edges then read a misaligned carry
-    # (observed: ~5 stale matches per boundary at 300k rows). Quantile
-    # boundaries bake in as literals — accuracy only affects balance;
-    # equal keys always share a block (hot-key bound, same as groupby).
+    # (observed: ~5 stale matches per boundary at 300k rows). The value-
+    # derived bucket costs no build-time pass; equal keys always share a
+    # block (hot-key bound, same as groupby).
+    from modin_spark.core.frame import ORDER_BUCKET_LO, order_bucket_expr
+
     _np = int(u.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    bounds = u.approxQuantile("__k__", [i / _np for i in range(1, _np)], 0.001)
-    bounds = sorted(set(b for b in bounds if b is not None))
-    if bounds:
-        blk_e = F.aggregate(
-            F.array(*[F.lit(float(b)) for b in bounds]), F.lit(0),
-            lambda acc, b: acc + F.when(F.col("__k__") > b, 1).otherwise(0))
-    else:
-        blk_e = F.lit(0)
-    u2 = u.withColumn(_BLK, F.when(F.col("__k__").isNotNull(), blk_e).otherwise(F.lit(-1)))
+    blk_e = order_bucket_expr(u, "__k__")  # __k__ is always numeric here
+    u2 = u.withColumn(_BLK, F.coalesce(blk_e, F.lit(ORDER_BUCKET_LO)))
+    u2 = u2.repartition(_np, _BLK)
     w_in = Window.partitionBy(_BLK).orderBy(*[c.asc() for c in sort_cols])
     is_r = F.col("__il__") == 0
     r_ord = F.when(is_r, F.struct(F.col("__k__"), F.col("__ro__")))

@@ -487,17 +487,17 @@ class DataFrameGroupBy:
             for k in keys:
                 d = d.where(F.col(k).isNotNull())
         _np = int(d.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-        # deterministic bucket (see core.frame.quantile_bucket_expr): range-
+        # deterministic bucket (see core.frame.order_bucket_expr): range-
         # shuffle pids re-sample per branch and would misalign the offsets
         # join. Bucket on the leading sort key (monotone under the full
         # composite order: leading-key major); nulls sort last here.
-        from modin_spark.core.frame import quantile_bucket_expr as _qbe
+        from modin_spark.core.frame import order_bucket_expr as _obe
 
         if len(obc) == 1:  # sort=False: __mo__ is a LONG min-ORDER value
             bkt = F.shiftright(F.col("__mo__").cast("long"), 16)
         else:
             k0 = keys[0]
-            b0 = _qbe(d, k0, _np)
+            b0 = _obe(d, k0)
             bkt = (F.when(F.col(k0).isNull(), F.lit(2_000_000_000)).otherwise(b0)
                    if b0 is not None else None)
         if bkt is not None:
