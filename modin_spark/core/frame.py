@@ -135,8 +135,8 @@ _PANDAS_TO_SPARK_CAST = {
 def order_bucket_expr(sdf, colname: str, nparts: int = 0):
     """A DETERMINISTIC order-monotone bucket id for a sortable column —
     computed from the VALUE alone (sign, binary exponent, 6 mantissa
-    bits), so it needs NO build-time pass and can never disagree between
-    plan branches. Partition-prefix-sum schemes must not derive their
+    bits; strings: a fixed-width byte prefix), so it needs NO build-time
+    pass and can never disagree between plan branches. Partition-prefix-sum schemes must not derive their
     bucket from ``spark_partition_id`` over a range shuffle: the range
     sampler re-draws boundaries per branch, and the offsets branch and
     stream branch of one query then disagree — rows near block edges read
@@ -160,6 +160,16 @@ def order_bucket_expr(sdf, colname: str, nparts: int = 0):
         # cast to double is MONOTONE even where lossy (ties widen, never
         # reorder) — bucketing only, exactness unaffected
         num = F.col(colname).cast("double")
+    elif isinstance(dt, T.StringType):
+        # Spark compares strings by UTF-8 bytes, so a FIXED-WIDTH byte
+        # prefix read as an integer is order-monotone (right-pad with 0x00:
+        # a raw substring would rank "b" below "ab"). ~18 effective bits →
+        # values share a bucket past their first ~2 bytes (common-prefix
+        # hot buckets: same bound as a groupby hot key).
+        b = F.expr(
+            "shiftright(cast(conv(hex(rpad(encode(`%s`, 'UTF-8'), 4, x'00')), 16, 10)"
+            " as bigint), 14)" % str(colname).replace("`", "``"))
+        return F.when(F.col(colname).isNotNull(), b)
     else:
         return None
     a = F.abs(num)

@@ -184,3 +184,18 @@ def test_asof_no_stale_matches_at_scale():
         e = pd.merge_asof(l, r, on="t", direction=d)
         assert len(g) == len(e)
         assert np.allclose(g["w"].fillna(-9).values, e["w"].fillna(-9).values)
+
+
+def test_string_rank_deterministic_bucket():
+    """String rank/ngroup ride the byte-prefix deterministic bucket (no
+    range-shuffle pid dependence); heavy shared prefixes exercise the
+    common-prefix hot-bucket path."""
+    rng = np.random.default_rng(6)
+    words = ["apple", "banana", "cherry", "date", "elder", "fig", "grape", "kiwi"]
+    ss = [words[i] + str(j) for i, j in
+          zip(rng.integers(0, 8, 50_000), rng.integers(0, 1000, 50_000))]
+    pdf = pd.DataFrame({"s": ss})
+    mdf = mpd.DataFrame(pdf)
+    eq_series(mdf["s"].rank(method="min"), pdf["s"].rank(method="min"))
+    eq_series(mdf["s"].rank(method="dense", ascending=False),
+              pdf["s"].rank(method="dense", ascending=False))
