@@ -22,6 +22,17 @@ spark = get_spark()
 rng = np.random.default_rng(13)
 out = {}
 
+# warm-up: first execution of each kernel pays JIT/codegen/python-worker
+# spinup that would otherwise land on the 1M leg and fake a sublinear ratio
+_w = mpd.DataFrame(pd.DataFrame({"x": rng.normal(size=200_000)}))
+_wf = _w["x"]._to_frame("x")
+MDF(_frame=win.expanding_rank(_wf, [0])).to_spark(ordered=False).count()
+MDF(_frame=win.expanding_quantile(_wf, [0], 0.5)).to_spark(ordered=False).count()
+_w["x"].rank()._to_frame().to_spark(ordered=False).count()
+_l = pd.DataFrame({"t": np.arange(100_000), "v": np.zeros(100_000)})
+mpd.merge_asof(mpd.DataFrame(_l), mpd.DataFrame(_l.rename(columns={"v": "w"})), on="t"
+               ).to_spark(ordered=False).count()
+
 for n in (1_000_000, 5_000_000):
     tag = f"n{n//1_000_000}m"
     x = rng.normal(100, 10, n)
