@@ -4156,13 +4156,45 @@ class DataFrame:
     def le(self, other, fill_value=None):
         return self._binary_frame(other, lambda a, b: F.coalesce(a <= b, F.lit(False)), fill_value)
 
-    # comparison dunders (pandas: frames are unhashable, same here)
-    __eq__ = eq  # type: ignore[assignment]
-    __ne__ = ne  # type: ignore[assignment]
-    __gt__ = gt
-    __ge__ = ge
-    __lt__ = lt
-    __le__ = le
+    # comparison DUNDERS: pandas raises on differently-labeled frames
+    # (only the flex methods align). Enforced where cheap — both operands
+    # driver-resident; distributed frames keep the documented relaxation.
+    def _cmp_label_check(self, other):
+        from modin_spark.pandas import native as _native
+
+        if isinstance(other, DataFrame):
+            lp = _native.native_pdf_of(self)
+            rp = _native.native_pdf_of(other)
+            if lp is not None and rp is not None and (
+                    not lp.columns.equals(rp.columns) or not lp.index.equals(rp.index)):
+                raise ValueError(
+                    "Can only compare identically-labeled (both index and "
+                    "columns) DataFrame objects")
+
+    def __eq__(self, other):  # type: ignore[override]
+        self._cmp_label_check(other)
+        return self.eq(other)
+
+    def __ne__(self, other):  # type: ignore[override]
+        self._cmp_label_check(other)
+        return self.ne(other)
+
+    def __gt__(self, other):
+        self._cmp_label_check(other)
+        return self.gt(other)
+
+    def __ge__(self, other):
+        self._cmp_label_check(other)
+        return self.ge(other)
+
+    def __lt__(self, other):
+        self._cmp_label_check(other)
+        return self.lt(other)
+
+    def __le__(self, other):
+        self._cmp_label_check(other)
+        return self.le(other)
+
     __hash__ = None  # type: ignore[assignment]
 
     # reversed arithmetic (r-variants)

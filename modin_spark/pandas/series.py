@@ -446,6 +446,35 @@ class Series:
             fr.order_is_position = False
         return fr, F.col(lf.data_cols[0]), F.col(rf.data_cols[0]), {lf.data_cols[0], rf.data_cols[0]}
 
+    def _cmp_scalar_kind_guard(self, o, fn):
+        """pandas scalar-comparison type rules: a numeric/bool series
+        ordered-compared to a str (or a string series to a number) raises
+        TypeError; == is all-False and != all-True (Spark would instead
+        CAST — int 1 == "1" would come back true). Datetimes keep pandas'
+        parse-the-string behavior. Returns the constant result Series,
+        raises, or None to proceed."""
+        # gate on the OPERAND type alone first: probing the series type on
+        # every numeric scalar comparison would tax the hottest filter path.
+        # (The reverse divergence — string series ordered-compared to a
+        # number — stays the documented relaxation.)
+        if not isinstance(o, str):
+            return None
+        st = self.spark_type
+        if not isinstance(st, (T.ByteType, T.ShortType, T.IntegerType,
+                               T.LongType, T.FloatType, T.DoubleType,
+                               T.DecimalType, T.BooleanType)):
+            return None
+        probe = fn(F.lit(1), F.lit(1))  # identify the operator via constants
+        kind = str(probe._jc) if hasattr(probe, "_jc") else ""
+        if "=" in kind and "<" not in kind and ">" not in kind:
+            # == / != between unrelated types: constant, never an error
+            if "NOT" in kind.upper() or "!" in kind:
+                return self._map1(lambda c: F.lit(True))
+            return self._map1(lambda c: F.lit(False))
+        raise TypeError(
+            f"comparison not supported between series of type {self.dtype} "
+            f"and {type(o).__name__!r}")
+
     def _binary(self, other, fn: Callable[[Column, Column], Column], reverse=False, comparison=False, strict=False) -> "Series":
         import numpy as _np
 
@@ -469,6 +498,10 @@ class Series:
                 e = F.coalesce(e, F.lit(False))
             return Series(pos_fr, e, set(self._refs), name=self._name,
                           filter_expr=filter_expr)
+        if comparison and not isinstance(other, Series):
+            const = self._cmp_scalar_kind_guard(other, fn)
+            if const is not None:
+                return const
         if isinstance(other, Series):
             if comparison and strict:
                 # pandas raises on comparison OPERATORS over differently-

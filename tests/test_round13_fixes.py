@@ -199,3 +199,33 @@ def test_string_rank_deterministic_bucket():
     eq_series(mdf["s"].rank(method="min"), pdf["s"].rank(method="min"))
     eq_series(mdf["s"].rank(method="dense", ascending=False),
               pdf["s"].rank(method="dense", ascending=False))
+
+
+def test_frame_comparison_operator_label_check(monkeypatch):
+    monkeypatch.setenv("MODIN_SPARK_NATIVE_MAX_ROWS", "5000")
+    p1 = pd.DataFrame({"a": [1, 2], "b": [3, 4]})
+    p2 = pd.DataFrame({"a": [1, 9], "c": [3, 4]})
+    m1, m2 = mpd.DataFrame(p1), mpd.DataFrame(p2)
+    with pytest.raises(ValueError, match="identically-labeled"):
+        m1 == m2
+    with pytest.raises(ValueError, match="identically-labeled"):
+        m1 < m2
+    # flex methods align (pandas contract)
+    assert m1.eq(m2).to_pandas().shape == (2, 3)
+    # identical labels compare fine
+    p3 = pd.DataFrame({"a": [1, 9], "b": [3, 0]})
+    got = (m1 == mpd.DataFrame(p3)).to_pandas()
+    pd.testing.assert_frame_equal(got, p1 == p3, check_dtype=False)
+
+
+def test_scalar_comparison_type_rules():
+    s = mpd.Series([1, 2, 3])
+    with pytest.raises(TypeError):
+        s < "x"
+    with pytest.raises(TypeError):
+        s.ge("x")
+    eq_series(s == "1", pd.Series([False] * 3))
+    eq_series(s != "1", pd.Series([True] * 3))
+    # datetimes keep pandas' parse-the-string behavior
+    d = pd.Series(pd.to_datetime(["2020-01-01", "2021-06-01"]))
+    eq_series(mpd.Series(d) > "2020-06-01", d > "2020-06-01")
