@@ -4163,10 +4163,16 @@ class DataFrame:
         from modin_spark.pandas import native as _native
 
         if isinstance(other, DataFrame):
+            # column labels are driver metadata — exact check is free;
+            # row labels are only checked when both frames are
+            # driver-resident (distributed: documented relaxation)
+            if not self.columns.equals(other.columns):
+                raise ValueError(
+                    "Can only compare identically-labeled (both index and "
+                    "columns) DataFrame objects")
             lp = _native.native_pdf_of(self)
             rp = _native.native_pdf_of(other)
-            if lp is not None and rp is not None and (
-                    not lp.columns.equals(rp.columns) or not lp.index.equals(rp.index)):
+            if lp is not None and rp is not None and not lp.index.equals(rp.index):
                 raise ValueError(
                     "Can only compare identically-labeled (both index and "
                     "columns) DataFrame objects")
