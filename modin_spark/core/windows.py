@@ -931,9 +931,10 @@ def expanding_rank(frame: SparkFrame, positions: Sequence[int], method: str = "a
     prefix. Ties share one bucket (range partition on the value alone), the
     same hot-key bound as a groupby.
 
-    pandas semantics (pandas/core/window/expanding.py Expanding.rank):
-    methods average/min/max, NaN rows rank NaN and do not count,
-    pct divides by the prefix non-null count, min_periods gates on it.
+    pandas semantics (reference surface: modin/pandas/window.py:352
+    Expanding -> rank, which the reference executes via its window
+    compiler): methods average/min/max, NaN rows rank NaN and do not
+    count, pct divides by the prefix non-null count, min_periods gates.
     """
     from pyspark.sql import types as T
 
@@ -1102,8 +1103,10 @@ def expanding_quantile(frame: SparkFrame, positions: Sequence[int], q: float,
     parallelism degrades toward those buckets — still bounded memory and
     O(n log) work, vs the O(n·#blocks) whole-prefix shipping this replaces.
 
-    pandas semantics: NaN skipped, interpolation linear/lower/higher/
-    nearest/midpoint on fractional index q*(nn-1), min_periods gate.
+    pandas semantics (reference surface: modin/pandas/window.py:352
+    Expanding -> quantile/median): NaN values skipped but NaN ROWS still
+    report the running prefix quantile, interpolation linear/lower/
+    higher/nearest/midpoint on fractional index q*(nn-1), min_periods.
     """
     from pyspark.sql import types as T
 
