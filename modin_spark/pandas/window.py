@@ -282,7 +282,9 @@ class Expanding:
             out = win.expanding_quantile(
                 self._obj._to_frame(), [0], q, min_periods=self._min_periods,
                 interpolation=interpolation)
-            return Series._from_frame(out)
+            res = Series._from_frame(out)
+            res._name = self._obj._name  # placeholder label must not leak
+            return res
         df = self._obj
         out = win.expanding_quantile(
             df._frame, df._numeric_positions(), q,
@@ -309,7 +311,9 @@ class Expanding:
                 out = win.expanding_rank(
                     self._obj._to_frame(), [0], method=method,
                     ascending=ascending, pct=pct, min_periods=self._min_periods)
-                return Series._from_frame(out)
+                res = Series._from_frame(out)
+                res._name = self._obj._name
+                return res
             df = self._obj
             out = win.expanding_rank(
                 df._frame, df._numeric_positions(), method=method,
@@ -335,7 +339,9 @@ class Expanding:
 
         if isinstance(self._obj, Series):
             out = win.blocked_pandas(self._obj._to_frame(), [0], pd_fn, halo_rows=None)
-            return Series._from_frame(out)
+            res = Series._from_frame(out)
+            res._name = self._obj._name
+            return res
         df = self._obj
         out = win.blocked_pandas(df._frame, df._numeric_positions(), pd_fn, halo_rows=None)
         return DataFrame(_frame=out)

@@ -229,3 +229,17 @@ def test_scalar_comparison_type_rules():
     # datetimes keep pandas' parse-the-string behavior
     d = pd.Series(pd.to_datetime(["2020-01-01", "2021-06-01"]))
     eq_series(mpd.Series(d) > "2020-06-01", d > "2020-06-01")
+
+
+def test_expanding_order_stat_name_preserved():
+    """rank/quantile/median results keep the source series name (None
+    included) — the 1-col frame round trip must not leak the positional
+    placeholder label."""
+    s = pd.Series([3.0, 1.0, 2.0, np.nan])
+    m = mpd.Series(s)
+    pd.testing.assert_series_equal(m.expanding(1).rank().to_pandas(),
+                                   s.expanding(1).rank(), check_dtype=False)
+    pd.testing.assert_series_equal(m.expanding(2).median().to_pandas(),
+                                   s.expanding(2).median(), check_dtype=False)
+    nm = pd.Series([2.0, 1.0], name="zz")
+    assert mpd.Series(nm).expanding(1).rank().to_pandas().name == "zz"
