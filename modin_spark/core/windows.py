@@ -945,6 +945,10 @@ def expanding_rank(frame: SparkFrame, positions: Sequence[int], method: str = "a
     nparts = int(fr.sdf.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     for i, op_ in zip(positions, out_names):
         p = frame.data_cols[i]
+        # the double cast is the PANDAS contract here: window rank runs on
+        # float64 arrays, so int64 values beyond 2^53 tie exactly as they
+        # do in pandas (unlike Series.rank, whose per-dtype melt in rank()
+        # stays exact — verified: pd expanding rank of [2^55, 2^55+1] ties)
         x = F.col(p).cast("double")
         xv = x if ascending else -x
         nn = fr.sdf.where(x.isNotNull()).select(

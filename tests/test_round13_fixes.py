@@ -243,3 +243,16 @@ def test_expanding_order_stat_name_preserved():
                                    s.expanding(2).median(), check_dtype=False)
     nm = pd.Series([2.0, 1.0], name="zz")
     assert mpd.Series(nm).expanding(1).rank().to_pandas().name == "zz"
+
+
+def test_expanding_rank_window_float64_contract():
+    """pandas WINDOW rank runs on float64: int64 beyond 2^53 tie in
+    expanding().rank() (unlike Series.rank, which stays dtype-exact) —
+    the distributed kernel must match the window contract, not be
+    stricter than pandas."""
+    base = 1 << 55
+    s = pd.Series(np.array([base, base + 1, base], dtype="int64"))
+    m = mpd.Series(s)
+    eq_series(m.expanding(1).rank(), s.expanding(1).rank())
+    # Series.rank (non-window) distinguishes them exactly
+    eq_series(m.rank(), s.rank())
