@@ -1190,6 +1190,25 @@ def _expanding_rank_pct(spark, sf):
     return e.head(10000).to_spark(ordered=False)
 
 
+def _expanding_median_exact(spark, sf):
+    """expanding().median() via the exact DISTRIBUTED selection kernel
+    (core.windows.expanding_quantile: value-bucket x pos-block + per-bucket
+    Fenwick select) — called directly so the driver scores the kernel (the
+    public API routes sub-4-block frames onto the single-task pandas pass)."""
+    mpd = _mpd()
+    from modin_spark.core import windows as _win
+    from modin_spark.pandas.series import Series as _S
+
+    ev = mpd.read_parquet(f"{sf}/events.parquet")
+    ev = ev.sort_values("event_id").set_index("event_id")
+    med = _S._from_frame(_win.expanding_quantile(
+        ev["value"]._to_frame(), [0], 0.5, min_periods=1))
+    e = med.reset_index()
+    e.columns = ["event_id", "exp_med"]
+    e["exp_med"] = _r(e["exp_med"], 6)
+    return e.head(10000).to_spark(ordered=False)
+
+
 def _expanding_stats(spark, sf):
     mpd = _mpd()
     ev = mpd.read_parquet(f"{sf}/events.parquet")
@@ -2430,6 +2449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qcut_quartiles": _qcut_quartiles,
         "expanding_stats": _expanding_stats,
         "expanding_rank_pct": _expanding_rank_pct,
+        "expanding_median_exact": _expanding_median_exact,
         "groupby_transform_demean": _groupby_transform_demean,
         "groupby_filter_large": _groupby_filter_large,
         "groupby_head2": _groupby_head2,
@@ -3593,6 +3613,13 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'q4' END AS q4,
                    COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
             FROM orders, b GROUP BY 1
+        """,
+        "expanding_median_exact": """
+            SELECT a.event_id,
+                   ROUND(MEDIAN(b.value), 6) AS exp_med
+            FROM events a JOIN events b ON b.event_id <= a.event_id
+            GROUP BY a.event_id
+            ORDER BY a.event_id LIMIT 10000
         """,
         "expanding_rank_pct": """
             SELECT a.event_id,
