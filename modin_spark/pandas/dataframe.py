@@ -189,6 +189,16 @@ class DataFrame:
 
     def __getitem__(self, key):
         fr = self._frame
+        if isinstance(key, DataFrame):
+            # df[bool_frame] is ELEMENTWISE masking (pandas: == df.where);
+            # without this branch the key would fall into label matching,
+            # where `label == frame` is truthy and silently selected
+            # every column
+            return self.where(key)
+        if isinstance(key, pd.DataFrame):
+            from modin_spark.pandas.io import from_pandas as _fp
+
+            return self.where(_fp(key))
         if isinstance(key, list):  # label-list projection stays native
             nat = _native.maybe(self, "__getitem__", key)
             if nat is not None:
@@ -4568,6 +4578,10 @@ class DataFrame:
             nf = fr._same_rows(fr.sdf, columns=new_idx, data_cols=[fr.data_cols[i] for i in keep])
             return DataFrame(_frame=nf)
         lv = self._level_pos(level)
+        if len(fr.index_cols) <= 1 and not isinstance(key, tuple):
+            # single-level scalar cross-section: pandas returns the ROW as
+            # a Series (same as .loc[key]), not a 1-row frame
+            return self.loc[key]
         out = DataFrame(_frame=fr.filter(F.col(fr.index_cols[lv]) == F.lit(key)))
         return out.droplevel(lv) if drop_level and len(fr.index_cols) > 1 else out
 

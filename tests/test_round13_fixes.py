@@ -256,3 +256,26 @@ def test_expanding_rank_window_float64_contract():
     eq_series(m.expanding(1).rank(), s.expanding(1).rank())
     # Series.rank (non-window) distinguishes them exactly
     eq_series(m.rank(), s.rank())
+
+
+def test_frame_boolean_mask_getitem():
+    """df[bool_frame] masks ELEMENTWISE (== df.where) — the key previously
+    fell into label matching, where `label == frame` is truthy, and the
+    whole frame came back unmasked."""
+    p = pd.DataFrame({"a": [1, 2, 3], "b": [4.0, 5.0, 6.0]}, index=list("xyz"))
+    m = mpd.DataFrame(p)
+    pd.testing.assert_frame_equal((m[m > 2]).to_pandas(), p[p > 2], check_dtype=False)
+    pd.testing.assert_frame_equal((m[p > 2]).to_pandas(), p[p > 2], check_dtype=False)
+
+
+def test_xs_scalar_returns_row_series():
+    p = pd.DataFrame({"a": [1, 2, 3], "b": [4.0, 5.0, 6.0]}, index=list("xyz"))
+    m = mpd.DataFrame(p)
+    g = m.xs("y")
+    g = g.to_pandas() if hasattr(g, "to_pandas") else g
+    pd.testing.assert_series_equal(g, p.xs("y"), check_dtype=False)
+    # MultiIndex partial key keeps the frame form
+    pm = pd.DataFrame({"v": [1, 2, 3, 4]},
+                      index=pd.MultiIndex.from_product([["a", "b"], [1, 2]]))
+    mm = mpd.DataFrame(pm)
+    pd.testing.assert_frame_equal(mm.xs("a").to_pandas(), pm.xs("a"), check_dtype=False)
