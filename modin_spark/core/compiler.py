@@ -693,6 +693,21 @@ def merge(
         out_labels.append(name)
         out_phys.append(r_map[right.data_cols[j]])
 
+    # pandas (2.x): suffixing must not CREATE a duplicate label that wasn't
+    # a duplicate before (e.g. left has both "v" and "v_x", right has "v")
+    if overlap:
+        from collections import Counter
+
+        dup = {lbl for lbl, n in Counter(out_labels).items() if n > 1}
+        pre = {lbl for lbl, n in Counter(list(l_labels) + [
+            r_labels[j] for j in range(len(r_labels)) if j not in on_pairs
+        ]).items() if n > 1}
+        created = dup - pre
+        if created:
+            raise pd.errors.MergeError(
+                f"Passing 'suffixes' which cause duplicate columns "
+                f"{sorted(map(str, created))} is not allowed.")
+
     if indicator:
         # side presence read off the order markers before they drop
         ind_name = "_merge" if indicator is True else str(indicator)

@@ -811,6 +811,21 @@ class Series:
         return Series._from_frame(self._frame.filter(cond._expr).project([self._name if self._name is not None else 0], [self._expr]))
 
     def astype(self, dtype) -> "Series":
+        import numpy as _np
+
+        try:
+            _tk = _np.dtype(dtype).kind if not isinstance(
+                dtype, pd.api.extensions.ExtensionDtype) else None
+        except TypeError:
+            _tk = None
+        if _tk in ("i", "u"):
+            # pandas raises IntCastingNaNError for NaN -> int; enforce it
+            # where cheap (driver-resident) by running pandas itself —
+            # distributed frames keep the documented null-passthrough
+            # relaxation (a null-count action per astype would be a job)
+            ps = _native.series_pdf_of(self)
+            if ps is not None:
+                return Series._from_pandas(ps.astype(dtype))
         if isinstance(dtype, pd.CategoricalDtype):
             # physical storage stays string; the dtype (category ORDER for
             # ordered comparisons) rides on the Series object

@@ -279,3 +279,25 @@ def test_xs_scalar_returns_row_series():
                       index=pd.MultiIndex.from_product([["a", "b"], [1, 2]]))
     mm = mpd.DataFrame(pm)
     pd.testing.assert_frame_equal(mm.xs("a").to_pandas(), pm.xs("a"), check_dtype=False)
+
+
+def test_astype_nan_to_int_raises_natively(monkeypatch):
+    monkeypatch.setenv("MODIN_SPARK_NATIVE_MAX_ROWS", "5000")
+    sn = pd.Series([1.5, np.nan])
+    with pytest.raises(Exception, match="[Cc]annot convert|IntCasting"):
+        mpd.Series(sn).astype("int64")
+    assert mpd.Series(pd.Series([1.0, 2.0])).astype("int8").to_pandas().dtype == "int8"
+
+
+def test_merge_suffix_collision_raises():
+    """pandas: suffixing must not CREATE a duplicate label (left holds
+    both 'v' and 'v_x', right holds 'v')."""
+    l = pd.DataFrame({"k": [1], "v": [2], "v_x": [3]})
+    r = pd.DataFrame({"k": [1], "v": [9]})
+    with pytest.raises(pd.errors.MergeError):
+        mpd.DataFrame(l).merge(mpd.DataFrame(r), on="k")
+    # plain overlap still suffixes normally
+    l2 = pd.DataFrame({"k": [1], "v": [2]})
+    pd.testing.assert_frame_equal(
+        mpd.DataFrame(l2).merge(mpd.DataFrame(r), on="k").to_pandas(),
+        l2.merge(r, on="k"), check_dtype=False)
