@@ -850,6 +850,9 @@ class Series:
         if isinstance(spark_t, T.StringType) and dtype not in ("object",):
             # pandas astype(str) renders missing values as LITERAL text
             # ('nan'/'NaT' by source kind); engine NULLs would stay NULL
+            marker = getattr(self, "_astype_str_null", None)
+            if marker is not None:
+                return self._map1(lambda c: F.coalesce(c.cast("string"), F.lit(marker)))
             kind = self.dtype.kind
             if kind in "fiu":
                 return self._map1(lambda c: F.coalesce(c.cast("string"), F.lit("nan")))
@@ -2012,6 +2015,10 @@ class DatetimeMethods:
 
         def call(*args, **kwargs):
             out = self._s._map1(lambda c: fn(c, *args, **kwargs))
+            if name == "to_period":
+                # period values store as strings; a later astype(str) must
+                # render missing entries as 'NaT' like pandas Periods do
+                out._astype_str_null = "NaT"
             if name in ("tz_localize", "tz_convert"):
                 # Spark timestamps are naive; pandas' tz-AWARE dtype is
                 # reconstructed on materialization. Storage convention:

@@ -301,3 +301,9 @@ def test_merge_suffix_collision_raises():
     pd.testing.assert_frame_equal(
         mpd.DataFrame(l2).merge(mpd.DataFrame(r), on="k").to_pandas(),
         l2.merge(r, on="k"), check_dtype=False)
+
+
+def test_to_period_astype_str_renders_nat():
+    d = pd.Series(pd.to_datetime(["2020-01-31", "2021-02-28", None]))
+    md = mpd.Series(d)
+    eq_series(md.dt.to_period("M").astype(str), d.dt.to_period("M").astype(str))
