@@ -863,7 +863,57 @@ class DataFrame:
         ))
         return self.where(inv, other)
 
-    def clip(self, lower=None, upper=None) -> "DataFrame":
+    def clip(self, lower=None, upper=None, axis=None) -> "DataFrame":
+        if isinstance(lower, pd.Series) or isinstance(upper, pd.Series):
+            from modin_spark.pandas.io import from_pandas as _fp
+
+            lower = Series._from_pandas(lower) if isinstance(lower, pd.Series) else lower
+            upper = Series._from_pandas(upper) if isinstance(upper, pd.Series) else upper
+        if isinstance(lower, Series) or isinstance(upper, Series):
+            if axis in (1, "columns"):
+                # per-COLUMN scalar bounds keyed by label: driver metadata
+                lo = lower.to_pandas() if isinstance(lower, Series) else None
+                hi = upper.to_pandas() if isinstance(upper, Series) else None
+                fr = self._frame
+                exprs = []
+                for i, lbl in enumerate(fr.columns):
+                    c, e = fr.scol(i), fr.scol(i)
+                    lv = lo.get(lbl) if lo is not None else lower
+                    uv = hi.get(lbl) if hi is not None else upper
+                    if lv is not None and not pd.isna(lv):
+                        e = F.greatest(e, _lit(lv))
+                    if uv is not None and not pd.isna(uv):
+                        e = F.least(e, _lit(uv))
+                    exprs.append(F.when(c.isNull(), F.lit(None)).otherwise(e))
+                return DataFrame(_frame=fr.project(fr.columns, exprs))
+            # axis=0 (pandas default for Series bounds): per-ROW bounds —
+            # align the bound series in as a hidden column (tested setitem
+            # path), clip every column against it, then drop it
+            out = self.copy()
+            cols = list(out.columns)
+            tmp_lo, tmp_hi = "__clip_lo__", "__clip_hi__"
+            if isinstance(lower, Series):
+                out[tmp_lo] = lower
+            if isinstance(upper, Series):
+                out[tmp_hi] = upper
+            fr = out._frame
+            pos = {c: i for i, c in enumerate(fr.columns)}
+            lo_c = fr.scol(pos[tmp_lo]) if isinstance(lower, Series) else None
+            hi_c = fr.scol(pos[tmp_hi]) if isinstance(upper, Series) else None
+            exprs = []
+            for lbl in cols:
+                c = fr.scol(pos[lbl])
+                e = c
+                if lo_c is not None:
+                    e = F.greatest(e, F.coalesce(lo_c, e))
+                elif lower is not None:
+                    e = F.greatest(e, _lit(lower))
+                if hi_c is not None:
+                    e = F.least(e, F.coalesce(hi_c, e))
+                elif upper is not None:
+                    e = F.least(e, _lit(upper))
+                exprs.append(F.when(c.isNull(), F.lit(None)).otherwise(e))
+            return DataFrame(_frame=fr.project(pd.Index(cols), exprs))
         if isinstance(lower, DataFrame) or isinstance(upper, DataFrame):
             # frame bounds clip per cell by matching label — rides the
             # ordinary binary alignment (label columns, lineage/label rows);
@@ -4684,6 +4734,11 @@ class DataFrame:
         position/lineage align (reference: DataFrame.corrwith).  A Series
         operand correlates EVERY numeric column against it (label-aligned
         via the tested setitem path, still one aggregate pass)."""
+        if isinstance(other, (pd.Series, pd.DataFrame)):
+            from modin_spark.pandas.io import from_pandas as _fp
+
+            other = (Series._from_pandas(other) if isinstance(other, pd.Series)
+                     else _fp(other))
         if isinstance(other, Series):
             tmp = "__cw_other__"
             df2 = self.copy()

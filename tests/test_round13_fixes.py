@@ -307,3 +307,26 @@ def test_to_period_astype_str_renders_nat():
     d = pd.Series(pd.to_datetime(["2020-01-31", "2021-02-28", None]))
     md = mpd.Series(d)
     eq_series(md.dt.to_period("M").astype(str), d.dt.to_period("M").astype(str))
+
+
+def test_clip_series_bounds_both_axes():
+    p = pd.DataFrame({"a": [2.0, 1.0, 3.0], "b": [5.0, 0.0, 7.0]})
+    m = mpd.DataFrame(p)
+    lo = pd.Series([2.0, 2.0, 2.0])
+    pd.testing.assert_frame_equal(m.clip(lower=lo, axis=0).to_pandas(),
+                                  p.clip(lower=lo, axis=0), check_dtype=False)
+    lb = pd.Series({"a": 2.0, "b": 6.0})
+    pd.testing.assert_frame_equal(m.clip(lower=lb, axis=1).to_pandas(),
+                                  p.clip(lower=lb, axis=1), check_dtype=False)
+    pd.testing.assert_frame_equal(m.clip(1.5, 5.0).to_pandas(),
+                                  p.clip(1.5, 5.0), check_dtype=False)
+
+
+def test_corrwith_accepts_pandas_operands():
+    p = pd.DataFrame({"a": [2.0, 1.0, 3.0], "b": [5.0, 0.0, 7.0]})
+    m = mpd.DataFrame(p)
+    g = m.corrwith(pd.Series([1.0, 2.0, 3.0]))
+    g = g.to_pandas() if hasattr(g, "to_pandas") else g
+    pd.testing.assert_series_equal(g.sort_index(),
+                                   p.corrwith(pd.Series([1.0, 2.0, 3.0])).sort_index(),
+                                   check_dtype=False)
