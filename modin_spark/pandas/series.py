@@ -2586,10 +2586,13 @@ def _ser_update(self, other):
 
 
 def _ser_combine(self, other, func, fill_value=None):
+    """Driver-side pandas combine (arbitrary python func per element).
+    pandas ALIGNS BY LABEL with the union index — dropping the indexes
+    compared positionally and lost the union (caught by probe wave 13)."""
     import pandas as _pd
 
-    a = self.to_pandas().reset_index(drop=True)
-    b = other.to_pandas().reset_index(drop=True)
+    a = self.to_pandas()
+    b = other.to_pandas() if isinstance(other, Series) else other
     return Series._from_pandas(a.combine(b, func, fill_value=fill_value))
 
 

@@ -330,3 +330,14 @@ def test_corrwith_accepts_pandas_operands():
     pd.testing.assert_series_equal(g.sort_index(),
                                    p.corrwith(pd.Series([1.0, 2.0, 3.0])).sort_index(),
                                    check_dtype=False)
+
+
+def test_series_combine_label_alignment():
+    """Series.combine aligns by LABEL with the union index (the old path
+    dropped indexes and compared positionally)."""
+    s = pd.Series([1.0, 2.0, np.nan, 4.0], index=list("abcd"))
+    o = pd.Series([10.0, 20.0], index=list("bz"))
+    eq_series(mpd.Series(s).combine(mpd.Series(o), max, fill_value=0),
+              s.combine(o, max, fill_value=0))
+    p2, q2 = pd.Series([1.0, 5.0]), pd.Series([3.0, 2.0])
+    eq_series(mpd.Series(p2).combine(mpd.Series(q2), min), p2.combine(q2, min))
