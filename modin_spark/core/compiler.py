@@ -790,9 +790,32 @@ def concat_rows(frames: list[SparkFrame], join: str = "outer", ignore_index: boo
     idx_arity = max((len(fr.index_cols) for fr in frames), default=0)
     idx_phys = fresh_names(idx_arity)
 
+    # level-0 union type: frames WITHOUT an index contribute their
+    # POSITIONAL labels (long), not nulls — pandas keeps 0..n-1 labels in
+    # the union. Mixed label types stringify (documented typed-label
+    # concat contract).
+    lvl0_types = set()
+    if idx_arity:
+        for fr in frames:
+            if fr.index_cols:
+                lvl0_types.add(fr.schema_map[fr.index_cols[0]].simpleString())
+            else:
+                lvl0_types.add("bigint")
+    lvl0_cast = None
+    if len(lvl0_types) > 1:
+        lvl0_cast = "string"
+
+    # all-default-index concat keeps each frame's POSITIONAL labels
+    # ([0,1] + [0] -> [0,1,0], duplicates included) via the labels stash,
+    # unless ignore_index renumbers anyway
+    stash_all = idx_arity == 0 and not ignore_index
     parts = []
     for fi, fr in enumerate(frames):
         fr = fr.ensure_order()
+        lblc = None
+        if (idx_arity and not fr.index_cols) or stash_all:
+            fr = fr.with_pandas_labels("__cclbl__")
+            lblc = "__cclbl__"
         # frames out of merge/melt/groupby(sort=True) carry an opaque (struct)
         # ORDER_COL that cannot cast to double — flatten to a contiguous long
         # position first so every branch unions a common sortable order repr
@@ -806,9 +829,15 @@ def concat_rows(frames: list[SparkFrame], join: str = "outer", ignore_index: boo
             # double cast would collapse adjacent ids into order ties.
             o_expr = F.col(ORDER_COL).cast("decimal(38,0)")
         sel = [F.struct(F.lit(fi).alias("f"), o_expr.alias("o")).alias(ORDER_COL)]
+        if stash_all:
+            sel.append(F.col(lblc).cast("long").alias("__cclbl__"))
         for k in range(idx_arity):
-            src = fr.index_cols[k] if k < len(fr.index_cols) else None
-            sel.append((F.col(src) if src else F.lit(None)).alias(idx_phys[k]))
+            src = fr.index_cols[k] if k < len(fr.index_cols) else (
+                lblc if k == 0 else None)
+            e = F.col(src) if src else F.lit(None)
+            if src and lvl0_cast and k == 0:
+                e = e.cast(lvl0_cast)
+            sel.append(e.alias(idx_phys[k]))
         if positional:
             # identical column sequences: map source -> output by POSITION
             # (label-keying would collapse duplicate labels onto one source)
@@ -828,6 +857,9 @@ def concat_rows(frames: list[SparkFrame], join: str = "outer", ignore_index: boo
         sdf = sdf.unionByName(p)
     index_names = frames[0].index_names if idx_arity else [None]
     out = SparkFrame(sdf, pd.Index(out_labels), out_phys, idx_phys, index_names)
+    if stash_all:
+        out.labels_col = "__cclbl__"
+        out.order_is_position = False
     if ignore_index:
         out = SparkFrame(sdf, pd.Index(out_labels), out_phys, [], [None])
     return out
