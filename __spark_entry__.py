@@ -358,7 +358,11 @@ def _expanding_pair_cov(spark, sf):
     y = x.shift(2)
     r = x.expanding(min_periods=3).cov(y)
     out = ev[["event_id"]]
-    out["exp_cov"] = _r(r.fillna(-9.0), 3)
+    # + 0.0 collapses IEEE -0.0 (tiny-negative cov rounded to 3dp) to +0.0 so
+    # the driver's sign-bit-sensitive value hash agrees with the oracle's
+    # identically-normalized ROUND(...) + 0.0 (r13 root cause: event_id=7631
+    # rounds to -0.0 in DuckDB vs +0.0 here; values compare equal).
+    out["exp_cov"] = _r(r.fillna(-9.0), 3) + 0.0
     return out.to_spark(ordered=False)
 
 
@@ -3086,7 +3090,7 @@ def oracle_sql() -> dict[str, str]:
                                         OVER (ORDER BY event_id ROWS UNBOUNDED PRECEDING) >= 3
                          THEN COVAR_SAMP(CASE WHEN lv IS NOT NULL THEN value END, lv)
                               OVER (ORDER BY event_id ROWS UNBOUNDED PRECEDING)
-                         END, -9.0), 3) AS exp_cov
+                         END, -9.0), 3) + 0.0 AS exp_cov
             FROM lagged
         """,
         "str_funcs": """

@@ -55,6 +55,11 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
+try:  # user-facing knobs (modin.config parity); standalone module, no cycle
+    from modin_spark import config as _config
+except ImportError:  # pragma: no cover
+    _config = None
+
 ORDER_COL = "__row_order__"
 
 _uid_counter = itertools.count()
@@ -178,7 +183,14 @@ def order_bucket_expr(sdf, colname: str, nparts: int = 0):
     # +139000 keeps the magnitude STRICTLY positive (raw e*128+scaled goes
     # negative for |v| < ~0.6, which would invert the order around zero)
     mag = (e * 128 + scaled).cast("long") + F.lit(139_000)
+    # ±inf must bypass the log2 math: log2(inf)=inf makes scaled=floor(inf)
+    # overflow the long cast (Long.MAX), wrapping mag negative — inf rows
+    # would silently bucket FIRST. Finite |mag| tops out at ~270.2k
+    # (e<=1024), so ±278k sits strictly between every finite value and the
+    # ±1M null/NaN sentinels.
     b = (F.when(F.isnan(num), F.lit(ORDER_BUCKET_HI))
+         .when(num == float("inf"), F.lit(278_000))
+         .when(num == float("-inf"), F.lit(-278_000))
          .when(num == 0, F.lit(0))
          .when(num > 0, mag)
          .otherwise(-mag))
@@ -341,6 +353,11 @@ class SparkFrame:
         # subsets like order_is_position.
         self.labels_col: str | None = None
         assert len(self.columns) == len(self.data_cols)
+        if _config is not None and _config._benchmark_on and sdf is not None:
+            # BenchmarkMode (config parity, reference envvars.py:950): force
+            # the plan to execute NOW so user-side wall-clock brackets real
+            # work instead of deferring everything to the final action.
+            sdf.count()
 
     @property
     def sdf(self) -> SDF:

@@ -1170,7 +1170,8 @@ def expanding_quantile(frame: SparkFrame, positions: Sequence[int], q: float,
                                   "__k__": pd.Series([], dtype="int64"),
                                   "__which__": pd.Series([], dtype="int32"),
                                   "__frac__": pd.Series([], dtype="float64"),
-                                  "__nn__": pd.Series([], dtype="int64")})
+                                  "__nn__": pd.Series([], dtype="int64"),
+                                  "__loev__": pd.Series([], dtype="int32")})
             if not len(rows):
                 return empty
             rows = rows.sort_values(_POS)

@@ -4630,7 +4630,9 @@ class DataFrame:
         lv = self._level_pos(level)
         if len(fr.index_cols) <= 1 and not isinstance(key, tuple):
             # single-level scalar cross-section: pandas returns the ROW as
-            # a Series (same as .loc[key]), not a 1-row frame
+            # a Series (same as .loc[key]), not a 1-row frame — with EITHER
+            # drop_level (verified pandas 2.2: a row Series has no level to
+            # keep, so drop_level only changes MultiIndex results)
             return self.loc[key]
         out = DataFrame(_frame=fr.filter(F.col(fr.index_cols[lv]) == F.lit(key)))
         return out.droplevel(lv) if drop_level and len(fr.index_cols) > 1 else out

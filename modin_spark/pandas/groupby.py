@@ -493,8 +493,24 @@ class DataFrameGroupBy:
         # composite order: leading-key major); nulls sort last here.
         from modin_spark.core.frame import order_bucket_expr as _obe
 
-        if len(obc) == 1:  # sort=False: __mo__ is a LONG min-ORDER value
-            bkt = F.shiftright(F.col("__mo__").cast("long"), 16)
+        if len(obc) == 1:
+            # sort=False: __mo__ is the min-ORDER value — a LONG for scan/
+            # range lineages, but a STRUCT after merge/concat/groupby (the
+            # cast to long would raise AnalysisException). Struct comparison
+            # is lexicographic, so bucketing on the leading integral leaf is
+            # order-monotone (same recursion as SparkFrame._order_bucket_expr);
+            # a non-integral leaf falls back to the explicit-N range shuffle.
+            from pyspark.sql import types as T
+
+            t = dict((f.name, f.dataType) for f in d.schema.fields)["__mo__"]
+            path = "__mo__"
+            while isinstance(t, T.StructType) and t.fields:
+                path = f"{path}.{t.fields[0].name}"
+                t = t.fields[0].dataType
+            if isinstance(t, (T.LongType, T.IntegerType, T.ShortType)):
+                bkt = F.shiftright(F.col(path).cast("long"), 16)
+            else:
+                bkt = None
         else:
             k0 = keys[0]
             b0 = _obe(d, k0)

@@ -446,7 +446,7 @@ class Series:
             fr.order_is_position = False
         return fr, F.col(lf.data_cols[0]), F.col(rf.data_cols[0]), {lf.data_cols[0], rf.data_cols[0]}
 
-    def _cmp_scalar_kind_guard(self, o, fn):
+    def _cmp_scalar_kind_guard(self, o, fn, op=None):
         """pandas scalar-comparison type rules: a numeric/bool series
         ordered-compared to a str (or a string series to a number) raises
         TypeError; == is all-False and != all-True (Spark would instead
@@ -464,18 +464,21 @@ class Series:
                                T.LongType, T.FloatType, T.DoubleType,
                                T.DecimalType, T.BooleanType)):
             return None
-        probe = fn(F.lit(1), F.lit(1))  # identify the operator via constants
-        kind = str(probe._jc) if hasattr(probe, "_jc") else ""
-        if "=" in kind and "<" not in kind and ">" not in kind:
+        if op is None:
+            # legacy sniff (callers that predate the explicit token): str()
+            # of the Column works on classic (_jc) and Connect alike
+            probe = fn(F.lit(1), F.lit(1))
+            kind = str(getattr(probe, "_jc", probe))
+            if "=" in kind and "<" not in kind and ">" not in kind:
+                op = "ne" if ("NOT" in kind.upper() or "!" in kind) else "eq"
+        if op in ("eq", "ne"):
             # == / != between unrelated types: constant, never an error
-            if "NOT" in kind.upper() or "!" in kind:
-                return self._map1(lambda c: F.lit(True))
-            return self._map1(lambda c: F.lit(False))
+            return self._map1(lambda c: F.lit(op == "ne"))
         raise TypeError(
             f"comparison not supported between series of type {self.dtype} "
             f"and {type(o).__name__!r}")
 
-    def _binary(self, other, fn: Callable[[Column, Column], Column], reverse=False, comparison=False, strict=False) -> "Series":
+    def _binary(self, other, fn: Callable[[Column, Column], Column], reverse=False, comparison=False, strict=False, op=None) -> "Series":
         import numpy as _np
 
         if (isinstance(other, (list, tuple, _np.ndarray))
@@ -499,7 +502,7 @@ class Series:
             return Series(pos_fr, e, set(self._refs), name=self._name,
                           filter_expr=filter_expr)
         if comparison and not isinstance(other, Series):
-            const = self._cmp_scalar_kind_guard(other, fn)
+            const = self._cmp_scalar_kind_guard(other, fn, op=op)
             if const is not None:
                 return const
         if isinstance(other, Series):
@@ -695,49 +698,49 @@ class Series:
         return self._flex(other, lambda a, b: F.pow(a, b), reverse=True, fill_value=fill_value)
 
     def __eq__(self, o):  # type: ignore[override]
-        return self._binary(o, lambda a, b: a == b, comparison=True, strict=True)
+        return self._binary(o, lambda a, b: a == b, comparison=True, strict=True, op="eq")
 
     def __ne__(self, o):  # type: ignore[override]
         if (getattr(self, "_ext_dtype", None) is not None
                 or getattr(o, "_ext_dtype", None) is not None):
-            return self._binary(o, lambda a, b: a != b, comparison=True, strict=True)
-        return self._binary(o, lambda a, b: ~F.coalesce(a == b, F.lit(False)), comparison=True, strict=True)
+            return self._binary(o, lambda a, b: a != b, comparison=True, strict=True, op="ne")
+        return self._binary(o, lambda a, b: ~F.coalesce(a == b, F.lit(False)), comparison=True, strict=True, op="ne")
 
     def __lt__(self, o):
-        return self._binary(o, lambda a, b: a < b, comparison=True, strict=True)
+        return self._binary(o, lambda a, b: a < b, comparison=True, strict=True, op="lt")
 
     def __le__(self, o):
-        return self._binary(o, lambda a, b: a <= b, comparison=True, strict=True)
+        return self._binary(o, lambda a, b: a <= b, comparison=True, strict=True, op="le")
 
     def __gt__(self, o):
-        return self._binary(o, lambda a, b: a > b, comparison=True, strict=True)
+        return self._binary(o, lambda a, b: a > b, comparison=True, strict=True, op="gt")
 
     def __ge__(self, o):
-        return self._binary(o, lambda a, b: a >= b, comparison=True, strict=True)
+        return self._binary(o, lambda a, b: a >= b, comparison=True, strict=True, op="ge")
 
     # flex comparison METHODS align on labels (pandas: only the
     # operators raise on differently-labeled operands)
     def eq(self, o):
-        return self._binary(o, lambda a, b: a == b, comparison=True)
+        return self._binary(o, lambda a, b: a == b, comparison=True, op="eq")
 
     def ne(self, o):
         if (getattr(self, "_ext_dtype", None) is not None
                 or getattr(o, "_ext_dtype", None) is not None):
             # nullable ext dtype: NA != x stays NA (3VL), like __ne__
-            return self._binary(o, lambda a, b: a != b, comparison=True)
-        return self._binary(o, lambda a, b: ~F.coalesce(a == b, F.lit(False)), comparison=True)
+            return self._binary(o, lambda a, b: a != b, comparison=True, op="ne")
+        return self._binary(o, lambda a, b: ~F.coalesce(a == b, F.lit(False)), comparison=True, op="ne")
 
     def lt(self, o):
-        return self._binary(o, lambda a, b: a < b, comparison=True)
+        return self._binary(o, lambda a, b: a < b, comparison=True, op="lt")
 
     def le(self, o):
-        return self._binary(o, lambda a, b: a <= b, comparison=True)
+        return self._binary(o, lambda a, b: a <= b, comparison=True, op="le")
 
     def gt(self, o):
-        return self._binary(o, lambda a, b: a > b, comparison=True)
+        return self._binary(o, lambda a, b: a > b, comparison=True, op="gt")
 
     def ge(self, o):
-        return self._binary(o, lambda a, b: a >= b, comparison=True)
+        return self._binary(o, lambda a, b: a >= b, comparison=True, op="ge")
 
     def __and__(self, o):
         out = self._binary(o, lambda a, b: F.coalesce(a, F.lit(False)) & F.coalesce(b, F.lit(False)))

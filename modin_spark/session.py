@@ -14,7 +14,10 @@ from pyspark.sql import SparkSession
 _DEFAULTS = {
     # ~#cores shuffle partitions locally; a real cluster overrides this (or
     # relies on AQE coalescing, which we leave enabled).
-    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+    # NPartitions.put() (config parity) records the user's choice in
+    # MODIN_SPARK_SHUFFLE_PARTITIONS so sessions built later honor it
+    "spark.sql.shuffle.partitions": os.environ.get(
+        "MODIN_SPARK_SHUFFLE_PARTITIONS", os.environ.get("SPARK_GRAFT_CPUS", "32")),
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",

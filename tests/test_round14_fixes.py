@@ -1,0 +1,116 @@
+"""Round-14 fixes: ADVICE r13 punch list, differential vs pandas
+(reference test model: modin's test_series / test_groupby suites)."""
+import warnings
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import modin_spark.pandas as mpd
+
+warnings.filterwarnings("ignore")
+
+
+def eq_series(m, p):
+    g = m.to_pandas() if hasattr(m, "to_pandas") else m
+    pd.testing.assert_series_equal(g, p, check_dtype=False, check_index_type=False,
+                                   check_freq=False, check_categorical=False)
+
+
+def eq_frame(m, p):
+    g = m.to_pandas() if hasattr(m, "to_pandas") else m
+    pd.testing.assert_frame_equal(g, p, check_dtype=False, check_index_type=False,
+                                  check_freq=False, check_categorical=False)
+
+
+# ---------------------------------------------------------- ADVICE high #1
+def test_rank_with_infinities():
+    """order_bucket_expr must bucket +/-inf at the extremes, not wrap the
+    long cast negative (log2(inf)=inf -> floor overflow -> Long.MAX wrap)."""
+    vals = [1.0, float("inf"), 3.0, float("-inf"), 2.0]
+    ps = pd.Series(vals)
+    ms = mpd.Series(vals)
+    eq_series(ms.rank(), ps.rank())
+    eq_series(ms.rank(method="min"), ps.rank(method="min"))
+    # with NaN too: NaN keeps rank NaN and sorts past +inf
+    vals2 = [5.0, float("-inf"), float("nan"), float("inf"), 0.0, -2.5]
+    eq_series(mpd.Series(vals2).rank(), pd.Series(vals2).rank())
+
+
+def test_sort_values_with_infinities():
+    vals = [1.0, float("inf"), 3.0, float("-inf"), 2.0, float("nan")]
+    p = pd.DataFrame({"v": vals, "k": list("abcdef")})
+    m = mpd.DataFrame({"v": vals, "k": list("abcdef")})
+    eq_frame(m.sort_values("v").reset_index(drop=True),
+             p.sort_values("v").reset_index(drop=True))
+
+
+def test_asof_merge_with_infinities():
+    left = pd.DataFrame({"t": [-np.inf, 1.0, 2.0, np.inf], "l": [0, 1, 2, 3]})
+    right = pd.DataFrame({"t": [-np.inf, 1.5, np.inf], "r": [10, 20, 30]})
+    exp = pd.merge_asof(left, right, on="t")
+    got = mpd.merge_asof(mpd.DataFrame(left), mpd.DataFrame(right), on="t")
+    eq_frame(got, exp)
+
+
+# ---------------------------------------------------------- ADVICE high #2
+def test_ngroup_sort_false_after_merge():
+    """ngroup(sort=False) on a merge output: ORDER_COL is a struct there —
+    the bucket must come from the leading integral leaf, not cast-to-long."""
+    pl = pd.DataFrame({"k": ["b", "a", "b", "c", "a"], "x": [1, 2, 3, 4, 5]})
+    pr = pd.DataFrame({"k": ["a", "b", "c"], "y": [10, 20, 30]})
+    pm = pl.merge(pr, on="k")
+    ml = mpd.DataFrame(pl)
+    mr = mpd.DataFrame(pr)
+    mm = ml.merge(mr, on="k")
+    eq_series(mm.groupby("k", sort=False).ngroup(),
+              pm.groupby("k", sort=False).ngroup())
+    # and after concat (another struct-order lineage)
+    pc = pd.concat([pl, pl], ignore_index=True)
+    mc = mpd.concat([ml, ml], ignore_index=True)
+    eq_series(mc.groupby("k", sort=False).ngroup(),
+              pc.groupby("k", sort=False).ngroup())
+
+
+# ----------------------------------------------------------- ADVICE low #1
+def test_xs_single_level_drop_level_false():
+    """Verified against pandas 2.2: single-level xs returns the row as a
+    Series for BOTH drop_level settings (the flag only affects MultiIndex),
+    so the early return must not change shape on drop_level=False."""
+    p = pd.DataFrame({"a": [1, 2, 3], "b": [4.0, 5.0, 6.0]},
+                     index=pd.Index(["x", "y", "z"], name="idx"))
+    m = mpd.DataFrame(p)
+    eq_series(m.xs("y", drop_level=False), p.xs("y", drop_level=False))
+    eq_series(m.xs("y"), p.xs("y"))
+    # MultiIndex: drop_level=False keeps every level
+    pm = pd.DataFrame({"v": [1, 2, 3, 4]},
+                      index=pd.MultiIndex.from_product(
+                          [["a", "b"], [1, 2]], names=["u", "w"]))
+    mm = mpd.DataFrame(pm)
+    eq_frame(mm.xs("a", level="u", drop_level=False),
+             pm.xs("a", level="u", drop_level=False))
+
+
+# ----------------------------------------------------------- ADVICE low #2
+def test_expanding_quantile_survives_empty_cogroup():
+    """stage1's empty frame must carry every q_schema column (incl __loev__)."""
+    n = 400
+    rng = np.random.default_rng(7)
+    vals = rng.normal(size=n)
+    ps = pd.Series(vals)
+    ms = mpd.Series(vals)
+    eq_series(ms.expanding(min_periods=3).quantile(0.25),
+              ps.expanding(min_periods=3).quantile(0.25))
+
+
+# ----------------------------------------------------------- ADVICE low #3
+def test_scalar_str_comparison_explicit_op_tokens():
+    s = mpd.Series([1, 2, 3])
+    eq_series(s == "x", pd.Series([False, False, False]))
+    eq_series(s != "x", pd.Series([True, True, True]))
+    eq_series(s.eq("x"), pd.Series([False, False, False]))
+    eq_series(s.ne("x"), pd.Series([True, True, True]))
+    for bad in (lambda: s < "x", lambda: s.le("x"), lambda: s > "x",
+                lambda: s.ge("x")):
+        with pytest.raises(TypeError):
+            bad()

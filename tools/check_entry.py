@@ -96,9 +96,19 @@ def main():
             print(f"FAIL  {name}: rows {len(a)} != {len(b)}")
             continue
         eq = True
+        signflips = {}
         for c in a.columns:
             if a[c].dtype == float:
-                col_eq = np.allclose(a[c].fillna(-9e18), b[c].fillna(-9e18), rtol=0, atol=1e-9)
+                av = a[c].fillna(-9e18).to_numpy()
+                bv = b[c].fillna(-9e18).to_numpy()
+                col_eq = np.allclose(av, bv, rtol=0, atol=1e-9)
+                # the driver's value hash is SIGN-BIT sensitive: -0.0 vs
+                # +0.0 compare equal everywhere except that hash (r13's
+                # expanding_pair_cov red row). Flag bit-level sign flips on
+                # equal values as failures here too.
+                flip = (np.signbit(av) != np.signbit(bv)) & (av == bv)
+                if col_eq and flip.any():
+                    signflips[c] = int(flip.sum())
             else:
                 col_eq = (a[c].fillna("␀") == b[c].fillna("␀")).all() if a[c].dtype == object else (
                     a[c].fillna(-9e18) == b[c].fillna(-9e18)
@@ -110,6 +120,9 @@ def main():
         if eq and kind_mismatch:
             failures.append(name)
             print(f"FAIL  {name}: values equal but dtype kinds differ (driver hash would fail): {kind_mismatch}")
+        elif eq and signflips:
+            failures.append(name)
+            print(f"FAIL  {name}: values equal but signed-zero flips (driver hash would fail): {signflips}")
         elif eq:
             print(f"OK    {name}: {len(a)} rows ({dt:.1f}s)")
         else:
