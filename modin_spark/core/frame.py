@@ -138,6 +138,12 @@ _PANDAS_TO_SPARK_CAST = {
 
 
 def order_bucket_expr(sdf, colname: str, nparts: int = 0):
+    """Column form of ``order_bucket_sql`` (see there for the contract)."""
+    sql = order_bucket_sql(sdf, colname)
+    return None if sql is None else F.expr(sql)
+
+
+def order_bucket_sql(sdf, colname: str):
     """A DETERMINISTIC order-monotone bucket id for a sortable column —
     computed from the VALUE alone (sign, binary exponent, 6 mantissa
     bits; strings: a fixed-width byte prefix), so it needs NO build-time
@@ -152,49 +158,55 @@ def order_bucket_expr(sdf, colname: str, nparts: int = 0):
     jumps dominate); negatives negate it; zero maps to 0; NaN sorts last
     like Spark ordering. Range ±~139k (|e| ≤ 1080). Balance: ≤ ~1.6% of
     an octave per bucket — a near-constant column degenerates to one hot
-    bucket, the same bound as a groupby hot key. Returns (expr, LO, HI)
-    sentinels for callers placing nulls, or None for non-numeric,
-    non-temporal columns (caller keeps an explicit-N range shuffle and
-    documents the residual risk). Null input yields a null id.
+    bucket, the same bound as a groupby hot key. Returns the bucket id as a
+    SQL expression STRING (embeddable in selectExpr with zero extra py4j
+    round trips; the LO/HI module sentinels bracket it for callers placing
+    nulls), or None for non-numeric, non-temporal columns (caller keeps an
+    explicit-N range shuffle and documents the residual risk). Null input
+    yields a null id.
     """
     dt = dict((f.name, f.dataType) for f in sdf.schema.fields).get(colname)
+    q = "`%s`" % str(colname).replace("`", "``")
     if isinstance(dt, (T.TimestampType, T.TimestampNTZType, T.DateType)):
-        num = F.col(colname).cast("timestamp").cast("double")
+        num = f"cast(cast({q} as timestamp) as double)"
     elif isinstance(dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType,
                          T.DoubleType, T.FloatType, T.DecimalType)):
         # cast to double is MONOTONE even where lossy (ties widen, never
         # reorder) — bucketing only, exactness unaffected
-        num = F.col(colname).cast("double")
+        num = f"cast({q} as double)"
     elif isinstance(dt, T.StringType):
         # Spark compares strings by UTF-8 bytes, so a FIXED-WIDTH byte
         # prefix read as an integer is order-monotone (right-pad with 0x00:
         # a raw substring would rank "b" below "ab"). ~18 effective bits →
         # values share a bucket past their first ~2 bytes (common-prefix
         # hot buckets: same bound as a groupby hot key).
-        b = F.expr(
-            "shiftright(cast(conv(hex(rpad(encode(`%s`, 'UTF-8'), 4, x'00')), 16, 10)"
-            " as bigint), 14)" % str(colname).replace("`", "``"))
-        return F.when(F.col(colname).isNotNull(), b)
+        return (f"CASE WHEN {q} IS NOT NULL THEN "
+                f"shiftright(cast(conv(hex(rpad(encode({q}, 'UTF-8'), 4, x'00')), 16, 10)"
+                f" as bigint), 14) END")
     else:
         return None
-    a = F.abs(num)
-    e = F.least(F.greatest(F.floor(F.log2(a)), F.lit(-1080.0)), F.lit(1080.0))
-    scaled = F.floor(a * F.pow(F.lit(2.0), F.lit(6.0) - e))  # in [64, 128)
+    # ONE F.expr round trip instead of ~70 Column-API py4j calls — this
+    # expression sits on the plan-build hot path of rank/ngroup/asof/
+    # global-position (the r13→r14 build-latency drift was exactly these
+    # bridge commands). Semantics identical to the Column form it replaces.
+    e = f"least(greatest(floor(log2(abs({num}))), -1080.0D), 1080.0D)"
     # +139000 keeps the magnitude STRICTLY positive (raw e*128+scaled goes
     # negative for |v| < ~0.6, which would invert the order around zero)
-    mag = (e * 128 + scaled).cast("long") + F.lit(139_000)
+    mag = (f"(cast({e} * 128 + floor(abs({num}) * pow(2.0D, 6.0D - {e}))"
+           f" as bigint) + 139000)")
     # ±inf must bypass the log2 math: log2(inf)=inf makes scaled=floor(inf)
     # overflow the long cast (Long.MAX), wrapping mag negative — inf rows
     # would silently bucket FIRST. Finite |mag| tops out at ~270.2k
     # (e<=1024), so ±278k sits strictly between every finite value and the
     # ±1M null/NaN sentinels.
-    b = (F.when(F.isnan(num), F.lit(ORDER_BUCKET_HI))
-         .when(num == float("inf"), F.lit(278_000))
-         .when(num == float("-inf"), F.lit(-278_000))
-         .when(num == 0, F.lit(0))
-         .when(num > 0, mag)
-         .otherwise(-mag))
-    return F.when(num.isNotNull(), b)
+    return (
+        f"CASE WHEN {num} IS NULL THEN CAST(NULL AS BIGINT)"
+        f" WHEN isnan({num}) THEN {ORDER_BUCKET_HI}"
+        f" WHEN {num} = cast('Infinity' as double) THEN 278000"
+        f" WHEN {num} = cast('-Infinity' as double) THEN -278000"
+        f" WHEN {num} = 0.0D THEN 0"
+        f" WHEN {num} > 0.0D THEN {mag}"
+        f" ELSE -{mag} END")
 
 
 # sentinels strictly outside the ±~278k magnitude range of order_bucket_expr

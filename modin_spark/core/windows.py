@@ -33,6 +33,47 @@ _POS = "__pos__"
 _BLK = "__blk__"
 
 
+def _count_smaller_before(keys, m):
+    """For each position j in integer array ``keys`` (values in [0, m)),
+    the number of EARLIER positions i<j with keys[i] < keys[j] — vectorized
+    bottom-up merge counting, no per-row Python loop.
+
+    Every level is whole-array numpy: blocks of width w keep their members'
+    ORIGINAL indices sorted by key; right-half members count left-half
+    members below them with ONE global searchsorted (per-block key spaces
+    separated by a block-id offset, so the concatenation of sorted rows is
+    globally sorted). O(n log n) work, log2(n) Python iterations — a 5M-row
+    all-ties bucket costs seconds, not the minutes of a Fenwick row loop.
+    """
+    import numpy as np
+
+    n = len(keys)
+    if n == 0 or m <= 1:
+        return np.zeros(n, dtype="int64")
+    n2 = 1 << (n - 1).bit_length()
+    M = int(m) + 1  # sentinel key: strictly above every real key
+    k = np.full(n2, M - 1, dtype="int64")
+    k[:n] = keys
+    res = np.zeros(n2, dtype="int64")
+    idx = np.arange(n2, dtype="int64")
+    w = 1
+    while w < n2:
+        nb = n2 // (2 * w)
+        blk = idx.reshape(nb, 2 * w)
+        lk = k[blk[:, :w]]                      # (nb, w) sorted rows
+        rq = k[blk[:, w:]]                      # (nb, w) right-half keys
+        off = (np.arange(nb, dtype="int64") * M)[:, None]
+        cnt = np.searchsorted((lk + off).ravel(), (rq + off).ravel(), side="left")
+        cnt -= np.repeat(np.arange(nb, dtype="int64") * w, w)
+        res[blk[:, w:].ravel()] += cnt
+        # merge: re-sort each 2w block by (key, index) — stable axis argsort
+        kb = k[blk]
+        ordr = np.argsort(kb, axis=1, kind="stable")
+        idx = np.take_along_axis(blk, ordr, axis=1).ravel()
+        w *= 2
+    return res[:n]
+
+
 def _with_blocks(frame: SparkFrame) -> SparkFrame:
     fr = frame.ensure_order().with_global_position(_POS)
     return fr._same_rows(fr.sdf.withColumn(_BLK, (F.col(_POS) / F.lit(BLOCK)).cast("long")))
@@ -1048,26 +1089,25 @@ def expanding_rank(frame: SparkFrame, positions: Sequence[int], method: str = "a
 
             pdf = pdf.sort_values(_POS)
             xs = pdf["__xv__"].to_numpy()
+            n = len(xs)
             uniq, inv = np.unique(xs, return_inverse=True)
             m = len(uniq)
-            fen = np.zeros(m + 1, dtype="int64")
-            eq_seen = np.zeros(m, dtype="int64")
-            t2 = np.empty(len(xs), dtype="int64")
-            eq = np.empty(len(xs), dtype="int64")
-            for j in range(len(xs)):
-                r = inv[j]
-                # Fenwick prefix sum over value ranks < r
-                acc, k = 0, r  # sum of [1..r] in 1-based = values <= r-1
-                while k > 0:
-                    acc += fen[k]
-                    k -= k & (-k)
-                t2[j] = acc
-                eq[j] = eq_seen[r] + 1  # ties seen so far, incl self
-                eq_seen[r] += 1
-                k = r + 1
-                while k <= m:
-                    fen[k] += 1
-                    k += k & (-k)
+            # eq: running per-value tie count incl self — vectorized (stable
+            # argsort groups each value's rows in pos order)
+            order = np.argsort(inv, kind="stable")
+            cnts = np.bincount(inv, minlength=m)
+            starts = np.concatenate(([0], np.cumsum(cnts)[:-1]))
+            eq = np.empty(n, dtype="int64")
+            eq[order] = np.arange(n, dtype="int64") - np.repeat(starts, cnts) + 1
+            if m == 1:
+                # degenerate-tie fast path: a constant (or one-value-
+                # dominated) column funnels the whole column into this ONE
+                # bucket — nothing is ever strictly smaller, so the answer
+                # is free. This is the adversarial-skew guard: the hot
+                # bucket costs O(n) numpy, not a whole-prefix sweep.
+                t2 = np.zeros(n, dtype="int64")
+            else:
+                t2 = _count_smaller_before(inv, m)
             return pd.DataFrame({_POS: pdf[_POS].to_numpy(), "__t2__": t2, "__eq__": eq})
 
         t2 = s.groupby("__vb__").applyInPandas(stage2, t2_schema)
@@ -1244,39 +1284,71 @@ def expanding_quantile(frame: SparkFrame, positions: Sequence[int], q: float,
             rpos = rows[_POS].to_numpy()
             uniq, inv = np.unique(xs, return_inverse=True)
             mu = len(uniq)
-            fen = np.zeros(mu + 1, dtype="int64")
-            LOG = max(1, int(mu).bit_length())
             qpos = qdf[_POS].to_numpy()
             qk = qdf["__k__"].to_numpy()
             vals = np.empty(len(qdf), dtype="float64")
-            # queries sharing the same insertion frontier see the same
-            # Fenwick state — batch them and run the k-th-select descent
-            # VECTORIZED across each batch (the hot median-trajectory
-            # bucket receives ~all queries; a per-query Python loop there
-            # was the wall-clock bottleneck)
+            # rows inserted before each query = its frontier (both sides
+            # pos-sorted, so frontiers are nondecreasing)
             frontier = np.searchsorted(rpos, qpos, side="right")
-            starts = np.flatnonzero(np.r_[True, frontier[1:] != frontier[:-1]])
-            ends = np.r_[starts[1:], len(qdf)]
-            ri = 0
-            for b, e in zip(starts, ends):
-                target = frontier[b]
-                while ri < target:
-                    k = inv[ri] + 1
-                    while k <= mu:
-                        fen[k] += 1
-                        k += k & (-k)
-                    ri += 1
-                want = qk[b:e] + 1
-                pos_ = np.zeros(e - b, dtype="int64")
-                acc = np.zeros(e - b, dtype="int64")
-                for step in range(LOG, -1, -1):
-                    nxt = pos_ + (1 << step)
-                    ok = nxt <= mu
-                    f = np.where(ok, fen[np.minimum(nxt, mu)], 0)
-                    take = ok & (acc + f < want)
-                    pos_ = np.where(take, nxt, pos_)
-                    acc = np.where(take, acc + f, acc)
-                vals[b:e] = np.where(pos_ < mu, uniq[np.minimum(pos_, mu - 1)], np.nan)
+            if mu == 1:
+                # degenerate-tie fast path: a constant/one-value-dominated
+                # column funnels everything into this bucket — every order
+                # statistic IS the value. The adversarial-skew guard: the
+                # hot bucket costs O(#queries) numpy, no sweep at all.
+                vals[:] = np.where(frontier > 0, uniq[0], np.nan)
+            elif mu <= 64:
+                # few distinct values (tie-heavy hot bucket): chunked
+                # running value histogram; each query reads its frontier's
+                # inclusive histogram row and takes the k-th smallest by
+                # cumulative count. O(n·mu) numpy, no per-row Python loop.
+                n = len(xs)
+                base = np.zeros(mu, dtype="int64")
+                ch = max(1024, (1 << 22) // mu)
+                vals[:np.searchsorted(frontier, 0, side="right")] = np.nan
+                for s0 in range(0, n, ch):
+                    e0 = min(s0 + ch, n)
+                    iv = inv[s0:e0]
+                    onehot = np.zeros((e0 - s0, mu), dtype="int64")
+                    onehot[np.arange(e0 - s0), iv] = 1
+                    cum = np.cumsum(onehot, axis=0) + base
+                    j0 = np.searchsorted(frontier, s0 + 1, side="left")
+                    j1 = np.searchsorted(frontier, e0, side="right")
+                    if j1 > j0:
+                        hist = cum[frontier[j0:j1] - 1 - s0]
+                        csum = np.cumsum(hist, axis=1)
+                        want = qk[j0:j1] + 1
+                        sel = (csum < want[:, None]).sum(axis=1)
+                        vals[j0:j1] = np.where(
+                            sel < mu, uniq[np.minimum(sel, mu - 1)], np.nan)
+                    base = cum[-1]
+            else:
+                # diverse bucket (quantile-balanced, so bounded): Fenwick
+                # inserts + batched VECTORIZED k-th-select descents (queries
+                # sharing one insertion frontier see one Fenwick state)
+                fen = np.zeros(mu + 1, dtype="int64")
+                LOG = max(1, int(mu).bit_length())
+                starts = np.flatnonzero(np.r_[True, frontier[1:] != frontier[:-1]])
+                ends = np.r_[starts[1:], len(qdf)]
+                ri = 0
+                for b, e in zip(starts, ends):
+                    target = frontier[b]
+                    while ri < target:
+                        k = inv[ri] + 1
+                        while k <= mu:
+                            fen[k] += 1
+                            k += k & (-k)
+                        ri += 1
+                    want = qk[b:e] + 1
+                    pos_ = np.zeros(e - b, dtype="int64")
+                    acc = np.zeros(e - b, dtype="int64")
+                    for step in range(LOG, -1, -1):
+                        nxt = pos_ + (1 << step)
+                        ok = nxt <= mu
+                        f = np.where(ok, fen[np.minimum(nxt, mu)], 0)
+                        take = ok & (acc + f < want)
+                        pos_ = np.where(take, nxt, pos_)
+                        acc = np.where(take, acc + f, acc)
+                    vals[b:e] = np.where(pos_ < mu, uniq[np.minimum(pos_, mu - 1)], np.nan)
             return pd.DataFrame({_POS: qpos, "__which__": qdf["__which__"].to_numpy(),
                                  "__val__": vals,
                                  "__frac__": qdf["__frac__"].to_numpy(),
@@ -1675,14 +1747,22 @@ def rank(
     na_option: str = "keep",
 ) -> SparkFrame:
     """pandas ``rank``. Scale-safe and batched: all columns of one dtype melt
-    into (column-id, value) rows and go through ONE value sort (range
-    shuffle) + one (cid, value)-window + one pivot join-back — k columns cost
-    one sort, not k sorts. ``pct`` denominators come from a per-cid aggregate
-    joined broadcast-side, never a driver ``count()`` action. No global
-    window anywhere.
+    into (column-id, value) rows and go through ONE value sort (deterministic
+    value-bucket shuffle) + one (cid, value)-window + one pivot join-back — k
+    columns cost one sort, not k sorts. ``pct`` denominators come from a
+    per-cid aggregate joined broadcast-side, never a driver ``count()``
+    action. No global window anywhere.
+
+    Plan-build latency: every stage is a selectExpr/SQL-string expression —
+    ONE py4j round trip per stage instead of one per Column call (the
+    Column-API form of this kernel cost ~500 bridge commands per ranked
+    frame; this form ~150).
     """
     fr = frame.ensure_order()
     out_labels = [frame.columns[i] for i in positions]
+
+    def _q(name: str) -> str:
+        return "`%s`" % str(name).replace("`", "``")
 
     # group ranked columns by exact Spark dtype: each group melts without any
     # lossy cast (a double cast would collapse distinct int64 > 2^53)
@@ -1690,134 +1770,130 @@ def rank(
     for i in positions:
         by_dtype.setdefault(frame.schema_map[frame.data_cols[i]].simpleString(), []).append(i)
 
+    from modin_spark.core.frame import (
+        ORDER_BUCKET_HI, ORDER_BUCKET_LO, order_bucket_sql as _obs)
+
     rank_for_pos: dict[int, str] = {}
     base_sdf = fr.sdf  # melt every dtype group from the ORIGINAL plan — melting
     sdf = fr.sdf       # from the accumulated join tree would replay prior groups
+    _np = int(base_sdf.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     for dt, pos_group in by_dtype.items():
         k = len(pos_group)
-        melted = base_sdf.select(
-            F.col(ORDER_COL).alias("__gp__"),  # the frame's own order key: join-back target
-            F.explode(
-                F.array(*[
-                    F.struct(F.lit(ci).alias("__cid__"), F.col(frame.data_cols[i]).alias("__v__"))
-                    for ci, i in enumerate(pos_group)
-                ])
-            ).alias("__e__"),
-        ).select("__gp__", F.col("__e__.__cid__").alias("__cid__"), F.col("__e__.__v__").alias("__v__"))
+        structs = ", ".join(
+            f"struct({ci} as __cid__, {_q(frame.data_cols[i])} as __v__)"
+            for ci, i in enumerate(pos_group))
+        melted = base_sdf.selectExpr(
+            f"{_q(ORDER_COL)} as __gp__",  # the frame's own order key: join-back target
+            f"inline(array({structs}))")
         if na_option == "keep":
-            melted = melted.where(F.col("__v__").isNotNull())  # NaN keeps NaN rank
-            vord = F.col("__v__").asc() if ascending else F.col("__v__").desc()
+            melted = melted.where("__v__ IS NOT NULL")  # NaN keeps NaN rank
+            vdir = "ASC" if ascending else "DESC"
         elif na_option == "top":
             # NaNs form one tie block at the smallest ranks
-            vord = F.col("__v__").asc_nulls_first() if ascending else F.col("__v__").desc_nulls_first()
+            vdir = "ASC NULLS FIRST" if ascending else "DESC NULLS FIRST"
         elif na_option == "bottom":
-            vord = F.col("__v__").asc_nulls_last() if ascending else F.col("__v__").desc_nulls_last()
+            vdir = "ASC NULLS LAST" if ascending else "DESC NULLS LAST"
         else:
             raise ValueError(f"na_option {na_option!r}")
-        sort_keys = [F.col("__cid__").asc(), vord, F.col("__gp__").asc()]
-        _np = int(melted.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+        ord_sql = f"__cid__ ASC, __v__ {vdir}, __gp__ ASC"
         # deterministic (cid, value-bucket) blocks: value-derived buckets
-        # on the melted value (core.frame.order_bucket_expr) — range-
+        # on the melted value (core.frame.order_bucket_sql) — range-
         # shuffle pids re-sample boundaries per plan branch and would
         # misalign the offsets join. Composite id stays monotone under the
         # (cid, vord, gp) sort: cid-major, bucket monotone in the value
         # (negated for descending; na_option places the null bucket).
-        from modin_spark.core.frame import (
-            ORDER_BUCKET_HI, ORDER_BUCKET_LO, order_bucket_expr as _obe)
-
-        vb0 = _obe(melted, "__v__")
-        if vb0 is not None:
-            vb = vb0 if ascending else (-vb0)
+        vb = _obs(melted, "__v__")
+        if vb is not None:
+            if not ascending:
+                vb = f"-({vb})"
             if na_option == "top":
-                vb = F.when(F.col("__v__").isNull(), F.lit(ORDER_BUCKET_LO)).otherwise(vb)
+                vb = f"CASE WHEN __v__ IS NULL THEN {ORDER_BUCKET_LO} ELSE {vb} END"
             elif na_option == "bottom":
-                vb = F.when(F.col("__v__").isNull(), F.lit(ORDER_BUCKET_HI)).otherwise(vb)
-            s = melted.withColumn(
-                "__pid__", F.col("__cid__").cast("long") * F.lit(4_000_000) + vb
+                vb = f"CASE WHEN __v__ IS NULL THEN {ORDER_BUCKET_HI} ELSE {vb} END"
+            s = melted.selectExpr(
+                "*", f"cast(__cid__ as bigint) * 4000000 + ({vb}) as __pid__"
             ).repartition(_np, "__pid__")
         else:
             # non-numeric ranked values (strings): explicit-N range shuffle
             # (documented residual: boundary re-sampling across branches)
-            s = melted.repartitionByRange(_np, *sort_keys).withColumn(
-                "__pid__", F.spark_partition_id())
-        w_loc = Window.partitionBy("__pid__").orderBy(*sort_keys)
-        s = s.withColumn("__lr__", F.row_number().over(w_loc) - F.lit(1))
-        counts = s.groupBy("__pid__").count()
-        w_off = Window.orderBy("__pid__").rowsBetween(Window.unboundedPreceding, -1)
-        offsets = counts.select(
-            F.col("__pid__").alias("__pid2__"),
-            F.coalesce(F.sum("count").over(w_off), F.lit(0)).alias("__off__"),
-        )
-        s = s.join(F.broadcast(offsets), s["__pid__"] == offsets["__pid2__"], "inner")
-        s = s.withColumn(_POS, (F.col("__lr__") + F.col("__off__")).cast("long"))
+            vord = {"ASC": F.col("__v__").asc(),
+                    "DESC": F.col("__v__").desc(),
+                    "ASC NULLS FIRST": F.col("__v__").asc_nulls_first(),
+                    "DESC NULLS FIRST": F.col("__v__").desc_nulls_first(),
+                    "ASC NULLS LAST": F.col("__v__").asc_nulls_last(),
+                    "DESC NULLS LAST": F.col("__v__").desc_nulls_last()}[vdir]
+            s = melted.repartitionByRange(
+                _np, F.col("__cid__").asc(), vord, F.col("__gp__").asc()
+            ).withColumn("__pid__", F.spark_partition_id())
+        s = s.selectExpr(
+            "*",
+            f"row_number() OVER (PARTITION BY __pid__ ORDER BY {ord_sql}) - 1 as __lr__")
+        offsets = s.groupBy("__pid__").count().selectExpr(
+            "__pid__ as __pid2__",
+            "coalesce(sum(count) OVER (ORDER BY __pid__"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) as __off__")
+        s = s.join(F.broadcast(offsets), F.expr("__pid__ = __pid2__"), "inner")
+        s = s.selectExpr("*", f"cast(__lr__ + __off__ as bigint) as {_POS}")
         # per-cid base position and non-null count (pct denominator) — k-row agg
         cid_agg = s.groupBy("__cid__").agg(
-            F.min(_POS).alias("__cbase__"), F.count(F.lit(1)).alias("__cn__")
-        )
+            F.expr(f"min({_POS}) as __cbase__"), F.expr("count(1) as __cn__"))
         s = s.join(F.broadcast(cid_agg), "__cid__")
-        local = F.col(_POS) - F.col("__cbase__") + 1
+        den_sql = "__cn__"
         if method == "first":
-            r = local
+            r_sql = f"{_POS} - __cbase__ + 1"
         elif method == "dense":
             # dense: consecutive tie-block numbers. Distinct (cid, value)
             # blocks can be as many as rows, so they are numbered with the
             # SAME partition-prefix-sum scheme (never a per-cid global
             # window), then joined back on the tie-block key.
-            blocks = s.groupBy("__cid__", "__v__").agg(F.min(_POS).alias("__blo__"))
-            bkeys = [F.col("__cid__").asc(), F.col("__blo__").asc()]
+            blocks = s.groupBy("__cid__", "__v__").agg(F.expr(f"min({_POS}) as __blo__"))
             # deterministic: __blo__ is a global position (long) — 65536-row
             # buckets via shiftright stay monotone under (cid, blo)
-            b = blocks.withColumn(
-                "__bpid__",
-                F.col("__cid__").cast("long") * F.lit(1 << 48)
-                + F.shiftright(F.col("__blo__").cast("long"), 16),
+            b = blocks.selectExpr(
+                "*",
+                f"cast(__cid__ as bigint) * {1 << 48}"
+                " + shiftright(cast(__blo__ as bigint), 16) as __bpid__"
             ).repartition(_np, "__bpid__")
-            b = b.withColumn(
-                "__blr__",
-                F.row_number().over(Window.partitionBy("__bpid__").orderBy(*bkeys)) - F.lit(1),
-            )
-            bcnt = b.groupBy("__bpid__").count()
-            w_boff = Window.orderBy("__bpid__").rowsBetween(Window.unboundedPreceding, -1)
-            boff = bcnt.select(
-                F.col("__bpid__").alias("__bpid2__"),
-                F.coalesce(F.sum("count").over(w_boff), F.lit(0)).alias("__boff__"),
-            )
-            b = b.join(F.broadcast(boff), b["__bpid__"] == boff["__bpid2__"], "inner")
-            b = b.withColumn("__bpos__", (F.col("__blr__") + F.col("__boff__")).cast("long"))
+            b = b.selectExpr(
+                "*",
+                "row_number() OVER (PARTITION BY __bpid__"
+                " ORDER BY __cid__ ASC, __blo__ ASC) - 1 as __blr__")
+            boff = b.groupBy("__bpid__").count().selectExpr(
+                "__bpid__ as __bpid2__",
+                "coalesce(sum(count) OVER (ORDER BY __bpid__"
+                " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) as __boff__")
+            b = b.join(F.broadcast(boff), F.expr("__bpid__ = __bpid2__"), "inner")
+            b = b.selectExpr("*", "cast(__blr__ + __boff__ as bigint) as __bpos__")
             cbb = b.groupBy("__cid__").agg(
-                F.min("__bpos__").alias("__cbb__"), F.count(F.lit(1)).alias("__cnd__")
-            )
-            b = b.join(F.broadcast(cbb), "__cid__").select(
-                F.col("__cid__").alias("__bcid__"), F.col("__v__").alias("__bv__"),
-                (F.col("__bpos__") - F.col("__cbb__") + 1).alias("__dr__"),
-                F.col("__cnd__"),
-            )
+                F.expr("min(__bpos__) as __cbb__"), F.expr("count(1) as __cnd__"))
+            b = b.join(F.broadcast(cbb), "__cid__").selectExpr(
+                "__cid__ as __bcid__", "__v__ as __bv__",
+                "__bpos__ - __cbb__ + 1 as __dr__", "__cnd__")
             s = s.join(
-                b,
-                (s["__cid__"] == b["__bcid__"]) & s["__v__"].eqNullSafe(b["__bv__"]),
-                "inner",
+                b, F.expr("__cid__ = __bcid__ AND __v__ <=> __bv__"), "inner"
             ).drop("__bcid__", "__bv__")
-            r = F.col("__dr__")
+            r_sql = "__dr__"
             # pandas dense+pct divides by the DISTINCT-value count per column
-            dense_den = F.col("__cnd__")
+            den_sql = "__cnd__"
+        elif method in ("average", "min", "max"):
+            lo = f"min({_POS}) OVER (PARTITION BY __cid__, __v__) - __cbase__ + 1"
+            hi = f"max({_POS}) OVER (PARTITION BY __cid__, __v__) - __cbase__ + 1"
+            r_sql = {"average": f"(({lo}) + ({hi})) / 2",
+                     "min": lo, "max": hi}[method]
         else:
-            w_v = Window.partitionBy("__cid__", "__v__")
-            lo = F.min(_POS).over(w_v) - F.col("__cbase__") + 1
-            hi = F.max(_POS).over(w_v) - F.col("__cbase__") + 1
-            r = {"average": (lo + hi) / 2, "min": lo, "max": hi}.get(method)
-            if r is None:
-                raise NotImplementedError(f"rank method {method!r}")
-        r = r.cast("double")
+            raise NotImplementedError(f"rank method {method!r}")
+        r_sql = f"cast({r_sql} as double)"
         if pct:
-            r = r / (dense_den if method == "dense" else F.col("__cn__"))
-        res = s.select(F.col("__gp__").alias("__gpr__"), F.col("__cid__"), r.alias("__rank__"))
+            r_sql = f"({r_sql}) / {den_sql}"
+        res = s.selectExpr("__gp__ as __gpr__", "__cid__", f"({r_sql}) as __rank__")
         rp = fresh_names(k)
         if k == 1:
             # one ranked column: rows are already unique per __gp__ — no pivot
-            piv = res.select(F.col("__gpr__"), F.col("__rank__").alias(rp[0]))
+            piv = res.selectExpr("__gpr__", f"__rank__ as {_q(rp[0])}")
         else:
             piv = res.groupBy("__gpr__").pivot("__cid__", list(range(k))).agg(F.first("__rank__"))
-            piv = piv.select(F.col("__gpr__"), *[F.col(str(ci)).alias(rp[ci]) for ci in range(k)])
+            piv = piv.selectExpr(
+                "__gpr__", *[f"`{ci}` as {_q(rp[ci])}" for ci in range(k)])
         sdf = sdf.join(piv, sdf[ORDER_COL] == piv["__gpr__"], "left").drop("__gpr__")
         for ci, i in enumerate(pos_group):
             rank_for_pos[i] = rp[ci]

@@ -39,16 +39,18 @@ def _pick_direction(u, direction: str, allow_exact: bool, by_cols: list[str], ou
     hidden from the forward frame, and after lefts otherwise.
     """
     rights_first = (direction == "backward") == allow_exact
-    tb = F.col("__il__") if rights_first else (F.lit(1) - F.col("__il__"))
-    sort_cols = [F.col("__k__"), tb.alias("__tb__"), F.col("__ro__")]
+    tb_sql = "__il__" if rights_first else "(1 - __il__)"
+    ord_sql = f"__k__ ASC, {tb_sql} ASC, __ro__ ASC"
 
     if by_cols:
-        w = Window.partitionBy(*by_cols).orderBy(*[c.asc() for c in sort_cols])
+        part = ", ".join(by_cols)
         if direction == "backward":
-            pick = F.last("__rs__", ignorenulls=True).over(w.rowsBetween(Window.unboundedPreceding, 0))
+            pick = (f"last(__rs__, true) OVER (PARTITION BY {part} ORDER BY {ord_sql}"
+                    " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")
         else:
-            pick = F.first("__rs__", ignorenulls=True).over(w.rowsBetween(0, Window.unboundedFollowing))
-        return u.withColumn(out_col, pick)
+            pick = (f"first(__rs__, true) OVER (PARTITION BY {part} ORDER BY {ord_sql}"
+                    " ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)")
+        return u.selectExpr("*", f"{pick} as {out_col}")
 
     # no by: block + carry. Block ids must be a DETERMINISTIC function of
     # the key: spark_partition_id over a range shuffle re-SAMPLES its
@@ -57,33 +59,34 @@ def _pick_direction(u, direction: str, allow_exact: bool, by_cols: list[str], ou
     # (observed: ~5 stale matches per boundary at 300k rows). The value-
     # derived bucket costs no build-time pass; equal keys always share a
     # block (hot-key bound, same as groupby).
-    from modin_spark.core.frame import ORDER_BUCKET_LO, order_bucket_expr
+    from modin_spark.core.frame import ORDER_BUCKET_LO, order_bucket_sql
 
     _np = int(u.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    blk_e = order_bucket_expr(u, "__k__")  # __k__ is always numeric here
-    u2 = u.withColumn(_BLK, F.coalesce(blk_e, F.lit(ORDER_BUCKET_LO)))
+    blk = order_bucket_sql(u, "__k__")  # __k__ is always numeric here
+    u2 = u.selectExpr("*", f"coalesce({blk}, {ORDER_BUCKET_LO}) as {_BLK}")
     u2 = u2.repartition(_np, _BLK)
-    w_in = Window.partitionBy(_BLK).orderBy(*[c.asc() for c in sort_cols])
-    is_r = F.col("__il__") == 0
-    r_ord = F.when(is_r, F.struct(F.col("__k__"), F.col("__ro__")))
+    r_ord = "CASE WHEN __il__ = 0 THEN struct(__k__, __ro__) END"
+    r_val = "CASE WHEN __il__ = 0 THEN __rs__ END"
     if direction == "backward":
-        within = F.last("__rs__", ignorenulls=True).over(w_in.rowsBetween(Window.unboundedPreceding, 0))
-        cand = F.max_by(F.when(is_r, F.col("__rs__")), r_ord)
-        w_carry = Window.orderBy(_BLK).rowsBetween(Window.unboundedPreceding, -1)
-        carry = F.last("__cand__", ignorenulls=True).over(w_carry)
+        within = (f"last(__rs__, true) OVER (PARTITION BY {_BLK} ORDER BY {ord_sql}"
+                  " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")
+        cand = f"max_by({r_val}, {r_ord})"
+        carry = (f"last(__cand__, true) OVER (ORDER BY {_BLK}"
+                 " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)")
     else:
-        within = F.first("__rs__", ignorenulls=True).over(w_in.rowsBetween(0, Window.unboundedFollowing))
-        cand = F.min_by(F.when(is_r, F.col("__rs__")), r_ord)
-        w_carry = Window.orderBy(_BLK).rowsBetween(1, Window.unboundedFollowing)
-        carry = F.first("__cand__", ignorenulls=True).over(w_carry)
-    u2 = u2.withColumn("__win__", within)
+        within = (f"first(__rs__, true) OVER (PARTITION BY {_BLK} ORDER BY {ord_sql}"
+                  " ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)")
+        cand = f"min_by({r_val}, {r_ord})"
+        carry = (f"first(__cand__, true) OVER (ORDER BY {_BLK}"
+                 " ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)")
+    u2 = u2.selectExpr("*", f"{within} as __win__")
     # per-block candidates -> cross-block carry (tiny: #blocks rows)
     carries = (
-        u2.groupBy(_BLK).agg(cand.alias("__cand__"))
-        .select(F.col(_BLK).alias("__blk2__"), carry.alias("__carry__"))
+        u2.groupBy(_BLK).agg(F.expr(f"{cand} as __cand__"))
+        .selectExpr(f"{_BLK} as __blk2__", f"{carry} as __carry__")
     )
-    u2 = u2.join(F.broadcast(carries), u2[_BLK] == carries["__blk2__"], "left")
-    return u2.withColumn(out_col, F.coalesce(F.col("__win__"), F.col("__carry__"))).drop(
+    u2 = u2.join(F.broadcast(carries), F.expr(f"{_BLK} = __blk2__"), "left")
+    return u2.selectExpr("*", f"coalesce(__win__, __carry__) as {out_col}").drop(
         "__win__", "__carry__", "__blk2__", _BLK
     )
 
@@ -133,10 +136,15 @@ def merge_asof(
 
     key_t = lf.schema_map[on_l].simpleString()
     is_ts = key_t.startswith("timestamp")
-    # .cast("timestamp") is a no-op for TIMESTAMP and, under the session's
+
+    def _q(n):
+        return "`%s`" % str(n).replace("`", "``")
+
+    # cast(... as timestamp) is a no-op for TIMESTAMP and, under the session's
     # fixed UTC timezone, an exact wall-clock->epoch mapping for TIMESTAMP_NTZ
-    # (unix_micros only accepts TIMESTAMP).
-    knum = (lambda c: F.unix_micros(c.cast("timestamp"))) if is_ts else (lambda c: c)
+    # (unix_micros only accepts TIMESTAMP). SQL-string select lists keep the
+    # whole tagged-union build at ~one py4j round trip per side.
+    knum = (lambda c: f"unix_micros(cast({c} as timestamp))") if is_ts else (lambda c: c)
     mk_t = "bigint" if is_ts else key_t
     tol = None
     if tolerance is not None:
@@ -157,29 +165,29 @@ def merge_asof(
         r_ord_col = ORDER_COL
 
     l_sel = [
-        F.col(ORDER_COL).alias("__lorder__"),
-        knum(F.col(on_l)).alias("__k__"),
-        F.lit(1).alias("__il__"),
-        F.lit(None).cast("long").alias("__ro__"),
-        F.lit(None).cast(rs_type).alias("__rs__"),
+        f"{_q(ORDER_COL)} as __lorder__",
+        f"{knum(_q(on_l))} as __k__",
+        "1 as __il__",
+        "cast(null as bigint) as __ro__",
+        f"cast(null as {rs_type}) as __rs__",
     ]
-    l_sel += [F.col(b).alias(f"__by{i}__") for i, b in enumerate(by_l)]
-    l_sel += [F.col(c) for c in lf.data_cols]
-    lu = lf.sdf.select(*l_sel)
+    l_sel += [f"{_q(b)} as __by{i}__" for i, b in enumerate(by_l)]
+    l_sel += [_q(c) for c in lf.data_cols]
+    lu = lf.sdf.selectExpr(*l_sel)
 
+    rs_struct = ", ".join(
+        [f"'__mk__', {knum(_q(on_r))}"]
+        + [f"'__f{i}__', {_q(p)}" for i, (_, p) in enumerate(r_payload)])
     r_sel = [
-        F.lit(None).cast(lf.schema_map[ORDER_COL]).alias("__lorder__"),
-        knum(F.col(on_r)).alias("__k__"),
-        F.lit(0).alias("__il__"),
-        F.col(r_ord_col).cast("long").alias("__ro__"),
-        F.struct(
-            knum(F.col(on_r)).alias("__mk__"),
-            *[F.col(p).alias(f"__f{i}__") for i, (_, p) in enumerate(r_payload)],
-        ).alias("__rs__"),
+        f"cast(null as {lf.schema_map[ORDER_COL].simpleString()}) as __lorder__",
+        f"{knum(_q(on_r))} as __k__",
+        "0 as __il__",
+        f"cast({_q(r_ord_col)} as bigint) as __ro__",
+        f"named_struct({rs_struct}) as __rs__",
     ]
-    r_sel += [F.col(b).alias(f"__by{i}__") for i, b in enumerate(by_r)]
-    r_sel += [F.lit(None).cast(lf.schema_map[c].simpleString()).alias(c) for c in lf.data_cols]
-    ru = rf.sdf.select(*r_sel)
+    r_sel += [f"{_q(b)} as __by{i}__" for i, b in enumerate(by_r)]
+    r_sel += [f"cast(null as {lf.schema_map[c].simpleString()}) as {_q(c)}" for c in lf.data_cols]
+    ru = rf.sdf.selectExpr(*r_sel)
 
     u = lu.unionByName(ru)
     by_cols = [f"__by{i}__" for i in range(len(by_l))]
@@ -191,18 +199,18 @@ def merge_asof(
         # backward pass (or forbidden entirely when allow_exact_matches=False).
         picked = _pick_direction(u, "backward", allow_exact_matches, by_cols, "__pb__")
         picked = _pick_direction(picked, "forward", False, by_cols, "__pf__")
-        d_b = F.col("__k__") - F.col("__pb__.__mk__")
-        d_f = F.col("__pf__.__mk__") - F.col("__k__")
-        picked = picked.withColumn(
-            "__pick__",
-            F.when(F.col("__pb__").isNull(), F.col("__pf__"))
-            .when(F.col("__pf__").isNull(), F.col("__pb__"))
-            .when(d_f < d_b, F.col("__pf__"))
-            .otherwise(F.col("__pb__")),
+        picked = picked.selectExpr(
+            "*",
+            "CASE WHEN __pb__ IS NULL THEN __pf__"
+            " WHEN __pf__ IS NULL THEN __pb__"
+            " WHEN (__pf__.__mk__ - __k__) < (__k__ - __pb__.__mk__) THEN __pf__"
+            " ELSE __pb__ END as __pick__",
         ).drop("__pb__", "__pf__")
 
-    out_rows = picked.where(F.col("__il__") == 1)
+    out_rows = picked.where("__il__ = 1")
     if tol is not None:
+        # Column form: tol may be any numeric python/numpy scalar — F.lit
+        # handles the typing that a string literal embed would get wrong
         dist = F.abs(F.col("__k__") - F.col("__pick__.__mk__"))
         out_rows = out_rows.withColumn("__pick__", F.when(dist <= F.lit(tol), F.col("__pick__")))
 
@@ -211,14 +219,14 @@ def merge_asof(
     out_labels = [f"{c}{suffixes[0]}" if c in rshared else c for c in left.columns]
     out_phys = list(lf.data_cols)
     new_phys = fresh_names(len(r_payload))
-    sel = [F.col("__lorder__").alias(ORDER_COL)] + [F.col(c) for c in out_phys]
+    sel = [f"__lorder__ as {_q(ORDER_COL)}"] + [_q(c) for c in out_phys]
     lset = set(left.columns)
     for i, ((lbl, _p), np_) in enumerate(zip(r_payload, new_phys)):
         name = f"{lbl}{suffixes[1]}" if lbl in lset else lbl
         out_labels.append(name)
         out_phys.append(np_)
-        sel.append(F.col(f"__pick__.__f{i}__").alias(np_))
-    out = SparkFrame(out_rows.select(*sel), pd.Index(out_labels), out_phys)
+        sel.append(f"__pick__.__f{i}__ as {_q(np_)}")
+    out = SparkFrame(out_rows.selectExpr(*sel), pd.Index(out_labels), out_phys)
     return DataFrame(_frame=out)
 
 

@@ -114,3 +114,29 @@ def test_scalar_str_comparison_explicit_op_tokens():
                 lambda: s.ge("x")):
         with pytest.raises(TypeError):
             bad()
+
+
+# -------------------------------------------------------- VERDICT r13 #4
+def test_expanding_rank_quantile_degenerate_ties():
+    """Constant and 90%-one-value columns funnel into one value bucket —
+    the degenerate-tie fast paths must stay pandas-exact (m==1 short
+    circuit, m<=64 histogram, vectorized merge-count)."""
+    n = 4000
+    rng = np.random.default_rng(11)
+    shapes = {
+        "constant": np.full(n, 7.0),
+        "hot90": np.where(rng.random(n) < 0.9, 7.0,
+                          rng.integers(0, 50, n).astype(float)),
+        "fewvals": rng.integers(0, 5, n).astype(float),
+        "diverse": rng.normal(size=n),
+    }
+    for name, vals in shapes.items():
+        ps = pd.Series(vals)
+        ms = mpd.Series(vals)
+        for m in ("average", "min", "max"):
+            eq_series(ms.expanding(min_periods=2).rank(method=m),
+                      ps.expanding(min_periods=2).rank(method=m))
+        eq_series(ms.expanding(min_periods=1).median(),
+                  ps.expanding(min_periods=1).median())
+        eq_series(ms.expanding(min_periods=1).quantile(0.9),
+                  ps.expanding(min_periods=1).quantile(0.9))
