@@ -1009,6 +1009,46 @@ def _multimodal_png_stats(spark, sf):
     )
 
 
+def _multimodal_jpeg_stats(spark, sf):
+    """REAL baseline-JPEG decode (r14, no media libs): 16x16 grayscale
+    JPEGs are ENCODED executor-side from deterministic QUANTIZED
+    coefficients (media_codecs.encode_jpeg_baseline — Annex-K Huffman, DC
+    DPCM, zigzag run-length), then decoded back by the full T.81 pipeline
+    (media_codecs.decode_jpeg_baseline: canonical Huffman -> dequant ->
+    inverse zigzag -> IDCT -> level shift) inside operators.multimodal.
+    image_stats. Coefficients sit at (0,0) and (0,4) with qstep 8, whose
+    IDCT basis products are EXACTLY ±1/8 — every decoded pixel is the
+    integer 128 + dc ± ac, so mean and population variance are dyadic
+    rationals that float64 carries exactly, and the oracle replays the
+    same block arithmetic in SQL. An EXACT oracle over a genuine lossy-
+    format entropy decode. Scale shape: mapInPandas, per-row independent,
+    zero shuffle."""
+    import numpy as np
+
+    from modin_spark.operators.multimodal import image_stats
+
+    emb = _rp(spark, f"{sf}/embeddings.parquet").where(F.col("vec_id") < 16).select("vec_id")
+
+    def mk(batches):
+        from modin_spark.operators.media_codecs import encode_jpeg_baseline
+
+        for pdf in batches:
+            payloads = []
+            for i in pdf["vec_id"]:
+                i = int(i)
+                coeffs = np.zeros((2, 2, 8, 8), dtype=np.int64)
+                for b in range(4):
+                    r, c = divmod(b, 2)
+                    coeffs[r, c, 0, 0] = (i * 5 + b * 3) % 41 - 20
+                    coeffs[r, c, 0, 4] = (i * 3 + b * 7) % 31 - 15
+                q = np.full((8, 8), 8, dtype=np.int64)
+                payloads.append(encode_jpeg_baseline(coeffs, 16, 16, q))
+            yield pdf.assign(payload=payloads)
+
+    media = emb.mapInPandas(mk, "vec_id long, payload binary")
+    return image_stats(media).select("vec_id", "width", "height", "mean_lum", "var_lum")
+
+
 def _multimodal_media_meta(spark, sf):
     """REAL JPEG/MP3/MP4 HEADER parsing (r11, no media libs): deterministic
     payloads — structurally valid JPEG marker streams, MPEG1 Layer-III CBR
@@ -2356,6 +2396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_ngram_dedup": _docs_ngram_dedup,
         "multimodal_features": _multimodal_features,
         "multimodal_png_stats": _multimodal_png_stats,
+        "multimodal_jpeg_stats": _multimodal_jpeg_stats,
         "multimodal_media_meta": _multimodal_media_meta,
         # (c) machinery touched this round
         "rolling_mean": _rolling_mean,
@@ -4124,6 +4165,26 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT vec_id FROM embeddings WHERE vec_id < 12) e
             CROSS JOIN generate_series(0, 255) t(k)
             GROUP BY e.vec_id
+        """,
+        # r14: exact replay of the coefficient arithmetic the executor-side
+        # baseline-JPEG encoder baked in. With qstep 8 at (0,0)/(0,4) the
+        # IDCT contributions are exactly dc and ±ac per pixel, the ±ac halves
+        # cancel in the mean and contribute ac^2 to E[p^2] — both dyadic, so
+        # the engine's float64 stats and this SQL agree bit-for-bit.
+        "multimodal_jpeg_stats": """
+            WITH blocks AS (
+                SELECT e.vec_id,
+                       CAST((e.vec_id * 5 + t.b * 3) % 41 - 20 AS DOUBLE) AS dc,
+                       CAST((e.vec_id * 3 + t.b * 7) % 31 - 15 AS DOUBLE) AS ac
+                FROM (SELECT vec_id FROM embeddings WHERE vec_id < 16) e
+                CROSS JOIN generate_series(0, 3) t(b)
+            )
+            SELECT vec_id, 16 AS width, 16 AS height,
+                   128.0 + AVG(dc) AS mean_lum,
+                   AVG((128.0 + dc) * (128.0 + dc) + ac * ac)
+                     - (128.0 + AVG(dc)) * (128.0 + AVG(dc)) AS var_lum
+            FROM blocks
+            GROUP BY vec_id
         """,
         # r11: exact replay of the header-field arithmetic the executor-side
         # encoders baked into the JPEG/MP3/MP4 payloads — every parsed field

@@ -2,8 +2,9 @@
 (stdlib ``wave``). These back the non-stub paths of operators/multimodal.py
 so image/audio decode, feature extraction, and resize are genuine for the
 two formats the Python standard library can express — no PIL/cv2/torchaudio
-needed. JPEG/MP3/video remain stubbed (declared: their codecs are not
-stdlib-expressible).
+needed. r14 adds a REAL baseline-JPEG codec (pure numpy Huffman + IDCT,
+grayscale SOF0 — see the section at the bottom of this file); progressive
+JPEG, subsampled color, MP3 and video sample decode remain declared stubs.
 
 PNG scope: 8-bit depth, color types 0 (gray), 2 (RGB), 3 (palette),
 4 (gray+alpha), 6 (RGBA), non-interlaced; all five scanline filters
@@ -434,3 +435,355 @@ def encode_mp4_header(duration_ms: int, width: int = 0, height: int = 0,
     if audio_codec:
         traks += trak(b"soun", audio_codec, 0, 0)
     return ftyp + _mp4_box(b"moov", mvhd + traks)
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG (r14): REAL entropy decode, pure numpy — ITU T.81 subset:
+# SOF0 (baseline sequential DCT), Huffman coding, 8-bit grayscale (one
+# component). Progressive JPEG, chroma-subsampled color, arithmetic coding,
+# MP3 and video sample decode remain declared stubs. The decoder is a full
+# T.81 pipeline (marker parse -> canonical Huffman -> DC DPCM + AC
+# run-length -> dequantize -> inverse zigzag -> 2-D IDCT -> level shift),
+# not a replay of the encoder below: it accepts any conforming grayscale
+# baseline stream. Runs per-row inside mapInPandas batches (no shuffle).
+# ---------------------------------------------------------------------------
+
+# zigzag scan order (T.81 Figure A.6): _JPEG_ZIGZAG[k] = natural index of
+# the k-th zigzag position
+_JPEG_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+# standard luminance Huffman tables (T.81 Annex K.3)
+_STD_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_STD_DC_VALS = list(range(12))
+_STD_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_STD_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _huff_canonical(bits, vals):
+    """symbol -> (code, length) via canonical assignment (T.81 C.2)."""
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _idct_matrix() -> np.ndarray:
+    """M[u, x] = c(u)/2 * cos((2x+1) u pi / 16); f = M.T @ F @ M."""
+    u = np.arange(8)[:, None]
+    x = np.arange(8)[None, :]
+    m = 0.5 * np.cos((2 * x + 1) * u * np.pi / 16)
+    m[0, :] *= 1 / np.sqrt(2)
+    return m
+
+
+_IDCT_M = _idct_matrix()
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, value: int, length: int) -> None:
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.acc >> self.nbits) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:  # byte stuffing (T.81 F.1.2.3)
+                self.buf.append(0x00)
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)  # pad with 1-bits
+        return bytes(self.buf)
+
+
+def _mag_cat(v: int) -> int:
+    return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+
+def encode_jpeg_baseline(coeffs: np.ndarray, width: int, height: int,
+                         qtable: np.ndarray) -> bytes:
+    """Baseline grayscale JPEG from QUANTIZED coefficient blocks.
+
+    ``coeffs``: (by, bx, 8, 8) int array in NATURAL (row, col) frequency
+    order; ``qtable``: (8, 8) natural order. Standard Annex-K luminance
+    Huffman tables; blocks raster order; DC DPCM across blocks.
+    """
+    coeffs = np.asarray(coeffs, dtype=np.int64)
+    by, bx = coeffs.shape[:2]
+    q_zig = np.asarray(qtable, dtype=np.int64).ravel()[_JPEG_ZIGZAG]
+    dc_tab = _huff_canonical(_STD_DC_BITS, _STD_DC_VALS)
+    ac_tab = _huff_canonical(_STD_AC_BITS, _STD_AC_VALS)
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xdb" + struct.pack(">BB", 0, 67)[1:2] + b""  # placeholder fix below
+    del out[2:]
+    out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([0x00]) + bytes(int(v) for v in q_zig)
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, height, width, 1) + bytes([1, 0x11, 0])
+    out += (b"\xff\xc4" + struct.pack(">H", 3 + 16 + len(_STD_DC_VALS))
+            + bytes([0x00]) + bytes(_STD_DC_BITS) + bytes(_STD_DC_VALS))
+    out += (b"\xff\xc4" + struct.pack(">H", 3 + 16 + len(_STD_AC_VALS))
+            + bytes([0x10]) + bytes(_STD_AC_BITS) + bytes(_STD_AC_VALS))
+    out += b"\xff\xda" + struct.pack(">H", 8) + bytes([1, 1, 0x00, 0, 63, 0])
+
+    w = _BitWriter()
+    pred = 0
+    for r in range(by):
+        for c in range(bx):
+            zz = coeffs[r, c].ravel()[_JPEG_ZIGZAG]
+            diff = int(zz[0]) - pred
+            pred = int(zz[0])
+            s = _mag_cat(diff)
+            code, ln = dc_tab[s]
+            w.put(code, ln)
+            if s:
+                w.put(diff if diff > 0 else diff + (1 << s) - 1, s)
+            k = 1
+            while k < 64:
+                run = 0
+                while k < 64 and zz[k] == 0:
+                    run += 1
+                    k += 1
+                if k == 64:
+                    code, ln = ac_tab[0x00]  # EOB
+                    w.put(code, ln)
+                    break
+                while run >= 16:
+                    code, ln = ac_tab[0xF0]  # ZRL
+                    w.put(code, ln)
+                    run -= 16
+                v = int(zz[k])
+                s = _mag_cat(v)
+                code, ln = ac_tab[(run << 4) | s]
+                w.put(code, ln)
+                w.put(v if v > 0 else v + (1 << s) - 1, s)
+                k += 1
+    out += w.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def bits(self, n: int) -> int:
+        while self.nbits < n:
+            b = self.data[self.pos] if self.pos < len(self.data) else 0
+            self.pos += 1
+            self.acc = (self.acc << 8) | b
+            self.nbits += 8
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        return v
+
+
+def _huff_decode_tables(bits, vals):
+    """(mincode, maxcode, valptr) per length for fast decode (T.81 F.2.2.3)."""
+    mincode = [0] * 17
+    maxcode = [-1] * 17
+    valptr = [0] * 17
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        if bits[ln - 1]:
+            valptr[ln] = k
+            mincode[ln] = code
+            code += bits[ln - 1]
+            k += bits[ln - 1]
+            maxcode[ln] = code - 1
+        code <<= 1
+    return mincode, maxcode, valptr, list(vals)
+
+
+def _huff_read(br: _BitReader, tab) -> int:
+    mincode, maxcode, valptr, vals = tab
+    code = br.bits(1)
+    for ln in range(1, 17):
+        if maxcode[ln] >= code:
+            return vals[valptr[ln] + code - mincode[ln]]
+        code = (code << 1) | br.bits(1)
+    raise ValueError("corrupt JPEG: invalid Huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def decode_jpeg_baseline(data: bytes) -> np.ndarray:
+    """Decode a baseline (SOF0) GRAYSCALE JPEG to uint8 (H, W).
+
+    Full T.81 pipeline: marker walk (DQT 8/16-bit, DHT, DRI, RSTn),
+    canonical Huffman entropy decode, DC DPCM, AC run-length/ZRL/EOB,
+    dequantize, inverse zigzag, orthonormal 2-D IDCT, +128 level shift,
+    round + clip. Progressive (SOF2), multi-component color, and
+    arithmetic-coded streams raise NotImplementedError — the declared
+    remaining stub surface.
+    """
+    if not data or not data.startswith(b"\xff\xd8"):
+        raise ValueError("not a JPEG")
+    qtables: dict[int, np.ndarray] = {}
+    hufftabs: dict[tuple[int, int], tuple] = {}
+    dims = None  # (h, w)
+    comp_q = 0
+    scan_dc = scan_ac = None
+    restart_interval = 0
+    i = 2
+    n = len(data)
+    while i + 4 <= n:
+        if data[i] != 0xFF:
+            raise ValueError("corrupt JPEG: lost marker sync")
+        marker = data[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        if marker == 0xD9:
+            break
+        seg_len = struct.unpack(">H", data[i + 2:i + 4])[0]
+        seg = data[i + 4:i + 2 + seg_len]
+        if marker == 0xDB:  # DQT
+            j = 0
+            while j < len(seg):
+                pq, tq = seg[j] >> 4, seg[j] & 15
+                j += 1
+                if pq:
+                    vals = np.frombuffer(seg[j:j + 128], dtype=">u2").astype(np.int64)
+                    j += 128
+                else:
+                    vals = np.frombuffer(seg[j:j + 64], dtype=np.uint8).astype(np.int64)
+                    j += 64
+                nat = np.zeros(64, dtype=np.int64)
+                nat[_JPEG_ZIGZAG] = vals
+                qtables[tq] = nat.reshape(8, 8)
+        elif marker == 0xC4:  # DHT
+            j = 0
+            while j < len(seg):
+                tc, th = seg[j] >> 4, seg[j] & 15
+                bits = list(seg[j + 1:j + 17])
+                nv = sum(bits)
+                vals = list(seg[j + 17:j + 17 + nv])
+                hufftabs[(tc, th)] = _huff_decode_tables(bits, vals)
+                j += 17 + nv
+        elif marker == 0xC0:  # SOF0 baseline
+            h, w = struct.unpack(">HH", seg[1:5])
+            ncomp = seg[5]
+            if ncomp != 1:
+                raise NotImplementedError(
+                    "decode_jpeg_baseline: grayscale (1 component) only")
+            comp_q = seg[8]
+            dims = (h, w)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"decode_jpeg_baseline: SOF{marker - 0xC0} not baseline-sequential")
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xDA:  # SOS
+            scan_dc = seg[3] >> 4
+            scan_ac = seg[3] & 15
+            i = i + 2 + seg_len
+            break
+        i = i + 2 + seg_len
+    if dims is None or scan_dc is None:
+        raise ValueError("corrupt JPEG: missing SOF0/SOS")
+
+    # entropy-coded data: unstuff FF00, honor RSTn, stop at next marker
+    ecs = bytearray()
+    resets = []  # byte offsets in ecs where a restart occurred
+    j = i
+    while j < n - 1:
+        b = data[j]
+        if b == 0xFF:
+            m = data[j + 1]
+            if m == 0x00:
+                ecs.append(0xFF)
+                j += 2
+                continue
+            if 0xD0 <= m <= 0xD7:  # RSTn: byte-align + reset DC predictor
+                resets.append(len(ecs))
+                j += 2
+                continue
+            break  # EOI or next segment
+        ecs.append(b)
+        j += 1
+
+    h, w = dims
+    by = (h + 7) // 8
+    bx = (w + 7) // 8
+    q = qtables[comp_q]
+    dc_tab = hufftabs[(0, scan_dc)]
+    ac_tab = hufftabs[(1, scan_ac)]
+    br = _BitReader(bytes(ecs))
+    reset_set = set(resets)
+    out = np.empty((by * 8, bx * 8), dtype=np.uint8)
+    pred = 0
+    nblk = 0
+    coef = np.zeros(64, dtype=np.int64)
+    for r in range(by):
+        for c in range(bx):
+            if restart_interval and nblk and nblk % restart_interval == 0 and reset_set:
+                # byte-align to the recorded restart boundary
+                br.acc = 0
+                br.nbits = 0
+                pred = 0
+            coef[:] = 0
+            s = _huff_read(br, dc_tab)
+            diff = _extend(br.bits(s), s) if s else 0
+            pred += diff
+            coef[0] = pred
+            k = 1
+            while k < 64:
+                rs = _huff_read(br, ac_tab)
+                rr, s = rs >> 4, rs & 15
+                if s == 0:
+                    if rr == 15:
+                        k += 16
+                        continue
+                    break  # EOB
+                k += rr
+                if k > 63:
+                    raise ValueError("corrupt JPEG: AC index overrun")
+                coef[k] = _extend(br.bits(s), s)
+                k += 1
+            nat = np.zeros(64, dtype=np.int64)
+            nat[_JPEG_ZIGZAG] = coef
+            block = nat.reshape(8, 8) * q
+            pix = _IDCT_M.T @ block.astype(np.float64) @ _IDCT_M
+            out[r * 8:(r + 1) * 8, c * 8:(c + 1) * 8] = np.clip(
+                np.round(pix) + 128, 0, 255).astype(np.uint8)
+            nblk += 1
+    return out[:h, :w]

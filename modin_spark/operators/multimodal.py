@@ -161,14 +161,27 @@ def _fake_embedding(data: bytes, dim: int) -> np.ndarray:
     return rng.standard_normal(dim).astype(np.float32)
 
 
+def _decode_image(data: bytes) -> "np.ndarray":
+    """Sniff + REAL-decode an image payload to (h, w, ch) uint8: PNG
+    (media_codecs.decode_png) or baseline grayscale JPEG
+    (media_codecs.decode_jpeg_baseline, r14). Other formats raise."""
+    from modin_spark.operators.media_codecs import (
+        JPEG_MAGIC, PNG_MAGIC, decode_jpeg_baseline, decode_png)
+
+    data = bytes(data)
+    if data.startswith(PNG_MAGIC):
+        return decode_png(data)
+    if data.startswith(JPEG_MAGIC):
+        return decode_jpeg_baseline(data)[:, :, None]
+    raise ValueError("unsupported image payload (PNG or baseline JPEG)")
+
+
 def _png_feature_vec(data: bytes, dim: int) -> list:
-    """REAL PNG features: [width, height, channels, mean, std, 8-bin luma
+    """REAL image features: [width, height, channels, mean, std, 8-bin luma
     histogram density...] padded with zeros to ``dim``. mean/std computed in
     float64 over all samples (mean of a 2^k-pixel gray image is exactly
     dyadic — exploited by the multimodal_png_stats oracle)."""
-    from modin_spark.operators.media_codecs import decode_png
-
-    arr = decode_png(bytes(data))
+    arr = _decode_image(data)
     h, w, ch = arr.shape
     flat = arr.astype(np.float64)
     luma = flat.mean(axis=2)
@@ -197,6 +210,37 @@ def image_features(df: SDF, bin_col: str = "payload", dim: int = 64, decode_stub
             else:
                 feats = [_png_feature_vec(b, dim) for b in pdf[bin_col]]
             yield pdf.assign(features=feats)
+
+    return df.mapInPandas(extract, out_schema)
+
+
+def image_stats(df: SDF, bin_col: str = "payload") -> SDF:
+    """REAL image decode -> exact float64 stats per row: width, height,
+    mean luminance and population variance (PNG or baseline grayscale JPEG,
+    sniffed by magic bytes). Unlike image_features' float32 vector, the
+    float64 stats stay bit-exact for integer images whose pixel count is a
+    power of two — the property the multimodal_{png,jpeg}_stats oracles
+    replay in SQL. Scale shape: mapInPandas, per-row independent, no
+    shuffle."""
+    out_schema = T.StructType(df.schema.fields + [
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_lum", T.DoubleType()),
+        T.StructField("var_lum", T.DoubleType()),
+    ])
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ws, hs, mus, vs = [], [], [], []
+            for b in pdf[bin_col]:
+                arr = _decode_image(b).astype(np.float64)
+                h, w = arr.shape[:2]
+                mu = float(arr.mean())
+                ws.append(w)
+                hs.append(h)
+                mus.append(mu)
+                vs.append(float((arr * arr).mean() - mu * mu))
+            yield pdf.assign(width=ws, height=hs, mean_lum=mus, var_lum=vs)
 
     return df.mapInPandas(extract, out_schema)
 

@@ -133,3 +133,73 @@ def test_make_synthetic_media_mixed_kinds(spark):
            .toPandas().set_index("media_id").sort_index())
     assert got["format"].tolist() == ["png", "jpeg", "wav", "mp3", "mp4"] * 2
     assert got["kind"].tolist() == ["image", "image", "audio", "audio", "video"] * 2
+
+
+# ------------------------------------------------------------- r14: JPEG
+def test_jpeg_baseline_roundtrip_exact():
+    """encode_jpeg_baseline -> decode_jpeg_baseline reproduces the IDCT of
+    the original quantized coefficients bit-exactly (Huffman, DPCM, zigzag,
+    ZRL/EOB, dequant all in play)."""
+    import numpy as np
+
+    from modin_spark.operators.media_codecs import (
+        _IDCT_M, decode_jpeg_baseline, encode_jpeg_baseline)
+
+    rng = np.random.default_rng(3)
+    for trial in range(12):
+        by, bx = int(rng.integers(1, 5)), int(rng.integers(1, 5))
+        q = rng.integers(1, 16, (8, 8)).astype(np.int64)
+        coeffs = np.zeros((by, bx, 8, 8), dtype=np.int64)
+        for r in range(by):
+            for c in range(bx):
+                idx = rng.integers(0, 64, 8)
+                coeffs[r, c].ravel()[idx] = rng.integers(-40, 41, 8)
+        data = encode_jpeg_baseline(coeffs, bx * 8, by * 8, q)
+        img = decode_jpeg_baseline(data)
+        exp = np.empty((by * 8, bx * 8))
+        for r in range(by):
+            for c in range(bx):
+                exp[r * 8:(r + 1) * 8, c * 8:(c + 1) * 8] = (
+                    _IDCT_M.T @ (coeffs[r, c] * q).astype(float) @ _IDCT_M)
+        exp = np.clip(np.round(exp) + 128, 0, 255).astype(np.uint8)
+        assert (img == exp).all()
+        # metadata parser agrees on the same stream
+        from modin_spark.operators.media_codecs import jpeg_meta
+
+        meta = jpeg_meta(data)
+        assert (meta["width"], meta["height"]) == (bx * 8, by * 8)
+        assert meta["progressive"] is False and meta["components"] == 1
+
+
+def test_jpeg_decoder_rejects_non_baseline():
+    import numpy as np
+    import pytest
+
+    from modin_spark.operators.media_codecs import (
+        decode_jpeg_baseline, encode_jpeg_header)
+
+    with pytest.raises(NotImplementedError):
+        decode_jpeg_baseline(encode_jpeg_header(32, 32, progressive=True))
+    with pytest.raises(ValueError):
+        decode_jpeg_baseline(b"\x00\x01")
+
+
+def test_image_stats_sniffs_png_and_jpeg(spark):
+    import numpy as np
+
+    from modin_spark.operators.media_codecs import (
+        encode_jpeg_baseline, encode_png)
+    from modin_spark.operators.multimodal import image_stats
+
+    arr = (np.arange(256) % 17).reshape(16, 16).astype(np.uint8)
+    png = encode_png(arr)
+    coeffs = np.zeros((2, 2, 8, 8), dtype=np.int64)
+    coeffs[:, :, 0, 0] = 5
+    jpg = encode_jpeg_baseline(coeffs, 16, 16, np.full((8, 8), 8, dtype=np.int64))
+    df = spark.createDataFrame([(0, bytearray(png)), (1, bytearray(jpg))],
+                               "media_id long, payload binary")
+    rows = {r["media_id"]: r for r in image_stats(df).collect()}
+    assert rows[0]["mean_lum"] == float(arr.mean())
+    assert rows[1]["mean_lum"] == 133.0  # 128 + dc, flat blocks
+    assert rows[1]["var_lum"] == 0.0
+    assert rows[0]["width"] == rows[1]["width"] == 16
