@@ -93,6 +93,9 @@ HEADLINE = [
     # representative from the wave-39-59 machinery (anchor-shifted carries)
     "polars_pipeline",
     "rolling_pair_corr",
+    # round 14: real baseline-JPEG entropy decode (Huffman + IDCT in
+    # mapInPandas batches)
+    "multimodal_jpeg_stats",
 ]
 
 # host-noise self-diagnosis (r7): three cheap, stable queries re-run at

@@ -801,6 +801,18 @@ class SparkFrame:
             return F.shiftright(F.col(path).cast("long"), 16)
         return None
 
+    def _order_bucket_sql(self) -> str | None:
+        """SQL-string form of ``_order_bucket_expr`` (one py4j round trip
+        when embedded in selectExpr)."""
+        t = self.schema_map.get(ORDER_COL)
+        path = "`%s`" % ORDER_COL.replace("`", "``")
+        while isinstance(t, T.StructType) and t.fields:
+            path = f"{path}.{t.fields[0].name}"
+            t = t.fields[0].dataType
+        if isinstance(t, (T.LongType, T.IntegerType, T.ShortType)):
+            return f"shiftright(cast({path} as bigint), 16)"
+        return None
+
     def with_global_position(self, pos_col: str) -> "SparkFrame":
         """Attach a contiguous 0-based global position column.
 
@@ -815,9 +827,10 @@ class SparkFrame:
         """
         if not self.has_order:
             return self.ensure_order().with_global_position(pos_col)
-        obkt = self._order_bucket_expr()
-        if obkt is not None:
-            sdf = self.sdf.withColumn("__pid__", obkt)
+        oq = "`%s`" % ORDER_COL.replace("`", "``")
+        bkt = self._order_bucket_sql()
+        if bkt is not None:
+            sdf = self.sdf.selectExpr("*", f"{bkt} as __pid__")
         else:
             # non-integral ORDER leaf (exotic): range shuffle with an
             # EXPLICIT partition count (AQE never re-coalesces a
@@ -825,16 +838,18 @@ class SparkFrame:
             np_ = int(self.sdf.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
             sdf = self.sdf.repartitionByRange(np_, F.col(ORDER_COL)).withColumn(
                 "__pid__", F.spark_partition_id())
-        w = Window.partitionBy("__pid__").orderBy(ORDER_COL)
-        sdf = sdf.withColumn("__local_rank__", F.row_number().over(w) - F.lit(1))
-        counts = sdf.groupBy("__pid__").count()
-        woff = Window.orderBy("__pid__").rowsBetween(Window.unboundedPreceding, -1)
-        offsets = counts.select(
-            F.col("__pid__").alias("__pid2__"),
-            F.coalesce(F.sum("count").over(woff), F.lit(0)).alias("__offset__"),
-        )
-        sdf = sdf.join(F.broadcast(offsets), sdf["__pid__"] == offsets["__pid2__"], "inner")
-        sdf = sdf.withColumn(pos_col, (F.col("__local_rank__") + F.col("__offset__")).cast("long"))
+        sdf = sdf.selectExpr(
+            "*",
+            f"row_number() OVER (PARTITION BY __pid__ ORDER BY {oq}) - 1"
+            " as __local_rank__")
+        offsets = sdf.groupBy("__pid__").count().selectExpr(
+            "__pid__ as __pid2__",
+            "coalesce(sum(count) OVER (ORDER BY __pid__"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) as __offset__")
+        sdf = sdf.join(F.broadcast(offsets), F.expr("__pid__ = __pid2__"), "inner")
+        sdf = sdf.selectExpr(
+            "*", "cast(__local_rank__ + __offset__ as bigint) as `%s`"
+                 % str(pos_col).replace("`", "``"))
         sdf = sdf.drop("__pid__", "__pid2__", "__local_rank__", "__offset__")
         return self._same_rows(sdf)
 

@@ -241,12 +241,15 @@ def pct_change(frame: SparkFrame, positions: Sequence[int], periods: int = 1,
     else:
         filled = ffill(frame, positions)
     shifted = shift(filled, list(range(len(positions))), periods)
+    from modin_spark.pandas.series import _true_div  # call-time: no core<-pandas import cycle
+
     labels, exprs = [], []
     for out_pos, orig_pos in enumerate(positions):
         cur = F.col(filled.data_cols[out_pos])
         prev = F.col(shifted.data_cols[out_pos])
         labels.append(frame.columns[orig_pos])
-        exprs.append(cur.cast("double") / prev.cast("double") - 1)
+        # pandas division: prev==0 -> signed inf (0/0 -> NaN), not Spark NULL
+        exprs.append(_true_div(cur, prev) - 1)
     return shifted._same_rows(shifted.sdf).project(labels, exprs)
 
 

@@ -4634,6 +4634,23 @@ class DataFrame:
             # drop_level (verified pandas 2.2: a row Series has no level to
             # keep, so drop_level only changes MultiIndex results)
             return self.loc[key]
+        if isinstance(key, tuple):
+            # tuple key: match len(key) CONSECUTIVE levels starting at lv
+            # (pandas: partial-tuple xs drops every matched level; a full
+            # key is the row itself -> Series, same as .loc)
+            if len(key) > len(fr.index_cols) - lv:
+                raise KeyError(key)
+            if len(key) == len(fr.index_cols) and lv == 0 and drop_level:
+                return self.loc[key]
+            cond = None
+            for j, k in enumerate(key):
+                c = F.col(fr.index_cols[lv + j]) == F.lit(k)
+                cond = c if cond is None else cond & c
+            out = DataFrame(_frame=fr.filter(cond))
+            if drop_level:
+                for _ in key:
+                    out = out.droplevel(lv)
+            return out
         out = DataFrame(_frame=fr.filter(F.col(fr.index_cols[lv]) == F.lit(key)))
         return out.droplevel(lv) if drop_level and len(fr.index_cols) > 1 else out
 

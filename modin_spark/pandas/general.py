@@ -295,8 +295,11 @@ def cut(x: Series, bins, labels=None, right: bool = True, include_lowest: bool =
         if include_lowest and right:
             disp[0] = disp[0] - 0.001
     else:
+        # float coercion matters for the LABELS: pandas renders every break
+        # of a float interval as a float ("(0.0, 1.0]"); a python int edge
+        # left as int would render "(0, 1.0]"
         prec = _infer_precision(3, edges)
-        disp = [_round_frac(e, prec) for e in edges]
+        disp = [float(_round_frac(e, prec)) for e in edges]
         if include_lowest and right:
             disp[0] = disp[0] - 10 ** (-prec)
     names = labels if (labels is not None and labels is not False) else [
@@ -318,6 +321,10 @@ def cut(x: Series, bins, labels=None, right: bool = True, include_lowest: bool =
         return e.otherwise(F.lit(None).cast("int") if codes else F.lit(None))
 
     out = x._map1(f)
+    if not codes:
+        # pandas: astype(str) of the (categorical) cut result renders
+        # missing entries as the literal 'nan'
+        out._astype_str_null = "nan"
     if labels is None and not codes:
         # pandas contract: labels=None yields an ORDERED Categorical of
         # Interval categories. Physical storage stays the string bin label

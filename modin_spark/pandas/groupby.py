@@ -522,14 +522,12 @@ class DataFrameGroupBy:
             d = d.repartitionByRange(_np, *obc).withColumn("__pid__", F.spark_partition_id())
         w = Window.partitionBy("__pid__").orderBy(*obc)
         d = d.withColumn("__lr__", F.row_number().over(w) - F.lit(1))
-        counts = d.groupBy("__pid__").count()
-        woff = Window.orderBy("__pid__").rowsBetween(Window.unboundedPreceding, -1)
-        offsets = counts.select(
-            F.col("__pid__").alias("__p2__"),
-            F.coalesce(F.sum("count").over(woff), F.lit(0)).alias("__off__"),
-        )
-        d = d.join(F.broadcast(offsets), F.col("__pid__") == F.col("__p2__"), "inner")
-        d = d.withColumn("__ng__", (F.col("__lr__") + F.col("__off__")).cast("long"))
+        offsets = d.groupBy("__pid__").count().selectExpr(
+            "__pid__ as __p2__",
+            "coalesce(sum(count) OVER (ORDER BY __pid__"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) as __off__")
+        d = d.join(F.broadcast(offsets), F.expr("__pid__ = __p2__"), "inner")
+        d = d.selectExpr("*", "cast(__lr__ + __off__ as bigint) as __ng__")
         if not ascending:
             total = d.count()  # one job over the (already aggregated) keys
             d = d.withColumn("__ng__", F.lit(total - 1) - F.col("__ng__"))

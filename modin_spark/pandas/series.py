@@ -1371,6 +1371,15 @@ class Series:
             # EMPTY bins appear with count 0 (pandas semantics)
             from modin_spark.pandas.general import _infer_precision, _round_frac, cut
 
+            if isinstance(bins, int):
+                import math
+
+                _mn, _mx = self.min(), self.max()
+                if math.isinf(float(_mn)) or math.isinf(float(_mx)):
+                    # pandas tile guard: equal-width bins are undefined
+                    raise ValueError(
+                        "cannot specify integer `bins` when input data "
+                        "contains infinity")
             binned = cut(self, bins, include_lowest=True)
             vc = binned.rename(self._name).value_counts(
                 normalize=normalize, sort=False, dropna=dropna).to_pandas()

@@ -140,3 +140,46 @@ def test_expanding_rank_quantile_degenerate_ties():
                   ps.expanding(min_periods=1).median())
         eq_series(ms.expanding(min_periods=1).quantile(0.9),
                   ps.expanding(min_periods=1).quantile(0.9))
+
+
+# -------------------------------------------------------- probe wave 41
+def test_pct_change_zero_denominator():
+    p = pd.DataFrame({"a": [0.0, 1.0, 2.0, 3.0, 4.0, 5.0]})
+    m = mpd.DataFrame(p)
+    eq_frame(m.pct_change(periods=2), p.pct_change(periods=2))  # 2/0 -> inf
+    ps = pd.Series([0.0, 0.0, 3.0, -1.0])
+    ms = mpd.Series([0.0, 0.0, 3.0, -1.0])
+    eq_series(ms.pct_change(), ps.pct_change())  # 0/0 -> nan stays nan
+
+
+def test_cut_inf_edges_and_nan_render():
+    vals = [0.5, -0.5, np.inf, np.nan, 2.0, -3.0]
+    ps = pd.Series(vals)
+    ms = mpd.Series(vals)
+    eq_series(ms.cut_result.astype(str) if hasattr(ms, "cut_result") else
+              mpd.cut(ms, [-np.inf, -1, 0, 1, np.inf]).astype(str),
+              pd.cut(ps, [-np.inf, -1, 0, 1, np.inf]).astype(str))
+    # int edges stay int-rendered when ALL edges are ints
+    eq_series(mpd.cut(mpd.Series([1.0, 5.0, 9.0]), [0, 4, 10]).astype(str),
+              pd.cut(pd.Series([1.0, 5.0, 9.0]), [0, 4, 10]).astype(str))
+
+
+def test_value_counts_int_bins_rejects_inf():
+    s = mpd.Series([1.0, np.inf, 2.0])
+    with pytest.raises(ValueError):
+        s.value_counts(bins=3)
+    # finite data still bins fine
+    r = mpd.Series([1.0, 1.5, 9.0]).value_counts(bins=2)
+    assert int(r.to_pandas().sum()) == 3
+
+
+def test_xs_partial_tuple_key():
+    pmi = pd.DataFrame({"v": range(8)},
+                       index=pd.MultiIndex.from_product(
+                           [["a", "b"], [1, 2], ["x", "y"]], names=["u", "w", "z"]))
+    mmi = mpd.DataFrame(pmi)
+    eq_frame(mmi.xs(("a", 2)), pmi.xs(("a", 2)))
+    eq_frame(mmi.xs(("b",)), pmi.xs(("b",)))
+    eq_series(mmi.xs(("a", 1, "y")), pmi.xs(("a", 1, "y")))
+    with pytest.raises(KeyError):
+        mmi.xs(("a", 1, "y", "extra"))
