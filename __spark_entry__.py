@@ -2332,6 +2332,39 @@ def _q22_global_sales(spark, sf):
 # comparison-operator label check, and the non-poisoning Series type probes
 # (dot_product: cross-series arithmetic). Everything r11/r12-scored is still
 # checked locally every round via tools/check_entry.py (136/136).
+# Round-14 prefix: (a) the one red r13 row (expanding_pair_cov — signed-zero
+# collapse landed this round), the one never-driver-scored registry row
+# (expanding_median_exact), and the new query (multimodal_jpeg_stats);
+# (b) rows riding r14 machinery: the order_bucket_sql rewrite + selectExpr
+# plan builds (rank/asof/sort/global-position/ngroup/packing), the
+# vectorized expanding rank/quantile stage-2 kernels, the pct_change
+# zero-division fix, the cut/value_counts label+guard fixes, and the image
+# decode dispatch (PNG|JPEG sniff); (c) stalest fill — rows last driver-
+# scored in round 11. Everything else stays verified each round by the full
+# local sweep (tools/check_entry.py, 139/139 green at sf0.01).
+_R14_PREFIX = [
+    # (a) must-score
+    "expanding_pair_cov", "expanding_median_exact", "multimodal_jpeg_stats",
+    # (b) r14 machinery
+    "rank_min", "rank_frame", "asof_join", "asof_nearest", "sort_topk",
+    "iloc_slice", "reset_index_roundtrip", "sort_labels_roundtrip",
+    "ngroup_labels", "docs_pack_sequences", "range_join_buckets",
+    "frame_value_counts", "concat_dup_labels", "expanding_rank_pct",
+    "expanding_median_p90", "pct_change_value", "cut_buckets",
+    "value_counts", "qcut_quartiles", "multimodal_png_stats",
+    "multimodal_features", "multimodal_media_meta",
+    # (c) stalest (last scored r11)
+    "excel_ingest", "fwf_ingest", "transpose_wide_roundtrip",
+    "transpose_mixed", "apply_axis0_strings", "apply_axis0_vcounts",
+    "apply_axis0_mi_reshape", "apply_axis0_zscore", "transpose_agg",
+    "transpose_multiindex_roundtrip", "rolling_mean", "rolling_time_sum",
+    "grouped_rolling_time", "merge_left_fillna", "q5_nation_revenue",
+    "q2_min_cost_supplier", "q9_profit_by_nation", "q10_returned_revenue",
+    "q13_order_distribution", "distinct_dedup", "get_dummies_sum",
+    "groupby_multi_agg", "groupby_nunique", "cumsum_by_group",
+    "numpy_zscore",
+]
+
 _R13_PREFIX = [
     # (a) stalest: never scored / last scored round 10
     "polars_pipeline", "anti_join_customers", "asof_join", "asof_nearest",
@@ -2508,7 +2541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_jaccard_pairs": _docs_jaccard_pairs,
         "emb_brute_topk": _emb_brute_topk,
     }
-    ordered = {k: all_q[k] for k in _R13_PREFIX}
+    ordered = {k: all_q[k] for k in _R14_PREFIX}
     ordered.update({k: v for k, v in all_q.items() if k not in ordered})
     return ordered
 

@@ -2,9 +2,10 @@
 (stdlib ``wave``). These back the non-stub paths of operators/multimodal.py
 so image/audio decode, feature extraction, and resize are genuine for the
 two formats the Python standard library can express — no PIL/cv2/torchaudio
-needed. r14 adds a REAL baseline-JPEG codec (pure numpy Huffman + IDCT,
-grayscale SOF0 — see the section at the bottom of this file); progressive
-JPEG, subsampled color, MP3 and video sample decode remain declared stubs.
+needed. r14 adds a REAL baseline-JPEG codec (pure numpy Huffman + IDCT;
+SOF0 grayscale and 4:4:4 YCbCr color — see the section at the bottom of
+this file); progressive JPEG, chroma-SUBSAMPLED color, MP3 and video
+sample decode remain declared stubs.
 
 PNG scope: 8-bit depth, color types 0 (gray), 2 (RGB), 3 (palette),
 4 (gray+alpha), 6 (RGBA), non-interlaced; all five scanline filters
@@ -650,7 +651,9 @@ def decode_jpeg_baseline(data: bytes) -> np.ndarray:
     Full T.81 pipeline: marker walk (DQT 8/16-bit, DHT, DRI, RSTn),
     canonical Huffman entropy decode, DC DPCM, AC run-length/ZRL/EOB,
     dequantize, inverse zigzag, orthonormal 2-D IDCT, +128 level shift,
-    round + clip. Progressive (SOF2), multi-component color, and
+    round + clip. Components: 1 (grayscale, returns (H, W)) or 3
+    interleaved 4:4:4 YCbCr (returns (H, W, 3) RGB via the JFIF/T.871
+    matrix). Progressive (SOF2), chroma-SUBSAMPLED color, and
     arithmetic-coded streams raise NotImplementedError — the declared
     remaining stub surface.
     """
@@ -659,8 +662,8 @@ def decode_jpeg_baseline(data: bytes) -> np.ndarray:
     qtables: dict[int, np.ndarray] = {}
     hufftabs: dict[tuple[int, int], tuple] = {}
     dims = None  # (h, w)
-    comp_q = 0
-    scan_dc = scan_ac = None
+    comps = []
+    scan_tabs = None
     restart_interval = 0
     i = 2
     n = len(data)
@@ -701,10 +704,14 @@ def decode_jpeg_baseline(data: bytes) -> np.ndarray:
         elif marker == 0xC0:  # SOF0 baseline
             h, w = struct.unpack(">HH", seg[1:5])
             ncomp = seg[5]
-            if ncomp != 1:
+            comps = []
+            for ci in range(ncomp):
+                cid, samp, tq = seg[6 + 3 * ci:9 + 3 * ci]
+                comps.append((cid, samp, tq))
+            if ncomp not in (1, 3) or any(s != 0x11 for _, s, _ in comps):
                 raise NotImplementedError(
-                    "decode_jpeg_baseline: grayscale (1 component) only")
-            comp_q = seg[8]
+                    "decode_jpeg_baseline: 1-component grayscale or "
+                    "3-component 4:4:4 (no chroma subsampling) only")
             dims = (h, w)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
@@ -713,12 +720,16 @@ def decode_jpeg_baseline(data: bytes) -> np.ndarray:
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:  # SOS
-            scan_dc = seg[3] >> 4
-            scan_ac = seg[3] & 15
+            ns = seg[0]
+            scan_tabs = {}
+            for ci in range(ns):
+                cid = seg[1 + 2 * ci]
+                tt = seg[2 + 2 * ci]
+                scan_tabs[cid] = (tt >> 4, tt & 15)
             i = i + 2 + seg_len
             break
         i = i + 2 + seg_len
-    if dims is None or scan_dc is None:
+    if dims is None or scan_tabs is None:
         raise ValueError("corrupt JPEG: missing SOF0/SOS")
 
     # entropy-coded data: unstuff FF00, honor RSTn, stop at next marker
@@ -744,46 +755,124 @@ def decode_jpeg_baseline(data: bytes) -> np.ndarray:
     h, w = dims
     by = (h + 7) // 8
     bx = (w + 7) // 8
-    q = qtables[comp_q]
-    dc_tab = hufftabs[(0, scan_dc)]
-    ac_tab = hufftabs[(1, scan_ac)]
+    ncomp = len(comps)
+    cq = [qtables[tq] for _, _, tq in comps]
+    ctabs = [(hufftabs[(0, scan_tabs[cid][0])], hufftabs[(1, scan_tabs[cid][1])])
+             for cid, _, _ in comps]
     br = _BitReader(bytes(ecs))
     reset_set = set(resets)
-    out = np.empty((by * 8, bx * 8), dtype=np.uint8)
-    pred = 0
-    nblk = 0
+    planes = [np.empty((by * 8, bx * 8), dtype=np.float64) for _ in range(ncomp)]
+    preds = [0] * ncomp
+    nmcu = 0
     coef = np.zeros(64, dtype=np.int64)
     for r in range(by):
         for c in range(bx):
-            if restart_interval and nblk and nblk % restart_interval == 0 and reset_set:
+            if restart_interval and nmcu and nmcu % restart_interval == 0 and reset_set:
                 # byte-align to the recorded restart boundary
                 br.acc = 0
                 br.nbits = 0
-                pred = 0
-            coef[:] = 0
-            s = _huff_read(br, dc_tab)
-            diff = _extend(br.bits(s), s) if s else 0
-            pred += diff
-            coef[0] = pred
-            k = 1
-            while k < 64:
-                rs = _huff_read(br, ac_tab)
-                rr, s = rs >> 4, rs & 15
-                if s == 0:
-                    if rr == 15:
-                        k += 16
-                        continue
-                    break  # EOB
-                k += rr
-                if k > 63:
-                    raise ValueError("corrupt JPEG: AC index overrun")
-                coef[k] = _extend(br.bits(s), s)
-                k += 1
-            nat = np.zeros(64, dtype=np.int64)
-            nat[_JPEG_ZIGZAG] = coef
-            block = nat.reshape(8, 8) * q
-            pix = _IDCT_M.T @ block.astype(np.float64) @ _IDCT_M
-            out[r * 8:(r + 1) * 8, c * 8:(c + 1) * 8] = np.clip(
-                np.round(pix) + 128, 0, 255).astype(np.uint8)
-            nblk += 1
-    return out[:h, :w]
+                preds = [0] * ncomp
+            # 4:4:4 MCU: one block per component, interleaved in scan order
+            for ci in range(ncomp):
+                dc_tab, ac_tab = ctabs[ci]
+                coef[:] = 0
+                s = _huff_read(br, dc_tab)
+                diff = _extend(br.bits(s), s) if s else 0
+                preds[ci] += diff
+                coef[0] = preds[ci]
+                k = 1
+                while k < 64:
+                    rs = _huff_read(br, ac_tab)
+                    rr, s = rs >> 4, rs & 15
+                    if s == 0:
+                        if rr == 15:
+                            k += 16
+                            continue
+                        break  # EOB
+                    k += rr
+                    if k > 63:
+                        raise ValueError("corrupt JPEG: AC index overrun")
+                    coef[k] = _extend(br.bits(s), s)
+                    k += 1
+                nat = np.zeros(64, dtype=np.int64)
+                nat[_JPEG_ZIGZAG] = coef
+                block = nat.reshape(8, 8) * cq[ci]
+                pix = _IDCT_M.T @ block.astype(np.float64) @ _IDCT_M
+                planes[ci][r * 8:(r + 1) * 8, c * 8:(c + 1) * 8] = pix + 128
+            nmcu += 1
+    if ncomp == 1:
+        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)[:h, :w]
+    # JFIF YCbCr -> RGB (ITU T.871), rounded then clipped
+    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+    rgb = np.stack([
+        y + 1.402 * cr,
+        y - 0.344136 * cb - 0.714136 * cr,
+        y + 1.772 * cb,
+    ], axis=-1)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)[:h, :w]
+
+
+def encode_jpeg_color444(coeffs: np.ndarray, width: int, height: int,
+                         qy: np.ndarray, qc: np.ndarray) -> bytes:
+    """Baseline 4:4:4 YCbCr JPEG from QUANTIZED coefficient blocks.
+
+    ``coeffs``: (3, by, bx, 8, 8) int array (Y, Cb, Cr planes) in NATURAL
+    frequency order; ``qy``/``qc`` (8, 8) natural-order tables (slots 0/1).
+    All three components point at the standard Annex-K luminance Huffman
+    tables (legal per T.81 — table choice is per-scan-component). MCUs
+    interleave Y, Cb, Cr with independent DC predictors.
+    """
+    coeffs = np.asarray(coeffs, dtype=np.int64)
+    _, by, bx = coeffs.shape[:3]
+    dc_tab = _huff_canonical(_STD_DC_BITS, _STD_DC_VALS)
+    ac_tab = _huff_canonical(_STD_AC_BITS, _STD_AC_VALS)
+
+    out = bytearray(b"\xff\xd8")
+    for tq, qt in ((0, qy), (1, qc)):
+        q_zig = np.asarray(qt, dtype=np.int64).ravel()[_JPEG_ZIGZAG]
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) + bytes(int(v) for v in q_zig)
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, height, width, 3)
+    for cid, tq in ((1, 0), (2, 1), (3, 1)):
+        out += bytes([cid, 0x11, tq])
+    out += (b"\xff\xc4" + struct.pack(">H", 3 + 16 + len(_STD_DC_VALS))
+            + bytes([0x00]) + bytes(_STD_DC_BITS) + bytes(_STD_DC_VALS))
+    out += (b"\xff\xc4" + struct.pack(">H", 3 + 16 + len(_STD_AC_VALS))
+            + bytes([0x10]) + bytes(_STD_AC_BITS) + bytes(_STD_AC_VALS))
+    out += b"\xff\xda" + struct.pack(">H", 12) + bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0])
+
+    w = _BitWriter()
+    preds = [0, 0, 0]
+    for r in range(by):
+        for c in range(bx):
+            for ci in range(3):
+                zz = coeffs[ci, r, c].ravel()[_JPEG_ZIGZAG]
+                diff = int(zz[0]) - preds[ci]
+                preds[ci] = int(zz[0])
+                s = _mag_cat(diff)
+                code, ln = dc_tab[s]
+                w.put(code, ln)
+                if s:
+                    w.put(diff if diff > 0 else diff + (1 << s) - 1, s)
+                k = 1
+                while k < 64:
+                    run = 0
+                    while k < 64 and zz[k] == 0:
+                        run += 1
+                        k += 1
+                    if k == 64:
+                        code, ln = ac_tab[0x00]
+                        w.put(code, ln)
+                        break
+                    while run >= 16:
+                        code, ln = ac_tab[0xF0]
+                        w.put(code, ln)
+                        run -= 16
+                    v = int(zz[k])
+                    s = _mag_cat(v)
+                    code, ln = ac_tab[(run << 4) | s]
+                    w.put(code, ln)
+                    w.put(v if v > 0 else v + (1 << s) - 1, s)
+                    k += 1
+    out += w.flush()
+    out += b"\xff\xd9"
+    return bytes(out)

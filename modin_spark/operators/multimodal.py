@@ -172,7 +172,8 @@ def _decode_image(data: bytes) -> "np.ndarray":
     if data.startswith(PNG_MAGIC):
         return decode_png(data)
     if data.startswith(JPEG_MAGIC):
-        return decode_jpeg_baseline(data)[:, :, None]
+        arr = decode_jpeg_baseline(data)  # (h, w) gray or (h, w, 3) RGB
+        return arr[:, :, None] if arr.ndim == 2 else arr
     raise ValueError("unsupported image payload (PNG or baseline JPEG)")
 
 
@@ -196,10 +197,11 @@ def image_features(df: SDF, bin_col: str = "payload", dim: int = 64, decode_stub
     """Decode + feature-extract via mapInPandas (Arrow-batched).
 
     Output schema: input columns + feature array<float>. With
-    ``decode_stub=False`` the decode is REAL for PNG payloads (stdlib-only
-    codec, media_codecs.decode_png); non-PNG payloads raise. The
-    mapInPandas shape (iterator of pandas batches) is the same contract a
-    PIL/torch implementation would drop into for other formats.
+    ``decode_stub=False`` the decode is REAL for PNG and baseline-JPEG
+    payloads (stdlib/numpy codecs, sniffed by magic bytes — see
+    _decode_image); other formats raise. The mapInPandas shape (iterator
+    of pandas batches) is the same contract a PIL/torch implementation
+    would drop into for the remaining formats.
     """
     out_schema = T.StructType(df.schema.fields + [T.StructField("features", T.ArrayType(T.FloatType()))])
 

@@ -3308,6 +3308,14 @@ class DataFrame:
         from modin_spark.core.frame import fresh_names
 
         fr = self._frame.ensure_order()
+        idx_cols = list(fr.index_cols)
+        idx_names = list(fr.index_names)
+        if not idx_cols:
+            # default RangeIndex: the stacked index is (row label, level-1)
+            # — materialize the positional labels as the outer level
+            fr = fr.with_pandas_labels("__srow0__")
+            idx_cols = ["__srow0__"]
+            idx_names = [None]
         cols = list(fr.columns)
         lvl0 = list(dict.fromkeys(t[0] for t in cols))
         lvl1 = list(dict.fromkeys(t[1] for t in cols))
@@ -3341,14 +3349,14 @@ class DataFrame:
             structs.append(F.struct(*fields))
         out_phys = fresh_names(len(lvl0))
         sdf = fr.sdf.select(
-            F.col(ORDER_COL), *[F.col(c) for c in fr.index_cols],
+            F.col(ORDER_COL), *[F.col(c) for c in idx_cols],
             F.posexplode(F.array(*structs)).alias("__pos__", "__e__"),
         ).select(
             # unique order sorting as (row, level-1 position); a struct keeps
             # this valid whatever the parent ORDER type (sorted groupbys use
             # a key-struct ORDER)
             F.struct(F.col(ORDER_COL).alias("o"), F.col("__pos__").alias("p")).alias(ORDER_COL),
-            *[F.col(c) for c in fr.index_cols],
+            *[F.col(c) for c in idx_cols],
             F.col("__e__.__lv__").alias("__lv2__"),
             *[F.col(f"__e__.__s{gi}__").alias(op) for gi, op in enumerate(out_phys)],
         )
@@ -3356,8 +3364,8 @@ class DataFrame:
             # pandas: the surviving column level keeps its level NAME as the
             # output columns-Index name
             sdf, pd.Index(lvl0, name=fr.columns.names[0]), out_phys,
-            fr.index_cols + ["__lv2__"],
-            list(fr.index_names) + [fr.columns.names[-1]],
+            idx_cols + ["__lv2__"],
+            idx_names + [fr.columns.names[-1]],
             has_order=True,
         )
         return DataFrame(_frame=nf)
@@ -3384,6 +3392,13 @@ class DataFrame:
         flat = DataFrame(_frame=fr.reset_index())
         value_cols = [c for c in flat.columns if c not in names]
         values = value_cols[0] if len(value_cols) == 1 else value_cols
+        # pandas raises on duplicate (remaining-index, moved) pairs — the
+        # pivot's first() would otherwise silently DROP rows (wrong data).
+        # One small aggregate job; the pivot itself already runs a distinct.
+        ffr = flat._frame
+        keyphys = [ffr.data_cols[ffr.positions_of([n])[0]] for n in remaining + [moved]]
+        if ffr.sdf.groupBy(*keyphys).count().where("count > 1").limit(1).count() > 0:
+            raise ValueError("Index contains duplicate entries, cannot reshape")
         if fill_value is None:
             return flat.pivot_table(values=values, index=remaining, columns=moved, aggfunc="first")
         for v in value_cols:
@@ -4471,6 +4486,12 @@ class DataFrame:
                 direction = {"ffill": "backward", "pad": "backward",
                              "bfill": "forward", "backfill": "forward"}[method]
                 out = _ma(tgt, right, on=key, direction=direction).set_index(key)
+            # the reset_index/set_index round trip baked the synthesized
+            # column name ("index") into the result; pandas keeps the
+            # ORIGINAL index name (None for a default index)
+            orig_name = self._frame.index_names[0] if self._frame.index_cols else None
+            out = DataFrame(_frame=out._frame._same_rows(
+                out._frame.sdf, index_names=[orig_name]))
             if columns is not None:
                 out = out.reindex(columns=columns, fill_value=fill_value)
             return out

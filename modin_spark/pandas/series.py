@@ -328,6 +328,17 @@ class Series:
     def __iter__(self):
         return iter(self.to_pandas())
 
+    def _copy_scalar_meta(self, out: "Series") -> "Series":
+        """Carry value-semantics metadata (categorical dtype, astype-str
+        null marker, tz meta, ext dtype) onto a ROW-SUBSET result: the
+        values are unchanged, so the declared dtype must survive."""
+        for attr in ("_cat_dtype", "_post_to_pandas", "_astype_str_null",
+                     "_ext_dtype", "_tz_meta"):
+            v = getattr(self, attr, None)
+            if v is not None and getattr(out, attr, None) is None:
+                setattr(out, attr, v)
+        return out
+
     def __getitem__(self, key):
         """pandas Series selection: boolean-Series/array masks filter rows,
         int slices are positional, lists and scalars are label lookups."""
@@ -340,7 +351,7 @@ class Series:
             df = DataFrame(_frame=self._to_frame(name))
             out = df[key][name]
             out._name = self._name
-            return out
+            return self._copy_scalar_meta(out)
         if isinstance(key, slice):
             if all(v is None or isinstance(v, int)
                    for v in (key.start, key.stop, key.step)):
@@ -353,7 +364,7 @@ class Series:
                 df = DataFrame(_frame=self._to_frame(name))
                 out = df.loc[vals][name]
                 out._name = self._name
-                return out
+                return self._copy_scalar_meta(out)
             return self.loc[vals]
         return self.loc[key]
 
@@ -1933,6 +1944,13 @@ class StringMethods:
             return self._s.apply(
                 lambda v, _rx=rx, _r=repl: None if v is None else _rx.sub(_r, v))
         return self._s._map1(lambda c: STR_FUNCS["replace"](c, pat, repl, regex=regex, case=case, **kw))
+
+    def len(self) -> Series:
+        # pandas .str.len on a LIST column (split/findall results) counts
+        # elements; on strings, characters
+        if isinstance(self._s.spark_type, T.ArrayType):
+            return self._s._map1(lambda c: F.when(c.isNotNull(), F.size(c)))
+        return self._s._map1(STR_FUNCS["len"])
 
     def __getattr__(self, name):
         if name.startswith("_"):

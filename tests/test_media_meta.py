@@ -203,3 +203,40 @@ def test_image_stats_sniffs_png_and_jpeg(spark):
     assert rows[1]["mean_lum"] == 133.0  # 128 + dc, flat blocks
     assert rows[1]["var_lum"] == 0.0
     assert rows[0]["width"] == rows[1]["width"] == 16
+
+
+def test_jpeg_color444_roundtrip_exact():
+    """4:4:4 YCbCr baseline: interleaved MCUs, two quant tables, JFIF
+    color conversion — decode must equal the reference IDCT + T.871 matrix
+    bit-exactly."""
+    import numpy as np
+
+    from modin_spark.operators.media_codecs import (
+        _IDCT_M, decode_jpeg_baseline, encode_jpeg_color444, jpeg_meta)
+
+    rng = np.random.default_rng(9)
+    for _ in range(5):
+        by, bx = int(rng.integers(1, 4)), int(rng.integers(1, 4))
+        qy = rng.integers(1, 10, (8, 8)).astype(np.int64)
+        qc = rng.integers(1, 10, (8, 8)).astype(np.int64)
+        co = np.zeros((3, by, bx, 8, 8), dtype=np.int64)
+        for ci in range(3):
+            for r in range(by):
+                for c in range(bx):
+                    co[ci, r, c].ravel()[rng.integers(0, 64, 5)] = rng.integers(-25, 26, 5)
+        data = encode_jpeg_color444(co, bx * 8, by * 8, qy, qc)
+        assert jpeg_meta(data)["components"] == 3
+        rgb = decode_jpeg_baseline(data)
+        planes = []
+        for ci, qt in ((0, qy), (1, qc), (2, qc)):
+            p = np.empty((by * 8, bx * 8))
+            for r in range(by):
+                for c in range(bx):
+                    p[r * 8:(r + 1) * 8, c * 8:(c + 1) * 8] = (
+                        _IDCT_M.T @ (co[ci, r, c] * qt).astype(float) @ _IDCT_M)
+            planes.append(p + 128)
+        y, cb, cr = planes[0], planes[1] - 128, planes[2] - 128
+        exp = np.stack([y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr,
+                        y + 1.772 * cb], -1)
+        exp = np.clip(np.round(exp), 0, 255).astype(np.uint8)
+        assert rgb.shape == exp.shape and (rgb == exp).all()

@@ -183,3 +183,51 @@ def test_xs_partial_tuple_key():
     eq_series(mmi.xs(("a", 1, "y")), pmi.xs(("a", 1, "y")))
     with pytest.raises(KeyError):
         mmi.xs(("a", 1, "y", "extra"))
+
+
+# -------------------------------------------------------- probe wave 42
+def test_unstack_duplicate_entries_raises():
+    p = pd.DataFrame({"a": list("xyxyxz"), "b": list("mmnnmm"), "v": range(6)})
+    m = mpd.DataFrame(p)
+    pgi, mgi = p.set_index(["a", "b"]), m.set_index(["a", "b"])
+    with pytest.raises(ValueError):
+        mgi["v"].unstack(fill_value=-1)  # (x, m) appears twice
+    # unique pairs still unstack
+    p2 = p.drop_duplicates(["a", "b"]).set_index(["a", "b"])
+    m2 = mpd.DataFrame(p.drop_duplicates(["a", "b"])).set_index(["a", "b"])
+    eq_frame(m2["v"].unstack(fill_value=-1), p2["v"].unstack(fill_value=-1))
+
+
+def test_stack_mi_cols_default_index():
+    p = pd.DataFrame({("x", 1): [1, 2], ("x", 2): [3, 4], ("y", 1): [5, 6]})
+    m = mpd.DataFrame(p)
+    eq_frame(m.stack(future_stack=True), p.stack(future_stack=True))
+
+
+def test_reindex_method_keeps_index_name():
+    ps = pd.Series([1.0, 2.0, 3.0], index=[0, 2, 4])
+    ms = mpd.Series([1.0, 2.0, 3.0], index=[0, 2, 4])
+    eq_series(ms.reindex(range(6), method="ffill"),
+              ps.reindex(range(6), method="ffill"))
+    pn = pd.Series([1.0, 2.0], index=pd.Index([0, 2], name="t"))
+    mn = mpd.Series([1.0, 2.0], index=pd.Index([0, 2], name="t"))
+    eq_series(mn.reindex([0, 1, 2], method="nearest"),
+              pn.reindex([0, 1, 2], method="nearest"))
+
+
+def test_str_len_on_list_column():
+    ps = pd.Series(["aXbXc", "Xd", None])
+    ms = mpd.Series(["aXbXc", "Xd", None])
+    eq_series(ms.str.findall("X").str.len(), ps.str.findall("X").str.len())
+    eq_series(ms.str.split("X").str.len(), ps.str.split("X").str.len())
+    eq_series(ms.str.len(), ps.str.len())  # plain strings still char-count
+
+
+def test_categorical_dtype_survives_boolean_filter():
+    pcat = pd.Series(pd.Categorical(["lo", "hi", "mid", "hi"],
+                                    categories=["lo", "mid", "hi"], ordered=True))
+    mcat = mpd.Series(pcat)
+    exp = pcat[pcat != "mid"].cat.remove_unused_categories()
+    got = mcat[mcat != "mid"].cat.remove_unused_categories()
+    assert got.cat.categories.tolist() == exp.cat.categories.tolist()
+    eq_series(got, exp)
