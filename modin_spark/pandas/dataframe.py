@@ -1716,6 +1716,19 @@ class DataFrame:
                 arr = F.filter(arr, lambda x: x.isNotNull())
             e = F.size(F.array_distinct(arr)).cast("long")
             return Series(fr, e, set(fr.data_cols), None)
+        if not dropna:
+            # pandas dropna=False: NaN counts as one extra distinct value —
+            # count_distinct + a has-null indicator, ONE aggregate pass
+            fr = self._frame
+            exprs = [
+                (F.count_distinct(fr.scol(i))
+                 + F.coalesce(F.max(F.when(fr.scol(i).isNull(), 1).otherwise(0)),
+                              F.lit(0))).cast("long").alias(f"__n{i}__")
+                for i in range(len(fr.columns))
+            ]
+            row = fr.sdf.agg(*exprs).collect()[0]
+            return pd.Series({fr.columns[i]: int(row[f"__n{i}__"])
+                              for i in range(len(fr.columns))})
         return self._reduce_frame("nunique", numeric_only=False)
 
     def prod(self, numeric_only=True, min_count=0, axis=0):
@@ -2168,8 +2181,9 @@ class DataFrame:
         data = [[row[f"c_{i}_{j}"] for j in pos] for i in pos]
         return pd.DataFrame(data, index=labels, columns=labels)
 
-    def cov(self, numeric_only=True, ddof=1) -> pd.DataFrame:
-        nat = _native.maybe(self, "cov", numeric_only=numeric_only, ddof=ddof, _raw=True)
+    def cov(self, numeric_only=True, ddof=1, min_periods=None) -> pd.DataFrame:
+        nat = _native.maybe(self, "cov", numeric_only=numeric_only, ddof=ddof,
+                            min_periods=min_periods, _raw=True)
         if nat is not None:
             return nat
         fr = self._frame
@@ -2180,6 +2194,10 @@ class DataFrame:
             for j in pos:
                 a, b = fr.scol(i).cast("double"), fr.scol(j).cast("double")
                 e = F.covar_samp(a, b)
+                if min_periods is not None:
+                    # pandas: a pair with fewer complete observations is NaN
+                    npair = F.count(F.when(a.isNotNull() & b.isNotNull(), 1))
+                    e = F.when(npair >= int(min_periods), e)
                 if ddof != 1:
                     # covar_samp is ddof=1; rescale by the pairwise-complete n
                     n = F.count(F.when(a.isNotNull() & b.isNotNull(), 1))

@@ -216,11 +216,17 @@ def get_dummies(data, columns=None, prefix=None, prefix_sep="_", dtype="int64",
     # pandas: a bare Series without prefix= yields UNPREFIXED category
     # columns; frames always prefix with the source column name
     bare_series = isinstance(data, Series) and prefix is None
-    if isinstance(data, Series):
+    was_series = isinstance(data, Series)
+    if was_series:
         data = data.to_frame()
     fr = data._frame
     if columns is None:
-        columns = [fr.columns[i] for i in range(len(fr.columns)) if fr.dtype_of(i) == "object"]
+        # a Series input is ALWAYS encoded (whatever its dtype — pandas
+        # one-hots a float series too); frames default to object columns
+        if was_series:
+            columns = list(fr.columns)
+        else:
+            columns = [fr.columns[i] for i in range(len(fr.columns)) if fr.dtype_of(i) == "object"]
     out = data
     for col in columns:
         pos = fr.positions_of([col])[0]
@@ -230,13 +236,17 @@ def get_dummies(data, columns=None, prefix=None, prefix_sep="_", dtype="int64",
             cats = cats[1:]
         pre = "" if bare_series else (prefix or str(col)) + prefix_sep
         for cat in cats:
-            out = out.assign(**{f"{pre}{cat}": None})
+            # bare-Series labels are the RAW category values (pandas: a
+            # float series yields float column labels, not strings)
+            label = cat if bare_series else f"{pre}{cat}"
             s = Series(out._frame, F.coalesce((F.col(phys) == F.lit(cat)).cast("long"), F.lit(0)), {phys}, None)
-            out[f"{pre}{cat}"] = s
+            out[label] = s
         if dummy_na:
-            out = out.assign(**{f"{pre}nan": None})
+            import numpy as _np
+
+            label = _np.nan if bare_series else f"{pre}nan"
             s = Series(out._frame, F.col(phys).isNull().cast("long"), {phys}, None)
-            out[f"{pre}nan"] = s
+            out[label] = s
         out = out.drop(columns=[col])
     return out
 

@@ -1289,7 +1289,10 @@ def _g_resample(self, rule: str, on=None, closed=None, label=None,
     fr2 = fr.with_columns([tname], [bucket])
     g = DataFrameGroupBy(DataFrame(_frame=fr2), self._by_labels + [tname],
                          self._as_index, self._dropna, self._sort)
-    return _GroupedResampler(g, dur)
+    # an UNNAMED DatetimeIndex needs a label to group by, but pandas keeps
+    # the output level name None — the wrapper strips the synthesized name
+    anon = on is None and fr.index_names[0] is None
+    return _GroupedResampler(g, dur, anon_ts=anon)
 
 
 class _GroupedResampler:
@@ -1301,13 +1304,13 @@ class _GroupedResampler:
 
     _FILLS = {"count": 0, "size": 0, "nunique": 0, "sum": 0, "prod": 1.0}
 
-    def __init__(self, g, dur: str):
+    def __init__(self, g, dur: str, anon_ts: bool = False):
         self._g = g
         self._dur = dur
+        self._anon_ts = anon_ts
 
     def __getitem__(self, key):
-        w = _GroupedResampler(self._g[key], self._dur)
-        return w
+        return _GroupedResampler(self._g[key], self._dur, anon_ts=self._anon_ts)
 
     def _complete(self, out, agg_name: str):
         from modin_spark.core.frame import ORDER_COL, SparkFrame
@@ -1339,7 +1342,23 @@ class _GroupedResampler:
         return DataFrame(_frame=nfr)
 
     def _agg(self, name, *a, **k):
-        return self._complete(getattr(self._g, name)(*a, **k), name)
+        out = self._complete(getattr(self._g, name)(*a, **k), name)
+        if not self._anon_ts:
+            return out
+        from modin_spark.pandas.series import Series as _S
+
+        fr = out._to_frame() if isinstance(out, _S) else out._frame
+        names = list(fr.index_names)
+        if names:
+            names[-1] = None  # restore pandas' unnamed time level
+        nfr = fr._same_rows(fr.sdf, index_names=names)
+        if isinstance(out, _S):
+            s = _S._from_frame(nfr)
+            s._name = out._name
+            return s
+        from modin_spark.pandas.dataframe import DataFrame as _D
+
+        return _D(_frame=nfr)
 
     def sum(self, *a, **k):
         return self._agg("sum", *a, **k)

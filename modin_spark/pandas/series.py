@@ -2154,7 +2154,7 @@ class CategoricalMethods:
             arr = F.array(*[F.lit(c) for c in dt.categories])
             pos = F.array_position(arr, s._expr).cast("short")
             expr = F.when(s._expr.isNull() | (pos == 0), F.lit(-1).cast("short")).otherwise(pos - 1)
-            return Series(s._frame, expr, set(s._refs), s._name)
+            return Series(s._frame, expr, set(s._refs), None)  # pandas: codes is unnamed
         distinct = s._frame.sdf.select(s._expr.alias("__cv__")).where(F.col("__cv__").isNotNull()).distinct()
         from pyspark.sql.window import Window as W
 
@@ -2164,7 +2164,7 @@ class CategoricalMethods:
             joined, s._frame.columns, s._frame.data_cols, s._frame.index_cols, s._frame.index_names,
             _lid=s._frame._lid, _chain=s._frame._chain,
         )
-        return Series(nf, F.coalesce(F.col("__code__"), F.lit(-1).cast("short")), {"__code__"}, s._name)
+        return Series(nf, F.coalesce(F.col("__code__"), F.lit(-1).cast("short")), {"__code__"}, None)
 
     @property
     def ordered(self) -> bool:

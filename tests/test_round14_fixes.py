@@ -231,3 +231,43 @@ def test_categorical_dtype_survives_boolean_filter():
     got = mcat[mcat != "mid"].cat.remove_unused_categories()
     assert got.cat.categories.tolist() == exp.cat.categories.tolist()
     eq_series(got, exp)
+
+
+# -------------------------------------------------------- probe wave 43
+def test_nunique_dropna_false_frame():
+    p = pd.DataFrame({"a": [1, 2, 3, 4], "b": [4.0, None, 6.0, 7.0], "c": list("wxyz")})
+    m = mpd.DataFrame(p)
+    eq_series(pd.Series(m.nunique(dropna=False)), p.nunique(dropna=False))
+    eq_series(pd.Series(m.nunique()), p.nunique())
+
+
+def test_get_dummies_series_float_and_na():
+    p = pd.Series([4.0, None, 6.0, 7.0])
+    m = mpd.Series([4.0, None, 6.0, 7.0])
+    eq_frame(mpd.get_dummies(m, dummy_na=True).astype(int),
+             pd.get_dummies(p, dummy_na=True).astype(int))
+    eq_frame(mpd.get_dummies(m).astype(int), pd.get_dummies(p).astype(int))
+
+
+def test_groupby_resample_unnamed_index_level():
+    idx = pd.date_range("2024-01-01", periods=12, freq="45min")
+    p = pd.DataFrame({"g": list("ab") * 6, "v": range(12)}, index=idx)
+    m = mpd.DataFrame(p)
+    eq_series(m.groupby("g").resample("2h")["v"].sum(),
+              p.groupby("g").resample("2h")["v"].sum())
+
+
+def test_cat_codes_unnamed():
+    p = pd.Series(list("aba"), name="c").astype("category")
+    m = mpd.Series(pd.Series(list("aba"), name="c")).astype("category")
+    assert m.cat.codes.name is None
+    eq_series(m.cat.codes, p.cat.codes)
+
+
+def test_cov_min_periods():
+    p = pd.DataFrame({"a": [1.0, 2, 3, 4], "b": [4.0, None, 6.0, 7.0]})
+    m = mpd.DataFrame(p)
+    pd.testing.assert_frame_equal(m.cov(min_periods=3), p.cov(min_periods=3),
+                                  check_dtype=False)
+    pd.testing.assert_frame_equal(m.cov(min_periods=4), p.cov(min_periods=4),
+                                  check_dtype=False)
