@@ -103,7 +103,8 @@ class DataFrameGroupBy:
     def __getitem__(self, key):
         if isinstance(key, list):
             sub = self._df[list(dict.fromkeys(self._by_labels + key))]
-            g = DataFrameGroupBy(sub, self._by_labels, self._as_index, self._dropna, self._sort)
+            g = DataFrameGroupBy(sub, self._by_labels, self._as_index, self._dropna, self._sort,
+                                 group_keys=self._group_keys)
             g._value_labels = key
             g._unobserved_dtype = self._unobserved_dtype
             return g

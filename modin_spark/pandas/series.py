@@ -594,7 +594,42 @@ class Series:
             return lambda a, b: F.concat(a, b)
         return lambda a, b: a + b
 
+    def _period_shift(self, o, sign: int):
+        """Period-stored series (dt.to_period result; storage is the period
+        STRING) plus/minus an integer: shift by n periods at the recorded
+        freq, all string/date arithmetic JVM-side. None when not applicable."""
+        import numpy as _np
+
+        freq = getattr(self, "_period_freq", None)
+        if freq is None or not isinstance(o, (int, _np.integer)) or isinstance(o, bool):
+            return None
+        n = sign * int(o)
+        f0 = str(freq)[0].upper()
+        if f0 == "M":
+            fn = lambda c: F.date_format(
+                F.add_months(F.to_date(F.concat(c, F.lit("-01"))), n), "yyyy-MM")
+        elif f0 in ("Y", "A"):
+            fn = lambda c: (c.cast("int") + n).cast("string")
+        elif f0 == "D":
+            fn = lambda c: F.date_format(F.date_add(F.to_date(c), n), "yyyy-MM-dd")
+        elif f0 == "Q":
+            def fn(c):
+                y = F.substring(c, 1, 4).cast("int")
+                q = F.substring(c, 6, 1).cast("int")
+                t = y * 4 + (q - 1) + n
+                return F.concat(F.floor(t / 4).cast("int").cast("string"),
+                                F.lit("Q"), (F.pmod(t, 4) + 1).cast("string"))
+        else:
+            return None
+        out = self._map1(fn)
+        out._period_freq = freq
+        out._astype_str_null = "NaT"
+        return out
+
     def __add__(self, o):
+        p = self._period_shift(o, +1)
+        if p is not None:
+            return p
         if _is_plain_dateoffset(o):
             return self._map1(lambda c: c + _dateoffset_interval(o))
         if isinstance(o, pd.tseries.offsets.BaseOffset):
@@ -602,6 +637,9 @@ class Series:
         return self._binary(o, self._plus_fn(o))
 
     def __radd__(self, o):
+        p = self._period_shift(o, +1)
+        if p is not None:
+            return p
         if _is_plain_dateoffset(o):
             return self._map1(lambda c: c + _dateoffset_interval(o))
         if isinstance(o, pd.tseries.offsets.BaseOffset):
@@ -609,6 +647,9 @@ class Series:
         return self._binary(o, self._plus_fn(o), reverse=True)
 
     def __sub__(self, o):
+        p = self._period_shift(o, -1)
+        if p is not None:
+            return p
         if _is_plain_dateoffset(o):
             return self._map1(lambda c: c - _dateoffset_interval(o))
         if isinstance(o, pd.tseries.offsets.BaseOffset):
@@ -824,9 +865,26 @@ class Series:
         cond = self.notna()
         return Series._from_frame(self._frame.filter(cond._expr).project([self._name if self._name is not None else 0], [self._expr]))
 
-    def astype(self, dtype) -> "Series":
+    def astype(self, dtype, errors: str = "raise") -> "Series":
         import numpy as _np
 
+        if errors == "ignore":
+            # pandas: conversion failure returns the ORIGINAL object.
+            try:
+                out = self.astype(dtype)
+            except (ValueError, TypeError):
+                return self
+            # Spark casts never raise — they NULL the failing cell. A cast
+            # that nulls a previously non-null value is pandas' raise case,
+            # so 'ignore' must return the original. One tiny probe job
+            # (errors='ignore' is a deprecated eager pandas API).
+            try:
+                if out._frame is self._frame and out._frame.sdf.where(
+                        out._expr.isNull() & self._expr.isNotNull()).limit(1).count():
+                    return self
+            except Exception:
+                pass
+            return out
         try:
             _tk = _np.dtype(dtype).kind if not isinstance(
                 dtype, pd.api.extensions.ExtensionDtype) else None
@@ -2047,8 +2105,10 @@ class DatetimeMethods:
             out = self._s._map1(lambda c: fn(c, *args, **kwargs))
             if name == "to_period":
                 # period values store as strings; a later astype(str) must
-                # render missing entries as 'NaT' like pandas Periods do
+                # render missing entries as 'NaT' like pandas Periods do.
+                # The freq rides along so Period +/- int can shift.
                 out._astype_str_null = "NaT"
+                out._period_freq = (args[0] if args else kwargs.get("freq")) or "D"
             if name in ("tz_localize", "tz_convert"):
                 # Spark timestamps are naive; pandas' tz-AWARE dtype is
                 # reconstructed on materialization. Storage convention:

@@ -271,3 +271,34 @@ def test_cov_min_periods():
                                   check_dtype=False)
     pd.testing.assert_frame_equal(m.cov(min_periods=4), p.cov(min_periods=4),
                                   check_dtype=False)
+
+
+# -------------------------------------------------------- probe wave 44
+def test_groupby_apply_group_keys_false_after_selection():
+    p = pd.DataFrame({"g": list("aabbc"), "v": [1.0, 2.0, 3.0, 4.0, 5.0]})
+    m = mpd.DataFrame(p)
+    eq_frame(m.groupby("g", group_keys=False)[["v"]].apply(lambda d: d - d.mean()),
+             p.groupby("g", group_keys=False)[["v"]].apply(lambda d: d - d.mean()))
+
+
+def test_astype_errors_ignore():
+    s = mpd.Series(list("wxyz"))
+    out = s.astype(int, errors="ignore")
+    assert out.to_pandas().tolist() == list("wxyz")
+    ok = mpd.Series(["1", "2"]).astype(int, errors="ignore")
+    assert ok.to_pandas().tolist() == [1, 2]
+
+
+def test_period_plus_int():
+    pper = pd.Series(pd.date_range("2024-01-15", periods=4, freq="ME"))
+    mper = mpd.Series(pper)
+    eq_series((mper.dt.to_period("M") + 1).astype(str),
+              (pper.dt.to_period("M") + 1).astype(str))
+    eq_series((mper.dt.to_period("M") - 2).astype(str),
+              (pper.dt.to_period("M") - 2).astype(str))
+    eq_series((mper.dt.to_period("Q") + 3).astype(str),
+              (pper.dt.to_period("Q") + 3).astype(str))
+    eq_series((mper.dt.to_period("Y") + 1).astype(str),
+              (pper.dt.to_period("Y") + 1).astype(str))
+    eq_series((mper.dt.to_period("D") + 10).astype(str),
+              (pper.dt.to_period("D") + 10).astype(str))
