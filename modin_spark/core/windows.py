@@ -254,7 +254,8 @@ def pct_change(frame: SparkFrame, positions: Sequence[int], periods: int = 1,
 
 
 def interpolate_linear(frame: SparkFrame, positions: Sequence[int], x_col=None, limit=None,
-                       limit_direction: str = "forward", keep_all: bool = False) -> SparkFrame:
+                       limit_direction: str = "forward", keep_all: bool = False,
+                       limit_area=None) -> SparkFrame:
     """pandas ``interpolate(method="linear")`` along frame order.
 
     Needs, per null cell, the nearest non-null (value, position) before and
@@ -325,6 +326,14 @@ def interpolate_linear(frame: SparkFrame, positions: Sequence[int], x_col=None, 
                 .when(nxt.isNull(), prev["v"])             # trailing: extend last
                 .otherwise(interp)
             )
+        if limit_area == "inside":
+            # only NaNs BETWEEN valid values fill; leading/trailing stay NaN
+            e = F.when(F.col(p).isNull() & (prev.isNull() | nxt.isNull()),
+                       F.lit(None)).otherwise(e)
+        elif limit_area == "outside":
+            # only leading/trailing NaNs fill; interior gaps stay NaN
+            e = F.when(F.col(p).isNull() & prev.isNotNull() & nxt.isNotNull(),
+                       F.lit(None)).otherwise(e)
         if limit is not None:
             # pandas limit: at most `limit` consecutive NaNs fill — gap from
             # the nearest valid row in the eligible direction(s)

@@ -2315,7 +2315,8 @@ class DataFrame:
         return [i for i in range(len(self._frame.columns))
                 if self._frame.dtype_of(i).startswith("float")]
 
-    def interpolate(self, method="linear", limit=None, limit_direction="forward", **kw) -> "DataFrame":
+    def interpolate(self, method="linear", limit=None, limit_direction="forward",
+                    limit_area=None, **kw) -> "DataFrame":
         if method in ("index", "time", "values"):
             # abscissa = the index values (epoch seconds for timestamps)
             fr = self._frame
@@ -2328,10 +2329,12 @@ class DataFrame:
                 base = fr.with_pandas_labels(lc)
                 return DataFrame(_frame=win.interpolate_linear(
                     base, self._float_null_positions(), x_col=lc, limit=limit,
-                    limit_direction=limit_direction, keep_all=True))
+                    limit_direction=limit_direction, keep_all=True,
+                    limit_area=limit_area))
             return DataFrame(_frame=win.interpolate_linear(
                 fr, self._float_null_positions(), x_col=fr.index_cols[-1], limit=limit,
-                limit_direction=limit_direction, keep_all=True))
+                limit_direction=limit_direction, keep_all=True,
+                limit_area=limit_area))
         if method != "linear":
             if method in ("nearest", "polynomial", "spline", "krogh", "pchip",
                           "akima", "cubicspline", "barycentric", "quadratic",
@@ -2345,7 +2348,7 @@ class DataFrame:
             raise NotImplementedError(f"interpolate(method={method!r})")
         return DataFrame(_frame=win.interpolate_linear(self._frame, self._float_null_positions(),
                                                        limit=limit, limit_direction=limit_direction,
-                                                       keep_all=True))
+                                                       keep_all=True, limit_area=limit_area))
 
     def rolling(self, window: int, min_periods=None, win_type=None, center=False, closed=None, **win_kwargs):
         from modin_spark.pandas.window import Rolling

@@ -1847,21 +1847,30 @@ class StringMethods:
                         has_order=True)
         return DataFrame(_frame=nf)
 
-    def cat(self, others=None, sep: str = ""):
+    def cat(self, others=None, sep: str = "", na_rep=None):
         """pandas ``str.cat``. With ``others``: elementwise ``concat_ws``.
         Without: reduce the whole series to ONE string in frame order (the
         output is a single scalar, so the ordered collect is bounded by the
-        result string itself; NaN elements are skipped, pandas-style)."""
+        result string itself; NaN elements are skipped, pandas-style).
+        ``na_rep``: with others, substitutes missing values on EITHER side
+        (default None propagates the null, pandas-exact)."""
         if sep is None:
             # pandas' documented default is sep=None meaning empty separator;
             # F.lit(None) would NULL every concat row
             sep = ""
         if others is not None:
+            if isinstance(others, (list, tuple)) and not isinstance(others, str):
+                others = Series(list(others))
             if isinstance(others, Series):
-                # pandas propagates NULL if EITHER side is null (na_rep=None
-                # default) — F.concat does that; concat_ws would skip nulls
-                return self._s._binary(others, lambda a, b: F.concat(a, F.lit(sep), b))
-            raise NotImplementedError("str.cat others must be a Series")
+                if na_rep is None:
+                    # pandas propagates NULL if EITHER side is null — F.concat
+                    # does that; concat_ws would skip nulls
+                    return self._s._binary(others, lambda a, b: F.concat(a, F.lit(sep), b))
+                return self._s._binary(
+                    others,
+                    lambda a, b: F.concat(F.coalesce(a, F.lit(str(na_rep))), F.lit(sep),
+                                          F.coalesce(b, F.lit(str(na_rep)))))
+            raise NotImplementedError("str.cat others must be a Series or list")
         fr = self._s._to_frame("__t__").ensure_order()
         v = fr.scol(0)
         item = F.when(v.isNotNull(), F.struct(F.col(ORDER_COL).alias("o"), v.alias("v")))

@@ -302,3 +302,23 @@ def test_period_plus_int():
               (pper.dt.to_period("Y") + 1).astype(str))
     eq_series((mper.dt.to_period("D") + 10).astype(str),
               (pper.dt.to_period("D") + 10).astype(str))
+
+
+# -------------------------------------------------------- probe wave 45
+def test_str_cat_na_rep_and_list():
+    ps = pd.Series(["a", None, "c"])
+    ms = mpd.Series(["a", None, "c"])
+    eq_series(ms.str.cat(mpd.Series(["1", "2", "3"]), sep="-", na_rep="?"),
+              ps.str.cat(pd.Series(["1", "2", "3"]), sep="-", na_rep="?"))
+    eq_series(ms.str.cat(mpd.Series(["1", None, "3"]), sep="-"),
+              ps.str.cat(pd.Series(["1", None, "3"]), sep="-"))
+
+
+def test_interpolate_limit_area():
+    vals = [None, 1.0, None, None, 4.0, None]
+    ps = pd.Series(vals)
+    ms = mpd.Series(vals)
+    eq_series(ms.interpolate(limit_area="inside"), ps.interpolate(limit_area="inside"))
+    eq_series(ms.interpolate(limit_direction="both", limit_area="outside"),
+              ps.interpolate(limit_direction="both", limit_area="outside"))
+    eq_series(ms.interpolate(), ps.interpolate())
