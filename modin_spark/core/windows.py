@@ -224,6 +224,9 @@ def diff(frame: SparkFrame, positions: Sequence[int], periods: int = 1) -> Spark
             # pandas: datetime diff yields timedelta — Spark's ts - ts is
             # already a DayTimeInterval
             exprs.append(cur - prev)
+        elif isinstance(dt, T.BooleanType):
+            # pandas: boolean diff is XOR ("did it change"), object dtype
+            exprs.append(F.when(prev.isNotNull() & cur.isNotNull(), cur != prev))
         else:
             exprs.append(cur.cast("double") - prev.cast("double"))
     return shifted._same_rows(shifted.sdf).project(labels, exprs)

@@ -4444,9 +4444,13 @@ class DataFrame:
                           has_order=True)
             return DataFrame(_frame=nf)
         if frac is not None and n is None:
-            return DataFrame(_frame=fr._subset_rows(
-                fr.sdf.sample(withReplacement=False, fraction=float(frac), seed=seed)
-            ))
+            # pandas: frac draws an EXACT round(frac*len) rows (a Bernoulli
+            # per-partition sample would vary the count run to run). One
+            # count + the same seeded TakeOrdered as exact-n.
+            if float(frac) > 1.0:
+                raise ValueError(
+                    "Replace has to be set to `True` when upsampling the population `frac` > 1.")
+            n = int(round(float(frac) * fr.count_rows()))
         if n is None:
             raise ValueError("must provide n or frac")
         base = fr.ensure_order()

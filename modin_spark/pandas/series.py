@@ -820,6 +820,10 @@ class Series:
     def __neg__(self):
         return Series(self._frame, -self._expr, self._refs, self._name)
 
+    def __pos__(self):
+        # pandas +s: numeric identity (values unchanged)
+        return Series(self._frame, self._expr, self._refs, self._name)
+
     def __abs__(self):
         return Series(self._frame, F.abs(self._expr), self._refs, self._name)
 
@@ -1324,23 +1328,36 @@ class Series:
         row = self._frame.sdf.agg(*[e.alias(f"x{i}") for i, e in enumerate(exprs)]).collect()[0]
         return pd.Series([row[f"x{i}"] for i in range(len(exprs))], index=names, name=self._name)
 
-    def idxmax(self):
+    def idxmax(self, skipna: bool = True):
         # pandas tie-break: FIRST occurrence of the max — max_by alone picks
         # an arbitrary tied row, so rank by (value, -frame_position)
         idx, pos = self._index_expr(), self._pos_for_ties()
         key = F.when(self._expr.isNotNull(), F.struct(self._expr.alias("v"), (-pos).alias("t")))
         e = F.max_by(idx, key)
-        val = self._frame.sdf.agg(e.alias("__r__")).collect()[0]["__r__"]
+        row = self._frame.sdf.agg(
+            e.alias("__r__"),
+            F.max(F.when(self._expr.isNull(), 1).otherwise(0)).alias("__hn__"),
+        ).collect()[0]
         import numpy as _np
 
+        if not skipna and row["__hn__"]:
+            return _np.nan  # pandas skipna=False: any NaN poisons the result
+        val = row["__r__"]
         return _np.nan if val is None else val  # pandas: all-NaN -> nan
 
-    def idxmin(self):
+    def idxmin(self, skipna: bool = True):
         idx, pos = self._index_expr(), self._pos_for_ties()
         key = F.when(self._expr.isNotNull(), F.struct(self._expr.alias("v"), pos.alias("t")))
         e = F.min_by(idx, key)
-        val = self._frame.sdf.agg(e.alias("__r__")).collect()[0]["__r__"]
+        row = self._frame.sdf.agg(
+            e.alias("__r__"),
+            F.max(F.when(self._expr.isNull(), 1).otherwise(0)).alias("__hn__"),
+        ).collect()[0]
         import numpy as _np
+
+        if not skipna and row["__hn__"]:
+            return _np.nan
+        val = row["__r__"]
 
         return _np.nan if val is None else val
 
@@ -1483,11 +1500,13 @@ class Series:
         if sort:
             out = out.sort_by([F.col(out.data_cols[0])], [ascending])
         s = Series._from_frame(out)
-        s._name = self._name
+        # pandas 2.x: the RESULT is named 'count'/'proportion'; the original
+        # series name lives on the index (already the groupby key label)
+        s._name = "proportion" if normalize else "count"
         return s
 
-    def mode(self) -> "Series":
-        vc = self.value_counts(sort=False)
+    def mode(self, dropna: bool = True) -> "Series":
+        vc = self.value_counts(sort=False, dropna=dropna)
         fr = vc._frame
         mx = fr.sdf.agg(F.max(F.col(fr.data_cols[0])).alias("__m__")).collect()[0]["__m__"]
         keep = fr.sdf.where(F.col(fr.data_cols[0]) == mx)
@@ -2011,6 +2030,21 @@ class StringMethods:
             return self._s.apply(
                 lambda v, _rx=rx, _r=repl: None if v is None else _rx.sub(_r, v))
         return self._s._map1(lambda c: STR_FUNCS["replace"](c, pat, repl, regex=regex, case=case, **kw))
+
+    def normalize(self, form: str) -> Series:
+        """unicodedata.normalize per element — no Spark builtin exists, so
+        this is an Arrow-batched pandas UDF (pandas itself normalizes at
+        the python level too; map-only, no shuffle)."""
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("string")
+        def _norm(s: pd.Series) -> pd.Series:
+            import unicodedata
+
+            return s.map(lambda v: unicodedata.normalize(form, v)
+                         if v is not None else None)
+
+        return self._s._map1(lambda c: _norm(c))
 
     def len(self) -> Series:
         # pandas .str.len on a LIST column (split/findall results) counts

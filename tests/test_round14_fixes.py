@@ -322,3 +322,49 @@ def test_interpolate_limit_area():
     eq_series(ms.interpolate(limit_direction="both", limit_area="outside"),
               ps.interpolate(limit_direction="both", limit_area="outside"))
     eq_series(ms.interpolate(), ps.interpolate())
+
+
+# -------------------------------------------------------- probe wave 46
+def test_value_counts_named_count():
+    p = pd.Series(list("xxy"), name="c")
+    m = mpd.Series(p)
+    pd.testing.assert_series_equal(m.value_counts().to_pandas(), p.value_counts(),
+                                   check_dtype=False, check_index_type=False)
+    pd.testing.assert_series_equal(
+        m.value_counts(normalize=True).to_pandas(), p.value_counts(normalize=True),
+        check_dtype=False, check_index_type=False)
+
+
+def test_sample_frac_exact_count():
+    p = pd.DataFrame({"a": range(10)})
+    m = mpd.DataFrame(p)
+    assert len(m.sample(frac=0.5, random_state=1).to_pandas()) == 5
+    assert len(m.sample(frac=0.31, random_state=1).to_pandas()) == round(0.31 * 10)
+    with pytest.raises(ValueError):
+        m.sample(frac=1.5)
+
+
+def test_diff_bool_xor():
+    p = pd.Series([True, False, True, True])
+    m = mpd.Series([True, False, True, True])
+    eq_series(m.diff(), p.diff())
+
+
+def test_idxmax_idxmin_skipna_false():
+    p = pd.Series([1.0, None, 3.0])
+    m = mpd.Series([1.0, None, 3.0])
+    assert np.isnan(m.idxmax(skipna=False)) and np.isnan(m.idxmin(skipna=False))
+    assert m.idxmax() == p.idxmax() and m.idxmin() == p.idxmin()
+
+
+def test_mode_dropna_false():
+    vals = [1.0, 1.0, None, None, 2.0]
+    eq_series(mpd.Series(vals).mode(dropna=False), pd.Series(vals).mode(dropna=False))
+    eq_series(mpd.Series(vals).mode(), pd.Series(vals).mode())
+
+
+def test_str_normalize_and_pos():
+    import unicodedata
+    raw = ["é", "a", None]  # NFD e-acute
+    eq_series(mpd.Series(raw).str.normalize("NFC"), pd.Series(raw).str.normalize("NFC"))
+    eq_series(+mpd.Series([1, -2]), +pd.Series([1, -2]))
