@@ -2761,14 +2761,20 @@ class DataFrame:
 
                 other = _fp(other.to_frame("__o__"))["__o__"]
             else:
-                # raw pandas Series along columns: label -> scalar literals
+                # raw pandas Series along columns: label -> scalar literals.
+                # pandas aligns on the OUTER (sorted) union of columns and
+                # series labels — series-only labels become all-NaN columns
                 fr = self._frame
                 by_label = dict(zip(other.index, other.values))
-                exprs = [
-                    op(fr.scol(i), F.lit(by_label[lbl])) if lbl in by_label else F.lit(None)
-                    for i, lbl in enumerate(fr.columns)
-                ]
-                return DataFrame(_frame=fr.project(list(fr.columns), exprs))
+                out_cols = list(pd.Index(fr.columns).union(other.index))
+                have = {lbl: i for i, lbl in enumerate(fr.columns)}
+                exprs = []
+                for lbl in out_cols:
+                    if lbl in have and lbl in by_label:
+                        exprs.append(op(fr.scol(have[lbl]), F.lit(by_label[lbl])))
+                    else:
+                        exprs.append(F.lit(None).cast("double"))
+                return DataFrame(_frame=fr.project(out_cols, exprs))
         if isinstance(other, Series):
             fr = self._frame
             if axis in (0, "index"):
@@ -2783,13 +2789,15 @@ class DataFrame:
                 return DataFrame(_frame=fr.project(list(fr.columns), exprs))
             vals = other.to_pandas()
             by_label = dict(zip(vals.index, vals.values))
+            out_cols = list(pd.Index(fr.columns).union(vals.index))
+            have = {lbl: i for i, lbl in enumerate(fr.columns)}
             exprs = []
-            for i, lbl in enumerate(fr.columns):
-                if lbl in by_label:
-                    exprs.append(op(fr.scol(i), F.lit(by_label[lbl])))
+            for lbl in out_cols:
+                if lbl in have and lbl in by_label:
+                    exprs.append(op(fr.scol(have[lbl]), F.lit(by_label[lbl])))
                 else:
-                    exprs.append(F.lit(None))  # pandas: unmatched label -> NaN
-            return DataFrame(_frame=fr.project(list(fr.columns), exprs))
+                    exprs.append(F.lit(None).cast("double"))  # unmatched -> NaN
+            return DataFrame(_frame=fr.project(out_cols, exprs))
         if isinstance(other, (list, tuple, np.ndarray)) and np.ndim(other) == 1:
             fr = self._frame
             vals = [v for v in other]
@@ -3657,11 +3665,14 @@ class DataFrame:
         join + per-column coalesce."""
         a, b = self, other
         af, bf = a._frame, b._frame
-        if not af.index_cols or not bf.index_cols:
-            # default-index frames align on their positional LABELS (gaps
-            # survive filters) — promote them to an index on both sides
+        # promote each DEFAULT-index side INDEPENDENTLY to its positional
+        # labels (gaps survive filters): a default index still aligns BY
+        # LABEL (0..n-1) against the other side's real index — relabeling
+        # both sides would silently align by position (wrong rows patched)
+        if not af.index_cols:
             af = af.with_pandas_labels("__cfp__")
             af = af._same_rows(af.sdf, index_cols=["__cfp__"], index_names=[None])
+        if not bf.index_cols:
             bf = bf.with_pandas_labels("__cfp2__")
             bf = bf._same_rows(bf.sdf, index_cols=["__cfp2__"], index_names=[None])
         merged = qc.merge(af, bf, how="outer", left_index=True, right_index=True, suffixes=("__a", "__b"))

@@ -29,6 +29,7 @@ class DataFrameGroupBy:
     def __init__(self, df, by, as_index=True, dropna=True, sort=True,
                  observed=True, group_keys=True):
         self._group_keys = group_keys
+        self._observed = observed
         from modin_spark.pandas.dataframe import DataFrame
 
         self._df: DataFrame = df
@@ -104,7 +105,7 @@ class DataFrameGroupBy:
         if isinstance(key, list):
             sub = self._df[list(dict.fromkeys(self._by_labels + key))]
             g = DataFrameGroupBy(sub, self._by_labels, self._as_index, self._dropna, self._sort,
-                                 group_keys=self._group_keys)
+                                 observed=self._observed, group_keys=self._group_keys)
             g._value_labels = key
             g._unobserved_dtype = self._unobserved_dtype
             return g
@@ -339,7 +340,15 @@ class DataFrameGroupBy:
         out = qc.groupby_agg(
             fr, self._by_pos, entries, as_index=self._as_index, dropna=self._dropna, sort=self._sort
         )
-        return DataFrame(_frame=out)
+        res = DataFrame(_frame=out)
+        if self._unobserved_dtype is not None:
+            # observed=False on a categorical key: complete the unobserved
+            # categories here too (same contract as _agg_all)
+            res = self._complete_unobserved(
+                res, [(lbl, fn) for lbl, _i, fn, _kw in entries])
+            res._post_to_pandas_index = (
+                lambda ix, _d=self._unobserved_dtype: ix.astype(_d))
+        return res
 
     aggregate = agg
 
@@ -1012,6 +1021,7 @@ class SeriesGroupBy:
         if hasattr(self, "_g"):
             g2 = DataFrameGroupBy(self._g._df, self._g._by_labels, self._g._as_index,
                                   self._g._dropna, self._g._sort,
+                                  observed=getattr(self._g, "_observed", True),
                                   group_keys=getattr(self._g, "_group_keys", True))
             g2._value_labels = [self._col]
             g2._scalar_selection = True  # gb["col"], not gb[["col"]]

@@ -120,7 +120,8 @@ def maybe_groupby(g, method, *args, **kwargs):
         return None
     try:
         gb = pdf.copy().groupby(g._by_labels, as_index=g._as_index,
-                                dropna=g._dropna, sort=g._sort)
+                                dropna=g._dropna, sort=g._sort,
+                                observed=getattr(g, "_observed", True))
         if col is not None:
             gb = gb[col]
         vl = getattr(g, "_value_labels", None)

@@ -368,3 +368,38 @@ def test_str_normalize_and_pos():
     raw = ["é", "a", None]  # NFD e-acute
     eq_series(mpd.Series(raw).str.normalize("NFC"), pd.Series(raw).str.normalize("NFC"))
     eq_series(+mpd.Series([1, -2]), +pd.Series([1, -2]))
+
+
+# -------------------------------------------------------- probe wave 47
+def test_df_add_series_axis1_union_columns():
+    p = pd.DataFrame({"a": [1.0, 2.0], "b": [10.0, None]})
+    m = mpd.DataFrame(p)
+    srow = pd.Series({"a": 1.0, "b": 2.0, "z": 9.0})
+    eq_frame(m.add(srow, axis=1), p.add(srow, axis=1))
+
+
+def test_combine_first_mixed_default_and_real_index():
+    pa = pd.DataFrame({"x": [1.0, None], "y": [None, 4.0]})
+    upd = pd.DataFrame({"x": [100.0]}, index=[1])
+    got = mpd.DataFrame(upd).combine_first(mpd.DataFrame(pa))
+    eq_frame(got, upd.combine_first(pa))
+    # update (in place) rides the same alignment
+    d = mpd.DataFrame(pa)
+    d.update(mpd.DataFrame(upd))
+    e = pa.copy()
+    e.update(upd)
+    eq_frame(d, e)
+
+
+def test_groupby_observed_plumbing():
+    pg = pd.DataFrame({"k": pd.Categorical(["u", "v", "u"], categories=["u", "v", "w"]),
+                       "v": [1.0, 2.0, 3.0]})
+    mg = mpd.DataFrame(pg)
+    eq_frame(mg.groupby("k", observed=True).agg(tot=("v", "sum")),
+             pg.groupby("k", observed=True).agg(tot=("v", "sum")))
+    eq_frame(mg.groupby("k", observed=False).agg(tot=("v", "sum")),
+             pg.groupby("k", observed=False).agg(tot=("v", "sum")))
+    eq_series(mg.groupby("k", observed=False)["v"].sum(),
+              pg.groupby("k", observed=False)["v"].sum())
+    eq_series(mg.groupby("k", observed=True)["v"].sum(),
+              pg.groupby("k", observed=True)["v"].sum())
