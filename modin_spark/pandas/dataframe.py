@@ -4712,6 +4712,12 @@ class DataFrame:
         return out.droplevel(lv) if drop_level and len(fr.index_cols) > 1 else out
 
     @property
+    def sparse(self):
+        # engine storage is always dense; pandas raises the same way on any
+        # frame without sparse columns
+        raise AttributeError("Can only use the '.sparse' accessor with Sparse data.")
+
+    @property
     def at(self):
         return _ScalarIndexer(self, positional=False)
 

@@ -101,6 +101,18 @@ class DataFrameGroupBy:
         raise AttributeError(name)
 
     # ---------------------------------------------------------------- select
+    def __getattr__(self, name):
+        # pandas: g.v is g["v"] for any grouped column (attribute access)
+        if name.startswith("_"):
+            raise AttributeError(name)
+        try:
+            cols = set(self._df.columns)
+        except Exception:
+            raise AttributeError(name)
+        if name in cols:
+            return self[name]
+        raise AttributeError(f"'DataFrameGroupBy' object has no attribute {name!r}")
+
     def __getitem__(self, key):
         if isinstance(key, list):
             sub = self._df[list(dict.fromkeys(self._by_labels + key))]

@@ -1101,6 +1101,12 @@ class Series:
         return CategoricalMethods(self)
 
     @property
+    def sparse(self):
+        # engine storage is always dense; pandas raises the same way on any
+        # non-sparse-dtype series
+        raise AttributeError("Can only use the '.sparse' accessor with Sparse data.")
+
+    @property
     def dt(self) -> "DatetimeMethods":
         return DatetimeMethods(self)
 
@@ -2053,6 +2059,9 @@ class StringMethods:
             return self._s._map1(lambda c: F.when(c.isNotNull(), F.size(c)))
         return self._s._map1(STR_FUNCS["len"])
 
+    def __dir__(self):
+        return sorted(set(list(super().__dir__()) + list(STR_FUNCS)))
+
     def __getattr__(self, name):
         if name.startswith("_"):
             raise AttributeError(name)
@@ -2128,6 +2137,9 @@ class DatetimeMethods:
             [d, h, m, s_, F.floor(usfrac / 1000).cast("long"),
              usfrac % 1000, F.when(F.col(c).isNotNull(), F.lit(0)).cast("long")],
         ))
+
+    def __dir__(self):
+        return sorted(set(list(super().__dir__()) + list(DT_FUNCS)))
 
     def __getattr__(self, name):
         if name.startswith("_"):

@@ -67,6 +67,16 @@ class Rolling:
             # indexed by that column.
             self._obj = obj.set_index(on)
 
+    # pandas introspection attributes (window/min_periods/... are public)
+    window = property(lambda self: self._window)
+    min_periods = property(lambda self: self._min_periods)
+    win_type = property(lambda self: self._win_type)
+    center = property(lambda self: self._center)
+    closed = property(lambda self: self._closed)
+    on = property(lambda self: self._on)
+    step = property(lambda self: self._step)
+    obj = property(lambda self: self._obj)
+
     def __getitem__(self, key):
         # column narrowing: df.rolling(...)[col], the common frame idiom
         sub = self._obj[key]

@@ -403,3 +403,29 @@ def test_groupby_observed_plumbing():
               pg.groupby("k", observed=False)["v"].sum())
     eq_series(mg.groupby("k", observed=True)["v"].sum(),
               pg.groupby("k", observed=True)["v"].sum())
+
+
+# ------------------------------------------------------- surface parity
+def test_full_public_method_surface():
+    """Every public pandas DataFrame/Series attribute exists on the engine
+    classes (the .sparse accessor raises pandas' own message — storage is
+    always dense)."""
+    pub = lambda cls: {n for n in dir(cls) if not n.startswith("_")}
+    assert not (pub(pd.DataFrame) - pub(mpd.DataFrame))
+    assert not (pub(pd.Series) - pub(mpd.Series))
+    with pytest.raises(AttributeError):
+        mpd.Series([1]).sparse
+
+
+def test_groupby_attribute_column_access():
+    g = mpd.DataFrame({"k": [1, 1, 2], "v": [2.0, 3.0, 4.0]}).groupby("k")
+    eq_series(g.v.sum(),
+              pd.DataFrame({"k": [1, 1, 2], "v": [2.0, 3.0, 4.0]}).groupby("k").v.sum())
+    with pytest.raises(AttributeError):
+        g.not_a_column
+
+
+def test_rolling_introspection_attrs():
+    r = mpd.Series([1.0, 2.0]).rolling(3, min_periods=2, center=True)
+    assert (r.window, r.min_periods, r.center, r.closed) == (3, 2, True, None)
+    assert "upper" in dir(mpd.Series(["a"]).str)
