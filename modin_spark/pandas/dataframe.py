@@ -438,7 +438,17 @@ class DataFrame:
             return DataFrame(_frame=fr.filter(cond))
         raise NotImplementedError("drop: nothing to drop")
 
-    def rename(self, columns=None, level=None, index=None, **kw) -> "DataFrame":
+    def rename(self, mapper=None, *, columns=None, level=None, index=None,
+               axis=None, **kw) -> "DataFrame":
+        # pandas signature: a positional mapper routes by axis= (default
+        # axis=0 -> index); columns=/index= keywords are explicit. The old
+        # engine behavior (positional == columns=) survives only through
+        # the explicit keyword.
+        if mapper is not None:
+            if axis in (1, "columns"):
+                columns = mapper if columns is None else columns
+            else:
+                index = mapper if index is None else index
         if index is not None:
             if callable(index):
                 # callable mapper over STRING-typed labels stays a JVM
@@ -3629,10 +3639,21 @@ class DataFrame:
             else [(l,) for l in src_cols]
         )
         n_lvls = len(lvl_tuples[0])
-        lbl_sqls = [
-            "array(" + ", ".join(f"'{_esc(str(t[lv]))}'" for t in lvl_tuples) + ")"
-            for lv in range(n_lvls)
-        ]
+        def _lvl_sql(lv: int) -> str:
+            # labels keep their NATIVE type (pandas T.T round-trips an int
+            # default index back to ints, not '0','1',... strings)
+            vals = [t[lv] for t in lvl_tuples]
+            if all(isinstance(v, (int, np.integer)) and not isinstance(v, bool)
+                   for v in vals):
+                return "array(" + ", ".join(f"CAST({int(v)} AS BIGINT)" for v in vals) + ")"
+            if all(isinstance(v, (int, float, np.integer, np.floating))
+                   and not isinstance(v, bool) and np.isfinite(v) for v in vals):
+                return "array(" + ", ".join(f"CAST({float(v)!r} AS DOUBLE)" for v in vals) + ")"
+            return "array(" + ", ".join(
+                "CAST(NULL AS STRING)" if v is None else f"'{_esc(str(v))}'"
+                for v in vals) + ")"
+
+        lbl_sqls = [_lvl_sql(lv) for lv in range(n_lvls)]
         lbl_phys = ["__lbl__"] if n_lvls == 1 else [f"__lbl{lv}__" for lv in range(n_lvls)]
 
         def _cell_sql(pos: int, p: str) -> str:

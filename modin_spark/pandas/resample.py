@@ -256,6 +256,35 @@ class Resampler:
             on_name = self._on if self._on is not None else fr.index_names[0]
             out = SparkFrame(agged, pd.Index(labels), val_ps, [key_p], [on_name])
             return DataFrame(_frame=out)
+        if isinstance(spec, (list, tuple)):
+            # list spec: every value column x every fn. A single-column
+            # selection yields FLAT fn-named columns; a frame resample
+            # yields (column, fn) MultiIndex columns (pandas shapes).
+            fr = self._df._frame
+            if self._on is not None:
+                ts_phys = fr.data_cols[fr.positions_of([self._on])[0]]
+            else:
+                ts_phys = fr.index_cols[0]
+            dur = rule_to_duration(self._rule)
+            bucket = bucket_start(ts_phys, dur, self._closed, self._offset)
+            vlabels = [c for c in self._df.columns if self._on is None or c != self._on]
+            fns = list(spec)
+            entries = [(lbl, fr.positions_of([lbl])[0], fn)
+                       for lbl in vlabels for fn in fns]
+            out_phys = fresh_names(len(entries) + 1)
+            key_p, val_ps = out_phys[0], out_phys[1:]
+            aggs = [qc.agg_expr(fn, F.col(fr.data_cols[i])).alias(p)
+                    for (_lbl, i, fn), p in zip(entries, val_ps)]
+            agged = fr.sdf.groupBy(bucket.alias(key_p)).agg(*aggs)
+            agged = agged.withColumn(ORDER_COL, F.col(key_p))
+            on_name = self._on if self._on is not None else fr.index_names[0]
+            if getattr(self, "_scalar", False) and len(vlabels) == 1:
+                cols = pd.Index([fn for _lbl, _i, fn in entries])
+            else:
+                cols = pd.MultiIndex.from_tuples(
+                    [(lbl, fn) for lbl, _i, fn in entries])
+            out = SparkFrame(agged, cols, val_ps, [key_p], [on_name])
+            return DataFrame(_frame=out)
         raise NotImplementedError(type(spec))
 
     aggregate = agg

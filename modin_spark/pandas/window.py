@@ -106,6 +106,10 @@ class Rolling:
 
                 fr = out._to_frame().slice_positions(0, 2**62, int(self._step))
                 out = Series._from_frame(fr)
+                # the 1-col frame round trip surfaces the placeholder label
+                # for UNNAMED sources; restore the source name (incl None)
+                if isinstance(self._obj, Series):
+                    out._name = self._obj._name
             else:
                 out = out.iloc[:: int(self._step)]
         return out

@@ -429,3 +429,46 @@ def test_rolling_introspection_attrs():
     r = mpd.Series([1.0, 2.0]).rolling(3, min_periods=2, center=True)
     assert (r.window, r.min_periods, r.center, r.closed) == (3, 2, True, None)
     assert "upper" in dir(mpd.Series(["a"]).str)
+
+
+# -------------------------------------------------------- probe wave 48
+def test_rename_mapper_axis():
+    p = pd.DataFrame({"a": [1, 2]}, index=pd.Index(["x", "y"], name="i"))
+    m = mpd.DataFrame(p)
+    eq_frame(m.rename(str.upper, axis=0), p.rename(str.upper, axis=0))
+    eq_frame(m.rename(str.upper, axis=1), p.rename(str.upper, axis=1))
+    eq_frame(m.rename({"x": "z"}), p.rename({"x": "z"}))  # default axis=index
+    eq_frame(m.rename(columns={"a": "b"}), p.rename(columns={"a": "b"}))
+
+
+def test_transpose_roundtrip_typed_labels(spark):
+    import os
+    old = os.environ.get("MODIN_SPARK_NATIVE_MAX_ROWS")
+    os.environ["MODIN_SPARK_NATIVE_MAX_ROWS"] = "0"  # force distributed
+    try:
+        p = pd.DataFrame({"a": [3.0, 1.0, 2.0], "b": [1.5, 2.5, 0.5]})
+        m = mpd.DataFrame(p)
+        eq_frame(m.T.T, p.T.T)  # int labels survive the round trip
+        assert m.T.T.to_pandas().index.dtype.kind in "iu"
+    finally:
+        if old is None:
+            os.environ.pop("MODIN_SPARK_NATIVE_MAX_ROWS", None)
+        else:
+            os.environ["MODIN_SPARK_NATIVE_MAX_ROWS"] = old
+
+
+def test_rolling_step_and_unnamed_result():
+    ps = pd.Series(np.arange(12, dtype=float))
+    ms = mpd.Series(ps)
+    eq_series(ms.rolling(3, step=2).sum(), ps.rolling(3, step=2).sum())
+    assert ms.rolling(3, step=2).sum().name is None
+
+
+def test_resample_agg_list_spec():
+    ptf = pd.DataFrame({"v": np.arange(8, dtype=float), "w": np.arange(8) * 2.0},
+                       index=pd.date_range("2024-01-01", periods=8, freq="45min"))
+    mtf = mpd.DataFrame(ptf)
+    eq_frame(mtf.resample("2h")["v"].agg(["sum", "mean"]),
+             ptf.resample("2h")["v"].agg(["sum", "mean"]))
+    eq_frame(mtf.resample("2h").agg({"v": "sum", "w": "max"}),
+             ptf.resample("2h").agg({"v": "sum", "w": "max"}))
