@@ -993,6 +993,36 @@ class DataFrame:
     def limit(self, n: int) -> "DataFrame":
         return self.head(n)
 
+    @staticmethod
+    def _expand_chained_comparisons(expr: str) -> str:
+        """Python chained comparisons (``1 < a <= 3``) are pandas-query
+        legal but not SQL — expand to ``1 < a and a <= 3`` via the ast
+        (only when the expression is pure-python parseable AND actually
+        chains; backtick/@ syntax passes through untouched)."""
+        import ast
+
+        try:
+            tree = ast.parse(expr, mode="eval")
+        except SyntaxError:
+            return expr
+        if not any(isinstance(n, ast.Compare) and len(n.ops) > 1
+                   for n in ast.walk(tree)):
+            return expr
+
+        class _Expand(ast.NodeTransformer):
+            def visit_Compare(self, node):
+                self.generic_visit(node)
+                if len(node.ops) <= 1:
+                    return node
+                terms = [node.left] + node.comparators
+                parts = [ast.Compare(left=terms[i], ops=[node.ops[i]],
+                                     comparators=[terms[i + 1]])
+                         for i in range(len(node.ops))]
+                return ast.BoolOp(op=ast.And(), values=parts)
+
+        new = ast.fix_missing_locations(_Expand().visit(tree))
+        return ast.unparse(new)
+
     def _translate_query(self, expr: str, caller_depth: int,
                          local_dict=None, global_dict=None) -> str:
         """pandas query/eval expression -> Spark SQL: ``@var`` locals become
@@ -1005,7 +1035,7 @@ class DataFrame:
         import sys
 
         fr = self._frame
-        translated = expr
+        translated = self._expand_chained_comparisons(expr)
 
         # 1. @local/global references -> SQL literals
         if "@" in translated:
@@ -3253,7 +3283,21 @@ class DataFrame:
         return s
 
     def isin(self, values) -> "DataFrame":
-        """Boolean frame: membership per cell (list) or per column (dict)."""
+        """Boolean frame: membership per cell (list), per column (dict), or
+        CELL-WISE equality against an aligned frame/Series operand (pandas:
+        same label = same cell; unmatched labels are False)."""
+        if isinstance(values, pd.DataFrame):
+            from modin_spark.pandas.io import from_pandas as _fp
+
+            values = _fp(values)
+        if isinstance(values, DataFrame):
+            eq = self._binary_frame(values, lambda a, b: a.eqNullSafe(b))
+            fr = eq._frame
+            keep = [i for i, lbl in enumerate(fr.columns) if lbl in set(self.columns)]
+            sub = fr.select_positions(keep)
+            exprs = [F.coalesce(sub.scol(i).cast("boolean"), F.lit(False))
+                     for i in range(len(sub.columns))]
+            return DataFrame(_frame=sub.project(list(sub.columns), exprs))
         fr = self._frame
         labels, exprs = [], []
         for i, lbl in enumerate(fr.columns):

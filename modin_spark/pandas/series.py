@@ -659,10 +659,26 @@ class Series:
     def __rsub__(self, o):
         return self._binary(o, lambda a, b: a - b, reverse=True)
 
+    def _str_repeat(self, o):
+        """pandas: string_series * int repeats the string (None when not
+        that shape)."""
+        import numpy as _np
+
+        if (isinstance(o, (int, _np.integer)) and not isinstance(o, bool)
+                and isinstance(self.spark_type, T.StringType)):
+            return self._map1(lambda c: F.repeat(c, int(o)))
+        return None
+
     def __mul__(self, o):
+        r = self._str_repeat(o)
+        if r is not None:
+            return r
         return self._binary(o, lambda a, b: a * b)
 
     def __rmul__(self, o):
+        r = self._str_repeat(o)
+        if r is not None:
+            return r
         return self._binary(o, lambda a, b: a * b, reverse=True)
 
     def __truediv__(self, o):
@@ -1591,8 +1607,20 @@ class Series:
         out._name = self._name
         return out
 
-    def repeat(self, repeats: int) -> "Series":
-        rep = self._map1(lambda c: F.array_repeat(c, repeats))
+    def repeat(self, repeats) -> "Series":
+        if isinstance(repeats, (list, tuple)) or hasattr(repeats, "__len__"):
+            # per-row counts: zip by global position against an array literal
+            vals = [int(v) for v in repeats]
+            pos_fr = self._frame.with_global_position("__rp__")
+            arr = F.array(*[F.lit(v) for v in vals])
+            n = F.element_at(arr, (F.col("__rp__") + 1).cast("int"))
+            # count 0 DROPS the row (explode of an empty array would emit a
+            # null row through the engine's explode_outer semantics)
+            pos_fr = pos_fr.filter(n > 0)
+            rep = Series(pos_fr, F.array_repeat(self._expr, n.cast("int")),
+                         set(self._refs), self._name)
+            return rep.explode()
+        rep = self._map1(lambda c: F.array_repeat(c, int(repeats)))
         return rep.explode()
 
     def autocorr(self, lag: int = 1) -> float:

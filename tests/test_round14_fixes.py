@@ -472,3 +472,31 @@ def test_resample_agg_list_spec():
              ptf.resample("2h")["v"].agg(["sum", "mean"]))
     eq_frame(mtf.resample("2h").agg({"v": "sum", "w": "max"}),
              ptf.resample("2h").agg({"v": "sum", "w": "max"}))
+
+
+# -------------------------------------------------------- probe wave 49
+def test_query_chained_comparisons():
+    p = pd.DataFrame({"a": [1.0, 2.0, 3.0], "b": [4.0, 5.0, 6.0]})
+    m = mpd.DataFrame(p)
+    eq_frame(m.query("1 < a <= 3"), p.query("1 < a <= 3"))
+    eq_frame(m.query("1 <= a < 3 and b > 4"), p.query("1 <= a < 3 and b > 4"))
+    eq_frame(m.query("a in [1, 3]"), p.query("a in [1, 3]"))  # untouched
+
+
+def test_isin_frame_operand():
+    p = pd.DataFrame({"a": [1.0, 2.0, 3.0], "b": [4.0, 5.0, 6.0]})
+    m = mpd.DataFrame(p)
+    eq_frame(m.isin(m * 2), p.isin(p * 2))
+    eq_frame(m.isin(p * 2), p.isin(p * 2))  # raw pandas operand
+
+
+def test_string_mul_repeats():
+    eq_series(mpd.Series(["ab", "c", None]) * 2, pd.Series(["ab", "c", None]) * 2)
+    eq_series(3 * mpd.Series(["x"]), 3 * pd.Series(["x"]))
+    # numeric mul unaffected
+    eq_series(mpd.Series([2, 3]) * 2, pd.Series([2, 3]) * 2)
+
+
+def test_repeat_per_row_counts():
+    eq_series(mpd.Series(["x", "y", "z"]).repeat([1, 3, 0]).reset_index(drop=True),
+              pd.Series(["x", "y", "z"]).repeat([1, 3, 0]).reset_index(drop=True))
