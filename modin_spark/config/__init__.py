@@ -79,6 +79,10 @@ class Parameter:
 
     @classmethod
     def normalize(cls, value: Any) -> Any:
+        if value is None:
+            # None is "unset", not a value to coerce — str(None) would turn
+            # a default-None str param into the literal 'None'
+            return None
         if cls.type is bool:
             return _to_bool(value)
         if cls.type is int:
@@ -112,6 +116,12 @@ class Parameter:
             if env is not None:
                 cls._value = cls._verify(env)
                 cls._value_source = ValueSource.GOT_FROM_CFG_SOURCE
+                # env vars are the reference's PRIMARY config interface —
+                # fire the write-through hook exactly as put() would, so
+                # MODIN_BENCHMARK_MODE / MODIN_NPARTITIONS etc. take effect.
+                # Re-entrancy is safe: _value is already set, so any get()
+                # from inside the hook returns immediately.
+                cls._on_put(cls._value)
             else:
                 cls._value = cls._get_default()
                 cls._value_source = ValueSource.DEFAULT
@@ -666,8 +676,15 @@ def context(**config: Any):
         yield
     finally:
         for param, old, src in reversed(saved):
-            param.put(old)
+            # direct restore: put() would re-normalize (turning a prior
+            # None into the string 'None' for str params), stamp
+            # SET_BY_USER, and re-fire subscribers on a mere reset
+            param._value = old
             param._value_source = src
+            if old is not None:
+                # keep write-through state (Spark conf, env mirrors) in
+                # sync with the restored value
+                param._on_put(old)
 
 
 __all__ = [

@@ -306,7 +306,7 @@ def groupby_agg_udf(
 
 def groupby_apply(frame: SparkFrame, by_positions: Sequence[int], func,
                   schema_sample_rows: int = 100, group_keys: bool = True,
-                  kind_out: list | None = None) -> SparkFrame:
+                  kind_out: list | None = None, dropna: bool = True) -> SparkFrame:
     """``groupby.apply(func)`` — arbitrary pandas-DataFrame-in/out per group via
     ``applyInPandas``. Output schema is inferred by running ``func`` on one
     sampled group on the driver (the reference instead runs everywhere and
@@ -336,8 +336,19 @@ def groupby_apply(frame: SparkFrame, by_positions: Sequence[int], func,
         idx_phys = [lbl_phys]
         idx_names = [None]
 
+    # dropna=True (pandas default): null-key rows belong to NO group — they
+    # must vanish from the output, not form a SQL-NULL group (Spark groupBy
+    # would). One pushdown-able filter before the shuffle.
+    bsdf = base.sdf
+    if dropna:
+        nn = None
+        for k in key_phys:
+            c = F.col(k).isNotNull()
+            nn = c if nn is None else (nn & c)
+        bsdf = bsdf.where(nn)
+
     # sample one group to infer the output schema
-    one_key = base.sdf.select(*key_phys).where(
+    one_key = bsdf.select(*key_phys).where(
         F.struct(*key_phys).isNotNull()
     ).limit(1).collect()
     if not one_key:
@@ -347,7 +358,7 @@ def groupby_apply(frame: SparkFrame, by_positions: Sequence[int], func,
     for k in key_phys:
         c = F.col(k) == F.lit(row[k])
         cond = c if cond is None else (cond & c)
-    sample_pdf = base.sdf.where(cond).limit(schema_sample_rows).toPandas()
+    sample_pdf = bsdf.where(cond).limit(schema_sample_rows).toPandas()
 
     def _named(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(pos_phys)
@@ -421,7 +432,7 @@ def groupby_apply(frame: SparkFrame, by_positions: Sequence[int], func,
             out[k] = v
         return out[[*key_phys, *inner_phys, seq_phys, ord_phys, *out_phys]]
 
-    agged = base.sdf.groupBy(*key_phys).applyInPandas(apply_fn, out_schema)
+    agged = bsdf.groupBy(*key_phys).applyInPandas(apply_fn, out_schema)
     if group_keys:
         agged = agged.withColumn(
             ORDER_COL, F.struct(*[F.col(k) for k in key_phys], F.col(seq_phys))

@@ -158,7 +158,8 @@ def order_bucket_sql(sdf, colname: str):
     jumps dominate); negatives negate it; zero maps to 0; NaN sorts last
     like Spark ordering. Range ±~139k (|e| ≤ 1080). Balance: ≤ ~1.6% of
     an octave per bucket — a near-constant column degenerates to one hot
-    bucket, the same bound as a groupby hot key. Returns the bucket id as a
+    bucket, the same bound as a groupby hot key (sub-2^-1010 values share
+    the lowest octave — see the exponent-clamp note below). Returns the bucket id as a
     SQL expression STRING (embeddable in selectExpr with zero extra py4j
     round trips; the LO/HI module sentinels bracket it for callers placing
     nulls), or None for non-numeric, non-temporal columns (caller keeps an
@@ -189,7 +190,12 @@ def order_bucket_sql(sdf, colname: str):
     # expression sits on the plan-build hot path of rank/ngroup/asof/
     # global-position (the r13→r14 build-latency drift was exactly these
     # bridge commands). Semantics identical to the Column form it replaces.
-    e = f"least(greatest(floor(log2(abs({num}))), -1080.0D), 1080.0D)"
+    # lower clamp -1010 (not the IEEE min exponent -1074): pow(2, 6-e)
+    # must stay FINITE — at e<=-1018 it overflows to +inf and floor(|v|*inf)
+    # wraps the long cast negative, inverting the order of every subnormal
+    # and small-normal (|v| < ~3.6e-307). With the clamp, |v| < 2^-1010
+    # collapses monotonically into the lowest octave's [0,64) scaled band.
+    e = f"least(greatest(floor(log2(abs({num}))), -1010.0D), 1080.0D)"
     # +139000 keeps the magnitude STRICTLY positive (raw e*128+scaled goes
     # negative for |v| < ~0.6, which would invert the order around zero)
     mag = (f"(cast({e} * 128 + floor(abs({num}) * pow(2.0D, 6.0D - {e}))"

@@ -149,7 +149,12 @@ def cum_op(frame: SparkFrame, positions: Sequence[int], op: str, skipna: bool = 
         # pandas treats float NaN VALUES as missing (skipped, not poisoning
         # the accumulator) — normalize to NULL for the skipna path
         c = F.col(p)
-        if skipna and frame.schema_map[p].simpleString() in ("double", "float"):
+        ts = frame.schema_map[p].simpleString()
+        if ts == "boolean" and op in ("cumsum", "cumprod"):
+            # pandas: bool cumsum/cumprod accumulate as int64 (Spark's
+            # sum(boolean) is an AnalysisException); cummax/cummin stay bool
+            return c.cast("long")
+        if skipna and ts in ("double", "float"):
             return F.when(F.isnan(c), F.lit(None)).otherwise(c)
         return c
 

@@ -2170,18 +2170,21 @@ class DataFrame:
         s = Series(fr, expr, set(fr.data_cols), name=None)
         return s
 
-    def corr(self, method="pearson", numeric_only=True) -> pd.DataFrame:
+    def corr(self, method="pearson", min_periods=None, numeric_only=True) -> pd.DataFrame:
         """Correlation matrix — ONE aggregate over all pairs. ``spearman``
         rides the distributed rank machinery (pearson over whole-column
         ranks; exact pandas parity when columns are NaN-free — pandas
-        re-ranks per pairwise-complete pair under NaNs)."""
-        nat = _native.maybe(self, "corr", method=method,
+        re-ranks per pairwise-complete pair under NaNs). ``min_periods``
+        NaNs out any pair with fewer complete observations (reference:
+        CorrCovBuilder, modin/core/storage_formats/pandas/aggregations.py:31)."""
+        nat = _native.maybe(self, "corr", method=method, min_periods=min_periods,
                             numeric_only=numeric_only, _raw=True)
         if nat is not None:
             return nat
         if method == "spearman":
             ranked = self.rank(method="average")
-            return ranked.corr(method="pearson", numeric_only=numeric_only)
+            return ranked.corr(method="pearson", min_periods=min_periods,
+                               numeric_only=numeric_only)
         if method == "kendall":
             # the reference computes only pearson distributed and defaults
             # every other method to pandas (ref storage_formats/pandas/
@@ -2216,10 +2219,18 @@ class DataFrame:
         exprs = []
         for i in pos:
             for j in pos:
-                exprs.append(F.corr(fr.scol(i).cast("double"), fr.scol(j).cast("double")).alias(f"c_{i}_{j}"))
+                a, b = fr.scol(i).cast("double"), fr.scol(j).cast("double")
+                e = F.corr(a, b)
+                if min_periods is not None:
+                    # pandas: a pair with fewer complete observations is NaN
+                    npair = F.count(F.when(a.isNotNull() & b.isNotNull(), 1))
+                    e = F.when(npair >= int(min_periods), e)
+                exprs.append(e.alias(f"c_{i}_{j}"))
         row = fr.sdf.agg(*exprs).collect()[0]
         data = [[row[f"c_{i}_{j}"] for j in pos] for i in pos]
-        return pd.DataFrame(data, index=labels, columns=labels)
+        # SQL NULL cells (min_periods masking) come back as Python None —
+        # pandas corr/cov matrices are float64 with NaN there
+        return pd.DataFrame(data, index=labels, columns=labels, dtype="float64")
 
     def cov(self, numeric_only=True, ddof=1, min_periods=None) -> pd.DataFrame:
         nat = _native.maybe(self, "cov", numeric_only=numeric_only, ddof=ddof,
@@ -2245,7 +2256,9 @@ class DataFrame:
                 exprs.append(e.alias(f"c_{i}_{j}"))
         row = fr.sdf.agg(*exprs).collect()[0]
         data = [[row[f"c_{i}_{j}"] for j in pos] for i in pos]
-        return pd.DataFrame(data, index=labels, columns=labels)
+        # SQL NULL cells (min_periods masking) come back as Python None —
+        # pandas corr/cov matrices are float64 with NaN there
+        return pd.DataFrame(data, index=labels, columns=labels, dtype="float64")
 
     # -------------------------------------------------------- order-dependent
     def _cum_axis0(self, kind: str, skipna: bool) -> "DataFrame":
@@ -3303,7 +3316,23 @@ class DataFrame:
         for i, lbl in enumerate(fr.columns):
             vals = values.get(lbl, []) if isinstance(values, dict) else list(values)
             labels.append(lbl)
-            exprs.append(F.coalesce(fr.scol(i).isin(vals), F.lit(False)) if vals else F.lit(False))
+            # pandas: a missing sentinel IN the list matches missing cells
+            # (SQL IN never matches NULL); sentinels don't cross-match —
+            # float columns hit only on float NaN, object columns only on
+            # None. Same contract as Series.isin.
+            from pyspark.sql import types as T
+
+            has_none = any(v is None for v in vals)
+            has_nan = any(isinstance(v, float) and v != v for v in vals)
+            rest = [v for v in vals
+                    if not (v is None or (isinstance(v, float) and v != v))]
+            c = fr.scol(i)
+            e = F.coalesce(c.isin(rest), F.lit(False)) if rest else F.lit(False)
+            floaty = isinstance(fr.schema_map[fr.data_cols[i]],
+                                (T.FloatType, T.DoubleType))
+            if has_nan if floaty else has_none:
+                e = e | ((c.isNull() | F.isnan(c)) if floaty else c.isNull())
+            exprs.append(e)
         return DataFrame(_frame=fr.project(labels, exprs))
 
     def pivot(self, index=None, columns=None, values=None) -> "DataFrame":
@@ -4529,6 +4558,10 @@ class DataFrame:
             n = int(round(float(frac) * fr.count_rows()))
         if n is None:
             raise ValueError("must provide n or frac")
+        if int(n) > fr.count_rows():
+            # pandas contract: never silently return fewer rows
+            raise ValueError(
+                "Cannot take a larger sample than population when 'replace=False'")
         base = fr.ensure_order()
         sdf = base.sdf.orderBy(F.rand(seed)).limit(int(n))
         nf = type(fr)(sdf, fr.columns, fr.data_cols, fr.index_cols, fr.index_names, has_order=True)

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from typing import Any
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -91,14 +92,6 @@ class DataFrameGroupBy:
         by = by if isinstance(by, list) else [by]
         self._by_labels = by
         self._by_pos = self._df._frame.positions_of(by)
-
-    def __getattr__(self, name):
-        # attribute-style column selection: g.v == g["v"] (pandas parity)
-        if name.startswith("_"):
-            raise AttributeError(name)
-        if name in list(self._df.columns):
-            return self[name]
-        raise AttributeError(name)
 
     # ---------------------------------------------------------------- select
     def __getattr__(self, name):
@@ -365,12 +358,29 @@ class DataFrameGroupBy:
     aggregate = agg
 
     # ------------------------------------------------------------ transforms
+    def _keys_notnull(self, keys):
+        """The ``dropna=True`` gate for row-level group ops: AND of
+        ``key IS NOT NULL``. Spark windows/groupBy treat SQL NULL as an
+        ordinary group; pandas (default dropna=True) assigns null-key rows
+        to NO group — transforms emit NaN there, row selectors drop the
+        rows (reference plumbing: modin/pandas/groupby.py dropna arg).
+        Returns None when dropna=False (null keys are real groups then)."""
+        if not self._dropna:
+            return None
+        cond = None
+        for k in keys:
+            c = F.col(k).isNotNull()
+            cond = c if cond is None else (cond & c)
+        return cond
+
     def _window_transform(self, builder) -> "SparkFrame":
         fr = self._df._frame.ensure_order()
         keys = [fr.data_cols[i] for i in self._by_pos]
         vals = self._value_positions(numeric_only=True)
         labels = [lbl for lbl, _ in vals]
-        exprs = [builder(fr.scol(i), keys) for _, i in vals]
+        guard = self._keys_notnull(keys)
+        wrap = (lambda e: e) if guard is None else (lambda e: F.when(guard, e))
+        exprs = [wrap(builder(fr.scol(i), keys)) for _, i in vals]
         return fr.project(labels, exprs)
 
     def cumsum(self):
@@ -392,7 +402,11 @@ class DataFrameGroupBy:
             # count from the end of the group: size - 1 - cumcount, via one
             # extra unordered group-count window over the same partitioning
             expr = F.count(F.lit(1)).over(Window.partitionBy(*keys)) - F.row_number().over(w)
-        out = Series._from_frame(fr.project(["cumcount"], [expr.cast("bigint")]))
+        expr = expr.cast("bigint")
+        guard = self._keys_notnull(keys)
+        if guard is not None:  # dropna: null-key rows count in no group (NaN)
+            expr = F.when(guard, expr)
+        out = Series._from_frame(fr.project(["cumcount"], [expr]))
         out._name = None  # pandas: cumcount is unnamed int64
         return out
 
@@ -572,8 +586,10 @@ class DataFrameGroupBy:
 
         fr = self._df._frame.ensure_order()
         keys = [fr.data_cols[i] for i in self._by_pos]
+        guard = self._keys_notnull(keys)
+        sdf = fr.sdf if guard is None else fr.sdf.where(guard)
         w = Window.partitionBy(*keys).orderBy(ORDER_COL)
-        sdf = fr.sdf.withColumn("__rn__", F.row_number().over(w))
+        sdf = sdf.withColumn("__rn__", F.row_number().over(w))
         sdf = sdf.where(F.col("__rn__") <= n).drop("__rn__")
         return DataFrame(_frame=fr._subset_rows(sdf))
 
@@ -591,9 +607,11 @@ class DataFrameGroupBy:
 
         fr = self._df._frame.ensure_order()
         keys = [fr.data_cols[i] for i in self._by_pos]
+        guard = self._keys_notnull(keys)
+        sdf = fr.sdf if guard is None else fr.sdf.where(guard)
         w = Window.partitionBy(*keys).orderBy(ORDER_COL)
         ns = list(n) if isinstance(n, (list, tuple)) else [n]
-        sdf = fr.sdf.withColumn("__rn__", F.row_number().over(w))
+        sdf = sdf.withColumn("__rn__", F.row_number().over(w))
         if any(v < 0 for v in ns):
             wc = Window.partitionBy(*keys)
             sdf = sdf.withColumn("__gn__", F.count(F.lit(1)).over(wc))
@@ -609,8 +627,10 @@ class DataFrameGroupBy:
 
         fr = self._df._frame.ensure_order()
         keys = [fr.data_cols[i] for i in self._by_pos]
+        guard = self._keys_notnull(keys)
+        sdf = fr.sdf if guard is None else fr.sdf.where(guard)
         w = Window.partitionBy(*keys).orderBy(F.col(ORDER_COL).desc())
-        sdf = fr.sdf.withColumn("__rn__", F.row_number().over(w))
+        sdf = sdf.withColumn("__rn__", F.row_number().over(w))
         sdf = sdf.where(F.col("__rn__") <= n).drop("__rn__")
         return DataFrame(_frame=fr._subset_rows(sdf))
 
@@ -631,8 +651,10 @@ class DataFrameGroupBy:
         _, i = vals[0]
         p = fr.data_cols[i]
         order = F.col(p).desc() if desc else F.col(p).asc()
+        guard = self._keys_notnull(keys)
+        sdf0 = fr.sdf if guard is None else fr.sdf.where(guard)
         w = Window.partitionBy(*keys).orderBy(order, F.col(ORDER_COL))
-        sdf = fr.sdf.withColumn("__rn__", F.row_number().over(w))
+        sdf = sdf0.withColumn("__rn__", F.row_number().over(w))
         sdf = sdf.where(F.col("__rn__") <= n).drop("__rn__")
         lbl = vals[0][0]
         key_labels = [self._df._frame.columns[j] for j in self._by_pos]
@@ -651,16 +673,28 @@ class DataFrameGroupBy:
         key_labels = [self._df._frame.columns[i] for i in self._by_pos]
         lbl, i = self._value_positions()[0]
         p = fr.data_cols[i]
-        per = fr.sdf.groupBy(*keys, F.col(p)).agg(F.min(ORDER_COL).alias("__o__"))
+        guard = self._keys_notnull(keys)
+        src = fr.sdf if guard is None else fr.sdf.where(guard)
+        per = src.groupBy(*keys, F.col(p)).agg(F.min(ORDER_COL).alias("__o__"))
         lists = per.groupBy(*keys).agg(
             F.transform(
                 F.array_sort(F.collect_list(F.struct(F.col("__o__"), F.col(p).alias("__v__")))),
                 lambda x: x["__v__"],
-            ).alias("__u__")
+            ).alias("__u__"),
+            F.min("__o__").alias("__go__"),
         )
+        # pandas key order: sorted keys NaN-last under sort=True, first
+        # appearance under sort=False — NOT whatever the hash agg emits
+        if self._sort:
+            order_fields = []
+            for i2, k in enumerate(keys):
+                order_fields.append(F.col(k).isNull().alias(f"__n{i2}__"))
+                order_fields.append(F.col(k).alias(f"__k{i2}__"))
+            lists = lists.withColumn(ORDER_COL, F.struct(*order_fields))
+        else:
+            lists = lists.withColumn(ORDER_COL, F.col("__go__"))
         out = SparkFrame(
-            lists.withColumn(ORDER_COL, F.monotonically_increasing_id()),
-            pd.Index([lbl]), ["__u__"], list(keys), list(key_labels),
+            lists, pd.Index([lbl]), ["__u__"], list(keys), list(key_labels),
         )
         return DataFrame(_frame=out)
 
@@ -813,7 +847,14 @@ class DataFrameGroupBy:
             [fr.sdf.schema[ORDER_COL]] + [T.StructField(p, T.DoubleType()) for p in val_phys]
         )
 
+        dropna = self._dropna
+
         def apply_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+            if dropna and pdf[keys].iloc[0].isnull().any():
+                # pandas: the SQL-NULL key group is no group — NaN output
+                res = pd.DataFrame(np.nan, index=range(len(pdf)), columns=val_phys)
+                res.insert(0, ORDER_COL, pdf[ORDER_COL].values)
+                return res
             named = pdf[val_phys].copy()
             named.columns = labels
             res = func(named, *args, **kwargs)
@@ -844,10 +885,12 @@ class DataFrameGroupBy:
             named.columns = labels
             return pdf if bool(func(named)) else pdf.iloc[0:0]
 
-        sdf = fr.sdf.groupBy(*keys).applyInPandas(apply_fn, fr.sdf.schema)
+        guard = self._keys_notnull(keys)
+        src = fr.sdf if guard is None else fr.sdf.where(guard)
+        sdf = src.groupBy(*keys).applyInPandas(apply_fn, fr.sdf.schema)
         return DataFrame(_frame=fr._subset_rows(sdf))
 
-    def apply(self, func, *args, **kwargs):
+    def apply(self, func, *args, include_groups=True, **kwargs):
         from modin_spark.pandas.dataframe import DataFrame
 
         vl = getattr(self, "_value_labels", None)
@@ -858,10 +901,30 @@ class DataFrameGroupBy:
             # narrowed apply: pandas hands func ONLY the selected columns
             inner1 = func
             func = lambda d, _f=inner1, _v=list(vl): _f(d[_v])
+        elif not include_groups:
+            # pandas 2.2: include_groups=False excludes the grouping columns
+            # from the frame handed to func (the deprecation-free spelling)
+            inner2 = func
+            drop = list(self._by_labels)
+            func = lambda d, _f=inner2, _d=drop: _f(d.drop(columns=_d))
+        else:
+            # pandas 2.2 deprecates operating on the grouping columns
+            import warnings
+
+            warnings.warn(
+                "DataFrameGroupBy.apply operated on the grouping columns. "
+                "This behavior is deprecated, and in a future version of "
+                "pandas the grouping columns will be excluded from the "
+                "operation. Either pass `include_groups=False` to exclude "
+                "the groupings or explicitly select the grouping columns "
+                "after groupby to silence this warning.",
+                DeprecationWarning,
+                stacklevel=2,
+            )
         kind = []
         out = qc.groupby_apply(self._df._frame, self._by_pos, func,
                                group_keys=getattr(self, "_group_keys", True),
-                               kind_out=kind)
+                               kind_out=kind, dropna=self._dropna)
         if kind == ["scalar"]:
             # pandas: scalar-per-group apply is a group-keyed SERIES
             s = Series._from_frame(out)
@@ -914,8 +977,10 @@ class _NthSelector:
         g = self._g
         fr = g._df._frame.ensure_order()
         keys = [fr.data_cols[i] for i in g._by_pos]
+        guard = g._keys_notnull(keys)
+        sdf = fr.sdf if guard is None else fr.sdf.where(guard)
         w = Window.partitionBy(*keys).orderBy(ORDER_COL)
-        sdf = fr.sdf.withColumn("__rn__", F.row_number().over(w) - 1)
+        sdf = sdf.withColumn("__rn__", F.row_number().over(w) - 1)
         start, stop, step = key.start, key.stop, key.step or 1
         if step <= 0:
             raise NotImplementedError("groupby.nth[] with a non-positive step")
@@ -1018,7 +1083,13 @@ class SeriesGroupBy:
         # bypass the narrowing wrapper: inner needs the key-labeled frame
         g2 = DataFrameGroupBy(g._df, g._by_labels, g._as_index, g._dropna, g._sort,
                               group_keys=getattr(g, "_group_keys", True))
-        res = g2.apply(inner)
+        import warnings
+
+        with warnings.catch_warnings():
+            # the internal frame-level apply is not a user "operated on the
+            # grouping columns" call — pandas' SeriesGroupBy.apply never warns
+            warnings.simplefilter("ignore", DeprecationWarning)
+            res = g2.apply(inner)
         if isinstance(res, Series):  # scalar-per-group path
             res._name = col
             return res
@@ -1217,11 +1288,14 @@ def _g_sample(self, n=None, frac=None, random_state=None):
 
     fr = self._df._frame
     seed = random_state if random_state is not None else 42
+    guard = self._keys_notnull([fr.data_cols[i] for i in self._by_pos])
     if frac is not None and n is None:
-        return DataFrame(_frame=fr.filter(F.rand(seed) < float(frac)))
+        cond = F.rand(seed) < float(frac)
+        return DataFrame(_frame=fr.filter(cond if guard is None else (cond & guard)))
     keys = [F.col(fr.data_cols[i]) for i in self._by_pos]
+    src = fr.sdf if guard is None else fr.sdf.where(guard)
     w = Window.partitionBy(*keys).orderBy(F.rand(seed))
-    sdf = fr.sdf.withColumn("__rn__", F.row_number().over(w)).where(F.col("__rn__") <= int(n)).drop("__rn__")
+    sdf = src.withColumn("__rn__", F.row_number().over(w)).where(F.col("__rn__") <= int(n)).drop("__rn__")
     return DataFrame(_frame=fr._subset_rows(sdf))
 
 
@@ -1245,11 +1319,12 @@ def _g_take(self, indices):
         base0 = fr.with_pandas_labels(lc)
         fr = base0._same_rows(base0.sdf, index_cols=[lc], index_names=[None])
     keys = [F.col(fr.data_cols[i]) for i in self._by_pos]
+    guard = self._keys_notnull([fr.data_cols[i] for i in self._by_pos])
     w = Window.partitionBy(*keys).orderBy(F.col(ORDER_COL))
     pos = [int(i) for i in indices if i >= 0]
     neg = [-int(i) for i in indices if i < 0]  # 1-based offsets from the end
     cond = None
-    sdf = fr.sdf
+    sdf = fr.sdf if guard is None else fr.sdf.where(guard)
     if pos:
         sdf = sdf.withColumn("__rn__", F.row_number().over(w) - 1)
         cond = F.col("__rn__").isin(pos)
@@ -1428,12 +1503,22 @@ class _GroupedResampler:
         return getattr(self._g, name)
 
 
+def _apply_nowarn(g, func):
+    """Internal frame-level apply — not a user 'operated on the grouping
+    columns' call, so pandas' include_groups deprecation must not fire."""
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        return g.apply(func)
+
+
 def _g_corr(self, method="pearson"):
-    return self.apply(lambda pdf: pdf.corr(numeric_only=True))
+    return _apply_nowarn(self, lambda pdf: pdf.corr(numeric_only=True))
 
 
 def _g_cov(self):
-    return self.apply(lambda pdf: pdf.cov(numeric_only=True))
+    return _apply_nowarn(self, lambda pdf: pdf.cov(numeric_only=True))
 
 
 def _g_corrwith(self, other, axis=0, drop=False, method="pearson", numeric_only=False):
@@ -1457,7 +1542,7 @@ def _g_corrwith(self, other, axis=0, drop=False, method="pearson", numeric_only=
     def f(d, _v=list(vals), _m=method):
         return d[_v].corrwith(d[tmp], method=_m)
 
-    return g2.apply(f)
+    return _apply_nowarn(g2, f)
 
 
 def _g_pipe(self, func, *a, **k):

@@ -1025,7 +1025,25 @@ class Series:
             s = Series(self._frame, F.lit(False), self._refs, self._name)
             s._semijoin = (values, self._expr, False)
             return s
-        return self._map1(lambda c: F.coalesce(c.isin(list(values)), F.lit(False)))
+        vals = list(values)
+        # pandas: a missing sentinel IN the values list matches missing
+        # elements (SQL IN never matches NULL) — and the sentinels don't
+        # cross-match: float columns hit only on an actual float NaN in the
+        # list, object columns only on None (pandas 2.2 behavior)
+        has_none = any(v is None for v in vals)
+        has_nan = any(isinstance(v, float) and v != v for v in vals)
+        rest = [v for v in vals if not (v is None or (isinstance(v, float) and v != v))]
+        floaty = isinstance(self.spark_type, (T.FloatType, T.DoubleType))
+        match_missing = has_nan if floaty else has_none
+        if not match_missing:
+            return self._map1(lambda c: F.coalesce(c.isin(rest), F.lit(False)))
+
+        def f(c):
+            hit = F.coalesce(c.isin(rest), F.lit(False)) if rest else F.lit(False)
+            miss = (c.isNull() | F.isnan(c)) if floaty else c.isNull()
+            return hit | miss
+
+        return self._map1(f)
 
     def between(self, left, right, inclusive="both") -> "Series":
         ops = {

@@ -52,6 +52,13 @@ def get_spark() -> SparkSession:
     builder = SparkSession.builder.master(f"local[{cpus}]").appName("modin_spark")
     for k, v in _DEFAULTS.items():
         builder = builder.config(k, v)
+    # NPartitions.put() records its choice in MODIN_SPARK_SHUFFLE_PARTITIONS;
+    # read it at session-BUILD time, not module import — the module imports
+    # on `import modin_spark.pandas`, before any user put() can run
+    builder = builder.config(
+        "spark.sql.shuffle.partitions",
+        os.environ.get("MODIN_SPARK_SHUFFLE_PARTITIONS",
+                       os.environ.get("SPARK_GRAFT_CPUS", "32")))
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     return spark

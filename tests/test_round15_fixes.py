@@ -1,0 +1,276 @@
+"""Round-15 fixes: ADVICE r14 punch list + VERDICT r14 "what's wrong/missing",
+differential vs pandas (reference test model: modin's test_series /
+test_groupby suites)."""
+import warnings
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import modin_spark.pandas as mpd
+
+warnings.filterwarnings("ignore")
+
+
+def eq_series(m, p):
+    g = m.to_pandas() if hasattr(m, "to_pandas") else m
+    pd.testing.assert_series_equal(g, p, check_dtype=False, check_index_type=False,
+                                   check_freq=False, check_categorical=False)
+
+
+def eq_frame(m, p):
+    g = m.to_pandas() if hasattr(m, "to_pandas") else m
+    pd.testing.assert_frame_equal(g, p, check_dtype=False, check_index_type=False,
+                                  check_freq=False, check_categorical=False)
+
+
+# ---------------------------------------------------------- ADVICE high #1
+def test_rank_with_subnormals():
+    """order_bucket_sql: pow(2, 6-e) overflowed to +inf for e <= -1018, so
+    every double with |v| < ~3.6e-307 got a sign-inverted bucket — ranks
+    were wrong for the WHOLE column whenever one tiny value was present."""
+    vals = [1e-310, -3.2, 5e-320, 0.0, 2.5, -1e-312, 7.0, 3.6e-307]
+    eq_series(mpd.Series(vals).rank(), pd.Series(vals).rank())
+    eq_series(mpd.Series(vals).rank(method="min"), pd.Series(vals).rank(method="min"))
+    # mixed with inf/NaN (the r14 fix covered only the +/-inf side)
+    vals2 = [1e-310, float("inf"), float("nan"), -5e-315, float("-inf"), 1.0]
+    eq_series(mpd.Series(vals2).rank(), pd.Series(vals2).rank())
+
+
+def test_sort_values_with_subnormals():
+    p = pd.DataFrame({"t": [1e-310, 2.0, 5e-320, -1e-320, 1.0, 2.2e-308],
+                      "v": [1, 2, 3, 4, 5, 6]})
+    m = mpd.DataFrame(p)
+    assert m.sort_values("t").to_pandas()["v"].tolist() == \
+        p.sort_values("t")["v"].tolist()
+
+
+def test_merge_asof_with_subnormals():
+    left = pd.DataFrame({"t": [5e-320, 1e-310, 1.0, 2.0]}).sort_values("t")
+    right = pd.DataFrame({"t": [1e-315, 0.5, 1.5], "v": [10, 20, 30]}).sort_values("t")
+    p = pd.merge_asof(left, right, on="t")
+    m = mpd.merge_asof(mpd.DataFrame(left), mpd.DataFrame(right), on="t")
+    eq_frame(m.reset_index(drop=True), p.reset_index(drop=True))
+
+
+# ------------------------------------------------- What's wrong #1: null keys
+@pytest.fixture(scope="module")
+def nullkey():
+    p = pd.DataFrame({"k": ["a", "b", None, "c", "b", "a"],
+                      "w": [10.0, 20.0, 30.0, 40.0, 50.0, 60.0]})
+    return p, mpd.DataFrame(p)
+
+
+@pytest.mark.parametrize("op", ["mean", "sum", "size", "nunique", "first",
+                                "any", "max"])
+def test_nullkey_transform_aggs(nullkey, op):
+    p, m = nullkey
+    eq_series(m.groupby("k").w.transform(op), p.groupby("k").w.transform(op))
+
+
+@pytest.mark.parametrize("meth", ["cumsum", "cumprod", "cummax", "cummin",
+                                  "rank", "shift", "diff", "ffill", "bfill",
+                                  "pct_change"])
+def test_nullkey_window_methods(nullkey, meth):
+    p, m = nullkey
+    eq_series(getattr(m.groupby("k").w, meth)(), getattr(p.groupby("k").w, meth)())
+
+
+def test_nullkey_cumcount(nullkey):
+    p, m = nullkey
+    eq_series(m.groupby("k").cumcount(), p.groupby("k").cumcount())
+
+
+def test_nullkey_callable_transform(nullkey):
+    p, m = nullkey
+    eq_series(m.groupby("k").w.transform(lambda s: s - s.mean()),
+              p.groupby("k").w.transform(lambda s: s - s.mean()))
+
+
+def test_nullkey_row_selectors(nullkey):
+    p, m = nullkey
+    for n in (1, 2):
+        assert sorted(m.groupby("k").head(n).to_pandas()["w"]) == \
+            sorted(p.groupby("k").head(n)["w"])
+        assert sorted(m.groupby("k").tail(n).to_pandas()["w"]) == \
+            sorted(p.groupby("k").tail(n)["w"])
+    assert sorted(m.groupby("k").nth(0).to_pandas()["w"]) == \
+        sorted(p.groupby("k").nth(0)["w"])
+    assert sorted(m.groupby("k").nth[:1].to_pandas()["w"]) == \
+        sorted(p.groupby("k").nth[:1]["w"])
+
+
+def test_nullkey_filter_and_apply(nullkey):
+    p, m = nullkey
+    assert sorted(m.groupby("k").filter(lambda d: d.w.sum() > 25).to_pandas()["w"]) == \
+        sorted(p.groupby("k").filter(lambda d: d.w.sum() > 25)["w"])
+    pa = p.groupby("k").apply(lambda d: d.w.sum(), include_groups=False)
+    ma = m.groupby("k").apply(lambda d: d.w.sum(), include_groups=False)
+    eq_series(ma, pa)
+
+
+def test_nullkey_dropna_false_unchanged(nullkey):
+    p, m = nullkey
+    eq_series(m.groupby("k", dropna=False).w.cumsum(),
+              p.groupby("k", dropna=False).w.cumsum())
+    eq_series(m.groupby("k", dropna=False).w.transform("mean"),
+              p.groupby("k", dropna=False).w.transform("mean"))
+    eq_series(m.groupby("k", dropna=False).w.rank(),
+              p.groupby("k", dropna=False).w.rank())
+
+
+def test_nullkey_multikey_transform():
+    p = pd.DataFrame({"k1": ["a", "a", None, "b"], "k2": [1.0, None, 1.0, 1.0],
+                      "w": [1.0, 2.0, 3.0, 4.0]})
+    m = mpd.DataFrame(p)
+    eq_series(m.groupby(["k1", "k2"]).w.transform("sum"),
+              p.groupby(["k1", "k2"]).w.transform("sum"))
+    eq_series(m.groupby(["k1", "k2"]).w.cumsum(),
+              p.groupby(["k1", "k2"]).w.cumsum())
+
+
+def test_nullkey_unique_order():
+    p = pd.DataFrame({"k": ["b", "a", None, "a"], "w": [1.0, 2.0, 3.0, 1.0]})
+    m = mpd.DataFrame(p)
+    got = m.groupby("k").w.unique().to_pandas()
+    want = p.groupby("k").w.unique()
+    assert list(got.index) == list(want.index)
+    assert [list(x) for x in got] == [list(x) for x in want]
+    got_ns = m.groupby("k", sort=False).w.unique().to_pandas()
+    assert list(got_ns.index) == ["b", "a"]
+
+
+# ----------------------------------------- What's missing #1: include_groups
+def test_apply_include_groups_false():
+    p = pd.DataFrame({"k": ["a", "b", "a"], "v": [1, 2, 3]})
+    m = mpd.DataFrame(p)
+    pa = p.groupby("k").apply(lambda d: d.sum(), include_groups=False)
+    ma = m.groupby("k").apply(lambda d: d.sum(), include_groups=False)
+    eq_frame(ma, pa)
+
+
+def test_apply_include_groups_true_warns():
+    m = mpd.DataFrame({"k": ["a", "b"], "v": [1, 2]})
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        m.groupby("k").apply(lambda d: d.v.sum())
+    assert any(issubclass(w.category, DeprecationWarning) for w in rec)
+
+
+# ----------------------------------------------- What's wrong #2: bool cumsum
+def test_bool_cumsum_cumprod():
+    p = pd.Series([1.0, 5.0, 2.0, 8.0, 3.0])
+    m = mpd.Series(p)
+    eq_series((m > 2).cumsum(), (p > 2).cumsum())
+    eq_series((m > 2).cumprod(), (p > 2).cumprod())
+    eq_series((m > 2).cummax(), (p > 2).cummax())
+    eq_series((m > 2).cummin(), (p > 2).cummin())
+
+
+def test_bool_cumsum_frame():
+    p = pd.DataFrame({"a": [True, False, True], "b": [False, False, True]})
+    m = mpd.DataFrame(p)
+    eq_frame(m.cumsum(), p.cumsum())
+
+
+# ------------------------------------------------- What's wrong #3: isin NaN
+def test_isin_nan_float():
+    p = pd.Series([1.0, np.nan, 3.0])
+    m = mpd.Series(p)
+    eq_series(m.isin([1.0, np.nan]), p.isin([1.0, np.nan]))
+    eq_series(m.isin([np.nan]), p.isin([np.nan]))
+    # pandas: None does NOT match float NaN
+    eq_series(m.isin([None]), p.isin([None]))
+    eq_series(m.isin([3.0]), p.isin([3.0]))
+
+
+def test_isin_none_object():
+    p = pd.Series(["a", None, "b"])
+    m = mpd.Series(p)
+    eq_series(m.isin(["a", None]), p.isin(["a", None]))
+    eq_series(m.isin([None]), p.isin([None]))
+    eq_series(m.isin(["b"]), p.isin(["b"]))
+
+
+def test_frame_isin_missing():
+    p = pd.DataFrame({"x": [1.0, np.nan], "y": ["u", None]})
+    m = mpd.DataFrame(p)
+    eq_frame(m.isin([np.nan, "u"]), p.isin([np.nan, "u"]))
+    eq_frame(m.isin([None, 1.0]), p.isin([None, 1.0]))
+    eq_frame(m.isin({"x": [np.nan], "y": [None]}), p.isin({"x": [np.nan], "y": [None]}))
+
+
+def test_isin_nan_filter_roundtrip():
+    """The silent-wrong-answer case: a filter deliberately selecting missing."""
+    p = pd.DataFrame({"v": [1.0, np.nan, 2.0, np.nan]})
+    m = mpd.DataFrame(p)
+    eq_frame(m[m.v.isin([np.nan])].reset_index(drop=True),
+             p[p.v.isin([np.nan])].reset_index(drop=True))
+
+
+# --------------------------------------- What's missing #2: corr min_periods
+def test_corr_cov_min_periods():
+    p = pd.DataFrame({"a": [1.0, 2.0, np.nan, 4.0, 5.0],
+                      "b": [2.0, np.nan, np.nan, 8.0, 1.0],
+                      "c": [1.0, 1.0, 2.0, 3.0, 5.0]})
+    m = mpd.DataFrame(p)
+    for mp in (None, 3, 4, 5):
+        got = m.corr(min_periods=mp)
+        want = p.corr(min_periods=mp)
+        assert np.allclose(got.values, want.values, equal_nan=True)
+    got = m.cov(min_periods=4)
+    want = p.cov(min_periods=4)
+    assert np.allclose(got.values, want.values, equal_nan=True)
+    got = m.corr(method="spearman", min_periods=5)
+    want = p.corr(method="spearman", min_periods=5)
+    assert np.allclose(got.values, want.values, equal_nan=True)
+
+
+# ------------------------------------------ What's missing #3: sample(n>len)
+def test_sample_oversize_raises():
+    m = mpd.DataFrame({"v": [1, 2, 3]})
+    with pytest.raises(ValueError, match="larger sample than population"):
+        m.sample(n=10)
+    assert len(m.sample(n=10, replace=True).to_pandas()) == 10
+    assert len(m.sample(n=2).to_pandas()) == 2
+
+
+# --------------------------------------------- config: env write-through etc.
+def test_env_var_fires_on_put(monkeypatch):
+    """ADVICE medium: env-sourced get() must run the write-through hook."""
+    import modin_spark.config as cfg
+
+    import os
+
+    from modin_spark.config import _UNSET
+
+    monkeypatch.setenv("MODIN_NPARTITIONS", "13")
+    old_v, old_src = cfg.NPartitions._value, cfg.NPartitions._value_source
+    old_env = os.environ.get("MODIN_SPARK_SHUFFLE_PARTITIONS")
+    try:
+        cfg.NPartitions._value = _UNSET
+        assert cfg.NPartitions.get() == 13
+        # the hook mirrors the choice into the session-build env var
+        assert os.environ.get("MODIN_SPARK_SHUFFLE_PARTITIONS") == "13"
+    finally:
+        cfg.NPartitions._value, cfg.NPartitions._value_source = old_v, old_src
+        if old_env is None:
+            os.environ.pop("MODIN_SPARK_SHUFFLE_PARTITIONS", None)
+        else:
+            os.environ["MODIN_SPARK_SHUFFLE_PARTITIONS"] = old_env
+
+
+def test_context_restores_none():
+    """ADVICE low: context() restore must not stringify a prior None."""
+    import modin_spark.config as cfg
+
+    assert cfg.AsvDataSizeConfig.get() is None
+    with cfg.context(AsvDataSizeConfig="abc"):
+        assert cfg.AsvDataSizeConfig.get() == "abc"
+    assert cfg.AsvDataSizeConfig.get() is None
+
+
+def test_normalize_none_identity():
+    import modin_spark.config as cfg
+
+    assert cfg.AsvDataSizeConfig.normalize(None) is None
