@@ -317,6 +317,25 @@ def _cumsum_by_group(spark, sf):
     return out.to_spark(ordered=False)
 
 
+def _nullkey_group_transform(spark, sf):
+    """Null-key groupby transforms (r15): rows whose grouping key is SQL
+    NULL belong to NO group under pandas' default dropna=True — transform /
+    cumsum / rank must emit NaN there, not treat NULL as an ordinary group
+    (Spark windows would). Key synthesized deterministically (testdata has
+    no nulls); NaN collapsed to a -1.0 sentinel so the value-hash compare
+    still detects an engine that wrongly emits group values. Reference
+    semantics: modin/pandas/groupby.py dropna plumbing."""
+    mpd = _mpd()
+    o = mpd.read_parquet(f"{sf}/orders.parquet").sort_values("o_orderkey")
+    o["k"] = o.o_orderpriority.where(o.o_custkey % 7 != 0)
+    g = o.groupby("k")
+    out = o[["o_orderkey"]]
+    out["grp_mean"] = _r(g.o_totalprice.transform("mean"), 2).fillna(-1.0)
+    out["grp_cumsum"] = _r(g.o_totalprice.cumsum(), 2).fillna(-1.0)
+    out["grp_rank"] = g.o_totalprice.rank(method="min").fillna(-1.0)
+    return out.to_spark(ordered=False)
+
+
 def _shift_diff(spark, sf):
     mpd = _mpd()
     ev = mpd.read_parquet(f"{sf}/events.parquet").sort_values("event_id")
@@ -1047,6 +1066,50 @@ def _multimodal_jpeg_stats(spark, sf):
 
     media = emb.mapInPandas(mk, "vec_id long, payload binary")
     return image_stats(media).select("vec_id", "width", "height", "mean_lum", "var_lum")
+
+
+def _multimodal_jpeg420_stats(spark, sf):
+    """REAL 4:2:0 chroma-subsampled JPEG decode (r15) — the dominant
+    camera/web layout. 16x16 color JPEGs are ENCODED executor-side from
+    deterministic quantized coefficients (media_codecs.encode_jpeg_color420:
+    4 Y blocks + 1 Cb + 1 Cr per MCU, Y sampling 2x2), then decoded by the
+    generalized T.81 pipeline (sampling-factor MCU walk + nearest-neighbor
+    chroma doubling) inside operators.multimodal.image_channel_stats.
+    Exactness: Y coefficients sit at (0,0)/(0,4) with qstep 8 (pixel values
+    128+dc±ac, integers); chroma is DC-only, so after 2x upsampling each
+    chroma plane is the CONSTANT 128+c — the RGB conversion is then an
+    affine shift whose round() the oracle replays in SQL (verified: zero
+    round-boundary collisions over the whole coefficient domain). Scale
+    shape: mapInPandas, per-row independent, zero shuffle."""
+    import numpy as np
+
+    from modin_spark.operators.multimodal import image_channel_stats
+
+    emb = _rp(spark, f"{sf}/embeddings.parquet").where(F.col("vec_id") < 16).select("vec_id")
+
+    def mk(batches):
+        from modin_spark.operators.media_codecs import encode_jpeg_color420
+
+        for pdf in batches:
+            payloads = []
+            for i in pdf["vec_id"]:
+                i = int(i)
+                cy = np.zeros((2, 2, 8, 8), dtype=np.int64)
+                for b in range(4):
+                    r, c = divmod(b, 2)
+                    cy[r, c, 0, 0] = (i * 5 + b * 3) % 41 - 20
+                    cy[r, c, 0, 4] = (i * 3 + b * 7) % 31 - 15
+                cb = np.zeros((1, 1, 8, 8), dtype=np.int64)
+                cr = np.zeros((1, 1, 8, 8), dtype=np.int64)
+                cb[0, 0, 0, 0] = i % 21 - 10
+                cr[0, 0, 0, 0] = (i * 7) % 21 - 10
+                q = np.full((8, 8), 8, dtype=np.int64)
+                payloads.append(encode_jpeg_color420(cy, cb, cr, 16, 16, q, q))
+            yield pdf.assign(payload=payloads)
+
+    media = emb.mapInPandas(mk, "vec_id long, payload binary")
+    return image_channel_stats(media).select(
+        "vec_id", "width", "height", "mean_r", "mean_g", "mean_b")
 
 
 def _multimodal_media_meta(spark, sf):
@@ -2342,6 +2405,36 @@ def _q22_global_sales(spark, sf):
 # decode dispatch (PNG|JPEG sniff); (c) stalest fill — rows last driver-
 # scored in round 11. Everything else stays verified each round by the full
 # local sweep (tools/check_entry.py, 139/139 green at sf0.01).
+# r15 rotation: (a) the two NEW rows (null-key transform gate, 4:2:0 JPEG);
+# (b) rows riding r15 machinery — the order-bucket exponent clamp
+# (rank/asof/sort), the groupby dropna guards (transform/filter/head/
+# first_last/idxmax/median), the isin rewrite, corr(min_periods=), cum_op
+# bool cast; (c) stalest fill — all 11 rows last scored in round 11, then
+# round-12 rows. Everything else stays verified by the full local sweep
+# (tools/check_entry.py, 141/141 green at sf0.01).
+_R15_PREFIX = [
+    # (a) must-score new
+    "nullkey_group_transform", "multimodal_jpeg420_stats",
+    # (b) r15 machinery
+    "rank_min", "rank_frame", "asof_join", "asof_nearest", "sort_topk",
+    "cumsum_by_group", "groupby_transform_demean", "groupby_filter_large",
+    "groupby_head2", "groupby_first_last", "groupby_idxmax",
+    "groupby_median_quantile", "isin_filter", "corr_cov", "ngroup_labels",
+    # (c) stalest (last scored r11)
+    "cube_agg", "docs_exact_dedup", "docs_norm_distinct", "docs_token_stats",
+    "emb_ivf_recall", "emb_ivf_topk", "emb_lsh_recall", "emb_lsh_topk",
+    "filter_project", "q1_pricing_summary", "q3_top_orders",
+    # (c) stalest (last scored r12)
+    "describe_stats", "docs_clean_corpus", "docs_fingerprint",
+    "docs_langid_quality", "docs_minhash_dedup", "docs_ngram_dedup",
+    "docs_simhash_dedup", "emb_cosine_dedup", "explode_words",
+    "melt_unpivot", "multiindex3_cols_agg", "multiindex_cols_agg",
+    "multiindex_regroup", "pivot_flag_status", "pivot_typed_keys",
+    "q11_important_parts", "q12_priority_lines", "q15_top_supplier",
+    "q16_supplier_count", "q17_small_quantity", "q18_large_volume",
+    "q19_brand_filter",
+]
+
 _R14_PREFIX = [
     # (a) must-score
     "expanding_pair_cov", "expanding_median_exact", "multimodal_jpeg_stats",
@@ -2430,6 +2523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _multimodal_features,
         "multimodal_png_stats": _multimodal_png_stats,
         "multimodal_jpeg_stats": _multimodal_jpeg_stats,
+        "multimodal_jpeg420_stats": _multimodal_jpeg420_stats,
         "multimodal_media_meta": _multimodal_media_meta,
         # (c) machinery touched this round
         "rolling_mean": _rolling_mean,
@@ -2481,6 +2575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "groupby_multi_agg": _groupby_multi_agg,
         "groupby_nunique": _groupby_nunique,
         "cumsum_by_group": _cumsum_by_group,
+        "nullkey_group_transform": _nullkey_group_transform,
         "q1_pricing_summary": _q1,
         "q3_top_orders": _q3,
         "concat_cols_aligned": _concat_cols_aligned,
@@ -2541,7 +2636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_jaccard_pairs": _docs_jaccard_pairs,
         "emb_brute_topk": _emb_brute_topk,
     }
-    ordered = {k: all_q[k] for k in _R14_PREFIX}
+    ordered = {k: all_q[k] for k in _R15_PREFIX}
     ordered.update({k: v for k, v in all_q.items() if k not in ordered})
     return ordered
 
@@ -3122,6 +3217,28 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY o_custkey ORDER BY o_orderkey
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_price
             FROM orders
+        """,
+        "nullkey_group_transform": """
+            WITH t AS (
+                SELECT o_orderkey, o_totalprice,
+                       CASE WHEN o_custkey % 7 = 0 THEN NULL
+                            ELSE o_orderpriority END AS k
+                FROM orders
+            )
+            SELECT o_orderkey,
+                   CASE WHEN k IS NULL THEN -1.0
+                        ELSE ROUND(AVG(o_totalprice) OVER (PARTITION BY k), 2)
+                   END AS grp_mean,
+                   CASE WHEN k IS NULL THEN -1.0
+                        ELSE ROUND(SUM(o_totalprice) OVER (
+                            PARTITION BY k ORDER BY o_orderkey
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                   END AS grp_cumsum,
+                   CASE WHEN k IS NULL THEN -1.0
+                        ELSE CAST(RANK() OVER (
+                            PARTITION BY k ORDER BY o_totalprice) AS DOUBLE)
+                   END AS grp_rank
+            FROM t
         """,
         "shift_diff": """
             SELECT event_id,
@@ -4216,6 +4333,31 @@ def oracle_sql() -> dict[str, str]:
                    128.0 + AVG(dc) AS mean_lum,
                    AVG((128.0 + dc) * (128.0 + dc) + ac * ac)
                      - (128.0 + AVG(dc)) * (128.0 + AVG(dc)) AS var_lum
+            FROM blocks
+            GROUP BY vec_id
+        """,
+        # r15: exact replay of the 4:2:0 decode — per Y block (b 0..3) the
+        # pixels split 32/32 into 128+dc±ac; DC-only chroma upsamples to the
+        # constants cb0/cr0, so every RGB pixel is round(Y + affine-shift)
+        # with no clipping in this coefficient domain (and no value lands on
+        # a .5 round boundary — verified over the whole domain)
+        "multimodal_jpeg420_stats": """
+            WITH blocks AS (
+                SELECT e.vec_id,
+                       CAST((e.vec_id * 5 + t.b * 3) % 41 - 20 AS DOUBLE) AS dc,
+                       CAST((e.vec_id * 3 + t.b * 7) % 31 - 15 AS DOUBLE) AS ac,
+                       CAST(e.vec_id % 21 - 10 AS DOUBLE) AS cb0,
+                       CAST((e.vec_id * 7) % 21 - 10 AS DOUBLE) AS cr0
+                FROM (SELECT vec_id FROM embeddings WHERE vec_id < 16) e
+                CROSS JOIN generate_series(0, 3) t(b)
+            )
+            SELECT vec_id, 16 AS width, 16 AS height,
+                   AVG((ROUND(128.0 + dc + ac + 1.402 * cr0)
+                      + ROUND(128.0 + dc - ac + 1.402 * cr0)) / 2.0) AS mean_r,
+                   AVG((ROUND(128.0 + dc + ac - 0.344136 * cb0 - 0.714136 * cr0)
+                      + ROUND(128.0 + dc - ac - 0.344136 * cb0 - 0.714136 * cr0)) / 2.0) AS mean_g,
+                   AVG((ROUND(128.0 + dc + ac + 1.772 * cb0)
+                      + ROUND(128.0 + dc - ac + 1.772 * cb0)) / 2.0) AS mean_b
             FROM blocks
             GROUP BY vec_id
         """,

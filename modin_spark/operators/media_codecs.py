@@ -4,8 +4,10 @@ so image/audio decode, feature extraction, and resize are genuine for the
 two formats the Python standard library can express — no PIL/cv2/torchaudio
 needed. r14 adds a REAL baseline-JPEG codec (pure numpy Huffman + IDCT;
 SOF0 grayscale and 4:4:4 YCbCr color — see the section at the bottom of
-this file); progressive JPEG, chroma-SUBSAMPLED color, MP3 and video
-sample decode remain declared stubs.
+this file); r15 extends it to chroma-subsampled layouts (4:2:0 — the
+dominant camera/web format — and 4:2:2, nearest-neighbor chroma
+reconstruction). Progressive JPEG, MP3 and video sample decode remain
+declared stubs.
 
 PNG scope: 8-bit depth, color types 0 (gray), 2 (RGB), 3 (palette),
 4 (gray+alpha), 6 (RGBA), non-interlaced; all five scanline filters
@@ -652,8 +654,10 @@ def decode_jpeg_baseline(data: bytes) -> np.ndarray:
     canonical Huffman entropy decode, DC DPCM, AC run-length/ZRL/EOB,
     dequantize, inverse zigzag, orthonormal 2-D IDCT, +128 level shift,
     round + clip. Components: 1 (grayscale, returns (H, W)) or 3
-    interleaved 4:4:4 YCbCr (returns (H, W, 3) RGB via the JFIF/T.871
-    matrix). Progressive (SOF2), chroma-SUBSAMPLED color, and
+    interleaved YCbCr with per-component sampling factors 1-2 — 4:4:4,
+    4:2:2 and 4:2:0 (the dominant camera/web layout) all decode; subsampled
+    chroma is reconstructed by nearest-neighbor pixel doubling, then the
+    JFIF/T.871 matrix maps to (H, W, 3) RGB. Progressive (SOF2) and
     arithmetic-coded streams raise NotImplementedError — the declared
     remaining stub surface.
     """
@@ -708,10 +712,13 @@ def decode_jpeg_baseline(data: bytes) -> np.ndarray:
             for ci in range(ncomp):
                 cid, samp, tq = seg[6 + 3 * ci:9 + 3 * ci]
                 comps.append((cid, samp, tq))
-            if ncomp not in (1, 3) or any(s != 0x11 for _, s, _ in comps):
+            if ncomp not in (1, 3) or any(
+                (s >> 4) not in (1, 2) or (s & 15) not in (1, 2)
+                for _, s, _ in comps
+            ):
                 raise NotImplementedError(
-                    "decode_jpeg_baseline: 1-component grayscale or "
-                    "3-component 4:4:4 (no chroma subsampling) only")
+                    "decode_jpeg_baseline: 1 or 3 components with sampling "
+                    "factors 1-2 only (covers 4:4:4, 4:2:2 and 4:2:0)")
             dims = (h, w)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
@@ -753,55 +760,73 @@ def decode_jpeg_baseline(data: bytes) -> np.ndarray:
         j += 1
 
     h, w = dims
-    by = (h + 7) // 8
-    bx = (w + 7) // 8
     ncomp = len(comps)
+    samps = [((s >> 4), (s & 15)) for _, s, _ in comps]
+    hmax = max(h0 for h0, _ in samps)
+    vmax = max(v0 for _, v0 in samps)
+    # MCU grid: hmax*8 x vmax*8 pixels per MCU; each component contributes
+    # h0*v0 blocks per MCU (T.81 A.2.3). Grayscale/4:4:4 degenerate to the
+    # one-block-per-component case.
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
     cq = [qtables[tq] for _, _, tq in comps]
     ctabs = [(hufftabs[(0, scan_tabs[cid][0])], hufftabs[(1, scan_tabs[cid][1])])
              for cid, _, _ in comps]
     br = _BitReader(bytes(ecs))
     reset_set = set(resets)
-    planes = [np.empty((by * 8, bx * 8), dtype=np.float64) for _ in range(ncomp)]
+    planes = [np.empty((mcuy * v0 * 8, mcux * h0 * 8), dtype=np.float64)
+              for h0, v0 in samps]
     preds = [0] * ncomp
     nmcu = 0
     coef = np.zeros(64, dtype=np.int64)
-    for r in range(by):
-        for c in range(bx):
+    for my in range(mcuy):
+        for mx in range(mcux):
             if restart_interval and nmcu and nmcu % restart_interval == 0 and reset_set:
                 # byte-align to the recorded restart boundary
                 br.acc = 0
                 br.nbits = 0
                 preds = [0] * ncomp
-            # 4:4:4 MCU: one block per component, interleaved in scan order
             for ci in range(ncomp):
+                h0, v0 = samps[ci]
                 dc_tab, ac_tab = ctabs[ci]
-                coef[:] = 0
-                s = _huff_read(br, dc_tab)
-                diff = _extend(br.bits(s), s) if s else 0
-                preds[ci] += diff
-                coef[0] = preds[ci]
-                k = 1
-                while k < 64:
-                    rs = _huff_read(br, ac_tab)
-                    rr, s = rs >> 4, rs & 15
-                    if s == 0:
-                        if rr == 15:
-                            k += 16
-                            continue
-                        break  # EOB
-                    k += rr
-                    if k > 63:
-                        raise ValueError("corrupt JPEG: AC index overrun")
-                    coef[k] = _extend(br.bits(s), s)
-                    k += 1
-                nat = np.zeros(64, dtype=np.int64)
-                nat[_JPEG_ZIGZAG] = coef
-                block = nat.reshape(8, 8) * cq[ci]
-                pix = _IDCT_M.T @ block.astype(np.float64) @ _IDCT_M
-                planes[ci][r * 8:(r + 1) * 8, c * 8:(c + 1) * 8] = pix + 128
+                for vb in range(v0):
+                    for hb in range(h0):
+                        coef[:] = 0
+                        s = _huff_read(br, dc_tab)
+                        diff = _extend(br.bits(s), s) if s else 0
+                        preds[ci] += diff
+                        coef[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _huff_read(br, ac_tab)
+                            rr, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if rr == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += rr
+                            if k > 63:
+                                raise ValueError("corrupt JPEG: AC index overrun")
+                            coef[k] = _extend(br.bits(s), s)
+                            k += 1
+                        nat = np.zeros(64, dtype=np.int64)
+                        nat[_JPEG_ZIGZAG] = coef
+                        block = nat.reshape(8, 8) * cq[ci]
+                        pix = _IDCT_M.T @ block.astype(np.float64) @ _IDCT_M
+                        r0 = (my * v0 + vb) * 8
+                        c0 = (mx * h0 + hb) * 8
+                        planes[ci][r0:r0 + 8, c0:c0 + 8] = pix + 128
             nmcu += 1
     if ncomp == 1:
         return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)[:h, :w]
+    # upsample subsampled chroma to full resolution by nearest-neighbor
+    # replication (2x pixel doubling — the standard fast-path reconstruction
+    # for 4:2:0; self-encoded oracles replay the same rule exactly)
+    for ci, (h0, v0) in enumerate(samps):
+        if h0 != hmax or v0 != vmax:
+            planes[ci] = np.repeat(
+                np.repeat(planes[ci], vmax // v0, axis=0), hmax // h0, axis=1)
     # JFIF YCbCr -> RGB (ITU T.871), rounded then clipped
     y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
     rgb = np.stack([
@@ -873,6 +898,84 @@ def encode_jpeg_color444(coeffs: np.ndarray, width: int, height: int,
                     w.put(code, ln)
                     w.put(v if v > 0 else v + (1 << s) - 1, s)
                     k += 1
+    out += w.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_jpeg_color420(coeffs_y: np.ndarray, coeffs_cb: np.ndarray,
+                         coeffs_cr: np.ndarray, width: int, height: int,
+                         qy: np.ndarray, qc: np.ndarray) -> bytes:
+    """Baseline 4:2:0 (2x2 luma sampling) YCbCr JPEG from QUANTIZED
+    coefficient blocks — the dominant camera/web chroma layout.
+
+    ``coeffs_y``: (2*my, 2*mx, 8, 8); ``coeffs_cb``/``coeffs_cr``:
+    (my, mx, 8, 8) int arrays in NATURAL frequency order, where
+    my = ceil(height/16), mx = ceil(width/16). Each MCU interleaves 4 Y
+    blocks (left-to-right, top-to-bottom) then Cb then Cr (T.81 A.2.3),
+    with independent per-component DC predictors. Standard Annex-K
+    luminance Huffman tables for all components.
+    """
+    coeffs_y = np.asarray(coeffs_y, dtype=np.int64)
+    coeffs_cb = np.asarray(coeffs_cb, dtype=np.int64)
+    coeffs_cr = np.asarray(coeffs_cr, dtype=np.int64)
+    my, mx = coeffs_cb.shape[:2]
+    assert coeffs_y.shape[:2] == (2 * my, 2 * mx), "Y grid must be 2x chroma"
+    dc_tab = _huff_canonical(_STD_DC_BITS, _STD_DC_VALS)
+    ac_tab = _huff_canonical(_STD_AC_BITS, _STD_AC_VALS)
+
+    out = bytearray(b"\xff\xd8")
+    for tq, qt in ((0, qy), (1, qc)):
+        q_zig = np.asarray(qt, dtype=np.int64).ravel()[_JPEG_ZIGZAG]
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) + bytes(int(v) for v in q_zig)
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, height, width, 3)
+    for cid, samp, tq in ((1, 0x22, 0), (2, 0x11, 1), (3, 0x11, 1)):
+        out += bytes([cid, samp, tq])
+    out += (b"\xff\xc4" + struct.pack(">H", 3 + 16 + len(_STD_DC_VALS))
+            + bytes([0x00]) + bytes(_STD_DC_BITS) + bytes(_STD_DC_VALS))
+    out += (b"\xff\xc4" + struct.pack(">H", 3 + 16 + len(_STD_AC_VALS))
+            + bytes([0x10]) + bytes(_STD_AC_BITS) + bytes(_STD_AC_VALS))
+    out += b"\xff\xda" + struct.pack(">H", 12) + bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0])
+
+    w = _BitWriter()
+    preds = [0, 0, 0]
+
+    def put_block(zz, ci):
+        diff = int(zz[0]) - preds[ci]
+        preds[ci] = int(zz[0])
+        s = _mag_cat(diff)
+        code, ln = dc_tab[s]
+        w.put(code, ln)
+        if s:
+            w.put(diff if diff > 0 else diff + (1 << s) - 1, s)
+        k = 1
+        while k < 64:
+            run = 0
+            while k < 64 and zz[k] == 0:
+                run += 1
+                k += 1
+            if k == 64:
+                code, ln = ac_tab[0x00]  # EOB
+                w.put(code, ln)
+                break
+            while run >= 16:
+                code, ln = ac_tab[0xF0]  # ZRL
+                w.put(code, ln)
+                run -= 16
+            v = int(zz[k])
+            s = _mag_cat(v)
+            code, ln = ac_tab[(run << 4) | s]
+            w.put(code, ln)
+            w.put(v if v > 0 else v + (1 << s) - 1, s)
+            k += 1
+
+    for r in range(my):
+        for c in range(mx):
+            for vb in range(2):
+                for hb in range(2):
+                    put_block(coeffs_y[2 * r + vb, 2 * c + hb].ravel()[_JPEG_ZIGZAG], 0)
+            put_block(coeffs_cb[r, c].ravel()[_JPEG_ZIGZAG], 1)
+            put_block(coeffs_cr[r, c].ravel()[_JPEG_ZIGZAG], 2)
     out += w.flush()
     out += b"\xff\xd9"
     return bytes(out)

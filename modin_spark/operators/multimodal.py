@@ -247,6 +247,39 @@ def image_stats(df: SDF, bin_col: str = "payload") -> SDF:
     return df.mapInPandas(extract, out_schema)
 
 
+def image_channel_stats(df: SDF, bin_col: str = "payload") -> SDF:
+    """REAL color decode -> exact float64 per-CHANNEL means (mean_r/g/b) +
+    dimensions per row. Built for chroma-subsampled JPEG (r15: 4:2:0/4:2:2
+    decode in media_codecs) where luminance alone can't witness the chroma
+    reconstruction path; PNG and grayscale (channels broadcast) also work.
+    Scale shape: mapInPandas, per-row independent, no shuffle."""
+    out_schema = T.StructType(df.schema.fields + [
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_r", T.DoubleType()),
+        T.StructField("mean_g", T.DoubleType()),
+        T.StructField("mean_b", T.DoubleType()),
+    ])
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ws, hs, mr, mg, mb = [], [], [], [], []
+            for b in pdf[bin_col]:
+                arr = _decode_image(b).astype(np.float64)
+                h, w = arr.shape[:2]
+                if arr.shape[2] == 1:
+                    arr = np.repeat(arr, 3, axis=2)
+                m = arr[:, :, :3].reshape(-1, 3).mean(axis=0)
+                ws.append(w)
+                hs.append(h)
+                mr.append(float(m[0]))
+                mg.append(float(m[1]))
+                mb.append(float(m[2]))
+            yield pdf.assign(width=ws, height=hs, mean_r=mr, mean_g=mg, mean_b=mb)
+
+    return df.mapInPandas(extract, out_schema)
+
+
 def audio_features(df: SDF, bin_col: str = "payload", dim: int = 32, decode_stub: bool = True) -> SDF:
     """Audio decode + feature extraction (MFCC-shaped) via mapInPandas.
     Same batch contract as image_features; real impl would use torchaudio."""

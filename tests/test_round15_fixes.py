@@ -274,3 +274,80 @@ def test_normalize_none_identity():
     import modin_spark.config as cfg
 
     assert cfg.AsvDataSizeConfig.normalize(None) is None
+
+
+# ------------------------------------- What's missing #4: 4:2:0 JPEG decode
+def test_jpeg420_roundtrip_exact():
+    """encode_jpeg_color420 -> decode_jpeg_baseline reproduces the reference
+    reconstruction (IDCT + 2x nearest chroma doubling + T.871 RGB) exactly."""
+    from modin_spark.operators import media_codecs as mc
+
+    rng = np.random.default_rng(7)
+    h, w = 24, 20
+    my, mx = (h + 15) // 16, (w + 15) // 16
+    qy = np.full((8, 8), 4, dtype=np.int64)
+    qy[0, 0] = 8
+    qc = np.full((8, 8), 6, dtype=np.int64)
+    cy = rng.integers(-20, 20, size=(2 * my, 2 * mx, 8, 8))
+    cy = np.where(rng.random(cy.shape) < 0.8, 0, cy)
+    cy[:, :, 0, 0] = rng.integers(-100, 100, size=(2 * my, 2 * mx))
+    cb = np.where(rng.random((my, mx, 8, 8)) < 0.9, 0,
+                  rng.integers(-10, 10, size=(my, mx, 8, 8)))
+    cr = np.where(rng.random((my, mx, 8, 8)) < 0.9, 0,
+                  rng.integers(-10, 10, size=(my, mx, 8, 8)))
+    data = mc.encode_jpeg_color420(cy, cb, cr, w, h, qy, qc)
+    meta = mc.jpeg_meta(data)
+    assert (meta["width"], meta["height"], meta["components"]) == (w, h, 3)
+    img = mc.decode_jpeg_baseline(data)
+    assert img.shape == (h, w, 3) and img.dtype == np.uint8
+
+    M = mc._IDCT_M
+
+    def plane(coeffs, q):
+        by, bx = coeffs.shape[:2]
+        p = np.empty((by * 8, bx * 8))
+        for r in range(by):
+            for c in range(bx):
+                p[r * 8:(r + 1) * 8, c * 8:(c + 1) * 8] = (
+                    M.T @ (coeffs[r, c] * q).astype(float) @ M + 128)
+        return p
+
+    y = plane(cy, qy)
+    cbp = np.repeat(np.repeat(plane(cb, qc), 2, 0), 2, 1) - 128
+    crp = np.repeat(np.repeat(plane(cr, qc), 2, 0), 2, 1) - 128
+    rgb = np.stack([y + 1.402 * crp,
+                    y - 0.344136 * cbp - 0.714136 * crp,
+                    y + 1.772 * cbp], -1)
+    ref = np.clip(np.round(rgb), 0, 255).astype(np.uint8)[:h, :w]
+    assert np.array_equal(img, ref)
+
+
+def test_jpeg_gray_and_444_still_decode():
+    from modin_spark.operators import media_codecs as mc
+
+    q = np.full((8, 8), 8, dtype=np.int64)
+    c = np.zeros((2, 2, 8, 8), dtype=np.int64)
+    c[:, :, 0, 0] = [[5, -3], [7, 1]]
+    g = mc.encode_jpeg_baseline(c, 16, 16, q)
+    img = mc.decode_jpeg_baseline(g)
+    assert img.shape == (16, 16)
+    c3 = np.stack([c, c, c])
+    col = mc.encode_jpeg_color444(c3, 16, 16, q, q)
+    assert mc.decode_jpeg_baseline(col).shape == (16, 16, 3)
+
+
+def test_image_channel_stats_grayscale_broadcast():
+    """image_channel_stats on a grayscale payload broadcasts the channel."""
+    from modin_spark.operators import media_codecs as mc
+    from modin_spark.operators.multimodal import image_channel_stats
+    from modin_spark.session import get_spark
+
+    q = np.full((8, 8), 8, dtype=np.int64)
+    c = np.zeros((1, 1, 8, 8), dtype=np.int64)
+    c[0, 0, 0, 0] = 10
+    payload = mc.encode_jpeg_baseline(c, 8, 8, q)
+    spark = get_spark()
+    df = spark.createDataFrame([(1, bytearray(payload))], "id long, payload binary")
+    row = image_channel_stats(df).collect()[0]
+    assert row.width == 8 and row.height == 8
+    assert row.mean_r == row.mean_g == row.mean_b == 138.0
