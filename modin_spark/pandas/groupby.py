@@ -92,6 +92,26 @@ class DataFrameGroupBy:
         by = by if isinstance(by, list) else [by]
         self._by_labels = by
         self._by_pos = self._df._frame.positions_of(by)
+        # float/double keys: normalize NaN -> NULL ONCE at construction.
+        # Spark treats NaN as an ordinary (non-NULL) value, so a COMPUTED
+        # NaN key (0/0, failed parse) would sail past every isNotNull
+        # dropna gate and, under dropna=False, even split into a separate
+        # group from ingested NULLs. pandas knows only one missing key.
+        from pyspark.sql import types as T
+
+        kfr = self._df._frame
+        norm_lbls, norm_exprs, norm_refs = [], [], set()
+        for lbl, i in zip(self._by_labels, self._by_pos):
+            p = kfr.data_cols[i]
+            if isinstance(kfr.schema_map.get(p), (T.FloatType, T.DoubleType)):
+                norm_lbls.append(lbl)
+                c = kfr.scol(i)
+                norm_exprs.append(F.when(~F.isnan(c), c))
+                norm_refs.add(p)
+        if norm_lbls:
+            self._df = DataFrame(
+                _frame=kfr.with_columns(norm_lbls, norm_exprs, refs=norm_refs))
+            self._by_pos = self._df._frame.positions_of(by)
 
     # ---------------------------------------------------------------- select
     def __getattr__(self, name):
@@ -1498,8 +1518,17 @@ class _GroupedResampler:
         return self._agg("prod", *a, **k)
 
     def __getattr__(self, name):
-        # anything else (agg/apply/transform/head...) runs ungridded on the
-        # inner groupby — same rows, occupied buckets only
+        # attribute-style column narrowing must KEEP the resampler (grid
+        # completion included): r.w.sum() == r["w"].sum(). Anything else
+        # (agg/apply/transform/head...) runs ungridded on the inner groupby
+        # — same rows, occupied buckets only.
+        if not name.startswith("_"):
+            try:
+                cols = set(self._g._df.columns)
+            except Exception:
+                cols = set()
+            if name in cols:
+                return self[name]
         return getattr(self._g, name)
 
 

@@ -351,3 +351,37 @@ def test_image_channel_stats_grayscale_broadcast():
     row = image_channel_stats(df).collect()[0]
     assert row.width == 8 and row.height == 8
     assert row.mean_r == row.mean_g == row.mean_b == 138.0
+
+
+def test_grouped_resample_attr_narrowing_grid():
+    """r.w.sum() must keep the resampler's grid completion (empty interior
+    buckets fill 0 for sum/count), same as r['w'].sum()."""
+    p = pd.DataFrame({"k": ["a", "b", None, "a", "b", "a"],
+                      "t": pd.date_range("2024-01-01", periods=6, freq="h"),
+                      "w": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0]}).set_index("t")
+    m = mpd.DataFrame(p.reset_index()).set_index("t")
+    want = p.groupby("k").resample("2h").w.sum()
+    got = m.groupby("k").resample("2h").w.sum().to_pandas()
+    assert got.tolist() == want.tolist()
+    wantc = p.groupby("k").resample("2h").w.count()
+    gotc = m.groupby("k").resample("2h").w.count().to_pandas()
+    assert gotc.tolist() == wantc.tolist()
+
+
+def test_computed_nan_float_key():
+    """A COMPUTED NaN key (0/0 — Spark NaN, not NULL) must behave exactly
+    like a missing key: dropped under dropna=True, ONE group (merged with
+    ingested NULLs) under dropna=False."""
+    p = pd.DataFrame({"a": [1.0, 2.0, 0.0, 4.0], "b": [1.0, 1.0, 0.0, 2.0],
+                      "w": [10.0, 20.0, 30.0, 40.0]})
+    p["k"] = p.a / p.b
+    m = mpd.DataFrame(p[["a", "b", "w"]])
+    m["k"] = m.a / m.b
+    eq_series(m.groupby("k").w.sum(), p.groupby("k").w.sum())
+    eq_series(m.groupby("k").w.transform("sum"), p.groupby("k").w.transform("sum"))
+    eq_series(m.groupby("k").w.cumsum(), p.groupby("k").w.cumsum())
+    eq_series(m.groupby("k", dropna=False).w.sum(),
+              p.groupby("k", dropna=False).w.sum())
+    eq_series(m.groupby("k").ngroup(), p.groupby("k").ngroup())
+    assert sorted(m.groupby("k").head(1).to_pandas()["w"]) == \
+        sorted(p.groupby("k").head(1)["w"])
