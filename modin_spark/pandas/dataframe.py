@@ -3017,12 +3017,18 @@ class DataFrame:
 
     @staticmethod
     def _true_div(a, b):
-        # pandas semantics: x/0 -> signed inf, 0/0 -> NaN (Spark yields NULL)
+        # pandas semantics: x/0 -> signed inf, 0/0 -> NaN. 0/0 lands as NULL
+        # (the engine's missing encoding — Spark NaN is an ordinary value
+        # that would corrupt downstream isna/mean/groupby); the guard also
+        # catches inf/inf.
+        from modin_spark.pandas.series import _nan_to_null
+
         q = a.cast("double") / b
         return F.when(
             b.cast("double") == 0,
-            F.when(a.cast("double") == 0, F.lit(float("nan"))).otherwise(F.lit(float("inf")) * F.signum(a)),
-        ).otherwise(q)
+            F.when(a.cast("double") == 0, F.lit(None).cast("double"))
+             .otherwise(F.lit(float("inf")) * F.signum(a)),
+        ).otherwise(_nan_to_null(q))
 
     def div(self, other, axis="columns", fill_value=None):
         return self._binary_frame(other, lambda a, b: DataFrame._true_div(a, b), fill_value, axis=axis)
@@ -3060,10 +3066,14 @@ class DataFrame:
         )
 
     def mod(self, other, axis="columns", fill_value=None):
-        return self._binary_frame(other, lambda a, b: F.pmod(a, b), fill_value, axis=axis)
+        from modin_spark.pandas.series import _nan_to_null
+
+        return self._binary_frame(other, lambda a, b: _nan_to_null(F.pmod(a, b)), fill_value, axis=axis)
 
     def pow(self, other, axis="columns", fill_value=None):
-        return self._binary_frame(other, lambda a, b: F.pow(a, b), fill_value, axis=axis)
+        from modin_spark.pandas.series import _nan_to_null
+
+        return self._binary_frame(other, lambda a, b: _nan_to_null(F.pow(a, b)), fill_value, axis=axis)
 
     # reversed flex variants (pandas rop(other) == op with operands swapped)
     def radd(self, other, axis="columns", fill_value=None):
@@ -3090,10 +3100,14 @@ class DataFrame:
         )
 
     def rmod(self, other, axis="columns", fill_value=None):
-        return self._binary_frame(other, lambda a, b: F.pmod(b, a), fill_value, axis=axis)
+        from modin_spark.pandas.series import _nan_to_null
+
+        return self._binary_frame(other, lambda a, b: _nan_to_null(F.pmod(b, a)), fill_value, axis=axis)
 
     def rpow(self, other, axis="columns", fill_value=None):
-        return self._binary_frame(other, lambda a, b: F.pow(b, a), fill_value, axis=axis)
+        from modin_spark.pandas.series import _nan_to_null
+
+        return self._binary_frame(other, lambda a, b: _nan_to_null(F.pow(b, a)), fill_value, axis=axis)
 
     __add__ = add
     __sub__ = sub

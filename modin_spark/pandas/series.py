@@ -35,8 +35,29 @@ def _lit(v) -> Column:
     return F.lit(v)
 
 
+def _nan_to_null(e: Column) -> Column:
+    """Normalize a COMPUTED float NaN to NULL — the engine's one missing
+    encoding. Spark NaN is an ordinary value (NaN == NaN is true, NaN sorts
+    greatest, aggregates include it), so a NaN born from arithmetic
+    (0/0 upstream, inf-inf, 0*inf, inf%x, neg**frac, asin(|x|>1)) would
+    silently diverge from pandas' treat-as-missing semantics in every
+    downstream op (isna, mean, groupby keys, rank, dedup...). to_pandas
+    renders NULL as np.nan, so the user-visible value is identical.
+    Callers must ensure the expression's type survives isnan's implicit
+    cast (numerics do; temporals error; a string column would null out a
+    literal 'NaN' string — gate on types first)."""
+    return F.when(~F.isnan(e), e)
+
+
 def _pmod(a: Column, b: Column) -> Column:
     return ((a % b) + b) % b
+
+
+# types through which the computed-NaN guard is safe AND useful: numeric
+# results survive isnan's implicit cast unchanged, and only float math can
+# mint a NaN in the first place
+_NAN_GUARD_TYPES = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+                    T.FloatType, T.DoubleType, T.DecimalType, T.NullType)
 
 
 _MASKED_EXT_NAMES = {"Int8", "Int16", "Int32", "Int64", "UInt8", "UInt16",
@@ -76,12 +97,15 @@ def _interval_micros(c: Column) -> Column:
 
 
 def _true_div(a: Column, b: Column) -> Column:
-    # pandas semantics: x/0 -> signed inf, 0/0 -> NaN (Spark yields NULL)
+    # pandas semantics: x/0 -> signed inf, 0/0 -> NaN (Spark yields NULL).
+    # 0/0 lands as NULL (the engine's missing encoding, == pandas NaN after
+    # to_pandas); the guard also catches inf/inf -> Spark NaN.
     q = a.cast("double") / b.cast("double")
     return F.when(
         b.cast("double") == 0,
-        F.when(a.cast("double") == 0, F.lit(float("nan"))).otherwise(F.lit(float("inf")) * F.signum(a)),
-    ).otherwise(q)
+        F.when(a.cast("double") == 0, F.lit(None).cast("double"))
+         .otherwise(F.lit(float("inf")) * F.signum(a)),
+    ).otherwise(_nan_to_null(q))
 
 
 def _floor_div(a: Column, b: Column) -> Column:
@@ -91,7 +115,7 @@ def _floor_div(a: Column, b: Column) -> Column:
     # FLOOR returns a LONG, which overflows to Long.MaxValue on infinity.
     q = a.cast("double") / b.cast("double")
     fl = q - F.pmod(q, F.lit(1.0))
-    return F.when(b.cast("double") == 0, _true_div(a, b)).otherwise(fl)
+    return F.when(b.cast("double") == 0, _true_div(a, b)).otherwise(_nan_to_null(fl))
 
 
 def _int_floor_div(a: Column, b: Column) -> Column:
@@ -594,6 +618,35 @@ class Series:
             return lambda a, b: F.concat(a, b)
         return lambda a, b: a + b
 
+    def _arith_fn(self, other, fn):
+        """Arithmetic builder with the computed-NaN guard (see _nan_to_null):
+        inf-inf, 0*inf, inf%x are Spark NaN — an ordinary value to Spark but
+        MISSING to pandas. Guarded only when both operand types are plain
+        numerics: isnan rejects temporals/intervals outright, and through
+        implicit casts it would null a string column's literal 'NaN'."""
+        import numpy as _np
+
+        def numeric(s):
+            try:
+                return isinstance(s.spark_type, _NAN_GUARD_TYPES)
+            except Exception:
+                return False
+
+        ok = numeric(self)
+        if ok:
+            if isinstance(other, Series):
+                ok = numeric(other)
+            else:
+                ok = isinstance(other, (bool, int, float, _np.bool_,
+                                        _np.integer, _np.floating))
+        if not ok:
+            return fn
+
+        def guarded(a, b, _f=fn):
+            return _nan_to_null(_f(a, b))
+
+        return guarded
+
     def _period_shift(self, o, sign: int):
         """Period-stored series (dt.to_period result; storage is the period
         STRING) plus/minus an integer: shift by n periods at the recorded
@@ -634,7 +687,7 @@ class Series:
             return self._map1(lambda c: c + _dateoffset_interval(o))
         if isinstance(o, pd.tseries.offsets.BaseOffset):
             return self._anchored_offset(o)
-        return self._binary(o, self._plus_fn(o))
+        return self._binary(o, self._arith_fn(o, self._plus_fn(o)))
 
     def __radd__(self, o):
         p = self._period_shift(o, +1)
@@ -644,7 +697,7 @@ class Series:
             return self._map1(lambda c: c + _dateoffset_interval(o))
         if isinstance(o, pd.tseries.offsets.BaseOffset):
             return self._anchored_offset(o)
-        return self._binary(o, self._plus_fn(o), reverse=True)
+        return self._binary(o, self._arith_fn(o, self._plus_fn(o)), reverse=True)
 
     def __sub__(self, o):
         p = self._period_shift(o, -1)
@@ -654,10 +707,10 @@ class Series:
             return self._map1(lambda c: c - _dateoffset_interval(o))
         if isinstance(o, pd.tseries.offsets.BaseOffset):
             return self._anchored_offset(o, sub=True)
-        return self._binary(o, lambda a, b: a - b)
+        return self._binary(o, self._arith_fn(o, lambda a, b: a - b))
 
     def __rsub__(self, o):
-        return self._binary(o, lambda a, b: a - b, reverse=True)
+        return self._binary(o, self._arith_fn(o, lambda a, b: a - b), reverse=True)
 
     def _str_repeat(self, o):
         """pandas: string_series * int repeats the string (None when not
@@ -673,13 +726,13 @@ class Series:
         r = self._str_repeat(o)
         if r is not None:
             return r
-        return self._binary(o, lambda a, b: a * b)
+        return self._binary(o, self._arith_fn(o, lambda a, b: a * b))
 
     def __rmul__(self, o):
         r = self._str_repeat(o)
         if r is not None:
             return r
-        return self._binary(o, lambda a, b: a * b, reverse=True)
+        return self._binary(o, self._arith_fn(o, lambda a, b: a * b), reverse=True)
 
     def __truediv__(self, o):
         import datetime as _dt
@@ -705,27 +758,27 @@ class Series:
         return _floor_div
 
     def __mod__(self, o):
-        return self._binary(o, _pmod)
+        return self._binary(o, self._arith_fn(o, _pmod))
 
     def __rmod__(self, o):
-        return self._binary(o, _pmod, reverse=True)
+        return self._binary(o, self._arith_fn(o, _pmod), reverse=True)
 
     def __pow__(self, o):
-        return self._binary(o, lambda a, b: F.pow(a, b))
+        return self._binary(o, lambda a, b: _nan_to_null(F.pow(a, b)))
 
     def __rpow__(self, o):
-        return self._binary(o, lambda a, b: F.pow(a, b), reverse=True)
+        return self._binary(o, lambda a, b: _nan_to_null(F.pow(a, b)), reverse=True)
 
     def add(self, other, level=None, fill_value=None, axis=0):
-        return self._flex(other, self._plus_fn(other), fill_value=fill_value)
+        return self._flex(other, self._arith_fn(other, self._plus_fn(other)), fill_value=fill_value)
 
     def sub(self, other, level=None, fill_value=None, axis=0):
-        return self._flex(other, lambda a, b: a - b, fill_value=fill_value)
+        return self._flex(other, self._arith_fn(other, lambda a, b: a - b), fill_value=fill_value)
 
     subtract = sub
 
     def mul(self, other, level=None, fill_value=None, axis=0):
-        return self._flex(other, lambda a, b: a * b, fill_value=fill_value)
+        return self._flex(other, self._arith_fn(other, lambda a, b: a * b), fill_value=fill_value)
 
     multiply = mul
 
@@ -739,7 +792,7 @@ class Series:
         return self._flex(other, self._floordiv_op(other), fill_value=fill_value)
 
     def mod(self, other, level=None, fill_value=None, axis=0):
-        return self._flex(other, _pmod, fill_value=fill_value)
+        return self._flex(other, self._arith_fn(other, _pmod), fill_value=fill_value)
 
     def __divmod__(self, o):
         return self // o, self % o
@@ -748,22 +801,22 @@ class Series:
         return o // self, o % self
 
     def pow(self, other, level=None, fill_value=None, axis=0):
-        return self._flex(other, lambda a, b: F.pow(a, b), fill_value=fill_value)
+        return self._flex(other, lambda a, b: _nan_to_null(F.pow(a, b)), fill_value=fill_value)
 
     def radd(self, other, level=None, fill_value=None, axis=0):
-        return self._flex(other, self._plus_fn(other), reverse=True, fill_value=fill_value)
+        return self._flex(other, self._arith_fn(other, self._plus_fn(other)), reverse=True, fill_value=fill_value)
 
     def rsub(self, other, level=None, fill_value=None, axis=0):
-        return self._flex(other, lambda a, b: a - b, reverse=True, fill_value=fill_value)
+        return self._flex(other, self._arith_fn(other, lambda a, b: a - b), reverse=True, fill_value=fill_value)
 
     def rmul(self, other, level=None, fill_value=None, axis=0):
-        return self._flex(other, lambda a, b: a * b, reverse=True, fill_value=fill_value)
+        return self._flex(other, self._arith_fn(other, lambda a, b: a * b), reverse=True, fill_value=fill_value)
 
     def rmod(self, other, level=None, fill_value=None, axis=0):
-        return self._flex(other, _pmod, reverse=True, fill_value=fill_value)
+        return self._flex(other, self._arith_fn(other, _pmod), reverse=True, fill_value=fill_value)
 
     def rpow(self, other, level=None, fill_value=None, axis=0):
-        return self._flex(other, lambda a, b: F.pow(a, b), reverse=True, fill_value=fill_value)
+        return self._flex(other, lambda a, b: _nan_to_null(F.pow(a, b)), reverse=True, fill_value=fill_value)
 
     def __eq__(self, o):  # type: ignore[override]
         return self._binary(o, lambda a, b: a == b, comparison=True, strict=True, op="eq")
@@ -2882,12 +2935,28 @@ Series.resample = _ser_resample
 
 # ------------------------------------------------------- numpy ufunc protocol
 # np.sqrt(series) / np.log1p(series) / ... stay JVM-side expressions.
+def _log_fn(base_fn, zero_arg):
+    """numpy log semantics: log(0) = -inf (Spark: NULL), log(<0) = NaN
+    (Spark already NULL — the missing encoding, correct)."""
+    def f(c):
+        return F.when(c.cast("double") == F.lit(float(zero_arg)),
+                      F.lit(float("-inf"))).otherwise(base_fn(c))
+    return f
+
+
+# NaN-minting funcs (sqrt/asin/acos of out-of-domain, trig of ±inf) route
+# through _nan_to_null: Spark NaN is not the engine's missing encoding
 _UFUNC_EXPRS = {
-    "sqrt": F.sqrt, "exp": F.exp, "expm1": F.expm1,
-    "log": F.log, "log1p": F.log1p, "log10": F.log10, "log2": F.log2,
+    "sqrt": lambda c: _nan_to_null(F.sqrt(c)), "exp": F.exp, "expm1": F.expm1,
+    "log": _log_fn(F.log, 0.0), "log1p": _log_fn(F.log1p, -1.0),
+    "log10": _log_fn(F.log10, 0.0), "log2": _log_fn(F.log2, 0.0),
     "absolute": F.abs, "fabs": F.abs, "floor": F.floor, "ceil": F.ceil,
-    "sin": F.sin, "cos": F.cos, "tan": F.tan, "arcsin": F.asin,
-    "arccos": F.acos, "arctan": F.atan, "sinh": F.sinh, "cosh": F.cosh,
+    "sin": lambda c: _nan_to_null(F.sin(c)),
+    "cos": lambda c: _nan_to_null(F.cos(c)),
+    "tan": lambda c: _nan_to_null(F.tan(c)),
+    "arcsin": lambda c: _nan_to_null(F.asin(c)),
+    "arccos": lambda c: _nan_to_null(F.acos(c)),
+    "arctan": F.atan, "sinh": F.sinh, "cosh": F.cosh,
     "tanh": F.tanh, "sign": F.signum, "negative": lambda c: -c,
     "rint": lambda c: F.round(c, 0), "square": lambda c: c * c,
     "isnan": F.isnan, "cbrt": F.cbrt,
