@@ -1112,6 +1112,95 @@ def _multimodal_jpeg420_stats(spark, sf):
         "vec_id", "width", "height", "mean_r", "mean_g", "mean_b")
 
 
+def _multimodal_jpeg_prog_stats(spark, sf):
+    """REAL progressive-JPEG decode (r15, T.81 Annex G): 16x16 grayscale
+    SOF2 streams are ENCODED executor-side as FOUR scans — DC first at
+    Al=1, DC refinement, AC first at Al=1 with aggregated EOB runs, AC
+    refinement with correction bits (media_codecs.encode_jpeg_progressive)
+    — then decoded by the full progressive pipeline (decode_jpeg's marker
+    sniff routes SOF2 to decode_jpeg_progressive: per-scan coefficient
+    accumulation, successive-approximation bit merges, EOBRUN skips, then
+    dequant + IDCT). Same dyadic-exact coefficient design as the baseline
+    multimodal_jpeg_stats query ((0,0)/(0,4) with qstep 8 — every pixel is
+    the integer 128 + dc ± ac), odd values forcing nonzero refinement bits;
+    the oracle replays the block arithmetic in SQL. Scale shape:
+    mapInPandas, per-row independent, zero shuffle."""
+    import numpy as np
+
+    from modin_spark.operators.multimodal import image_stats
+
+    emb = (_rp(spark, f"{sf}/embeddings.parquet")
+           .where((F.col("vec_id") >= 16) & (F.col("vec_id") < 32))
+           .select("vec_id"))
+
+    def mk(batches):
+        from modin_spark.operators.media_codecs import encode_jpeg_progressive
+
+        for pdf in batches:
+            payloads = []
+            for i in pdf["vec_id"]:
+                i = int(i)
+                coeffs = np.zeros((2, 2, 8, 8), dtype=np.int64)
+                for b in range(4):
+                    r, c = divmod(b, 2)
+                    coeffs[r, c, 0, 0] = (i * 5 + b * 3) % 41 - 20
+                    coeffs[r, c, 0, 4] = (i * 3 + b * 7) % 31 - 15
+                q = np.full((8, 8), 8, dtype=np.int64)
+                payloads.append(encode_jpeg_progressive(coeffs, 16, 16, q))
+            yield pdf.assign(payload=payloads)
+
+    media = emb.mapInPandas(mk, "vec_id long, payload binary")
+    return image_stats(media).select("vec_id", "width", "height", "mean_lum", "var_lum")
+
+
+def _multimodal_video_frames(spark, sf):
+    """REAL video sample decode (r15): MJPEG-in-AVI payloads are ENCODED
+    executor-side — each video holds 3 + vec_id%4 frames of 16x16 grayscale
+    JPEG, alternating baseline (SOF0) and progressive (SOF2) frames to
+    exercise the per-frame marker sniff — then operators.multimodal.
+    video_frame_stats walks the RIFF 'movi' list (media_codecs.
+    decode_avi_frames), samples every 2nd frame, runs the full T.81 decode
+    per sampled frame, and reports container dims + frame counts + the
+    exact mean luminance over sampled pixels. Coefficients at (0,0)/(0,4)
+    with qstep 8, so per-frame means are 128 + avg(dc) exactly; frame
+    counts are 4 or 8 so the sampled pixel count stays a power of two and
+    every division on both sides is float64-EXACT (same invariant the
+    jpeg_stats oracles rely on). The oracle replays the frame/block
+    arithmetic in SQL. Scale shape:
+    mapInPandas, per-row independent, zero shuffle — frame fan-out stays
+    inside the executor."""
+    import numpy as np
+
+    from modin_spark.operators.multimodal import video_frame_stats
+
+    emb = _rp(spark, f"{sf}/embeddings.parquet").where(F.col("vec_id") < 12).select("vec_id")
+
+    def mk(batches):
+        from modin_spark.operators.media_codecs import (
+            encode_avi_mjpeg, encode_jpeg_baseline, encode_jpeg_progressive)
+
+        for pdf in batches:
+            payloads = []
+            for i in pdf["vec_id"]:
+                i = int(i)
+                frames = []
+                for f in range(4 * (1 + i % 2)):
+                    coeffs = np.zeros((2, 2, 8, 8), dtype=np.int64)
+                    for b in range(4):
+                        r, c = divmod(b, 2)
+                        coeffs[r, c, 0, 0] = (i * 7 + f * 5 + b * 3) % 41 - 20
+                        coeffs[r, c, 0, 4] = (i + f * 11 + b) % 31 - 15
+                    q = np.full((8, 8), 8, dtype=np.int64)
+                    enc = encode_jpeg_baseline if f % 2 == 0 else encode_jpeg_progressive
+                    frames.append(enc(coeffs, 16, 16, q))
+                payloads.append(encode_avi_mjpeg(frames, 16, 16, fps=10))
+            yield pdf.assign(payload=payloads)
+
+    media = emb.mapInPandas(mk, "vec_id long, payload binary")
+    return video_frame_stats(media, every_n=2).select(
+        "vec_id", "width", "height", "n_frames", "sampled", "mean_lum")
+
+
 def _multimodal_media_meta(spark, sf):
     """REAL JPEG/MP3/MP4 HEADER parsing (r11, no media libs): deterministic
     payloads — structurally valid JPEG marker streams, MPEG1 Layer-III CBR
@@ -2415,6 +2504,7 @@ def _q22_global_sales(spark, sf):
 _R15_PREFIX = [
     # (a) must-score new
     "nullkey_group_transform", "multimodal_jpeg420_stats",
+    "multimodal_jpeg_prog_stats", "multimodal_video_frames",
     # (b) r15 machinery
     "rank_min", "rank_frame", "asof_join", "asof_nearest", "sort_topk",
     "cumsum_by_group", "groupby_transform_demean", "groupby_filter_large",
@@ -2431,8 +2521,7 @@ _R15_PREFIX = [
     "melt_unpivot", "multiindex3_cols_agg", "multiindex_cols_agg",
     "multiindex_regroup", "pivot_flag_status", "pivot_typed_keys",
     "q11_important_parts", "q12_priority_lines", "q15_top_supplier",
-    "q16_supplier_count", "q17_small_quantity", "q18_large_volume",
-    "q19_brand_filter",
+    "q16_supplier_count", "q17_small_quantity",
 ]
 
 _R14_PREFIX = [
@@ -2524,6 +2613,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_png_stats": _multimodal_png_stats,
         "multimodal_jpeg_stats": _multimodal_jpeg_stats,
         "multimodal_jpeg420_stats": _multimodal_jpeg420_stats,
+        "multimodal_jpeg_prog_stats": _multimodal_jpeg_prog_stats,
+        "multimodal_video_frames": _multimodal_video_frames,
         "multimodal_media_meta": _multimodal_media_meta,
         # (c) machinery touched this round
         "rolling_mean": _rolling_mean,
@@ -4358,6 +4449,55 @@ def oracle_sql() -> dict[str, str]:
                       + ROUND(128.0 + dc - ac - 0.344136 * cb0 - 0.714136 * cr0)) / 2.0) AS mean_g,
                    AVG((ROUND(128.0 + dc + ac + 1.772 * cb0)
                       + ROUND(128.0 + dc - ac + 1.772 * cb0)) / 2.0) AS mean_b
+            FROM blocks
+            GROUP BY vec_id
+        """,
+        # r15: exact replay of the progressive (SOF2) decode — after the
+        # four-scan successive-approximation accumulation the coefficients
+        # equal the baseline set, so the pixel arithmetic is the same
+        # dyadic-exact 128 + dc ± ac scheme as multimodal_jpeg_stats
+        "multimodal_jpeg_prog_stats": """
+            WITH blocks AS (
+                SELECT e.vec_id,
+                       CAST((e.vec_id * 5 + t.b * 3) % 41 - 20 AS DOUBLE) AS dc,
+                       CAST((e.vec_id * 3 + t.b * 7) % 31 - 15 AS DOUBLE) AS ac
+                FROM (SELECT vec_id FROM embeddings
+                      WHERE vec_id >= 16 AND vec_id < 32) e
+                CROSS JOIN generate_series(0, 3) t(b)
+            )
+            SELECT vec_id, 16 AS width, 16 AS height,
+                   128.0 + AVG(dc) AS mean_lum,
+                   AVG((128.0 + dc) * (128.0 + dc) + ac * ac)
+                     - (128.0 + AVG(dc)) * (128.0 + AVG(dc)) AS var_lum
+            FROM blocks
+            GROUP BY vec_id
+        """,
+        # r15: exact replay of the MJPEG-in-AVI sample decode — every 2nd
+        # frame is decoded (frames alternate baseline/progressive JPEG);
+        # per frame the 4 blocks' pixel means are 128 + dc exactly (the
+        # ±ac halves cancel), and the sampled pixel count (2 or 4 frames
+        # x 256 px) is a power of two, so mean_lum = 128 + AVG(dc) over the
+        # sampled (frame, block) grid with every float64 division exact on
+        # both sides
+        "multimodal_video_frames": """
+            WITH vids AS (
+                SELECT vec_id, 4 * (1 + vec_id % 2) AS nf FROM embeddings
+                WHERE vec_id < 12
+            ),
+            frames AS (
+                SELECT v.vec_id, v.nf, t.f FROM vids v
+                CROSS JOIN generate_series(0, 7) t(f)
+                WHERE t.f < v.nf AND t.f % 2 = 0
+            ),
+            blocks AS (
+                SELECT vec_id, nf, f,
+                       CAST((vec_id * 7 + f * 5 + u.b * 3) % 41 - 20 AS DOUBLE) AS dc
+                FROM frames CROSS JOIN generate_series(0, 3) u(b)
+            )
+            SELECT vec_id, 16 AS width, 16 AS height,
+                   CAST(MAX(nf) AS INT) AS n_frames,
+                   CAST(COUNT(DISTINCT f) AS INT) AS sampled,
+                   128.0 + AVG(dc) AS mean_lum
             FROM blocks
             GROUP BY vec_id
         """,

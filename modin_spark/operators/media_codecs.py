@@ -6,8 +6,12 @@ needed. r14 adds a REAL baseline-JPEG codec (pure numpy Huffman + IDCT;
 SOF0 grayscale and 4:4:4 YCbCr color — see the section at the bottom of
 this file); r15 extends it to chroma-subsampled layouts (4:2:0 — the
 dominant camera/web format — and 4:2:2, nearest-neighbor chroma
-reconstruction). Progressive JPEG, MP3 and video sample decode remain
-declared stubs.
+reconstruction), progressive (SOF2) streams (spectral selection +
+successive approximation + EOB runs, T.81 Annex G), and MJPEG-in-AVI
+video sample decode (RIFF walk + per-frame JPEG decode). MP3 sample
+decode remains the one declared media stub: the MPEG-1 polyphase
+synthesis window is a 512-entry tabulated constant with no closed form,
+so a faithful from-scratch decode is not reproducible offline.
 
 PNG scope: 8-bit depth, color types 0 (gray), 2 (RGB), 3 (palette),
 4 (gray+alpha), 6 (RGBA), non-interlaced; all five scanline filters
@@ -196,9 +200,9 @@ def encode_wav(samples: np.ndarray, rate: int) -> bytes:
     return buf.getvalue()
 
 # --------------------------------------------------------------------------
-# JPEG / MP3 / MP4 HEADER parsers (round 11). Full pixel/sample decode for
-# these formats is NOT stdlib-expressible and stays a declared stub in
-# operators/multimodal.py — but the metadata a pipeline filters and shards
+# JPEG / MP3 / MP4 HEADER parsers (round 11). JPEG pixel decode became real
+# in r14/r15 (baseline + progressive sections below); MP3/MP4 SAMPLE decode
+# stays a declared stub — but the metadata a pipeline filters and shards
 # on (dimensions, sample rate, duration, codec) lives in the container
 # headers, which ARE plain byte structures. These are real parsers of the
 # public formats (ITU T.81 marker segments, MPEG-1/2 audio frame headers +
@@ -443,8 +447,9 @@ def encode_mp4_header(duration_ms: int, width: int = 0, height: int = 0,
 # ---------------------------------------------------------------------------
 # Baseline JPEG (r14): REAL entropy decode, pure numpy — ITU T.81 subset:
 # SOF0 (baseline sequential DCT), Huffman coding, 8-bit grayscale (one
-# component). Progressive JPEG, chroma-subsampled color, arithmetic coding,
-# MP3 and video sample decode remain declared stubs. The decoder is a full
+# component); r15 generalized it to chroma-subsampled color. Progressive
+# streams decode via decode_jpeg_progressive (below); arithmetic coding and
+# MP3 sample decode remain declared stubs. The decoder is a full
 # T.81 pipeline (marker parse -> canonical Huffman -> DC DPCM + AC
 # run-length -> dequantize -> inverse zigzag -> 2-D IDCT -> level shift),
 # not a replay of the encoder below: it accepts any conforming grayscale
@@ -657,9 +662,10 @@ def decode_jpeg_baseline(data: bytes) -> np.ndarray:
     interleaved YCbCr with per-component sampling factors 1-2 — 4:4:4,
     4:2:2 and 4:2:0 (the dominant camera/web layout) all decode; subsampled
     chroma is reconstructed by nearest-neighbor pixel doubling, then the
-    JFIF/T.871 matrix maps to (H, W, 3) RGB. Progressive (SOF2) and
-    arithmetic-coded streams raise NotImplementedError — the declared
-    remaining stub surface.
+    JFIF/T.871 matrix maps to (H, W, 3) RGB. Progressive (SOF2) streams
+    raise here — route them to decode_jpeg_progressive (or use the
+    decode_jpeg sniffing wrapper); arithmetic-coded streams raise
+    NotImplementedError — the declared remaining stub surface.
     """
     if not data or not data.startswith(b"\xff\xd8"):
         raise ValueError("not a JPEG")
@@ -979,3 +985,647 @@ def encode_jpeg_color420(coeffs_y: np.ndarray, coeffs_cb: np.ndarray,
     out += w.flush()
     out += b"\xff\xd9"
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Progressive JPEG (r15): REAL entropy decode of SOF2 streams — ITU T.81
+# Annex G subset: spectral selection, successive approximation (DC and AC
+# first + refinement scans), EOB runs, interleaved DC scans, per-component
+# AC scans over sampling-factor sub-grids, restart markers. The matching
+# encoder below emits a 4-scan grayscale stream (DC first Al=1, DC refine,
+# AC first Al=1 with aggregated EOB runs, AC refine with libjpeg-style
+# buffered correction bits) so a self-encoded stream exercises every decode
+# path and the final coefficients are bit-identical to the baseline
+# encoding of the same blocks — the property the exact oracle replays.
+# MP3 sample decode remains the one declared media stub (the polyphase
+# synthesis window is a 512-entry tabulated constant, not derivable).
+# ---------------------------------------------------------------------------
+
+
+def decode_jpeg_progressive(data: bytes) -> np.ndarray:
+    """Decode a progressive (SOF2) Huffman JPEG to uint8 (H, W) or (H, W, 3).
+
+    Accumulates DCT coefficients across every scan per T.81 Annex G:
+    DC first scans store diff << Al (interleaved MCU walk when the scan
+    lists >1 component); DC refinement reads one raw bit per block into
+    bit Al; AC first scans run-length decode into coef << Al with EOBRUN
+    skips; AC refinement applies the correction-bit algorithm (G.1.2.3:
+    Huffman (r,1) inserts a new ±1<<Al after r zero-HISTORY positions,
+    reading one correction bit for each already-nonzero coefficient passed
+    over; EOB runs refine whole blocks). After the last scan: dequantize,
+    inverse zigzag, IDCT, +128 level shift — identical back end to the
+    baseline decoder, including nearest-neighbor chroma upsampling and the
+    T.871 RGB matrix for 3-component streams."""
+    if not data or not data.startswith(b"\xff\xd8"):
+        raise ValueError("not a JPEG")
+    qtables: dict[int, np.ndarray] = {}
+    hufftabs: dict[tuple[int, int], tuple] = {}
+    dims = None
+    comps = []
+    restart_interval = 0
+    coefs = None  # per component: (blocks_y, blocks_x, 64) int32, zigzag order
+    samps = []
+    hmax = vmax = 1
+    mcux = mcuy = 0
+    cdims = []  # per component: (blocks wide, blocks high) NON-interleaved dims
+    i = 2
+    n = len(data)
+    while i + 4 <= n:
+        if data[i] != 0xFF:
+            raise ValueError("corrupt JPEG: lost marker sync")
+        marker = data[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        if marker == 0xD9:
+            break
+        seg_len = struct.unpack(">H", data[i + 2:i + 4])[0]
+        seg = data[i + 4:i + 2 + seg_len]
+        if marker == 0xDB:
+            j = 0
+            while j < len(seg):
+                pq, tq = seg[j] >> 4, seg[j] & 15
+                j += 1
+                if pq:
+                    vals = np.frombuffer(seg[j:j + 128], dtype=">u2").astype(np.int64)
+                    j += 128
+                else:
+                    vals = np.frombuffer(seg[j:j + 64], dtype=np.uint8).astype(np.int64)
+                    j += 64
+                qtables[tq] = vals.copy()  # zigzag order
+        elif marker == 0xC4:
+            j = 0
+            while j < len(seg):
+                tc, th = seg[j] >> 4, seg[j] & 15
+                bits = list(seg[j + 1:j + 17])
+                nv = sum(bits)
+                vals = list(seg[j + 17:j + 17 + nv])
+                hufftabs[(tc, th)] = _huff_decode_tables(bits, vals)
+                j += 17 + nv
+        elif marker == 0xC2:  # SOF2 progressive, Huffman
+            h, w = struct.unpack(">HH", seg[1:5])
+            ncomp = seg[5]
+            comps = []
+            for ci in range(ncomp):
+                cid, samp, tq = seg[6 + 3 * ci:9 + 3 * ci]
+                comps.append((cid, samp, tq))
+            if ncomp not in (1, 3) or any(
+                (s >> 4) not in (1, 2) or (s & 15) not in (1, 2)
+                for _, s, _ in comps
+            ):
+                raise NotImplementedError(
+                    "decode_jpeg_progressive: 1 or 3 components with "
+                    "sampling factors 1-2 only")
+            dims = (h, w)
+            samps = [((s >> 4), (s & 15)) for _, s, _ in comps]
+            hmax = max(h0 for h0, _ in samps)
+            vmax = max(v0 for _, v0 in samps)
+            mcux = (w + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+            coefs = [np.zeros((mcuy * v0, mcux * h0, 64), dtype=np.int32)
+                     for h0, v0 in samps]
+            cdims = [((-(-(w * h0) // hmax) + 7) // 8, (-(-(h * v0) // vmax) + 7) // 8)
+                     for h0, v0 in samps]
+        elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"decode_jpeg_progressive: SOF{marker - 0xC0} is not "
+                "progressive-Huffman; use decode_jpeg_baseline for SOF0")
+        elif marker == 0xDD:
+            restart_interval = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xDA:  # one of possibly many scans
+            if coefs is None:
+                raise ValueError("corrupt JPEG: SOS before SOF2")
+            ns = seg[0]
+            scomps = []  # (component index, dc table id, ac table id)
+            for ci in range(ns):
+                cid = seg[1 + 2 * ci]
+                tt = seg[2 + 2 * ci]
+                idx = next(k for k, (c, _, _) in enumerate(comps) if c == cid)
+                scomps.append((idx, tt >> 4, tt & 15))
+            ss, se, ahal = seg[1 + 2 * ns:4 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 15
+            # entropy-coded bytes for THIS scan (unstuff FF00; RSTn resets)
+            ecs = bytearray()
+            resets = []
+            j = i + 2 + seg_len
+            while j < n - 1:
+                b = data[j]
+                if b == 0xFF:
+                    m = data[j + 1]
+                    if m == 0x00:
+                        ecs.append(0xFF)
+                        j += 2
+                        continue
+                    if 0xD0 <= m <= 0xD7:
+                        resets.append(len(ecs))
+                        j += 2
+                        continue
+                    break
+                ecs.append(b)
+                j += 1
+            _decode_prog_scan(bytes(ecs), coefs, comps, samps, cdims,
+                              mcux, mcuy, hmax, vmax, hufftabs, scomps,
+                              ss, se, ah, al, restart_interval)
+            i = j
+            continue
+        i = i + 2 + seg_len
+    if dims is None or coefs is None:
+        raise ValueError("corrupt JPEG: missing SOF2/SOS")
+
+    h, w = dims
+    ncomp = len(comps)
+    planes = []
+    for ci in range(ncomp):
+        h0, v0 = samps[ci]
+        q_zig = qtables[comps[ci][2]]
+        by, bx = coefs[ci].shape[:2]
+        dq = coefs[ci].astype(np.int64) * q_zig[None, None, :]
+        nat = np.zeros((by, bx, 64), dtype=np.float64)
+        nat[:, :, _JPEG_ZIGZAG] = dq
+        blocks = nat.reshape(by, bx, 8, 8)
+        # batched orthonormal IDCT over every block at once
+        pix = np.einsum("ux,rcuv,vy->rcxy", _IDCT_M, blocks, _IDCT_M)
+        plane = pix.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8) + 128.0
+        planes.append(plane)
+    if ncomp == 1:
+        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)[:h, :w]
+    for ci, (h0, v0) in enumerate(samps):
+        if h0 != hmax or v0 != vmax:
+            planes[ci] = np.repeat(
+                np.repeat(planes[ci], vmax // v0, axis=0), hmax // h0, axis=1)
+    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+    rgb = np.stack([
+        y + 1.402 * cr,
+        y - 0.344136 * cb - 0.714136 * cr,
+        y + 1.772 * cb,
+    ], axis=-1)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)[:h, :w]
+
+
+def _decode_prog_scan(ecs, coefs, comps, samps, cdims, mcux, mcuy,
+                      hmax, vmax, hufftabs, scomps, ss, se, ah, al,
+                      restart_interval):
+    """Decode ONE progressive scan into the per-component zigzag-order
+    coefficient accumulators (T.81 G.2)."""
+    br = _BitReader(ecs)
+    eobrun = 0
+    preds = {idx: 0 for idx, _, _ in scomps}
+
+    def dc_first_block(idx, td, r, c):
+        s = _huff_read(br, hufftabs[(0, td)])
+        diff = _extend(br.bits(s), s) if s else 0
+        preds[idx] += diff
+        coefs[idx][r, c, 0] = preds[idx] << al
+
+    def dc_refine_block(idx, r, c):
+        if br.bits(1):
+            coefs[idx][r, c, 0] |= (1 << al)
+
+    def ac_first_block(blk, ta):
+        nonlocal eobrun
+        if eobrun > 0:
+            eobrun -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = _huff_read(br, hufftabs[(1, ta)])
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r != 15:
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += br.bits(r)
+                    break
+                k += 16
+                continue
+            k += r
+            if k > se:
+                raise ValueError("corrupt JPEG: AC index overrun")
+            blk[k] = _extend(br.bits(s), s) << al
+            k += 1
+
+    def ac_refine_block(blk, ta):
+        nonlocal eobrun
+        p1 = 1 << al
+        m1 = -1 << al
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = _huff_read(br, hufftabs[(1, ta)])
+                r, s = rs >> 4, rs & 15
+                if s == 0:
+                    if r != 15:
+                        eobrun = (1 << r)
+                        if r:
+                            eobrun += br.bits(r)
+                        break
+                    # r == 15: run of 16 zero-history positions, no new coef
+                    newval = 0
+                else:
+                    if s != 1:
+                        raise ValueError("corrupt JPEG: refinement s != 1")
+                    newval = p1 if br.bits(1) else m1
+                # advance over r zero-history coefficients, refining any
+                # nonzero-history coefficients passed over
+                while k <= se:
+                    if blk[k] != 0:
+                        if br.bits(1) and (blk[k] & p1) == 0:
+                            blk[k] += p1 if blk[k] > 0 else m1
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if s and k <= se:
+                    blk[k] = newval
+                k += 1
+        if eobrun > 0:
+            # EOB covers this block: refine every remaining nonzero coef
+            while k <= se:
+                if blk[k] != 0:
+                    if br.bits(1) and (blk[k] & p1) == 0:
+                        blk[k] += p1 if blk[k] > 0 else m1
+                k += 1
+            eobrun -= 1
+
+    def at_restart(nunit):
+        nonlocal eobrun
+        if restart_interval and nunit and nunit % restart_interval == 0:
+            br.acc = 0
+            br.nbits = 0
+            eobrun = 0
+            for key in preds:
+                preds[key] = 0
+
+    if ss == 0:  # DC scan (interleaved when >1 component in scan)
+        if len(scomps) > 1 or (len(comps) > 1 and len(scomps) == len(comps)):
+            nmcu = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    at_restart(nmcu)
+                    for idx, td, _ in scomps:
+                        h0, v0 = samps[idx]
+                        for vb in range(v0):
+                            for hb in range(h0):
+                                r0 = my * v0 + vb
+                                c0 = mx * h0 + hb
+                                if ah == 0:
+                                    dc_first_block(idx, td, r0, c0)
+                                else:
+                                    dc_refine_block(idx, r0, c0)
+                    nmcu += 1
+        else:
+            idx, td, _ = scomps[0]
+            bw, bh = cdims[idx]
+            nblk = 0
+            for r0 in range(bh):
+                for c0 in range(bw):
+                    at_restart(nblk)
+                    if ah == 0:
+                        dc_first_block(idx, td, r0, c0)
+                    else:
+                        dc_refine_block(idx, r0, c0)
+                    nblk += 1
+    else:  # AC scan: always exactly one component, non-interleaved
+        if len(scomps) != 1:
+            raise ValueError("corrupt JPEG: interleaved AC scan")
+        idx, _, ta = scomps[0]
+        bw, bh = cdims[idx]
+        nblk = 0
+        for r0 in range(bh):
+            for c0 in range(bw):
+                at_restart(nblk)
+                blk = coefs[idx][r0, c0]
+                if ah == 0:
+                    ac_first_block(blk, ta)
+                else:
+                    ac_refine_block(blk, ta)
+                nblk += 1
+
+
+class _ProgBitWriter(_BitWriter):
+    """Bit writer with libjpeg-style buffered correction bits: during an
+    AC-refinement zero-history run the correction bits of nonzero-history
+    coefficients must be emitted AFTER the next Huffman code + sign bit
+    (the decoder reads code, sign, then the run's correction bits)."""
+
+    def __init__(self):
+        super().__init__()
+        self.pending: list[int] = []
+
+    def defer(self, bit: int) -> None:
+        self.pending.append(bit & 1)
+
+    def flush_pending(self) -> None:
+        for b in self.pending:
+            self.put(b, 1)
+        self.pending = []
+
+
+def encode_jpeg_progressive(coeffs: np.ndarray, width: int, height: int,
+                            qtable: np.ndarray) -> bytes:
+    """Progressive (SOF2) grayscale JPEG from QUANTIZED coefficient blocks —
+    four scans exercising every Annex-G decode path:
+
+      1. DC first        Ss=0 Se=0  Ah=0 Al=1   (diffs of dc >> 1)
+      2. DC refinement   Ss=0 Se=0  Ah=1 Al=0   (raw bit dc & 1 per block)
+      3. AC first        Ss=1 Se=63 Ah=0 Al=1   (values trunc-toward-zero /2,
+                                                 EOB runs aggregated)
+      4. AC refinement   Ss=1 Se=63 Ah=1 Al=0   (new ±1s + correction bits)
+
+    ``coeffs``: (by, bx, 8, 8) int array in NATURAL frequency order;
+    ``qtable``: (8, 8) natural order. After all four scans the accumulated
+    coefficients equal the originals exactly, so the decode is identical to
+    the baseline encoding of the same blocks. Standard Annex-K tables."""
+    coeffs = np.asarray(coeffs, dtype=np.int64)
+    by, bx = coeffs.shape[:2]
+    q_zig = np.asarray(qtable, dtype=np.int64).ravel()[_JPEG_ZIGZAG]
+    dc_tab = _huff_canonical(_STD_DC_BITS, _STD_DC_VALS)
+    # The Annex-K AC table has no EOBn symbols (r<<4, r=1..14) — those exist
+    # only in progressive streams' custom tables. Emit a flat custom table:
+    # every AC symbol at code length 8 (176 symbols < 255, so the reserved
+    # all-ones code stays unused). Suboptimal compression, fully legal.
+    prog_ac_vals = sorted({(r << 4) | s for r in range(16) for s in range(1, 11)}
+                          | {r << 4 for r in range(15)} | {0xF0})
+    prog_ac_bits = [0] * 7 + [len(prog_ac_vals)] + [0] * 8
+    ac_tab = _huff_canonical(prog_ac_bits, prog_ac_vals)
+    zz = np.stack([coeffs[r, c].ravel()[_JPEG_ZIGZAG]
+                   for r in range(by) for c in range(bx)])  # (nblk, 64)
+    nblk = by * bx
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([0x00]) + bytes(int(v) for v in q_zig)
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 11, 8, height, width, 1) + bytes([1, 0x11, 0])
+    out += (b"\xff\xc4" + struct.pack(">H", 3 + 16 + len(_STD_DC_VALS))
+            + bytes([0x00]) + bytes(_STD_DC_BITS) + bytes(_STD_DC_VALS))
+    out += (b"\xff\xc4" + struct.pack(">H", 3 + 16 + len(prog_ac_vals))
+            + bytes([0x10]) + bytes(prog_ac_bits) + bytes(prog_ac_vals))
+
+    def sos(ss, se, ah, al):
+        return b"\xff\xda" + struct.pack(">H", 8) + bytes([1, 1, 0x00, ss, se, (ah << 4) | al])
+
+    # ---- scan 1: DC first, Al=1 (arithmetic shift keeps DPCM exact) ----
+    out += sos(0, 0, 0, 1)
+    w = _BitWriter()
+    pred = 0
+    for b in range(nblk):
+        v = int(zz[b, 0]) >> 1
+        diff = v - pred
+        pred = v
+        s = _mag_cat(diff)
+        code, ln = dc_tab[s]
+        w.put(code, ln)
+        if s:
+            w.put(diff if diff > 0 else diff + (1 << s) - 1, s)
+    out += w.flush()
+
+    # ---- scan 2: DC refinement, one raw bit per block ----
+    out += sos(0, 0, 1, 0)
+    w = _BitWriter()
+    for b in range(nblk):
+        w.put(int(zz[b, 0]) & 1, 1)
+    out += w.flush()
+
+    # ---- scan 3: AC first, Al=1, EOB runs aggregated across blocks ----
+    out += sos(1, 63, 0, 1)
+    w = _BitWriter()
+    eobrun = 0
+
+    def flush_eobrun():
+        nonlocal eobrun
+        while eobrun > 0:
+            run = min(eobrun, 0x7FFF)
+            r = run.bit_length() - 1
+            code, ln = ac_tab[r << 4]
+            w.put(code, ln)
+            if r:
+                w.put(run - (1 << r), r)
+            eobrun -= run
+
+    for b in range(nblk):
+        hi = [int(v) // 2 if v >= 0 else -((-int(v)) // 2) for v in zz[b, 1:]]
+        last = max((k for k, v in enumerate(hi) if v), default=-1)
+        if last < 0:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eobrun()
+            continue
+        flush_eobrun()
+        run = 0
+        for k in range(last + 1):
+            v = hi[k]
+            if v == 0:
+                run += 1
+                continue
+            while run >= 16:
+                code, ln = ac_tab[0xF0]
+                w.put(code, ln)
+                run -= 16
+            s = _mag_cat(v)
+            code, ln = ac_tab[(run << 4) | s]
+            w.put(code, ln)
+            w.put(v if v > 0 else v + (1 << s) - 1, s)
+            run = 0
+        if last < 62:
+            eobrun += 1
+    flush_eobrun()
+    out += w.flush()
+
+    # ---- scan 4: AC refinement, Al=0 ----
+    out += sos(1, 63, 1, 0)
+    w = _ProgBitWriter()
+    eobrun = 0
+    eob_pending: list[int] = []  # correction bits covered by the open EOB run
+
+    def flush_eobrun_refine():
+        nonlocal eobrun, eob_pending
+        while eobrun > 0:
+            run = min(eobrun, 0x7FFF)
+            r = run.bit_length() - 1
+            code, ln = ac_tab[r << 4]
+            w.put(code, ln)
+            if r:
+                w.put(run - (1 << r), r)
+            eobrun -= run
+        for bit in eob_pending:
+            w.put(bit, 1)
+        eob_pending = []
+
+    for b in range(nblk):
+        hist = [int(v) // 2 if v >= 0 else -((-int(v)) // 2) for v in zz[b, 1:]]
+        newk = [k for k, v in enumerate(zz[b, 1:]) if hist[k] == 0 and v != 0]
+        last_new = newk[-1] if newk else -1
+        if last_new < 0:
+            # whole block is EOB territory: its history correction bits ride
+            # after the (aggregated) EOB code, in block order
+            eobrun += 1
+            for k, hv in enumerate(hist):
+                if hv != 0:
+                    eob_pending.append(int(zz[b, 1 + k]) & 1)
+            if eobrun == 0x7FFF:
+                flush_eobrun_refine()
+            continue
+        flush_eobrun_refine()
+        run = 0  # still-zero positions since the last emitted symbol
+        for k in range(last_new + 1):
+            v = int(zz[b, 1 + k])
+            if v == 0:
+                run += 1
+                continue
+            # ZRLs must be emitted on reaching ANY nonzero while run > 15 —
+            # including history coefficients — flushing the deferred
+            # correction bits at that point, or the decoder (which stops
+            # its run walk after 16 zeros) would read them early
+            while run > 15:
+                code, ln = ac_tab[0xF0]
+                w.put(code, ln)
+                run -= 16
+                w.flush_pending()
+            if hist[k] != 0:
+                # nonzero history: correction bit, deferred past next code
+                w.defer(v & 1)
+                continue
+            # newly nonzero (|v| == 1): emit (run, 1) + sign, then deferred
+            code, ln = ac_tab[(run << 4) | 1]
+            w.put(code, ln)
+            w.put(1 if v > 0 else 0, 1)
+            w.flush_pending()
+            run = 0
+        # remainder of the block (past the last new coefficient) opens an
+        # EOB run; its history correction bits ride behind the aggregated
+        # EOB code alongside any later all-EOB blocks'
+        if last_new < 62:
+            eobrun = 1
+            eob_pending = [int(zz[b, 1 + k]) & 1
+                           for k in range(last_new + 1, 63) if hist[k] != 0]
+    flush_eobrun_refine()
+    out += w.flush()
+
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Sniff-and-dispatch JPEG decode: SOF0 baseline-sequential streams go
+    to decode_jpeg_baseline, SOF2 progressive-Huffman streams to
+    decode_jpeg_progressive. Returns (H, W) grayscale or (H, W, 3) RGB."""
+    meta = jpeg_meta(data)
+    if meta.get("progressive"):
+        return decode_jpeg_progressive(data)
+    return decode_jpeg_baseline(data)
+
+
+# ---------------------------------------------------------------------------
+# AVI / MJPEG video (r15): REAL video sample decode. Motion-JPEG is the
+# one video codec the repo can decode faithfully from scratch — every frame
+# is an independent T.81 JPEG, so the per-frame decode reuses the full
+# baseline/progressive pipeline above, and the AVI (RIFF) container is a
+# plain chunk walk. encode_avi_mjpeg + avi_meta + decode_avi_frames close
+# the container/codec loop the same way encode_png/decode_png do for
+# images. Inter-frame codecs (H.264 etc.) remain out of scope: their
+# entropy decode is not reproducible offline.
+# ---------------------------------------------------------------------------
+
+AVI_MAGIC = b"RIFF"
+
+
+def _riff_chunk(fourcc: bytes, payload: bytes) -> bytes:
+    pad = b"\x00" if len(payload) % 2 else b""
+    return fourcc + struct.pack("<I", len(payload)) + payload + pad
+
+
+def _riff_list(list_type: bytes, payload: bytes) -> bytes:
+    return _riff_chunk(b"LIST", list_type + payload)
+
+
+def encode_avi_mjpeg(frames: list[bytes], width: int, height: int,
+                     fps: int = 25) -> bytes:
+    """AVI (RIFF) container around MJPEG frames — each ``frames[i]`` is a
+    complete JPEG stream, stored as a '00dc' chunk in the 'movi' list with
+    a standard idx1 keyframe index. Layout per the public AVI RIFF spec:
+    hdrl(avih + strl(strh 'vids'/'MJPG' + strf BITMAPINFOHEADER))."""
+    nf = len(frames)
+    usec = 1_000_000 // max(fps, 1)
+    maxsz = max((len(f) for f in frames), default=0)
+    avih = struct.pack("<14I", usec, maxsz * fps, 0, 0x10, nf, 0, 1, maxsz,
+                       width, height, 0, 0, 0, 0)
+    strh = (b"vids" + b"MJPG" + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0,
+            1, fps, 0, nf, maxsz, 0xFFFFFFFF, 0)
+            + struct.pack("<4h", 0, 0, width, height))
+    strf = struct.pack("<IiiHH4sIiiII", 40, width, height, 1, 24, b"MJPG",
+                       width * height * 3, 0, 0, 0, 0)
+    hdrl = _riff_list(b"hdrl", _riff_chunk(b"avih", avih)
+                      + _riff_list(b"strl", _riff_chunk(b"strh", strh)
+                                   + _riff_chunk(b"strf", strf)))
+    movi_payload = b""
+    idx = b""
+    for f in frames:
+        # idx1 offsets point at the ckid, relative to the 'movi' fourcc
+        idx += b"00dc" + struct.pack("<III", 0x10, 4 + len(movi_payload), len(f))
+        movi_payload += _riff_chunk(b"00dc", f)
+    movi = _riff_list(b"movi", movi_payload)
+    body = b"AVI " + hdrl + movi + _riff_chunk(b"idx1", idx)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _avi_walk(data: bytes):
+    """Yield (path, fourcc, payload_offset, size) for every chunk in an AVI
+    RIFF tree, depth-first."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not an AVI (RIFF) stream")
+
+    def walk(start: int, end: int, path: tuple):
+        pos = start
+        while pos + 8 <= end:
+            fourcc = data[pos:pos + 4]
+            (size,) = struct.unpack("<I", data[pos + 4:pos + 8])
+            body = pos + 8
+            if fourcc == b"LIST":
+                ltype = data[body:body + 4]
+                yield (path, b"LIST:" + ltype, body + 4, size - 4)
+                yield from walk(body + 4, body + size, path + (ltype,))
+            else:
+                yield (path, fourcc, body, size)
+            pos = body + size + (size % 2)
+
+    yield from walk(12, len(data), ())
+
+
+def avi_meta(data: bytes) -> dict:
+    """Parse AVI container metadata: dimensions, fps, frame count, codec."""
+    out = {"format": "avi", "kind": "video"}
+    for path, fourcc, off, size in _avi_walk(data):
+        if fourcc == b"avih":
+            vals = struct.unpack("<14I", data[off:off + 56])
+            usec, nf, w, h = vals[0], vals[4], vals[8], vals[9]
+            out.update(width=int(w), height=int(h), n_frames=int(nf),
+                       fps=(1_000_000 // usec if usec else 0),
+                       duration_ms=int(nf * usec // 1000))
+        elif fourcc == b"strh" and data[off:off + 4] == b"vids":
+            out["codec"] = data[off + 4:off + 8].decode("ascii", "replace").strip()
+    return out
+
+
+def decode_avi_frames(data: bytes, every_n: int = 1,
+                      max_frames: int | None = None):
+    """REAL video frame sampling: walk the 'movi' list, take every
+    ``every_n``-th '00dc' video chunk, decode each as an independent JPEG
+    (baseline or progressive — MJPEG frames are plain T.81 streams).
+    Yields (frame_index, ndarray). Non-MJPEG codecs raise."""
+    meta = avi_meta(data)
+    codec = meta.get("codec", "")
+    if codec not in ("MJPG", "mjpg"):
+        raise NotImplementedError(
+            f"decode_avi_frames: codec {codec!r} not MJPEG — inter-frame "
+            "video codecs are the declared stub surface")
+    fi = 0
+    taken = 0
+    for path, fourcc, off, size in _avi_walk(data):
+        if fourcc == b"00dc" and path and path[-1] == b"movi":
+            if fi % every_n == 0:
+                yield fi, decode_jpeg(data[off:off + size])
+                taken += 1
+                if max_frames is not None and taken >= max_frames:
+                    return
+            fi += 1

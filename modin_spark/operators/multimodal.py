@@ -7,10 +7,12 @@ signatures — is real and tested. Decode is REAL for the two stdlib-
 expressible formats (r7): PNG via zlib inflate + scanline unfilter and WAV
 via the stdlib ``wave`` module (operators/media_codecs.py) back
 ``decode_stub=False`` for image decode / feature extraction / resize and
-audio decode / features. JPEG/MP3/video PIXEL/SAMPLE decode remains stubbed
-(``decode_stub=True`` produces deterministic fake features) because their
-entropy codecs are not stdlib-expressible; swapping in PIL/torchaudio later
-only changes the inner function body. Their HEADER metadata, however, is
+audio decode / features. JPEG pixel decode is REAL as of r14/r15 (baseline
++ progressive, media_codecs pure-numpy T.81 pipeline), as is MJPEG-in-AVI
+video frame decode; MP3 SAMPLE decode remains stubbed (``decode_stub=True``
+produces deterministic fake features) because the MPEG-1 polyphase window
+is a tabulated constant not reproducible offline; swapping in torchaudio
+later only changes the inner function body. HEADER metadata is
 REAL as of r11: jpeg_meta (T.81 marker walk), mp3_meta (MPEG frame-header
 chain + ID3v2 skip), mp4_meta (ISO-BMFF box walk) in media_codecs.py back
 attach_media_meta — dimensions / sample rate / duration / codec, which is
@@ -163,18 +165,19 @@ def _fake_embedding(data: bytes, dim: int) -> np.ndarray:
 
 def _decode_image(data: bytes) -> "np.ndarray":
     """Sniff + REAL-decode an image payload to (h, w, ch) uint8: PNG
-    (media_codecs.decode_png) or baseline grayscale JPEG
-    (media_codecs.decode_jpeg_baseline, r14). Other formats raise."""
+    (media_codecs.decode_png) or JPEG — baseline SOF0 (r14) and
+    progressive SOF2 (r15) both decode via media_codecs.decode_jpeg's
+    marker sniff. Other formats raise."""
     from modin_spark.operators.media_codecs import (
-        JPEG_MAGIC, PNG_MAGIC, decode_jpeg_baseline, decode_png)
+        JPEG_MAGIC, PNG_MAGIC, decode_jpeg, decode_png)
 
     data = bytes(data)
     if data.startswith(PNG_MAGIC):
         return decode_png(data)
     if data.startswith(JPEG_MAGIC):
-        arr = decode_jpeg_baseline(data)  # (h, w) gray or (h, w, 3) RGB
+        arr = decode_jpeg(data)  # (h, w) gray or (h, w, 3) RGB
         return arr[:, :, None] if arr.ndim == 2 else arr
-    raise ValueError("unsupported image payload (PNG or baseline JPEG)")
+    raise ValueError("unsupported image payload (PNG or JPEG)")
 
 
 def _png_feature_vec(data: bytes, dim: int) -> list:
@@ -350,15 +353,83 @@ def resize_images(df: SDF, bin_col: str = "payload", size: tuple[int, int] = (22
 
 
 def sample_frames(df: SDF, bin_col: str = "payload", every_n: int = 10, decode_stub: bool = True) -> SDF:
-    """Video frame sampling stub: emits (frame_idx, frame_payload) rows via
-    posexplode of deterministic frame splits — the explode/partition shape
-    of a real ffmpeg-backed splitter."""
+    """Video frame sampling: emits (frame_idx, frame_payload) rows.
+
+    ``decode_stub=False`` (r15): REAL decode for MJPEG-in-AVI payloads —
+    media_codecs.decode_avi_frames walks the RIFF 'movi' list, decodes
+    every ``every_n``-th '00dc' chunk through the full T.81 JPEG pipeline,
+    and re-encodes each sampled frame as a real PNG payload. Runs inside
+    mapInPandas (one input row fans out to its sampled frames) — per-row
+    independent, no shuffle; inter-frame codecs raise. The stub path keeps
+    the legacy posexplode shape for opaque payloads."""
     if not decode_stub:
-        raise NotImplementedError("real frame sampling requires ffmpeg bindings")
+        out_schema = T.StructType(df.schema.fields + [
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("frame_payload", T.BinaryType()),
+        ])
+
+        def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from modin_spark.operators.media_codecs import (
+                decode_avi_frames, encode_png)
+
+            for pdf in batches:
+                rows = []
+                for _, row in pdf.iterrows():
+                    for fi, arr in decode_avi_frames(bytes(row[bin_col]), every_n):
+                        r = dict(row)
+                        r["frame_idx"] = fi
+                        r["frame_payload"] = encode_png(arr)
+                        rows.append(r)
+                yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+        return df.mapInPandas(extract, out_schema)
     n_frames = (F.crc32(F.col(bin_col)) % 50 + 1).cast("int")
     idx = F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))
     exploded = df.withColumn("frame_idx", F.explode(idx))
     return exploded.withColumn("frame_payload", F.sha2(F.concat(F.col(bin_col), F.col("frame_idx").cast("binary")), 256).cast("binary"))
+
+
+def video_frame_stats(df: SDF, bin_col: str = "payload", every_n: int = 1) -> SDF:
+    """REAL video sample decode -> exact per-video stats: container dims,
+    total frame count, number of sampled frames, and the mean luminance
+    over every pixel of the sampled frames (float64 — exact for the dyadic
+    pixel values the oracle constructs). MJPEG-in-AVI via
+    media_codecs.decode_avi_frames; per-row independent, no shuffle."""
+    out_schema = T.StructType(df.schema.fields + [
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("sampled", T.IntegerType()),
+        T.StructField("mean_lum", T.DoubleType()),
+    ])
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from modin_spark.operators.media_codecs import avi_meta, decode_avi_frames
+
+        for pdf in batches:
+            ws, hs, nf, ns, mus = [], [], [], [], []
+            for b in pdf[bin_col]:
+                data = bytes(b)
+                meta = avi_meta(data)
+                tot = 0.0
+                cnt = 0
+                npx = 0
+                for _, arr in decode_avi_frames(data, every_n):
+                    a = arr.astype(np.float64)
+                    if a.ndim == 3:
+                        a = a.mean(axis=2)
+                    tot += float(a.sum())
+                    npx += a.size
+                    cnt += 1
+                ws.append(int(meta.get("width", 0)))
+                hs.append(int(meta.get("height", 0)))
+                nf.append(int(meta.get("n_frames", 0)))
+                ns.append(cnt)
+                mus.append(tot / npx if npx else None)
+            yield pdf.assign(width=ws, height=hs, n_frames=nf, sampled=ns,
+                             mean_lum=mus)
+
+    return df.mapInPandas(extract, out_schema)
 
 
 def make_synthetic_media(spark, n: int = 100, seed: int = 42, kind: str = "raw") -> SDF:
