@@ -135,8 +135,12 @@ def cum_op(frame: SparkFrame, positions: Sequence[int], op: str, skipna: bool = 
     w_carry = Window.orderBy(_BLK).rowsBetween(Window.unboundedPreceding, -1)
 
     combine = {
-        "cumsum": (F.sum, lambda within, carry: within + F.coalesce(carry, F.lit(0))),
-        "cumprod": (F.product, lambda within, carry: within * F.coalesce(carry, F.lit(1))),
+        # a NULL carry (first block) falls through to the outer
+        # coalesce(merged, carry, within) -> within, so no typed zero is
+        # needed — which also keeps interval (timedelta) columns legal,
+        # where coalesce(carry, 0) is a DATATYPE_MISMATCH
+        "cumsum": (F.sum, lambda within, carry: within + carry),
+        "cumprod": (F.product, lambda within, carry: within * carry),
         "cummax": (F.max, lambda within, carry: F.greatest(within, carry)),
         "cummin": (F.min, lambda within, carry: F.least(within, carry)),
     }

@@ -1035,6 +1035,42 @@ class Series:
                        "yyyy-MM-dd HH:mm:ss" if not row["us"] else
                        "yyyy-MM-dd HH:mm:ss.SSSSSS")
                 return self._map1(lambda c: F.coalesce(F.date_format(c, fmt), F.lit("NaT")))
+            if kind == "m":
+                # pandas timedelta repr: "{d} days [+]{HH:MM:SS}[.ffffff]"
+                # with floored days and a non-negative remainder ('-1 days
+                # +23:59:59'); when EVERY value is day-aligned the whole
+                # array renders "{d} days" alone, and the fractional suffix
+                # is per-element (only when that element has microseconds).
+                # Spark's native interval cast would render "INTERVAL
+                # '2 00:00:00' DAY TO SECOND" instead. ONE probe aggregate
+                # (same pattern as the datetime branch above) decides the
+                # array-wide day-aligned fast form.
+                day_us = F.lit(86400000000)
+                probe_rem = _interval_micros(self._expr) % day_us
+                day_aligned = self._frame.sdf.agg(
+                    F.max(F.when(probe_rem != 0, 1).otherwise(0)).alias("t")
+                ).collect()[0]["t"] in (0, None)
+
+                def _td_str(c, _days_only=day_aligned):
+                    m = _interval_micros(c)
+                    d = F.floor(m / day_us).cast("long")
+                    if _days_only:
+                        return F.coalesce(
+                            F.concat(d.cast("string"), F.lit(" days")),
+                            F.lit("NaT"))
+                    rem = m - d * day_us
+                    hh = F.lpad((rem / F.lit(3600000000)).cast("long").cast("string"), 2, "0")
+                    mi = F.lpad(((rem % F.lit(3600000000)) / F.lit(60000000)).cast("long").cast("string"), 2, "0")
+                    ss = F.lpad(((rem % F.lit(60000000)) / F.lit(1000000)).cast("long").cast("string"), 2, "0")
+                    us = (rem % F.lit(1000000)).cast("long")
+                    frac = F.when(us != 0, F.concat(F.lit("."), F.lpad(us.cast("string"), 6, "0"))).otherwise(F.lit(""))
+                    plus = F.when(d < 0, F.lit("+")).otherwise(F.lit(""))
+                    return F.coalesce(
+                        F.concat(d.cast("string"), F.lit(" days "), plus,
+                                 hh, F.lit(":"), mi, F.lit(":"), ss, frac),
+                        F.lit("NaT"))
+
+                return self._map1(_td_str)
         return self._map1(lambda c: c.cast(spark_t))
 
     def round(self, decimals: int = 0) -> "Series":
@@ -2553,6 +2589,23 @@ for _m in [
 ]:
     if not hasattr(Series, _m):
         setattr(Series, _m, _route_frame(_m))
+
+
+_routed_reset_index = Series.reset_index
+_NO_DEFAULT = pd.api.extensions.no_default
+
+
+def _ser_reset_index(self, level=None, *, drop=False, name=_NO_DEFAULT,
+                     inplace=False, allow_duplicates=False):
+    """pandas Series.reset_index accepts ``name=`` for the value column
+    (DataFrame.reset_index does not); pandas 2.2 IGNORES name when
+    drop=True. Route through the frame implementation on a renamed view."""
+    base = self if (drop or name is _NO_DEFAULT) else self.rename(name)
+    return _routed_reset_index(base, level=level, drop=drop, inplace=inplace)
+
+
+_ser_reset_index.__name__ = "reset_index"
+Series.reset_index = _ser_reset_index
 
 
 def _ser_loc(self):

@@ -385,3 +385,46 @@ def test_computed_nan_float_key():
     eq_series(m.groupby("k").ngroup(), p.groupby("k").ngroup())
     assert sorted(m.groupby("k").head(1).to_pandas()["w"]) == \
         sorted(p.groupby("k").head(1)["w"])
+
+
+def test_series_reset_index_name_kwarg():
+    """Series.reset_index(name=) names the value column (wave 51:
+    previously forwarded to DataFrame.reset_index -> TypeError); pandas
+    2.2 IGNORES name when drop=True."""
+    s = pd.Series([1, 2], index=pd.Index(["a", "b"], name="k"), name="v")
+    ms = mpd.Series([1, 2], index=pd.Index(["a", "b"], name="k"), name="v")
+    pd.testing.assert_frame_equal(
+        ms.reset_index(name="n").to_pandas(), s.reset_index(name="n"),
+        check_dtype=False)
+    eq_series(ms.reset_index(drop=True, name="x"),
+              s.reset_index(drop=True, name="x"))
+    # the groupby chain the probe caught
+    p = pd.DataFrame({"k": ["a", None, "a"], "v": [1, 2, 3]})
+    m = mpd.DataFrame(p)
+    pd.testing.assert_frame_equal(
+        m.groupby("k", dropna=False).size().reset_index(name="n").to_pandas(),
+        p.groupby("k", dropna=False).size().reset_index(name="n"),
+        check_dtype=False)
+
+
+def test_timedelta_cumsum():
+    """Wave 51: cumsum over a timedelta column hit coalesce(interval, 0)
+    DATATYPE_MISMATCH in the blocked-cumsum carry merge."""
+    t = pd.to_datetime(["2024-01-01", "2024-01-03", "2024-01-02", "2024-01-10"])
+    p = pd.Series(t).diff()
+    m = mpd.Series(t).diff()
+    eq_series(m.cumsum(), p.cumsum())
+
+
+def test_timedelta_astype_str_formats():
+    """Wave 51: timedelta astype(str) must render pandas' repr — floored
+    days + non-negative remainder, '+' on negative days, array-wide
+    day-aligned short form, per-element microsecond suffix — not Spark's
+    INTERVAL literal."""
+    mixed = [pd.Timedelta("2 days"), pd.Timedelta("-1 days 02:03:04"),
+             pd.Timedelta("00:00:00.123456"), pd.NaT, pd.Timedelta(seconds=-1)]
+    eq_series(mpd.Series(mixed).astype(str), pd.Series(mixed).astype(str))
+    aligned = [pd.Timedelta("2 days"), pd.Timedelta("-5 days"), pd.NaT]
+    eq_series(mpd.Series(aligned).astype(str), pd.Series(aligned).astype(str))
+    dt = pd.to_datetime(["2024-01-01", "2024-01-03", "2024-01-02"])
+    eq_series(mpd.Series(dt).diff().astype(str), pd.Series(dt).diff().astype(str))
