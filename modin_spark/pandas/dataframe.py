@@ -210,10 +210,10 @@ class DataFrame:
                 vals = other._frame.sdf.select(other._expr.alias("__sjv__")).distinct()
                 how = "left_anti" if negate else "left_semi"
                 joined = fr.sdf.join(vals, base_expr == F.col("__sjv__"), how)
-                return DataFrame(_frame=fr._subset_rows(joined))
+                return self._copy_col_meta(DataFrame(_frame=fr._subset_rows(joined)))
             if fr.can_rebase(key._frame, key._refs):
                 cond = key._filter_expr if key._filter_expr is not None else key._expr
-                return DataFrame(_frame=fr.filter(cond))
+                return self._copy_col_meta(DataFrame(_frame=fr.filter(cond)))
             # alignment fallback: join mask by index (or global position for
             # default-index frames — raw ORDER_COL is not cross-frame comparable)
             mfr = key._to_frame("__m__").ensure_order()
@@ -231,7 +231,7 @@ class DataFrame:
             joined = joined.drop(*[f"__mk{i}__" for i in range(len(rkey))], mask_fr.data_cols[0])
             if "__alp__" in joined.columns:
                 joined = joined.drop("__alp__")
-            return DataFrame(_frame=fr._subset_rows(joined))
+            return self._copy_col_meta(DataFrame(_frame=fr._subset_rows(joined)))
         if isinstance(key, (pd.Index, np.ndarray)):
             # pandas: df[df.columns] / df[array_of_labels]; a BOOLEAN array
             # is a positional row mask
@@ -239,7 +239,9 @@ class DataFrame:
                 return self.iloc[key]
             key = list(key)
         if isinstance(key, list):
-            return DataFrame(_frame=fr.select_positions(fr.positions_of(key)))
+            return self._copy_col_meta(
+                DataFrame(_frame=fr.select_positions(fr.positions_of(key))),
+                labels=set(key))
         if isinstance(key, slice):
             return self.iloc[key]
         if isinstance(fr.columns, pd.MultiIndex) and not isinstance(key, tuple):
@@ -272,8 +274,15 @@ class DataFrame:
         # unobserved categories later
         if isinstance(value, pd.Categorical):
             self._cat_meta = {**getattr(self, "_cat_meta", {}), key: value.dtype}
+            self._to_pandas_ext_dtypes = {
+                **getattr(self, "_to_pandas_ext_dtypes", {}), key: value.dtype}
         elif getattr(value, "_cat_dtype", None) is not None:
+            # mirror into BOTH stores: _cat_meta feeds groupby
+            # observed=False, _to_pandas_ext_dtypes feeds column extraction
+            # and to_pandas dtype restoration
             self._cat_meta = {**getattr(self, "_cat_meta", {}), key: value._cat_dtype}
+            self._to_pandas_ext_dtypes = {
+                **getattr(self, "_to_pandas_ext_dtypes", {}), key: value._cat_dtype}
         if isinstance(value, Series):
             if fr.can_rebase(value._frame, value._refs):
                 self._frame = fr.with_columns([key], [value._expr], refs=set(value._refs))
@@ -389,8 +398,22 @@ class DataFrame:
         return ILocIndexer(self)
 
     # ------------------------------------------------------------ column ops
+    def _copy_col_meta(self, out: "DataFrame", labels=None) -> "DataFrame":
+        """Propagate wrapper-carried per-column dtype metadata (categorical
+        category sets, nullable-extension dtypes) to a derived frame —
+        Spark storage is plain, so the dtypes ride the wrapper and must
+        survive column selection / assign / row filters."""
+        for attr in ("_cat_meta", "_to_pandas_ext_dtypes"):
+            src = getattr(self, attr, None)
+            if src:
+                sub = src if labels is None else {
+                    k: v for k, v in src.items() if k in labels}
+                if sub:
+                    setattr(out, attr, {**getattr(out, attr, {}), **sub})
+        return out
+
     def assign(self, **kwargs) -> "DataFrame":
-        out = DataFrame(_frame=self._frame)
+        out = self._copy_col_meta(DataFrame(_frame=self._frame))
         for k, v in kwargs.items():
             if callable(v):
                 v = v(out)
@@ -410,7 +433,9 @@ class DataFrame:
                     raise KeyError(c)
                 dropset.update(hits)
             keep = [i for i in range(len(self._frame.columns)) if i not in dropset]
-            out = DataFrame(_frame=self._frame.select_positions(keep))
+            out = self._copy_col_meta(
+                DataFrame(_frame=self._frame.select_positions(keep)),
+                labels={self._frame.columns[i] for i in keep})
             if index is None:
                 return out
         # drop rows by index label (pandas axis=0 default) — an anti-filter

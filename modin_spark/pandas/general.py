@@ -415,6 +415,9 @@ def crosstab(index: Series, columns: Series, values: Series | None = None,
         sdf = target.sdf.select(ie.alias("__i__"), ce.alias("__c__"), ve.alias("__v__"))
     else:
         sdf = target.sdf.select(ie.alias("__i__"), ce.alias("__c__"))
+    # pandas drops rows where ANY grouping key is missing (no dropna= knob
+    # on crosstab) — a null index key must not surface as a NaN row label
+    sdf = sdf.where(F.col("__i__").isNotNull() & F.col("__c__").isNotNull())
     # typed distinct pivot keys (driver metadata by definition): pandas keeps
     # the key dtype in the output column labels (int keys -> int labels)
     pvals = [r[0] for r in sdf.select("__c__").where(F.col("__c__").isNotNull())

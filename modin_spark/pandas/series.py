@@ -1534,8 +1534,19 @@ class Series:
         if nat is not None:
             return nat
         fr = self._to_frame()
-        sort_expr = key(Series._from_frame(fr))._expr if key is not None else fr.scol(0)
-        return self._rewrap(fr.sort_by([sort_expr], [ascending], na_position))
+        cd = getattr(self, "_cat_dtype", None)
+        if key is not None:
+            sort_expr = key(Series._from_frame(fr))._expr
+        elif cd is not None:
+            # categorical sort ranks by CATEGORY ORDER (ordered or not —
+            # pandas sorts unordered categoricals by their category list
+            # too), not lexically; a bounded array-literal code lookup
+            arr = F.array(*[F.lit(c) for c in cd.categories])
+            sort_expr = F.array_position(arr, fr.scol(0))
+        else:
+            sort_expr = fr.scol(0)
+        return self._copy_scalar_meta(
+            self._rewrap(fr.sort_by([sort_expr], [ascending], na_position)))
 
     def head(self, n: int = 5) -> "Series":
         nat = _native.maybe_series(self, "head", n=n)
@@ -1626,6 +1637,21 @@ class Series:
         if normalize:
             total = self._frame.sdf.where(self._expr.isNotNull()).count() if dropna else self._frame.count_rows()
             out = out.project(["proportion"], [F.col(out.data_cols[0]) / F.lit(total)])
+        cd = getattr(self, "_cat_dtype", None)
+        if cd is not None:
+            # categorical: EVERY category appears, zero-count included
+            # (pandas). The result is bounded by the driver-known category
+            # set, so reindex driver-side (same shape as the bins= path);
+            # stable desc sort leaves zero-count cats in category order.
+            vc = Series._from_frame(out).to_pandas()
+            extras = [i for i in vc.index if i not in set(cd.categories)]
+            vc = vc.reindex(list(cd.categories) + extras, fill_value=0)
+            if sort:
+                vc = vc.sort_values(ascending=ascending, kind="stable")
+            vc.index.name = self._name
+            res = Series._from_pandas(vc)
+            res._name = "proportion" if normalize else "count"
+            return res
         if sort:
             out = out.sort_by([F.col(out.data_cols[0])], [ascending])
         s = Series._from_frame(out)

@@ -428,3 +428,47 @@ def test_timedelta_astype_str_formats():
     eq_series(mpd.Series(aligned).astype(str), pd.Series(aligned).astype(str))
     dt = pd.to_datetime(["2024-01-01", "2024-01-03", "2024-01-02"])
     eq_series(mpd.Series(dt).diff().astype(str), pd.Series(dt).diff().astype(str))
+
+
+def test_cat_meta_survives_assign_select_filter():
+    """Wave 52: wrapper-carried categorical dtype must survive assign,
+    column-subset selection, drop(columns=) and boolean row masks — the
+    storage is plain string, so losing the metadata silently degrades
+    observed=False groupby / value_counts / ordered sort to plain-string
+    semantics."""
+    cd = pd.CategoricalDtype(["a", "b", "c"])
+    p = pd.DataFrame({"v": [1.0, 2.0, 3.0]})
+    p["g"] = pd.Categorical(["a", "b", "a"], categories=["a", "b", "c"])
+    m = mpd.DataFrame({"v": [1.0, 2.0, 3.0]}).assign(
+        g=mpd.Series(["a", "b", "a"]).astype(cd))[["g", "v"]]
+    eq_series(m.groupby("g", observed=False).v.sum(),
+              p.groupby("g", observed=False).v.sum())
+    eq_series(m.g.value_counts(), p.g.value_counts())
+    sub = m[m.v > 0.5]
+    assert sub.g.cat.categories.tolist() == ["a", "b", "c"]
+    assert m.drop(columns="v").g.cat.categories.tolist() == ["a", "b", "c"]
+    assert m.g.cat.add_categories(["d"]).cat.categories.tolist() == ["a", "b", "c", "d"]
+
+
+def test_cat_sort_and_value_counts_derived():
+    """Wave 52: astype-derived categoricals (no native pandas fast path)
+    must sort by category order and emit zero-count categories."""
+    cd = pd.CategoricalDtype(["c", "b", "a"], ordered=True)
+    ps = pd.Series(["b", "a", "c"]).astype(cd)
+    ms = mpd.Series(["b", "a", "c"]).astype(cd)
+    assert ms.sort_values().astype(str).to_pandas().tolist() == \
+        ps.sort_values().astype(str).tolist()
+    cd2 = pd.CategoricalDtype(["a", "b", "z"])
+    eq_series(mpd.Series(["a", "a", "b"]).astype(cd2).value_counts(),
+              pd.Series(["a", "a", "b"]).astype(cd2).value_counts())
+
+
+def test_crosstab_drops_null_keys():
+    """Wave 52: pandas crosstab silently drops rows where either key is
+    missing; a NULL index key must not surface as a NaN row label."""
+    p = pd.DataFrame({"r": ["a", "a", None, "b"], "c": ["x", "y", "x", None]})
+    m = mpd.DataFrame(p)
+    pd.testing.assert_frame_equal(
+        mpd.crosstab(m.r, m.c).to_pandas(), pd.crosstab(p.r, p.c),
+        check_dtype=False, check_index_type=False, check_column_type=False,
+        check_names=False)
