@@ -73,7 +73,8 @@ DT_FUNCS = {
     # pandas' tz-aware dtype is represented by its instant):
     #   tz_localize(tz): reinterpret the wall-clock value as being in `tz`
     #   tz_convert(tz):  render the UTC instant as wall-clock time in `tz`
-    "tz_localize": lambda c, tz: c if tz is None else F.to_utc_timestamp(_TS(c), tz),
+    "tz_localize": lambda c, tz, ambiguous="raise", nonexistent="raise":
+        _tz_localize(c, tz, ambiguous, nonexistent),
     "tz_convert": lambda c, tz: F.from_utc_timestamp(_TS(c), tz),
     # periods as canonical strings (pandas Period repr) — the reference
     # default-to-pandas's Period objects have no Spark type; the string form
@@ -83,6 +84,55 @@ DT_FUNCS = {
     "start_time": lambda c: F.date_trunc("day", c),
     "end_time": lambda c: F.date_trunc("day", c) + F.expr("INTERVAL 1 DAY") - F.expr("INTERVAL 1 MICROSECOND"),
 }
+
+
+def _tz_localize(c: Column, tz, ambiguous="raise", nonexistent="raise") -> Column:
+    """pandas tz_localize semantics on naive wall clocks. Default
+    (ambiguous='raise', nonexistent='raise') keeps the engine's documented
+    resolution — Spark's to_utc_timestamp choice — with no extra exprs; a
+    distributed engine cannot raise per-row without an action.
+
+    ambiguous=True/False/'NaT' resolve fall-back overlap walls: a wall w is
+    ambiguous iff another UTC instant (u0 +/- the DST gap; 1 h or 30 min
+    covers every real zone) renders to the same wall. True picks the DST
+    (earliest-UTC) interpretation, False the standard (latest), 'NaT'
+    nulls. nonexistent='NaT' nulls spring-forward gap walls (detected by
+    the wall round trip failing)."""
+    if tz is None:
+        return c
+    w = _TS(c)
+    u0 = F.to_utc_timestamp(w, tz)
+    if ambiguous == "raise" and nonexistent == "raise":
+        return u0
+
+    def wall(u):
+        return F.from_utc_timestamp(u, tz)
+
+    h1 = F.expr("INTERVAL 1 HOUR")
+    m30 = F.expr("INTERVAL 30 MINUTE")
+    earlier = [u0 - h1, u0 - m30]
+    later = [u0 + h1, u0 + m30]
+    m_ok = [wall(u) == w for u in earlier]
+    p_ok = [wall(u) == w for u in later]
+    is_amb = m_ok[0] | m_ok[1] | p_ok[0] | p_ok[1]
+    expr = u0
+    if ambiguous is True:  # DST interpretation = earliest UTC instant
+        expr = F.when(m_ok[0], earlier[0]).when(m_ok[1], earlier[1]).otherwise(expr)
+    elif ambiguous is False:  # standard time = latest UTC instant
+        expr = F.when(p_ok[0], later[0]).when(p_ok[1], later[1]).otherwise(expr)
+    elif ambiguous == "NaT":
+        expr = F.when(is_amb, F.lit(None).cast("timestamp")).otherwise(expr)
+    elif ambiguous != "raise":
+        raise NotImplementedError(
+            f"tz_localize ambiguous={ambiguous!r}: only True/False/'NaT'/"
+            "'raise' are supported")
+    if nonexistent == "NaT":
+        expr = F.when(wall(u0) != w, F.lit(None).cast("timestamp")).otherwise(expr)
+    elif nonexistent != "raise":
+        raise NotImplementedError(
+            f"tz_localize nonexistent={nonexistent!r}: only 'NaT'/'raise' "
+            "are supported")
+    return expr
 
 
 def _to_period(c: Column, freq: str) -> Column:

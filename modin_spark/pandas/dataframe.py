@@ -4623,13 +4623,17 @@ class DataFrame:
             raise TypeError("must pass items, like, or regex")
         return DataFrame(_frame=self._frame.select_positions(keep))
 
-    def reindex(self, index=None, columns=None, fill_value=None, method=None) -> "DataFrame":
+    def reindex(self, index=None, columns=None, fill_value=None, method=None,
+                tolerance=None) -> "DataFrame":
         """Column reindex = projection (missing -> NULL/fill). Row reindex =
         left join of the target label list against the frame on the index
         column — the labels frame is small (driver-provided) and broadcast.
         ``method=`` ('ffill'/'bfill'/'nearest') fills label misses from the
         nearest existing label via the asof-join machinery (block+halo, no
-        global window) — pandas requires a monotonic index here, same as us."""
+        global window) — pandas requires a monotonic index here, same as us.
+        ``tolerance=`` bounds the label distance a method fill may bridge
+        (rides merge_asof's own tolerance; the nearest path masks both
+        lookups before choosing a side)."""
         if index is not None and method is not None:
             from modin_spark.pandas.general import merge_asof as _ma
             from modin_spark.pandas.io import from_pandas as _fp
@@ -4644,10 +4648,10 @@ class DataFrame:
                 # then one equi-join pulls the row
                 rk = right[[key]]
                 rk["__kb__"] = rk[key]
-                look = _ma(tgt, rk, on=key, direction="backward")
+                look = _ma(tgt, rk, on=key, direction="backward", tolerance=tolerance)
                 rk2 = right[[key]]
                 rk2["__kf__"] = rk2[key]
-                look = _ma(look, rk2, on=key, direction="forward")
+                look = _ma(look, rk2, on=key, direction="forward", tolerance=tolerance)
                 kb, kf, t = look["__kb__"], look["__kf__"], look[key]
                 use_back = kb.notna() & (kf.isna() | ((t - kb) < (kf - t)))
                 look["__nk__"] = kb.where(use_back, kf)
@@ -4658,7 +4662,8 @@ class DataFrame:
             else:
                 direction = {"ffill": "backward", "pad": "backward",
                              "bfill": "forward", "backfill": "forward"}[method]
-                out = _ma(tgt, right, on=key, direction=direction).set_index(key)
+                out = _ma(tgt, right, on=key, direction=direction,
+                          tolerance=tolerance).set_index(key)
             # the reset_index/set_index round trip baked the synthesized
             # column name ("index") into the result; pandas keeps the
             # ORIGINAL index name (None for a default index)

@@ -647,6 +647,28 @@ class Series:
 
         return guarded
 
+    def _tz_td_shift(self, o, sign: int):
+        """tz-aware series +/- timedelta (None when not that shape).
+        pandas adds ABSOLUTE duration to the instant; 'wall'-stored series
+        (tz_convert results) must round-trip through UTC so a shift across
+        a DST boundary moves the wall clock by the offset change too. The
+        tz metadata (and its to_pandas rebuild) survives the arithmetic."""
+        import datetime as _dt
+
+        tzm = getattr(self, "_tz_meta", None)
+        if tzm is None or not isinstance(o, _dt.timedelta):
+            return None
+        mode, tz = tzm
+        iv = F.lit(o if not isinstance(o, pd.Timedelta) else o.to_pytimedelta())
+        if sign < 0:
+            iv = -iv
+        if mode == "wall":
+            out = self._map1(lambda c: F.from_utc_timestamp(
+                F.to_utc_timestamp(c, tz) + iv, tz))
+        else:
+            out = self._map1(lambda c: c + iv)
+        return self._copy_scalar_meta(out)
+
     def _period_shift(self, o, sign: int):
         """Period-stored series (dt.to_period result; storage is the period
         STRING) plus/minus an integer: shift by n periods at the recorded
@@ -680,7 +702,7 @@ class Series:
         return out
 
     def __add__(self, o):
-        p = self._period_shift(o, +1)
+        p = self._tz_td_shift(o, +1) or self._period_shift(o, +1)
         if p is not None:
             return p
         if _is_plain_dateoffset(o):
@@ -690,7 +712,7 @@ class Series:
         return self._binary(o, self._arith_fn(o, self._plus_fn(o)))
 
     def __radd__(self, o):
-        p = self._period_shift(o, +1)
+        p = self._tz_td_shift(o, +1) or self._period_shift(o, +1)
         if p is not None:
             return p
         if _is_plain_dateoffset(o):
@@ -700,7 +722,7 @@ class Series:
         return self._binary(o, self._arith_fn(o, self._plus_fn(o)), reverse=True)
 
     def __sub__(self, o):
-        p = self._period_shift(o, -1)
+        p = self._tz_td_shift(o, -1) or self._period_shift(o, -1)
         if p is not None:
             return p
         if _is_plain_dateoffset(o):

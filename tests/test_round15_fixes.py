@@ -472,3 +472,49 @@ def test_crosstab_drops_null_keys():
         mpd.crosstab(m.r, m.c).to_pandas(), pd.crosstab(p.r, p.c),
         check_dtype=False, check_index_type=False, check_column_type=False,
         check_names=False)
+
+
+def test_tz_localize_ambiguous_nonexistent():
+    """Wave 53: tz_localize(ambiguous=True/False/'NaT', nonexistent='NaT')
+    — fall-back overlap walls resolve to the chosen DST/standard instant,
+    spring-forward gap walls can null."""
+    naive = pd.Series(pd.to_datetime([
+        "2024-11-03 01:30:00",   # ambiguous (fall-back overlap, US/Eastern)
+        "2024-03-10 02:30:00",   # nonexistent (spring-forward gap)
+        "2024-06-15 12:00:00",   # plain
+    ]))
+    m = mpd.Series(naive)
+    for amb in (True, False):
+        exp = naive.dt.tz_localize("America/New_York", ambiguous=np.array([amb, False, False]),
+                                   nonexistent="shift_forward").astype(str)
+        got = m.dt.tz_localize("America/New_York", ambiguous=amb).astype(str).to_pandas()
+        # only the ambiguous row differs between interpretations; compare it
+        assert got.iloc[0] == exp.iloc[0], (amb, got.iloc[0], exp.iloc[0])
+    nat = m.dt.tz_localize("America/New_York", ambiguous="NaT",
+                           nonexistent="NaT").to_pandas()
+    assert pd.isna(nat.iloc[0]) and pd.isna(nat.iloc[1]) and not pd.isna(nat.iloc[2])
+
+
+def test_tz_aware_timedelta_arithmetic():
+    """Wave 53: adding a Timedelta to a tz-converted series must keep the
+    tz-aware rendering and add ABSOLUTE duration (wall storage round-trips
+    through UTC, DST-correct)."""
+    naive = pd.Series(pd.to_datetime([
+        "2024-03-10 01:30:00", "2024-11-03 00:30:00", "2024-06-15 12:00:00"]))
+    p = naive.dt.tz_localize("UTC").dt.tz_convert("America/New_York") + pd.Timedelta("1h")
+    g = (mpd.Series(naive).dt.tz_localize("UTC").dt.tz_convert("America/New_York")
+         + pd.Timedelta("1h"))
+    eq_series(g.astype(str), p.astype(str))
+    p2 = naive.dt.tz_localize("UTC") - pd.Timedelta("30min")
+    g2 = mpd.Series(naive).dt.tz_localize("UTC") - pd.Timedelta("30min")
+    eq_series(g2.astype(str), p2.astype(str))
+
+
+def test_reindex_tolerance():
+    """Wave 53: reindex(method=, tolerance=) bounds the fill distance."""
+    p = pd.Series([1.0, 2.0], index=[0, 10])
+    m = mpd.Series([1.0, 2.0], index=[0, 10])
+    eq_series(m.reindex([1, 9], method="nearest", tolerance=2),
+              p.reindex([1, 9], method="nearest", tolerance=2))
+    eq_series(m.reindex([3, 11], method="ffill", tolerance=1),
+              p.reindex([3, 11], method="ffill", tolerance=1))
