@@ -1128,11 +1128,36 @@ class DataFrame:
         ``engine=`` ('python'/'numexpr') is a pandas EXECUTION hint with no
         semantic effect — accepted for parity, the plan is Catalyst's.
         ``local_dict=``/``global_dict=`` replace the caller's scope for
-        ``@var`` resolution, exactly like pandas."""
+        ``@var`` resolution, exactly like pandas. A DEFAULT-index frame's
+        index (named via rename_axis, or the bare ``index`` token) resolves
+        to the global row position — pandas' default labels — via one
+        position column."""
+        import re as _re
+
+        fr = self._frame
+        expr_t = expr
+        if not fr.index_cols:
+            data_lbls = {str(c) for c in fr.columns}
+            toks = [t for t in ([str(n) for n in fr.index_names if n is not None]
+                                + ["index"]) if t not in data_lbls]
+            if toks:
+                pat = (r"(?<![\w`'])(" + "|".join(_re.escape(t) for t in toks)
+                       + r")(?![\w`'])")
+                if _re.search(pat, expr_t) or any(f"`{t}`" in expr_t for t in toks):
+                    fr = fr.ensure_order().with_global_position("__qpos__")
+                    # the position IS the pandas default label: designate it
+                    # as the result's index so the filtered rows keep their
+                    # original labels (and the rename_axis name)
+                    fr = fr._same_rows(fr.sdf, index_cols=["__qpos__"],
+                                       index_names=[self._frame.index_names[0]
+                                                    if self._frame.index_names else None])
+                    expr_t = _re.sub(pat, "__qpos__", expr_t)
+                    for t in toks:
+                        expr_t = expr_t.replace(f"`{t}`", "__qpos__")
         translated = self._translate_query(
-            expr, caller_depth=2,
+            expr_t, caller_depth=2,
             local_dict=kwargs.get("local_dict"), global_dict=kwargs.get("global_dict"))
-        out = DataFrame(_frame=self._frame.filter(F.expr(translated)))
+        out = DataFrame(_frame=fr.filter(F.expr(translated)))
         return self._maybe_inplace(out, inplace)
 
     def eval(self, expr: str, inplace: bool = False) -> "DataFrame | Series | None":

@@ -227,14 +227,23 @@ def get_dummies(data, columns=None, prefix=None, prefix_sep="_", dtype="int64",
             columns = list(fr.columns)
         else:
             columns = [fr.columns[i] for i in range(len(fr.columns)) if fr.dtype_of(i) == "object"]
+    def _prefix_of(col, i):
+        # pandas prefix=: one string for all, a dict keyed by column, or a
+        # list aligned with the encoded columns
+        if isinstance(prefix, dict):
+            return str(prefix.get(col, col))
+        if isinstance(prefix, (list, tuple)):
+            return str(prefix[i])
+        return str(prefix) if prefix is not None else str(col)
+
     out = data
-    for col in columns:
+    for enc_i, col in enumerate(columns):
         pos = fr.positions_of([col])[0]
         phys = fr.data_cols[pos]
         cats = [r[0] for r in fr.sdf.select(phys).where(F.col(phys).isNotNull()).distinct().orderBy(phys).collect()]
         if drop_first:
             cats = cats[1:]
-        pre = "" if bare_series else (prefix or str(col)) + prefix_sep
+        pre = "" if bare_series else _prefix_of(col, enc_i) + prefix_sep
         for cat in cats:
             # bare-Series labels are the RAW category values (pandas: a
             # float series yields float column labels, not strings)

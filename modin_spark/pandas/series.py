@@ -1412,7 +1412,11 @@ class Series:
             return pd.Series([row[f"q{i}"] for i in range(len(q))], index=list(q), name=self._name)
         return self._reduce("quantile", q=q)
 
-    def agg(self, func):
+    def agg(self, func=None, *args, **kwargs):
+        if func is None and kwargs:
+            # pandas named-agg kwargs: s.agg(total="sum") -> Series indexed
+            # by the output names
+            return self.agg(dict(kwargs))
         if isinstance(func, str):
             return self._reduce(func)
         if isinstance(func, dict):

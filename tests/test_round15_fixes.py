@@ -518,3 +518,38 @@ def test_reindex_tolerance():
               p.reindex([1, 9], method="nearest", tolerance=2))
     eq_series(m.reindex([3, 11], method="ffill", tolerance=1),
               p.reindex([3, 11], method="ffill", tolerance=1))
+
+
+def test_query_named_default_index():
+    """Wave 54: query over a rename_axis-named DEFAULT index resolves to
+    the global row position and the result keeps the original labels +
+    index name (pandas semantics)."""
+    p = pd.DataFrame({"a": [1, 2, 3, 4]}).rename_axis("ix")
+    m = mpd.DataFrame({"a": [1, 2, 3, 4]}).rename_axis("ix")
+    pd.testing.assert_frame_equal(m.query("ix >= 2").to_pandas(),
+                                  p.query("ix >= 2"), check_dtype=False)
+    # bare `index` token, unnamed default index
+    p2 = pd.DataFrame({"a": [5, 6, 7]})
+    m2 = mpd.DataFrame({"a": [5, 6, 7]})
+    pd.testing.assert_frame_equal(m2.query("index == 1").to_pandas(),
+                                  p2.query("index == 1"), check_dtype=False)
+
+
+def test_get_dummies_prefix_dict_and_list():
+    """Wave 54: prefix= accepts a dict keyed by column or an aligned list."""
+    p = pd.DataFrame({"c": ["u", "v", "u"], "d": ["p", "q", "p"]})
+    m = mpd.DataFrame(p)
+    for pre in ({"c": "C", "d": "D"}, ["C", "D"]):
+        pd.testing.assert_frame_equal(
+            mpd.get_dummies(m, prefix=pre, prefix_sep="~").astype(int).to_pandas(),
+            pd.get_dummies(p, prefix=pre, prefix_sep="~").astype(int),
+            check_dtype=False)
+
+
+def test_series_agg_named_kwargs():
+    """Wave 54: s.agg(total='sum', hi='max') -> Series indexed by the
+    output names."""
+    s = pd.Series([1, 2, 3], name="v")
+    got = mpd.Series([1, 2, 3], name="v").agg(total="sum", hi="max")
+    pd.testing.assert_series_equal(pd.Series(got) if not isinstance(got, pd.Series) else got,
+                                   s.agg(total="sum", hi="max"), check_dtype=False)
