@@ -29,8 +29,15 @@ def _strip(c: Column, to_strip=None, side="both") -> Column:
     return c
 
 
+def _jp(pat: str) -> str:
+    """Python -> Java regex: named groups are (?<name>)/\\k<name> in Java,
+    (?P<name>)/(?P=name) in Python."""
+    return pat.replace("(?P<", "(?<").replace("(?P=", r"\k<")
+
+
 def _contains(c: Column, pat: str, case: bool = True, regex: bool = True, na=None, **kw) -> Column:
     if regex:
+        pat = _jp(pat)
         p = pat if case else f"(?i){pat}"
         e = c.rlike(p)
     elif not case:
@@ -250,14 +257,14 @@ STR_FUNCS = {
     "center": lambda c, width, fillchar=" ": _pad(c, width, "both", fillchar),
     "ljust": lambda c, width, fillchar=" ": _pad(c, width, "right", fillchar),
     "rjust": lambda c, width, fillchar=" ": _pad(c, width, "left", fillchar),
-    "count": lambda c, pat, flags=0: F.regexp_count(c, F.lit(pat)),
-    "match": lambda c, pat, case=True, na=None: c.rlike(f"^(?:{pat})" if case else f"(?i)^(?:{pat})"),
-    "fullmatch": lambda c, pat, case=True, na=None: c.rlike(f"^(?:{pat})$" if case else f"(?i)^(?:{pat})$"),
-    "extract": lambda c, pat, group=1: F.when(c.rlike(pat), F.regexp_extract(c, pat, group)),
+    "count": lambda c, pat, flags=0: F.regexp_count(c, F.lit(_jp(pat))),
+    "match": lambda c, pat, case=True, na=None: c.rlike(f"^(?:{_jp(pat)})" if case else f"(?i)^(?:{_jp(pat)})"),
+    "fullmatch": lambda c, pat, case=True, na=None: c.rlike(f"^(?:{_jp(pat)})$" if case else f"(?i)^(?:{_jp(pat)})$"),
+    "extract": lambda c, pat, group=1: F.when(c.rlike(_jp(pat)), F.regexp_extract(c, _jp(pat), group)),
     # idx=1 when the pattern has exactly one group (pandas returns the group),
     # else 0 (full match) — Spark's default idx=1 errors on group-free patterns
     "findall": lambda c, pat: F.regexp_extract_all(
-        c, F.lit(pat), 1 if __import__("re").compile(pat).groups == 1 else 0
+        c, F.lit(_jp(pat)), 1 if __import__("re").compile(pat).groups == 1 else 0
     ),
     "partition": _partition,
     "rpartition": lambda c, sep=" ": _rpartition(c, sep),

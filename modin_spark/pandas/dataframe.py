@@ -3565,6 +3565,18 @@ class DataFrame:
         else:
             lv = level % len(names)
         moved, remaining = names[lv], [n for i, n in enumerate(names) if i != lv]
+        # the level_N placeholders exist only to address columns during the
+        # pivot; the RESULT index/columns restore the original (possibly
+        # None) names
+        remaining_orig = [n for i, n in enumerate(fr.index_names) if i != lv]
+        moved_orig = fr.index_names[lv]
+
+        def _cols_renamed(cols):
+            # the moved level's ORIGINAL name lands on the (last) column
+            # level; multi-value frames carry (value, key) MultiIndex cols
+            if cols.nlevels == 1:
+                return cols.rename(moved_orig)
+            return cols.rename([*cols.names[:-1], moved_orig])
         flat = DataFrame(_frame=fr.reset_index())
         value_cols = [c for c in flat.columns if c not in names]
         values = value_cols[0] if len(value_cols) == 1 else value_cols
@@ -3576,7 +3588,11 @@ class DataFrame:
         if ffr.sdf.groupBy(*keyphys).count().where("count > 1").limit(1).count() > 0:
             raise ValueError("Index contains duplicate entries, cannot reshape")
         if fill_value is None:
-            return flat.pivot_table(values=values, index=remaining, columns=moved, aggfunc="first")
+            out = flat.pivot_table(values=values, index=remaining, columns=moved, aggfunc="first")
+            ofr0 = out._frame
+            return DataFrame(_frame=ofr0._same_rows(
+                ofr0.sdf, columns=_cols_renamed(ofr0.columns),
+                index_names=remaining_orig))
         for v in value_cols:
             s = flat[v]
             flat[v] = Series(s._frame, F.struct(F.lit(1).alias("p"), s._expr.alias("v")), s._refs, None)
@@ -3589,7 +3605,9 @@ class DataFrame:
         nf = ofr.project(list(ofr.columns), exprs)
         # project rebuilds the label Index — restore the columns name pandas
         # carries through unstack
-        nf = nf._same_rows(nf.sdf, columns=ofr.columns, data_cols=list(nf.data_cols))
+        nf = nf._same_rows(nf.sdf, columns=_cols_renamed(ofr.columns),
+                           data_cols=list(nf.data_cols),
+                           index_names=remaining_orig)
         return DataFrame(_frame=nf)
 
     def transpose(self) -> "DataFrame":

@@ -1959,6 +1959,13 @@ def _re_escape(sep: str) -> str:
     return _re.escape(sep)
 
 
+def _java_pat(pat: str) -> str:
+    """Python regex -> Java regex: named groups are spelled (?<name>...) /
+    \\k<name> in Java, (?P<name>...) / (?P=name) in Python. Everything the
+    engine hands to rlike/regexp_* must go through this."""
+    return pat.replace("(?P<", "(?<").replace("(?P=", r"\k<")
+
+
 def _inline_flags(flags: int) -> str:
     """Translate Python re flags to Java inline modifiers `(?imsxu)` so the
     pattern handed to rlike/regexp_extract actually carries them."""
@@ -2035,9 +2042,14 @@ class StringMethods:
 
         from modin_spark.pandas.dataframe import DataFrame
 
-        ngroups = _re.compile(pat).groups or 1
+        rex = _re.compile(pat)
+        ngroups = rex.groups or 1
+        # pandas: named groups label the output columns; unnamed keep
+        # 0-based integers
+        gname = {v: k for k, v in rex.groupindex.items()}
+        jpat = _java_pat(pat)
         fr = self._s._to_frame("__t__").ensure_order().with_global_position("__doc__")
-        arr = F.regexp_extract_all(fr.scol(0), F.lit(pat), 0)
+        arr = F.regexp_extract_all(fr.scol(0), F.lit(jpat), 0)
         idx_phys = list(fr.index_cols)
         sdf = fr.sdf.select(
             F.col("__doc__"), *[F.col(c) for c in idx_phys],
@@ -2049,8 +2061,8 @@ class StringMethods:
         )
         cols, exprs = [], []
         for g in range(1, ngroups + 1):
-            cols.append(g - 1)
-            exprs.append(F.regexp_extract(F.col("__m0__"), pat, g if _re.compile(pat).groups else 0).alias(f"__g{g}__"))
+            cols.append(gname.get(g, g - 1))
+            exprs.append(F.regexp_extract(F.col("__m0__"), jpat, g if rex.groups else 0).alias(f"__g{g}__"))
         doc_idx = idx_phys if idx_phys else ["__doc__"]
         doc_names = list(fr.index_names) if idx_phys else [None]
         sdf = sdf.select(ORDER_COL, *doc_idx, "__match__", *exprs)

@@ -553,3 +553,30 @@ def test_series_agg_named_kwargs():
     got = mpd.Series([1, 2, 3], name="v").agg(total="sum", hi="max")
     pd.testing.assert_series_equal(pd.Series(got) if not isinstance(got, pd.Series) else got,
                                    s.agg(total="sum", hi="max"), check_dtype=False)
+
+
+def test_python_named_groups_java_regex():
+    """Wave 55: Python (?P<name>...) named groups must translate to Java
+    (?<name>...) everywhere a pattern reaches the JVM, and extractall
+    labels output columns by group name."""
+    s = pd.Series(["a1b2", "c3", None])
+    m = mpd.Series(["a1b2", "c3", None])
+    pd.testing.assert_frame_equal(
+        m.str.extractall(r"(?P<d>\d)").to_pandas(),
+        s.str.extractall(r"(?P<d>\d)"),
+        check_dtype=False, check_index_type=False)
+    eq_series(m.str.count(r"(?P<d>\d)"), s.str.count(r"(?P<d>\d)"))
+    eq_series(m.str.contains(r"(?P<d>\d)"), s.str.contains(r"(?P<d>\d)"))
+    eq_series(m.str.findall(r"\d"), s.str.findall(r"\d"))
+
+
+def test_unstack_restores_none_names():
+    """Wave 55: stack().unstack() round trip must not bake the level_N
+    placeholder into the result's index/columns names."""
+    p = pd.DataFrame({"x": [1.0, np.nan], "y": [3.0, 4.0]}, index=["r1", "r2"])
+    m = mpd.DataFrame(p)
+    got = m.stack().unstack().to_pandas()
+    want = p.stack().unstack()
+    assert list(got.index.names) == list(want.index.names) == [None]
+    assert got.columns.name is want.columns.name is None
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
