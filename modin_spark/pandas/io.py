@@ -267,6 +267,16 @@ def read_csv(path: str, sep: str = ",", header: int | str = "infer", names=None,
         ).ensure_order().with_global_position("__rp__")
         if isinstance(skiprows, (list, tuple, set)):
             kept = txt.sdf.where(~F.col("__rp__").isin([int(i) for i in skiprows]))
+        elif callable(skiprows):
+            # pandas hands the physical line number to the callable; run it
+            # Arrow-batched over the position column
+            from pyspark.sql.functions import pandas_udf as _pudf
+
+            @_pudf("boolean")
+            def _skip(s: pd.Series) -> pd.Series:
+                return s.map(lambda i: bool(skiprows(int(i))))
+
+            kept = txt.sdf.where(~_skip(F.col("__rp__")))
         else:
             kept = txt.sdf.where(F.col("__rp__") >= int(skiprows))
         # JVM-side all the way (r11): hand the kept lines to the Scala
@@ -285,13 +295,54 @@ def read_csv(path: str, sep: str = ",", header: int | str = "infer", names=None,
     if names is not None:
         sdf = sdf.toDF(*names)
     out = DataFrame(_frame=SparkFrame.from_spark(sdf))
-    if na_values is not None:
-        vals = na_values if isinstance(na_values, (list, tuple, set)) else [na_values]
-        if len(vals) > 1:
-            # multiple sentinels: null out matches in string columns
-            for i, c in enumerate(out.columns):
-                if out._frame.dtype_of(i) == "object":
-                    out[c] = out[c].replace({v: None for v in vals})
+    if kw.get("na_filter", True):
+        # pandas parity for NA tokens: Spark's csv reader only nulls the
+        # empty string / its single nullValue option, while pandas nulls a
+        # whole default token set ('NA', 'null', 'NaN', ...) plus na_values
+        # (list = global, dict = per column). A column that becomes numeric
+        # once its NA tokens are nulled ('1','2','NA' -> 1.0, 2.0, NaN)
+        # must re-infer too. ONE bounded sample job (tiny next to the
+        # full-file inferSchema pass the reader already ran) decides which
+        # string columns need the rewrite; the rewrite itself is a
+        # projection.
+        try:
+            from pandas.io.parsers.readers import STR_NA_VALUES as _DEF_NA
+        except Exception:
+            _DEF_NA = {"", "NA", "N/A", "NULL", "null", "NaN", "nan",
+                       "None", "n/a", "<NA>"}
+        glb, percol = set(), {}
+        if na_values is not None:
+            if isinstance(na_values, dict):
+                percol = {k: {str(x) for x in (v if isinstance(v, (list, tuple, set)) else [v])}
+                          for k, v in na_values.items()}
+            else:
+                glb = {str(x) for x in (na_values if isinstance(na_values, (list, tuple, set))
+                                        else [na_values])}
+        str_pos = [i for i in range(len(out.columns)) if out._frame.dtype_of(i) == "object"]
+        if str_pos:
+            import re as _re
+
+            fr0 = out._frame
+            samp = fr0.sdf.select(*[fr0.data_cols[i] for i in str_pos]).limit(1000).toPandas()
+            dec = str(kw.get("decimal", "."))
+            dnum = _re.escape(dec)
+            num_pat = _re.compile(rf"^-?(\d+({dnum}\d*)?|{dnum}\d+)([eE][+-]?\d+)?$")
+            for i in str_pos:
+                label = out.columns[i]
+                toks = _DEF_NA | glb | percol.get(label, set())
+                col = samp[fr0.data_cols[i]].dropna().astype(str)
+                hit = col.isin(toks)
+                if not hit.any():
+                    continue
+                out[label] = out[label].replace({t: None for t in sorted(toks)})
+                rest = col[~hit]
+                if len(rest) and rest.map(lambda x: bool(num_pat.match(x))).all():
+                    s = out[label]
+                    if dec != ".":
+                        s = s.str.replace(dec, ".", regex=False)
+                    # pandas: a numeric column holding NaN materializes as
+                    # float64 regardless of integer-looking values
+                    out[label] = s.astype("float64")
     if thousands:
         # columns the grouped-digit separator kept as strings: sample-check
         # the shape, then strip + cast (stays a projection)
@@ -316,7 +367,12 @@ def read_csv(path: str, sep: str = ",", header: int | str = "infer", names=None,
             out[c] = out[c].astype("datetime64[ns]")
     if nrows is not None:
         out = out.head(int(nrows))
-    if index_col is not None:
+    if index_col is not None and index_col is not False:
+        # pandas accepts positions as well as labels
+        if isinstance(index_col, int):
+            index_col = out.columns[index_col]
+        elif isinstance(index_col, (list, tuple)):
+            index_col = [out.columns[c] if isinstance(c, int) else c for c in index_col]
         out = out.set_index(index_col)
     if dtype_backend is not None and dtype_backend is not pd.api.extensions.no_default:
         if dtype_backend != "numpy_nullable":
@@ -343,6 +399,11 @@ def read_json(path_or_buf, lines: bool | None = None, orient=None, **kw) -> Data
     variants delegate to the pandas parser (reference: default_to_pandas for
     non-path / oriented JSON) and re-enter as an engine frame."""
     inline = isinstance(path_or_buf, str) and path_or_buf.lstrip()[:1] in ("[", "{")
+    if orient == "records" and lines and not inline and not hasattr(path_or_buf, "read"):
+        # orient='records' + lines=True IS the Spark-native JSONL shape —
+        # stay distributed (also the only reader of the engine's own
+        # directory-style to_json output)
+        orient = None
     if inline or hasattr(path_or_buf, "read") or orient is not None:
         import io as _io
 

@@ -580,3 +580,44 @@ def test_unstack_restores_none_names():
     assert list(got.index.names) == list(want.index.names) == [None]
     assert got.columns.name is want.columns.name is None
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_read_csv_na_token_parity(tmp_path):
+    """Wave 57: pandas' default NA token set + na_values list/dict null
+    out in string columns, and a column that becomes numeric once its NA
+    tokens are nulled re-infers as float64."""
+    p = tmp_path / "na.csv"
+    p.write_text("a,b\n1,x\n2,NA\nNA,miss\n")
+    exp = pd.read_csv(p)
+    got = mpd.read_csv(str(p)).to_pandas()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    assert str(got["a"].dtype) == "float64"
+    exp2 = pd.read_csv(p, na_values={"b": ["miss"]})
+    got2 = mpd.read_csv(str(p), na_values={"b": ["miss"]}).to_pandas()
+    pd.testing.assert_frame_equal(got2, exp2, check_dtype=False)
+
+
+def test_read_csv_positional_index_and_callable_skiprows(tmp_path):
+    """Wave 57: index_col accepts positions; skiprows accepts a callable
+    over physical line numbers."""
+    p = tmp_path / "x.csv"
+    p.write_text("a,b\n1,x\n2,y\n3,z\n4,w\n")
+    pd.testing.assert_frame_equal(
+        mpd.read_csv(str(p), index_col=0).to_pandas(),
+        pd.read_csv(p, index_col=0), check_dtype=False,
+        check_index_type=False)
+    pd.testing.assert_frame_equal(
+        mpd.read_csv(str(p), skiprows=lambda i: i > 0 and i % 2 == 0).to_pandas(),
+        pd.read_csv(p, skiprows=lambda i: i > 0 and i % 2 == 0), check_dtype=False)
+
+
+def test_read_json_records_lines_distributed(tmp_path):
+    """Wave 57: orient='records' + lines=True is the Spark-native JSONL
+    shape — it must stay distributed and read the engine's own
+    directory-style to_json output (content compared order-insensitively:
+    multi-file read order is the documented partition order)."""
+    m = mpd.DataFrame({"a": [1, 2, 3], "b": ["x", "y", "z"]})
+    out = str(tmp_path / "d.json")
+    m.to_json(out, orient="records", lines=True)
+    back = mpd.read_json(out, orient="records", lines=True).to_pandas()
+    assert sorted(back["a"].tolist()) == [1, 2, 3]
