@@ -250,9 +250,16 @@ class DataFrame:
             positions = [i for i, c in enumerate(fr.columns) if c[0] == key]
             if positions:
                 sub = fr.select_positions(positions)
-                rest = [fr.columns[i][1] if len(fr.columns[i]) == 2 else tuple(fr.columns[i][1:])
-                        for i in positions]
-                return DataFrame(_frame=sub._same_rows(sub.sdf, columns=pd.Index(rest), data_cols=sub.data_cols))
+                two = all(len(fr.columns[i]) == 2 for i in positions)
+                rest_names = list(fr.columns.names[1:])
+                if two:
+                    cols = pd.Index([fr.columns[i][1] for i in positions],
+                                    name=rest_names[0] if rest_names else None)
+                else:
+                    cols = pd.MultiIndex.from_tuples(
+                        [tuple(fr.columns[i][1:]) for i in positions],
+                        names=rest_names)
+                return DataFrame(_frame=sub._same_rows(sub.sdf, columns=cols, data_cols=sub.data_cols))
         positions = [i for i, c in enumerate(fr.columns) if c == key]
         if not positions:
             raise KeyError(key)
@@ -1218,8 +1225,22 @@ class DataFrame:
     def sort_index(self, ascending=True, axis=0, level=None, sort_remaining: bool = True) -> "DataFrame":
         fr = self._frame
         if axis in (1, "columns"):
-            # column reorder by label — pure projection, no data movement
-            order = sorted(range(len(fr.columns)), key=lambda i: fr.columns[i],
+            # column reorder by label — pure projection, no data movement;
+            # level= sorts by the given level(s) first (remaining levels
+            # follow unless sort_remaining=False)
+            if level is not None and isinstance(fr.columns, pd.MultiIndex):
+                levels = level if isinstance(level, (list, tuple)) else [level]
+                lpos = [fr.columns.names.index(l) if isinstance(l, str) else int(l)
+                        for l in levels]
+                rest = ([j for j in range(fr.columns.nlevels) if j not in set(lpos)]
+                        if sort_remaining else [])
+
+                def _key(i, _o=lpos + rest):
+                    return tuple(fr.columns[i][j] for j in _o)
+            else:
+                def _key(i):
+                    return fr.columns[i]
+            order = sorted(range(len(fr.columns)), key=_key,
                            reverse=not ascending)
             cols = fr.columns[order] if hasattr(fr.columns, "__getitem__") else [fr.columns[i] for i in order]
             nf = fr._same_rows(fr.sdf, columns=pd.Index(cols) if not isinstance(fr.columns, pd.MultiIndex) else fr.columns[order],
@@ -1741,8 +1762,9 @@ class DataFrame:
         exprs = [expr(i).alias(f"x{i}") for i in positions]
         row = fr.sdf.agg(*exprs).collect()[0]
         labels = [fr.columns[i] for i in positions]
-        idx = (pd.MultiIndex.from_tuples(labels)
-               if isinstance(fr.columns, pd.MultiIndex) else pd.Index(labels))
+        idx = (pd.MultiIndex.from_tuples(labels, names=fr.columns.names)
+               if isinstance(fr.columns, pd.MultiIndex)
+               else pd.Index(labels, name=fr.columns.name))
         return pd.Series([row[f"x{i}"] for i in positions], index=idx)
 
     def sum(self, numeric_only=True, axis=0, min_count=0, skipna=True, **kw):
@@ -2407,7 +2429,27 @@ class DataFrame:
         return DataFrame(_frame=win.rank(self._frame, self._numeric_positions(), method,
                                          ascending, pct, na_option))
 
-    def pct_change(self, periods=1, fill_method="ffill") -> "DataFrame":
+    def pct_change(self, periods=1, fill_method="ffill", axis=0) -> "DataFrame":
+        if axis in (1, "columns"):
+            # across columns: a pure projection — each cell divides by the
+            # value `periods` columns earlier (row-wise ffill over columns
+            # when fill_method='ffill', pandas default)
+            fr = self._frame
+            k = len(fr.columns)
+
+            def filled(j):
+                if fill_method in ("ffill", "pad"):
+                    return F.coalesce(*[fr.scol(i) for i in range(j, -1, -1)])
+                return fr.scol(j)
+
+            exprs = []
+            for j in range(k):
+                src = j - periods
+                if 0 <= src < k:
+                    exprs.append(DataFrame._true_div(filled(j), filled(src)) - 1)
+                else:
+                    exprs.append(F.lit(None).cast("double"))
+            return DataFrame(_frame=fr.project(list(fr.columns), exprs))
         return DataFrame(_frame=win.pct_change(self._frame, self._numeric_positions(), periods,
                                                fill_method=fill_method))
 
@@ -4861,10 +4903,12 @@ class DataFrame:
             lv = level if isinstance(level, int) else list(cols.names).index(level)
             keep = [i for i, tup in enumerate(cols) if tup[lv] == key]
             new_cols = [tuple(v for j, v in enumerate(cols[i]) if j != lv) for i in keep]
+            rest_names = [n for j, n in enumerate(cols.names) if j != lv]
             if new_cols and len(new_cols[0]) == 1:
-                new_idx = pd.Index([t[0] for t in new_cols])
+                new_idx = pd.Index([t[0] for t in new_cols],
+                                   name=rest_names[0] if rest_names else None)
             else:
-                new_idx = pd.MultiIndex.from_tuples(new_cols)
+                new_idx = pd.MultiIndex.from_tuples(new_cols, names=rest_names)
             if not drop_level:
                 new_idx = cols[keep]
             nf = fr._same_rows(fr.sdf, columns=new_idx, data_cols=[fr.data_cols[i] for i in keep])

@@ -265,6 +265,17 @@ class Expanding:
 
         if isinstance(funcs, str):
             return self._run(funcs)
+        if isinstance(funcs, dict):
+            # pandas: {col: agg} over a frame -> one output column per key
+            df = self._obj
+            out = None
+            for col, f in funcs.items():
+                if not isinstance(f, str):
+                    raise NotImplementedError(
+                        "expanding.agg dict values must be agg names")
+                s = Expanding(df[col], self._min_periods)._run(f).rename(col)
+                out = s.to_frame() if out is None else out.assign(**{col: s})
+            return out
         funcs = list(funcs)
         if isinstance(self._obj, Series):
             fr = self._obj._to_frame()
@@ -501,6 +512,33 @@ class EWM:
 
     def sum(self):
         return self._run("sum")
+
+    def agg(self, funcs):
+        """str -> the agg itself; list over a Series -> one column per agg;
+        dict over a frame -> one column per key. Each agg is one blocked
+        pass (the ewm recurrence can't share a single sort the way
+        expanding_agg does)."""
+        import copy
+
+        if isinstance(funcs, str):
+            return self._run(funcs)
+        if isinstance(funcs, dict):
+            out = None
+            for col, f in funcs.items():
+                e2 = copy.copy(self)
+                e2._obj = self._obj[col]
+                s = e2._run(f).rename(col)
+                out = s.to_frame() if out is None else out.assign(**{col: s})
+            return out
+        if isinstance(self._obj, Series):
+            out = None
+            for f in list(funcs):
+                s = self._run(f).rename(f)
+                out = s.to_frame() if out is None else out.assign(**{f: s})
+            return out
+        raise NotImplementedError("ewm.agg with a list over a DataFrame")
+
+    aggregate = agg
 
     def corr(self, other=None, pairwise=None):
         return self._pair(other, "corr")

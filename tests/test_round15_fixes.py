@@ -621,3 +621,41 @@ def test_read_json_records_lines_distributed(tmp_path):
     m.to_json(out, orient="records", lines=True)
     back = mpd.read_json(out, orient="records", lines=True).to_pandas()
     assert sorted(back["a"].tolist()) == [1, 2, 3]
+
+
+def test_micol_level_names_survive():
+    """Wave 58: MultiIndex-COLUMNS level names survive partial top-level
+    selection, xs(axis=1), axis=0 reductions, and sort_index(axis=1,
+    level=) honors the level."""
+    mcols = pd.MultiIndex.from_product([["a", "b"], ["x", "y"]], names=["L0", "L1"])
+    p = pd.DataFrame(np.arange(12.0).reshape(3, 4), columns=mcols)
+    m = mpd.DataFrame(p)
+    assert m["a"].to_pandas().columns.name == "L1"
+    assert m.xs("y", axis=1, level=1).to_pandas().columns.name == "L0"
+    assert list(m.sum().index.names) == ["L0", "L1"]
+    assert m.sort_index(axis=1, level=1).columns.tolist() == \
+        p.sort_index(axis=1, level=1).columns.tolist()
+
+
+def test_pct_change_axis1():
+    """Wave 58: pct_change across columns (projection, no shuffle)."""
+    p = pd.DataFrame({"x": [3.0, 1.0, np.nan], "y": [1.0, 2.0, 2.0],
+                      "z": [2.0, np.nan, 1.0]})
+    m = mpd.DataFrame(p)
+    pd.testing.assert_frame_equal(
+        m.pct_change(axis=1, fill_method=None).to_pandas(),
+        p.pct_change(axis=1, fill_method=None), check_dtype=False)
+
+
+def test_window_agg_shapes():
+    """Wave 58: expanding.agg dict over a frame; ewm.agg str/list/dict."""
+    p = pd.DataFrame({"x": [3.0, 1.0, 2.0], "y": [1.0, 2.0, 2.0]})
+    m = mpd.DataFrame(p)
+    pd.testing.assert_frame_equal(
+        m.expanding().agg({"x": "sum", "y": "max"}).to_pandas(),
+        p.expanding().agg({"x": "sum", "y": "max"}), check_dtype=False)
+    ps = pd.Series([1.0, 2.0, 3.0])
+    ms = mpd.Series([1.0, 2.0, 3.0])
+    pd.testing.assert_frame_equal(
+        ms.ewm(span=3).agg(["mean"]).to_pandas(),
+        ps.ewm(span=3).agg(["mean"]), check_dtype=False)
