@@ -81,9 +81,38 @@ AGG_EXPRS: dict[str, callable] = {
 _NULL_FILL_ZERO = {"sum"}
 
 
-def agg_expr(name: str, c: Column, q: float | None = None, input_type=None) -> Column:
+def agg_expr(name: str, c: Column, q: float | None = None, input_type=None,
+             ddof: int | None = None, interpolation: str | None = None) -> Column:
     if name == "quantile":
-        return F.percentile(c, F.lit(q if q is not None else 0.5))
+        qv = float(q if q is not None else 0.5)
+        if interpolation in (None, "linear"):
+            return F.percentile(c, F.lit(qv))
+        # non-linear interpolation: exact order statistics from a sorted
+        # collect — the same memory class as Spark's exact percentile
+        # buffer (both hold the group's values)
+        arr = F.array_sort(F.collect_list(c))
+        n = F.size(arr)
+        h = (n - 1) * F.lit(qv)
+        lo = F.element_at(arr, F.floor(h).cast("int") + 1).cast("double")
+        hi = F.element_at(arr, F.ceil(h).cast("int") + 1).cast("double")
+        if interpolation == "lower":
+            return lo
+        if interpolation == "higher":
+            return hi
+        if interpolation == "midpoint":
+            return (lo + hi) / 2
+        if interpolation == "nearest":
+            # numpy rounds the fractional index half-to-even
+            return F.element_at(arr, F.bround(h, 0).cast("int") + 1).cast("double")
+        raise ValueError(f"invalid interpolation {interpolation!r}")
+    if name in ("std", "var", "sem") and ddof is not None and ddof != 1:
+        n = F.count(c)
+        var = F.var_pop(c) * n / (n - F.lit(int(ddof)))
+        if name == "var":
+            return var
+        std = F.sqrt(var)
+        # pandas sem: std(ddof)/sqrt(n)
+        return std if name == "std" else std / F.sqrt(n)
     fn = AGG_EXPRS.get(name)
     if fn is None:
         raise NotImplementedError(f"aggregation {name!r}")
@@ -139,7 +168,8 @@ def groupby_agg(
     for (lbl, pos, name, kw), op in zip(agg_spec, out_phys):
         c = F.col(frame.data_cols[pos]) if pos is not None else F.lit(1)
         itype = frame.schema_map.get(frame.data_cols[pos]) if pos is not None else None
-        e = agg_expr(name, c, kw.get("q"), input_type=itype)
+        e = agg_expr(name, c, kw.get("q"), input_type=itype,
+                     ddof=kw.get("ddof"), interpolation=kw.get("interpolation"))
         # pandas identity: prod of an all-NaN group is 1 (sum's 0 lives in
         # agg_expr, type-aware)
         if name == "prod":

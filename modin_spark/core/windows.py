@@ -674,7 +674,8 @@ def rolling_weighted(
     return _drop_aux(out)
 
 
-def expanding_agg(frame: SparkFrame, positions: Sequence[int], agg, min_periods: int = 1) -> SparkFrame:
+def expanding_agg(frame: SparkFrame, positions: Sequence[int], agg, min_periods: int = 1,
+                  ddof: int = 1) -> SparkFrame:
     """pandas ``expanding().agg()`` — cumulative aggregate with min_periods.
 
     sum/min/max/mean/count/var/std decompose into the cum_op two-pass scheme;
@@ -789,12 +790,12 @@ def expanding_agg(frame: SparkFrame, positions: Sequence[int], agg, min_periods:
             elif a_name == "max":
                 e = mx
             elif a_name in ("var", "std", "sem"):
-                var = (d2 - (d * d) / n) / (n - 1)
+                var = (d2 - (d * d) / n) / (n - F.lit(ddof))
                 e = var if a_name == "var" else F.sqrt(var)
                 if a_name == "sem":
-                    # window sem: std/sqrt(n - ddof), ddof=1 (pandas window semantics)
-                    e = e / F.sqrt(n - 1)
-                min_n = max(min_periods, 2)
+                    # window sem: std/sqrt(n - ddof) (pandas window semantics)
+                    e = e / F.sqrt(n - F.lit(ddof))
+                min_n = max(min_periods, 2 if ddof else 1)
             elif a_name == "skew":
                 # pandas bias-corrected G1 (matches compiler._skew)
                 g1 = m3 / F.pow(m2, 1.5)

@@ -1826,7 +1826,24 @@ class DataFrame:
             arr = F.array(*cols)
             if dropna:
                 arr = F.filter(arr, lambda x: x.isNotNull())
-            e = F.size(F.array_distinct(arr)).cast("long")
+                e = F.size(F.array_distinct(arr)).cast("long")
+            else:
+                # pandas object rows hold float-NaN for numeric/datetime
+                # columns and None for object columns — DISTINCT missing
+                # values. Count distinct non-nulls + one per missing KIND
+                # present in the row.
+                nonnull = F.size(F.array_distinct(F.filter(arr, lambda x: x.isNotNull())))
+                nan_pos = [i for i in range(len(fr.columns))
+                           if fr.dtype_of(i).startswith(("int", "float", "bool", "datetime"))]
+                none_pos = [i for i in range(len(fr.columns)) if i not in set(nan_pos)]
+
+                def any_null(positions):
+                    if not positions:
+                        return F.lit(0)
+                    terms = [F.when(fr.scol(i).isNull(), 1).otherwise(0) for i in positions]
+                    return terms[0] if len(terms) == 1 else F.greatest(*terms)
+
+                e = (nonnull + any_null(nan_pos) + any_null(none_pos)).cast("long")
             return Series(fr, e, set(fr.data_cols), None)
         if not dropna:
             # pandas dropna=False: NaN counts as one extra distinct value —
@@ -4611,9 +4628,24 @@ class DataFrame:
         sample (no shuffle, exact at scale in expectation); exact-``n`` orders
         by a seeded rand() — a TakeOrdered top-n, never a full materialize.
         ``weights=`` draws n without replacement via the Efraimidis–Spirakis
-        exponential-key trick (key = ln(U)/w, top-n) — also a TakeOrdered."""
+        exponential-key trick (key = ln(U)/w, top-n) — also a TakeOrdered.
+        ``axis=1`` samples COLUMNS — driver metadata, replayed with pandas'
+        own RNG protocol so the chosen labels match."""
         fr = self._frame
         seed = random_state if random_state is not None else 42
+        if axis in (1, "columns"):
+            k = len(fr.columns)
+            nn = n if n is not None else (round(frac * k) if frac is not None else None)
+            if nn is None:
+                raise ValueError("must provide n or frac")
+            if not replace and nn > k:
+                raise ValueError(
+                    "Cannot take a larger sample than population when 'replace=False'")
+            rs = np.random.RandomState(seed)
+            locs = rs.choice(k, size=int(nn), replace=replace)
+            return self._copy_col_meta(
+                DataFrame(_frame=fr.select_positions([int(i) for i in locs])),
+                labels={fr.columns[int(i)] for i in locs})
         if weights is not None:
             if n is None:
                 raise ValueError("weights= requires n=")

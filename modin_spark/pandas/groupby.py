@@ -242,13 +242,16 @@ class DataFrameGroupBy:
         return self._agg_all("count")
 
     def std(self, ddof=1, numeric_only=True):
-        return self._agg_all("std", numeric_only)
+        return self._agg_all("std", numeric_only,
+                             **({"ddof": ddof} if ddof != 1 else {}))
 
     def var(self, ddof=1, numeric_only=True):
-        return self._agg_all("var", numeric_only)
+        return self._agg_all("var", numeric_only,
+                             **({"ddof": ddof} if ddof != 1 else {}))
 
     def sem(self, ddof=1, numeric_only=True):
-        return self._agg_all("sem", numeric_only)
+        return self._agg_all("sem", numeric_only,
+                             **({"ddof": ddof} if ddof != 1 else {}))
 
     def median(self, numeric_only=True):
         return self._agg_all("median", numeric_only)
@@ -274,8 +277,9 @@ class DataFrameGroupBy:
     def skew(self, numeric_only=True):
         return self._agg_all("skew", numeric_only)
 
-    def quantile(self, q=0.5, numeric_only=True):
-        return self._agg_all("quantile", numeric_only, q=q)
+    def quantile(self, q=0.5, numeric_only=True, interpolation="linear"):
+        kw = {} if interpolation in (None, "linear") else {"interpolation": interpolation}
+        return self._agg_all("quantile", numeric_only, q=q, **kw)
 
     def size(self):
         spec = [("size", None, "size", {})]

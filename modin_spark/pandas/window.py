@@ -245,16 +245,18 @@ class Expanding:
         self._obj = obj
         self._min_periods = min_periods
 
-    def _run(self, agg: str):
+    def _run(self, agg: str, **kw):
         from modin_spark.pandas.dataframe import DataFrame
 
+        ddof = int(kw.pop("ddof", 1)) if agg in ("var", "std", "sem") else 1
+        kw.pop("numeric_only", None)
         if isinstance(self._obj, Series):
             fr = self._obj._to_frame()
-            out = win.expanding_agg(fr, [0], agg, self._min_periods)
+            out = win.expanding_agg(fr, [0], agg, self._min_periods, ddof=ddof)
             return self._obj._rewrap(out)
         df = self._obj
         pos = df._numeric_positions()
-        out = win.expanding_agg(df._frame, pos, agg, self._min_periods)
+        out = win.expanding_agg(df._frame, pos, agg, self._min_periods, ddof=ddof)
         return DataFrame(_frame=out)
 
     def agg(self, funcs):

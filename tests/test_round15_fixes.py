@@ -659,3 +659,45 @@ def test_window_agg_shapes():
     pd.testing.assert_frame_equal(
         ms.ewm(span=3).agg(["mean"]).to_pandas(),
         ps.ewm(span=3).agg(["mean"]), check_dtype=False)
+
+
+def test_groupby_ddof_and_interpolation():
+    """Wave 59: groupby std/var/sem honor ddof (previously silently
+    computed ddof=1); groupby quantile honors interpolation=."""
+    p = pd.DataFrame({"g": ["x", "x", "x", "y", "y"],
+                      "v": [1.0, 3.0, 4.0, 8.0, 9.0]})
+    m = mpd.DataFrame(p)
+    for ddof in (0, 2):
+        eq_series(m.groupby("g").v.std(ddof=ddof), p.groupby("g").v.std(ddof=ddof))
+        eq_series(m.groupby("g").v.var(ddof=ddof), p.groupby("g").v.var(ddof=ddof))
+    for interp in ("lower", "higher", "nearest", "midpoint"):
+        eq_series(m.groupby("g").v.quantile(0.5, interpolation=interp),
+                  p.groupby("g").v.quantile(0.5, interpolation=interp))
+
+
+def test_expanding_ddof():
+    """Wave 59: expanding var/std/sem accept ddof."""
+    s = pd.Series([1.0, 3.0, 4.0, 8.0, 9.0])
+    m = mpd.Series([1.0, 3.0, 4.0, 8.0, 9.0])
+    eq_series(m.expanding().var(ddof=0), s.expanding().var(ddof=0))
+    eq_series(m.expanding().std(ddof=0), s.expanding().std(ddof=0))
+
+
+def test_nunique_axis1_null_kinds():
+    """Wave 59: dropna=False counts float-NaN and object-None as DISTINCT
+    missing values per pandas' object-row semantics."""
+    p = pd.DataFrame({"a": [1.0, 1.0, np.nan], "b": [1.0, 2.0, np.nan],
+                      "c": ["u", "u", None]})
+    m = mpd.DataFrame(p)
+    eq_series(m.nunique(axis=1, dropna=False), p.nunique(axis=1, dropna=False))
+    eq_series(m.nunique(axis=1), p.nunique(axis=1))
+
+
+def test_sample_axis1_matches_pandas_rng():
+    """Wave 59: sample(axis=1) replays pandas' RandomState.choice so the
+    chosen columns match for a given random_state."""
+    p = pd.DataFrame({"a": [1.0, 2.0], "b": [3.0, 4.0], "c": [5.0, 6.0]})
+    m = mpd.DataFrame(p)
+    for seed in (3, 7, 11):
+        assert m.sample(n=2, axis=1, random_state=seed).columns.tolist() == \
+            p.sample(n=2, axis=1, random_state=seed).columns.tolist()
