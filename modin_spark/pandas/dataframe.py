@@ -801,7 +801,10 @@ class DataFrame:
             return self._fill_axis1(True, limit)
         return DataFrame(_frame=win.bfill(self._frame, list(range(len(self._frame.columns))), limit=limit))
 
-    def replace(self, to_replace, value=None, regex: bool = False) -> "DataFrame":
+    def replace(self, to_replace=None, value=None, regex: bool = False) -> "DataFrame":
+        if to_replace is None and isinstance(regex, (dict, str)):
+            # pandas regex= form: the patterns ARE the to_replace spec
+            to_replace, regex = regex, True
         out = DataFrame(_frame=self._frame)
         if isinstance(to_replace, dict) and any(isinstance(v, dict) for v in to_replace.values()):
             # pandas nested form {col: {old: new}} — per-column maps
@@ -2151,9 +2154,22 @@ class DataFrame:
             exprs.append(F.when(c.isNotNull(), acc))
         return DataFrame(_frame=fr.project([fr.columns[i] for i in positions], exprs))
 
-    def agg(self, spec, axis=0) -> Any:
-        """df.agg("sum") / df.agg(["sum","mean"]) / df.agg({col: [fns]});
+    def agg(self, spec=None, axis=0, **kwargs) -> Any:
+        """df.agg("sum") / df.agg(["sum","mean"]) / df.agg({col: [fns]}) /
+        df.agg(out=("col", "fn")) named tuples;
         axis=1 routes string specs to the row-wise expression reductions."""
+        if spec is None and kwargs:
+            # named-agg tuples: out_label=(column, fn) -> frame indexed by
+            # the out labels, one cell per referenced column (pandas shape)
+            cells = {}
+            cols_order = []
+            for out_lbl, (col, fn) in kwargs.items():
+                cells[out_lbl] = (col, self[col]._reduce(fn))
+                if col not in cols_order:
+                    cols_order.append(col)
+            data = {c: [v if cc == c else np.nan for cc, v in cells.values()]
+                    for c in cols_order}
+            return pd.DataFrame(data, index=list(cells.keys()))
         if axis in (1, "columns"):
             if isinstance(spec, str):
                 return self._row_wise(spec)

@@ -701,3 +701,21 @@ def test_sample_axis1_matches_pandas_rng():
     for seed in (3, 7, 11):
         assert m.sample(n=2, axis=1, random_state=seed).columns.tolist() == \
             p.sample(n=2, axis=1, random_state=seed).columns.tolist()
+
+
+def test_replace_regex_kwarg_form():
+    """Wave 60: replace(regex={pat: repl}) — patterns as the spec."""
+    p = pd.DataFrame({"a": ["x1", "y2", "z3"], "b": [1, 2, 3]})
+    m = mpd.DataFrame(p)
+    pd.testing.assert_frame_equal(
+        m.replace(regex={r"[xyz]": "Q"}).to_pandas(),
+        p.replace(regex={r"[xyz]": "Q"}), check_dtype=False)
+
+
+def test_frame_agg_named_tuples():
+    """Wave 60: df.agg(out=('col', 'fn')) named-tuple form."""
+    p = pd.DataFrame({"v": [1.0, 3.0], "w": [2.0, 4.0]})
+    m = mpd.DataFrame(p)
+    pd.testing.assert_frame_equal(
+        m.agg(x=("v", "sum"), y=("w", "max")),
+        p.agg(x=("v", "sum"), y=("w", "max")), check_dtype=False)
