@@ -622,9 +622,14 @@ class Series:
         """Arithmetic builder with the computed-NaN guard (see _nan_to_null):
         inf-inf, 0*inf, inf%x are Spark NaN — an ordinary value to Spark but
         MISSING to pandas. Guarded only when both operand types are plain
-        numerics: isnan rejects temporals/intervals outright, and through
-        implicit casts it would null a string column's literal 'NaN'."""
+        numerics AND at least one side is a float (only float operands can
+        carry the inf that mints a NaN through +,-,*,%; all-integral math is
+        NaN-free, so it skips the guard expression entirely): isnan rejects
+        temporals/intervals outright, and through implicit casts it would
+        null a string column's literal 'NaN'."""
         import numpy as _np
+
+        _FLOAT_T = (T.FloatType, T.DoubleType, T.NullType)
 
         def numeric(s):
             try:
@@ -632,13 +637,23 @@ class Series:
             except Exception:
                 return False
 
+        def floaty(s):
+            try:
+                return isinstance(s.spark_type, _FLOAT_T)
+            except Exception:
+                return False
+
         ok = numeric(self)
+        any_float = floaty(self)
         if ok:
             if isinstance(other, Series):
                 ok = numeric(other)
+                any_float = any_float or floaty(other)
             else:
                 ok = isinstance(other, (bool, int, float, _np.bool_,
                                         _np.integer, _np.floating))
+                any_float = any_float or isinstance(other, (float, _np.floating))
+        ok = ok and any_float
         if not ok:
             return fn
 
