@@ -415,11 +415,15 @@ class Resampler:
         return self._maybe_series(DataFrame(_frame=out))
 
 
-    def asfreq(self):
+    def asfreq(self, fill_value=None):
         """Value at each period boundary (pandas reindex semantics: the
-        sample EXACTLY at the boundary, else NULL) — merge_asof of the
-        generated boundary timeline against the samples with tolerance 0."""
-        return self._boundary_reindex("backward", exact_only=True)
+        sample EXACTLY at the boundary, else NULL — or ``fill_value``) —
+        merge_asof of the generated boundary timeline against the samples
+        with tolerance 0."""
+        out = self._boundary_reindex("backward", exact_only=True)
+        if fill_value is not None:
+            out = out.fillna(fill_value)
+        return out
 
     def ffill(self):
         """Last sample at-or-before each boundary — merge_asof backward of

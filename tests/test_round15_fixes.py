@@ -719,3 +719,16 @@ def test_frame_agg_named_tuples():
     pd.testing.assert_frame_equal(
         m.agg(x=("v", "sum"), y=("w", "max")),
         p.agg(x=("v", "sum"), y=("w", "max")), check_dtype=False)
+
+
+def test_resample_asfreq_fill_value():
+    """Wave 61: resample().asfreq(fill_value=) fills boundary misses."""
+    p = pd.DataFrame({
+        "t": pd.to_datetime(["2024-01-01 00:10", "2024-01-01 01:20"]),
+        "v": [1.0, 3.0],
+    }).set_index("t")
+    m = mpd.DataFrame(p.reset_index()).set_index("t")
+    pd.testing.assert_frame_equal(
+        m.resample("30min").asfreq(fill_value=0.0).to_pandas(),
+        p.resample("30min").asfreq(fill_value=0.0),
+        check_dtype=False, check_freq=False)
