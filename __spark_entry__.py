@@ -1112,6 +1112,43 @@ def _multimodal_jpeg420_stats(spark, sf):
         "vec_id", "width", "height", "mean_r", "mean_g", "mean_b")
 
 
+def _cat_unobserved_counts(spark, sf):
+    """Categorical value_counts with a DECLARED unobserved category (r15):
+    lang astype'd to a CategoricalDtype that adds 'xx' — the count table
+    must emit the zero-count row (pandas), which requires the wrapper-
+    carried category metadata to survive the astype + value_counts chain
+    (wave-52 machinery). The oracle left-joins the declared category list
+    against the group counts. Scale shape: one hash aggregate; the
+    zero-fill is a driver-side reindex over the bounded category set."""
+    import pandas as _pd
+
+    mpd = _mpd()
+    docs = mpd.read_parquet(f"{sf}/documents.parquet")
+    cd = _pd.CategoricalDtype(["de", "en", "es", "fr", "xx", "zh"])
+    vc = docs["lang"].astype(cd).value_counts()
+    out = vc.reset_index()
+    out.columns = ["lang", "n"]
+    return out.to_spark(ordered=False).selectExpr("CAST(lang AS STRING) AS lang",
+                                                  "CAST(n AS BIGINT) AS n")
+
+
+def _td_format_cumsum(spark, sf):
+    """Timedelta rendering + accumulation (r15 wave-51 machinery): per-user
+    event gaps (ts.diff() -> DayTimeInterval) cumulate with the interval-
+    legal blocked cumsum and render with pandas' '{d} days {HH:MM:SS}
+    [.ffffff]' repr — the oracle replays both from lag()ed epoch
+    microseconds. Scale shape: one sort + the two-pass blocked cumsum,
+    no driver loop."""
+    mpd = _mpd()
+    ev = mpd.read_parquet(f"{sf}/events.parquet")
+    ev = ev[ev.user_id == 1][["event_id", "ts"]].sort_values(
+        ["ts", "event_id"]).reset_index(drop=True)
+    d = ev["ts"].diff()
+    out = ev.assign(td_str=d.astype(str),
+                    cs_sec=d.cumsum().dt.total_seconds())
+    return out[["event_id", "td_str", "cs_sec"]].to_spark(ordered=False)
+
+
 def _multimodal_jpeg_prog_stats(spark, sf):
     """REAL progressive-JPEG decode (r15, T.81 Annex G): 16x16 grayscale
     SOF2 streams are ENCODED executor-side as FOUR scans — DC first at
@@ -2505,6 +2542,7 @@ _R15_PREFIX = [
     # (a) must-score new
     "nullkey_group_transform", "multimodal_jpeg420_stats",
     "multimodal_jpeg_prog_stats", "multimodal_video_frames",
+    "cat_unobserved_counts", "td_format_cumsum",
     # (b) r15 machinery
     "rank_min", "rank_frame", "asof_join", "asof_nearest", "sort_topk",
     "cumsum_by_group", "groupby_transform_demean", "groupby_filter_large",
@@ -2521,7 +2559,6 @@ _R15_PREFIX = [
     "melt_unpivot", "multiindex3_cols_agg", "multiindex_cols_agg",
     "multiindex_regroup", "pivot_flag_status", "pivot_typed_keys",
     "q11_important_parts", "q12_priority_lines", "q15_top_supplier",
-    "q16_supplier_count", "q17_small_quantity",
 ]
 
 _R14_PREFIX = [
@@ -2615,6 +2652,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_jpeg420_stats": _multimodal_jpeg420_stats,
         "multimodal_jpeg_prog_stats": _multimodal_jpeg_prog_stats,
         "multimodal_video_frames": _multimodal_video_frames,
+        "cat_unobserved_counts": _cat_unobserved_counts,
+        "td_format_cumsum": _td_format_cumsum,
         "multimodal_media_meta": _multimodal_media_meta,
         # (c) machinery touched this round
         "rolling_mean": _rolling_mean,
@@ -4451,6 +4490,48 @@ def oracle_sql() -> dict[str, str]:
                       + ROUND(128.0 + dc - ac + 1.772 * cb0)) / 2.0) AS mean_b
             FROM blocks
             GROUP BY vec_id
+        """,
+        # r15: zero-count categorical row — the declared category list
+        # left-joined against the group counts
+        "cat_unobserved_counts": """
+            WITH cats(lang) AS (
+                VALUES ('de'), ('en'), ('es'), ('fr'), ('xx'), ('zh')
+            ),
+            counts AS (
+                SELECT lang, COUNT(*) AS n FROM documents
+                WHERE lang IN ('de', 'en', 'es', 'fr', 'zh')
+                GROUP BY lang
+            )
+            SELECT c.lang, CAST(COALESCE(t.n, 0) AS BIGINT) AS n
+            FROM cats c LEFT JOIN counts t USING (lang)
+        """,
+        # r15: replay of the pandas timedelta repr + cumulative seconds
+        # from lag()ed epoch microseconds over the same (ts, event_id)
+        # order; the first row's diff is NaT -> 'NaT' / NULL
+        "td_format_cumsum": """
+            WITH ordered AS (
+                SELECT event_id, epoch_us(ts) AS us,
+                       LAG(epoch_us(ts)) OVER (ORDER BY ts, event_id) AS prev_us,
+                       MIN(epoch_us(ts)) OVER () AS first_us
+                FROM events WHERE user_id = 1
+            ),
+            d AS (
+                SELECT event_id, us - prev_us AS td_us,
+                       us, first_us FROM ordered
+            )
+            SELECT event_id,
+                   CASE WHEN td_us IS NULL THEN 'NaT' ELSE
+                     CAST(td_us // 86400000000 AS VARCHAR) || ' days ' ||
+                     lpad(CAST((td_us % 86400000000) // 3600000000 AS VARCHAR), 2, '0') || ':' ||
+                     lpad(CAST((td_us % 3600000000) // 60000000 AS VARCHAR), 2, '0') || ':' ||
+                     lpad(CAST((td_us % 60000000) // 1000000 AS VARCHAR), 2, '0') ||
+                     CASE WHEN td_us % 1000000 <> 0
+                          THEN '.' || lpad(CAST(td_us % 1000000 AS VARCHAR), 6, '0')
+                          ELSE '' END
+                   END AS td_str,
+                   CASE WHEN td_us IS NULL THEN NULL
+                        ELSE CAST(us - first_us AS DOUBLE) / 1000000.0 END AS cs_sec
+            FROM d
         """,
         # r15: exact replay of the progressive (SOF2) decode — after the
         # four-scan successive-approximation accumulation the coefficients
