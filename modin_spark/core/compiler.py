@@ -418,6 +418,12 @@ def groupby_apply(frame: SparkFrame, by_positions: Sequence[int], func,
                         else "scalar")
     sample_out = run(sample_pdf)
     out_labels = list(sample_out.columns)
+    # per-group SERIES results align into a frame whose columns axis takes
+    # the series' NAME (pandas: describe()['v'] per group -> columns.name
+    # 'v'); frames/scalars keep an unnamed columns axis
+    out_cols_index = pd.Index(out_labels)
+    if not with_inner and isinstance(raw_sample, pd.Series):
+        out_cols_index = out_cols_index.rename(raw_sample.name)
     out_phys = fresh_names(len(out_labels))
     n_inner = sample_out.index.nlevels if with_inner else 0
     inner_names = list(sample_out.index.names) if with_inner else []
@@ -467,7 +473,7 @@ def groupby_apply(frame: SparkFrame, by_positions: Sequence[int], func,
         agged = agged.withColumn(
             ORDER_COL, F.struct(*[F.col(k) for k in key_phys], F.col(seq_phys))
         ).drop(seq_phys, ord_phys)
-        return SparkFrame(agged, pd.Index(out_labels), out_phys,
+        return SparkFrame(agged, out_cols_index, out_phys,
                           key_phys + inner_phys, list(key_labels) + inner_names)
     # group_keys=False: no key levels; rows whose labels came from the input
     # return to their original positions, invented labels sort group-major
@@ -478,7 +484,7 @@ def groupby_apply(frame: SparkFrame, by_positions: Sequence[int], func,
     ).drop(seq_phys, ord_phys)
     idx_out = inner_phys if with_inner else list(key_phys)
     nm_out = inner_names if with_inner else list(key_labels)
-    return SparkFrame(agged, pd.Index(out_labels), out_phys, idx_out, nm_out)
+    return SparkFrame(agged, out_cols_index, out_phys, idx_out, nm_out)
 
 
 # ---------------------------------------------------------------------------

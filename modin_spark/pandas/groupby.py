@@ -614,7 +614,14 @@ class DataFrameGroupBy:
         sdf = fr.sdf if guard is None else fr.sdf.where(guard)
         w = Window.partitionBy(*keys).orderBy(ORDER_COL)
         sdf = sdf.withColumn("__rn__", F.row_number().over(w))
-        sdf = sdf.where(F.col("__rn__") <= n).drop("__rn__")
+        if n >= 0:
+            sdf = sdf.where(F.col("__rn__") <= n)
+        else:
+            # pandas head(-k): all but the LAST k rows of each group
+            wc = Window.partitionBy(*keys)
+            sdf = sdf.withColumn("__gn__", F.count(F.lit(1)).over(wc))
+            sdf = sdf.where(F.col("__rn__") <= F.col("__gn__") + n).drop("__gn__")
+        sdf = sdf.drop("__rn__")
         return DataFrame(_frame=fr._subset_rows(sdf))
 
     @property
@@ -655,7 +662,14 @@ class DataFrameGroupBy:
         sdf = fr.sdf if guard is None else fr.sdf.where(guard)
         w = Window.partitionBy(*keys).orderBy(F.col(ORDER_COL).desc())
         sdf = sdf.withColumn("__rn__", F.row_number().over(w))
-        sdf = sdf.where(F.col("__rn__") <= n).drop("__rn__")
+        if n >= 0:
+            sdf = sdf.where(F.col("__rn__") <= n)
+        else:
+            # pandas tail(-k): all but the FIRST k rows of each group
+            wc = Window.partitionBy(*keys)
+            sdf = sdf.withColumn("__gn__", F.count(F.lit(1)).over(wc))
+            sdf = sdf.where(F.col("__rn__") <= F.col("__gn__") + n).drop("__gn__")
+        sdf = sdf.drop("__rn__")
         return DataFrame(_frame=fr._subset_rows(sdf))
 
     def nlargest(self, n=5):
@@ -1272,6 +1286,19 @@ def _g_value_counts(self, sort: bool = True, ascending: bool = False, normalize:
         self._as_index, self._dropna, self._sort,
     )
     s = sub.size()
+    nby = len(self._by_labels)
+
+    def _sort_within_groups(ser):
+        # pandas sorts the count WITHIN each group (groups stay in key
+        # order); ties keep value order — keys asc, count, then the value
+        # levels as a deterministic tiebreak
+        fr2 = ser._to_frame("__vc__")
+        keys = [F.col(c) for c in fr2.index_cols[:nby]]
+        rest = [F.col(c) for c in fr2.index_cols[nby:]]
+        exprs = keys + [fr2.scol(0)] + rest
+        asc = [True] * nby + [ascending] + [True] * len(rest)
+        return Series._from_frame(fr2.sort_by(exprs, asc))
+
     if normalize:
         # proportion within each GROUP: one key-partitioned window over the
         # already-aggregated (keys, values, count) rows — no extra shuffle
@@ -1279,17 +1306,16 @@ def _g_value_counts(self, sort: bool = True, ascending: bool = False, normalize:
         from pyspark.sql.window import Window
 
         fr = s._to_frame("__vc__")
-        nby = len(self._by_labels)
         w = Window.partitionBy(*[F.col(c) for c in fr.index_cols[:nby]])
         expr = fr.scol(0).cast("double") / F.sum(fr.scol(0)).over(w)
         out = fr.project(["proportion"], [expr])
         s = Series._from_frame(out)
         if sort:
-            s = s.sort_values(ascending=ascending)
+            s = _sort_within_groups(s)
         s._name = "proportion"
         return s
     if sort:
-        s = s.sort_values(ascending=ascending)
+        s = _sort_within_groups(s)
     s._name = "count"  # pandas 2.x: groupby.value_counts is named 'count'
     return s
 

@@ -732,3 +732,40 @@ def test_resample_asfreq_fill_value():
         m.resample("30min").asfreq(fill_value=0.0).to_pandas(),
         p.resample("30min").asfreq(fill_value=0.0),
         check_dtype=False, check_freq=False)
+
+
+def test_groupby_head_tail_negative():
+    """Wave 63: head(-k)/tail(-k) = all but the last/first k per group."""
+    p = pd.DataFrame({"g": ["a", "a", "a", "b", "b", "c"],
+                      "v": [1, 2, 3, 4, 5, 6]})
+    m = mpd.DataFrame(p)
+    pd.testing.assert_frame_equal(m.groupby("g").head(-1).to_pandas(),
+                                  p.groupby("g").head(-1), check_dtype=False)
+    pd.testing.assert_frame_equal(m.groupby("g").tail(-1).to_pandas(),
+                                  p.groupby("g").tail(-1), check_dtype=False)
+    pd.testing.assert_frame_equal(m.groupby("g").head(2).to_pandas(),
+                                  p.groupby("g").head(2), check_dtype=False)
+
+
+def test_groupby_value_counts_sorts_within_groups():
+    """Wave 63: value_counts sorts the count WITHIN each group; groups
+    stay in key order (engine previously sorted globally)."""
+    p = pd.DataFrame({"g": ["a", "a", "a", "b", "b", "c"],
+                      "v": [1.0, 1.0, 3.0, 4.0, 5.0, 6.0]})
+    m = mpd.DataFrame(p)
+    eq_series(m.groupby("g").v.value_counts(), p.groupby("g").v.value_counts())
+    eq_series(m.groupby("g").v.value_counts(normalize=True),
+              p.groupby("g").v.value_counts(normalize=True))
+
+
+def test_groupby_apply_series_names_columns():
+    """Wave 63: aligned per-group Series results carry the series NAME as
+    the result's columns-axis name."""
+    p = pd.DataFrame({"g": ["a", "a", "b"], "v": [1.0, 2.0, 3.0]})
+    m = mpd.DataFrame(p)
+    got = m.groupby("g").apply(lambda d: d.v.describe()[["count", "mean"]],
+                               include_groups=False).to_pandas()
+    want = p.groupby("g").apply(lambda d: d.v.describe()[["count", "mean"]],
+                                include_groups=False)
+    assert got.columns.name == want.columns.name == "v"
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
