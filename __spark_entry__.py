@@ -22,11 +22,38 @@ from pyspark.sql import functions as F
 
 
 
-def _rp(spark, path):
+_RP_SPREAD_CACHE: dict[str, DataFrame] = {}
+
+
+def _rp(spark, path, spread: bool = False):
     """Cached parquet scan (modin_spark.pandas.io._parquet_scan): repeated
-    reads of the same table skip re-listing + footer/schema jobs."""
-    from modin_spark.pandas.io import _parquet_scan
-    return _parquet_scan(path)
+    reads of the same table skip re-listing + footer/schema jobs.
+
+    ``spread=True``: single-ROW-GROUP local files scan as ONE task no
+    matter what minPartitionNum says (splits can't cross row-group
+    boundaries), which serializes every downstream explode/regex stage onto
+    one core — guide §2.5 input skew. For pipelines whose per-row expression
+    work dominates (n-gram explodes, fingerprint/langid regex), round-robin
+    the scan to the session's parallelism once per table (measured at sf0.1:
+    decontaminate 2.09->1.63s, clean_corpus 1.01->0.71s). Left OFF for
+    cheap-scan shapes (tiny tables, range-cumsum/window pipelines), where
+    the extra exchange only adds latency; at real scale inputs carry >=
+    cores splits and the repartition is skipped either way."""
+    if not spread:
+        from modin_spark.pandas.io import _parquet_scan
+        return _parquet_scan(path)
+    df = _RP_SPREAD_CACHE.get(path)
+    if df is None:
+        import os as _os
+
+        from modin_spark.pandas.io import _parquet_scan
+        df = _parquet_scan(path)
+        target = int(_os.environ.get("SPARK_GRAFT_CPUS", "0") or 0) or \
+            df.sparkSession.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < target:
+            df = df.repartition(target)
+        _RP_SPREAD_CACHE[path] = df
+    return df
 
 
 def _mpd():
@@ -767,7 +794,7 @@ def _docs_clean_corpus(spark, sf):
     one groupBy-fingerprint shuffle, one tiny aggregate)."""
     from modin_spark.operators.text import fingerprint, lang_id, quality_score, token_count
 
-    docs = _rp(spark, f"{sf}/documents.parquet")
+    docs = _rp(spark, f"{sf}/documents.parquet", spread=True)
     t = F.col("text")
     stats = docs.select(
         F.col("doc_id"),
@@ -1552,7 +1579,7 @@ def _docs_decontaminate(spark, sf):
     train text never shuffles."""
     from modin_spark.operators.corpus import decontaminate
 
-    docs = _rp(spark, f"{sf}/documents.parquet")
+    docs = _rp(spark, f"{sf}/documents.parquet", spread=True)
     is_eval = F.col("doc_id") % 10 == 0
     planted = is_eval | (F.col("doc_id") % 17 == 0)
     corpus = docs.select(
@@ -1686,7 +1713,7 @@ def _docs_topk_ngrams(spark, sf):
     per task; deterministic (count desc, ngram asc) tie-break."""
     from modin_spark.operators.corpus import topk_ngrams
 
-    docs = _rp(spark, f"{sf}/documents.parquet")
+    docs = _rp(spark, f"{sf}/documents.parquet", spread=True)
     return topk_ngrams(docs, "text", n=2, k=20).select("ngram", F.col("cnt").cast("long").alias("cnt"))
 
 
