@@ -3764,7 +3764,27 @@ class DataFrame:
         from modin_spark.core.frame import fresh_names
 
         max_cols = int(_os.environ.get("SPARK_GRAFT_TRANSPOSE_MAX_COLS", "20000"))
-        fr = self._frame.ensure_order().with_global_position("__pos__")
+        # persist the ORDERED input ONCE, below the position derivation: the
+        # header collect, the retype probe and the final melt/pivot action
+        # each replay the whole upstream plan otherwise — a T.T round trip
+        # paid for its source aggregation 3x (r15 opt). Persisting ABOVE
+        # with_global_position is incorrect: its offsets join evaluates the
+        # nondeterministic monotonically_increasing_id in two plan branches,
+        # and the cached compilation can partition them differently, so the
+        # branch pids diverge and the join drops rows; freezing the ORDER
+        # values below the join makes both branches read identical ids. The
+        # uuid literal keeps this call's canonical plan unique, so Spark's
+        # CacheManager can never serve one run's cache to a later
+        # identically-shaped build (same trick as the apply-axis0 reshape
+        # cache); lifetime is the same FIFO registry.
+        import uuid as _uuid
+
+        base = self._frame.ensure_order()
+        base = base._same_rows(
+            base.sdf.withColumn("__tc__", F.lit(_uuid.uuid4().hex)).persist()
+        )
+        _retire_reshape_caches(base.sdf)
+        fr = base.with_global_position("__pos__")
         numeric_only = len(self._numeric_positions()) == len(fr.columns)
         # headers keep their NATIVE type (pandas T: an int index makes int
         # column labels, the default positional index makes 0..n-1 ints) —

@@ -21,6 +21,12 @@ _DEFAULTS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # let AQE re-plan (coalesce) stages that sit on top of persisted
+    # intermediates — the transpose/apply-axis0 caches otherwise pin their
+    # consumers to the raw shuffle-partition count (off by default only to
+    # keep cached-plan output partitioning reusable, which nothing here
+    # relies on)
+    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
     "spark.sql.session.timeZone": "UTC",
     # pandas/numpy semantics: integer arithmetic wraps (MinHash universal
     # hashing relies on it), casts coerce instead of throwing
