@@ -1553,7 +1553,7 @@ def _docs_paragraph_dedup(spark, sf):
     char sum (first-occurrence raw text normalizes to the same string)."""
     from modin_spark.operators.dedup import paragraph_dedup
 
-    docs = _rp(spark, f"{sf}/documents.parquet")
+    docs = _rp(spark, f"{sf}/documents.parquet", spread=True)
     corpus = docs.select(
         "doc_id",
         F.concat_ws("\n\n", F.col("text"), F.lit("COMMON FOOTER BOILERPLATE"), F.col("text")).alias("text"),

@@ -141,6 +141,27 @@ def _is_nonzero_int_scalar(o) -> bool:
     return isinstance(o, numbers.Integral) and not isinstance(o, bool) and o != 0
 
 
+_PROBE_DF_CACHE: dict[tuple, Any] = {}
+
+
+def _probe_type(schema_map: dict, expr: Column) -> T.DataType:
+    """Resolve an expression's result type against a cached EMPTY relation
+    with the given schema — a constant-size analysis instead of re-analyzing
+    the frame's full plan per probe. Raises when the expr doesn't bind by
+    name (caller falls back to the real plan)."""
+    key = tuple((n, str(t)) for n, t in schema_map.items())
+    empty = _PROBE_DF_CACHE.get(key)
+    if empty is None:
+        from modin_spark.session import get_spark
+
+        empty = get_spark().createDataFrame([], schema=T.StructType(
+            [T.StructField(n, t) for n, t in schema_map.items()]))
+        if len(_PROBE_DF_CACHE) > 256:  # bound the schema zoo
+            _PROBE_DF_CACHE.clear()
+        _PROBE_DF_CACHE[key] = empty
+    return empty.select(expr.alias("__t__")).schema.fields[0].dataType
+
+
 class Series:
     def __init__(self, data=None, index=None, dtype=None, name=None, copy=None, filter_expr: Column | None = None):
         """Dual-mode constructor.
@@ -315,6 +336,26 @@ class Series:
     @property
     def spark_type(self) -> T.DataType:
         fr = self._frame
+        cached = getattr(self, "_stype_cache", None)
+        if cached is not None and cached[0] is fr:
+            return cached[1]
+        t = self._spark_type_uncached(fr)
+        # memoized per (frame, expr) — the expr is fixed at construction and
+        # the rare in-place _frame swaps invalidate via the identity check.
+        # Every arithmetic op probes the operand types (the computed-NaN
+        # guard), so uncached probes re-ran Catalyst analysis per op (r15).
+        object.__setattr__(self, "_stype_cache", (fr, t))
+        return t
+
+    def _spark_type_uncached(self, fr) -> T.DataType:
+        # plain column extraction: the answer is already in the frame's
+        # schema map (pyspark caches .schema per DataFrame) — no analysis
+        pos = getattr(self, "_native_col", None)
+        if pos is not None:
+            try:
+                return fr.spark_type_of(pos)
+            except Exception:
+                pass
         if fr._sdf is None and getattr(fr, "_native_schema", None) is not None:
             # pristine deferred-native frame: resolving the type must NOT
             # force JVM ingestion (that clears the native marker and kills
@@ -327,13 +368,20 @@ class Series:
             if pos is not None:
                 return fr.spark_type_of(pos)
             try:
-                from modin_spark.session import get_spark
-
-                empty = get_spark().createDataFrame([], schema=T.StructType(
-                    [T.StructField(n, t) for n, t in fr.schema_map.items()]))
-                return empty.select(self._expr.alias("__t__")).schema.fields[0].dataType
+                return _probe_type(fr.schema_map, self._expr)
             except Exception:
                 pass  # exotic expr: fall through to real materialization
+        # materialized frame: resolve against a tiny cached empty relation
+        # with the same schema first — analyzing the REAL plan is O(plan
+        # size) and the per-op type probes dominated modin plan-build time
+        # (q1 build: 19 full-plan selects, ~0.23s of py4j wall, r15).
+        # Engine exprs are name-bound (F.col on physical names), so they
+        # type identically on any same-schema plan; anything that doesn't
+        # resolve there (cross-frame refs) falls back to the real plan.
+        try:
+            return _probe_type(fr.schema_map, self._expr)
+        except Exception:
+            pass
         return fr.sdf.select(self._expr.alias("__t__")).schema.fields[0].dataType
 
     @property
