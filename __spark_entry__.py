@@ -62,6 +62,54 @@ def _mpd():
     return mpd
 
 
+def _lit_df(spark, schema: str, rows: list[tuple]) -> DataFrame:
+    """Tiny literal result frame as a pure-JVM local relation. The
+    list-of-tuples createDataFrame path parallelizes a Python RDD — every
+    downstream action schedules defaultParallelism Python tasks (~0.4s for
+    a ONE-ROW frame, measured); a SQL literal SELECT is a LocalRelation.
+    Doubles are embedded as repr() strings (shortest round-trip form,
+    re-parsed by Java's correctly-rounding Double.parseDouble), so values
+    are bit-identical to the tuple path."""
+    import math
+
+    cols = [c.strip().rsplit(" ", 1) for c in schema.split(",")]
+    selects = []
+    for r in rows:
+        parts = []
+        for (name, typ), v in zip(cols, r):
+            t = typ.upper()
+            if v is None or (isinstance(v, float) and math.isnan(v)):
+                parts.append(f"CAST(NULL AS {t}) AS `{name}`")
+            elif t in ("DOUBLE", "FLOAT"):
+                fv = float(v)
+                lit = ("'Infinity'" if fv > 0 else "'-Infinity'") if math.isinf(fv) else f"'{fv!r}'"
+                parts.append(f"CAST({lit} AS {t}) AS `{name}`")
+            elif t in ("BIGINT", "INT"):
+                parts.append(f"CAST({int(v)} AS {t}) AS `{name}`")
+            elif t == "STRING":
+                esc = str(v).replace("\\", "\\\\").replace("'", "\\'")
+                parts.append(f"'{esc}' AS `{name}`")
+            else:
+                raise ValueError(f"_lit_df: unsupported type {typ}")
+        selects.append("SELECT " + ", ".join(parts))
+    return spark.sql(" UNION ALL ".join(selects))
+
+
+def _lit_df_pdf(spark, pdf) -> DataFrame:
+    """_lit_df for a small pandas frame (schema from dtypes: int->bigint,
+    float->double, else string — exactly what createDataFrame would infer
+    for these result frames)."""
+    def t(d):
+        if str(d).startswith("int"):
+            return "bigint"
+        if str(d).startswith("float"):
+            return "double"
+        return "string"
+
+    schema = ", ".join(f"{c} {t(pdf[c].dtype)}" for c in pdf.columns)
+    return _lit_df(spark, schema, [tuple(r) for r in pdf.itertuples(index=False)])
+
+
 def _r(col, n=2):
     from modin_spark.pandas.series import Series
 
@@ -154,7 +202,7 @@ def _q6(spark, sf):
     f = li[(li.l_discount >= 0.05) & (li.l_discount <= 0.07) & (li.l_quantity < 24)]
     f["rev"] = f.l_extendedprice * f.l_discount
     total = f["rev"].sum()
-    return spark.createDataFrame([(round(float(total), 4),)], "revenue double")
+    return _lit_df(spark, "revenue double", [(round(float(total), 4),)])
 
 
 def _filter_project(spark, sf):
@@ -248,10 +296,10 @@ def _numpy_zscore(spark, sf):
     z = (a - mu) / sd
     abs_max = mnp.abs(z).max(axis=0)._to_numpy().tolist()
     sq_sum = (z * z).sum(axis=0)._to_numpy().tolist()
-    return spark.createDataFrame(
+    return _lit_df(
+        spark, "col string, abs_z_max double, z_sq_sum double",
         [("l_extendedprice", round(abs_max[1], 6), round(sq_sum[1], 2)),
-         ("l_quantity", round(abs_max[0], 6), round(sq_sum[0], 2))],
-        "col string, abs_z_max double, z_sq_sum double")
+         ("l_quantity", round(abs_max[0], 6), round(sq_sum[0], 2))])
 
 
 def _sort_labels_roundtrip(spark, sf):
@@ -265,7 +313,7 @@ def _sort_labels_roundtrip(spark, sf):
     out = s.reset_index()  # 'index' = 0..n-1 in acctbal order
     n = int(out["lbl"].count())
     checksum = int((out["lbl"] * out["index"]).sum())
-    return spark.createDataFrame([(n, checksum)], "n bigint, checksum bigint")
+    return _lit_df(spark, "n bigint, checksum bigint", [(n, checksum)])
 
 
 def _ngroup_labels(spark, sf):
@@ -453,9 +501,7 @@ def _dot_product(spark, sf):
     mpd = _mpd()
     li = mpd.read_parquet(f"{sf}/lineitem.parquet")
     d = li.l_quantity.dot(li.l_discount)
-    import pandas as pd
-
-    return spark.createDataFrame(pd.DataFrame({"dotp": [round(float(d), 4)]}))
+    return _lit_df(spark, "dotp double", [(round(float(d), 4),)])
 
 
 def _iloc_slice(spark, sf):
@@ -727,7 +773,7 @@ def _get_dummies_sum(spark, sf):
     import pandas as pd
 
     pdf = pd.DataFrame([s.values.tolist()], columns=list(s.index))
-    return spark.createDataFrame(pdf)
+    return _lit_df_pdf(spark, pdf)
 
 
 def _case_when(spark, sf):
@@ -1355,7 +1401,7 @@ def _q14_promo_revenue(spark, sf):
     j["rev"] = j.l_extendedprice * (1 - j.l_discount)
     j["promo_rev"] = j["rev"].where(j.p_type == "PROMO", 0.0)
     promo, total = j["promo_rev"].sum(), j["rev"].sum()
-    return spark.createDataFrame([(round(100.0 * float(promo) / float(total), 6),)], "promo_pct double")
+    return _lit_df(spark, "promo_pct double", [(round(100.0 * float(promo) / float(total), 6),)])
 
 
 def _q19_brand_filter(spark, sf):
@@ -1772,7 +1818,7 @@ def _transpose_wide_roundtrip(spark, sf):
         "col": [str(c) for c in agg.index],
         "total": [round(float(v), 2) for v in agg.values],
     })
-    return spark.createDataFrame(out)
+    return _lit_df_pdf(spark, out)
 
 
 def _fwf_ingest(spark, sf):
@@ -2033,17 +2079,17 @@ def _describe_stats(spark, sf):
         float(d["min"]), round(float(d["25%"]), 4), round(float(d["50%"]), 4),
         round(float(d["75%"]), 4), float(d["max"]),
     ]
-    return spark.createDataFrame(
-        [tuple(vals)],
+    return _lit_df(
+        spark,
         "cnt double, mean double, std double, mn double, p25 double, p50 double, p75 double, mx double",
-    )
+        [tuple(vals)])
 
 
 def _mode_quantity(spark, sf):
     mpd = _mpd()
     li = mpd.read_parquet(f"{sf}/lineitem.parquet")
     m = li[["l_quantity"]].mode().to_pandas()
-    return spark.createDataFrame([(int(m["l_quantity"].iloc[0]),)], "mode_qty bigint")
+    return _lit_df(spark, "mode_qty bigint", [(int(m["l_quantity"].iloc[0]),)])
 
 
 def _rollup_agg(spark, sf):
@@ -2438,7 +2484,7 @@ def _q17_small_quantity(spark, sf):
     f = j2[j2.l_quantity < 0.5 * j2.avg_qty]
     total = float(f.l_extendedprice.sum())
     avg_yearly = round(round(total, 2) / 7.0, 6)
-    return spark.createDataFrame([(avg_yearly,)], "avg_yearly double")
+    return _lit_df(spark, "avg_yearly double", [(avg_yearly,)])
 
 
 def _q18_large_volume(spark, sf):
