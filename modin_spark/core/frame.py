@@ -465,6 +465,23 @@ class SparkFrame:
         cached = getattr(base, "_pin_cache", None)
         if cached is not None:
             return cached
+        # size-adaptive: persisting a TINY input costs more than the branch
+        # replays it saves (measured at sf0.1, window family ~+30% from the
+        # materialization + lost stage fusion), while at real scale one
+        # branch replay is a full scan+sort of the input. Pin only above the
+        # optimizer's size estimate threshold (SPARK_GRAFT_PIN_MIN_BYTES,
+        # default 256 MB — roughly where one extra columnar materialization
+        # is clearly cheaper than 2+ replays of a shuffle-bearing lineage).
+        thr = int(os.environ.get("SPARK_GRAFT_PIN_MIN_BYTES", str(256 << 20)))
+        try:
+            raw = base.sdf._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            est = int(raw if isinstance(raw, int) else raw.toString())
+        except Exception:
+            est = thr + 1  # unknown size: pin (the scale-safe default)
+        if est <= thr:
+            base._pin_cache = base
+            self._pin_cache = base
+            return base
         import uuid as _uuid
 
         from pyspark import StorageLevel

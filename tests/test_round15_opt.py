@@ -1,0 +1,101 @@
+"""Round-15 optimization internals: the mid-complete position fast path,
+the size-gated pinned() persist, the transpose input cache, and the SQL
+literal result frames."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import modin_spark.pandas as mpd
+from modin_spark.session import get_spark
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_global_position_fast_path_matches_order():
+    # fresh scan: ensure_order attaches mid -> order_mid_complete fast path
+    df = mpd.read_parquet(f"{SF}/events.parquet")
+    fr = df._frame.ensure_order()
+    assert fr.order_mid_complete
+    pos = fr.with_global_position("__tp__")
+    # positions must be 0..n-1 and follow the stored ORDER values
+    chk = pos.sdf.selectExpr("__tp__", "`__row_order__` as o").toPandas().sort_values("o")
+    n = len(chk)
+    assert (chk["__tp__"].to_numpy() == np.arange(n)).all()
+
+
+def test_global_position_fast_path_cleared_by_filter():
+    df = mpd.read_parquet(f"{SF}/events.parquet")
+    fr = df._frame.ensure_order()
+    vphys = fr.data_cols[list(fr.columns).index("value")]
+    sub = fr._subset_rows(fr.sdf.where(f"{vphys} > 0"))
+    assert not sub.order_mid_complete  # row subset: mid ids have gaps
+    pos = sub.with_global_position("__tp__")  # slow path must still be exact
+    rows = pos.sdf.select("__tp__").toPandas()
+    assert sorted(rows["__tp__"]) == list(range(len(rows)))
+
+
+def test_sorted_frame_fast_path_positions():
+    df = mpd.read_parquet(f"{SF}/events.parquet").sort_values("value")
+    fr = df._frame
+    assert fr.order_mid_complete  # sort_by re-attaches mid over all rows
+    pos = fr.with_global_position("__tp__")
+    chk = pos.sdf.selectExpr("__tp__", "`__row_order__` as o").toPandas().sort_values("o")
+    assert (chk["__tp__"].to_numpy() == np.arange(len(chk))).all()
+
+
+def test_pinned_path_forced_on_matches_pandas(monkeypatch):
+    # force the persist branch (normally gated to >256MB inputs) and check
+    # the window/shift consumers stay exact
+    monkeypatch.setenv("SPARK_GRAFT_PIN_MIN_BYTES", "0")
+    pe = pd.read_parquet(f"{SF}/events.parquet").sort_values("event_id").reset_index(drop=True)
+    me = mpd.read_parquet(f"{SF}/events.parquet").sort_values("event_id").reset_index(drop=True)
+    a = me["value"].rolling(7).mean().to_pandas().reset_index(drop=True)
+    b = pe["value"].rolling(7).mean()
+    pd.testing.assert_series_equal(a, b, check_names=False)
+    a = me["value"].shift(3).to_pandas().reset_index(drop=True)
+    pd.testing.assert_series_equal(a, pe["value"].shift(3), check_names=False)
+    a = me["value"].cumsum().to_pandas().reset_index(drop=True)
+    pd.testing.assert_series_equal(a, pe["value"].cumsum(), check_names=False)
+
+
+def test_pinned_gate_skips_small_inputs():
+    import modin_spark.core.frame as cf
+
+    df = mpd.read_parquet(f"{SF}/events.parquet")
+    fr = df._frame
+    before = len(cf._PIN_CACHES)
+    p = fr.pinned()
+    assert p is fr.ensure_order()  # tiny input: no persist
+    assert len(cf._PIN_CACHES) == before
+
+
+def test_transpose_roundtrip_cached_input():
+    li = mpd.read_parquet(f"{SF}/lineitem.parquet")
+    g = li.groupby(["l_returnflag", "l_linestatus"]).agg(
+        sq=("l_quantity", "sum"), ap=("l_extendedprice", "sum"))
+    back = g.T.T.reset_index().to_pandas()
+    pli = pd.read_parquet(f"{SF}/lineitem.parquet")
+    pg = pli.groupby(["l_returnflag", "l_linestatus"]).agg(
+        sq=("l_quantity", "sum"), ap=("l_extendedprice", "sum"))
+    pback = pg.T.T.reset_index()
+    a = back.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+    b = pback.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+    assert list(a.columns) == list(b.columns)
+    assert np.allclose(a["sq"].astype(float), b["sq"].astype(float))
+
+
+def test_lit_df_round_trips_doubles_exactly():
+    import __spark_entry__ as entry
+
+    spark = get_spark()
+    vals = [0.1, -1.5e-17, 12345678.900000001, float(np.nextafter(1.0, 2.0))]
+    df = entry._lit_df(spark, "a double, b double, c double, d double", [tuple(vals)])
+    row = df.collect()[0]
+    assert [row[i] for i in range(4)] == vals
+    sch = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    assert sch == {"a": "double", "b": "double", "c": "double", "d": "double"}
+    df2 = entry._lit_df(spark, "n bigint, s string", [(7, "it's"), (None, None)])
+    rows = sorted(df2.collect(), key=lambda r: (r["n"] is None, r["n"] or 0))
+    assert rows[0]["n"] == 7 and rows[0]["s"] == "it's"
+    assert rows[1]["n"] is None and rows[1]["s"] is None
