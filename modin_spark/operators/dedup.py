@@ -156,15 +156,37 @@ def text_minhash_md5(c: Column, k: int = 5, num_perm: int = 128) -> Column:
 
     @F.pandas_udf(T.BinaryType())
     def _mh(texts: pd.Series) -> pd.Series:
+        import hashlib
+
+        # batch-vectorized: ONE flat md5 pass over every shingle in the
+        # Arrow batch, then per-lane a*x+b with a segmented min
+        # (np.minimum.reduceat over doc boundaries) — the per-doc (128, n)
+        # matrix loop paid per-doc numpy dispatch overhead (r15 opt,
+        # 0.81->0.68s per 5k docs single-core; identical output)
+        allsh: list[str] = []
+        counts = np.empty(len(texts), dtype=np.int64)
+        zero_slots: list[int] = []  # shingle-less docs hash as 0 (legacy)
+        for i, t in enumerate(texts):
+            sh = _py_shingles(t, k)
+            if not sh:
+                zero_slots.append(len(allsh))
+                sh = [""]
+            counts[i] = len(sh)
+            allsh.extend(sh)
+        if not len(texts):
+            return pd.Series([], dtype=object)
+        x = np.fromiter(
+            (int(hashlib.md5(s.encode()).hexdigest()[:15], 16) for s in allsh),
+            dtype=np.uint64, count=len(allsh))
+        if zero_slots:
+            x[np.asarray(zero_slots, dtype=np.int64)] = 0
+        starts = np.zeros(len(texts), dtype=np.int64)
+        np.cumsum(counts[:-1], out=starts[1:])
+        res = np.empty((len(texts), num_perm), dtype=np.uint64)
         with np.errstate(over="ignore"):
-            out = []
-            for t in texts:
-                x = _md5_shingle_hashes(t, k)
-                if x.size == 0:
-                    x = np.zeros(1, dtype=np.uint64)
-                m = (a_u[:, None] * x[None, :] + b_u[:, None]).min(axis=1)
-                out.append(m.astype("<u8").tobytes())
-            return pd.Series(out)
+            for lane in range(num_perm):
+                res[:, lane] = np.minimum.reduceat(a_u[lane] * x + b_u[lane], starts)
+        return pd.Series([r.astype("<u8").tobytes() for r in res])
 
     return _mh(c)
 
