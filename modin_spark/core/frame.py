@@ -65,22 +65,6 @@ ORDER_COL = "__row_order__"
 _uid_counter = itertools.count()
 _lid_counter = itertools.count()
 
-_PIN_CACHES: list = []
-
-
-def _retire_pin_caches(new_sdf) -> None:
-    """Bounded FIFO over pinned() persists (same scheme as the apply-axis0
-    reshape cache registry)."""
-    cap = int(os.environ.get("SPARK_GRAFT_PIN_CACHE_CAP", "16"))
-    _PIN_CACHES.append(new_sdf)
-    while len(_PIN_CACHES) > cap:
-        old = _PIN_CACHES.pop(0)
-        try:  # session may already be gone at interpreter shutdown
-            old.unpersist()
-        except Exception:
-            pass
-
-
 def _fresh_name() -> str:
     return f"c{next(_uid_counter)}"
 
@@ -444,55 +428,6 @@ class SparkFrame:
         nf.nonnull_cols = self.nonnull_cols
         nf.order_mid_complete = True  # fresh mid over the complete row set
         self._ordered_cache = nf
-        return nf
-
-    def pinned(self) -> "SparkFrame":
-        """ensure_order + persist the ordered plan ONCE per frame (r15 opt).
-
-        The window/shift machinery references its input in several plan
-        branches (shift's position self-join, the block+halo union, the
-        cumsum carry aggregate), and Spark's exchange-reuse never fires on
-        these engine-built branches (verified: 0 ReusedExchange across the
-        window family; rolling_pair_corr replayed its scan 16x). One
-        MEMORY_AND_DISK materialization feeds every branch instead. Persist
-        sits BELOW any position derivation so the nondeterministic
-        monotonically_increasing_id values are frozen before they are
-        consumed twice (same correctness argument as the transpose cache).
-        The uuid literal keeps the canonical plan unique, so a later
-        identically-shaped build (e.g. the bench's second run) can never be
-        served this run's cache; lifetime is a bounded FIFO."""
-        base = self.ensure_order()
-        cached = getattr(base, "_pin_cache", None)
-        if cached is not None:
-            return cached
-        # size-adaptive: persisting a TINY input costs more than the branch
-        # replays it saves (measured at sf0.1, window family ~+30% from the
-        # materialization + lost stage fusion), while at real scale one
-        # branch replay is a full scan+sort of the input. Pin only above the
-        # optimizer's size estimate threshold (SPARK_GRAFT_PIN_MIN_BYTES,
-        # default 256 MB — roughly where one extra columnar materialization
-        # is clearly cheaper than 2+ replays of a shuffle-bearing lineage).
-        thr = int(os.environ.get("SPARK_GRAFT_PIN_MIN_BYTES", str(256 << 20)))
-        try:
-            raw = base.sdf._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-            est = int(raw if isinstance(raw, int) else raw.toString())
-        except Exception:
-            est = thr + 1  # unknown size: pin (the scale-safe default)
-        if est <= thr:
-            base._pin_cache = base
-            self._pin_cache = base
-            return base
-        import uuid as _uuid
-
-        from pyspark import StorageLevel
-
-        sdf = base.sdf.withColumn("__pin__", F.lit(_uuid.uuid4().hex)).persist(
-            StorageLevel.MEMORY_AND_DISK)
-        nf = base._same_rows(sdf)
-        _retire_pin_caches(sdf)
-        base._pin_cache = nf
-        nf._pin_cache = nf
-        self._pin_cache = nf
         return nf
 
     # lineage helpers -------------------------------------------------------

@@ -75,10 +75,15 @@ def _count_smaller_before(keys, m):
 
 
 def _with_blocks(frame: SparkFrame) -> SparkFrame:
-    # pinned(): the block consumers read this lineage from several plan
-    # branches (halo union, carry aggregates, join-backs) — one persisted
-    # materialization instead of a full upstream replay per branch (r15)
-    fr = frame.pinned().with_global_position(_POS)
+    # NOT persisted, although the block consumers read this lineage from
+    # several plan branches (halo union, carry aggregates, join-backs):
+    # an interleaved A/B at BOTH sf0.1 and the 10x sf1 rung showed the
+    # persist LOSES (rolling_pair 2.45->4.09s at sf1) — the cache
+    # materializes the full row width and defeats the parquet scan's column
+    # pruning, which costs more than the pruned scan+sort replays it saves
+    # (r15; the transpose cache keeps the opposite regime: expensive-to-
+    # compute, tiny-to-store aggregates).
+    fr = frame.ensure_order().with_global_position(_POS)
     return fr._same_rows(fr.sdf.withColumn(_BLK, (F.col(_POS) / F.lit(BLOCK)).cast("long")))
 
 
@@ -198,10 +203,10 @@ def shift(frame: SparkFrame, positions: Sequence[int], periods: int = 1, fill_va
     """Shift values by ``periods`` along frame order.
 
     Plan: global-position self-equijoin on pos == pos + k — two range
-    shuffles, no global window; correct for any |k|. The input is pinned:
-    both join sides read one materialization (r15).
+    shuffles, no global window; correct for any |k|.
     """
-    fr = frame.pinned().with_global_position(_POS)
+    frame = frame.ensure_order()
+    fr = frame.with_global_position(_POS)
     phys = [frame.data_cols[i] for i in positions]
     right = fr.sdf.select(
         (F.col(_POS) + F.lit(periods)).alias("__pos_r__"),

@@ -1,6 +1,5 @@
 """Round-15 optimization internals: the mid-complete position fast path,
-the size-gated pinned() persist, the transpose input cache, and the SQL
-literal result frames."""
+the transpose input cache, and the SQL literal result frames."""
 
 import numpy as np
 import pandas as pd
@@ -42,32 +41,6 @@ def test_sorted_frame_fast_path_positions():
     pos = fr.with_global_position("__tp__")
     chk = pos.sdf.selectExpr("__tp__", "`__row_order__` as o").toPandas().sort_values("o")
     assert (chk["__tp__"].to_numpy() == np.arange(len(chk))).all()
-
-
-def test_pinned_path_forced_on_matches_pandas(monkeypatch):
-    # force the persist branch (normally gated to >256MB inputs) and check
-    # the window/shift consumers stay exact
-    monkeypatch.setenv("SPARK_GRAFT_PIN_MIN_BYTES", "0")
-    pe = pd.read_parquet(f"{SF}/events.parquet").sort_values("event_id").reset_index(drop=True)
-    me = mpd.read_parquet(f"{SF}/events.parquet").sort_values("event_id").reset_index(drop=True)
-    a = me["value"].rolling(7).mean().to_pandas().reset_index(drop=True)
-    b = pe["value"].rolling(7).mean()
-    pd.testing.assert_series_equal(a, b, check_names=False)
-    a = me["value"].shift(3).to_pandas().reset_index(drop=True)
-    pd.testing.assert_series_equal(a, pe["value"].shift(3), check_names=False)
-    a = me["value"].cumsum().to_pandas().reset_index(drop=True)
-    pd.testing.assert_series_equal(a, pe["value"].cumsum(), check_names=False)
-
-
-def test_pinned_gate_skips_small_inputs():
-    import modin_spark.core.frame as cf
-
-    df = mpd.read_parquet(f"{SF}/events.parquet")
-    fr = df._frame
-    before = len(cf._PIN_CACHES)
-    p = fr.pinned()
-    assert p is fr.ensure_order()  # tiny input: no persist
-    assert len(cf._PIN_CACHES) == before
 
 
 def test_transpose_roundtrip_cached_input():
