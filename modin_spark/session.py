@@ -32,6 +32,12 @@ _DEFAULTS = {
     # hashing relies on it), casts coerce instead of throwing
     "spark.sql.ansi.enabled": "false",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # bigger Arrow batches for the pandas_udf/applyInPandas boundary: fewer
+    # per-batch transpose/serialize round trips for narrow numeric/string
+    # data (apply-axis0 measured ~6% faster at 100k). Safe for wide blob
+    # rows because Spark 4's maxBytesPerBatch (64 MB default) caps batch
+    # BYTES independently of the record count.
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "100000",
     # split even tiny files into >= #cores scan partitions: a small dimension
     # table read as ONE split would otherwise serialize every downstream
     # pandas_udf/regex stage onto a single core (at real scale files exceed
