@@ -111,9 +111,31 @@ def _lit_df_pdf(spark, pdf) -> DataFrame:
 
 
 def _r(col, n=2):
+    """Round to n decimals, bit-identical to the DuckDB oracle's ROUND.
+
+    DuckDB rounds a DOUBLE as std::round(x * 10^n) / 10^n — the multiply's
+    last-ulp error decides values within ~1e-15 of an exact half (e.g.
+    8648.15/160 at sf0.001: exact quotient 54.05093749999999630, but
+    x*1e6 rounds up to ..7.5 so DuckDB emits 54.050938 while a direct
+    HALF_UP of the exact value emits ..937). Replaying the same multiply,
+    rounding the product at scale 0 (Spark's HALF_UP == half-away-from-zero
+    there), and dividing back makes the engine's boundary behavior identical
+    instead of coin-flip. Applied only to float/double inputs so integer
+    columns keep their dtype.
+    """
+    from pyspark.sql import types as T
     from modin_spark.pandas.series import Series
 
-    return col._map1(lambda c: F.round(c, n)) if isinstance(col, Series) else F.round(col, n)
+    m = float(10**n)
+
+    def duck(c):
+        return F.round(c * F.lit(m), 0) / F.lit(m)
+
+    if isinstance(col, Series):
+        if isinstance(col.spark_type, (T.DoubleType, T.FloatType)):
+            return col._map1(duck)
+        return col._map1(lambda c: F.round(c, n))
+    return F.round(col, n)
 
 
 # ---------------------------------------------------------------------------

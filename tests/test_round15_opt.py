@@ -72,3 +72,25 @@ def test_lit_df_round_trips_doubles_exactly():
     rows = sorted(df2.collect(), key=lambda r: (r["n"] is None, r["n"] or 0))
     assert rows[0]["n"] == 7 and rows[0]["s"] == "it's"
     assert rows[1]["n"] is None and rows[1]["s"] is None
+
+
+def test_r_matches_duckdb_round_on_half_boundary():
+    """_r must replay DuckDB's std::round(x*10^n)/10^n double rounding.
+
+    8648.15/160 = 54.05093749999999630... exactly; the *1e6 multiply rounds
+    the product up to ...7.5, so DuckDB ROUND(,6) emits 54.050938 while a
+    direct HALF_UP of the exact binary value emits 54.050937 (the sf0.001
+    expanding_stats row that flipped the oracle)."""
+    import duckdb
+    import __spark_entry__ as entry
+
+    spark = get_spark()
+    cases = [(8648.15, 160, 6), (62.70875, 1, 4), (-8648.15, 160, 6), (2.5, 1, 0)]
+    for num, den, n in cases:
+        x = num / den
+        got = entry._r(mpd.Series([x]), n).to_pandas().iloc[0]
+        want = duckdb.sql(f"SELECT ROUND(CAST({x!r} AS DOUBLE), {n})").fetchone()[0]
+        assert got == want, (x, n, got, want)
+    # integer series keep their dtype (no silent int->double)
+    s = entry._r(mpd.Series([3, 4]), 2)
+    assert s.dtype.kind == "i"
