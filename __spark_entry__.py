@@ -2300,15 +2300,25 @@ def _q2_min_cost_supplier(spark, sf):
     nat = mpd.read_parquet(f"{sf}/nation.parquet")
     reg = mpd.read_parquet(f"{sf}/region.parquet")
     part = mpd.read_parquet(f"{sf}/part.parquet")
-    ps = li[["l_partkey", "l_suppkey"]].drop_duplicates()
+    # broadcast-join the highly selective part filter (p_size == 15, ~2% of
+    # parts; p_partkey is unique so the join never duplicates pairs) BEFORE
+    # the pair-distinct: the aggregation exchange then carries only the
+    # matching pairs instead of every (partkey, suppkey) pair in lineitem —
+    # guide §2.3 shuffle-fewer-bytes / §3.2 pre-filter the big side. Same
+    # distinct pairs reach the window, so the result is unchanged
+    # (oracle-verified).
+    p15 = part[part.p_size == 15][["p_partkey", "p_name"]]
+    ps = (
+        li[["l_partkey", "l_suppkey"]]
+        .merge(p15, left_on="l_partkey", right_on="p_partkey", broadcast=True)
+        .drop_duplicates()
+    )
     j = (
         ps.merge(sup, left_on="l_suppkey", right_on="s_suppkey", broadcast=True)
         .merge(nat, left_on="s_nationkey", right_on="n_nationkey", broadcast=True)
         .merge(reg, left_on="n_regionkey", right_on="r_regionkey", broadcast=True)
     )
     j = j[j.r_name == "EUROPE"]
-    p15 = part[part.p_size == 15][["p_partkey", "p_name"]]
-    j = j.merge(p15, left_on="l_partkey", right_on="p_partkey", broadcast=True)
     # correlated min as a key-window transform: one shuffle, and j's lineage
     # is planned once (a groupby+merge-back would replay the whole join tree
     # on both sides of the self-merge)
