@@ -3779,6 +3779,17 @@ class DataFrame:
         # cache); lifetime is the same FIFO registry.
         import uuid as _uuid
 
+        # a transpose OUTPUT's index values live on the driver already (they
+        # are the source frame's column labels, embedded as literals in the
+        # output plan), so a second transpose — the T.T round trip — can skip
+        # the header-collect action entirely (r15 opt: one fewer Spark job +
+        # one fewer upstream replay per round trip). The annotation is set
+        # ONLY by this method on its direct output and is deliberately NOT
+        # propagated by _same_rows/_subset_rows: any row subset, reorder or
+        # column op between the transposes drops it and the collect path
+        # below runs as before.
+        known = getattr(self._frame, "_transpose_known_index", None)
+
         base = self._frame.ensure_order()
         base = base._same_rows(
             base.sdf.withColumn("__tc__", F.lit(_uuid.uuid4().hex)).persist()
@@ -3786,35 +3797,44 @@ class DataFrame:
         _retire_reshape_caches(base.sdf)
         fr = base.with_global_position("__pos__")
         numeric_only = len(self._numeric_positions()) == len(fr.columns)
-        # headers keep their NATIVE type (pandas T: an int index makes int
-        # column labels, the default positional index makes 0..n-1 ints) —
-        # labels are pure metadata since the r7 positional physical names
-        lvl_exprs = (
-            [F.col(c) for c in fr.index_cols]
-            if fr.index_cols
-            else [F.col("__pos__")]
-        )
-        sdf = fr.sdf
-        hdr_rows = (
-            sdf.select("__pos__", *[e.alias(f"__hl{i}__") for i, e in enumerate(lvl_exprs)])
-            .orderBy("__pos__")
-            .limit(max_cols + 1)
-            .collect()
-        )
-        if len(hdr_rows) > max_cols or len(hdr_rows) == 0:
-            return None
-        positions = [r["__pos__"] for r in hdr_rows]
-        if len(lvl_exprs) > 1:
-            headers = pd.MultiIndex.from_tuples(
-                [tuple(r[f"__hl{i}__"] for i in range(len(lvl_exprs))) for r in hdr_rows],
-                names=list(fr.index_names),
-            )
+        if known is not None:
+            if len(known) > max_cols or len(known) == 0:
+                return None
+            # global positions are dense 0..n-1 by construction; the stored
+            # Index is already in positional order with the right names
+            positions = list(range(len(known)))
+            headers = known
+            sdf = fr.sdf
         else:
-            # pandas parity: T's columns carry the old index's name
-            headers = pd.Index(
-                [r["__hl0__"] for r in hdr_rows],
-                name=fr.index_names[0] if fr.index_cols else None,
+            # headers keep their NATIVE type (pandas T: an int index makes int
+            # column labels, the default positional index makes 0..n-1 ints) —
+            # labels are pure metadata since the r7 positional physical names
+            lvl_exprs = (
+                [F.col(c) for c in fr.index_cols]
+                if fr.index_cols
+                else [F.col("__pos__")]
             )
+            sdf = fr.sdf
+            hdr_rows = (
+                sdf.select("__pos__", *[e.alias(f"__hl{i}__") for i, e in enumerate(lvl_exprs)])
+                .orderBy("__pos__")
+                .limit(max_cols + 1)
+                .collect()
+            )
+            if len(hdr_rows) > max_cols or len(hdr_rows) == 0:
+                return None
+            positions = [r["__pos__"] for r in hdr_rows]
+            if len(lvl_exprs) > 1:
+                headers = pd.MultiIndex.from_tuples(
+                    [tuple(r[f"__hl{i}__"] for i in range(len(lvl_exprs))) for r in hdr_rows],
+                    names=list(fr.index_names),
+                )
+            else:
+                # pandas parity: T's columns carry the old index's name
+                headers = pd.Index(
+                    [r["__hl0__"] for r in hdr_rows],
+                    name=fr.index_names[0] if fr.index_cols else None,
+                )
 
         # the melt is rendered as ONE selectExpr string — building w
         # F.struct Column objects costs ~3 py4j round-trips per column and
@@ -3925,6 +3945,10 @@ class DataFrame:
             out_sdf, headers, phys, index_cols=lbl_phys, index_names=idx_names,
             has_order=True,
         )
+        # the output's index VALUES are src_cols, already on the driver —
+        # lets a directly-following transpose (T.T) skip its header collect
+        # (see `known` above; never propagated past this exact frame)
+        nf._transpose_known_index = src_cols
         return DataFrame(_frame=nf)
 
     @property
