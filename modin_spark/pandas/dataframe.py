@@ -3797,6 +3797,46 @@ class DataFrame:
         _retire_reshape_caches(base.sdf)
         fr = base.with_global_position("__pos__")
         numeric_only = len(self._numeric_positions()) == len(fr.columns)
+
+        def _bq(p: str) -> str:
+            return "`" + p.replace("`", "``") + "`"
+
+        def cell_sql(p: str, dt: str) -> str:
+            if numeric_only:
+                return f"CAST({_bq(p)} AS DOUBLE)"
+            if dt == "boolean":  # pandas str(True) capitalization
+                return f"CASE WHEN {_bq(p)} THEN 'True' WHEN NOT {_bq(p)} THEN 'False' END"
+            return f"CAST({_bq(p)} AS STRING)"
+
+        dts = dict(fr.sdf.dtypes)
+        cells = [cell_sql(p, dts.get(p, "")) for p in fr.data_cols]
+        # mixed frames need a per-output-column retype (bigint/double/string)
+        # decided by how every stringified cell in the source ROW parses.
+        # The old shape aggregated the melt by __pos__ — but each __pos__
+        # group is exactly ONE source row's w cells, so the same three counts
+        # are a ROW-WISE expression over the unexploded input: no melt
+        # replay, no Exchange, and the probe piggybacks on the header collect
+        # as extra columns (one Spark action where there were two; r15 opt).
+        probe_sqls: list[str] = []
+        if not numeric_only:
+            arr = "array(" + ", ".join(cells) + ")"
+            probe_sqls = [
+                f"size(filter({arr}, x -> x IS NOT NULL)) AS __pn__",
+                f"size(filter({arr}, x -> try_cast(x AS BIGINT) IS NOT NULL)) AS __pl__",
+                f"size(filter({arr}, x -> try_cast(x AS DOUBLE) IS NOT NULL)) AS __pd__",
+            ]
+
+        col_types: dict[int, str] = {}
+
+        def _types_from(rows) -> None:
+            for r in rows:
+                if r["__pn__"] == 0 or r["__pd__"] == r["__pn__"]:
+                    col_types[r["__pos__"]] = (
+                        "bigint" if r["__pn__"] and r["__pl__"] == r["__pn__"] else "double"
+                    )
+                else:
+                    col_types[r["__pos__"]] = "string"
+
         if known is not None:
             if len(known) > max_cols or len(known) == 0:
                 return None
@@ -3805,6 +3845,11 @@ class DataFrame:
             positions = list(range(len(known)))
             headers = known
             sdf = fr.sdf
+            if probe_sqls:
+                # no header collect to piggyback on — still one action, but
+                # row-wise (no melt, no Exchange) instead of the old
+                # melt+groupBy probe
+                _types_from(sdf.selectExpr("__pos__", *probe_sqls).collect())
         else:
             # headers keep their NATIVE type (pandas T: an int index makes int
             # column labels, the default positional index makes 0..n-1 ints) —
@@ -3816,7 +3861,11 @@ class DataFrame:
             )
             sdf = fr.sdf
             hdr_rows = (
-                sdf.select("__pos__", *[e.alias(f"__hl{i}__") for i, e in enumerate(lvl_exprs)])
+                sdf.select(
+                    "__pos__",
+                    *[e.alias(f"__hl{i}__") for i, e in enumerate(lvl_exprs)],
+                    *[F.expr(s) for s in probe_sqls],
+                )
                 .orderBy("__pos__")
                 .limit(max_cols + 1)
                 .collect()
@@ -3824,6 +3873,8 @@ class DataFrame:
             if len(hdr_rows) > max_cols or len(hdr_rows) == 0:
                 return None
             positions = [r["__pos__"] for r in hdr_rows]
+            if probe_sqls:
+                _types_from(hdr_rows)
             if len(lvl_exprs) > 1:
                 headers = pd.MultiIndex.from_tuples(
                     [tuple(r[f"__hl{i}__"] for i in range(len(lvl_exprs))) for r in hdr_rows],
@@ -3840,30 +3891,13 @@ class DataFrame:
         # F.struct Column objects costs ~3 py4j round-trips per column and
         # dominated wide-frame transpose build time (500 cols: ~8s of pure
         # driver-side construction, measured; the SQL string is one call)
-        def _bq(p: str) -> str:
-            return "`" + p.replace("`", "``") + "`"
-
-        def cell_sql(p: str, dt: str) -> str:
-            if numeric_only:
-                return f"CAST({_bq(p)} AS DOUBLE)"
-            if dt == "boolean":  # pandas str(True) capitalization
-                return f"CASE WHEN {_bq(p)} THEN 'True' WHEN NOT {_bq(p)} THEN 'False' END"
-            return f"CAST({_bq(p)} AS STRING)"
-
-        dts = dict(fr.sdf.dtypes)
         entries = ", ".join(
-            f"named_struct('__cid__', {ci}, '__v__', {cell_sql(p, dts.get(p, ''))})"
-            for ci, p in enumerate(fr.data_cols)
+            f"named_struct('__cid__', {ci}, '__v__', {c})"
+            for ci, c in enumerate(cells)
         )
         melted = sdf.selectExpr("__pos__", f"explode(array({entries})) AS __e__").selectExpr(
             "__pos__", "__e__.__cid__ AS __cid__", "__e__.__v__ AS __v__"
         )
-        # NB: no persist here — a lazily-cached melt materialized by the
-        # probe's aggregate job can capture a partial (limit-pruned) result
-        # under AQE; the probe's recompute of the melt is bounded by the
-        # header guard (<= max_cols rows x width values) and is cheaper
-        # than the cache round-trip anyway.
-        #
         # r7: ONE map-collect per output row instead of groupBy().pivot() —
         # a w-column pivot compiles w first() aggregates (codegen blew the
         # JVM code cache and took minutes at w=5k); map_from_entries +
@@ -3881,23 +3915,6 @@ class DataFrame:
         def _esc(s: str) -> str:
             return s.replace("\\", "\\\\").replace("'", "\\'")
 
-        col_types: dict[int, str] = {}
-        if not numeric_only:
-            # ONE grouped probe (k<=max_cols result rows), not 3k agg exprs
-            probe = (
-                melted.groupBy("__pos__")
-                .agg(
-                    F.count("__v__").alias("n"),
-                    F.count(F.col("__v__").try_cast("bigint")).alias("l"),
-                    F.count(F.col("__v__").try_cast("double")).alias("d"),
-                )
-                .collect()
-            )
-            for r in probe:
-                if r["n"] == 0 or r["d"] == r["n"]:
-                    col_types[r["__pos__"]] = "bigint" if r["n"] and r["l"] == r["n"] else "double"
-                else:
-                    col_types[r["__pos__"]] = "string"
         # the extract + retype + order/label projection is ONE selectExpr —
         # a per-column Column-object chain costs ~3 py4j round-trips per
         # column and a second wide analysis pass (~25s of the old build

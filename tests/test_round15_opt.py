@@ -94,3 +94,41 @@ def test_r_matches_duckdb_round_on_half_boundary():
     # integer series keep their dtype (no silent int->double)
     s = entry._r(mpd.Series([3, 4]), 2)
     assert s.dtype.kind == "i"
+
+
+def test_transpose_known_index_skips_header_collect():
+    # T.T: the second transpose must not run ANY Spark job during build —
+    # the output index values are the first transpose's source column labels
+    spark = get_spark()
+    st = spark.sparkContext.statusTracker()
+    li = mpd.read_parquet(f"{SF}/lineitem.parquet")
+    g = li.groupby("l_returnflag").agg(sq=("l_quantity", "sum"), ap=("l_extendedprice", "sum"))
+    t = g.T
+    assert getattr(t._frame, "_transpose_known_index", None) is not None
+    spark.sparkContext.setJobGroup("tki", "second transpose build")
+    t.T  # build only
+    assert len(st.getJobIdsForGroup("tki")) == 0
+    spark.sparkContext.setJobGroup("tki2", "post-op transpose build falls back")
+    # any intervening op drops the annotation -> collect path (and >0 jobs)
+    sub = t[[c for c in t.columns][:2]]
+    assert getattr(sub._frame, "_transpose_known_index", None) is None
+
+
+def test_mixed_transpose_rowwise_probe_retypes():
+    # the fused row-wise probe must reproduce the old per-column coercion:
+    # all-integral -> int64, numeric-with-fraction -> float64, else object
+    pdf = pd.DataFrame({
+        "i": [1, 2, 3],
+        "f": [1.5, 2.0, -3.25],
+        "s": ["a", "b", "c"],
+        "b": [True, False, True],
+        "n": [None, None, None],
+    })
+    t2 = mpd.DataFrame(pdf).T.T.to_pandas()
+    assert t2["i"].dtype.kind == "i"
+    assert t2["f"].dtype.kind == "f"
+    assert t2["s"].dtype == object
+    assert list(t2["i"]) == [1, 2, 3]
+    assert list(t2["f"]) == [1.5, 2.0, -3.25]
+    assert list(t2["s"]) == ["a", "b", "c"]
+    assert list(t2["b"]) == ["True", "False", "True"]  # stringified bools (pandas str())
