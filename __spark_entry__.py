@@ -2572,9 +2572,14 @@ def _q21_waiting_supplier(spark, sf):
     # columns make Catalyst EXPAND the 60M-row scan x3 before the partial
     # agg; pre-aggregating to distinct (order, supplier) pairs first (one
     # map-combined shuffle) then counting pairs per order avoids the expand
-    # entirely — measured 31.6s -> 8.3s at the sf10 rung (ratio 10.1x -> 3.2x)
+    # entirely — measured 31.6s -> 8.3s at the sf10 rung (ratio 10.1x -> 3.2x).
+    # r15: _repartition(by=l_orderkey) pre-clusters the rows so BOTH groupbys
+    # ((orderkey,suppkey) then (orderkey)) run partition-local off that one
+    # exchange — 2 full-size lineitem exchanges -> 1 (partial agg saved
+    # nothing: (orderkey,suppkey) is nearly unique in lineitem)
     li2 = li[["l_orderkey", "l_suppkey", "l_returnflag"]]
     li2["fail_supp"] = li2.l_suppkey.where(li2.l_returnflag == "R")
+    li2 = li2._repartition(by="l_orderkey")
     pairs = li2.groupby(["l_orderkey", "l_suppkey"]).agg(r=("fail_supp", "max")).reset_index()
     st = (
         pairs.groupby(["l_orderkey"])

@@ -165,6 +165,32 @@ class DataFrame:
     def spark_explain(self, mode: str = "formatted") -> None:
         self._frame.sdf.explain(mode)
 
+    def _repartition(self, axis: int | None = None, by=None) -> "DataFrame":
+        """Implicit repartitioning as a performance hint (reference parity:
+        modin.pandas.base.BasePandasDataset._repartition — "improve
+        performance where the query compiler can't yet").
+
+        ``axis`` is validated for API compatibility; Catalyst owns the
+        physical layout, so without ``by`` this is a no-op. ``by=`` is the
+        Spark-backend extension: hash-partition the rows on the named
+        column(s) (``spark.sql.shuffle.partitions``-sized, scale-adaptive),
+        after which every downstream groupby/join whose keys are a SUPERSET
+        of ``by`` runs exchange-free — consecutive aggregations keyed
+        (k1, k2) then (k1) share this one exchange instead of shuffling
+        twice. Row order is materialized first (ensure_order), so label and
+        positional semantics are unchanged; Catalyst prunes the unused order
+        column when no downstream op consumes order."""
+        if axis not in (0, 1, None):
+            raise ValueError(
+                f"Passed `axis` parameter: {axis}, but should be one of (0, 1, None)"
+            )
+        if by is None:
+            return DataFrame(_frame=self._frame)
+        cols = [by] if isinstance(by, str) else list(by)
+        fr = self._frame.ensure_order()
+        phys = [fr.data_cols[i] for i in fr.positions_of(cols)]
+        return DataFrame(_frame=fr._same_rows(fr.sdf.repartition(*[F.col(p) for p in phys])))
+
     # -------------------------------------------------------------- selection
     def _series_at(self, pos: int) -> Series:
         s = Series(

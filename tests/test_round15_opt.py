@@ -132,3 +132,38 @@ def test_mixed_transpose_rowwise_probe_retypes():
     assert list(t2["f"]) == [1.5, 2.0, -3.25]
     assert list(t2["s"]) == ["a", "b", "c"]
     assert list(t2["b"]) == ["True", "False", "True"]  # stringified bools (pandas str())
+
+
+def test_repartition_by_shares_one_exchange_across_groupbys():
+    # _repartition(by=k1) pre-clusters rows so consecutive groupbys keyed
+    # (k1, k2) then (k1) run partition-local: exactly ONE hashpartitioning
+    # exchange on the data path instead of two, with identical results.
+    li = mpd.read_parquet(f"{SF}/lineitem.parquet")
+
+    def agg(df):
+        pairs = df.groupby(["l_orderkey", "l_suppkey"]).agg(q=("l_quantity", "sum")).reset_index()
+        return pairs.groupby(["l_orderkey"]).agg(ns=("l_suppkey", "count"), tq=("q", "sum")).reset_index()
+
+    base = agg(li).to_pandas().sort_values("l_orderkey").reset_index(drop=True)
+    fast = agg(li._repartition(by="l_orderkey"))
+    got = fast.to_pandas().sort_values("l_orderkey").reset_index(drop=True)
+    pd.testing.assert_frame_equal(base, got)
+
+    plan = fast._frame.sdf._jdf.queryExecution().executedPlan().toString()
+    slow_plan = agg(li)._frame.sdf._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert slow_plan.count("Exchange hashpartitioning") == 2
+
+
+def test_repartition_preserves_order_and_validates_axis():
+    df = mpd.read_parquet(f"{SF}/events.parquet")
+    # row order (positional semantics) must survive the physical move
+    pd.testing.assert_frame_equal(
+        df._repartition(by="user_id").head(7).to_pandas(), df.head(7).to_pandas()
+    )
+    # reference-parity axis validation; by=None is a plan no-op
+    with pytest.raises(ValueError):
+        df._repartition(axis=2)
+    pd.testing.assert_frame_equal(
+        df._repartition().head(3).to_pandas(), df.head(3).to_pandas()
+    )
