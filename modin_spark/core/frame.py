@@ -377,6 +377,14 @@ class SparkFrame:
         # mid-attach; survives column-level ops (_same_rows); cleared by any
         # row subset/reorder construction (r15 opt).
         self.order_mid_complete: bool = False
+        # offsets provenance for the order_mid_complete fast path: the sdf AT
+        # MID-ATTACH time (narrowest lineage that can produce the per-pid row
+        # counts) plus a memo dict SHARED BY REFERENCE through _same_rows, so
+        # every positional consumer of one attach event reuses the identical
+        # offsets DataFrame (one broadcast, reused exchange) instead of
+        # replaying its own full lineage as a pruned aggregate (r16 opt).
+        self._mid_offsets_src = None
+        self._mid_offsets_memo: dict | None = None
         assert len(self.columns) == len(self.data_cols)
         if _config is not None and _config._benchmark_on and sdf is not None:
             # BenchmarkMode (config parity, reference envvars.py:950): force
@@ -427,6 +435,8 @@ class SparkFrame:
         nf.order_epoch = ("mid", self._lid)
         nf.nonnull_cols = self.nonnull_cols
         nf.order_mid_complete = True  # fresh mid over the complete row set
+        nf._mid_offsets_src = sdf
+        nf._mid_offsets_memo = {}
         self._ordered_cache = nf
         return nf
 
@@ -448,6 +458,10 @@ class SparkFrame:
         nf.order_is_position = self.order_is_position
         nf.labels_col = self.labels_col
         nf.order_mid_complete = self.order_mid_complete  # same rows: ids stay complete
+        # same rows => same per-pid counts: the attach-time offsets source
+        # (and its shared memo) stays valid
+        nf._mid_offsets_src = self._mid_offsets_src
+        nf._mid_offsets_memo = self._mid_offsets_memo
         return nf
 
     def _subset_rows(self, sdf, columns=None, data_cols=None, index_cols=None,
@@ -743,6 +757,8 @@ class SparkFrame:
         nf.order_epoch = ("sort", nf._lid)  # ORDER re-derived: new epoch
         nf.order_is_position = False  # fresh mono ids, not original positions
         nf.order_mid_complete = True  # fresh mid over the complete row set
+        nf._mid_offsets_src = sorted_sdf
+        nf._mid_offsets_memo = {}
         nf.labels_col = lblc if lblc is not None else base.labels_col
         # sort().head(n) fusion: head() on THIS frame (and only this frame —
         # _presort never propagates to derived frames) can re-plan as
@@ -858,10 +874,25 @@ class SparkFrame:
                 f"shiftright({oq}, 33) as __pid__",
                 f"cast({oq} & 8589934591 as bigint) as __local_rank__",
             )
-            offsets = sdf.groupBy("__pid__").count().selectExpr(
-                "__pid__ as __pid2__",
-                "coalesce(sum(count) OVER (ORDER BY __pid__"
-                " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) as __offset__")
+            # Per-pid counts depend only on the mid-ATTACH row set (invariant
+            # under _same_rows), so compute them from the attach-time source —
+            # typically scan(+sort)+mid, which Catalyst prunes to a near-empty
+            # read — instead of replaying this frame's full current lineage
+            # (shift joins, halo unions, ...) once per positional consumer.
+            # The memo dict is shared by reference across _same_rows
+            # descendants: every consumer of one attach event gets the SAME
+            # offsets DataFrame, so Spark plans one broadcast and reuses it.
+            memo = self._mid_offsets_memo
+            offsets = memo.get("offsets") if memo is not None else None
+            if offsets is None:
+                src = self._mid_offsets_src if self._mid_offsets_src is not None else self.sdf
+                offsets = src.selectExpr(f"shiftright({oq}, 33) as __pid__").groupBy(
+                    "__pid__").count().selectExpr(
+                    "__pid__ as __pid2__",
+                    "coalesce(sum(count) OVER (ORDER BY __pid__"
+                    " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) as __offset__")
+                if memo is not None:
+                    memo["offsets"] = offsets
             sdf = sdf.join(F.broadcast(offsets), F.expr("__pid__ = __pid2__"), "inner")
             sdf = sdf.selectExpr(
                 "*", "cast(__local_rank__ + __offset__ as bigint) as `%s`"

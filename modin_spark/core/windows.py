@@ -98,27 +98,40 @@ def _halo_union(fr_sdf, back: int, fwd: int = 0):
     by centered windows). Every genuine row then sees its full window inside
     one bounded partition. Halo extents must fit one block — callers guard
     window <= BLOCK (use blocked_pandas, whose explode-sequence halo spans
-    multiple blocks, for wider context)."""
+    multiple blocks, for wider context).
+
+    Emitted as ONE pass over the input — each row explodes into its base
+    (blk, 0) assignment plus 0-2 conditional halo assignments — instead of a
+    union of filtered branches, which replayed the entire upstream lineage
+    once per branch (3 full scans per rolling op at scale; guide §2.4).
+    """
     if back >= BLOCK or fwd >= BLOCK:
         raise NotImplementedError(
             f"rolling window wider than one {BLOCK}-row block (back={back}, fwd={fwd})"
         )
-    sdf = fr_sdf.withColumn("__halo__", F.lit(0))
+    if back <= 0 and fwd <= 0:
+        return fr_sdf.withColumn("__halo__", F.lit(0))
+    copies = [F.struct(F.col(_BLK).alias("b"), F.lit(0).alias("h"))]
     if back > 0:
-        h = (
-            fr_sdf.where((F.col(_POS) % BLOCK) >= (BLOCK - back))
-            .withColumn(_BLK, F.col(_BLK) + 1)
-            .withColumn("__halo__", F.lit(1))
+        copies.append(
+            F.when(
+                (F.col(_POS) % BLOCK) >= (BLOCK - back),
+                F.struct((F.col(_BLK) + 1).alias("b"), F.lit(1).alias("h")),
+            )
         )
-        sdf = sdf.unionByName(h)
     if fwd > 0:
-        h = (
-            fr_sdf.where(((F.col(_POS) % BLOCK) < fwd) & (F.col(_BLK) > 0))
-            .withColumn(_BLK, F.col(_BLK) - 1)
-            .withColumn("__halo__", F.lit(1))
+        copies.append(
+            F.when(
+                ((F.col(_POS) % BLOCK) < fwd) & (F.col(_BLK) > 0),
+                F.struct((F.col(_BLK) - 1).alias("b"), F.lit(1).alias("h")),
+            )
         )
-        sdf = sdf.unionByName(h)
-    return sdf
+    sdf = fr_sdf.withColumn("__asg__", F.explode(F.array_compact(F.array(*copies))))
+    return (
+        sdf.withColumn(_BLK, F.col("__asg__.b"))
+        .withColumn("__halo__", F.col("__asg__.h"))
+        .drop("__asg__")
+    )
 
 
 def _center_extents(window: int, center: bool) -> tuple[int, int]:
@@ -202,10 +215,35 @@ def cum_op(frame: SparkFrame, positions: Sequence[int], op: str, skipna: bool = 
 def shift(frame: SparkFrame, positions: Sequence[int], periods: int = 1, fill_value=None) -> SparkFrame:
     """Shift values by ``periods`` along frame order.
 
-    Plan: global-position self-equijoin on pos == pos + k — two range
-    shuffles, no global window; correct for any |k|.
+    Plan (|periods| < BLOCK, the practical case): block-partitioned
+    ``lag``/``lead`` with a |periods|-row halo — ONE pass over the input and
+    one block exchange. The previous position self-equijoin replayed the
+    upstream lineage twice and paid a join (guide §2.4); it remains the
+    fallback for |periods| >= BLOCK and for fill_value with negative periods
+    (where "vacated" needs the global row count).
     """
     frame = frame.ensure_order()
+    if 0 < abs(periods) < BLOCK and not (fill_value is not None and periods < 0):
+        fr = _with_blocks(frame)
+        back, fwd = (periods, 0) if periods > 0 else (0, -periods)
+        sdf = _halo_union(fr.sdf, back, fwd)
+        w = Window.partitionBy(_BLK).orderBy(_POS)
+        phys = [frame.data_cols[i] for i in positions]
+        out_cols = fresh_names(len(phys))
+        sel = []
+        for p, oc in zip(phys, out_cols):
+            # positions are contiguous, and the halo supplies exactly the
+            # |periods| neighbour rows each block edge needs — lag/lead by
+            # ROW count equals shift by position
+            e = (F.lag(F.col(p), periods) if periods > 0
+                 else F.lead(F.col(p), -periods)).over(w)
+            if fill_value is not None:  # periods > 0 here (guard above)
+                e = F.when(F.col(_POS) < periods, F.lit(fill_value)).otherwise(e)
+            sel.append(e.alias(oc))
+        sdf = sdf.select("*", *sel).where(F.col("__halo__") == 0).drop("__halo__")
+        labels = [frame.columns[i] for i in positions]
+        out = fr._same_rows(sdf).project(labels, [F.col(oc) for oc in out_cols])
+        return _drop_aux(out)
     fr = frame.with_global_position(_POS)
     phys = [frame.data_cols[i] for i in positions]
     right = fr.sdf.select(

@@ -1,4 +1,4 @@
-"""Dump .explain("formatted") for headline queries to plans/r15/<q>_<tag>.txt
+"""Dump .explain("formatted") for headline queries to plans/r16/<q>_<tag>.txt
 without timing anything (plan generation is host-noise-insensitive).
 
 Usage: python tools/dump_plans.py [--tag after] [query ...]
@@ -30,7 +30,7 @@ def main() -> None:
     spark = get_spark()
     qs = entry.queries()
     names = args.queries or bench.HEADLINE
-    plans_dir = os.path.join(REPO, "plans", "r15")
+    plans_dir = os.path.join(REPO, "plans", "r16")
     os.makedirs(plans_dir, exist_ok=True)
     for name in names:
         df = qs[name](spark, args.sf)

@@ -4,7 +4,7 @@ For each named query (default: the full bench HEADLINE list):
   - build the DataFrame, timing driver-side plan construction (build)
   - time count() (the bench's action) min-of-N
   - time the noop sink (computes every column, guide §1.4) min-of-N
-  - optionally dump .explain("formatted") to plans/r15/<q>_<tag>.txt
+  - optionally dump .explain("formatted") to plans/r16/<q>_<tag>.txt
 
 Usage:
   python tools/opt_measure.py [--sf DIR] [--runs N] [--tag before|after|none]
@@ -31,7 +31,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--runs", type=int, default=3)
-    ap.add_argument("--tag", default="none", help="plans/r15/<q>_<tag>.txt; 'none' skips the dump")
+    ap.add_argument("--tag", default="none", help="plans/r16/<q>_<tag>.txt; 'none' skips the dump")
     ap.add_argument("--noop", action="store_true", help="also time the noop sink")
     ap.add_argument("queries", nargs="*")
     args = ap.parse_args()
@@ -54,7 +54,7 @@ def main() -> None:
     spark.range(100_000, numPartitions=ncpu).select(_warm("id")).count()
     spark.range(100_000, numPartitions=ncpu).mapInPandas(lambda it: it, "id long").count()
 
-    plans_dir = os.path.join(REPO, "plans", "r15")
+    plans_dir = os.path.join(REPO, "plans", "r16")
     os.makedirs(plans_dir, exist_ok=True)
     out_path = f"/tmp/opt_measure_{args.tag}.jsonl"
     totals = {"build": 0.0, "count": 0.0, "noop": 0.0}
