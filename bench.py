@@ -220,22 +220,44 @@ def main() -> None:
     except Exception:
         pass
 
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total_time",
+            "value": round(total, 3),
+            "unit": "sec",
+            "queries": timings,
+            "build_ms": build_ms,
+            **{f"{tag}_comparable_total": v for tag, v in comparables.items()},
+            "sentinels_start": sentinels_start,
+            "sentinels_end": sentinels_end,
+            "host_noise_factor": host_noise_factor,
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        }
+    )
+    print(line)
+    # The r13/r14 driver logs truncated from the FRONT, cutting the start of
+    # the (long) line above and losing the round's totals. Repo-side
+    # mitigation, additions only — the contract stays "ONE JSON line", so the
+    # short trailing summary is '#'-prefixed (comment, not a parseable metric
+    # line) and survives any bounded tail; a sidecar file keeps the full
+    # payload.
     print(
-        json.dumps(
+        "# BENCH_SUMMARY "
+        + json.dumps(
             {
-                "metric": "headline_queries_total_time",
                 "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "build_ms": build_ms,
-                **{f"{tag}_comparable_total": v for tag, v in comparables.items()},
-                "sentinels_start": sentinels_start,
-                "sentinels_end": sentinels_end,
                 "host_noise_factor": host_noise_factor,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "n_queries": sum(1 for v in timings.values() if v > 0),
+                "n_failed": sum(1 for v in timings.values() if v < 0),
             }
         )
     )
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_LAST_RUN.json"), "w") as f:
+            f.write(line + "\n")
+    except Exception:
+        pass
 
 
 if __name__ == "__main__":

@@ -898,6 +898,21 @@ class SparkFrame:
                 "*", "cast(__local_rank__ + __offset__ as bigint) as `%s`"
                      % str(pos_col).replace("`", "``"))
             sdf = sdf.drop("__pid__", "__pid2__", "__local_rank__", "__offset__")
+            if os.environ.get("MODIN_SPARK_DEBUG_ORDER"):
+                # opt-in invariant audit: order_mid_complete promises the mid
+                # assignment is complete (no row dropped/duplicated since
+                # attach), making positions a pure function of the ORDER
+                # value. A row-dropping path that wrongly reused _same_rows
+                # would silently corrupt every positional consumer — under
+                # MODIN_SPARK_DEBUG_ORDER it fails fast here instead (one
+                # extra action per positional derivation; debug only).
+                pq = "`%s`" % str(pos_col).replace("`", "``")
+                n, mx, nd = sdf.selectExpr(
+                    "count(1)", f"max({pq})", f"count(distinct {pq})").first()
+                assert n == nd and (n == 0 or mx == n - 1), (
+                    f"order_mid_complete violated: {n} rows, {nd} distinct "
+                    f"positions, max {mx} — a row subset/duplication went "
+                    f"through _same_rows without clearing the flag")
             return self._same_rows(sdf)
         bkt = self._order_bucket_sql()
         if bkt is not None:

@@ -1,0 +1,118 @@
+"""Round-16 optimization tests: shift block+lag plan, halo explode, the
+narrow position-offsets source, and the order_mid_complete debug guard."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tests.conftest import assert_series_equal
+
+
+def _mk(pdf):
+    import modin_spark.pandas as mpd
+
+    return mpd.from_pandas(pdf)
+
+
+@pytest.fixture()
+def events_pdf():
+    rng = np.random.default_rng(7)
+    n = 400
+    return pd.DataFrame(
+        {
+            "a": rng.permutation(n),
+            "b": np.where(rng.random(n) < 0.2, np.nan, rng.random(n) * 10),
+            "k": rng.choice(list("xy"), n),
+        }
+    )
+
+
+@pytest.mark.parametrize("periods", [1, 3, -1, -4, 0])
+def test_shift_block_lag_matches_pandas(events_pdf, periods, monkeypatch):
+    # debug flag on: every positional derivation also audits the
+    # order_mid_complete invariant (round-16 guard)
+    monkeypatch.setenv("MODIN_SPARK_DEBUG_ORDER", "1")
+    m = _mk(events_pdf).sort_values("a")
+    p = events_pdf.sort_values("a")
+    assert_series_equal(m["b"].shift(periods), p["b"].shift(periods))
+
+
+def test_shift_fill_value_only_fills_vacated(events_pdf):
+    m = _mk(events_pdf).sort_values("a")
+    p = events_pdf.sort_values("a")
+    # fill_value must fill exactly the |periods| vacated head rows; NaNs
+    # that were SHIFTED into range stay NaN (pandas semantics)
+    assert_series_equal(m["b"].shift(2, fill_value=-5.0), p["b"].shift(2, fill_value=-5.0))
+
+
+def test_shift_negative_fill_value_fallback(events_pdf):
+    # fill_value with negative periods takes the join fallback (needs the
+    # global row count to identify vacated positions)
+    m = _mk(events_pdf).sort_values("a")
+    p = events_pdf.sort_values("a")
+    assert_series_equal(m["b"].shift(-2, fill_value=-5.0), p["b"].shift(-2, fill_value=-5.0))
+
+
+def test_shift_spans_block_boundary(monkeypatch):
+    # rows on both sides of a 65536-row block edge: the lag halo must carry
+    # the last |periods| rows of block 0 into block 1
+    import modin_spark.core.windows as W
+
+    n = W.BLOCK + 50
+    pdf = pd.DataFrame({"v": np.arange(n, dtype="float64")})
+    m = _mk(pdf)
+    got = m["v"].shift(3).to_pandas()
+    exp = pdf["v"].shift(3)
+    np.testing.assert_allclose(got.values, exp.values, equal_nan=True)
+
+
+@pytest.mark.parametrize("sub", ["filter", "head", "slice", "dropna", "dedup"])
+def test_positions_after_row_subsets_under_debug_guard(events_pdf, sub, monkeypatch):
+    # row-dropping constructions must clear order_mid_complete; with the
+    # debug guard active a violation would raise inside the fast path, and
+    # the values must match pandas either way
+    monkeypatch.setenv("MODIN_SPARK_DEBUG_ORDER", "1")
+    m = _mk(events_pdf).sort_values("a")
+    p = events_pdf.sort_values("a")
+    if sub == "filter":
+        m2, p2 = m[m["a"] > 100], p[p["a"] > 100]
+    elif sub == "head":
+        m2, p2 = m.head(37), p.head(37)
+    elif sub == "slice":
+        m2, p2 = m.iloc[5:200], p.iloc[5:200]
+    elif sub == "dropna":
+        m2, p2 = m.dropna(), p.dropna()
+    else:
+        m2, p2 = m.drop_duplicates(subset=["k"]), p.drop_duplicates(subset=["k"])
+    assert_series_equal(m2["b"].shift(1), p2["b"].shift(1))
+    assert_series_equal(m2["b"].cumsum(), p2["b"].cumsum())
+
+
+def test_debug_guard_detects_flag_violation(events_pdf, monkeypatch):
+    # manufacture the bug the guard exists for: a row subset smuggled
+    # through _same_rows (which preserves order_mid_complete) must trip the
+    # audit in with_global_position
+    from pyspark.sql import functions as F
+
+    monkeypatch.setenv("MODIN_SPARK_DEBUG_ORDER", "1")
+    fr = _mk(events_pdf).sort_values("a")._frame
+    assert fr.order_mid_complete
+    broken = fr._same_rows(fr.sdf.where(F.col(fr.data_cols[0]) > 100))
+    assert broken.order_mid_complete  # the smuggle "worked"
+    with pytest.raises(AssertionError, match="order_mid_complete violated"):
+        broken.with_global_position("__pos__").sdf.count()
+
+
+def test_rolling_after_shift_single_scan_plan(events_pdf):
+    # the r16 point: shift feeding rolling must not multiply parquet scans
+    # (halo explode + narrow offsets source). 'before' was 32 scans on the
+    # bench's rolling_pair_corr shape; assert the structural ceiling.
+    m = _mk(events_pdf).sort_values("a")
+    x = m["b"]
+    r = x.rolling(7).corr(x.shift(1))
+    plan = r._frame.sdf._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ExistingRDD") + plan.count("Scan parquet") <= 8
+    got = r.to_pandas()
+    p = events_pdf.sort_values("a")
+    exp = p["b"].rolling(7).corr(p["b"].shift(1))
+    np.testing.assert_allclose(got.values, exp.values, equal_nan=True, rtol=1e-9, atol=1e-9)
