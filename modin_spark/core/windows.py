@@ -1942,9 +1942,16 @@ def rank(
             " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) as __off__")
         s = s.join(F.broadcast(offsets), F.expr("__pid__ = __pid2__"), "inner")
         s = s.selectExpr("*", f"cast(__lr__ + __off__ as bigint) as {_POS}")
-        # per-cid base position and non-null count (pct denominator) — k-row agg
-        cid_agg = s.groupBy("__cid__").agg(
-            F.expr(f"min({_POS}) as __cbase__"), F.expr("count(1) as __cn__"))
+        # per-cid base position and count (pct denominator) — positions are
+        # assigned cid-major, so the base is just the PREFIX SUM of per-cid
+        # counts: both come from one k-row aggregate over the UNSHUFFLED melt
+        # (map-side combined), instead of min(pos) over the ranked stream,
+        # which replayed the pid exchange + row_number window per dtype
+        # group (r16 opt)
+        cid_agg = melted.groupBy("__cid__").agg(F.expr("count(1) as __cn__")).selectExpr(
+            "__cid__", "__cn__",
+            "coalesce(sum(__cn__) OVER (ORDER BY __cid__"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) as __cbase__")
         s = s.join(F.broadcast(cid_agg), "__cid__")
         den_sql = "__cn__"
         if method == "first":
@@ -1984,8 +1991,17 @@ def rank(
             # pandas dense+pct divides by the DISTINCT-value count per column
             den_sql = "__cnd__"
         elif method in ("average", "min", "max"):
-            lo = f"min({_POS}) OVER (PARTITION BY __cid__, __v__) - __cbase__ + 1"
-            hi = f"max({_POS}) OVER (PARTITION BY __cid__, __v__) - __cbase__ + 1"
+            # deterministic value-bucket path: __pid__ is a pure function of
+            # (cid, value), so a (cid, v) tie group never spans pids —
+            # including __pid__ in the partition keys lets the window reuse
+            # the existing hashpartitioning(__pid__) (subset rule) instead of
+            # inserting a second full exchange on (cid, v). The string/range
+            # path keeps the plain keys: its pid is a range-partition id and
+            # ties CAN span partitions there.
+            tie_keys = ("__pid__, __cid__, __v__" if vb is not None
+                        else "__cid__, __v__")
+            lo = f"min({_POS}) OVER (PARTITION BY {tie_keys}) - __cbase__ + 1"
+            hi = f"max({_POS}) OVER (PARTITION BY {tie_keys}) - __cbase__ + 1"
             r_sql = {"average": f"(({lo}) + ({hi})) / 2",
                      "min": lo, "max": hi}[method]
         else:

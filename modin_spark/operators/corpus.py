@@ -127,7 +127,19 @@ def pack_sequences(df: SDF, id_col: str, token_col: str, capacity: int) -> SDF:
             "__pid__", F.spark_partition_id())
     w = Window.partitionBy("__pid__").orderBy(id_col)
     t = t.withColumn("__run__", F.sum(F.col(token_col).cast("long")).over(w))
-    parts = t.groupBy("__pid__").agg(F.max("__run__").alias("__psum__"))
+    if bkt is not None:
+        # per-bucket totals don't need the running sum: aggregate the RAW
+        # tokens keyed by the same deterministic bucket expression, BEFORE
+        # the shuffle — map-side partial agg on the scan instead of
+        # replaying the repartition exchange + sort + window in this branch
+        # (guide §2.3/§2.4; max(run) per pid == sum(tokens) per pid)
+        parts = df.select(
+            F.coalesce(bkt, F.lit(ORDER_BUCKET_LO)).alias("__pid__"),
+            F.col(token_col).cast("long").alias("__tk__"),
+        ).groupBy("__pid__").agg(F.sum("__tk__").alias("__psum__"))
+    else:
+        # range-shuffle pids only exist post-shuffle
+        parts = t.groupBy("__pid__").agg(F.max("__run__").alias("__psum__"))
     woff = Window.orderBy("__pid__").rowsBetween(Window.unboundedPreceding, -1)
     offs = parts.select(
         F.col("__pid__").alias("__pid2__"),

@@ -63,8 +63,8 @@ def _pick_direction(u, direction: str, allow_exact: bool, by_cols: list[str], ou
 
     _np = int(u.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     blk = order_bucket_sql(u, "__k__")  # __k__ is always numeric here
-    u2 = u.selectExpr("*", f"coalesce({blk}, {ORDER_BUCKET_LO}) as {_BLK}")
-    u2 = u2.repartition(_np, _BLK)
+    u_blk = u.selectExpr("*", f"coalesce({blk}, {ORDER_BUCKET_LO}) as {_BLK}")
+    u2 = u_blk.repartition(_np, _BLK)
     r_ord = "CASE WHEN __il__ = 0 THEN struct(__k__, __ro__) END"
     r_val = "CASE WHEN __il__ = 0 THEN __rs__ END"
     if direction == "backward":
@@ -80,9 +80,12 @@ def _pick_direction(u, direction: str, allow_exact: bool, by_cols: list[str], ou
         carry = (f"first(__cand__, true) OVER (ORDER BY {_BLK}"
                  " ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)")
     u2 = u2.selectExpr("*", f"{within} as __win__")
-    # per-block candidates -> cross-block carry (tiny: #blocks rows)
+    # per-block candidates -> cross-block carry (tiny: #blocks rows). The
+    # candidate aggregate is order-independent, so it runs on the
+    # PRE-repartition union — map-side partial agg on the scans instead of
+    # replaying the block exchange in this branch (guide §2.3/§2.4)
     carries = (
-        u2.groupBy(_BLK).agg(F.expr(f"{cand} as __cand__"))
+        u_blk.groupBy(_BLK).agg(F.expr(f"{cand} as __cand__"))
         .selectExpr(f"{_BLK} as __blk2__", f"{carry} as __carry__")
     )
     u2 = u2.join(F.broadcast(carries), F.expr(f"{_BLK} = __blk2__"), "left")

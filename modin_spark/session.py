@@ -41,8 +41,11 @@ _DEFAULTS = {
     # split even tiny files into >= #cores scan partitions: a small dimension
     # table read as ONE split would otherwise serialize every downstream
     # pandas_udf/regex stage onto a single core (at real scale files exceed
-    # maxPartitionBytes and this floor is a no-op)
-    "spark.sql.files.minPartitionNum": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+    # maxPartitionBytes and this floor is a no-op). MODIN_SPARK_MIN_SCAN_
+    # PARTITIONS overrides (the test harness lowers it: thousands of tiny
+    # scans at 32 splits each are pure scheduling overhead there).
+    "spark.sql.files.minPartitionNum": os.environ.get(
+        "MODIN_SPARK_MIN_SCAN_PARTITIONS", os.environ.get("SPARK_GRAFT_CPUS", "32")),
     "spark.ui.enabled": "false",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
     # PySpark 4 captures the Python call site on EVERY Column/DataFrame API

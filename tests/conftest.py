@@ -13,6 +13,18 @@ warnings.filterwarnings("ignore")
 # per-test to cover the native dispatch itself.
 os.environ.setdefault("MODIN_SPARK_NATIVE_MAX_ROWS", "0")
 
+# 8 shuffle partitions for the TEST session only (still multi-partition, so
+# every distributed path is exercised): the suite runs thousands of tiny
+# actions whose stages at the default 32 partitions are pure task-scheduling
+# overhead — measured 2.0x wall-clock on test_groupby (113.9s -> 56.2s),
+# which is what let the driver's verify window outrun the suite in r15.
+# Respects an explicit override from the environment.
+os.environ.setdefault("MODIN_SPARK_SHUFFLE_PARTITIONS", "8")
+# same reasoning for the scan-split floor (tiny test parquet/from_pandas
+# reads at 32 splits each): 8 gives another 1.77x on
+# test_groupby+test_window (260s -> 147s); 4 measured no better (143s).
+os.environ.setdefault("MODIN_SPARK_MIN_SCAN_PARTITIONS", "8")
+
 
 @pytest.fixture(scope="session")
 def spark():
