@@ -83,7 +83,12 @@ def hyperplane_bucket(vec: Column, planes: int = 16) -> Column:
             out[idx] = packed
         return pd.Series(out)
 
-    return _bucket(vec)
+    # The bucket column becomes an equi-join key; the join's pushed
+    # isnotnull filter made the optimizer DUPLICATE the Python eval (one
+    # ArrowEvalPython below the filter, one above for the projection), so
+    # every corpus vector paid the matmul twice (guide §4.4). The function
+    # is pure; the flag only forbids the optimizer from cloning it.
+    return _bucket.asNondeterministic()(vec)
 
 
 def lsh_topk(corpus: SDF, queries: SDF, k: int = 10, planes: int = 12, id_col: str = "vec_id",
@@ -214,7 +219,10 @@ def ivf_topk(corpus: SDF, queries: SDF, k: int = 10, n_centroids: int = 16, npro
             top = np.argsort(-sims, axis=1)[:, :n]
             return pd.Series([row.astype("int32").tolist() for row in top])
 
-        return _cells
+        # same §4.4 duplication as hyperplane_bucket: __cell__ is a join
+        # key, and the pushed isnotnull filter cloned this eval over the
+        # whole corpus
+        return _cells.asNondeterministic()
 
     c = corpus.select(id_col, vec_col, F.element_at(nearest_udf(1)(F.col(vec_col)), 1).alias("__cell__"))
     q = queries.select(q_id_col, q_vec_col, F.explode(nearest_udf(nprobe)(F.col(q_vec_col))).alias("__qcell__"))
