@@ -47,9 +47,18 @@ def _rp(spark, path, spread: bool = False):
         import os as _os
 
         from modin_spark.pandas.io import _parquet_scan
+        from modin_spark.session import spread_target
         df = _parquet_scan(path)
-        target = int(_os.environ.get("SPARK_GRAFT_CPUS", "0") or 0) or \
-            df.sparkSession.sparkContext.defaultParallelism
+        # size-adaptive target (guide §2.2): ~96 KiB of input per task
+        # rather than one task per core — a tiny local corpus at 32 spreads
+        # is pure scheduling overhead (measured: the docs family ran FASTER
+        # at 8 cores than 32 on the quiet r16 host), while at real scale the
+        # byte rule saturates the cap anyway.
+        try:
+            nbytes = _os.path.getsize(path)
+        except OSError:
+            nbytes = None
+        target = spread_target(df.sparkSession, nbytes)
         if df.rdd.getNumPartitions() < target:
             df = df.repartition(target)
         _RP_SPREAD_CACHE[path] = df

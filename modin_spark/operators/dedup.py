@@ -340,7 +340,21 @@ def _spread_for_udf(df: SDF) -> SDF:
     can't split those) otherwise funnels the whole Python-side computation
     through one core; at real scale inputs already have >= cores partitions
     and this is a no-op."""
-    target = df.sparkSession.sparkContext.defaultParallelism
+    from modin_spark.session import spread_target
+
+    # size-adaptive target (guide §2.2): ~96 KiB of input per task via the
+    # optimizer's size estimate, capped at the session parallelism — a tiny
+    # corpus round-robined to 32 tasks leaves ~15 ms of work each and
+    # scheduling dominates (the r16 quiet bench had the spread family
+    # FASTER at 8 cores than 32); at real scale the byte rule saturates
+    # every core long before the cap.
+    try:
+        est_bytes = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        est_bytes = None
+    target = spread_target(df.sparkSession, est_bytes)
     # read the scan's split count from the physical plan instead of df.rdd
     # (the RDD conversion forces a full plan translation per call); if the
     # plan has no file scan (in-memory relation etc.) fall back to the RDD

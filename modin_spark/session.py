@@ -79,6 +79,30 @@ def get_spark() -> SparkSession:
     return spark
 
 
+def spread_target(spark: SparkSession, input_bytes: int | None = None) -> int:
+    """Partition count for round-robining a SMALL input ahead of
+    expression/UDF-heavy stages (guide §2.5 input skew — the unsplittable-
+    file case — and §2.2 scale-adaptive partitioning).
+
+    Derived from input size (~``MODIN_SPARK_SPREAD_BYTES_PER_TASK`` of input
+    per task, default 96 KiB) and capped at the session's parallelism,
+    instead of the raw core count: on a tiny corpus a 32-way spread leaves
+    ~15 ms of real work per task, so scheduling dominates — the r16
+    quiet-window bench measured the spread pipelines FASTER at 8 cores than
+    32 (docs_topk_ngrams 0.24 s vs 0.66 s). With the byte rule the same
+    query costs the same at any core count on small inputs, and at real
+    scale (GB+ per table) the rule saturates every core long before the
+    cap. ``MODIN_SPARK_SPREAD_TARGET`` forces the value (probe hook)."""
+    env = os.environ.get("MODIN_SPARK_SPREAD_TARGET")
+    if env:
+        return max(1, int(env))
+    par = spark.sparkContext.defaultParallelism
+    if input_bytes is None or input_bytes <= 0:
+        return par
+    per_task = int(os.environ.get("MODIN_SPARK_SPREAD_BYTES_PER_TASK", str(96 * 1024)))
+    return max(1, min(par, (int(input_bytes) + per_task - 1) // per_task))
+
+
 def stop_spark() -> None:
     active = SparkSession.getActiveSession()
     if active is not None:

@@ -116,3 +116,42 @@ def test_rolling_after_shift_single_scan_plan(events_pdf):
     p = events_pdf.sort_values("a")
     exp = p["b"].rolling(7).corr(p["b"].shift(1))
     np.testing.assert_allclose(got.values, exp.values, equal_nan=True, rtol=1e-9, atol=1e-9)
+
+
+def test_spread_target_size_adaptive(monkeypatch):
+    # guide §2.2: the spread fan-out must derive from input size, not the
+    # core count — a tiny corpus round-robined to 32 tasks anti-scales
+    # (quiet-window bench: docs family faster at 8 cores than 32), while a
+    # big input must still saturate the session's parallelism.
+    from modin_spark.session import get_spark, spread_target
+
+    spark = get_spark()
+    par = spark.sparkContext.defaultParallelism
+    monkeypatch.delenv("MODIN_SPARK_SPREAD_TARGET", raising=False)
+    monkeypatch.delenv("MODIN_SPARK_SPREAD_BYTES_PER_TASK", raising=False)
+    # ~600 KB (the sf0.1 corpus): a handful of tasks, NOT one per core
+    small = spread_target(spark, 600 * 1024)
+    assert 1 <= small <= 8
+    # no size signal -> previous behavior (full parallelism)
+    assert spread_target(spark, None) == par
+    # big input saturates the cap at any realistic parallelism
+    assert spread_target(spark, 50 << 30) == par
+    # explicit override wins (probe hook)
+    monkeypatch.setenv("MODIN_SPARK_SPREAD_TARGET", "3")
+    assert spread_target(spark, 50 << 30) == 3
+
+
+def test_spread_for_udf_uses_size_estimate(monkeypatch):
+    # the dedup/similarity UDF spread must follow the same size rule: a
+    # tiny frame gets a small fan-out, and the repartition count shows up
+    # in the physical plan
+    from modin_spark.operators.dedup import _spread_for_udf
+    from modin_spark.session import get_spark
+
+    monkeypatch.delenv("MODIN_SPARK_SPREAD_TARGET", raising=False)
+    spark = get_spark()
+    pdf = pd.DataFrame({"doc_id": range(2000), "text": ["alpha beta gamma"] * 2000})
+    df = spark.createDataFrame(pdf)
+    out = _spread_for_udf(df)
+    n = out.rdd.getNumPartitions()
+    assert n <= max(2, spark.sparkContext.defaultParallelism // 2)
