@@ -59,7 +59,9 @@ def _rp(spark, path, spread: bool = False):
         except OSError:
             nbytes = None
         target = spread_target(df.sparkSession, nbytes)
-        if df.rdd.getNumPartitions() < target:
+        # target 1 = "don't spread" (repartition(1) would be a
+        # SinglePartition exchange over raw rows — the scale-safety smell)
+        if target > 1 and df.rdd.getNumPartitions() < target:
             df = df.repartition(target)
         _RP_SPREAD_CACHE[path] = df
     return df

@@ -377,6 +377,15 @@ class SparkFrame:
         # mid-attach; survives column-level ops (_same_rows); cleared by any
         # row subset/reorder construction (r15 opt).
         self.order_mid_complete: bool = False
+        # ORDER values are EXACTLY the contiguous global positions 0..n-1
+        # (dense, no gaps): positions derive as a pure projection of ORDER —
+        # no bucket/row_number exchange, no offsets table at all. Set where
+        # density holds by construction (a transpose output's __cid__ stream,
+        # from_pandas default-index ingest); propagated only by _same_rows
+        # (same rows keep the same dense values), cleared by any row
+        # subset/reorder (order_is_position deliberately SURVIVES subsets —
+        # labels keep gaps — so it cannot prove density; this flag can).
+        self.order_dense: bool = False
         # offsets provenance for the order_mid_complete fast path: the sdf AT
         # MID-ATTACH time (narrowest lineage that can produce the per-pid row
         # counts) plus a memo dict SHARED BY REFERENCE through _same_rows, so
@@ -458,6 +467,7 @@ class SparkFrame:
         nf.order_is_position = self.order_is_position
         nf.labels_col = self.labels_col
         nf.order_mid_complete = self.order_mid_complete  # same rows: ids stay complete
+        nf.order_dense = self.order_dense  # same rows: values stay 0..n-1
         # same rows => same per-pid counts: the attach-time offsets source
         # (and its shared memo) stays valid
         nf._mid_offsets_src = self._mid_offsets_src
@@ -590,6 +600,8 @@ class SparkFrame:
         else:
             nf = cls(_ingest(), data_labels, data_phys, idx_phys, index_names if idx_phys else [None])
         nf.order_epoch = ("pd", nf._lid)  # contiguous 0..n-1, unique to this ingest
+        # ingest ORDER is literally range(n): positions are a projection
+        nf.order_dense = True
         # default-RangeIndex ingest: ORDER values literally ARE the pandas
         # row labels, so filtered frames can recover them for free
         nf.order_is_position = default_range
@@ -860,6 +872,22 @@ class SparkFrame:
         if not self.has_order:
             return self.ensure_order().with_global_position(pos_col)
         oq = "`%s`" % ORDER_COL.replace("`", "``")
+        if self.order_dense:
+            # ORDER values ARE the contiguous positions 0..n-1 (transpose
+            # output / fresh default-index ingest): a pure projection — no
+            # exchange, no offsets table, no extra job at any scale.
+            pq = str(pos_col).replace("`", "``")
+            sdf = self.sdf.selectExpr("*", f"cast({oq} as bigint) as `{pq}`")
+            if os.environ.get("MODIN_SPARK_DEBUG_ORDER"):
+                # same audit as the mid fast path: a row subset smuggled
+                # through _same_rows would corrupt every positional consumer
+                n, mx, nd = sdf.selectExpr(
+                    "count(1)", f"max(`{pq}`)", f"count(distinct `{pq}`)").first()
+                assert n == nd and (n == 0 or mx == n - 1), (
+                    f"order_dense violated: {n} rows, {nd} distinct "
+                    f"positions, max {mx} — a row subset/reorder went "
+                    f"through _same_rows without clearing the flag")
+            return self._same_rows(sdf)
         if self.order_mid_complete:
             # mid values already ENCODE (pid, local index) in (order>>33,
             # order & 2^33-1), and no row of the assignment is missing — the

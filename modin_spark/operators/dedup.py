@@ -367,7 +367,10 @@ def _spread_for_udf(df: SDF) -> SDF:
         ).executedPlan().outputPartitioning().numPartitions()
     except Exception:
         nparts = df.rdd.getNumPartitions()
-    if nparts < target:
+    # target 1 means "don't spread" (input too small to benefit) — emitting
+    # repartition(1) would be a SinglePartition exchange over raw rows, the
+    # exact plan shape the scale-safety sweep forbids
+    if target > 1 and nparts < target:
         return df.repartition(target)
     return df
 

@@ -3815,14 +3815,30 @@ class DataFrame:
         # column op between the transposes drops it and the collect path
         # below runs as before.
         known = getattr(self._frame, "_transpose_known_index", None)
+        numeric_only = len(self._numeric_positions()) == len(self._frame.columns)
 
         base = self._frame.ensure_order()
-        base = base._same_rows(
-            base.sdf.withColumn("__tc__", F.lit(_uuid.uuid4().hex)).persist()
-        )
-        _retire_reshape_caches(base.sdf)
+        # known + numeric_only (the T.T round trip's second transpose): the
+        # header collect is skipped AND the retype probe is skipped, so the
+        # melt is the input's ONLY consumer — a persist would materialize a
+        # cache nobody reads twice (r16 opt; the first transpose keeps it:
+        # its header collect + final melt both replay the upstream agg
+        # otherwise). Positions on this path are a pure projection of the
+        # dense transpose-output ORDER, adding no second consumer either.
+        if not (known is not None and numeric_only):
+            base = base._same_rows(
+                base.sdf.withColumn("__tc__", F.lit(_uuid.uuid4().hex)).persist()
+            )
+            _retire_reshape_caches(base.sdf)
+            # per-pid position offsets read the PERSISTED rows (<= max_cols
+            # by the transpose guard), not the attach-time lineage: for an
+            # aggregate source the "narrow" replay still re-runs the whole
+            # upstream groupby exchange once per consuming action (r16 opt —
+            # the header collect and the final melt each paid it; at scale
+            # that replay is O(data), the cache read is O(output))
+            base._mid_offsets_src = base.sdf
+            base._mid_offsets_memo = {}
         fr = base.with_global_position("__pos__")
-        numeric_only = len(self._numeric_positions()) == len(fr.columns)
 
         def _bq(p: str) -> str:
             return "`" + p.replace("`", "``") + "`"
@@ -3988,6 +4004,11 @@ class DataFrame:
             out_sdf, headers, phys, index_cols=lbl_phys, index_names=idx_names,
             has_order=True,
         )
+        # ORDER is the __cid__ stream 0..w-1 — dense by construction, so a
+        # downstream positional consumer (the second transpose of a T.T
+        # round trip, melt) projects positions instead of running the
+        # bucket/row_number/offsets machinery (r16 opt)
+        nf.order_dense = True
         # the output's index VALUES are src_cols, already on the driver —
         # lets a directly-following transpose (T.T) skip its header collect
         # (see `known` above; never propagated past this exact frame)

@@ -96,9 +96,12 @@ def test_r_matches_duckdb_round_on_half_boundary():
     assert s.dtype.kind == "i"
 
 
-def test_transpose_known_index_skips_header_collect():
+def test_transpose_known_index_skips_header_collect(monkeypatch):
     # T.T: the second transpose must not run ANY Spark job during build —
-    # the output index values are the first transpose's source column labels
+    # the output index values are the first transpose's source column labels.
+    # (Asserts PRODUCTION job counts: the opt-in order-audit mode runs an
+    # extra job per positional derivation by design, so clear it here.)
+    monkeypatch.delenv("MODIN_SPARK_DEBUG_ORDER", raising=False)
     spark = get_spark()
     st = spark.sparkContext.statusTracker()
     li = mpd.read_parquet(f"{SF}/lineitem.parquet")

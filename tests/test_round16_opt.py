@@ -151,7 +151,48 @@ def test_spread_for_udf_uses_size_estimate(monkeypatch):
     monkeypatch.delenv("MODIN_SPARK_SPREAD_TARGET", raising=False)
     spark = get_spark()
     pdf = pd.DataFrame({"doc_id": range(2000), "text": ["alpha beta gamma"] * 2000})
-    df = spark.createDataFrame(pdf)
+    df = spark.createDataFrame(pdf).coalesce(1)
     out = _spread_for_udf(df)
     n = out.rdd.getNumPartitions()
-    assert n <= max(2, spark.sparkContext.defaultParallelism // 2)
+    # a ~60 KB frame must get a SMALL fan-out (or none), never one-per-core
+    assert n <= 4
+
+
+def test_transpose_output_order_is_dense_projection(monkeypatch):
+    # a transpose output's ORDER is the dense 0..w-1 cid stream, so a
+    # positional consumer must project positions — no bucket/row_number
+    # exchange, no offsets table (r16 opt). The audit mode re-checks the
+    # density claim end-to-end.
+    monkeypatch.setenv("MODIN_SPARK_DEBUG_ORDER", "1")
+    import modin_spark.pandas as mpd
+
+    pdf = pd.DataFrame({"a": [1.0, 2.0, 3.0], "b": [4.0, 5.0, 6.0], "c": [7.0, 8.0, 9.0]})
+    t = mpd.DataFrame(pdf).T
+    assert t._frame.order_dense
+    before = t._frame.sdf._jdf.queryExecution().executedPlan().toString().count("Exchange")
+    pos = t._frame.with_global_position("__p__")
+    after = pos.sdf._jdf.queryExecution().executedPlan().toString().count("Exchange")
+    assert after == before  # pure projection: no new exchange
+    got = [r["__p__"] for r in pos.sdf.orderBy("__p__").select("__p__").collect()]
+    assert got == [0, 1, 2]
+    # any row subset clears the flag (density broken)
+    sub = t._frame._subset_rows(t._frame.sdf.limit(2))
+    assert not sub.order_dense
+    # and the full round trip stays pandas-exact under the audit
+    back = mpd.DataFrame(pdf).T.T.to_pandas()
+    pd.testing.assert_frame_equal(back, pdf)
+
+
+def test_second_transpose_skips_persist():
+    # T.T on a numeric frame: the second transpose's melt is the only
+    # consumer of its input (header collect skipped via the known index,
+    # retype probe skipped via numeric_only), so it must NOT stack a second
+    # uuid-tagged cache on top of the first transpose's (r16 opt)
+    import modin_spark.pandas as mpd
+
+    pdf = pd.DataFrame({"x": [1.0, 2.0], "y": [3.0, 4.0]})
+    t1 = mpd.DataFrame(pdf).T
+    t2 = t1.T
+    p1 = t1._frame.sdf._jdf.queryExecution().optimizedPlan().toString()
+    p2 = t2._frame.sdf._jdf.queryExecution().optimizedPlan().toString()
+    assert p2.count("InMemoryRelation") == p1.count("InMemoryRelation")
