@@ -75,16 +75,54 @@ def _count_smaller_before(keys, m):
 
 
 def _with_blocks(frame: SparkFrame) -> SparkFrame:
-    # NOT persisted, although the block consumers read this lineage from
-    # several plan branches (halo union, carry aggregates, join-backs):
-    # an interleaved A/B at BOTH sf0.1 and the 10x sf1 rung showed the
-    # persist LOSES (rolling_pair 2.45->4.09s at sf1) — the cache
+    # NOT persisted in general, although the block consumers read this
+    # lineage from several plan branches (halo union, carry aggregates,
+    # join-backs): an interleaved A/B at BOTH sf0.1 and the 10x sf1 rung
+    # showed the persist LOSES (rolling_pair 2.45->4.09s at sf1) — the cache
     # materializes the full row width and defeats the parquet scan's column
     # pruning, which costs more than the pruned scan+sort replays it saves
     # (r15; the transpose cache keeps the opposite regime: expensive-to-
     # compute, tiny-to-store aggregates).
-    fr = frame.ensure_order().with_global_position(_POS)
-    return fr._same_rows(fr.sdf.withColumn(_BLK, (F.col(_POS) / F.lit(BLOCK)).cast("long")))
+    #
+    # EXCEPTION (r16, guide §5): when Catalyst PROVES the input is bounded
+    # (optimizedPlan().maxRows from a limit/TakeOrdered, <= one BLOCK), the
+    # replay regime flips — each branch would re-run a full-data
+    # TakeOrderedAndProject (ewm_mean's plan held 12 of them: 12 complete
+    # scans of the source at 100 TB) while the cache holds <= 65536 rows.
+    # The uuid tag keeps this call's canonical plan unique so a later
+    # identically-shaped build (the bench's second run) can never hit this
+    # cache; lifetime is the shared reshape-cache FIFO.
+    ordered = frame.ensure_order()
+    # probe the bound BEFORE the position attach: the offsets broadcast
+    # join multiplies Catalyst's maxRows (4000-row head -> 16M), hiding
+    # the proof; the pre-position plan carries the limit's exact bound
+    try:
+        # the ANALYZED plan (already computed for schema access — the
+        # optimizer pass would cost ~0.2 s of driver build per window op).
+        # The bound must come from a LIMIT truncating a bigger source: a
+        # LocalRelation's own row count also defines maxRows, but replaying
+        # driver-resident rows is free and pinning them is pure overhead.
+        analyzed = ordered.sdf._jdf.queryExecution().analyzed()
+        mx = analyzed.maxRows()
+        bounded = (
+            mx.isDefined() and int(mx.get()) <= BLOCK
+            and "GlobalLimit" in analyzed.toString()
+        )
+    except Exception:
+        bounded = False
+    fr = ordered.with_global_position(_POS)
+    fr = fr._same_rows(fr.sdf.withColumn(_BLK, (F.col(_POS) / F.lit(BLOCK)).cast("long")))
+    if bounded:
+        import uuid as _uuid
+
+        from modin_spark.pandas.dataframe import _retire_reshape_caches
+
+        fr = fr._same_rows(
+            fr.sdf.withColumn("__wbc__", F.lit(_uuid.uuid4().hex)).persist()
+        )
+        _retire_reshape_caches(fr.sdf)
+        fr = fr._same_rows(fr.sdf.drop("__wbc__"))
+    return fr
 
 
 def _drop_aux(fr: SparkFrame) -> SparkFrame:

@@ -196,3 +196,27 @@ def test_second_transpose_skips_persist():
     p1 = t1._frame.sdf._jdf.queryExecution().optimizedPlan().toString()
     p2 = t2._frame.sdf._jdf.queryExecution().optimizedPlan().toString()
     assert p2.count("InMemoryRelation") == p1.count("InMemoryRelation")
+
+
+def test_bounded_window_input_is_pinned(events_pdf):
+    # guide §5: when Catalyst PROVES the block input is bounded (a
+    # limit/TakeOrdered head, <= one BLOCK), the block machinery pins it —
+    # each consumer branch would otherwise replay a FULL-data
+    # TakeOrderedAndProject (12 of them in ewm_mean's pre-change plan).
+    # Unbounded inputs must stay unpinned (the r15/r16 measured rejections).
+    import modin_spark.pandas as mpd
+
+    m = mpd.DataFrame(events_pdf).sort_values("a").head(500)
+    r = m["b"].rolling(5).mean()
+    plan = r._frame.sdf._jdf.queryExecution().optimizedPlan().toString()
+    assert "InMemoryRelation" in plan
+    # parity against pandas on the same head
+    p = events_pdf.sort_values("a").head(500)
+    exp = p["b"].rolling(5).mean()
+    np.testing.assert_allclose(
+        r.to_pandas().values, exp.values, equal_nan=True, rtol=1e-9, atol=1e-9)
+
+    m2 = mpd.DataFrame(events_pdf).sort_values("a")
+    r2 = m2["b"].rolling(5).mean()
+    plan2 = r2._frame.sdf._jdf.queryExecution().optimizedPlan().toString()
+    assert "InMemoryRelation" not in plan2
